@@ -1,0 +1,71 @@
+"""gluestick_ts_spark — a PySpark-native analytics/ETL engine with the
+capabilities of hotgluexyz/gluestick-ts (reference snapshot at
+``/root/reference``), rebuilt Spark-first for 100 TB scale.
+
+Public API mirrors the reference's exports (``src/index.ts:1-6``) in
+snake_case, plus the scale-extension operators (dedup, similarity
+search, text analysis, multimodal) the reference lacks.
+"""
+
+from .catalog import Catalog, json_schema_to_struct_type
+from .functions.datetime_utils import (
+    deep_convert_datetimes,
+    iso8601_expr,
+    localize_datetime,
+    parse_dates_expr,
+)
+from .functions.json_utils import parse_df_cols, parse_objs, struct_to_json
+from .functions.templating import (
+    build_string_format_variables,
+    format_str_safely,
+    get_index_safely,
+)
+from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
+from .session import get_spark
+from .sinks.export import (
+    to_export,
+    write_csv,
+    write_json_array,
+    write_jsonl,
+    write_parquet,
+)
+from .sinks.singer import (
+    gen_singer_header,
+    get_column_type,
+    spark_type_to_singer_schema,
+    to_singer,
+    to_singer_schema,
+)
+from .sources.reader import Reader
+
+__all__ = [
+    "Catalog",
+    "Reader",
+    "build_string_format_variables",
+    "deep_convert_datetimes",
+    "format_str_safely",
+    "gen_singer_header",
+    "get_column_type",
+    "get_index_safely",
+    "get_spark",
+    "iso8601_expr",
+    "json_schema_to_struct_type",
+    "keep_last_dedup",
+    "localize_datetime",
+    "parse_dates_expr",
+    "parse_df_cols",
+    "parse_objs",
+    "read_snapshots",
+    "snapshot_records",
+    "spark_type_to_singer_schema",
+    "struct_to_json",
+    "to_export",
+    "to_singer",
+    "to_singer_schema",
+    "write_csv",
+    "write_json_array",
+    "write_jsonl",
+    "write_parquet",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,160 @@
+"""Sink tests (SURVEY §2 rows 9-16, 23, 26-27): parquet/csv/jsonl/json
+writers, Singer message framing, schema generation from StructType."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.sinks.export import (
+    to_export,
+    write_csv,
+    write_json_array,
+    write_jsonl,
+)
+from gluestick_ts_spark.sinks.singer import (
+    gen_singer_header,
+    spark_type_to_singer_schema,
+    to_singer,
+    to_singer_schema,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                name="Ann",
+                amount=1.5,
+                ok=True,
+                created_at=datetime.datetime(2024, 1, 2, 3, 4, 5, 123000),
+                addr=Row(city="Berlin", zip="10115"),
+            ),
+            Row(id=2, name=None, amount=None, ok=False, created_at=None, addr=None),
+        ]
+    )
+
+
+def test_singer_file_framing(df, tmp_path):
+    to_singer(df, "users", str(tmp_path), keys=["id"])
+    lines = (tmp_path / "data.singer").read_text().strip().splitlines()
+    msgs = [json.loads(line) for line in lines]
+    assert msgs[0]["type"] == "SCHEMA"
+    assert msgs[0]["stream"] == "users"
+    assert msgs[0]["key_properties"] == ["id"]
+    props = msgs[0]["schema"]["properties"]
+    assert props["id"]["type"] == ["integer", "null"]
+    assert props["created_at"] == {"type": ["string", "null"], "format": "date-time"}
+    assert props["addr"]["type"] == ["string", "null"]  # allow_objects=False
+    records = [m for m in msgs if m["type"] == "RECORD"]
+    assert len(records) == 2
+    rec1 = next(r["record"] for r in records if r["record"]["id"] == 1)
+    assert rec1["created_at"] == "2024-01-02T03:04:05.123000Z"
+    assert json.loads(rec1["addr"]) == {"city": "Berlin", "zip": "10115"}
+    rec2 = next(r["record"] for r in records if r["record"]["id"] == 2)
+    assert "name" not in rec2  # null fields dropped (singer.ts:361-365)
+    assert msgs[-1] == {"type": "STATE", "value": {}}
+
+
+def test_singer_append_mode(df, tmp_path):
+    to_singer(df, "users", str(tmp_path), keys=["id"])
+    to_singer(df, "users", str(tmp_path), keys=["id"])
+    lines = (tmp_path / "data.singer").read_text().strip().splitlines()
+    types = [json.loads(line)["type"] for line in lines]
+    assert types.count("SCHEMA") == 2
+    assert types.count("RECORD") == 4
+
+
+def test_singer_keep_null_fields(df, tmp_path):
+    to_singer(df, "users", str(tmp_path), keys=["id"], keep_null_fields=True)
+    lines = (tmp_path / "data.singer").read_text().strip().splitlines()
+    rec2 = next(
+        json.loads(line)["record"]
+        for line in lines
+        if '"RECORD"' in line and '"id": 2' in line.replace('"id":2', '"id": 2')
+    )
+    assert "name" in rec2 and rec2["name"] is None
+
+
+def test_singer_allow_objects(df, tmp_path):
+    to_singer(df, "users", str(tmp_path), keys=["id"], allow_objects=True)
+    lines = (tmp_path / "data.singer").read_text().strip().splitlines()
+    schema = json.loads(lines[0])["schema"]["properties"]
+    assert schema["addr"]["type"] == ["object", "null"]
+    assert "city" in schema["addr"]["properties"]
+    rec1 = next(
+        json.loads(line)["record"]
+        for line in lines[1:]
+        if json.loads(line).get("type") == "RECORD" and json.loads(line)["record"]["id"] == 1
+    )
+    assert rec1["addr"] == {"city": "Berlin", "zip": "10115"}
+
+
+def test_singer_distributed_mode(df, tmp_path):
+    to_singer(df, "users", str(tmp_path), keys=["id"], single_file=False)
+    assert os.path.isdir(tmp_path / "data.singer.records")
+    assert (tmp_path / "data.singer.schema").exists()
+    assert (tmp_path / "data.singer.state").exists()
+
+
+def test_gen_singer_header_declared_schema_wins(df):
+    declared = {"properties": {"id": {"type": ["string", "null"]}}}
+    _, header = gen_singer_header(df, schema=declared)
+    assert header["properties"]["id"] == {"type": ["string", "null"]}
+    assert header["properties"]["name"]["type"] == ["string", "null"]
+
+
+def test_to_singer_schema_recursion():
+    s = to_singer_schema({"a": 1, "b": [True], "c": {"d": 1.5}})
+    assert s["properties"]["a"]["type"] == ["integer", "null"]
+    assert s["properties"]["b"]["items"]["type"] == ["boolean", "null"]
+    assert s["properties"]["c"]["properties"]["d"]["type"] == ["number", "null"]
+
+
+def test_csv_sink_struct_stringify(df, tmp_path):
+    path = str(tmp_path / "out.csv")
+    write_csv(df, path)
+    text = open(path).read().splitlines()
+    assert text[0] == "id,name,amount,ok,created_at,addr"
+    row1 = next(line for line in text[1:] if line.startswith("1,"))
+    assert "Berlin" in row1  # struct JSON-encoded into the cell
+
+
+def test_jsonl_sink(df, tmp_path):
+    path = str(tmp_path / "out.jsonl")
+    write_jsonl(df.select("id", "name"), path)
+    recs = [json.loads(line) for line in open(path)]
+    assert sorted(r["id"] for r in recs) == [1, 2]
+
+
+def test_json_array_sink(df, tmp_path):
+    path = str(tmp_path / "out.json")
+    write_json_array(df.select("id"), path)
+    data = json.loads(open(path).read())
+    assert sorted(r["id"] for r in data) == [1, 2]
+
+
+def test_to_export_dispatch(df, tmp_path, monkeypatch):
+    to_export(df, "users", str(tmp_path), export_format="parquet")
+    assert os.path.isdir(tmp_path / "users.parquet")
+    monkeypatch.setenv("DEFAULT_EXPORT_FORMAT", "jsonl")
+    to_export(df.select("id"), "users", str(tmp_path))
+    assert (tmp_path / "users.jsonl").exists()
+    monkeypatch.setenv("HG_UNIFIED_OUTPUT_USERS", "unified")
+    to_export(df.select("id"), "users", str(tmp_path), export_format="jsonl")
+    assert (tmp_path / "unified.jsonl").exists()
+
+
+def test_to_export_singer_default(df, tmp_path):
+    to_export(df, "users", str(tmp_path), keys=["id"])
+    assert (tmp_path / "data.singer").exists()
+
+
+def test_unknown_format_raises(df, tmp_path):
+    with pytest.raises(ValueError):
+        to_export(df, "users", str(tmp_path), export_format="xml")
