@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count-style action materializing
+every row) but never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gluestick_ts_spark.plans.queries import QUERIES
+from gluestick_ts_spark.session import get_spark
+
+# Headline set: parity ops + relational coverage + extensions.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_shipping",
+    "q5_regional_revenue",
+    "join_broadcast_brand",
+    "window_topk_orders",
+    "window_running_total",
+    "rollup_status_priority",
+    "sessionize_events",
+    "dedup_keep_last",
+    "snapshot_upsert",
+    "json_extract_agg",
+    "asof_join_orders",
+    "text_stats",
+    "lang_scores",
+    "dedup_exact_docs",
+    "minhash_dedup_docs",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    spark = get_spark(app_name="gluestick-ts-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing with one tiny job.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Materialize all rows on executors; don't move them to driver.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,8 @@ def localize_datetime(df: DataFrame, col_name: str) -> Column:
     """
     c = F.col(col_name)
     return F.coalesce(
-        c.cast("timestamp"),
-        F.try_to_timestamp(c.cast("string")),
+        c.try_cast("timestamp"),
+        F.try_to_timestamp(c.try_cast("string")),
     )
 
 

@@ -1,0 +1,161 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+These are scale-extension operators (not in the reference, which has no
+text processing — SURVEY §2.2 "Extensions"): tokenization, quality
+scoring, language-ID heuristics, token counting, fingerprinting and
+shingling over the ``documents`` table.
+
+Everything here is a pure Column expression built from
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, zero
+Python in the row path. Each has a deliberately SQL-expressible
+definition so the DuckDB oracle can replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "word_count_expr",
+    "char_count_expr",
+    "punct_ratio_expr",
+    "stopword_ratio_expr",
+    "quality_score_expr",
+    "token_count_expr",
+    "fingerprint_expr",
+    "lang_score_expr",
+    "lang_id_expr",
+    "shingles_expr",
+    "STOPWORDS_EN",
+    "LANG_MARKERS",
+    "TOKEN_REGEX",
+]
+
+# A small, fixed English stopword list — part of the operator contract
+# (mirrored verbatim in the oracle SQL).
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+)
+
+# Per-language marker words for the n-gram/stopword language-ID
+# heuristic. Scores are overlap fractions; deterministic tie-break by
+# declaration order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1", "men5", "he2"),
+}
+
+# BPE-ish token regex: word runs OR single non-space symbols. Java and
+# RE2 agree on this pattern for ASCII input.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(_col(text))), r"\s+")
+
+
+def word_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def char_count_expr(text: Column | str) -> Column:
+    return F.length(_col(text))
+
+
+def punct_ratio_expr(text: Column | str) -> Column:
+    """Fraction of characters that are neither word chars nor spaces."""
+    t = _col(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return (punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double"))
+
+
+def stopword_ratio_expr(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens_expr(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs and
+    a sane stopword ratio, penalizes punctuation soup. The exact
+    formula is the contract (oracle replicates it):
+
+    ``0.4*min(words/100,1) + 0.4*min(stop_ratio*5,1) + 0.2*(1-min(punct_ratio*10,1))``
+    """
+    words = word_count_expr(text).cast("double")
+    stop = stopword_ratio_expr(text)
+    punct = punct_ratio_expr(text)
+    return (
+        F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0)))
+    )
+
+
+def token_count_expr(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count: number of regex token matches."""
+    return F.regexp_count(_col(text), F.lit(pattern))
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text. Stable across engines (md5 is md5 everywhere) — used as the
+    exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def lang_score_expr(text: Column | str, lang: str) -> Column:
+    """Overlap fraction between a doc's tokens and a language's marker
+    words."""
+    markers = LANG_MARKERS[lang]
+    toks = tokens_expr(text)
+    mk = F.array(*[F.lit(m) for m in markers])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(mk, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh")) -> Column:
+    """Predicted language = argmax marker-overlap score, ties broken by
+    ``langs`` order (earlier wins); 'und' when every score is zero.
+
+    Implemented as ``array_max`` over ``struct(score, -index, lang)`` —
+    struct comparison is lexicographic, so the max struct carries the
+    highest score and, on ties, the earliest declared language.
+    """
+    t = _col(text)
+    candidates = F.array(
+        *[
+            F.struct(
+                lang_score_expr(t, lang).alias("score"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(candidates)
+    return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of the tokenized
+    text. Documents shorter than ``n`` tokens yield the full token
+    string as a single shingle."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)

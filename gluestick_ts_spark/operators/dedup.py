@@ -1,0 +1,362 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale-extension operators (SURVEY §2.2 "Extensions") over the
+``documents`` / ``embeddings`` tables:
+
+- ``dedup_exact`` — hash-groupBy on a content fingerprint; one shuffle.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` / ``dedup_minhash`` —
+  shingle -> minhash -> band -> bucket-join near-dup detection.
+- ``simhash_expr`` / ``simhash_pairs`` — 64-bit SimHash fingerprints +
+  Hamming-distance candidate pairs.
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard over candidate pairs
+  (the verification primitive; also usable standalone with blocking).
+- ``embedding_neardup_pairs`` — cosine-threshold near-dup over an
+  embedding column.
+
+Scale notes: every operator is expressed as explode/groupBy/equi-join
+DataFrame ops — the shuffles are on short keys (fingerprints, band
+hashes, bucket ids), never on document text. SimHash and MinHash
+signatures are computed with higher-order array functions *inside a
+row* where possible (no explode for SimHash). Pairwise work only ever
+happens within hash buckets.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_expr, shingles_expr, tokens_expr
+from ..functions.vectors import cosine_similarity_expr
+from .snapshot import keep_last_dedup
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "dedup_minhash",
+    "simhash_expr",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+# Mersenne prime 2^31-1 for the universal-hash family (a*x+b) mod p:
+# with a, b, x < p every product stays below 2^62, safely inside a
+# signed 64-bit long even under ANSI overflow checking.
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per exact (normalized) content fingerprint — the
+    survivor is the lowest id (deterministic). One shuffle on the
+    16-byte fingerprint; at 100 TB this is the cheapest possible exact
+    dedup (no text comparison, no sort of the full rows)."""
+    fp = "__gs_fp"
+    out = keep_last_dedup(
+        df.withColumn(fp, fingerprint_expr(text_col)),
+        [fp],
+        [F.col(id_col).asc()],
+    )
+    return out.drop(fp)
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: ``id, signature array<long>``.
+
+    Shingle the text (word n-grams), base-hash each shingle with
+    ``xxhash64`` (JVM-side), then apply ``num_hashes`` universal hashes
+    ``(a*x + b) mod p`` and take the min of each — all inside the row
+    via higher-order functions: **zero shuffles** to build signatures.
+    """
+    params = _hash_params(num_hashes, seed)
+    base = F.transform(
+        shingles_expr(F.col(text_col), shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(base, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE)))
+        ).alias(f"__h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return df.select(F.col(id_col).alias("id"), F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    id_col: str = "id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Candidate pairs from LSH banding: split each signature into
+    ``num_bands`` bands, hash each band, equi-join on (band, hash).
+
+    Output: ``id_a < id_b`` distinct candidate pairs. The join key is a
+    (int, long) pair — tiny shuffle; bucket skew (e.g. boilerplate
+    shingles) is handled by AQE skew-join splitting.
+    """
+    sig_len_row = signatures.select(F.size(sig_col)).first()
+    rows_per_band = max(1, (sig_len_row[0] if sig_len_row else num_bands) // num_bands)
+    banded = signatures.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for document pairs.
+
+    With ``pairs`` (candidate ``id_a/id_b`` from LSH) this verifies
+    candidates; without, it scores ALL pairs sharing at least one
+    shingle (inverted-index join — still no full cross product, but
+    O(pairs-sharing-a-shingle): use blocking or LSH at scale).
+
+    Output: ``id_a, id_b, jaccard`` with ``jaccard >= threshold``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    sizes = shingled.select("id", F.size("__sh").alias("__n"))
+
+    if pairs is not None:
+        joined = (
+            pairs.join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("__sh", "__sh_a"), on="id_a")
+            .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("__sh", "__sh_b"), on="id_b")
+        )
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+        return (
+            joined.select(
+                "id_a", "id_b", (inter / union).alias("jaccard")
+            ).where(F.col("jaccard") >= threshold)
+        )
+
+    # Inverted-index self-join: explode distinct shingles, pair docs
+    # sharing one, count shared shingles, then |A∩B| / (|A|+|B|-|A∩B|).
+    exploded = shingled.select("id", F.explode("__sh").alias("shingle"))
+    pairs_cnt = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), on="shingle")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        pairs_cnt.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("__n", "__na"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("__n", "__nb"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash -> LSH candidates -> exact
+    Jaccard verify -> drop the higher id of every duplicate pair.
+
+    Connected near-dup clusters collapse transitively onto their
+    minimum id via iterative min-propagation (bounded rounds) —
+    documented approximation: at most ``max_rounds`` hops of the
+    duplicate graph (2 is enough for near-dup clusters produced by a
+    single threshold; raise for chain-heavy corpora).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    cand = minhash_lsh_pairs(sigs, num_bands)
+    dup = ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
+    # Every id_b with a smaller near-identical id_a is a duplicate.
+    losers = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_expr(text: Column | str, n_bits: int = 64) -> Column:
+    """64-bit SimHash of the whitespace tokens — computed entirely
+    inside the row with higher-order functions (no explode, no
+    shuffle): per token, xxhash64 drives each bit's +1/-1 vote;
+    aggregate sums votes; the sign pattern packs into one long."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens_expr(t)
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_bits)])
+
+    def _token_votes(tok):
+        # shiftright needs a Python-int bit index -> unroll in Python.
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for j in range(n_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        zero,
+        lambda acc, tok: F.zip_with(acc, _token_votes(tok), lambda a, v: a + v),
+    )
+    packed = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bit = F.when(
+            F.element_at(votes, j + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = packed.bitwiseOR(bit)
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``n_blocks`` bands;
+    any pair within ``max_hamming`` Hamming distance must agree on at
+    least one full band **provided** ``n_blocks > max_hamming`` — the
+    default derives exactly that, keeping recall = 1.0. Candidates come
+    from equi-joins on band values — no cross product.
+    Output: ``id_a, id_b, hamming``.
+    """
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 1, 32)
+    bits_per = max(1, 64 // n_blocks)
+    mask = (1 << bits_per) - 1
+    h = df.select(
+        F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("__sim")
+    )
+    blocks = h.select(
+        "id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sim"), i * bits_per).bitwiseAND(F.lit(mask))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("__sim").alias("__sim_a"), "block", "block_val")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("__sim").alias("__sim_b"), "block", "block_val")
+    cand = (
+        a.join(b, on=["block", "block_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sim_a", "__sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine >= threshold).
+
+    Brute force by default (exact; fine for a corpus that fits a
+    cross-join of ids); ``use_lsh=True`` switches candidate generation
+    to random-hyperplane buckets for the 100 TB path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if use_lsh:
+        from .similarity import hyperplanes, lsh_bucket_expr
+
+        dim_row = df.select(F.size(vec_col)).first()
+        dim = dim_row[0] if dim_row else 0
+        parts = []
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+            ab = a.withColumn("__bk", lsh_bucket_expr("__va", planes))
+            bb = b.withColumn("__bk", lsh_bucket_expr("__vb", planes))
+            parts.append(ab.join(bb, on="__bk").drop("__bk"))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        cand = cand.dropDuplicates(["id_a", "id_b"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select(
+            "id_a", "id_b", cosine_similarity_expr("__va", "__vb").alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

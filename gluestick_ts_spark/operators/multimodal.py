@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Scale-extension operator (SURVEY §2.2 "Extensions"): media ride as
+opaque ``binary`` columns with a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+UDFs over ``mapInPandas``.
+
+The decode step is STUBBED: media codec libraries (PIL/librosa/ffmpeg)
+are not available in this environment, so ``decode_fn=None`` uses a
+clearly-marked deterministic fake (byte-level stats standing in for
+pixel/sample features). The Spark-side plumbing — schema, Arrow batch
+shape, partition sizing, UDF signature — is real and is exactly what a
+production decoder would plug into.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches; media bytes
+never land on the driver. ``spark.sql.files.maxPartitionBytes`` (and
+the repartition knob here) bound per-task memory: for 100 MB media
+blobs you run ~32-64 rows per batch, not the 10k default —
+``media_repartition`` exposes that.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_METADATA_TYPE",
+    "MEDIA_FEATURE_TYPE",
+    "attach_media_metadata",
+    "extract_media_features",
+    "media_repartition",
+    "fake_decode_features",
+]
+
+# Typed metadata carried alongside the opaque payload.
+MEDIA_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),   # image|audio|video
+        T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+    ]
+)
+
+MEDIA_FEATURE_TYPE = T.ArrayType(T.FloatType(), True)
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    binary_col: str = "content",
+    media_type: str = "image",
+    fmt: str = "bin",
+) -> DataFrame:
+    """Add the typed metadata struct next to a binary payload column.
+    Width/height/duration are NULL until a real probe fills them; size
+    is computed JVM-side."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+def media_repartition(df: DataFrame, rows_per_task: int, total_rows: int | None = None) -> DataFrame:
+    """Bound per-task media volume: at 100 TB a task holding thousands
+    of 100 MB blobs OOMs; repartition so each task sees roughly
+    ``rows_per_task`` rows before the decode UDF."""
+    n = total_rows if total_rows is not None else df.count()
+    parts = max(1, (n + rows_per_task - 1) // rows_per_task)
+    return df.repartition(parts)
+
+
+def fake_decode_features(payload: bytes | None, n_features: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: byte-level statistics
+    shaped like a feature vector. NOT a real decode — replace with
+    PIL/librosa in production (kept importable so tests pin the
+    contract)."""
+    if payload is None:
+        return [0.0] * n_features
+    n = len(payload)
+    if n == 0:
+        return [0.0] * n_features
+    # bucket byte histogram into n_features bins + simple moments
+    feats = [0.0] * n_features
+    for i, b in enumerate(payload[:4096]):
+        feats[b % n_features] += 1.0
+    total = sum(feats) or 1.0
+    return [f / total for f in feats]
+
+
+def extract_media_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    feature_col: str = "features",
+    decode_fn: Callable[[bytes | None], list[float]] | None = None,
+    n_features: int = 8,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode media payloads to feature vectors via ``mapInPandas``.
+
+    ``decode_fn`` maps one payload to ``list[float]``; the default is
+    the deterministic fake (see module docstring). Real decoders that
+    need codec libs unavailable here should raise
+    ``NotImplementedError`` at import time, not per row.
+
+    Output schema = input schema + ``feature_col array<float>``.
+    """
+    fn = decode_fn or (lambda b: fake_decode_features(b, n_features))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(feature_col, MEDIA_FEATURE_TYPE, True)]
+    )
+    bcol = binary_col
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[feature_col] = pdf[bcol].map(fn)
+            yield pdf
+
+    return df.mapInPandas(_mapper, schema=out_schema)

@@ -1,0 +1,735 @@
+"""Query catalog: every implemented operator as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLES[name]`` is the ANSI-SQL DuckDB equivalent over the same
+parquet tables. Column names/aliases are IDENTICAL on both sides (the
+driver sorts columns by name before value-hashing).
+
+Cross-engine determinism rules used throughout:
+
+- money aggregates: cast to DECIMAL before SUM (exact, order-
+  independent), cast the final sum to DOUBLE — bit-identical across
+  engines regardless of partition/summation order;
+- ratio/score doubles: same literal arithmetic expression order on
+  both sides (IEEE doubles are deterministic given identical ops);
+- timestamps: formatted to strings (engines exchange naive vs UTC
+  semantics otherwise);
+- cosine scores: ROUND(...,6) BEFORE ranking so rank boundaries agree;
+- every computed integer is LONG/BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    TOKEN_REGEX,
+    fingerprint_expr,
+    lang_id_expr,
+    lang_score_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    word_count_expr,
+)
+from ..functions.vectors import cosine_similarity_expr
+from ..operators.asof import asof_join
+from ..operators.dedup import dedup_exact, dedup_minhash, simhash_pairs
+from ..operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+)
+from ..operators.similarity import ann_ivf_topk, ann_lsh_topk
+from ..operators.snapshot import keep_last_dedup
+from ..sources.parquet_compat import read_parquet_compat
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own SparkSession: pin the session TZ so
+    # timestamp formatting matches the (TZ-naive) DuckDB oracle even when
+    # the host TZ isn't UTC. Runtime-settable; idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return read_parquet_compat(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+_REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+
+def _rev_expr():
+    one = F.lit(1).cast("decimal(18,2)")
+    return F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Parity operators (reference surface, SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def q_scan_project_literal(spark, sf):
+    """Catalog-typed scan + literal column injection (§2.1 rows 2-3, 34;
+    reference examples/example-csv.ts:37-39)."""
+    return _t(spark, sf, "customer").select("*", F.lit("acme").alias("tenant"))
+
+
+def q_catalog_typed_cast(spark, sf):
+    """Catalog integer->Int64 cast semantics (§2.1 rows 4, 6, 21)."""
+    n = _t(spark, sf, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+def q_parse_dates_fallback(spark, sf):
+    """strptime fallback chain (§2.1 row 5; reader.ts:111-128)."""
+    li = _t(spark, sf, "lineitem")
+    s = F.when(
+        F.col("l_orderkey") % 2 == 0, F.date_format("l_shipdate", "yyyy-MM-dd")
+    ).otherwise(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(parse_dates_expr(s), "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
+    )
+
+
+def q_localize_datetime_iso(spark, sf):
+    """String->UTC timestamp localization + ISO-8601 export format
+    (§2.1 rows 22-23; etl-utils.ts:191-212, singer.ts:63-73)."""
+    ev = _t(spark, sf, "events")
+    raw = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    localized = F.coalesce(raw.try_cast("timestamp"), F.try_to_timestamp(raw))
+    return ev.select(
+        "event_id", F.date_format(localized, ISO8601_SPARK_FORMAT).alias("iso_ts")
+    )
+
+
+def q_snapshot_upsert(spark, sf):
+    """Snapshot merge semantics (§2.1 rows 18-20): union old+new,
+    keep-last per PK with new-beats-old ordering."""
+    o = _t(spark, sf, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("total"), F.lit(0).alias("src")
+    )
+    new = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("total"), F.lit(1).alias("src")
+    )
+    merged = old.unionByName(new)
+    out = keep_last_dedup(merged, ["o_orderkey"], [F.col("src").desc()])
+    return out.select("o_orderkey", F.round("total", 2).alias("total"), "src")
+
+
+def q_dedup_keep_last(spark, sf):
+    """Keep-last dedup by key with explicit deterministic order
+    (§2.1 row 19 — window row_number, NOT dropDuplicates)."""
+    ev = _t(spark, sf, "events")
+    out = keep_last_dedup(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+
+
+def q_union_missing_columns(spark, sf):
+    """unionByName(allowMissingColumns=True) parity (§2.1 row 20)."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("c").alias("side"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("s").alias("side")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+def q_json_extract_agg(spark, sf):
+    """JSON-string -> object parsing (§2.1 row 25) + aggregation."""
+    ev = _t(spark, sf, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("cnt"))
+    )
+
+
+def q_struct_json(spark, sf):
+    """Struct -> JSON string encode (§2.1 row 26)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.to_json(F.struct(F.col("c_custkey"), F.col("c_name"))).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (SURVEY §2.2: joins/aggs/windows/sorts/set ops)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan + filter + groupBy aggregate. Money sums in
+    DECIMAL (order-independent), averages derived from exact sums."""
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.sum(_dec("l_discount")).cast("double").alias("sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_q3_top_shipping(spark, sf):
+    """TPC-H Q3 shape: 3-way join (broadcast dim) + agg + top-k with a
+    deterministic tie-break."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _rev_expr().alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_q5_regional_revenue(spark, sf):
+    """TPC-H Q5 shape: star join through region->nation->customer with
+    broadcast dimensions, revenue per region."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        _rev_expr().alias("revenue"), F.count("*").alias("cnt")
+    )
+
+
+def q_join_broadcast_brand(spark, sf):
+    """Broadcast-hash join with a small dimension + agg by brand."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(_rev_expr().alias("revenue"), F.count("*").alias("cnt"))
+    )
+
+
+def q_anti_join_no_orders(spark, sf):
+    """Left-anti join: customers without orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_join_big_spenders(spark, sf):
+    """Left-semi join: customers with at least one order > 300k."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000.0)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_window_topk_orders(spark, sf):
+    """Top-k per group via window rank with deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_window_running_total(spark, sf):
+    """Running sum per key — sequential frame order matches the oracle
+    exactly, so the double result is bit-identical."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_rollup_status_priority(spark, sf):
+    """ROLLUP aggregation (subtotals + grand total)."""
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+def q_except_customers(spark, sf):
+    """EXCEPT (distinct) set op: customer keys with no orders."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+def q_intersect_customers(spark, sf):
+    """INTERSECT set op: customer keys that do have orders."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+def q_sessionize_events(spark, sf):
+    """Sessionization: 30-minute-gap session ids via lag + running sum
+    (the batch analogue of a session window)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # exact integer microseconds — double-epoch would lose precision
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros("ts") - prev > 1_800_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(wsum).cast("long").alias("session_id"),
+    )
+
+
+def q_asof_join_orders(spark, sf):
+    """As-of join (backward): each event matched to the user's latest
+    order at-or-before the event time. Custom operator — union +
+    window, one shuffle (operators/asof.py)."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+    )
+    out = asof_join(ev, o, "user_id", "o_custkey", "ts", "o_orderdate")
+    return out.select("event_id", "user_id", "price")
+
+
+# ---------------------------------------------------------------------------
+# Extension: text analysis / dedup / similarity (SURVEY §2.2 Extensions)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf):
+    """Quality scoring + token counting over documents (all JVM-side
+    column expressions; functions/text.py)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        word_count_expr("text").cast("long").alias("n_words"),
+        token_count_expr("text").cast("long").alias("n_tokens"),
+        punct_ratio_expr("text").alias("punct_ratio"),
+        stopword_ratio_expr("text").alias("stopword_ratio"),
+        quality_score_expr("text").alias("quality"),
+    )
+
+
+def q_lang_scores(spark, sf):
+    """Language-ID heuristic: marker-word overlap scores + argmax."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        *[lang_score_expr(F.col("text"), lang).alias(f"score_{lang}") for lang in LANG_MARKERS],
+        lang_id_expr("text").alias("lang_pred"),
+    )
+
+
+def q_dedup_exact_docs(spark, sf):
+    """Exact dedup by normalized-content fingerprint (hash groupBy)."""
+    d = _t(spark, sf, "documents")
+    out = dedup_exact(d)
+    return out.select("doc_id", fingerprint_expr("text").alias("fp"))
+
+
+def q_embedding_cosine_topk(spark, sf):
+    """Brute-force exact cosine top-k (query ids < 8, k=5). Scores
+    rounded to 6dp BEFORE ranking so rank boundaries are
+    engine-deterministic."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding near-dup pairs: cosine >= 0.8 over all id_a < id_b."""
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_similarity_expr("va", "vb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible; driver records weaker check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup_docs(spark, sf):
+    """Fuzzy dedup: MinHash -> LSH banding -> exact-Jaccard verify."""
+    d = _t(spark, sf, "documents")
+    return dedup_minhash(d, threshold=0.7).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_simhash_pairs_docs(spark, sf):
+    """SimHash near-dup candidate pairs (Hamming <= 8)."""
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=8)
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Approximate top-k via random-hyperplane LSH buckets."""
+    e = _t(spark, sf, "embeddings")
+    return ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, n_planes=6, n_tables=4)
+
+
+def q_ann_ivf_topk(spark, sf):
+    """Approximate top-k via IVF inverted lists."""
+    e = _t(spark, sf, "embeddings")
+    return ann_ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload column + typed metadata +
+    Arrow-batched feature extraction (decode stubbed deterministically)."""
+    d = _t(spark, sf, "documents").limit(200)
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    media = attach_media_metadata(media, media_type="image", fmt="raw")
+    out = extract_media_features(media, n_features=8)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "scan_project_literal": q_scan_project_literal,
+    "catalog_typed_cast": q_catalog_typed_cast,
+    "parse_dates_fallback": q_parse_dates_fallback,
+    "localize_datetime_iso": q_localize_datetime_iso,
+    "snapshot_upsert": q_snapshot_upsert,
+    "dedup_keep_last": q_dedup_keep_last,
+    "union_missing_columns": q_union_missing_columns,
+    "json_extract_agg": q_json_extract_agg,
+    "struct_json": q_struct_json,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_shipping": q_q3_top_shipping,
+    "q5_regional_revenue": q_q5_regional_revenue,
+    "join_broadcast_brand": q_join_broadcast_brand,
+    "anti_join_no_orders": q_anti_join_no_orders,
+    "semi_join_big_spenders": q_semi_join_big_spenders,
+    "window_topk_orders": q_window_topk_orders,
+    "window_running_total": q_window_running_total,
+    "rollup_status_priority": q_rollup_status_priority,
+    "except_customers": q_except_customers,
+    "intersect_customers": q_intersect_customers,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_orders": q_asof_join_orders,
+    "text_stats": q_text_stats,
+    "lang_scores": q_lang_scores,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    # rows-only (no oracle entry):
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+_SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains({_marker_list(lang)}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)"
+    )
+
+
+_GREATEST_ALL = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
+
+ORACLES: dict[str, str] = {
+    "scan_project_literal": "SELECT *, 'acme' AS tenant FROM customer",
+    "catalog_typed_cast": (
+        "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
+    ),
+    "parse_dates_fallback": (
+        "SELECT l_orderkey, l_linenumber, "
+        "strftime(COALESCE(try_strptime(s, '%Y-%m-%d %H:%M:%S'), try_strptime(s, '%Y-%m-%d')), "
+        "'%Y-%m-%d %H:%M:%S') AS parsed_ts FROM ("
+        "SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey % 2 = 0 "
+        "THEN strftime(l_shipdate, '%Y-%m-%d') "
+        "ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS s FROM lineitem) t"
+    ),
+    "localize_datetime_iso": (
+        "SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), "
+        "'%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts FROM events"
+    ),
+    "snapshot_upsert": (
+        "WITH old AS (SELECT o_orderkey, o_totalprice AS total, 0 AS src FROM orders "
+        "WHERE o_orderkey % 3 <> 0), "
+        "new AS (SELECT o_orderkey, o_totalprice * 2 AS total, 1 AS src FROM orders "
+        "WHERE o_orderkey % 2 = 0), "
+        "u AS (SELECT * FROM old UNION ALL SELECT * FROM new) "
+        "SELECT o_orderkey, ROUND(total, 2) AS total, src FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn "
+        "FROM u) r WHERE rn = 1"
+    ),
+    "dedup_keep_last": (
+        "SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1"
+    ),
+    "union_missing_columns": (
+        "SELECT c_name AS name, c_acctbal AS acctbal, 'c' AS side FROM customer "
+        "UNION ALL SELECT s_name AS name, CAST(NULL AS DOUBLE) AS acctbal, 's' AS side "
+        "FROM supplier"
+    ),
+    "json_extract_agg": (
+        "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS sum_k, COUNT(*) AS cnt FROM events GROUP BY event_type"
+    ),
+    "struct_json": (
+        "SELECT c_custkey, to_json(struct_pack(c_custkey := c_custkey, "
+        "c_name := c_name)) AS payload FROM customer"
+    ),
+    "q1_pricing_summary": (
+        "WITH base AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge, "
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus) "
+        "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, "
+        "sum_charge, sum_qty / count_order AS avg_qty, "
+        "sum_base_price / count_order AS avg_price, sum_disc / count_order AS avg_disc, "
+        "count_order FROM base"
+    ),
+    "q3_top_shipping": (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        "o_orderpriority, " + _REV + " AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "q5_regional_revenue": (
+        "SELECT r_name, " + _REV + " AS revenue, COUNT(*) AS cnt "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    ),
+    "join_broadcast_brand": (
+        "SELECT p_brand, " + _REV + " AS revenue, COUNT(*) AS cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+    ),
+    "anti_join_no_orders": (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "semi_join_big_spenders": (
+        "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000.0)"
+    ),
+    "window_topk_orders": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
+        "FROM orders) t WHERE rank <= 3"
+    ),
+    "window_running_total": (
+        "SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total "
+        "FROM orders"
+    ),
+    "rollup_status_priority": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    "except_customers": (
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders"
+    ),
+    "intersect_customers": (
+        "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders"
+    ),
+    "sessionize_events": (
+        "SELECT user_id, event_id, CAST(SUM(new_sess) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+        "FROM (SELECT user_id, event_id, ts, CASE WHEN lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events) t"
+    ),
+    "asof_join_orders": (
+        "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("
+        "SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price FROM orders "
+        "GROUP BY o_custkey, o_orderdate) o "
+        "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "text_stats": (
+        "SELECT doc_id, "
+        f"CAST(len({_TOKS}) AS BIGINT) AS n_words, "
+        "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+        " / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio, "
+        f"CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) AS stopword_ratio, "
+        f"0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.4 * least((CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)) * 5.0, 1.0) "
+        "+ 0.2 * (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+        " / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) AS quality "
+        "FROM documents"
+    ),
+    "lang_scores": (
+        "SELECT doc_id, "
+        + ", ".join(f"score_{lang}" for lang in LANG_MARKERS)
+        + ", CASE WHEN " + _GREATEST_ALL + " = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN score_{lang} = {_GREATEST_ALL} THEN '{lang}'" for lang in LANG_MARKERS
+        )
+        + " END AS lang_pred FROM (SELECT doc_id, "
+        + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS)
+        + " FROM documents) t"
+    ),
+    "dedup_exact_docs": (
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents QUALIFY row_number() OVER (PARTITION BY "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "embedding_cosine_topk": (
+        "SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, "
+        "c.vec_id ASC) AS rank "
+        "FROM embeddings q CROSS JOIN embeddings c "
+        "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t WHERE rank <= 5"
+    ),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8"
+    ),
+}

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from ..catalog import Catalog
 from ..functions.datetime_utils import parse_dates_expr
+from .parquet_compat import read_parquet_compat
 
 __all__ = ["Reader"]
 
@@ -136,7 +137,7 @@ class Reader:
             return None
 
     def _get_parquet(self, stream: str, path: str, catalog_types: bool) -> DataFrame:
-        df = self.spark.read.parquet(path)
+        df = read_parquet_compat(self.spark, path)
         if not catalog_types:
             return df
         catalog = self.read_catalog()
@@ -151,7 +152,10 @@ class Reader:
         for f in df.schema.fields:
             want = by_name.get(f.name)
             if want is not None and want != f.dataType and self._castable(f.dataType, want):
-                exprs.append(F.col(f.name).cast(want).alias(f.name))
+                # try_cast: per-value failure tolerance under ANSI mode —
+                # matches the reference's cast-else-keep contract
+                # (reader.ts:75-80) at value granularity.
+                exprs.append(F.col(f.name).try_cast(want).alias(f.name))
             else:
                 if want is not None and want != f.dataType:
                     logger.warning(

@@ -1,0 +1,174 @@
+"""Dedup + similarity-search operator tests (extension ops)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.functions.vectors import (
+    cosine_similarity_expr,
+    dot_expr,
+    norm_expr,
+)
+from gluestick_ts_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_expr,
+    simhash_pairs,
+)
+from gluestick_ts_spark.operators.asof import asof_join
+from gluestick_ts_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+
+@pytest.fixture()
+def docs(spark):
+    near = BASE.replace("lazy", "sleepy")  # one-token change => high jaccard
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1 (normalized)
+            (3, "The  QUICK brown fox jumps over the lazy dog and runs far away home tonight"),
+            (4, near),  # near dup of 1
+            (5, "completely different content about spark query engines and shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_exprs(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 3.0])], "a array<float>, b array<float>")
+    row = df.select(
+        dot_expr("a", "b").alias("dot"),
+        norm_expr("a").alias("na"),
+        cosine_similarity_expr("a", "b").alias("cos"),
+    ).first()
+    assert row["dot"] == pytest.approx(8.0)
+    assert row["na"] == pytest.approx(5**0.5)
+    assert row["cos"] == pytest.approx(0.9922778767136677)
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # docs 1/2/3 share a normalized fingerprint -> lowest id (1) survives
+    assert ids == [1, 4, 5]
+
+
+def test_minhash_signature_shape(docs):
+    sigs = minhash_signatures(docs, num_hashes=32)
+    row = sigs.first()
+    assert len(row["signature"]) == 32
+    # identical text -> identical signature
+    by_id = {r["id"]: r["signature"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2] == by_id[3]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=64)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, num_bands=16).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) in pairs  # near-dup collides in at least one band
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard_verification(docs):
+    scored = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in scored.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 4)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_dedup_minhash_end_to_end(docs):
+    out = dedup_minhash(docs, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+
+
+def test_simhash_properties(docs):
+    h = {r["doc_id"]: r["h"] for r in docs.select("doc_id", simhash_expr("text").alias("h")).collect()}
+    assert h[1] == h[2] == h[3]  # same tokens -> same simhash
+    assert h[1] != h[5]
+    ham = bin((h[1] ^ h[4]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16  # near dup -> small hamming distance
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) in pairs
+
+
+def test_embedding_neardup(vecs):
+    out = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(vecs, threshold=0.95).collect()}
+    assert (1, 2) in out
+    assert (1, 3) not in out
+
+
+def test_cosine_topk_exact(vecs):
+    out = cosine_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 5]
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_ann_lsh_recall_on_neardup(vecs):
+    out = ann_lsh_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2, n_planes=4, n_tables=8)
+    neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert 2 in neighbors  # the true near-dup must be found
+
+
+def test_ann_ivf_runs(vecs):
+    out = ann_ivf_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2, n_centroids=3, n_probe=3)
+    neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert 2 in neighbors
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "e3")],
+        "uid long, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 12, 300.0)],
+        "uid long, ts long, price double",
+    )
+    out = asof_join(left, right, "uid", "uid", "ts", "ts")
+    got = {(r["uid"], r["ts"]): r["price"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0
+    assert got[(1, 20)] == 200.0
+    assert got[(1, 5)] is None  # nothing at-or-before
+    assert got[(2, 10)] is None
+
+
+def test_asof_join_equal_ts_and_strict(spark):
+    left = spark.createDataFrame([(1, 10, "e")], "uid long, ts long, ev string")
+    right = spark.createDataFrame([(1, 10, 1.0)], "uid long, ts long, price double")
+    non_strict = asof_join(left, right, "uid", "uid", "ts", "ts").first()
+    assert non_strict["price"] == 1.0
+    strict = asof_join(left, right, "uid", "uid", "ts", "ts", strict=True).first()
+    assert strict["price"] is None
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, "e")], "uid long, ts long, ev string")
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 12, 2.0), (1, 30, 3.0)], "uid long, ts long, price double"
+    )
+    out = asof_join(left, right, "uid", "uid", "ts", "ts", direction="forward").first()
+    assert out["price"] == 2.0

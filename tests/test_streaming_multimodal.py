@@ -1,0 +1,111 @@
+"""Streaming incremental + multimodal plumbing tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    fake_decode_features,
+)
+from gluestick_ts_spark.operators.snapshot import read_snapshots
+from gluestick_ts_spark.streaming.incremental import (
+    stream_dedup,
+    stream_snapshot_records,
+    stream_windowed_counts,
+)
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, content binary",
+    )
+    with_meta = attach_media_metadata(df, media_type="image", fmt="raw")
+    out = extract_media_features(with_meta, n_features=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["media_meta"]["size_bytes"] == 11
+    assert by_id[1]["media_meta"]["media_type"] == "image"
+    assert len(by_id[1]["features"]) == 4
+    assert by_id[1]["features"] == pytest.approx(fake_decode_features(b"hello world", 4))
+    assert by_id[2]["features"] == [0.0] * 4
+    assert by_id[3]["features"] == [0.0] * 4
+
+
+def _write_stream_batch(path, spark, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+
+
+def test_stream_snapshot_records(spark, tmp_path):
+    src = str(tmp_path / "src")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string"
+    _write_stream_batch(src, spark, [(1, "a"), (2, "b")], schema)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_snapshot_records(stream, "s", snap, pk="id", checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in read_snapshots(spark, "s", snap).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second micro-batch updates id=1, adds id=3
+    _write_stream_batch(src, spark, [(1, "a2"), (3, "c")], schema)
+    q = (
+        stream_snapshot_records(stream, "s", snap, pk="id", checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in read_snapshots(spark, "s", snap).collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_stream_dedup_and_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "k long, ts timestamp"
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t),
+        (1, t),  # duplicate
+        (2, t + datetime.timedelta(minutes=5)),
+    ]
+    _write_stream_batch(src, spark, rows, schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    assert sorted(r["k"] for r in got) == [1, 2]
+
+    counts = stream_windowed_counts(stream, "ts", "1 hour", "1 hour", ["k"])
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("wc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # append-mode windows only close past the watermark; with
+    # availableNow + bounded input the final watermark may keep the
+    # window open — assert the query ran and produced a queryable table.
+    assert spark.sql("SELECT * FROM wc").columns == [
+        "window_start", "window_end", "k", "cnt",
+    ]
