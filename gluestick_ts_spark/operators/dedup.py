@@ -86,22 +86,39 @@ def minhash_signatures(
     """Per-document MinHash signature: ``id, signature array<long>``.
 
     Shingle the text (word n-grams), base-hash each shingle with
-    ``xxhash64`` (JVM-side), then apply ``num_hashes`` universal hashes
-    ``(a*x + b) mod p`` and take the min of each — all inside the row
-    via higher-order functions: **zero shuffles** to build signatures.
+    ``xxhash64`` (JVM-side), then fold the shingle hashes ONCE through
+    all ``num_hashes`` universal hashes ``(a*x + b) mod p`` with a
+    single ``aggregate``/``zip_with`` pass whose (a, b) parameters are
+    one constant-folded literal array — **zero shuffles** and a tiny
+    expression tree.
+
+    Plan-shape rationale (measured at sf0.01): unrolling one
+    ``array_min(transform(...))`` per hash duplicates the shingle
+    subtree 64× and pushes planning + codegen to tens of seconds;
+    explode + 64 ``min`` aggregates compiles ~3× slower than this and
+    adds a shuffle. The fold keeps first-run latency low AND scales:
+    per-row work is O(shingles × num_hashes) with no data movement.
     """
     params = _hash_params(num_hashes, seed)
+    plit = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
     base = F.transform(
         shingles_expr(F.col(text_col), shingle_n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(base, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE)))
-        ).alias(f"__h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return df.select(F.col(id_col).alias("id"), F.array(*sig_cols).alias("signature"))
+    # Every universal hash value is < _MERSENNE, so _MERSENNE acts as +inf.
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            plit,
+            lambda m, p: F.least(m, F.pmod(p["a"] * x + p["b"], F.lit(_MERSENNE))),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -109,16 +126,20 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     id_col: str = "id",
     sig_col: str = "signature",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding: split each signature into
     ``num_bands`` bands, hash each band, equi-join on (band, hash).
 
     Output: ``id_a < id_b`` distinct candidate pairs. The join key is a
     (int, long) pair — tiny shuffle; bucket skew (e.g. boilerplate
-    shingles) is handled by AQE skew-join splitting.
+    shingles) is handled by AQE skew-join splitting. Pass ``sig_len``
+    (the signature length) to avoid a driver-side peek job.
     """
-    sig_len_row = signatures.select(F.size(sig_col)).first()
-    rows_per_band = max(1, (sig_len_row[0] if sig_len_row else num_bands) // num_bands)
+    if sig_len is None:
+        sig_len_row = signatures.select(F.size(sig_col)).first()
+        sig_len = sig_len_row[0] if sig_len_row else num_bands
+    rows_per_band = max(1, sig_len // num_bands)
     banded = signatures.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -227,7 +248,7 @@ def dedup_minhash(
     single threshold; raise for chain-heavy corpora).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    cand = minhash_lsh_pairs(sigs, num_bands)
+    cand = minhash_lsh_pairs(sigs, num_bands, sig_len=num_hashes)
     dup = ngram_jaccard_pairs(df, cand, id_col, text_col, shingle_n, threshold)
     # Every id_b with a smaller near-identical id_a is a duplicate.
     losers = dup.select(F.col("id_b").alias(id_col)).distinct()
@@ -238,36 +259,46 @@ def simhash_expr(text: Column | str, n_bits: int = 64) -> Column:
     """64-bit SimHash of the whitespace tokens — computed entirely
     inside the row with higher-order functions (no explode, no
     shuffle): per token, xxhash64 drives each bit's +1/-1 vote;
-    aggregate sums votes; the sign pattern packs into one long."""
-    t = F.col(text) if isinstance(text, str) else text
-    toks = tokens_expr(t)
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_bits)])
+    aggregate sums votes; the sign pattern packs into one long.
 
-    def _token_votes(tok):
-        # shiftright needs a Python-int bit index -> unroll in Python.
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long"))
-                for j in range(n_bits)
-            ]
-        )
+    The bit loop is a runtime ``sequence(0, n_bits-1)`` with
+    column-count shifts (``shiftright(h, j)``), NOT a Python-unrolled
+    n_bits-wide expression: unrolling produced multi-MiB codegen and
+    dominated runtime at every scale.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    # Hash each token once (the hash is reused by all n_bits votes).
+    tok_hashes = F.transform(tokens_expr(t), lambda tok: F.xxhash64(tok))
+    bit_idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
+    one = F.lit(1).cast("long")
 
     votes = F.aggregate(
-        toks,
+        tok_hashes,
         zero,
-        lambda acc, tok: F.zip_with(acc, _token_votes(tok), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda j: F.when(
+                    F.call_function("shiftright", h, j).bitwiseAND(one) == 1, one
+                ).otherwise(-one),
+            ),
+            lambda a, v: a + v,
+        ),
     )
-    packed = F.lit(0).cast("long")
-    for j in range(n_bits):
-        bit = F.when(
-            F.element_at(votes, j + 1) > 0,
-            F.shiftleft(F.lit(1).cast("long"), j),
-        ).otherwise(F.lit(0).cast("long"))
-        packed = packed.bitwiseOR(bit)
-    return packed
+    # Pack sign bits: OR of shiftleft(1, j) — shifts never overflow-check,
+    # so bit 63 is safe even under ANSI mode. zip_with keeps ``votes``
+    # evaluated ONCE (putting it inside an aggregate lambda would
+    # re-evaluate the whole vote aggregate per bit).
+    bits = F.zip_with(
+        votes,
+        bit_idx,
+        lambda v, j: F.when(v > 0, F.call_function("shiftleft", one, j)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
 def simhash_pairs(
@@ -338,20 +369,29 @@ def embedding_neardup_pairs(
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if use_lsh:
-        from .similarity import hyperplanes, lsh_bucket_expr
+        from .similarity import hyperplanes, lsh_buckets_expr
 
         dim_row = df.select(F.size(vec_col)).first()
         dim = dim_row[0] if dim_row else 0
-        parts = []
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-            ab = a.withColumn("__bk", lsh_bucket_expr("__va", planes))
-            bb = b.withColumn("__bk", lsh_bucket_expr("__vb", planes))
-            parts.append(ab.join(bb, on="__bk").drop("__bk"))
-        cand = parts[0]
-        for p in parts[1:]:
-            cand = cand.unionByName(p)
-        cand = cand.dropDuplicates(["id_a", "id_b"]).where(F.col("id_a") < F.col("id_b"))
+        all_planes = [
+            hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+        ]
+        ab = a.select(
+            "id_a",
+            "__va",
+            F.posexplode(lsh_buckets_expr("__va", all_planes)).alias("__t", "__bk"),
+        )
+        bb = b.select(
+            "id_b",
+            "__vb",
+            F.posexplode(lsh_buckets_expr("__vb", all_planes)).alias("__t", "__bk"),
+        )
+        cand = (
+            ab.join(bb, on=["__t", "__bk"])
+            .drop("__t", "__bk")
+            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("id_a") < F.col("id_b"))
+        )
     else:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (

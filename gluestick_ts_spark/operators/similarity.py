@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr, dot_expr
 
-__all__ = ["cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "hyperplanes", "lsh_bucket_expr"]
+__all__ = [
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "hyperplanes",
+    "lsh_bucket_expr",
+    "lsh_buckets_expr",
+]
 
 
 def cosine_topk(
@@ -77,16 +84,52 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit signature -> single long bucket id. Pure column math:
-    bit_i = (v . plane_i) >= 0."""
+def lsh_buckets_expr(
+    vec_col: Column | str, all_planes: list[list[list[float]]]
+) -> Column:
+    """Per-table sign-bit bucket ids as ``array<long>`` (one element per
+    table). One fold over a constant-folded literal plane array —
+    expression-tree size stays constant in n_tables × n_planes, so
+    planning/codegen stays fast (unrolling one dot product per plane
+    measurably dominated first-run latency)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot_expr(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + (bit * F.lit(1 << i).cast("long"))
-    return bucket
+    tables_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.array(*[F.lit(float(x)) for x in plane]).alias("plane"),
+                        F.lit(1 << i).cast("long").alias("w"),
+                    )
+                    for i, plane in enumerate(planes)
+                ]
+            )
+            for planes in all_planes
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    return F.transform(
+        tables_lit,
+        lambda planes: F.aggregate(
+            planes,
+            zero,
+            lambda acc, p: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(v, p["plane"], lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                >= 0,
+                p["w"],
+            ).otherwise(zero),
+        ),
+    )
+
+
+def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Single-table sign-bit bucket id (long)."""
+    return F.element_at(lsh_buckets_expr(vec_col, [planes]), 1)
 
 
 def ann_lsh_topk(
@@ -109,28 +152,34 @@ def ann_lsh_topk(
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
 
-    cand_parts = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        c_b = c.withColumn("__bucket", lsh_bucket_expr("__cvec", planes)).withColumn(
-            "__table", F.lit(t)
-        )
-        q_b = q.withColumn("__bucket", lsh_bucket_expr("__qvec", planes)).withColumn(
-            "__table", F.lit(t)
-        )
-        cand_parts.append(
-            q_b.join(c_b, on=["__table", "__bucket"]).select(
-                "query_id", "neighbor_id", "__qvec", "__cvec"
-            )
-        )
-    candidates = cand_parts[0]
-    for part in cand_parts[1:]:
-        candidates = candidates.unionByName(part)
-    candidates = candidates.dropDuplicates(["query_id", "neighbor_id"]).where(
-        F.col("query_id") != F.col("neighbor_id")
+    # All tables in ONE posexplode + ONE equi-join on (table, bucket) —
+    # not n_tables joins + union: same candidate set, 1/n_tables the
+    # planning and shuffle stages.
+    c_b = c.select(
+        "neighbor_id",
+        "__cvec",
+        F.posexplode(lsh_buckets_expr("__cvec", all_planes)).alias(
+            "__table", "__bucket"
+        ),
+    )
+    q_b = q.select(
+        "query_id",
+        "__qvec",
+        F.posexplode(lsh_buckets_expr("__qvec", all_planes)).alias(
+            "__table", "__bucket"
+        ),
+    )
+    candidates = (
+        q_b.join(c_b, on=["__table", "__bucket"])
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
     )
 
     scored = candidates.select(
