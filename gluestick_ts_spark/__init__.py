@@ -7,7 +7,7 @@ snake_case, plus the scale-extension operators (dedup, similarity
 search, text analysis, multimodal) the reference lacks.
 """
 
-from .catalog import Catalog, json_schema_to_struct_type
+from .catalog import Catalog, get_catalog_schema, json_schema_to_struct_type
 from .functions.datetime_utils import (
     deep_convert_datetimes,
     iso8601_expr,
@@ -45,6 +45,7 @@ __all__ = [
     "deep_convert_datetimes",
     "format_str_safely",
     "gen_singer_header",
+    "get_catalog_schema",
     "get_column_type",
     "get_index_safely",
     "get_spark",

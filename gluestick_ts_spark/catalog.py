@@ -166,3 +166,27 @@ class Catalog:
                 if keys:
                     return list(keys)
         return []
+
+
+def get_catalog_schema(
+    stream: str, root_dir: str = "."
+) -> dict[str, Any] | None:
+    """Stream's catalog ``schema.properties`` with every ``array`` type
+    guaranteed an ``items`` schema (``singer.ts:221-254``). Returns
+    None when the catalog or stream is absent (the reference throws;
+    we keep the Reader's log-and-None error contract)."""
+    catalog = Catalog.load(root_dir)
+    if catalog is None:
+        return None
+    props = catalog.properties(stream)
+    if props is None:
+        return None
+    fixed: dict[str, Any] = {}
+    for name, prop in props.items():
+        prop = dict(prop) if isinstance(prop, dict) else {}
+        types = prop.get("type")
+        type_list = types if isinstance(types, list) else [types]
+        if "array" in type_list and "items" not in prop:
+            prop["items"] = {"type": ["string", "null"]}
+        fixed[name] = prop
+    return fixed

@@ -376,6 +376,171 @@ def q_asof_join_orders(spark, sf):
     return out.select("event_id", "user_id", "price")
 
 
+def q_q6_revenue_delta(spark, sf):
+    """TPC-H Q6 shape: tight filter + single agg — the predicate-
+    pushdown showcase (filters reach the parquet scan)."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_cube_status_priority(spark, sf):
+    """CUBE aggregation (all grouping combinations)."""
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+def q_grouping_sets_customer(spark, sf):
+    """GROUPING SETS: per-nation and per-segment customer stats in one
+    pass."""
+    c = _t(spark, sf, "customer")
+    return c.groupingSets(
+        [["c_nationkey"], ["c_mktsegment"]], "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("bal"),
+    )
+
+
+def q_range_join_followup_orders(spark, sf):
+    """Range join: per order, count the same customer's follow-up
+    orders strictly within the next 30 days — equi-key (customer) +
+    time-range predicate."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    a = o.alias("a")
+    b = o.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+        & (F.col("b.o_orderdate") <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return j.groupBy(F.col("a.o_orderkey").alias("o_orderkey")).agg(
+        F.count(F.col("b.o_orderkey")).alias("n_followups")
+    )
+
+
+def q_order_limit_global(spark, sf):
+    """Global top-100 by totalprice (TakeOrderedAndProject — no full
+    sort materialization)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_full_outer_join_counts(spark, sf):
+    """Full outer join + match-class counts (one row)."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select("o_custkey").distinct()
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.agg(
+        F.count(F.when(c["c_custkey"].isNotNull() & o["o_custkey"].isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(o["o_custkey"].isNull(), 1)).alias("n_cust_only"),
+        F.count(F.when(c["c_custkey"].isNull(), 1)).alias("n_order_only"),
+    )
+
+
+def q_string_funcs(spark, sf):
+    """String scalar functions parity (upper/substring/replace/concat/
+    lpad/length)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+def q_scalar_math(spark, sf):
+    """Math scalar functions parity (abs/ceil/floor/round/sqrt/ln)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 150000.0).alias("dist"),
+        F.ceil("o_totalprice").cast("long").alias("ceil_p"),
+        F.floor("o_totalprice").cast("long").alias("floor_p"),
+        F.round("o_totalprice", 1).alias("round_p"),
+        F.sqrt("o_totalprice").alias("sqrt_p"),
+        # ln rounded: JVM StrictMath and DuckDB libm differ in the last ulp
+        F.round(F.log(F.col("o_totalprice")), 6).alias("ln_p"),
+    )
+
+
+def q_date_parts(spark, sf):
+    """Datetime scalar functions parity (year/month/day/quarter +
+    month truncation)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month_start"),
+    )
+
+
+def q_parse_objs_keep_original(spark, sf):
+    """JSON parse with keep-original-on-failure (§2.1 row 25 hard
+    part): malformed cells keep the raw string instead of nulling."""
+    ev = _t(spark, sf, "events")
+    raw = F.when(F.col("event_id") % 10 == 0, F.lit("not json")).otherwise(F.col("props"))
+    # from_json PERMISSIVE yields a non-null struct with null fields for
+    # malformed input, so validity comes from try_parse_json instead.
+    valid = F.try_parse_json(raw).isNotNull()
+    out = F.when(valid, F.get_json_object(raw, "$.k")).otherwise(raw)
+    return ev.select("event_id", out.alias("k_or_raw"))
+
+
+def q_conditional_agg_pivot(spark, sf):
+    """Pivot-style conditional aggregation: order counts per priority
+    split by status."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("cnt_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("cnt_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("cnt_partial"),
+        F.count("*").alias("cnt_all"),
+    )
+
+
+def q_distinct_users_per_type(spark, sf):
+    """Exact distinct-count aggregation."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_approx_distinct_users(spark, sf):
+    """HyperLogLog++ approximate distinct (rows-only: HLL estimates
+    are engine-specific)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension: text analysis / dedup / similarity (SURVEY §2.2 Extensions)
 # ---------------------------------------------------------------------------
@@ -523,12 +688,25 @@ QUERIES: dict[str, QueryFn] = {
     "intersect_customers": q_intersect_customers,
     "sessionize_events": q_sessionize_events,
     "asof_join_orders": q_asof_join_orders,
+    "q6_revenue_delta": q_q6_revenue_delta,
+    "cube_status_priority": q_cube_status_priority,
+    "grouping_sets_customer": q_grouping_sets_customer,
+    "range_join_followup_orders": q_range_join_followup_orders,
+    "order_limit_global": q_order_limit_global,
+    "full_outer_join_counts": q_full_outer_join_counts,
+    "string_funcs": q_string_funcs,
+    "scalar_math": q_scalar_math,
+    "date_parts": q_date_parts,
+    "parse_objs_keep_original": q_parse_objs_keep_original,
+    "conditional_agg_pivot": q_conditional_agg_pivot,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
     "dedup_exact_docs": q_dedup_exact_docs,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     # rows-only (no oracle entry):
+    "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -684,6 +862,81 @@ ORACLES: dict[str, str] = {
         "SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS price FROM orders "
         "GROUP BY o_custkey, o_orderdate) o "
         "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+    ),
+    "q6_revenue_delta": (
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS cnt "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+    ),
+    "cube_status_priority": (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "grouping_sets_customer": (
+        "SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
+        "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))"
+    ),
+    "range_join_followup_orders": (
+        "SELECT a.o_orderkey AS o_orderkey, COUNT(b.o_orderkey) AS n_followups "
+        "FROM orders a LEFT JOIN orders b ON a.o_custkey = b.o_custkey "
+        "AND b.o_orderdate > a.o_orderdate "
+        "AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY "
+        "GROUP BY a.o_orderkey"
+    ),
+    "order_limit_global": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+    ),
+    "full_outer_join_counts": (
+        "SELECT COUNT(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL "
+        "THEN 1 END) AS n_matched, "
+        "COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_cust_only, "
+        "COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_order_only "
+        "FROM customer c FULL OUTER JOIN "
+        "(SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey"
+    ),
+    "string_funcs": (
+        "SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix, "
+        "replace(c_name, '#', '-') AS dashed, "
+        "concat_ws('|', c_mktsegment, c_name) AS joined, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
+        "CAST(length(c_name) AS BIGINT) AS name_len FROM customer"
+    ),
+    "scalar_math": (
+        "SELECT o_orderkey, abs(o_totalprice - 150000.0) AS dist, "
+        "CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p, "
+        "CAST(floor(o_totalprice) AS BIGINT) AS floor_p, "
+        "round(o_totalprice, 1) AS round_p, sqrt(o_totalprice) AS sqrt_p, "
+        "round(ln(o_totalprice), 6) AS ln_p FROM orders"
+    ),
+    "date_parts": (
+        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, "
+        "CAST(month(o_orderdate) AS BIGINT) AS m, "
+        "CAST(day(o_orderdate) AS BIGINT) AS d, "
+        "CAST(quarter(o_orderdate) AS BIGINT) AS q, "
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_start "
+        "FROM orders"
+    ),
+    "parse_objs_keep_original": (
+        "SELECT event_id, CASE WHEN NOT json_valid(raw) THEN raw "
+        "ELSE json_extract_string(raw, '$.k') END AS k_or_raw FROM ("
+        "SELECT event_id, CASE WHEN event_id % 10 = 0 THEN 'not json' "
+        "ELSE props END AS raw FROM events) t"
+    ),
+    "conditional_agg_pivot": (
+        "SELECT o_orderpriority, "
+        "COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_open, "
+        "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_filled, "
+        "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_partial, "
+        "COUNT(*) AS cnt_all FROM orders GROUP BY o_orderpriority"
+    ),
+    "distinct_users_per_type": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+        "COUNT(*) AS n_events FROM events GROUP BY event_type"
     ),
     "text_stats": (
         "SELECT doc_id, "
