@@ -1,0 +1,149 @@
+"""Property-based tests (SURVEY §5.4): schema-inference round-trips,
+templating invariants, and snapshot-upsert algebra (idempotence,
+PK uniqueness, last-write-wins)."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from gluestick_ts_spark.catalog import json_schema_to_struct_type
+from gluestick_ts_spark.functions.templating import format_str_safely
+from gluestick_ts_spark.operators.snapshot import snapshot_records
+from gluestick_ts_spark.sinks.singer import spark_type_to_singer_schema, to_singer_schema
+
+# -- StructType <-> Singer JSON Schema round trip ---------------------------
+
+_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: not s[0].isdigit())
+
+# Canonical types only: the Singer mapping collapses Int*->integer->Long
+# and Float->number->Double, so the fixed-point space is this set.
+_scalars = st.sampled_from(
+    [T.LongType(), T.DoubleType(), T.BooleanType(), T.StringType(), T.TimestampType()]
+)
+
+
+def _types(depth: int = 2):
+    if depth == 0:
+        return _scalars
+    inner = _types(depth - 1)
+    return st.one_of(
+        _scalars,
+        inner.map(lambda t: T.ArrayType(t, True)),
+        st.dictionaries(_names, inner, min_size=1, max_size=3).map(
+            lambda d: T.StructType(
+                [T.StructField(k, v, True) for k, v in d.items()]
+            )
+        ),
+    )
+
+
+_struct_types = st.dictionaries(_names, _types(), min_size=1, max_size=5).map(
+    lambda d: T.StructType([T.StructField(k, v, True) for k, v in d.items()])
+)
+
+
+@given(_struct_types)
+def test_schema_round_trip(struct: T.StructType) -> None:
+    """StructType -> Singer JSON Schema -> StructType is the identity
+    on the canonical type space."""
+    singer = spark_type_to_singer_schema(struct)
+    back = json_schema_to_struct_type(singer)
+    assert back == struct
+
+
+_json_values = st.recursive(
+    st.one_of(st.booleans(), st.integers(), st.floats(allow_nan=False), st.text(max_size=8)),
+    lambda children: st.one_of(
+        st.lists(children, min_size=1, max_size=3),
+        st.dictionaries(_names, children, min_size=1, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@given(_json_values)
+def test_to_singer_schema_total(value) -> None:
+    """to_singer_schema terminates on arbitrary JSON values and always
+    yields a ["<type>", "null"] schema."""
+    schema = to_singer_schema(value)
+    assert isinstance(schema["type"], list) and schema["type"][-1] == "null"
+
+
+# -- formatStrSafely (etl-utils.ts:161-175) ---------------------------------
+
+_keys = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+
+
+@given(st.dictionaries(_keys, st.text(min_size=1, max_size=8), max_size=4), _keys)
+def test_format_str_safely_props(variables: dict, unknown: str) -> None:
+    """Known truthy keys substitute; unknown keys keep the literal
+    {placeholder} (never throws — unlike str.format)."""
+    template = "".join(f"x{{{k}}}" for k in variables) + f"y{{{unknown}}}"
+    out = format_str_safely(template, variables)
+    for k, v in variables.items():
+        assert v in out
+    if unknown not in variables:
+        assert f"{{{unknown}}}" in out
+
+
+@given(st.text(max_size=30))
+def test_format_str_safely_no_vars_identity(template: str) -> None:
+    assert format_str_safely(template, {}) == template
+
+
+# -- snapshot upsert algebra ------------------------------------------------
+
+_records = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=99)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_records, _records)
+def test_snapshot_upsert_algebra(spark, tmp_path_factory, old_rows, new_rows) -> None:
+    """After upsert: PKs unique; every batch PK carries the batch's
+    LAST value (last-write-wins); re-upserting the same batch is a
+    no-op (idempotence)."""
+    d = tmp_path_factory.mktemp("snap")
+    old = spark.createDataFrame(old_rows, "id long, v long")
+    new = spark.createDataFrame(new_rows, "id long, v long")
+
+    snapshot_records(old, "s", str(d), pk="id", overwrite=True)
+    merged = snapshot_records(new, "s", str(d), pk="id")
+    rows = {r.id: r.v for r in merged.collect()}
+
+    assert merged.count() == len(rows), "PKs must be unique after upsert"
+    last_by_id = {}
+    for i, v in new_rows:
+        last_by_id[i] = v
+    for i, v in last_by_id.items():
+        assert rows[i] == v, "batch must beat snapshot (last-write-wins)"
+    for i, v in old_rows:
+        if i not in last_by_id:
+            assert i in rows, "snapshot-only keys survive"
+
+    again = snapshot_records(new, "s", str(d), pk="id")
+    rows2 = {r.id: r.v for r in again.collect()}
+    assert rows2 == rows, "idempotence: re-applying the batch changes nothing"
+
+
+def test_snapshot_csv_mode_round_trip(spark, tmp_path) -> None:
+    """use_csv snapshots persist and merge like parquet ones."""
+    d = str(tmp_path)
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    snapshot_records(a, "s", d, pk="id", use_csv=True, overwrite=True)
+    merged = snapshot_records(b, "s", d, pk="id", use_csv=True)
+    got = {r.id: r.v for r in merged.collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    assert os.path.exists(os.path.join(d, "s.snapshot.csv"))
