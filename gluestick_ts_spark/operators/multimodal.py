@@ -33,6 +33,8 @@ __all__ = [
     "MEDIA_FEATURE_TYPE",
     "attach_media_metadata",
     "extract_media_features",
+    "resize_media",
+    "sample_frames",
     "media_repartition",
     "fake_decode_features",
 ]
@@ -129,5 +131,96 @@ def extract_media_features(
             pdf = pdf.copy()
             pdf[feature_col] = pdf[bcol].map(fn)
             yield pdf
+
+    return df.mapInPandas(_mapper, schema=out_schema)
+
+
+def _fake_resize(payload: bytes | None, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: nearest-neighbor byte sampling to
+    ``width*height`` bytes. NOT a real image op — swap in PIL's
+    ``Image.resize`` in production."""
+    if not payload:
+        return b""
+    n_out = max(1, width * height)
+    n_in = len(payload)
+    step = max(1, n_in // n_out)
+    return payload[::step][:n_out]
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "content",
+    meta_col: str = "media_meta",
+    width: int = 64,
+    height: int = 64,
+    resize_fn: Callable[[bytes | None, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize media payloads via ``mapInPandas``; the metadata struct's
+    width/height are updated to the target dimensions. Same schema in
+    and out, so resizes compose with feature extraction."""
+    fn = resize_fn or _fake_resize
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[binary_col] = pdf[binary_col].map(lambda b: fn(b, width, height))
+            if meta_col in pdf.columns:
+                def _upd(meta):
+                    if not isinstance(meta, dict):
+                        return meta
+                    meta = dict(meta)
+                    meta["width"] = width
+                    meta["height"] = height
+                    meta["size_bytes"] = width * height
+                    return meta
+                pdf[meta_col] = pdf[meta_col].map(_upd)
+            yield pdf
+
+    return df.mapInPandas(_mapper, schema=df.schema)
+
+
+def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
+    """Deterministic frame-sample stand-in: split the payload into
+    ``n_frames`` contiguous chunks (a real implementation seeks ffmpeg
+    keyframes)."""
+    if not payload:
+        return []
+    n = len(payload)
+    size = max(1, n // n_frames)
+    return [payload[i * size : (i + 1) * size] for i in range(min(n_frames, n))]
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    n_frames: int = 4,
+    frame_fn: Callable[[bytes | None, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Sample ``n_frames`` frames per video payload: one OUTPUT ROW per
+    frame with ``frame_idx int`` + ``frame binary`` appended (the
+    video's own payload column is dropped — frames replace it). Row
+    explosion happens inside the Arrow batch, so a task's memory is
+    bounded by batch size × frames, never the whole video table."""
+    fn = frame_fn or _fake_frames
+    keep = [f for f in df.schema.fields if f.name != binary_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for i, frame in enumerate(fn(row[binary_col], n_frames)):
+                    out = {k: row[k] for k in keep_names}
+                    out["frame_idx"] = i
+                    out["frame"] = frame
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame"])
 
     return df.mapInPandas(_mapper, schema=out_schema)

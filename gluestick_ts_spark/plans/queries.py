@@ -47,6 +47,8 @@ from ..operators.dedup import dedup_exact, dedup_minhash, simhash_pairs
 from ..operators.multimodal import (
     attach_media_metadata,
     extract_media_features,
+    resize_media,
+    sample_frames,
 )
 from ..operators.similarity import ann_ivf_topk, ann_lsh_topk
 from ..operators.snapshot import keep_last_dedup
@@ -661,6 +663,20 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_multimodal_frame_pipeline(spark, sf):
+    """Multimodal resize + frame-sample plumbing: binary payloads are
+    resized (stub codec), then sampled into per-frame rows — all inside
+    Arrow batches via mapInPandas."""
+    d = _t(spark, sf, "documents").limit(100)
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    media = attach_media_metadata(media, media_type="video", fmt="raw")
+    resized = resize_media(media, width=16, height=4)
+    frames = sample_frames(resized, n_frames=3)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -712,6 +728,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_pipeline": q_multimodal_frame_pipeline,
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"

@@ -109,3 +109,37 @@ def test_stream_dedup_and_windowed_counts(spark, tmp_path):
     assert spark.sql("SELECT * FROM wc").columns == [
         "window_start", "window_end", "k", "cnt",
     ]
+
+
+def test_resize_media(spark):
+    from gluestick_ts_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)) * 4)), (2, None)],
+        "doc_id long, content binary",
+    )
+    out = resize_media(
+        attach_media_metadata(df, media_type="image", fmt="raw"), width=8, height=8
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id[1]["content"]) == 64
+    assert by_id[1]["media_meta"]["width"] == 8
+    assert by_id[1]["media_meta"]["height"] == 8
+    assert by_id[1]["media_meta"]["size_bytes"] == 64
+    assert by_id[2]["content"] == bytearray(b"")
+
+
+def test_sample_frames(spark):
+    from gluestick_ts_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, bytearray(b"")), (3, None)],
+        "doc_id long, content binary",
+    )
+    rows = sample_frames(df, n_frames=4).collect()
+    frames = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in rows)
+    # doc 1: 8 bytes -> 4 frames of 2; docs 2/3: empty payload -> no rows
+    assert frames == [
+        (1, 0, b"ab"), (1, 1, b"cd"), (1, 2, b"ef"), (1, 3, b"gh"),
+    ]
+    assert {r["doc_id"] for r in rows} == {1}
