@@ -28,7 +28,12 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..operators.snapshot import snapshot_records
 
-__all__ = ["stream_snapshot_records", "stream_dedup", "stream_windowed_counts"]
+__all__ = [
+    "stream_snapshot_records",
+    "stream_dedup",
+    "stream_windowed_counts",
+    "stream_sessionize",
+]
 
 
 def stream_snapshot_records(
@@ -93,5 +98,107 @@ def stream_windowed_counts(
             F.col("window.end").alias("window_end"),
             *[F.col(c) for c in (group_cols or [])],
             "cnt",
+        )
+    )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator: session aggregation with an
+    inactivity gap, built on ``applyInPandasWithState``.
+
+    Emits one row per CLOSED session ``(user, session_start,
+    session_end, n_events)``. A session closes when a later event for
+    the same user arrives more than ``gap_seconds`` after the session's
+    last event, or when the event-time watermark passes the session's
+    timeout (state times out -> trailing session flushes). State per
+    user is three longs — bounded regardless of stream volume; the
+    shuffle key is the user, so session state never crosses executors.
+
+    This is the streaming-native analogue of the batch
+    ``sessionize_events`` query (lag + running-sum session ids).
+    """
+    import pandas as pd  # local import: only the executor needs it
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("session_start", T.TimestampType(), True),
+            T.StructField("session_end", T.TimestampType(), True),
+            T.StructField("n_events", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType(), True),
+            T.StructField("end_us", T.LongType(), True),
+            T.StructField("cnt", T.LongType(), True),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [c for _, _, c in sessions],
+            }
+        )
+
+    def _fn(key, pdf_iter, state):
+        user = key[0]
+        if state.hasTimedOut:
+            s, e, c = state.get
+            state.remove()
+            yield _emit(user, [(s, e, c)])
+            return
+        if state.exists:
+            s, e, c = state.get
+        else:
+            s = e = None
+            c = 0
+        times: list[int] = []
+        for pdf in pdf_iter:
+            col = pd.to_datetime(pdf[ts_col])
+            times.extend(int(v.value) // 1000 for v in col)  # ns -> us
+        times.sort()
+        closed = []
+        for t in times:
+            if s is None:
+                s = e = t
+                c = 1
+            elif t - e > gap_us:
+                closed.append((s, e, c))
+                s = e = t
+                c = 1
+            else:
+                e = t
+                c += 1
+        if s is not None:
+            state.update((s, e, c))
+            # event-time timeout: fires once the watermark passes
+            # session_end + gap (ms epoch).
+            state.setTimeoutTimestamp(e // 1000 + gap_seconds * 1000)
+        if closed:
+            yield _emit(user, closed)
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )

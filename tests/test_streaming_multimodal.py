@@ -143,3 +143,42 @@ def test_sample_frames(spark):
         (1, 0, b"ab"), (1, 1, b"cd"), (1, 2, b"ef"), (1, 3, b"gh"),
     ]
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_stream_sessionize(spark, tmp_path):
+    from datetime import datetime
+
+    from gluestick_ts_spark.streaming.incremental import stream_sessionize
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, ts timestamp"
+
+    def run_available(batch_rows):
+        _write_stream_batch(src, spark, batch_rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = stream_sessionize(stream, gap_seconds=600, watermark="0 seconds")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).collect()
+
+    t = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)
+    # user 1: two events 2min apart (one session), then a 30min gap
+    # closes it inside the batch when the third event arrives.
+    got = run_available([(1, t(0)), (1, t(2)), (1, t(40))])
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 2)]
+    assert got[0].session_start == t(0) and got[0].session_end == t(2)
+
+    # a much later second batch advances the watermark past the open
+    # session's timeout -> the trailing (t(40)) session flushes.
+    got2 = run_available([(2, datetime(2024, 1, 1, 12, 0))])
+    flushed = [(r.user_id, r.n_events) for r in got2]
+    assert (1, 1) in flushed, flushed
