@@ -25,21 +25,28 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_shipping",
     "q5_regional_revenue",
+    "q6_revenue_delta",
     "join_broadcast_brand",
+    "range_join_followup_orders",
     "window_topk_orders",
     "window_running_total",
     "rollup_status_priority",
+    "cube_status_priority",
     "sessionize_events",
     "dedup_keep_last",
     "snapshot_upsert",
     "json_extract_agg",
+    "parse_objs_keep_original",
     "asof_join_orders",
     "text_stats",
     "lang_scores",
     "dedup_exact_docs",
     "minhash_dedup_docs",
+    "simhash_pairs_docs",
     "embedding_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_frame_pipeline",
 ]
 
 

@@ -606,8 +606,12 @@ def q_embedding_cosine_topk(spark, sf):
 
 
 def q_embedding_neardup(spark, sf):
-    """Embedding near-dup pairs: cosine >= 0.8 over all id_a < id_b."""
-    e = _t(spark, sf, "embeddings")
+    """Embedding near-dup pairs: cosine >= 0.8 over id_a < id_b within
+    a bounded corpus slice (exact quadratic scoring is the oracle-
+    checkable baseline; the corpus-scale path is the LSH-bucketed
+    variant in operators/dedup.py — see embedding_neardup_pairs
+    use_lsh=True)."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 2000)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
@@ -999,7 +1003,8 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
-        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+        "FROM embeddings a CROSS JOIN embeddings b "
+        "WHERE a.vec_id < 2000 AND b.vec_id < 2000 AND a.vec_id < b.vec_id "
         "AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8"
     ),
 }
