@@ -178,6 +178,7 @@ def to_singer(
     keep_null_fields: bool = False,
     catalog_schema: dict[str, Any] | None = None,
     single_file: bool = True,
+    drop_all_null_cols: bool = False,
 ) -> None:
     """Write the Singer message stream for ``df``.
 
@@ -185,8 +186,21 @@ def to_singer(
     (one appendable ``data.singer``); ``single_file=False`` writes the
     RECORD lines as a distributed text dataset (dir of parts) with
     SCHEMA/STATE in sidecar files — the 100 TB mode.
+
+    ``drop_all_null_cols`` enables the column pruning the reference
+    computes but never applies (the select is commented out at
+    ``singer.ts:320``) — default False to match reference behavior.
     """
     keys = keys or []
+    if drop_all_null_cols and len(df.columns) > 0:
+        # One agg job: keep columns with >= 1 non-null value
+        # (singer.ts:313-322, intended behavior).
+        counts = df.agg(
+            *[F.count(F.col(c)).alias(c) for c in df.columns]
+        ).first()
+        keep = [c for c in df.columns if (counts[c] or 0) > 0]
+        if keep:
+            df = df.select(*keep)
     modified, header = gen_singer_header(
         df, allow_objects=allow_objects, schema=schema, catalog_schema=catalog_schema
     )

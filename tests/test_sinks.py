@@ -158,3 +158,23 @@ def test_to_export_singer_default(df, tmp_path):
 def test_unknown_format_raises(df, tmp_path):
     with pytest.raises(ValueError):
         to_export(df, "users", str(tmp_path), export_format="xml")
+
+
+def test_to_singer_drop_all_null_cols(spark, tmp_path):
+    import json
+
+    from gluestick_ts_spark.sinks.singer import to_singer
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, None)],
+        "id long, dead string, partial string",
+    )
+    out = str(tmp_path)
+    to_singer(df, "s", out, keys=["id"], drop_all_null_cols=True)
+    lines = [json.loads(l) for l in open(f"{out}/data.singer")]
+    schema_props = lines[0]["schema"]["properties"]
+    assert "dead" not in schema_props and "id" in schema_props and "partial" in schema_props
+    # default (reference parity): all-null column kept in the schema
+    to_singer(df, "s", out, keys=["id"], filename="keep.singer")
+    lines2 = [json.loads(l) for l in open(f"{out}/keep.singer")]
+    assert "dead" in lines2[0]["schema"]["properties"]
