@@ -23,6 +23,7 @@ def spark():
             "spark.sql.shuffle.partitions": "4",
             "spark.ui.enabled": "false",
             "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": "/tmp/gs_test_warehouse",
         },
     )
     yield spark
