@@ -42,7 +42,9 @@ __all__ = ["Reader"]
 
 logger = logging.getLogger(__name__)
 
-_SUPPORTED_EXTS = (".csv", ".parquet")
+# .csv/.parquet mirror the reference (reader.ts:214-219); .jsonl/.json
+# are engine extensions (Spark's native JSON source).
+_SUPPORTED_EXTS = (".csv", ".parquet", ".jsonl", ".json")
 
 
 def _stream_name(filename: str) -> str:
@@ -120,8 +122,11 @@ class Reader:
             logger.error("Stream %s not found in %s", stream, self.input_dir)
             return None
         try:
-            if path.lower().endswith(".parquet"):
+            lower = path.lower()
+            if lower.endswith(".parquet"):
                 df = self._get_parquet(stream, path, catalog_types)
+            elif lower.endswith((".jsonl", ".json")):
+                df = self._get_json(stream, path, catalog_types)
             else:
                 df = self._get_csv(stream, path, catalog_types, reader_options)
             if parse_dates:
@@ -140,6 +145,9 @@ class Reader:
         df = read_parquet_compat(self.spark, path)
         if not catalog_types:
             return df
+        return self._apply_catalog_casts(df, stream)
+
+    def _apply_catalog_casts(self, df: DataFrame, stream: str) -> DataFrame:
         catalog = self.read_catalog()
         target = catalog.struct_type(stream) if catalog else None
         if target is None:
@@ -164,6 +172,20 @@ class Reader:
                     )
                 exprs.append(F.col(f.name))
         return df.select(*exprs)
+
+    def _get_json(self, stream: str, path: str, catalog_types: bool) -> DataFrame:
+        """JSONL (one object per line) or JSON-array (.json, multiLine)
+        ingest — engine extension. Catalog types apply as post-read
+        try_casts (NOT schema-on-read: Spark's JSON reader nulls quoted
+        numbers under a numeric read schema instead of coercing, which
+        breaks the catalog-cast contract of keeping coercible values)."""
+        reader = self.spark.read
+        if path.lower().endswith(".json"):
+            reader = reader.option("multiLine", "true")
+        df = reader.json(path)
+        if catalog_types:
+            return self._apply_catalog_casts(df, stream)
+        return df
 
     @staticmethod
     def _castable(src: T.DataType, dst: T.DataType) -> bool:

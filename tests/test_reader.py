@@ -122,3 +122,18 @@ def test_pk_from_parquet_metadata(spark, tmp_path):
 def test_pk_falls_back_to_catalog(spark, sync_dir):
     r = Reader(spark, str(sync_dir / "sync-output"), str(sync_dir))
     assert r.get_pk("users") == ["id"]
+
+
+def test_reader_jsonl_source(spark, tmp_path):
+    sync = tmp_path / "sync-output"
+    sync.mkdir()
+    (sync / "logs-20240101.jsonl").write_text(
+        '{"id": 1, "msg": "a"}\n{"id": 2, "msg": "b"}\n'
+    )
+    (sync / "cfg.json").write_text('[{"id": 10, "on": true}, {"id": 11, "on": false}]')
+    r = Reader(spark, str(sync), str(tmp_path))
+    assert set(r.streams) == {"logs", "cfg"}
+    logs = r.get("logs")
+    assert {(x.id, x.msg) for x in logs.collect()} == {(1, "a"), (2, "b")}
+    cfg = r.get("cfg")
+    assert {(x.id, x.on) for x in cfg.collect()} == {(10, True), (11, False)}
