@@ -667,6 +667,24 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_array_funcs(spark, sf):
+    """Array / higher-order function coverage over the embedding
+    column: size, element access, slice-fold sum, transform+max,
+    filter+count — all JVM-side lambdas."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_el"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6).alias("max_abs"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
 def q_multimodal_frame_pipeline(spark, sf):
     """Multimodal resize + frame-sample plumbing: binary payloads are
     resized (stub codec), then sampled into per-frame rows — all inside
@@ -720,6 +738,7 @@ QUERIES: dict[str, QueryFn] = {
     "parse_objs_keep_original": q_parse_objs_keep_original,
     "conditional_agg_pivot": q_conditional_agg_pivot,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "array_funcs": q_array_funcs,
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -958,6 +977,14 @@ ORACLES: dict[str, str] = {
     "distinct_users_per_type": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
         "COUNT(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "array_funcs": (
+        "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+        "ROUND((embedding::DOUBLE[])[1], 6) AS first_el, "
+        "ROUND(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 6) AS head_sum, "
+        "ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS max_abs, "
+        "CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_pos "
+        "FROM embeddings WHERE vec_id < 1000"
     ),
     "text_stats": (
         "SELECT doc_id, "
