@@ -20,6 +20,26 @@ from .functions.templating import (
     format_str_safely,
     get_index_safely,
 )
+from .operators.asof import asof_join
+from .operators.bucketing import bucketed_join, plan_has_shuffle, write_bucketed
+from .operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_expr,
+    simhash_pairs,
+)
+from .operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    resize_media,
+    sample_frames,
+)
+from .operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
 from .session import get_spark
 from .sinks.export import (
@@ -41,6 +61,27 @@ from .sources.reader import Reader
 __all__ = [
     "Catalog",
     "Reader",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "asof_join",
+    "attach_media_metadata",
+    "bucketed_join",
+    "cosine_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "embedding_neardup_pairs",
+    "extract_media_features",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "plan_has_shuffle",
+    "resize_media",
+    "salted_join",
+    "sample_frames",
+    "simhash_expr",
+    "simhash_pairs",
+    "two_phase_count_distinct",
+    "write_bucketed",
     "build_string_format_variables",
     "deep_convert_datetimes",
     "format_str_safely",
