@@ -154,8 +154,24 @@ def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr",
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined) of the tokenized
     text. Documents shorter than ``n`` tokens yield the full token
-    string as a single shingle."""
+    string as a single shingle.
+
+    Built as ``zip_with`` over shifted slices, NOT ``transform(seq, i ->
+    slice(toks, i, n))``: expressions inside a higher-order-function
+    lambda re-evaluate per element, so the transform form re-tokenizes
+    (regex split) the document once per shingle — O(tokens²) regex work.
+    Here every array (tokens and its shifts) is a plain argument,
+    evaluated once per row."""
     toks = tokens_expr(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    grams = toks
+    for k in range(2, n + 1):
+        # zip_with pads the shorter (shifted) side with nulls; concat_ws
+        # skips nulls, leaving partial grams only in the tail, which the
+        # final slice cuts off.
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k, F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(grams)
