@@ -37,6 +37,7 @@ from ..functions.text import (
     lang_score_expr,
     punct_ratio_expr,
     quality_score_expr,
+    shingles_expr,
     stopword_ratio_expr,
     token_count_expr,
     word_count_expr,
@@ -578,6 +579,23 @@ def q_dedup_exact_docs(spark, sf):
     return out.select("doc_id", fingerprint_expr("text").alias("fp"))
 
 
+def q_ngram_jaccard_adjacent(spark, sf):
+    """Exact n-gram Jaccard similarity (the fuzzy-dedup verification
+    primitive) over adjacent doc-id pairs — oracle-checkable since the
+    shingle definition is plain SQL."""
+    d = _t(spark, sf, "documents")
+    a = d.select(
+        F.col("doc_id").alias("id_a"), shingles_expr(F.col("text"), 3).alias("sa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), shingles_expr(F.col("text"), 3).alias("sb")
+    )
+    j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+
+
 def q_embedding_cosine_topk(spark, sf):
     """Brute-force exact cosine top-k (query ids < 8, k=5). Scores
     rounded to 6dp BEFORE ranking so rank boundaries are
@@ -742,6 +760,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
     "dedup_exact_docs": q_dedup_exact_docs,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     # rows-only (no oracle entry):
@@ -1016,6 +1035,17 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "ngram_jaccard_adjacent": (
+        "WITH s AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, greatest(len(T) - 2, 1) + 1), "
+        "i -> concat_ws(' ', T[i], T[i+1], T[i+2]))) AS sh FROM ("
+        "SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS T "
+        "FROM documents) t) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard "
+        "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"
     ),
     "embedding_cosine_topk": (
         "SELECT query_id, neighbor_id, cosine, rank FROM ("
