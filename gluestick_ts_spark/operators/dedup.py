@@ -157,6 +157,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # Persist: the a/b self-join branches would otherwise re-evaluate
+    # every signature (and its shingling) twice.
+    banded = banded.persist()
     a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -187,7 +190,7 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("id"),
         shingles_expr(F.col(text_col), shingle_n).alias("__sh"),
-    )
+    ).persist()  # referenced by both pair sides (and sizes)
     sizes = shingled.select("id", F.size("__sh").alias("__n"))
 
     if pairs is not None:
@@ -336,18 +339,21 @@ def simhash_pairs(
             )
         ).alias("block", "block_val"),
     )
+    # The self-join would otherwise recompute every SimHash twice (one
+    # per branch); the persisted relation is (id, sim, block, val) —
+    # tiny relative to the text it summarizes, so this holds at scale.
+    blocks = blocks.persist()
     a = blocks.select(F.col("id").alias("id_a"), F.col("__sim").alias("__sim_a"), "block", "block_val")
     b = blocks.select(F.col("id").alias("id_b"), F.col("__sim").alias("__sim_b"), "block", "block_val")
-    cand = (
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    # Hamming filter BEFORE the dedup shuffle: the distinct then moves
+    # only matching pairs, not every multi-block candidate collision.
+    return (
         a.join(b, on=["block", "block_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sim_a", "__sim_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
-    return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
