@@ -221,6 +221,10 @@ def ann_ivf_topk(
             F.col(id_col).alias("__cid"),
             F.col(vec_col).alias("__cent"),
         )
+        # n_centroids rows, consumed by BOTH the corpus-assignment and
+        # the query-probe branches — persist to avoid two top-k scans
+        # of the full corpus.
+        .persist()
     )
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
