@@ -23,6 +23,8 @@ from .functions.templating import (
 from .operators.asof import asof_join
 from .operators.bucketing import bucketed_join, plan_has_shuffle, write_bucketed
 from .operators.dedup import (
+    connected_min_labels,
+    dedup_clusters,
     dedup_exact,
     dedup_minhash,
     embedding_neardup_pairs,
@@ -66,7 +68,9 @@ __all__ = [
     "asof_join",
     "attach_media_metadata",
     "bucketed_join",
+    "connected_min_labels",
     "cosine_topk",
+    "dedup_clusters",
     "dedup_exact",
     "dedup_minhash",
     "embedding_neardup_pairs",

@@ -41,6 +41,8 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "connected_min_labels",
+    "dedup_clusters",
 ]
 
 # Mersenne prime 2^31-1 for the universal-hash family (a*x+b) mod p:
@@ -406,3 +408,72 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_min_labels(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: returns
+    ``id, label`` where ``label`` is the component's minimum id.
+
+    Iterative min-label propagation (the classic Spark pattern for
+    iterative graph algorithms): each round every node adopts the
+    smallest label among itself and its neighbors; convergence is
+    checked with a changed-count aggregate and lineage is cut with
+    ``localCheckpoint`` so plan depth stays constant across rounds.
+    Rounds needed = graph diameter (near-dup clusters are shallow;
+    ``max_iter`` bounds pathological chains).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, min'd per node
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).cast("int").alias("__chg"),
+            )
+        )
+        updated = updated.localCheckpoint()  # cut lineage each round
+        changed = updated.agg(F.sum("__chg")).first()[0] or 0
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Drop every row whose id belongs to a duplicate cluster but is
+    not the cluster's minimum id — exact transitive closure of the
+    pair graph (unlike the single-hop drop in ``dedup_minhash``)."""
+    labels = connected_min_labels(pairs, max_iter=max_iter)
+    losers = labels.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

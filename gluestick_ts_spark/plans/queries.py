@@ -44,7 +44,15 @@ from ..functions.text import (
 )
 from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
-from ..operators.dedup import dedup_exact, dedup_minhash, simhash_pairs
+from ..operators.dedup import (
+    dedup_clusters,
+    dedup_exact,
+    dedup_minhash,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from ..operators.multimodal import (
     attach_media_metadata,
     extract_media_features,
@@ -650,6 +658,18 @@ def q_minhash_dedup_docs(spark, sf):
     return dedup_minhash(d, threshold=0.7).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_dedup_clusters_docs(spark, sf):
+    """Transitive fuzzy dedup: MinHash/LSH pairs -> connected
+    components (iterative min-label propagation) -> one survivor per
+    duplicate cluster. Iterative algorithm — rows-only check."""
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures(d)
+    cand = minhash_lsh_pairs(sigs, 16, sig_len=64)
+    dup = ngram_jaccard_pairs(d, cand, threshold=0.7)
+    out = dedup_clusters(d, dup.select("id_a", "id_b"))
+    return out.select("doc_id", "lang", "source")
+
+
 def q_simhash_pairs_docs(spark, sf):
     """SimHash near-dup candidate pairs (Hamming <= 8)."""
     d = _t(spark, sf, "documents")
@@ -766,6 +786,7 @@ QUERIES: dict[str, QueryFn] = {
     # rows-only (no oracle entry):
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
+    "dedup_clusters_docs": q_dedup_clusters_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

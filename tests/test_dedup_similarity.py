@@ -172,3 +172,20 @@ def test_asof_join_forward(spark):
     )
     out = asof_join(left, right, "uid", "uid", "ts", "ts", direction="forward").first()
     assert out["price"] == 2.0
+
+
+def test_connected_min_labels_transitive_chain(spark):
+    from gluestick_ts_spark.operators.dedup import connected_min_labels, dedup_clusters
+
+    # chain 1-5-3 (3 never appears as the larger id's partner of 1
+    # directly) + separate component 7-8
+    pairs = spark.createDataFrame([(1, 5), (3, 5), (7, 8)], "id_a long, id_b long")
+    labels = {r.id: r.label for r in connected_min_labels(pairs).collect()}
+    assert labels == {1: 1, 5: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 3, 5, 7, 8, 9)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
+    # one survivor per component (its min) + untouched 9
+    assert kept == [1, 7, 9]
