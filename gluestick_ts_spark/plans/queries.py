@@ -387,6 +387,67 @@ def q_asof_join_orders(spark, sf):
     return out.select("event_id", "user_id", "price")
 
 
+def q_q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between customer-nation and
+    supplier-nation pairs (two broadcast nation joins + year slice)."""
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").where(F.year("l_shipdate") == 1997)
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["c_nk"])
+        .join(F.broadcast(n2), s["s_nationkey"] == n2["s_nk"])
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy("cust_nation", "supp_nation").agg(
+        _rev_expr().alias("revenue"), F.count("*").alias("cnt")
+    )
+
+
+def q_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        _rev_expr().alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo-type revenue share (conditional agg over
+    a broadcast part join); one row, exact DECIMAL sums."""
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(18,2)")
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            * 100.0
+            / F.sum(disc).cast("double")
+        ).alias("promo_pct"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def q_q6_revenue_delta(spark, sf):
     """TPC-H Q6 shape: tight filter + single agg — the predicate-
     pushdown showcase (filters reach the parquet scan)."""
@@ -765,6 +826,9 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": q_sessionize_events,
     "asof_join_orders": q_asof_join_orders,
     "q6_revenue_delta": q_q6_revenue_delta,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_revenue": q_q14_promo_revenue,
     "cube_status_priority": q_cube_status_priority,
     "grouping_sets_customer": q_grouping_sets_customer,
     "range_join_followup_orders": q_range_join_followup_orders,
@@ -949,6 +1013,35 @@ ORACLES: dict[str, str] = {
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' "
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+    ),
+    "q7_nation_volume": (
+        "SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, "
+        + _REV + " AS revenue, COUNT(*) AS cnt "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE year(l_shipdate) = 1997 AND n1.n_name <> n2.n_name "
+        "GROUP BY n1.n_name, n2.n_name"
+    ),
+    "q10_returned_items": (
+        "SELECT c_custkey, c_name, c_mktsegment, " + _REV + " AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_mktsegment "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    ),
+    "q14_promo_revenue": (
+        "SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN "
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 / "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) "
+        "AS promo_pct, COUNT(*) AS cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
     ),
     "cube_status_priority": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
