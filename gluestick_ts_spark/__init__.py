@@ -15,6 +15,7 @@ from .functions.datetime_utils import (
     parse_dates_expr,
 )
 from .functions.json_utils import parse_df_cols, parse_objs, struct_to_json
+from .functions.sampling import hash_sample, hash_split, md5_bucket_expr
 from .functions.templating import (
     build_string_format_variables,
     format_str_safely,
@@ -94,6 +95,9 @@ __all__ = [
     "get_column_type",
     "get_index_safely",
     "get_spark",
+    "hash_sample",
+    "hash_split",
+    "md5_bucket_expr",
     "iso8601_expr",
     "json_schema_to_struct_type",
     "keep_last_dedup",

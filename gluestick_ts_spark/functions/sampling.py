@@ -1,0 +1,74 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must
+land in the same split on every run, every engine, every partition
+layout. Spark's ``df.sample`` is seed-stable only for a fixed
+partitioning, and its ``xxhash64`` doesn't exist in other engines — so
+these helpers derive buckets from ``md5(key)``, which is identical
+everywhere (verified against the DuckDB oracle).
+
+The bucket is built from the first two hex digits via ``instr`` over
+the hex alphabet — pure column arithmetic, no UDF, no RNG:
+
+    bucket = 16 * pos(hex[0]) + pos(hex[1])        # 0..255
+
+``hash_sample`` keeps a fraction; ``hash_split`` assigns disjoint
+named splits with exact bucket boundaries (fractions are quantized to
+1/256 — document the granularity, don't hide it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["md5_bucket_expr", "hash_sample", "hash_split"]
+
+_HEX = "0123456789abcdef"
+N_BUCKETS = 256
+
+
+def md5_bucket_expr(key: Column | str) -> Column:
+    """Deterministic bucket in [0, 256) from ``md5(cast(key as
+    string))`` — identical in any engine with md5."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(k.cast("string"))
+    hi = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    lo = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (hi * 16 + lo).cast("int")
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by key. Fraction
+    is quantized to k/256; the SAME keys are kept on every run and
+    engine (unlike ``df.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff = round(fraction * N_BUCKETS)
+    return df.where(md5_bucket_expr(key) < F.lit(cutoff))
+
+
+def hash_split(
+    df: DataFrame, key: str, splits: dict[str, float], split_col: str = "split"
+) -> DataFrame:
+    """Assign each row a named split (e.g. train/val/test) by key
+    bucket. Weights are normalized then quantized to 1/256 boundaries;
+    assignment is total (every bucket belongs to exactly one split,
+    the last split absorbs rounding)."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    names = list(splits)
+    bounds: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name] / total
+        bounds.append(round(acc * N_BUCKETS))
+    bucket = md5_bucket_expr(key)
+    # when-chain on ascending bounds: the first true condition wins.
+    chain = None
+    for name, bound in zip(names[:-1], bounds):
+        cond = bucket < F.lit(bound)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    assigned = chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(names[-1])
+    return df.withColumn(split_col, assigned)

@@ -42,6 +42,7 @@ from ..functions.text import (
     token_count_expr,
     word_count_expr,
 )
+from ..functions.sampling import hash_split, md5_bucket_expr
 from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -784,6 +785,17 @@ def q_array_funcs(spark, sf):
     )
 
 
+def q_hash_split_documents(spark, sf):
+    """Deterministic train/val/test split by md5 key bucket —
+    reproducible across engines, runs, and partitionings (functions/
+    sampling.py)."""
+    d = _t(spark, sf, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select(
+        "doc_id", md5_bucket_expr("doc_id").alias("bucket"), "split"
+    )
+
+
 def q_multimodal_frame_pipeline(spark, sf):
     """Multimodal resize + frame-sample plumbing: binary payloads are
     resized (stub codec), then sampled into per-frame rows — all inside
@@ -841,6 +853,7 @@ QUERIES: dict[str, QueryFn] = {
     "conditional_agg_pivot": q_conditional_agg_pivot,
     "distinct_users_per_type": q_distinct_users_per_type,
     "array_funcs": q_array_funcs,
+    "hash_split_documents": q_hash_split_documents,
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -1110,6 +1123,14 @@ ORACLES: dict[str, str] = {
     "distinct_users_per_type": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
         "COUNT(*) AS n_events FROM events GROUP BY event_type"
+    ),
+    "hash_split_documents": (
+        "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
+        "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM ("
+        "SELECT doc_id, CAST((strpos('0123456789abcdef', "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
+        "AS INTEGER) AS bucket FROM documents) t"
     ),
     "array_funcs": (
         "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
