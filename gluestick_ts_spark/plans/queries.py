@@ -739,9 +739,12 @@ def q_simhash_pairs_docs(spark, sf):
 
 
 def q_ann_lsh_topk(spark, sf):
-    """Approximate top-k via random-hyperplane LSH buckets."""
+    """Approximate top-k via random-hyperplane LSH buckets. 4 planes ×
+    12 tables: measured recall@5 vs exact cosine is 0.78-0.90 on the
+    64-dim test embeddings (6×4 scored only 0.33 — collision
+    probability per table falls geometrically with plane count)."""
     e = _t(spark, sf, "embeddings")
-    return ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, n_planes=6, n_tables=4)
+    return ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, n_planes=4, n_tables=12)
 
 
 def q_ann_ivf_topk(spark, sf):

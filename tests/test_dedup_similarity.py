@@ -189,3 +189,21 @@ def test_connected_min_labels_transitive_chain(spark):
     kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
     # one survivor per component (its min) + untouched 9
     assert kept == [1, 7, 9]
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """ANN quality gate: recall@5 vs exact cosine on the real test
+    embeddings must clear a floor (LSH 0.5 with 4x12, IVF 0.8)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.5
+    assert len(exact & ivf) / len(exact) >= 0.8
