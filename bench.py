@@ -60,8 +60,20 @@ def main() -> None:
     spark = get_spark(app_name="gluestick-ts-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + file listing with one tiny job.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM, file listing, and whole-stage-codegen paths with
+    # tiny jobs exercising scan/join/agg/window before timing starts.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("r_name").orderBy("c")))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
