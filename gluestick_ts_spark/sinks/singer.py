@@ -121,6 +121,7 @@ def gen_singer_header(
     allow_objects: bool = False,
     schema: dict[str, Any] | None = None,
     catalog_schema: dict[str, Any] | None = None,
+    infer_json_strings: bool = False,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build the Singer schema AND the export-rewritten DataFrame.
 
@@ -132,7 +133,13 @@ def gen_singer_header(
     inferred ones (``singer.ts:161-163``).
 
     Unlike the reference, inference never scans data: ``df.schema`` is
-    fully typed.
+    fully typed. The ONE sampled path is opt-in: with
+    ``infer_json_strings`` and ``allow_objects``, string columns whose
+    first non-null value parses as a JSON object/array are typed from
+    that sample (the reference's first-value sampling,
+    ``singer.ts:80-130``) and parsed into real nested values via
+    ``from_json`` + ``schema_of_json`` — one bounded driver sample per
+    such column, never a full scan (SURVEY §7 risk 4).
     """
     properties: dict[str, Any] = {}
     exprs: list[Column] = []
@@ -140,7 +147,34 @@ def gen_singer_header(
 
     for f in df.schema.fields:
         dtype = f.dataType
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        json_sample = None
+        if (
+            infer_json_strings
+            and allow_objects
+            and isinstance(dtype, T.StringType)
+        ):
+            row = (
+                df.select(f.name)
+                .where(
+                    F.col(f.name).isNotNull()
+                    & (F.trim(F.col(f.name)).rlike(r"^[\[{]"))
+                )
+                .first()
+            )
+            if row and row[0]:
+                try:
+                    json_sample = json.loads(row[0])
+                except (TypeError, ValueError):
+                    json_sample = None
+        if json_sample is not None and isinstance(json_sample, (dict, list)):
+            sample_str = row[0]
+            exprs.append(
+                F.from_json(F.col(f.name), F.schema_of_json(F.lit(sample_str))).alias(
+                    f.name
+                )
+            )
+            inferred = to_singer_schema(json_sample)
+        elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             exprs.append(iso8601_expr(F.col(f.name)).alias(f.name))
             inferred = {"type": ["string", "null"], "format": "date-time"}
         elif isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)) and not allow_objects:
@@ -179,6 +213,7 @@ def to_singer(
     catalog_schema: dict[str, Any] | None = None,
     single_file: bool = True,
     drop_all_null_cols: bool = False,
+    infer_json_strings: bool = False,
 ) -> None:
     """Write the Singer message stream for ``df``.
 
@@ -202,7 +237,11 @@ def to_singer(
         if keep:
             df = df.select(*keep)
     modified, header = gen_singer_header(
-        df, allow_objects=allow_objects, schema=schema, catalog_schema=catalog_schema
+        df,
+        allow_objects=allow_objects,
+        schema=schema,
+        catalog_schema=catalog_schema,
+        infer_json_strings=infer_json_strings,
     )
 
     schema_msg = json.dumps(

@@ -178,3 +178,28 @@ def test_to_singer_drop_all_null_cols(spark, tmp_path):
     to_singer(df, "s", out, keys=["id"], filename="keep.singer")
     lines2 = [json.loads(l) for l in open(f"{out}/keep.singer")]
     assert "dead" in lines2[0]["schema"]["properties"]
+
+
+def test_to_singer_infer_json_strings(spark, tmp_path):
+    import json
+
+    from gluestick_ts_spark.sinks.singer import to_singer
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "b": "y"}'), (3, None)],
+        "id long, payload string",
+    )
+    out = str(tmp_path)
+    to_singer(df, "s", out, keys=["id"], allow_objects=True, infer_json_strings=True)
+    lines = [json.loads(l) for l in open(f"{out}/data.singer")]
+    props = lines[0]["schema"]["properties"]
+    assert props["payload"]["type"][0] == "object"
+    assert props["payload"]["properties"]["a"]["type"][0] == "integer"
+    recs = {l["record"]["id"]: l["record"] for l in lines if l["type"] == "RECORD"}
+    # records carry REAL nested objects, not escaped strings
+    assert recs[1]["payload"] == {"a": 1, "b": "x"}
+    assert "payload" not in recs[3]  # null dropped
+    # default: inference off, payload stays a string column
+    to_singer(df, "s", out, keys=["id"], filename="plain.singer")
+    lines2 = [json.loads(l) for l in open(f"{out}/plain.singer")]
+    assert lines2[0]["schema"]["properties"]["payload"]["type"][0] == "string"
