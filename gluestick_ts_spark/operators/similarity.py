@@ -163,26 +163,29 @@ def ann_lsh_topk(
 
     # All tables in ONE posexplode + ONE equi-join on (table, bucket) —
     # not n_tables joins + union: same candidate set, 1/n_tables the
-    # planning and shuffle stages.
+    # planning and shuffle stages. Vectors are NOT carried through the
+    # bucket join/dedup (they'd be replicated n_tables× through two
+    # shuffles); the deduped id pairs re-join them once.
     c_b = c.select(
         "neighbor_id",
-        "__cvec",
         F.posexplode(lsh_buckets_expr("__cvec", all_planes)).alias(
             "__table", "__bucket"
         ),
     )
     q_b = q.select(
         "query_id",
-        "__qvec",
         F.posexplode(lsh_buckets_expr("__qvec", all_planes)).alias(
             "__table", "__bucket"
         ),
     )
-    candidates = (
+    cand_ids = (
         q_b.join(c_b, on=["__table", "__bucket"])
-        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    candidates = cand_ids.join(c, on="neighbor_id").join(
+        F.broadcast(q), on="query_id"
     )
 
     scored = candidates.select(
