@@ -44,6 +44,10 @@ from .operators.multimodal import (
 from .operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
+from .operators.snapshot_partitioned import (
+    partitioned_snapshot_upsert,
+    read_partitioned_snapshot,
+)
 from .session import get_spark
 from .sinks.export import (
     to_export,
@@ -105,6 +109,8 @@ __all__ = [
     "parse_dates_expr",
     "parse_df_cols",
     "parse_objs",
+    "partitioned_snapshot_upsert",
+    "read_partitioned_snapshot",
     "read_snapshots",
     "snapshot_records",
     "spark_type_to_singer_schema",

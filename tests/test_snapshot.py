@@ -104,3 +104,49 @@ def test_snapshot_plan_has_no_collect(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # result is a fresh parquet scan post-swap: no window/exchange residue
     assert "Scan parquet" in plan
+
+
+def test_partitioned_snapshot_upsert_semantics(spark, tmp_path):
+    from gluestick_ts_spark.operators.snapshot_partitioned import (
+        partitioned_snapshot_upsert,
+        read_partitioned_snapshot,
+    )
+
+    d = str(tmp_path)
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "id long, v string")
+    partitioned_snapshot_upsert(a, "s", d, pk="id", n_buckets=8)
+    b = spark.createDataFrame([(1, "V1"), (60, "v60")], "id long, v string")
+    merged = partitioned_snapshot_upsert(b, "s", d, pk="id", n_buckets=8)
+    got = {r.id: r.v for r in merged.collect()}
+    assert len(got) == 51
+    assert got[1] == "V1" and got[60] == "v60" and got[2] == "v2"
+    again = read_partitioned_snapshot(spark, "s", d)
+    assert {r.id: r.v for r in again.collect()} == got
+
+
+def test_partitioned_snapshot_touches_only_affected_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    from gluestick_ts_spark.operators.snapshot_partitioned import (
+        partitioned_snapshot_upsert,
+    )
+
+    d = str(tmp_path)
+    a = spark.createDataFrame([(i, "x") for i in range(200)], "id long, v string")
+    partitioned_snapshot_upsert(a, "s", d, pk="id", n_buckets=8)
+    path = f"{d}/s.snapshot.bucketed.parquet"
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/__gs_bucket=*/*.parquet")}
+
+    b = spark.createDataFrame([(1, "y")], "id long, v string")
+    partitioned_snapshot_upsert(b, "s", d, pk="id", n_buckets=8)
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/__gs_bucket=*/*.parquet")}
+
+    # files in unaffected bucket partitions survive byte-identical (same
+    # path, same mtime); at least one bucket dir was rewritten
+    surviving = [f for f in before if f in after and before[f] == after[f]]
+    rewritten_dirs = {
+        os.path.dirname(f) for f in set(before) - set(surviving)
+    } | {os.path.dirname(f) for f in set(after) - set(before)}
+    assert len(surviving) > 0, "unaffected buckets must not be rewritten"
+    assert len(rewritten_dirs) == 1, rewritten_dirs
