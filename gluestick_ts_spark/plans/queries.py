@@ -40,6 +40,7 @@ from ..functions.text import (
     shingles_expr,
     stopword_ratio_expr,
     token_count_expr,
+    tokens_expr,
     word_count_expr,
 )
 from ..functions.sampling import hash_split, md5_bucket_expr
@@ -642,6 +643,21 @@ def q_lang_scores(spark, sf):
     )
 
 
+def q_top_terms(spark, sf):
+    """Corpus term frequency: explode tokens, drop stopwords/empties,
+    top-50 by count (explode/unnest + lateral-style aggregation)."""
+    d = _t(spark, sf, "documents")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    toks = d.select(F.explode(tokens_expr("text")).alias("token"))
+    return (
+        toks.where((F.col("token") != "") & ~F.array_contains(sw, F.col("token")))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
 def q_dedup_exact_docs(spark, sf):
     """Exact dedup by normalized-content fingerprint (hash groupBy)."""
     d = _t(spark, sf, "documents")
@@ -861,6 +877,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_scores": q_lang_scores,
     "dedup_exact_docs": q_dedup_exact_docs,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    "top_terms": q_top_terms,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     # rows-only (no oracle entry):
@@ -1173,6 +1190,12 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "top_terms": (
+        "SELECT token, COUNT(*) AS cnt FROM ("
+        f"SELECT unnest({_TOKS}) AS token FROM documents) t "
+        f"WHERE token <> '' AND NOT list_contains({_SW}, token) "
+        "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("
