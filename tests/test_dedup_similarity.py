@@ -139,6 +139,47 @@ def test_ann_ivf_runs(vecs):
     assert 2 in neighbors
 
 
+def test_minhash_band_clamp(docs):
+    """num_bands > sig_len must not degenerate into an all-pairs cross
+    product (empty band slices would hash every doc identically)."""
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(sigs, num_bands=64, sig_len=8).collect()
+    }
+    # dissimilar docs must not be forced together by empty-band buckets
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+    assert (1, 2) in pairs  # identical docs still collide
+
+
+def test_dedup_pipelines_leave_no_cached_rdds(spark, docs):
+    """Cache-lifetime discipline: the banding/blocking pipelines must not
+    accumulate persisted RDDs across calls in a long-lived session."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    sigs = minhash_signatures(docs, num_hashes=32)
+    minhash_lsh_pairs(sigs, num_bands=8, sig_len=32).count()
+    simhash_pairs(docs, max_hamming=16).count()
+    after = set(sc._jsc.getPersistentRDDs().keySet())
+    assert after - before == set(), "banding pipelines must not persist anything"
+
+    # ngram_jaccard_pairs legitimately caches its shingle relation but
+    # must release it before returning; only the (small) checkpointed
+    # pair output may remain alive.
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    out.count()
+    after2 = set(sc._jsc.getPersistentRDDs().keySet())
+    assert len(after2 - after) <= 1, "shingle cache leaked past the call"
+
+
+def test_embedding_neardup_default_is_lsh(vecs):
+    """The default call must not contain a cartesian/nested-loop join —
+    the 100 TB path is what users hit without reading docstrings."""
+    plan = embedding_neardup_pairs(vecs, threshold=0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
         [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "e3")],
