@@ -76,12 +76,18 @@ def attach_media_metadata(
     )
 
 
-def media_repartition(df: DataFrame, rows_per_task: int, total_rows: int | None = None) -> DataFrame:
+def media_repartition(df: DataFrame, rows_per_task: int, total_rows: int) -> DataFrame:
     """Bound per-task media volume: at 100 TB a task holding thousands
     of 100 MB blobs OOMs; repartition so each task sees roughly
-    ``rows_per_task`` rows before the decode UDF."""
-    n = total_rows if total_rows is not None else df.count()
-    parts = max(1, (n + rows_per_task - 1) // rows_per_task)
+    ``rows_per_task`` rows before the decode UDF.
+
+    ``total_rows`` is required (an estimate is fine — partition sizing
+    only needs the right order of magnitude): sizing must not trigger a
+    ``count()`` job over the media table. When no estimate exists at
+    all, prefer lowering ``spark.sql.files.maxPartitionBytes`` on the
+    scan so the source itself yields bounded partitions.
+    """
+    parts = max(1, (total_rows + rows_per_task - 1) // rows_per_task)
     return df.repartition(parts)
 
 
@@ -213,14 +219,17 @@ def sample_frames(
     keep_names = [f.name for f in keep]
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Columnar explode: one pass over zipped columns (no
+        # iterrows/per-row pandas indexing in the hot loop).
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                for i, frame in enumerate(fn(row[binary_col], n_frames)):
-                    out = {k: row[k] for k in keep_names}
-                    out["frame_idx"] = i
-                    out["frame"] = frame
-                    rows.append(out)
-            yield pd.DataFrame(rows, columns=keep_names + ["frame_idx", "frame"])
+            frame_lists = [fn(payload, n_frames) for payload in pdf[binary_col]]
+            counts = [len(fl) for fl in frame_lists]
+            data = {
+                k: [v for v, c in zip(pdf[k], counts) for _ in range(c)]
+                for k in keep_names
+            }
+            data["frame_idx"] = [i for c in counts for i in range(c)]
+            data["frame"] = [frame for fl in frame_lists for frame in fl]
+            yield pd.DataFrame(data, columns=keep_names + ["frame_idx", "frame"])
 
     return df.mapInPandas(_mapper, schema=out_schema)

@@ -41,9 +41,25 @@ def salted_join(
     a celebrity user). Right-side cost is ``n_salts ×`` its size —
     keep the replicated side the smaller one. Result equals the plain
     join (verified in tests), only the task layout changes.
+
+    Only left-preserving join types are supported: with ``right``/
+    ``full`` joins every unmatched RIGHT row would be emitted once per
+    salt (the right side is replicated), so the result would no longer
+    equal the plain join. For those, swap the sides (salt the skewed
+    side) and use ``left``.
     """
     if not on:
         raise ValueError("salted_join requires at least one join key")
+    allowed = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            "replicated per salt, so right/full joins would duplicate "
+            "unmatched right rows. Swap the sides and use a left join."
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn(_SALT, salt.cast("int"))
     r_salted = right.withColumn(

@@ -237,11 +237,15 @@ class Reader:
     def _csv_header(self, path: str, reader_options: dict[str, Any]) -> list[str]:
         """Column names from the header row (the reference re-reads the
         file with ``nRows: 0`` at ``reader.ts:260-266``; one text line
-        here, no full scan)."""
+        here, no full scan). Parsed with a real CSV reader so quoted
+        names containing the separator (``"a,b"``) stay one column."""
+        import csv
+
         sep = str(reader_options.get("sep", ","))
-        with open(path, encoding="utf-8", errors="replace") as f:
-            header = f.readline().rstrip("\r\n")
-        return [c.strip('"') for c in header.split(sep)]
+        quote = str(reader_options.get("quote", '"')) or '"'
+        with open(path, encoding="utf-8", errors="replace", newline="") as f:
+            row = next(csv.reader(f, delimiter=sep, quotechar=quote), [])
+        return list(row)
 
     # -- metadata ----------------------------------------------------------
 

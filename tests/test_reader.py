@@ -103,6 +103,38 @@ def test_parquet_catalog_cast(spark, sync_dir):
     assert df.count() == 2
 
 
+def test_csv_header_quoted_separator(spark, tmp_path):
+    """A quoted column name containing the separator must stay ONE
+    column in the schema-on-read StructType (header parsed with a real
+    CSV reader, not a naive split)."""
+    sync = tmp_path / "sync-output"
+    sync.mkdir()
+    (sync / "odd.csv").write_text('id,"a,b",amount\n1,x,2.5\n')
+    catalog = {
+        "streams": [
+            {
+                "stream": "odd",
+                "schema": {
+                    "properties": {
+                        "id": {"type": ["integer", "null"]},
+                        "a,b": {"type": ["string", "null"]},
+                        "amount": {"type": ["number", "null"]},
+                    }
+                },
+                "metadata": [],
+            }
+        ]
+    }
+    (tmp_path / "catalog.json").write_text(json.dumps(catalog))
+    r = Reader(spark, str(sync), str(tmp_path))
+    df = r.get("odd", catalog_types=True)
+    by = {f.name: f.dataType for f in df.schema.fields}
+    assert set(by) == {"id", "a,b", "amount"}
+    assert by["amount"] == T.DoubleType()
+    row = df.first()
+    assert row["id"] == 1 and row["a,b"] == "x" and row["amount"] == 2.5
+
+
 def test_unknown_stream_returns_none(spark, sync_dir):
     r = Reader(spark, str(sync_dir / "sync-output"), str(sync_dir))
     assert r.get("nope") is None

@@ -24,6 +24,16 @@ def test_salted_left_join(spark):
     assert got == {(1, "a"), (5, None)}
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "k long, lv long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, rv string")
+    for how in ("right", "rightouter", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, on=["k"], how=how)
+
+
 def test_two_phase_count_distinct(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 1), ("a", 2), ("b", 7)], "g string, x long"
