@@ -172,24 +172,38 @@ def to_export(
     export_format: str | None = None,
     output_name: str | None = None,
     single_file: bool = True,
+    input_dir: str = "sync-output",
+    root_dir: str = ".",
     **singer_options: Any,
 ) -> None:
     """Dispatch to a writer (``etl-utils.ts:17-99``).
 
     Format precedence: ``export_format`` arg > ``DEFAULT_EXPORT_FORMAT``
     env > ``"singer"`` (``etl-utils.ts:23-26``).
+
+    Singer ``key_properties`` precedence: explicit ``keys`` arg, else a
+    ``Reader`` PK lookup for the stream (parquet footer -> catalog
+    breadcrumbs), matching ``toExport``'s
+    ``options.keys ?? new Reader().getPk(name)`` fallback
+    (``etl-utils.ts:50-51``). ``input_dir``/``root_dir`` locate that
+    Reader; pass ``keys=[]`` to explicitly export with no PKs.
     """
     fmt = (export_format or os.environ.get("DEFAULT_EXPORT_FORMAT") or "singer").lower()
     out_name = output_name or _resolve_name(name, unified_model)
     os.makedirs(output_dir, exist_ok=True)
 
     if fmt == "singer":
+        if keys is None:
+            from ..sources.reader import Reader
+
+            keys = Reader(df.sparkSession, input_dir, root_dir).get_pk(name)
         to_singer(
             df,
             out_name,
             output_dir,
-            keys=keys or [],
+            keys=keys,
             single_file=single_file,
+            root_dir=root_dir,
             **singer_options,
         )
     elif fmt == "parquet":

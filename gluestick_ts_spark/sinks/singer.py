@@ -114,6 +114,39 @@ def to_singer_schema(value: Any) -> dict[str, Any]:
     return {"type": ["string", "null"]}
 
 
+def _merged_array_schema(df: DataFrame, col: str, sample_rows: int) -> dict[str, Any]:
+    """Items schema for an array-of-JSON string column with object keys
+    merged across up to ``sample_rows`` rows (``singer.ts:89-119``).
+    First-seen schema wins per key, like the reference's key union."""
+    rows = (
+        df.select(col)
+        .where(F.col(col).isNotNull() & (F.trim(F.col(col)).rlike(r"^\[")))
+        .limit(sample_rows)
+        .collect()
+    )
+    merged_props: dict[str, Any] = {}
+    scalar_items: dict[str, Any] | None = None
+    for r in rows:
+        try:
+            value = json.loads(r[0])
+        except (TypeError, ValueError):
+            continue
+        if not isinstance(value, list):
+            continue
+        for element in value:
+            if isinstance(element, dict):
+                for k, v in element.items():
+                    if k not in merged_props:
+                        merged_props[k] = to_singer_schema(v)
+            elif scalar_items is None:
+                scalar_items = to_singer_schema(element)
+    if merged_props:
+        items: dict[str, Any] = {"type": ["object", "null"], "properties": merged_props}
+    else:
+        items = scalar_items or {"type": ["string", "null"]}
+    return {"type": ["array", "null"], "items": items}
+
+
 # -- header generation (singer.ts:34-166) -----------------------------------
 
 def gen_singer_header(
@@ -122,6 +155,8 @@ def gen_singer_header(
     schema: dict[str, Any] | None = None,
     catalog_schema: dict[str, Any] | None = None,
     infer_json_strings: bool = False,
+    recursive_typing: bool = False,
+    sample_rows: int = 100,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build the Singer schema AND the export-rewritten DataFrame.
 
@@ -140,6 +175,14 @@ def gen_singer_header(
     ``singer.ts:80-130``) and parsed into real nested values via
     ``from_json`` + ``schema_of_json`` — one bounded driver sample per
     such column, never a full scan (SURVEY §7 risk 4).
+
+    ``recursive_typing`` upgrades the sampled path for ARRAY-valued
+    JSON strings the way the reference's ``recursiveTyping`` does
+    (``singer.ts:89-119``): instead of typing array items from the
+    first element of the first row, object keys are merged across the
+    elements of up to ``sample_rows`` rows, so rows with disjoint keys
+    all land in the items schema. Bounded sample, never a full scan
+    (the reference pulls the whole column; SURVEY §7 risk 4).
     """
     properties: dict[str, Any] = {}
     exprs: list[Column] = []
@@ -166,7 +209,19 @@ def gen_singer_header(
                     json_sample = json.loads(row[0])
                 except (TypeError, ValueError):
                     json_sample = None
-        if json_sample is not None and isinstance(json_sample, (dict, list)):
+        if (
+            recursive_typing
+            and isinstance(json_sample, list)
+        ):
+            inferred = _merged_array_schema(df, f.name, sample_rows)
+            from ..catalog import json_schema_to_spark_type
+
+            exprs.append(
+                F.from_json(F.col(f.name), json_schema_to_spark_type(inferred)).alias(
+                    f.name
+                )
+            )
+        elif json_sample is not None and isinstance(json_sample, (dict, list)):
             sample_str = row[0]
             exprs.append(
                 F.from_json(F.col(f.name), F.schema_of_json(F.lit(sample_str))).alias(
@@ -214,6 +269,9 @@ def to_singer(
     single_file: bool = True,
     drop_all_null_cols: bool = False,
     infer_json_strings: bool = False,
+    recursive_typing: bool = False,
+    catalog_stream: str | None = None,
+    root_dir: str = ".",
 ) -> None:
     """Write the Singer message stream for ``df``.
 
@@ -225,8 +283,24 @@ def to_singer(
     ``drop_all_null_cols`` enables the column pruning the reference
     computes but never applies (the select is commented out at
     ``singer.ts:320``) — default False to match reference behavior.
+
+    When the ``USE_CATALOG_SCHEMA`` env var is truthy and no explicit
+    ``catalog_schema`` was passed, the stream's catalog schema is loaded
+    from ``<root_dir>/catalog.json`` and its object/array columns are
+    parsed from JSON strings before export — the reference's env-driven
+    path (``singer.ts:307, 324-328``; ``catalog_stream`` overrides the
+    stream name used for the lookup).
     """
     keys = keys or []
+    if catalog_schema is None and os.environ.get("USE_CATALOG_SCHEMA", "").lower() in (
+        "1", "true", "yes",
+    ):
+        from ..catalog import get_catalog_schema
+        from ..functions.json_utils import parse_df_cols
+
+        catalog_schema = get_catalog_schema(catalog_stream or stream, root_dir)
+        if catalog_schema:
+            df = parse_df_cols(df, catalog_schema)
     if drop_all_null_cols and len(df.columns) > 0:
         # One agg job: keep columns with >= 1 non-null value
         # (singer.ts:313-322, intended behavior).
@@ -242,6 +316,7 @@ def to_singer(
         schema=schema,
         catalog_schema=catalog_schema,
         infer_json_strings=infer_json_strings,
+        recursive_typing=recursive_typing,
     )
 
     schema_msg = json.dumps(

@@ -225,12 +225,18 @@ class Reader:
                 # Schema-on-read (reader.ts:100-105 dtype overlay). Columns
                 # present in the file but absent from the catalog default
                 # to string: read header first (cheap: one-row scan).
+                # Complex catalog types (object/array) degrade to string —
+                # the CSV source can't decode nested types, and the
+                # reference likewise reads them as Utf8 until the JSON
+                # parse pass (reader.ts:313-315, singer.ts:256-281).
                 header_cols = self._csv_header(path, reader_options)
                 by_name = {f.name: f for f in target.fields}
-                fields = [
-                    by_name.get(c, T.StructField(c, T.StringType(), True))
-                    for c in header_cols
-                ]
+                fields = []
+                for c in header_cols:
+                    f = by_name.get(c, T.StructField(c, T.StringType(), True))
+                    if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                        f = T.StructField(f.name, T.StringType(), True)
+                    fields.append(f)
                 return reader.schema(T.StructType(fields)).csv(path)
         return reader.csv(path)
 

@@ -135,6 +135,39 @@ def test_csv_header_quoted_separator(spark, tmp_path):
     assert row["id"] == 1 and row["a,b"] == "x" and row["amount"] == 2.5
 
 
+def test_csv_complex_catalog_type_reads_as_string(spark, tmp_path):
+    """Object/array catalog types degrade to string in the CSV read
+    schema (the CSV source can't decode nested types; the reference
+    reads them as Utf8 until the JSON parse pass, reader.ts:313-315)."""
+    sync = tmp_path / "sync-output"
+    sync.mkdir()
+    (sync / "users.csv").write_text('id,prefs\n1,"{""theme"": ""dark""}"\n')
+    catalog = {
+        "streams": [
+            {
+                "stream": "users",
+                "schema": {
+                    "properties": {
+                        "id": {"type": ["integer", "null"]},
+                        "prefs": {
+                            "type": ["object", "null"],
+                            "properties": {"theme": {"type": ["string", "null"]}},
+                        },
+                    }
+                },
+                "metadata": [],
+            }
+        ]
+    }
+    (tmp_path / "catalog.json").write_text(json.dumps(catalog))
+    r = Reader(spark, str(sync), str(tmp_path))
+    df = r.get("users", catalog_types=True)
+    assert df is not None
+    by = {f.name: f.dataType for f in df.schema.fields}
+    assert by["id"] == T.LongType() and by["prefs"] == T.StringType()
+    assert json.loads(df.first()["prefs"]) == {"theme": "dark"}
+
+
 def test_unknown_stream_returns_none(spark, sync_dir):
     r = Reader(spark, str(sync_dir / "sync-output"), str(sync_dir))
     assert r.get("nope") is None

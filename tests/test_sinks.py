@@ -203,3 +203,119 @@ def test_to_singer_infer_json_strings(spark, tmp_path):
     to_singer(df, "s", out, keys=["id"], filename="plain.singer")
     lines2 = [json.loads(l) for l in open(f"{out}/plain.singer")]
     assert lines2[0]["schema"]["properties"]["payload"]["type"][0] == "string"
+
+
+def test_to_export_pk_fallback_from_catalog(spark, tmp_path):
+    """toExport parity (etl-utils.ts:50-51): without explicit keys the
+    Singer export pulls key_properties from Reader.get_pk."""
+    sync = tmp_path / "sync-output"
+    sync.mkdir()
+    (sync / "users-1.csv").write_text("id,name\n1,Ann\n")
+    (tmp_path / "catalog.json").write_text(
+        json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": "users",
+                        "schema": {"properties": {"id": {"type": ["integer", "null"]}}},
+                        "metadata": [
+                            {"breadcrumb": [], "metadata": {"table-key-properties": ["id"]}}
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    df = spark.createDataFrame([(1, "Ann")], "id long, name string")
+    out = tmp_path / "out"
+    to_export(
+        df, "users", str(out), export_format="singer",
+        input_dir=str(sync), root_dir=str(tmp_path),
+    )
+    schema_msg = json.loads((out / "data.singer").read_text().splitlines()[0])
+    assert schema_msg["key_properties"] == ["id"]
+    # explicit keys still win over the Reader fallback
+    to_export(
+        df, "users", str(out), keys=["name"], export_format="singer",
+        input_dir=str(sync), root_dir=str(tmp_path), filename="explicit.singer",
+    )
+    schema_msg2 = json.loads((out / "explicit.singer").read_text().splitlines()[0])
+    assert schema_msg2["key_properties"] == ["name"]
+
+
+def test_to_singer_use_catalog_schema_env(spark, tmp_path, monkeypatch):
+    """USE_CATALOG_SCHEMA parity (singer.ts:307, 324-328): the env var
+    loads the catalog schema and parses object-typed string columns."""
+    (tmp_path / "catalog.json").write_text(
+        json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": "users",
+                        "schema": {
+                            "properties": {
+                                "id": {"type": ["integer", "null"]},
+                                "payload": {
+                                    "type": ["object", "null"],
+                                    "properties": {"a": {"type": ["integer", "null"]}},
+                                },
+                            }
+                        },
+                        "metadata": [],
+                    }
+                ]
+            }
+        )
+    )
+    df = spark.createDataFrame([(1, '{"a": 7}')], "id long, payload string")
+
+    # env unset: payload stays a plain string
+    to_singer(df, "users", str(tmp_path), keys=["id"], allow_objects=True,
+              root_dir=str(tmp_path), filename="plain.singer")
+    plain = [json.loads(l) for l in open(tmp_path / "plain.singer")]
+    assert plain[0]["schema"]["properties"]["payload"]["type"] == ["string", "null"]
+    assert plain[1]["record"]["payload"] == '{"a": 7}'
+
+    # env set: catalog schema applied + JSON string parsed to an object
+    monkeypatch.setenv("USE_CATALOG_SCHEMA", "true")
+    to_singer(df, "users", str(tmp_path), keys=["id"], allow_objects=True,
+              root_dir=str(tmp_path), filename="catalog.singer")
+    cat = [json.loads(l) for l in open(tmp_path / "catalog.singer")]
+    assert cat[0]["schema"]["properties"]["payload"]["properties"]["a"]["type"] == [
+        "integer", "null",
+    ]
+    assert cat[1]["record"]["payload"] == {"a": 7}
+
+
+def test_gen_singer_header_recursive_typing_key_merge(spark):
+    """recursiveTyping parity (singer.ts:89-119): array-of-object items
+    merge keys across rows, not just the first element of the first row."""
+    df = spark.createDataFrame(
+        [
+            (1, '[{"a": 1}]'),
+            (2, '[{"b": "x"}]'),
+            (3, '[{"c": true}, {"a": 9}]'),
+        ],
+        "id long, tags string",
+    )
+    _, header = gen_singer_header(
+        df, allow_objects=True, infer_json_strings=True, recursive_typing=True
+    )
+    items = header["properties"]["tags"]["items"]
+    assert set(items["properties"]) == {"a", "b", "c"}
+    assert items["properties"]["a"]["type"][0] == "integer"
+    assert items["properties"]["b"]["type"][0] == "string"
+    assert items["properties"]["c"]["type"][0] == "boolean"
+
+    # default (first-value sampling): only the first row's keys
+    _, header_first = gen_singer_header(
+        df, allow_objects=True, infer_json_strings=True
+    )
+    assert set(header_first["properties"]["tags"]["items"]["properties"]) == {"a"}
+
+    # records parse with the merged schema: absent keys are null-filled
+    modified, _ = gen_singer_header(
+        df, allow_objects=True, infer_json_strings=True, recursive_typing=True
+    )
+    rows = {r["id"]: r["tags"] for r in modified.collect()}
+    assert rows[2][0]["b"] == "x" and rows[2][0]["a"] is None
