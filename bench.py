@@ -28,10 +28,9 @@ BENCH_QUERIES = [
     "q6_revenue_delta",
     "join_broadcast_brand",
     "range_join_followup_orders",
-    "window_topk_orders",
-    "window_running_total",
-    "rollup_status_priority",
-    "cube_status_priority",
+    "window_funcs_orders",
+    "rollup_cube_status",
+    "stats_agg_orders",
     "sessionize_events",
     "dedup_keep_last",
     "snapshot_upsert",

@@ -287,74 +287,77 @@ def q_join_broadcast_brand(spark, sf):
     )
 
 
-def q_anti_join_no_orders(spark, sf):
-    """Left-anti join: customers without orders."""
+def q_semi_anti_join_customers(spark, sf):
+    """Left-semi AND left-anti joins in one tagged union: customers
+    without any order ('anti') + customers with at least one order
+    > 300k ('semi')."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    return c.join(
-        o, c["c_custkey"] == o["o_custkey"], "left_anti"
-    ).select("c_custkey", "c_name")
+    anti = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", F.lit("anti").alias("op"))
+    )
+    big = o.where(F.col("o_totalprice") > 300000.0)
+    semi = (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .select("c_custkey", F.lit("semi").alias("op"))
+    )
+    return anti.unionByName(semi)
 
 
-def q_semi_join_big_spenders(spark, sf):
-    """Left-semi join: customers with at least one order > 300k."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000.0)
-    return c.join(
-        o, c["c_custkey"] == o["o_custkey"], "left_semi"
-    ).select("c_custkey", "c_mktsegment")
-
-
-def q_window_topk_orders(spark, sf):
-    """Top-k per group via window rank with deterministic tie-break."""
+def q_window_funcs_orders(spark, sf):
+    """Window-function coverage in one pass: per-group rank
+    (row_number), running sum (unbounded-preceding frame), lag and
+    lead — all with deterministic tie-break ordering so the double
+    running sum is bit-identical to the oracle's sequential frame."""
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return (
-        o.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    w_time = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
-
-
-def q_window_running_total(spark, sf):
-    """Running sum per key — sequential frame order matches the oracle
-    exactly, so the double result is bit-identical."""
-    o = _t(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        "o_totalprice",
+        F.row_number().over(w_rank).cast("long").alias("price_rank"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.lag("o_totalprice").over(w_time).alias("prev_price"),
+        F.lead("o_orderkey").over(w_time).alias("next_orderkey"),
     )
 
 
-def q_rollup_status_priority(spark, sf):
-    """ROLLUP aggregation (subtotals + grand total)."""
+def q_rollup_cube_status(spark, sf):
+    """ROLLUP and CUBE aggregations as one tagged union (subtotals +
+    grand total vs all grouping combinations)."""
     o = _t(spark, sf, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    aggs = [
         F.count("*").alias("cnt"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    ]
+    r = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(*aggs)
+        .withColumn("op", F.lit("rollup"))
     )
+    cb = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(*aggs)
+        .withColumn("op", F.lit("cube"))
+    )
+    return r.unionByName(cb)
 
 
-def q_except_customers(spark, sf):
-    """EXCEPT (distinct) set op: customer keys with no orders."""
+def q_setops_customers(spark, sf):
+    """EXCEPT and INTERSECT (distinct) set ops as one tagged union:
+    customer keys without orders vs with orders."""
     c = _t(spark, sf, "customer").select("c_custkey")
     o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)
-
-
-def q_intersect_customers(spark, sf):
-    """INTERSECT set op: customer keys that do have orders."""
-    c = _t(spark, sf, "customer").select("c_custkey")
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.intersect(o)
+    ex = c.subtract(o).withColumn("op", F.lit("except"))
+    ix = c.intersect(o).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(ix)
 
 
 def q_sessionize_events(spark, sf):
@@ -466,15 +469,6 @@ def q_q6_revenue_delta(spark, sf):
     )
 
 
-def q_cube_status_priority(spark, sf):
-    """CUBE aggregation (all grouping combinations)."""
-    o = _t(spark, sf, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
-    )
-
-
 def q_grouping_sets_customer(spark, sf):
     """GROUPING SETS: per-nation and per-segment customer stats in one
     pass."""
@@ -544,8 +538,10 @@ def q_string_funcs(spark, sf):
     )
 
 
-def q_scalar_math(spark, sf):
-    """Math scalar functions parity (abs/ceil/floor/round/sqrt/ln)."""
+def q_scalar_math_date(spark, sf):
+    """Math + datetime scalar functions parity in one projection
+    (abs/ceil/floor/round/sqrt/ln + year/month/day/quarter + month
+    truncation)."""
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
@@ -556,20 +552,36 @@ def q_scalar_math(spark, sf):
         F.sqrt("o_totalprice").alias("sqrt_p"),
         # ln rounded: JVM StrictMath and DuckDB libm differ in the last ulp
         F.round(F.log(F.col("o_totalprice")), 6).alias("ln_p"),
-    )
-
-
-def q_date_parts(spark, sf):
-    """Datetime scalar functions parity (year/month/day/quarter +
-    month truncation)."""
-    o = _t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
         F.year("o_orderdate").cast("long").alias("y"),
         F.month("o_orderdate").cast("long").alias("m"),
         F.dayofmonth("o_orderdate").cast("long").alias("d"),
         F.quarter("o_orderdate").cast("long").alias("q"),
         F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias("month_start"),
+    )
+
+
+def q_stats_agg_orders(spark, sf):
+    """Statistical aggregates per priority: mean and sample stddev
+    derived from EXACT DECIMAL sums (sum, sum-of-squares), so the
+    double result is independent of partition/summation order and
+    bit-comparable across engines; plus min/max/count."""
+    o = _t(spark, sf, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("s"),
+        F.sum(_dec("o_totalprice") * _dec("o_totalprice")).cast("double").alias("s2"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    mean = F.col("s") / F.col("cnt")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("cnt")) / (F.col("cnt") - 1)
+    return agg.select(
+        "o_orderpriority",
+        "cnt",
+        F.round(mean, 4).alias("mean_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+        "min_price",
+        "max_price",
     )
 
 
@@ -833,7 +845,14 @@ def q_multimodal_frame_pipeline(spark, sf):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+# Exactly 50 entries — the driver records at most 50 CORRECTNESS rows.
+# Overlapping relational variants are folded into tagged-union queries
+# (semi+anti, rollup+cube, except+intersect, the window forms, the
+# scalar-function projections) so every extension op fits under the
+# cap; the rows-only extension ops sit before the redundant relational
+# tail as extra insurance against any future cap change.
 QUERIES: dict[str, QueryFn] = {
+    # reference-parity operators (SURVEY §2.1)
     "scan_project_literal": q_scan_project_literal,
     "catalog_typed_cast": q_catalog_typed_cast,
     "parse_dates_fallback": q_parse_dates_fallback,
@@ -843,44 +862,37 @@ QUERIES: dict[str, QueryFn] = {
     "union_missing_columns": q_union_missing_columns,
     "json_extract_agg": q_json_extract_agg,
     "struct_json": q_struct_json,
+    # relational coverage (SURVEY §2.2)
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
     "q5_regional_revenue": q_q5_regional_revenue,
-    "join_broadcast_brand": q_join_broadcast_brand,
-    "anti_join_no_orders": q_anti_join_no_orders,
-    "semi_join_big_spenders": q_semi_join_big_spenders,
-    "window_topk_orders": q_window_topk_orders,
-    "window_running_total": q_window_running_total,
-    "rollup_status_priority": q_rollup_status_priority,
-    "except_customers": q_except_customers,
-    "intersect_customers": q_intersect_customers,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_orders": q_asof_join_orders,
     "q6_revenue_delta": q_q6_revenue_delta,
     "q7_nation_volume": q_q7_nation_volume,
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
-    "cube_status_priority": q_cube_status_priority,
-    "grouping_sets_customer": q_grouping_sets_customer,
-    "range_join_followup_orders": q_range_join_followup_orders,
-    "order_limit_global": q_order_limit_global,
+    "join_broadcast_brand": q_join_broadcast_brand,
+    "semi_anti_join_customers": q_semi_anti_join_customers,
     "full_outer_join_counts": q_full_outer_join_counts,
-    "string_funcs": q_string_funcs,
-    "scalar_math": q_scalar_math,
-    "date_parts": q_date_parts,
-    "parse_objs_keep_original": q_parse_objs_keep_original,
-    "conditional_agg_pivot": q_conditional_agg_pivot,
-    "distinct_users_per_type": q_distinct_users_per_type,
-    "array_funcs": q_array_funcs,
-    "hash_split_documents": q_hash_split_documents,
+    "range_join_followup_orders": q_range_join_followup_orders,
+    "asof_join_orders": q_asof_join_orders,
+    "window_funcs_orders": q_window_funcs_orders,
+    "sessionize_events": q_sessionize_events,
+    "rollup_cube_status": q_rollup_cube_status,
+    "grouping_sets_customer": q_grouping_sets_customer,
+    "setops_customers": q_setops_customers,
+    "order_limit_global": q_order_limit_global,
+    "stats_agg_orders": q_stats_agg_orders,
+    # extension ops: text / dedup / similarity / sampling
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
+    "top_terms": q_top_terms,
     "dedup_exact_docs": q_dedup_exact_docs,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-    "top_terms": q_top_terms,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
-    # rows-only (no oracle entry):
+    "hash_split_documents": q_hash_split_documents,
+    "array_funcs": q_array_funcs,
+    # rows-only (no oracle entry): iterative / approximate / stubbed ops
     "approx_distinct_users": q_approx_distinct_users,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
@@ -889,6 +901,12 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_pipeline": q_multimodal_frame_pipeline,
+    # redundant-coverage relational tail (already proven green r1)
+    "scalar_math_date": q_scalar_math_date,
+    "string_funcs": q_string_funcs,
+    "parse_objs_keep_original": q_parse_objs_keep_original,
+    "conditional_agg_pivot": q_conditional_agg_pivot,
+    "distinct_users_per_type": q_distinct_users_per_type,
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -992,37 +1010,42 @@ ORACLES: dict[str, str] = {
         "SELECT p_brand, " + _REV + " AS revenue, COUNT(*) AS cnt "
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
     ),
-    "anti_join_no_orders": (
-        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
-    ),
-    "semi_join_big_spenders": (
-        "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+    "semi_anti_join_customers": (
+        "SELECT c_custkey, 'anti' AS op FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT c_custkey, 'semi' AS op FROM customer c WHERE EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
         "AND o.o_totalprice > 300000.0)"
     ),
-    "window_topk_orders": (
-        "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM ("
-        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
-        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
-        "FROM orders) t WHERE rank <= 3"
-    ),
-    "window_running_total": (
-        "SELECT o_custkey, o_orderkey, ROUND(SUM(o_totalprice) OVER ("
-        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total "
+    "window_funcs_orders": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total, "
+        "lag(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price, "
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey "
         "FROM orders"
     ),
-    "rollup_status_priority": (
+    "rollup_cube_status": (
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
-        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+        "'rollup' AS op FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "UNION ALL "
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+        "'cube' AS op FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
     ),
-    "except_customers": (
-        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders"
-    ),
-    "intersect_customers": (
-        "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders"
+    "setops_customers": (
+        "SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM customer "
+        "EXCEPT SELECT o_custkey AS c_custkey FROM orders) e "
+        "UNION ALL "
+        "SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM customer "
+        "INTERSECT SELECT o_custkey AS c_custkey FROM orders) i"
     ),
     "sessionize_events": (
         "SELECT user_id, event_id, CAST(SUM(new_sess) OVER ("
@@ -1076,11 +1099,6 @@ ORACLES: dict[str, str] = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
     ),
-    "cube_status_priority": (
-        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
-        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
-    ),
     "grouping_sets_customer": (
         "SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
@@ -1112,20 +1130,29 @@ ORACLES: dict[str, str] = {
         "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
         "CAST(length(c_name) AS BIGINT) AS name_len FROM customer"
     ),
-    "scalar_math": (
+    "scalar_math_date": (
         "SELECT o_orderkey, abs(o_totalprice - 150000.0) AS dist, "
         "CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p, "
         "CAST(floor(o_totalprice) AS BIGINT) AS floor_p, "
         "round(o_totalprice, 1) AS round_p, sqrt(o_totalprice) AS sqrt_p, "
-        "round(ln(o_totalprice), 6) AS ln_p FROM orders"
-    ),
-    "date_parts": (
-        "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, "
+        "round(ln(o_totalprice), 6) AS ln_p, "
+        "CAST(year(o_orderdate) AS BIGINT) AS y, "
         "CAST(month(o_orderdate) AS BIGINT) AS m, "
         "CAST(day(o_orderdate) AS BIGINT) AS d, "
         "CAST(quarter(o_orderdate) AS BIGINT) AS q, "
         "strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_start "
         "FROM orders"
+    ),
+    "stats_agg_orders": (
+        "WITH b AS (SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * "
+        "CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2, "
+        "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+        "FROM orders GROUP BY o_orderpriority) "
+        "SELECT o_orderpriority, cnt, ROUND(s / cnt, 4) AS mean_price, "
+        "ROUND(sqrt((s2 - s * s / cnt) / (cnt - 1)), 4) AS stddev_price, "
+        "min_price, max_price FROM b"
     ),
     "parse_objs_keep_original": (
         "SELECT event_id, CASE WHEN NOT json_valid(raw) THEN raw "
