@@ -262,24 +262,34 @@ def ann_ivf_topk(
         )
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
+    # Centroids are UNIT-normalized on the driver: per row, ranking by
+    # cosine across centroids equals ranking by plain dot product
+    # against unit centroids (the row's own norm is a constant positive
+    # factor), so the hot per-row expression needs no norm at all —
+    # just n_centroids dot products.
+    def _unit(vec) -> list[float]:
+        xs = [float(x) for x in vec]
+        n = sum(x * x for x in xs) ** 0.5 or 1.0
+        return [x / n for x in xs]
+
     cents_lit = F.array(
         *[
             F.struct(
                 F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["cent"]]).alias("cent"),
+                F.array(*[F.lit(x) for x in _unit(r["cent"])]).alias("cent"),
             )
             for r in cent_rows
         ]
     )
 
     def _ranked_cids(vec: Column) -> Column:
-        # (negated sim, cid) structs sorted ascending == sim desc with
-        # cid asc tie-break; each cosine is evaluated exactly once.
+        # (negated dot, cid) structs sorted ascending == similarity desc
+        # with cid asc tie-break; each dot is evaluated exactly once.
         return F.array_sort(
             F.transform(
                 cents_lit,
                 lambda cent: F.struct(
-                    (-cosine_similarity_expr(vec, cent["cent"])).alias("negsim"),
+                    (-dot_expr(vec, cent["cent"])).alias("negdot"),
                     cent["cid"].alias("cid"),
                 ),
             )

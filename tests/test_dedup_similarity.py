@@ -159,17 +159,21 @@ def test_dedup_pipelines_leave_no_cached_rdds(spark, docs):
     before = set(sc._jsc.getPersistentRDDs().keySet())
     sigs = minhash_signatures(docs, num_hashes=32)
     minhash_lsh_pairs(sigs, num_bands=8, sig_len=32).count()
-    simhash_pairs(docs, max_hamming=16).count()
     after = set(sc._jsc.getPersistentRDDs().keySet())
-    assert after - before == set(), "banding pipelines must not persist anything"
+    assert after - before == set(), "LSH banding must not persist anything"
 
-    # ngram_jaccard_pairs legitimately caches its shingle relation but
-    # must release it before returning; only the (small) checkpointed
-    # pair output may remain alive.
+    # simhash_pairs / ngram_jaccard_pairs legitimately cache their
+    # blocks/shingle relation during the call but must release it
+    # before returning; only the (small) checkpointed pair output may
+    # remain alive — at most ONE new entry each, not the big relation.
+    simhash_pairs(docs, max_hamming=16).count()
+    after2 = set(sc._jsc.getPersistentRDDs().keySet())
+    assert len(after2 - after) <= 1, "simhash blocks cache leaked past the call"
+
     out = ngram_jaccard_pairs(docs, threshold=0.5)
     out.count()
-    after2 = set(sc._jsc.getPersistentRDDs().keySet())
-    assert len(after2 - after) <= 1, "shingle cache leaked past the call"
+    after3 = set(sc._jsc.getPersistentRDDs().keySet())
+    assert len(after3 - after2) <= 1, "shingle cache leaked past the call"
 
 
 def test_embedding_neardup_default_is_lsh(vecs):
