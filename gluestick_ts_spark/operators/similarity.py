@@ -282,22 +282,39 @@ def ann_ivf_topk(
         ]
     )
 
-    def _ranked_cids(vec: Column) -> Column:
-        # (negated dot, cid) structs sorted ascending == similarity desc
-        # with cid asc tie-break; each dot is evaluated exactly once.
-        return F.array_sort(
-            F.transform(
-                cents_lit,
-                lambda cent: F.struct(
-                    (-dot_expr(vec, cent["cent"])).alias("negdot"),
-                    cent["cid"].alias("cid"),
-                ),
-            )
+    def _scored_cids(vec: Column) -> Column:
+        # (negated dot, cid) structs; each dot evaluated exactly once.
+        return F.transform(
+            cents_lit,
+            lambda cent: F.struct(
+                (-dot_expr(vec, cent["cent"])).alias("negdot"),
+                cent["cid"].alias("cid"),
+            ),
         )
 
-    c_assigned = c.withColumn(
-        "__cid", F.element_at(_ranked_cids(F.col("__cvec")), 1)["cid"]
-    )
+    def _ranked_cids(vec: Column) -> Column:
+        # sorted ascending == similarity desc, cid asc tie-break — only
+        # the query probe side needs the full ranking.
+        return F.array_sort(_scored_cids(vec))
+
+    def _argmax_cid(vec: Column) -> Column:
+        # Corpus assignment needs only the argmax: an O(m) min-fold over
+        # the scored structs, no sort. Init is +inf so the placeholder
+        # cid never survives a non-empty centroid list; strict ``<``
+        # keeps the first (lowest-cid: cent_rows is id-ordered) winner
+        # on ties, matching array_sort's (negdot, cid) ordering.
+        init = F.struct(
+            F.lit(float("inf")).alias("negdot"),
+            F.lit(cent_rows[0]["cid"]).alias("cid"),
+        )
+        best = F.aggregate(
+            _scored_cids(vec),
+            init,
+            lambda acc, s: F.when(s["negdot"] < acc["negdot"], s).otherwise(acc),
+        )
+        return best["cid"]
+
+    c_assigned = c.withColumn("__cid", _argmax_cid(F.col("__cvec")))
     q_probes = q.select(
         "query_id",
         "__qvec",
