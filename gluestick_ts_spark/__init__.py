@@ -41,7 +41,12 @@ from .operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from .operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from .operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_recall_vs_exact,
+    cosine_topk,
+)
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
 from .operators.snapshot_partitioned import (

@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_recall_vs_exact",
     "hyperplanes",
     "lsh_bucket_expr",
     "lsh_buckets_expr",
@@ -83,6 +84,43 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ann_recall_vs_exact(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Annotate an ANN result with its per-query recall@k against the
+    exact top-k: every ``approx`` row gains a ``recall_at_k`` column =
+    |approx ∩ exact| / k for its query (rounded to 6 dp; 0.0 when no
+    overlap). Both inputs use the ``cosine_topk`` output contract
+    (``query_id, neighbor_id, ...``).
+
+    Used by the driver-facing ANN queries so approximation quality is
+    visible in the hard correctness signal, not only in unit-test
+    recall gates (hyperplanes/centroids are seed-deterministic, so the
+    column is stable).
+
+    Plan shape: ``approx`` is referenced exactly ONCE — a hit flag
+    comes from a broadcast left join against the (tiny) exact set, and
+    the per-query hit count is a window sum over ``query_id``, which
+    reuses the partitioning the top-k rank window already established
+    (no new Exchange, and no double evaluation of the ANN pipeline — a
+    two-branch aggregate-then-rejoin shape measurably re-ran the whole
+    candidate generation).
+    """
+    ex = exact.select(
+        "query_id", "neighbor_id", F.lit(1).cast("long").alias("__hit")
+    )
+    joined = approx.join(F.broadcast(ex), on=["query_id", "neighbor_id"], how="left")
+    w = Window.partitionBy("query_id")
+    return joined.withColumn(
+        "recall_at_k",
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0))).over(w) / F.lit(float(k)), 6
+        ),
+    ).drop("__hit")
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

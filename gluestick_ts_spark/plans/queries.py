@@ -61,7 +61,12 @@ from ..operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from ..operators.similarity import ann_ivf_topk, ann_lsh_topk
+from ..operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    ann_recall_vs_exact,
+    cosine_topk,
+)
 from ..operators.snapshot import keep_last_dedup
 from ..sources.parquet_compat import read_parquet_compat
 
@@ -770,15 +775,25 @@ def q_ann_lsh_topk(spark, sf):
     """Approximate top-k via random-hyperplane LSH buckets. 4 planes ×
     12 tables: measured recall@5 vs exact cosine is 0.78-0.90 on the
     64-dim test embeddings (6×4 scored only 0.33 — collision
-    probability per table falls geometrically with plane count)."""
+    probability per table falls geometrically with plane count).
+    The result carries a per-query ``recall_at_k`` column (vs the exact
+    cosine top-k, seed-deterministic) so the driver's recorded rows
+    expose approximation quality, not just row count."""
     e = _t(spark, sf, "embeddings")
-    return ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, n_planes=4, n_tables=12)
+    q = e.where(F.col("vec_id") < 8)
+    approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
+    return ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5)
 
 
 def q_ann_ivf_topk(spark, sf):
-    """Approximate top-k via IVF inverted lists."""
+    """Approximate top-k via IVF inverted lists, with a per-query
+    ``recall_at_k`` column vs exact cosine top-k (deterministic seed
+    centroids) — approximation quality lands in the driver's hard
+    signal."""
     e = _t(spark, sf, "embeddings")
-    return ann_ivf_topk(e, e.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)
+    q = e.where(F.col("vec_id") < 8)
+    approx = ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4)
+    return ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5)
 
 
 def q_multimodal_features(spark, sf):

@@ -252,3 +252,35 @@ def test_ann_recall_floor(spark, sf_dir):
            for r in ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect()}
     assert len(exact & lsh) / len(exact) >= 0.5
     assert len(exact & ivf) / len(exact) >= 0.8
+
+
+def test_ann_recall_vs_exact_column(spark, sf_dir):
+    """recall_at_k: exact-vs-itself is 1.0 everywhere; ANN recall is in
+    [0, 1], constant per query, and matches the set-intersection value;
+    storage stays flat (single-pass plan, no hidden persists)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall_vs_exact,
+        cosine_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    exact = cosine_topk(e, q, k=5)
+    self_rec = ann_recall_vs_exact(exact, cosine_topk(e, q, k=5), k=5)
+    assert all(r.recall_at_k == 1.0 for r in self_rec.collect())
+
+    approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
+    out = ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5).collect()
+    ex_sets: dict = {}
+    for r in cosine_topk(e, q, k=5).collect():
+        ex_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap_sets: dict = {}
+    for r in out:
+        ap_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in out:
+        expect = len(ex_sets[r.query_id] & ap_sets[r.query_id]) / 5.0
+        assert abs(r.recall_at_k - expect) < 1e-9
+        assert 0.0 <= r.recall_at_k <= 1.0
