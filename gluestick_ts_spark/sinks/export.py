@@ -181,19 +181,22 @@ def to_export(
     Format precedence: ``export_format`` arg > ``DEFAULT_EXPORT_FORMAT``
     env > ``"singer"`` (``etl-utils.ts:23-26``).
 
-    Singer ``key_properties`` precedence: explicit ``keys`` arg, else a
-    ``Reader`` PK lookup for the stream (parquet footer -> catalog
-    breadcrumbs), matching ``toExport``'s
-    ``options.keys ?? new Reader().getPk(name)`` fallback
-    (``etl-utils.ts:50-51``). ``input_dir``/``root_dir`` locate that
-    Reader; pass ``keys=[]`` to explicitly export with no PKs.
+    Singer ``key_properties`` precedence: a NON-EMPTY ``keys`` arg,
+    else a ``Reader`` PK lookup for the stream (parquet footer ->
+    catalog breadcrumbs), matching ``toExport``'s
+    ``options.keys || new Reader().getPk(name)`` fallback
+    (``etl-utils.ts:50-51``) — ``||`` is falsy-or, so an empty keys
+    list ALSO falls back to the PK lookup, exactly like the reference.
+    ``input_dir``/``root_dir`` locate that Reader; to force a no-PK
+    export, pass ``keys=[]`` with a stream that has no discoverable PK,
+    or call ``to_singer`` directly.
     """
     fmt = (export_format or os.environ.get("DEFAULT_EXPORT_FORMAT") or "singer").lower()
     out_name = output_name or _resolve_name(name, unified_model)
     os.makedirs(output_dir, exist_ok=True)
 
     if fmt == "singer":
-        if keys is None:
+        if not keys:  # None OR [] fall back, like the reference's ||
             from ..sources.reader import Reader
 
             keys = Reader(df.sparkSession, input_dir, root_dir).get_pk(name)

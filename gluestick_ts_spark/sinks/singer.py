@@ -117,7 +117,9 @@ def to_singer_schema(value: Any) -> dict[str, Any]:
 def _merged_array_schema(df: DataFrame, col: str, sample_rows: int) -> dict[str, Any]:
     """Items schema for an array-of-JSON string column with object keys
     merged across up to ``sample_rows`` rows (``singer.ts:89-119``).
-    First-seen schema wins per key, like the reference's key union."""
+    Last-seen schema wins per key — the reference merges with
+    ``Object.assign`` (``singer.ts:96-100``), where later occurrences
+    overwrite earlier ones."""
     rows = (
         df.select(col)
         .where(F.col(col).isNotNull() & (F.trim(F.col(col)).rlike(r"^\[")))
@@ -136,8 +138,8 @@ def _merged_array_schema(df: DataFrame, col: str, sample_rows: int) -> dict[str,
         for element in value:
             if isinstance(element, dict):
                 for k, v in element.items():
-                    if k not in merged_props:
-                        merged_props[k] = to_singer_schema(v)
+                    # Object.assign semantics: last-seen value wins.
+                    merged_props[k] = to_singer_schema(v)
             elif scalar_items is None:
                 scalar_items = to_singer_schema(element)
     if merged_props:
@@ -173,8 +175,9 @@ def gen_singer_header(
     first non-null value parses as a JSON object/array are typed from
     that sample (the reference's first-value sampling,
     ``singer.ts:80-130``) and parsed into real nested values via
-    ``from_json`` + ``schema_of_json`` — one bounded driver sample per
-    such column, never a full scan (SURVEY §7 risk 4).
+    ``from_json`` + ``schema_of_json`` — ONE batched sampling job
+    covering every candidate string column at once, never a full
+    per-column scan (SURVEY §7 risk 4).
 
     ``recursive_typing`` upgrades the sampled path for ARRAY-valued
     JSON strings the way the reference's ``recursiveTyping`` does
@@ -188,27 +191,40 @@ def gen_singer_header(
     exprs: list[Column] = []
     declared = (schema or {}).get("properties") if schema else None
 
+    # ONE sampling job for ALL candidate string columns (was: one
+    # .first() job per column): first_value(ignorenulls) of each
+    # column's first JSON-looking value, batched into a single agg.
+    sampled: dict[str, str] = {}
+    if infer_json_strings and allow_objects:
+        str_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        ]
+        if str_cols:
+            row = df.agg(
+                *[
+                    F.first(
+                        F.when(
+                            F.col(c).isNotNull()
+                            & (F.trim(F.col(c)).rlike(r"^[\[{]")),
+                            F.col(c),
+                        ),
+                        ignorenulls=True,
+                    ).alias(c)
+                    for c in str_cols
+                ]
+            ).first()
+            if row is not None:
+                sampled = {c: row[c] for c in str_cols if row[c]}
+
     for f in df.schema.fields:
         dtype = f.dataType
         json_sample = None
-        if (
-            infer_json_strings
-            and allow_objects
-            and isinstance(dtype, T.StringType)
-        ):
-            row = (
-                df.select(f.name)
-                .where(
-                    F.col(f.name).isNotNull()
-                    & (F.trim(F.col(f.name)).rlike(r"^[\[{]"))
-                )
-                .first()
-            )
-            if row and row[0]:
-                try:
-                    json_sample = json.loads(row[0])
-                except (TypeError, ValueError):
-                    json_sample = None
+        sample_str = sampled.get(f.name)
+        if sample_str:
+            try:
+                json_sample = json.loads(sample_str)
+            except (TypeError, ValueError):
+                json_sample = None
         if (
             recursive_typing
             and isinstance(json_sample, list)
@@ -222,7 +238,6 @@ def gen_singer_header(
                 )
             )
         elif json_sample is not None and isinstance(json_sample, (dict, list)):
-            sample_str = row[0]
             exprs.append(
                 F.from_json(F.col(f.name), F.schema_of_json(F.lit(sample_str))).alias(
                     f.name
@@ -284,17 +299,20 @@ def to_singer(
     computes but never applies (the select is commented out at
     ``singer.ts:320``) — default False to match reference behavior.
 
-    When the ``USE_CATALOG_SCHEMA`` env var is truthy and no explicit
-    ``catalog_schema`` was passed, the stream's catalog schema is loaded
-    from ``<root_dir>/catalog.json`` and its object/array columns are
-    parsed from JSON strings before export — the reference's env-driven
-    path (``singer.ts:307, 324-328``; ``catalog_stream`` overrides the
+    When no explicit ``catalog_schema`` was passed and EITHER the
+    ``USE_CATALOG_SCHEMA`` env var is truthy OR ``catalog_stream`` is
+    set, the stream's catalog schema is loaded from
+    ``<root_dir>/catalog.json`` and its object/array columns are parsed
+    from JSON strings before export — mirroring the reference's
+    ``if (catalogSchema || catalogStream)`` dispatcher
+    (``singer.ts:307, 324-328``; ``catalog_stream`` also overrides the
     stream name used for the lookup).
     """
     keys = keys or []
-    if catalog_schema is None and os.environ.get("USE_CATALOG_SCHEMA", "").lower() in (
+    env_truthy = os.environ.get("USE_CATALOG_SCHEMA", "").lower() in (
         "1", "true", "yes",
-    ):
+    )
+    if catalog_schema is None and (catalog_stream or env_truthy):
         from ..catalog import get_catalog_schema
         from ..functions.json_utils import parse_df_cols
 

@@ -109,6 +109,7 @@ class Reader:
         stream: str,
         catalog_types: bool = False,
         parse_dates: list[str] | None = None,
+        chunk_size: int | None = None,
         **reader_options: Any,
     ) -> DataFrame | None:
         """Read one stream as a DataFrame (``reader.ts:57-135``).
@@ -116,7 +117,19 @@ class Reader:
         Returns None (with a logged error) when the stream is unknown or
         the read fails — matching the reference's error contract
         (``reader.ts:87-90, 131-134``).
+
+        ``chunk_size`` is accepted for reference parity
+        (``reader.ts:60-62``: accepted and warned about, never
+        implemented) and likewise has no effect here — Spark's input
+        partitioning (``spark.sql.files.maxPartitionBytes``) subsumes
+        driver-side chunked reads, so the kwarg only logs the same
+        warning.
         """
+        if chunk_size is not None:
+            logger.warning(
+                "chunk_size is not implemented (parity with reader.ts:60-62); "
+                "Spark input partitioning subsumes chunked reads"
+            )
         path = self.input_files.get(stream)
         if path is None:
             logger.error("Stream %s not found in %s", stream, self.input_dir)

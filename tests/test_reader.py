@@ -202,3 +202,16 @@ def test_reader_jsonl_source(spark, tmp_path):
     assert {(x.id, x.msg) for x in logs.collect()} == {(1, "a"), (2, "b")}
     cfg = r.get("cfg")
     assert {(x.id, x.on) for x in cfg.collect()} == {(10, True), (11, False)}
+
+
+def test_chunk_size_accepted_and_warned(spark, sync_dir, caplog):
+    """chunk_size parity (reader.ts:60-62): accepted, warns, no effect."""
+    import logging
+
+    r = Reader(spark, str(sync_dir / "sync-output"), str(sync_dir))
+    base = r.get("users")
+    with caplog.at_level(logging.WARNING, logger="gluestick_ts_spark.sources.reader"):
+        chunked = r.get("users", chunk_size=500)
+    assert any("chunk_size" in m for m in caplog.messages)
+    assert chunked is not None
+    assert sorted(map(tuple, chunked.collect())) == sorted(map(tuple, base.collect()))

@@ -319,3 +319,89 @@ def test_gen_singer_header_recursive_typing_key_merge(spark):
     )
     rows = {r["id"]: r["tags"] for r in modified.collect()}
     assert rows[2][0]["b"] == "x" and rows[2][0]["a"] is None
+
+
+def test_to_export_empty_keys_falls_back_to_pk(spark, tmp_path):
+    """|| parity (etl-utils.ts:51): keys=[] is falsy in JS, so an empty
+    list ALSO falls back to Reader.get_pk — not just keys=None."""
+    sync = tmp_path / "sync-output"
+    sync.mkdir()
+    (sync / "users-1.csv").write_text("id,name\n1,Ann\n")
+    (tmp_path / "catalog.json").write_text(
+        json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": "users",
+                        "schema": {"properties": {"id": {"type": ["integer", "null"]}}},
+                        "metadata": [
+                            {"breadcrumb": [], "metadata": {"table-key-properties": ["id"]}}
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    df = spark.createDataFrame([(1, "Ann")], "id long, name string")
+    out = tmp_path / "out"
+    to_export(
+        df, "users", str(out), keys=[], export_format="singer",
+        input_dir=str(sync), root_dir=str(tmp_path),
+    )
+    schema_msg = json.loads((out / "data.singer").read_text().splitlines()[0])
+    assert schema_msg["key_properties"] == ["id"]
+
+
+def test_to_singer_catalog_stream_without_env(spark, tmp_path, monkeypatch):
+    """Dispatcher parity (singer.ts:324): `if (catalogSchema ||
+    catalogStream)` — passing catalog_stream alone (no USE_CATALOG_SCHEMA
+    env var) must trigger the catalog-schema path."""
+    monkeypatch.delenv("USE_CATALOG_SCHEMA", raising=False)
+    (tmp_path / "catalog.json").write_text(
+        json.dumps(
+            {
+                "streams": [
+                    {
+                        "stream": "people",
+                        "schema": {
+                            "properties": {
+                                "id": {"type": ["integer", "null"]},
+                                "payload": {
+                                    "type": ["object", "null"],
+                                    "properties": {"a": {"type": ["integer", "null"]}},
+                                },
+                            }
+                        },
+                        "metadata": [],
+                    }
+                ]
+            }
+        )
+    )
+    df = spark.createDataFrame([(1, '{"a": 7}')], "id long, payload string")
+    to_singer(df, "users", str(tmp_path), keys=["id"], allow_objects=True,
+              root_dir=str(tmp_path), catalog_stream="people",
+              filename="bystream.singer")
+    msgs = [json.loads(l) for l in open(tmp_path / "bystream.singer")]
+    assert msgs[0]["schema"]["properties"]["payload"]["properties"]["a"]["type"] == [
+        "integer", "null",
+    ]
+    assert msgs[1]["record"]["payload"] == {"a": 7}
+
+
+def test_merged_array_schema_last_seen_wins(spark):
+    """Object.assign parity (singer.ts:96-100): when the same key
+    appears with different types across rows, the LAST-seen value's
+    schema wins."""
+    df = spark.createDataFrame(
+        [
+            (1, '[{"a": 1}]'),
+            (2, '[{"a": "text"}]'),
+        ],
+        "id long, tags string",
+    )
+    _, header = gen_singer_header(
+        df, allow_objects=True, infer_json_strings=True, recursive_typing=True
+    )
+    items = header["properties"]["tags"]["items"]
+    assert items["properties"]["a"]["type"][0] == "string"
