@@ -38,6 +38,8 @@ from .operators.dedup import (
 from .operators.multimodal import (
     attach_media_metadata,
     extract_media_features,
+    probe_media_metadata,
+    real_decode_features,
     resize_media,
     sample_frames,
 )
@@ -75,6 +77,7 @@ __all__ = [
     "Reader",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_recall_vs_exact",
     "asof_join",
     "attach_media_metadata",
     "bucketed_join",
@@ -89,6 +92,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "plan_has_shuffle",
+    "probe_media_metadata",
+    "real_decode_features",
     "resize_media",
     "salted_join",
     "sample_frames",

@@ -1,0 +1,248 @@
+"""Pure-stdlib media codecs for the multimodal operators.
+
+Real decoders for the two uncompressed formats a container with no
+media libraries can still parse honestly:
+
+- **BMP** (Windows bitmap, BI_RGB 24/32-bit): header + pixel parsing,
+  channel statistics, and a real nearest-neighbor resize that emits a
+  valid 24-bit BMP.
+- **WAV** (RIFF PCM, via stdlib ``wave``): sample decoding (8/16/32
+  bit), amplitude statistics, duration, and real time-slice "frames"
+  re-encoded as standalone WAV payloads.
+
+``sniff_format`` dispatches on magic bytes; payloads in any other
+format fall back to the clearly-labeled deterministic fakes in
+``multimodal.py`` (PIL/ffmpeg are not installable in this
+environment). The reference has no media operators at all — this is a
+scale-extension surface (SURVEY §2.2), so there is no parity target,
+only the contract pinned by tests/test_streaming_multimodal.py.
+
+Everything here is driver-free pure-Python called from Arrow-batched
+``mapInPandas`` workers: per-payload cost is O(bytes) with no Spark
+API use, so the same functions serve a 1000-executor cluster
+unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+__all__ = [
+    "sniff_format",
+    "bmp_decode",
+    "bmp_features",
+    "bmp_resize",
+    "bmp_encode",
+    "wav_decode",
+    "wav_features",
+    "wav_frames",
+]
+
+
+def sniff_format(payload: bytes | None) -> str | None:
+    """Magic-byte format sniff: ``"bmp"``, ``"wav"``, or None."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# -- BMP ---------------------------------------------------------------------
+
+def bmp_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse an uncompressed (BI_RGB) 24/32-bit BMP.
+
+    Returns ``(width, height, pixels)`` with pixels row-major from the
+    TOP row down, each an ``(r, g, b)`` tuple. Raises ``ValueError`` on
+    anything that is not a plain BI_RGB 24/32-bit bitmap.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    bytes_per_px = bpp // 8
+    stride = ((bpp * width + 31) // 32) * 4
+    need = pix_offset + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows: list[list[tuple[int, int, int]]] = []
+    for r in range(height):
+        base = pix_offset + r * stride
+        row = []
+        for c in range(width):
+            o = base + c * bytes_per_px
+            b, g, rr = payload[o], payload[o + 1], payload[o + 2]
+            row.append((rr, g, b))
+        rows.append(row)
+    if not top_down:
+        rows.reverse()  # BMP stores bottom-up by default
+    return width, height, [px for row in rows for px in row]
+
+
+def bmp_encode(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Emit a valid bottom-up 24-bit BI_RGB BMP from row-major
+    top-down ``(r, g, b)`` pixels."""
+    stride = ((24 * width + 31) // 32) * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        for c in range(width):
+            rr, g, b = pixels[r * width + c]
+            body += bytes((b, g, rr))
+        body += pad
+    pix_offset = 14 + 40
+    file_size = pix_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def bmp_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real pixel statistics from a decoded BMP, shaped to
+    ``n_features``: per-channel means (r, g, b, /255), luma mean, luma
+    stddev (/255), width & height (/4096), aspect ratio (w/h, /16) —
+    padded with zeros / truncated to fit."""
+    width, height, pixels = bmp_decode(payload)
+    n = len(pixels) or 1
+    mr = sum(p[0] for p in pixels) / n
+    mg = sum(p[1] for p in pixels) / n
+    mb = sum(p[2] for p in pixels) / n
+    lumas = [0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2] for p in pixels]
+    ml = sum(lumas) / n
+    var = sum((x - ml) ** 2 for x in lumas) / n
+    feats = [
+        mr / 255.0,
+        mg / 255.0,
+        mb / 255.0,
+        ml / 255.0,
+        (var ** 0.5) / 255.0,
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 16.0,
+    ]
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
+
+
+def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode, sample, re-encode as a
+    valid 24-bit BMP."""
+    sw, sh, pixels = bmp_decode(payload)
+    out = []
+    for r in range(height):
+        sr = min(sh - 1, (r * sh) // height)
+        for c in range(width):
+            sc = min(sw - 1, (c * sw) // width)
+            out.append(pixels[sr * sw + sc])
+    return bmp_encode(width, height, out)
+
+
+# -- WAV ---------------------------------------------------------------------
+
+_WIDTH_FMT = {1: "b", 2: "h", 4: "i"}
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Parse a PCM WAV via stdlib ``wave``.
+
+    Returns ``(framerate, nchannels, nframes, samples)`` with samples
+    normalized to [-1, 1] (channels interleaved). Raises
+    ``ValueError`` on compressed / malformed payloads.
+    """
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            framerate = w.getframerate()
+            nchannels = w.getnchannels()
+            nframes = w.getnframes()
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable WAV: {e}") from e
+    if sampwidth not in _WIDTH_FMT:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    count = len(raw) // sampwidth
+    vals = struct.unpack(f"<{count}{_WIDTH_FMT[sampwidth]}", raw[: count * sampwidth])
+    if sampwidth == 1:
+        # 8-bit WAV is unsigned ('b' read it signed: shift accordingly)
+        samples = [((v + 256 if v < 0 else v) - 128) / 128.0 for v in vals]
+    else:
+        scale = float(1 << (8 * sampwidth - 1))
+        samples = [v / scale for v in vals]
+    return framerate, nchannels, nframes, samples
+
+
+def wav_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real audio statistics shaped to ``n_features``: RMS, mean |amp|,
+    max |amp|, zero-crossing rate, duration seconds (/3600), sample
+    rate (/48000), channel count (/8), frame count (/1e7) — padded /
+    truncated to fit."""
+    framerate, nchannels, nframes, samples = wav_decode(payload)
+    n = len(samples) or 1
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    mean_abs = sum(abs(s) for s in samples) / n
+    max_abs = max((abs(s) for s in samples), default=0.0)
+    zc = sum(
+        1 for i in range(1, len(samples)) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    zcr = zc / n
+    duration_s = nframes / framerate if framerate else 0.0
+    feats = [
+        rms,
+        mean_abs,
+        max_abs,
+        zcr,
+        duration_s / 3600.0,
+        framerate / 48000.0,
+        nchannels / 8.0,
+        nframes / 1e7,
+    ]
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
+
+
+def wav_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Real time-slice sampling: split the audio into ``n_frames``
+    contiguous windows, each re-encoded as a standalone, decodable WAV
+    payload (header + its slice of PCM frames)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            params = w.getparams()
+            nframes = w.getnframes()
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a decodable WAV: {e}") from e
+    if nframes <= 0:
+        return []
+    n_frames = max(1, min(n_frames, nframes))
+    per = nframes // n_frames
+    frame_bytes = params.sampwidth * params.nchannels
+    out: list[bytes] = []
+    for i in range(n_frames):
+        start = i * per
+        end = nframes if i == n_frames - 1 else (i + 1) * per
+        chunk = raw[start * frame_bytes : end * frame_bytes]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as ow:
+            ow.setnchannels(params.nchannels)
+            ow.setsampwidth(params.sampwidth)
+            ow.setframerate(params.framerate)
+            ow.writeframes(chunk)
+        out.append(buf.getvalue())
+    return out

@@ -5,12 +5,15 @@ opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
 UDFs over ``mapInPandas``.
 
-The decode step is STUBBED: media codec libraries (PIL/librosa/ffmpeg)
-are not available in this environment, so ``decode_fn=None`` uses a
-clearly-marked deterministic fake (byte-level stats standing in for
-pixel/sample features). The Spark-side plumbing — schema, Arrow batch
-shape, partition sizing, UDF signature — is real and is exactly what a
-production decoder would plug into.
+Decode is REAL for the formats pure stdlib can parse — uncompressed
+BMP images and PCM WAV audio (``media_codecs.py``: pixel/sample
+statistics, nearest-neighbor BMP resize, WAV time-slice frames) —
+dispatched by magic-byte sniffing. Payloads in any OTHER format fall
+back to a clearly-marked deterministic fake (byte-level stats), because
+the compressed-codec libraries (PIL/librosa/ffmpeg) are not available
+in this environment; swap ``decode_fn`` for a real codec in
+production. The Spark-side plumbing — schema, Arrow batch shape,
+partition sizing, UDF signature — is identical for both paths.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches; media bytes
 never land on the driver. ``spark.sql.files.maxPartitionBytes`` (and
@@ -28,15 +31,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .media_codecs import (
+    bmp_decode,
+    bmp_features,
+    bmp_resize,
+    sniff_format,
+    wav_decode,
+    wav_features,
+    wav_frames,
+)
+
 __all__ = [
     "MEDIA_METADATA_TYPE",
     "MEDIA_FEATURE_TYPE",
     "attach_media_metadata",
+    "probe_media_metadata",
     "extract_media_features",
     "resize_media",
     "sample_frames",
     "media_repartition",
     "fake_decode_features",
+    "real_decode_features",
 ]
 
 # Typed metadata carried alongside the opaque payload.
@@ -76,6 +91,45 @@ def attach_media_metadata(
     )
 
 
+def probe_media_metadata(
+    df: DataFrame,
+    binary_col: str = "content",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Fill the metadata struct from the payloads themselves via an
+    Arrow-batched probe: BMP -> real width/height (+ format/media_type),
+    WAV -> real duration_ms (+ format/media_type); unsniffable payloads
+    keep their existing metadata untouched. Same schema in and out."""
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            metas = []
+            for payload, meta in zip(pdf[binary_col], pdf[meta_col]):
+                meta = dict(meta) if isinstance(meta, dict) else {}
+                fmt = sniff_format(payload)
+                try:
+                    if fmt == "bmp":
+                        w, h, _ = bmp_decode(payload)
+                        meta.update(
+                            media_type="image", format="bmp", width=w, height=h
+                        )
+                    elif fmt == "wav":
+                        framerate, _, nframes, _ = wav_decode(payload)
+                        dur = int(nframes * 1000 / framerate) if framerate else None
+                        meta.update(
+                            media_type="audio", format="wav", duration_ms=dur
+                        )
+                except ValueError:
+                    pass  # sniffed but undecodable: keep caller metadata
+                meta.setdefault("size_bytes", len(payload) if payload else 0)
+                metas.append(meta)
+            pdf[meta_col] = metas
+            yield pdf
+
+    return df.mapInPandas(_mapper, schema=df.schema)
+
+
 def media_repartition(df: DataFrame, rows_per_task: int, total_rows: int) -> DataFrame:
     """Bound per-task media volume: at 100 TB a task holding thousands
     of 100 MB blobs OOMs; repartition so each task sees roughly
@@ -109,6 +163,23 @@ def fake_decode_features(payload: bytes | None, n_features: int = 8) -> list[flo
     return [f / total for f in feats]
 
 
+def real_decode_features(payload: bytes | None, n_features: int = 8) -> list[float]:
+    """Format-sniffing feature decoder: REAL pixel statistics for BMP
+    payloads and REAL audio statistics for WAV payloads
+    (``media_codecs.py``); anything else (or a corrupt BMP/WAV) falls
+    back to the labeled byte-stat fake so a mixed-format corpus never
+    fails mid-job."""
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "bmp":
+            return bmp_features(payload, n_features)
+        if fmt == "wav":
+            return wav_features(payload, n_features)
+    except ValueError:
+        pass  # sniffed but undecodable (truncated/compressed) -> fake
+    return fake_decode_features(payload, n_features)
+
+
 def extract_media_features(
     df: DataFrame,
     binary_col: str = "content",
@@ -120,13 +191,14 @@ def extract_media_features(
     """Decode media payloads to feature vectors via ``mapInPandas``.
 
     ``decode_fn`` maps one payload to ``list[float]``; the default is
-    the deterministic fake (see module docstring). Real decoders that
-    need codec libs unavailable here should raise
-    ``NotImplementedError`` at import time, not per row.
+    the sniffing ``real_decode_features`` — real decode for BMP/WAV,
+    deterministic byte-stat fake for formats that need codec libs
+    unavailable here. Custom decoders that need missing libs should
+    raise ``NotImplementedError`` at import time, not per row.
 
     Output schema = input schema + ``feature_col array<float>``.
     """
-    fn = decode_fn or (lambda b: fake_decode_features(b, n_features))
+    fn = decode_fn or (lambda b: real_decode_features(b, n_features))
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(feature_col, MEDIA_FEATURE_TYPE, True)]
     )
@@ -153,6 +225,18 @@ def _fake_resize(payload: bytes | None, width: int, height: int) -> bytes:
     return payload[::step][:n_out]
 
 
+def _sniff_resize(payload: bytes | None, width: int, height: int) -> bytes:
+    """Default resize: REAL nearest-neighbor pixel resize for BMP
+    payloads (re-encoded as a valid BMP); labeled byte-sampling fake
+    for everything else."""
+    if sniff_format(payload) == "bmp":
+        try:
+            return bmp_resize(payload, width, height)
+        except ValueError:
+            pass
+    return _fake_resize(payload, width, height)
+
+
 def resize_media(
     df: DataFrame,
     binary_col: str = "content",
@@ -163,8 +247,10 @@ def resize_media(
 ) -> DataFrame:
     """Resize media payloads via ``mapInPandas``; the metadata struct's
     width/height are updated to the target dimensions. Same schema in
-    and out, so resizes compose with feature extraction."""
-    fn = resize_fn or _fake_resize
+    and out, so resizes compose with feature extraction. Default
+    ``resize_fn`` is the sniffing dispatcher: a real pixel resize for
+    BMP, the labeled byte-sampling fake otherwise."""
+    fn = resize_fn or _sniff_resize
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,6 +282,18 @@ def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
     return [payload[i * size : (i + 1) * size] for i in range(min(n_frames, n))]
 
 
+def _sniff_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
+    """Default frame sampler: REAL time-slice windows for WAV payloads
+    (each frame is itself a valid, decodable WAV); labeled contiguous
+    byte-chunk fake for everything else (video codecs need ffmpeg)."""
+    if sniff_format(payload) == "wav":
+        try:
+            return wav_frames(payload, n_frames)
+        except ValueError:
+            pass
+    return _fake_frames(payload, n_frames)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "content",
@@ -206,8 +304,10 @@ def sample_frames(
     frame with ``frame_idx int`` + ``frame binary`` appended (the
     video's own payload column is dropped — frames replace it). Row
     explosion happens inside the Arrow batch, so a task's memory is
-    bounded by batch size × frames, never the whole video table."""
-    fn = frame_fn or _fake_frames
+    bounded by batch size × frames, never the whole video table.
+    Default ``frame_fn`` is the sniffing dispatcher: real WAV
+    time-slices, labeled byte-chunk fake otherwise."""
+    fn = frame_fn or _sniff_frames
     keep = [f for f in df.schema.fields if f.name != binary_col]
     out_schema = T.StructType(
         keep

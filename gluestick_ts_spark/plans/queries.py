@@ -797,16 +797,67 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal plumbing: binary payload column + typed metadata +
-    Arrow-batched feature extraction (decode stubbed deterministically)."""
-    d = _t(spark, sf, "documents").limit(200)
-    media = d.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    """Multimodal pipeline over REAL codecs: deterministic BMP (even
+    doc_id) / WAV (odd doc_id) payloads are synthesized per row inside
+    an Arrow batch, then probed (real width/height/duration from the
+    bytes) and feature-extracted (real pixel/sample statistics via the
+    stdlib BMP/WAV decoders in operators/media_codecs.py — the fake
+    byte-stat path only serves formats needing unavailable codec
+    libs)."""
+    import math
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..operators.media_codecs import bmp_encode
+    from ..operators.multimodal import probe_media_metadata
+
+    d = _t(spark, sf, "documents").limit(200).select("doc_id")
+
+    def _synth(batches):
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                if i % 2 == 0:
+                    color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
+                    payloads.append(bmp_encode(4, 4, [color] * 16))
+                else:
+                    rate, n = 8000, 200 + (i % 10) * 40
+                    freq = 200.0 + (i % 40) * 10.0
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(rate)
+                        w.writeframes(
+                            _struct.pack(
+                                f"<{n}h",
+                                *[
+                                    int(0.4 * 32767 * math.sin(2 * math.pi * freq * t / rate))
+                                    for t in range(n)
+                                ],
+                            )
+                        )
+                    payloads.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf["content"] = payloads
+            yield pdf
+
+    media = d.mapInPandas(
+        _synth, schema="doc_id long, content binary"
     )
-    media = attach_media_metadata(media, media_type="image", fmt="raw")
+    media = attach_media_metadata(media, media_type="unknown", fmt="bin")
+    media = probe_media_metadata(media)
     out = extract_media_features(media, n_features=8)
     return out.select(
         "doc_id",
+        F.col("media_meta.format").alias("fmt"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
         F.col("media_meta.size_bytes").alias("size_bytes"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),

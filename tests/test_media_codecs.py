@@ -1,0 +1,184 @@
+"""Real BMP/WAV codec path: decode, features, resize, frames, probe.
+
+Pure-stdlib decoders (operators/media_codecs.py) + the sniffing
+dispatch in operators/multimodal.py. The fake path stays pinned for
+non-BMP/WAV payloads.
+"""
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.media_codecs import (
+    bmp_decode,
+    bmp_encode,
+    bmp_features,
+    bmp_resize,
+    sniff_format,
+    wav_decode,
+    wav_features,
+    wav_frames,
+)
+from gluestick_ts_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    fake_decode_features,
+    probe_media_metadata,
+    real_decode_features,
+    resize_media,
+    sample_frames,
+)
+
+
+def make_bmp(width=4, height=2, color=(255, 0, 0)):
+    return bmp_encode(width, height, [color] * (width * height))
+
+
+def make_wav(freq=440.0, seconds=0.05, rate=8000, amp=0.5):
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            struct.pack(
+                f"<{n}h",
+                *[int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)],
+            )
+        )
+    return buf.getvalue()
+
+
+def test_sniff_format():
+    assert sniff_format(make_bmp()) == "bmp"
+    assert sniff_format(make_wav()) == "wav"
+    assert sniff_format(b"plain text payload") is None
+    assert sniff_format(None) is None
+    assert sniff_format(b"BM") is None  # too short
+
+
+def test_bmp_roundtrip_and_features():
+    # encode -> decode roundtrip preserves pixels
+    pixels = [(r * 40 % 256, r * 7 % 256, 200) for r in range(12)]
+    payload = bmp_encode(4, 3, pixels)
+    w, h, got = bmp_decode(payload)
+    assert (w, h) == (4, 3)
+    assert got == pixels
+
+    # pure-red image: real channel statistics, not byte stats
+    red = make_bmp(4, 2, (255, 0, 0))
+    feats = bmp_features(red, 8)
+    assert feats[0] == pytest.approx(1.0)      # mean r / 255
+    assert feats[1] == 0.0 and feats[2] == 0.0  # g, b
+    assert feats[3] == pytest.approx(0.299)     # luma of pure red
+    assert feats[4] == pytest.approx(0.0)       # uniform -> zero stddev
+    assert feats[5] == pytest.approx(4 / 4096.0)
+    assert feats[6] == pytest.approx(2 / 4096.0)
+    # the labeled fake gives a DIFFERENT answer (byte histogram)
+    assert fake_decode_features(red, 8) != feats
+
+
+def test_bmp_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        bmp_decode(b"BM" + b"\x00" * 60)  # degenerate dims
+    with pytest.raises(ValueError):
+        bmp_decode(make_bmp()[:30])  # truncated header
+    # RLE-compressed flag -> unsupported
+    bad = bytearray(make_bmp())
+    struct.pack_into("<I", bad, 30, 1)
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(bad))
+
+
+def test_bmp_resize_real():
+    # 2x2 checkerboard upscaled to 4x4: nearest-neighbor quadrants
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    payload = bmp_encode(2, 2, px)
+    out = bmp_resize(payload, 4, 4)
+    w, h, got = bmp_decode(out)
+    assert (w, h) == (4, 4)
+    assert got[0] == (255, 0, 0) and got[3] == (0, 255, 0)
+    assert got[12] == (0, 0, 255) and got[15] == (255, 255, 255)
+
+
+def test_wav_decode_and_features():
+    payload = make_wav(freq=440.0, seconds=0.05, rate=8000, amp=0.5)
+    rate, nch, nframes, samples = wav_decode(payload)
+    assert (rate, nch, nframes) == (8000, 1, 400)
+    # sine at amplitude 0.5: RMS = amp/sqrt(2), mean|x| = 2*amp/pi
+    feats = wav_features(payload, 8)
+    assert feats[0] == pytest.approx(0.5 / math.sqrt(2), rel=0.02)
+    assert feats[1] == pytest.approx(2 * 0.5 / math.pi, rel=0.02)
+    assert feats[2] == pytest.approx(0.5, rel=0.02)
+    # 440 Hz sine -> 2*440 zero crossings/s -> zcr = 880/8000
+    assert feats[3] == pytest.approx(880 / 8000, rel=0.05)
+    assert feats[5] == pytest.approx(8000 / 48000.0)
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_wav_frames_are_valid_wavs():
+    payload = make_wav(seconds=0.1, rate=8000)
+    frames = wav_frames(payload, 4)
+    assert len(frames) == 4
+    total = 0
+    for fr in frames:
+        rate, nch, nframes, _ = wav_decode(fr)  # each frame decodable
+        assert (rate, nch) == (8000, 1)
+        total += nframes
+    assert total == 800  # no samples lost
+
+
+def test_real_decode_features_dispatch():
+    bmp, wav_p, other = make_bmp(), make_wav(), b"not media at all"
+    assert real_decode_features(bmp, 8) == bmp_features(bmp, 8)
+    assert real_decode_features(wav_p, 8) == wav_features(wav_p, 8)
+    assert real_decode_features(other, 8) == fake_decode_features(other, 8)
+    # sniffs as BMP but truncated -> falls back to fake, never raises
+    broken = bmp[:40]
+    assert real_decode_features(broken, 8) == fake_decode_features(broken, 8)
+
+
+def test_spark_pipeline_mixed_formats(spark):
+    """End-to-end over mapInPandas: a mixed BMP/WAV/other corpus gets
+    real features for real formats, fake for the rest, in one job."""
+    rows = [
+        (1, make_bmp(4, 2, (255, 0, 0))),
+        (2, make_wav()),
+        (3, b"opaque blob payload"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    df = attach_media_metadata(df, media_type="unknown", fmt="bin")
+    out = {r.id: r for r in extract_media_features(df, n_features=8).collect()}
+    assert out[1].features[0] == pytest.approx(1.0)  # red BMP, real decode
+    assert out[2].features[0] == pytest.approx(0.5 / math.sqrt(2), rel=0.02)
+    assert list(out[3].features) == pytest.approx(
+        fake_decode_features(b"opaque blob payload", 8)
+    )
+
+    # probe fills real metadata per format; opaque rows keep theirs
+    probed = {r.id: r.media_meta for r in probe_media_metadata(df).collect()}
+    assert probed[1].asDict()["format"] == "bmp"
+    assert (probed[1].width, probed[1].height) == (4, 2)
+    assert probed[2].asDict()["format"] == "wav"
+    assert probed[2].duration_ms == 50
+    assert probed[3].asDict()["format"] == "bin"
+
+    # real BMP resize through the DataFrame op: output is a valid BMP
+    resized = {r.id: r for r in resize_media(df, width=2, height=2).collect()}
+    w, h, _ = bmp_decode(bytes(resized[1].content))
+    assert (w, h) == (2, 2)
+    assert resized[1].media_meta.width == 2
+
+    # WAV frame sampling through the DataFrame op: valid sub-WAVs
+    wav_only = spark.createDataFrame([(2, make_wav())], "id long, content binary")
+    frames = sample_frames(wav_only, n_frames=3).collect()
+    assert len(frames) == 3
+    for r in frames:
+        rate, _, _, _ = wav_decode(bytes(r.frame))
+        assert rate == 8000
