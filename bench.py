@@ -6,12 +6,21 @@
 
 Each query is executed to completion (count-style action materializing
 every row) but never collected to the driver.
+
+The suite runs ``$SPARK_GRAFT_BENCH_RUNS`` (default 3) round-robin
+passes and reports the per-query MEDIAN — single-shot numbers on this
+box move ±25% run-to-run, which made per-round deltas unactionable.
+``queries`` holds the medians (and ``value`` their sum); the first
+pass's cold timings (planning + codegen included — comparable to the
+single-shot numbers benched in rounds 1-2) ride along under
+``queries_cold`` / ``cold_total``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -74,24 +83,31 @@ def main() -> None:
         .count()
     )
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # Materialize all rows on executors; don't move them to driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # Materialize all rows on executors; don't move to driver.
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
 
-    total = round(sum(timings.values()), 3)
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    cold = {n: round(s[0], 3) for n, s in samples.items()}
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf_num,
+                "runs": n_runs,
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
             }
         )
     )

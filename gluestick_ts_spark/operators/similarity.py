@@ -21,6 +21,7 @@ re-rank windows only over per-query candidate sets.
 
 from __future__ import annotations
 
+import json
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -134,41 +135,43 @@ def lsh_buckets_expr(
     vec_col: Column | str, all_planes: list[list[list[float]]]
 ) -> Column:
     """Per-table sign-bit bucket ids as ``array<long>`` (one element per
-    table). One fold over a constant-folded literal plane array —
-    expression-tree size stays constant in n_tables × n_planes, so
-    planning/codegen stays fast (unrolling one dot product per plane
-    measurably dominated first-run latency)."""
+    table).
+
+    The plane constants enter the plan as ONE ``from_json`` over a
+    single string literal, which Catalyst constant-folds into a literal
+    array before execution (verified: no ``from_json`` in the optimized
+    plan). The previous shape — nested ``F.array``/``F.lit`` per float —
+    was semantically identical but built n_tables × n_planes × dim
+    Column objects through py4j: for 12×4×64 planes, ~5 s of DRIVER
+    time per query just constructing the expression, which dominated
+    every LSH query's wall clock. JSON round-trips doubles exactly
+    (repr-based), so bucket ids are unchanged. Per-plane weights come
+    from the transform index (``shiftleft(1, i)``), not stored structs.
+    """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    tables_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.struct(
-                        F.array(*[F.lit(float(x)) for x in plane]).alias("plane"),
-                        F.lit(1 << i).cast("long").alias("w"),
-                    )
-                    for i, plane in enumerate(planes)
-                ]
-            )
-            for planes in all_planes
-        ]
+    tables_lit = F.from_json(
+        F.lit(json.dumps([[list(map(float, p)) for p in t] for t in all_planes])),
+        "array<array<array<double>>>",
     )
     zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     return F.transform(
         tables_lit,
         lambda planes: F.aggregate(
-            planes,
+            F.transform(
+                planes,
+                lambda plane, i: F.when(
+                    F.aggregate(
+                        F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    >= 0,
+                    F.call_function("shiftleft", one, i),
+                ).otherwise(zero),
+            ),
             zero,
-            lambda acc, p: acc
-            + F.when(
-                F.aggregate(
-                    F.zip_with(v, p["plane"], lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                >= 0,
-                p["w"],
-            ).otherwise(zero),
+            lambda acc, w: acc + w,
         ),
     )
 
@@ -310,15 +313,25 @@ def ann_ivf_topk(
         n = sum(x * x for x in xs) ** 0.5 or 1.0
         return [x / n for x in xs]
 
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(x) for x in _unit(r["cent"])]).alias("cent"),
-            )
-            for r in cent_rows
-        ]
-    )
+    # Centroids enter the plan as ONE constant-folded from_json literal
+    # (same driver-side build-cost rationale as lsh_buckets_expr);
+    # non-integer centroid ids fall back to the per-value literal shape.
+    cents = [{"cid": r["cid"], "cent": _unit(r["cent"])} for r in cent_rows]
+    if all(isinstance(c["cid"], int) and not isinstance(c["cid"], bool) for c in cents):
+        cents_lit = F.from_json(
+            F.lit(json.dumps(cents)),
+            "array<struct<cid:bigint,cent:array<double>>>",
+        )
+    else:
+        cents_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(c["cid"]).alias("cid"),
+                    F.array(*[F.lit(x) for x in c["cent"]]).alias("cent"),
+                )
+                for c in cents
+            ]
+        )
 
     def _scored_cids(vec: Column) -> Column:
         # (negated dot, cid) structs; each dot evaluated exactly once.
@@ -340,10 +353,13 @@ def ann_ivf_topk(
         # the scored structs, no sort. Init is +inf so the placeholder
         # cid never survives a non-empty centroid list; strict ``<``
         # keeps the first (lowest-cid: cent_rows is id-ordered) winner
-        # on ties, matching array_sort's (negdot, cid) ordering.
+        # on ties, matching array_sort's (negdot, cid) ordering. The
+        # placeholder cid comes from the centroid array itself (a
+        # constant-folded expression) so its type matches the elements
+        # exactly regardless of which literal shape built the array.
         init = F.struct(
             F.lit(float("inf")).alias("negdot"),
-            F.lit(cent_rows[0]["cid"]).alias("cid"),
+            F.element_at(cents_lit, 1)["cid"].alias("cid"),
         )
         best = F.aggregate(
             _scored_cids(vec),
