@@ -284,3 +284,35 @@ def test_ann_recall_vs_exact_column(spark, sf_dir):
         expect = len(ex_sets[r.query_id] & ap_sets[r.query_id]) / 5.0
         assert abs(r.recall_at_k - expect) < 1e-9
         assert 0.0 <= r.recall_at_k <= 1.0
+
+
+def test_neardup_lsh_shuffles_ids_not_vectors(spark, vecs):
+    """Scale guard: the LSH candidate join/dedup must move only
+    (id, table, bucket) rows — no embedding column may appear in any
+    hash-partitioning exchange key set or shuffle input projection."""
+    from gluestick_ts_spark.operators.dedup import embedding_neardup_pairs
+
+    out = embedding_neardup_pairs(vecs, use_lsh=True, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        if "hashpartitioning" in head:
+            assert "__va" not in head and "__vb" not in head, head
+
+
+def test_spread_parallelism_guard(spark, docs):
+    """_spread: raises partition count for narrow inputs, identity for
+    already-parallel inputs, and never changes operator results."""
+    from gluestick_ts_spark.operators.dedup import _spread, minhash_signatures
+
+    narrow = docs.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = _spread(narrow)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert _spread(wide) is wide
+
+    a = {r.id: tuple(r.signature) for r in minhash_signatures(narrow).collect()}
+    b = {r.id: tuple(r.signature) for r in minhash_signatures(wide).collect()}
+    assert a == b
