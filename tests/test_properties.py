@@ -147,3 +147,72 @@ def test_snapshot_csv_mode_round_trip(spark, tmp_path) -> None:
     got = {r.id: r.v for r in merged.collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
     assert os.path.exists(os.path.join(d, "s.snapshot.csv"))
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_encode_decode_roundtrip(width, height, data) -> None:
+    """BMP codec totality: encode->decode is the identity on pixels for
+    any dimensions (incl. stride-padding widths) and any pixel values;
+    resize to any target yields a decodable BMP of those dimensions."""
+    from gluestick_ts_spark.operators.media_codecs import (
+        bmp_decode,
+        bmp_encode,
+        bmp_resize,
+    )
+
+    px = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+    pixels = data.draw(
+        st.lists(px, min_size=width * height, max_size=width * height)
+    )
+    payload = bmp_encode(width, height, pixels)
+    w, h, got = bmp_decode(payload)
+    assert (w, h, got) == (width, height, pixels)
+
+    tw = data.draw(st.integers(min_value=1, max_value=8))
+    th = data.draw(st.integers(min_value=1, max_value=8))
+    rw, rh, rpx = bmp_decode(bmp_resize(payload, tw, th))
+    assert (rw, rh) == (tw, th)
+    assert set(rpx) <= set(pixels)  # nearest-neighbor only samples
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.sampled_from([1, 2, 4]),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_frames_partition_samples(n_samples, sampwidth, n_frames) -> None:
+    """WAV frame sampling: frames are valid WAVs that PARTITION the
+    original sample stream (no loss, no duplication) for any PCM width."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    from gluestick_ts_spark.operators.media_codecs import wav_decode, wav_frames
+
+    fmt = {1: "B", 2: "h", 4: "i"}[sampwidth]
+    lim = 120 if sampwidth == 1 else 30000
+    vals = [(i * 37) % lim for i in range(n_samples)]
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        w.writeframes(_struct.pack(f"<{n_samples}{fmt}", *vals))
+    payload = buf.getvalue()
+
+    _, _, _, all_samples = wav_decode(payload)
+    frames = wav_frames(payload, n_frames)
+    assert len(frames) == min(n_frames, n_samples)
+    rejoined: list[float] = []
+    for fr in frames:
+        _, _, _, s = wav_decode(fr)
+        rejoined.extend(s)
+    assert rejoined == all_samples
