@@ -624,11 +624,24 @@ def q_distinct_users_per_type(spark, sf):
 
 
 def q_approx_distinct_users(spark, sf):
-    """HyperLogLog++ approximate distinct (rows-only: HLL estimates
-    are engine-specific)."""
+    """HyperLogLog++ approximate distinct (rows-only: HLL estimates are
+    engine-specific). The exact count and the HLL's relative error ride
+    along in the same aggregate (the exact distinct adds one partial
+    shuffle — acceptable for a self-evidencing check), so the recorded
+    rows prove the estimate honors its rsd=0.02 target without needing
+    an oracle."""
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.round(
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id"),
+            6,
+        ).alias("rel_error"),
     )
 
 
