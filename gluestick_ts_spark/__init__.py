@@ -31,6 +31,7 @@ from .operators.dedup import (
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_expr,
     simhash_pairs,
@@ -90,6 +91,7 @@ __all__ = [
     "extract_media_features",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "ngram_contamination",
     "ngram_jaccard_pairs",
     "plan_has_shuffle",
     "probe_media_metadata",

@@ -52,6 +52,7 @@ from ..operators.dedup import (
     dedup_minhash,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -614,13 +615,17 @@ def q_conditional_agg_pivot(spark, sf):
     )
 
 
-def q_distinct_users_per_type(spark, sf):
-    """Exact distinct-count aggregation."""
-    ev = _t(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-    )
+def q_ngram_contamination_docs(spark, sf):
+    """Benchmark-contamination screen: every 20th document plays the
+    held-out eval set; the remaining corpus is scored by how many of
+    its distinct word 8-grams leak from that set (broadcast benchmark
+    hash set + one per-document count shuffle — the 100 TB shape).
+    Replaces the redundant exact-distinct query: `approx_distinct_users`
+    now carries the exact counts itself."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corp = d.where(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(corp, bench, n=8)
 
 
 def q_approx_distinct_users(spark, sf):
@@ -985,7 +990,7 @@ QUERIES: dict[str, QueryFn] = {
     "string_funcs": q_string_funcs,
     "parse_objs_keep_original": q_parse_objs_keep_original,
     "conditional_agg_pivot": q_conditional_agg_pivot,
-    "distinct_users_per_type": q_distinct_users_per_type,
+    "ngram_contamination_docs": q_ngram_contamination_docs,
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -1246,9 +1251,19 @@ ORACLES: dict[str, str] = {
         "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_partial, "
         "COUNT(*) AS cnt_all FROM orders GROUP BY o_orderpriority"
     ),
-    "distinct_users_per_type": (
-        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
-        "COUNT(*) AS n_events FROM events GROUP BY event_type"
+    "ngram_contamination_docs": (
+        "WITH tok AS (SELECT doc_id, "
+        "string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), "
+        "grams AS (SELECT doc_id, unnest(list_distinct("
+        "[array_to_string(toks[i:i+7], ' ') "
+        "for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS g FROM tok), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n_contaminated "
+        "FROM grams JOIN bench USING (g) WHERE doc_id % 20 <> 0 GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+        "COALESCE(h.n_contaminated, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 20 <> 0"
     ),
     "hash_split_documents": (
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "

@@ -316,3 +316,30 @@ def test_spread_parallelism_guard(spark, docs):
     a = {r.id: tuple(r.signature) for r in minhash_signatures(narrow).collect()}
     b = {r.id: tuple(r.signature) for r in minhash_signatures(wide).collect()}
     assert a == b
+
+
+def test_ngram_contamination(spark):
+    """Contamination screen: shared n-grams counted per corpus doc,
+    zeros included, benchmark side broadcast."""
+    from gluestick_ts_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 'the quick brown fox jumps'... n=3 grams
+            (2, "completely unrelated text content here"),
+            (3, "quick brown fox"),                   # single partial/full-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_contamination(corp, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1 shares 3-grams: 'the quick brown', 'quick brown fox', 'brown fox jumps'
+    assert out[1].n_contaminated == 3 and out[1].contaminated
+    assert out[2].n_contaminated == 0 and not out[2].contaminated
+    assert out[3].n_contaminated == 1 and out[3].contaminated
+    plan = ngram_contamination(corp, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
