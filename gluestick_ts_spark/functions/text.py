@@ -28,6 +28,8 @@ __all__ = [
     "lang_score_expr",
     "lang_id_expr",
     "shingles_expr",
+    "raw_shingles_expr",
+    "repetition_ratio_expr",
     "STOPWORDS_EN",
     "LANG_MARKERS",
     "TOKEN_REGEX",
@@ -151,10 +153,10 @@ def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr",
     return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
 
 
-def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) of the tokenized
-    text. Documents shorter than ``n`` tokens yield the full token
-    string as a single shingle.
+def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) of the tokenized text, WITH
+    duplicates — one gram per token position. Documents shorter than
+    ``n`` tokens yield the full token string as a single shingle.
 
     Built as ``zip_with`` over shifted slices, NOT ``transform(seq, i ->
     slice(toks, i, n))``: expressions inside a higher-order-function
@@ -173,5 +175,22 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
             F.slice(toks, k, F.greatest(F.size(toks) - (k - 1), F.lit(1))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    grams = F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(grams)
+    return F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — ``raw_shingles_expr`` deduped."""
+    return F.array_distinct(raw_shingles_expr(text, n))
+
+
+def repetition_ratio_expr(text: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: fraction of word n-gram positions
+    occupied by a repeated gram, ``1 - distinct/total`` (the
+    Gopher-style duplicate-n-gram quality filter). 0.0 for unique text,
+    approaching 1.0 for heavily repeated boilerplate."""
+    raw = raw_shingles_expr(text, n)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(raw)).cast("double")
+        / F.greatest(F.size(raw), F.lit(1)).cast("double")
+    )

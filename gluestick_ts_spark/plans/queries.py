@@ -37,6 +37,7 @@ from ..functions.text import (
     lang_score_expr,
     punct_ratio_expr,
     quality_score_expr,
+    repetition_ratio_expr,
     shingles_expr,
     stopword_ratio_expr,
     token_count_expr,
@@ -665,6 +666,7 @@ def q_text_stats(spark, sf):
         punct_ratio_expr("text").alias("punct_ratio"),
         stopword_ratio_expr("text").alias("stopword_ratio"),
         quality_score_expr("text").alias("quality"),
+        F.round(repetition_ratio_expr("text", 3), 6).alias("dup_3gram_ratio"),
     )
 
 
@@ -1293,7 +1295,12 @@ ORACLES: dict[str, str] = {
         f"+ 0.4 * least((CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE)"
         f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)) * 5.0, 1.0) "
         "+ 0.2 * (1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
-        " / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) AS quality "
+        " / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) AS quality, "
+        f"ROUND(1.0 - CAST(len(list_distinct([array_to_string(({_TOKS})[i:i+2], ' ') "
+        f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)])) AS DOUBLE) "
+        f"/ CAST(greatest(len([array_to_string(({_TOKS})[i:i+2], ' ') "
+        f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)]), 1) AS DOUBLE), 6) "
+        "AS dup_3gram_ratio "
         "FROM documents"
     ),
     "lang_scores": (

@@ -96,3 +96,27 @@ def test_shingles(docs):
     assert sh == ["the quick brown", "quick brown fox"]
     # short doc: single shingle
     assert _one(docs, shingles_expr("text", 3), 5) == ["one"]
+
+
+def test_repetition_ratio(spark):
+    """Gopher-style duplicate-3-gram ratio: 0 for unique text, high for
+    repeated boilerplate, 0 for short (< n tokens) docs."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import repetition_ratio_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),          # all grams unique
+            (2, "spam spam spam spam spam spam spam"),   # one gram repeated
+            (3, "hi"),                                    # shorter than n
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.ratio for r in df.select(
+        "id", F.round(repetition_ratio_expr("text", 3), 6).alias("ratio")
+    ).collect()}
+    assert out[1] == 0.0
+    # 5 gram positions, 1 distinct -> 1 - 1/5 = 0.8
+    assert out[2] == 0.8
+    assert out[3] == 0.0
