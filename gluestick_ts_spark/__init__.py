@@ -49,6 +49,7 @@ from .operators.similarity import (
     ann_lsh_topk,
     ann_recall_vs_exact,
     cosine_topk,
+    train_ivf_centroids,
 )
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
@@ -84,6 +85,7 @@ __all__ = [
     "bucketed_join",
     "connected_min_labels",
     "cosine_topk",
+    "train_ivf_centroids",
     "dedup_clusters",
     "dedup_exact",
     "dedup_minhash",

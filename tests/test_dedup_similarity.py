@@ -343,3 +343,38 @@ def test_ngram_contamination(spark):
     assert out[3].n_contaminated == 1 and out[3].contaminated
     plan = ngram_contamination(corp, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
+
+
+def test_train_ivf_centroids(spark, sf_dir):
+    """Lloyd's IVF training: unit centroids, stable cids, reusable via
+    the centroids= param, and trained recall still clears the gate."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(e, n_centroids=16, n_iter=2)
+    assert len(cents) == 16
+    for c in cents:
+        norm = sum(x * x for x in c["cent"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+
+    q = e.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+    # inline training path produces the same result as pre-trained reuse
+    inline = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(
+            e, q, k=5, n_centroids=16, n_probe=4, train_iters=2
+        ).collect()
+    }
+    assert inline == got
