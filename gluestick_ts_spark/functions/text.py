@@ -30,6 +30,9 @@ __all__ = [
     "shingles_expr",
     "raw_shingles_expr",
     "repetition_ratio_expr",
+    "redact_pii_expr",
+    "chunk_tokens",
+    "PII_PATTERNS",
     "STOPWORDS_EN",
     "LANG_MARKERS",
     "TOKEN_REGEX",
@@ -181,6 +184,68 @@ def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles — ``raw_shingles_expr`` deduped."""
     return F.array_distinct(raw_shingles_expr(text, n))
+
+
+# PII redaction patterns, applied in order (emails first — they contain
+# digit runs; IPs before generic phone digit-runs). Restricted to the
+# regex intersection of Java (Spark) and RE2 (DuckDB): no lookaround,
+# no backrefs, ASCII \w and \d — so redaction is oracle-checkable.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[\w.+-]+@[\w-]+\.[\w.]+", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(?:\d[ .-]?){7,14}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii_expr(text: Column | str) -> Column:
+    """Scrub common PII shapes (emails, IPv4 addresses, phone-style
+    digit runs of 8-15 digits) with typed placeholders — the standard
+    pre-training redaction pass, as a pure chain of ``regexp_replace``
+    column expressions (JVM-side, zero Python in the row path)."""
+    out = _col(text)
+    for pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def chunk_tokens(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 256,
+    overlap: int = 32,
+):
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step of a training pipeline. One output row per
+    chunk: ``<id_col>, chunk_idx (int), chunk_text (string),
+    n_tokens (long)``.
+
+    Row-local: tokenize once, build the chunk list inside the row with
+    a ``transform`` over start offsets, then ONE ``posexplode`` — no
+    shuffle at all; chunking 100 TB is a map-only job. ``overlap`` must
+    be < ``chunk_size``.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens_expr(F.col(text_col))
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("__chunks"))
+        .select(
+            id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk_text")
+        )
+        .withColumn(
+            "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+        )
+    )
 
 
 def repetition_ratio_expr(text: Column | str, n: int = 3) -> Column:

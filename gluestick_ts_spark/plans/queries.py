@@ -37,6 +37,7 @@ from ..functions.text import (
     lang_score_expr,
     punct_ratio_expr,
     quality_score_expr,
+    redact_pii_expr,
     repetition_ratio_expr,
     shingles_expr,
     stopword_ratio_expr,
@@ -532,8 +533,16 @@ def q_full_outer_join_counts(spark, sf):
 
 def q_string_funcs(spark, sf):
     """String scalar functions parity (upper/substring/replace/concat/
-    lpad/length)."""
+    lpad/length) + the PII-redaction pass over a synthesized
+    email+phone string (functions/text.py redact_pii_expr — patterns
+    restricted to the Java∩RE2 regex subset so DuckDB can oracle it)."""
     c = _t(spark, sf, "customer")
+    pii_src = F.concat_ws(
+        " ",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),  # phone-like run
+        F.lit("contact:"),
+        F.concat(F.lower(F.col("c_mktsegment")), F.lit("@example.com")),
+    )
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("uname"),
@@ -542,6 +551,7 @@ def q_string_funcs(spark, sf):
         F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
         F.length("c_name").cast("long").alias("name_len"),
+        redact_pii_expr(pii_src).alias("redacted"),
     )
 
 
@@ -1214,7 +1224,14 @@ ORACLES: dict[str, str] = {
         "replace(c_name, '#', '-') AS dashed, "
         "concat_ws('|', c_mktsegment, c_name) AS joined, "
         "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, "
-        "CAST(length(c_name) AS BIGINT) AS name_len FROM customer"
+        "CAST(length(c_name) AS BIGINT) AS name_len, "
+        "regexp_replace(regexp_replace(regexp_replace("
+        "concat_ws(' ', lpad(CAST(c_custkey AS VARCHAR), 10, '0'), 'contact:', "
+        "concat(lower(c_mktsegment), '@example.com')), "
+        "'[\\w.+-]+@[\\w-]+\\.[\\w.]+', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\b(?:\\d[ .-]?){7,14}\\d\\b', '<PHONE>', 'g') AS redacted "
+        "FROM customer"
     ),
     "scalar_math_date": (
         "SELECT o_orderkey, abs(o_totalprice - 150000.0) AS dist, "

@@ -120,3 +120,52 @@ def test_repetition_ratio(spark):
     # 5 gram positions, 1 distinct -> 1 - 1/5 = 0.8
     assert out[2] == 0.8
     assert out[3] == 0.0
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import redact_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.001.1 port 80"),
+            (3, "call 555-123-4567 x89"),
+            (4, "nothing sensitive 1234 here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.red for r in df.select(
+        "id", redact_pii_expr("text").alias("red")
+    ).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> port 80"
+    assert out[3] == "call <PHONE> x89"
+    assert out[4] == "nothing sensitive 1234 here"  # short runs untouched
+
+
+def test_chunk_tokens(spark):
+    import pytest
+    from gluestick_ts_spark.functions.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    out = chunk_tokens(df, chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    # doc 1: ceil((10-1)/3) = 3 chunks at starts 0,3,6; 1-token overlap
+    c1 = sorted(by_doc[1])
+    assert [c[1] for c in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [c[2] for c in c1] == [4, 4, 4]
+    # short doc: single chunk, untruncated
+    assert by_doc[2] == [(0, "short doc", 2)]
+    # full coverage: every token appears in some chunk
+    assert set(words.split()) == {
+        w for c in c1 for w in c[1].split()
+    }
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)
