@@ -224,6 +224,11 @@ def chunk_tokens(
     a ``transform`` over start offsets, then ONE ``posexplode`` — no
     shuffle at all; chunking 100 TB is a map-only job. ``overlap`` must
     be < ``chunk_size``.
+
+    ``n_tokens`` is the SIZE OF THE TOKEN SLICE itself, computed
+    alongside the chunk text inside the same ``transform`` — not a
+    re-split of the joined string, which double-counted chunks whose
+    tokens round-trip differently through ``concat_ws``/``split``.
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
@@ -235,15 +240,23 @@ def chunk_tokens(
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(toks, i * step + 1, chunk_size))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
     )
     return (
         df.select(F.col(id_col), chunks.alias("__chunks"))
+        .select(id_col, F.posexplode("__chunks").alias("chunk_idx", "__c"))
         .select(
-            id_col, F.posexplode("__chunks").alias("chunk_idx", "chunk_text")
-        )
-        .withColumn(
-            "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+            id_col,
+            "chunk_idx",
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
         )
     )
 

@@ -35,6 +35,7 @@ __all__ = [
     "ann_ivf_topk",
     "ann_recall_vs_exact",
     "train_ivf_centroids",
+    "ivf_assign",
     "hyperplanes",
     "lsh_bucket_expr",
     "lsh_buckets_expr",
@@ -111,18 +112,37 @@ def ann_recall_vs_exact(
     (no new Exchange, and no double evaluation of the ANN pipeline — a
     two-branch aggregate-then-rejoin shape measurably re-ran the whole
     candidate generation).
+
+    Denominator = ``min(k, per-query exact rows)``: when the corpus is
+    smaller than k the exact side yields fewer than k neighbors and a
+    fixed /k could never reach 1.0. The exact side is also deduped on
+    (query_id, neighbor_id) first so duplicate exact rows can't fan out
+    approx rows through the left join. A query with NO exact rows gets
+    recall 0.0 (nothing to recall — denominator clamps to 1).
     """
-    ex = exact.select(
-        "query_id", "neighbor_id", F.lit(1).cast("long").alias("__hit")
+    ex = exact.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    ex_w = Window.partitionBy("query_id")
+    ex = ex.select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).cast("long").alias("__hit"),
+        F.count("*").over(ex_w).alias("__exn"),
     )
     joined = approx.join(F.broadcast(ex), on=["query_id", "neighbor_id"], how="left")
     w = Window.partitionBy("query_id")
-    return joined.withColumn(
-        "recall_at_k",
-        F.round(
-            F.sum(F.coalesce("__hit", F.lit(0))).over(w) / F.lit(float(k)), 6
-        ),
-    ).drop("__hit")
+    denom = F.greatest(
+        F.least(F.lit(float(k)), F.max(F.col("__exn")).over(w).cast("double")),
+        F.lit(1.0),
+    )
+    return (
+        joined.withColumn(
+            "recall_at_k",
+            F.round(F.sum(F.coalesce("__hit", F.lit(0))).over(w) / denom, 6),
+        )
+        .drop("__hit", "__exn")
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -277,6 +297,58 @@ def _unit_vec(vec) -> list[float]:
     return [x / n for x in xs]
 
 
+def _scored_cids_expr(cents_lit: Column, vec: Column) -> Column:
+    """(negated dot, cid) structs per centroid; each dot evaluated once."""
+    return F.transform(
+        cents_lit,
+        lambda cent: F.struct(
+            (-dot_expr(vec, cent["cent"])).alias("negdot"),
+            cent["cid"].alias("cid"),
+        ),
+    )
+
+
+def _argmax_cid_expr(cents_lit: Column, vec: Column) -> Column:
+    """Nearest-centroid id as an O(m) in-row min-fold (no sort, no
+    shuffle). Init is +inf so the placeholder cid never survives a
+    non-empty centroid list; strict ``<`` keeps the first (lowest-cid)
+    winner on ties, matching array_sort's (negdot, cid) ordering."""
+    init = F.struct(
+        F.lit(float("inf")).alias("negdot"),
+        F.element_at(cents_lit, 1)["cid"].alias("cid"),
+    )
+    best = F.aggregate(
+        _scored_cids_expr(cents_lit, vec),
+        init,
+        lambda acc, s: F.when(s["negdot"] < acc["negdot"], s).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[dict],
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+) -> DataFrame:
+    """Tag every corpus row with its inverted-list (nearest-centroid)
+    id — the IVF build step as a standalone operator, so list sizes /
+    balance are inspectable and the assigned corpus can be written
+    bucketed-by-centroid for partition-pruned probes at scale.
+
+    ``centroids`` is the ``train_ivf_centroids`` output (unit vectors).
+    Assignment is a pure in-row column expression against the
+    constant-folded centroid literal: ZERO shuffles, corpus never
+    replicated. Output = input schema + ``cid_col``.
+    """
+    if not centroids:
+        raise ValueError("ivf_assign requires a non-empty centroid list")
+    cents_lit = _centroid_exprs(centroids)
+    return corpus.withColumn(
+        cid_col, _argmax_cid_expr(cents_lit, F.col(vec_col))
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -321,20 +393,6 @@ def train_ivf_centroids(
         return cents
     for _ in range(max(0, n_iter)):
         cents_lit = _centroid_exprs(cents)
-        scored = F.transform(
-            cents_lit,
-            lambda cent: F.struct(
-                (-dot_expr(F.col("__v"), cent["cent"])).alias("negdot"),
-                cent["cid"].alias("cid"),
-            ),
-        )
-        init = F.struct(
-            F.lit(float("inf")).alias("negdot"),
-            F.element_at(cents_lit, 1)["cid"].alias("cid"),
-        )
-        best = F.aggregate(
-            scored, init, lambda acc, s: F.when(s["negdot"] < acc["negdot"], s).otherwise(acc)
-        )
         # NOTE: the generator (posexplode) must live in its OWN select —
         # combining it with the lambda-struct extract trips Spark's
         # ExtractGenerator rewrite, which re-plans the aggregate lambda
@@ -343,7 +401,10 @@ def train_ivf_centroids(
             corpus.select(
                 F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
             )
-            .select(best["cid"].alias("__cid"), F.col("__v"))
+            .select(
+                _argmax_cid_expr(cents_lit, F.col("__v")).alias("__cid"),
+                F.col("__v"),
+            )
             .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
         )
         mean_rows = (
@@ -443,48 +504,23 @@ def ann_ivf_topk(
     # non-integer centroid ids fall back to the per-value literal shape.
     cents_lit = _centroid_exprs(cents)
 
-    def _scored_cids(vec: Column) -> Column:
-        # (negated dot, cid) structs; each dot evaluated exactly once.
-        return F.transform(
-            cents_lit,
-            lambda cent: F.struct(
-                (-dot_expr(vec, cent["cent"])).alias("negdot"),
-                cent["cid"].alias("cid"),
-            ),
-        )
-
-    def _ranked_cids(vec: Column) -> Column:
-        # sorted ascending == similarity desc, cid asc tie-break — only
-        # the query probe side needs the full ranking.
-        return F.array_sort(_scored_cids(vec))
-
-    def _argmax_cid(vec: Column) -> Column:
-        # Corpus assignment needs only the argmax: an O(m) min-fold over
-        # the scored structs, no sort. Init is +inf so the placeholder
-        # cid never survives a non-empty centroid list; strict ``<``
-        # keeps the first (lowest-cid: cent_rows is id-ordered) winner
-        # on ties, matching array_sort's (negdot, cid) ordering. The
-        # placeholder cid comes from the centroid array itself (a
-        # constant-folded expression) so its type matches the elements
-        # exactly regardless of which literal shape built the array.
-        init = F.struct(
-            F.lit(float("inf")).alias("negdot"),
-            F.element_at(cents_lit, 1)["cid"].alias("cid"),
-        )
-        best = F.aggregate(
-            _scored_cids(vec),
-            init,
-            lambda acc, s: F.when(s["negdot"] < acc["negdot"], s).otherwise(acc),
-        )
-        return best["cid"]
-
-    c_assigned = c.withColumn("__cid", _argmax_cid(F.col("__cvec")))
+    # Corpus assignment needs only the argmax (O(m) min-fold, module
+    # helper shared with ivf_assign); only the query probe side needs
+    # the full ranking (sorted ascending == similarity desc, cid asc
+    # tie-break).
+    c_assigned = c.withColumn(
+        "__cid", _argmax_cid_expr(cents_lit, F.col("__cvec"))
+    )
     q_probes = q.select(
         "query_id",
         "__qvec",
         F.explode(
             F.transform(
-                F.slice(_ranked_cids(F.col("__qvec")), 1, n_probe),
+                F.slice(
+                    F.array_sort(_scored_cids_expr(cents_lit, F.col("__qvec"))),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["cid"],
             )
         ).alias("__cid"),

@@ -32,6 +32,7 @@ from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
     TOKEN_REGEX,
+    chunk_tokens,
     fingerprint_expr,
     lang_id_expr,
     lang_score_expr,
@@ -69,6 +70,8 @@ from ..operators.similarity import (
     ann_lsh_topk,
     ann_recall_vs_exact,
     cosine_topk,
+    ivf_assign,
+    train_ivf_centroids,
 )
 from ..operators.snapshot import keep_last_dedup
 from ..sources.parquet_compat import read_parquet_compat
@@ -640,24 +643,21 @@ def q_ngram_contamination_docs(spark, sf):
 
 
 def q_approx_distinct_users(spark, sf):
-    """HyperLogLog++ approximate distinct (rows-only: HLL estimates are
-    engine-specific). The exact count and the HLL's relative error ride
-    along in the same aggregate (the exact distinct adds one partial
-    shuffle — acceptable for a self-evidencing check), so the recorded
-    rows prove the estimate honors its rsd=0.02 target without needing
-    an oracle."""
+    """HyperLogLog++ approximate distinct — ORACLE-CHECKED: the raw HLL
+    estimate is engine-specific, so the query emits only the
+    deterministic evidence: the exact count and ``within_bound`` = the
+    HLL estimate landed within 5% of it (rsd=0.02, so 0.05 = 2.5
+    sigma; measured rel-error is 0.000-0.004 on the test events). The
+    oracle asserts ``within_bound`` is literally TRUE — a drifting HLL
+    now FAILS the hash match instead of hiding in a rows-only entry.
+    The estimate itself stays visible in pytest (test_properties)."""
     ev = _t(spark, sf, "events")
+    rel_err = F.abs(
+        F.approx_count_distinct("user_id", rsd=0.02) - F.count_distinct("user_id")
+    ) / F.count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.round(
-            F.abs(
-                F.approx_count_distinct("user_id", rsd=0.02)
-                - F.count_distinct("user_id")
-            )
-            / F.count_distinct("user_id"),
-            6,
-        ).alias("rel_error"),
+        (rel_err <= 0.05).alias("within_bound"),
     )
 
 
@@ -702,6 +702,34 @@ def q_top_terms(spark, sf):
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(50)
+    )
+
+
+def q_chunk_tokens_docs(spark, sf):
+    """Token-window chunking (context-window prep): every document split
+    into overlapping 32-token windows with 8-token overlap — map-only
+    (tokenize once in-row, one posexplode, zero shuffles). Oracle: the
+    identical window algebra in DuckDB list functions."""
+    d = _t(spark, sf, "documents")
+    return chunk_tokens(d, chunk_size=32, overlap=8)
+
+
+def q_ivf_train_centroids(spark, sf):
+    """IVF build step, driver-visible: 2 Lloyd's rounds over the full
+    embeddings table, then the inverted-list sizes per trained centroid
+    (cid, list_size) — list BALANCE is the documented reason to train
+    (bounded per-list candidate counts at scale), so the balance lands
+    in the recorded rows. Rows-only: k-means means are
+    summation-order-sensitive floats, so assignments near list
+    boundaries are engine-specific; the pytest recall/balance gates pin
+    quality."""
+    e = _t(spark, sf, "embeddings")
+    cents = train_ivf_centroids(e, n_centroids=16, n_iter=2)
+    assigned = ivf_assign(e, cents)
+    return (
+        assigned.groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(F.count("*").alias("list_size"))
+        .orderBy("cid")
     )
 
 
@@ -761,10 +789,28 @@ def q_embedding_neardup(spark, sf):
     a bounded corpus slice (exact quadratic scoring is the oracle-
     checkable baseline; the corpus-scale path is the LSH-bucketed
     variant in operators/dedup.py — see embedding_neardup_pairs
-    use_lsh=True)."""
-    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 2000)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    use_lsh=True).
+
+    The test embeddings are near-orthogonal random unit vectors (max
+    natural pairwise cosine ≈ 0.46 at sf0.01), so the raw slice yields
+    ZERO pairs at any meaningful threshold — a 0-row oracle match that
+    verifies nothing. The corpus therefore unions each sliced vector
+    with a PLANTED near-duplicate (id + 100000, every element + 0.05:
+    cosine to its source lands in 0.91-0.95, varying per vector), giving
+    the hash-match real pair math to check. The oracle SQL mirrors the
+    same union."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    base = e.select(
+        F.col("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x + F.lit(0.05)).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -941,12 +987,12 @@ def q_multimodal_frame_pipeline(spark, sf):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
-# Exactly 50 entries — the driver records at most 50 CORRECTNESS rows.
-# Overlapping relational variants are folded into tagged-union queries
-# (semi+anti, rollup+cube, except+intersect, the window forms, the
-# scalar-function projections) so every extension op fits under the
-# cap; the rows-only extension ops sit before the redundant relational
-# tail as extra insurance against any future cap change.
+# 52 entries. Overlapping relational variants are folded into
+# tagged-union queries (semi+anti, rollup+cube, except+intersect, the
+# window forms, the scalar-function projections) to keep the registry
+# tight; the rows-only extension ops sit BEFORE the redundant
+# relational tail so that if a driver ever caps recorded rows, the
+# redundant tail is what falls off, never a unique operator.
 QUERIES: dict[str, QueryFn] = {
     # reference-parity operators (SURVEY §2.1)
     "scan_project_literal": q_scan_project_literal,
@@ -988,8 +1034,10 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "hash_split_documents": q_hash_split_documents,
     "array_funcs": q_array_funcs,
-    # rows-only (no oracle entry): iterative / approximate / stubbed ops
+    "chunk_tokens_docs": q_chunk_tokens_docs,
     "approx_distinct_users": q_approx_distinct_users,
+    # rows-only (no oracle entry): iterative / approximate / UDF ops
+    "ivf_train_centroids": q_ivf_train_centroids,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
@@ -1364,10 +1412,27 @@ ORACLES: dict[str, str] = {
         "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t WHERE rank <= 5"
     ),
     "embedding_neardup": (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id < 300), "
+        "planted AS (SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(v, x -> x + 0.05) AS v FROM base), "
+        "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
-        "FROM embeddings a CROSS JOIN embeddings b "
-        "WHERE a.vec_id < 2000 AND b.vec_id < 2000 AND a.vec_id < b.vec_id "
-        "AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8"
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+        "FROM corpus a CROSS JOIN corpus b WHERE a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.8"
+    ),
+    "chunk_tokens_docs": (
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents) "
+        "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+        "array_to_string(list_slice(toks, i*24+1, i*24+32), ' ') AS chunk_text, "
+        "CAST(len(list_slice(toks, i*24+1, i*24+32)) AS BIGINT) AS n_tokens "
+        "FROM t, LATERAL (SELECT unnest(range(0, greatest("
+        "CAST(ceil((len(toks) - 8) / 24.0) AS INT), 1))) AS i) g"
+    ),
+    "approx_distinct_users": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "TRUE AS within_bound FROM events GROUP BY event_type"
     ),
 }
