@@ -17,6 +17,15 @@ degrades gracefully:
 
 The footer check is cached per path: at scale the cost is one footer
 read per table, not per query.
+
+A second flavor hazard: parquet ``timestamp[us]`` WITHOUT a timezone
+(``isAdjustedToUTC=false``) arrives as Spark ``TIMESTAMP_NTZ``, which
+many builtins reject (``unix_micros``, ``to_utc_timestamp``, ...) —
+the same query then works or throws depending on which engine wrote
+the file. The source layer normalizes every ``TimestampNTZType``
+column to session-TZ ``TimestampType``; the session TZ is pinned UTC
+(session.py), so the cast is value-exact and downstream consumers see
+ONE timestamp flavor regardless of the writer.
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 __all__ = ["nanos_timestamp_cols", "read_parquet_compat"]
 
@@ -64,20 +74,46 @@ def nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return cols
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every top-level ``TimestampNTZType`` column to session-TZ
+    ``TimestampType``.
+
+    Schema inspection is driver-side (no job); with the session TZ
+    pinned UTC the cast reinterprets the same wall-clock instant, so
+    values are exact. Emitting one flavor here means every consumer
+    (windows, as-of joins, ``unix_micros`` sessionization, streaming
+    watermarks) is immune to whether the writer set
+    ``isAdjustedToUTC``.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    ntz_set = set(ntz)
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if c in ntz_set else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns,
-    returning them as microsecond ``TimestampType``."""
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns
+    (returned as microsecond ``TimestampType``) and normalizes
+    no-timezone ``TIMESTAMP_NTZ`` columns to ``TimestampType``."""
     ns_cols = nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ns = set(ns_cols)
-    return df.select(
-        *[
-            F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))").alias(c)
-            if c in ns
-            else F.col(c)
-            for c in df.columns
-        ]
+    return _normalize_ntz(
+        df.select(
+            *[
+                F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS BIGINT))").alias(c)
+                if c in ns
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     )
