@@ -85,29 +85,45 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(n_runs):
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue  # already failed; don't burn passes re-throwing
             fn = QUERIES[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Materialize all rows on executors; don't move to driver.
-            df.write.format("noop").mode("overwrite").save()
+            # Fault isolation: one broken query must not erase the
+            # timing signal for the rest of the suite (round 4 lost ALL
+            # bench numbers to a single analyzer error).
+            try:
+                df = fn(spark, sf_dir)
+                # Materialize all rows on executors; don't move to driver.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"BENCH-ERR {name}: {errors[name]}", file=sys.stderr)
+                continue
             samples[name].append(time.time() - t0)
 
-    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    cold = {n: round(s[0], 3) for n, s in samples.items()}
+    timed = {n: s for n, s in samples.items() if s}
+    medians = {n: round(statistics.median(s), 3) for n, s in timed.items()}
+    cold = {n: round(s[0], 3) for n, s in timed.items()}
     total = round(sum(medians.values()), 3)
+    queries_out: dict[str, object] = dict(medians)
+    for n, err in errors.items():
+        queries_out[n] = {"err": err}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
+                "queries": queries_out,
                 "sf": sf_num,
                 "runs": n_runs,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "errors": len(errors),
             }
         )
     )
