@@ -52,6 +52,7 @@ __all__ = [
     "media_repartition",
     "fake_decode_features",
     "real_decode_features",
+    "decode_features_with_provenance",
 ]
 
 # Typed metadata carried alongside the opaque payload.
@@ -163,21 +164,34 @@ def fake_decode_features(payload: bytes | None, n_features: int = 8) -> list[flo
     return [f / total for f in feats]
 
 
+def decode_features_with_provenance(
+    payload: bytes | None, n_features: int = 8
+) -> tuple[list[float], str]:
+    """Format-sniffing feature decoder that also reports WHICH decoder
+    produced the vector: ``("bmp"|"wav")`` for a real decode,
+    ``"fake"`` for the byte-stat stand-in. In a mixed corpus real and
+    fake feature vectors are numerically indistinguishable, so the
+    label is the only audit trail — downstream filters can drop or
+    re-queue ``decoder = 'fake'`` rows once a real codec is plugged
+    in."""
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "bmp":
+            return bmp_features(payload, n_features), "bmp"
+        if fmt == "wav":
+            return wav_features(payload, n_features), "wav"
+    except ValueError:
+        pass  # sniffed but undecodable (truncated/compressed) -> fake
+    return fake_decode_features(payload, n_features), "fake"
+
+
 def real_decode_features(payload: bytes | None, n_features: int = 8) -> list[float]:
     """Format-sniffing feature decoder: REAL pixel statistics for BMP
     payloads and REAL audio statistics for WAV payloads
     (``media_codecs.py``); anything else (or a corrupt BMP/WAV) falls
     back to the labeled byte-stat fake so a mixed-format corpus never
     fails mid-job."""
-    fmt = sniff_format(payload)
-    try:
-        if fmt == "bmp":
-            return bmp_features(payload, n_features)
-        if fmt == "wav":
-            return wav_features(payload, n_features)
-    except ValueError:
-        pass  # sniffed but undecodable (truncated/compressed) -> fake
-    return fake_decode_features(payload, n_features)
+    return decode_features_with_provenance(payload, n_features)[0]
 
 
 def extract_media_features(
@@ -187,27 +201,39 @@ def extract_media_features(
     decode_fn: Callable[[bytes | None], list[float]] | None = None,
     n_features: int = 8,
     batch_size_hint: int | None = None,
+    provenance_col: str | None = "decoder",
 ) -> DataFrame:
     """Decode media payloads to feature vectors via ``mapInPandas``.
 
     ``decode_fn`` maps one payload to ``list[float]``; the default is
-    the sniffing ``real_decode_features`` — real decode for BMP/WAV,
-    deterministic byte-stat fake for formats that need codec libs
-    unavailable here. Custom decoders that need missing libs should
-    raise ``NotImplementedError`` at import time, not per row.
+    the sniffing dispatcher — real decode for BMP/WAV, deterministic
+    byte-stat fake for formats that need codec libs unavailable here.
+    Custom decoders that need missing libs should raise
+    ``NotImplementedError`` at import time, not per row.
 
-    Output schema = input schema + ``feature_col array<float>``.
+    Output schema = input schema + ``feature_col array<float>`` +
+    ``provenance_col string`` (``"bmp"``/``"wav"``/``"fake"``, or
+    ``"custom"`` when a caller-supplied ``decode_fn`` ran — pass
+    ``provenance_col=None`` to omit). The provenance column is the only
+    way to tell a real decode from the fake fallback in a mixed corpus.
     """
-    fn = decode_fn or (lambda b: real_decode_features(b, n_features))
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(feature_col, MEDIA_FEATURE_TYPE, True)]
-    )
+    if decode_fn is None:
+        dispatch = lambda b: decode_features_with_provenance(b, n_features)  # noqa: E731
+    else:
+        dispatch = lambda b: (decode_fn(b), "custom")  # noqa: E731
+    extra = [T.StructField(feature_col, MEDIA_FEATURE_TYPE, True)]
+    if provenance_col:
+        extra.append(T.StructField(provenance_col, T.StringType(), True))
+    out_schema = T.StructType(list(df.schema.fields) + extra)
     bcol = binary_col
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[feature_col] = pdf[bcol].map(fn)
+            decoded = [dispatch(b) for b in pdf[bcol]]
+            pdf[feature_col] = [feats for feats, _ in decoded]
+            if provenance_col:
+                pdf[provenance_col] = [label for _, label in decoded]
             yield pdf
 
     return df.mapInPandas(_mapper, schema=out_schema)
@@ -225,16 +251,18 @@ def _fake_resize(payload: bytes | None, width: int, height: int) -> bytes:
     return payload[::step][:n_out]
 
 
-def _sniff_resize(payload: bytes | None, width: int, height: int) -> bytes:
+def _sniff_resize(
+    payload: bytes | None, width: int, height: int
+) -> tuple[bytes, str]:
     """Default resize: REAL nearest-neighbor pixel resize for BMP
-    payloads (re-encoded as a valid BMP); labeled byte-sampling fake
-    for everything else."""
+    payloads (re-encoded as a valid BMP, labeled ``"bmp"``);
+    byte-sampling fake labeled ``"fake"`` for everything else."""
     if sniff_format(payload) == "bmp":
         try:
-            return bmp_resize(payload, width, height)
+            return bmp_resize(payload, width, height), "bmp"
         except ValueError:
             pass
-    return _fake_resize(payload, width, height)
+    return _fake_resize(payload, width, height), "fake"
 
 
 def resize_media(
@@ -244,18 +272,34 @@ def resize_media(
     width: int = 64,
     height: int = 64,
     resize_fn: Callable[[bytes | None, int, int], bytes] | None = None,
+    provenance_col: str | None = None,
 ) -> DataFrame:
     """Resize media payloads via ``mapInPandas``; the metadata struct's
-    width/height are updated to the target dimensions. Same schema in
-    and out, so resizes compose with feature extraction. Default
-    ``resize_fn`` is the sniffing dispatcher: a real pixel resize for
-    BMP, the labeled byte-sampling fake otherwise."""
-    fn = resize_fn or _sniff_resize
+    width/height are updated to the target dimensions. Schema is
+    unchanged by default, so resizes compose with feature extraction;
+    pass ``provenance_col`` to append a string column recording which
+    resizer ran per row (``"bmp"`` real / ``"fake"`` byte-sampling /
+    ``"custom"``). Default ``resize_fn`` is the sniffing dispatcher: a
+    real pixel resize for BMP, the labeled byte-sampling fake
+    otherwise."""
+    if resize_fn is None:
+        dispatch = _sniff_resize
+    else:
+        dispatch = lambda b, w, h: (resize_fn(b, w, h), "custom")  # noqa: E731
+    out_schema = df.schema
+    if provenance_col:
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(provenance_col, T.StringType(), True)]
+        )
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[binary_col] = pdf[binary_col].map(lambda b: fn(b, width, height))
+            resized = [dispatch(b, width, height) for b in pdf[binary_col]]
+            pdf[binary_col] = [payload for payload, _ in resized]
+            if provenance_col:
+                pdf[provenance_col] = [label for _, label in resized]
             if meta_col in pdf.columns:
                 def _upd(meta):
                     if not isinstance(meta, dict):
@@ -268,7 +312,7 @@ def resize_media(
                 pdf[meta_col] = pdf[meta_col].map(_upd)
             yield pdf
 
-    return df.mapInPandas(_mapper, schema=df.schema)
+    return df.mapInPandas(_mapper, schema=out_schema)
 
 
 def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
@@ -282,16 +326,17 @@ def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
     return [payload[i * size : (i + 1) * size] for i in range(min(n_frames, n))]
 
 
-def _sniff_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
+def _sniff_frames(payload: bytes | None, n_frames: int) -> tuple[list[bytes], str]:
     """Default frame sampler: REAL time-slice windows for WAV payloads
-    (each frame is itself a valid, decodable WAV); labeled contiguous
-    byte-chunk fake for everything else (video codecs need ffmpeg)."""
+    (each frame is itself a valid, decodable WAV, labeled ``"wav"``);
+    contiguous byte-chunk fake labeled ``"fake"`` for everything else
+    (video codecs need ffmpeg)."""
     if sniff_format(payload) == "wav":
         try:
-            return wav_frames(payload, n_frames)
+            return wav_frames(payload, n_frames), "wav"
         except ValueError:
             pass
-    return _fake_frames(payload, n_frames)
+    return _fake_frames(payload, n_frames), "fake"
 
 
 def sample_frames(
@@ -299,6 +344,7 @@ def sample_frames(
     binary_col: str = "content",
     n_frames: int = 4,
     frame_fn: Callable[[bytes | None, int], list[bytes]] | None = None,
+    provenance_col: str | None = None,
 ) -> DataFrame:
     """Sample ``n_frames`` frames per video payload: one OUTPUT ROW per
     frame with ``frame_idx int`` + ``frame binary`` appended (the
@@ -306,23 +352,30 @@ def sample_frames(
     explosion happens inside the Arrow batch, so a task's memory is
     bounded by batch size × frames, never the whole video table.
     Default ``frame_fn`` is the sniffing dispatcher: real WAV
-    time-slices, labeled byte-chunk fake otherwise."""
-    fn = frame_fn or _sniff_frames
+    time-slices, labeled byte-chunk fake otherwise; pass
+    ``provenance_col`` to append which sampler ran (``"wav"`` /
+    ``"fake"`` / ``"custom"``, replicated onto each frame row)."""
+    if frame_fn is None:
+        dispatch = _sniff_frames
+    else:
+        dispatch = lambda b, n: (frame_fn(b, n), "custom")  # noqa: E731
     keep = [f for f in df.schema.fields if f.name != binary_col]
-    out_schema = T.StructType(
-        keep
-        + [
-            T.StructField("frame_idx", T.IntegerType(), False),
-            T.StructField("frame", T.BinaryType(), True),
-        ]
-    )
+    extra = [
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+    if provenance_col:
+        extra.append(T.StructField(provenance_col, T.StringType(), True))
+    out_schema = T.StructType(keep + extra)
     keep_names = [f.name for f in keep]
+    out_names = [f.name for f in out_schema.fields]
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Columnar explode: one pass over zipped columns (no
         # iterrows/per-row pandas indexing in the hot loop).
         for pdf in batches:
-            frame_lists = [fn(payload, n_frames) for payload in pdf[binary_col]]
+            sampled = [dispatch(payload, n_frames) for payload in pdf[binary_col]]
+            frame_lists = [fl for fl, _ in sampled]
             counts = [len(fl) for fl in frame_lists]
             data = {
                 k: [v for v, c in zip(pdf[k], counts) for _ in range(c)]
@@ -330,6 +383,10 @@ def sample_frames(
             }
             data["frame_idx"] = [i for c in counts for i in range(c)]
             data["frame"] = [frame for fl in frame_lists for frame in fl]
-            yield pd.DataFrame(data, columns=keep_names + ["frame_idx", "frame"])
+            if provenance_col:
+                data[provenance_col] = [
+                    label for (_, label), c in zip(sampled, counts) for _ in range(c)
+                ]
+            yield pd.DataFrame(data, columns=out_names)
 
     return df.mapInPandas(_mapper, schema=out_schema)

@@ -946,6 +946,9 @@ def q_multimodal_features(spark, sf):
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
         F.col("media_meta.size_bytes").alias("size_bytes"),
+        # decode provenance: "bmp"/"wav" = real stdlib decode, "fake" =
+        # byte-stat fallback (indistinguishable from real numerically)
+        "decoder",
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     )
@@ -988,9 +991,12 @@ def q_multimodal_frame_pipeline(spark, sf):
     media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
     media = attach_media_metadata(media, media_type="video", fmt="raw")
     resized = resize_media(media, width=16, height=4)
-    frames = sample_frames(resized, n_frames=3)
+    frames = sample_frames(resized, n_frames=3, provenance_col="sampler")
     return frames.select(
-        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        "sampler",
     )
 
 

@@ -144,6 +144,46 @@ def test_real_decode_features_dispatch():
     assert real_decode_features(broken, 8) == fake_decode_features(broken, 8)
 
 
+def test_decode_provenance_labels(spark):
+    """In a mixed corpus real and fake feature vectors are numerically
+    indistinguishable — the `decoder` column is the audit trail. BMP and
+    WAV payloads must report their real decode, everything else `fake`,
+    a caller-supplied decoder `custom`."""
+    from gluestick_ts_spark.operators.multimodal import (
+        decode_features_with_provenance,
+        resize_media,
+        sample_frames,
+    )
+
+    bmp, wav_p, other = make_bmp(), make_wav(), b"not media at all"
+    assert decode_features_with_provenance(bmp, 8)[1] == "bmp"
+    assert decode_features_with_provenance(wav_p, 8)[1] == "wav"
+    assert decode_features_with_provenance(other, 8)[1] == "fake"
+    assert decode_features_with_provenance(bmp[:40], 8)[1] == "fake"  # truncated
+
+    df = spark.createDataFrame(
+        [(1, bmp), (2, wav_p), (3, other)], "id long, content binary"
+    )
+    out = {r.id: r.decoder for r in extract_media_features(df, n_features=8).collect()}
+    assert out == {1: "bmp", 2: "wav", 3: "fake"}
+
+    custom = extract_media_features(df, decode_fn=lambda b: [0.0], n_features=1)
+    assert {r.decoder for r in custom.collect()} == {"custom"}
+
+    no_prov = extract_media_features(df, n_features=8, provenance_col=None)
+    assert "decoder" not in no_prov.columns
+
+    rz = {
+        r.id: r.resizer
+        for r in resize_media(df, width=2, height=2, provenance_col="resizer").collect()
+    }
+    assert rz == {1: "bmp", 2: "fake", 3: "fake"}
+
+    fr = sample_frames(df, n_frames=2, provenance_col="sampler").collect()
+    labels = {(r.id, r.sampler) for r in fr}
+    assert labels == {(1, "fake"), (2, "wav"), (3, "fake")}
+
+
 def test_spark_pipeline_mixed_formats(spark):
     """End-to-end over mapInPandas: a mixed BMP/WAV/other corpus gets
     real features for real formats, fake for the rest, in one job."""
