@@ -229,11 +229,15 @@ def chunk_tokens(
     alongside the chunk text inside the same ``transform`` — not a
     re-split of the joined string, which double-counted chunks whose
     tokens round-trip differently through ``concat_ws``/``split``.
+
+    NULL text is treated as the empty string (one empty chunk), so the
+    operator is total: without the coalesce, ``size(NULL)`` poisons the
+    chunk count to NULL and the row's output becomes engine-dependent.
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     step = chunk_size - overlap
-    toks = tokens_expr(F.col(text_col))
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
     n_chunks = F.greatest(
         F.ceil((F.size(toks) - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
         F.lit(1),

@@ -118,7 +118,9 @@ def ann_recall_vs_exact(
     fixed /k could never reach 1.0. The exact side is also deduped on
     (query_id, neighbor_id) first so duplicate exact rows can't fan out
     approx rows through the left join. A query with NO exact rows gets
-    recall 0.0 (nothing to recall — denominator clamps to 1).
+    recall 0.0 either way: no hits can join, and the NULL ``__exn``
+    makes ``least`` fall back to k as the denominator (Spark's
+    ``least`` skips NULLs), so 0 hits / k = 0.0.
     """
     ex = exact.select("query_id", "neighbor_id").dropDuplicates(
         ["query_id", "neighbor_id"]

