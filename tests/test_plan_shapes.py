@@ -1,0 +1,126 @@
+"""Physical-plan regression gates for the headline queries.
+
+Correctness tests prove the VALUES; these prove the PLAN — the
+properties that decide whether a query survives a 100 TB scale-up:
+small dimensions broadcast (no shuffled join of a 5-row region table),
+filters reach the parquet scan (PushedFilters), projections prune the
+read schema (a 2-column query must not scan 16 columns), hot
+relational paths stay JVM-side (no Python eval operators), and
+single-aggregation queries shuffle exactly once. A regression in any
+of these can pass every value check at sf0.001 and still fall over on
+a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gluestick_ts_spark.plans.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _shuffles(plan: str) -> int:
+    # detail-section headers only; broadcast exchanges are not shuffles
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_top_shipping", "q5_regional_revenue", "q14_promo_revenue",
+     "join_broadcast_brand", "q7_nation_volume", "q10_returned_items"],
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """Every dim-to-fact join must be a broadcast join — a shuffled
+    join keyed on a 5-row region table would shuffle the fact side for
+    nothing."""
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,must_push",
+    [
+        ("q6_revenue_delta", "l_shipdate"),      # date + qty + discount slice
+        ("q14_promo_revenue", "l_shipdate"),     # month slice
+        ("q3_top_shipping", "o_orderdate"),      # date slice on orders
+    ],
+)
+def test_filters_reach_parquet_scan(spark, sf_dir, name, must_push):
+    """Selective predicates must appear in PushedFilters — a filter
+    evaluated post-scan reads the whole table off disk first."""
+    plan = _plan(spark, sf_dir, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(must_push in p for p in pushed), (name, pushed)
+
+
+@pytest.mark.parametrize(
+    "name,table_width,max_cols",
+    [
+        ("q1_pricing_summary", 16, 7),    # lineitem is 16 cols wide
+        ("q6_revenue_delta", 16, 4),
+        ("order_limit_global", 9, 2),     # orders is 9 cols wide
+        ("hash_split_documents", 5, 1),   # documents: only doc_id read
+    ],
+)
+def test_scan_schema_pruned(spark, sf_dir, name, table_width, max_cols):
+    """Column pruning must reach the scan: reading all N columns for a
+    narrow projection multiplies scan bytes at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    widths = [s.count(":") for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    assert widths, name
+    assert max(widths) <= max_cols < table_width, (name, widths)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "sessionize_events", "text_stats", "lang_scores",
+     "dedup_exact_docs", "chunk_tokens_docs", "ngram_contamination_docs",
+     "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_topk"],
+)
+def test_hot_paths_have_no_python_operators(spark, sf_dir, name):
+    """Relational, text, and dedup/ANN hot paths are pure Column
+    expressions — a Python eval node (pickled row round-trip) in one of
+    these is a 10-100x slowdown that values-tests can't see. (The only
+    sanctioned Python boundary is Arrow mapInPandas in the multimodal
+    queries.)"""
+    plan = _plan(spark, sf_dir, name)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, (name, node)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q6_revenue_delta", "stats_agg_orders",
+     "grouping_sets_customer", "sessionize_events", "window_funcs_orders"],
+)
+def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
+    """One groupBy/window over one table = exactly one shuffle; a
+    second Exchange means the plan re-partitions data it already
+    partitioned."""
+    plan = _plan(spark, sf_dir, name)
+    assert _shuffles(plan) <= 1, (name, _shuffles(plan))
+
+
+def test_whole_stage_codegen_covers_headline_agg(spark, sf_dir):
+    """The q1 aggregation pipeline must run inside WholeStageCodegen —
+    falling out of codegen (e.g. via an unsupported expression) is a
+    silent interpreter-mode regression. (AQE finalizes the physical
+    plan only at execution, so run the 6-row aggregate and inspect the
+    executed plan.)"""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages print as "*(n) Operator" in the executed plan
+    starred = re.findall(r"\*\(\d+\) (\w+)", plan)
+    assert "HashAggregate" in starred, (starred, plan[:300])
