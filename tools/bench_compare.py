@@ -36,6 +36,13 @@ def main() -> int:
     print(f"{'query':<32} {'base':>8} {'cur':>8} {'ratio':>6}")
     for name in sorted(set(bq) | set(cq)):
         b, c = bq.get(name), cq.get(name)
+        # fault-isolated bench records failed queries as {"err": ...}
+        if isinstance(b, dict):
+            b = None
+        if isinstance(c, dict):
+            print(f"{name:<32} {'-':>8} {'ERR':>8}    {c.get('err', '')[:60]}")
+            flagged.append(name)
+            continue
         if b is None:
             print(f"{name:<32} {'-':>8} {c:>8.2f}    new")
         elif c is None:
