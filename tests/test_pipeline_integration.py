@@ -1,0 +1,77 @@
+"""End-to-end training-data-prep pipeline: the operators composed the
+way a real corpus job would run them — exact dedup, fuzzy dedup,
+quality/language filtering, deterministic splitting, token chunking —
+with cross-stage invariants asserted on the real test corpus.
+
+Each stage is individually oracle- or property-tested elsewhere; this
+test pins the COMPOSITION: stages must not undo each other's
+guarantees (a re-introduced duplicate, a split leak between train and
+test, a chunk from a filtered-out document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.functions.sampling import hash_split
+from gluestick_ts_spark.functions.text import (
+    chunk_tokens,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from gluestick_ts_spark.operators.dedup import dedup_exact, dedup_minhash
+from gluestick_ts_spark.sources.parquet_compat import read_parquet_compat
+
+
+def test_llm_data_prep_pipeline(spark, sf_dir):
+    docs = read_parquet_compat(spark, f"{sf_dir}/documents.parquet")
+    n_raw = docs.count()
+
+    # 1. exact dedup: one survivor per normalized fingerprint
+    exact = dedup_exact(docs)
+    fps = exact.select(fingerprint_expr("text").alias("fp"))
+    assert fps.count() == fps.distinct().count()
+
+    # 2. fuzzy dedup on the exact survivors
+    fuzzy = dedup_minhash(exact, threshold=0.7)
+    n_fuzzy = fuzzy.count()
+    assert n_fuzzy <= exact.count() <= n_raw
+
+    # 3. quality + language gate (pure Column exprs)
+    scored = fuzzy.select(
+        "*",
+        quality_score_expr("text").alias("q"),
+        lang_id_expr("text").alias("lang_pred"),
+    )
+    kept = scored.where((F.col("q") >= 0.3) & F.col("lang_pred").isNotNull())
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_fuzzy
+
+    # 4. deterministic split: disjoint, exhaustive, reproducible
+    split = hash_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    by_split = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n_kept
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split.get("train", 0) > by_split.get("test", 0)
+    again = hash_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [r["doc_id"] for r in split.where("split='test'").orderBy("doc_id").collect()] == [
+        r["doc_id"] for r in again.where("split='test'").orderBy("doc_id").collect()
+    ]
+
+    # 5. chunk only the train split; every chunk traces to a kept train doc
+    train = split.where("split='train'")
+    chunks = chunk_tokens(train, chunk_size=64, overlap=8)
+    n_train = train.count()
+    assert chunks.count() >= n_train  # >=1 chunk per doc
+    stray = chunks.join(train.select("doc_id"), on="doc_id", how="left_anti")
+    assert stray.count() == 0
+
+    # 6. budget accounting: chunk token totals are bounded by the
+    # whitespace token count plus per-chunk overlap duplication
+    totals = chunks.agg(F.sum("n_tokens").alias("chunk_toks"), F.count("*").alias("n_chunks")).first()
+    doc_toks = train.agg(
+        F.sum(token_count_expr("text")).alias("t")
+    ).first()["t"]
+    assert totals["chunk_toks"] <= doc_toks + totals["n_chunks"] * 8
