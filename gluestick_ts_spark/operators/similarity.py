@@ -252,9 +252,17 @@ def ann_lsh_topk(
             "__table", "__bucket"
         ),
     )
+    # Partition by query_id BEFORE the pair-distinct: hashpartitioning
+    # on a SUBSET of the dedup keys satisfies the aggregate's required
+    # distribution, and the same partitioning feeds the rank window —
+    # one Exchange where dedup-then-window previously took two
+    # ((query_id, neighbor_id) then (query_id) again over the full
+    # candidate set). Per-partition candidate volume is the same skew
+    # the rank window already had.
     cand_ids = (
         q_b.join(c_b, on=["__table", "__bucket"])
         .select("query_id", "neighbor_id")
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
