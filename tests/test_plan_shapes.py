@@ -112,6 +112,29 @@ def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
     assert _shuffles(plan) <= 1, (name, _shuffles(plan))
 
 
+def test_ann_lsh_reuses_query_partitioning(spark, sf_dir):
+    """The LSH candidate pipeline must dedup and rank on ONE
+    query-keyed exchange — regressing to separate (query, neighbor)
+    and (query) shuffles doubles post-join data movement."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import ann_lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5)
+    plan = _plan_of(spark, out)
+    assert _shuffles(plan) == 1, plan
+    args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
+    assert all("neighbor_id" not in a for a in args), args
+
+
+def _plan_of(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_whole_stage_codegen_covers_headline_agg(spark, sf_dir):
     """The q1 aggregation pipeline must run inside WholeStageCodegen —
     falling out of codegen (e.g. via an unsupported expression) is a
