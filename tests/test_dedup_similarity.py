@@ -415,3 +415,54 @@ def test_embedding_neardup_planted_pairs(spark, sf_dir):
         min(planted.values()),
         max(planted.values()),
     )
+
+
+def test_signature_jaccard_estimator(spark, docs):
+    """Signature agreement estimates true Jaccard: identical docs -> 1.0,
+    unrelated docs -> near 0, near-dups in between."""
+    from gluestick_ts_spark.operators.dedup import (
+        minhash_signatures,
+        signature_jaccard_expr,
+    )
+
+    sigs = {r.id: r.signature for r in minhash_signatures(docs, num_hashes=128).collect()}
+    df = spark.createDataFrame(
+        [(sigs[1], sigs[2]), (sigs[1], sigs[4]), (sigs[1], sigs[5])],
+        "a array<long>, b array<long>",
+    )
+    est = [r.j for r in df.select(signature_jaccard_expr("a", "b").alias("j")).collect()]
+    assert est[0] == 1.0          # exact dup: identical signatures
+    assert 0.3 < est[1] <= 1.0    # near dup (one token changed)
+    assert est[2] < 0.2           # unrelated content
+
+
+def test_dedup_minhash_incremental(spark, docs):
+    """Cross-store incremental dedup: batch docs near-identical to the
+    stored corpus are dropped via signatures only; fresh docs survive
+    and their signatures come back for the store."""
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    # store = docs 1-5's signatures (the accepted corpus)
+    store = minhash_signatures(docs)
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # exact dup of stored doc 1 -> dropped
+            (11, BASE.replace("lazy", "sleepy")),  # near dup of stored 1/4 -> dropped
+            (12, "entirely new document about distributed joins and page cache behavior"),
+            (13, "entirely new document about distributed joins and page cache behavior"),
+            # 12/13 are batch-internal exact dups: one survives
+        ],
+        "doc_id long, text string",
+    )
+    survivors, sigs = dedup_minhash_incremental(batch, store, threshold=0.7)
+    ids = {r.doc_id for r in survivors.collect()}
+    assert ids == {12}
+    sig_ids = {r.id for r in sigs.collect()}
+    assert sig_ids == {12}
+    # idempotent: appending survivors then re-running the batch drops all
+    new_store = store.unionByName(sigs)
+    again, _ = dedup_minhash_incremental(batch, new_store, threshold=0.7)
+    assert again.count() == 0
