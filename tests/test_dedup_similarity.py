@@ -466,3 +466,29 @@ def test_dedup_minhash_incremental(spark, docs):
     new_store = store.unionByName(sigs)
     again, _ = dedup_minhash_incremental(batch, new_store, threshold=0.7)
     assert again.count() == 0
+
+
+def test_dedup_exact_incremental(spark, docs):
+    """Exact cross-store dedup: batch rows whose normalized fingerprint
+    is already in the store are dropped via one anti-join; fresh rows
+    survive with their fingerprints returned for the store."""
+    from gluestick_ts_spark.functions.text import fingerprint_expr
+    from gluestick_ts_spark.operators.dedup import dedup_exact_incremental
+
+    store = docs.select(fingerprint_expr("text").alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (20, BASE),  # normalized-exact dup of stored doc 1
+            (21, "THE  quick BROWN fox jumps over the lazy dog and runs far away home tonight"),
+            (22, "a genuinely new document"),
+            (23, "a genuinely new document"),  # batch-internal dup of 22
+        ],
+        "doc_id long, text string",
+    )
+    survivors, fps = dedup_exact_incremental(batch, store)
+    assert {r.doc_id for r in survivors.collect()} == {22}
+    assert "__gs_fp" not in survivors.columns
+    assert fps.count() == 1
+    # append-and-rerun is idempotent
+    again, _ = dedup_exact_incremental(batch, store.unionByName(fps))
+    assert again.count() == 0
