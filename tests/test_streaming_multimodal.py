@@ -182,3 +182,53 @@ def test_stream_sessionize(spark, tmp_path):
     got2 = run_available([(2, datetime(2024, 1, 1, 12, 0))])
     flushed = [(r.user_id, r.n_events) for r in got2]
     assert (1, 1) in flushed, flushed
+
+
+def test_stream_dedup_incremental(spark, tmp_path):
+    """Streaming fuzzy dedup against a durable signature store: batch 1
+    seeds the store; batch 2's near-duplicates of batch 1 are dropped
+    while its fresh docs survive and extend the store."""
+    from gluestick_ts_spark.streaming.incremental import stream_dedup_incremental
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+
+    # batch 1: two distinct docs
+    _write_stream_batch(src, spark, [(1, base), (2, "completely different content about spark engines")], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup_incremental(stream, store, emit, threshold=0.7, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert set().union(*emitted.values()) == {1, 2}
+
+    # batch 2: near-dup of doc 1 + a fresh doc
+    emitted.clear()
+    _write_stream_batch(
+        src, spark,
+        [(10, base.replace("lazy", "sleepy")), (11, "a genuinely new page about bucketed joins")],
+        schema,
+    )
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        stream_dedup_incremental(stream2, store, emit, threshold=0.7, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert set().union(*emitted.values()) == {11}  # 10 caught by the store
+    sig_ids = {r.id for r in spark.read.parquet(f"{store}/signatures.parquet").collect()}
+    assert sig_ids == {1, 2, 11}
