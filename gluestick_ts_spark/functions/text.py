@@ -30,6 +30,7 @@ __all__ = [
     "shingles_expr",
     "raw_shingles_expr",
     "repetition_ratio_expr",
+    "gopher_quality_flags",
     "redact_pii_expr",
     "chunk_tokens",
     "PII_PATTERNS",
@@ -262,6 +263,83 @@ def chunk_tokens(
             F.col("__c.chunk_text").alias("chunk_text"),
             F.col("__c.n_tokens").alias("n_tokens"),
         )
+    )
+
+
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_3gram_ratio: float = 0.5,
+) -> Column:
+    """Gopher-style rule-based quality filter (the published heuristics
+    from the Gopher/MassiveText paper, Rae et al. 2021 §A1.1) as one
+    struct of per-rule booleans plus an overall ``passes`` — pure
+    Column expressions, so filtering 100 TB is a map-only scan with
+    every rule's verdict kept for auditability (drop-REASON analysis is
+    a groupBy over the flags, not a re-run):
+
+    - ``n_words_ok``: word count within [min_words, max_words]
+    - ``mean_word_len_ok``: mean word length within [3, 10]
+    - ``symbol_ratio_ok``: '#'/'…'/'...'-to-word ratio <= 0.1
+    - ``bullet_lines_ok``: < 90% of lines start with a bullet
+    - ``ellipsis_lines_ok``: < 30% of lines end with an ellipsis
+    - ``alpha_words_ok``: >= 80% of words contain a letter
+    - ``stopwords_ok``: at least 2 distinct common-stopword hits
+    - ``repetition_ok``: duplicate word-3-gram ratio <= 0.5
+    """
+    t = _col(text)
+    toks = tokens_expr(t)
+    n_words = F.size(toks).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1.0))
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / safe_words
+    )
+    n_symbols = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    ).cast("double")
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([•‣▪-]\s)")))
+        .cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+        .cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike(r"[a-z]"))).cast("double") / safe_words
+    )
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(F.array_distinct(F.filter(toks, lambda w: F.array_contains(sw, w))))
+    flags = {
+        "n_words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": (n_symbols / safe_words) <= max_symbol_word_ratio,
+        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words_ok": alpha_frac >= min_alpha_word_frac,
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+        "repetition_ok": repetition_ratio_expr(t, 3) <= max_dup_3gram_ratio,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[c.alias(name) for name, c in flags.items()], passes.alias("passes")
     )
 
 

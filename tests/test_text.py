@@ -185,3 +185,41 @@ def test_chunk_tokens_null_text_is_total(spark):
     assert null_rows[0].chunk_text == ""
     assert null_rows[0].n_tokens == 1  # [''] — same as DuckDB's split of ''
     assert null_rows[0].chunk_idx == 0
+
+
+def test_gopher_quality_flags(spark):
+    """Per-rule verdicts: a normal paragraph passes; short, symbol-soup,
+    bulleted, repeated, and letterless docs each fail their rule."""
+    from gluestick_ts_spark.functions.text import gopher_quality_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away to the "
+        "old mill where it finds a quiet place to rest for the night and in "
+        "the morning it sets out again across the wide green valley toward "
+        "the distant hills looking for food and shelter along the winding path"
+    )
+    rows = {
+        1: good,
+        2: "too short",
+        3: good + " ### ### ### ### ### ### ### ### ### ### ### ### ### ###",
+        4: "\n".join("- bullet item here" for _ in range(20)),
+        5: " ".join(["alpha beta gamma"] * 40),  # heavy 3-gram repetition
+        6: " ".join(["12345 67890 24680"] * 30),  # no alphabetic words
+    }
+    df = spark.createDataFrame(list(rows.items()), "doc_id long, text string")
+    out = {
+        r.doc_id: r.flags.asDict()
+        for r in df.select("doc_id", gopher_quality_flags("text").alias("flags")).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["n_words_ok"] is False and out[2]["passes"] is False
+    assert out[3]["symbol_ratio_ok"] is False
+    assert out[4]["bullet_lines_ok"] is False
+    assert out[5]["repetition_ok"] is False
+    assert out[6]["alpha_words_ok"] is False
+    # auditability: every rule's verdict is present
+    assert set(out[1]) == {
+        "n_words_ok", "mean_word_len_ok", "symbol_ratio_ok", "bullet_lines_ok",
+        "ellipsis_lines_ok", "alpha_words_ok", "stopwords_ok", "repetition_ok",
+        "passes",
+    }
