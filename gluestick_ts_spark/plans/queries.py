@@ -34,6 +34,7 @@ from ..functions.text import (
     TOKEN_REGEX,
     chunk_tokens,
     fingerprint_expr,
+    gopher_quality_flags,
     lang_id_expr,
     lang_score_expr,
     punct_ratio_expr,
@@ -678,7 +679,9 @@ def q_approx_distinct_users(spark, sf):
 
 def q_text_stats(spark, sf):
     """Quality scoring + token counting over documents (all JVM-side
-    column expressions; functions/text.py)."""
+    column expressions; functions/text.py), plus the Gopher-rule
+    overall verdict — oracle-checked, so all eight published rules are
+    replicated in SQL and hash-compared."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -688,6 +691,7 @@ def q_text_stats(spark, sf):
         stopword_ratio_expr("text").alias("stopword_ratio"),
         quality_score_expr("text").alias("quality"),
         F.round(repetition_ratio_expr("text", 3), 6).alias("dup_3gram_ratio"),
+        gopher_quality_flags("text").getField("passes").alias("gopher_pass"),
     )
 
 
@@ -1075,6 +1079,49 @@ assert len(QUERIES) <= 50, "driver records at most 50 correctness rows"
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+# Gopher-rule SQL fragments (mirror functions/text.py
+# gopher_quality_flags default thresholds exactly).
+_LINES = "string_split(text, chr(10))"
+_TRIGRAMS = (
+    f"[array_to_string(({_TOKS})[i:i+2], ' ') "
+    f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)]"
+)
+_GOPHER_PASS_SQL = " AND ".join(
+    [
+        f"(len({_TOKS}) BETWEEN 50 AND 100000)",
+        (
+            f"(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)"
+            f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) BETWEEN 3.0 AND 10.0)"
+        ),
+        (
+            "(CAST(len(regexp_extract_all(text, '#')) + "
+            "len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)"
+            f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) <= 0.1)"
+        ),
+        (
+            f"(CAST(len(list_filter({_LINES}, l -> "
+            "regexp_matches(trim(l), '^([•‣▪-]\\s)'))) AS DOUBLE)"
+            f" / CAST(greatest(len({_LINES}), 1) AS DOUBLE) <= 0.9)"
+        ),
+        (
+            f"(CAST(len(list_filter({_LINES}, l -> "
+            "regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)"
+            f" / CAST(greatest(len({_LINES}), 1) AS DOUBLE) <= 0.3)"
+        ),
+        (
+            f"(CAST(len(list_filter({_TOKS}, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)"
+            f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) >= 0.8)"
+        ),
+        (
+            f"(len(list_distinct(list_filter({_TOKS}, t -> list_contains({_SW}, t)))) >= 2)"
+        ),
+        (
+            f"(1.0 - CAST(len(list_distinct({_TRIGRAMS})) AS DOUBLE)"
+            f" / CAST(greatest(len({_TRIGRAMS}), 1) AS DOUBLE) <= 0.5)"
+        ),
+    ]
+)
+
 
 def _marker_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
@@ -1391,7 +1438,8 @@ ORACLES: dict[str, str] = {
         f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)])) AS DOUBLE) "
         f"/ CAST(greatest(len([array_to_string(({_TOKS})[i:i+2], ' ') "
         f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)]), 1) AS DOUBLE), 6) "
-        "AS dup_3gram_ratio "
+        "AS dup_3gram_ratio, "
+        f"({_GOPHER_PASS_SQL}) AS gopher_pass "
         "FROM documents"
     ),
     "lang_scores": (
