@@ -31,6 +31,7 @@ __all__ = [
     "raw_shingles_expr",
     "repetition_ratio_expr",
     "gopher_quality_flags",
+    "gopher_rules_sql",
     "redact_pii_expr",
     "chunk_tokens",
     "PII_PATTERNS",
@@ -266,8 +267,8 @@ def chunk_tokens(
     )
 
 
-def gopher_quality_flags(
-    text: Column | str,
+def gopher_rules_sql(
+    text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -278,13 +279,71 @@ def gopher_quality_flags(
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
     max_dup_3gram_ratio: float = 0.5,
-) -> Column:
+) -> dict[str, str]:
+    """Spark-SQL fragment per Gopher rule (see ``gopher_quality_flags``)
+    keyed by flag name. Kept as SQL strings so the whole rule set
+    enters the plan through ONE parser call — building the equivalent
+    tree Column-by-Column through py4j cost ~0.5 s of driver time per
+    query construction, which dominated the (map-only) scan at bench
+    scale."""
+    t = f"`{text_col}`"
+    toks = f"split(lower(trim({t})), '\\\\s+')"
+    nw = f"CAST(size({toks}) AS DOUBLE)"
+    safe_w = f"greatest({nw}, 1.0D)"
+    lines = f"split({t}, '\\n')"
+    safe_l = f"CAST(greatest(size({lines}), 1) AS DOUBLE)"
+    # word-3-gram list, identical shape to repetition_ratio_expr(t, 3):
+    # zip_with over shifted slices — each array evaluated once per row
+    g2 = (
+        f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 1)), "
+        "(a, b) -> concat_ws(' ', a, b))"
+    )
+    g3 = (
+        f"zip_with({g2}, slice({toks}, 3, greatest(size({toks}) - 2, 1)), "
+        "(a, b) -> concat_ws(' ', a, b))"
+    )
+    grams = f"slice({g3}, 1, greatest(size({toks}) - 2, 1))"
+    sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
+    return {
+        "n_words_ok": f"({nw} >= {min_words} AND {nw} <= {max_words})",
+        "mean_word_len_ok": (
+            f"(CAST(aggregate({toks}, 0L, (a, x) -> a + length(x)) AS DOUBLE)"
+            f" / {safe_w} BETWEEN {min_mean_word_len}D AND {max_mean_word_len}D)"
+        ),
+        "symbol_ratio_ok": (
+            f"(CAST(regexp_count({t}, '#') + regexp_count({t}, '\\\\.\\\\.\\\\.|…') AS DOUBLE)"
+            f" / {safe_w} <= {max_symbol_word_ratio}D)"
+        ),
+        "bullet_lines_ok": (
+            f"(CAST(size(filter({lines}, l -> trim(l) rlike '^([•‣▪-]\\\\s)')) AS DOUBLE)"
+            f" / {safe_l} <= {max_bullet_line_frac}D)"
+        ),
+        "ellipsis_lines_ok": (
+            f"(CAST(size(filter({lines}, l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)$')) AS DOUBLE)"
+            f" / {safe_l} <= {max_ellipsis_line_frac}D)"
+        ),
+        "alpha_words_ok": (
+            f"(CAST(size(filter({toks}, w -> w rlike '[a-z]')) AS DOUBLE)"
+            f" / {safe_w} >= {min_alpha_word_frac}D)"
+        ),
+        "stopwords_ok": (
+            f"(size(array_distinct(filter({toks}, w -> array_contains({sw}, w))))"
+            f" >= {min_stopword_hits})"
+        ),
+        "repetition_ok": (
+            f"(1.0D - CAST(size(array_distinct({grams})) AS DOUBLE)"
+            f" / CAST(greatest(size({grams}), 1) AS DOUBLE) <= {max_dup_3gram_ratio}D)"
+        ),
+    }
+
+
+def gopher_quality_flags(text: str = "text", **thresholds) -> Column:
     """Gopher-style rule-based quality filter (the published heuristics
     from the Gopher/MassiveText paper, Rae et al. 2021 §A1.1) as one
-    struct of per-rule booleans plus an overall ``passes`` — pure
-    Column expressions, so filtering 100 TB is a map-only scan with
-    every rule's verdict kept for auditability (drop-REASON analysis is
-    a groupBy over the flags, not a re-run):
+    struct of per-rule booleans plus an overall ``passes`` — pure SQL
+    expressions, so filtering 100 TB is a map-only scan with every
+    rule's verdict kept for auditability (drop-REASON analysis is a
+    groupBy over the flags, not a re-run):
 
     - ``n_words_ok``: word count within [min_words, max_words]
     - ``mean_word_len_ok``: mean word length within [3, 10]
@@ -294,53 +353,18 @@ def gopher_quality_flags(
     - ``alpha_words_ok``: >= 80% of words contain a letter
     - ``stopwords_ok``: at least 2 distinct common-stopword hits
     - ``repetition_ok``: duplicate word-3-gram ratio <= 0.5
+
+    ``text`` is a COLUMN NAME (the rules enter the plan as one parsed
+    SQL expression — see ``gopher_rules_sql``); thresholds are keyword
+    arguments forwarded there. ``passes`` re-states every rule, so
+    select ONLY ``.getField("passes")`` when the per-rule flags aren't
+    needed — Catalyst then prunes the struct to a single evaluation of
+    each rule.
     """
-    t = _col(text)
-    toks = tokens_expr(t)
-    n_words = F.size(toks).cast("double")
-    safe_words = F.greatest(n_words, F.lit(1.0))
-    mean_len = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-        .cast("double")
-        / safe_words
-    )
-    n_symbols = (
-        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\.|…"))
-    ).cast("double")
-    lines = F.split(t, r"\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_frac = (
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([•‣▪-]\s)")))
-        .cast("double")
-        / n_lines
-    )
-    ellipsis_frac = (
-        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
-        .cast("double")
-        / n_lines
-    )
-    alpha_frac = (
-        F.size(F.filter(toks, lambda w: w.rlike(r"[a-z]"))).cast("double") / safe_words
-    )
-    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    stop_hits = F.size(F.array_distinct(F.filter(toks, lambda w: F.array_contains(sw, w))))
-    flags = {
-        "n_words_ok": (n_words >= min_words) & (n_words <= max_words),
-        "mean_word_len_ok": (mean_len >= min_mean_word_len)
-        & (mean_len <= max_mean_word_len),
-        "symbol_ratio_ok": (n_symbols / safe_words) <= max_symbol_word_ratio,
-        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
-        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
-        "alpha_words_ok": alpha_frac >= min_alpha_word_frac,
-        "stopwords_ok": stop_hits >= min_stopword_hits,
-        "repetition_ok": repetition_ratio_expr(t, 3) <= max_dup_3gram_ratio,
-    }
-    passes = None
-    for c in flags.values():
-        passes = c if passes is None else (passes & c)
-    return F.struct(
-        *[c.alias(name) for name, c in flags.items()], passes.alias("passes")
-    )
+    rules = gopher_rules_sql(text, **thresholds)
+    fields = ", ".join(f"'{name}', {sql}" for name, sql in rules.items())
+    passes = " AND ".join(rules.values())
+    return F.expr(f"named_struct({fields}, 'passes', {passes})")
 
 
 def repetition_ratio_expr(text: Column | str, n: int = 3) -> Column:
