@@ -27,6 +27,8 @@ __all__ = [
     "fingerprint_expr",
     "lang_score_expr",
     "lang_id_expr",
+    "lang_score_sql",
+    "lang_id_sql",
     "shingles_expr",
     "raw_shingles_expr",
     "repetition_ratio_expr",
@@ -156,6 +158,32 @@ def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr",
     )
     best = F.array_max(candidates)
     return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_score_sql(col: str, lang: str) -> str:
+    """Spark-SQL fragment computing ``lang_score_expr`` for a named
+    column — semantics identical; exists so multi-language queries can
+    enter the plan as parsed SQL (one parser call) instead of ~50 py4j
+    Column constructions per language (see gopher_rules_sql rationale)."""
+    toks = f"split(lower(trim(`{col}`)), '\\\\s+')"
+    mk = "array(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")"
+    return (
+        f"CAST(size(filter({toks}, t -> array_contains({mk}, t))) AS DOUBLE)"
+        f" / CAST(greatest(size({toks}), 1) AS DOUBLE)"
+    )
+
+
+def lang_id_sql(col: str, langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh")) -> str:
+    """Spark-SQL fragment computing ``lang_id_expr`` for a named column
+    (argmax marker score via lexicographic struct max, ties to earlier
+    language, 'und' when all scores are zero)."""
+    cands = ", ".join(
+        f"named_struct('score', {lang_score_sql(col, lang)}, "
+        f"'prio', {-i}, 'lang', '{lang}')"
+        for i, lang in enumerate(langs)
+    )
+    best = f"array_max(array({cands}))"
+    return f"CASE WHEN {best}.score > 0.0D THEN {best}.lang ELSE 'und' END"
 
 
 def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:

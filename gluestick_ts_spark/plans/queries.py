@@ -35,8 +35,8 @@ from ..functions.text import (
     chunk_tokens,
     fingerprint_expr,
     gopher_quality_flags,
-    lang_id_expr,
-    lang_score_expr,
+    lang_id_sql,
+    lang_score_sql,
     punct_ratio_expr,
     quality_score_expr,
     redact_pii_expr,
@@ -696,12 +696,18 @@ def q_text_stats(spark, sf):
 
 
 def q_lang_scores(spark, sf):
-    """Language-ID heuristic: marker-word overlap scores + argmax."""
+    """Language-ID heuristic: marker-word overlap scores + argmax.
+    Built from the parsed-SQL fragments (lang_score_sql/lang_id_sql) —
+    one parser call per column instead of ~50 py4j constructions per
+    language; semantics identical to lang_score_expr/lang_id_expr."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        *[lang_score_expr(F.col("text"), lang).alias(f"score_{lang}") for lang in LANG_MARKERS],
-        lang_id_expr("text").alias("lang_pred"),
+        *[
+            F.expr(lang_score_sql("text", lang)).alias(f"score_{lang}")
+            for lang in LANG_MARKERS
+        ],
+        F.expr(lang_id_sql("text")).alias("lang_pred"),
     )
 
 
