@@ -307,30 +307,42 @@ def gopher_rules_sql(
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
     max_dup_3gram_ratio: float = 0.5,
+    toks_sql: str | None = None,
+    lines_sql: str | None = None,
+    grams_sql: str | None = None,
 ) -> dict[str, str]:
     """Spark-SQL fragment per Gopher rule (see ``gopher_quality_flags``)
     keyed by flag name. Kept as SQL strings so the whole rule set
     enters the plan through ONE parser call — building the equivalent
     tree Column-by-Column through py4j cost ~0.5 s of driver time per
     query construction, which dominated the (map-only) scan at bench
-    scale."""
+    scale.
+
+    ``toks_sql``/``lines_sql``/``grams_sql`` optionally substitute a
+    precomputed column reference for the derived arrays — callers that
+    project the token/gram/line arrays ONCE in a lower select (Catalyst
+    keeps non-cheap multi-referenced projections un-inlined) avoid
+    re-deriving them per rule."""
     t = f"`{text_col}`"
-    toks = f"split(lower(trim({t})), '\\\\s+')"
+    toks = toks_sql or f"split(lower(trim({t})), '\\\\s+')"
     nw = f"CAST(size({toks}) AS DOUBLE)"
     safe_w = f"greatest({nw}, 1.0D)"
-    lines = f"split({t}, '\\n')"
+    lines = lines_sql or f"split({t}, '\\n')"
     safe_l = f"CAST(greatest(size({lines}), 1) AS DOUBLE)"
-    # word-3-gram list, identical shape to repetition_ratio_expr(t, 3):
-    # zip_with over shifted slices — each array evaluated once per row
-    g2 = (
-        f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 1)), "
-        "(a, b) -> concat_ws(' ', a, b))"
-    )
-    g3 = (
-        f"zip_with({g2}, slice({toks}, 3, greatest(size({toks}) - 2, 1)), "
-        "(a, b) -> concat_ws(' ', a, b))"
-    )
-    grams = f"slice({g3}, 1, greatest(size({toks}) - 2, 1))"
+    if grams_sql is None:
+        # word-3-gram list, identical shape to repetition_ratio_expr:
+        # zip_with over shifted slices — arrays evaluated once per row
+        g2 = (
+            f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 1)), "
+            "(a, b) -> concat_ws(' ', a, b))"
+        )
+        g3 = (
+            f"zip_with({g2}, slice({toks}, 3, greatest(size({toks}) - 2, 1)), "
+            "(a, b) -> concat_ws(' ', a, b))"
+        )
+        grams = f"slice({g3}, 1, greatest(size({toks}) - 2, 1))"
+    else:
+        grams = grams_sql
     sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
     return {
         "n_words_ok": f"({nw} >= {min_words} AND {nw} <= {max_words})",
