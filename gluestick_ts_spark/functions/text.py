@@ -330,8 +330,13 @@ def gopher_rules_sql(
     lines = lines_sql or f"split({t}, '\\n')"
     safe_l = f"CAST(greatest(size({lines}), 1) AS DOUBLE)"
     if grams_sql is None:
-        # word-3-gram list, identical shape to repetition_ratio_expr:
-        # zip_with over shifted slices — arrays evaluated once per row
+        # word-3-gram list, zip_with over shifted slices — arrays
+        # evaluated once per row. Documents with fewer than 3 tokens
+        # have NO 3-grams: the slice floors would otherwise yield one
+        # partial pseudo-gram (e.g. 'a b' for a 2-token doc) and score
+        # repetition over fake data — such docs get an empty list and
+        # repetition_ok passes vacuously (n_words_ok rejects them
+        # anyway).
         g2 = (
             f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 1)), "
             "(a, b) -> concat_ws(' ', a, b))"
@@ -340,7 +345,11 @@ def gopher_rules_sql(
             f"zip_with({g2}, slice({toks}, 3, greatest(size({toks}) - 2, 1)), "
             "(a, b) -> concat_ws(' ', a, b))"
         )
-        grams = f"slice({g3}, 1, greatest(size({toks}) - 2, 1))"
+        grams = (
+            f"CASE WHEN size({toks}) >= 3 "
+            f"THEN slice({g3}, 1, size({toks}) - 2) "
+            "ELSE array() END"
+        )
     else:
         grams = grams_sql
     sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
@@ -370,9 +379,12 @@ def gopher_rules_sql(
             f"(size(array_distinct(filter({toks}, w -> array_contains({sw}, w))))"
             f" >= {min_stopword_hits})"
         ),
+        # vacuous pass on an empty gram list (docs under 3 tokens have
+        # no 3-grams to repeat)
         "repetition_ok": (
-            f"(1.0D - CAST(size(array_distinct({grams})) AS DOUBLE)"
-            f" / CAST(greatest(size({grams}), 1) AS DOUBLE) <= {max_dup_3gram_ratio}D)"
+            f"(size({grams}) < 1 OR "
+            f"1.0D - CAST(size(array_distinct({grams})) AS DOUBLE)"
+            f" / CAST(size({grams}) AS DOUBLE) <= {max_dup_3gram_ratio}D)"
         ),
     }
 

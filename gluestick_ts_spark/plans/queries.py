@@ -711,6 +711,20 @@ def q_text_stats(spark, sf):
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
     )
+    # Gopher's repetition rule sees NO grams for sub-3-token docs (the
+    # pseudo-gram the slice floor produces is fake data); dup_3gram_ratio
+    # keeps the raw_shingles_expr contract (full token string as the
+    # single shingle) unchanged.
+    lvl3 = lvl2.select(
+        "doc_id",
+        "text",
+        "__toks",
+        "__grams",
+        "__lines",
+        F.expr(
+            "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
+        ).alias("__gg"),
+    )
     sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
     stop_ratio = (
         f"CAST(size(filter(__toks, t -> array_contains({sw}, t))) AS DOUBLE)"
@@ -722,10 +736,10 @@ def q_text_stats(spark, sf):
     )
     gopher = " AND ".join(
         gopher_rules_sql(
-            "text", toks_sql="__toks", lines_sql="__lines", grams_sql="__grams"
+            "text", toks_sql="__toks", lines_sql="__lines", grams_sql="__gg"
         ).values()
     )
-    return lvl2.select(
+    return lvl3.select(
         "doc_id",
         F.expr("CAST(size(__toks) AS BIGINT)").alias("n_words"),
         F.expr("CAST(regexp_count(text, '\\\\w+|[^\\\\w\\\\s]') AS BIGINT)").alias(
@@ -1143,6 +1157,12 @@ _TRIGRAMS = (
     f"[array_to_string(({_TOKS})[i:i+2], ' ') "
     f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)]"
 )
+# Gopher repetition sees an EMPTY gram list for sub-3-token docs —
+# mirrors the CASE WHEN size(toks) >= 3 guard in text.py/q_text_stats.
+_TRIGRAMS_GOPHER = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN {_TRIGRAMS} "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
 _GOPHER_PASS_SQL = " AND ".join(
     [
         f"(len({_TOKS}) BETWEEN 50 AND 100000)",
@@ -1173,8 +1193,9 @@ _GOPHER_PASS_SQL = " AND ".join(
             f"(len(list_distinct(list_filter({_TOKS}, t -> list_contains({_SW}, t)))) >= 2)"
         ),
         (
-            f"(1.0 - CAST(len(list_distinct({_TRIGRAMS})) AS DOUBLE)"
-            f" / CAST(greatest(len({_TRIGRAMS}), 1) AS DOUBLE) <= 0.5)"
+            f"(len({_TRIGRAMS_GOPHER}) < 1 OR "
+            f"1.0 - CAST(len(list_distinct({_TRIGRAMS_GOPHER})) AS DOUBLE)"
+            f" / CAST(len({_TRIGRAMS_GOPHER}) AS DOUBLE) <= 0.5)"
         ),
     ]
 )

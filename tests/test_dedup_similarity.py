@@ -468,6 +468,57 @@ def test_dedup_minhash_incremental(spark, docs):
     assert again.count() == 0
 
 
+def test_dedup_minhash_incremental_batch_internal_neardups(spark, docs):
+    """Batch-internal NEAR-duplicates (not exact copies) must be caught
+    by the within-batch stage — regression for the positional-arg swap
+    that ran stage 1 with shingle_n/num_bands exchanged, which silently
+    missed near-dups inside a batch while still passing exact-dup
+    tests."""
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    store = minhash_signatures(docs.where(F.col("doc_id") == 5))
+    # long doc so ONE token changed keeps true trigram jaccard >= 0.9
+    long_base = " ".join(f"token{i} filler{i} word{i}" for i in range(20))
+    near = long_base.replace("filler7", "changed7")
+    batch = spark.createDataFrame(
+        [
+            (30, long_base),
+            (31, near),  # near dup of 30 (one token) — NOT exact
+            (32, "a fresh unrelated document about columnar shuffle readers"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, sigs = dedup_minhash_incremental(batch, store, threshold=0.7)
+    ids = {r.doc_id for r in survivors.collect()}
+    assert ids == {30, 32}, ids  # 31 killed by WITHIN-batch fuzzy dedup
+    assert {r.id for r in sigs.collect()} == {30, 32}
+    # explicit non-default banding params must thread through unswapped
+    survivors2, _ = dedup_minhash_incremental(
+        batch, store, num_hashes=64, shingle_n=3, num_bands=8, threshold=0.7
+    )
+    assert {r.doc_id for r in survivors2.collect()} == {30, 32}
+
+
+def test_spread_honors_root_repartition_only(spark, docs):
+    """_spread: a Repartition node buried in a join subtree (e.g. the
+    anti-join's losers side) must NOT be mistaken for the caller having
+    partitioned the main input."""
+    from gluestick_ts_spark.operators.dedup import _root_repartition
+
+    main = docs  # narrow scan, no repartition on the root path
+    losers = docs.select("doc_id").repartition("doc_id")
+    joined = main.join(losers.hint("merge"), on="doc_id", how="left_anti")
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan  # subtree node is there...
+    assert _root_repartition(plan) is None  # ...but not on the root path
+    # a genuine caller-side repartition IS honored
+    plan2 = docs.repartition(4)._jdf.queryExecution().analyzed().toString()
+    assert _root_repartition(plan2) is not None
+
+
 def test_dedup_exact_incremental(spark, docs):
     """Exact cross-store dedup: batch rows whose normalized fingerprint
     is already in the store are dropped via one anti-join; fresh rows
