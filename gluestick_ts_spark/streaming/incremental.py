@@ -72,6 +72,8 @@ def stream_dedup_incremental(
     text_col: str = "text",
     threshold: float = 0.7,
     checkpoint_dir: str | None = None,
+    bucketed: bool = False,
+    num_buckets: int = 64,
     **minhash_kwargs: Any,
 ) -> DataStreamWriter:
     """Streaming fuzzy dedup against a durable signature store: each
@@ -87,18 +89,69 @@ def stream_dedup_incremental(
     signatures make reprocessing idempotent (a replayed batch dedups
     against its own prior acceptances). Caller starts the returned
     writer.
+
+    ``store_dir`` may live on ANY Spark-readable filesystem (file:/,
+    hdfs:/, s3a:/, ...): existence is checked through the Hadoop
+    FileSystem API, never ``os.path`` (which only sees the driver's
+    local disk and would silently dedup every batch against an empty
+    store on a remote URI). Append-atomicity contract: micro-batches
+    within one stream are serialized by foreachBatch, and each parquet
+    append commits part files through the output committer (in-flight
+    files stay under ``_temporary``), so the read-then-append cycle is
+    safe for a SINGLE writer stream per store; concurrent writer
+    streams sharing one store are not supported — fan unioned sources
+    into one stream instead.
+
+    ``bucketed=True`` keeps the store in the band-hash-bucketed layout
+    (``write_signature_store``): each micro-batch's candidate join then
+    partition-prunes the store scan to the batch's own buckets — the
+    100 TB configuration, where the store itself is large and a full
+    re-shuffle per batch is the dominant cost. The flat
+    ``signatures.parquet`` layout remains the default for small stores.
     """
-    import os
+    from ..operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        write_signature_store,
+    )
+    from ..sources.fs import hadoop_path_exists, join_uri
 
-    from ..operators.dedup import dedup_minhash_incremental, minhash_signatures
+    sig_path = join_uri(store_dir, "signatures.parquet")
+    meta_path = join_uri(store_dir, "store_meta.json")
 
-    sig_path = os.path.join(store_dir, "signatures.parquet")
+    def _process_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        num_hashes = minhash_kwargs.get("num_hashes", 64)
+        if not hadoop_path_exists(spark, meta_path):
+            # first batch: freeze the banding params into an empty store
+            write_signature_store(
+                minhash_signatures(batch_df.limit(0), id_col, text_col, num_hashes),
+                store_dir,
+                num_bands=minhash_kwargs.get("num_bands", 16),
+                num_buckets=num_buckets,
+                sig_len=num_hashes,
+            )
+        survivors, _sigs = dedup_minhash_incremental_bucketed(
+            batch_df,
+            store_dir,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_n=minhash_kwargs.get("shingle_n", 3),
+            threshold=threshold,
+            seed=minhash_kwargs.get("seed", 42),
+            append_survivors=True,  # checkpoints survivors before the append
+        )
+        emit(survivors, batch_id)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if os.path.exists(sig_path):
+        if hadoop_path_exists(spark, sig_path):
             store = spark.read.parquet(sig_path)
         else:
             store = minhash_signatures(batch_df.limit(0), id_col, text_col)
@@ -111,6 +164,9 @@ def stream_dedup_incremental(
         sigs = sigs.localCheckpoint(eager=True)
         emit(survivors, batch_id)
         sigs.write.mode("append").parquet(sig_path)
+
+    if bucketed:
+        _process = _process_bucketed
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

@@ -519,6 +519,51 @@ def test_spread_honors_root_repartition_only(spark, docs):
     assert _root_repartition(plan2) is not None
 
 
+def test_bucketed_signature_store_roundtrip_and_equivalence(spark, docs, tmp_path):
+    """The bucketed on-disk store must produce EXACTLY the survivors of
+    the in-memory incremental path (bucket is a pure function of
+    band_hash, so pruning can't lose candidates), and append+rerun must
+    be idempotent."""
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        read_signature_store_meta,
+        write_signature_store,
+    )
+
+    store_sigs = minhash_signatures(docs)
+    path = "file://" + str(tmp_path / "sigstore")
+    write_signature_store(store_sigs, path, num_bands=16, num_buckets=8)
+    meta = read_signature_store_meta(spark, path)
+    assert (meta["sig_len"], meta["num_bands"], meta["num_buckets"]) == (64, 16, 8)
+    assert any(f["name"] == "band_hash" for f in meta["schema"]["fields"])
+
+    long_base = " ".join(f"token{i} filler{i} word{i}" for i in range(20))
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),                                  # exact dup of stored 1
+            (11, long_base),                             # fresh
+            (12, long_base.replace("filler3", "zzz3")),  # near dup of 11 (in batch)
+            (13, "totally novel content on adaptive query execution"),
+        ],
+        "doc_id long, text string",
+    )
+    surv_mem, _ = dedup_minhash_incremental(batch, store_sigs, threshold=0.7)
+    surv_bkt, sigs_bkt = dedup_minhash_incremental_bucketed(
+        batch, path, threshold=0.7, append_survivors=True
+    )
+    assert {r.doc_id for r in surv_bkt.collect()} == {
+        r.doc_id for r in surv_mem.collect()
+    }
+    # idempotent: survivors were appended, so re-running drops everything
+    again, _ = dedup_minhash_incremental_bucketed(batch, path, threshold=0.7)
+    assert again.count() == 0
+    # mismatched signature width is refused, not silently mis-banded
+    with pytest.raises(ValueError):
+        dedup_minhash_incremental_bucketed(batch, path, num_hashes=128)
+
+
 def test_dedup_exact_incremental(spark, docs):
     """Exact cross-store dedup: batch rows whose normalized fingerprint
     is already in the store are dropped via one anti-join; fresh rows

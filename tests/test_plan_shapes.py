@@ -135,6 +135,48 @@ def _plan_of(spark, df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def test_bucketed_store_candidate_join_prunes_partitions(spark, sf_dir, tmp_path):
+    """The store side of the incremental-dedup candidate join must be
+    PARTITION-PRUNED to the batch's buckets: a bucket IN (...) filter on
+    the store scan, and strictly fewer bucket dirs read than the store
+    holds. Without pruning, every daily batch re-scans (and re-shuffles)
+    the whole corpus signature store — the exact cost the bucketed
+    layout exists to avoid at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        write_signature_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_sigs = minhash_signatures(docs.where(F.col("doc_id") % 3 == 0))
+    path = "file://" + str(tmp_path / "store")
+    # many buckets so a 2-doc batch cannot cover them all
+    write_signature_store(store_sigs, path, num_bands=16, num_buckets=64)
+
+    batch = docs.where(F.col("doc_id").isin([1, 2]))
+    survivors, _ = dedup_minhash_incremental_bucketed(batch, path, threshold=0.7)
+    plan = _plan_of(spark, survivors)
+    pf = [
+        p
+        for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in p
+    ]
+    assert pf, plan[:2000]
+    # the IN-list is the pruning: 2 docs x 16 bands hit at most 32 of
+    # the 64 bucket dirs, so the scan provably skips the majority of
+    # the store (inputFiles() can't show this — it lists the pre-prune
+    # file index; the optimizer applies the partition filter at scan
+    # planning)
+    in_vals = re.search(r"INSET ([\d, ]+)|IN \(([\d, ]*)\)", pf[0])
+    assert in_vals, pf[0]
+    vals = (in_vals.group(1) or in_vals.group(2)).strip(", ")
+    n_buckets_read = len(vals.split(","))
+    assert 0 < n_buckets_read <= 32, pf[0]
+
+
 def test_whole_stage_codegen_covers_headline_agg(spark, sf_dir):
     """The q1 aggregation pipeline must run inside WholeStageCodegen —
     falling out of codegen (e.g. via an unsupported expression) is a

@@ -232,3 +232,103 @@ def test_stream_dedup_incremental(spark, tmp_path):
     assert set().union(*emitted.values()) == {11}  # 10 caught by the store
     sig_ids = {r.id for r in spark.read.parquet(f"{store}/signatures.parquet").collect()}
     assert sig_ids == {1, 2, 11}
+
+
+def test_stream_dedup_incremental_uri_store(spark, tmp_path):
+    """The signature store must work behind a filesystem URI (file:/),
+    not just a bare driver-local path — regression for the os.path
+    existence check that saw every remote store as empty and silently
+    re-accepted duplicates batch after batch."""
+    from gluestick_ts_spark.sources.fs import hadoop_path_exists, join_uri
+    from gluestick_ts_spark.streaming.incremental import stream_dedup_incremental
+
+    src = str(tmp_path / "srcu")
+    store_uri = "file://" + str(tmp_path / "storeu")
+    ckpt1 = str(tmp_path / "cku1")
+    ckpt2 = str(tmp_path / "cku2")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    emitted: set = set()
+
+    def emit(df, batch_id):
+        emitted.update(r.doc_id for r in df.collect())
+
+    _write_stream_batch(src, spark, [(1, base)], schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup_incremental(stream, store_uri, emit, threshold=0.7, checkpoint_dir=ckpt1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert emitted == {1}
+    sig_uri = join_uri(store_uri, "signatures.parquet")
+    assert hadoop_path_exists(spark, sig_uri)
+
+    # second batch re-sends doc 1's text under a new id: the URI store
+    # must be SEEN (exists check through Hadoop FS) and kill it.
+    emitted.clear()
+    _write_stream_batch(src, spark, [(10, base), (11, "a brand new doc here")], schema)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        stream_dedup_incremental(stream2, store_uri, emit, threshold=0.7, checkpoint_dir=ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert emitted == {11}, emitted  # 10 deduped against the URI store
+    assert {r.id for r in spark.read.parquet(sig_uri).collect()} == {1, 11}
+
+
+def test_stream_dedup_incremental_bucketed_store(spark, tmp_path):
+    """Streaming dedup over the BUCKETED store layout: first batch
+    freezes the banding meta and seeds the store; later batches dedup
+    against the partition-pruned store and extend it."""
+    from gluestick_ts_spark.operators.dedup import read_signature_store_meta
+    from gluestick_ts_spark.streaming.incremental import stream_dedup_incremental
+
+    src = str(tmp_path / "srcb")
+    store = "file://" + str(tmp_path / "storeb")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    emitted: set = set()
+
+    def emit(df, batch_id):
+        emitted.update(r.doc_id for r in df.collect())
+
+    def run(batch_rows, ckpt):
+        _write_stream_batch(src, spark, batch_rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_incremental(
+                stream, store, emit, threshold=0.7,
+                bucketed=True, num_buckets=8,
+                checkpoint_dir=str(tmp_path / ckpt),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run([(1, base), (2, "completely different content about spark engines")], "ckb1")
+    assert emitted == {1, 2}
+    assert read_signature_store_meta(spark, store)["num_buckets"] == 8
+
+    emitted.clear()
+    run([(10, base), (11, "a genuinely new page about bucketed joins")], "ckb2")
+    assert emitted == {11}, emitted  # 10 deduped against the bucketed store
+    stored = spark.read.parquet(store + "/banded")
+    assert {r.id for r in stored.select("id").distinct().collect()} == {1, 2, 11}
+
+
+def test_fs_helpers(spark, tmp_path):
+    """hadoop_path_exists agrees with the local FS for file:/ URIs and
+    bare paths; join_uri always joins with '/'."""
+    from gluestick_ts_spark.sources.fs import hadoop_path_exists, join_uri
+
+    p = tmp_path / "probe.txt"
+    assert not hadoop_path_exists(spark, "file://" + str(p))
+    p.write_text("x")
+    assert hadoop_path_exists(spark, "file://" + str(p))
+    assert hadoop_path_exists(spark, str(p))  # scheme-less -> defaultFS
+    assert join_uri("s3a://bucket/dir/", "a", "b.parquet") == "s3a://bucket/dir/a/b.parquet"
