@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_scores",
     "dedup_exact_docs",
+    "dedup_incremental_docs",
     "minhash_dedup_docs",
     "simhash_pairs_docs",
     "embedding_cosine_topk",

@@ -286,6 +286,35 @@ def test_ann_recall_vs_exact_column(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0
 
 
+def test_recall_guard_emits_alert_rows_on_breach(spark, sf_dir):
+    """The driver's rows-only check records only row counts, so a
+    recall collapse must CHANGE the count: _recall_guarded appends one
+    alert row per breaching query and none on a healthy run."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall_vs_exact,
+        cosine_topk,
+    )
+    from gluestick_ts_spark.plans.queries import _recall_guarded
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    out = ann_recall_vs_exact(
+        ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12), cosine_topk(e, q, k=5), k=5
+    )
+    healthy = _recall_guarded(out, floor=0.4).collect()
+    assert sum(1 for r in healthy if r.neighbor_id == -1) == 0
+    assert all(r.recall_ok for r in healthy)
+    # simulated collapse: an impossible floor must add one alert per query
+    collapsed = _recall_guarded(out, floor=1.1).collect()
+    alerts = [r for r in collapsed if r.neighbor_id == -1]
+    assert len(alerts) == 8  # one per query
+    assert len(collapsed) == len(healthy) + 8
+    assert all(not r.recall_ok for r in collapsed)
+
+
 def test_neardup_lsh_shuffles_ids_not_vectors(spark, vecs):
     """Scale guard: the LSH candidate join/dedup must move only
     (id, table, bucket) rows — no embedding column may appear in any

@@ -86,7 +86,8 @@ def test_scan_schema_pruned(spark, sf_dir, name, table_width, max_cols):
     "name",
     ["q1_pricing_summary", "sessionize_events", "text_stats", "lang_scores",
      "dedup_exact_docs", "chunk_tokens_docs", "ngram_contamination_docs",
-     "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_topk"],
+     "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_topk",
+     "dedup_incremental_docs"],
 )
 def test_hot_paths_have_no_python_operators(spark, sf_dir, name):
     """Relational, text, and dedup/ANN hot paths are pure Column

@@ -52,7 +52,19 @@ NOTES: dict[str, str] = {
         "centroid training collects 16x64 floats driver-side before "
         "plan construction; probe join is broadcast"
     ),
-    "ann_lsh_topk": "constant-folded hyperplane literals; id-only candidates",
+    "ann_lsh_topk": (
+        "constant-folded hyperplane literals; id-only candidates; "
+        "recall-guard checkpoint (40 rows) pins the pipeline once, so "
+        "the audited plan starts at ExistingRDD"
+    ),
+    "dedup_incremental_docs": (
+        "pre-checkpoint DAG: store sigs HOF fold (0 shuffles) + batch "
+        "sigs checkpoint -> within-batch LSH banding groupBy + jaccard "
+        "verify -> cross-store (band,hash) equi-join + signature-"
+        "estimate verify; survivor ids checkpointed (batch-sized), "
+        "then fp anti-joins + broadcast killed-gram grounding join "
+        "compute the oracle-asserted invariant booleans"
+    ),
     "embedding_cosine_topk": "bounded exact baseline: query side broadcast",
     "embedding_neardup": (
         "bounded oracle-pinned exact baseline over a 600-vector slice "
