@@ -223,3 +223,40 @@ def test_gopher_quality_flags(spark):
         "ellipsis_lines_ok", "alpha_words_ok", "stopwords_ok", "repetition_ok",
         "passes",
     }
+
+
+def test_gopher_drop_rate_histogram_stable_at_corpus_scale(spark):
+    """Corpus-scale drop-REASON histogram (one groupBy over the flag
+    struct — the auditability path README documents) pinned against the
+    sf0.1 documents table: a threshold change now shows up as a failing
+    count, so re-tuning the published Gopher rules is a conscious,
+    reviewed act rather than a silent drift. Exact counts are stable
+    because the rules are pure deterministic expressions over fixed
+    data."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import gopher_quality_flags
+
+    sf01 = "/root/testdata/sf0.1/documents.parquet"
+    if not os.path.exists(sf01):
+        _pytest.skip("sf0.1 testdata not present")
+    d = spark.read.parquet(sf01)
+    flags = d.select(gopher_quality_flags("text").alias("f")).select("f.*")
+    counts = flags.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(c).cast("int")).alias(c) for c in flags.columns],
+    ).first()
+    assert counts.n == 5000
+    # the two discriminating rules on this corpus + the overall verdict
+    assert counts.n_words_ok == 2738
+    assert counts.stopwords_ok == 3132
+    assert counts.passes == 2255
+    # rules that pass everywhere on this corpus must keep doing so —
+    # a regression here means a rule started firing on clean text
+    for c in ("mean_word_len_ok", "symbol_ratio_ok", "bullet_lines_ok",
+              "ellipsis_lines_ok", "alpha_words_ok", "repetition_ok"):
+        assert counts[c] == 5000, c
