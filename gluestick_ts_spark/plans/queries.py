@@ -879,7 +879,11 @@ def q_dedup_incremental_docs(spark, sf):
             )
         )
     )
-    batch = base_batch.unionByName(planted)
+    # batch feeds many consumers (signatures, jaccard verify, fps,
+    # killed set, grounding partners, output skeleton): pin it once —
+    # batch-sized by definition — instead of re-scanning + re-unioning
+    # the parquet per consumer (the audit counted 22 scans)
+    batch = base_batch.unionByName(planted).localCheckpoint(eager=True)
 
     store_sigs = minhash_signatures(store)
     survivors, _sigs = dedup_minhash_incremental(batch, store_sigs, threshold=0.7)
