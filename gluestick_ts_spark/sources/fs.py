@@ -14,7 +14,14 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["hadoop_path_exists", "join_uri", "write_text_file", "read_text_file"]
+__all__ = [
+    "hadoop_path_exists",
+    "join_uri",
+    "write_text_file",
+    "read_text_file",
+    "rename_path",
+    "delete_path",
+]
 
 
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
@@ -39,6 +46,19 @@ def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename/move through the Hadoop FS. O(1) on HDFS/local; on object
+    stores (S3) the connector emulates it with copy+delete — callers
+    doing directory swaps must treat it as non-atomic there."""
+    fs, hsrc = _fs_and_path(spark, src)
+    return bool(fs.rename(hsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.delete(hpath, recursive))
 
 
 def write_text_file(spark: SparkSession, path: str, content: str) -> None:

@@ -593,6 +593,45 @@ def test_bucketed_signature_store_roundtrip_and_equivalence(spark, docs, tmp_pat
         dedup_minhash_incremental_bucketed(batch, path, num_hashes=128)
 
 
+def test_compact_signature_store(spark, docs, tmp_path):
+    """Compaction collapses per-append small files to ONE part file per
+    bucket dir while preserving every row — file-open count, not byte
+    count, dominates the candidate scan after many ingest batches."""
+    from gluestick_ts_spark.operators.dedup import (
+        append_signature_store,
+        compact_signature_store,
+        minhash_signatures,
+        write_signature_store,
+    )
+
+    path = "file://" + str(tmp_path / "cstore")
+    sigs = minhash_signatures(docs)
+    write_signature_store(sigs, path, num_bands=16, num_buckets=4)
+    # three appends -> multiple part files per bucket
+    for k in range(3):
+        extra = spark.createDataFrame(
+            [(100 + k, f"fresh doc number {k} about executor memory pages")],
+            "doc_id long, text string",
+        )
+        append_signature_store(minhash_signatures(extra), path)
+
+    before = spark.read.parquet(path + "/banded")
+    rows_before = sorted((r.id, r.band, r.band_hash) for r in before.collect())
+    files_before = {f for f in before.inputFiles()}
+    assert len(files_before) > 4  # more files than buckets pre-compaction
+
+    compact_signature_store(spark, path)
+    after = spark.read.parquet(path + "/banded")
+    assert sorted((r.id, r.band, r.band_hash) for r in after.collect()) == rows_before
+    per_bucket: dict = {}
+    for f in after.inputFiles():
+        b = [seg for seg in f.split("/") if seg.startswith("bucket=")][0]
+        per_bucket.setdefault(b, set()).add(f)
+    assert per_bucket and all(len(v) == 1 for v in per_bucket.values()), {
+        k: len(v) for k, v in per_bucket.items()
+    }
+
+
 def test_dedup_exact_incremental(spark, docs):
     """Exact cross-store dedup: batch rows whose normalized fingerprint
     is already in the store are dropped via one anti-join; fresh rows
