@@ -593,6 +593,65 @@ def test_bucketed_signature_store_roundtrip_and_equivalence(spark, docs, tmp_pat
         dedup_minhash_incremental_bucketed(batch, path, num_hashes=128)
 
 
+def test_bucketed_fingerprint_store_exact_incremental(spark, docs, tmp_path):
+    """Exact-dedup half of the bucketed-store family: anti-join against
+    a hash-bucketed fingerprint store, partition-pruned to the batch's
+    fp buckets; equivalent to the in-memory path and append-idempotent."""
+    from gluestick_ts_spark.functions.text import fingerprint_expr
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_exact_incremental,
+        dedup_exact_incremental_bucketed,
+        write_fingerprint_store,
+    )
+
+    store_fps = docs.select(fingerprint_expr("text").alias("fp")).distinct()
+    path = "file://" + str(tmp_path / "fpstore")
+    write_fingerprint_store(store_fps, path, num_buckets=16)
+
+    batch = spark.createDataFrame(
+        [
+            (20, BASE),  # normalized-exact dup of stored doc 1
+            (21, "a genuinely new document about columnar readers"),
+            (22, "a genuinely new document about columnar readers"),  # in-batch dup
+            (23, "another novel doc on shuffle hash join fallbacks"),
+        ],
+        "doc_id long, text string",
+    )
+    mem, _ = dedup_exact_incremental(batch, store_fps)
+    bkt, fps = dedup_exact_incremental_bucketed(batch, path, append_survivors=True)
+    assert {r.doc_id for r in bkt.collect()} == {r.doc_id for r in mem.collect()} == {21, 23}
+    assert "__gs_fp" not in bkt.columns and "__bucket" not in bkt.columns
+    # pruning: the store scan carries a bucket partition filter
+    bkt2, _ = dedup_exact_incremental_bucketed(batch, path)
+    import re as _re
+
+    plan = bkt2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert any(
+        "bucket" in p for p in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    ), plan[:1500]
+    # append made the rerun idempotent
+    assert bkt2.count() == 0
+
+
+def test_write_signature_store_empty_requires_sig_len(spark, docs, tmp_path):
+    """Seeding an empty store without sig_len must fail loudly — a
+    silently frozen wrong width would reject every future batch."""
+    from gluestick_ts_spark.operators.dedup import (
+        minhash_signatures,
+        read_signature_store_meta,
+        write_signature_store,
+    )
+
+    empty = minhash_signatures(docs.limit(0))
+    path = "file://" + str(tmp_path / "emptystore")
+    with pytest.raises(ValueError, match="sig_len"):
+        write_signature_store(empty, path)
+    write_signature_store(empty, path, sig_len=64)  # explicit width OK
+    assert read_signature_store_meta(spark, path)["sig_len"] == 64
+
+
 def test_compact_signature_store(spark, docs, tmp_path):
     """Compaction collapses per-append small files to ONE part file per
     bucket dir while preserving every row — file-open count, not byte
