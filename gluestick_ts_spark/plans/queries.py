@@ -1057,22 +1057,55 @@ def q_embedding_neardup(spark, sf):
 # Rows-only queries (not SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 
+def _no_exact_dup_guard(surv, cols: list[str]):
+    """Count-visible invariant for rows-only dedup entries: a correct
+    fuzzy dedup can never leave two survivors with the SAME normalized
+    fingerprint (exact dups have jaccard 1.0, identical signatures, and
+    band together with certainty). One alert row per violated
+    fingerprint (doc_id = -1) — healthy runs keep the historical row
+    count, a dedup regression changes it. ``surv`` must still carry
+    ``text``; ``cols`` is the public output projection."""
+    pinned = surv.select(
+        *cols, fingerprint_expr("text").alias("__fp")
+    ).localCheckpoint(eager=True)  # survivors-sized; referenced twice
+    dups = (
+        pinned.groupBy("__fp")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") > 1)
+    )
+    lit_cols = []
+    dtypes = dict(pinned.dtypes)
+    for c in cols:
+        if c == "doc_id":
+            lit_cols.append(F.lit(-1).cast(dtypes[c]).alias(c))
+        elif c == "source":
+            lit_cols.append(F.concat(F.lit("ALERT:dup_fp:"), "__fp").alias(c))
+        else:
+            lit_cols.append(F.lit(None).cast(dtypes[c]).alias(c))
+    alerts = dups.select(*lit_cols)
+    return pinned.drop("__fp").unionByName(alerts)
+
+
 def q_minhash_dedup_docs(spark, sf):
-    """Fuzzy dedup: MinHash -> LSH banding -> exact-Jaccard verify."""
+    """Fuzzy dedup: MinHash -> LSH banding -> exact-Jaccard verify.
+    Rows-only entry, so the no-exact-dup-among-survivors invariant is
+    made COUNT-visible via alert rows (see _no_exact_dup_guard)."""
     d = _t(spark, sf, "documents")
-    return dedup_minhash(d, threshold=0.7).select("doc_id", "lang", "source", "n_chars")
+    out = dedup_minhash(d, threshold=0.7)
+    return _no_exact_dup_guard(out, ["doc_id", "lang", "source", "n_chars"])
 
 
 def q_dedup_clusters_docs(spark, sf):
     """Transitive fuzzy dedup: MinHash/LSH pairs -> connected
     components (iterative min-label propagation) -> one survivor per
-    duplicate cluster. Iterative algorithm — rows-only check."""
+    duplicate cluster. Rows-only check with the count-visible
+    no-exact-dup invariant."""
     d = _t(spark, sf, "documents")
     sigs = minhash_signatures(d)
     cand = minhash_lsh_pairs(sigs, 16, sig_len=64)
     dup = ngram_jaccard_pairs(d, cand, threshold=0.7)
     out = dedup_clusters(d, dup.select("id_a", "id_b"))
-    return out.select("doc_id", "lang", "source")
+    return _no_exact_dup_guard(out, ["doc_id", "lang", "source"])
 
 
 def q_simhash_pairs_docs(spark, sf):

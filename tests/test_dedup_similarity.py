@@ -286,6 +286,30 @@ def test_ann_recall_vs_exact_column(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0
 
 
+def test_no_exact_dup_guard_alert_rows(spark):
+    """The count-visible survivor invariant: clean survivor sets pass
+    through unchanged; an exact-dup leak appends one alert row per
+    duplicated fingerprint."""
+    from gluestick_ts_spark.plans.queries import _no_exact_dup_guard
+
+    clean = spark.createDataFrame(
+        [(1, "en", "web", "alpha beta"), (2, "en", "web", "gamma delta")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = _no_exact_dup_guard(clean, ["doc_id", "lang", "source"]).collect()
+    assert len(out) == 2 and all(r.doc_id != -1 for r in out)
+
+    leaky = spark.createDataFrame(
+        [(1, "en", "web", "same text"), (2, "en", "web", "Same  TEXT"),
+         (3, "en", "web", "unique here")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out2 = _no_exact_dup_guard(leaky, ["doc_id", "lang", "source"]).collect()
+    alerts = [r for r in out2 if r.doc_id == -1]
+    assert len(out2) == 4 and len(alerts) == 1
+    assert alerts[0].source.startswith("ALERT:dup_fp:")
+
+
 def test_recall_guard_emits_alert_rows_on_breach(spark, sf_dir):
     """The driver's rows-only check records only row counts, so a
     recall collapse must CHANGE the count: _recall_guarded appends one
