@@ -870,11 +870,17 @@ def q_dedup_incremental_docs(spark, sf):
     store = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     base_batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     plant = F.concat(F.col("text"), F.lit(" planted"))
+    # plant only from docs with >= 8 tokens: appending one token to an
+    # n-token doc gives true trigram jaccard (n-2)/(n-1), which only
+    # clears the 0.7 kill threshold with margin for longer docs — a
+    # short doc at a planted id would make planted_kill_ok data-
+    # dependent instead of invariant (oracle mirrors this filter)
+    long_enough = F.size(F.expr("split(lower(trim(text)), '\\\\s+')")) >= 8
     planted = (
-        store.where(F.col("doc_id") < 60)
+        store.where((F.col("doc_id") < 60) & long_enough)
         .select((F.col("doc_id") + 100000).alias("doc_id"), plant.alias("text"))
         .unionByName(
-            base_batch.where(F.col("doc_id") < 60).select(
+            base_batch.where((F.col("doc_id") < 60) & long_enough).select(
                 (F.col("doc_id") + 200000).alias("doc_id"), plant.alias("text")
             )
         )
@@ -885,7 +891,10 @@ def q_dedup_incremental_docs(spark, sf):
     # the parquet per consumer (the audit counted 22 scans)
     batch = base_batch.unionByName(planted).localCheckpoint(eager=True)
 
-    store_sigs = minhash_signatures(store)
+    # corpus_sigs feeds BOTH the banding and the verify join inside the
+    # operator (in production it is a cheap parquet re-scan; here it is
+    # a live fold) — pin it so the store's signature fold runs once
+    store_sigs = minhash_signatures(store).localCheckpoint(eager=True)
     survivors, _sigs = dedup_minhash_incremental(batch, store_sigs, threshold=0.7)
     # survivors is referenced three times (alive flag, killed set,
     # output join): pin the id set once — batch-sized, ids only — so
@@ -1817,9 +1826,11 @@ ORACLES: dict[str, str] = {
         "planted AS ("
         "SELECT doc_id + 100000 AS doc_id, text || ' planted' AS text "
         "FROM store WHERE doc_id < 60 "
+        "AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 8 "
         "UNION ALL "
         "SELECT doc_id + 200000 AS doc_id, text || ' planted' AS text "
-        "FROM base_batch WHERE doc_id < 60), "
+        "FROM base_batch WHERE doc_id < 60 "
+        "AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 8), "
         "batch AS (SELECT * FROM base_batch UNION ALL SELECT * FROM planted), "
         "bfp AS (SELECT doc_id, "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM batch), "

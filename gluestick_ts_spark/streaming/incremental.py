@@ -110,6 +110,7 @@ def stream_dedup_incremental(
     ``signatures.parquet`` layout remains the default for small stores.
     """
     from ..operators.dedup import (
+        append_signature_store,
         dedup_minhash_incremental,
         dedup_minhash_incremental_bucketed,
         minhash_signatures,
@@ -134,7 +135,7 @@ def stream_dedup_incremental(
                 num_buckets=num_buckets,
                 sig_len=num_hashes,
             )
-        survivors, _sigs = dedup_minhash_incremental_bucketed(
+        survivors, sigs = dedup_minhash_incremental_bucketed(
             batch_df,
             store_dir,
             id_col,
@@ -143,9 +144,17 @@ def stream_dedup_incremental(
             shingle_n=minhash_kwargs.get("shingle_n", 3),
             threshold=threshold,
             seed=minhash_kwargs.get("seed", 42),
-            append_survivors=True,  # checkpoints survivors before the append
         )
+        # EMIT BEFORE APPEND (same ordering contract as the flat-store
+        # path): appending first would make a crash-replayed batch dedup
+        # against its own signatures and emit nothing — the survivors
+        # would be lost from the sink while living in the store. Both
+        # relations are pinned first so neither recomputes against the
+        # mutated store.
+        survivors = survivors.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=True)
         emit(survivors, batch_id)
+        append_signature_store(sigs, store_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -240,10 +240,13 @@ def test_gopher_drop_rate_histogram_stable_at_corpus_scale(spark):
     from pyspark.sql import functions as F
 
     from gluestick_ts_spark.functions.text import gopher_quality_flags
+    from tests.conftest import SF_DIR
 
-    sf01 = "/root/testdata/sf0.1/documents.parquet"
+    # this gate is pinned against the sf0.1 corpus specifically; find it
+    # next to whatever sf dir the suite runs with rather than hardcoding
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1", "documents.parquet")
     if not os.path.exists(sf01):
-        _pytest.skip("sf0.1 testdata not present")
+        _pytest.skip(f"sf0.1 testdata not present at {sf01}")
     d = spark.read.parquet(sf01)
     flags = d.select(gopher_quality_flags("text").alias("f")).select("f.*")
     counts = flags.agg(
