@@ -24,17 +24,28 @@ from .functions.templating import (
 from .operators.asof import asof_join
 from .operators.bucketing import bucketed_join, plan_has_shuffle, write_bucketed
 from .operators.dedup import (
+    append_fingerprint_store,
+    append_signature_store,
+    compact_signature_store,
     connected_min_labels,
     dedup_clusters,
     dedup_exact,
+    dedup_exact_incremental,
+    dedup_exact_incremental_bucketed,
     dedup_minhash,
+    dedup_minhash_incremental,
+    dedup_minhash_incremental_bucketed,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_contamination,
     ngram_jaccard_pairs,
+    read_signature_store_meta,
+    signature_jaccard_expr,
     simhash_expr,
     simhash_pairs,
+    write_fingerprint_store,
+    write_signature_store,
 )
 from .operators.multimodal import (
     attach_media_metadata,
@@ -83,13 +94,24 @@ __all__ = [
     "asof_join",
     "attach_media_metadata",
     "bucketed_join",
+    "append_fingerprint_store",
+    "append_signature_store",
+    "compact_signature_store",
     "connected_min_labels",
     "cosine_topk",
     "train_ivf_centroids",
     "dedup_clusters",
     "dedup_exact",
+    "dedup_exact_incremental",
+    "dedup_exact_incremental_bucketed",
     "dedup_minhash",
+    "dedup_minhash_incremental",
+    "dedup_minhash_incremental_bucketed",
     "embedding_neardup_pairs",
+    "read_signature_store_meta",
+    "signature_jaccard_expr",
+    "write_fingerprint_store",
+    "write_signature_store",
     "extract_media_features",
     "minhash_lsh_pairs",
     "minhash_signatures",
