@@ -676,6 +676,57 @@ def test_write_signature_store_empty_requires_sig_len(spark, docs, tmp_path):
     assert read_signature_store_meta(spark, path)["sig_len"] == 64
 
 
+def test_hot_band_guard(spark, tmp_path):
+    """Degenerate boilerplate bands (store-population-sized membership)
+    can be skipped at candidate-join time: near-dups through normal
+    bands still die, template matches survive (the documented recall
+    tradeoff), and the sidecar only exists when asked for."""
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        write_signature_store,
+    )
+
+    template = " ".join(f"boiler{i} plate{i} text{i}" for i in range(15))
+    unique = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(15))
+    store_docs = spark.createDataFrame(
+        [(i, template) for i in range(20)] + [(99, unique)],
+        "doc_id long, text string",
+    )
+    path = "file://" + str(tmp_path / "hotstore")
+    write_signature_store(
+        minhash_signatures(store_docs), path, num_buckets=8, hot_band_min=10
+    )
+    hot = spark.read.parquet(path + "/hot_bands")
+    assert hot.count() > 0  # the template's bands are hot
+    assert hot.agg({"n_members": "min"}).first()[0] >= 10
+
+    batch = spark.createDataFrame(
+        [
+            (200, template),                                   # boilerplate re-send
+            (201, unique.replace("beta7", "delta7")),          # near-dup via normal bands
+            (202, "a genuinely fresh document about codegen stages"),
+        ],
+        "doc_id long, text string",
+    )
+    # guard OFF: template re-send killed through its (hot) bands
+    surv_off, _ = dedup_minhash_incremental_bucketed(batch, path, threshold=0.7)
+    assert {r.doc_id for r in surv_off.collect()} == {202}
+    # guard ON: hot bands skipped -> template re-send survives (the
+    # tradeoff), normal-band near-dup still dies
+    surv_on, _ = dedup_minhash_incremental_bucketed(
+        batch, path, threshold=0.7, skip_hot_bands=True
+    )
+    assert {r.doc_id for r in surv_on.collect()} == {200, 202}
+
+    # stores without the sidecar refuse the flag instead of silently
+    # running unguarded
+    path2 = "file://" + str(tmp_path / "plainstore")
+    write_signature_store(minhash_signatures(store_docs), path2, num_buckets=8)
+    with pytest.raises(ValueError, match="hot_band_min"):
+        dedup_minhash_incremental_bucketed(batch, path2, skip_hot_bands=True)
+
+
 def test_compact_signature_store(spark, docs, tmp_path):
     """Compaction collapses per-append small files to ONE part file per
     bucket dir while preserving every row — file-open count, not byte
