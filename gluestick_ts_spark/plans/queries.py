@@ -867,7 +867,20 @@ def q_dedup_incremental_docs(spark, sf):
     from ..operators.dedup import dedup_minhash_incremental
 
     d = _t(spark, sf, "documents")
-    store = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    # single-file scans materialize as 1-3 fat partitions; spread BOTH
+    # halves to full parallelism BEFORE pinning so every downstream
+    # fold/explode (signature folds, shingle joins, grounding) reads
+    # 32-way instead of serializing on the scan's partitioning. The
+    # store is pinned too: it feeds three consumers (signature fold,
+    # fingerprint set, grounding partners) that would otherwise each
+    # re-scan and re-decompress the parquet serially.
+    par = spark.sparkContext.defaultParallelism
+    store = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     base_batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     plant = F.concat(F.col("text"), F.lit(" planted"))
     # plant only from docs with >= 8 tokens: appending one token to an
@@ -889,7 +902,9 @@ def q_dedup_incremental_docs(spark, sf):
     # killed set, grounding partners, output skeleton): pin it once —
     # batch-sized by definition — instead of re-scanning + re-unioning
     # the parquet per consumer (the audit counted 22 scans)
-    batch = base_batch.unionByName(planted).localCheckpoint(eager=True)
+    batch = (
+        base_batch.unionByName(planted).repartition(par).localCheckpoint(eager=True)
+    )
 
     # corpus_sigs feeds BOTH the banding and the verify join inside the
     # operator (in production it is a cheap parquet re-scan; here it is
