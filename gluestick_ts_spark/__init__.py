@@ -44,6 +44,7 @@ from .operators.dedup import (
     signature_jaccard_expr,
     simhash_expr,
     simhash_pairs,
+    winnow_similarity_pairs,
     write_fingerprint_store,
     write_signature_store,
 )
@@ -125,6 +126,7 @@ __all__ = [
     "sample_frames",
     "simhash_expr",
     "simhash_pairs",
+    "winnow_similarity_pairs",
     "two_phase_count_distinct",
     "write_bucketed",
     "build_string_format_variables",

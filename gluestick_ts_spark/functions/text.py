@@ -25,6 +25,8 @@ __all__ = [
     "quality_score_expr",
     "token_count_expr",
     "fingerprint_expr",
+    "winnow_fingerprints_expr",
+    "winnow_fps_sql",
     "lang_score_expr",
     "lang_id_expr",
     "lang_score_sql",
@@ -125,6 +127,109 @@ def fingerprint_expr(text: Column | str) -> Column:
     exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(norm)
+
+
+def winnow_fingerprints_expr(
+    text: Column | str,
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): rolling-hash every character
+    ``k``-gram of the normalized text, slide a window of ``w``
+    consecutive k-gram hashes, keep each window's minimum, and return
+    the sorted distinct selected hashes as ``array<long>``.
+
+    Guarantee (the point of winnowing over plain sampling): any
+    substring of length >= ``k + w - 1`` shared by two documents
+    contributes at least one IDENTICAL fingerprint to both — so
+    fingerprint-set overlap lower-bounds shared content, robust to
+    insertions/reordering around the match. Density is ~2/(w+1) of all
+    k-grams, a tunable sketch size.
+
+    Implementation is a pure Column program: the k-gram hash is the
+    polynomial ``sum(code_i * base^(k-1-i)) mod mod`` folded with
+    ``aggregate`` over a ``slice`` of the codepoint array — per-row
+    O(n*k) with constant ``k`` (i.e. O(n)), zero shuffles, zero Python,
+    and every intermediate stays far below 2^63 (``mod`` < 2^30, so
+    ``acc*base + x`` < 2^39). Codepoints come from ``ascii()`` which
+    matches DuckDB's ``ord()`` on any codepoint, so the oracle twin
+    (``winnow_fps_sql``) reproduces values bit-for-bit.
+
+    Totality: NULL or shorter-than-``k`` text gives an empty array;
+    fewer than ``w`` k-grams collapse to a single whole-text window.
+    No reference counterpart (extension op).
+
+    Each pipeline stage (codepoints, k-gram hashes) is LET-BOUND via a
+    single-element-array ``transform`` before the next stage consumes
+    it: HOF lambda parameters are materialized values, while a plain
+    column reference inside a lambda RE-EVALUATES its whole subtree per
+    element — the naive chained form is O(n^3) per row (measured: 20
+    rows = 80 s; let-bound: 500 rows < 1 s).
+    """
+
+    def _let(value, fn):
+        return F.get(F.transform(F.array(value), fn), 0)
+
+    t = F.lower(F.trim(_col(text)))
+
+    def mins_of(kh):
+        m = F.size(kh)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(kh, i, w)),
+        )
+
+    def kgram_hashes(codes):
+        n = F.size(codes)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(codes, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * base + x) % mod,
+            ),
+        )
+
+    codes0 = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    mins = _let(codes0, lambda codes: _let(kgram_hashes(codes), mins_of))
+    return F.when(
+        _col(text).isNull() | (F.length(t) < k), F.array().cast("array<long>")
+    ).otherwise(F.array_sort(F.array_distinct(mins)))
+
+
+def winnow_fps_sql(
+    col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> str:
+    """DuckDB twin of ``winnow_fingerprints_expr`` — a scalar SQL
+    fragment over ``col`` producing the identical sorted fingerprint
+    list (DuckDB list comprehensions + ``list_reduce``; ``ord`` ==
+    Spark ``ascii`` per codepoint). Inline into oracle queries."""
+    t = f"lower(trim({col}))"
+    codes = (
+        f"[CAST(ord(substring({t}, i, 1)) AS BIGINT) "
+        f"FOR i IN range(1, length({t}) + 1)]"
+    )
+    kh = (
+        f"[list_reduce(C[i:i+{k - 1}], (acc, x) -> (acc * {base} + x) % {mod}) "
+        f"FOR i IN range(1, greatest(len(C) - {k - 1}, 1) + 1)]"
+    )
+    mins = (
+        f"[list_min(H[i:i+{w - 1}]) "
+        f"FOR i IN range(1, greatest(len(H) - {w - 1}, 1) + 1)]"
+    )
+    return (
+        f"(SELECT CASE WHEN {col} IS NULL OR length({t}) < {k} "
+        f"THEN CAST([] AS BIGINT[]) ELSE list_sort(list_distinct(M)) END "
+        f"FROM (SELECT {mins} AS M FROM (SELECT {kh} AS H "
+        f"FROM (SELECT {codes} AS C))))"
+    )
 
 
 def lang_score_expr(text: Column | str, lang: str) -> Column:

@@ -46,6 +46,8 @@ from ..functions.text import (
     stopword_ratio_expr,
     token_count_expr,
     tokens_expr,
+    winnow_fingerprints_expr,
+    winnow_fps_sql,
     word_count_expr,
 )
 from ..functions.sampling import hash_split, md5_bucket_expr
@@ -829,10 +831,21 @@ def q_ivf_train_centroids(spark, sf):
 
 
 def q_dedup_exact_docs(spark, sf):
-    """Exact dedup by normalized-content fingerprint (hash groupBy)."""
+    """Content fingerprinting, both flavors oracle-checked per survivor
+    of the exact dedup (hash groupBy): the md5 whole-content
+    fingerprint (the exact-dedup key) AND the winnowing rolling-hash
+    fingerprint set (Schleimer et al. 2003 — robust to partial
+    overlap; ``winnow_fingerprints_expr``), with its size. The winnow
+    column is map-only over the survivors and bit-identical to the
+    DuckDB ``winnow_fps_sql`` twin."""
     d = _t(spark, sf, "documents")
     out = dedup_exact(d)
-    return out.select("doc_id", fingerprint_expr("text").alias("fp"))
+    return out.select(
+        "doc_id",
+        fingerprint_expr("text").alias("fp"),
+        winnow_fingerprints_expr("text").alias("winnow_fps"),
+        F.size(winnow_fingerprints_expr("text")).cast("long").alias("n_winnow_fps"),
+    )
 
 
 def q_dedup_incremental_docs(spark, sf):
@@ -1776,7 +1789,11 @@ ORACLES: dict[str, str] = {
         + " FROM documents) t"
     ),
     "dedup_exact_docs": (
-        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+        + winnow_fps_sql("text")
+        + " AS winnow_fps, CAST(len("
+        + winnow_fps_sql("text")
+        + ") AS BIGINT) AS n_winnow_fps "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
     ),

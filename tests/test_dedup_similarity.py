@@ -790,3 +790,75 @@ def test_dedup_exact_incremental(spark, docs):
     # append-and-rerun is idempotent
     again, _ = dedup_exact_incremental(batch, store.unionByName(fps))
     assert again.count() == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants (Schleimer et al. 2003): a shared substring
+    of length >= k + w - 1 yields at least one IDENTICAL fingerprint in
+    both documents; NULL and shorter-than-k text are total (empty
+    array); output is sorted-distinct."""
+    from gluestick_ts_spark.functions.text import winnow_fingerprints_expr
+
+    shared = "zqxwvutsrqponmlk"  # 16 chars >= k + w - 1 = 8
+    df = spark.createDataFrame(
+        [
+            (1, "left padding words " + shared + " right tail"),
+            (2, shared + " entirely different continuation text here"),
+            (3, "abcd"),  # < k chars -> empty
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: list(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints_expr("text").alias("fps")
+        ).collect()
+    }
+    assert set(rows[1]) & set(rows[2]), "shared substring must share a fingerprint"
+    assert rows[3] == [] and rows[4] == []
+    assert rows[1] == sorted(set(rows[1]))
+
+
+def test_winnow_matches_duckdb_twin(spark):
+    """The Spark expression and the DuckDB oracle fragment produce
+    bit-identical fingerprint lists on real documents."""
+    import duckdb
+
+    from gluestick_ts_spark.functions.text import (
+        winnow_fingerprints_expr,
+        winnow_fps_sql,
+    )
+
+    pq = "/root/testdata/sf0.001/documents.parquet"
+    sdf = (
+        spark.read.parquet(pq)
+        .select("doc_id", winnow_fingerprints_expr("text").alias("fps"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    odf = duckdb.sql(
+        f"SELECT doc_id, {winnow_fps_sql('text')} AS fps "
+        f"FROM read_parquet('{pq}') ORDER BY doc_id"
+    ).fetchall()
+    assert len(sdf) == len(odf) > 0
+    for s, o in zip(sdf, odf):
+        assert s.doc_id == o[0] and list(s.fps) == list(o[1]), s.doc_id
+
+
+def test_winnow_similarity_pairs(spark, docs):
+    """MOSS-style pair detection: exact and near dups pair with high
+    fingerprint-set jaccard; unrelated docs never pair at 0.5."""
+    from gluestick_ts_spark.operators.dedup import winnow_similarity_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in winnow_similarity_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # normalized-exact dup
+    # case folds away but the inner double-space changes a few char
+    # k-grams: near-1, not exactly 1 (char-level fingerprints do not
+    # collapse whitespace runs)
+    assert pairs[(1, 3)] >= 0.9
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 0.5  # one-token edit
+    assert not any(5 in p for p in pairs), "unrelated doc must not pair"

@@ -190,3 +190,14 @@ def test_whole_stage_codegen_covers_headline_agg(spark, sf_dir):
     # codegen stages print as "*(n) Operator" in the executed plan
     starred = re.findall(r"\*\(\d+\) (\w+)", plan)
     assert "HashAggregate" in starred, (starred, plan[:300])
+
+
+def test_winnow_columns_keep_single_shuffle_and_hash_keys(spark, sf_dir):
+    """The winnowing fingerprint columns riding dedup_exact_docs are
+    map-only: the query still shuffles exactly once (the keep-last
+    window on the 16-byte fingerprint) and no exchange ever keys on —
+    or carries — document text."""
+    plan = _plan(spark, sf_dir, "dedup_exact_docs")
+    assert _shuffles(plan) == 1, plan
+    args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
+    assert args and all("text" not in a for a in args), args
