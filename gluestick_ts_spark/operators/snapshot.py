@@ -30,9 +30,6 @@ Spark-first design decisions (SURVEY §7 hard parts 1-2):
 from __future__ import annotations
 
 import logging
-import os
-import shutil
-import tempfile
 import uuid
 from typing import Any
 
@@ -41,6 +38,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.datetime_utils import localize_datetime
+from ..sources.fs import (
+    delete_path,
+    hadoop_path_exists,
+    join_uri,
+    make_dirs,
+    rename_path,
+)
 
 __all__ = ["read_snapshots", "snapshot_records", "keep_last_dedup"]
 
@@ -52,8 +56,8 @@ _SEQ = "__gs_seq"
 
 def _snapshot_paths(stream: str, snapshot_dir: str) -> tuple[str, str]:
     return (
-        os.path.join(snapshot_dir, f"{stream}.snapshot.parquet"),
-        os.path.join(snapshot_dir, f"{stream}.snapshot.csv"),
+        join_uri(snapshot_dir, f"{stream}.snapshot.parquet"),
+        join_uri(snapshot_dir, f"{stream}.snapshot.csv"),
     )
 
 
@@ -64,11 +68,16 @@ def read_snapshots(
     **csv_options: Any,
 ) -> DataFrame | None:
     """Load the persisted snapshot: parquet preferred, CSV fallback,
-    None when neither exists (``etl-utils.ts:221-241``)."""
+    None when neither exists (``etl-utils.ts:221-241``).
+
+    Existence is resolved through the Hadoop FS (``sources/fs.py``), so
+    ``snapshot_dir`` may live on any scheme Spark can read — an
+    ``os.path`` check on an ``s3a://``/``hdfs://`` dir is always False
+    locally, which would silently treat every batch as the first."""
     pq_path, csv_path = _snapshot_paths(stream, snapshot_dir)
-    if os.path.exists(pq_path):
+    if hadoop_path_exists(spark, pq_path):
         return spark.read.parquet(pq_path)
-    if os.path.exists(csv_path):
+    if hadoop_path_exists(spark, csv_path):
         reader = spark.read.option("header", "true").option("inferSchema", "true")
         for k, v in csv_options.items():
             reader = reader.option(k, v)
@@ -117,31 +126,49 @@ def _coerce_to_batch_types(merged: DataFrame, batch_schema: T.StructType) -> Dat
     return merged.select(*exprs)
 
 
+def _hidden_sibling(path: str, suffix: str) -> str:
+    """Dot-prefixed sibling of ``path`` (URI-safe): hidden from Spark's
+    file listings, so a half-written temp dir can never leak into a
+    scan of the parent directory."""
+    head, _, base = path.rpartition("/")
+    return (head + "/" if head else "") + "." + base + suffix
+
+
 def _atomic_write(
     df: DataFrame,
     final_path: str,
     use_csv: bool,
 ) -> None:
     """Write to a temp dir next to the target, then swap. Spark cannot
-    overwrite a path that feeds the plan being executed (SURVEY §7)."""
-    parent = os.path.dirname(os.path.abspath(final_path)) or "."
-    os.makedirs(parent, exist_ok=True)
-    tmp = os.path.join(parent, f".{os.path.basename(final_path)}.tmp-{uuid.uuid4().hex[:8]}")
+    overwrite a path that feeds the plan being executed (SURVEY §7).
+
+    All path operations go through the Hadoop FS, so the snapshot dir
+    may live on any Spark-writable scheme. The swap is two renames —
+    atomic on HDFS/local; on object stores the connector emulates
+    rename with copy+delete, so a concurrent reader there needs the
+    usual object-store caveats (or a table format with a log).
+    """
+    spark = df.sparkSession
+    token = uuid.uuid4().hex[:8]
+    tmp = _hidden_sibling(final_path, f".tmp-{token}")
     try:
         writer = df.write.mode("overwrite")
         if use_csv:
             writer.option("header", "true").csv(tmp)
         else:
             writer.parquet(tmp)
-        if os.path.exists(final_path):
-            old = tmp + ".old"
-            os.rename(final_path, old)
-            os.rename(tmp, final_path)
-            shutil.rmtree(old, ignore_errors=True)
+        head, _, _ = final_path.rpartition("/")
+        if head:
+            make_dirs(spark, head)
+        if hadoop_path_exists(spark, final_path):
+            old = _hidden_sibling(final_path, f".old-{token}")
+            rename_path(spark, final_path, old)
+            rename_path(spark, tmp, final_path)
+            delete_path(spark, old)
         else:
-            os.rename(tmp, final_path)
+            rename_path(spark, tmp, final_path)
     except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(spark, tmp)
         raise
 
 

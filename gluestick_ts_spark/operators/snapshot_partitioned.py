@@ -23,12 +23,12 @@ within-batch ties broken by ``monotonically_increasing_id``.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.fs import hadoop_path_exists, join_uri
 from .snapshot import keep_last_dedup
 
 __all__ = ["partitioned_snapshot_upsert", "read_partitioned_snapshot"]
@@ -43,7 +43,9 @@ def _bucket_expr(keys: list[str], n_buckets: int):
 
 
 def _snapshot_path(stream: str, snapshot_dir: str) -> str:
-    return os.path.join(snapshot_dir, f"{stream}.snapshot.bucketed.parquet")
+    # URI-safe join + Hadoop-FS existence checks: the snapshot dir may
+    # live on any Spark-writable scheme, not just the driver's disk
+    return join_uri(snapshot_dir, f"{stream}.snapshot.bucketed.parquet")
 
 
 def read_partitioned_snapshot(
@@ -52,7 +54,7 @@ def read_partitioned_snapshot(
     """The current snapshot as a DataFrame (bucket column dropped), or
     None when absent."""
     path = _snapshot_path(stream, snapshot_dir)
-    if not os.path.isdir(path):
+    if not hadoop_path_exists(spark, path):
         return None
     return spark.read.parquet(path).drop(_BUCKET)
 
@@ -76,7 +78,7 @@ def partitioned_snapshot_upsert(
     path = _snapshot_path(stream, snapshot_dir)
     batch = stream_data.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
 
-    if not os.path.isdir(path):
+    if not hadoop_path_exists(spark, path):
         batch.write.partitionBy(_BUCKET).mode("overwrite").parquet(path)
         return read_partitioned_snapshot(spark, stream, snapshot_dir)
 

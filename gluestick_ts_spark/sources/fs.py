@@ -21,6 +21,7 @@ __all__ = [
     "read_text_file",
     "rename_path",
     "delete_path",
+    "make_dirs",
 ]
 
 
@@ -59,6 +60,14 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
 def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.delete(hpath, recursive))
+
+
+def make_dirs(spark: SparkSession, path: str) -> bool:
+    """``mkdir -p`` through the Hadoop FS (no-op when already present).
+    Needed before a ``rename`` into a directory that may not exist yet —
+    Hadoop's rename, unlike its create, does not make parents."""
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(hpath))
 
 
 def write_text_file(spark: SparkSession, path: str, content: str) -> None:

@@ -150,3 +150,32 @@ def test_partitioned_snapshot_touches_only_affected_buckets(spark, tmp_path):
     } | {os.path.dirname(f) for f in set(after) - set(before)}
     assert len(surviving) > 0, "unaffected buckets must not be rewritten"
     assert len(rewritten_dirs) == 1, rewritten_dirs
+
+
+def test_snapshot_dir_behind_file_uri(spark, tmp_path):
+    """The snapshot dir must work behind a filesystem URI (file:/) —
+    existence checks and the atomic swap go through the Hadoop FS, not
+    os.path, so object-store/HDFS snapshot dirs behave identically.
+    An os.path check would see no snapshot and silently treat every
+    batch as the first (dropping the merge)."""
+    d = "file://" + str(tmp_path / "snapdir")
+    snapshot_records(_df(spark, [(1, "old"), (2, "keep")]), "s", d, pk="id")
+    out = snapshot_records(_df(spark, [(1, "new"), (3, "add")]), "s", d, pk="id")
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 3: "add"}
+    # swap again: exercises the rename-old/rename-new/delete-old path
+    out2 = snapshot_records(_df(spark, [(2, "v2")]), "s", d, pk="id")
+    assert {r["id"]: r["v"] for r in out2.collect()} == {1: "new", 2: "v2", 3: "add"}
+
+
+def test_partitioned_snapshot_behind_file_uri(spark, tmp_path):
+    """Bucket-partitioned snapshots behind a file:/ URI: pruned merges
+    keep working when the store is not on the driver's local disk."""
+    from gluestick_ts_spark.operators.snapshot_partitioned import (
+        partitioned_snapshot_upsert,
+    )
+
+    d = "file://" + str(tmp_path / "bsnap")
+    partitioned_snapshot_upsert(_df(spark, [(1, "old"), (2, "keep")]), "s", d, pk="id", n_buckets=4)
+    out = partitioned_snapshot_upsert(_df(spark, [(1, "new"), (3, "add")]), "s", d, pk="id", n_buckets=4)
+    assert {r["id"]: r["v"] for r in out.collect()} == {1: "new", 2: "keep", 3: "add"}
