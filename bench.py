@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "lang_scores",
     "dedup_exact_docs",
     "dedup_incremental_docs",
+    "bm25_search_docs",
     "minhash_dedup_docs",
     "simhash_pairs_docs",
     "embedding_cosine_topk",

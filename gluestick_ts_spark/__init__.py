@@ -56,6 +56,7 @@ from .operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -124,6 +125,8 @@ __all__ = [
     "resize_media",
     "salted_join",
     "sample_frames",
+    "bm25_topk",
+    "term_postings",
     "simhash_expr",
     "simhash_pairs",
     "winnow_similarity_pairs",

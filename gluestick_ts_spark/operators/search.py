@@ -1,0 +1,154 @@
+"""Lexical retrieval over a document corpus: inverted postings + BM25.
+
+The retrieval counterpart of the embedding ANN operators
+(``operators/similarity.py``): rank documents for a set of text
+queries with Okapi BM25 (Robertson/Sparck Jones; the Lucene-style
+nonnegative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the standard
+lexical scorer for training-data curation (query-based corpus audits,
+eval-set leakage probes, targeted subset extraction). No reference
+counterpart (extension op).
+
+Scale shape (the whole point — none of this touches text off-row):
+
+1. postings are built IN-ROW (tokenize once, per-distinct-term counts
+   via higher-order functions) and exploded — no corpus-wide
+   (doc, term) shuffle;
+2. the query relation is small by construction and BROADCAST; corpus
+   postings that match no query term die at the map side;
+3. document frequencies are counted only for the query's vocabulary
+   (a groupBy on the matched postings' short term key), then broadcast
+   back — the full-corpus term dictionary is never materialized;
+4. scoring aggregates on ONE query-keyed exchange that the top-k
+   window reuses (hash partitioning on a subset of the groupBy keys
+   satisfies the aggregation's clustering requirement).
+
+Scores are rounded to 6 dp BEFORE ranking and ties break on doc_id,
+so ranks are engine-deterministic (same discipline as
+``embedding_cosine_topk``); corpus length statistics use exact integer
+sums, so ``avgdl`` does not depend on partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+
+__all__ = ["term_postings", "bm25_topk"]
+
+
+def term_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, term, tf, dl)`` — one row per distinct term per document.
+
+    Term frequencies are computed inside the row (tokenize once,
+    ``transform`` over the distinct terms counting occurrences), so the
+    only data movement is the explode itself — no (doc, term) groupBy
+    shuffle. ``dl`` is the document token length BM25 normalizes by.
+    """
+    toks = tokens_expr(F.col(text_col))
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
+        .where(F.col("term") != "")
+    )
+
+
+def _bm25_weight(tf: Column, dl: Column, avgdl: Column, k1: float, b: float) -> Column:
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.
+
+    Output: ``query_id, doc_id, score (6 dp), rank`` — ``rank`` dense
+    1..k by (score desc, doc_id asc). Query term repeats contribute
+    multiplicatively (bag-of-words query), matching the classic
+    formulation.
+    """
+    postings = term_postings(docs, id_col, text_col)
+
+    # corpus stats with exact integer sums: avgdl independent of
+    # partition/summation order (DECIMAL-sum discipline of
+    # stats_agg_orders)
+    stats = docs.select(F.size(tokens_expr(F.col(text_col))).alias("__dl")).agg(
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("__dl").cast("double") / F.count("*")).alias("__avgdl"),
+    )
+
+    qtoks = tokens_expr(F.col(query_text_col))
+    qpairs = F.transform(
+        F.array_distinct(qtoks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(qtoks, lambda x: x == t)).cast("double").alias("qtf"),
+        ),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.explode(qpairs).alias("p")
+        )
+        .select("query_id", F.col("p.term").alias("term"), F.col("p.qtf").alias("qtf"))
+        .where(F.col("term") != "")
+    )
+
+    # map-side kill of non-matching postings: broadcast the small query
+    # vocabulary at the corpus
+    matched = postings.join(F.broadcast(qterms), on="term")
+
+    # document frequency for the QUERY vocabulary only (short-key
+    # groupBy over matched postings; result is |query vocab|-sized)
+    dfrel = (
+        matched.select("term", "id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+
+    scored = (
+        matched.join(F.broadcast(dfrel), on="term")
+        .crossJoin(F.broadcast(stats))
+        # one query-keyed exchange: the (query_id, doc_id) aggregation
+        # and the per-query window both cluster under it
+        .repartition("query_id")
+    )
+    idf = F.log(1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.col("qtf") * idf * _bm25_weight(
+        F.col("tf").cast("double"), F.col("dl").cast("double"), F.col("__avgdl"), k1, b
+    )
+    agg = (
+        scored.groupBy("query_id", F.col("id").alias(id_col))
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

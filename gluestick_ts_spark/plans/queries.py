@@ -595,17 +595,41 @@ def _scalar_math_date_part(spark, sf):
     )
 
 
+def _array_funcs_part(spark, sf):
+    """Array / higher-order function coverage over the embedding
+    column: size, element access, slice-fold sum, transform+max,
+    filter+count — all JVM-side lambdas."""
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        F.col("vec_id").alias("key"),
+        F.lit("array").alias("part"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_el"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6).alias("max_abs"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_pos"),
+    )
+
+
 def q_scalar_funcs(spark, sf):
-    """Scalar-function parity as ONE tagged union (the established
-    registry-folding pattern: semi+anti, rollup+cube, except+intersect):
-    the ``math_date`` part projects math/datetime scalars over orders,
-    the ``string`` part projects string scalars + PII redaction over
-    customer. Columns absent on a side are typed NULLs
+    """Scalar/array-function parity as ONE tagged union (the
+    established registry-folding pattern: semi+anti, rollup+cube,
+    except+intersect): the ``math_date`` part projects math/datetime
+    scalars over orders, the ``string`` part string scalars + PII
+    redaction over customer, the ``array`` part (folded in from the
+    former array_funcs query) higher-order array lambdas over
+    embeddings. Columns absent on a side are typed NULLs
     (unionByName(allowMissingColumns)), mirrored as CAST(NULL AS ...)
     in the oracle, so every value stays hash-checked."""
     math = _scalar_math_date_part(spark, sf)
     strs = _string_funcs_part(spark, sf)
-    return math.unionByName(strs, allowMissingColumns=True)
+    arrs = _array_funcs_part(spark, sf)
+    return math.unionByName(strs, allowMissingColumns=True).unionByName(
+        arrs, allowMissingColumns=True
+    )
 
 
 def q_stats_agg_orders(spark, sf):
@@ -1281,22 +1305,25 @@ def q_multimodal_features(spark, sf):
     )
 
 
-def q_array_funcs(spark, sf):
-    """Array / higher-order function coverage over the embedding
-    column: size, element access, slice-fold sum, transform+max,
-    filter+count — all JVM-side lambdas."""
-    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at(dbl, 1), 6).alias("first_el"),
-        F.round(
-            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
-        ).alias("head_sum"),
-        F.round(F.array_max(F.transform(dbl, lambda x: F.abs(x))), 6).alias("max_abs"),
-        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_pos"),
+def q_bm25_search_docs(spark, sf):
+    """BM25 lexical retrieval (``operators/search.py``): the first 5
+    documents' 8-token prefixes play the query set; top-10 documents
+    per query by Okapi BM25 with Lucene-style nonnegative idf. Scores
+    rounded to 6 dp BEFORE ranking, ties by doc_id — fully
+    SQL-expressible, so the DuckDB oracle replicates postings, idf,
+    length normalization, and the final ranks bit-for-bit. (Sanity
+    anchor baked into the data: each query is a prefix of its source
+    document, so the source ranks first.)"""
+    from ..operators.search import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8)).alias(
+            "query_text"
+        ),
     )
+    return bm25_topk(d, q, k=10)
 
 
 def q_hash_split_documents(spark, sf):
@@ -1379,7 +1406,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "hash_split_documents": q_hash_split_documents,
-    "array_funcs": q_array_funcs,
+    "bm25_search_docs": q_bm25_search_docs,
     "chunk_tokens_docs": q_chunk_tokens_docs,
     "approx_distinct_users": q_approx_distinct_users,
     # rows-only (no oracle entry): iterative / approximate / UDF ops
@@ -1465,6 +1492,25 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _GREATEST_ALL = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
+
+# typed-NULL column fragments for the scalar_funcs tagged union
+_ARRNULLS = (
+    "CAST(NULL AS BIGINT) AS dim, CAST(NULL AS DOUBLE) AS first_el, "
+    "CAST(NULL AS DOUBLE) AS head_sum, CAST(NULL AS DOUBLE) AS max_abs, "
+    "CAST(NULL AS BIGINT) AS n_pos"
+)
+_SCALNULLS = (
+    "CAST(NULL AS DOUBLE) AS dist, CAST(NULL AS BIGINT) AS ceil_p, "
+    "CAST(NULL AS BIGINT) AS floor_p, CAST(NULL AS DOUBLE) AS round_p, "
+    "CAST(NULL AS DOUBLE) AS sqrt_p, CAST(NULL AS DOUBLE) AS ln_p, "
+    "CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS m, "
+    "CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS q, "
+    "CAST(NULL AS VARCHAR) AS month_start, "
+    "CAST(NULL AS VARCHAR) AS uname, CAST(NULL AS VARCHAR) AS prefix, "
+    "CAST(NULL AS VARCHAR) AS dashed, CAST(NULL AS VARCHAR) AS joined, "
+    "CAST(NULL AS VARCHAR) AS padded, CAST(NULL AS BIGINT) AS name_len, "
+    "CAST(NULL AS VARCHAR) AS redacted"
+)
 
 ORACLES: dict[str, str] = {
     "scan_project_literal": "SELECT *, 'acme' AS tenant FROM customer",
@@ -1683,8 +1729,9 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS VARCHAR) AS uname, CAST(NULL AS VARCHAR) AS prefix, "
         "CAST(NULL AS VARCHAR) AS dashed, CAST(NULL AS VARCHAR) AS joined, "
         "CAST(NULL AS VARCHAR) AS padded, CAST(NULL AS BIGINT) AS name_len, "
-        "CAST(NULL AS VARCHAR) AS redacted "
-        "FROM orders "
+        "CAST(NULL AS VARCHAR) AS redacted, "
+        + _ARRNULLS +
+        " FROM orders "
         "UNION ALL "
         "SELECT c_custkey AS key, 'string' AS part, "
         "CAST(NULL AS DOUBLE) AS dist, CAST(NULL AS BIGINT) AS ceil_p, "
@@ -1703,8 +1750,18 @@ ORACLES: dict[str, str] = {
         "concat(lower(c_mktsegment), '@example.com')), "
         "'[\\w.+-]+@[\\w-]+\\.[\\w.]+', '<EMAIL>', 'g'), "
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
-        "'\\b(?:\\d[ .-]?){7,14}\\d\\b', '<PHONE>', 'g') AS redacted "
-        "FROM customer"
+        "'\\b(?:\\d[ .-]?){7,14}\\d\\b', '<PHONE>', 'g') AS redacted, "
+        + _ARRNULLS +
+        " FROM customer "
+        "UNION ALL "
+        "SELECT vec_id AS key, 'array' AS part, "
+        + _SCALNULLS +
+        ", CAST(len(embedding) AS BIGINT) AS dim, "
+        "ROUND((embedding::DOUBLE[])[1], 6) AS first_el, "
+        "ROUND(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 6) AS head_sum, "
+        "ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS max_abs, "
+        "CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_pos "
+        "FROM embeddings WHERE vec_id < 1000"
     ),
     "stats_agg_orders": (
         "WITH b AS (SELECT o_orderpriority, COUNT(*) AS cnt, "
@@ -1748,13 +1805,38 @@ ORACLES: dict[str, str] = {
         "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
         "AS INTEGER) AS bucket FROM documents) t"
     ),
-    "array_funcs": (
-        "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
-        "ROUND((embedding::DOUBLE[])[1], 6) AS first_el, "
-        "ROUND(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 6) AS head_sum, "
-        "ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS max_abs, "
-        "CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_pos "
-        "FROM embeddings WHERE vec_id < 1000"
+    "bm25_search_docs": (
+        "WITH dtok AS (SELECT doc_id, "
+        f"{_TOKS} AS T FROM documents), "
+        "post AS (SELECT doc_id, term, "
+        "CAST(len(list_filter(T, x -> x = term)) AS BIGINT) AS tf, "
+        "CAST(len(T) AS BIGINT) AS dl FROM ("
+        "SELECT doc_id, T, unnest(list_distinct(T)) AS term FROM dtok) "
+        "WHERE term <> ''), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(len(T)) AS DOUBLE) / COUNT(*) AS avgdl FROM dtok), "
+        "q AS (SELECT doc_id AS query_id, "
+        "array_to_string(T[1:8], ' ') AS query_text FROM dtok "
+        "JOIN documents USING (doc_id) WHERE doc_id < 5), "
+        "qtok AS (SELECT query_id, "
+        "regexp_split_to_array(lower(trim(query_text)), '\\s+') AS T FROM q), "
+        "qterm AS (SELECT query_id, term, "
+        "CAST(len(list_filter(T, x -> x = term)) AS DOUBLE) AS qtf FROM ("
+        "SELECT query_id, T, unnest(list_distinct(T)) AS term FROM qtok) "
+        "WHERE term <> ''), "
+        "m AS (SELECT p.doc_id, p.term, p.tf, p.dl, qt.query_id, qt.qtf "
+        "FROM post p JOIN qterm qt USING (term)), "
+        "dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM m GROUP BY term), "
+        "sc AS (SELECT query_id, doc_id, ROUND(SUM("
+        "qtf * ln(1 + (n - df + 0.5) / (df + 0.5)) * "
+        "(tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        "), 6) AS score FROM m JOIN dfr USING (term) CROSS JOIN stats "
+        "GROUP BY query_id, doc_id) "
+        "SELECT query_id, doc_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank "
+        "FROM sc QUALIFY rank <= 10"
     ),
     "text_stats": (
         "SELECT doc_id, "

@@ -201,3 +201,18 @@ def test_winnow_columns_keep_single_shuffle_and_hash_keys(spark, sf_dir):
     assert _shuffles(plan) == 1, plan
     args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
     assert args and all("text" not in a for a in args), args
+
+
+def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
+    """BM25 must keep the corpus on the map side: the query vocabulary
+    and per-term document frequencies broadcast (no sort-merge join
+    anywhere), every exchange keys on short columns (term/id/query_id —
+    never document text), and the shuffle count stays at the four
+    justified ones (match-dedup, df-count, 1-row stats, the shared
+    query-keyed exchange under agg + window)."""
+    plan = _plan(spark, sf_dir, "bm25_search_docs")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert _shuffles(plan) <= 4, plan
+    args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
+    assert args and all("text" not in a for a in args), args

@@ -1,0 +1,75 @@
+"""BM25 lexical retrieval operator tests (extension op)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.search import bm25_topk, term_postings
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),
+            (3, "apple apple apple durian elderberry fig grape honeydew kiwi lemon"),
+            (4, "banana cherry durian"),
+            (5, "unrelated words entirely different content"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_term_postings_values(spark, corpus):
+    rows = {
+        (r.id, r.term): (r.tf, r.dl)
+        for r in term_postings(corpus).collect()
+    }
+    assert rows[(2, "apple")] == (2, 3)
+    assert rows[(3, "apple")] == (3, 10)
+    assert rows[(1, "cherry")] == (1, 3)
+    assert (5, "apple") not in rows
+    # one row per DISTINCT term per doc
+    assert len([k for k in rows if k[0] == 2]) == 2  # apple, banana
+
+
+def _q(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_bm25_tf_and_length_normalization(spark, corpus):
+    """More occurrences score higher; length normalization penalizes
+    the long doc: doc 2 (tf=2, dl=3) must beat doc 3 (tf=3, dl=10) and
+    both beat doc 1 (tf=1)."""
+    out = bm25_topk(corpus, _q(spark, [(0, "apple")]), k=10).collect()
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [2, 3, 1]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_bm25_multi_term_and_rare_term_idf(spark, corpus):
+    """A doc matching both query terms beats single-term docs, and the
+    rarer term (cherry: df=2) contributes more than the common one
+    (apple: df=3) — doc 1 (apple+cherry) must outrank doc 2
+    (apple+apple)."""
+    out = bm25_topk(corpus, _q(spark, [(0, "apple cherry")]), k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 3, 4}  # doc 5 matches nothing
+
+
+def test_bm25_k_bound_and_no_match(spark, corpus):
+    out = bm25_topk(corpus, _q(spark, [(0, "apple"), (1, "zzz")]), k=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert len(per_q[0]) == 2 and [r.rank for r in sorted(per_q[0], key=lambda r: r.rank)] == [1, 2]
+    assert 1 not in per_q  # no postings match -> no rows
+
+
+def test_bm25_deterministic_across_partitionings(spark, corpus):
+    a = bm25_topk(corpus.repartition(7), _q(spark, [(0, "apple banana")]), k=10)
+    b = bm25_topk(corpus.coalesce(1), _q(spark, [(0, "apple banana")]), k=10)
+    ra = sorted((r.query_id, r.doc_id, r.rank, r.score) for r in a.collect())
+    rb = sorted((r.query_id, r.doc_id, r.rank, r.score) for r in b.collect())
+    assert ra == rb
