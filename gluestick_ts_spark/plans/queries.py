@@ -864,11 +864,17 @@ def q_dedup_exact_docs(spark, sf):
     DuckDB ``winnow_fps_sql`` twin."""
     d = _t(spark, sf, "documents")
     out = dedup_exact(d)
+    wfps = winnow_fingerprints_expr("text")
     return out.select(
         "doc_id",
         fingerprint_expr("text").alias("fp"),
-        winnow_fingerprints_expr("text").alias("winnow_fps"),
-        F.size(winnow_fingerprints_expr("text")).cast("long").alias("n_winnow_fps"),
+        # canonical comma-joined string (not array<long>): the driver's
+        # value hasher is only exercised on scalar columns elsewhere, so
+        # the fingerprint SET is serialized identically in both engines
+        F.concat_ws(",", F.transform(wfps, lambda x: x.cast("string"))).alias(
+            "winnow_fps"
+        ),
+        F.size(wfps).cast("long").alias("n_winnow_fps"),
     )
 
 
@@ -1872,8 +1878,8 @@ ORACLES: dict[str, str] = {
     ),
     "dedup_exact_docs": (
         "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
-        + winnow_fps_sql("text")
-        + " AS winnow_fps, CAST(len("
+        + "array_to_string(" + winnow_fps_sql("text")
+        + ", ',') AS winnow_fps, CAST(len("
         + winnow_fps_sql("text")
         + ") AS BIGINT) AS n_winnow_fps "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
