@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
+from .dedup import _spread
 
 __all__ = ["term_postings", "bm25_topk"]
 
@@ -49,7 +50,11 @@ def term_postings(
     ``transform`` over the distinct terms counting occurrences), so the
     only data movement is the explode itself — no (doc, term) groupBy
     shuffle. ``dl`` is the document token length BM25 normalizes by.
+    The per-row counting is the heavy stage, so the input is spread to
+    full parallelism when the scan yields fewer partitions (no-op on a
+    sharded corpus).
     """
+    df = _spread(df)
     toks = tokens_expr(F.col(text_col))
     pairs = F.transform(
         F.array_distinct(toks),
@@ -96,7 +101,9 @@ def bm25_topk(
     # corpus stats with exact integer sums: avgdl independent of
     # partition/summation order (DECIMAL-sum discipline of
     # stats_agg_orders)
-    stats = docs.select(F.size(tokens_expr(F.col(text_col))).alias("__dl")).agg(
+    stats = _spread(docs).select(
+        F.size(tokens_expr(F.col(text_col))).alias("__dl")
+    ).agg(
         F.count("*").cast("double").alias("__n"),
         (F.sum("__dl").cast("double") / F.count("*")).alias("__avgdl"),
     )

@@ -862,12 +862,19 @@ def q_dedup_exact_docs(spark, sf):
     overlap; ``winnow_fingerprints_expr``), with its size. The winnow
     column is map-only over the survivors and bit-identical to the
     DuckDB ``winnow_fps_sql`` twin."""
-    d = _t(spark, sf, "documents")
-    out = dedup_exact(d)
+    from ..operators.dedup import _spread
+
+    # winnow BELOW the dedup shuffle, on the spread scan: the rolling
+    # hash is the heavy per-row stage, and both the raw scan (1-3 file
+    # splits) and the post-window exchange (AQE-coalesced to 1 for
+    # small data) would serialize it onto a few cores (measured 20x on
+    # the bench entry). The window then carries the ~0.5 KB fingerprint
+    # string — one shuffle total, unchanged.
+    d = _spread(_t(spark, sf, "documents"))
     wfps = winnow_fingerprints_expr("text")
-    return out.select(
+    enriched = d.select(
         "doc_id",
-        fingerprint_expr("text").alias("fp"),
+        "text",
         # canonical comma-joined string (not array<long>): the driver's
         # value hasher is only exercised on scalar columns elsewhere, so
         # the fingerprint SET is serialized identically in both engines
@@ -875,6 +882,13 @@ def q_dedup_exact_docs(spark, sf):
             "winnow_fps"
         ),
         F.size(wfps).cast("long").alias("n_winnow_fps"),
+    )
+    out = dedup_exact(enriched)
+    return out.select(
+        "doc_id",
+        fingerprint_expr("text").alias("fp"),
+        "winnow_fps",
+        "n_winnow_fps",
     )
 
 

@@ -192,15 +192,29 @@ def test_whole_stage_codegen_covers_headline_agg(spark, sf_dir):
     assert "HashAggregate" in starred, (starred, plan[:300])
 
 
+def _exchange_args(plan: str) -> list[str]:
+    return re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
+
+
+def _hash_shuffles(plan: str) -> int:
+    """Key-partitioned exchanges only: the small-scan-only _spread
+    repartition compiles to RoundRobinPartitioning and is a no-op on a
+    sharded corpus, so plan gates count the exchanges that move data BY
+    KEY (the ones that scale with a join/agg)."""
+    return sum(1 for a in _exchange_args(plan) if "hashpartitioning" in a)
+
+
 def test_winnow_columns_keep_single_shuffle_and_hash_keys(spark, sf_dir):
     """The winnowing fingerprint columns riding dedup_exact_docs are
-    map-only: the query still shuffles exactly once (the keep-last
-    window on the 16-byte fingerprint) and no exchange ever keys on —
-    or carries — document text."""
+    map-only: the query still key-shuffles exactly once (the keep-last
+    window on the 16-byte fingerprint; the only other exchange is the
+    round-robin spread of the small scan) and no exchange ever keys on
+    document text."""
     plan = _plan(spark, sf_dir, "dedup_exact_docs")
-    assert _shuffles(plan) == 1, plan
-    args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
-    assert args and all("text" not in a for a in args), args
+    assert _hash_shuffles(plan) == 1, plan
+    args = _exchange_args(plan)
+    hashed = [a for a in args if "hashpartitioning" in a]
+    assert hashed and all("text" not in a for a in hashed), args
 
 
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
@@ -213,6 +227,6 @@ def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bm25_search_docs")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert _shuffles(plan) <= 4, plan
-    args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)
+    assert _hash_shuffles(plan) <= 3, plan
+    args = _exchange_args(plan)
     assert args and all("text" not in a for a in args), args
