@@ -60,6 +60,9 @@ from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
     ann_recall_vs_exact,
     cosine_topk,
     train_ivf_centroids,
@@ -126,6 +129,9 @@ __all__ = [
     "salted_join",
     "sample_frames",
     "bm25_topk",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebooks",
     "term_postings",
     "simhash_expr",
     "simhash_pairs",

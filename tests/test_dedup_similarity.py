@@ -862,3 +862,126 @@ def test_winnow_similarity_pairs(spark, docs):
     assert pairs[(1, 3)] >= 0.9
     assert (1, 4) in pairs and pairs[(1, 4)] >= 0.5  # one-token edit
     assert not any(5 in p for p in pairs), "unrelated doc must not pair"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture_corpus(spark, n=200, dim=16, seed=7):
+    import random as _r
+
+    rng = _r.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nrm = sum(x * x for x in v) ** 0.5 or 1.0
+        rows.append((i, [x / nrm for x in v]))
+    return rows
+
+
+def test_pq_encode_shapes_and_self_codes(spark):
+    """Codes have length m with values in [0, k); the k-means seed
+    vectors (first k by id) encode to their own centroid index in every
+    subspace at n_iter=0."""
+    from gluestick_ts_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    corpus = spark.createDataFrame(
+        _pq_fixture_corpus(spark), "vec_id long, embedding array<float>"
+    )
+    books = train_pq_codebooks(corpus, m=4, k=8, n_iter=0)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    got = {r.id: list(r.codes) for r in pq_encode(corpus, books).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+    for i in range(8):
+        assert got[i] == [i, i, i, i], (i, got[i])
+
+
+def test_pq_training_reduces_distortion(spark):
+    """Lloyd's iterations must not increase total quantization
+    distortion (sum of squared distances to each vector's
+    reconstruction) vs the raw seed codebooks."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        _pq_books_lit,
+        _sub_dist2,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    corpus = spark.createDataFrame(
+        _pq_fixture_corpus(spark), "vec_id long, embedding array<float>"
+    )
+
+    def distortion(books):
+        m, sub = len(books), len(books[0][0])
+        lit = _pq_books_lit(books)
+        enc = pq_encode(corpus, books).join(
+            corpus.select(F.col("vec_id").alias("id"), "embedding"), on="id"
+        )
+        dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        d = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + _sub_dist2(
+                F.slice(dbl, j * sub + 1, sub),
+                F.element_at(
+                    F.element_at(lit, j + 1), F.element_at(F.col("codes"), j + 1) + 1
+                ),
+            ),
+        )
+        return enc.select(F.sum(d)).first()[0]
+
+    seed_books = train_pq_codebooks(corpus, m=4, k=8, n_iter=0)
+    trained = train_pq_codebooks(corpus, m=4, k=8, n_iter=3)
+    d0, d1 = distortion(seed_books), distortion(trained)
+    assert d1 <= d0 + 1e-9, (d0, d1)
+    assert d1 < d0 * 0.9, f"training should cut distortion: {d0} -> {d1}"
+
+
+def test_pq_topk_planted_recall(spark):
+    """ADC retrieval finds planted near-duplicates: queries are noisy
+    copies of corpus vectors, so the planted source must appear in the
+    PQ top-5 for the vast majority of queries (random-vector exact
+    neighbors are noise-ranked and NOT a meaningful PQ target — planted
+    structure is)."""
+    import random as _r
+
+    from gluestick_ts_spark.operators.similarity import pq_topk, train_pq_codebooks
+
+    base = _pq_fixture_corpus(spark, n=200, dim=16)
+    rng = _r.Random(99)
+    queries = []
+    for qi in range(20):
+        src = base[qi * 7][1]
+        noisy = [x + rng.gauss(0, 0.05) for x in src]
+        nrm = sum(x * x for x in noisy) ** 0.5 or 1.0
+        queries.append((1000 + qi, [x / nrm for x in noisy]))
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(corpus, m=4, k=16, n_iter=2)
+    out = pq_topk(corpus, qdf, books, k=5)
+    hits = 0
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qi in range(20):
+        if (qi * 7) in per_q.get(1000 + qi, set()):
+            hits += 1
+    assert hits >= 16, f"planted recall too low: {hits}/20"
+
+
+def test_pq_encode_is_map_only(spark):
+    """The encode relation a 100 TB deployment persists must be
+    map-only: zero exchanges in its plan."""
+    from gluestick_ts_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    corpus = spark.createDataFrame(
+        _pq_fixture_corpus(spark), "vec_id long, embedding array<float>"
+    )
+    books = train_pq_codebooks(corpus, m=4, k=8, n_iter=0)
+    plan = pq_encode(corpus, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
