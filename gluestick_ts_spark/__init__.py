@@ -59,6 +59,7 @@ from .operators.multimodal import (
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
+    ann_ivfpq_topk,
     ann_lsh_topk,
     pq_encode,
     pq_topk,
@@ -129,6 +130,7 @@ __all__ = [
     "salted_join",
     "sample_frames",
     "bm25_topk",
+    "ann_ivfpq_topk",
     "pq_encode",
     "pq_topk",
     "train_pq_codebooks",

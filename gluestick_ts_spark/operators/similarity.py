@@ -42,6 +42,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
@@ -752,6 +753,104 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
+            F.round(score, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[dict] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ composition (the FAISS ``IVFx,PQy`` index shape): the
+    coarse quantizer prunes the corpus to ``n_probe`` inverted lists
+    per query, and the ADC lookup table scores only those lists' PQ
+    codes — per query, work is O(probed-list sizes × m) table reads
+    over a corpus that persists as (id, centroid id, m-byte code), not
+    vectors.
+
+    ``codes``/``centroids`` accept pre-built relations (the persisted
+    deployment shape; at full scale the code relation is additionally
+    written bucketed-by-``cid`` so probes prune partitions); both are
+    derived here when absent. Output matches ``pq_topk``:
+    ``query_id, neighbor_id, adc_dist (6 dp), rank``.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if centroids is None:
+        cent_rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+            .collect()
+        )
+        centroids = [
+            {"cid": r["cid"], "cent": _unit_vec(r["cent"])} for r in cent_rows
+        ]
+    if not centroids:
+        return pq_topk(corpus, queries, codebooks, k, vec_col, id_col)
+    cents_lit = _centroid_exprs(centroids)
+    books_lit = _pq_books_lit(codebooks)
+
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    dblc = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        _argmax_cid_expr(cents_lit, dblc).alias("__cid"),
+    ).join(codes, on="id")
+
+    qdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(books_lit, j + 1),
+            lambda cent: _sub_dist2(F.slice(qdbl, j * sub + 1, sub), cent),
+        ),
+    )
+    n_probe_eff = max(1, min(n_probe, len(centroids)))
+    probes = F.transform(
+        F.slice(F.array_sort(_scored_cids_expr(cents_lit, qdbl)), 1, n_probe_eff),
+        lambda s: s["cid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut.alias("__lut"),
+        F.explode(probes).alias("__cid"),
+    )
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("__lut", j + 1), F.element_at("codes", j + 1) + 1
+        ),
+    )
+    # each corpus code lives in exactly one list -> a (query, neighbor)
+    # pair appears at most once; candidates come from one broadcast
+    # equi-join on the probed centroid id
+    scored = (
+        assigned.join(F.broadcast(q), on="__cid")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
             F.round(score, 6).alias("adc_dist"),
         )
     )

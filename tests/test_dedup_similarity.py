@@ -985,3 +985,45 @@ def test_pq_encode_is_map_only(spark):
     books = train_pq_codebooks(corpus, m=4, k=8, n_iter=0)
     plan = pq_encode(corpus, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ann_ivfpq_planted_recall_and_consistency(spark):
+    """IVF+PQ composition: planted near-dup queries still find their
+    source through list pruning + ADC scoring; results are a subset of
+    what full-scan pq_topk can see (pruning only removes candidates,
+    and surviving pairs carry the identical ADC distance)."""
+    import random as _r
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    base = _pq_fixture_corpus(spark, n=200, dim=16)
+    rng = _r.Random(5)
+    queries = []
+    for qi in range(15):
+        src = base[qi * 9][1]
+        noisy = [x + rng.gauss(0, 0.05) for x in src]
+        nrm = sum(x * x for x in noisy) ** 0.5 or 1.0
+        queries.append((2000 + qi, [x / nrm for x in noisy]))
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(corpus, m=4, k=16, n_iter=2)
+
+    out = ann_ivfpq_topk(corpus, qdf, books, k=5, n_centroids=8, n_probe=4)
+    per_q = {}
+    dists = {}
+    for r in out.collect():
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        dists[(r.query_id, r.neighbor_id)] = r.adc_dist
+    hits = sum(1 for qi in range(15) if (qi * 9) in per_q.get(2000 + qi, set()))
+    assert hits >= 11, f"ivfpq planted recall too low: {hits}/15"
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_topk(corpus, qdf, books, k=200).collect()
+    }
+    for pair, d in dists.items():
+        assert pair in full and full[pair] == pytest.approx(d, abs=1e-6), pair
