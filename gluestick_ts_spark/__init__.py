@@ -56,6 +56,7 @@ from .operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from .operators.profile import corpus_profile
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
@@ -130,6 +131,7 @@ __all__ = [
     "salted_join",
     "sample_frames",
     "bm25_topk",
+    "corpus_profile",
     "ann_ivfpq_topk",
     "pq_encode",
     "pq_topk",

@@ -1,0 +1,93 @@
+"""Corpus profiling: the dataset-card aggregate for a document corpus.
+
+One pass, one groupBy — per (source, lang) slice (or any grouping), the
+numbers every training-data curation loop watches: volume (docs,
+tokens, chars), quality (mean heuristic quality score, Gopher-rule pass
+rate), duplication (exact-fingerprint dup rate), and label agreement
+(recorded ``lang`` vs the n-gram language-ID prediction). All inputs
+are the repo's existing pure Column expressions, so the whole profile
+is a map-only projection followed by a single hash aggregation —
+at 100 TB this is the cheapest full-corpus statement you can make, and
+the first thing to run before/after any dedup or filter stage (compare
+two profiles to see what a pipeline stage actually removed).
+
+No reference counterpart (extension op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_count_expr,
+    fingerprint_expr,
+    gopher_quality_flags,
+    lang_id_expr,
+    quality_score_expr,
+    word_count_expr,
+)
+
+__all__ = ["corpus_profile"]
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-group corpus profile. Output (one row per group):
+
+    - ``n_docs``, ``n_tokens``, ``n_chars`` — exact integer volumes;
+    - ``avg_tokens``, ``avg_chars`` — derived from the exact sums
+      (deterministic across partitionings, 4 dp);
+    - ``quality_mean`` — mean heuristic quality score (4 dp);
+    - ``gopher_pass_rate`` — fraction passing ALL Gopher rules (4 dp);
+    - ``exact_dup_rate`` — 1 − distinct fingerprints / docs (4 dp):
+      the within-group exact-duplication mass a dedup pass would drop;
+    - ``lang_match_rate`` (only when ``lang_col`` is present) —
+      fraction whose recorded language equals the n-gram language-ID
+      prediction (4 dp).
+
+    ``group_cols`` defaults to ``["source", "lang"]`` filtered to the
+    columns actually present; pass ``[]`` for a whole-corpus row.
+    """
+    if group_cols is None:
+        group_cols = [c for c in ("source", "lang") if c in df.columns]
+    gp = gopher_quality_flags(text_col)
+
+    pre = df.select(
+        *group_cols,
+        word_count_expr(text_col).cast("long").alias("__tok"),
+        char_count_expr(text_col).cast("long").alias("__chr"),
+        quality_score_expr(text_col).alias("__q"),
+        gp.getField("passes").cast("int").alias("__gp"),
+        fingerprint_expr(text_col).alias("__fp"),
+        *(
+            [
+                (F.col(lang_col) == lang_id_expr(text_col))
+                .cast("int")
+                .alias("__lm")
+            ]
+            if lang_col and lang_col in df.columns
+            else []
+        ),
+    )
+    grouped = pre.groupBy(*group_cols) if group_cols else pre.groupBy()
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__chr").alias("n_chars"),
+        F.round(F.sum("__tok") / F.count("*"), 4).alias("avg_tokens"),
+        F.round(F.sum("__chr") / F.count("*"), 4).alias("avg_chars"),
+        F.round(F.avg("__q"), 4).alias("quality_mean"),
+        F.round(F.avg("__gp"), 4).alias("gopher_pass_rate"),
+        F.round(
+            1.0 - F.count_distinct(F.col("__fp")) / F.count("*"), 4
+        ).alias("exact_dup_rate"),
+    ]
+    if "__lm" in pre.columns:
+        aggs.append(F.round(F.avg("__lm"), 4).alias("lang_match_rate"))
+    out = grouped.agg(*aggs)
+    return out.orderBy(*group_cols) if group_cols else out

@@ -1,0 +1,75 @@
+"""Corpus-profile aggregate tests (extension op)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.profile import corpus_profile
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "srcA", "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "srcA", "en", "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "srcA", "en", "completely different text with the usual words in it"),
+            (4, "srcB", "fr", "le chat est sur la table et il dort"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+
+
+def test_profile_volumes_and_dup_rate(spark, corpus):
+    rows = {(r.source, r.lang): r for r in corpus_profile(corpus).collect()}
+    a = rows[("srcA", "en")]
+    assert a.n_docs == 3
+    assert a.n_tokens == 9 + 9 + 9
+    assert a.avg_tokens == pytest.approx(9.0)
+    # docs 1 and 2 share a fingerprint: 1 - 2 distinct / 3 docs
+    assert a.exact_dup_rate == pytest.approx(round(1 - 2 / 3, 4))
+    b = rows[("srcB", "fr")]
+    assert b.n_docs == 1 and b.exact_dup_rate == 0.0
+    # rates are probabilities
+    for r in rows.values():
+        assert 0.0 <= r.gopher_pass_rate <= 1.0
+        assert 0.0 <= r.lang_match_rate <= 1.0
+
+
+def test_profile_whole_corpus_and_no_lang(spark, corpus):
+    whole = corpus_profile(corpus, group_cols=[]).collect()
+    assert len(whole) == 1 and whole[0].n_docs == 4
+    noname = corpus_profile(corpus.drop("lang"), group_cols=["source"]).collect()
+    assert "lang_match_rate" not in noname[0].asDict()
+
+
+def test_profile_consistent_with_text_stats(spark, sf_dir):
+    """quality_mean / gopher_pass_rate must equal the mean of the
+    oracle-checked per-doc text_stats columns over the same slice —
+    transitive oracle coverage without a registry slot."""
+    from gluestick_ts_spark.plans.queries import QUERIES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = corpus_profile(d, group_cols=[]).collect()[0]
+    stats = QUERIES["text_stats"](spark, sf_dir)
+    agg = stats.agg(
+        F.round(F.avg("quality"), 4).alias("q"),
+        F.round(F.avg(F.col("gopher_pass").cast("int")), 4).alias("gp"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert prof.n_docs == agg.n
+    assert prof.quality_mean == pytest.approx(agg.q, abs=1e-4)
+    assert prof.gopher_pass_rate == pytest.approx(agg.gp, abs=1e-4)
+
+
+def test_profile_plan_is_one_aggregation_pass(spark, sf_dir):
+    """Map-only projection + hash aggregation: no Python operators, no
+    joins, and at most the two exchanges the distinct-count aggregate
+    needs (partial on (group, fp), final on group)."""
+    import re
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = corpus_profile(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
