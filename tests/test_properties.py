@@ -216,3 +216,37 @@ def test_wav_frames_partition_samples(n_samples, sampwidth, n_frames) -> None:
         _, _, _, s = wav_decode(fr)
         rejoined.extend(s)
     assert rejoined == all_samples
+
+
+# -- winnowing fingerprint guarantee ----------------------------------------
+
+_wtext = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=24
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_wtext, _wtext, _wtext)
+def test_winnow_shared_substring_guarantee(spark, left, mid, right) -> None:
+    """The winnowing theorem (Schleimer et al. 2003) as a property: any
+    shared substring of length >= k + w - 1 (= 8 at the defaults)
+    places at least one IDENTICAL fingerprint in both documents,
+    regardless of what surrounds it; and fingerprints are a pure
+    function of the text (padding-position independence is exactly what
+    the guarantee buys)."""
+    from gluestick_ts_spark.functions.text import winnow_fingerprints_expr
+
+    shared = "zqxjkvbwmpfy"  # 12 lowercase chars, >= k + w - 1
+    doc_a = left + shared + mid
+    doc_b = mid + shared + right
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_a)], "doc_id long, text string"
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints_expr("text").alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], (doc_a, doc_b)
+    assert fps[1] == fps[3], "fingerprints must be deterministic in the text"
