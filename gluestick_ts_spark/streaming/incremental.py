@@ -34,6 +34,7 @@ __all__ = [
     "stream_windowed_counts",
     "stream_sessionize",
     "stream_dedup_incremental",
+    "stream_corpus_profile",
 ]
 
 
@@ -320,5 +321,71 @@ def stream_sessionize(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def stream_corpus_profile(
+    stream_df: DataFrame,
+    event_time_col: str,
+    text_col: str = "text",
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming data-quality monitor: the ``corpus_profile``
+    dataset-card aggregate per event-time window (and optional slice
+    columns) — volumes, mean quality score, Gopher pass rate, and an
+    APPROXIMATE exact-dup rate — so an ingest pipeline watches its
+    quality drift live instead of re-profiling batches after the fact.
+
+    Same one-pass shape as the batch profile (map-only quality/
+    fingerprint projection + one windowed aggregation, watermark-
+    bounded state). The only semantic delta vs batch: distinct
+    fingerprints use ``approx_count_distinct`` (exact COUNT DISTINCT
+    is unsupported in streaming aggregations), so ``exact_dup_rate``
+    carries HLL error (~2%) — documented, and acceptable for a
+    monitoring signal.
+    """
+    from ..functions.text import (
+        fingerprint_expr,
+        gopher_quality_flags,
+        quality_score_expr,
+        word_count_expr,
+    )
+
+    pre = stream_df.withWatermark(event_time_col, watermark).select(
+        F.col(event_time_col),
+        *[F.col(c) for c in (group_cols or [])],
+        word_count_expr(text_col).cast("long").alias("__tok"),
+        quality_score_expr(text_col).alias("__q"),
+        gopher_quality_flags(text_col).getField("passes").cast("int").alias("__gp"),
+        fingerprint_expr(text_col).alias("__fp"),
+    )
+    groups = [F.window(F.col(event_time_col), window_duration)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        pre.groupBy(*groups)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+            F.round(F.avg("__q"), 4).alias("quality_mean"),
+            F.round(F.avg("__gp"), 4).alias("gopher_pass_rate"),
+            F.round(
+                1.0
+                - F.approx_count_distinct("__fp").cast("double") / F.count("*"),
+                4,
+            ).alias("approx_dup_rate"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n_docs",
+            "n_tokens",
+            "quality_mean",
+            "gopher_pass_rate",
+            "approx_dup_rate",
         )
     )

@@ -332,3 +332,46 @@ def test_fs_helpers(spark, tmp_path):
     assert hadoop_path_exists(spark, "file://" + str(p))
     assert hadoop_path_exists(spark, str(p))  # scheme-less -> defaultFS
     assert join_uri("s3a://bucket/dir/", "a", "b.parquet") == "s3a://bucket/dir/a/b.parquet"
+
+
+def test_stream_corpus_profile(spark, tmp_path):
+    """Streaming quality monitor: windowed dataset-card aggregates over
+    a micro-batch, complete-mode checkable; dup-rate reflects the
+    planted exact duplicate (HLL error is negligible at 4 docs)."""
+    import datetime
+
+    from gluestick_ts_spark.streaming.incremental import stream_corpus_profile
+
+    src = str(tmp_path / "psrc")
+    schema = "doc_id long, ts timestamp, source string, text string"
+    t = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, t, "a", "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (3, t, "a", "some completely different words in this one"),
+        (4, t, "b", "the cat sat on the mat with a hat"),
+    ]
+    _write_stream_batch(src, spark, rows, schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    prof = stream_corpus_profile(
+        stream, "ts", window_duration="1 hour", watermark="1 hour",
+        group_cols=["source"],
+    )
+    q = (
+        prof.writeStream.format("memory")
+        .queryName("scp")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["source"]: r for r in spark.sql("SELECT * FROM scp").collect()}
+    assert got["a"]["n_docs"] == 3 and got["b"]["n_docs"] == 1
+    # 3 docs, 2 distinct fingerprints (docs 1/2 identical)
+    assert got["a"]["approx_dup_rate"] == pytest.approx(round(1 - 2 / 3, 4), abs=0.02)
+    assert got["b"]["approx_dup_rate"] == pytest.approx(0.0, abs=0.02)
+    assert 0.0 <= got["a"]["quality_mean"] <= 1.0
+    assert set(got["a"].asDict()) == {
+        "window_start", "window_end", "source", "n_docs", "n_tokens",
+        "quality_mean", "gopher_pass_rate", "approx_dup_rate",
+    }
