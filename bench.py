@@ -14,11 +14,20 @@ box move ±25% run-to-run, which made per-round deltas unactionable.
 pass's cold timings (planning + codegen included — comparable to the
 single-shot numbers benched in rounds 1-2) ride along under
 ``queries_cold`` / ``cold_total``.
+
+SUITE COMPOSITION CHANGES (for cross-round comparisons, compare
+per-query, not totals): round 6 added two entries absent from every
+earlier bench (``dedup_incremental_docs`` — the full incremental-dedup
+pipeline with oracle instrumentation, the suite's most expensive entry
+by design — and ``bm25_search_docs``), and ``dedup_exact_docs`` now
+also computes winnowing rolling-hash fingerprints per survivor, so its
+round-5 number (0.36 s) reflects strictly less work.
 """
 
 from __future__ import annotations
 
 import json
+import gc
 import os
 import statistics
 import sys
@@ -106,6 +115,12 @@ def main() -> None:
                 print(f"BENCH-ERR {name}: {errors[name]}", file=sys.stderr)
                 continue
             samples[name].append(time.time() - t0)
+            # Release eager localCheckpoint RDDs the query pinned —
+            # they free on Python GC, and letting them pile up inflates
+            # executor memory pressure for every query timed after a
+            # checkpoint-heavy one.
+            del df
+            gc.collect()
 
     timed = {n: s for n, s in samples.items() if s}
     medians = {n: round(statistics.median(s), 3) for n, s in timed.items()}
