@@ -56,7 +56,7 @@ from .operators.multimodal import (
     resize_media,
     sample_frames,
 )
-from .operators.profile import corpus_profile
+from .operators.profile import corpus_profile, unigram_logprob_scores
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
@@ -132,6 +132,7 @@ __all__ = [
     "sample_frames",
     "bm25_topk",
     "corpus_profile",
+    "unigram_logprob_scores",
     "ann_ivfpq_topk",
     "pq_encode",
     "pq_topk",

@@ -28,7 +28,7 @@ from ..functions.text import (
     word_count_expr,
 )
 
-__all__ = ["corpus_profile"]
+__all__ = ["corpus_profile", "unigram_logprob_scores"]
 
 
 def corpus_profile(
@@ -91,3 +91,71 @@ def corpus_profile(
         aggs.append(F.round(F.avg("__lm"), 4).alias("lang_match_rate"))
     out = grouped.agg(*aggs)
     return out.orderBy(*group_cols) if group_cols else out
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """CCNet-style statistical quality signal: per-document mean
+    unigram log-probability under the corpus's own empirical unigram
+    model — the standard complement to rule-based filters (Gopher
+    flags catch malformed text; a low mean logprob catches text whose
+    VOCABULARY is unusual for the corpus: boilerplate, codes, wrong
+    domain). CCNet uses a KenLM 5-gram; the unigram model is the same
+    signal class with no external model artifact.
+
+    Two passes by nature (the model IS the corpus): (1) one
+    token-keyed aggregate builds the top-``vocab_size`` unigram table
+    (small — it is broadcast); (2) one per-document aggregate averages
+    ``ln(count/N)`` over the document's tokens, with out-of-vocabulary
+    tokens floored at ``ln(0.5/N)``. Output: ``(id, n_tokens,
+    mean_logprob)`` — higher (less negative) = more typical text.
+
+    Scale shape: the only corpus-sized shuffles are the two aggregates
+    (both map-side combined, short keys); the vocabulary joins back as
+    a broadcast. Document text never shuffles.
+    No reference counterpart (extension op).
+    """
+    from pyspark.sql import Window as _W
+
+    from ..functions.text import tokens_expr
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("__t")
+    ).where(F.col("__t") != "")
+
+    counts = toks.groupBy("__t").agg(F.count("*").alias("__c"))
+    # top-V by count (ties by token for determinism); V is small so the
+    # global rank is one TakeOrdered-style pass over the distinct vocab
+    vocab = (
+        counts.withColumn(
+            "__r",
+            F.row_number().over(
+                _W.orderBy(F.col("__c").desc(), F.col("__t").asc())
+            ),
+        )
+        .where(F.col("__r") <= vocab_size)
+        .drop("__r")
+    )
+    total = counts.agg(F.sum("__c").cast("double").alias("__n"))
+
+    scored = (
+        toks.join(F.broadcast(vocab), on="__t", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.coalesce(F.col("__c").cast("double"), F.lit(0.5)) / F.col("__n")
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )

@@ -73,3 +73,52 @@ def test_profile_plan_is_one_aggregation_pass(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_unigram_logprob_scores(spark):
+    """The common-vocabulary doc scores higher than the rare-vocabulary
+    doc; values equal the hand-computed empirical unigram model; OOV
+    floors at ln(0.5/N) when the vocab is capped."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import unigram_logprob_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "the cat"),
+            (3, "zyx qwv"),  # rare singletons
+        ],
+        "doc_id long, text string",
+    )
+    # counts: the=4, cat=2, zyx=1, qwv=1; N=8
+    out = {r.doc_id: r for r in unigram_logprob_scores(corpus).collect()}
+    n = 8.0
+    exp1 = (3 * math.log(4 / n) + math.log(2 / n)) / 4
+    exp3 = math.log(1 / n)
+    assert out[1].n_tokens == 4
+    assert out[1].mean_logprob == pytest.approx(round(exp1, 6), abs=1e-6)
+    assert out[3].mean_logprob == pytest.approx(round(exp3, 6), abs=1e-6)
+    assert out[1].mean_logprob > out[2].mean_logprob > out[3].mean_logprob
+
+    # cap the vocab at 2: zyx/qwv fall out and floor at ln(0.5/N)
+    capped = {
+        r.doc_id: r.mean_logprob
+        for r in unigram_logprob_scores(corpus, vocab_size=2).collect()
+    }
+    assert capped[3] == pytest.approx(round(math.log(0.5 / n), 6), abs=1e-6)
+
+
+def test_unigram_logprob_plan_shape(spark, sf_dir):
+    """Two aggregates and a broadcast vocab join — no sort-merge join,
+    no Python, and the document text never appears in an exchange."""
+    import re
+
+    from gluestick_ts_spark.operators.profile import unigram_logprob_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = unigram_logprob_scores(d)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "text" not in " ".join(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
