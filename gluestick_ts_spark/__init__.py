@@ -56,6 +56,7 @@ from .operators.multimodal import (
     resize_media,
     sample_frames,
 )
+from .operators.packing import assemble_packs, pack_token_windows
 from .operators.profile import corpus_profile, unigram_logprob_scores
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
@@ -131,6 +132,8 @@ __all__ = [
     "salted_join",
     "sample_frames",
     "bm25_topk",
+    "assemble_packs",
+    "pack_token_windows",
     "corpus_profile",
     "unigram_logprob_scores",
     "ann_ivfpq_topk",
