@@ -827,12 +827,38 @@ def q_top_terms(spark, sf):
 
 
 def q_chunk_tokens_docs(spark, sf):
-    """Token-window chunking (context-window prep): every document split
-    into overlapping 32-token windows with 8-token overlap — map-only
-    (tokenize once in-row, one posexplode, zero shuffles). Oracle: the
-    identical window algebra in DuckDB list functions."""
+    """Context-window prep, both grains, as ONE tagged union (the
+    registry-folding pattern): the ``chunk`` part is within-document
+    overlapping 32-token windows (map-only — tokenize once in-row, one
+    posexplode); the ``pack`` part is GPT-style CROSS-document packing
+    spans at seq_len=128 (``pack_token_windows``: one offset-window
+    cumsum + in-row span math — documents cross pack boundaries, so no
+    context slot wastes padding). Both algebras replicated exactly in
+    the DuckDB oracle, including the window cumsum."""
+    from ..operators.packing import pack_token_windows
+
     d = _t(spark, sf, "documents")
-    return chunk_tokens(d, chunk_size=32, overlap=8)
+    chunks = chunk_tokens(d, chunk_size=32, overlap=8).select(
+        "doc_id",
+        F.lit("chunk").alias("part"),
+        "chunk_idx",
+        "chunk_text",
+        "n_tokens",
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("tok_start"),
+        F.lit(None).cast("long").alias("pack_pos"),
+    )
+    spans = pack_token_windows(d, seq_len=128).select(
+        "doc_id",
+        F.lit("pack").alias("part"),
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.col("n_toks").alias("n_tokens"),
+        "pack_id",
+        "tok_start",
+        "pack_pos",
+    )
+    return chunks.unionByName(spans)
 
 
 def q_ivf_train_centroids(spark, sf):
@@ -1953,12 +1979,28 @@ ORACLES: dict[str, str] = {
     "chunk_tokens_docs": (
         "WITH t AS (SELECT doc_id, "
         "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS toks "
-        "FROM documents) "
-        "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+        "FROM documents), "
+        "o AS (SELECT doc_id, len(toks) AS n, "
+        "SUM(len(toks)) OVER (ORDER BY doc_id) - len(toks) AS st "
+        "FROM t WHERE len(toks) > 0), "
+        "sp AS (SELECT doc_id, n, st, unnest(range(CAST(st // 128 AS BIGINT), "
+        "CAST((st + n - 1) // 128 + 1 AS BIGINT))) AS pack_id FROM o) "
+        "SELECT doc_id, 'chunk' AS part, CAST(i AS INT) AS chunk_idx, "
         "array_to_string(list_slice(toks, i*24+1, i*24+32), ' ') AS chunk_text, "
-        "CAST(len(list_slice(toks, i*24+1, i*24+32)) AS BIGINT) AS n_tokens "
+        "CAST(len(list_slice(toks, i*24+1, i*24+32)) AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS tok_start, "
+        "CAST(NULL AS BIGINT) AS pack_pos "
         "FROM t, LATERAL (SELECT unnest(range(0, greatest("
-        "CAST(ceil((len(toks) - 8) / 24.0) AS INT), 1))) AS i) g"
+        "CAST(ceil((len(toks) - 8) / 24.0) AS INT), 1))) AS i) g "
+        "UNION ALL "
+        "SELECT doc_id, 'pack' AS part, CAST(NULL AS INT) AS chunk_idx, "
+        "CAST(NULL AS VARCHAR) AS chunk_text, "
+        "CAST(least(st + n, (pack_id + 1) * 128) - greatest(st, pack_id * 128) "
+        "AS BIGINT) AS n_tokens, "
+        "CAST(pack_id AS BIGINT) AS pack_id, "
+        "CAST(greatest(st, pack_id * 128) - st + 1 AS BIGINT) AS tok_start, "
+        "CAST(greatest(st, pack_id * 128) - pack_id * 128 AS BIGINT) AS pack_pos "
+        "FROM sp"
     ),
     "approx_distinct_users": (
         "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
