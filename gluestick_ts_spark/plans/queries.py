@@ -77,6 +77,7 @@ from ..operators.similarity import (
     ivf_assign,
     train_ivf_centroids,
 )
+from ..operators.profile import corpus_profile
 from ..operators.snapshot import keep_last_dedup
 from ..sources.parquet_compat import read_parquet_compat
 
@@ -174,23 +175,36 @@ def q_dedup_keep_last(spark, sf):
 
 
 def q_json_extract_agg(spark, sf):
-    """JSON-string -> object parsing (§2.1 row 25) + aggregation."""
+    """Both JSON directions as ONE tagged union (registry-folding
+    pattern): the ``agg`` part parses JSON strings into objects
+    (§2.1 row 25) and aggregates the extracted field; the ``encode``
+    part is the struct -> JSON string direction (§2.1 row 26,
+    reference singer.ts:49-57 / etl-utils.ts:84-92)."""
     ev = _t(spark, sf, "events")
     k = F.from_json("props", "k BIGINT")["k"]
-    return (
+    agg = (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("cnt"))
+        .select(
+            F.lit("agg").alias("part"),
+            "event_type",
+            "sum_k",
+            "cnt",
+            F.lit(None).cast("long").alias("c_custkey"),
+            F.lit(None).cast("string").alias("payload"),
+        )
     )
-
-
-def q_struct_json(spark, sf):
-    """Struct -> JSON string encode (§2.1 row 26)."""
     c = _t(spark, sf, "customer")
-    return c.select(
+    enc = c.select(
+        F.lit("encode").alias("part"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.lit(None).cast("long").alias("cnt"),
         "c_custkey",
         F.to_json(F.struct(F.col("c_custkey"), F.col("c_name"))).alias("payload"),
     )
+    return agg.unionByName(enc)
 
 
 # ---------------------------------------------------------------------------
@@ -809,6 +823,16 @@ def q_lang_scores(spark, sf):
         ],
         F.expr(lang_id_sql("text")).alias("lang_pred"),
     )
+
+
+def q_corpus_profile_docs(spark, sf):
+    """Dataset-card profile per (source, lang) slice: one map-only
+    projection + ONE hash aggregate over the whole corpus (volumes,
+    mean quality, Gopher pass rate, exact-dup mass, lang-ID agreement
+    — operators/profile.py). The cheapest full-corpus statement at
+    100 TB; every derived double is either exact-integer arithmetic or
+    a 4-dp-rounded mean, so the DuckDB oracle hash-matches."""
+    return corpus_profile(_t(spark, sf, "documents"))
 
 
 def q_top_terms(spark, sf):
@@ -1434,7 +1458,6 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_upsert": q_snapshot_upsert,
     "dedup_keep_last": q_dedup_keep_last,
     "json_extract_agg": q_json_extract_agg,
-    "struct_json": q_struct_json,
     # relational coverage (SURVEY §2.2)
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
@@ -1458,6 +1481,7 @@ QUERIES: dict[str, QueryFn] = {
     # extension ops: text / dedup / similarity / sampling
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
+    "corpus_profile_docs": q_corpus_profile_docs,
     "top_terms": q_top_terms,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_incremental_docs": q_dedup_incremental_docs,
@@ -1552,6 +1576,30 @@ def _lang_score_sql(lang: str) -> str:
 
 _GREATEST_ALL = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
 
+# per-row quality-score fragments (DuckDB twins of functions/text.py)
+_STOP_RATIO_DUCK = (
+    f"CAST(len(list_filter({_TOKS}, t -> list_contains({_SW}, t))) AS DOUBLE)"
+    f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)"
+)
+_PUNCT_RATIO_DUCK = (
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)"
+)
+_QUALITY_DUCK = (
+    f"0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) "
+    f"+ 0.4 * least(({_STOP_RATIO_DUCK}) * 5.0, 1.0) "
+    f"+ 0.2 * (1.0 - least(({_PUNCT_RATIO_DUCK}) * 10.0, 1.0))"
+)
+# per-row argmax language prediction over score_<lang> columns
+_LANG_PRED_DUCK = (
+    "CASE WHEN " + _GREATEST_ALL + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_GREATEST_ALL} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    + " END"
+)
+
 # typed-NULL column fragments for the scalar_funcs tagged union
 _ARRNULLS = (
     "CAST(NULL AS BIGINT) AS dim, CAST(NULL AS DOUBLE) AS first_el, "
@@ -1605,11 +1653,15 @@ ORACLES: dict[str, str] = {
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1"
     ),
     "json_extract_agg": (
-        "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
-        "AS BIGINT) AS sum_k, COUNT(*) AS cnt FROM events GROUP BY event_type"
-    ),
-    "struct_json": (
-        "SELECT c_custkey, to_json(struct_pack(c_custkey := c_custkey, "
+        "SELECT 'agg' AS part, event_type, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS sum_k, COUNT(*) AS cnt, "
+        "CAST(NULL AS BIGINT) AS c_custkey, CAST(NULL AS VARCHAR) AS payload "
+        "FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'encode' AS part, CAST(NULL AS VARCHAR) AS event_type, "
+        "CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS BIGINT) AS cnt, "
+        "c_custkey, to_json(struct_pack(c_custkey := c_custkey, "
         "c_name := c_name)) AS payload FROM customer"
     ),
     "q1_pricing_summary": (
@@ -1937,6 +1989,32 @@ ORACLES: dict[str, str] = {
         + ") AS BIGINT) AS n_winnow_fps "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "corpus_profile_docs": (
+        "WITH s AS (SELECT source, lang, "
+        f"CAST(len({_TOKS}) AS BIGINT) AS tok, "
+        "CAST(length(text) AS BIGINT) AS chr, "
+        f"{_QUALITY_DUCK} AS q, "
+        f"CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS gp, "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+        + ", ".join(
+            f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS
+        )
+        + " FROM documents), "
+        "p AS (SELECT source, lang, tok, chr, q, gp, fp, "
+        f"{_LANG_PRED_DUCK} AS pred FROM s) "
+        "SELECT source, lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(tok) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(chr) AS BIGINT) AS n_chars, "
+        "ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 4) AS avg_tokens, "
+        "ROUND(CAST(SUM(chr) AS DOUBLE) / COUNT(*), 4) AS avg_chars, "
+        "ROUND(AVG(q), 4) AS quality_mean, "
+        "ROUND(AVG(CAST(gp AS DOUBLE)), 4) AS gopher_pass_rate, "
+        "ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) "
+        "AS exact_dup_rate, "
+        "ROUND(AVG(CAST(CASE WHEN lang = pred THEN 1 ELSE 0 END AS DOUBLE)), 4) "
+        "AS lang_match_rate "
+        "FROM p GROUP BY source, lang ORDER BY source, lang"
     ),
     "top_terms": (
         "SELECT token, COUNT(*) AS cnt FROM ("

@@ -217,6 +217,23 @@ def test_winnow_columns_keep_single_shuffle_and_hash_keys(spark, sf_dir):
     assert hashed and all("text" not in a for a in hashed), args
 
 
+def test_corpus_profile_is_one_pruned_aggregate_pass(spark, sf_dir):
+    """The dataset-card profile must stay the cheapest full-corpus
+    statement: scan reads only (text, lang, source) of the 5-column
+    table, every per-doc stat is a map-side Column expression (no
+    Python), and the only key shuffles are the two of the canonical
+    distinct-aggregate (group+fingerprint, then group) — keyed on
+    short columns, never on document text."""
+    plan = _plan(spark, sf_dir, "corpus_profile_docs")
+    widths = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert widths and max(s.count(":") for s in widths) <= 3, widths
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    assert _hash_shuffles(plan) <= 2, plan
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("text" not in a for a in hashed), hashed
+
+
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     """BM25 must keep the corpus on the map side: the query vocabulary
     and per-term document frequencies broadcast (no sort-merge join
