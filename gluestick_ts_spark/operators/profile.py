@@ -119,8 +119,6 @@ def unigram_logprob_scores(
     a broadcast. Document text never shuffles.
     No reference counterpart (extension op).
     """
-    from pyspark.sql import Window as _W
-
     from ..functions.text import tokens_expr
 
     toks = df.select(
@@ -128,17 +126,12 @@ def unigram_logprob_scores(
     ).where(F.col("__t") != "")
 
     counts = toks.groupBy("__t").agg(F.count("*").alias("__c"))
-    # top-V by count (ties by token for determinism); V is small so the
-    # global rank is one TakeOrdered-style pass over the distinct vocab
-    vocab = (
-        counts.withColumn(
-            "__r",
-            F.row_number().over(
-                _W.orderBy(F.col("__c").desc(), F.col("__t").asc())
-            ),
-        )
-        .where(F.col("__r") <= vocab_size)
-        .drop("__r")
+    # top-V by count (ties by token for determinism) via orderBy+limit,
+    # which compiles to TakeOrderedAndProject: per-partition top-V
+    # merged on the driver — never a single-partition sort of the full
+    # distinct vocabulary (a global row_number window would be one)
+    vocab = counts.orderBy(F.col("__c").desc(), F.col("__t").asc()).limit(
+        vocab_size
     )
     total = counts.agg(F.sum("__c").cast("double").alias("__n"))
 

@@ -836,18 +836,44 @@ def q_corpus_profile_docs(spark, sf):
 
 
 def q_top_terms(spark, sf):
-    """Corpus term frequency: explode tokens, drop stopwords/empties,
-    top-50 by count (explode/unnest + lateral-style aggregation)."""
+    """Corpus token-frequency analysis, both grains, as ONE tagged
+    union (registry-folding pattern): the ``term`` part is the top-50
+    corpus terms (explode, drop stopwords/empties, count); the
+    ``doclp`` part is the CCNet-style per-document mean unigram
+    log-probability under the corpus's own empirical model
+    (operators/profile.py unigram_logprob_scores — vocab_size=100 so
+    the out-of-vocabulary ln(0.5/N) floor is actually exercised). The
+    DuckDB oracle replicates the model exactly: same tokenization,
+    same (count DESC, token ASC) vocabulary ranking, same OOV floor."""
+    from ..operators.profile import unigram_logprob_scores
+
     d = _t(spark, sf, "documents")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     toks = d.select(F.explode(tokens_expr("text")).alias("token"))
-    return (
+    terms = (
         toks.where((F.col("token") != "") & ~F.array_contains(sw, F.col("token")))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(50)
+        .select(
+            F.lit("term").alias("part"),
+            "token",
+            "cnt",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("mean_logprob"),
+        )
     )
+    lp = unigram_logprob_scores(d, vocab_size=100).select(
+        F.lit("doclp").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("cnt"),
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+    )
+    return terms.unionByName(lp)
 
 
 def q_chunk_tokens_docs(spark, sf):
@@ -2017,10 +2043,26 @@ ORACLES: dict[str, str] = {
         "FROM p GROUP BY source, lang ORDER BY source, lang"
     ),
     "top_terms": (
-        "SELECT token, COUNT(*) AS cnt FROM ("
-        f"SELECT unnest({_TOKS}) AS token FROM documents) t "
-        f"WHERE token <> '' AND NOT list_contains({_SW}, token) "
-        "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"
+        "WITH toks AS (SELECT doc_id, tok FROM ("
+        f"SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t "
+        "WHERE tok <> ''), "
+        "counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok), "
+        "vocab AS (SELECT tok, c FROM (SELECT tok, c, row_number() OVER ("
+        "ORDER BY c DESC, tok ASC) AS r FROM counts) v WHERE r <= 100), "
+        "total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts), "
+        "doclp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "ROUND(AVG(ln(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total.n)), 6) "
+        "AS mean_logprob FROM toks LEFT JOIN vocab v USING (tok) "
+        "CROSS JOIN total GROUP BY doc_id), "
+        "terms AS (SELECT tok AS token, COUNT(*) AS cnt FROM toks "
+        f"WHERE NOT list_contains({_SW}, tok) "
+        "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50) "
+        "SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS DOUBLE) AS mean_logprob "
+        "FROM terms "
+        "UNION ALL "
+        "SELECT 'doclp' AS part, CAST(NULL AS VARCHAR) AS token, "
+        "CAST(NULL AS BIGINT) AS cnt, doc_id, n_tokens, mean_logprob FROM doclp"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("

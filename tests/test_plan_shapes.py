@@ -234,6 +234,22 @@ def test_corpus_profile_is_one_pruned_aggregate_pass(spark, sf_dir):
     assert hashed and all("text" not in a for a in hashed), hashed
 
 
+def test_top_terms_unigram_has_no_global_window_and_broadcasts_vocab(spark, sf_dir):
+    """The unigram-LM half of top_terms must scale: the top-V
+    vocabulary comes from TakeOrderedAndProject (per-partition top-V,
+    merged on the driver) — NEVER a single-partition Window sort of
+    the full distinct vocabulary — the vocab joins back as a
+    broadcast, and no exchange keys on document text."""
+    plan = _plan(spark, sf_dir, "top_terms")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    args = _exchange_args(plan)
+    assert all("text" not in a for a in args), args
+
+
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     """BM25 must keep the corpus on the map side: the query vocabulary
     and per-term document frequencies broadcast (no sort-merge join
