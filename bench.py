@@ -21,7 +21,14 @@ earlier bench (``dedup_incremental_docs`` — the full incremental-dedup
 pipeline with oracle instrumentation, the suite's most expensive entry
 by design — and ``bm25_search_docs``), and ``dedup_exact_docs`` now
 also computes winnowing rolling-hash fingerprints per survivor, so its
-round-5 number (0.36 s) reflects strictly less work.
+round-5 number (0.36 s) reflects strictly less work. Later in round 6
+``ann_ivf_topk`` became a union of TWO index pipelines — the original
+IVF top-k plus the IVF+PQ composition (codebook training, ADC scoring,
+planted-retrieval guard) — so its round-5 number (1.59 s at sf0.1)
+covers roughly a third of the work the entry now does; and
+``json_extract_agg`` absorbed the struct->JSON encode direction
+(previously the separate ``struct_json`` entry). ``line_dedup_docs``
+(C4-style line-level corpus dedup) is new to the suite in round 6.
 """
 
 from __future__ import annotations
@@ -58,6 +65,7 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_scores",
     "dedup_exact_docs",
+    "line_dedup_docs",
     "dedup_incremental_docs",
     "bm25_search_docs",
     "minhash_dedup_docs",

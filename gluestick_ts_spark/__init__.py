@@ -15,7 +15,12 @@ from .functions.datetime_utils import (
     parse_dates_expr,
 )
 from .functions.json_utils import parse_df_cols, parse_objs, struct_to_json
-from .functions.sampling import hash_sample, hash_split, md5_bucket_expr
+from .functions.sampling import (
+    hash_sample,
+    hash_split,
+    md5_bucket_expr,
+    weighted_domain_sample,
+)
 from .functions.templating import (
     build_string_format_variables,
     format_str_safely,
@@ -36,6 +41,7 @@ from .operators.dedup import (
     dedup_minhash_incremental,
     dedup_minhash_incremental_bucketed,
     embedding_neardup_pairs,
+    line_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_contamination,
@@ -114,6 +120,7 @@ __all__ = [
     "dedup_exact_incremental_bucketed",
     "dedup_minhash",
     "dedup_minhash_incremental",
+    "line_dedup",
     "dedup_minhash_incremental_bucketed",
     "embedding_neardup_pairs",
     "read_signature_store_meta",
@@ -156,6 +163,7 @@ __all__ = [
     "get_spark",
     "hash_sample",
     "hash_split",
+    "weighted_domain_sample",
     "md5_bucket_expr",
     "iso8601_expr",
     "json_schema_to_struct_type",

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_bucket_expr", "hash_sample", "hash_split"]
+__all__ = [
+    "md5_bucket_expr",
+    "hash_sample",
+    "hash_split",
+    "weighted_domain_sample",
+]
 
 _HEX = "0123456789abcdef"
 N_BUCKETS = 256
@@ -46,6 +51,55 @@ def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cutoff = round(fraction * N_BUCKETS)
     return df.where(md5_bucket_expr(key) < F.lit(cutoff))
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "wds",
+    prefix: str = "wds",
+) -> DataFrame:
+    """Data-mixture downsampling (the DoReMi / Pile-construction
+    re-weighting primitive): keep each row with its DOMAIN's rate,
+    decided deterministically by ``md5(salt || key)`` bucket — so a
+    mixture re-run keeps exactly the same rows, and a different
+    ``salt`` gives an independent decision from ``hash_split`` (the
+    train/val/test assignment and the mixture draw must not correlate:
+    with the same hash, a 10%-rate domain would sample entirely from
+    the train split's low buckets).
+
+    Adds three columns (names prefixed by ``prefix``):
+    ``_bucket`` (0..255), ``_rate`` (the domain's quantized k/256
+    rate), ``_keep`` (bucket < rate*256). Rates are quantized to 1/256
+    like every sampler here — stated granularity beats hidden bias.
+    Unknown domains fall to ``default_rate``. Map-only: the rate map
+    is a literal CASE chain, nothing shuffles or broadcasts.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    k = F.concat_ws("|", F.lit(salt), F.col(key).cast("string"))
+    bucket = md5_bucket_expr(k)
+    chain = None
+    for d, r in rates.items():
+        cond = F.col(domain_col) == F.lit(d)
+        cut = F.lit(round(r * N_BUCKETS))
+        chain = F.when(cond, cut) if chain is None else chain.when(cond, cut)
+    cutoff = (
+        chain.otherwise(F.lit(round(default_rate * N_BUCKETS)))
+        if chain is not None
+        else F.lit(round(default_rate * N_BUCKETS))
+    )
+    return (
+        df.withColumn(f"{prefix}_bucket", bucket)
+        .withColumn(f"{prefix}_rate", cutoff.cast("int"))
+        .withColumn(f"{prefix}_keep", bucket < cutoff)
+    )
 
 
 def hash_split(

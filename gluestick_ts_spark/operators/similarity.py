@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr, dot_expr
+from .dedup import _spread
 
 __all__ = [
     "cosine_topk",
@@ -75,7 +76,11 @@ def cosine_topk(
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(qvec).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # per-(row × query) cosine is compute-heavy: a small single-file
+    # corpus scan must not serialize the whole score matrix on one core
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
@@ -495,7 +500,11 @@ def ann_ivf_topk(
                 {"cid": r["cid"], "cent": _unit_vec(r["cent"])} for r in cent_rows
             ]
     cents = centroids
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # the in-row centroid argmax is compute-heavy per row: make sure a
+    # small single-file scan doesn't serialize it onto one core
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -614,6 +623,7 @@ def train_pq_codebooks(
     m: int = 8,
     k: int = 16,
     n_iter: int = 2,
+    seeds: list | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``m`` subspaces and
     k-means each (ALL subspaces in the same corpus pass per Lloyd's
@@ -629,27 +639,32 @@ def train_pq_codebooks(
 
     Requires ``dim % m == 0`` (standard PQ subspace split).
     """
-    first = corpus.select(F.size(vec_col)).first()
-    if first is None:
+    # one job for seeds AND dim (a separate dim probe costs a full
+    # scheduler round trip per training call); callers that already
+    # hold the first-k vectors (e.g. sharing them with the IVF coarse
+    # quantizer seed) pass them via ``seeds`` and skip the job entirely
+    if seeds is not None:
+        seed_vecs = [list(s) for s in seeds[:k]]
+    else:
+        seed_vecs = [
+            r["v"]
+            for r in corpus.orderBy(F.col(id_col))
+            .limit(k)
+            .select(F.col(vec_col).alias("v"))
+            .collect()
+        ]
+    if not seed_vecs:
         return []
-    dim = first[0]
+    dim = len(seed_vecs[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-
-    seed_rows = (
-        corpus.orderBy(F.col(id_col))
-        .limit(k)
-        .select(F.col(vec_col).alias("v"))
-        .collect()
-    )
     books = [
-        [[float(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in seed_rows]
+        [[float(x) for x in v[j * sub : (j + 1) * sub]] for v in seed_vecs]
         for j in range(m)
     ]
-    if not seed_rows:
-        return books
 
+    corpus = _spread(corpus)  # in-row encode must not run on one core
     for _ in range(max(0, n_iter)):
         books_lit = _pq_books_lit(books)
         dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -694,6 +709,10 @@ def pq_encode(
     sub = len(codebooks[0][0])
     books_lit = _pq_books_lit(codebooks)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # deliberately NOT _spread: this is the relation a deployment
+    # persists, and its plan must stay map-only (zero exchanges) so the
+    # write pipelines with the scan; spread the INPUT if parallelism is
+    # needed at encode time
     return corpus.select(
         F.col(id_col).alias("id"),
         _pq_codes_expr(books_lit, dbl, m, sub).alias("codes"),
@@ -807,13 +826,23 @@ def ann_ivfpq_topk(
     cents_lit = _centroid_exprs(centroids)
     books_lit = _pq_books_lit(codebooks)
 
-    if codes is None:
-        codes = pq_encode(corpus, codebooks, vec_col, id_col)
     dblc = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        _argmax_cid_expr(cents_lit, dblc).alias("__cid"),
-    ).join(codes, on="id")
+    m_expr = _pq_codes_expr(books_lit, dblc, m, sub)
+    if codes is None:
+        # derive cid AND codes in ONE map pass over the (spread)
+        # corpus — deriving codes separately and equi-joining back on
+        # id would be a corpus self-join shuffle for data the same row
+        # already holds
+        assigned = _spread(corpus).select(
+            F.col(id_col).alias("id"),
+            _argmax_cid_expr(cents_lit, dblc).alias("__cid"),
+            m_expr.alias("codes"),
+        )
+    else:
+        assigned = _spread(corpus).select(
+            F.col(id_col).alias("id"),
+            _argmax_cid_expr(cents_lit, dblc).alias("__cid"),
+        ).join(codes, on="id")
 
     qdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     lut = F.transform(

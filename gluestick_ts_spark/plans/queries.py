@@ -50,7 +50,11 @@ from ..functions.text import (
     winnow_fps_sql,
     word_count_expr,
 )
-from ..functions.sampling import hash_split, md5_bucket_expr
+from ..functions.sampling import (
+    hash_split,
+    md5_bucket_expr,
+    weighted_domain_sample,
+)
 from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
 from ..operators.dedup import (
@@ -346,8 +350,11 @@ def q_window_funcs_orders(spark, sf):
 
 
 def q_rollup_cube_status(spark, sf):
-    """ROLLUP and CUBE aggregations as one tagged union (subtotals +
-    grand total vs all grouping combinations)."""
+    """The whole multi-grouping family — ROLLUP, CUBE, and GROUPING
+    SETS — as one tagged union (registry-folding pattern): subtotals +
+    grand total, all grouping combinations, and an explicit grouping-
+    set list (per-nation and per-segment customer stats in one pass),
+    each tagged by ``op`` over generic (key1, key2) string keys."""
     o = _t(spark, sf, "orders")
     aggs = [
         F.count("*").alias("cnt"),
@@ -363,7 +370,31 @@ def q_rollup_cube_status(spark, sf):
         .agg(*aggs)
         .withColumn("op", F.lit("cube"))
     )
-    return r.unionByName(cb)
+    both = r.unionByName(cb).select(
+        "op",
+        F.col("o_orderstatus").alias("key1"),
+        F.col("o_orderpriority").alias("key2"),
+        "cnt",
+        "total",
+    )
+    c = _t(spark, sf, "customer")
+    gs = (
+        c.groupingSets(
+            [["c_nationkey"], ["c_mktsegment"]], "c_nationkey", "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total"),
+        )
+        .select(
+            F.lit("gsets").alias("op"),
+            F.col("c_nationkey").cast("string").alias("key1"),
+            F.col("c_mktsegment").alias("key2"),
+            "cnt",
+            "total",
+        )
+    )
+    return both.unionByName(gs)
 
 
 def q_setops_customers(spark, sf):
@@ -504,18 +535,6 @@ def q_q6_revenue_delta(spark, sf):
     return li.agg(
         F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
         F.count("*").alias("cnt"),
-    )
-
-
-def q_grouping_sets_customer(spark, sf):
-    """GROUPING SETS: per-nation and per-segment customer stats in one
-    pass."""
-    c = _t(spark, sf, "customer")
-    return c.groupingSets(
-        [["c_nationkey"], ["c_mktsegment"]], "c_nationkey", "c_mktsegment"
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("bal"),
     )
 
 
@@ -825,6 +844,20 @@ def q_lang_scores(spark, sf):
     )
 
 
+def q_line_dedup_docs(spark, sf):
+    """C4-style line-level corpus dedup: boilerplate lines (any line
+    occurring >= 2 times corpus-wide) are removed from every document
+    except their first occurrence, and documents are reassembled with
+    the surviving lines in order (operators/dedup.py line_dedup).
+    Fully deterministic — exact string lines, md5 keys, (doc, position)
+    first-occurrence tie-break — so the DuckDB oracle replicates the
+    rebuilt text byte-for-byte."""
+    from ..operators.dedup import _spread, line_dedup
+
+    d = _spread(_t(spark, sf, "documents"))
+    return line_dedup(d)
+
+
 def q_corpus_profile_docs(spark, sf):
     """Dataset-card profile per (source, lang) slice: one map-only
     projection + ONE hash aggregate over the whole corpus (volumes,
@@ -947,17 +980,25 @@ def q_dedup_exact_docs(spark, sf):
     # the bench entry). The window then carries the ~0.5 KB fingerprint
     # string — one shuffle total, unchanged.
     d = _spread(_t(spark, sf, "documents"))
-    wfps = winnow_fingerprints_expr("text")
-    enriched = d.select(
+    # rolling hash computed ONCE per row: projected in a lower select
+    # and referenced twice above — Catalyst keeps non-cheap
+    # multi-referenced projections un-inlined (SPARK-36718, the
+    # text_stats tokenize-once shape); inlining the expression into
+    # both output columns doubled the heavy stage (measured 2x on the
+    # bench entry)
+    lvl = d.select(
+        "doc_id", "text", winnow_fingerprints_expr("text").alias("__wfps")
+    )
+    enriched = lvl.select(
         "doc_id",
         "text",
         # canonical comma-joined string (not array<long>): the driver's
         # value hasher is only exercised on scalar columns elsewhere, so
         # the fingerprint SET is serialized identically in both engines
-        F.concat_ws(",", F.transform(wfps, lambda x: x.cast("string"))).alias(
-            "winnow_fps"
-        ),
-        F.size(wfps).cast("long").alias("n_winnow_fps"),
+        F.concat_ws(
+            ",", F.transform(F.col("__wfps"), lambda x: x.cast("string"))
+        ).alias("winnow_fps"),
+        F.size(F.col("__wfps")).cast("long").alias("n_winnow_fps"),
     )
     out = dedup_exact(enriched)
     return out.select(
@@ -1330,17 +1371,104 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """Approximate top-k via IVF inverted lists, with per-query
-    ``recall_at_k``/``recall_ok`` columns vs exact cosine top-k
-    (deterministic seed centroids; per-query floor 0.6 = the measured
-    minimum) and count-visible alert rows on breach — approximation
-    quality lands in the driver's hard signal."""
+    """Both coarse-quantizer ANN indexes as ONE tagged union
+    (registry-folding pattern), each with a count-visible quality
+    guard:
+
+    - ``ivf``: IVF inverted-list top-k with per-query
+      ``recall_at_k``/``recall_ok`` vs exact cosine top-k
+      (deterministic seed centroids; floor 0.6 = measured minimum)
+      and alert rows (neighbor_id = -1) on breach;
+    - ``ivfpq``: the FAISS-style IVF+PQ composition
+      (train_pq_codebooks -> ann_ivfpq_topk, ADC scoring over probed
+      lists). Top-k-vs-exact recall is NOT the right gate for PQ on
+      near-random synthetic vectors (distance concentration makes the
+      5th..50th neighbors near-ties, so quantization reshuffles them)
+      — instead each of 8 planted near-duplicate queries (vec + 0.05,
+      id + 100000) must retrieve its source at rank 1; ``recall_ok``
+      carries the per-query verdict and a missed query appends an
+      alert row, so quantization drift changes the recorded row
+      count."""
+    from ..operators.similarity import (
+        _unit_vec,
+        ann_ivfpq_topk,
+        train_pq_codebooks,
+    )
+
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 8)
-    approx = ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4)
-    return _recall_guarded(
-        ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5), floor=0.6
+    # ONE bounded collect (16 rows) seeds all three quantizer uses —
+    # the IVF coarse centroids of BOTH branches and the PQ codebooks
+    # all want the same deterministic first-16-by-id rows, and a
+    # separate collect job per use is pure scheduler overhead
+    seed16 = (
+        e.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("v"))
+        .collect()
     )
+    cents = [{"cid": r["cid"], "cent": _unit_vec(r["v"])} for r in seed16]
+    approx = ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, centroids=cents)
+    ivf = _recall_guarded(
+        ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5), floor=0.6
+    ).select(
+        F.lit("ivf").alias("mode"),
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.lit(None).cast("double").alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+        "recall_at_k",
+        "recall_ok",
+    )
+
+    planted = q.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+        "label",
+    )
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("float")).alias("embedding"),
+        "label",
+    ).unionByName(planted)
+    # planted ids sort last, so seed16 doubles as the PQ seed set
+    books = train_pq_codebooks(
+        corpus, m=8, k=16, n_iter=1, seeds=[r["v"] for r in seed16]
+    )
+    out = ann_ivfpq_topk(
+        corpus, planted, books, k=5, n_centroids=16, n_probe=4, centroids=cents
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id")
+    src_at_1 = (
+        (F.col("neighbor_id") == F.col("query_id") - 100000)
+        & (F.col("rank") == 1)
+    ).cast("int")
+    pq = out.select(
+        F.lit("ivfpq").alias("mode"),
+        "query_id",
+        "neighbor_id",
+        F.lit(None).cast("double").alias("cosine"),
+        "adc_dist",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("recall_at_k"),
+        (F.max(src_at_1).over(w) == 1).alias("recall_ok"),
+    )
+    pq_alerts = (
+        pq.where(~F.col("recall_ok"))
+        .dropDuplicates(["query_id"])
+        .select(
+            F.lit("ivfpq").alias("mode"),
+            "query_id",
+            F.lit(-1).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(0.0).alias("adc_dist"),
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(None).cast("double").alias("recall_at_k"),
+            F.lit(False).alias("recall_ok"),
+        )
+    )
+    return ivf.unionByName(pq).unionByName(pq_alerts)
 
 
 def q_multimodal_features(spark, sf):
@@ -1436,13 +1564,28 @@ def q_bm25_search_docs(spark, sf):
 
 
 def q_hash_split_documents(spark, sf):
-    """Deterministic train/val/test split by md5 key bucket —
-    reproducible across engines, runs, and partitionings (functions/
-    sampling.py)."""
+    """Both deterministic-sampling primitives in one map-only pass
+    over each document (functions/sampling.py): the train/val/test
+    split by md5 key bucket, AND the DoReMi-style domain-weighted
+    mixture draw (per-lang keep rates, salted so the mixture decision
+    is independent of the split assignment). Reproducible across
+    engines, runs, and partitionings — the DuckDB oracle replicates
+    the bucket arithmetic digit for digit."""
     d = _t(spark, sf, "documents")
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = weighted_domain_sample(
+        out,
+        "doc_id",
+        "lang",
+        {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125},
+    )
     return out.select(
-        "doc_id", md5_bucket_expr("doc_id").alias("bucket"), "split"
+        "doc_id",
+        md5_bucket_expr("doc_id").alias("bucket"),
+        "split",
+        "wds_bucket",
+        "wds_rate",
+        "wds_keep",
     )
 
 
@@ -1500,7 +1643,6 @@ QUERIES: dict[str, QueryFn] = {
     "window_funcs_orders": q_window_funcs_orders,
     "sessionize_events": q_sessionize_events,
     "rollup_cube_status": q_rollup_cube_status,
-    "grouping_sets_customer": q_grouping_sets_customer,
     "setops_customers": q_setops_customers,
     "order_limit_global": q_order_limit_global,
     "stats_agg_orders": q_stats_agg_orders,
@@ -1508,6 +1650,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
     "corpus_profile_docs": q_corpus_profile_docs,
+    "line_dedup_docs": q_line_dedup_docs,
     "top_terms": q_top_terms,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_incremental_docs": q_dedup_incremental_docs,
@@ -1750,13 +1893,18 @@ ORACLES: dict[str, str] = {
         "FROM orders"
     ),
     "rollup_cube_status": (
-        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
-        "'rollup' AS op FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
+        "SELECT 'rollup' AS op, o_orderstatus AS key1, o_orderpriority AS key2, "
+        "COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) "
         "UNION ALL "
-        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
-        "'cube' AS op FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+        "SELECT 'cube' AS op, o_orderstatus AS key1, o_orderpriority AS key2, "
+        "COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "UNION ALL "
+        "SELECT 'gsets' AS op, CAST(c_nationkey AS VARCHAR) AS key1, "
+        "c_mktsegment AS key2, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))"
     ),
     "setops_customers": (
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'except' AS op, "
@@ -1936,11 +2084,21 @@ ORACLES: dict[str, str] = {
     ),
     "hash_split_documents": (
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
-        "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split FROM ("
+        "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
+        "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep FROM ("
         "SELECT doc_id, CAST((strpos('0123456789abcdef', "
         "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
         "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
-        "AS INTEGER) AS bucket FROM documents) t"
+        "AS INTEGER) AS bucket, "
+        "CAST((strpos('0123456789abcdef', "
+        "substr(md5('wds|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', "
+        "substr(md5('wds|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
+        "AS INTEGER) AS wds_bucket, "
+        "CAST(CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 128 "
+        "WHEN 'fr' THEN 128 WHEN 'es' THEN 64 WHEN 'zh' THEN 32 "
+        "ELSE 0 END AS INTEGER) AS wds_rate "
+        "FROM documents) t"
     ),
     "bm25_search_docs": (
         "WITH dtok AS (SELECT doc_id, "
@@ -2015,6 +2173,23 @@ ORACLES: dict[str, str] = {
         + ") AS BIGINT) AS n_winnow_fps "
         "FROM documents QUALIFY row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "line_dedup_docs": (
+        "WITH l AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS line, "
+        "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i "
+        "FROM documents), "
+        "m AS (SELECT doc_id, i, line, "
+        "COUNT(*) OVER (PARTITION BY md5(line)) AS n, "
+        "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i) AS rn "
+        "FROM l) "
+        "SELECT doc_id, "
+        "COALESCE(string_agg(line, chr(10) ORDER BY i) "
+        "FILTER (WHERE n < 2 OR rn = 1), '') AS text_dedup, "
+        "COUNT(*) AS n_lines, "
+        "CAST(SUM(CASE WHEN n < 2 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_lines_kept "
+        "FROM m GROUP BY doc_id"
     ),
     "corpus_profile_docs": (
         "WITH s AS (SELECT source, lang, "

@@ -1027,3 +1027,49 @@ def test_ann_ivfpq_planted_recall_and_consistency(spark):
     }
     for pair, d in dists.items():
         assert pair in full and full[pair] == pytest.approx(d, abs=1e-6), pair
+
+
+def test_line_dedup_removes_boilerplate_keeps_first(spark):
+    """Corpus-wide duplicate lines vanish everywhere but their first
+    (doc, position) occurrence; unique lines survive untouched; counts
+    report per-doc removal mass."""
+    from gluestick_ts_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie banner\nalpha body\ncookie banner"),
+            (2, "cookie banner\nbeta body"),
+            (3, "gamma body"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # doc 1 holds the first occurrence (position 0); its repeat at
+    # position 2 and doc 2's copy are boilerplate
+    assert got[1].text_dedup == "cookie banner\nalpha body"
+    assert (got[1].n_lines, got[1].n_lines_kept) == (3, 2)
+    assert got[2].text_dedup == "beta body"
+    assert (got[2].n_lines, got[2].n_lines_kept) == (2, 1)
+    assert got[3].text_dedup == "gamma body"
+    assert 4 not in got  # NULL text carries no lines
+
+
+def test_line_dedup_keep_first_false_and_min_count(spark):
+    """keep_first=False drops every occurrence of a duplicate line;
+    min_count raises the boilerplate threshold."""
+    from gluestick_ts_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz"), (3, "x")],
+        "doc_id long, text string",
+    )
+    none_kept = {r.doc_id: r for r in line_dedup(docs, keep_first=False).collect()}
+    assert none_kept[1].text_dedup == "y"
+    assert none_kept[2].text_dedup == "z"
+    assert none_kept[3].text_dedup == ""
+    assert none_kept[3].n_lines_kept == 0
+    # min_count=4 > the 3 occurrences of "x": nothing is boilerplate
+    lax = {r.doc_id: r for r in line_dedup(docs, min_count=4).collect()}
+    assert lax[1].text_dedup == "x\ny"
+    assert lax[3].text_dedup == "x"

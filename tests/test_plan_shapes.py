@@ -70,7 +70,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name, must_push):
         ("q1_pricing_summary", 16, 7),    # lineitem is 16 cols wide
         ("q6_revenue_delta", 16, 4),
         ("order_limit_global", 9, 2),     # orders is 9 cols wide
-        ("hash_split_documents", 5, 1),   # documents: only doc_id read
+        ("hash_split_documents", 5, 2),   # documents: only doc_id + lang read
     ],
 )
 def test_scan_schema_pruned(spark, sf_dir, name, table_width, max_cols):
@@ -103,7 +103,7 @@ def test_hot_paths_have_no_python_operators(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "q6_revenue_delta", "stats_agg_orders",
-     "grouping_sets_customer", "sessionize_events", "window_funcs_orders"],
+     "sessionize_events", "window_funcs_orders"],
 )
 def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
     """One groupBy/window over one table = exactly one shuffle; a
@@ -248,6 +248,24 @@ def test_top_terms_unigram_has_no_global_window_and_broadcasts_vocab(spark, sf_d
         assert node not in plan, node
     args = _exchange_args(plan)
     assert all("text" not in a for a in args), args
+
+
+def test_line_dedup_broadcasts_boilerplate_and_shuffles_twice(spark, sf_dir):
+    """Line dedup must keep the corpus on the map side for the
+    boilerplate decision: the duplicate-line stats (a HAVING count>=2
+    subset, map-side combined) broadcast back onto the line stream —
+    never a corpus-vs-corpus shuffled self-join — so the only key
+    shuffles are the stats aggregate and the per-document reassembly.
+    Hot lines (an empty line appears everywhere) are safe BECAUSE both
+    aggregates combine map-side; a window-over-line-key formulation
+    would put every occurrence of a hot line in one partition."""
+    plan = _plan(spark, sf_dir, "line_dedup_docs")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _hash_shuffles(plan) <= 2, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
 
 
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):

@@ -31,3 +31,51 @@ def test_hash_split_total_and_disjoint(spark):
     assert set(counts) == {"train", "val", "test"}
     assert sum(counts.values()) == 1000
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_weighted_domain_sample_rates_and_independence(spark):
+    """Per-domain keep rates land near their quantized targets; the
+    decision is partition-stable; and the mixture draw is INDEPENDENT
+    of the split assignment (different salt => different hash), so a
+    low-rate domain doesn't sample only from the low split buckets."""
+    from gluestick_ts_spark.functions.sampling import weighted_domain_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = weighted_domain_sample(
+        df, "id", "lang", {"en": 0.5, "zh": 0.125}
+    )
+    got = {r.id: r for r in out.collect()}
+    again = {r.id: r for r in out.repartition(7).collect()}
+    assert {i: g.wds_keep for i, g in got.items()} == {
+        i: g.wds_keep for i, g in again.items()
+    }
+    en_rate = sum(g.wds_keep for g in got.values() if g.lang == "en") / 1000
+    zh_rate = sum(g.wds_keep for g in got.values() if g.lang == "zh") / 1000
+    assert abs(en_rate - 128 / 256) < 0.06, en_rate
+    assert abs(zh_rate - 32 / 256) < 0.06, zh_rate
+    # independence from the plain md5(id) bucket used by hash_split:
+    # among kept zh rows, plain buckets must span the full range, not
+    # only the bottom eighth
+    kept_zh_plain = [
+        r.b
+        for r in df.join(
+            out.where(F.col("wds_keep") & (F.col("lang") == "zh")).select("id"),
+            "id",
+        )
+        .select(md5_bucket_expr("id").alias("b"))
+        .collect()
+    ]
+    assert max(kept_zh_plain) > 200, max(kept_zh_plain)
+
+
+def test_weighted_domain_sample_unknown_domain_and_validation(spark):
+    from gluestick_ts_spark.functions.sampling import weighted_domain_sample
+
+    df = spark.createDataFrame([(1, "xx"), (2, "en")], "id long, lang string")
+    out = {r.id: r for r in weighted_domain_sample(
+        df, "id", "lang", {"en": 1.0}).collect()}
+    assert out[1].wds_rate == 0 and not out[1].wds_keep  # unknown -> default 0
+    assert out[2].wds_rate == 256 and out[2].wds_keep    # rate 1.0 keeps all
+    with pytest.raises(ValueError):
+        weighted_domain_sample(df, "id", "lang", {"en": 1.5})

@@ -50,7 +50,10 @@ NOTES: dict[str, str] = {
     ),
     "ann_ivf_topk": (
         "centroid training collects 16x64 floats driver-side before "
-        "plan construction; probe join is broadcast"
+        "plan construction; probe join is broadcast; ivfpq part trains "
+        "PQ codebooks (bounded m*k collects), scores probed lists via "
+        "ADC, and pins its 40-row result at a checkpoint before the "
+        "planted-retrieval guard"
     ),
     "ann_lsh_topk": (
         "constant-folded hyperplane literals; id-only candidates; "
