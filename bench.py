@@ -27,8 +27,9 @@ IVF top-k plus the IVF+PQ composition (codebook training, ADC scoring,
 planted-retrieval guard) — so its round-5 number (1.59 s at sf0.1)
 covers roughly a third of the work the entry now does; and
 ``json_extract_agg`` absorbed the struct->JSON encode direction
-(previously the separate ``struct_json`` entry). ``line_dedup_docs``
-(C4-style line-level corpus dedup) is new to the suite in round 6.
+(previously the separate ``struct_json`` entry). ``line_dedup_docs`` (C4-style line-level corpus dedup) and
+``semantic_dedup_embeddings`` (SemDeDup) are new to the suite in
+round 6.
 """
 
 from __future__ import annotations
@@ -71,6 +72,7 @@ BENCH_QUERIES = [
     "minhash_dedup_docs",
     "simhash_pairs_docs",
     "embedding_cosine_topk",
+    "semantic_dedup_embeddings",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_frame_pipeline",

@@ -74,6 +74,7 @@ from .operators.similarity import (
     train_pq_codebooks,
     ann_recall_vs_exact,
     cosine_topk,
+    semantic_dedup,
     train_ivf_centroids,
 )
 from .operators.skew import salted_join, two_phase_count_distinct
@@ -113,6 +114,7 @@ __all__ = [
     "compact_signature_store",
     "connected_min_labels",
     "cosine_topk",
+    "semantic_dedup",
     "train_ivf_centroids",
     "dedup_clusters",
     "dedup_exact",

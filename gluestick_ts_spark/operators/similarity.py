@@ -44,6 +44,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ann_ivfpq_topk",
+    "semantic_dedup",
 ]
 
 
@@ -889,4 +890,126 @@ def ann_ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[dict] | None = None,
+    n_clusters: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a coarse quantizer, compute pairwise cosine
+    ONLY within clusters, and drop every vector that has a
+    higher-priority (lower-id) near-duplicate (cosine >= ``threshold``)
+    in its cluster — the semantic complement to MinHash (which only
+    sees lexical overlap). Output is TOTAL: one row per input vector,
+    ``(id_col, cid, keep, max_dup_cosine)`` where ``max_dup_cosine``
+    is the strongest lower-id cluster-mate similarity (NULL when none
+    reaches the threshold).
+
+    Determinism contract (what makes the driver's oracle able to
+    replicate it): centroids default to the first ``n_clusters`` rows
+    by id; assignment ranks centroids by ROUND(cosine, 6) DESC with
+    ties to the lowest centroid id — the rounding runs BEFORE ranking
+    on both engines, so near-tie assignments can't diverge on
+    floating-point summation order.
+
+    Scale shape: assignment is one in-row argmin over a
+    constant-folded centroid literal (zero shuffles, ``_spread``
+    parallelism floor); the quadratic cosine work is confined to
+    within-cluster pairs by a self-equi-join on the centroid id (the
+    whole point of SemDeDup — O(sum of cluster sizes squared), not
+    O(n^2)); the drop set aggregates per duplicate id. At 100 TB,
+    grow ``n_clusters`` with the corpus (the paper uses ~100k) so
+    clusters stay bounded, and persist ``assigned`` bucketed by
+    ``cid`` — cluster skew is then the only hazard, and AQE skew-join
+    splitting handles hot clusters.
+    No reference counterpart (extension op).
+    """
+    if centroids is None:
+        rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+            .collect()
+        )
+        centroids = [
+            {"cid": r["cid"], "cent": [float(x) for x in r["cent"]]}
+            for r in rows
+        ]
+    if not centroids:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(True).alias("keep"),
+            F.lit(None).cast("double").alias("max_dup_cosine"),
+        )
+    cents_lit = F.from_json(
+        F.lit(json.dumps([c["cent"] for c in centroids])),
+        "array<array<double>>",
+    )
+    cids_lit = F.from_json(
+        F.lit(json.dumps([int(c["cid"]) for c in centroids])), "array<bigint>"
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _cos(a: Column, b: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        return dot / (na * nb)
+
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.round(-_cos(v, F.element_at(cents_lit, i + 1)), 6).alias("negcos"),
+            F.element_at(cids_lit, i + 1).alias("cid"),
+        ),
+    )
+    assigned = _spread(corpus).select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        F.array_min(cand)["cid"].alias("cid"),
+    )
+    # alias-qualified self-join: rename-then-join of two selects over
+    # the same (spread) subtree trips Spark's attribute dedup on
+    # LocalRelation inputs ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the
+    # lambda-bound vector column); DataFrame.alias resolves cleanly
+    aa = assigned.alias("a")
+    bb = assigned.alias("b")
+    pairs = (
+        aa.join(bb, F.col("a.cid") == F.col("b.cid"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("b.id").alias("id_b"),
+            F.round(_cos(F.col("a.__v"), F.col("b.__v")), 6).alias("__cos"),
+        )
+    )
+    drops = (
+        pairs.where(F.col("__cos") >= float(threshold))
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.max("__cos").alias("max_dup_cosine"))
+    )
+    return (
+        assigned.join(drops, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("max_dup_cosine").isNull().alias("keep"),
+            "max_dup_cosine",
+        )
     )

@@ -31,24 +31,17 @@ from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS_EN,
-    TOKEN_REGEX,
     chunk_tokens,
     fingerprint_expr,
     gopher_quality_flags,
     gopher_rules_sql,
     lang_id_sql,
     lang_score_sql,
-    punct_ratio_expr,
-    quality_score_expr,
     redact_pii_expr,
-    repetition_ratio_expr,
     shingles_expr,
-    stopword_ratio_expr,
-    token_count_expr,
     tokens_expr,
     winnow_fingerprints_expr,
     winnow_fps_sql,
-    word_count_expr,
 )
 from ..functions.sampling import (
     hash_split,
@@ -308,21 +301,41 @@ def q_join_broadcast_brand(spark, sf):
 
 
 def q_semi_anti_join_customers(spark, sf):
-    """Left-semi AND left-anti joins in one tagged union: customers
-    without any order ('anti') + customers with at least one order
-    > 300k ('semi')."""
+    """The non-inner join family as ONE tagged union (registry-folding
+    pattern): customers without any order ('anti', left-anti join),
+    customers with at least one order > 300k ('semi', left-semi join),
+    and the full-outer-join match-class census ('full_outer' — counts
+    of matched / customer-only / order-only keys in one row)."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    anti = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
-        .select("c_custkey", F.lit("anti").alias("op"))
+    nulls = [
+        F.lit(None).cast("long").alias(n)
+        for n in ("n_matched", "n_cust_only", "n_order_only")
+    ]
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", F.lit("anti").alias("op"), *nulls
     )
     big = o.where(F.col("o_totalprice") > 300000.0)
-    semi = (
-        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
-        .select("c_custkey", F.lit("semi").alias("op"))
+    semi = c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+        "c_custkey", F.lit("semi").alias("op"), *nulls
     )
-    return anti.unionByName(semi)
+    ck = _t(spark, sf, "customer").select("c_custkey")
+    ok = _t(spark, sf, "orders").select("o_custkey").distinct()
+    j = ck.join(ok, ck["c_custkey"] == ok["o_custkey"], "full_outer")
+    fo = j.agg(
+        F.count(
+            F.when(ck["c_custkey"].isNotNull() & ok["o_custkey"].isNotNull(), 1)
+        ).alias("n_matched"),
+        F.count(F.when(ok["o_custkey"].isNull(), 1)).alias("n_cust_only"),
+        F.count(F.when(ck["c_custkey"].isNull(), 1)).alias("n_order_only"),
+    ).select(
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit("full_outer").alias("op"),
+        "n_matched",
+        "n_cust_only",
+        "n_order_only",
+    )
+    return anti.unionByName(semi).unionByName(fo)
 
 
 def q_window_funcs_orders(spark, sf):
@@ -565,18 +578,6 @@ def q_order_limit_global(spark, sf):
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
         .select("o_orderkey", "o_totalprice")
-    )
-
-
-def q_full_outer_join_counts(spark, sf):
-    """Full outer join + match-class counts (one row)."""
-    c = _t(spark, sf, "customer").select("c_custkey")
-    o = _t(spark, sf, "orders").select("o_custkey").distinct()
-    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
-    return j.agg(
-        F.count(F.when(c["c_custkey"].isNotNull() & o["o_custkey"].isNotNull(), 1)).alias("n_matched"),
-        F.count(F.when(o["o_custkey"].isNull(), 1)).alias("n_cust_only"),
-        F.count(F.when(c["c_custkey"].isNull(), 1)).alias("n_order_only"),
     )
 
 
@@ -1264,6 +1265,30 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_semantic_dedup_embeddings(spark, sf):
+    """SemDeDup over a planted corpus (operators/similarity.py
+    semantic_dedup): embeddings plus near-duplicates (+0.05 per
+    element, id+100000) planted for the first 100 vectors — the raw
+    corpus is near-orthogonal, so without planting no pair crosses the
+    0.8 threshold and a 0-drop run would verify nothing. Every stage
+    is deterministic (first-16 seed centroids, ROUND-before-rank
+    assignment, lowest-id-wins drops), so the DuckDB oracle replicates
+    cluster assignment AND the drop set exactly."""
+    from ..operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return semantic_dedup(corpus, n_clusters=16, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
@@ -1637,7 +1662,6 @@ QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "join_broadcast_brand": q_join_broadcast_brand,
     "semi_anti_join_customers": q_semi_anti_join_customers,
-    "full_outer_join_counts": q_full_outer_join_counts,
     "range_join_followup_orders": q_range_join_followup_orders,
     "asof_join_orders": q_asof_join_orders,
     "window_funcs_orders": q_window_funcs_orders,
@@ -1658,6 +1682,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "hash_split_documents": q_hash_split_documents,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "bm25_search_docs": q_bm25_search_docs,
     "chunk_tokens_docs": q_chunk_tokens_docs,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1872,12 +1897,24 @@ ORACLES: dict[str, str] = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
     ),
     "semi_anti_join_customers": (
-        "SELECT c_custkey, 'anti' AS op FROM customer c WHERE NOT EXISTS "
+        "SELECT c_custkey, 'anti' AS op, CAST(NULL AS BIGINT) AS n_matched, "
+        "CAST(NULL AS BIGINT) AS n_cust_only, CAST(NULL AS BIGINT) AS n_order_only "
+        "FROM customer c WHERE NOT EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
         "UNION ALL "
-        "SELECT c_custkey, 'semi' AS op FROM customer c WHERE EXISTS "
+        "SELECT c_custkey, 'semi' AS op, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) "
+        "FROM customer c WHERE EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
-        "AND o.o_totalprice > 300000.0)"
+        "AND o.o_totalprice > 300000.0) "
+        "UNION ALL "
+        "SELECT CAST(NULL AS BIGINT) AS c_custkey, 'full_outer' AS op, "
+        "COUNT(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 END), "
+        "COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END), "
+        "COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) "
+        "FROM customer c FULL OUTER JOIN "
+        "(SELECT DISTINCT o_custkey FROM orders) o "
+        "ON c.c_custkey = o.o_custkey"
     ),
     "window_funcs_orders": (
         "SELECT o_custkey, o_orderkey, o_totalprice, "
@@ -1975,11 +2012,6 @@ ORACLES: dict[str, str] = {
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'"
     ),
-    "grouping_sets_customer": (
-        "SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt, "
-        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
-        "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))"
-    ),
     "range_join_followup_orders": (
         "SELECT a.o_orderkey AS o_orderkey, COUNT(b.o_orderkey) AS n_followups "
         "FROM orders a LEFT JOIN orders b ON a.o_custkey = b.o_custkey "
@@ -1990,14 +2022,6 @@ ORACLES: dict[str, str] = {
     "order_limit_global": (
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
-    ),
-    "full_outer_join_counts": (
-        "SELECT COUNT(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL "
-        "THEN 1 END) AS n_matched, "
-        "COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_cust_only, "
-        "COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_order_only "
-        "FROM customer c FULL OUTER JOIN "
-        "(SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey"
     ),
     "scalar_funcs": (
         "SELECT o_orderkey AS key, 'math_date' AS part, "
@@ -2259,6 +2283,30 @@ ORACLES: dict[str, str] = {
         "c.vec_id ASC) AS rank "
         "FROM embeddings q CROSS JOIN embeddings c "
         "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t WHERE rank <= 5"
+    ),
+    "semantic_dedup_embeddings": (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "planted AS (SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(v, x -> x + 0.05) AS v FROM base WHERE vec_id < 100), "
+        "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+        "cents AS (SELECT vec_id AS ccid, v AS cv FROM corpus WHERE vec_id < 16), "
+        "scored AS (SELECT e.vec_id, c.ccid, "
+        "ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cos "
+        "FROM corpus e CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, ccid AS cid FROM ("
+        "SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos DESC, ccid ASC) AS rn FROM scored) t WHERE rn = 1), "
+        "av AS (SELECT a.vec_id, a.cid, c.v FROM assign a "
+        "JOIN corpus c USING (vec_id)), "
+        "pairs AS (SELECT b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id), "
+        "drops AS (SELECT id_b, MAX(cos) AS mdc FROM pairs "
+        "WHERE cos >= 0.8 GROUP BY id_b) "
+        "SELECT s.vec_id, s.cid, d.id_b IS NULL AS keep, "
+        "d.mdc AS max_dup_cosine "
+        "FROM assign s LEFT JOIN drops d ON s.vec_id = d.id_b"
     ),
     "embedding_neardup": (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "

@@ -1073,3 +1073,35 @@ def test_line_dedup_keep_first_false_and_min_count(spark):
     lax = {r.doc_id: r for r in line_dedup(docs, min_count=4).collect()}
     assert lax[1].text_dedup == "x\ny"
     assert lax[3].text_dedup == "x"
+
+
+def test_semantic_dedup_drops_planted_keeps_originals(spark):
+    """A planted near-duplicate (same direction, slightly shifted)
+    lands in its source's cluster and is dropped (higher id loses);
+    the source and unrelated vectors survive; output is total."""
+    import random as _r
+
+    from gluestick_ts_spark.operators.similarity import semantic_dedup
+
+    rng = _r.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / n for x in v]))
+    # plant near-dups of vectors 0..9 at ids 1000+
+    for i in range(10):
+        rows.append((1000 + i, [x + 0.02 for x in rows[i][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, n_clusters=8, threshold=0.9).collect()}
+    assert len(out) == 70  # total: one row per input
+    dropped = {i for i, r in out.items() if not r.keep}
+    # every planted dup must be dropped; no source may be (sources have
+    # the lower id)
+    assert {1000 + i for i in range(10)} <= dropped, dropped
+    assert not any(i < 10 for i in dropped), dropped
+    for i in range(10):
+        assert out[1000 + i].max_dup_cosine >= 0.9
+        # planted vector clusters with its source
+        assert out[1000 + i].cid == out[i].cid

@@ -268,6 +268,23 @@ def test_line_dedup_broadcasts_boilerplate_and_shuffles_twice(spark, sf_dir):
         assert node not in plan, node
 
 
+def test_semantic_dedup_confines_quadratic_work_to_clusters(spark, sf_dir):
+    """SemDeDup's whole point is O(sum of cluster sizes squared), not
+    O(n^2): the pairwise-cosine stage must be an EQUI-join on the
+    centroid id — never a nested-loop/cartesian cross join — the
+    centroid assignment must be in-row (no assignment shuffle: every
+    key exchange keys on id/cid, none on a vector column), and no
+    Python operators anywhere."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan), plan[:1500]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("__v" not in a and "embedding" not in a for a in hashed), hashed
+
+
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     """BM25 must keep the corpus on the map side: the query vocabulary
     and per-term document frequencies broadcast (no sort-merge join
