@@ -121,6 +121,16 @@ def token_count_expr(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:
     return F.regexp_count(_col(text), F.lit(pattern))
 
 
+def self_dedup_lines_expr(text: Column | str) -> Column:
+    """Within-document repeated-line removal (the in-row complement to
+    the corpus-level ``line_dedup`` operator; the repetition class the
+    Gopher rules flag, here actually removed): each distinct line keeps
+    its FIRST occurrence, in document order. Pure Column expression —
+    ``array_distinct`` preserves first-occurrence order — so it's
+    map-only at any corpus size."""
+    return F.concat_ws("\n", F.array_distinct(F.split(_col(text), "\n")))
+
+
 def fingerprint_expr(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text. Stable across engines (md5 is md5 everywhere) — used as the

@@ -852,11 +852,26 @@ def q_line_dedup_docs(spark, sf):
     the surviving lines in order (operators/dedup.py line_dedup).
     Fully deterministic — exact string lines, md5 keys, (doc, position)
     first-occurrence tie-break — so the DuckDB oracle replicates the
-    rebuilt text byte-for-byte."""
+    rebuilt text byte-for-byte. Rides along map-only: the WITHIN-doc
+    self-dedup (functions/text.py self_dedup_lines_expr — each
+    distinct line keeps its first in-document occurrence), joined back
+    on doc_id; the corpus-dedup side arrives already partitioned by
+    doc id from its reassembly aggregate, so the join reuses that
+    exchange."""
+    from ..functions.text import self_dedup_lines_expr
     from ..operators.dedup import _spread, line_dedup
 
     d = _spread(_t(spark, sf, "documents"))
-    return line_dedup(d)
+    lvl = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), "\n")).alias("__u"),
+    )
+    selfd = lvl.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("__u")).alias("text_selfdedup"),
+        F.size(F.col("__u")).cast("long").alias("n_lines_unique"),
+    )
+    return line_dedup(d).join(selfd, on="doc_id")
 
 
 def q_corpus_profile_docs(spark, sf):
@@ -2206,14 +2221,21 @@ ORACLES: dict[str, str] = {
         "m AS (SELECT doc_id, i, line, "
         "COUNT(*) OVER (PARTITION BY md5(line)) AS n, "
         "row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i) AS rn "
-        "FROM l) "
-        "SELECT doc_id, "
+        "FROM l), "
+        "cd AS (SELECT doc_id, "
         "COALESCE(string_agg(line, chr(10) ORDER BY i) "
         "FILTER (WHERE n < 2 OR rn = 1), '') AS text_dedup, "
         "COUNT(*) AS n_lines, "
         "CAST(SUM(CASE WHEN n < 2 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
         "AS n_lines_kept "
-        "FROM m GROUP BY doc_id"
+        "FROM m GROUP BY doc_id), "
+        "sd AS (SELECT doc_id, "
+        "list_filter(L, (x, i) -> list_position(L, x) = i) AS U FROM ("
+        "SELECT doc_id, string_split(text, chr(10)) AS L FROM documents) t) "
+        "SELECT cd.doc_id, cd.text_dedup, cd.n_lines, cd.n_lines_kept, "
+        "array_to_string(sd.U, chr(10)) AS text_selfdedup, "
+        "CAST(len(sd.U) AS BIGINT) AS n_lines_unique "
+        "FROM cd JOIN sd USING (doc_id)"
     ),
     "corpus_profile_docs": (
         "WITH s AS (SELECT source, lang, "

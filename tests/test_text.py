@@ -263,3 +263,17 @@ def test_gopher_drop_rate_histogram_stable_at_corpus_scale(spark):
     for c in ("mean_word_len_ok", "symbol_ratio_ok", "bullet_lines_ok",
               "ellipsis_lines_ok", "alpha_words_ok", "repetition_ok"):
         assert counts[c] == 5000, c
+
+
+def test_self_dedup_lines_first_occurrence_order(spark):
+    from gluestick_ts_spark.functions.text import self_dedup_lines_expr
+
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.d for r in df.select(
+        "doc_id", self_dedup_lines_expr("text").alias("d")).collect()}
+    assert got[1] == "b\na\nc"  # first occurrences, original order
+    assert got[2] == "x"
+    assert got[3] == ""
