@@ -27,9 +27,10 @@ IVF top-k plus the IVF+PQ composition (codebook training, ADC scoring,
 planted-retrieval guard) — so its round-5 number (1.59 s at sf0.1)
 covers roughly a third of the work the entry now does; and
 ``json_extract_agg`` absorbed the struct->JSON encode direction
-(previously the separate ``struct_json`` entry). ``line_dedup_docs`` (C4-style line-level corpus dedup) and
-``semantic_dedup_embeddings`` (SemDeDup) are new to the suite in
-round 6.
+(previously the separate ``struct_json`` entry). ``line_dedup_docs`` (C4-style line-level corpus dedup),
+``semantic_dedup_embeddings`` (SemDeDup), and
+``curation_pipeline_docs`` (the composed per-document curation
+verdict) are new to the suite in round 6.
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ BENCH_QUERIES = [
     "lang_scores",
     "dedup_exact_docs",
     "line_dedup_docs",
+    "curation_pipeline_docs",
     "dedup_incremental_docs",
     "bm25_search_docs",
     "minhash_dedup_docs",

@@ -123,27 +123,35 @@ def q_catalog_typed_cast(spark, sf):
 
 
 def q_parse_dates_fallback(spark, sf):
-    """strptime fallback chain (§2.1 row 5; reader.ts:111-128)."""
+    """The datetime parity family as ONE tagged union (registry-
+    folding pattern): the ``parse`` part is the strptime fallback
+    chain (§2.1 row 5; reader.ts:111-128); the ``iso`` part is
+    string->UTC timestamp localization + ISO-8601 export format
+    (§2.1 rows 22-23; etl-utils.ts:191-212, singer.ts:63-73)."""
     li = _t(spark, sf, "lineitem")
     s = F.when(
         F.col("l_orderkey") % 2 == 0, F.date_format("l_shipdate", "yyyy-MM-dd")
     ).otherwise(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))
-    return li.select(
+    parse = li.select(
+        F.lit("parse").alias("part"),
         "l_orderkey",
         "l_linenumber",
         F.date_format(parse_dates_expr(s), "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("iso_ts"),
     )
-
-
-def q_localize_datetime_iso(spark, sf):
-    """String->UTC timestamp localization + ISO-8601 export format
-    (§2.1 rows 22-23; etl-utils.ts:191-212, singer.ts:63-73)."""
     ev = _t(spark, sf, "events")
     raw = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
     localized = F.coalesce(raw.try_cast("timestamp"), F.try_to_timestamp(raw))
-    return ev.select(
-        "event_id", F.date_format(localized, ISO8601_SPARK_FORMAT).alias("iso_ts")
+    iso = ev.select(
+        F.lit("iso").alias("part"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        F.lit(None).cast("string").alias("parsed_ts"),
+        "event_id",
+        F.date_format(localized, ISO8601_SPARK_FORMAT).alias("iso_ts"),
     )
+    return parse.unionByName(iso)
 
 
 def q_snapshot_upsert(spark, sf):
@@ -872,6 +880,81 @@ def q_line_dedup_docs(spark, sf):
         F.size(F.col("__u")).cast("long").alias("n_lines_unique"),
     )
     return line_dedup(d).join(selfd, on="doc_id")
+
+
+def q_curation_pipeline_docs(spark, sf):
+    """END-TO-END curation verdict per document — the composition a
+    training-data pipeline actually runs, with drop-reason
+    attribution in priority order: benchmark membership ->
+    contamination (8-gram leak from the benchmark slice) -> exact
+    duplicate (keep-first) -> Gopher rules -> heuristic quality
+    (>= 0.5) -> unigram logprob (>= -3.41, ~P10 of the corpus). Every
+    stage is an already-oracle-proven operator; this query proves the
+    COMPOSITION, including the reason each dropped document would be
+    dropped first. Scale shape: three map-only flag columns + the
+    fingerprint window + the broadcast contamination join + the
+    unigram model's two short-key aggregates — no new shuffle class
+    beyond the stages' own."""
+    from ..functions.text import quality_score_expr
+    from ..operators.dedup import _spread, ngram_contamination
+    from ..operators.profile import unigram_logprob_scores
+
+    d = _spread(_t(spark, sf, "documents"))
+    per = d.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
+        gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
+        (quality_score_expr("text") >= 0.5).alias("quality_ok"),
+        fingerprint_expr("text").alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
+    contam = ngram_contamination(
+        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=8
+    ).select("doc_id", "contaminated")
+    lp = unigram_logprob_scores(d, vocab_size=100).select(
+        "doc_id", (F.col("mean_logprob") >= F.lit(-3.41)).alias("__lpok")
+    )
+    j = (
+        per.join(contam, on="doc_id", how="left")
+        .join(lp, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "is_benchmark",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            "dup_ok",
+            "gopher_ok",
+            "quality_ok",
+            F.coalesce("__lpok", F.lit(False)).alias("lp_ok"),
+        )
+    )
+    keep = (
+        ~F.col("is_benchmark")
+        & ~F.col("contaminated")
+        & F.col("dup_ok")
+        & F.col("gopher_ok")
+        & F.col("quality_ok")
+        & F.col("lp_ok")
+    )
+    reason = (
+        F.when(F.col("is_benchmark"), "benchmark")
+        .when(F.col("contaminated"), "contaminated")
+        .when(~F.col("dup_ok"), "duplicate")
+        .when(~F.col("gopher_ok"), "gopher")
+        .when(~F.col("quality_ok"), "quality")
+        .when(~F.col("lp_ok"), "logprob")
+    )
+    return j.select(
+        "doc_id",
+        "is_benchmark",
+        "contaminated",
+        "dup_ok",
+        "gopher_ok",
+        "quality_ok",
+        "lp_ok",
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
 
 
 def q_corpus_profile_docs(spark, sf):
@@ -1663,7 +1746,6 @@ QUERIES: dict[str, QueryFn] = {
     "scan_project_literal": q_scan_project_literal,
     "catalog_typed_cast": q_catalog_typed_cast,
     "parse_dates_fallback": q_parse_dates_fallback,
-    "localize_datetime_iso": q_localize_datetime_iso,
     "snapshot_upsert": q_snapshot_upsert,
     "dedup_keep_last": q_dedup_keep_last,
     "json_extract_agg": q_json_extract_agg,
@@ -1690,6 +1772,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_scores": q_lang_scores,
     "corpus_profile_docs": q_corpus_profile_docs,
     "line_dedup_docs": q_line_dedup_docs,
+    "curation_pipeline_docs": q_curation_pipeline_docs,
     "top_terms": q_top_terms,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_incremental_docs": q_dedup_incremental_docs,
@@ -1835,15 +1918,17 @@ ORACLES: dict[str, str] = {
         "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
     ),
     "parse_dates_fallback": (
-        "SELECT l_orderkey, l_linenumber, "
+        "SELECT 'parse' AS part, l_orderkey, l_linenumber, "
         "strftime(COALESCE(try_strptime(s, '%Y-%m-%d %H:%M:%S'), try_strptime(s, '%Y-%m-%d')), "
-        "'%Y-%m-%d %H:%M:%S') AS parsed_ts FROM ("
+        "'%Y-%m-%d %H:%M:%S') AS parsed_ts, "
+        "CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS iso_ts FROM ("
         "SELECT l_orderkey, l_linenumber, CASE WHEN l_orderkey % 2 = 0 "
         "THEN strftime(l_shipdate, '%Y-%m-%d') "
-        "ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS s FROM lineitem) t"
-    ),
-    "localize_datetime_iso": (
-        "SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), "
+        "ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS s FROM lineitem) t "
+        "UNION ALL "
+        "SELECT 'iso' AS part, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), "
+        "CAST(NULL AS VARCHAR), event_id, "
+        "strftime(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), "
         "'%Y-%m-%d %H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%fZ') AS iso_ts FROM events"
     ),
     "snapshot_upsert": (
@@ -2236,6 +2321,49 @@ ORACLES: dict[str, str] = {
         "array_to_string(sd.U, chr(10)) AS text_selfdedup, "
         "CAST(len(sd.U) AS BIGINT) AS n_lines_unique "
         "FROM cd JOIN sd USING (doc_id)"
+    ),
+    "curation_pipeline_docs": (
+        "WITH tok AS (SELECT doc_id, "
+        f"{_TOKS} AS toks FROM documents), "
+        "toks AS (SELECT doc_id, t AS tk FROM ("
+        "SELECT doc_id, unnest(toks) AS t FROM tok) u WHERE t <> ''), "
+        "counts AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY tk), "
+        "vocab AS (SELECT tk, c FROM (SELECT tk, c, row_number() OVER ("
+        "ORDER BY c DESC, tk ASC) AS r FROM counts) v WHERE r <= 100), "
+        "total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts), "
+        "doclp AS (SELECT doc_id, "
+        "ROUND(AVG(ln(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total.n)), 6) "
+        "AS lp FROM toks LEFT JOIN vocab v USING (tk) "
+        "CROSS JOIN total GROUP BY doc_id), "
+        "grams AS (SELECT doc_id, unnest(list_distinct("
+        "[array_to_string(toks[i:i+7], ' ') "
+        "for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS g FROM tok), "
+        "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
+        "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) "
+        "WHERE doc_id % 20 <> 0), "
+        "base AS (SELECT doc_id, doc_id % 20 = 0 AS is_benchmark, "
+        f"({_GOPHER_PASS_SQL}) AS gopher_ok, "
+        f"({_QUALITY_DUCK}) >= 0.5 AS quality_ok, "
+        "row_number() OVER (PARTITION BY "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+        "ORDER BY doc_id) = 1 AS dup_ok "
+        "FROM documents) "
+        "SELECT b.doc_id, b.is_benchmark, "
+        "h.doc_id IS NOT NULL AS contaminated, "
+        "b.dup_ok, b.gopher_ok, b.quality_ok, "
+        "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
+        "(NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
+        "AND b.gopher_ok AND b.quality_ok "
+        "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
+        "CASE WHEN b.is_benchmark THEN 'benchmark' "
+        "WHEN h.doc_id IS NOT NULL THEN 'contaminated' "
+        "WHEN NOT b.dup_ok THEN 'duplicate' "
+        "WHEN NOT b.gopher_ok THEN 'gopher' "
+        "WHEN NOT b.quality_ok THEN 'quality' "
+        "WHEN NOT COALESCE(d.lp >= -3.41, FALSE) THEN 'logprob' "
+        "END AS drop_reason "
+        "FROM base b LEFT JOIN hits h USING (doc_id) "
+        "LEFT JOIN doclp d USING (doc_id)"
     ),
     "corpus_profile_docs": (
         "WITH s AS (SELECT source, lang, "

@@ -285,6 +285,26 @@ def test_semantic_dedup_confines_quadratic_work_to_clusters(spark, sf_dir):
     assert hashed and all("__v" not in a and "embedding" not in a for a in hashed), hashed
 
 
+def test_curation_pipeline_composes_without_new_shuffle_classes(spark, sf_dir):
+    """The end-to-end curation verdict must inherit its stages' scale
+    shapes, not add new ones: benchmark gram set broadcasts (no
+    corpus-vs-corpus contamination join), no Python operators, no
+    cartesian products, and no exchange ever keys on document text —
+    every key shuffle is on doc id / fingerprint / token / gram
+    hash."""
+    plan = _plan(spark, sf_dir, "curation_pipeline_docs")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the unigram model's 1-row
+    # corpus-total broadcast (a scalar attached to every row); count
+    # detail-section headers, not tree echoes
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("text" not in a for a in hashed), hashed
+
+
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     """BM25 must keep the corpus on the map side: the query vocabulary
     and per-term document frequencies broadcast (no sort-merge join
