@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -35,6 +35,8 @@ __all__ = [
     "stream_sessionize",
     "stream_dedup_incremental",
     "stream_corpus_profile",
+    "stream_curation_filter",
+    "frozen_logprob_expr",
 ]
 
 
@@ -389,3 +391,145 @@ def stream_corpus_profile(
             "approx_dup_rate",
         )
     )
+
+
+def frozen_logprob_expr(
+    text_col: str, model: dict[str, float], floor: float
+):
+    """Mean token log-probability under a FROZEN unigram model — the
+    streaming complement to ``unigram_logprob_scores`` (whose model IS
+    the corpus and therefore can't be computed inside a micro-batch).
+    Train offline (token -> ln(count/N)), freeze, and apply map-only:
+    the model enters the plan as one ``from_json`` map literal that
+    Catalyst constant-folds, OOV tokens take the ``floor``. Bounded
+    model sizes only (a 100k-token vocab is a few MB of literal; ship
+    larger models as a broadcast-joined table instead)."""
+    import json as _json
+
+    model_lit = F.from_json(
+        F.lit(_json.dumps({k: float(v) for k, v in model.items()})),
+        "map<string,double>",
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    lps = F.transform(
+        toks, lambda t: F.coalesce(F.element_at(model_lit, t), F.lit(float(floor)))
+    )
+    total = F.aggregate(lps, F.lit(0.0), lambda acc, x: acc + x)
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stream_curation_filter(
+    stream_df: DataFrame,
+    store_dir: str,
+    emit,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    logprob_model: dict[str, float] | None = None,
+    logprob_floor: float = -20.0,
+    logprob_min: float | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Streaming curation: every micro-batch gets the per-document
+    verdict a batch pipeline computes (``curation_pipeline_docs``
+    shape) — Gopher rules, heuristic quality, optional FROZEN
+    unigram-LM logprob — plus exact dedup both within the batch
+    (keep-first) and against a durable cross-batch fingerprint store.
+    ``emit(verdict_df, batch_id)`` receives EVERY row with ``keep``
+    and first-failing ``drop_reason`` ('duplicate' | 'gopher' |
+    'quality' | 'logprob' | NULL), so the drop-rate monitor and the
+    survivor sink read one frame; fingerprints of kept rows are then
+    appended to ``<store_dir>/fingerprints.parquet``.
+
+    Same durability contract as ``stream_dedup_incremental``: the
+    store path resolves through the Hadoop FS API (any Spark-readable
+    scheme), emit happens BEFORE the append so a crash-replayed batch
+    re-emits its survivors instead of losing them, and one writer
+    stream owns a store. Per-batch cost: map-only flag columns + one
+    fingerprint window + one anti-join against the (tiny) fingerprint
+    relation — the corpus is never touched, only its fingerprints.
+    """
+    from ..functions.text import (
+        fingerprint_expr,
+        gopher_quality_flags,
+        quality_score_expr,
+    )
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    fp_path = join_uri(store_dir, "fingerprints.parquet")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        lp_ok: object
+        if logprob_model is not None and logprob_min is not None:
+            lp_ok = (
+                frozen_logprob_expr(text_col, logprob_model, logprob_floor)
+                >= F.lit(float(logprob_min))
+            )
+        else:
+            lp_ok = F.lit(True)
+        enriched = batch_df.select(
+            F.col(id_col),
+            F.col(text_col),
+            fingerprint_expr(text_col).alias("__fp"),
+            gopher_quality_flags(text_col).getField("passes").alias("gopher_ok"),
+            (quality_score_expr(text_col) >= float(quality_min)).alias(
+                "quality_ok"
+            ),
+            lp_ok.alias("lp_ok"),
+        )
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        first_in_batch = F.row_number().over(w) == 1
+        if hadoop_path_exists(spark, fp_path):
+            store = spark.read.parquet(fp_path).select(
+                F.col("fp").alias("__fp"), F.lit(True).alias("__in_store")
+            ).dropDuplicates(["__fp"])
+        else:
+            store = (
+                enriched.limit(0)
+                .select(F.col("__fp"), F.lit(True).alias("__in_store"))
+            )
+        verdict = (
+            enriched.withColumn("__first", first_in_batch)
+            .join(F.broadcast(store), on="__fp", how="left")
+            .withColumn(
+                "dup_ok",
+                F.col("__first") & F.col("__in_store").isNull(),
+            )
+        )
+        keep = (
+            F.col("dup_ok")
+            & F.col("gopher_ok")
+            & F.col("quality_ok")
+            & F.col("lp_ok")
+        )
+        reason = (
+            F.when(~F.col("dup_ok"), "duplicate")
+            .when(~F.col("gopher_ok"), "gopher")
+            .when(~F.col("quality_ok"), "quality")
+            .when(~F.col("lp_ok"), "logprob")
+        )
+        out = verdict.select(
+            id_col,
+            text_col,
+            "dup_ok",
+            "gopher_ok",
+            "quality_ok",
+            "lp_ok",
+            keep.alias("keep"),
+            reason.alias("drop_reason"),
+            F.col("__fp"),
+        ).localCheckpoint(eager=True)
+        emit(out.drop("__fp"), batch_id)
+        out.where(F.col("keep")).select(F.col("__fp").alias("fp")).write.mode(
+            "append"
+        ).parquet(fp_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

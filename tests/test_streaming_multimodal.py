@@ -375,3 +375,71 @@ def test_stream_corpus_profile(spark, tmp_path):
         "window_start", "window_end", "source", "n_docs", "n_tokens",
         "quality_mean", "gopher_pass_rate", "approx_dup_rate",
     }
+
+
+def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
+    """Streaming curation: per-batch verdicts carry first-failing drop
+    reasons (gopher / quality / logprob / duplicate), survivors' exact
+    fingerprints persist across batches, and a later batch re-sending
+    an accepted document is dropped as a duplicate."""
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+    oov = " ".join(stop6 + [f"zz{chr(97 + i % 26)}{i}" for i in range(54)])
+    lowq = " ".join(["the", "and"] + [f"plain{chr(97 + i % 24)}{i}" for i in range(48)])
+    model = {t: -2.0 for t in good.split()}
+
+    rows: dict[int, dict] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            rows[r.doc_id] = {"keep": r.keep, "reason": r.drop_reason}
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    _write_stream_batch(
+        src, spark,
+        [(1, good), (2, "tiny doc"), (3, lowq), (4, oov), (5, good)],
+        schema,
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_curation_filter(
+            stream, store, emit,
+            quality_min=0.5, logprob_model=model, logprob_min=-10.0,
+            checkpoint_dir=ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows[1] == {"keep": True, "reason": None}
+    assert rows[2] == {"keep": False, "reason": "gopher"}
+    assert rows[3] == {"keep": False, "reason": "quality"}
+    assert rows[4] == {"keep": False, "reason": "logprob"}
+    assert rows[5] == {"keep": False, "reason": "duplicate"}  # in-batch dup of 1
+
+    # batch 2: re-send of accepted doc 1 -> duplicate via the store
+    rows.clear()
+    _write_stream_batch(src, spark, [(10, good)], schema)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        stream_curation_filter(
+            stream2, store, emit,
+            quality_min=0.5, logprob_model=model, logprob_min=-10.0,
+            checkpoint_dir=ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert rows[10] == {"keep": False, "reason": "duplicate"}
+    fps = spark.read.parquet(f"{store}/fingerprints.parquet").count()
+    assert fps == 1  # only doc 1's fingerprint was ever accepted
