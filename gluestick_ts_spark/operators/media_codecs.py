@@ -28,6 +28,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 __all__ = [
     "sniff_format",
@@ -38,13 +39,19 @@ __all__ = [
     "wav_decode",
     "wav_features",
     "wav_frames",
+    "png_decode",
+    "png_encode",
+    "png_features",
+    "png_resize",
 ]
 
 
 def sniff_format(payload: bytes | None) -> str | None:
-    """Magic-byte format sniff: ``"bmp"``, ``"wav"``, or None."""
+    """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``, or None."""
     if not payload or len(payload) < 12:
         return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -246,3 +253,166 @@ def wav_frames(payload: bytes, n_frames: int) -> list[bytes]:
             ow.writeframes(chunk)
         out.append(buf.getvalue())
     return out
+
+
+# -- PNG ---------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse an 8-bit non-interlaced PNG (grayscale / RGB / RGBA) using
+    only stdlib ``zlib``: chunk walk, IDAT inflate, and full scanline
+    un-filtering (all five PNG filter types, including Paeth).
+
+    Returns ``(width, height, pixels)`` row-major top-down as
+    ``(r, g, b)`` tuples (grayscale is expanded, alpha is dropped) —
+    the same contract as ``bmp_decode``, so features/resize share one
+    pixel pipeline. Raises ``ValueError`` for non-PNG payloads and the
+    unsupported corners (16-bit, palette, interlaced).
+    """
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = -1
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} interlace={interlace}"
+                )
+            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+            if channels == 0:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width <= 0 or height <= 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    pixels: list[tuple[int, int, int]] = []
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        prev = line
+        for c in range(width):
+            o = c * channels
+            if channels == 1:
+                g = line[o]
+                pixels.append((g, g, g))
+            else:
+                pixels.append((line[o], line[o + 1], line[o + 2]))
+    return width, height, pixels
+
+
+def png_encode(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Emit a valid 8-bit RGB non-interlaced PNG (filter 0 scanlines,
+    stdlib ``zlib`` deflate + crc32) from row-major top-down
+    ``(r, g, b)`` pixels."""
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter type None
+        for c in range(width):
+            raw += bytes(pixels[r * width + c])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pixel_features(
+    width: int, height: int, pixels: list[tuple[int, int, int]], n_features: int
+) -> list[float]:
+    """Shared pixel-statistics feature vector (the ``bmp_features``
+    contract): channel means, luma mean/stddev, normalized dims,
+    aspect."""
+    n = len(pixels) or 1
+    mr = sum(p[0] for p in pixels) / n
+    mg = sum(p[1] for p in pixels) / n
+    mb = sum(p[2] for p in pixels) / n
+    lumas = [0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2] for p in pixels]
+    ml = sum(lumas) / n
+    var = sum((x - ml) ** 2 for x in lumas) / n
+    feats = [
+        mr / 255.0,
+        mg / 255.0,
+        mb / 255.0,
+        ml / 255.0,
+        (var ** 0.5) / 255.0,
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 16.0,
+    ]
+    feats = feats[:n_features]
+    return feats + [0.0] * (n_features - len(feats))
+
+
+def png_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real pixel statistics from a decoded PNG — identical feature
+    contract to ``bmp_features``."""
+    return _pixel_features(*png_decode(payload), n_features)
+
+
+def png_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode, sample, re-encode as a
+    valid 8-bit RGB PNG."""
+    sw, sh, pixels = png_decode(payload)
+    out = []
+    for r in range(height):
+        sr = min(sh - 1, (r * sh) // height)
+        for c in range(width):
+            sc = min(sw - 1, (c * sw) // width)
+            out.append(pixels[sr * sw + sc])
+    return png_encode(width, height, out)

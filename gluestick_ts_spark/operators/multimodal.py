@@ -35,6 +35,9 @@ from .media_codecs import (
     bmp_decode,
     bmp_features,
     bmp_resize,
+    png_decode,
+    png_features,
+    png_resize,
     sniff_format,
     wav_decode,
     wav_features,
@@ -98,7 +101,7 @@ def probe_media_metadata(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Fill the metadata struct from the payloads themselves via an
-    Arrow-batched probe: BMP -> real width/height (+ format/media_type),
+    Arrow-batched probe: BMP/PNG -> real width/height (+ format/media_type),
     WAV -> real duration_ms (+ format/media_type); unsniffable payloads
     keep their existing metadata untouched. Same schema in and out."""
 
@@ -110,10 +113,11 @@ def probe_media_metadata(
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 fmt = sniff_format(payload)
                 try:
-                    if fmt == "bmp":
-                        w, h, _ = bmp_decode(payload)
+                    if fmt in ("bmp", "png"):
+                        dec = bmp_decode if fmt == "bmp" else png_decode
+                        w, h, _ = dec(payload)
                         meta.update(
-                            media_type="image", format="bmp", width=w, height=h
+                            media_type="image", format=fmt, width=w, height=h
                         )
                     elif fmt == "wav":
                         framerate, _, nframes, _ = wav_decode(payload)
@@ -168,7 +172,7 @@ def decode_features_with_provenance(
     payload: bytes | None, n_features: int = 8
 ) -> tuple[list[float], str]:
     """Format-sniffing feature decoder that also reports WHICH decoder
-    produced the vector: ``("bmp"|"wav")`` for a real decode,
+    produced the vector: ``("png"|"bmp"|"wav")`` for a real decode,
     ``"fake"`` for the byte-stat stand-in. In a mixed corpus real and
     fake feature vectors are numerically indistinguishable, so the
     label is the only audit trail — downstream filters can drop or
@@ -178,6 +182,8 @@ def decode_features_with_provenance(
     try:
         if fmt == "bmp":
             return bmp_features(payload, n_features), "bmp"
+        if fmt == "png":
+            return png_features(payload, n_features), "png"
         if fmt == "wav":
             return wav_features(payload, n_features), "wav"
     except ValueError:
@@ -257,9 +263,12 @@ def _sniff_resize(
     """Default resize: REAL nearest-neighbor pixel resize for BMP
     payloads (re-encoded as a valid BMP, labeled ``"bmp"``);
     byte-sampling fake labeled ``"fake"`` for everything else."""
-    if sniff_format(payload) == "bmp":
+    fmt = sniff_format(payload)
+    if fmt in ("bmp", "png"):
         try:
-            return bmp_resize(payload, width, height), "bmp"
+            if fmt == "bmp":
+                return bmp_resize(payload, width, height), "bmp"
+            return png_resize(payload, width, height), "png"
         except ValueError:
             pass
     return _fake_resize(payload, width, height), "fake"

@@ -1595,19 +1595,19 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal pipeline over REAL codecs: deterministic BMP (even
-    doc_id) / WAV (odd doc_id) payloads are synthesized per row inside
-    an Arrow batch, then probed (real width/height/duration from the
-    bytes) and feature-extracted (real pixel/sample statistics via the
-    stdlib BMP/WAV decoders in operators/media_codecs.py — the fake
-    byte-stat path only serves formats needing unavailable codec
-    libs)."""
+    """Multimodal pipeline over REAL codecs: deterministic BMP
+    (doc_id % 3 == 0) / WAV (% 3 == 1) / PNG (% 3 == 2) payloads are
+    synthesized per row inside an Arrow batch, then probed (real
+    width/height/duration from the bytes) and feature-extracted (real
+    pixel/sample statistics via the stdlib BMP/WAV/zlib-PNG decoders
+    in operators/media_codecs.py — the fake byte-stat path only serves
+    formats needing unavailable codec libs)."""
     import math
     import struct as _struct
 
     import pandas as pd
 
-    from ..operators.media_codecs import bmp_encode
+    from ..operators.media_codecs import bmp_encode, png_encode
     from ..operators.multimodal import probe_media_metadata
 
     d = _t(spark, sf, "documents").limit(200).select("doc_id")
@@ -1620,9 +1620,15 @@ def q_multimodal_features(spark, sf):
             payloads = []
             for did in pdf["doc_id"]:
                 i = int(did)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
                     payloads.append(bmp_encode(4, 4, [color] * 16))
+                elif i % 3 == 2:
+                    px = [
+                        ((i + k) * 31 % 256, (i + k) * 53 % 256, (i + k) * 71 % 256)
+                        for k in range(16)
+                    ]
+                    payloads.append(png_encode(4, 4, px))
                 else:
                     rate, n = 8000, 200 + (i % 10) * 40
                     freq = 200.0 + (i % 40) * 10.0
@@ -1657,8 +1663,8 @@ def q_multimodal_features(spark, sf):
         F.col("media_meta.width").alias("width"),
         F.col("media_meta.duration_ms").alias("duration_ms"),
         F.col("media_meta.size_bytes").alias("size_bytes"),
-        # decode provenance: "bmp"/"wav" = real stdlib decode, "fake" =
-        # byte-stat fallback (indistinguishable from real numerically)
+        # decode provenance: "bmp"/"wav"/"png" = real stdlib decode,
+        # "fake" = byte-stat fallback (indistinguishable numerically)
         "decoder",
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),

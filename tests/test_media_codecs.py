@@ -222,3 +222,117 @@ def test_spark_pipeline_mixed_formats(spark):
     for r in frames:
         rate, _, _, _ = wav_decode(bytes(r.frame))
         assert rate == 8000
+
+
+def _rand_pixels(w, h, seed=7):
+    import random
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+
+
+def test_png_roundtrip_and_sniff():
+    from gluestick_ts_spark.operators.media_codecs import (
+        png_decode, png_encode, sniff_format)
+
+    px = _rand_pixels(6, 4)
+    b = png_encode(6, 4, px)
+    assert sniff_format(b) == "png"
+    assert png_decode(b) == (6, 4, px)
+
+
+def test_png_decode_all_filter_types():
+    """Decode scanlines filtered with Sub/Up/Average/Paeth built by an
+    independent forward-filter implementation (the spec's equations),
+    so un-filtering is verified against ground truth, not against our
+    own encoder (which always emits filter 0)."""
+    import struct
+    import zlib
+
+    from gluestick_ts_spark.operators.media_codecs import _paeth, png_decode
+
+    w, h, ch = 5, 4, 3
+    px = _rand_pixels(w, h, seed=13)
+    rows = [
+        b"".join(bytes(px[r * w + c]) for c in range(w)) for r in range(h)
+    ]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, ftype in zip(range(h), (1, 2, 3, 4)):
+        line = rows[r]
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(payload) == (w, h, px)
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    from gluestick_ts_spark.operators.media_codecs import png_decode
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    def make(color, ch, body_px):
+        raw = bytearray()
+        w = 2
+        for r in range(2):
+            raw.append(0)
+            raw += bytes(body_px[r * w * ch : (r + 1) * w * ch])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = make(0, 1, [10, 20, 30, 40])
+    assert png_decode(gray) == (
+        2, 2, [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)])
+    rgba = make(6, 4, [1, 2, 3, 255, 4, 5, 6, 0, 7, 8, 9, 128, 10, 11, 12, 64])
+    assert png_decode(rgba) == (2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)])
+
+
+def test_png_resize_and_dispatch_labels():
+    from gluestick_ts_spark.operators.media_codecs import (
+        png_decode, png_encode, png_resize)
+    from gluestick_ts_spark.operators.multimodal import decode_features_with_provenance
+
+    px = _rand_pixels(8, 8)
+    b = png_encode(8, 8, px)
+    small = png_resize(b, 4, 4)
+    w, h, spx = png_decode(small)
+    assert (w, h) == (4, 4)
+    assert spx[0] == px[0]  # nearest-neighbor keeps the top-left texel
+    feats, label = decode_features_with_provenance(b, 8)
+    assert label == "png"
+    assert abs(feats[5] * 4096 - 8) < 1e-9  # real width flowed through
