@@ -30,7 +30,10 @@ covers roughly a third of the work the entry now does; and
 (previously the separate ``struct_json`` entry). ``line_dedup_docs`` (C4-style line-level corpus dedup),
 ``semantic_dedup_embeddings`` (SemDeDup), and
 ``curation_pipeline_docs`` (the composed per-document curation
-verdict) are new to the suite in round 6.
+verdict), and ``rollup_events_hourly`` (the materialized
+continuous-aggregate store: two REAL partitioned parquet writes + an
+additive refresh per run — it times the materialization path, not a
+query) are new to the suite in round 6.
 """
 
 from __future__ import annotations
@@ -57,6 +60,7 @@ BENCH_QUERIES = [
     "range_join_followup_orders",
     "window_funcs_orders",
     "rollup_cube_status",
+    "rollup_events_hourly",
     "stats_agg_orders",
     "sessionize_events",
     "dedup_keep_last",

@@ -64,6 +64,12 @@ from .operators.multimodal import (
 )
 from .operators.packing import assemble_packs, pack_token_windows
 from .operators.profile import corpus_profile, unigram_logprob_scores
+from .operators.rollup import (
+    read_rollup,
+    refresh_rollup,
+    rollup_aggregate,
+    write_rollup,
+)
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
     ann_ivf_topk,
@@ -144,6 +150,10 @@ __all__ = [
     "assemble_packs",
     "pack_token_windows",
     "corpus_profile",
+    "read_rollup",
+    "refresh_rollup",
+    "rollup_aggregate",
+    "write_rollup",
     "unigram_logprob_scores",
     "ann_ivfpq_topk",
     "pq_encode",

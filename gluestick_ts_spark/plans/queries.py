@@ -578,17 +578,6 @@ def q_range_join_followup_orders(spark, sf):
     )
 
 
-def q_order_limit_global(spark, sf):
-    """Global top-100 by totalprice (TakeOrderedAndProject — no full
-    sort materialization)."""
-    o = _t(spark, sf, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(100)
-        .select("o_orderkey", "o_totalprice")
-    )
-
-
 def _string_funcs_part(spark, sf):
     """String scalar functions parity (upper/substring/replace/concat/
     lpad/length) + the PII-redaction pass over a synthesized
@@ -680,7 +669,9 @@ def q_stats_agg_orders(spark, sf):
     double result is independent of partition/summation order and
     bit-comparable across engines; plus min/max/count and the
     pivot-style conditional counts per order status (folded in from the
-    former conditional_agg_pivot query — same groupBy key, one agg)."""
+    former conditional_agg_pivot query — same groupBy key, one agg);
+    plus the 'topk' part: global top-100 orders by totalprice
+    (TakeOrderedAndProject — folded in from order_limit_global)."""
     o = _t(spark, sf, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
@@ -694,7 +685,8 @@ def q_stats_agg_orders(spark, sf):
     )
     mean = F.col("s") / F.col("cnt")
     var = (F.col("s2") - F.col("s") * F.col("s") / F.col("cnt")) / (F.col("cnt") - 1)
-    return agg.select(
+    stats = agg.select(
+        F.lit("stats").alias("part"),
         "o_orderpriority",
         "cnt",
         F.round(mean, 4).alias("mean_price"),
@@ -704,6 +696,67 @@ def q_stats_agg_orders(spark, sf):
         "cnt_open",
         "cnt_filled",
         "cnt_partial",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # 'topk' part: global top-100 by totalprice — folded in from the
+    # former order_limit_global query (TakeOrderedAndProject, no full
+    # sort materialization)
+    topk = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            F.lit("topk").alias("part"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("double").alias("mean_price"),
+            F.lit(None).cast("double").alias("stddev_price"),
+            F.lit(None).cast("double").alias("min_price"),
+            F.lit(None).cast("double").alias("max_price"),
+            F.lit(None).cast("long").alias("cnt_open"),
+            F.lit(None).cast("long").alias("cnt_filled"),
+            F.lit(None).cast("long").alias("cnt_partial"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return stats.unionByName(topk)
+
+
+def q_rollup_events_hourly(spark, sf):
+    """Materialized hourly rollup (operators/rollup.py — the
+    continuous-aggregate store) driver-checked against full recompute:
+    the events table is split deterministically, the seed's rollup is
+    WRITTEN date-partitioned, the remainder is REFRESHED in (additive
+    merge of counts + exact DECIMAL sums over only the affected date
+    partitions), and the merged store is read back. Because the store
+    holds only mergeable statistics, the refreshed store must equal
+    DuckDB's one-shot aggregate over ALL events exactly — which is
+    what the hash check asserts. The store round-trips through real
+    parquet under a per-run temp dir (the materialization IS the
+    operator)."""
+    import tempfile
+
+    from ..operators.rollup import (
+        refresh_rollup,
+        rollup_aggregate,
+        write_rollup,
+    )
+
+    ev = _t(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="gs_rollup_") + "/store"
+    seed = ev.where(F.col("event_id") % 3 != 0)
+    batch = ev.where(F.col("event_id") % 3 == 0)
+    write_rollup(rollup_aggregate(seed, "ts", ["event_type"], ["value"]), path)
+    merged = refresh_rollup(batch, path, "ts", ["event_type"], ["value"])
+    return merged.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "mean_value",
     )
 
 
@@ -1771,8 +1824,8 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize_events": q_sessionize_events,
     "rollup_cube_status": q_rollup_cube_status,
     "setops_customers": q_setops_customers,
-    "order_limit_global": q_order_limit_global,
     "stats_agg_orders": q_stats_agg_orders,
+    "rollup_events_hourly": q_rollup_events_hourly,
     # extension ops: text / dedup / similarity / sampling
     "text_stats": q_text_stats,
     "lang_scores": q_lang_scores,
@@ -2125,10 +2178,6 @@ ORACLES: dict[str, str] = {
         "AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY "
         "GROUP BY a.o_orderkey"
     ),
-    "order_limit_global": (
-        "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
-    ),
     "scalar_funcs": (
         "SELECT o_orderkey AS key, 'math_date' AS part, "
         "abs(o_totalprice - 150000.0) AS dist, "
@@ -2188,9 +2237,27 @@ ORACLES: dict[str, str] = {
         "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_filled, "
         "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_partial "
         "FROM orders GROUP BY o_orderpriority) "
-        "SELECT o_orderpriority, cnt, ROUND(s / cnt, 4) AS mean_price, "
+        "SELECT 'stats' AS part, o_orderpriority, cnt, "
+        "ROUND(s / cnt, 4) AS mean_price, "
         "ROUND(sqrt((s2 - s * s / cnt) / (cnt - 1)), 4) AS stddev_price, "
-        "min_price, max_price, cnt_open, cnt_filled, cnt_partial FROM b"
+        "min_price, max_price, cnt_open, cnt_filled, cnt_partial, "
+        "CAST(NULL AS BIGINT) AS o_orderkey, "
+        "CAST(NULL AS DOUBLE) AS o_totalprice FROM b "
+        "UNION ALL "
+        "SELECT 'topk' AS part, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT), o_orderkey, o_totalprice FROM ("
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100) t"
+    ),
+    "rollup_events_hourly": (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS bucket_start, event_type, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, "
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) "
+        "AS mean_value "
+        "FROM events GROUP BY bucket_start, event_type"
     ),
     "parse_objs_keep_original": (
         "SELECT event_id, CASE WHEN NOT json_valid(raw) THEN raw "

@@ -69,7 +69,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name, must_push):
     [
         ("q1_pricing_summary", 16, 7),    # lineitem is 16 cols wide
         ("q6_revenue_delta", 16, 4),
-        ("order_limit_global", 9, 2),     # orders is 9 cols wide
+        ("stats_agg_orders", 9, 4),       # orders is 9 cols wide
         ("hash_split_documents", 5, 2),   # documents: only doc_id + lang read
     ],
 )

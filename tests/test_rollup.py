@@ -1,0 +1,97 @@
+"""Materialized rollup (continuous aggregate) invariants: additive
+refresh equals full recompute, refreshes prune to affected dates."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.rollup import (
+    read_rollup,
+    refresh_rollup,
+    rollup_aggregate,
+    write_rollup,
+)
+
+
+def _events(spark):
+    rows = []
+    for i in range(400):
+        day = 1 + (i % 5)          # 5 distinct dates
+        hour = (i * 7) % 24
+        rows.append((
+            i,
+            f"2024-02-{day:02d} {hour:02d}:{i % 60:02d}:00",
+            ["click", "view"][i % 2],
+            float(i) * 0.25,
+        ))
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _norm(df):
+    return {
+        (str(r.bucket_start), r.event_type): (r.cnt, str(r.sum_value))
+        for r in df.collect()
+    }
+
+
+def test_refresh_merges_exactly_to_full_recompute(spark, tmp_path):
+    """Seed + two overlapping refreshes must leave the store
+    bit-identical to aggregating all events at once — the additive
+    DECIMAL design means no float-order drift can creep in."""
+    ev = _events(spark)
+    path = "file://" + str(tmp_path / "rollup")
+    seed = ev.where(F.col("event_id") % 3 == 0)
+    b1 = ev.where(F.col("event_id") % 3 == 1)
+    b2 = ev.where(F.col("event_id") % 3 == 2)
+
+    write_rollup(rollup_aggregate(seed, "ts", ["event_type"], ["value"]), path)
+    refresh_rollup(b1, path, "ts", ["event_type"], ["value"])
+    merged = refresh_rollup(b2, path, "ts", ["event_type"], ["value"])
+
+    full = rollup_aggregate(ev, "ts", ["event_type"], ["value"])
+    assert _norm(merged.select("bucket_start", "event_type", "cnt", "sum_value")) == _norm(full)
+    # derived means come from the exact sums
+    m = merged.where(F.col("cnt") > 0).select(
+        "cnt", "sum_value", "mean_value").first()
+    assert abs(float(m.sum_value) / m.cnt - m.mean_value) < 1e-4
+
+
+def test_refresh_rewrites_only_affected_date_partitions(spark, tmp_path):
+    """A refresh whose batch touches one date must leave every other
+    date partition's files untouched on disk."""
+    ev = _events(spark)
+    path = str(tmp_path / "rollup")
+    write_rollup(rollup_aggregate(ev, "ts", ["event_type"], ["value"]), path)
+
+    def files_by_date():
+        out = {}
+        for d in glob.glob(os.path.join(path, "__gs_date=*")):
+            out[os.path.basename(d)] = {
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")
+            }
+        return out
+
+    before = files_by_date()
+    assert len(before) == 5
+    one_day = spark.createDataFrame(
+        [(9999, "2024-02-03 10:00:00", "click", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    refresh_rollup(one_day, path, "ts", ["event_type"], ["value"])
+    after = files_by_date()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {"__gs_date=2024-02-03"}, changed
+    # and the touched bucket really absorbed the row
+    got = read_rollup(spark, path).where(
+        (F.col("bucket_start") == "2024-02-03 10:00:00")
+        & (F.col("event_type") == "click")
+    ).first()
+    base = rollup_aggregate(ev, "ts", ["event_type"], ["value"]).where(
+        (F.col("bucket_start") == "2024-02-03 10:00:00")
+        & (F.col("event_type") == "click")
+    ).first()
+    assert got.cnt == (base.cnt if base else 0) + 1

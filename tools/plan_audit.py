@@ -48,6 +48,12 @@ NOTES: dict[str, str] = {
         "+ 16x64 collect per pass); audited plan is assignment (in-row "
         "argmax fold, 0 shuffles) + one count agg"
     ),
+    "rollup_events_hourly": (
+        "write+refresh of the materialized store run at query "
+        "construction (two date-partitioned parquet writes, refresh "
+        "reads only affected partitions); the audited plan is the "
+        "store read-back + derived means"
+    ),
     "ann_ivf_topk": (
         "centroid training collects 16x64 floats driver-side before "
         "plan construction; probe join is broadcast; ivfpq part trains "
