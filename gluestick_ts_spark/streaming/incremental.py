@@ -37,6 +37,7 @@ __all__ = [
     "stream_corpus_profile",
     "stream_curation_filter",
     "frozen_logprob_expr",
+    "stream_rollup",
 ]
 
 
@@ -528,6 +529,46 @@ def stream_curation_filter(
         out.where(F.col("keep")).select(F.col("__fp").alias("fp")).write.mode(
             "append"
         ).parquet(fp_path)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    path: str,
+    ts_col: str,
+    keys: list[str],
+    value_cols: list[str],
+    bucket: str = "1 hour",
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Continuously-maintained materialized rollup: every micro-batch
+    folds into the date-partitioned continuous-aggregate store via
+    ``refresh_rollup`` — the additive-DECIMAL merge makes replayed or
+    reordered micro-batches converge to the same store a batch
+    recompute would build, per-batch cost stays ∝ batch + its affected
+    date partitions, and readers (``read_rollup``) see means derived
+    from exact sums at any point. foreachBatch serializes refreshes,
+    so one stream owns a store (same single-writer contract as the
+    dedup stores). Caller starts the returned writer.
+
+    Note the replay caveat additive state inherits: an at-least-once
+    replay of a COMMITTED batch would double-count — use the stream's
+    ``checkpoint_dir`` so micro-batches are exactly-once per offset
+    range (Structured Streaming's contract for deterministic sources
+    with idempotent-by-offset sinks; a crash BETWEEN emit and commit
+    replays the same offsets into the same refresh, which is why the
+    refresh must be the only writer).
+    """
+    from ..operators.rollup import refresh_rollup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        refresh_rollup(batch_df, path, ts_col, keys, value_cols, bucket)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

@@ -95,3 +95,31 @@ def test_refresh_rewrites_only_affected_date_partitions(spark, tmp_path):
         & (F.col("event_type") == "click")
     ).first()
     assert got.cnt == (base.cnt if base else 0) + 1
+
+
+def test_stream_rollup_converges_to_batch_recompute(spark, tmp_path):
+    """Two micro-batches folded through the streaming wrapper leave
+    the store equal to a one-shot batch aggregate of all events."""
+    from gluestick_ts_spark.streaming.incremental import stream_rollup
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    path = "file://" + str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    for part in (0, 1):
+        ev.where(F.col("event_id") % 2 == part).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_rollup(stream, path, "ts", ["event_type"], ["value"],
+                          checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    merged = read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value")
+    full = rollup_aggregate(ev, "ts", ["event_type"], ["value"])
+    assert _norm(merged) == _norm(full)
