@@ -75,3 +75,40 @@ def test_llm_data_prep_pipeline(spark, sf_dir):
         F.sum(token_count_expr("text")).alias("t")
     ).first()["t"]
     assert totals["chunk_toks"] <= doc_toks + totals["n_chunks"] * 8
+
+
+def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
+    """The end-to-end curation verdict's drop-reason histogram pinned
+    against the sf0.1 corpus — every stage (benchmark, contamination,
+    duplicate, Gopher, quality, logprob) fires at this scale, and a
+    threshold re-tune now shows up as a failing count instead of a
+    silent acceptance-rate drift. Deterministic: every stage is a pure
+    expression over fixed data (the unigram model is corpus-empirical
+    but the corpus is fixed)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    sf01 = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.1")
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        _pytest.skip(f"sf0.1 testdata not present at {sf01}")
+    hist = {
+        r.drop_reason: r.cnt
+        for r in QUERIES["curation_pipeline_docs"](spark, sf01)
+        .groupBy("drop_reason")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert hist == {
+        None: 2002,
+        "benchmark": 250,
+        "contaminated": 27,
+        "duplicate": 8,
+        "gopher": 2582,
+        "logprob": 97,
+        "quality": 34,
+    }, hist
