@@ -919,7 +919,6 @@ def q_line_dedup_docs(spark, sf):
     on doc_id; the corpus-dedup side arrives already partitioned by
     doc id from its reassembly aggregate, so the join reuses that
     exchange."""
-    from ..functions.text import self_dedup_lines_expr
     from ..operators.dedup import _spread, line_dedup
 
     d = _spread(_t(spark, sf, "documents"))
@@ -1657,8 +1656,6 @@ def q_multimodal_features(spark, sf):
     formats needing unavailable codec libs)."""
     import math
     import struct as _struct
-
-    import pandas as pd
 
     from ..operators.media_codecs import bmp_encode, png_encode
     from ..operators.multimodal import probe_media_metadata
