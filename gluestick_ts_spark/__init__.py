@@ -79,9 +79,13 @@ from .operators.similarity import (
     pq_topk,
     train_pq_codebooks,
     ann_recall_vs_exact,
+    append_semantic_store,
     cosine_topk,
+    read_semantic_store_meta,
     semantic_dedup,
+    semantic_dedup_incremental,
     train_ivf_centroids,
+    write_semantic_store,
 )
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
@@ -121,6 +125,10 @@ __all__ = [
     "connected_min_labels",
     "cosine_topk",
     "semantic_dedup",
+    "semantic_dedup_incremental",
+    "write_semantic_store",
+    "append_semantic_store",
+    "read_semantic_store_meta",
     "train_ivf_centroids",
     "dedup_clusters",
     "dedup_exact",

@@ -45,6 +45,10 @@ __all__ = [
     "pq_topk",
     "ann_ivfpq_topk",
     "semantic_dedup",
+    "write_semantic_store",
+    "append_semantic_store",
+    "read_semantic_store_meta",
+    "semantic_dedup_incremental",
 ]
 
 
@@ -893,6 +897,59 @@ def ann_ivfpq_topk(
     )
 
 
+def _cos_expr(a: Column, b: Column) -> Column:
+    """Cosine of two double arrays, all in-row HOF arithmetic."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot / (na * nb)
+
+
+def _semantic_assign(
+    corpus: DataFrame,
+    centroids: list[dict],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The semantic-dedup assignment relation ``(id, __v, cid)``:
+    in-row argmin over a constant-folded centroid literal, ranking by
+    ROUND(cosine, 6) DESC with ties to the lowest centroid id — the
+    determinism contract the driver oracle replicates. ``_spread``
+    keeps the per-row work off a single core on small scans."""
+    cents_lit = F.from_json(
+        F.lit(json.dumps([c["cent"] for c in centroids])),
+        "array<array<double>>",
+    )
+    cids_lit = F.from_json(
+        F.lit(json.dumps([int(c["cid"]) for c in centroids])), "array<bigint>"
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.round(-_cos_expr(v, F.element_at(cents_lit, i + 1)), 6).alias(
+                "negcos"
+            ),
+            F.element_at(cids_lit, i + 1).alias("cid"),
+        ),
+    )
+    return _spread(corpus).select(
+        F.col(id_col).alias("id"),
+        v.alias("__v"),
+        F.array_min(cand)["cid"].alias("cid"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -925,9 +982,12 @@ def semantic_dedup(
     whole point of SemDeDup — O(sum of cluster sizes squared), not
     O(n^2)); the drop set aggregates per duplicate id. At 100 TB,
     grow ``n_clusters`` with the corpus (the paper uses ~100k) so
-    clusters stay bounded, and persist ``assigned`` bucketed by
-    ``cid`` — cluster skew is then the only hazard, and AQE skew-join
-    splitting handles hot clusters.
+    clusters stay bounded, and persist the accepted set as a cluster
+    store (``write_semantic_store``: parquet partitioned by ``cid``
+    with the quantizer frozen in meta; ``semantic_dedup_incremental``
+    then prunes each batch's candidate scan to its own cluster dirs) —
+    cluster skew is then the only hazard, and AQE skew-join splitting
+    handles hot clusters.
     No reference counterpart (extension op).
     """
     if centroids is None:
@@ -948,43 +1008,7 @@ def semantic_dedup(
             F.lit(True).alias("keep"),
             F.lit(None).cast("double").alias("max_dup_cosine"),
         )
-    cents_lit = F.from_json(
-        F.lit(json.dumps([c["cent"] for c in centroids])),
-        "array<array<double>>",
-    )
-    cids_lit = F.from_json(
-        F.lit(json.dumps([int(c["cid"]) for c in centroids])), "array<bigint>"
-    )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    def _cos(a: Column, b: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        return dot / (na * nb)
-
-    cand = F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            F.round(-_cos(v, F.element_at(cents_lit, i + 1)), 6).alias("negcos"),
-            F.element_at(cids_lit, i + 1).alias("cid"),
-        ),
-    )
-    assigned = _spread(corpus).select(
-        F.col(id_col).alias("id"),
-        v.alias("__v"),
-        F.array_min(cand)["cid"].alias("cid"),
-    )
+    assigned = _semantic_assign(corpus, centroids, id_col, vec_col)
     # alias-qualified self-join: rename-then-join of two selects over
     # the same (spread) subtree trips Spark's attribute dedup on
     # LocalRelation inputs ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the
@@ -996,7 +1020,7 @@ def semantic_dedup(
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("b.id").alias("id_b"),
-            F.round(_cos(F.col("a.__v"), F.col("b.__v")), 6).alias("__cos"),
+            F.round(_cos_expr(F.col("a.__v"), F.col("b.__v")), 6).alias("__cos"),
         )
     )
     drops = (
@@ -1013,3 +1037,163 @@ def semantic_dedup(
             "max_dup_cosine",
         )
     )
+
+
+_SEM_DATA_DIR = "clusters"
+_SEM_META_FILE = "store_meta.json"
+
+
+def write_semantic_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[dict] | None = None,
+    n_clusters: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a semantic-dedup cluster store — the layout
+    ``semantic_dedup``'s docstring prescribes for full scale: the
+    accepted corpus' ``(id, vector)`` rows written parquet-partitioned
+    by their coarse-quantizer cluster id, with the centroids FROZEN
+    into ``<path>/store_meta.json`` so every later batch assigns
+    identically (mismatched centroids make cluster-confined candidate
+    generation meaningless — the signature store freezes its banding
+    for the same reason).
+
+    Store layout: ``<path>/clusters/cid=<k>/*.parquet`` (id, v) +
+    ``<path>/store_meta.json`` {centroids, schema}. Paths resolve
+    through the Hadoop FS API; single-writer contract like the other
+    incremental stores.
+    """
+    from ..sources.fs import join_uri, write_text_file
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_clusters)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+            .collect()
+        )
+        centroids = [
+            {"cid": int(r["cid"]), "cent": [float(x) for x in r["cent"]]}
+            for r in rows
+        ]
+    if not centroids:
+        raise ValueError(
+            "write_semantic_store: empty corpus and no centroids — an "
+            "empty store must still freeze its quantizer"
+        )
+    assigned = _semantic_assign(corpus, centroids, id_col, vec_col)
+    assigned.write.mode(mode).partitionBy("cid").parquet(
+        join_uri(path, _SEM_DATA_DIR)
+    )
+    meta = {
+        "centroids": centroids,
+        # frozen read schema: empty/partial stores must open without
+        # footer inference
+        "schema": json.loads(assigned.schema.json()),
+    }
+    write_text_file(spark, join_uri(path, _SEM_META_FILE), json.dumps(meta))
+
+
+def read_semantic_store_meta(spark, path: str) -> dict:
+    """Centroids (and frozen schema) from store-creation time."""
+    from ..sources.fs import join_uri, read_text_file
+
+    return json.loads(read_text_file(spark, join_uri(path, _SEM_META_FILE)))
+
+
+def append_semantic_store(assigned: DataFrame, path: str) -> None:
+    """Append accepted-batch ``(id, __v, cid)`` rows (from
+    ``semantic_dedup_incremental``'s second return) — dynamic partition
+    append: new part files land only in the cluster dirs the rows
+    belong to."""
+    from ..sources.fs import join_uri
+
+    assigned.write.mode("append").partitionBy("cid").parquet(
+        join_uri(path, _SEM_DATA_DIR)
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup against the cluster store: the batch is
+    assigned with the STORE'S frozen centroids, and its vectors die if
+    a semantic near-duplicate (cosine >= ``threshold``) exists either
+    in the store (store always wins — it holds already-accepted data)
+    or on a lower-id batch row in the same cluster.
+
+    Returns ``(verdict, new_assigned)``: ``verdict`` is TOTAL — one
+    row per batch vector ``(id_col, cid, keep, max_dup_cosine)``;
+    ``new_assigned`` holds the kept rows in store shape for
+    ``append_semantic_store``.
+
+    Scale shape: the batch names its clusters (a <= n_clusters-int
+    driver collect) and the store scan is PARTITION-PRUNED to exactly
+    those cluster dirs — per-batch cost is the batch plus its touched
+    clusters, never the whole store (the signature store's bucketed
+    contract, for the semantic half).
+    """
+    from pyspark.sql.types import StructType
+
+    from ..sources.fs import join_uri
+
+    spark = batch.sparkSession
+    meta = read_semantic_store_meta(spark, path)
+    cents = meta["centroids"]
+    assigned = _semantic_assign(batch, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    batch_cids = [r[0] for r in assigned.select("cid").distinct().collect()]
+    schema = StructType.fromJson(meta["schema"])
+    store = (
+        spark.read.schema(schema)
+        .parquet(join_uri(path, _SEM_DATA_DIR))
+        .where(F.col("cid").isin(batch_cids))
+    )
+    cross = (
+        assigned.alias("b")
+        .join(store.alias("s"), F.col("b.cid") == F.col("s.cid"))
+        .select(
+            F.col("b.id").alias("id"),
+            F.round(_cos_expr(F.col("b.__v"), F.col("s.__v")), 6).alias("__cos"),
+        )
+        .where(F.col("__cos") >= float(threshold))
+    )
+    aa = assigned.alias("a")
+    bb = assigned.alias("b")
+    within = (
+        aa.join(bb, F.col("a.cid") == F.col("b.cid"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("b.id").alias("id"),
+            F.round(_cos_expr(F.col("a.__v"), F.col("b.__v")), 6).alias("__cos"),
+        )
+        .where(F.col("__cos") >= float(threshold))
+    )
+    drops = (
+        cross.unionByName(within)
+        .groupBy("id")
+        .agg(F.max("__cos").alias("max_dup_cosine"))
+    )
+    verdict = (
+        assigned.join(drops, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("max_dup_cosine").isNull().alias("keep"),
+            "max_dup_cosine",
+        )
+    )
+    kept_ids = verdict.where(F.col("keep")).select(
+        F.col(id_col).alias("id")
+    )
+    new_assigned = assigned.join(kept_ids, on="id")
+    return verdict, new_assigned

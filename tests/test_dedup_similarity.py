@@ -1105,3 +1105,69 @@ def test_semantic_dedup_drops_planted_keeps_originals(spark):
         assert out[1000 + i].max_dup_cosine >= 0.9
         # planted vector clusters with its source
         assert out[1000 + i].cid == out[i].cid
+
+
+def test_semantic_store_incremental_dedup_and_pruning(spark, tmp_path):
+    """The semantic cluster store: a batch dedups against ONLY its own
+    clusters' store partitions (plan-asserted partition pruning), store
+    rows always beat batch rows, within-batch lower-id wins, and
+    appends extend the store so later batches see earlier acceptances."""
+    import random as _r
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        append_semantic_store,
+        semantic_dedup_incremental,
+        write_semantic_store,
+    )
+
+    rng = _r.Random(23)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / n for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = "file://" + str(tmp_path / "semstore")
+    write_semantic_store(corpus, path, n_clusters=8)
+
+    # batch: near-dup of corpus vec 5, one fresh vector, one in-batch dup pair
+    fresh = [x for x in rows[0][1][::-1]]
+    batch_rows = [
+        (1005, [x + 0.02 for x in rows[5][1]]),   # store near-dup
+        (2000, fresh),                             # fresh
+        (3000, [x + 0.01 for x in fresh]),         # in-batch near-dup of 2000
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<double>")
+    verdict, new_assigned = semantic_dedup_incremental(batch, path, threshold=0.9)
+
+    got = {r.vec_id: r for r in verdict.collect()}
+    assert not got[1005].keep and got[1005].max_dup_cosine >= 0.9
+    # 2000's only near-dup is 3000 (higher id): 2000 survives, 3000 dies
+    assert got[2000].keep
+    assert not got[3000].keep
+    kept = {r.id for r in new_assigned.collect()}
+    assert kept == {2000}
+
+    # partition pruning: the store side of the candidate join must carry
+    # a cid IN (...) partition filter covering at most the batch's cids
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = verdict._jdf.queryExecution().explainString(mode)
+    pf = [p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+          if "cid" in p]
+    assert pf, plan[:2000]
+    m = re.search(r"INSET ([\d, ]+)|IN \(([\d, ]*)\)", pf[0])
+    assert m, pf[0]
+    n_pruned = len((m.group(1) or m.group(2)).strip(", ").split(","))
+    assert 0 < n_pruned <= 3, pf[0]
+
+    # append the survivor; a re-send of it must now die against the store
+    append_semantic_store(new_assigned, path)
+    again = spark.createDataFrame(
+        [(4000, fresh)], "vec_id long, embedding array<double>")
+    v2, _ = semantic_dedup_incremental(again, path, threshold=0.9)
+    r2 = v2.first()
+    assert not r2.keep and r2.max_dup_cosine >= 0.99
