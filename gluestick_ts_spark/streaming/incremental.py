@@ -38,6 +38,7 @@ __all__ = [
     "stream_curation_filter",
     "frozen_logprob_expr",
     "stream_rollup",
+    "stream_semantic_dedup",
 ]
 
 
@@ -569,6 +570,76 @@ def stream_rollup(
         if batch_df.isEmpty():
             return
         refresh_rollup(batch_df, path, ts_col, keys, value_cols, bucket)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def stream_semantic_dedup(
+    stream_df: DataFrame,
+    store_dir: str,
+    emit,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    n_clusters: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Streaming SemDeDup against the durable cluster store: each
+    micro-batch is assigned with the store's frozen quantizer, deduped
+    against ONLY its own clusters' store partitions
+    (``semantic_dedup_incremental``) plus within-batch, the TOTAL
+    verdict (keep + strongest-dup cosine) is handed to
+    ``emit(verdict_df, batch_id)``, and the kept vectors are appended
+    to the store so later batches — and restarts — never re-accept a
+    semantic duplicate. The first batch seeds the store and freezes
+    its own first-``n_clusters`` vectors as the quantizer.
+
+    Same contracts as the other streaming stores: Hadoop-FS paths,
+    emit BEFORE append (a crash-replayed batch re-emits its survivors
+    instead of losing them), single writer stream per store.
+    """
+    from ..operators.similarity import (
+        append_semantic_store,
+        semantic_dedup_incremental,
+        write_semantic_store,
+    )
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    meta_path = join_uri(store_dir, "store_meta.json")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not hadoop_path_exists(spark, meta_path):
+            # seed: freeze the quantizer on an EMPTY store, then run the
+            # batch through the normal incremental path so within-batch
+            # duplicates are still caught on the very first batch
+            write_semantic_store(
+                batch_df.limit(0),
+                store_dir,
+                id_col,
+                vec_col,
+                centroids=[
+                    {"cid": int(r["cid"]), "cent": [float(x) for x in r["cent"]]}
+                    for r in batch_df.orderBy(F.col(id_col))
+                    .limit(n_clusters)
+                    .select(
+                        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
+                    )
+                    .collect()
+                ],
+            )
+        verdict, kept = semantic_dedup_incremental(
+            batch_df, store_dir, id_col, vec_col, threshold
+        )
+        verdict = verdict.localCheckpoint(eager=True)
+        kept = kept.localCheckpoint(eager=True)
+        emit(verdict, batch_id)
+        append_semantic_store(kept, store_dir)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

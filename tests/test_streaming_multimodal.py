@@ -443,3 +443,62 @@ def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
     assert rows[10] == {"keep": False, "reason": "duplicate"}
     fps = spark.read.parquet(f"{store}/fingerprints.parquet").count()
     assert fps == 1  # only doc 1's fingerprint was ever accepted
+
+
+def test_stream_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup: batch 1 seeds the quantizer and store and
+    still catches its own within-batch near-dup; batch 2's near-dup of
+    an accepted vector dies against the store while its fresh vector
+    survives and extends the store."""
+    import random as _r
+
+    from gluestick_ts_spark.streaming.incremental import stream_semantic_dedup
+
+    rng = _r.Random(31)
+
+    def unit(seed_vec=None, eps=0.0):
+        v = seed_vec or [rng.gauss(0, 1) for _ in range(16)]
+        v = [x + eps for x in v]
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "semstore")
+    ckpt = str(tmp_path / "ck")
+    schema = "vec_id long, embedding array<double>"
+    base = [unit() for _ in range(20)]
+    verdicts: dict[int, bool] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            verdicts[r.vec_id] = r.keep
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    rows1 = [(i, base[i]) for i in range(20)]
+    rows1.append((900, [x + 0.02 for x in base[3]]))  # within-batch near-dup
+    _write_stream_batch(src, spark, rows1, schema)
+    q = (
+        stream_semantic_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            threshold=0.9, n_clusters=4, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert verdicts[3] is True and verdicts[900] is False
+    assert sum(verdicts.values()) == 20
+
+    verdicts.clear()
+    rows2 = [(1000, [x + 0.02 for x in base[7]]), (2000, unit())]
+    _write_stream_batch(src, spark, rows2, schema)
+    q2 = (
+        stream_semantic_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            threshold=0.9, n_clusters=4, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert verdicts == {1000: False, 2000: True}
