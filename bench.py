@@ -27,7 +27,11 @@ IVF top-k plus the IVF+PQ composition (codebook training, ADC scoring,
 planted-retrieval guard) — so its round-5 number (1.59 s at sf0.1)
 covers roughly a third of the work the entry now does; and
 ``json_extract_agg`` absorbed the struct->JSON encode direction
-(previously the separate ``struct_json`` entry). ``line_dedup_docs`` (C4-style line-level corpus dedup),
+(previously the separate ``struct_json`` entry);
+``embedding_cosine_topk`` gained the model-free hashed-TF retrieval
+part (per-doc feature-hashing vectors computed in-row), and
+``stats_agg_orders`` absorbed the global top-k (previously
+``order_limit_global``). ``line_dedup_docs`` (C4-style line-level corpus dedup),
 ``semantic_dedup_embeddings`` (SemDeDup), and
 ``curation_pipeline_docs`` (the composed per-document curation
 verdict), and ``rollup_events_hourly`` (the materialized

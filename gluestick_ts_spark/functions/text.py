@@ -38,6 +38,8 @@ __all__ = [
     "gopher_rules_sql",
     "redact_pii_expr",
     "chunk_tokens",
+    "hashed_tf_expr",
+    "self_dedup_lines_expr",
     "PII_PATTERNS",
     "STOPWORDS_EN",
     "LANG_MARKERS",
@@ -544,4 +546,32 @@ def repetition_ratio_expr(text: Column | str, n: int = 3) -> Column:
         F.lit(1.0)
         - F.size(F.array_distinct(raw)).cast("double")
         / F.greatest(F.size(raw), F.lit(1)).cast("double")
+    )
+
+
+def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:
+    """Feature-hashing (hashing-trick) term-frequency vector: each
+    token lands in ``md5(token)``-derived bucket ``% dim``, and the
+    vector holds per-bucket token counts as doubles — a model-free,
+    deterministic text embedding (the sklearn ``HashingVectorizer`` /
+    Weinberger et al. 2009 construction). md5 arithmetic (not
+    ``xxhash64``) so any engine with md5 reproduces the exact vector —
+    the same portability contract as ``functions/sampling.py``.
+
+    In-row cost: one md5 per token (bucket ids are materialized ONCE
+    into an int array, never recomputed per output slot), then
+    ``dim`` membership counts — O(tokens x dim) integer compares,
+    map-only at any corpus size. Compose with ``cosine_topk`` /
+    ``semantic_dedup`` for lexical similarity without a model
+    artifact."""
+    toks = F.filter(tokens_expr(text), lambda t: t != "")
+    hexpos = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+    idx = lambda t: (  # noqa: E731
+        hexpos(F.substring(F.md5(t), 1, 1)) * 16
+        + hexpos(F.substring(F.md5(t), 2, 1))
+    ) % dim
+    idxs = F.transform(toks, lambda t: idx(t))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(F.filter(idxs, lambda j: j == i)).cast("double"),
     )

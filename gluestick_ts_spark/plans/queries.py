@@ -1354,9 +1354,19 @@ def q_ngram_jaccard_adjacent(spark, sf):
 
 
 def q_embedding_cosine_topk(spark, sf):
-    """Brute-force exact cosine top-k (query ids < 8, k=5). Scores
-    rounded to 6dp BEFORE ranking so rank boundaries are
-    engine-deterministic."""
+    """Exact cosine top-k over BOTH vector sources as one tagged
+    union (registry-folding pattern): the ``emb`` part is the
+    brute-force baseline over the embeddings table (query ids < 8,
+    k=5); the ``hashedtf`` part retrieves over MODEL-FREE vectors —
+    the feature-hashing term-frequency embedding
+    (functions/text.py hashed_tf_expr, the HashingVectorizer
+    construction) computed in-row from document text (doc ids < 100,
+    6 queries, k=3). Scores rounded to 6dp BEFORE ranking on both
+    parts so rank boundaries are engine-deterministic; the oracle
+    rebuilds the hashed vectors from the same md5 arithmetic."""
+    from ..functions.text import hashed_tf_expr
+    from ..operators.dedup import _spread
+
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -1374,10 +1384,41 @@ def q_embedding_cosine_topk(spark, sf):
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    emb = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
+        .select(F.lit("emb").alias("part"), "query_id", "neighbor_id",
+                "cosine", "rank")
     )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    vecs = (
+        _spread(d)
+        .select(F.col("doc_id"), hashed_tf_expr("text", 64).alias("v"))
+        # zero vectors (token-free docs) have no cosine: drop on both
+        # engines identically
+        .where(F.aggregate("v", F.lit(0.0), lambda a, x: a + x) > 0)
+    )
+    hq = vecs.where(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    hc = vecs.select(F.col("doc_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    hscored = (
+        hc.crossJoin(F.broadcast(hq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_expr("qv", "cv"), 6).alias("cosine"),
+        )
+    )
+    htf = (
+        hscored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(F.lit("hashedtf").alias("part"), "query_id", "neighbor_id",
+                "cosine", "rank")
+    )
+    return emb.unionByName(htf)
 
 
 def q_embedding_neardup(spark, sf):
@@ -2495,14 +2536,31 @@ ORACLES: dict[str, str] = {
         "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"
     ),
     "embedding_cosine_topk": (
-        "SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "WITH hv AS (SELECT doc_id, "
+        "[CAST(len(list_filter(ID, j -> j = i)) AS DOUBLE) "
+        "for i in range(0, 64)] AS v FROM ("
+        "SELECT doc_id, list_transform(T, t -> "
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64) AS ID "
+        "FROM (SELECT doc_id, "
+        f"list_filter({_TOKS}, t -> t <> '') AS T "
+        "FROM documents WHERE doc_id < 100) a WHERE len(T) > 0) b) "
+        "SELECT 'emb' AS part, query_id, neighbor_id, cosine, rank FROM ("
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
         "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
         "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, "
         "c.vec_id ASC) AS rank "
         "FROM embeddings q CROSS JOIN embeddings c "
-        "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t WHERE rank <= 5"
+        "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) t WHERE rank <= 5 "
+        "UNION ALL "
+        "SELECT 'hashedtf' AS part, query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.v, c.v), 6) AS cosine, "
+        "row_number() OVER (PARTITION BY q.doc_id ORDER BY "
+        "ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.doc_id ASC) AS rank "
+        "FROM hv q CROSS JOIN hv c "
+        "WHERE q.doc_id < 6 AND c.doc_id <> q.doc_id) h WHERE rank <= 3"
     ),
     "semantic_dedup_embeddings": (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "

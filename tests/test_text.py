@@ -277,3 +277,29 @@ def test_self_dedup_lines_first_occurrence_order(spark):
     assert got[1] == "b\na\nc"  # first occurrences, original order
     assert got[2] == "x"
     assert got[3] == ""
+
+
+def test_hashed_tf_matches_md5_reference_and_is_partition_stable(spark):
+    import hashlib
+
+    from gluestick_ts_spark.functions.text import hashed_tf_expr
+
+    df = spark.createDataFrame(
+        [(1, "Apple banana  apple cherry"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.v for r in df.select(
+        "doc_id", hashed_tf_expr("text", 16).alias("v")).collect()}
+
+    def idx(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % 16
+
+    exp = [0.0] * 16
+    for t in ["apple", "banana", "apple", "cherry"]:  # lowercased tokens
+        exp[idx(t)] += 1
+    assert got[1] == exp
+    assert sum(got[2]) == 0.0  # empty text -> zero vector
+    again = {r.doc_id: r.v for r in df.repartition(5).select(
+        "doc_id", hashed_tf_expr("text", 16).alias("v")).collect()}
+    assert got == again
