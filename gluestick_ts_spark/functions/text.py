@@ -39,6 +39,8 @@ __all__ = [
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
+    "strip_html_expr",
+    "HTML_ENTITIES",
     "self_dedup_lines_expr",
     "PII_PATTERNS",
     "STOPWORDS_EN",
@@ -575,3 +577,29 @@ def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(idxs, lambda j: j == i)).cast("double"),
     )
+
+
+# decode order matters: &amp; LAST, or "&amp;lt;" would double-decode
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_expr(text: Column | str) -> Column:
+    """C4-style markup removal: drop tags (``<...>``), decode the six
+    common HTML entities (``&amp;`` last so escaped entities don't
+    double-decode), and collapse whitespace runs. A pure
+    regexp_replace/replace chain — map-only at any corpus size, with
+    patterns in the Java∩RE2 subset so the DuckDB oracle mirrors it
+    exactly. (Real-world HTML extraction also drops script/style
+    blocks and boilerplate; compose with ``line_dedup`` for the
+    latter.)"""
+    t = F.regexp_replace(_col(text), r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

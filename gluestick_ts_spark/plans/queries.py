@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
 from ..functions.text import (
     LANG_MARKERS,
+    strip_html_expr,
     STOPWORDS_EN,
     chunk_tokens,
     fingerprint_expr,
@@ -600,6 +601,15 @@ def _string_funcs_part(spark, sf):
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
         F.length("c_name").cast("long").alias("name_len"),
         redact_pii_expr(pii_src).alias("redacted"),
+        strip_html_expr(
+            F.concat(
+                F.lit('<p class="x">'),
+                F.col("c_name"),
+                F.lit("</p> &amp; <b>seg:</b> &lt;"),
+                F.col("c_mktsegment"),
+                F.lit("&gt;"),
+            )
+        ).alias("unhtml"),
     )
 
 
@@ -2005,7 +2015,7 @@ _SCALNULLS = (
     "CAST(NULL AS VARCHAR) AS uname, CAST(NULL AS VARCHAR) AS prefix, "
     "CAST(NULL AS VARCHAR) AS dashed, CAST(NULL AS VARCHAR) AS joined, "
     "CAST(NULL AS VARCHAR) AS padded, CAST(NULL AS BIGINT) AS name_len, "
-    "CAST(NULL AS VARCHAR) AS redacted"
+    "CAST(NULL AS VARCHAR) AS redacted, CAST(NULL AS VARCHAR) AS unhtml"
 )
 
 ORACLES: dict[str, str] = {
@@ -2232,6 +2242,7 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS VARCHAR) AS dashed, CAST(NULL AS VARCHAR) AS joined, "
         "CAST(NULL AS VARCHAR) AS padded, CAST(NULL AS BIGINT) AS name_len, "
         "CAST(NULL AS VARCHAR) AS redacted, "
+        "CAST(NULL AS VARCHAR) AS unhtml, "
         + _ARRNULLS +
         " FROM orders "
         "UNION ALL "
@@ -2253,6 +2264,13 @@ ORACLES: dict[str, str] = {
         "'[\\w.+-]+@[\\w-]+\\.[\\w.]+', '<EMAIL>', 'g'), "
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
         "'\\b(?:\\d[ .-]?){7,14}\\d\\b', '<PHONE>', 'g') AS redacted, "
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace("
+        "regexp_replace(concat('<p class=\"x\">', c_name, "
+        "'</p> &amp; <b>seg:</b> &lt;', c_mktsegment, '&gt;'), "
+        "'<[^>]*>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+        "'\\s+', ' ', 'g')) AS unhtml, "
         + _ARRNULLS +
         " FROM customer "
         "UNION ALL "

@@ -303,3 +303,22 @@ def test_hashed_tf_matches_md5_reference_and_is_partition_stable(spark):
     again = {r.doc_id: r.v for r in df.repartition(5).select(
         "doc_id", hashed_tf_expr("text", 16).alias("v")).collect()}
     assert got == again
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from gluestick_ts_spark.functions.text import strip_html_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p class="x">Bob&#39;s</p> &amp; <b>seg:</b>  &lt;AUTO&gt;'),
+            (2, "no markup at all"),
+            (3, "&amp;lt; stays escaped-once"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id", strip_html_expr("text").alias("s")).collect()}
+    assert got[1] == "Bob's & seg: <AUTO>"
+    assert got[2] == "no markup at all"
+    # &amp; decodes LAST: "&amp;lt;" -> "&lt;" (one level), never "<"
+    assert got[3] == "&lt; stays escaped-once"
