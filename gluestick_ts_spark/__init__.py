@@ -42,6 +42,7 @@ from .operators.dedup import (
     dedup_minhash_incremental_bucketed,
     embedding_neardup_pairs,
     line_dedup,
+    sentence_span_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_contamination,
@@ -137,6 +138,7 @@ __all__ = [
     "dedup_minhash",
     "dedup_minhash_incremental",
     "line_dedup",
+    "sentence_span_dedup",
     "dedup_minhash_incremental_bucketed",
     "embedding_neardup_pairs",
     "read_signature_store_meta",

@@ -929,7 +929,7 @@ def q_line_dedup_docs(spark, sf):
     on doc_id; the corpus-dedup side arrives already partitioned by
     doc id from its reassembly aggregate, so the join reuses that
     exchange."""
-    from ..operators.dedup import _spread, line_dedup
+    from ..operators.dedup import _spread, line_dedup, sentence_span_dedup
 
     d = _spread(_t(spark, sf, "documents"))
     lvl = d.select(
@@ -941,7 +941,13 @@ def q_line_dedup_docs(spark, sf):
         F.concat_ws("\n", F.col("__u")).alias("text_selfdedup"),
         F.size(F.col("__u")).cast("long").alias("n_lines_unique"),
     )
-    return line_dedup(d).join(selfd, on="doc_id")
+    spans = sentence_span_dedup(d).select(
+        "doc_id",
+        F.col("text_dedup").alias("text_spandedup"),
+        "n_sents",
+        "n_sents_kept",
+    )
+    return line_dedup(d).join(selfd, on="doc_id").join(spans, on="doc_id")
 
 
 def q_curation_pipeline_docs(spark, sf):
@@ -2445,11 +2451,34 @@ ORACLES: dict[str, str] = {
         "FROM m GROUP BY doc_id), "
         "sd AS (SELECT doc_id, "
         "list_filter(L, (x, i) -> list_position(L, x) = i) AS U FROM ("
-        "SELECT doc_id, string_split(text, chr(10)) AS L FROM documents) t) "
+        "SELECT doc_id, string_split(text, chr(10)) AS L FROM documents) t), "
+        "sa AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '[.!?]+\s+'), x -> trim(x) <> '') AS A "
+        "FROM documents), "
+        "sp AS (SELECT doc_id, i - 1 AS s0, "
+        "md5(array_to_string(A[i:i+2], chr(1))) AS k "
+        "FROM sa, UNNEST(range(1, greatest(len(A) - 2, 0) + 1)) AS u(i)), "
+        "spw AS (SELECT doc_id, s0, "
+        "COUNT(*) OVER (PARTITION BY k) AS nk, "
+        "row_number() OVER (PARTITION BY k ORDER BY doc_id, s0) AS rn FROM sp), "
+        "removed AS (SELECT DISTINCT doc_id, s0 + d AS sidx "
+        "FROM spw, UNNEST(range(0, 3)) AS r(d) WHERE nk >= 2 AND rn > 1), "
+        "sent AS (SELECT doc_id, i - 1 AS sidx, A[i] AS sent "
+        "FROM sa, UNNEST(range(1, len(A) + 1)) AS u(i)), "
+        "spd AS (SELECT s.doc_id, "
+        "COALESCE(string_agg(s.sent, ' ' ORDER BY s.sidx) "
+        "FILTER (WHERE r.doc_id IS NULL), '') AS text_spandedup, "
+        "COUNT(*) AS n_sents, "
+        "CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_sents_kept "
+        "FROM sent s LEFT JOIN removed r "
+        "ON s.doc_id = r.doc_id AND s.sidx = r.sidx "
+        "GROUP BY s.doc_id) "
         "SELECT cd.doc_id, cd.text_dedup, cd.n_lines, cd.n_lines_kept, "
         "array_to_string(sd.U, chr(10)) AS text_selfdedup, "
-        "CAST(len(sd.U) AS BIGINT) AS n_lines_unique "
-        "FROM cd JOIN sd USING (doc_id)"
+        "CAST(len(sd.U) AS BIGINT) AS n_lines_unique, "
+        "spd.text_spandedup, spd.n_sents, spd.n_sents_kept "
+        "FROM cd JOIN sd USING (doc_id) JOIN spd USING (doc_id)"
     ),
     "curation_pipeline_docs": (
         "WITH tok AS (SELECT doc_id, "

@@ -1171,3 +1171,30 @@ def test_semantic_store_incremental_dedup_and_pruning(spark, tmp_path):
     v2, _ = semantic_dedup_incremental(again, path, threshold=0.9)
     r2 = v2.first()
     assert not r2.keep and r2.max_dup_cosine >= 0.99
+
+
+def test_sentence_span_dedup_c4_semantics(spark):
+    """The C4 grain: a duplicated three-sentence span keeps only its
+    global first occurrence; short docs pass through whole; NULL text
+    yields no row; counts report removal mass."""
+    from gluestick_ts_spark.operators.dedup import sentence_span_dedup
+
+    boiler = "Cookie notice applies. Terms of use apply. All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, f"Alpha body one. Alpha body two. {boiler} Unique tail one."),
+            (2, f"Beta body here. {boiler} Different ending text."),
+            (3, "Too short. Only two."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in sentence_span_dedup(docs).collect()}
+    # doc 1 holds the first occurrence: everything survives
+    assert (got[1].n_sents, got[1].n_sents_kept) == (6, 6)
+    # doc 2's copy of the boilerplate span is removed in full
+    assert got[2].text_dedup == "Beta body here Different ending text."
+    assert (got[2].n_sents, got[2].n_sents_kept) == (5, 2)
+    # < 3 sentences: no spans, nothing removable
+    assert (got[3].n_sents, got[3].n_sents_kept) == (2, 2)
+    assert 4 not in got

@@ -251,21 +251,27 @@ def test_top_terms_unigram_has_no_global_window_and_broadcasts_vocab(spark, sf_d
 
 
 def test_line_dedup_broadcasts_boilerplate_and_shuffles_twice(spark, sf_dir):
-    """Line dedup must keep the corpus on the map side for the
-    boilerplate decision: the duplicate-line stats (a HAVING count>=2
-    subset, map-side combined) broadcast back onto the line stream —
-    never a corpus-vs-corpus shuffled self-join — so the only key
-    shuffles are the stats aggregate and the per-document reassembly.
-    Hot lines (an empty line appears everywhere) are safe BECAUSE both
-    aggregates combine map-side; a window-over-line-key formulation
-    would put every occurrence of a hot line in one partition."""
+    """All three dedup grains (corpus lines, within-doc lines, C4
+    sentence spans) must keep the corpus on the map side for their
+    boilerplate decisions: duplicate-line AND duplicate-span stats
+    (HAVING count>=2 subsets, map-side combined) broadcast back onto
+    their streams — never a corpus-vs-corpus shuffled self-join — so
+    the key shuffles are each grain's stats aggregate + reassembly and
+    the doc-keyed grain joins, and nothing more. Hot lines/spans are
+    safe BECAUSE the aggregates combine map-side; window-over-key
+    formulations would put every occurrence of a hot key in one
+    partition."""
     plan = _plan(spark, sf_dir, "line_dedup_docs")
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert _hash_shuffles(plan) <= 2, plan
+    # line stats + line rebuild + span stats + span removal dedup +
+    # span sentence-join + span rebuild + doc-keyed grain joins
+    assert _hash_shuffles(plan) <= 8, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert all("text" not in a for a in hashed), hashed
 
 
 def test_semantic_dedup_confines_quadratic_work_to_clusters(spark, sf_dir):
