@@ -2453,7 +2453,7 @@ ORACLES: dict[str, str] = {
         "list_filter(L, (x, i) -> list_position(L, x) = i) AS U FROM ("
         "SELECT doc_id, string_split(text, chr(10)) AS L FROM documents) t), "
         "sa AS (SELECT doc_id, list_filter("
-        "regexp_split_to_array(text, '[.!?]+\s+'), x -> trim(x) <> '') AS A "
+        "regexp_split_to_array(text, '[.!?]+\\s+'), x -> trim(x) <> '') AS A "
         "FROM documents), "
         "sp AS (SELECT doc_id, i - 1 AS s0, "
         "md5(array_to_string(A[i:i+2], chr(1))) AS k "
