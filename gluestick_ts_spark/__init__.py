@@ -64,6 +64,13 @@ from .operators.multimodal import (
     sample_frames,
 )
 from .operators.packing import assemble_packs, pack_token_windows
+from .operators.ml import (
+    binary_auc,
+    distill_quality_classifier,
+    distilled_score_expr,
+    logreg_score_expr,
+    train_logreg,
+)
 from .operators.profile import corpus_profile, unigram_logprob_scores
 from .operators.rollup import (
     read_rollup,
@@ -159,7 +166,12 @@ __all__ = [
     "bm25_topk",
     "assemble_packs",
     "pack_token_windows",
+    "binary_auc",
+    "distill_quality_classifier",
+    "distilled_score_expr",
     "corpus_profile",
+    "logreg_score_expr",
+    "train_logreg",
     "read_rollup",
     "refresh_rollup",
     "rollup_aggregate",

@@ -803,15 +803,49 @@ def q_approx_distinct_users(spark, sf):
     sigma; measured rel-error is 0.000-0.004 on the test events). The
     oracle asserts ``within_bound`` is literally TRUE — a drifting HLL
     now FAILS the hash match instead of hiding in a rows-only entry.
-    The estimate itself stays visible in pytest (test_properties)."""
+    The estimate itself stays visible in pytest (test_properties).
+
+    Also carries the ``auc`` part (registry-folding pattern): the
+    exact Mann-Whitney rank-sum ROC AUC (operators/ml.py binary_auc)
+    of the heuristic quality score predicting the Gopher verdict over
+    documents — midranks are exact k/2 values so the statistic is
+    bit-deterministic across engines, and DuckDB replicates the whole
+    rank algebra (the distillation TRAINING loop is pytest-gated in
+    test_ml.py; its float-order-sensitive gradients can't be
+    oracle-hashed, but this metric of record can)."""
+    from ..functions.text import gopher_quality_flags, quality_score_expr
+    from ..operators.ml import binary_auc
+
     ev = _t(spark, sf, "events")
     rel_err = F.abs(
         F.approx_count_distinct("user_id", rsd=0.02) - F.count_distinct("user_id")
     ) / F.count_distinct("user_id")
-    return ev.groupBy("event_type").agg(
+    sketch = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         (rel_err <= 0.05).alias("within_bound"),
+    ).select(
+        F.lit("sketch").alias("part"),
+        "event_type",
+        "exact_users",
+        "within_bound",
+        F.lit(None).cast("double").alias("auc"),
+        F.lit(None).cast("long").alias("n_pos"),
+        F.lit(None).cast("long").alias("n_neg"),
     )
+    d = _t(spark, sf, "documents").select(
+        quality_score_expr("text").alias("s"),
+        gopher_quality_flags("text").getField("passes").cast("int").alias("y"),
+    )
+    auc = binary_auc(d, "s", "y").select(
+        F.lit("auc").alias("part"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("exact_users"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        "auc",
+        "n_pos",
+        "n_neg",
+    )
+    return sketch.unionByName(auc)
 
 
 # ---------------------------------------------------------------------------
@@ -2671,8 +2705,25 @@ ORACLES: dict[str, str] = {
         "FROM sp"
     ),
     "approx_distinct_users": (
-        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
-        "TRUE AS within_bound FROM events GROUP BY event_type"
+        "WITH sc AS (SELECT "
+        f"{_QUALITY_DUCK} AS s, "
+        f"CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS y "
+        "FROM documents), "
+        "r AS (SELECT y, CAST(rank() OVER (ORDER BY s ASC) AS DOUBLE) + "
+        "(CAST(COUNT(*) OVER (PARTITION BY s) AS DOUBLE) - 1.0) / 2.0 AS mr "
+        "FROM sc), "
+        "a AS (SELECT SUM(CASE WHEN y = 1 THEN mr END) AS rp, "
+        "COUNT(CASE WHEN y = 1 THEN 1 END) AS np, "
+        "COUNT(CASE WHEN y = 0 THEN 1 END) AS nn FROM r) "
+        "SELECT 'sketch' AS part, event_type, "
+        "COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound, "
+        "CAST(NULL AS DOUBLE) AS auc, CAST(NULL AS BIGINT) AS n_pos, "
+        "CAST(NULL AS BIGINT) AS n_neg FROM events GROUP BY event_type "
+        "UNION ALL "
+        "SELECT 'auc' AS part, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BOOLEAN), "
+        "ROUND((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc, "
+        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM a"
     ),
     # within_bound pattern: the oracle replicates the deterministic
     # split + planting + fingerprint algebra and asserts the pipeline
