@@ -31,7 +31,8 @@ covers roughly a third of the work the entry now does; and
 ``embedding_cosine_topk`` gained the model-free hashed-TF retrieval
 part (per-doc feature-hashing vectors computed in-row), and
 ``stats_agg_orders`` absorbed the global top-k (previously
-``order_limit_global``). ``line_dedup_docs`` (C4-style line-level corpus dedup),
+``order_limit_global``); and ``sessionize_events`` gained the
+ordered-funnel report part (one extra user-keyed aggregate). ``line_dedup_docs`` (C4-style line-level corpus dedup),
 ``semantic_dedup_embeddings`` (SemDeDup), and
 ``curation_pipeline_docs`` (the composed per-document curation
 verdict), and ``rollup_events_hourly`` (the materialized

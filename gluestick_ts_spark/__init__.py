@@ -64,6 +64,7 @@ from .operators.multimodal import (
     sample_frames,
 )
 from .operators.packing import assemble_packs, pack_token_windows
+from .operators.funnel import funnel_counts, funnel_depth_per_user
 from .operators.ml import (
     binary_auc,
     distill_quality_classifier,
@@ -167,6 +168,8 @@ __all__ = [
     "assemble_packs",
     "pack_token_windows",
     "binary_auc",
+    "funnel_counts",
+    "funnel_depth_per_user",
     "distill_quality_classifier",
     "distilled_score_expr",
     "corpus_profile",

@@ -452,8 +452,18 @@ def q_setops_customers(spark, sf):
 
 
 def q_sessionize_events(spark, sf):
-    """Sessionization: 30-minute-gap session ids via lag + running sum
-    (the batch analogue of a session window)."""
+    """Behavioral analytics over the event stream as ONE tagged union
+    (registry-folding pattern): the ``sess`` part is 30-minute-gap
+    sessionization via lag + running sum (the batch analogue of a
+    session window); the ``funnel`` part is the ordered-funnel report
+    (operators/funnel.py — one user-keyed aggregate + in-row step
+    state machine, never a join per step) over the first two days:
+    signup -> view -> purchase -> click -> error, per-step
+    reached-user counts. Timestamps are collision-free per user in the
+    test data, so the oracle's earliest-match min-ts cascade is
+    exactly the fold's greedy semantics."""
+    from ..operators.funnel import funnel_counts
+
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # exact integer microseconds — double-epoch would lose precision
@@ -462,11 +472,28 @@ def q_sessionize_events(spark, sf):
         prev.isNull() | (F.unix_micros("ts") - prev > 1_800_000_000), 1
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return ev.select(
+    sess = ev.select(
+        F.lit("sess").alias("part"),
         "user_id",
         "event_id",
         F.sum(new_sess).over(wsum).cast("long").alias("session_id"),
+        F.lit(None).cast("long").alias("step_idx"),
+        F.lit(None).cast("string").alias("step"),
+        F.lit(None).cast("long").alias("n_users"),
     )
+    fun = funnel_counts(
+        ev.where(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")),
+        ["signup", "view", "purchase", "click", "error"],
+    ).select(
+        F.lit("funnel").alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("step_idx").cast("long").alias("step_idx"),
+        "step",
+        "n_users",
+    )
+    return sess.unionByName(fun)
 
 
 def q_asof_join_orders(spark, sf):
@@ -2208,14 +2235,44 @@ ORACLES: dict[str, str] = {
         "s_name AS name, CAST(NULL AS DOUBLE) AS acctbal FROM supplier"
     ),
     "sessionize_events": (
-        "SELECT user_id, event_id, CAST(SUM(new_sess) OVER ("
+        "WITH fe AS (SELECT user_id, event_type, ts FROM events "
+        "WHERE ts < TIMESTAMP '2024-01-03 00:00:00'), "
+        "s1 AS (SELECT user_id, MIN(ts) AS t FROM fe "
+        "WHERE event_type = 'signup' GROUP BY user_id), "
+        "s2 AS (SELECT fe.user_id, MIN(fe.ts) AS t FROM fe "
+        "JOIN s1 USING (user_id) WHERE fe.event_type = 'view' "
+        "AND fe.ts > s1.t GROUP BY fe.user_id), "
+        "s3 AS (SELECT fe.user_id, MIN(fe.ts) AS t FROM fe "
+        "JOIN s2 USING (user_id) WHERE fe.event_type = 'purchase' "
+        "AND fe.ts > s2.t GROUP BY fe.user_id), "
+        "s4 AS (SELECT fe.user_id, MIN(fe.ts) AS t FROM fe "
+        "JOIN s3 USING (user_id) WHERE fe.event_type = 'click' "
+        "AND fe.ts > s3.t GROUP BY fe.user_id), "
+        "s5 AS (SELECT fe.user_id, MIN(fe.ts) AS t FROM fe "
+        "JOIN s4 USING (user_id) WHERE fe.event_type = 'error' "
+        "AND fe.ts > s4.t GROUP BY fe.user_id) "
+        "SELECT 'sess' AS part, user_id, event_id, "
+        "CAST(SUM(new_sess) OVER ("
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id, "
+        "CAST(NULL AS BIGINT) AS step_idx, CAST(NULL AS VARCHAR) AS step, "
+        "CAST(NULL AS BIGINT) AS n_users "
         "FROM (SELECT user_id, event_id, ts, CASE WHEN lag(epoch_us(ts)) OVER ("
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER ("
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 "
-        "THEN 1 ELSE 0 END AS new_sess FROM events) t"
+        "THEN 1 ELSE 0 END AS new_sess FROM events) t "
+        "UNION ALL "
+        "SELECT 'funnel', NULL, NULL, NULL, 1, 'signup', "
+        "(SELECT COUNT(*) FROM s1) "
+        "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 2, 'view', "
+        "(SELECT COUNT(*) FROM s2) "
+        "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 3, 'purchase', "
+        "(SELECT COUNT(*) FROM s3) "
+        "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 4, 'click', "
+        "(SELECT COUNT(*) FROM s4) "
+        "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 5, 'error', "
+        "(SELECT COUNT(*) FROM s5)"
     ),
     "asof_join_orders": (
         "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("
