@@ -19,6 +19,7 @@ from .functions.sampling import (
     hash_sample,
     hash_split,
     md5_bucket_expr,
+    stratified_hash_sample_expr,
     weighted_domain_sample,
 )
 from .functions.templating import (
@@ -200,6 +201,7 @@ __all__ = [
     "get_spark",
     "hash_sample",
     "hash_split",
+    "stratified_hash_sample_expr",
     "weighted_domain_sample",
     "md5_bucket_expr",
     "iso8601_expr",

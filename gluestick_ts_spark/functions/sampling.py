@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "weighted_domain_sample",
+    "stratified_hash_sample_expr",
 ]
 
 _HEX = "0123456789abcdef"
@@ -100,6 +101,32 @@ def weighted_domain_sample(
         .withColumn(f"{prefix}_rate", cutoff.cast("int"))
         .withColumn(f"{prefix}_keep", bucket < cutoff)
     )
+
+
+def stratified_hash_sample_expr(
+    key: Column | str,
+    stratum_col: Column | str,
+    n_per_stratum: int,
+    salt: str = "strat",
+):
+    """Deterministic exact-N-per-stratum sample membership (eval-set
+    construction: "16 documents per language, the same 16 forever"):
+    rank rows within each stratum by ``md5(salt || key)`` — a fixed
+    pseudo-random order — and keep the first ``n_per_stratum``.
+    Returns ``(rank_col, keep_col)`` expressions built on a window;
+    deterministic across runs/engines/partitionings because md5 of
+    distinct keys is collision-free in practice and the hex string
+    orders identically everywhere. One shuffle on the stratum key; at
+    100 TB prefer rate-based ``weighted_domain_sample`` unless the
+    exact-N contract is required (the window sorts each stratum)."""
+    from pyspark.sql import Window
+
+    k = F.col(key) if isinstance(key, str) else key
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    h = F.md5(F.concat_ws("|", F.lit(salt), k.cast("string")))
+    w = Window.partitionBy(s).orderBy(h.asc())
+    rank = F.row_number().over(w).cast("long")
+    return rank, rank <= int(n_per_stratum)
 
 
 def hash_split(

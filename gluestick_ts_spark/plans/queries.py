@@ -1865,9 +1865,13 @@ def q_hash_split_documents(spark, sf):
     over each document (functions/sampling.py): the train/val/test
     split by md5 key bucket, AND the DoReMi-style domain-weighted
     mixture draw (per-lang keep rates, salted so the mixture decision
-    is independent of the split assignment). Reproducible across
-    engines, runs, and partitionings — the DuckDB oracle replicates
-    the bucket arithmetic digit for digit."""
+    is independent of the split assignment), AND the exact-N-per-
+    stratum eval-set membership (stratified_hash_sample_expr — the
+    same 16 docs per language forever, one lang-keyed window).
+    Reproducible across engines, runs, and partitionings — the DuckDB
+    oracle replicates the bucket arithmetic digit for digit."""
+    from ..functions.sampling import stratified_hash_sample_expr
+
     d = _t(spark, sf, "documents")
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     out = weighted_domain_sample(
@@ -1876,6 +1880,9 @@ def q_hash_split_documents(spark, sf):
         "lang",
         {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125},
     )
+    # third primitive: exact-N-per-stratum eval-set membership (16 docs
+    # per language, the same 16 forever) — one lang-keyed window
+    srank, skeep = stratified_hash_sample_expr("doc_id", "lang", 16)
     return out.select(
         "doc_id",
         md5_bucket_expr("doc_id").alias("bucket"),
@@ -1883,6 +1890,8 @@ def q_hash_split_documents(spark, sf):
         "wds_bucket",
         "wds_rate",
         "wds_keep",
+        srank.alias("strat_rank"),
+        skeep.alias("in_eval_16"),
     )
 
 
@@ -2435,7 +2444,8 @@ ORACLES: dict[str, str] = {
     "hash_split_documents": (
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
-        "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep FROM ("
+        "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep, "
+        "strat_rank, strat_rank <= 16 AS in_eval_16 FROM ("
         "SELECT doc_id, CAST((strpos('0123456789abcdef', "
         "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
         "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
@@ -2447,7 +2457,10 @@ ORACLES: dict[str, str] = {
         "AS INTEGER) AS wds_bucket, "
         "CAST(CASE lang WHEN 'en' THEN 230 WHEN 'de' THEN 128 "
         "WHEN 'fr' THEN 128 WHEN 'es' THEN 64 WHEN 'zh' THEN 32 "
-        "ELSE 0 END AS INTEGER) AS wds_rate "
+        "ELSE 0 END AS INTEGER) AS wds_rate, "
+        "CAST(row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)) ASC) AS BIGINT) "
+        "AS strat_rank "
         "FROM documents) t"
     ),
     "bm25_search_docs": (

@@ -79,3 +79,25 @@ def test_weighted_domain_sample_unknown_domain_and_validation(spark):
     assert out[2].wds_rate == 256 and out[2].wds_keep    # rate 1.0 keeps all
     with pytest.raises(ValueError):
         weighted_domain_sample(df, "id", "lang", {"en": 1.5})
+
+
+def test_stratified_exact_n_stable_and_exact(spark):
+    from gluestick_ts_spark.functions.sampling import stratified_hash_sample_expr
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+        "id long, stratum string",
+    )
+    rank, keep = stratified_hash_sample_expr("id", "stratum", 10)
+    out = df.select("id", "stratum", rank.alias("r"), keep.alias("k"))
+    per = {r["stratum"]: 0 for r in out.collect()}
+    kept1 = set()
+    for r in out.collect():
+        if r.k:
+            per[r.stratum] += 1
+            kept1.add(r.id)
+    assert per == {"a": 10, "b": 10, "c": 10}  # exact N per stratum
+    rank2, keep2 = stratified_hash_sample_expr("id", "stratum", 10)
+    kept2 = {r.id for r in df.repartition(7).select(
+        "id", keep2.alias("k")).collect() if r.k}
+    assert kept1 == kept2  # partition-stable membership
