@@ -103,14 +103,30 @@ def test_hot_paths_have_no_python_operators(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["q1_pricing_summary", "q6_revenue_delta", "stats_agg_orders",
-     "sessionize_events", "window_funcs_orders"],
+     "window_funcs_orders"],
 )
 def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
     """One groupBy/window over one table = exactly one shuffle; a
     second Exchange means the plan re-partitions data it already
-    partitioned."""
+    partitioned. (sessionize_events left this list when it became the
+    behavioral-analytics union — its sess part's single user-keyed
+    window is now covered by the dedicated gate below.)"""
     plan = _plan(spark, sf_dir, name)
     assert _shuffles(plan) <= 1, (name, _shuffles(plan))
+
+
+def test_sessionize_union_keeps_user_keyed_shuffles_only(spark, sf_dir):
+    """The behavioral-analytics union (sessionize + funnel) must key
+    every hash exchange on user_id — the sess window and the funnel's
+    single user aggregate — never re-shuffle on anything wider."""
+    plan = _plan(spark, sf_dir, "sessionize_events")
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    # the funnel aggregate keys on its internal __u alias of user_id
+    assert hashed and all(
+        ("user_id" in a) or ("__u" in a) for a in hashed
+    ), hashed
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
 
 
 def test_ann_lsh_reuses_query_partitioning(spark, sf_dir):
