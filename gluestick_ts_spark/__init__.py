@@ -15,6 +15,11 @@ from .functions.datetime_utils import (
     parse_dates_expr,
 )
 from .functions.json_utils import parse_df_cols, parse_objs, struct_to_json
+from .functions.schema_drift import (
+    SchemaDrift,
+    assert_no_drift,
+    schema_drift,
+)
 from .functions.sampling import (
     hash_sample,
     hash_split,
@@ -201,6 +206,9 @@ __all__ = [
     "get_spark",
     "hash_sample",
     "hash_split",
+    "SchemaDrift",
+    "assert_no_drift",
+    "schema_drift",
     "stratified_hash_sample_expr",
     "weighted_domain_sample",
     "md5_bucket_expr",
