@@ -7,9 +7,9 @@ stages later. ``schema_drift`` compares two Spark schemas field by
 field (recursively through structs) and classifies every difference:
 
 - ``added`` / ``removed`` columns,
-- ``type_changed`` (with a ``widening`` flag for the safe promotions
-  the engine's merge coercion already performs — int->long,
-  float->double, anything->string),
+- ``type_changed`` (with a ``widening`` flag for the safe numeric
+  promotions the engine's merge coercion already performs —
+  int->long, float->double),
 - ``nullability_changed``.
 
 Pure metadata (two ``StructType``s — no data scan, no Spark jobs), so
@@ -61,8 +61,12 @@ class SchemaDrift:
 
 
 def _is_widening(old: T.DataType, new: T.DataType) -> bool:
-    if isinstance(new, T.StringType):
-        return True  # everything stringifies losslessly enough for ETL
+    # ONLY the numeric promotions the snapshot merge actually performs
+    # count as safe: a string-target change is lossless on paper but
+    # the union's type reconciliation casts the STRING side numeric at
+    # runtime (observed: merging amount string into amount double threw
+    # CAST_INVALID_INPUT mid-job) — exactly the failure this gate
+    # exists to move to ingest time.
     return (old.simpleString(), new.simpleString()) in _WIDENINGS
 
 

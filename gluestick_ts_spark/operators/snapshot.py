@@ -183,6 +183,7 @@ def snapshot_records(
     localize_datetime_types: bool = False,
     overwrite: bool = False,
     spark: SparkSession | None = None,
+    reject_on_drift: bool = False,
     **csv_options: Any,
 ) -> DataFrame | None:
     """Merge a batch into the persisted snapshot (``etl-utils.ts:258-355``).
@@ -191,6 +192,13 @@ def snapshot_records(
     snapshot so downstream plans don't depend on the pre-swap files), or
     just the new batch when ``just_new``; mirrors the reference's
     null-handling branches exactly.
+
+    ``reject_on_drift=True`` (extension, default off to preserve parity
+    semantics) gates the merge through ``assert_no_drift``: a BREAKING
+    (non-widening) type change between the persisted snapshot and the
+    incoming batch raises with the full drift report BEFORE anything is
+    written, instead of surfacing later as coercion nulls or an
+    AnalysisException mid-merge. Pure metadata — no extra Spark jobs.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
     if spark is None:
@@ -204,6 +212,10 @@ def snapshot_records(
         if spark is not None
         else None
     )
+    if reject_on_drift and snapshot is not None and stream_data is not None:
+        from ..functions.schema_drift import assert_no_drift
+
+        assert_no_drift(snapshot.schema, stream_data.schema)
     if snapshot is None and stream_data is not None:
         # First sight of the stream: the batch IS the snapshot
         # (etl-utils.ts:336-347).

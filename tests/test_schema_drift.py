@@ -41,10 +41,34 @@ def test_drift_classes_and_widening():
 
 def test_nested_struct_paths_and_no_drift():
     inner_old = _st(("k", T.IntegerType(), True))
-    inner_new = _st(("k", T.StringType(), True))  # widening (to string)
+    inner_new = _st(("k", T.LongType(), True))  # widening
     old = _st(("meta", inner_old, True))
     new = _st(("meta", inner_new, True))
     d = assert_no_drift(old, new)  # widening only: passes
-    assert d.type_changed == [("meta.k", "int", "string", True)]
+    assert d.type_changed == [("meta.k", "int", "bigint", True)]
     same = schema_drift(old, old)
     assert not same
+
+
+def test_snapshot_merge_rejects_breaking_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.snapshot import snapshot_records
+
+    d = str(tmp_path)
+    b1 = spark.createDataFrame([(1, 10)], "id long, amount int")
+    snapshot_records(b1, "s", d, pk="id")
+    # widening batch (int -> long, the merge coercion's own promotion)
+    # passes the gate and merges
+    b2 = spark.createDataFrame([(2, 20)], "id long, amount long")
+    merged = snapshot_records(
+        b2, "s", d, pk="id", coerce_types=True, reject_on_drift=True)
+    assert merged.count() == 2
+    # breaking batch is rejected BEFORE any write
+    b3 = spark.createDataFrame([(3, True)], "id long, id2 boolean").select(
+        "id", F.col("id2").alias("amount"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="amount"):
+        snapshot_records(b3, "s", d, pk="id", reject_on_drift=True)
+    assert spark.read.parquet(f"{d}/s.snapshot.parquet").count() == 2
