@@ -71,6 +71,7 @@ from .operators.multimodal import (
 )
 from .operators.packing import assemble_packs, pack_token_windows
 from .operators.funnel import funnel_counts, funnel_depth_per_user
+from .streaming.incremental import frozen_logprob_expr
 from .operators.ml import (
     binary_auc,
     distill_quality_classifier,
@@ -174,6 +175,7 @@ __all__ = [
     "assemble_packs",
     "pack_token_windows",
     "binary_auc",
+    "frozen_logprob_expr",
     "funnel_counts",
     "funnel_depth_per_user",
     "distill_quality_classifier",
