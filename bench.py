@@ -32,7 +32,8 @@ covers roughly a third of the work the entry now does; and
 part (per-doc feature-hashing vectors computed in-row), and
 ``stats_agg_orders`` absorbed the global top-k (previously
 ``order_limit_global``); and ``sessionize_events`` gained the
-ordered-funnel report part (one extra user-keyed aggregate). ``line_dedup_docs`` (C4-style line-level corpus dedup),
+ordered-funnel report and weekly cohort-retention parts (two extra
+user-keyed aggregates). ``line_dedup_docs`` (C4-style line-level corpus dedup),
 ``semantic_dedup_embeddings`` (SemDeDup), and
 ``curation_pipeline_docs`` (the composed per-document curation
 verdict), and ``rollup_events_hourly`` (the materialized

@@ -70,7 +70,11 @@ from .operators.multimodal import (
     sample_frames,
 )
 from .operators.packing import assemble_packs, pack_token_windows
-from .operators.funnel import funnel_counts, funnel_depth_per_user
+from .operators.funnel import (
+    funnel_counts,
+    funnel_depth_per_user,
+    retention_matrix,
+)
 from .streaming.incremental import frozen_logprob_expr
 from .operators.ml import (
     binary_auc,
@@ -177,6 +181,7 @@ __all__ = [
     "binary_auc",
     "frozen_logprob_expr",
     "funnel_counts",
+    "retention_matrix",
     "funnel_depth_per_user",
     "distill_quality_classifier",
     "distilled_score_expr",

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _spread
 
-__all__ = ["funnel_counts", "funnel_depth_per_user"]
+__all__ = ["funnel_counts", "funnel_depth_per_user", "retention_matrix"]
 
 
 def funnel_depth_per_user(
@@ -91,4 +91,51 @@ def funnel_counts(
     )
     return agg.select(F.explode(parts).alias("__r")).select(
         F.col("__r.step_idx"), F.col("__r.step"), F.col("__r.n_users")
+    )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention (the other behavioral-analytics staple): users
+    are cohorted by the period of their FIRST event, and each
+    ``(cohort_period, period_offset)`` cell counts distinct users from
+    that cohort active ``offset`` periods later. Output:
+    ``cohort_period (timestamp), period_offset (long), n_users
+    (long)`` with offset 0 = the cohort size.
+
+    Shape: one user-keyed aggregate derives each user's cohort (min
+    event period), one broadcast-joinable (user, cohort) relation maps
+    every event to its offset, and one (cohort, offset) count-distinct
+    finishes — the user->cohort relation is the only corpus-keyed
+    join, and at 100 TB it is exactly the relation you'd persist
+    bucketed by user alongside the event store. ``period`` is any
+    ``date_trunc`` unit (week/month/day).
+    """
+    ev = _spread(events).select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).alias("__p"),
+    )
+    cohorts = ev.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    offset_expr = {
+        "day": lambda a, b: F.datediff(a, b),
+        "week": lambda a, b: F.floor(F.datediff(a, b) / 7),
+        "month": lambda a, b: (F.year(a) - F.year(b)) * 12
+        + (F.month(a) - F.month(b)),
+    }
+    if period not in offset_expr:
+        raise ValueError(f"unsupported period {period!r} (day/week/month)")
+    off = offset_expr[period]
+    joined = ev.join(cohorts, on="__u").select(
+        "__u",
+        F.col("__cohort").alias("cohort_period"),
+        off(F.col("__p"), F.col("__cohort")).cast("long").alias("period_offset"),
+    )
+    return (
+        joined.groupBy("cohort_period", "period_offset")
+        .agg(F.count_distinct("__u").alias("n_users"))
+        .orderBy("cohort_period", "period_offset")
     )

@@ -459,10 +459,12 @@ def q_sessionize_events(spark, sf):
     (operators/funnel.py — one user-keyed aggregate + in-row step
     state machine, never a join per step) over the first two days:
     signup -> view -> purchase -> click -> error, per-step
-    reached-user counts. Timestamps are collision-free per user in the
+    reached-user counts; the ``retention`` part is the weekly cohort
+    matrix (retention_matrix — users cohorted by first-event week,
+    distinct-active counts per (cohort, week offset)). Timestamps are collision-free per user in the
     test data, so the oracle's earliest-match min-ts cascade is
     exactly the fold's greedy semantics."""
-    from ..operators.funnel import funnel_counts
+    from ..operators.funnel import funnel_counts, retention_matrix
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -492,8 +494,26 @@ def q_sessionize_events(spark, sf):
         F.col("step_idx").cast("long").alias("step_idx"),
         "step",
         "n_users",
+        F.lit(None).cast("string").alias("cohort_week"),
+        F.lit(None).cast("long").alias("period_offset"),
     )
-    return sess.unionByName(fun)
+    sess = sess.select(
+        "*",
+        F.lit(None).cast("string").alias("cohort_week"),
+        F.lit(None).cast("long").alias("period_offset"),
+    )
+    ret = retention_matrix(ev).select(
+        F.lit("retention").alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.lit(None).cast("long").alias("step_idx"),
+        F.lit(None).cast("string").alias("step"),
+        "n_users",
+        F.date_format("cohort_period", "yyyy-MM-dd").alias("cohort_week"),
+        "period_offset",
+    )
+    return sess.unionByName(fun).unionByName(ret)
 
 
 def q_asof_join_orders(spark, sf):
@@ -2265,7 +2285,9 @@ ORACLES: dict[str, str] = {
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id, "
         "CAST(NULL AS BIGINT) AS step_idx, CAST(NULL AS VARCHAR) AS step, "
-        "CAST(NULL AS BIGINT) AS n_users "
+        "CAST(NULL AS BIGINT) AS n_users, "
+        "CAST(NULL AS VARCHAR) AS cohort_week, "
+        "CAST(NULL AS BIGINT) AS period_offset "
         "FROM (SELECT user_id, event_id, ts, CASE WHEN lag(epoch_us(ts)) OVER ("
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER ("
@@ -2273,15 +2295,26 @@ ORACLES: dict[str, str] = {
         "THEN 1 ELSE 0 END AS new_sess FROM events) t "
         "UNION ALL "
         "SELECT 'funnel', NULL, NULL, NULL, 1, 'signup', "
-        "(SELECT COUNT(*) FROM s1) "
+        "(SELECT COUNT(*) FROM s1), NULL, NULL "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 2, 'view', "
-        "(SELECT COUNT(*) FROM s2) "
+        "(SELECT COUNT(*) FROM s2), NULL, NULL "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 3, 'purchase', "
-        "(SELECT COUNT(*) FROM s3) "
+        "(SELECT COUNT(*) FROM s3), NULL, NULL "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 4, 'click', "
-        "(SELECT COUNT(*) FROM s4) "
+        "(SELECT COUNT(*) FROM s4), NULL, NULL "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 5, 'error', "
-        "(SELECT COUNT(*) FROM s5)"
+        "(SELECT COUNT(*) FROM s5), NULL, NULL "
+        "UNION ALL "
+        "SELECT 'retention', NULL, NULL, NULL, NULL, NULL, "
+        "rr.n_users, rr.cohort_week, rr.period_offset FROM ("
+        "SELECT strftime(co.c, '%Y-%m-%d') AS cohort_week, "
+        "CAST(floor(date_diff('day', co.c, date_trunc('week', e.ts)) / 7) "
+        "AS BIGINT) AS period_offset, "
+        "COUNT(DISTINCT e.user_id) AS n_users "
+        "FROM events e JOIN ("
+        "SELECT user_id, MIN(date_trunc('week', ts)) AS c "
+        "FROM events GROUP BY user_id) co USING (user_id) "
+        "GROUP BY cohort_week, period_offset) rr"
     ),
     "asof_join_orders": (
         "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("

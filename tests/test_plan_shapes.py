@@ -116,14 +116,14 @@ def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
 
 
 def test_sessionize_union_keeps_user_keyed_shuffles_only(spark, sf_dir):
-    """The behavioral-analytics union (sessionize + funnel) must key
-    every hash exchange on user_id — the sess window and the funnel's
-    single user aggregate — never re-shuffle on anything wider."""
+    """The behavioral-analytics union (sessionize + funnel +
+    retention) must key every hash exchange on its analysis keys —
+    user id (sess window, funnel/cohort aggregates and join) or the
+    tiny (cohort, offset) pair — never on anything wider."""
     plan = _plan(spark, sf_dir, "sessionize_events")
     hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
-    # the funnel aggregate keys on its internal __u alias of user_id
     assert hashed and all(
-        ("user_id" in a) or ("__u" in a) for a in hashed
+        ("user_id" in a) or ("__u" in a) or ("cohort" in a) for a in hashed
     ), hashed
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
