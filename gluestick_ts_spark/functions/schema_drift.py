@@ -9,7 +9,9 @@ field (recursively through structs) and classifies every difference:
 - ``added`` / ``removed`` columns,
 - ``type_changed`` (with a ``widening`` flag for the safe numeric
   promotions the engine's merge coercion already performs —
-  int->long, float->double),
+  int->long, float->double, recursively through array elements and
+  map keys/values: array<int> -> array<bigint> is the same promotion
+  one level down),
 - ``nullability_changed``.
 
 Pure metadata (two ``StructType``s — no data scan, no Spark jobs), so
@@ -67,6 +69,28 @@ def _is_widening(old: T.DataType, new: T.DataType) -> bool:
     # runtime (observed: merging amount string into amount double threw
     # CAST_INVALID_INPUT mid-job) — exactly the failure this gate
     # exists to move to ingest time.
+    #
+    # Containers recurse: the union's type reconciliation promotes
+    # element types the same way it promotes top-level columns, so
+    # array<int> -> array<bigint> (and the map key/value analogues)
+    # are the same safe widenings one level down. Containment kind
+    # must match exactly — array -> map or array -> scalar is breaking.
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return old.containsNull == new.containsNull and _is_widening(
+            old.elementType, new.elementType
+        )
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        return (
+            old.valueContainsNull == new.valueContainsNull
+            and (
+                old.keyType == new.keyType
+                or _is_widening(old.keyType, new.keyType)
+            )
+            and (
+                old.valueType == new.valueType
+                or _is_widening(old.valueType, new.valueType)
+            )
+        )
     return (old.simpleString(), new.simpleString()) in _WIDENINGS
 
 

@@ -565,7 +565,19 @@ def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:
     ``dim`` membership counts — O(tokens x dim) integer compares,
     map-only at any corpus size. Compose with ``cosine_topk`` /
     ``semantic_dedup`` for lexical similarity without a model
-    artifact."""
+    artifact.
+
+    Bucket ids derive from the first two md5 hex chars (0..255), so
+    ``dim`` must be <= 256 — a larger dim would silently leave buckets
+    256..dim-1 permanently empty. Powers of two (which divide 256)
+    give uniform buckets; other dims carry the usual slight modulo
+    bias and are accepted but not recommended."""
+    if not 1 <= dim <= 256:
+        raise ValueError(
+            f"hashed_tf_expr: dim must be in [1, 256] (got {dim}) — bucket "
+            "ids come from two md5 hex chars; dims beyond 256 would leave "
+            "buckets permanently empty"
+        )
     toks = F.filter(tokens_expr(text), lambda t: t != "")
     hexpos = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
     idx = lambda t: (  # noqa: E731

@@ -792,6 +792,8 @@ def q_rollup_events_hourly(spark, sf):
     what the hash check asserts. The store round-trips through real
     parquet under a per-run temp dir (the materialization IS the
     operator)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.rollup import (
@@ -801,7 +803,11 @@ def q_rollup_events_hourly(spark, sf):
     )
 
     ev = _t(spark, sf, "events")
-    path = tempfile.mkdtemp(prefix="gs_rollup_") + "/store"
+    # bench loops invoke this repeatedly: register the per-run store
+    # for cleanup so it can't accrete one parquet dir per invocation
+    tmp_root = tempfile.mkdtemp(prefix="gs_rollup_")
+    atexit.register(shutil.rmtree, tmp_root, ignore_errors=True)
+    path = tmp_root + "/store"
     seed = ev.where(F.col("event_id") % 3 != 0)
     batch = ev.where(F.col("event_id") % 3 == 0)
     write_rollup(rollup_aggregate(seed, "ts", ["event_type"], ["value"]), path)

@@ -39,6 +39,28 @@ def test_drift_classes_and_widening():
         assert_no_drift(old, new)
 
 
+def test_container_element_widening():
+    old = _st(
+        ("tags", T.ArrayType(T.IntegerType()), True),
+        ("m", T.MapType(T.StringType(), T.FloatType()), True),
+        ("bad", T.ArrayType(T.StringType()), True),
+        ("kind", T.ArrayType(T.IntegerType()), True),
+    )
+    new = _st(
+        ("tags", T.ArrayType(T.LongType()), True),                  # widening
+        ("m", T.MapType(T.StringType(), T.DoubleType()), True),    # widening
+        ("bad", T.ArrayType(T.BooleanType()), True),               # BREAKING
+        ("kind", T.MapType(T.IntegerType(), T.IntegerType()), True),  # BREAKING
+    )
+    d = schema_drift(old, new)
+    widenings = {p: w for p, _, _, w in d.type_changed}
+    assert widenings["tags"] is True
+    assert widenings["m"] is True
+    assert widenings["bad"] is False
+    assert widenings["kind"] is False
+    assert {p for p, _, _ in d.breaking} == {"bad", "kind"}
+
+
 def test_nested_struct_paths_and_no_drift():
     inner_old = _st(("k", T.IntegerType(), True))
     inner_new = _st(("k", T.LongType(), True))  # widening

@@ -305,6 +305,20 @@ def test_hashed_tf_matches_md5_reference_and_is_partition_stable(spark):
     assert got == again
 
 
+def test_hashed_tf_rejects_dim_beyond_bucket_range():
+    import pytest
+
+    from gluestick_ts_spark.functions.text import hashed_tf_expr
+
+    # two md5 hex chars give 256 bucket values; a larger dim would
+    # silently leave buckets 256..dim-1 permanently empty
+    with pytest.raises(ValueError, match="256"):
+        hashed_tf_expr("text", 512)
+    with pytest.raises(ValueError, match="256"):
+        hashed_tf_expr("text", 0)
+    hashed_tf_expr("text", 256)  # boundary accepted
+
+
 def test_strip_html_tags_entities_whitespace(spark):
     from gluestick_ts_spark.functions.text import strip_html_expr
 
