@@ -37,6 +37,7 @@ from .operators.bucketing import bucketed_join, plan_has_shuffle, write_bucketed
 from .operators.dedup import (
     append_fingerprint_store,
     append_signature_store,
+    compact_fingerprint_store,
     compact_signature_store,
     connected_min_labels,
     dedup_clusters,
@@ -141,6 +142,7 @@ __all__ = [
     "bucketed_join",
     "append_fingerprint_store",
     "append_signature_store",
+    "compact_fingerprint_store",
     "compact_signature_store",
     "connected_min_labels",
     "cosine_topk",

@@ -130,9 +130,13 @@ def train_logreg(
 
 
 def binary_auc(
-    df: DataFrame, score_col: str, label_col: str, ndigits: int = 6
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ndigits: int = 6,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact ROC AUC (one row: ``auc``, ``n_pos``, ``n_neg``) via the
+    """Exact ROC AUC (``auc``, ``n_pos``, ``n_neg``) via the
     Mann-Whitney statistic with midrank ties:
 
     ``AUC = (sum of positives' midranks - n_pos(n_pos+1)/2) / (n_pos * n_neg)``
@@ -141,23 +145,34 @@ def binary_auc(
     score. Midranks are exact k/2 values, so the sum is bit-exact
     regardless of partition/summation order — deterministic across
     engines (the property the driver oracle checks). NULL when either
-    class is absent. One global sort-rank pass; at 100 TB compute AUC
-    per stratum (window keys) or on a deterministic ``hash_sample``
-    instead of a global window.
+    class is absent.
+
+    Global mode (``group_cols=None``, one output row) ranks over an
+    unpartitioned window — a single-partition sort, fine for bounded
+    evaluation sets but not a 100 TB corpus. ``group_cols`` is the
+    scale path: the rank window partitions by the strata (one output
+    row per stratum), so ranking parallelizes across strata and no
+    executor ever sorts more than one stratum — the standard
+    per-domain / per-language AUC report. For a single global number
+    at corpus scale, score a deterministic ``hash_sample`` instead.
     """
-    w_rank = Window.orderBy(F.col(score_col).asc())
-    w_tie = Window.partitionBy(F.col(score_col))
+    groups = list(group_cols or [])
+    gcols = [F.col(c) for c in groups]
+    w_rank = Window.partitionBy(*gcols).orderBy(F.col(score_col).asc())
+    w_tie = Window.partitionBy(*gcols, F.col(score_col))
     ranked = df.select(
+        *gcols,
         F.col(score_col),
         F.col(label_col).cast("int").alias("__y"),
     ).select(
+        *groups,
         "__y",
         (
             F.rank().over(w_rank).cast("double")
             + (F.count("*").over(w_tie).cast("double") - 1.0) / 2.0
         ).alias("__mr"),
     )
-    agg = ranked.agg(
+    agg = ranked.groupBy(*gcols).agg(
         F.sum(F.when(F.col("__y") == 1, F.col("__mr"))).alias("rp"),
         F.count(F.when(F.col("__y") == 1, 1)).alias("np"),
         F.count(F.when(F.col("__y") == 0, 1)).alias("nn"),
@@ -166,6 +181,7 @@ def binary_auc(
         F.col("np") * F.col("nn")
     )
     return agg.select(
+        *groups,
         F.round(auc, ndigits).alias("auc"),
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),

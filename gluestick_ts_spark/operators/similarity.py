@@ -1051,6 +1051,7 @@ def write_semantic_store(
     centroids: list[dict] | None = None,
     n_clusters: int = 16,
     mode: str = "overwrite",
+    with_batch_col: bool = False,
 ) -> None:
     """Persist a semantic-dedup cluster store — the layout
     ``semantic_dedup``'s docstring prescribes for full scale: the
@@ -1064,7 +1065,10 @@ def write_semantic_store(
     Store layout: ``<path>/clusters/cid=<k>/*.parquet`` (id, v) +
     ``<path>/store_meta.json`` {centroids, schema}. Paths resolve
     through the Hadoop FS API; single-writer contract like the other
-    incremental stores.
+    incremental stores. ``with_batch_col=True`` freezes a ``batch_id``
+    provenance column into the schema (seed rows get -1): the
+    streaming wrapper stamps every append with its micro-batch id so
+    crash-replays can exclude their own earlier append.
     """
     from ..sources.fs import join_uri, write_text_file
 
@@ -1086,6 +1090,8 @@ def write_semantic_store(
             "empty store must still freeze its quantizer"
         )
     assigned = _semantic_assign(corpus, centroids, id_col, vec_col)
+    if with_batch_col:
+        assigned = assigned.withColumn("batch_id", F.lit(-1).cast("long"))
     assigned.write.mode(mode).partitionBy("cid").parquet(
         join_uri(path, _SEM_DATA_DIR)
     )
@@ -1109,9 +1115,18 @@ def append_semantic_store(assigned: DataFrame, path: str) -> None:
     """Append accepted-batch ``(id, __v, cid)`` rows (from
     ``semantic_dedup_incremental``'s second return) — dynamic partition
     append: new part files land only in the cluster dirs the rows
-    belong to."""
+    belong to. ``assigned`` must carry every frozen store column
+    (appending a narrower relation would silently null provenance
+    columns later replay-exclusion reads depend on)."""
     from ..sources.fs import join_uri
 
+    meta = read_semantic_store_meta(assigned.sparkSession, path)
+    cols = [f["name"] for f in meta["schema"]["fields"]]
+    missing = [c for c in cols if c not in assigned.columns]
+    if missing:
+        raise ValueError(
+            f"append_semantic_store: assigned lacks frozen store columns {missing}"
+        )
     assigned.write.mode("append").partitionBy("cid").parquet(
         join_uri(path, _SEM_DATA_DIR)
     )
@@ -1123,6 +1138,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    exclude_batch_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental SemDeDup against the cluster store: the batch is
     assigned with the STORE'S frozen centroids, and its vectors die if
@@ -1139,11 +1155,15 @@ def semantic_dedup_incremental(
     driver collect) and the store scan is PARTITION-PRUNED to exactly
     those cluster dirs — per-batch cost is the batch plus its touched
     clusters, never the whole store (the signature store's bucketed
-    contract, for the semantic half).
+    contract, for the semantic half). ``exclude_batch_id`` ignores
+    store rows stamped with that batch id (crash-replay idempotency
+    for the streaming wrapper; requires a store written with
+    ``with_batch_col=True``).
     """
     from pyspark.sql.types import StructType
 
     from ..sources.fs import join_uri
+    from .dedup import _exclude_batch_filter
 
     spark = batch.sparkSession
     meta = read_semantic_store_meta(spark, path)
@@ -1158,6 +1178,7 @@ def semantic_dedup_incremental(
         .parquet(join_uri(path, _SEM_DATA_DIR))
         .where(F.col("cid").isin(batch_cids))
     )
+    store = _exclude_batch_filter(store, schema, exclude_batch_id)
     cross = (
         assigned.alias("b")
         .join(store.alias("s"), F.col("b.cid") == F.col("s.cid"))

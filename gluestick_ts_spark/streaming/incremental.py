@@ -69,6 +69,80 @@ def stream_snapshot_records(
     return writer
 
 
+class _BatchStamper:
+    """Stable per-micro-batch identity for the shared-store replay
+    protocol. A raw foreachBatch ``batch_id`` is only unique within
+    ONE query lineage — a later query with a fresh checkpoint restarts
+    at 0, and treating its batch 0 as a replay of some earlier
+    query's batch 0 would both mis-exclude history and wrongly skip
+    the append. The stable scope is the streaming query id Spark
+    persists in the checkpoint's ``metadata`` file (identical across
+    restarts from that checkpoint — exactly the lineage whose batches
+    CAN replay); with no checkpoint there is no replay, so a fresh
+    uuid per call just guarantees uniqueness.
+
+    ``stamp`` maps (scope, batch_id) to the signed-64 ``batch_id``
+    column value stored next to appended rows; ``marker`` is the
+    per-batch ``.done`` file name. The scope is resolved lazily on the
+    first batch — the checkpoint metadata exists once the query runs.
+    """
+
+    def __init__(self, checkpoint_dir: str | None):
+        self._ckpt = checkpoint_dir
+        self._scope: str | None = None
+
+    def _resolve(self, spark) -> str:
+        if self._scope is None:
+            if self._ckpt:
+                import json as _json
+
+                from ..sources.fs import join_uri, read_text_file
+
+                self._scope = str(
+                    _json.loads(
+                        read_text_file(spark, join_uri(self._ckpt, "metadata"))
+                    )["id"]
+                )
+            else:
+                import uuid
+
+                self._scope = uuid.uuid4().hex
+        return self._scope
+
+    def stamp(self, spark, batch_id: int) -> int:
+        import hashlib
+
+        key = f"{self._resolve(spark)}/{int(batch_id)}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def marker(self, spark, store_dir: str, batch_id: int) -> str:
+        from ..sources.fs import join_uri
+
+        return join_uri(
+            store_dir,
+            "batches",
+            f"{self._resolve(spark)}-{int(batch_id)}.done",
+        )
+
+    def already_appended(self, spark, store_dir: str, batch_id: int) -> bool:
+        """Has this micro-batch's store append already committed? The
+        marker is written AFTER the append, so a crash between the two
+        re-appends on replay — a harmless duplicate (reclaimed at
+        compaction), never a lost or double-counted verdict."""
+        from ..sources.fs import hadoop_path_exists
+
+        return hadoop_path_exists(
+            spark, self.marker(spark, store_dir, batch_id)
+        )
+
+    def mark_appended(self, spark, store_dir: str, batch_id: int) -> None:
+        from ..sources.fs import write_text_file
+
+        write_text_file(
+            spark, self.marker(spark, store_dir, batch_id), "done"
+        )
+
+
 def stream_dedup_incremental(
     stream_df: DataFrame,
     store_dir: str,
@@ -89,11 +163,21 @@ def stream_dedup_incremental(
     later batches — and later restarts — never re-accept a duplicate.
 
     The store grows by exactly the accepted rows (~0.5 KB each at 64
-    hashes); corpus text is never re-read. With a ``checkpoint_dir``
-    the stream restarts from its offset and the already-appended
-    signatures make reprocessing idempotent (a replayed batch dedups
-    against its own prior acceptances). Caller starts the returned
+    hashes); corpus text is never re-read. Caller starts the returned
     writer.
+
+    REPLAY IDEMPOTENCY: every appended signature is stamped with its
+    micro-batch id, the dedup EXCLUDES store rows carrying the current
+    batch id, and the append is skipped when the batch's ``.done``
+    marker already exists. So a crash anywhere in the
+    emit → append → marker → checkpoint-commit sequence replays the
+    batch against exactly the store state the first attempt saw: the
+    same survivors are re-emitted (at-least-once emit — give the sink
+    an idempotent-by-batch_id write, the standard foreachBatch
+    contract), and the store converges without losing survivors OR
+    double-counting them as their own duplicates. A crash between
+    append and marker re-appends once — duplicate rows are harmless
+    for dedup (presence semantics) and reclaimed by compaction.
 
     ``store_dir`` may live on ANY Spark-readable filesystem (file:/,
     hdfs:/, s3a:/, ...): existence is checked through the Hadoop
@@ -125,16 +209,21 @@ def stream_dedup_incremental(
 
     sig_path = join_uri(store_dir, "signatures.parquet")
     meta_path = join_uri(store_dir, "store_meta.json")
+    stamper = _BatchStamper(checkpoint_dir)
 
     def _process_bucketed(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
         num_hashes = minhash_kwargs.get("num_hashes", 64)
         if not hadoop_path_exists(spark, meta_path):
-            # first batch: freeze the banding params into an empty store
+            # first batch: freeze the banding params (and the batch_id
+            # provenance column) into an empty store
             write_signature_store(
-                minhash_signatures(batch_df.limit(0), id_col, text_col, num_hashes),
+                minhash_signatures(
+                    batch_df.limit(0), id_col, text_col, num_hashes
+                ).withColumn("batch_id", F.lit(-1).cast("long")),
                 store_dir,
                 num_bands=minhash_kwargs.get("num_bands", 16),
                 num_buckets=num_buckets,
@@ -149,24 +238,38 @@ def stream_dedup_incremental(
             shingle_n=minhash_kwargs.get("shingle_n", 3),
             threshold=threshold,
             seed=minhash_kwargs.get("seed", 42),
+            exclude_batch_id=stamp,
         )
         # EMIT BEFORE APPEND (same ordering contract as the flat-store
-        # path): appending first would make a crash-replayed batch dedup
-        # against its own signatures and emit nothing — the survivors
-        # would be lost from the sink while living in the store. Both
+        # path): appending first would lose a crash window where the
+        # survivors live in the store but never reached the sink. Both
         # relations are pinned first so neither recomputes against the
         # mutated store.
         survivors = survivors.localCheckpoint(eager=True)
         sigs = sigs.localCheckpoint(eager=True)
         emit(survivors, batch_id)
-        append_signature_store(sigs, store_dir)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            append_signature_store(
+                sigs.withColumn("batch_id", F.lit(int(stamp)).cast("long")),
+                store_dir,
+            )
+            stamper.mark_appended(spark, store_dir, batch_id)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
         if hadoop_path_exists(spark, sig_path):
             store = spark.read.parquet(sig_path)
+            if "batch_id" in store.columns:
+                # replay exclusion: rows this very batch appended before
+                # a crash are not "history", they are our own output
+                store = store.where(
+                    F.coalesce(
+                        F.col("batch_id") != F.lit(int(stamp)), F.lit(True)
+                    )
+                ).drop("batch_id")
         else:
             store = minhash_signatures(batch_df.limit(0), id_col, text_col)
         survivors, sigs = dedup_minhash_incremental(
@@ -177,7 +280,11 @@ def stream_dedup_incremental(
         survivors = survivors.localCheckpoint(eager=True)
         sigs = sigs.localCheckpoint(eager=True)
         emit(survivors, batch_id)
-        sigs.write.mode("append").parquet(sig_path)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            sigs.withColumn(
+                "batch_id", F.lit(int(stamp)).cast("long")
+            ).write.mode("append").parquet(sig_path)
+            stamper.mark_appended(spark, store_dir, batch_id)
 
     if bucketed:
         _process = _process_bucketed
@@ -433,6 +540,7 @@ def stream_curation_filter(
     logprob_floor: float = -20.0,
     logprob_min: float | None = None,
     checkpoint_dir: str | None = None,
+    num_buckets: int = 256,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -443,29 +551,58 @@ def stream_curation_filter(
     and first-failing ``drop_reason`` ('duplicate' | 'gopher' |
     'quality' | 'logprob' | NULL), so the drop-rate monitor and the
     survivor sink read one frame; fingerprints of kept rows are then
-    appended to ``<store_dir>/fingerprints.parquet``.
+    appended to the store.
 
-    Same durability contract as ``stream_dedup_incremental``: the
-    store path resolves through the Hadoop FS API (any Spark-readable
-    scheme), emit happens BEFORE the append so a crash-replayed batch
-    re-emits its survivors instead of losing them, and one writer
-    stream owns a store. Per-batch cost: map-only flag columns + one
-    fingerprint window + one anti-join against the (tiny) fingerprint
-    relation — the corpus is never touched, only its fingerprints.
+    The store is the BUCKETED fingerprint layout
+    (``write_fingerprint_store``: parquet partitioned by
+    ``pmod(xxhash64(fp), num_buckets)``), and the dedup stage is a
+    membership probe (``fingerprint_store_membership``): the store
+    scan is partition-pruned to the batch's own buckets and the BATCH
+    side is broadcast into a semi-join — the store itself is never
+    broadcast and never shuffled, so per-batch cost stays ∝ batch +
+    matching buckets even when the store holds billions of accepted
+    fingerprints. Run ``compact_fingerprint_store`` periodically to
+    fold per-append part files.
+
+    REPLAY IDEMPOTENCY (same protocol as
+    ``stream_dedup_incremental``): appended fingerprints are stamped
+    with their micro-batch id, the membership probe EXCLUDES rows
+    carrying the current batch id, and the append is skipped when the
+    batch's ``.done`` marker exists — so a crash anywhere between
+    emit, append, marker, and checkpoint commit replays the batch
+    against the store state the first attempt saw and re-emits the
+    SAME verdicts (at-least-once emit; give the sink an
+    idempotent-by-batch_id write). Hadoop-FS paths throughout; one
+    writer stream owns a store.
     """
     from ..functions.text import (
         fingerprint_expr,
         gopher_quality_flags,
         quality_score_expr,
     )
+    from ..operators.dedup import (
+        append_fingerprint_store,
+        fingerprint_store_membership,
+        write_fingerprint_store,
+    )
     from ..sources.fs import hadoop_path_exists, join_uri
 
-    fp_path = join_uri(store_dir, "fingerprints.parquet")
+    meta_path = join_uri(store_dir, "store_meta.json")
+    stamper = _BatchStamper(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
+        if not hadoop_path_exists(spark, meta_path):
+            # first batch: freeze the bucket count and the batch_id
+            # provenance column into an empty store
+            write_fingerprint_store(
+                spark.createDataFrame([], "fp string, batch_id long"),
+                store_dir,
+                num_buckets=num_buckets,
+            )
         lp_ok: object
         if logprob_model is not None and logprob_min is not None:
             lp_ok = (
@@ -486,18 +623,16 @@ def stream_curation_filter(
         )
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         first_in_batch = F.row_number().over(w) == 1
-        if hadoop_path_exists(spark, fp_path):
-            store = spark.read.parquet(fp_path).select(
-                F.col("fp").alias("__fp"), F.lit(True).alias("__in_store")
-            ).dropDuplicates(["__fp"])
-        else:
-            store = (
-                enriched.limit(0)
-                .select(F.col("__fp"), F.lit(True).alias("__in_store"))
-            )
+        # membership probe: batch-side broadcast semi-join against the
+        # bucket-pruned store — bounded by the batch, not the store
+        hits = fingerprint_store_membership(
+            enriched.select(F.col("__fp").alias("fp")),
+            store_dir,
+            exclude_batch_id=stamp,
+        ).select(F.col("fp").alias("__fp"), F.lit(True).alias("__in_store"))
         verdict = (
             enriched.withColumn("__first", first_in_batch)
-            .join(F.broadcast(store), on="__fp", how="left")
+            .join(F.broadcast(hits), on="__fp", how="left")
             .withColumn(
                 "dup_ok",
                 F.col("__first") & F.col("__in_store").isNull(),
@@ -527,9 +662,15 @@ def stream_curation_filter(
             F.col("__fp"),
         ).localCheckpoint(eager=True)
         emit(out.drop("__fp"), batch_id)
-        out.where(F.col("keep")).select(F.col("__fp").alias("fp")).write.mode(
-            "append"
-        ).parquet(fp_path)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            append_fingerprint_store(
+                out.where(F.col("keep")).select(
+                    F.col("__fp").alias("fp"),
+                    F.lit(int(stamp)).cast("long").alias("batch_id"),
+                ),
+                store_dir,
+            )
+            stamper.mark_appended(spark, store_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:
@@ -598,8 +739,13 @@ def stream_semantic_dedup(
     its own first-``n_clusters`` vectors as the quantizer.
 
     Same contracts as the other streaming stores: Hadoop-FS paths,
-    emit BEFORE append (a crash-replayed batch re-emits its survivors
-    instead of losing them), single writer stream per store.
+    emit BEFORE append, single writer stream per store, and the
+    batch-id replay protocol — appended vectors carry their
+    micro-batch id, the store scan EXCLUDES rows with the current
+    batch id, and the append is marker-skipped on replay — so a
+    crash-replayed batch recomputes the verdict the first attempt saw
+    and re-emits the SAME survivors (at-least-once emit; give the
+    sink an idempotent-by-batch_id write).
     """
     from ..operators.similarity import (
         append_semantic_store,
@@ -609,11 +755,13 @@ def stream_semantic_dedup(
     from ..sources.fs import hadoop_path_exists, join_uri
 
     meta_path = join_uri(store_dir, "store_meta.json")
+    stamper = _BatchStamper(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
         if not hadoop_path_exists(spark, meta_path):
             # seed: freeze the quantizer on an EMPTY store, then run the
             # batch through the normal incremental path so within-batch
@@ -632,14 +780,23 @@ def stream_semantic_dedup(
                     )
                     .collect()
                 ],
+                with_batch_col=True,
             )
         verdict, kept = semantic_dedup_incremental(
-            batch_df, store_dir, id_col, vec_col, threshold
+            batch_df, store_dir, id_col, vec_col, threshold,
+            exclude_batch_id=stamp,
         )
         verdict = verdict.localCheckpoint(eager=True)
         kept = kept.localCheckpoint(eager=True)
         emit(verdict, batch_id)
-        append_semantic_store(kept, store_dir)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            append_semantic_store(
+                kept.withColumn(
+                    "batch_id", F.lit(int(stamp)).cast("long")
+                ),
+                store_dir,
+            )
+            stamper.mark_appended(spark, store_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

@@ -766,6 +766,101 @@ def test_compact_signature_store(spark, docs, tmp_path):
     }
 
 
+def test_compact_fingerprint_store(spark, docs, tmp_path):
+    """Fingerprint-store compaction: one part file per bucket after,
+    membership semantics unchanged, and the harmless full-row
+    duplicates a crash-window re-append leaves behind are reclaimed."""
+    from gluestick_ts_spark.functions.text import fingerprint_expr
+    from gluestick_ts_spark.operators.dedup import (
+        append_fingerprint_store,
+        compact_fingerprint_store,
+        dedup_exact_incremental_bucketed,
+        write_fingerprint_store,
+    )
+
+    path = "file://" + str(tmp_path / "cfpstore")
+    store_fps = docs.select(fingerprint_expr("text").alias("fp")).distinct()
+    write_fingerprint_store(store_fps, path, num_buckets=4)
+    extra = spark.createDataFrame(
+        [("deadbeef" * 4,), ("cafebabe" * 4,)], "fp string"
+    )
+    append_fingerprint_store(extra, path)
+    append_fingerprint_store(extra, path)  # crash-window double append
+
+    batch = spark.createDataFrame(
+        [(20, BASE), (21, "a brand new doc about bucket pruning")],
+        "doc_id long, text string",
+    )
+    before, _ = dedup_exact_incremental_bucketed(batch, path)
+    before_ids = {r.doc_id for r in before.collect()}
+    distinct_before = (
+        spark.read.parquet(path + "/banded").select("fp").distinct().count()
+    )
+    files_before = set(spark.read.parquet(path + "/banded").inputFiles())
+    assert len(files_before) > 4
+
+    compact_fingerprint_store(spark, path)
+    after_df = spark.read.parquet(path + "/banded")
+    # full-row dups are gone; distinct fingerprints preserved
+    assert after_df.count() == after_df.dropDuplicates().count()
+    assert after_df.select("fp").distinct().count() == distinct_before
+    per_bucket: dict = {}
+    for f in after_df.inputFiles():
+        b = [seg for seg in f.split("/") if seg.startswith("bucket=")][0]
+        per_bucket.setdefault(b, set()).add(f)
+    assert per_bucket and all(len(v) == 1 for v in per_bucket.values())
+    after, _ = dedup_exact_incremental_bucketed(batch, path)
+    assert {r.doc_id for r in after.collect()} == before_ids
+
+
+def test_fingerprint_store_membership_and_batch_exclusion(spark, tmp_path):
+    """The membership probe finds exactly the batch fps present in the
+    store; exclude_batch_id hides the store rows a crash-replayed batch
+    itself appended; stores without the provenance column refuse the
+    flag instead of silently running non-idempotent."""
+    from gluestick_ts_spark.operators.dedup import (
+        append_fingerprint_store,
+        fingerprint_store_membership,
+        write_fingerprint_store,
+    )
+
+    path = "file://" + str(tmp_path / "mstore")
+    write_fingerprint_store(
+        spark.createDataFrame([], "fp string, batch_id long"),
+        path,
+        num_buckets=8,
+    )
+    hist = spark.createDataFrame(
+        [("aa11", 7), ("bb22", 7)], "fp string, batch_id long"
+    )
+    append_fingerprint_store(hist, path)
+    mine = spark.createDataFrame(
+        [("cc33", 42), ("dd44", 42)], "fp string, batch_id long"
+    )
+    append_fingerprint_store(mine, path)
+
+    probe = spark.createDataFrame(
+        [("aa11",), ("cc33",), ("ee55",)], "fp string"
+    )
+    hits = {r.fp for r in fingerprint_store_membership(probe, path).collect()}
+    assert hits == {"aa11", "cc33"}
+    # replaying batch 42: its own append is invisible, history is not
+    replay = {
+        r.fp
+        for r in fingerprint_store_membership(
+            probe, path, exclude_batch_id=42
+        ).collect()
+    }
+    assert replay == {"aa11"}
+
+    bare = "file://" + str(tmp_path / "barestore")
+    write_fingerprint_store(
+        spark.createDataFrame([("aa11",)], "fp string"), bare, num_buckets=8
+    )
+    with pytest.raises(ValueError, match="batch_id"):
+        fingerprint_store_membership(probe, bare, exclude_batch_id=1)
+
+
 def test_dedup_exact_incremental(spark, docs):
     """Exact cross-store dedup: batch rows whose normalized fingerprint
     is already in the store are dropped via one anti-join; fresh rows
@@ -1198,3 +1293,11 @@ def test_sentence_span_dedup_c4_semantics(spark):
     # < 3 sentences: no spans, nothing removable
     assert (got[3].n_sents, got[3].n_sents_kept) == (2, 2)
     assert 4 not in got
+    # the broadcast opt-in is pure physical strategy: identical output
+    hinted = {
+        r.doc_id: r
+        for r in sentence_span_dedup(docs, broadcast_stats=True).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in hinted.items()
+    }

@@ -35,6 +35,33 @@ def test_binary_auc_exact_cases(spark):
     assert a1 == a2
 
 
+def test_binary_auc_stratified_matches_per_stratum_global(spark):
+    """group_cols partitions the rank window: each stratum's row must
+    equal the global AUC computed on that stratum alone (and the rank
+    window must actually be partitioned — the 100 TB mitigation)."""
+    rows = []
+    for i in range(300):
+        dom = "web" if i % 2 == 0 else "code"
+        # different signal strength per stratum so the AUCs differ
+        y = 1 if (i * 7) % 10 < (3 if dom == "web" else 7) else 0
+        s = (y * (0.6 if dom == "web" else 0.2)) + float((i * 13) % 50) / 100
+        rows.append((dom, s, y))
+    df = spark.createDataFrame(rows, "dom string, s double, y int")
+    strat = {
+        r.dom: (r.auc, r.n_pos, r.n_neg)
+        for r in binary_auc(df, "s", "y", group_cols=["dom"]).collect()
+    }
+    assert set(strat) == {"web", "code"}
+    for dom in ("web", "code"):
+        g = binary_auc(df.where(F.col("dom") == dom), "s", "y").first()
+        assert strat[dom] == (g.auc, g.n_pos, g.n_neg)
+    assert strat["web"][0] != strat["code"][0]
+    # plan check: no unpartitioned (global) sort-rank window remains
+    plan = binary_auc(df, "s", "y", group_cols=["dom"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_train_logreg_learns_separable_data(spark):
     rows = []
     for i in range(200):

@@ -340,3 +340,54 @@ def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
     assert _hash_shuffles(plan) <= 3, plan
     args = _exchange_args(plan)
     assert args and all("text" not in a for a in args), args
+
+
+def test_fingerprint_membership_probe_prunes_and_broadcasts_batch(
+    spark, sf_dir, tmp_path
+):
+    """The streaming curation filter's dedup stage must stay bounded by
+    the BATCH at any store size: the store scan partition-pruned to the
+    batch's fp buckets (bucket IN (...) with fewer buckets than the
+    store holds), the batch side broadcast into a LeftSemi probe, and
+    the store side NEVER broadcast — the round-6 scale-killer was a
+    broadcast of the whole (unboundedly growing) fingerprint store on
+    every micro-batch."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import fingerprint_expr
+    from gluestick_ts_spark.operators.dedup import (
+        fingerprint_store_membership,
+        write_fingerprint_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = "file://" + str(tmp_path / "memstore")
+    write_fingerprint_store(
+        docs.select(fingerprint_expr("text").alias("fp")).distinct(),
+        path,
+        num_buckets=64,
+    )
+    probe = docs.where(F.col("doc_id").isin([1, 2])).select(
+        fingerprint_expr("text").alias("fp")
+    )
+    hits = fingerprint_store_membership(probe, path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = hits._jdf.queryExecution().explainString(mode)
+    # partition pruning: 2 fps hit at most 2 of the 64 bucket dirs
+    pf = [
+        p
+        for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in p
+    ]
+    assert pf, plan[:2000]
+    in_vals = re.search(r"INSET ([\d, ]+)|IN \(([\d, ]*)\)", pf[0])
+    assert in_vals, pf[0]
+    assert len((in_vals.group(1) or in_vals.group(2)).strip(", ").split(",")) <= 2
+    # probe shape: batch broadcast into a semi-join; the parquet store
+    # scan streams (it is the LeftSemi build's STREAMED side, so the
+    # only broadcast exchange must NOT hang off the store scan)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
+    assert "Scan parquet" in plan

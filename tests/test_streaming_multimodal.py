@@ -441,8 +441,92 @@ def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert rows[10] == {"keep": False, "reason": "duplicate"}
-    fps = spark.read.parquet(f"{store}/fingerprints.parquet").count()
-    assert fps == 1  # only doc 1's fingerprint was ever accepted
+    # bucketed store layout: only doc 1's fingerprint was ever accepted
+    from gluestick_ts_spark.operators.dedup import read_signature_store_meta
+
+    assert read_signature_store_meta(spark, store)["num_buckets"] == 256
+    stored = spark.read.parquet(f"{store}/banded")
+    assert stored.select("fp").distinct().count() == 1
+    # every stored row is batch-stamped (the replay-exclusion column)
+    assert stored.where(stored.batch_id.isNull()).count() == 0
+
+
+def test_stream_curation_filter_crash_replay_reemits_survivors(spark, tmp_path):
+    """Crash-replay idempotency (the at-least-once gap): after a batch's
+    store append commits but before the streaming checkpoint commit, a
+    restart replays the batch against a store that already holds its
+    own fingerprints. The batch-stamp exclusion must make the replayed
+    verdict IDENTICAL — survivors re-emitted as keep=True, not silently
+    re-classified duplicate — and the marker must stop a second append."""
+    import os
+    import shutil
+
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+
+    emitted: list[dict] = []
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            emitted.append(
+                {"doc_id": r.doc_id, "keep": r.keep, "reason": r.drop_reason}
+            )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_curation_filter(
+                stream, store, emit, quality_min=0.5, checkpoint_dir=ckpt
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_stream_batch(src, spark, [(1, good), (2, "tiny doc")], schema)
+    run()
+    first = sorted(emitted, key=lambda r: r["doc_id"])
+    assert first[0] == {"doc_id": 1, "keep": True, "reason": None}
+
+    # simulate the crash window: the store append + marker committed,
+    # the checkpoint commit did not -> Spark will replay batch 0
+    commit0 = os.path.join(ckpt, "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    # the local FS keeps a sidecar checksum; a stale one makes the
+    # replayed commit write believe batch 0 still exists
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    emitted.clear()
+    run()
+    replayed = sorted(emitted, key=lambda r: r["doc_id"])
+    assert replayed == first, replayed  # SAME verdicts, survivor re-emitted
+    # marker stopped the double append: still exactly one stored fp row
+    stored = spark.read.parquet(f"{store}/banded")
+    assert stored.count() == 1
+
+    # a genuinely later batch still dedups against the store
+    shutil.rmtree(src)
+    emitted.clear()
+    _write_stream_batch(src, spark, [(10, good)], schema)
+    ck2 = str(tmp_path / "ck2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_curation_filter(
+            stream, store, emit, quality_min=0.5, checkpoint_dir=ck2
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert emitted == [{"doc_id": 10, "keep": False, "reason": "duplicate"}]
 
 
 def test_stream_semantic_dedup(spark, tmp_path):
