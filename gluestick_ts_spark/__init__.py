@@ -48,6 +48,7 @@ from .operators.dedup import (
     dedup_minhash_incremental,
     dedup_minhash_incremental_bucketed,
     embedding_neardup_pairs,
+    exact_substring_dedup,
     line_dedup,
     sentence_span_dedup,
     minhash_lsh_pairs,
@@ -159,6 +160,7 @@ __all__ = [
     "dedup_minhash",
     "dedup_minhash_incremental",
     "line_dedup",
+    "exact_substring_dedup",
     "sentence_span_dedup",
     "dedup_minhash_incremental_bucketed",
     "embedding_neardup_pairs",

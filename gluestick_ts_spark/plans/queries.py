@@ -1015,8 +1015,18 @@ def q_line_dedup_docs(spark, sf):
     distinct line keeps its first in-document occurrence), joined back
     on doc_id; the corpus-dedup side arrives already partitioned by
     doc id from its reassembly aggregate, so the join reuses that
-    exchange."""
-    from ..operators.dedup import _spread, line_dedup, sentence_span_dedup
+    exchange. The row also carries the family's other two corpus
+    grains, each fully oracle-checked: C4's 3-sentence-span dedup
+    (sentence_span_dedup) and the ExactSubstr k-token grain
+    (exact_substring_dedup, Lee et al. 2022 — k=8 here so the
+    sf-scale word-soup corpus exercises real cross-document window
+    collisions)."""
+    from ..operators.dedup import (
+        _spread,
+        exact_substring_dedup,
+        line_dedup,
+        sentence_span_dedup,
+    )
 
     d = _spread(_t(spark, sf, "documents"))
     lvl = d.select(
@@ -1028,13 +1038,27 @@ def q_line_dedup_docs(spark, sf):
         F.concat_ws("\n", F.col("__u")).alias("text_selfdedup"),
         F.size(F.col("__u")).cast("long").alias("n_lines_unique"),
     )
-    spans = sentence_span_dedup(d).select(
+    # broadcast_stats: the duplicated-span/window stats of THIS corpus
+    # are known-bounded, so the driver row takes the explicit hint; the
+    # operator default is the plain join AQE sizes at runtime
+    spans = sentence_span_dedup(d, broadcast_stats=True).select(
         "doc_id",
         F.col("text_dedup").alias("text_spandedup"),
         "n_sents",
         "n_sents_kept",
     )
-    return line_dedup(d).join(selfd, on="doc_id").join(spans, on="doc_id")
+    substr = exact_substring_dedup(d, k=8, broadcast_stats=True).select(
+        "doc_id",
+        F.col("text_dedup").alias("text_substrdedup"),
+        "n_tokens",
+        "n_tokens_kept",
+    )
+    return (
+        line_dedup(d)
+        .join(selfd, on="doc_id")
+        .join(spans, on="doc_id")
+        .join(substr, on="doc_id")
+    )
 
 
 def q_curation_pipeline_docs(spark, sf):
@@ -2616,12 +2640,40 @@ ORACLES: dict[str, str] = {
         "AS n_sents_kept "
         "FROM sent s LEFT JOIN removed r "
         "ON s.doc_id = r.doc_id AND s.sidx = r.sidx "
-        "GROUP BY s.doc_id) "
+        "GROUP BY s.doc_id), "
+        # ExactSubstr grain: 8-token windows, md5 over \x01-joined
+        # slices, keep-first by (doc, position) — mirrors
+        # exact_substring_dedup(k=8) byte-for-byte
+        "ta AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '') AS T "
+        "FROM documents), "
+        "tsp AS (SELECT doc_id, i - 1 AS s0, "
+        "md5(array_to_string(T[i:i+7], chr(1))) AS k "
+        "FROM ta, UNNEST(range(1, greatest(len(T) - 7, 0) + 1)) AS u(i)), "
+        "tspw AS (SELECT doc_id, s0, "
+        "COUNT(*) OVER (PARTITION BY k) AS nk, "
+        "row_number() OVER (PARTITION BY k ORDER BY doc_id, s0) AS rn "
+        "FROM tsp), "
+        "trem AS (SELECT DISTINCT doc_id, s0 + d AS tidx "
+        "FROM tspw, UNNEST(range(0, 8)) AS r(d) WHERE nk >= 2 AND rn > 1), "
+        "tokn AS (SELECT doc_id, i - 1 AS tidx, T[i] AS tk "
+        "FROM ta, UNNEST(range(1, len(T) + 1)) AS u(i)), "
+        "tsd AS (SELECT t.doc_id, "
+        "COALESCE(string_agg(t.tk, ' ' ORDER BY t.tidx) "
+        "FILTER (WHERE r.doc_id IS NULL), '') AS text_substrdedup, "
+        "COUNT(*) AS n_tokens, "
+        "CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_tokens_kept "
+        "FROM tokn t LEFT JOIN trem r "
+        "ON t.doc_id = r.doc_id AND t.tidx = r.tidx "
+        "GROUP BY t.doc_id) "
         "SELECT cd.doc_id, cd.text_dedup, cd.n_lines, cd.n_lines_kept, "
         "array_to_string(sd.U, chr(10)) AS text_selfdedup, "
         "CAST(len(sd.U) AS BIGINT) AS n_lines_unique, "
-        "spd.text_spandedup, spd.n_sents, spd.n_sents_kept "
-        "FROM cd JOIN sd USING (doc_id) JOIN spd USING (doc_id)"
+        "spd.text_spandedup, spd.n_sents, spd.n_sents_kept, "
+        "tsd.text_substrdedup, tsd.n_tokens, tsd.n_tokens_kept "
+        "FROM cd JOIN sd USING (doc_id) JOIN spd USING (doc_id) "
+        "JOIN tsd USING (doc_id)"
     ),
     "curation_pipeline_docs": (
         "WITH tok AS (SELECT doc_id, "

@@ -1301,3 +1301,44 @@ def test_sentence_span_dedup_c4_semantics(spark):
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in hinted.items()
     }
+
+
+def test_exact_substring_dedup_lee2022_semantics(spark):
+    """The ExactSubstr grain: a duplicated k-token window keeps only
+    its global first occurrence; OVERLAPPING duplicated windows merge
+    their removal sets (the whole duplicated span vanishes, not just
+    disjoint windows); short docs pass through whole; NULL text yields
+    no row; whitespace runs collapse in the rebuild."""
+    from gluestick_ts_spark.operators.dedup import exact_substring_dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6"  # 6 tokens -> two overlapping 5-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"other   words  {boiler} tail"),  # whitespace runs
+            (3, "way too short"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in exact_substring_dedup(docs, k=5).collect()}
+    # doc 1 holds the first occurrences: everything survives
+    assert (got[1].n_tokens, got[1].n_tokens_kept) == (9, 9)
+    # doc 2: both overlapping windows' tokens removed -> all 6 boiler
+    # tokens gone, split on \s+ collapsed the runs
+    assert got[2].text_dedup == "other words tail"
+    assert (got[2].n_tokens, got[2].n_tokens_kept) == (9, 3)
+    assert (got[3].n_tokens, got[3].n_tokens_kept) == (3, 3)
+    assert 4 not in got
+    # broadcast opt-in is pure physical strategy
+    hinted = {
+        r.doc_id: tuple(r)
+        for r in exact_substring_dedup(
+            docs, k=5, broadcast_stats=True
+        ).collect()
+    }
+    assert hinted == {k: tuple(v) for k, v in got.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        exact_substring_dedup(docs, k=1)

@@ -267,22 +267,22 @@ def test_top_terms_unigram_has_no_global_window_and_broadcasts_vocab(spark, sf_d
 
 
 def test_line_dedup_broadcasts_boilerplate_and_shuffles_twice(spark, sf_dir):
-    """All three dedup grains (corpus lines, within-doc lines, C4
-    sentence spans) must keep the corpus on the map side for their
-    boilerplate decisions: duplicate-line AND duplicate-span stats
-    (HAVING count>=2 subsets, map-side combined) broadcast back onto
-    their streams — never a corpus-vs-corpus shuffled self-join — so
-    the key shuffles are each grain's stats aggregate + reassembly and
-    the doc-keyed grain joins, and nothing more. Hot lines/spans are
-    safe BECAUSE the aggregates combine map-side; window-over-key
-    formulations would put every occurrence of a hot key in one
-    partition."""
+    """All four dedup grains (corpus lines, within-doc lines, C4
+    sentence spans, ExactSubstr 8-token windows) must keep the corpus
+    on the map side for their boilerplate decisions: duplicate
+    line/span/window stats (HAVING count>=2 subsets, map-side
+    combined) broadcast back onto their streams — never a
+    corpus-vs-corpus shuffled self-join — so the key shuffles are each
+    grain's stats aggregate, removal dedup, and doc-keyed reassembly,
+    and nothing more. Hot lines/spans/windows are safe BECAUSE the
+    aggregates combine map-side; window-over-key formulations would
+    put every occurrence of a hot key in one partition."""
     plan = _plan(spark, sf_dir, "line_dedup_docs")
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # line stats + line rebuild + span stats + span removal dedup +
-    # span sentence-join + span rebuild + doc-keyed grain joins
+    # per grain: stats-agg key + removal dedup + doc-keyed rebuild
+    # (line: 2, span: 3, substr: 3) — 8 total, all short keys
     assert _hash_shuffles(plan) <= 8, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
