@@ -15,6 +15,15 @@ pass's cold timings (planning + codegen included — comparable to the
 single-shot numbers benched in rounds 1-2) ride along under
 ``queries_cold`` / ``cold_total``.
 
+PER-PART TIMINGS: tagged-union/composition rows time several unrelated
+pipelines in one number; ``parts`` decomposes them — one warm
+single-shot timing per leg (QUERY_PARTS in plans/queries.py: union
+legs isolated by tag filter + Catalyst branch pruning, joined grains
+rebuilt standalone). Use parts for regression ATTRIBUTION; the summed
+row stays the continuity number. Round 7: ``line_dedup_docs`` gained
+the ExactSubstr token-grain dedup as a fourth joined grain, so its
+round-6 number (1.95 s) covers three of the four grains now timed.
+
 SUITE COMPOSITION CHANGES (for cross-round comparisons, compare
 per-query, not totals): round 6 added two entries absent from every
 earlier bench (``dedup_incremental_docs`` — the full incremental-dedup
@@ -53,7 +62,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gluestick_ts_spark.plans.queries import QUERIES
+from gluestick_ts_spark.plans.queries import QUERIES, QUERY_PARTS
 from gluestick_ts_spark.session import get_spark
 
 # Headline set: parity ops + relational coverage + extensions.
@@ -144,6 +153,25 @@ def main() -> None:
             del df
             gc.collect()
 
+    # one warm pass over the union-row legs: single-shot attribution
+    # numbers (the suite medians above stay the continuity signal)
+    parts: dict[str, dict[str, object]] = {}
+    for name, part_fns in QUERY_PARTS.items():
+        if name not in BENCH_QUERIES or name in errors:
+            continue
+        parts[name] = {}
+        for part, fn in part_fns.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                parts[name][part] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+                continue
+            parts[name][part] = round(time.time() - t0, 3)
+            del df
+            gc.collect()
+
     timed = {n: s for n, s in samples.items() if s}
     medians = {n: round(statistics.median(s), 3) for n, s in timed.items()}
     cold = {n: round(s[0], 3) for n, s in timed.items()}
@@ -162,6 +190,7 @@ def main() -> None:
                 "runs": n_runs,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "parts": parts,
                 "errors": len(errors),
             }
         )

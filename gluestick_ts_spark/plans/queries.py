@@ -2034,6 +2034,96 @@ QUERIES: dict[str, QueryFn] = {
 
 assert len(QUERIES) <= 50, "driver records at most 50 correctness rows"
 
+
+# ---------------------------------------------------------------------------
+# Per-part decompositions for the bench (regression ATTRIBUTION):
+# tagged-union rows time 2-3 unrelated pipelines in one number, which
+# blurs which leg regressed. Each entry maps a bench row to callables
+# computing ONE leg. For union-tagged rows the part is the full query
+# filtered on its tag literal — Catalyst folds `lit(tag) == other` to
+# false and prunes the other union branches entirely, so the timed
+# plan IS the single leg. Composition rows (joined grains) get
+# explicit single-grain builders from the same operators.
+# ---------------------------------------------------------------------------
+
+def _tag_part(name: str, col: str, val: str) -> QueryFn:
+    def f(spark, sf):
+        return QUERIES[name](spark, sf).where(F.col(col) == F.lit(val))
+
+    return f
+
+
+def _line_grain_part(grain: str) -> QueryFn:
+    def f(spark, sf):
+        from ..operators.dedup import (
+            _spread,
+            exact_substring_dedup,
+            line_dedup,
+            sentence_span_dedup,
+        )
+
+        d = _spread(_t(spark, sf, "documents"))
+        if grain == "line":
+            return line_dedup(d)
+        if grain == "span":
+            return sentence_span_dedup(d, broadcast_stats=True)
+        if grain == "substr":
+            return exact_substring_dedup(d, k=8, broadcast_stats=True)
+        u = F.array_distinct(F.split(F.col("text"), "\n"))
+        return d.select(
+            "doc_id",
+            F.concat_ws("\n", u).alias("text_selfdedup"),
+            F.size(u).cast("long").alias("n_lines_unique"),
+        )
+
+    return f
+
+
+def _dedup_exact_docs_part(which: str) -> QueryFn:
+    def f(spark, sf):
+        from ..operators.dedup import _spread
+
+        d = _spread(_t(spark, sf, "documents"))
+        if which == "winnow":
+            return d.select(
+                "doc_id",
+                F.size(winnow_fingerprints_expr("text")).cast("long").alias(
+                    "n_winnow_fps"
+                ),
+            )
+        return dedup_exact(d).select(
+            "doc_id", fingerprint_expr("text").alias("fp")
+        )
+
+    return f
+
+
+QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
+    "sessionize_events": {
+        p: _tag_part("sessionize_events", "part", p)
+        for p in ("sess", "funnel", "retention")
+    },
+    "stats_agg_orders": {
+        p: _tag_part("stats_agg_orders", "part", p) for p in ("stats", "topk")
+    },
+    "json_extract_agg": {
+        p: _tag_part("json_extract_agg", "part", p) for p in ("agg", "encode")
+    },
+    "embedding_cosine_topk": {
+        p: _tag_part("embedding_cosine_topk", "part", p)
+        for p in ("emb", "hashedtf")
+    },
+    "ann_ivf_topk": {
+        p: _tag_part("ann_ivf_topk", "mode", p) for p in ("ivf", "ivfpq")
+    },
+    "line_dedup_docs": {
+        p: _line_grain_part(p) for p in ("line", "selfdedup", "span", "substr")
+    },
+    "dedup_exact_docs": {
+        p: _dedup_exact_docs_part(p) for p in ("dedup", "winnow")
+    },
+}
+
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
