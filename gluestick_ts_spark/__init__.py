@@ -87,10 +87,12 @@ from .operators.ml import (
 )
 from .operators.profile import corpus_profile, unigram_logprob_scores
 from .operators.rollup import (
+    compact_rollup,
     read_rollup,
     refresh_rollup,
     rollup_aggregate,
     write_rollup,
+    write_rollup_delta,
 )
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
@@ -192,10 +194,12 @@ __all__ = [
     "corpus_profile",
     "logreg_score_expr",
     "train_logreg",
+    "compact_rollup",
     "read_rollup",
     "refresh_rollup",
     "rollup_aggregate",
     "write_rollup",
+    "write_rollup_delta",
     "unigram_logprob_scores",
     "ann_ivfpq_topk",
     "pq_encode",

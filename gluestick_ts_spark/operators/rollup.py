@@ -35,10 +35,14 @@ __all__ = [
     "write_rollup",
     "refresh_rollup",
     "read_rollup",
+    "write_rollup_delta",
+    "compact_rollup",
 ]
 
 _DATE = "__gs_date"
 _SUM_DECIMAL = "decimal(28,6)"
+_DELTA_META = "rollup_meta.json"
+_DELTAS_DIR = "deltas"
 
 
 def rollup_aggregate(
@@ -76,6 +80,15 @@ def write_rollup(rollup_df: DataFrame, path: str) -> None:
     )
 
 
+def _derive_means(df: DataFrame) -> DataFrame:
+    for c in [c for c in df.columns if c.startswith("sum_")]:
+        df = df.withColumn(
+            f"mean_{c[4:]}",
+            F.round(F.col(c).cast("double") / F.col("cnt"), 4),
+        )
+    return df
+
+
 def read_rollup(
     spark: SparkSession,
     path: str,
@@ -83,15 +96,21 @@ def read_rollup(
 ) -> DataFrame:
     """The current rollup; per-value ``mean_<col>`` columns derived
     from the exact sums when ``derive_means`` (sum/cnt at read time —
-    the store itself never holds a non-mergeable statistic)."""
-    df = spark.read.parquet(path).drop(_DATE)
-    if derive_means:
-        for c in [c for c in df.columns if c.startswith("sum_")]:
-            df = df.withColumn(
-                f"mean_{c[4:]}",
-                F.round(F.col(c).cast("double") / F.col("cnt"), 4),
-            )
-    return df
+    the store itself never holds a non-mergeable statistic).
+
+    Layout-aware: a store carrying ``rollup_meta.json`` is the
+    DELTA-SNAPSHOT layout (``write_rollup_delta``/``compact_rollup``)
+    and is read as base snapshot + unfolded deltas re-aggregated; any
+    other store is the plain date-partitioned parquet layout the batch
+    ``write_rollup``/``refresh_rollup`` maintain.
+    """
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    if hadoop_path_exists(spark, join_uri(path, _DELTA_META)):
+        df = _read_delta_layout(spark, path)
+    else:
+        df = spark.read.parquet(path).drop(_DATE)
+    return _derive_means(df) if derive_means else df
 
 
 def refresh_rollup(
@@ -147,3 +166,167 @@ def refresh_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return read_rollup(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Delta-snapshot layout: EXACTLY-ONCE continuous aggregation.
+#
+# The additive refresh above is idempotent only per offset range WITH a
+# committed checkpoint; a replayed micro-batch would re-add its counts.
+# The delta layout closes that window structurally:
+#
+#   <path>/rollup_meta.json          -- the POINTER (single commit point):
+#                                       {version, base, folded:{scope: W},
+#                                        keys, sum_cols}
+#   <path>/base_v<k>/...             -- immutable merged snapshots
+#   <path>/deltas/<scope>/<batch>/   -- one partial aggregate per
+#                                       micro-batch, date-partitioned
+#
+# Every micro-batch OVERWRITES its own (scope, batch) delta dir — a
+# crash-replayed batch rewrites the same bytes instead of double-adding
+# (per-batch writes are idempotent by PATH, no marker protocol needed).
+# Readers see meta.base plus every delta with batch > folded[scope] and
+# re-aggregate; compaction folds deltas into a NEW base_v<k+1> dir and
+# then atomically advances the pointer, so a crash anywhere before the
+# pointer write leaves the previous consistent view (orphan dirs are
+# garbage, removed best-effort after the next successful commit).
+# Single-writer contract like every other store; reads during an
+# in-flight batch see the previous batch's view.
+# ---------------------------------------------------------------------------
+
+
+def _read_rollup_meta(spark: SparkSession, path: str) -> dict:
+    import json
+
+    from ..sources.fs import join_uri, read_text_file
+
+    return json.loads(read_text_file(spark, join_uri(path, _DELTA_META)))
+
+
+def _write_rollup_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    import json
+
+    from ..sources.fs import join_uri, write_text_file
+
+    write_text_file(spark, join_uri(path, _DELTA_META), json.dumps(meta))
+
+
+def _unfolded_delta_dirs(
+    spark: SparkSession, path: str, meta: dict
+) -> list[tuple[str, int, str]]:
+    """(scope, batch_no, dir) for every delta beyond the folded
+    watermark — a driver-side listing of scopes x batches (days of
+    micro-batches between compactions, never data-sized)."""
+    from ..sources.fs import join_uri, list_dir_names
+
+    droot = join_uri(path, _DELTAS_DIR)
+    out = []
+    for scope in list_dir_names(spark, droot):
+        w = int(meta.get("folded", {}).get(scope, -1))
+        for b in list_dir_names(spark, join_uri(droot, scope)):
+            if b.isdigit() and int(b) > w:
+                out.append((scope, int(b), join_uri(droot, scope, b)))
+    return out
+
+
+def _merge_parts(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    sum_cols = [c for c in df.columns if c.startswith("sum_")]
+    return df.groupBy("bucket_start", *keys, _DATE).agg(
+        F.sum("cnt").alias("cnt"),
+        *[F.sum(c).cast(_SUM_DECIMAL).alias(c) for c in sum_cols],
+    )
+
+
+def _read_delta_layout(spark: SparkSession, path: str) -> DataFrame:
+    from ..sources.fs import join_uri
+
+    meta = _read_rollup_meta(spark, path)
+    keys = meta["keys"]
+    parts: list[DataFrame] = []
+    if meta.get("base"):
+        parts.append(spark.read.parquet(join_uri(path, meta["base"])))
+    for _, _, d in _unfolded_delta_dirs(spark, path, meta):
+        parts.append(spark.read.parquet(d))
+    if not parts:
+        raise ValueError(f"rollup delta store at {path} holds no data yet")
+    return _merge_parts(parts, keys).drop(_DATE)
+
+
+def write_rollup_delta(
+    batch_df: DataFrame,
+    path: str,
+    ts_col: str,
+    keys: list[str],
+    value_cols: list[str],
+    scope: str,
+    batch_no: int,
+    bucket: str = "1 hour",
+) -> None:
+    """Fold one micro-batch into the delta-snapshot store by writing
+    its partial aggregate to the batch's OWN directory (overwrite) —
+    cost ∝ batch, and a replay of the same (scope, batch_no) rewrites
+    the identical delta instead of double-adding. Seeds the pointer
+    file on first use."""
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    spark = batch_df.sparkSession
+    if not hadoop_path_exists(spark, join_uri(path, _DELTA_META)):
+        _write_rollup_meta(
+            spark,
+            path,
+            {
+                "version": 0,
+                "base": None,
+                "folded": {},
+                "keys": list(keys),
+                "sum_cols": [f"sum_{c}" for c in value_cols],
+            },
+        )
+    partial = rollup_aggregate(batch_df, ts_col, keys, value_cols, bucket)
+    partial = partial.withColumn(_DATE, F.to_date("bucket_start").cast("string"))
+    partial.write.partitionBy(_DATE).mode("overwrite").parquet(
+        join_uri(path, _DELTAS_DIR, scope, str(int(batch_no)))
+    )
+
+
+def compact_rollup(spark: SparkSession, path: str) -> None:
+    """Fold every unfolded delta into a new immutable base snapshot and
+    advance the pointer. The pointer write is the single commit point:
+    a crash before it leaves the previous (consistent) view plus
+    orphan dirs; after it, the folded deltas and the previous base are
+    removed best-effort (failures leave garbage, never wrong counts —
+    the pointer's watermarks already exclude folded deltas from
+    reads). Run between batches (single-writer contract)."""
+    from ..sources.fs import delete_path, join_uri
+
+    meta = _read_rollup_meta(spark, path)
+    deltas = _unfolded_delta_dirs(spark, path, meta)
+    if not deltas:
+        return
+    parts: list[DataFrame] = []
+    old_base = meta.get("base")
+    if old_base:
+        parts.append(spark.read.parquet(join_uri(path, old_base)))
+    parts.extend(spark.read.parquet(d) for _, _, d in deltas)
+    merged = _merge_parts(parts, meta["keys"])
+    new_base = f"base_v{int(meta['version']) + 1}"
+    merged.write.partitionBy(_DATE).mode("overwrite").parquet(
+        join_uri(path, new_base)
+    )
+    folded = dict(meta.get("folded", {}))
+    for scope, b, _ in deltas:
+        folded[scope] = max(int(folded.get(scope, -1)), b)
+    _write_rollup_meta(
+        spark,
+        path,
+        {**meta, "version": int(meta["version"]) + 1, "base": new_base,
+         "folded": folded},
+    )
+    # past the commit point: everything below is reclaimable garbage
+    for _, _, d in deltas:
+        delete_path(spark, d)
+    if old_base:
+        delete_path(spark, join_uri(path, old_base))

@@ -22,6 +22,7 @@ __all__ = [
     "rename_path",
     "delete_path",
     "make_dirs",
+    "list_dir_names",
 ]
 
 
@@ -68,6 +69,16 @@ def make_dirs(spark: SparkSession, path: str) -> bool:
     Hadoop's rename, unlike its create, does not make parents."""
     fs, hpath = _fs_and_path(spark, path)
     return bool(fs.mkdirs(hpath))
+
+
+def list_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry NAMES of a directory (empty when it doesn't exist) —
+    driver-side store-maintenance listing through the Hadoop FS, so the
+    same code walks local dirs and object-store prefixes."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
 
 
 def write_text_file(spark: SparkSession, path: str, content: str) -> None:

@@ -686,31 +686,46 @@ def stream_rollup(
     value_cols: list[str],
     bucket: str = "1 hour",
     checkpoint_dir: str | None = None,
+    compact_every: int | None = 32,
 ) -> DataStreamWriter:
-    """Continuously-maintained materialized rollup: every micro-batch
-    folds into the date-partitioned continuous-aggregate store via
-    ``refresh_rollup`` — the additive-DECIMAL merge makes replayed or
-    reordered micro-batches converge to the same store a batch
-    recompute would build, per-batch cost stays ∝ batch + its affected
-    date partitions, and readers (``read_rollup``) see means derived
-    from exact sums at any point. foreachBatch serializes refreshes,
-    so one stream owns a store (same single-writer contract as the
-    dedup stores). Caller starts the returned writer.
+    """Continuously-maintained materialized rollup over the
+    DELTA-SNAPSHOT store (``write_rollup_delta``/``compact_rollup``):
+    every micro-batch writes its partial aggregate to its OWN
+    (query-scope, batch) delta directory — cost ∝ batch — and readers
+    (``read_rollup``) see base snapshot + unfolded deltas
+    re-aggregated, means derived from exact DECIMAL sums at any point.
 
-    Note the replay caveat additive state inherits: an at-least-once
-    replay of a COMMITTED batch would double-count — use the stream's
-    ``checkpoint_dir`` so micro-batches are exactly-once per offset
-    range (Structured Streaming's contract for deterministic sources
-    with idempotent-by-offset sinks; a crash BETWEEN emit and commit
-    replays the same offsets into the same refresh, which is why the
-    refresh must be the only writer).
+    REPLAY SAFETY is structural here, not a caveat: a crash-replayed
+    micro-batch OVERWRITES the same delta directory instead of
+    re-adding into shared state (idempotent by path — additive stores
+    can't use the exclusion protocol the dedup stores use, because a
+    replay must replace its contribution, not hide it). Every
+    ``compact_every`` batches the deltas fold into a new immutable
+    base snapshot behind an atomic pointer write, bounding the
+    read-side merge fan-in. foreachBatch serializes writes, so one
+    stream owns a store (single-writer contract); caller starts the
+    returned writer.
     """
-    from ..operators.rollup import refresh_rollup
+    from ..operators.rollup import compact_rollup, write_rollup_delta
+
+    stamper = _BatchStamper(checkpoint_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        refresh_rollup(batch_df, path, ts_col, keys, value_cols, bucket)
+        spark = batch_df.sparkSession
+        write_rollup_delta(
+            batch_df,
+            path,
+            ts_col,
+            keys,
+            value_cols,
+            scope=stamper._resolve(spark),
+            batch_no=batch_id,
+            bucket=bucket,
+        )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_rollup(spark, path)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

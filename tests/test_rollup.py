@@ -123,3 +123,87 @@ def test_stream_rollup_converges_to_batch_recompute(spark, tmp_path):
         "bucket_start", "event_type", "cnt", "sum_value")
     full = rollup_aggregate(ev, "ts", ["event_type"], ["value"])
     assert _norm(merged) == _norm(full)
+
+
+def test_stream_rollup_crash_replay_does_not_double_count(spark, tmp_path):
+    """The delta-snapshot layout's structural idempotency: a replayed
+    micro-batch OVERWRITES its own delta dir, so counts after the
+    replay equal the single-run counts exactly (the additive-refresh
+    layout would have re-added them)."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_rollup
+
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    path = "file://" + str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    ev.write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_rollup(stream, path, "ts", ["event_type"], ["value"],
+                          checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    first = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+    # crash window: delta written, checkpoint commit lost -> replay
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    again = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+    assert again == first
+    assert _norm(rollup_aggregate(ev, "ts", ["event_type"], ["value"])) == again
+
+
+def test_compact_rollup_folds_deltas_behind_pointer(spark, tmp_path):
+    """Compaction folds unfolded deltas into a new immutable base and
+    advances the pointer: reads identical before/after, folded delta
+    dirs reclaimed, idempotent when nothing is unfolded."""
+    import json
+
+    from gluestick_ts_spark.operators.rollup import (
+        compact_rollup,
+        write_rollup_delta,
+    )
+    from gluestick_ts_spark.sources.fs import list_dir_names, read_text_file
+
+    ev = _events(spark)
+    path = "file://" + str(tmp_path / "dstore")
+    for b in (0, 1, 2):
+        write_rollup_delta(
+            ev.where(F.col("event_id") % 3 == b), path,
+            "ts", ["event_type"], ["value"], scope="q1", batch_no=b)
+    before = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+    assert _norm(rollup_aggregate(ev, "ts", ["event_type"], ["value"])) == before
+
+    compact_rollup(spark, path)
+    meta = json.loads(read_text_file(spark, path + "/rollup_meta.json"))
+    assert meta["base"] == "base_v1" and meta["folded"] == {"q1": 2}
+    assert list_dir_names(spark, path + "/deltas/q1") == []
+    after = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+    assert after == before
+    compact_rollup(spark, path)  # no unfolded deltas: no-op
+    assert json.loads(read_text_file(spark, path + "/rollup_meta.json"))[
+        "version"] == 1
+
+    # post-compaction deltas keep merging at read and replay-overwrite
+    # stays idempotent against the new base
+    write_rollup_delta(ev.limit(50), path, "ts", ["event_type"], ["value"],
+                       scope="q1", batch_no=3)
+    write_rollup_delta(ev.limit(50), path, "ts", ["event_type"], ["value"],
+                       scope="q1", batch_no=3)  # replay overwrite
+    plus = read_rollup(spark, path).agg(F.sum("cnt").alias("s")).first().s
+    assert plus == ev.count() + 50
