@@ -85,7 +85,7 @@ from .operators.ml import (
     logreg_score_expr,
     train_logreg,
 )
-from .operators.profile import corpus_profile, unigram_logprob_scores
+from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
 from .operators.rollup import (
     compact_rollup,
     read_rollup,
@@ -191,6 +191,7 @@ __all__ = [
     "funnel_depth_per_user",
     "distill_quality_classifier",
     "distilled_score_expr",
+    "bigram_pmi",
     "corpus_profile",
     "logreg_score_expr",
     "train_logreg",

@@ -25,10 +25,11 @@ from ..functions.text import (
     gopher_quality_flags,
     lang_id_expr,
     quality_score_expr,
+    tokens_expr,
     word_count_expr,
 )
 
-__all__ = ["corpus_profile", "unigram_logprob_scores"]
+__all__ = ["corpus_profile", "unigram_logprob_scores", "bigram_pmi"]
 
 
 def corpus_profile(
@@ -151,4 +152,81 @@ def unigram_logprob_scores(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Collocation mining: top-``top_n`` adjacent-token bigrams by
+    pointwise mutual information (Church & Hanks 1990),
+
+        PMI(a,b) = ln( (c_ab / N_bigrams) / ((c_a / N_toks)(c_b / N_toks)) )
+
+    with ``c_ab >= min_count`` (PMI is notoriously noisy on rare
+    pairs). Output ``(bigram, cnt, pmi)`` ordered by (pmi DESC, bigram
+    ASC); ``pmi`` is ROUND(..., 6) so the DuckDB oracle hash-matches
+    the double math.
+
+    Scale shape: bigrams are built IN-ROW (one zip over the token
+    array — the corpus explodes once per grain, never a self-join);
+    unigram and bigram counts are map-side-combined aggregates on
+    token keys; the ``HAVING min_count`` subset joins the (much
+    smaller) unigram-count relation on short keys; the two corpus-wide
+    totals ride a 1-row broadcast; top-N is TakeOrderedAndProject (no
+    global sort materialization). No reference counterpart (extension
+    op — corpus text analysis family).
+    """
+    toks = F.filter(tokens_expr(text_col), lambda t: t != "")
+    base = df.select(toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    m = F.size("__t")
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.struct(
+            F.element_at("__t", i).alias("a"),
+            F.element_at("__t", i + 1).alias("b"),
+        ),
+    )
+    bi = (
+        base.where(m >= 2)
+        .select(F.explode(bi_arr).alias("__bi"))
+        .select(F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= int(min_count))
+    )
+    totals = base.select(
+        F.sum(m).alias("nt"), F.sum(F.greatest(m - 1, F.lit(0))).alias("nb")
+    )
+    joined = (
+        bi.join(uni.select(F.col("tok").alias("a"), F.col("c1").alias("ca")), on="a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c1").alias("cb")), on="b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("nb"))
+            / (
+                (F.col("ca").cast("double") / F.col("nt"))
+                * (F.col("cb").cast("double") / F.col("nt"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cab").cast("long").alias("cnt"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(int(top_n))
     )

