@@ -85,6 +85,12 @@ from .operators.ml import (
     logreg_score_expr,
     train_logreg,
 )
+from .operators.bpe import (
+    bpe_encode_expr,
+    bpe_pair_stats,
+    train_bpe,
+    word_freqs,
+)
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
 from .operators.rollup import (
     compact_rollup,
@@ -192,6 +198,10 @@ __all__ = [
     "distill_quality_classifier",
     "distilled_score_expr",
     "bigram_pmi",
+    "bpe_encode_expr",
+    "bpe_pair_stats",
+    "train_bpe",
+    "word_freqs",
     "corpus_profile",
     "logreg_score_expr",
     "train_logreg",

@@ -1228,7 +1228,15 @@ def q_chunk_tokens_docs(spark, sf):
     spans at seq_len=128 (``pack_token_windows``: one offset-window
     cumsum + in-row span math — documents cross pack boundaries, so no
     context slot wastes padding). Both algebras replicated exactly in
-    the DuckDB oracle, including the window cumsum."""
+    the DuckDB oracle, including the window cumsum. The ``bpepairs``
+    part is BPE tokenizer training's first iteration, driver-visible:
+    the top-50 adjacent character-pair counts over the corpus's
+    distinct-word frequency table (operators/bpe.py bpe_pair_stats —
+    the argmax of this relation IS the first learned merge; the full
+    iterative trainer is pytest-gated against a pure-Python reference
+    implementation in test_bpe.py, since n driver-chosen argmaxes
+    can't be one SQL statement)."""
+    from ..operators.bpe import END_OF_WORD, bpe_pair_stats, word_freqs
     from ..operators.packing import pack_token_windows
 
     d = _t(spark, sf, "documents")
@@ -1252,7 +1260,28 @@ def q_chunk_tokens_docs(spark, sf):
         "tok_start",
         "pack_pos",
     )
-    return chunks.unionByName(spans)
+    syms = word_freqs(d).select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("symbols"),
+        "cnt",
+    )
+    bpepairs = (
+        bpe_pair_stats(syms)
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+        .select(
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit("bpepairs").alias("part"),
+            F.lit(None).cast("int").alias("chunk_idx"),
+            F.concat_ws("\x01", "a", "b").alias("chunk_text"),
+            F.col("cnt").alias("n_tokens"),
+            F.lit(None).cast("long").alias("pack_id"),
+            F.lit(None).cast("long").alias("tok_start"),
+            F.lit(None).cast("long").alias("pack_pos"),
+        )
+    )
+    return chunks.unionByName(spans).unionByName(bpepairs)
 
 
 def q_ivf_train_centroids(spark, sf):
@@ -3011,7 +3040,23 @@ ORACLES: dict[str, str] = {
         "CAST(pack_id AS BIGINT) AS pack_id, "
         "CAST(greatest(st, pack_id * 128) - st + 1 AS BIGINT) AS tok_start, "
         "CAST(greatest(st, pack_id * 128) - pack_id * 128 AS BIGINT) AS pack_pos "
-        "FROM sp"
+        "FROM sp "
+        "UNION ALL "
+        # BPE iteration 1: word-frequency-weighted adjacent char-pair
+        # counts (mirrors operators/bpe.py word_freqs + bpe_pair_stats)
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, 'bpepairs' AS part, "
+        "CAST(NULL AS INT) AS chunk_idx, "
+        "concat_ws(chr(1), a, b) AS chunk_text, cnt AS n_tokens, "
+        "CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS tok_start, "
+        "CAST(NULL AS BIGINT) AS pack_pos FROM ("
+        "SELECT S[i] AS a, S[i+1] AS b, CAST(SUM(c) AS BIGINT) AS cnt FROM ("
+        "SELECT list_concat(string_split(w, ''), ['</w>']) AS S, c FROM ("
+        "SELECT tok AS w, COUNT(*) AS c FROM ("
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) "
+        "AS tok FROM documents) u WHERE tok <> '' GROUP BY tok) wf) sy, "
+        "UNNEST(range(1, len(S))) AS g(i) "
+        "GROUP BY S[i], S[i+1] "
+        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 50) bp"
     ),
     "approx_distinct_users": (
         "WITH sc AS (SELECT lang, "
