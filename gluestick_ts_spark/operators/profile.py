@@ -49,7 +49,16 @@ def corpus_profile(
       the within-group exact-duplication mass a dedup pass would drop;
     - ``lang_match_rate`` (only when ``lang_col`` is present) —
       fraction whose recorded language equals the n-gram language-ID
-      prediction (4 dp).
+      prediction (4 dp);
+    - ``median_tokens`` / ``p95_tokens`` — EXACT linear-interpolated
+      token-length quantiles (4 dp). Exact group quantiles hold the
+      group's values in the aggregation buffer, which is fine for
+      dataset-card group counts (sources × languages) but NOT for
+      high-cardinality groupings — at that point read
+      ``p_approx_within_5pct`` instead: it records whether the
+      mergeable ``approx_percentile`` sketch (the 100 TB path) landed
+      within 5% of the exact P95, so the monitoring signal and its
+      error budget are both in the row.
 
     ``group_cols`` defaults to ``["source", "lang"]`` filtered to the
     columns actually present; pass ``[]`` for a whole-corpus row.
@@ -87,6 +96,22 @@ def corpus_profile(
         F.round(
             1.0 - F.count_distinct(F.col("__fp")) / F.count("*"), 4
         ).alias("exact_dup_rate"),
+        F.round(F.percentile("__tok", F.lit(0.5)), 4).alias("median_tokens"),
+        F.round(F.percentile("__tok", F.lit(0.95)), 4).alias("p95_tokens"),
+        # within_bound pattern (see approx_distinct_users): the raw
+        # sketch value is engine-specific, the BOOLEAN is deterministic.
+        # The sketch is compared against the exact DISCRETE quantile —
+        # approx_percentile approximates percentile_disc, and holding
+        # it to the continuous (interpolated) value would fail small
+        # groups on the definition gap, not on sketch error.
+        (
+            F.abs(
+                F.approx_percentile("__tok", F.lit(0.95))
+                - F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY __tok)")
+            )
+            <= 0.05
+            * F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY __tok)")
+        ).alias("p_approx_within_5pct"),
     ]
     if "__lm" in pre.columns:
         aggs.append(F.round(F.avg("__lm"), 4).alias("lang_match_rate"))

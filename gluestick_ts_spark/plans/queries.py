@@ -2892,6 +2892,9 @@ ORACLES: dict[str, str] = {
         "ROUND(AVG(CAST(gp AS DOUBLE)), 4) AS gopher_pass_rate, "
         "ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) "
         "AS exact_dup_rate, "
+        "ROUND(quantile_cont(tok, 0.5), 4) AS median_tokens, "
+        "ROUND(quantile_cont(tok, 0.95), 4) AS p95_tokens, "
+        "TRUE AS p_approx_within_5pct, "
         "ROUND(AVG(CAST(CASE WHEN lang = pred THEN 1 ELSE 0 END AS DOUBLE)), 4) "
         "AS lang_match_rate "
         "FROM p GROUP BY source, lang ORDER BY source, lang"
