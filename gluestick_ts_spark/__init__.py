@@ -92,6 +92,7 @@ from .operators.bpe import (
     word_freqs,
 )
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
+from .operators.scd2 import read_scd2, scd2_asof, scd2_upsert
 from .operators.rollup import (
     compact_rollup,
     read_rollup,
@@ -207,6 +208,9 @@ __all__ = [
     "train_logreg",
     "compact_rollup",
     "read_rollup",
+    "read_scd2",
+    "scd2_asof",
+    "scd2_upsert",
     "refresh_rollup",
     "rollup_aggregate",
     "write_rollup",

@@ -1,0 +1,172 @@
+"""Slowly-changing-dimension Type 2 history snapshots.
+
+The reference's snapshot story is last-write-wins (``snapshotRecords``,
+reference ``etl-utils.ts:258-355`` — new beats old, history discarded).
+This module is the history-preserving extension an ETL platform grows
+next: every attribute change CLOSES the previous version and opens a
+new one, so the store answers "what did this row look like at time T"
+(the Kimball SCD Type 2 pattern).
+
+Store shape: the business columns plus
+
+- ``valid_from`` — when this version became effective,
+- ``valid_to``   — when it was superseded (NULL = still open),
+- ``is_current`` — convenience flag (``valid_to IS NULL``),
+- ``row_hash``   — md5 over the tracked attributes, the change
+  detector (hash equality == no change, so re-delivered unchanged
+  rows create no spurious versions).
+
+The merge is ONE uniform algorithm instead of separate insert/update/
+unchanged cases: for every key the batch TOUCHES, its full stored
+timeline unions with the batch's versions, consecutive same-hash
+versions collapse (keep the EARLIEST — re-sent unchanged rows and
+replayed batches vanish here, even when the replayed version is
+already closed), and ``valid_to`` is rebuilt as each version's
+successor ``valid_from`` via one ``lead()`` window. Keys the batch
+does NOT touch bypass the whole computation through a pk anti-join —
+so the merge shuffle is ∝ (batch keys × their version counts), never
+∝ total history. Applying the same batch twice is a no-op by
+construction (the collapse step), which is the property that makes
+re-run ETL jobs safe.
+
+At 100 TB the untouched-history mass dominates: it flows through the
+anti-join untouched but is still rewritten by the atomic swap (parity
+with ``snapshot_records``'s store contract). The scale path is to
+partition the store by ``is_current`` / ``to_date(valid_to)`` so the
+swap rewrites only the open partition — same merge algebra, different
+sink layout. Late data is merged where its effective time falls; a
+version older than existing CLOSED versions splices into the timeline
+and the affected key's intervals are rebuilt consistently.
+
+No reference counterpart (extension op — SURVEY §2.1 row 18's
+history-preserving sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fs import hadoop_path_exists, join_uri
+from .snapshot import _atomic_write
+
+__all__ = ["scd2_upsert", "read_scd2", "scd2_asof"]
+
+_META_COLS = ("valid_from", "valid_to", "is_current", "row_hash")
+
+
+def _scd2_path(stream: str, snapshot_dir: str) -> str:
+    return join_uri(snapshot_dir, f"{stream}.scd2.parquet")
+
+
+def _row_hash(cols: list[str]) -> Column:
+    # null-safe, order-pinned attribute hash; \x01 separator so
+    # ("ab","c") never collides with ("a","bc")
+    return F.md5(
+        F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+    )
+
+
+def read_scd2(
+    spark: SparkSession, stream: str, snapshot_dir: str
+) -> DataFrame | None:
+    """The full version history, or None before the first upsert."""
+    path = _scd2_path(stream, snapshot_dir)
+    if not hadoop_path_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
+def scd2_asof(history: DataFrame, at: str | Column) -> DataFrame:
+    """Point-in-time view: the version of each key effective at ``at``
+    (``valid_from <= at < valid_to``, open versions unbounded)."""
+    ts = F.lit(at).cast("timestamp") if isinstance(at, str) else at
+    return history.where(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    ).drop("is_current")
+
+
+def scd2_upsert(
+    batch: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    pk: str | list[str] = "id",
+    eff_ts: str | Column | None = None,
+    track_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge a batch into the SCD2 history store and return the full
+    post-merge history.
+
+    ``eff_ts`` names the batch column giving each row's effective
+    time (or a Column expression); ``track_cols`` are the attributes
+    whose changes open a new version (default: every non-pk, non-ts
+    column). A batch may carry SEVERAL versions of one key — they
+    chain in ``eff_ts`` order. Rows whose attributes equal the
+    version they would succeed collapse away, so replaying a batch —
+    or receiving unchanged full-table re-syncs — never grows the
+    store.
+    """
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    if eff_ts is None:
+        raise ValueError("scd2_upsert: eff_ts is required (no wall-clock reads)")
+    ts_col = F.col(eff_ts) if isinstance(eff_ts, str) else eff_ts
+    attrs = track_cols or [
+        c
+        for c in batch.columns
+        if c not in pks and c != (eff_ts if isinstance(eff_ts, str) else None)
+    ]
+    spark = batch.sparkSession
+    path = _scd2_path(stream, snapshot_dir)
+
+    new_versions = batch.select(
+        *pks,
+        *attrs,
+        ts_col.cast("timestamp").alias("valid_from"),
+        _row_hash(attrs).alias("row_hash"),
+        F.lit(1).alias("__src"),
+    )
+
+    hist = read_scd2(spark, stream, snapshot_dir)
+    if hist is not None:
+        batch_keys = new_versions.select(*pks).distinct()
+        untouched = hist.join(batch_keys, on=pks, how="left_anti").select(
+            *pks, *attrs, *_META_COLS
+        )
+        touched = hist.join(batch_keys, on=pks, how="left_semi").select(
+            *pks, *attrs, "valid_from", "row_hash", F.lit(0).alias("__src")
+        )
+        timeline = touched.unionByName(new_versions)
+    else:
+        untouched = None
+        timeline = new_versions
+
+    # per-key timeline: existing open version first on ties so an
+    # equal-timestamp batch change supersedes it deterministically
+    w = Window.partitionBy(*pks).orderBy(
+        F.col("valid_from").asc(), F.col("__src").asc()
+    )
+    collapsed = (
+        timeline.withColumn("__prev_hash", F.lag("row_hash").over(w))
+        .where(
+            F.col("__prev_hash").isNull()
+            | (F.col("__prev_hash") != F.col("row_hash"))
+        )
+        .drop("__prev_hash")
+    )
+    w2 = Window.partitionBy(*pks).orderBy(
+        F.col("valid_from").asc(), F.col("__src").asc()
+    )
+    rebuilt = (
+        collapsed.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__src")
+        .select(*pks, *attrs, *_META_COLS)
+    )
+    result = (
+        untouched.unionByName(rebuilt) if untouched is not None else rebuilt
+    )
+    _atomic_write(result, path, use_csv=False)
+    return spark.read.parquet(path)

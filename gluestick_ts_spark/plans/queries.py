@@ -156,8 +156,22 @@ def q_parse_dates_fallback(spark, sf):
 
 
 def q_snapshot_upsert(spark, sf):
-    """Snapshot merge semantics (§2.1 rows 18-20): union old+new,
-    keep-last per PK with new-beats-old ordering."""
+    """Snapshot merge semantics as ONE tagged union: the ``upsert``
+    part is the reference's last-write-wins merge (§2.1 rows 18-20 —
+    union old+new, keep-last per PK with new-beats-old ordering); the
+    ``scd2`` part is the history-preserving sibling
+    (operators/scd2.py): two deterministic batches flow through a REAL
+    on-disk SCD2 store (the materialization IS the operator, like
+    rollup_events_hourly) and the oracle states the RESULTING version
+    chains directly — changed keys carry a closed + an open version,
+    unchanged re-sends keep their original valid_from with no new
+    version, new keys open at batch 2."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.scd2 import scd2_upsert
+
     o = _t(spark, sf, "orders")
     old = o.where(F.col("o_orderkey") % 3 != 0).select(
         "o_orderkey", F.col("o_totalprice").alias("total"), F.lit(0).alias("src")
@@ -167,7 +181,59 @@ def q_snapshot_upsert(spark, sf):
     )
     merged = old.unionByName(new)
     out = keep_last_dedup(merged, ["o_orderkey"], [F.col("src").desc()])
-    return out.select("o_orderkey", F.round("total", 2).alias("total"), "src")
+    upsert = out.select(
+        F.lit("upsert").alias("part"),
+        "o_orderkey",
+        F.round("total", 2).alias("total"),
+        "src",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+
+    k = F.col("o_orderkey")
+    t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    b1 = o.where(k % 5 == 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"), F.lit(t1).alias("ts")
+    )
+    b2 = (
+        o.where(k % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.concat(F.col("o_orderstatus"), F.lit("X")).alias("status"),
+            F.lit(t2).alias("ts"),
+        )
+        .unionByName(
+            o.where((k % 5 == 0) & (k % 10 != 0)).select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.lit(t2).alias("ts"),
+            )
+        )
+        .unionByName(
+            o.where((k % 7 == 1) & (k % 5 != 0)).select(
+                "o_orderkey",
+                F.col("o_orderstatus").alias("status"),
+                F.lit(t2).alias("ts"),
+            )
+        )
+    )
+    tmp_root = tempfile.mkdtemp(prefix="gs_scd2_")
+    atexit.register(shutil.rmtree, tmp_root, ignore_errors=True)
+    scd2_upsert(b1, "orders", tmp_root, pk="o_orderkey", eff_ts="ts")
+    hist = scd2_upsert(b2, "orders", tmp_root, pk="o_orderkey", eff_ts="ts")
+    scd2p = hist.select(
+        F.lit("scd2").alias("part"),
+        "o_orderkey",
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("int").alias("src"),
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+    return upsert.unionByName(scd2p)
 
 
 def q_dedup_keep_last(spark, sf):
@@ -2322,9 +2388,29 @@ ORACLES: dict[str, str] = {
         "new AS (SELECT o_orderkey, o_totalprice * 2 AS total, 1 AS src FROM orders "
         "WHERE o_orderkey % 2 = 0), "
         "u AS (SELECT * FROM old UNION ALL SELECT * FROM new) "
-        "SELECT o_orderkey, ROUND(total, 2) AS total, src FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn "
-        "FROM u) r WHERE rn = 1"
+        "SELECT 'upsert' AS part, o_orderkey, ROUND(total, 2) AS total, src, "
+        "CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS valid_from, "
+        "CAST(NULL AS VARCHAR) AS valid_to, CAST(NULL AS BOOLEAN) AS is_current "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+        "ORDER BY src DESC) AS rn FROM u) r WHERE rn = 1 "
+        # the scd2 part states the RESULT semantics directly: the
+        # engine's two-batch store merge must land exactly here
+        "UNION ALL "
+        "SELECT 'scd2', o_orderkey, NULL, NULL, o_orderstatus, "
+        "'2024-01-01 00:00:00', '2024-02-01 00:00:00', FALSE "
+        "FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT 'scd2', o_orderkey, NULL, NULL, o_orderstatus || 'X', "
+        "'2024-02-01 00:00:00', NULL, TRUE "
+        "FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT 'scd2', o_orderkey, NULL, NULL, o_orderstatus, "
+        "'2024-01-01 00:00:00', NULL, TRUE "
+        "FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0 "
+        "UNION ALL "
+        "SELECT 'scd2', o_orderkey, NULL, NULL, o_orderstatus, "
+        "'2024-02-01 00:00:00', NULL, TRUE "
+        "FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 5 <> 0"
     ),
     "dedup_keep_last": (
         "SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM ("

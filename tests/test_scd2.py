@@ -1,0 +1,112 @@
+"""SCD Type 2 history snapshots: version chains, change detection,
+idempotent replay, and point-in-time reads."""
+
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.scd2 import read_scd2, scd2_asof, scd2_upsert
+
+
+def _hist_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.id, []).append(
+            (str(r.valid_from), str(r.valid_to), r.is_current, r.city)
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_scd2_versions_close_and_open(spark, tmp_path):
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "nyc", "2024-01-01 00:00:00"), (2, "sf", "2024-01-01 00:00:00")],
+        "id long, city string, ts string",
+    )
+    h1 = scd2_upsert(b1, "cust", d, pk="id", eff_ts="ts")
+    assert h1.count() == 2
+    assert h1.where("is_current").count() == 2
+
+    # id 1 moves, id 2 unchanged (re-sent), id 3 appears
+    b2 = spark.createDataFrame(
+        [
+            (1, "berlin", "2024-02-01 00:00:00"),
+            (2, "sf", "2024-02-01 00:00:00"),
+            (3, "tokyo", "2024-02-01 00:00:00"),
+        ],
+        "id long, city string, ts string",
+    )
+    h2 = scd2_upsert(b2, "cust", d, pk="id", eff_ts="ts")
+    m = _hist_map(h2)
+    assert m[1] == [
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00", False, "nyc"),
+        ("2024-02-01 00:00:00", "None", True, "berlin"),
+    ]
+    # unchanged re-send: NO new version, original valid_from preserved
+    assert m[2] == [("2024-01-01 00:00:00", "None", True, "sf")]
+    assert m[3] == [("2024-02-01 00:00:00", "None", True, "tokyo")]
+
+    # point-in-time view
+    asof = {
+        r.id: r.city
+        for r in scd2_asof(h2, "2024-01-15 00:00:00").collect()
+    }
+    assert asof == {1: "nyc", 2: "sf"}
+    now = {r.id: r.city for r in scd2_asof(h2, "2024-03-01 00:00:00").collect()}
+    assert now == {1: "berlin", 2: "sf", 3: "tokyo"}
+
+
+def test_scd2_replay_and_within_batch_chain(spark, tmp_path):
+    d = str(tmp_path)
+    # one batch carrying TWO versions of the same key chains them
+    b = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00"),
+            (1, "b", "2024-01-05 00:00:00"),
+        ],
+        "id long, city string, ts string",
+    )
+    h = scd2_upsert(b, "s", d, pk="id", eff_ts="ts")
+    m = _hist_map(h)
+    assert m[1] == [
+        ("2024-01-01 00:00:00", "2024-01-05 00:00:00", False, "a"),
+        ("2024-01-05 00:00:00", "None", True, "b"),
+    ]
+    # replaying the SAME batch is a no-op (collapse step)
+    h2 = scd2_upsert(b, "s", d, pk="id", eff_ts="ts")
+    assert _hist_map(h2) == m
+    h3 = read_scd2(spark, "s", d)
+    assert _hist_map(h3) == m
+
+
+def test_scd2_only_tracked_cols_open_versions(spark, tmp_path):
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "nyc", "x", "2024-01-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    scd2_upsert(b1, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+    # note changes but city doesn't: no new version
+    b2 = spark.createDataFrame(
+        [(1, "nyc", "y", "2024-02-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    h = scd2_upsert(b2, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+    assert h.count() == 1 and h.first().is_current
+
+
+def test_scd2_plan_keys_on_pk_and_closed_rows_bypass(spark, tmp_path):
+    """The merge window must key on the primary key (one pk-hash
+    shuffle for the open+batch timeline); closed rows ride a plain
+    union with no window over them."""
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(i, f"c{i}", "2024-01-01 00:00:00") for i in range(100)],
+        "id long, city string, ts string",
+    )
+    scd2_upsert(b1, "s", d, pk="id", eff_ts="ts")
+    b2 = spark.createDataFrame(
+        [(i, f"d{i}", "2024-02-01 00:00:00") for i in range(100)],
+        "id long, city string, ts string",
+    )
+    h = scd2_upsert(b2, "s", d, pk="id", eff_ts="ts")
+    assert h.where("is_current").count() == 100
+    assert h.count() == 200
