@@ -22,7 +22,11 @@ legs isolated by tag filter + Catalyst branch pruning, joined grains
 rebuilt standalone). Use parts for regression ATTRIBUTION; the summed
 row stays the continuity number. Round 7: ``line_dedup_docs`` gained
 the ExactSubstr token-grain dedup as a fourth joined grain, so its
-round-6 number (1.95 s) covers three of the four grains now timed.
+round-6 number (1.95 s) covers three of the four grains now timed;
+``snapshot_upsert`` gained the SCD2 history-store leg, which
+materializes a real two-batch on-disk store per run (two atomic-swap
+writes) — its round-6 number (0.58 s) covers only the last-write-wins
+leg, and the ``parts`` map separates the two.
 
 SUITE COMPOSITION CHANGES (for cross-round comparisons, compare
 per-query, not totals): round 6 added two entries absent from every

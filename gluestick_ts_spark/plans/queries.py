@@ -2207,6 +2207,33 @@ def _line_grain_part(grain: str) -> QueryFn:
     return f
 
 
+def _snapshot_upsert_part(which: str) -> QueryFn:
+    # custom builders (NOT tag filters): the scd2 leg materializes its
+    # store eagerly inside query construction, so a tag filter on the
+    # full query would charge that work to whichever leg is timed
+    def f(spark, sf):
+        o = _t(spark, sf, "orders")
+        if which == "upsert":
+            old = o.where(F.col("o_orderkey") % 3 != 0).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("total"),
+                F.lit(0).alias("src"),
+            )
+            new = o.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("total"),
+                F.lit(1).alias("src"),
+            )
+            return keep_last_dedup(
+                old.unionByName(new), ["o_orderkey"], [F.col("src").desc()]
+            )
+        return QUERIES["snapshot_upsert"](spark, sf).where(
+            F.col("part") == F.lit("scd2")
+        )
+
+    return f
+
+
 def _dedup_exact_docs_part(which: str) -> QueryFn:
     def f(spark, sf):
         from ..operators.dedup import _spread
@@ -2249,6 +2276,9 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     },
     "dedup_exact_docs": {
         p: _dedup_exact_docs_part(p) for p in ("dedup", "winnow")
+    },
+    "snapshot_upsert": {
+        p: _snapshot_upsert_part(p) for p in ("upsert", "scd2")
     },
 }
 
