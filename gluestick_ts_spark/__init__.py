@@ -91,6 +91,7 @@ from .operators.bpe import (
     train_bpe,
     word_freqs,
 )
+from .operators.frequent import heavy_hitters
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
 from .operators.scd2 import read_scd2, scd2_asof, scd2_upsert
 from .operators.rollup import (
@@ -199,6 +200,7 @@ __all__ = [
     "distill_quality_classifier",
     "distilled_score_expr",
     "bigram_pmi",
+    "heavy_hitters",
     "bpe_encode_expr",
     "bpe_pair_stats",
     "train_bpe",

@@ -1243,7 +1243,14 @@ def q_top_terms(spark, sf):
     The ``pmi`` part is collocation mining (operators/profile.py
     bigram_pmi — Church & Hanks PMI over in-row adjacent bigrams,
     min_count=5, top-50), with the full double-log algebra replicated
-    and 6-dp-rounded on both engines."""
+    and 6-dp-rounded on both engines. The ``heavy`` part is the EXACT
+    distributed heavy-hitters operator (operators/frequent.py — a
+    per-partition Misra-Gries candidate sweep whose superset guarantee
+    feeds an exact broadcast-filtered recount): tokens above 0.5% of
+    the corpus, hash-checked against DuckDB's plain GROUP BY/HAVING —
+    the sketch proposes, the recount disposes, so the answer is exact
+    and partitioning-independent."""
+    from ..operators.frequent import heavy_hitters
     from ..operators.profile import bigram_pmi, unigram_logprob_scores
 
     d = _t(spark, sf, "documents")
@@ -1283,7 +1290,22 @@ def q_top_terms(spark, sf):
         F.lit(None).cast("double").alias("mean_logprob"),
         "pmi",
     )
-    return terms.unionByName(lp).unionByName(pmi)
+    heavy = heavy_hitters(
+        d.select(F.explode(tokens_expr("text")).alias("tok")).where(
+            F.col("tok") != ""
+        ),
+        "tok",
+        threshold_frac=0.005,
+    ).select(
+        F.lit("heavy").alias("part"),
+        F.col("item").alias("token"),
+        "cnt",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("mean_logprob"),
+        F.lit(None).cast("double").alias("pmi"),
+    )
+    return terms.unionByName(lp).unionByName(pmi).unionByName(heavy)
 
 
 def q_chunk_tokens_docs(spark, sf):
@@ -3060,7 +3082,15 @@ ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'pmi' AS part, bigram AS token, cnt, "
         "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
-        "CAST(NULL AS DOUBLE) AS mean_logprob, pmi FROM pmis"
+        "CAST(NULL AS DOUBLE) AS mean_logprob, pmi FROM pmis "
+        "UNION ALL "
+        # exact heavy hitters: the engine's sketch+recount must land
+        # exactly on the plain GROUP BY ... HAVING answer
+        "SELECT 'heavy' AS part, tok AS token, COUNT(*) AS cnt, "
+        "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
+        "FROM toks GROUP BY tok "
+        "HAVING COUNT(*) > 0.005 * (SELECT COUNT(*) FROM toks)"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("
