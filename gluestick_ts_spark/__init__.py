@@ -21,10 +21,12 @@ from .functions.schema_drift import (
     schema_drift,
 )
 from .functions.sampling import (
+    domain_shares,
     hash_sample,
     hash_split,
     md5_bucket_expr,
     stratified_hash_sample_expr,
+    temperature_rates,
     weighted_domain_sample,
 )
 from .functions.templating import (
@@ -243,6 +245,8 @@ __all__ = [
     "schema_drift",
     "stratified_hash_sample_expr",
     "weighted_domain_sample",
+    "domain_shares",
+    "temperature_rates",
     "md5_bucket_expr",
     "iso8601_expr",
     "json_schema_to_struct_type",

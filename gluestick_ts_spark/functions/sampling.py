@@ -28,6 +28,8 @@ __all__ = [
     "hash_split",
     "weighted_domain_sample",
     "stratified_hash_sample_expr",
+    "domain_shares",
+    "temperature_rates",
 ]
 
 _HEX = "0123456789abcdef"
@@ -153,3 +155,55 @@ def hash_split(
         chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
     assigned = chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(names[-1])
     return df.withColumn(split_col, assigned)
+
+
+def domain_shares(df: DataFrame, domain_col: str) -> dict[str, float]:
+    """Observed domain mass shares ``{domain: fraction}`` — ONE
+    map-side-combined aggregate plus a domain-cardinality driver
+    collect (sources × languages, never data-sized). Feed to
+    ``temperature_rates``."""
+    rows = df.groupBy(domain_col).agg(F.count("*").alias("c")).collect()
+    total = sum(r.c for r in rows)
+    if total == 0:
+        return {}
+    return {r[domain_col]: r.c / total for r in rows}
+
+
+def temperature_rates(
+    shares: dict[str, float],
+    temperature: float = 2.0,
+    max_rate: float = 1.0,
+) -> dict[str, float]:
+    """Per-domain keep rates realizing TEMPERATURE-SCALED mixture
+    sampling (the mBERT/XLM-R multilingual recipe; Conneau et al.
+    2020 §3.1): the target mixture gives domain i probability
+
+        q_i = p_i^(1/T) / sum_j p_j^(1/T)
+
+    — T=1 keeps the natural mixture, larger T flattens it toward
+    uniform (upweighting rare domains without the pathologies of full
+    uniformity). Downsampling can only REMOVE mass, so the rates are
+    ``r_i ∝ q_i / p_i`` scaled so the largest equals ``max_rate``:
+    the kept corpus then has exactly the q mixture, maximally sized
+    under the constraint r_i <= max_rate. Compose with
+    ``weighted_domain_sample`` — the rates are plain numbers, so the
+    sampling itself stays map-only and deterministic:
+
+        rates = temperature_rates(domain_shares(df, "lang"), T=2)
+        mixed = weighted_domain_sample(df, "doc_id", "lang", rates)
+
+    Pure driver-side arithmetic; rate quantization (k/256) happens in
+    the sampler, like every sampler here.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not 0.0 < max_rate <= 1.0:
+        raise ValueError(f"max_rate must be in (0, 1], got {max_rate}")
+    pos = {d: p for d, p in shares.items() if p > 0}
+    if not pos:
+        return {}
+    alpha = 1.0 / float(temperature)
+    z = sum(p**alpha for p in pos.values())
+    raw = {d: (p**alpha / z) / p for d, p in pos.items()}
+    top = max(raw.values())
+    return {d: max_rate * r / top for d, r in raw.items()}

@@ -250,3 +250,60 @@ def test_winnow_shared_substring_guarantee(spark, left, mid, right) -> None:
     }
     assert fps[1] & fps[2], (doc_a, doc_b)
     assert fps[1] == fps[3], "fingerprints must be deterministic in the text"
+
+
+# --- SCD2 history invariants over random batch sequences ---------------
+
+_scd2_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # key
+            st.sampled_from(["a", "b", "c"]),               # attribute
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],                           # one row per key
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_scd2_batches)
+def test_scd2_history_invariants(spark, tmp_path_factory, batches):
+    """For ANY batch sequence (monotone effective times): per key,
+    exactly one open version; intervals chain exactly (each valid_to
+    equals the successor's valid_from — no gaps, no overlaps);
+    consecutive versions always differ; and the final open version
+    equals the key's last distinct value."""
+    from gluestick_ts_spark.operators.scd2 import scd2_upsert
+
+    d = str(tmp_path_factory.mktemp("scd2prop"))
+    last_hist = None
+    for i, batch in enumerate(batches):
+        ts = f"2024-01-{i + 1:02d} 00:00:00"
+        b = spark.createDataFrame(
+            [(k, v, ts) for k, v in batch], "id long, city string, ts string"
+        )
+        last_hist = scd2_upsert(b, "s", d, pk="id", eff_ts="ts")
+
+    rows = last_hist.collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r.id, []).append(r)
+    # expected final value per key: last batch that touched it
+    expected_final: dict = {}
+    for batch in batches:
+        for k, v in batch:
+            expected_final[k] = v
+    for k, versions in per_key.items():
+        versions.sort(key=lambda r: str(r.valid_from))
+        opens = [r for r in versions if r.is_current]
+        assert len(opens) == 1
+        assert opens[0] is versions[-1]
+        assert opens[0].valid_to is None
+        assert opens[0].city == expected_final[k]
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.valid_to == nxt.valid_from  # chained intervals
+            assert prev.city != nxt.city            # versions only on change

@@ -101,3 +101,47 @@ def test_stratified_exact_n_stable_and_exact(spark):
     kept2 = {r.id for r in df.repartition(7).select(
         "id", keep2.alias("k")).collect() if r.k}
     assert kept1 == kept2  # partition-stable membership
+
+
+def test_temperature_rates_realize_target_mixture(spark):
+    """T=1 leaves the natural mixture (all rates equal); larger T
+    upweights rare domains; the kept corpus' expected mixture equals
+    q_i = p_i^(1/T)/Z; rates compose with weighted_domain_sample."""
+    import math
+
+    from gluestick_ts_spark.functions.sampling import (
+        domain_shares,
+        temperature_rates,
+        weighted_domain_sample,
+    )
+
+    rows = [(i, "en") for i in range(800)] + [(i + 800, "sw") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = domain_shares(df, "lang")
+    assert shares == {"en": 0.8, "sw": 0.2}
+
+    r1 = temperature_rates(shares, temperature=1.0)
+    assert abs(r1["en"] - r1["sw"]) < 1e-12  # natural mixture: no reweight
+    assert max(r1.values()) == 1.0
+
+    t = 2.0
+    rt = temperature_rates(shares, temperature=t)
+    assert rt["sw"] == 1.0 and rt["en"] < 1.0  # rare domain kept whole
+    # expected kept mixture == q (up to the sampler's 1/256 quantization)
+    z = 0.8 ** (1 / t) + 0.2 ** (1 / t)
+    q_en = (0.8 ** (1 / t)) / z
+    kept_en = 0.8 * rt["en"]
+    kept_sw = 0.2 * rt["sw"]
+    assert abs(kept_en / (kept_en + kept_sw) - q_en) < 1e-9
+
+    out = weighted_domain_sample(df, "doc_id", "lang", rt)
+    kept = out.where("wds_keep").groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in kept}
+    assert got["sw"] == 200  # rate 1.0 keeps everything
+    exp_en = round(rt["en"] * 256) / 256 * 800
+    assert abs(got["en"] - exp_en) < 0.15 * exp_en  # md5 bucket noise
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="temperature"):
+        temperature_rates(shares, temperature=0)
