@@ -114,6 +114,7 @@ from .operators.similarity import (
     train_pq_codebooks,
     ann_recall_vs_exact,
     append_semantic_store,
+    compact_semantic_store,
     cosine_topk,
     read_semantic_store_meta,
     semantic_dedup,
@@ -163,6 +164,7 @@ __all__ = [
     "semantic_dedup_incremental",
     "write_semantic_store",
     "append_semantic_store",
+    "compact_semantic_store",
     "read_semantic_store_meta",
     "train_ivf_centroids",
     "dedup_clusters",

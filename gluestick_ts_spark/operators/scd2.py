@@ -130,12 +130,29 @@ def scd2_upsert(
     )
 
     hist = read_scd2(spark, stream, snapshot_dir)
+    result = _scd2_merge(hist, new_versions, pks, attrs)
+    _atomic_write(result, path, use_csv=False)
+    return spark.read.parquet(path)
+
+
+def _scd2_merge(
+    hist: DataFrame | None,
+    new_versions: DataFrame,
+    pks: list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """The pure merge plan (factored so the plan-shape gate can
+    inspect it before the store write): touched keys rebuild their
+    full timeline, untouched keys bypass via a pk anti-join against
+    the (batch-bounded, broadcastable) key set."""
     if hist is not None:
         batch_keys = new_versions.select(*pks).distinct()
-        untouched = hist.join(batch_keys, on=pks, how="left_anti").select(
-            *pks, *attrs, *_META_COLS
-        )
-        touched = hist.join(batch_keys, on=pks, how="left_semi").select(
+        untouched = hist.join(
+            F.broadcast(batch_keys), on=pks, how="left_anti"
+        ).select(*pks, *attrs, *_META_COLS)
+        touched = hist.join(
+            F.broadcast(batch_keys), on=pks, how="left_semi"
+        ).select(
             *pks, *attrs, "valid_from", "row_hash", F.lit(0).alias("__src")
         )
         timeline = touched.unionByName(new_versions)
@@ -165,8 +182,4 @@ def scd2_upsert(
         .drop("__src")
         .select(*pks, *attrs, *_META_COLS)
     )
-    result = (
-        untouched.unionByName(rebuilt) if untouched is not None else rebuilt
-    )
-    _atomic_write(result, path, use_csv=False)
-    return spark.read.parquet(path)
+    return untouched.unionByName(rebuilt) if untouched is not None else rebuilt

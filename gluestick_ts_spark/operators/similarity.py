@@ -47,6 +47,7 @@ __all__ = [
     "semantic_dedup",
     "write_semantic_store",
     "append_semantic_store",
+    "compact_semantic_store",
     "read_semantic_store_meta",
     "semantic_dedup_incremental",
 ]
@@ -1130,6 +1131,37 @@ def append_semantic_store(assigned: DataFrame, path: str) -> None:
     assigned.write.mode("append").partitionBy("cid").parquet(
         join_uri(path, _SEM_DATA_DIR)
     )
+
+
+def compact_semantic_store(spark, path: str) -> None:
+    """Rewrite the cluster store to one part file per cid dir — the
+    semantic sibling of ``compact_signature_store``: every streaming
+    append adds part files to the cluster dirs it touches, and after
+    many batches file-open count dominates the pruned candidate scan.
+    Full-row duplicates (a crash-window double append) are reclaimed.
+    Same swap/durability contract as the other stores (read frozen
+    schema → repartition by cid → tmp dir → two Hadoop-FS renames;
+    ``.pre-compact`` keeps the originals if the swap dies mid-way);
+    single-writer contract — run between batches."""
+    from pyspark.sql.types import StructType
+
+    from ..sources.fs import delete_path, hadoop_path_exists, join_uri, rename_path
+
+    meta = read_semantic_store_meta(spark, path)
+    schema = StructType.fromJson(meta["schema"])
+    data = join_uri(path, _SEM_DATA_DIR)
+    tmp = join_uri(path, _SEM_DATA_DIR + ".compact-tmp")
+    old = join_uri(path, _SEM_DATA_DIR + ".pre-compact")
+    df = spark.read.schema(schema).parquet(data).dropDuplicates()
+    df.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    if hadoop_path_exists(spark, old):
+        delete_path(spark, old)
+    if not rename_path(spark, data, old):
+        raise IOError(f"compact: could not move {data} aside")
+    if not rename_path(spark, tmp, data):
+        rename_path(spark, old, data)
+        raise IOError(f"compact: could not move {tmp} into place")
+    delete_path(spark, old)
 
 
 def semantic_dedup_incremental(

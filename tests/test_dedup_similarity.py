@@ -1342,3 +1342,50 @@ def test_exact_substring_dedup_lee2022_semantics(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         exact_substring_dedup(docs, k=1)
+
+
+def test_compact_semantic_store(spark, tmp_path):
+    """Cluster-store compaction: one part file per cid dir after,
+    dedup results identical before/after, crash-window duplicate rows
+    reclaimed."""
+    from gluestick_ts_spark.operators.similarity import (
+        append_semantic_store,
+        compact_semantic_store,
+        semantic_dedup_incremental,
+        write_semantic_store,
+    )
+
+    path = "file://" + str(tmp_path / "semstore")
+    base = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i) / 10]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    write_semantic_store(base, path, n_clusters=4)
+    extra = spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0]), (101, [-9.0, 4.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    _, kept = semantic_dedup_incremental(extra, path, threshold=0.95)
+    kept = kept.localCheckpoint(eager=True)
+    append_semantic_store(kept, path)
+    append_semantic_store(kept, path)  # crash-window double append
+
+    batch = spark.createDataFrame(
+        [(200, [9.0, 9.0, 9.0]), (201, [0.0, 0.1, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    before, _ = semantic_dedup_incremental(batch, path, threshold=0.99)
+    before_rows = {(r.vec_id, r.keep) for r in before.collect()}
+    files_before = set(spark.read.parquet(path + "/clusters").inputFiles())
+
+    compact_semantic_store(spark, path)
+    after_df = spark.read.parquet(path + "/clusters")
+    assert after_df.count() == after_df.dropDuplicates().count()
+    per_cid: dict = {}
+    for f in after_df.inputFiles():
+        c = [seg for seg in f.split("/") if seg.startswith("cid=")][0]
+        per_cid.setdefault(c, set()).add(f)
+    assert per_cid and all(len(v) == 1 for v in per_cid.values())
+    assert len(after_df.inputFiles()) < len(files_before)
+    after, _ = semantic_dedup_incremental(batch, path, threshold=0.99)
+    assert {(r.vec_id, r.keep) for r in after.collect()} == before_rows

@@ -391,3 +391,42 @@ def test_fingerprint_membership_probe_prunes_and_broadcasts_batch(
     assert "LeftSemi" in plan, plan[:2000]
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1
     assert "Scan parquet" in plan
+
+
+def test_scd2_merge_keys_on_pk_and_broadcasts_batch_keys(spark, tmp_path):
+    """The SCD2 merge must shuffle ONLY on the primary key (the
+    timeline windows) with the batch's key set BROADCAST into the
+    touched/untouched split — a shuffled anti-join keyed on the whole
+    history would move the closed-history mass every batch."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.scd2 import _row_hash, _scd2_merge
+
+    hist = spark.range(1000).select(
+        F.col("id"),
+        F.concat(F.lit("c"), F.col("id")).alias("city"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        _row_hash(["city"]).alias("row_hash"),
+    )
+    batch = spark.range(5).select(
+        F.col("id"),
+        F.lit("moved").alias("city"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("valid_from"),
+        _row_hash(["city"]).alias("row_hash"),
+        F.lit(1).alias("__src"),
+    )
+    merged = _scd2_merge(hist, batch, ["id"], ["city"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = merged._jdf.queryExecution().explainString(mode)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # both the anti (untouched bypass) and semi (touched) joins
+    # broadcast the batch-key side
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan[:1500]
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    # every key exchange carries the pk, none the attribute payload
+    assert hashed and all("id" in a and "city" not in a for a in hashed), hashed
