@@ -104,6 +104,15 @@ def heavy_hitters(
     k = int(capacity) if capacity is not None else int(math.ceil(1.0 / threshold_frac))
     if k < 1:
         raise ValueError("heavy_hitters: capacity must be >= 1")
+    if k > 1_000_000:
+        # candidate collect is partitions x k strings — a micro
+        # threshold silently turns the bounded collect into a
+        # driver-sized one; fail loudly instead
+        raise ValueError(
+            f"heavy_hitters: capacity {k} (threshold_frac={threshold_frac}) "
+            "exceeds 1e6 — per-partition summaries that large defeat the "
+            "bounded-candidate design; raise the threshold or cap capacity"
+        )
     src = df.select(F.col(item_col).cast("string").alias("item"))
     summary = src.mapInPandas(_mg_partition(k), schema=_CAND_SCHEMA).collect()
     total = sum(r.n_rows for r in summary if r.n_rows is not None)

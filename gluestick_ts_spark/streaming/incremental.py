@@ -39,6 +39,7 @@ __all__ = [
     "frozen_logprob_expr",
     "stream_rollup",
     "stream_semantic_dedup",
+    "stream_scd2",
 ]
 
 
@@ -812,6 +813,42 @@ def stream_semantic_dedup(
                 store_dir,
             )
             stamper.mark_appended(spark, store_dir, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def stream_scd2(
+    stream_df: DataFrame,
+    stream: str,
+    snapshot_dir: str,
+    pk: str | list[str] = "id",
+    eff_ts: str = "ts",
+    track_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Continuously-maintained SCD Type 2 history: every micro-batch
+    runs the batch ``scd2_upsert`` merge, so streaming and batch
+    history stores are identical for the same inputs (the
+    ``stream_snapshot_records`` pattern for the history-preserving
+    store). Replay safety comes from the merge ALGEBRA, not a marker
+    protocol: re-applying a batch collapses onto the versions it
+    already created (consecutive same-hash versions are dropped), so
+    an at-least-once replay leaves the store byte-identical.
+    foreachBatch serializes merges — single writer stream per store.
+    Caller starts the returned writer.
+    """
+    from ..operators.scd2 import scd2_upsert
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_upsert(
+            batch_df, stream, snapshot_dir, pk=pk, eff_ts=eff_ts,
+            track_cols=track_cols,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

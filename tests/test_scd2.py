@@ -110,3 +110,46 @@ def test_scd2_plan_keys_on_pk_and_closed_rows_bypass(spark, tmp_path):
     h = scd2_upsert(b2, "s", d, pk="id", eff_ts="ts")
     assert h.where("is_current").count() == 100
     assert h.count() == 200
+
+
+def test_stream_scd2_matches_batch_and_survives_replay(spark, tmp_path):
+    """The streaming wrapper's store must equal the batch-merged store
+    for the same inputs, and a crash-replayed micro-batch must leave
+    it unchanged (replay safety from the merge algebra itself)."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_scd2
+
+    src = str(tmp_path / "src")
+    d_stream = str(tmp_path / "stream")
+    d_batch = str(tmp_path / "batch")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, city string, ts string"
+    rows = [(1, "nyc", "2024-01-01 00:00:00"), (2, "sf", "2024-01-01 00:00:00")]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_scd2(stream, "s", d_stream, pk="id", eff_ts="ts",
+                        checkpoint_dir=ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    scd2_upsert(
+        spark.createDataFrame(rows, schema), "s", d_batch, pk="id", eff_ts="ts"
+    )
+    assert _hist_map(read_scd2(spark, "s", d_stream)) == _hist_map(
+        read_scd2(spark, "s", d_batch)
+    )
+    # crash replay: delete the commit, re-run -> store unchanged
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    before = _hist_map(read_scd2(spark, "s", d_stream))
+    run()
+    assert _hist_map(read_scd2(spark, "s", d_stream)) == before
