@@ -51,14 +51,29 @@ def rollup_aggregate(
     keys: list[str],
     value_cols: list[str],
     bucket: str = "1 hour",
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """One-pass bucket aggregate in the store's mergeable shape:
-    ``bucket_start`` (timestamp), ``keys``, ``cnt`` (long), and one
-    exact ``sum_<col>`` DECIMAL per value column. Map-side combined by
-    Spark's partial aggregation; safe to re-merge additively."""
-    aggs = [F.count("*").alias("cnt")] + [
-        F.sum(F.col(c).cast(_SUM_DECIMAL)).alias(f"sum_{c}") for c in value_cols
-    ]
+    ``bucket_start`` (timestamp), ``keys``, ``cnt`` (long), one exact
+    ``sum_<col>`` DECIMAL per value column, and — per
+    ``distinct_cols`` entry — a ``hll_<col>`` DataSketches HLL sketch
+    (binary). Map-side combined by Spark's partial aggregation; safe
+    to re-merge: sums/counts add, sketches union (``hll_union_agg``),
+    so COUNT DISTINCT — the one dashboard statistic plain additive
+    stores can't answer — survives incremental refresh and arbitrary
+    re-bucketing at sketch accuracy (~2% at the default lgConfigK).
+    Readers derive ``approx_distinct_<col>`` estimates on demand."""
+    aggs = (
+        [F.count("*").alias("cnt")]
+        + [
+            F.sum(F.col(c).cast(_SUM_DECIMAL)).alias(f"sum_{c}")
+            for c in value_cols
+        ]
+        + [
+            F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}")
+            for c in (distinct_cols or [])
+        ]
+    )
     return (
         df.groupBy(
             F.window(F.col(ts_col), bucket)["start"].alias("bucket_start"),
@@ -80,11 +95,29 @@ def write_rollup(rollup_df: DataFrame, path: str) -> None:
     )
 
 
+def _remerge(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Re-aggregate a union of mergeable partials: counts and exact
+    DECIMAL sums add, HLL sketches union. One map-side-combined pass —
+    the merge rule every store layout (additive refresh, delta
+    snapshots, compaction) shares."""
+    sum_cols = [c for c in df.columns if c.startswith("sum_")]
+    hll_cols = [c for c in df.columns if c.startswith("hll_")]
+    return df.groupBy("bucket_start", *keys, _DATE).agg(
+        F.sum("cnt").alias("cnt"),
+        *[F.sum(c).cast(_SUM_DECIMAL).alias(c) for c in sum_cols],
+        *[F.hll_union_agg(c).alias(c) for c in hll_cols],
+    )
+
+
 def _derive_means(df: DataFrame) -> DataFrame:
     for c in [c for c in df.columns if c.startswith("sum_")]:
         df = df.withColumn(
             f"mean_{c[4:]}",
             F.round(F.col(c).cast("double") / F.col("cnt"), 4),
+        )
+    for c in [c for c in df.columns if c.startswith("hll_")]:
+        df = df.withColumn(
+            f"approx_distinct_{c[4:]}", F.hll_sketch_estimate(F.col(c))
         )
     return df
 
@@ -120,6 +153,7 @@ def refresh_rollup(
     keys: list[str],
     value_cols: list[str],
     bucket: str = "1 hour",
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incrementally fold a new batch into the persisted rollup:
     aggregate the batch (cost ∝ batch), read ONLY the store partitions
@@ -132,7 +166,9 @@ def refresh_rollup(
     directories are replaced.
     """
     spark = batch_df.sparkSession
-    partial = rollup_aggregate(batch_df, ts_col, keys, value_cols, bucket)
+    partial = rollup_aggregate(
+        batch_df, ts_col, keys, value_cols, bucket, distinct_cols
+    )
     partial = partial.withColumn(
         _DATE, F.to_date("bucket_start").cast("string")
     )
@@ -146,15 +182,7 @@ def refresh_rollup(
         spark.read.parquet(path)
         .where(F.col(_DATE).isin(dates))  # partition-pruned scan
     )
-    sum_cols = [c for c in partial.columns if c.startswith("sum_")]
-    merged = (
-        existing.unionByName(partial)
-        .groupBy("bucket_start", *keys, _DATE)
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            *[F.sum(c).cast(_SUM_DECIMAL).alias(c) for c in sum_cols],
-        )
-    )
+    merged = _remerge(existing.unionByName(partial), keys)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -233,11 +261,7 @@ def _merge_parts(parts: list[DataFrame], keys: list[str]) -> DataFrame:
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    sum_cols = [c for c in df.columns if c.startswith("sum_")]
-    return df.groupBy("bucket_start", *keys, _DATE).agg(
-        F.sum("cnt").alias("cnt"),
-        *[F.sum(c).cast(_SUM_DECIMAL).alias(c) for c in sum_cols],
-    )
+    return _remerge(df, keys)
 
 
 def _read_delta_layout(spark: SparkSession, path: str) -> DataFrame:
@@ -264,6 +288,7 @@ def write_rollup_delta(
     scope: str,
     batch_no: int,
     bucket: str = "1 hour",
+    distinct_cols: list[str] | None = None,
 ) -> None:
     """Fold one micro-batch into the delta-snapshot store by writing
     its partial aggregate to the batch's OWN directory (overwrite) —
@@ -285,7 +310,9 @@ def write_rollup_delta(
                 "sum_cols": [f"sum_{c}" for c in value_cols],
             },
         )
-    partial = rollup_aggregate(batch_df, ts_col, keys, value_cols, bucket)
+    partial = rollup_aggregate(
+        batch_df, ts_col, keys, value_cols, bucket, distinct_cols
+    )
     partial = partial.withColumn(_DATE, F.to_date("bucket_start").cast("string"))
     partial.write.partitionBy(_DATE).mode("overwrite").parquet(
         join_uri(path, _DELTAS_DIR, scope, str(int(batch_no)))

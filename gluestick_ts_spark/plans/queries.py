@@ -857,7 +857,12 @@ def q_rollup_events_hourly(spark, sf):
     DuckDB's one-shot aggregate over ALL events exactly — which is
     what the hash check asserts. The store round-trips through real
     parquet under a per-run temp dir (the materialization IS the
-    operator)."""
+    operator). The store also carries a mergeable DataSketches HLL
+    sketch of user_id — the distinct statistic additive stores can't
+    hold as a plain number — and ``users_within_5pct`` asserts the
+    estimate landed within 5% of the exact per-bucket COUNT DISTINCT
+    after surviving write + refresh + union (the within_bound
+    pattern; DuckDB states TRUE)."""
     import atexit
     import shutil
     import tempfile
@@ -876,9 +881,20 @@ def q_rollup_events_hourly(spark, sf):
     path = tmp_root + "/store"
     seed = ev.where(F.col("event_id") % 3 != 0)
     batch = ev.where(F.col("event_id") % 3 == 0)
-    write_rollup(rollup_aggregate(seed, "ts", ["event_type"], ["value"]), path)
-    merged = refresh_rollup(batch, path, "ts", ["event_type"], ["value"])
-    return merged.select(
+    write_rollup(
+        rollup_aggregate(
+            seed, "ts", ["event_type"], ["value"], distinct_cols=["user_id"]
+        ),
+        path,
+    )
+    merged = refresh_rollup(
+        batch, path, "ts", ["event_type"], ["value"], distinct_cols=["user_id"]
+    )
+    exact = ev.groupBy(
+        F.window(F.col("ts"), "1 hour")["start"].alias("bucket_start"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").alias("__ex"))
+    return merged.join(exact, on=["bucket_start", "event_type"]).select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
             "bucket_start"
         ),
@@ -886,6 +902,10 @@ def q_rollup_events_hourly(spark, sf):
         "cnt",
         F.col("sum_value").cast("double").alias("sum_value"),
         "mean_value",
+        (
+            F.abs(F.col("approx_distinct_user_id") - F.col("__ex"))
+            <= 0.05 * F.col("__ex")
+        ).alias("users_within_5pct"),
     )
 
 
@@ -2771,7 +2791,8 @@ ORACLES: dict[str, str] = {
         "AS bucket_start, event_type, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, "
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) "
-        "AS mean_value "
+        "AS mean_value, "
+        "TRUE AS users_within_5pct "
         "FROM events GROUP BY bucket_start, event_type"
     ),
     "parse_objs_keep_original": (

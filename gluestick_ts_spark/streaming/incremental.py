@@ -688,6 +688,7 @@ def stream_rollup(
     bucket: str = "1 hour",
     checkpoint_dir: str | None = None,
     compact_every: int | None = 32,
+    distinct_cols: list[str] | None = None,
 ) -> DataStreamWriter:
     """Continuously-maintained materialized rollup over the
     DELTA-SNAPSHOT store (``write_rollup_delta``/``compact_rollup``):
@@ -724,6 +725,7 @@ def stream_rollup(
             scope=stamper._resolve(spark),
             batch_no=batch_id,
             bucket=bucket,
+            distinct_cols=distinct_cols,
         )
         if compact_every and batch_id % compact_every == compact_every - 1:
             compact_rollup(spark, path)

@@ -207,3 +207,60 @@ def test_compact_rollup_folds_deltas_behind_pointer(spark, tmp_path):
                        scope="q1", batch_no=3)  # replay overwrite
     plus = read_rollup(spark, path).agg(F.sum("cnt").alias("s")).first().s
     assert plus == ev.count() + 50
+
+
+def test_rollup_hll_distinct_survives_refresh_and_deltas(spark, tmp_path):
+    """Mergeable HLL sketches in the store: approx distinct users per
+    bucket must match the exact value (small cardinalities are exact
+    in DataSketches HLL) after an additive refresh AND through the
+    delta-snapshot layout with compaction — the distinct statistic
+    plain additive stores can't carry."""
+    from gluestick_ts_spark.operators.rollup import (
+        compact_rollup,
+        refresh_rollup,
+        write_rollup,
+        write_rollup_delta,
+    )
+
+    ev = _events(spark).withColumn("user_id", F.col("event_id") % 7)
+    exact = {
+        (str(r.bucket_start), r.event_type): r.du
+        for r in ev.groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("du"))
+        .collect()
+    }
+
+    # additive-refresh layout
+    p1 = "file://" + str(tmp_path / "r1")
+    seed = ev.where(F.col("event_id") % 2 == 0)
+    rest = ev.where(F.col("event_id") % 2 == 1)
+    write_rollup(
+        rollup_aggregate(seed, "ts", ["event_type"], ["value"],
+                         distinct_cols=["user_id"]), p1)
+    merged = refresh_rollup(rest, p1, "ts", ["event_type"], ["value"],
+                            distinct_cols=["user_id"])
+    got1 = {
+        (str(r.bucket_start), r.event_type): r.approx_distinct_user_id
+        for r in merged.collect()
+    }
+    assert got1 == exact
+
+    # delta-snapshot layout + compaction
+    p2 = "file://" + str(tmp_path / "r2")
+    for b, part in enumerate((seed, rest)):
+        write_rollup_delta(part, p2, "ts", ["event_type"], ["value"],
+                           scope="q", batch_no=b, distinct_cols=["user_id"])
+    got2 = {
+        (str(r.bucket_start), r.event_type): r.approx_distinct_user_id
+        for r in read_rollup(spark, p2).collect()
+    }
+    assert got2 == exact
+    compact_rollup(spark, p2)
+    got3 = {
+        (str(r.bucket_start), r.event_type): r.approx_distinct_user_id
+        for r in read_rollup(spark, p2).collect()
+    }
+    assert got3 == exact
