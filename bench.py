@@ -26,7 +26,10 @@ round-6 number (1.95 s) covers three of the four grains now timed;
 ``snapshot_upsert`` gained the SCD2 history-store leg, which
 materializes a real two-batch on-disk store per run (two atomic-swap
 writes) — its round-6 number (0.58 s) covers only the last-write-wins
-leg, and the ``parts`` map separates the two.
+leg, and the ``parts`` map separates the two; ``rollup_events_hourly``
+additionally carries a mergeable HLL distinct-user sketch through the
+store plus an exact-COUNT-DISTINCT verification join, so its round-6
+number (2.75 s) covers neither.
 
 SUITE COMPOSITION CHANGES (for cross-round comparisons, compare
 per-query, not totals): round 6 added two entries absent from every

@@ -96,6 +96,7 @@ from .operators.bpe import (
 from .operators.frequent import heavy_hitters
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
 from .operators.scd2 import read_scd2, scd2_asof, scd2_upsert
+from .sinks.zorder import file_stats_ranges, write_zordered, zorder_key_expr
 from .operators.rollup import (
     compact_rollup,
     read_rollup,
@@ -220,6 +221,9 @@ __all__ = [
     "refresh_rollup",
     "rollup_aggregate",
     "write_rollup",
+    "write_zordered",
+    "zorder_key_expr",
+    "file_stats_ranges",
     "write_rollup_delta",
     "unigram_logprob_scores",
     "ann_ivfpq_topk",
