@@ -40,6 +40,7 @@ __all__ = [
     "stream_rollup",
     "stream_semantic_dedup",
     "stream_scd2",
+    "stream_session_window_counts",
 ]
 
 
@@ -856,3 +857,34 @@ def stream_scd2(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_session_window_counts(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session aggregation via Spark's NATIVE
+    ``session_window`` — the built-in complement to the custom
+    ``stream_sessionize`` (``applyInPandasWithState``). Use this when
+    per-session aggregates (bounds + counts) are all you need: state
+    management, merging of adjacent micro-batch fragments, and
+    watermark eviction are the engine's own, with no Python boundary.
+    Reach for ``stream_sessionize`` only when the per-session logic
+    outgrows SQL aggregates (custom emission timing, per-event
+    payloads). Works identically on batch DataFrames (the watermark is
+    a no-op there), which is how the equivalence test pins the two
+    implementations against each other."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

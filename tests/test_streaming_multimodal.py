@@ -586,3 +586,65 @@ def test_stream_semantic_dedup(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert verdicts == {1000: False, 2000: True}
+
+
+def test_session_window_counts_matches_custom_sessionizer(spark, tmp_path):
+    """The native session_window variant must produce the same closed
+    sessions (bounds + counts) as the applyInPandasWithState
+    sessionizer for the same gap — run on batch data where both are
+    total."""
+    from gluestick_ts_spark.streaming.incremental import (
+        stream_session_window_counts,
+        stream_sessionize,
+    )
+
+    schema = "user_id long, ts timestamp"
+    rows = []
+    base = "2024-03-01 "
+    for u, times in {
+        1: ["10:00:00", "10:10:00", "11:30:00", "11:40:00"],
+        2: ["09:00:00", "09:20:00"],
+    }.items():
+        rows.extend((u, base + t) for t in times)
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    # native path on batch data (watermark is a no-op)
+    native = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in stream_session_window_counts(df, gap="30 minutes").collect()
+    }
+    assert native == {
+        (1, "2024-03-01 10:00:00", 2),
+        (1, "2024-03-01 11:30:00", 2),
+        (2, "2024-03-01 09:00:00", 2),
+    }
+    # custom stateful path through a real stream; all sessions flush
+    # once the trailing batch's watermark passes their timeout
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    late = spark.createDataFrame(
+        [(99, base + "23:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got: set = set()
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(
+                lambda b, i: got.update(
+                    (r.user_id, str(r.session_start), r.n_events)
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    late.write.mode("append").parquet(src)
+    run()
+    assert {s for s in native} <= got
