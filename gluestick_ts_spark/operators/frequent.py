@@ -101,9 +101,16 @@ def heavy_hitters(
         raise ValueError(
             f"heavy_hitters: threshold_frac must be in (0, 1), got {threshold_frac}"
         )
-    k = int(capacity) if capacity is not None else int(math.ceil(1.0 / threshold_frac))
-    if k < 1:
-        raise ValueError("heavy_hitters: capacity must be >= 1")
+    k_min = int(math.ceil(1.0 / threshold_frac))
+    k = int(capacity) if capacity is not None else k_min
+    if k < k_min:
+        # MG with capacity k only guarantees candidates above n/(k+1);
+        # a smaller summary can evict a true heavy hitter in EVERY
+        # partition and silently return an incomplete "exact" answer
+        raise ValueError(
+            f"heavy_hitters: capacity {k} breaks the candidate-superset "
+            f"guarantee for threshold_frac={threshold_frac} (needs >= {k_min})"
+        )
     if k > 1_000_000:
         # candidate collect is partitions x k strings — a micro
         # threshold silently turns the bounded collect into a
@@ -120,8 +127,15 @@ def heavy_hitters(
     if total == 0 or not cands:
         return src.limit(0).groupBy("item").agg(F.count("*").alias("cnt"))
     floor = float(threshold_frac) * total
+    # candidate filter as a broadcast semi-join, not an IN-literal:
+    # partitions x capacity strings embedded in the plan would make
+    # plan construction itself the driver-sized cost the bounded
+    # collect avoids (same shape as fingerprint_store_membership)
+    cand_df = df.sparkSession.createDataFrame(
+        [(c,) for c in cands], "item string"
+    )
     return (
-        src.where(F.col("item").isin(cands))
+        src.join(F.broadcast(cand_df), on="item", how="left_semi")
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > floor)

@@ -139,7 +139,12 @@ def read_rollup(
     """
     from ..sources.fs import hadoop_path_exists, join_uri
 
-    if hadoop_path_exists(spark, join_uri(path, _DELTA_META)):
+    meta_path = join_uri(path, _DELTA_META)
+    # a pointer mid-commit (crash between tmp write and rename) still
+    # marks the delta layout — _read_rollup_meta self-heals the rename
+    if hadoop_path_exists(spark, meta_path) or hadoop_path_exists(
+        spark, meta_path + ".tmp"
+    ):
         df = _read_delta_layout(spark, path)
     else:
         df = spark.read.parquet(path).drop(_DATE)
@@ -224,19 +229,53 @@ def refresh_rollup(
 
 
 def _read_rollup_meta(spark: SparkSession, path: str) -> dict:
+    """Read the pointer; self-heal the tmp-rename crash window. The
+    writer's sequence is write-tmp → delete-old → rename-tmp: a crash
+    between the last two leaves no meta but a COMPLETE tmp holding the
+    newest consistent pointer, so finishing the rename here recovers
+    the store instead of failing every read."""
     import json
 
-    from ..sources.fs import join_uri, read_text_file
+    from ..sources.fs import (
+        hadoop_path_exists,
+        join_uri,
+        read_text_file,
+        rename_path,
+    )
 
-    return json.loads(read_text_file(spark, join_uri(path, _DELTA_META)))
+    meta_path = join_uri(path, _DELTA_META)
+    tmp_path = meta_path + ".tmp"
+    if not hadoop_path_exists(spark, meta_path) and hadoop_path_exists(
+        spark, tmp_path
+    ):
+        rename_path(spark, tmp_path, meta_path)
+    return json.loads(read_text_file(spark, meta_path))
 
 
 def _write_rollup_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Pointer write via tmp + rename — never truncate-in-place: the
+    pointer is the store's single commit point, and an in-place
+    ``create(overwrite)`` would destroy the previous consistent view
+    if the driver died mid-write. Every crash window leaves either
+    the old meta, or a complete tmp that ``_read_rollup_meta``
+    self-heals into place."""
     import json
 
-    from ..sources.fs import join_uri, write_text_file
+    from ..sources.fs import (
+        delete_path,
+        hadoop_path_exists,
+        join_uri,
+        rename_path,
+        write_text_file,
+    )
 
-    write_text_file(spark, join_uri(path, _DELTA_META), json.dumps(meta))
+    meta_path = join_uri(path, _DELTA_META)
+    tmp_path = meta_path + ".tmp"
+    write_text_file(spark, tmp_path, json.dumps(meta))
+    if hadoop_path_exists(spark, meta_path):
+        delete_path(spark, meta_path, recursive=False)
+    if not rename_path(spark, tmp_path, meta_path):
+        raise IOError(f"rollup meta commit failed: {tmp_path} -> {meta_path}")
 
 
 def _unfolded_delta_dirs(
@@ -319,19 +358,44 @@ def write_rollup_delta(
     )
 
 
+def _sweep_rollup_garbage(spark: SparkSession, path: str, meta: dict) -> None:
+    """Delete everything the current pointer can no longer reach:
+    base_v* dirs other than ``meta['base']`` and delta dirs at or
+    below their scope's folded watermark. Crash-orphaned dirs (a
+    previous compaction died after its pointer commit, before its
+    delete loop) are exactly this set, so every later compaction
+    reclaims them — reads never consult them either way."""
+    from ..sources.fs import delete_path, join_uri, list_dir_names
+
+    current = meta.get("base")
+    for name in list_dir_names(spark, path):
+        if name.startswith("base_v") and name != current:
+            delete_path(spark, join_uri(path, name))
+    droot = join_uri(path, _DELTAS_DIR)
+    folded = meta.get("folded", {})
+    for scope in list_dir_names(spark, droot):
+        w = int(folded.get(scope, -1))
+        for b in list_dir_names(spark, join_uri(droot, scope)):
+            if b.isdigit() and int(b) <= w:
+                delete_path(spark, join_uri(droot, scope, b))
+
+
 def compact_rollup(spark: SparkSession, path: str) -> None:
     """Fold every unfolded delta into a new immutable base snapshot and
     advance the pointer. The pointer write is the single commit point:
     a crash before it leaves the previous (consistent) view plus
-    orphan dirs; after it, the folded deltas and the previous base are
-    removed best-effort (failures leave garbage, never wrong counts —
-    the pointer's watermarks already exclude folded deltas from
-    reads). Run between batches (single-writer contract)."""
-    from ..sources.fs import delete_path, join_uri
+    orphan dirs; after it, a garbage sweep removes every dir the new
+    pointer can no longer reach — INCLUDING orphans a previous
+    compaction's crash left behind, since the sweep works from the
+    pointer's watermarks, not from this run's delta list. With nothing
+    unfolded the call is sweep-only. Run between batches
+    (single-writer contract)."""
+    from ..sources.fs import join_uri
 
     meta = _read_rollup_meta(spark, path)
     deltas = _unfolded_delta_dirs(spark, path, meta)
     if not deltas:
+        _sweep_rollup_garbage(spark, path, meta)
         return
     parts: list[DataFrame] = []
     old_base = meta.get("base")
@@ -346,14 +410,12 @@ def compact_rollup(spark: SparkSession, path: str) -> None:
     folded = dict(meta.get("folded", {}))
     for scope, b, _ in deltas:
         folded[scope] = max(int(folded.get(scope, -1)), b)
-    _write_rollup_meta(
-        spark,
-        path,
-        {**meta, "version": int(meta["version"]) + 1, "base": new_base,
-         "folded": folded},
-    )
-    # past the commit point: everything below is reclaimable garbage
-    for _, _, d in deltas:
-        delete_path(spark, d)
-    if old_base:
-        delete_path(spark, join_uri(path, old_base))
+    new_meta = {
+        **meta,
+        "version": int(meta["version"]) + 1,
+        "base": new_base,
+        "folded": folded,
+    }
+    _write_rollup_meta(spark, path, new_meta)
+    # past the commit point: everything unreachable is garbage
+    _sweep_rollup_garbage(spark, path, new_meta)

@@ -1138,30 +1138,22 @@ def compact_semantic_store(spark, path: str) -> None:
     semantic sibling of ``compact_signature_store``: every streaming
     append adds part files to the cluster dirs it touches, and after
     many batches file-open count dominates the pruned candidate scan.
-    Full-row duplicates (a crash-window double append) are reclaimed.
-    Same swap/durability contract as the other stores (read frozen
-    schema → repartition by cid → tmp dir → two Hadoop-FS renames;
-    ``.pre-compact`` keeps the originals if the swap dies mid-way);
-    single-writer contract — run between batches."""
+    Full-row duplicates (a crash-window double append) and stale
+    replay markers are reclaimed. Shares ``_compact_store_data``'s
+    swap/durability contract; single-writer — run between batches."""
     from pyspark.sql.types import StructType
 
-    from ..sources.fs import delete_path, hadoop_path_exists, join_uri, rename_path
+    from .dedup import _compact_store_data
 
     meta = read_semantic_store_meta(spark, path)
-    schema = StructType.fromJson(meta["schema"])
-    data = join_uri(path, _SEM_DATA_DIR)
-    tmp = join_uri(path, _SEM_DATA_DIR + ".compact-tmp")
-    old = join_uri(path, _SEM_DATA_DIR + ".pre-compact")
-    df = spark.read.schema(schema).parquet(data).dropDuplicates()
-    df.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    if hadoop_path_exists(spark, old):
-        delete_path(spark, old)
-    if not rename_path(spark, data, old):
-        raise IOError(f"compact: could not move {data} aside")
-    if not rename_path(spark, tmp, data):
-        rename_path(spark, old, data)
-        raise IOError(f"compact: could not move {tmp} into place")
-    delete_path(spark, old)
+    _compact_store_data(
+        spark,
+        path,
+        transform=lambda df: df.dropDuplicates(),
+        data_dir=_SEM_DATA_DIR,
+        part_col="cid",
+        schema=StructType.fromJson(meta["schema"]),
+    )
 
 
 def semantic_dedup_incremental(

@@ -266,11 +266,14 @@ def stream_dedup_incremental(
             store = spark.read.parquet(sig_path)
             if "batch_id" in store.columns:
                 # replay exclusion: rows this very batch appended before
-                # a crash are not "history", they are our own output
-                store = store.where(
-                    F.coalesce(
-                        F.col("batch_id") != F.lit(int(stamp)), F.lit(True)
-                    )
+                # a crash are not "history", they are our own output.
+                # (Guarded — unlike the bucketed stores — because a flat
+                # store written before the stamp column existed is still
+                # readable; it just can't distinguish a replay.)
+                from ..operators.dedup import _exclude_batch_filter
+
+                store = _exclude_batch_filter(
+                    store, store.schema, stamp
                 ).drop("batch_id")
         else:
             store = minhash_signatures(batch_df.limit(0), id_col, text_col)
@@ -598,6 +601,18 @@ def stream_curation_filter(
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
         if not hadoop_path_exists(spark, meta_path):
+            legacy = join_uri(store_dir, "fingerprints.parquet")
+            if hadoop_path_exists(spark, legacy):
+                # pre-bucketed-layout store: silently seeding a fresh
+                # empty store would re-admit every previously accepted
+                # document as a non-duplicate
+                raise ValueError(
+                    f"{store_dir} holds a legacy flat fingerprint store "
+                    "(fingerprints.parquet, no store_meta.json); migrate "
+                    "it first: write_fingerprint_store(spark.read.parquet"
+                    "(legacy).select('fp', F.lit(-1).alias('batch_id')), "
+                    "store_dir)"
+                )
             # first batch: freeze the bucket count and the batch_id
             # provenance column into an empty store
             write_fingerprint_store(

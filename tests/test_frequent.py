@@ -57,6 +57,10 @@ def test_heavy_hitters_edge_cases(spark):
     assert got == {("a", 2)}  # b at 1/3 does not exceed 50%
     with pytest.raises(ValueError, match="threshold_frac"):
         heavy_hitters(one, "item", 1.5)
+    # an undersized sketch breaks the candidate-superset guarantee:
+    # reject it instead of silently returning an incomplete answer
+    with pytest.raises(ValueError, match="superset"):
+        heavy_hitters(one, "item", 0.001, capacity=10)
 
 
 def test_heavy_hitters_candidate_collect_is_bounded(spark):

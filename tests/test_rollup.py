@@ -264,3 +264,54 @@ def test_rollup_hll_distinct_survives_refresh_and_deltas(spark, tmp_path):
         for r in read_rollup(spark, p2).collect()
     }
     assert got3 == exact
+
+
+def test_compact_rollup_sweeps_crash_orphans_and_meta_is_crash_safe(
+    spark, tmp_path
+):
+    """A compaction that died after its pointer commit leaves folded
+    deltas + the old base on disk; the next compaction (even with
+    nothing unfolded) must sweep everything the pointer can't reach.
+    And the pointer write itself must survive a tmp-rename crash (a
+    complete .tmp self-heals on the next read)."""
+    import json
+
+    from gluestick_ts_spark.operators.rollup import (
+        compact_rollup,
+        write_rollup_delta,
+    )
+    from gluestick_ts_spark.sources.fs import (
+        list_dir_names,
+        read_text_file,
+        rename_path,
+        write_text_file,
+    )
+
+    ev = _events(spark)
+    path = "file://" + str(tmp_path / "gstore")
+    for b in (0, 1):
+        write_rollup_delta(ev.where(F.col("event_id") % 2 == b), path,
+                           "ts", ["event_type"], ["value"],
+                           scope="q", batch_no=b)
+    compact_rollup(spark, path)
+    before = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+
+    # simulate the crash-orphan state: stale base + folded delta dirs
+    write_text_file(spark, path + "/base_v0/stale.txt", "orphan")
+    write_rollup_delta(ev.limit(10), path, "ts", ["event_type"], ["value"],
+                       scope="q", batch_no=1)  # batch 1 <= watermark: folded
+    assert "base_v0" in list_dir_names(spark, path)
+    compact_rollup(spark, path)  # nothing unfolded -> sweep-only
+    assert "base_v0" not in list_dir_names(spark, path)
+    assert list_dir_names(spark, path + "/deltas/q") == []
+    assert _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value")) == before
+
+    # pointer crash window: meta gone, complete .tmp present
+    rename_path(spark, path + "/rollup_meta.json",
+                path + "/rollup_meta.json.tmp")
+    healed = _norm(read_rollup(spark, path).select(
+        "bucket_start", "event_type", "cnt", "sum_value"))
+    assert healed == before
+    json.loads(read_text_file(spark, path + "/rollup_meta.json"))  # restored

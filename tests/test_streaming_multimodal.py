@@ -449,6 +449,40 @@ def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
     assert stored.select("fp").distinct().count() == 1
     # every stored row is batch-stamped (the replay-exclusion column)
     assert stored.where(stored.batch_id.isNull()).count() == 0
+    # compaction also clears the stale replay markers
+    from gluestick_ts_spark.operators.dedup import compact_fingerprint_store
+    from gluestick_ts_spark.sources.fs import hadoop_path_exists
+
+    assert hadoop_path_exists(spark, f"{store}/batches")
+    compact_fingerprint_store(spark, store)
+    assert not hadoop_path_exists(spark, f"{store}/batches")
+    # a legacy flat-layout store is rejected, not silently replaced
+    import pytest as _p
+
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame([("aa",)], "fp string").write.parquet(
+        f"{legacy}/fingerprints.parquet"
+    )
+    rows2: dict = {}
+
+    def emit2(df, batch_id):
+        for r in df.collect():
+            rows2[r.doc_id] = r.keep
+
+    _write_stream_batch(str(tmp_path / "src9"), spark, [(1, good)], schema)
+    q9 = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(str(tmp_path / "src9")),
+            legacy, emit2, checkpoint_dir=str(tmp_path / "ck9"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _p.raises(StreamingQueryException, match="legacy flat fingerprint"):
+        q9.awaitTermination(120)
+        raise AssertionError("legacy store was not rejected")
 
 
 def test_stream_curation_filter_crash_replay_reemits_survivors(spark, tmp_path):
