@@ -55,30 +55,39 @@ def _mg_partition(capacity: int):
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        # Per Arrow batch: an exact (value, count) summary at C speed
+        # (value_counts), MERGED into the running Misra-Gries summary.
+        # An exact summary is an MG summary with zero error, and MG
+        # summaries merge (Agarwal et al., "Mergeable Summaries", PODS
+        # 2012): add counters pointwise, then subtract the (k+1)-th
+        # largest counter from all and drop the non-positive. Total
+        # decrement per merge is <= weight/(k+1), so any item with
+        # global frequency > n/(k+1) still survives with a positive
+        # counter in at least one partition — the same candidate-
+        # superset guarantee as the per-row update, without a Python
+        # loop over corpus rows (the distinct-value folds below touch
+        # only unique values per batch).
+        counters = pd.Series(dtype="int64")
         n_rows = 0
         for pdf in batches:
             col = pdf.iloc[:, 0]
-            for v in col:
-                if v is None:
-                    continue
-                n_rows += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    # decrement-all step; drop zeroed counters
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            n_rows += int(col.count())
+            vc = col.value_counts()  # dropna by default; C-speed
+            if vc.empty:
+                continue
+            counters = (
+                vc.astype("int64")
+                if counters.empty
+                else counters.add(vc, fill_value=0).astype("int64")
+            )
+            if len(counters) > capacity:
+                # (k+1)-th largest counter; after subtracting it, at
+                # most `capacity` entries stay strictly positive
+                d = int(counters.nlargest(capacity + 1).iloc[-1])
+                counters = counters[counters > d] - d
         yield pd.DataFrame(
             {
-                "item": list(counters.keys()) + [None],
+                "item": list(counters.index) + [None],
                 "n_rows": [None] * len(counters) + [n_rows],
             }
         )

@@ -1389,3 +1389,37 @@ def test_compact_semantic_store(spark, tmp_path):
     assert len(after_df.inputFiles()) < len(files_before)
     after, _ = semantic_dedup_incremental(batch, path, threshold=0.99)
     assert {(r.vec_id, r.keep) for r in after.collect()} == before_rows
+
+
+def test_append_signature_store_rejects_narrower_schema(spark, docs, tmp_path):
+    """A signature store seeded with a batch_id provenance column must
+    refuse an append lacking it — narrower rows would read back
+    NULL-stamped, the silent-provenance-loss case the fingerprint and
+    semantic appenders already reject."""
+    from gluestick_ts_spark.operators.dedup import (
+        append_signature_store,
+        minhash_signatures,
+        write_signature_store,
+    )
+
+    path = "file://" + str(tmp_path / "guardstore")
+    sigs = minhash_signatures(docs).withColumn("batch_id", F.lit(0).cast("long"))
+    write_signature_store(sigs, path, num_buckets=4)
+    bare = minhash_signatures(
+        spark.createDataFrame(
+            [(900, "a fresh doc about shuffle partition sizing and spill")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="frozen store columns"):
+        append_signature_store(bare, path)
+    # a properly stamped append still lands, and reads back stamped
+    append_signature_store(bare.withColumn("batch_id", F.lit(1).cast("long")), path)
+    got = (
+        spark.read.parquet(path + "/banded")
+        .where("id = 900")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert [r.batch_id for r in got] == [1]
