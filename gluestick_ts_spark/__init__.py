@@ -96,6 +96,10 @@ from .operators.bpe import (
 from .operators.frequent import heavy_hitters
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
 from .operators.scd2 import read_scd2, scd2_asof, scd2_upsert
+from .operators.scd2_partitioned import (
+    read_partitioned_scd2,
+    scd2_upsert_partitioned,
+)
 from .sinks.zorder import file_stats_ranges, write_zordered, zorder_key_expr
 from .operators.rollup import (
     compact_rollup,
@@ -215,9 +219,11 @@ __all__ = [
     "train_logreg",
     "compact_rollup",
     "read_rollup",
+    "read_partitioned_scd2",
     "read_scd2",
     "scd2_asof",
     "scd2_upsert",
+    "scd2_upsert_partitioned",
     "refresh_rollup",
     "rollup_aggregate",
     "write_rollup",

@@ -101,22 +101,39 @@ def scd2_upsert(
     post-merge history.
 
     ``eff_ts`` names the batch column giving each row's effective
-    time (or a Column expression); ``track_cols`` are the attributes
-    whose changes open a new version (default: every non-pk, non-ts
-    column). A batch may carry SEVERAL versions of one key — they
-    chain in ``eff_ts`` order. Rows whose attributes equal the
-    version they would succeed collapse away, so replaying a batch —
-    or receiving unchanged full-table re-syncs — never grows the
-    store.
+    time (or a Column expression — but then ``track_cols`` must be
+    explicit, see below); ``track_cols`` are the attributes whose
+    changes open a new version (default: every non-pk, non-ts
+    column). Batch columns OUTSIDE ``track_cols`` (and not pk/ts) are
+    carried as Type-1 attributes: they persist in the store but are
+    updated IN PLACE across every version of a key to the key's
+    latest effective value, and changing them alone opens no version
+    (the Kimball SCD Type-2/Type-1 hybrid). A batch may carry SEVERAL
+    versions of one key — they chain in ``eff_ts`` order. Rows whose
+    tracked attributes equal the version they would succeed collapse
+    away, so replaying a batch — or receiving unchanged full-table
+    re-syncs — never grows the store.
     """
     pks = [pk] if isinstance(pk, str) else list(pk)
     if eff_ts is None:
         raise ValueError("scd2_upsert: eff_ts is required (no wall-clock reads)")
+    if not isinstance(eff_ts, str) and track_cols is None:
+        # a Column expression hides which source column holds the
+        # timestamp, so the default attrs would INCLUDE it in row_hash
+        # — a re-sent unchanged row with a later effective time would
+        # then hash differently and open a spurious version, silently
+        # voiding the replay-idempotency guarantee
+        raise ValueError(
+            "scd2_upsert: eff_ts given as a Column expression requires an "
+            "explicit track_cols (the default attribute set cannot exclude "
+            "the expression's source column from the change hash)"
+        )
     ts_col = F.col(eff_ts) if isinstance(eff_ts, str) else eff_ts
-    attrs = track_cols or [
-        c
-        for c in batch.columns
-        if c not in pks and c != (eff_ts if isinstance(eff_ts, str) else None)
+    ts_name = eff_ts if isinstance(eff_ts, str) else None
+    attrs = track_cols or [c for c in batch.columns if c not in pks and c != ts_name]
+    carry = [
+        c for c in batch.columns
+        if c not in pks and c not in attrs and c != ts_name
     ]
     spark = batch.sparkSession
     path = _scd2_path(stream, snapshot_dir)
@@ -124,13 +141,14 @@ def scd2_upsert(
     new_versions = batch.select(
         *pks,
         *attrs,
+        *carry,
         ts_col.cast("timestamp").alias("valid_from"),
         _row_hash(attrs).alias("row_hash"),
         F.lit(1).alias("__src"),
     )
 
     hist = read_scd2(spark, stream, snapshot_dir)
-    result = _scd2_merge(hist, new_versions, pks, attrs)
+    result = _scd2_merge(hist, new_versions, pks, attrs, carry)
     _atomic_write(result, path, use_csv=False)
     return spark.read.parquet(path)
 
@@ -140,20 +158,45 @@ def _scd2_merge(
     new_versions: DataFrame,
     pks: list[str],
     attrs: list[str],
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """The pure merge plan (factored so the plan-shape gate can
     inspect it before the store write): touched keys rebuild their
     full timeline, untouched keys bypass via a pk anti-join against
-    the (batch-bounded, broadcastable) key set."""
+    the (batch-bounded, broadcastable) key set. ``carry`` columns are
+    Type-1: per touched key, the value at the latest ``(valid_from,
+    __src)`` wins and overwrites every version (a batch-keyed
+    aggregate + join — batch-bounded like the rebuild itself)."""
+    carry = list(carry or [])
     if hist is not None:
+        stored_extras = [
+            c for c in hist.columns
+            if c not in pks and c not in attrs and c not in _META_COLS
+        ]
+        missing_from_batch = [c for c in stored_extras if c not in carry]
+        if missing_from_batch:
+            # overwriting stored carry values with implicit NULLs (or
+            # silently dropping the column) would corrupt history;
+            # demand the batch carry what the store carries
+            raise ValueError(
+                "scd2_upsert: batch lacks stored carry (Type-1) columns "
+                f"{missing_from_batch} — include them in the batch or widen "
+                "track_cols"
+            )
+        hist_carry = [
+            c if c in hist.columns
+            else F.lit(None).cast(new_versions.schema[c].dataType).alias(c)
+            for c in carry
+        ]
         batch_keys = new_versions.select(*pks).distinct()
         untouched = hist.join(
             F.broadcast(batch_keys), on=pks, how="left_anti"
-        ).select(*pks, *attrs, *_META_COLS)
+        ).select(*pks, *attrs, *hist_carry, *_META_COLS)
         touched = hist.join(
             F.broadcast(batch_keys), on=pks, how="left_semi"
         ).select(
-            *pks, *attrs, "valid_from", "row_hash", F.lit(0).alias("__src")
+            *pks, *attrs, *hist_carry,
+            "valid_from", "row_hash", F.lit(0).alias("__src"),
         )
         timeline = touched.unionByName(new_versions)
     else:
@@ -180,6 +223,25 @@ def _scd2_merge(
         collapsed.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__src")
-        .select(*pks, *attrs, *_META_COLS)
+        .select(*pks, *attrs, *carry, *_META_COLS)
     )
+    if carry:
+        # Type-1 in-place update: the latest effective carry values win
+        # across the key's WHOLE rebuilt timeline. Computed over the
+        # PRE-collapse timeline — a re-sent unchanged row collapses away
+        # yet its (newer) carry values must still apply. One row's
+        # values are taken atomically (struct max_by), so columns never
+        # mix across same-key rows.
+        latest = timeline.groupBy(*pks).agg(
+            F.max_by(
+                F.struct(*[F.col(c).alias(c) for c in carry]),
+                F.struct(F.col("valid_from"), F.col("__src")),
+            ).alias("__carry")
+        )
+        rebuilt = (
+            rebuilt.drop(*carry)
+            .join(latest, on=pks, how="left")
+            .select(*pks, *attrs, *[F.col(f"__carry.{c}").alias(c) for c in carry],
+                    *_META_COLS)
+        )
     return untouched.unionByName(rebuilt) if untouched is not None else rebuilt

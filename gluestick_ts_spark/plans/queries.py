@@ -159,18 +159,22 @@ def q_snapshot_upsert(spark, sf):
     """Snapshot merge semantics as ONE tagged union: the ``upsert``
     part is the reference's last-write-wins merge (§2.1 rows 18-20 —
     union old+new, keep-last per PK with new-beats-old ordering); the
-    ``scd2`` part is the history-preserving sibling
-    (operators/scd2.py): two deterministic batches flow through a REAL
-    on-disk SCD2 store (the materialization IS the operator, like
-    rollup_events_hourly) and the oracle states the RESULTING version
-    chains directly — changed keys carry a closed + an open version,
-    unchanged re-sends keep their original valid_from with no new
-    version, new keys open at batch 2."""
+    ``scd2`` part is the history-preserving sibling: two deterministic
+    batches flow through a REAL on-disk SCD2 store (the materialization
+    IS the operator, like rollup_events_hourly) and the oracle states
+    the RESULTING version chains directly — changed keys carry a
+    closed + an open version, unchanged re-sends keep their original
+    valid_from with no new version, new keys open at batch 2. Since
+    round 8 the store is the BUCKET-PARTITIONED layout
+    (operators/scd2_partitioned.py — the 100 TB path, where an upsert
+    rewrites only the buckets its keys hash to); it is row-identical
+    to the flat operators/scd2.py store by shared merge algebra, so
+    the oracle is unchanged."""
     import atexit
     import shutil
     import tempfile
 
-    from ..operators.scd2 import scd2_upsert
+    from ..operators.scd2_partitioned import scd2_upsert_partitioned as scd2_upsert
 
     o = _t(spark, sf, "orders")
     old = o.where(F.col("o_orderkey") % 3 != 0).select(

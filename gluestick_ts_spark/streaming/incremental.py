@@ -846,6 +846,8 @@ def stream_scd2(
     eff_ts: str = "ts",
     track_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
+    partitioned: bool = False,
+    n_buckets: int = 64,
 ) -> DataStreamWriter:
     """Continuously-maintained SCD Type 2 history: every micro-batch
     runs the batch ``scd2_upsert`` merge, so streaming and batch
@@ -855,18 +857,29 @@ def stream_scd2(
     protocol: re-applying a batch collapses onto the versions it
     already created (consecutive same-hash versions are dropped), so
     an at-least-once replay leaves the store byte-identical.
+    ``partitioned=True`` uses the bucket-partitioned store layout
+    (``scd2_upsert_partitioned``) so each micro-batch rewrites only
+    the buckets its keys hash to — the long-running-stream default at
+    scale, where the flat layout's full-store swap grows with history.
     foreachBatch serializes merges — single writer stream per store.
     Caller starts the returned writer.
     """
     from ..operators.scd2 import scd2_upsert
+    from ..operators.scd2_partitioned import scd2_upsert_partitioned
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        scd2_upsert(
-            batch_df, stream, snapshot_dir, pk=pk, eff_ts=eff_ts,
-            track_cols=track_cols,
-        )
+        if partitioned:
+            scd2_upsert_partitioned(
+                batch_df, stream, snapshot_dir, pk=pk, eff_ts=eff_ts,
+                track_cols=track_cols, n_buckets=n_buckets,
+            )
+        else:
+            scd2_upsert(
+                batch_df, stream, snapshot_dir, pk=pk, eff_ts=eff_ts,
+                track_cols=track_cols,
+            )
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

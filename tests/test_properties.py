@@ -278,15 +278,33 @@ def test_scd2_history_invariants(spark, tmp_path_factory, batches):
     consecutive versions always differ; and the final open version
     equals the key's last distinct value."""
     from gluestick_ts_spark.operators.scd2 import scd2_upsert
+    from gluestick_ts_spark.operators.scd2_partitioned import (
+        scd2_upsert_partitioned,
+    )
 
     d = str(tmp_path_factory.mktemp("scd2prop"))
+    dp = str(tmp_path_factory.mktemp("scd2prop_part"))
     last_hist = None
+    last_part = None
     for i, batch in enumerate(batches):
         ts = f"2024-01-{i + 1:02d} 00:00:00"
         b = spark.createDataFrame(
             [(k, v, ts) for k, v in batch], "id long, city string, ts string"
         )
         last_hist = scd2_upsert(b, "s", d, pk="id", eff_ts="ts")
+        last_part = scd2_upsert_partitioned(
+            b, "s", dp, pk="id", eff_ts="ts", n_buckets=4
+        )
+
+    # the bucket-partitioned layout is row-identical to the flat store
+    # for ANY batch sequence (shared merge algebra, pruned-but-
+    # sufficient history slice)
+    def _key(r):
+        return (r.id, r.city, str(r.valid_from), str(r.valid_to), r.is_current)
+
+    assert sorted(map(_key, last_part.collect())) == sorted(
+        map(_key, last_hist.collect())
+    )
 
     rows = last_hist.collect()
     per_key: dict = {}

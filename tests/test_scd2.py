@@ -153,3 +153,136 @@ def test_stream_scd2_matches_batch_and_survives_replay(spark, tmp_path):
     before = _hist_map(read_scd2(spark, "s", d_stream))
     run()
     assert _hist_map(read_scd2(spark, "s", d_stream)) == before
+
+
+def test_scd2_column_eff_ts_requires_track_cols(spark, tmp_path):
+    """A Column-typed eff_ts hides its source column from the default
+    attribute set — it would join the row_hash and open a spurious
+    version on every re-send with a later effective time. Refuse it
+    unless track_cols is explicit; with track_cols, replay stays
+    idempotent."""
+    import pytest
+
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "nyc", "2024-01-01 00:00:00")], "id long, city string, ts string"
+    )
+    with pytest.raises(ValueError, match="track_cols"):
+        scd2_upsert(b1, "s", d, pk="id", eff_ts=F.col("ts"))
+    h1 = scd2_upsert(
+        b1, "s", d, pk="id", eff_ts=F.col("ts"), track_cols=["city"]
+    )
+    assert h1.count() == 1
+    # unchanged re-send at a LATER effective time: still one version
+    b2 = spark.createDataFrame(
+        [(1, "nyc", "2024-02-01 00:00:00")], "id long, city string, ts string"
+    )
+    h2 = scd2_upsert(
+        b2, "s", d, pk="id", eff_ts=F.col("ts"), track_cols=["city"]
+    )
+    assert h2.count() == 1 and h2.first().is_current
+
+
+def test_scd2_untracked_cols_carry_type1(spark, tmp_path):
+    """Columns outside track_cols persist in the store as Type-1
+    attributes: updated in place across every version to the latest
+    effective value, never opening a version on their own."""
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "nyc", "x", "2024-01-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    h1 = scd2_upsert(b1, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+    assert [(r.city, r.note) for r in h1.collect()] == [("nyc", "x")]
+
+    # tracked change + note change: ONE new version, note updated on
+    # the closed version too (in place)
+    b2 = spark.createDataFrame(
+        [(1, "berlin", "y", "2024-02-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    h2 = scd2_upsert(b2, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+    rows = sorted((str(r.valid_from), r.city, r.note, r.is_current)
+                  for r in h2.collect())
+    assert rows == [
+        ("2024-01-01 00:00:00", "nyc", "y", False),
+        ("2024-02-01 00:00:00", "berlin", "y", True),
+    ]
+
+    # note-only change: NO new version, note updated everywhere,
+    # replaying the batch is still a no-op
+    b3 = spark.createDataFrame(
+        [(1, "berlin", "z", "2024-03-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    for _ in range(2):
+        h3 = scd2_upsert(b3, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+        rows = sorted((str(r.valid_from), r.city, r.note, r.is_current)
+                      for r in h3.collect())
+        assert rows == [
+            ("2024-01-01 00:00:00", "nyc", "z", False),
+            ("2024-02-01 00:00:00", "berlin", "z", True),
+        ]
+    # untouched keys keep their stored carry values
+    b4 = spark.createDataFrame(
+        [(2, "sf", "w", "2024-04-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    h4 = scd2_upsert(b4, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+    got = {(r.id, r.city, r.note) for r in h4.where("is_current").collect()}
+    assert got == {(1, "berlin", "z"), (2, "sf", "w")}
+
+    # a batch LACKING a stored carry column is refused (silently
+    # nulling stored Type-1 values would corrupt history)
+    import pytest
+
+    b5 = spark.createDataFrame(
+        [(1, "rome", "2024-05-01 00:00:00")], "id long, city string, ts string"
+    )
+    with pytest.raises(ValueError, match="carry"):
+        scd2_upsert(b5, "s", d, pk="id", eff_ts="ts", track_cols=["city"])
+
+
+def test_stream_scd2_partitioned_matches_batch_and_survives_replay(spark, tmp_path):
+    """partitioned=True: same history as the flat batch store, and a
+    crash-replayed micro-batch leaves it unchanged (merge algebra +
+    bucket-pruned rewrite)."""
+    import os
+
+    from gluestick_ts_spark.operators.scd2_partitioned import (
+        read_partitioned_scd2,
+    )
+    from gluestick_ts_spark.streaming.incremental import stream_scd2
+
+    src = str(tmp_path / "src")
+    d_stream = str(tmp_path / "stream")
+    d_batch = str(tmp_path / "batch")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, city string, ts string"
+    rows = [(1, "nyc", "2024-01-01 00:00:00"), (2, "sf", "2024-01-01 00:00:00")]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_scd2(stream, "s", d_stream, pk="id", eff_ts="ts",
+                        checkpoint_dir=ckpt, partitioned=True, n_buckets=4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    scd2_upsert(
+        spark.createDataFrame(rows, schema), "s", d_batch, pk="id", eff_ts="ts"
+    )
+    assert _hist_map(read_partitioned_scd2(spark, "s", d_stream)) == _hist_map(
+        read_scd2(spark, "s", d_batch)
+    )
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    before = _hist_map(read_partitioned_scd2(spark, "s", d_stream))
+    run()
+    assert _hist_map(read_partitioned_scd2(spark, "s", d_stream)) == before
