@@ -38,21 +38,19 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.fs import hadoop_path_exists, join_uri
+from .snapshot_partitioned import (
+    _BUCKET,
+    _bucket_expr,
+    _resolve_buckets,
+    write_store_buckets,
+)
 from .scd2 import _row_hash, _scd2_merge
 
 __all__ = ["scd2_upsert_partitioned", "read_partitioned_scd2"]
 
-_BUCKET = "__gs_bucket"
-
 
 def _store_path(stream: str, snapshot_dir: str) -> str:
     return join_uri(snapshot_dir, f"{stream}.scd2.bucketed.parquet")
-
-
-def _bucket_expr(pks: list[str], n_buckets: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(k) for k in pks]), F.lit(n_buckets)).cast(
-        "int"
-    )
 
 
 def read_partitioned_scd2(
@@ -73,7 +71,7 @@ def scd2_upsert_partitioned(
     pk: str | list[str] = "id",
     eff_ts: str | Column | None = None,
     track_cols: list[str] | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Merge a batch into the bucket-partitioned SCD2 history store and
     return the full post-merge history.
@@ -81,8 +79,11 @@ def scd2_upsert_partitioned(
     Semantics are identical to ``scd2_upsert`` (same merge plan, same
     Type-1 carry rules for untracked columns, same replay idempotency);
     the store layout bounds per-upsert IO by the batch's bucket fan-out
-    instead of history size. Size ``n_buckets`` so a bucket is a few GB
-    at the target scale.
+    instead of history size. ``n_buckets`` applies at store CREATION
+    only (default: auto-sized from the seed batch, ~500k rows/bucket)
+    and is frozen into the store's sidecar meta — size it so a bucket
+    is a few GB at the TARGET history volume; later upserts use the
+    frozen value and refuse a conflicting explicit one.
     """
     pks = [pk] if isinstance(pk, str) else list(pk)
     if eff_ts is None:
@@ -105,6 +106,7 @@ def scd2_upsert_partitioned(
     ]
     spark = batch.sparkSession
     path = _store_path(stream, snapshot_dir)
+    n_buckets = _resolve_buckets(spark, path, n_buckets, batch)
 
     new_versions = batch.select(
         *pks,
@@ -120,6 +122,7 @@ def scd2_upsert_partitioned(
             _BUCKET, _bucket_expr(pks, n_buckets)
         )
         first.write.partitionBy(_BUCKET).mode("overwrite").parquet(path)
+        write_store_buckets(spark, path, n_buckets)
         return read_partitioned_scd2(spark, stream, snapshot_dir)
 
     store_cols = set(spark.read.parquet(path).schema.names)

@@ -23,6 +23,7 @@ within-batch ties broken by ``monotonically_increasing_id``.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,10 +37,73 @@ __all__ = ["partitioned_snapshot_upsert", "read_partitioned_snapshot"]
 _BUCKET = "__gs_bucket"
 _SRC = "__gs_src"
 _SEQ = "__gs_seq"
+# underscore prefix: Spark's file index treats _-prefixed names as
+# hidden, so the sidecar never pollutes a parquet scan of the store dir
+_META_FILE = "_gs_store_meta.json"
+_ROWS_PER_BUCKET = 500_000
+_MAX_AUTO_BUCKETS = 1024
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def auto_n_buckets(batch: DataFrame) -> int:
+    """Bucket count sized from the SEED batch (~500k rows/bucket,
+    capped at 1024): a tiny store stays a handful of files instead of
+    64 near-empty dirs, a large seed spreads immediately. If the store
+    will grow far past its seed, pass an explicit count sized for the
+    TARGET volume — the count is frozen at creation."""
+    rows = batch.count()
+    return max(1, min(_MAX_AUTO_BUCKETS, -(-rows // _ROWS_PER_BUCKET)))
+
+
+def write_store_buckets(spark: SparkSession, path: str, n_buckets: int) -> None:
+    """Freeze the store's bucket count into its sidecar meta. Bucket
+    membership is pmod(xxhash64(pk), n_buckets) — a later caller using
+    a DIFFERENT count would prune the wrong partitions silently, so
+    the creation-time value is the store's law."""
+    from ..sources.fs import write_text_file
+
+    write_text_file(
+        spark, join_uri(path, _META_FILE), json.dumps({"n_buckets": int(n_buckets)})
+    )
+
+
+def read_store_buckets(spark: SparkSession, path: str) -> int | None:
+    """The frozen bucket count, or None for stores created before the
+    sidecar existed (callers then fall back to their own value, which
+    legacy stores always passed consistently)."""
+    from ..sources.fs import read_hidden_text_file
+
+    if not hadoop_path_exists(spark, join_uri(path, _META_FILE)):
+        return None
+    return int(
+        json.loads(read_hidden_text_file(spark, join_uri(path, _META_FILE)))[
+            "n_buckets"
+        ]
+    )
+
+
+def _resolve_buckets(
+    spark: SparkSession, path: str, requested: int | None, batch: DataFrame
+) -> int:
+    """Frozen store value if the store exists (raising on an explicit
+    conflicting request); otherwise the requested value or the
+    auto-sized default."""
+    if hadoop_path_exists(spark, path):
+        frozen = read_store_buckets(spark, path)
+        if frozen is not None:
+            if requested is not None and int(requested) != frozen:
+                raise ValueError(
+                    f"store at {path} was created with n_buckets={frozen}; "
+                    f"got n_buckets={requested} — bucket membership is a "
+                    "function of the frozen count, a mismatch silently "
+                    "prunes the wrong partitions"
+                )
+            return frozen
+        return int(requested) if requested is not None else 64
+    return int(requested) if requested is not None else auto_n_buckets(batch)
 
 
 def _snapshot_path(stream: str, snapshot_dir: str) -> str:
@@ -64,7 +128,7 @@ def partitioned_snapshot_upsert(
     stream: str,
     snapshot_dir: str,
     pk: str | list[str] = "id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     **_: Any,
 ) -> DataFrame:
     """Merge a batch into the bucket-partitioned snapshot and return
@@ -72,14 +136,20 @@ def partitioned_snapshot_upsert(
 
     Semantics match ``snapshot_records`` (batch beats snapshot per PK);
     cost is bounded by the batch's bucket fan-out, not snapshot size.
+    ``n_buckets`` applies at store CREATION only (default: auto-sized
+    from the seed batch, ~500k rows/bucket) and is frozen into the
+    store's sidecar meta; later upserts use the frozen value and
+    refuse a conflicting explicit one.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
     spark = stream_data.sparkSession
     path = _snapshot_path(stream, snapshot_dir)
+    n_buckets = _resolve_buckets(spark, path, n_buckets, stream_data)
     batch = stream_data.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
 
     if not hadoop_path_exists(spark, path):
         batch.write.partitionBy(_BUCKET).mode("overwrite").parquet(path)
+        write_store_buckets(spark, path, n_buckets)
         return read_partitioned_snapshot(spark, stream, snapshot_dir)
 
     # Affected buckets: ≤ n_buckets ints — the one driver-side collect.

@@ -18,6 +18,7 @@ __all__ = [
     "hadoop_path_exists",
     "join_uri",
     "write_text_file",
+    "read_hidden_text_file",
     "read_text_file",
     "rename_path",
     "delete_path",
@@ -101,3 +102,18 @@ def read_text_file(spark: SparkSession, path: str) -> str:
     bytearray."""
     rows = spark.read.text(path).collect()
     return "\n".join(r.value for r in rows)
+
+
+def read_hidden_text_file(spark: SparkSession, path: str) -> str:
+    """Read a small text file that Spark's listing treats as hidden
+    (``_``/``.``-prefixed sidecars inside data directories) —
+    ``spark.read.text`` silently returns nothing for those. Routes the
+    whole file through commons-io IOUtils (py4j passes the byte[] back
+    by value), so use only for driver-side metadata."""
+    fs, hpath = _fs_and_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        data = bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return data.decode("utf-8")

@@ -847,7 +847,7 @@ def stream_scd2(
     track_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
     partitioned: bool = False,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataStreamWriter:
     """Continuously-maintained SCD Type 2 history: every micro-batch
     runs the batch ``scd2_upsert`` merge, so streaming and batch

@@ -142,3 +142,47 @@ def test_partitioned_carry_and_column_eff_ts_parity(spark, tmp_path):
     )
     assert h2.where("id = 1").count() == 2
     assert {r.note for r in h2.where("id = 1").collect()} == {"n2"}
+
+
+def test_bucket_count_frozen_in_store_meta(spark, tmp_path):
+    """n_buckets is the store's law: frozen at creation (auto-sized
+    when omitted), honored by later upserts that omit it, and a
+    CONFLICTING explicit value is refused — bucket membership is a
+    function of the frozen count, so a mismatch would silently prune
+    the wrong partitions."""
+    import os
+
+    d = str(tmp_path)
+    seed = spark.createDataFrame(
+        [(i, f"c{i}", "2024-01-01 00:00:00") for i in range(50)], SCHEMA
+    )
+    scd2_upsert_partitioned(seed, "s", d, pk="id", eff_ts="ts", n_buckets=8)
+    store = os.path.join(d, "s.scd2.bucketed.parquet")
+    assert os.path.exists(os.path.join(store, "_gs_store_meta.json"))
+
+    # omitted n_buckets: frozen value reused (8 bucket dirs, no more)
+    b2 = spark.createDataFrame([(1, "x", "2024-02-01 00:00:00")], SCHEMA)
+    scd2_upsert_partitioned(b2, "s", d, pk="id", eff_ts="ts")
+    dirs = {n for n in os.listdir(store) if n.startswith("__gs_bucket=")}
+    assert len(dirs) == 8
+
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        scd2_upsert_partitioned(b2, "s", d, pk="id", eff_ts="ts", n_buckets=16)
+
+    # auto-sizing: a tiny seed gets ONE bucket, not 64 near-empty dirs
+    d2 = str(tmp_path / "auto")
+    scd2_upsert_partitioned(seed, "s", d2, pk="id", eff_ts="ts")
+    store2 = os.path.join(d2, "s.scd2.bucketed.parquet")
+    dirs2 = {n for n in os.listdir(store2) if n.startswith("__gs_bucket=")}
+    assert len(dirs2) == 1
+
+    # same contract on the LWW partitioned snapshot store
+    from gluestick_ts_spark.operators.snapshot_partitioned import (
+        partitioned_snapshot_upsert,
+    )
+
+    snap = spark.createDataFrame([(i, i * 2) for i in range(10)], "id long, v long")
+    partitioned_snapshot_upsert(snap, "t", d, pk="id", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        partitioned_snapshot_upsert(snap, "t", d, pk="id", n_buckets=8)
+    partitioned_snapshot_upsert(snap, "t", d, pk="id")  # frozen value OK
