@@ -31,6 +31,15 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES: ``sessionize_events`` gained the
+``gapfill`` leg (time-series resample + zero/locf fill over a dense
+15-minute spine, operators/timeseries.py), so its earlier numbers
+cover three of its four parts; ``snapshot_upsert``'s scd2 leg now
+materializes the BUCKET-PARTITIONED history store
+(operators/scd2_partitioned.py) instead of the flat one — same merge,
+different sink layout. (``semi_anti_join_customers`` also gained the
+edit-distance fuzzy-join leg but is not in the bench set.)
+
 ROUND-7 DRIFT RESOLVED (round-8 investigation): the uniform one-sided
 ~1.1-1.2x drift on content-stable queries in the round-7 driver run was
 CONCURRENT BOX LOAD, not a conf or code regression — the effective

@@ -95,6 +95,11 @@ from .operators.bpe import (
 )
 from .operators.frequent import heavy_hitters
 from .operators.profile import bigram_pmi, corpus_profile, unigram_logprob_scores
+from .operators.linkage import (
+    deletion_variants_expr,
+    edit_distance_join,
+    edit_distance_self_join,
+)
 from .operators.scd2 import read_scd2, scd2_asof, scd2_upsert
 from .operators.scd2_partitioned import (
     read_partitioned_scd2,
@@ -129,6 +134,7 @@ from .operators.similarity import (
 )
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
+from .operators.timeseries import resample_gapfill, time_bucket_expr
 from .operators.snapshot_partitioned import (
     partitioned_snapshot_upsert,
     read_partitioned_snapshot,
@@ -219,11 +225,16 @@ __all__ = [
     "train_logreg",
     "compact_rollup",
     "read_rollup",
+    "deletion_variants_expr",
+    "edit_distance_join",
+    "edit_distance_self_join",
     "read_partitioned_scd2",
     "read_scd2",
     "scd2_asof",
     "scd2_upsert",
     "scd2_upsert_partitioned",
+    "resample_gapfill",
+    "time_bucket_expr",
     "refresh_rollup",
     "rollup_aggregate",
     "write_rollup",

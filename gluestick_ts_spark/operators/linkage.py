@@ -1,0 +1,152 @@
+"""Record linkage: distributed edit-distance joins without a cross join.
+
+"Which records are the same entity despite typos?" is the entity-
+resolution primitive ETL platforms bolt on next to snapshots — match
+customer names across syncs, link suppliers to master data, dedupe
+free-text keys. The naive formulation is a cross join with a
+``levenshtein`` filter: quadratic, and the first thing to die at scale.
+
+This module uses DELETION-NEIGHBORHOOD blocking (the SymSpell trick,
+Garbe 2012, itself the FastSS scheme of Bocek et al. 2007): if
+``levenshtein(a, b) <= d`` then ``a`` and ``b`` share at least one
+common variant among the strings obtained by deleting at most ``d``
+characters from each — substitutions delete the mismatched position
+from both sides, insertions/deletions delete from the longer side. So:
+
+1. each side explodes into its ``<= d``-deletion variants
+   (``1 + L + L(L-1)/2`` strings for d=2 — linear per row, exactly
+   enumerable in-plan as Column math, no UDF);
+2. variants ride as 16-byte md5 keys into ONE equi-join (the only
+   shuffle over candidate pairs; variant text itself never shuffles);
+3. candidate pairs dedupe on (id_a, id_b) BEFORE verification, then
+   the exact built-in ``levenshtein`` (JVM codegen) keeps pairs with
+   true distance ``<= d``.
+
+The candidate set is a strict SUPERSET of the true result (deletion
+sharing can overshoot — "ab"/"ba" share a variant at d=1 but have
+distance 2 — which is why the verify step is not optional), so the
+output is EXACT and partitioning-independent: the blocking only
+proposes, ``levenshtein`` disposes — the same candidate+verify
+contract as ``heavy_hitters`` and MinHash→Jaccard.
+
+Scale notes: variant count per row is ~``L²/2`` at d=2 — keep d=2 for
+keys (names, codes), not documents; a variant shared by k strings
+yields ~k² candidates, so templated corpora concentrate cost exactly
+where the true output is dense (the output itself is quadratic there —
+an inherent property of the PROBLEM, not the plan). No driver-side
+collect anywhere.
+
+No reference counterpart (extension op — entity-resolution family
+beside the dedup grains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deletion_variants_expr", "edit_distance_join", "edit_distance_self_join"]
+
+
+def deletion_variants_expr(col: str | Column, max_dist: int = 1) -> Column:
+    """All distinct strings reachable by deleting at most ``max_dist``
+    characters (including the original), as an array — pure in-row
+    Column math. ``max_dist`` 1 or 2."""
+    s = F.col(col) if isinstance(col, str) else col
+    length = F.length(s)
+    one = F.lit(1)
+
+    def drop1(src: Column, src_len: Column) -> Column:
+        # variant i = src without its i-th char (1-based)
+        return F.transform(
+            F.sequence(one, src_len),
+            lambda i: F.concat(
+                src.substr(one, i - 1), src.substr(i + 1, src_len)
+            ),
+        )
+
+    if max_dist == 1:
+        variants = F.concat(F.array(s), drop1(s, length))
+    elif max_dist == 2:
+        # delete positions i < j in one expression: s[1..i-1] +
+        # s[i+1..j-1] + s[j+1..]; plus all single deletions + original
+        d2 = F.flatten(
+            F.transform(
+                F.sequence(one, length),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.greatest(length, i + 1)),
+                    lambda j: F.when(
+                        j <= length,
+                        F.concat(
+                            s.substr(one, i - 1),
+                            s.substr(i + 1, j - i - 1),
+                            s.substr(j + 1, length),
+                        ),
+                    ),
+                ),
+            )
+        )
+        variants = F.concat(
+            F.array(s), drop1(s, length), F.filter(d2, lambda x: x.isNotNull())
+        )
+    else:
+        raise ValueError(
+            f"deletion_variants_expr: max_dist must be 1 or 2 (got {max_dist}) "
+            "— the deletion neighborhood grows O(L^max_dist) per row"
+        )
+    return F.array_distinct(variants)
+
+
+def _variant_side(df: DataFrame, on: str, id_col: str, max_dist: int, tag: str):
+    return df.where(F.col(on).isNotNull()).select(
+        F.col(id_col).alias(f"id_{tag}"),
+        F.col(on).alias(f"val_{tag}"),
+        F.explode(deletion_variants_expr(on, max_dist)).alias("__var"),
+    ).withColumn("__vk", F.md5("__var")).drop("__var")
+
+
+def edit_distance_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Exact ``levenshtein(a.on, b.on) <= max_dist`` join of two
+    relations as ``(id_a, val_a, id_b, val_b, dist)`` — deletion-
+    neighborhood candidates, md5-keyed equi-join, pair-dedup, built-in
+    ``levenshtein`` verify. Never a cross join."""
+    va = _variant_side(a, on, id_col, max_dist, "a")
+    vb = _variant_side(b, on, id_col, max_dist, "b")
+    cands = (
+        va.join(vb, on="__vk")
+        .drop("__vk")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.withColumn(
+        "dist", F.levenshtein("val_a", "val_b")
+    ).where(F.col("dist") <= int(max_dist))
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    on: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self-join variant: each unordered pair once (``id_a < id_b``),
+    no self-pairs — the order filter runs BEFORE pair-dedup, halving
+    the candidate shuffle."""
+    va = _variant_side(df, on, id_col, max_dist, "a")
+    vb = va.select(
+        F.col("id_a").alias("id_b"), F.col("val_a").alias("val_b"), "__vk"
+    )
+    cands = (
+        va.join(vb, on="__vk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("__vk")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.withColumn(
+        "dist", F.levenshtein("val_a", "val_b")
+    ).where(F.col("dist") <= int(max_dist))

@@ -1,0 +1,159 @@
+"""Time-series resampling: bucketed aggregates over a GAPLESS spine.
+
+A raw event stream has no rows for quiet periods, so "events per hour"
+silently skips empty hours — poison for charting, anomaly baselines,
+and window features. The fix every time-series engine ships (Timescale
+``time_bucket_gapfill``, InfluxD ``fill()``, QuestDB ``SAMPLE BY …
+FILL``) is: bucket, aggregate, then LEFT-join the aggregate onto a
+dense bucket spine and fill the holes.
+
+Spark-first shape, all engine-level:
+
+1. bucket = ``F.window(ts, interval).start`` (tumbling; in-row);
+2. ONE map-side-combined aggregate per (key, bucket);
+3. the spine comes from each key's (min, max) bucket — a per-key
+   2-value aggregate — exploded via ``sequence(min, max, interval)``
+   (buckets per key rows, never a driver collect; a global spine via
+   ``spine='global'`` crosses every key with the corpus min/max —
+   1 tiny 2-value agg broadcast onto the distinct-key relation);
+4. fills: ``zero`` (coalesce), ``null`` (leave), ``locf`` — last
+   observation carried forward via ``F.last(ignorenulls=True)`` over a
+   per-key ordered window (the bucket spine is dense, so one window
+   pass settles every gap), and ``linear`` — interpolation between the
+   surrounding observations from the SAME locf window pair (previous
+   value+bucket, next value+bucket via a mirrored ``F.first`` over the
+   following frame), pure in-row arithmetic afterwards.
+
+The per-key windows order by bucket WITHIN a key partition — the same
+key-hash shuffle the aggregate already produced; nothing ever sorts
+globally.
+
+No reference counterpart (extension op — time-series family beside
+sessionization, funnels and rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["time_bucket_expr", "resample_gapfill"]
+
+_FILLS = ("null", "zero", "locf", "linear")
+
+
+def time_bucket_expr(ts_col: str | Column, interval: str) -> Column:
+    """Tumbling-window bucket start for ``ts_col`` (e.g. interval
+    ``'15 minutes'``, ``'1 hour'``) — in-row, no shuffle."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.window(c, interval)["start"]
+
+
+def resample_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    aggs: dict[str, Column],
+    group_cols: list[str] | None = None,
+    fill: str = "zero",
+    spine: str = "per_key",
+) -> DataFrame:
+    """Bucketed aggregate over a dense spine: one row per (key, bucket)
+    for EVERY bucket between the key's first and last observation
+    (``spine='per_key'``) or the corpus-wide min/max (``'global'``),
+    holes filled per ``fill``:
+
+    - ``'null'``: aggregate columns NULL on gap rows;
+    - ``'zero'``: zero-filled (counts/sums semantics);
+    - ``'locf'``: last observation carried forward (NULL before the
+      first observation);
+    - ``'linear'``: linear interpolation between the surrounding
+      observations (NULL outside them) — aggregate values must be
+      numeric.
+
+    ``aggs`` maps output column name → aggregate Column (e.g. ``{"cnt":
+    F.count('*'), "amt": F.sum('v')}``). Gap rows carry ``is_gap =
+    true``. Output: ``group_cols + [bucket] + list(aggs) + [is_gap]``.
+    """
+    if fill not in _FILLS:
+        raise ValueError(f"resample_gapfill: fill must be one of {_FILLS}")
+    if spine not in ("per_key", "global"):
+        raise ValueError("resample_gapfill: spine must be 'per_key' or 'global'")
+    keys = list(group_cols or [])
+    step = F.expr(f"interval {interval}")
+
+    agged = (
+        df.withColumn("bucket", time_bucket_expr(ts_col, interval))
+        .groupBy(*keys, "bucket")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+
+    if spine == "per_key" and keys:
+        spans = agged.groupBy(*keys).agg(
+            F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+        )
+    else:
+        lo_hi = agged.agg(
+            F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+        )
+        spans = (
+            agged.select(*keys).distinct().crossJoin(F.broadcast(lo_hi))
+            if keys
+            else lo_hi
+        )
+    spine_df = spans.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("bucket"),
+    )
+
+    out = spine_df.join(agged, on=[*keys, "bucket"], how="left")
+    names = list(aggs)
+    is_gap = F.col(names[0]).isNull() if names else F.lit(False)
+    out = out.withColumn("is_gap", is_gap)
+
+    if fill == "zero":
+        out = out.select(
+            *keys, "bucket",
+            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in names],
+            "is_gap",
+        )
+    elif fill == "locf":
+        w = (
+            Window.partitionBy(*keys).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            *keys, "bucket",
+            *[F.last(F.col(n), ignorenulls=True).over(w).alias(n) for n in names],
+            "is_gap",
+        )
+    elif fill == "linear":
+        wb = (
+            Window.partitionBy(*keys).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys).orderBy("bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = []
+        pos = F.unix_timestamp("bucket").cast("double")
+        for n in names:
+            obs = F.when(~F.col("is_gap"), F.struct(F.col(n).alias("v"), pos.alias("t")))
+            prev = F.last(obs, ignorenulls=True).over(wb)
+            nxt = F.first(obs, ignorenulls=True).over(wf)
+            frac = (pos - prev["t"]) / (nxt["t"] - prev["t"])
+            filled.append(
+                F.when(~F.col("is_gap"), F.col(n))
+                .otherwise(
+                    F.when(
+                        prev.isNotNull() & nxt.isNotNull(),
+                        prev["v"] + (nxt["v"] - prev["v"]) * frac,
+                    )
+                )
+                .alias(n)
+            )
+        out = out.select(*keys, "bucket", *filled, "is_gap")
+    else:  # "null"
+        out = out.select(*keys, "bucket", *names, "is_gap")
+    return out

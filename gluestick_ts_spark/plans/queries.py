@@ -383,13 +383,23 @@ def q_semi_anti_join_customers(spark, sf):
     """The non-inner join family as ONE tagged union (registry-folding
     pattern): customers without any order ('anti', left-anti join),
     customers with at least one order > 300k ('semi', left-semi join),
-    and the full-outer-join match-class census ('full_outer' — counts
-    of matched / customer-only / order-only keys in one row)."""
+    the full-outer-join match-class census ('full_outer' — counts of
+    matched / customer-only / order-only keys in one row), and the
+    'fuzzy' part — the EXACT edit-distance<=1 self-join of customer
+    names (operators/linkage.py: deletion-neighborhood blocking +
+    levenshtein verify, never a cross join; the oracle IS the cross
+    join with a levenshtein filter, which is the whole point —
+    identical output, quadratic only on the oracle side).
+    ``fuzzy_custkey`` is the matched partner, ``edit_dist`` the true
+    distance; both NULL on the other parts."""
+    from ..operators.linkage import edit_distance_self_join
+
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     nulls = [
         F.lit(None).cast("long").alias(n)
-        for n in ("n_matched", "n_cust_only", "n_order_only")
+        for n in ("n_matched", "n_cust_only", "n_order_only",
+                  "fuzzy_custkey", "edit_dist")
     ]
     anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", F.lit("anti").alias("op"), *nulls
@@ -413,8 +423,21 @@ def q_semi_anti_join_customers(spark, sf):
         "n_matched",
         "n_cust_only",
         "n_order_only",
+        F.lit(None).cast("long").alias("fuzzy_custkey"),
+        F.lit(None).cast("long").alias("edit_dist"),
     )
-    return anti.unionByName(semi).unionByName(fo)
+    fz = edit_distance_self_join(
+        c.select("c_custkey", "c_name"), "c_name", "c_custkey", max_dist=1
+    ).select(
+        F.col("id_a").alias("c_custkey"),
+        F.lit("fuzzy").alias("op"),
+        F.lit(None).cast("long").alias("n_matched"),
+        F.lit(None).cast("long").alias("n_cust_only"),
+        F.lit(None).cast("long").alias("n_order_only"),
+        F.col("id_b").alias("fuzzy_custkey"),
+        F.col("dist").cast("long").alias("edit_dist"),
+    )
+    return anti.unionByName(semi).unionByName(fo).unionByName(fz)
 
 
 def q_window_funcs_orders(spark, sf):
@@ -531,10 +554,20 @@ def q_sessionize_events(spark, sf):
     signup -> view -> purchase -> click -> error, per-step
     reached-user counts; the ``retention`` part is the weekly cohort
     matrix (retention_matrix — users cohorted by first-event week,
-    distinct-active counts per (cohort, week offset)). Timestamps are collision-free per user in the
-    test data, so the oracle's earliest-match min-ts cascade is
-    exactly the fold's greedy semantics."""
+    distinct-active counts per (cohort, week offset)); the ``gapfill``
+    part is time-series resampling (operators/timeseries.py) — events
+    thinned to minutes 0-9 of each hour (a deterministic gap pattern),
+    bucketed per event_type into a DENSE 15-minute spine between the
+    type's first and last bucket, zero-filled counts riding ``n_users``
+    and the last-observation-carried-forward count riding
+    ``period_offset`` (column reuse per the folding pattern;
+    ``cohort_week`` carries the bucket timestamp, ``is_gap`` marks
+    spine-only rows and is NULL on the other parts). Timestamps are
+    collision-free per user in the test data, so the oracle's
+    earliest-match min-ts cascade is exactly the fold's greedy
+    semantics."""
     from ..operators.funnel import funnel_counts, retention_matrix
+    from ..operators.timeseries import resample_gapfill
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -583,7 +616,33 @@ def q_sessionize_events(spark, sf):
         F.date_format("cohort_period", "yyyy-MM-dd").alias("cohort_week"),
         "period_offset",
     )
-    return sess.unionByName(fun).unionByName(ret)
+    sparse = ev.where(F.minute("ts") < 10)
+    zf = resample_gapfill(
+        sparse, "ts", "15 minutes", {"cnt": F.count("*")},
+        group_cols=["event_type"], fill="zero",
+    )
+    lf = resample_gapfill(
+        sparse, "ts", "15 minutes", {"cnt": F.count("*")},
+        group_cols=["event_type"], fill="locf",
+    ).select("event_type", "bucket", F.col("cnt").alias("cnt_locf"))
+    gap = zf.join(lf, on=["event_type", "bucket"]).select(
+        F.lit("gapfill").alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.lit(None).cast("long").alias("step_idx"),
+        F.col("event_type").alias("step"),
+        F.col("cnt").cast("long").alias("n_users"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+        F.col("cnt_locf").cast("long").alias("period_offset"),
+        F.col("is_gap"),
+    )
+    return (
+        sess.withColumn("is_gap", F.lit(None).cast("boolean"))
+        .unionByName(fun.withColumn("is_gap", F.lit(None).cast("boolean")))
+        .unionByName(ret.withColumn("is_gap", F.lit(None).cast("boolean")))
+        .unionByName(gap)
+    )
 
 
 def q_asof_join_orders(spark, sf):
@@ -2302,7 +2361,7 @@ def _dedup_exact_docs_part(which: str) -> QueryFn:
 QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     "sessionize_events": {
         p: _tag_part("sessionize_events", "part", p)
-        for p in ("sess", "funnel", "retention")
+        for p in ("sess", "funnel", "retention", "gapfill")
     },
     "stats_agg_orders": {
         p: _tag_part("stats_agg_orders", "part", p) for p in ("stats", "topk")
@@ -2544,12 +2603,16 @@ ORACLES: dict[str, str] = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
     ),
     "semi_anti_join_customers": (
+        # the fuzzy leg's oracle IS the quadratic formulation the Spark
+        # operator exists to avoid: cross join + levenshtein filter
         "SELECT c_custkey, 'anti' AS op, CAST(NULL AS BIGINT) AS n_matched, "
-        "CAST(NULL AS BIGINT) AS n_cust_only, CAST(NULL AS BIGINT) AS n_order_only "
+        "CAST(NULL AS BIGINT) AS n_cust_only, CAST(NULL AS BIGINT) AS n_order_only, "
+        "CAST(NULL AS BIGINT) AS fuzzy_custkey, CAST(NULL AS BIGINT) AS edit_dist "
         "FROM customer c WHERE NOT EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
         "UNION ALL "
         "SELECT c_custkey, 'semi' AS op, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) "
         "FROM customer c WHERE EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
@@ -2558,10 +2621,18 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(NULL AS BIGINT) AS c_custkey, 'full_outer' AS op, "
         "COUNT(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 END), "
         "COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END), "
-        "COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) "
+        "COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) "
         "FROM customer c FULL OUTER JOIN "
         "(SELECT DISTINCT o_custkey FROM orders) o "
-        "ON c.c_custkey = o.o_custkey"
+        "ON c.c_custkey = o.o_custkey "
+        "UNION ALL "
+        "SELECT a.c_custkey, 'fuzzy' AS op, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+        "b.c_custkey, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) "
+        "FROM customer a JOIN customer b "
+        "ON a.c_custkey < b.c_custkey "
+        "AND levenshtein(a.c_name, b.c_name) <= 1"
     ),
     "window_funcs_orders": (
         "SELECT o_custkey, o_orderkey, o_totalprice, "
@@ -2631,7 +2702,8 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT) AS step_idx, CAST(NULL AS VARCHAR) AS step, "
         "CAST(NULL AS BIGINT) AS n_users, "
         "CAST(NULL AS VARCHAR) AS cohort_week, "
-        "CAST(NULL AS BIGINT) AS period_offset "
+        "CAST(NULL AS BIGINT) AS period_offset, "
+        "CAST(NULL AS BOOLEAN) AS is_gap "
         "FROM (SELECT user_id, event_id, ts, CASE WHEN lag(epoch_us(ts)) OVER ("
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER ("
@@ -2639,18 +2711,19 @@ ORACLES: dict[str, str] = {
         "THEN 1 ELSE 0 END AS new_sess FROM events) t "
         "UNION ALL "
         "SELECT 'funnel', NULL, NULL, NULL, 1, 'signup', "
-        "(SELECT COUNT(*) FROM s1), NULL, NULL "
+        "(SELECT COUNT(*) FROM s1), NULL, NULL, CAST(NULL AS BOOLEAN) "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 2, 'view', "
-        "(SELECT COUNT(*) FROM s2), NULL, NULL "
+        "(SELECT COUNT(*) FROM s2), NULL, NULL, CAST(NULL AS BOOLEAN) "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 3, 'purchase', "
-        "(SELECT COUNT(*) FROM s3), NULL, NULL "
+        "(SELECT COUNT(*) FROM s3), NULL, NULL, CAST(NULL AS BOOLEAN) "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 4, 'click', "
-        "(SELECT COUNT(*) FROM s4), NULL, NULL "
+        "(SELECT COUNT(*) FROM s4), NULL, NULL, CAST(NULL AS BOOLEAN) "
         "UNION ALL SELECT 'funnel', NULL, NULL, NULL, 5, 'error', "
-        "(SELECT COUNT(*) FROM s5), NULL, NULL "
+        "(SELECT COUNT(*) FROM s5), NULL, NULL, CAST(NULL AS BOOLEAN) "
         "UNION ALL "
         "SELECT 'retention', NULL, NULL, NULL, NULL, NULL, "
-        "rr.n_users, rr.cohort_week, rr.period_offset FROM ("
+        "rr.n_users, rr.cohort_week, rr.period_offset, "
+        "CAST(NULL AS BOOLEAN) FROM ("
         "SELECT strftime(co.c, '%Y-%m-%d') AS cohort_week, "
         "CAST(floor(date_diff('day', co.c, date_trunc('week', e.ts)) / 7) "
         "AS BIGINT) AS period_offset, "
@@ -2658,7 +2731,28 @@ ORACLES: dict[str, str] = {
         "FROM events e JOIN ("
         "SELECT user_id, MIN(date_trunc('week', ts)) AS c "
         "FROM events GROUP BY user_id) co USING (user_id) "
-        "GROUP BY cohort_week, period_offset) rr"
+        "GROUP BY cohort_week, period_offset) rr "
+        "UNION ALL "
+        "SELECT 'gapfill', NULL, NULL, NULL, NULL, g.step, g.n_users, "
+        "g.cohort_week, g.period_offset, g.is_gap FROM ("
+        "WITH sp AS (SELECT event_type, "
+        "time_bucket(INTERVAL 15 MINUTE, ts) AS b "
+        "FROM events WHERE extract(minute FROM ts) < 10), "
+        "cnts AS (SELECT event_type, b, COUNT(*) AS cnt "
+        "FROM sp GROUP BY event_type, b), "
+        "spine AS (SELECT event_type, "
+        "unnest(generate_series(mn, mx, INTERVAL 15 MINUTE)) AS b "
+        "FROM (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx "
+        "FROM cnts GROUP BY event_type)), "
+        "j AS (SELECT s.event_type, s.b, c.cnt "
+        "FROM spine s LEFT JOIN cnts c USING (event_type, b)) "
+        "SELECT event_type AS step, "
+        "CAST(COALESCE(cnt, 0) AS BIGINT) AS n_users, "
+        "strftime(b, '%Y-%m-%d %H:%M:%S') AS cohort_week, "
+        "last_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type "
+        "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS period_offset, "
+        "cnt IS NULL AS is_gap FROM j) g"
     ),
     "asof_join_orders": (
         "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("

@@ -117,14 +117,32 @@ def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
 
 def test_sessionize_union_keeps_user_keyed_shuffles_only(spark, sf_dir):
     """The behavioral-analytics union (sessionize + funnel +
-    retention) must key every hash exchange on its analysis keys —
-    user id (sess window, funnel/cohort aggregates and join) or the
-    tiny (cohort, offset) pair — never on anything wider."""
+    retention + gapfill) must key every hash exchange on its analysis
+    keys — user id (sess window, funnel/cohort aggregates and join),
+    the tiny (cohort, offset) pair, or the gapfill leg's (event_type[,
+    bucket]) keys — never on anything wider, and never a global sort
+    (the gapfill windows order WITHIN key partitions only)."""
     plan = _plan(spark, sf_dir, "sessionize_events")
     hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
     assert hashed and all(
-        ("user_id" in a) or ("__u" in a) or ("cohort" in a) for a in hashed
+        ("user_id" in a) or ("__u" in a) or ("cohort" in a)
+        or ("event_type" in a)
+        for a in hashed
     ), hashed
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_fuzzy_join_leg_never_cross_joins(spark, sf_dir):
+    """The edit-distance leg's ORACLE is the quadratic cross join; the
+    Spark plan must instead equi-join 16-byte deletion-variant keys —
+    no cartesian/nested-loop joins anywhere in the union, and no hash
+    exchange ever keys on the raw name column."""
+    plan = _plan(spark, sf_dir, "semi_anti_join_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert all("c_name" not in a and "val_" not in a for a in hashed), hashed
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
 

@@ -1,0 +1,104 @@
+"""Resample + gap-fill: dense spine, hand-computed fills, per-key vs
+global spine, and a key-partitioned (never global) sort plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.timeseries import resample_gapfill
+
+ROWS = [
+    # key a: observations at 00:00, 00:30 (gap at 00:15)
+    ("a", "2024-01-01 00:00:10", 10.0),
+    ("a", "2024-01-01 00:00:50", 30.0),
+    ("a", "2024-01-01 00:30:00", 50.0),
+    # key b: single observation
+    ("b", "2024-01-01 00:45:00", 7.0),
+]
+
+
+@pytest.fixture()
+def ts_df(spark):
+    return spark.createDataFrame(ROWS, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+
+
+def _m(df):
+    return {
+        (r.k, str(r.bucket)): (r.cnt, r.amt, r.is_gap) for r in df.collect()
+    }
+
+
+def test_zero_fill_dense_spine(ts_df):
+    out = resample_gapfill(
+        ts_df, "ts", "15 minutes",
+        {"cnt": F.count("*"), "amt": F.sum("v")}, group_cols=["k"],
+    )
+    m = _m(out)
+    assert m == {
+        ("a", "2024-01-01 00:00:00"): (2, 40.0, False),
+        ("a", "2024-01-01 00:15:00"): (0, 0.0, True),
+        ("a", "2024-01-01 00:30:00"): (1, 50.0, False),
+        ("b", "2024-01-01 00:45:00"): (1, 7.0, False),
+    }
+
+
+def test_locf_and_null_fills(ts_df):
+    locf = resample_gapfill(
+        ts_df, "ts", "15 minutes",
+        {"cnt": F.count("*"), "amt": F.sum("v")}, group_cols=["k"], fill="locf",
+    )
+    assert _m(locf)[("a", "2024-01-01 00:15:00")] == (2, 40.0, True)
+    nul = resample_gapfill(
+        ts_df, "ts", "15 minutes",
+        {"cnt": F.count("*"), "amt": F.sum("v")}, group_cols=["k"], fill="null",
+    )
+    assert _m(nul)[("a", "2024-01-01 00:15:00")] == (None, None, True)
+
+
+def test_linear_interpolation(ts_df):
+    out = resample_gapfill(
+        ts_df, "ts", "15 minutes", {"amt": F.sum("v")},
+        group_cols=["k"], fill="linear",
+    )
+    m = {(r.k, str(r.bucket)): r.amt for r in out.collect()}
+    # gap at 00:15 between 40.0 (00:00) and 50.0 (00:30) -> midpoint 45
+    assert m[("a", "2024-01-01 00:15:00")] == pytest.approx(45.0)
+    assert m[("a", "2024-01-01 00:00:00")] == 40.0
+
+
+def test_global_spine_covers_all_keys(ts_df):
+    out = resample_gapfill(
+        ts_df, "ts", "15 minutes", {"cnt": F.count("*")},
+        group_cols=["k"], spine="global",
+    )
+    rows = {(r.k, str(r.bucket)) for r in out.collect()}
+    # 4 buckets (00:00..00:45) x 2 keys
+    assert len(rows) == 8
+    assert ("b", "2024-01-01 00:00:00") in rows
+
+
+def test_no_keys_and_validation(ts_df, spark):
+    out = resample_gapfill(ts_df, "ts", "30 minutes", {"cnt": F.count("*")})
+    m = {str(r.bucket): (r.cnt, r.is_gap) for r in out.collect()}
+    assert m == {
+        "2024-01-01 00:00:00": (2, False),
+        "2024-01-01 00:30:00": (2, False),
+    }
+    with pytest.raises(ValueError, match="fill"):
+        resample_gapfill(ts_df, "ts", "1 hour", {}, fill="bogus")
+
+
+def test_plan_sorts_within_key_partitions_only(ts_df):
+    out = resample_gapfill(
+        ts_df, "ts", "15 minutes", {"cnt": F.count("*")},
+        group_cols=["k"], fill="locf",
+    )
+    spark = ts_df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    # the locf window keys on the group hash; nothing sorts globally
+    assert "rangepartitioning" not in plan, plan[:1500]
+    assert "SinglePartition" not in plan, plan[:1500]
