@@ -621,11 +621,20 @@ def q_sessionize_events(spark, sf):
         sparse, "ts", "15 minutes", {"cnt": F.count("*")},
         group_cols=["event_type"], fill="zero",
     )
-    lf = resample_gapfill(
-        sparse, "ts", "15 minutes", {"cnt": F.count("*")},
-        group_cols=["event_type"], fill="locf",
-    ).select("event_type", "bucket", F.col("cnt").alias("cnt_locf"))
-    gap = zf.join(lf, on=["event_type", "bucket"]).select(
+    # locf derived from the SAME resample pass: gap rows (is_gap) are
+    # the zero-filled holes, so carrying the last observed count
+    # forward over the dense spine is one key-partitioned window
+    w_locf = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zf = zf.withColumn(
+        "cnt_locf",
+        F.last(
+            F.when(~F.col("is_gap"), F.col("cnt")), ignorenulls=True
+        ).over(w_locf),
+    )
+    gap = zf.select(
         F.lit("gapfill").alias("part"),
         F.lit(None).cast("long").alias("user_id"),
         F.lit(None).cast("long").alias("event_id"),
