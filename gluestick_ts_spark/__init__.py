@@ -116,7 +116,12 @@ from .operators.rollup import (
 )
 from .operators.search import bm25_topk, term_postings
 from .operators.similarity import (
+    ann_ivf_store_topk,
     ann_ivf_topk,
+    append_ivf_store,
+    compact_ivf_store,
+    read_ivf_store_meta,
+    write_ivf_store,
     ann_ivfpq_topk,
     ann_lsh_topk,
     pq_encode,
@@ -159,7 +164,12 @@ from .sources.reader import Reader
 __all__ = [
     "Catalog",
     "Reader",
+    "ann_ivf_store_topk",
     "ann_ivf_topk",
+    "append_ivf_store",
+    "compact_ivf_store",
+    "read_ivf_store_meta",
+    "write_ivf_store",
     "ann_lsh_topk",
     "ann_recall_vs_exact",
     "asof_join",

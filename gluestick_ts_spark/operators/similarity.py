@@ -50,6 +50,11 @@ __all__ = [
     "compact_semantic_store",
     "read_semantic_store_meta",
     "semantic_dedup_incremental",
+    "write_ivf_store",
+    "append_ivf_store",
+    "read_ivf_store_meta",
+    "ann_ivf_store_topk",
+    "compact_ivf_store",
 ]
 
 
@@ -1242,3 +1247,188 @@ def semantic_dedup_incremental(
     )
     new_assigned = assigned.join(kept_ids, on="id")
     return verdict, new_assigned
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index store: build the inverted lists ONCE, probe many —
+# the "index once, query many" layout ann_ivf_topk's docstring
+# prescribes for full scale (written bucketed-by-centroid so probe
+# queries prune partitions instead of scanning the corpus per query).
+# ---------------------------------------------------------------------------
+
+_IVF_DATA_DIR = "lists"
+_IVF_META_FILE = "store_meta.json"
+
+
+def write_ivf_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[dict] | None = None,
+    n_centroids: int = 16,
+    train_iters: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an IVF index: ``(id, v)`` rows written
+    parquet-partitioned by nearest-centroid list id, centroids FROZEN
+    into ``<path>/store_meta.json`` so every later append and probe
+    assigns identically (the signature/semantic-store freezing rule).
+    Centroid precedence: explicit ``centroids`` > ``train_iters``
+    Lloyd's rounds > deterministic first-``n_centroids``-rows seed.
+    Layout: ``<path>/lists/cid=<k>/*.parquet`` + meta. Single-writer;
+    paths resolve through the Hadoop FS API."""
+    from ..sources.fs import join_uri, write_text_file
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        if train_iters > 0:
+            centroids = train_ivf_centroids(
+                corpus, vec_col, id_col, n_centroids, train_iters
+            )
+        else:
+            rows = (
+                corpus.orderBy(F.col(id_col))
+                .limit(n_centroids)
+                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+                .collect()
+            )
+            centroids = [
+                {"cid": int(r["cid"]), "cent": _unit_vec(r["cent"])} for r in rows
+            ]
+    if not centroids:
+        raise ValueError(
+            "write_ivf_store: empty corpus and no centroids — an empty "
+            "index must still freeze its quantizer"
+        )
+    assigned = _ivf_store_rows(corpus, centroids, id_col, vec_col)
+    assigned.write.mode(mode).partitionBy("cid").parquet(
+        join_uri(path, _IVF_DATA_DIR)
+    )
+    meta = {
+        "centroids": centroids,
+        # frozen read schema: empty/partial stores open without footer
+        # inference
+        "schema": json.loads(assigned.schema.json()),
+    }
+    write_text_file(spark, join_uri(path, _IVF_META_FILE), json.dumps(meta))
+
+
+def _ivf_store_rows(
+    corpus: DataFrame, centroids: list[dict], id_col: str, vec_col: str
+) -> DataFrame:
+    cents_lit = _centroid_exprs(centroids)
+    return _spread(corpus).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("cid", _argmax_cid_expr(cents_lit, F.col("v")))
+
+
+def read_ivf_store_meta(spark, path: str) -> dict:
+    """Centroids (and frozen schema) from index-creation time."""
+    from ..sources.fs import join_uri, read_text_file
+
+    return json.loads(read_text_file(spark, join_uri(path, _IVF_META_FILE)))
+
+
+def append_ivf_store(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors, assigned with the STORE'S frozen centroids
+    (dynamic partition append: part files land only in the list dirs
+    the batch's vectors hash to). The centroids are never retrained
+    here — recall drifts as the corpus distribution moves, so rebuild
+    (``write_ivf_store``) when list balance degrades."""
+    meta = read_ivf_store_meta(batch.sparkSession, path)
+    from ..sources.fs import join_uri
+
+    rows = _ivf_store_rows(batch, meta["centroids"], id_col, vec_col)
+    rows.write.mode("append").partitionBy("cid").parquet(
+        join_uri(path, _IVF_DATA_DIR)
+    )
+
+
+def ann_ivf_store_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted index: queries rank the frozen centroids
+    IN-ROW, their ``n_probe`` nearest list ids form a bounded driver
+    collect (<= n_centroids ints), the store scan is PARTITION-PRUNED
+    to exactly those list dirs, and the (tiny) query-probe relation
+    broadcasts into the candidate equi-join — per-query cost ∝ probed
+    lists, never corpus size. Output: ``(query_id, neighbor_id,
+    cosine, rank)``, exact re-rank within candidates (identical to
+    ``ann_ivf_topk`` with the same centroids)."""
+    from pyspark.sql.types import StructType
+
+    from ..sources.fs import join_uri
+
+    spark = queries.sparkSession
+    meta = read_ivf_store_meta(spark, path)
+    cents_lit = _centroid_exprs(meta["centroids"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qvec"),
+    )
+    q_probes = q.select(
+        "query_id",
+        "__qvec",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_scored_cids_expr(cents_lit, F.col("__qvec"))),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    ).localCheckpoint(eager=True)  # query-sized; feeds probe list + join
+    probes = [r[0] for r in q_probes.select("cid").distinct().collect()]
+    store = (
+        spark.read.schema(StructType.fromJson(meta["schema"]))
+        .parquet(join_uri(path, _IVF_DATA_DIR))
+        # partition-pruned scan: only the probed list dirs are read
+        .where(F.col("cid").isin(probes))
+    )
+    candidates = store.join(F.broadcast(q_probes), on="cid").where(
+        F.col("query_id") != F.col("id")
+    )
+    scored = candidates.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_similarity_expr("__qvec", "v").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def compact_ivf_store(spark, path: str) -> None:
+    """One part file per list dir; full-row duplicates from a
+    crash-window double append reclaimed. Shares
+    ``_compact_store_data``'s swap/durability contract."""
+    from pyspark.sql.types import StructType
+
+    from .dedup import _compact_store_data
+
+    meta = read_ivf_store_meta(spark, path)
+    _compact_store_data(
+        spark,
+        path,
+        transform=lambda df: df.dropDuplicates(),
+        data_dir=_IVF_DATA_DIR,
+        part_col="cid",
+        schema=StructType.fromJson(meta["schema"]),
+    )

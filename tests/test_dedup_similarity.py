@@ -1423,3 +1423,81 @@ def test_append_signature_store_rejects_narrower_schema(spark, docs, tmp_path):
         .collect()
     )
     assert [r.batch_id for r in got] == [1]
+
+
+def test_ivf_store_build_probe_append_compact(spark, tmp_path):
+    """The persisted IVF index: probes equal the in-memory ann_ivf_topk
+    with the same centroids, the probe scan is partition-pruned to the
+    probed list dirs, appends become retrievable with the FROZEN
+    quantizer, and compaction leaves one file per list with identical
+    results."""
+    import re
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_ivf_store_topk,
+        append_ivf_store,
+        compact_ivf_store,
+        write_ivf_store,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(1, 61)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id").isin([3, 17, 42]))
+    path = "file://" + str(tmp_path / "ivfstore")
+    write_ivf_store(corpus, path, n_centroids=6)
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_ivf_topk,
+        read_ivf_store_meta,
+    )
+
+    meta = read_ivf_store_meta(spark, path)
+    got = ann_ivf_store_topk(queries, path, k=4, n_probe=3)
+    want = ann_ivf_topk(
+        corpus, queries, k=4, n_probe=3, centroids=meta["centroids"]
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+        for r in df.collect()
+    )
+    assert key(got) == key(want)
+
+    # partition pruning: the store scan carries a cid partition filter
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    pf = re.findall(r"PartitionFilters: \[[^\]]*cid[^\]]*\]", plan)
+    assert pf, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # probe side broadcasts into the pruned store scan (AQE's formatted
+    # output repeats plan sections, so assert presence, not count)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # append with frozen centroids: a vector identical to query 3's
+    # must become its #1 neighbor
+    v3 = corpus.where("vec_id = 3").first().embedding
+    extra = spark.createDataFrame(
+        [(999, list(v3))], "vec_id long, embedding array<float>"
+    )
+    append_ivf_store(extra, path)
+    after = ann_ivf_store_topk(
+        queries.where("vec_id = 3"), path, k=1, n_probe=3
+    ).first()
+    assert after.neighbor_id == 999 and after.cosine == pytest.approx(1.0)
+
+    # compaction: one file per list dir, results identical
+    before_rows = key(ann_ivf_store_topk(queries, path, k=4, n_probe=3))
+    compact_ivf_store(spark, path)
+    per_cid: dict = {}
+    for f in spark.read.parquet(path + "/lists").inputFiles():
+        cid = [seg for seg in f.split("/") if seg.startswith("cid=")][0]
+        per_cid.setdefault(cid, set()).add(f)
+    assert per_cid and all(len(v) == 1 for v in per_cid.values())
+    assert key(ann_ivf_store_topk(queries, path, k=4, n_probe=3)) == before_rows
