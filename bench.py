@@ -31,7 +31,13 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
-ROUND-8 COMPOSITION CHANGES: ``sessionize_events`` gained the
+ROUND-8 COMPOSITION CHANGES: ``bm25_search_docs`` became a hybrid-
+retrieval union — the BM25 leg plus reciprocal-rank fusion with a
+hashed-TF cosine ranking of the same queries (rrf leg; the BM25
+ranking is checkpointed so its corpus pass runs once);
+``ann_ivf_topk`` gained the ``ivfstore`` branch (a REAL persisted IVF
+index store written + probed per run — its earlier numbers cover two
+of the three branches); ``sessionize_events`` gained the
 ``gapfill`` leg (time-series resample + zero/locf fill over a dense
 15-minute spine, operators/timeseries.py), so its earlier numbers
 cover three of its four parts; ``snapshot_upsert``'s scd2 leg now

@@ -114,7 +114,7 @@ from .operators.rollup import (
     write_rollup,
     write_rollup_delta,
 )
-from .operators.search import bm25_topk, term_postings
+from .operators.search import bm25_topk, rrf_fuse, term_postings
 from .operators.similarity import (
     ann_ivf_store_topk,
     ann_ivf_topk,
@@ -215,6 +215,7 @@ __all__ = [
     "salted_join",
     "sample_frames",
     "bm25_topk",
+    "rrf_fuse",
     "assemble_packs",
     "pack_token_windows",
     "binary_auc",

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens_expr
 from .dedup import _spread
 
-__all__ = ["term_postings", "bm25_topk"]
+__all__ = ["term_postings", "bm25_topk", "rrf_fuse"]
 
 
 def term_postings(
@@ -159,3 +159,55 @@ def bm25_topk(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) — THE standard way to combine heterogeneous retrievers
+    (lexical BM25 + vector cosine being the hybrid-search staple):
+    per (query, doc), ``rrf_score = Σ_lists 1/(k + rank)``, rank-only
+    so no score normalization across retrievers is ever needed.
+
+    ``rankings`` maps a list name to its ranking DataFrame (columns
+    ``query_col, doc_col, rank_col``; ranks 1-based). Output:
+    ``(query_id, doc_id, rrf_score, n_lists, rank)`` — ``n_lists``
+    says how many retrievers surfaced the doc (consensus visibility),
+    final ``rank`` breaks score ties by doc id. ``rrf_score`` is
+    rounded to 9 dp BEFORE ranking so rank boundaries are
+    engine-deterministic.
+
+    Shape: one union of rank rows (already top-n-bounded by their
+    retrievers), one (query, doc)-keyed map-side-combined aggregate,
+    one per-query window — fusion cost ∝ Σ list sizes, independent of
+    corpus size.
+    """
+    tagged = None
+    for df in rankings.values():
+        part = df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    if tagged is None:
+        raise ValueError("rrf_fuse: rankings must not be empty")
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__r"))), 9
+        ).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("long"))
+    if top_n is not None:
+        out = out.where(F.col("rank") <= int(top_n))
+    return out

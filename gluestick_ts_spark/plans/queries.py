@@ -2191,15 +2191,24 @@ def q_multimodal_features(spark, sf):
 
 
 def q_bm25_search_docs(spark, sf):
-    """BM25 lexical retrieval (``operators/search.py``): the first 5
-    documents' 8-token prefixes play the query set; top-10 documents
-    per query by Okapi BM25 with Lucene-style nonnegative idf. Scores
-    rounded to 6 dp BEFORE ranking, ties by doc_id — fully
-    SQL-expressible, so the DuckDB oracle replicates postings, idf,
-    length normalization, and the final ranks bit-for-bit. (Sanity
-    anchor baked into the data: each query is a prefix of its source
-    document, so the source ranks first.)"""
-    from ..operators.search import bm25_topk
+    """Hybrid retrieval as ONE tagged union (registry-folding
+    pattern). The ``bm25`` part: the first 5 documents' 8-token
+    prefixes play the query set; top-10 documents per query by Okapi
+    BM25 with Lucene-style nonnegative idf; scores rounded to 6 dp
+    BEFORE ranking, ties by doc_id — fully SQL-expressible, so the
+    DuckDB oracle replicates postings, idf, length normalization, and
+    the final ranks bit-for-bit. (Sanity anchor baked into the data:
+    each query is a prefix of its source document, so the source
+    ranks first.) The ``rrf`` part fuses that lexical ranking with a
+    VECTOR ranking of the same queries — hashed-TF cosine top-10 over
+    the whole corpus (model-free HashingVectorizer embeddings,
+    functions/text.py) — via reciprocal-rank fusion
+    (operators/search.py rrf_fuse, Cormack et al. 2009): the
+    hybrid-search composition every lexical+vector stack ships. The
+    oracle rebuilds both rankings AND the fused scores."""
+    from ..functions.text import hashed_tf_expr
+    from ..operators.dedup import _spread
+    from ..operators.search import bm25_topk, rrf_fuse
 
     d = _t(spark, sf, "documents")
     q = d.where(F.col("doc_id") < 5).select(
@@ -2208,7 +2217,43 @@ def q_bm25_search_docs(spark, sf):
             "query_text"
         ),
     )
-    return bm25_topk(d, q, k=10)
+    # bm feeds BOTH legs (its own rows + the fusion input); without a
+    # checkpoint Catalyst would inline the whole BM25 corpus subtree
+    # twice — the 50-row ranking is the thing to reuse, not recompute
+    bm = bm25_topk(d, q, k=10).localCheckpoint(eager=True)
+
+    vecs = (
+        _spread(d)
+        .select(F.col("doc_id"), hashed_tf_expr("text", 64).alias("v"))
+        .where(F.aggregate("v", F.lit(0.0), lambda a, x: a + x) > 0)
+    )
+    qv = q.select(
+        "query_id", hashed_tf_expr("query_text", 64).alias("qv")
+    ).where(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x) > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    cos = (
+        vecs.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(cosine_similarity_expr("qv", "v"), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+    )
+    rrf = rrf_fuse({"bm25": bm, "cos": cos}, k=60, top_n=10)
+
+    bm_leg = bm.select(
+        F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank",
+        F.lit(None).cast("long").alias("n_lists"),
+    )
+    rrf_leg = rrf.select(
+        F.lit("rrf").alias("part"), "query_id", "doc_id",
+        F.col("rrf_score").alias("score"), "rank", "n_lists",
+    )
+    return bm_leg.unionByName(rrf_leg)
 
 
 def q_hash_split_documents(spark, sf):
@@ -3035,11 +3080,51 @@ ORACLES: dict[str, str] = {
         "qtf * ln(1 + (n - df + 0.5) / (df + 0.5)) * "
         "(tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
         "), 6) AS score FROM m JOIN dfr USING (term) CROSS JOIN stats "
-        "GROUP BY query_id, doc_id) "
-        "SELECT query_id, doc_id, score, "
+        "GROUP BY query_id, doc_id), "
+        "bm AS (SELECT query_id, doc_id, score, "
         "CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank "
-        "FROM sc QUALIFY rank <= 10"
+        "FROM sc QUALIFY rank <= 10), "
+        # hashed-TF vectors (same md5-bucket arithmetic as
+        # functions/text.py hashed_tf_expr) for corpus docs and the
+        # 8-token query texts, zero vectors dropped on both engines
+        "hv AS (SELECT doc_id, "
+        "[CAST(len(list_filter(ID, j -> j = i)) AS DOUBLE) "
+        "for i in range(0, 64)] AS v FROM ("
+        "SELECT doc_id, list_transform(TT, t -> "
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64) AS ID "
+        "FROM (SELECT doc_id, list_filter(T, t -> t <> '') AS TT "
+        "FROM dtok) a WHERE len(TT) > 0) b), "
+        "qh AS (SELECT query_id, "
+        "[CAST(len(list_filter(ID, j -> j = i)) AS DOUBLE) "
+        "for i in range(0, 64)] AS qv FROM ("
+        "SELECT query_id, list_transform(TT, t -> "
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64) AS ID "
+        "FROM (SELECT query_id, list_filter("
+        "regexp_split_to_array(lower(trim(query_text)), '\\s+'), "
+        "t -> t <> '') AS TT FROM q) a WHERE len(TT) > 0) b), "
+        "cosr AS (SELECT query_id, doc_id, rank FROM ("
+        "SELECT qh.query_id, hv.doc_id, "
+        "CAST(row_number() OVER (PARTITION BY qh.query_id ORDER BY "
+        "ROUND(list_cosine_similarity(qh.qv, hv.v), 6) DESC, "
+        "hv.doc_id ASC) AS BIGINT) AS rank "
+        "FROM qh CROSS JOIN hv) t WHERE rank <= 10), "
+        "un AS (SELECT query_id, doc_id, rank FROM bm "
+        "UNION ALL SELECT query_id, doc_id, rank FROM cosr), "
+        "fus AS (SELECT query_id, doc_id, "
+        "ROUND(SUM(1.0 / (60 + rank)), 9) AS score, "
+        "CAST(COUNT(*) AS BIGINT) AS n_lists FROM un "
+        "GROUP BY query_id, doc_id), "
+        "rrf AS (SELECT query_id, doc_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank, n_lists "
+        "FROM fus QUALIFY rank <= 10) "
+        "SELECT 'bm25' AS part, query_id, doc_id, score, rank, "
+        "CAST(NULL AS BIGINT) AS n_lists FROM bm "
+        "UNION ALL "
+        "SELECT 'rrf', query_id, doc_id, score, rank, n_lists FROM rrf"
     ),
     "text_stats": (
         "SELECT doc_id, "

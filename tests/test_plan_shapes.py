@@ -346,18 +346,50 @@ def test_curation_pipeline_composes_without_new_shuffle_classes(spark, sf_dir):
 
 
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
-    """BM25 must keep the corpus on the map side: the query vocabulary
-    and per-term document frequencies broadcast (no sort-merge join
-    anywhere), every exchange keys on short columns (term/id/query_id —
-    never document text), and the shuffle count stays at the four
-    justified ones (match-dedup, df-count, 1-row stats, the shared
-    query-keyed exchange under agg + window)."""
+    """Hybrid retrieval must keep the corpus on the map side: the
+    BM25 leg's query vocabulary and per-term document frequencies
+    broadcast (no sort-merge join anywhere — and the 50-row BM25
+    ranking is checkpointed so its corpus subtree never inlines
+    twice); the vector leg's only nested-loop join is the broadcast
+    of the 5 hashed query vectors across the corpus; every exchange
+    keys on short columns (term/id/query_id — never document text);
+    and the shuffle budget stays at the justified ones (BM25:
+    match-dedup, df-count, 1-row stats, shared query-keyed exchange;
+    fusion: cosine rank window + the (query, doc) fusion aggregate +
+    its rank window)."""
     plan = _plan(spark, sf_dir, "bm25_search_docs")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert _hash_shuffles(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1, plan[:1500]
+    assert _hash_shuffles(plan) <= 6, plan
     args = _exchange_args(plan)
     assert args and all("text" not in a for a in args), args
+
+    # the checkpointed BM25 subtree, asserted on the operator itself
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import tokens_expr
+    from gluestick_ts_spark.operators.search import bm25_topk
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8)).alias(
+            "query_text"
+        ),
+    )
+    bm = bm25_topk(d, q, k=10)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bplan = bm._jdf.queryExecution().explainString(mode)
+    assert "SortMergeJoin" not in bplan
+    assert bplan.count("BroadcastHashJoin") >= 2, bplan
+    assert _hash_shuffles(bplan) <= 3, bplan
+    bargs = _exchange_args(bplan)
+    assert bargs and all("text" not in a for a in bargs), bargs
 
 
 def test_fingerprint_membership_probe_prunes_and_broadcasts_batch(

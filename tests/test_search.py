@@ -73,3 +73,35 @@ def test_bm25_deterministic_across_partitionings(spark, corpus):
     ra = sorted((r.query_id, r.doc_id, r.rank, r.score) for r in a.collect())
     rb = sorted((r.query_id, r.doc_id, r.rank, r.score) for r in b.collect())
     assert ra == rb
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF (k=60): doc shared by both lists beats a higher-ranked doc
+    seen by one; exact 1/(60+r) sums; ties break by doc id; n_lists
+    reports consensus."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], "query_id long, doc_id long, rank long"
+    )
+    out = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}).collect()}
+    # doc 20: 1/62 + 1/61 beats doc 10's 1/61
+    assert out[20].rrf_score == pytest.approx(round(1 / 62 + 1 / 61, 9))
+    assert out[20].rank == 1 and out[20].n_lists == 2
+    assert out[10].rank == 2 and out[10].n_lists == 1
+    assert out[40].rrf_score == pytest.approx(round(1 / 62, 9))
+    # 30 (1/63) vs 40 (1/62): 40 wins on score
+    assert out[40].rank == 3 and out[30].rank == 4
+    with pytest.raises(ValueError, match="empty"):
+        rrf_fuse({})
+    # exact tie (same rank in disjoint lists) -> doc id breaks it
+    c = spark.createDataFrame([(1, 7, 1)], "query_id long, doc_id long, rank long")
+    d = spark.createDataFrame([(1, 5, 1)], "query_id long, doc_id long, rank long")
+    tie = {r.doc_id: r.rank for r in rrf_fuse({"c": c, "d": d}).collect()}
+    assert tie == {5: 1, 7: 2}
