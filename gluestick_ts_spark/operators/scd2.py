@@ -94,15 +94,17 @@ def scd2_upsert(
     stream: str,
     snapshot_dir: str,
     pk: str | list[str] = "id",
-    eff_ts: str | Column | None = None,
+    eff_ts: str | None = None,
     track_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge a batch into the SCD2 history store and return the full
     post-merge history.
 
-    ``eff_ts`` names the batch column giving each row's effective
-    time (or a Column expression — but then ``track_cols`` must be
-    explicit, see below); ``track_cols`` are the attributes whose
+    ``eff_ts`` NAMES the batch column giving each row's effective
+    time (a Column expression is refused — its source column could
+    not be excluded from the change hash or the Type-1 carry set;
+    derive expressions with ``withColumn`` first);
+    ``track_cols`` are the attributes whose
     changes open a new version (default: every non-pk, non-ts
     column). Batch columns OUTSIDE ``track_cols`` (and not pk/ts) are
     carried as Type-1 attributes: they persist in the store but are
@@ -117,24 +119,7 @@ def scd2_upsert(
     pks = [pk] if isinstance(pk, str) else list(pk)
     if eff_ts is None:
         raise ValueError("scd2_upsert: eff_ts is required (no wall-clock reads)")
-    if not isinstance(eff_ts, str) and track_cols is None:
-        # a Column expression hides which source column holds the
-        # timestamp, so the default attrs would INCLUDE it in row_hash
-        # — a re-sent unchanged row with a later effective time would
-        # then hash differently and open a spurious version, silently
-        # voiding the replay-idempotency guarantee
-        raise ValueError(
-            "scd2_upsert: eff_ts given as a Column expression requires an "
-            "explicit track_cols (the default attribute set cannot exclude "
-            "the expression's source column from the change hash)"
-        )
-    ts_col = F.col(eff_ts) if isinstance(eff_ts, str) else eff_ts
-    ts_name = eff_ts if isinstance(eff_ts, str) else None
-    attrs = track_cols or [c for c in batch.columns if c not in pks and c != ts_name]
-    carry = [
-        c for c in batch.columns
-        if c not in pks and c not in attrs and c != ts_name
-    ]
+    ts_col, ts_name, attrs, carry = _scd2_cols(batch, pks, eff_ts, track_cols)
     spark = batch.sparkSession
     path = _scd2_path(stream, snapshot_dir)
 
@@ -151,6 +136,42 @@ def scd2_upsert(
     result = _scd2_merge(hist, new_versions, pks, attrs, carry)
     _atomic_write(result, path, use_csv=False)
     return spark.read.parquet(path)
+
+
+def _scd2_cols(
+    batch: DataFrame,
+    pks: list[str],
+    eff_ts: str,
+    track_cols: list[str] | None,
+) -> tuple[Column, str, list[str], list[str]]:
+    """(ts_col, ts_name, tracked attrs, Type-1 carry columns) shared by
+    the flat and partitioned upserts. ``track_cols=[]`` is honored as
+    "track nothing, everything is Type-1" (``or``-style defaulting
+    would silently flip it to "track everything"). ``eff_ts`` must be
+    a column NAME: a Column expression hides its source column, which
+    would then join the change hash (spurious versions on re-sends at
+    later effective times) or be persisted as a spurious Type-1 carry
+    attribute — derive expressions into a named column first
+    (``withColumn``)."""
+    if not isinstance(eff_ts, str):
+        raise ValueError(
+            "scd2 upsert: eff_ts must be a column name (str) — an "
+            "expression's source columns cannot be excluded from the "
+            "change hash or the carry set; derive it into a named "
+            "column first (batch.withColumn('eff', <expr>))"
+        )
+    ts_col = F.col(eff_ts)
+    ts_name = eff_ts
+    attrs = (
+        list(track_cols)
+        if track_cols is not None
+        else [c for c in batch.columns if c not in pks and c != ts_name]
+    )
+    carry = [
+        c for c in batch.columns
+        if c not in pks and c not in attrs and c != ts_name
+    ]
+    return ts_col, ts_name, attrs, carry
 
 
 def _scd2_merge(

@@ -44,7 +44,7 @@ from .snapshot_partitioned import (
     _resolve_buckets,
     write_store_buckets,
 )
-from .scd2 import _row_hash, _scd2_merge
+from .scd2 import _row_hash, _scd2_cols, _scd2_merge
 
 __all__ = ["scd2_upsert_partitioned", "read_partitioned_scd2"]
 
@@ -69,7 +69,7 @@ def scd2_upsert_partitioned(
     stream: str,
     snapshot_dir: str,
     pk: str | list[str] = "id",
-    eff_ts: str | Column | None = None,
+    eff_ts: str | None = None,
     track_cols: list[str] | None = None,
     n_buckets: int | None = None,
 ) -> DataFrame:
@@ -90,20 +90,7 @@ def scd2_upsert_partitioned(
         raise ValueError(
             "scd2_upsert_partitioned: eff_ts is required (no wall-clock reads)"
         )
-    if not isinstance(eff_ts, str) and track_cols is None:
-        raise ValueError(
-            "scd2_upsert_partitioned: eff_ts given as a Column expression "
-            "requires an explicit track_cols (the default attribute set "
-            "cannot exclude the expression's source column from the change "
-            "hash)"
-        )
-    ts_col = F.col(eff_ts) if isinstance(eff_ts, str) else eff_ts
-    ts_name = eff_ts if isinstance(eff_ts, str) else None
-    attrs = track_cols or [c for c in batch.columns if c not in pks and c != ts_name]
-    carry = [
-        c for c in batch.columns
-        if c not in pks and c not in attrs and c != ts_name
-    ]
+    ts_col, ts_name, attrs, carry = _scd2_cols(batch, pks, eff_ts, track_cols)
     spark = batch.sparkSession
     path = _store_path(stream, snapshot_dir)
     n_buckets = _resolve_buckets(spark, path, n_buckets, batch)
@@ -136,6 +123,9 @@ def scd2_upsert_partitioned(
             _BUCKET, _bucket_expr(pks, n_buckets)
         ).localCheckpoint(eager=True)
         merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(path)
+        # the static overwrite deleted the whole store dir, sidecar
+        # included — re-freeze the (unchanged) bucket count
+        write_store_buckets(spark, path, n_buckets)
         return read_partitioned_scd2(spark, stream, snapshot_dir)
 
     # Affected buckets: ≤ n_buckets ints — the one driver-side collect.

@@ -355,6 +355,35 @@ def _argmax_cid_expr(cents_lit: Column, vec: Column) -> Column:
     return best["cid"]
 
 
+def _seed_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int
+) -> list[dict]:
+    """Deterministic seed quantizer: the first ``n`` corpus rows by id
+    (bounded collect — n rows of one vector each), unit-normalized.
+    Shared by ann_ivf_topk and write_ivf_store so the in-memory and
+    persisted index paths can never drift apart."""
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
+        .collect()
+    )
+    return [{"cid": int(r["cid"]), "cent": _unit_vec(r["cent"])} for r in rows]
+
+
+def _probe_cids_expr(cents_lit: Column, vec: Column, n_probe: int) -> Column:
+    """The ``n_probe`` nearest list ids for a query vector, as an
+    explode-ready expression (ascending sort of (negdot, cid) structs
+    == similarity desc with cid tie-break). Shared by the in-memory
+    and persisted probe paths."""
+    return F.explode(
+        F.transform(
+            F.slice(F.array_sort(_scored_cids_expr(cents_lit, vec)), 1, n_probe),
+            lambda s: s["cid"],
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[dict],
@@ -499,17 +528,7 @@ def ann_ivf_topk(
                 corpus, vec_col, id_col, n_centroids, train_iters
             )
         else:
-            # Deterministic seed: the first n_centroids corpus rows by
-            # id (bounded collect — n_centroids rows of one vector).
-            cent_rows = (
-                corpus.orderBy(F.col(id_col))
-                .limit(n_centroids)
-                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
-                .collect()
-            )
-            centroids = [
-                {"cid": r["cid"], "cent": _unit_vec(r["cent"])} for r in cent_rows
-            ]
+            centroids = _seed_centroids(corpus, id_col, vec_col, n_centroids)
     cents = centroids
     # the in-row centroid argmax is compute-heavy per row: make sure a
     # small single-file scan doesn't serialize it onto one core
@@ -548,16 +567,7 @@ def ann_ivf_topk(
     q_probes = q.select(
         "query_id",
         "__qvec",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_scored_cids_expr(cents_lit, F.col("__qvec"))),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["cid"],
-            )
-        ).alias("__cid"),
+        _probe_cids_expr(cents_lit, F.col("__qvec"), n_probe).alias("__cid"),
     )
 
     # Each corpus vector lives in exactly one inverted list, so a
@@ -1287,15 +1297,7 @@ def write_ivf_store(
                 corpus, vec_col, id_col, n_centroids, train_iters
             )
         else:
-            rows = (
-                corpus.orderBy(F.col(id_col))
-                .limit(n_centroids)
-                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
-                .collect()
-            )
-            centroids = [
-                {"cid": int(r["cid"]), "cent": _unit_vec(r["cent"])} for r in rows
-            ]
+            centroids = _seed_centroids(corpus, id_col, vec_col, n_centroids)
     if not centroids:
         raise ValueError(
             "write_ivf_store: empty corpus and no centroids — an empty "
@@ -1381,16 +1383,7 @@ def ann_ivf_store_topk(
     q_probes = q.select(
         "query_id",
         "__qvec",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(_scored_cids_expr(cents_lit, F.col("__qvec"))),
-                    1,
-                    n_probe,
-                ),
-                lambda s: s["cid"],
-            )
-        ).alias("cid"),
+        _probe_cids_expr(cents_lit, F.col("__qvec"), n_probe).alias("cid"),
     ).localCheckpoint(eager=True)  # query-sized; feeds probe list + join
     probes = [r[0] for r in q_probes.select("cid").distinct().collect()]
     store = (

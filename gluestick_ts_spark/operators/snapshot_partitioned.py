@@ -90,7 +90,11 @@ def _resolve_buckets(
 ) -> int:
     """Frozen store value if the store exists (raising on an explicit
     conflicting request); otherwise the requested value or the
-    auto-sized default."""
+    auto-sized default. An existing store WITHOUT a sidecar (created
+    before the sidecar existed, or a crash between data write and
+    sidecar write) is only usable with an explicit ``requested`` value
+    — guessing a default here would silently prune the wrong
+    partitions — and the sidecar is self-healed from it."""
     if hadoop_path_exists(spark, path):
         frozen = read_store_buckets(spark, path)
         if frozen is not None:
@@ -102,7 +106,15 @@ def _resolve_buckets(
                     "prunes the wrong partitions"
                 )
             return frozen
-        return int(requested) if requested is not None else 64
+        if requested is None:
+            raise ValueError(
+                f"store at {path} has no bucket-count sidecar (pre-sidecar "
+                "store, or a crash between data and sidecar writes) — pass "
+                "the n_buckets it was created with explicitly; it will be "
+                "frozen into the sidecar from there on"
+            )
+        write_store_buckets(spark, path, int(requested))  # self-heal
+        return int(requested)
     return int(requested) if requested is not None else auto_n_buckets(batch)
 
 

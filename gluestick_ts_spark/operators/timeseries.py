@@ -82,10 +82,17 @@ def resample_gapfill(
     keys = list(group_cols or [])
     step = F.expr(f"interval {interval}")
 
+    # __obs marks observed buckets explicitly — deriving gap-ness from
+    # an aggregate column's NULL-ness would misclassify an observed
+    # bucket whose aggregate is legitimately NULL (e.g. sum of all-NULL
+    # values)
     agged = (
         df.withColumn("bucket", time_bucket_expr(ts_col, interval))
         .groupBy(*keys, "bucket")
-        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .agg(
+            *[c.alias(name) for name, c in aggs.items()],
+            F.first(F.lit(True)).alias("__obs"),
+        )
     )
 
     if spine == "per_key" and keys:
@@ -108,8 +115,7 @@ def resample_gapfill(
 
     out = spine_df.join(agged, on=[*keys, "bucket"], how="left")
     names = list(aggs)
-    is_gap = F.col(names[0]).isNull() if names else F.lit(False)
-    out = out.withColumn("is_gap", is_gap)
+    out = out.withColumn("is_gap", F.col("__obs").isNull()).drop("__obs")
 
     if fill == "zero":
         out = out.select(

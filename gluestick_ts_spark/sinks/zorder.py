@@ -77,17 +77,42 @@ def _bucket_cuts(c: str, cuts: Sequence[float]) -> Column:
     return F.coalesce(bucket, F.lit(0))
 
 
+def _parse_spec(c: str, spec) -> tuple[str, list[float]]:
+    """Normalize a per-column layout spec to ("uniform", [lo, hi]) or
+    ("cuts", [...]). The canonical form is the self-describing dict
+    (``{"uniform": [lo, hi]}`` / ``{"cuts": [...]}``) — it survives a
+    JSON round-trip unambiguously, which the bare legacy forms do not
+    (a (lo, hi) tuple JSON-decodes as a 2-element list, i.e. as 2 cut
+    points). Bare tuple = uniform and bare list = cuts are still
+    accepted for in-process use."""
+    if isinstance(spec, dict):
+        if "uniform" in spec:
+            lo, hi = spec["uniform"]
+            return "uniform", [float(lo), float(hi)]
+        if "cuts" in spec:
+            return "cuts", [float(x) for x in spec["cuts"]]
+        raise ValueError(
+            f"zorder layout for column {c}: dict spec needs 'uniform' or 'cuts'"
+        )
+    if isinstance(spec, tuple) and len(spec) == 2:
+        return "uniform", [float(spec[0]), float(spec[1])]
+    if isinstance(spec, (list, tuple)):
+        return "cuts", [float(x) for x in spec]
+    raise ValueError(f"zorder layout for column {c}: unrecognized spec {spec!r}")
+
+
 def zorder_key_expr(
     cols: list[str],
-    ranges: dict[str, tuple[float, float] | Sequence[float]],
+    ranges: dict[str, tuple[float, float] | Sequence[float] | dict],
     bits: int = 16,
 ) -> Column:
     """The interleaved Z-key as one long: per column, value → bucket in
-    [0, 2^bits) — uniform over a ``(lo, hi)`` tuple, or by cut-point
-    list (bucket = #cuts <= value; ``len(cuts)`` must be < 2^bits) —
-    then bit j of column i lands at position ``j * n_cols + i``. Pure
-    in-row math (no UDF, no shuffle); ``n_cols * bits`` must fit a
-    signed 64-bit long."""
+    [0, 2^bits) — uniform over a ``{"uniform": [lo, hi]}`` spec (bare
+    ``(lo, hi)`` tuple accepted), or by cut-point list
+    (``{"cuts": [...]}``; bucket = #cuts <= value; ``len(cuts)`` must
+    be < 2^bits) — then bit j of column i lands at position
+    ``j * n_cols + i``. Pure in-row math (no UDF, no shuffle);
+    ``n_cols * bits`` must fit a signed 64-bit long."""
     n = len(cols)
     if n * bits > 62:
         raise ValueError(
@@ -95,16 +120,16 @@ def zorder_key_expr(
         )
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        spec = ranges[c]
-        if isinstance(spec, tuple) and len(spec) == 2:
-            bucket = _bucket_uniform(c, float(spec[0]), float(spec[1]), bits)
+        kind, vals = _parse_spec(c, ranges[c])
+        if kind == "uniform":
+            bucket = _bucket_uniform(c, vals[0], vals[1], bits)
         else:
-            if len(spec) >= (1 << bits):
+            if len(vals) >= (1 << bits):
                 raise ValueError(
-                    f"zorder_key_expr: {len(spec)} cuts for column {c} "
+                    f"zorder_key_expr: {len(vals)} cuts for column {c} "
                     f"overflow {bits}-bit buckets"
                 )
-            bucket = _bucket_cuts(c, spec)
+            bucket = _bucket_cuts(c, vals)
         # bit j via power-of-two arithmetic (PySpark's shift functions
         # take literal counts only; powers of two are exact doubles)
         two = F.lit(2.0)
@@ -142,8 +167,9 @@ def write_zordered(
     ``approx_percentile`` cut points instead of uniform min/max
     buckets — use it when a column is skewed (requires ``bits <=
     {max_bits}``; the cuts are embedded in-plan). Returns the layout
-    spec used — ``{{col: (lo, hi)}}`` for uniform, ``{{col: [cuts...]}}``
-    for quantile — which is the append contract: pass it back via
+    spec used — ``{{col: {{"uniform": [lo, hi]}}}}`` or
+    ``{{col: {{"cuts": [...]}}}}``, self-describing so it survives a JSON
+    round-trip — which is the append contract: pass it back via
     ``layout=`` (with ``mode="append"``) so later batches land on the
     SAME curve; the boundary aggregate is skipped entirely then.
     """
@@ -174,16 +200,18 @@ def write_zordered(
             cuts = row[c]
             if cuts is None or all(x is None for x in cuts):
                 raise ValueError(f"write_zordered: column {c} is all-NULL")
-            ranges[c] = [float(x) for x in cuts if x is not None]
+            ranges[c] = {"cuts": [float(x) for x in cuts if x is not None]}
     else:
         aggs = []
         for c in cols:
             aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
         row = df.agg(*aggs).first()
-        ranges = {c: (row[2 * i], row[2 * i + 1]) for i, c in enumerate(cols)}
-        for c, (lo, hi) in ranges.items():
+        ranges = {}
+        for i, c in enumerate(cols):
+            lo, hi = row[2 * i], row[2 * i + 1]
             if lo is None or hi is None:
                 raise ValueError(f"write_zordered: column {c} is all-NULL")
+            ranges[c] = {"uniform": [float(lo), float(hi)]}
     key = zorder_key_expr(cols, ranges, bits)
     out = df.withColumn("__z", key)
     if num_files:

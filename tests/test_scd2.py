@@ -155,22 +155,26 @@ def test_stream_scd2_matches_batch_and_survives_replay(spark, tmp_path):
     assert _hist_map(read_scd2(spark, "s", d_stream)) == before
 
 
-def test_scd2_column_eff_ts_requires_track_cols(spark, tmp_path):
-    """A Column-typed eff_ts hides its source column from the default
-    attribute set — it would join the row_hash and open a spurious
-    version on every re-send with a later effective time. Refuse it
-    unless track_cols is explicit; with track_cols, replay stays
-    idempotent."""
+def test_scd2_column_eff_ts_refused(spark, tmp_path):
+    """A Column-typed eff_ts hides its source column — it would join
+    the row_hash (spurious versions on re-sends at later effective
+    times) or be persisted as a spurious Type-1 carry attribute.
+    Refused outright; the supported pattern is withColumn + a name,
+    which stays replay-idempotent."""
     import pytest
 
     d = str(tmp_path)
     b1 = spark.createDataFrame(
         [(1, "nyc", "2024-01-01 00:00:00")], "id long, city string, ts string"
     )
-    with pytest.raises(ValueError, match="track_cols"):
+    with pytest.raises(ValueError, match="column name"):
         scd2_upsert(b1, "s", d, pk="id", eff_ts=F.col("ts"))
+    with pytest.raises(ValueError, match="column name"):
+        scd2_upsert(b1, "s", d, pk="id", eff_ts=F.col("ts"), track_cols=["city"])
+    # the supported shape: derive the expression into a named column
     h1 = scd2_upsert(
-        b1, "s", d, pk="id", eff_ts=F.col("ts"), track_cols=["city"]
+        b1.withColumn("eff", F.col("ts")), "s", d,
+        pk="id", eff_ts="eff", track_cols=["city"],
     )
     assert h1.count() == 1
     # unchanged re-send at a LATER effective time: still one version
@@ -178,7 +182,8 @@ def test_scd2_column_eff_ts_requires_track_cols(spark, tmp_path):
         [(1, "nyc", "2024-02-01 00:00:00")], "id long, city string, ts string"
     )
     h2 = scd2_upsert(
-        b2, "s", d, pk="id", eff_ts=F.col("ts"), track_cols=["city"]
+        b2.withColumn("eff", F.col("ts")), "s", d,
+        pk="id", eff_ts="eff", track_cols=["city"],
     )
     assert h2.count() == 1 and h2.first().is_current
 

@@ -115,7 +115,7 @@ def test_partitioned_carry_and_column_eff_ts_parity(spark, tmp_path):
         [(1, "nyc", "2024-01-01 00:00:00"), (2, "sf", "2024-01-01 00:00:00")],
         SCHEMA,
     )
-    with pytest.raises(ValueError, match="track_cols"):
+    with pytest.raises(ValueError, match="column name"):
         scd2_upsert_partitioned(b1, "s", d, pk="id", eff_ts=F.col("ts"))
     scd2_upsert_partitioned(b1, "s", d, pk="id", eff_ts="ts", n_buckets=4)
     # widening batch: adds a carry column -> full rewrite, uniform schema
@@ -186,3 +186,67 @@ def test_bucket_count_frozen_in_store_meta(spark, tmp_path):
     with pytest.raises(ValueError, match="n_buckets=4"):
         partitioned_snapshot_upsert(snap, "t", d, pk="id", n_buckets=8)
     partitioned_snapshot_upsert(snap, "t", d, pk="id")  # frozen value OK
+
+
+def test_widening_rewrite_preserves_sidecar_and_guards(spark, tmp_path):
+    """Round-8 review fixes: (a) the schema-widening full rewrite
+    deletes the store dir — the bucket-count sidecar must be
+    re-frozen, so a later upsert omitting n_buckets still resolves;
+    (b) a store whose sidecar is missing refuses an n_buckets-less
+    upsert instead of guessing (and self-heals from an explicit one);
+    (c) track_cols=[] means 'track nothing, all Type-1', not 'track
+    everything'; (d) a Column eff_ts with would-be carry columns is
+    refused (its source column is indistinguishable from carry)."""
+    import os
+
+    d = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "nyc", "2024-01-01 00:00:00")], SCHEMA
+    )
+    scd2_upsert_partitioned(b1, "s", d, pk="id", eff_ts="ts", n_buckets=4)
+    store = os.path.join(d, "s.scd2.bucketed.parquet")
+    # widening rewrite (new carry column)...
+    b2 = spark.createDataFrame(
+        [(1, "nyc", "n1", "2024-02-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    scd2_upsert_partitioned(
+        b2, "s", d, pk="id", eff_ts="ts", track_cols=["city"]
+    )
+    assert os.path.exists(os.path.join(store, "_gs_store_meta.json"))
+    # ...and a follow-up upsert with n_buckets omitted still works
+    b3 = spark.createDataFrame(
+        [(1, "berlin", "n2", "2024-03-01 00:00:00")],
+        "id long, city string, note string, ts string",
+    )
+    h = scd2_upsert_partitioned(
+        b3, "s", d, pk="id", eff_ts="ts", track_cols=["city"]
+    )
+    assert h.where("is_current").count() == 1
+
+    # sidecar loss: refuse without an explicit count, self-heal with one
+    os.remove(os.path.join(store, "_gs_store_meta.json"))
+    with pytest.raises(ValueError, match="sidecar"):
+        scd2_upsert_partitioned(
+            b3, "s", d, pk="id", eff_ts="ts", track_cols=["city"]
+        )
+    scd2_upsert_partitioned(
+        b3, "s", d, pk="id", eff_ts="ts", track_cols=["city"], n_buckets=4
+    )
+    assert os.path.exists(os.path.join(store, "_gs_store_meta.json"))
+
+    # track_cols=[] -> pure Type-1: a changed attribute opens NO version
+    d2 = str(tmp_path / "t1only")
+    a1 = spark.createDataFrame([(1, "x", "2024-01-01 00:00:00")], SCHEMA)
+    a2 = spark.createDataFrame([(1, "y", "2024-02-01 00:00:00")], SCHEMA)
+    scd2_upsert_partitioned(a1, "s", d2, pk="id", eff_ts="ts", track_cols=[])
+    h2 = scd2_upsert_partitioned(a2, "s", d2, pk="id", eff_ts="ts", track_cols=[])
+    rows = [(r.city, r.is_current) for r in h2.collect()]
+    assert rows == [("y", True)]  # one version, city updated in place
+
+    # Column eff_ts: refused outright (name the column instead)
+    with pytest.raises(ValueError, match="column name"):
+        scd2_upsert_partitioned(
+            b2, "s", str(tmp_path / "colts"), pk="id",
+            eff_ts=F.col("ts"), track_cols=["city"],
+        )

@@ -102,3 +102,25 @@ def test_plan_sorts_within_key_partitions_only(ts_df):
     # the locf window keys on the group hash; nothing sorts globally
     assert "rangepartitioning" not in plan, plan[:1500]
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_is_gap_not_fooled_by_null_aggregates(spark):
+    """An observed bucket whose aggregate is legitimately NULL (sum of
+    all-NULL values) is NOT a gap — gap-ness comes from the spine-join
+    miss, independent of aggregate order."""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", None),
+         ("a", "2024-01-01 00:30:00", 5.0)],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    for aggs in (
+        {"amt": F.sum("v"), "cnt": F.count("*")},
+        {"cnt": F.count("*"), "amt": F.sum("v")},
+    ):
+        out = resample_gapfill(
+            df, "ts", "15 minutes", aggs, group_cols=["k"], fill="null"
+        )
+        m = {str(r.bucket): (r.cnt, r.amt, r.is_gap) for r in out.collect()}
+        assert m["2024-01-01 00:00:00"] == (1, None, False)  # observed, NULL agg
+        assert m["2024-01-01 00:15:00"] == (None, None, True)
+        assert m["2024-01-01 00:30:00"] == (1, 5.0, False)
