@@ -442,9 +442,12 @@ def q_semi_anti_join_customers(spark, sf):
 
 def q_window_funcs_orders(spark, sf):
     """Window-function coverage in one pass: per-group rank
-    (row_number), running sum (unbounded-preceding frame), lag and
-    lead — all with deterministic tie-break ordering so the double
-    running sum is bit-identical to the oracle's sequential frame."""
+    (row_number), quartile (ntile), relative-position functions
+    (percent_rank, cume_dist — both rounded to 9 dp so the ratio
+    arithmetic is engine-deterministic), running sum
+    (unbounded-preceding frame), lag and lead — all with deterministic
+    tie-break ordering so every function is bit-identical to the
+    oracle's. Both windows share the one per-customer hash exchange."""
     o = _t(spark, sf, "orders")
     w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
@@ -458,6 +461,9 @@ def q_window_funcs_orders(spark, sf):
         "o_orderkey",
         "o_totalprice",
         F.row_number().over(w_rank).cast("long").alias("price_rank"),
+        F.ntile(4).over(w_rank).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w_rank), 9).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w_rank), 9).alias("price_cume_dist"),
         F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
         F.lag("o_totalprice").over(w_time).alias("prev_price"),
         F.lead("o_orderkey").over(w_time).alias("next_orderkey"),
@@ -509,7 +515,22 @@ def q_rollup_cube_status(spark, sf):
             "total",
         )
     )
-    return both.unionByName(gs)
+    # pivot coverage: status x priority counts through Spark's PIVOT
+    # (explicit value list — no extra distinct-values job), melted back
+    # to rows via stack so the union stays long-form; an empty cell
+    # survives as a NULL-cnt row (the oracle builds the same grid)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    stack_expr = "stack({n}, {args}) as (key2, cnt)".format(
+        n=len(prios),
+        args=", ".join(f"'{p}', `{p}`" for p in prios),
+    )
+    pv = wide.select(
+        F.lit("pivot").alias("op"),
+        F.col("o_orderstatus").alias("key1"),
+        F.expr(stack_expr),
+    ).select("op", "key1", "key2", "cnt", F.lit(None).cast("double").alias("total"))
+    return both.unionByName(gs).unionByName(pv)
 
 
 def q_setops_customers(spark, sf):
@@ -2756,6 +2777,13 @@ ORACLES: dict[str, str] = {
         "SELECT o_custkey, o_orderkey, o_totalprice, "
         "row_number() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank, "
+        "CAST(ntile(4) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) "
+        "AS price_quartile, "
+        "ROUND(percent_rank() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC), 9) AS price_pct_rank, "
+        "ROUND(cume_dist() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC), 9) AS price_cume_dist, "
         "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
         "ORDER BY o_orderdate ASC, o_orderkey ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total, "
@@ -2777,7 +2805,16 @@ ORACLES: dict[str, str] = {
         "SELECT 'gsets' AS op, CAST(c_nationkey AS VARCHAR) AS key1, "
         "c_mktsegment AS key2, COUNT(*) AS cnt, "
         "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total "
-        "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))"
+        "FROM customer GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment)) "
+        "UNION ALL "
+        "SELECT 'pivot' AS op, st.key1, pr.key2, c.cnt, "
+        "CAST(NULL AS DOUBLE) AS total "
+        "FROM (SELECT DISTINCT o_orderstatus AS key1 FROM orders) st "
+        "CROSS JOIN (VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'), "
+        "('4-NOT SPECIFIED'), ('5-LOW')) pr(key2) "
+        "LEFT JOIN (SELECT o_orderstatus, o_orderpriority, "
+        "COUNT(*) AS cnt FROM orders GROUP BY 1, 2) c "
+        "ON c.o_orderstatus = st.key1 AND c.o_orderpriority = pr.key2"
     ),
     "setops_customers": (
         "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, 'except' AS op, "
