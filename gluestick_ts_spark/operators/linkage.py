@@ -97,11 +97,30 @@ def deletion_variants_expr(col: str | Column, max_dist: int = 1) -> Column:
     return F.array_distinct(variants)
 
 
-def _variant_side(df: DataFrame, on: str, id_col: str, max_dist: int, tag: str):
-    return df.where(F.col(on).isNotNull()).select(
+def _variant_side(
+    df: DataFrame, on: str, id_col: str, max_dist: int, tag: str, max_len: int
+):
+    s = F.col(on)
+    # in-row guard, no extra job: a single kilobyte string at d=2 would
+    # explode into ~500k variants — this operator is for KEYS
+    guarded = F.when(
+        F.length(s) > max_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"edit_distance_join: value longer than max_len={max_len} "
+                    "chars in column '" + on + "' (deletion neighborhoods "
+                    "grow O(L^max_dist) per row — this operator is for keys, "
+                    "not documents; raise max_len only deliberately): "
+                ),
+                F.substring(s, 1, 40),
+            )
+        ),
+    ).otherwise(s)
+    return df.where(s.isNotNull()).select(
         F.col(id_col).alias(f"id_{tag}"),
         F.col(on).alias(f"val_{tag}"),
-        F.explode(deletion_variants_expr(on, max_dist)).alias("__var"),
+        F.explode(deletion_variants_expr(guarded, max_dist)).alias("__var"),
     ).withColumn("__vk", F.md5("__var")).drop("__var")
 
 
@@ -111,13 +130,18 @@ def edit_distance_join(
     on: str,
     id_col: str,
     max_dist: int = 1,
+    max_len: int = 256,
 ) -> DataFrame:
     """Exact ``levenshtein(a.on, b.on) <= max_dist`` join of two
     relations as ``(id_a, val_a, id_b, val_b, dist)`` — deletion-
     neighborhood candidates, md5-keyed equi-join, pair-dedup, built-in
-    ``levenshtein`` verify. Never a cross join."""
-    va = _variant_side(a, on, id_col, max_dist, "a")
-    vb = _variant_side(b, on, id_col, max_dist, "b")
+    ``levenshtein`` verify. Never a cross join. ``id_col`` must
+    uniquely identify rows (pairs dedup on ids, so duplicate ids would
+    collapse distinct values arbitrarily); values longer than
+    ``max_len`` fail loudly in-row rather than exploding the variant
+    relation."""
+    va = _variant_side(a, on, id_col, max_dist, "a", max_len)
+    vb = _variant_side(b, on, id_col, max_dist, "b", max_len)
     cands = (
         va.join(vb, on="__vk")
         .drop("__vk")
@@ -133,11 +157,12 @@ def edit_distance_self_join(
     on: str,
     id_col: str,
     max_dist: int = 1,
+    max_len: int = 256,
 ) -> DataFrame:
     """Self-join variant: each unordered pair once (``id_a < id_b``),
     no self-pairs — the order filter runs BEFORE pair-dedup, halving
     the candidate shuffle."""
-    va = _variant_side(df, on, id_col, max_dist, "a")
+    va = _variant_side(df, on, id_col, max_dist, "a", max_len)
     vb = va.select(
         F.col("id_a").alias("id_b"), F.col("val_a").alias("val_b"), "__vk"
     )

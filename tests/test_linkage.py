@@ -90,3 +90,16 @@ def test_plan_has_no_cross_join(spark):
     # the candidate join keys on the md5 variant key, never raw text
     hashed = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert all("val_" not in h for h in hashed), hashed
+
+
+def test_long_values_fail_loudly(spark):
+    """A kilobyte value at d=2 would explode into ~500k variants; the
+    in-row guard fails the job with an actionable message instead."""
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 300)], "id long, w string"
+    )
+    with pytest.raises(Exception, match="max_len"):
+        edit_distance_self_join(df, "w", "id", max_dist=1).collect()
+    # raising the cap deliberately works
+    got = edit_distance_self_join(df, "w", "id", max_dist=1, max_len=512)
+    assert got.count() == 0
