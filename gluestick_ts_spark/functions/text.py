@@ -387,21 +387,33 @@ def chunk_tokens(
         raise ValueError("require 0 <= overlap < chunk_size")
     step = chunk_size - overlap
     toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
-    n_chunks = F.greatest(
-        F.ceil((F.size(toks) - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
-        F.lit(1),
-    )
+
+    def _n_chunks(T):
+        return F.greatest(
+            F.ceil(
+                (F.size(T) - F.lit(overlap)).cast("double") / F.lit(step)
+            ).cast("int"),
+            F.lit(1),
+        )
+
+    # LET-BINDING (hashed_tf_expr's trick): referencing `toks` from
+    # every chunk slot would make Catalyst re-run the tokenizing split
+    # per slot (2x per chunk here); binding the token array to a lambda
+    # variable tokenizes once per row
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)).alias(
-                "chunk_text"
+        F.array(toks),
+        lambda T: F.transform(
+            F.sequence(F.lit(0), _n_chunks(T) - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(T, i * step + 1, chunk_size)).alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(T, i * step + 1, chunk_size))
+                .cast("long")
+                .alias("n_tokens"),
             ),
-            F.size(F.slice(toks, i * step + 1, chunk_size))
-            .cast("long")
-            .alias("n_tokens"),
         ),
-    )
+    )[0]
     return (
         df.select(F.col(id_col), chunks.alias("__chunks"))
         .select(id_col, F.posexplode("__chunks").alias("chunk_idx", "__c"))

@@ -131,18 +131,22 @@ def zorder_key_expr(
                 )
             bucket = _bucket_cuts(c, vals)
         # bit j via power-of-two arithmetic (PySpark's shift functions
-        # take literal counts only; powers of two are exact doubles)
+        # take literal counts only; powers of two are exact doubles).
+        # The bucket expression is LET-BOUND through a one-element
+        # array so Catalyst evaluates it once per row instead of
+        # inlining it into every bit slot (which for quantile mode
+        # would re-fold the whole cut array per bit).
         two = F.lit(2.0)
-        spread = F.aggregate(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + (
-                F.floor(bucket / F.pow(two, j.cast("double"))).cast("long")
-                % 2
-            )
-            * F.pow(two, (j * n + i).cast("double")).cast("long"),
-        )
+        spread = F.transform(
+            F.array(bucket),
+            lambda b: F.aggregate(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + (F.floor(b / F.pow(two, j.cast("double"))).cast("long") % 2)
+                * F.pow(two, (j * n + i).cast("double")).cast("long"),
+            ),
+        )[0]
         key = key + spread
     return key
 
