@@ -2446,6 +2446,26 @@ def _line_grain_part(grain: str) -> QueryFn:
     return f
 
 
+def _bm25_part(which: str) -> QueryFn:
+    def f(spark, sf):
+        if which == "bm25":
+            from ..operators.search import bm25_topk
+
+            d = _t(spark, sf, "documents")
+            q = d.where(F.col("doc_id") < 5).select(
+                F.col("doc_id").alias("query_id"),
+                F.concat_ws(
+                    " ", F.slice(tokens_expr(F.col("text")), 1, 8)
+                ).alias("query_text"),
+            )
+            return bm25_topk(d, q, k=10)
+        return QUERIES["bm25_search_docs"](spark, sf).where(
+            F.col("part") == F.lit("rrf")
+        )
+
+    return f
+
+
 def _snapshot_upsert_part(which: str) -> QueryFn:
     # custom builders (NOT tag filters): the scd2 leg materializes its
     # store eagerly inside query construction, so a tag filter on the
@@ -2523,6 +2543,12 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     },
     "snapshot_upsert": {
         p: _snapshot_upsert_part(p) for p in ("upsert", "scd2")
+    },
+    "bm25_search_docs": {
+        # custom builders: the full query checkpoints the BM25 ranking
+        # eagerly at construction, so a tag filter would charge that to
+        # whichever leg is timed
+        p: _bm25_part(p) for p in ("bm25", "rrf")
     },
 }
 
