@@ -31,6 +31,13 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued): ``bm25_search_docs`` also
+gained the ``bm25idx`` leg — a REAL persisted term-bucketed postings
+index (write_bm25_index) built into a temp store and probed per run,
+its rows oracle-pinned identical to the in-memory ranking; the row's
+per-part timings (bm25/rrf/bm25idx) attribute the three legs
+separately via parts-restricted builders.
+
 ROUND-8 COMPOSITION CHANGES: ``bm25_search_docs`` became a hybrid-
 retrieval union — the BM25 leg plus reciprocal-rank fusion with a
 hashed-TF cosine ranking of the same queries (rrf leg; the BM25

@@ -114,7 +114,15 @@ from .operators.rollup import (
     write_rollup,
     write_rollup_delta,
 )
-from .operators.search import bm25_topk, rrf_fuse, term_postings
+from .operators.search import (
+    append_bm25_index,
+    bm25_index_topk,
+    bm25_topk,
+    read_bm25_index_meta,
+    rrf_fuse,
+    term_postings,
+    write_bm25_index,
+)
 from .operators.similarity import (
     ann_ivf_store_topk,
     ann_ivf_topk,
@@ -214,7 +222,11 @@ __all__ = [
     "resize_media",
     "salted_join",
     "sample_frames",
+    "append_bm25_index",
+    "bm25_index_topk",
     "bm25_topk",
+    "read_bm25_index_meta",
+    "write_bm25_index",
     "rrf_fuse",
     "assemble_packs",
     "pack_token_windows",

@@ -30,13 +30,23 @@ sums, so ``avgdl`` does not depend on partition order.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr
 from .dedup import _spread
 
-__all__ = ["term_postings", "bm25_topk", "rrf_fuse"]
+__all__ = [
+    "term_postings",
+    "bm25_topk",
+    "rrf_fuse",
+    "write_bm25_index",
+    "append_bm25_index",
+    "read_bm25_index_meta",
+    "bm25_index_topk",
+]
 
 
 def term_postings(
@@ -56,18 +66,30 @@ def term_postings(
     """
     df = _spread(df)
     toks = tokens_expr(F.col(text_col))
-    pairs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+    # LET-BINDING (hashed_tf_expr's trick): referencing the tokenizer
+    # expression from every distinct-term slot would make Catalyst
+    # re-run the split per term; bind the token array once per row
+    bound = F.transform(
+        F.array(toks),
+        lambda T: F.struct(
+            F.size(T).cast("long").alias("dl"),
+            F.transform(
+                F.array_distinct(T),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(T, lambda x: x == t))
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            ).alias("pairs"),
         ),
-    )
+    )[0]
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.size(toks).cast("long").alias("dl"),
-            F.explode(pairs).alias("p"),
+        df.select(F.col(id_col).alias("id"), bound.alias("__tp"))
+        .select(
+            "id",
+            F.col("__tp.dl").alias("dl"),
+            F.explode("__tp.pairs").alias("p"),
         )
         .select("id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"), "dl")
         .where(F.col("term") != "")
@@ -211,3 +233,229 @@ def rrf_fuse(
     if top_n is not None:
         out = out.where(F.col("rank") <= int(top_n))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 postings index: tokenize + count ONCE, probe many —
+# the lexical sibling of the IVF vector store. At 100 TB the postings
+# pass (tokenize every document, count every term) dwarfs any single
+# query; an index bounds per-query cost by the query vocabulary's
+# bucket fan-out instead.
+# ---------------------------------------------------------------------------
+
+_BM25_POSTINGS_DIR = "postings"
+_BM25_DF_DIR = "docfreq"
+_BM25_META_FILE = "store_meta.json"
+
+
+def _term_bucket(num_buckets: int) -> Column:
+    return F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as a BM25 index: ``(id, term, tf, dl)``
+    postings AND per-term document frequencies, both parquet-partitioned
+    by ``pmod(xxhash64(term), num_buckets)`` so a query's scan prunes to
+    the buckets its own vocabulary hashes to. Corpus statistics are
+    frozen ADDITIVELY in ``<path>/store_meta.json`` (``n_docs`` +
+    ``sum_dl``, so appends can update them exactly; ``avgdl`` derives at
+    read). Layout: ``postings/bucket=<k>/``, ``docfreq/bucket=<k>/``,
+    meta. Single-writer; Hadoop-FS-safe paths."""
+    from ..sources.fs import join_uri, write_text_file
+
+    spark = docs.sparkSession
+    post = term_postings(docs, id_col, text_col).withColumn(
+        "bucket", _term_bucket(num_buckets)
+    )
+    post.write.mode(mode).partitionBy("bucket").parquet(
+        join_uri(path, _BM25_POSTINGS_DIR)
+    )
+    # df and corpus stats derive from the postings JUST WRITTEN — a
+    # columnar read-back instead of recomputing the tokenize+count
+    # pass (twice); also the scale-safe shape, since the postings
+    # relation needs no driver/executor-memory materialization
+    written = spark.read.schema(post.schema).parquet(
+        join_uri(path, _BM25_POSTINGS_DIR)
+    )
+    dfr = (
+        written.groupBy("term", "bucket")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    dfr.write.mode(mode).partitionBy("bucket").parquet(
+        join_uri(path, _BM25_DF_DIR)
+    )
+    n_docs, sum_dl = _corpus_stats(docs, written, id_col, text_col)
+    meta = {
+        "num_buckets": num_buckets,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "postings_schema": json.loads(post.schema.json()),
+        "df_schema": json.loads(dfr.schema.json()),
+    }
+    write_text_file(spark, join_uri(path, _BM25_META_FILE), json.dumps(meta))
+
+
+def _corpus_stats(docs, post, id_col: str, text_col: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) for the additive index stats — derived from the
+    already-computed postings (one id-dedup aggregate) instead of
+    re-tokenizing the corpus; token-free documents carry no postings,
+    so their (dl = 0) absence cannot skew sum_dl, and n_docs counts the
+    corpus relation directly."""
+    n_docs = int(docs.select(F.count("*")).first()[0])
+    row = (
+        post.select("id", "dl")
+        .dropDuplicates(["id"])
+        .agg(F.sum("dl"))
+        .first()
+    )
+    return n_docs, int(row[0] or 0)
+
+
+def read_bm25_index_meta(spark, path: str) -> dict:
+    from ..sources.fs import join_uri, read_text_file
+
+    return json.loads(read_text_file(spark, join_uri(path, _BM25_META_FILE)))
+
+
+def append_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append new documents: postings land in their term buckets
+    (dynamic partition append), the affected buckets' document
+    frequencies are RECOMPUTED from the post-append postings (pruned
+    scan + dynamic overwrite — df is not additive per append because a
+    term's rows may span appends), and the additive corpus stats
+    update exactly. Probes before/after an append see exact BM25 over
+    the corpus-so-far. Single-writer, like every store in this repo."""
+    from pyspark.sql.types import StructType
+
+    from ..sources.fs import join_uri
+
+    spark = docs.sparkSession
+    meta = read_bm25_index_meta(spark, path)
+    nb = meta["num_buckets"]
+    post = term_postings(docs, id_col, text_col).withColumn(
+        "bucket", _term_bucket(nb)
+    ).localCheckpoint(eager=True)  # batch-sized; feeds write + bucket list
+    post.write.mode("append").partitionBy("bucket").parquet(
+        join_uri(path, _BM25_POSTINGS_DIR)
+    )
+    touched = [r[0] for r in post.select("bucket").distinct().collect()]
+    all_post = spark.read.schema(
+        StructType.fromJson(meta["postings_schema"])
+    ).parquet(join_uri(path, _BM25_POSTINGS_DIR))
+    refreshed = (
+        all_post.where(F.col("bucket").isin(touched))
+        .groupBy("term", "bucket")
+        .agg(F.count("*").cast("long").alias("df"))
+        .localCheckpoint(eager=True)  # break lineage before overwrite
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        refreshed.write.mode("overwrite").partitionBy("bucket").parquet(
+            join_uri(path, _BM25_DF_DIR)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    n_docs, sum_dl = _corpus_stats(docs, post, id_col, text_col)
+    meta["n_docs"] += n_docs
+    meta["sum_dl"] += sum_dl
+    from ..sources.fs import write_text_file
+
+    write_text_file(spark, join_uri(path, _BM25_META_FILE), json.dumps(meta))
+
+
+def bm25_index_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Probe the persisted index: the query vocabulary's term buckets
+    form a bounded driver collect (<= distinct query terms ints), BOTH
+    store scans (postings + docfreq) are partition-pruned to those
+    buckets, and the tiny query relation broadcasts into the match
+    join — per-query cost ∝ probed buckets, never corpus size. Output
+    ``(query_id, doc_id, score, rank)``, identical to ``bm25_topk``
+    over the same corpus (scores rounded to 6 dp before ranking)."""
+    from pyspark.sql.types import StructType
+
+    from ..sources.fs import join_uri
+
+    spark = queries.sparkSession
+    meta = read_bm25_index_meta(spark, path)
+    nb = meta["num_buckets"]
+    n = float(meta["n_docs"])
+    avgdl = (meta["sum_dl"] / meta["n_docs"]) if meta["n_docs"] else 1.0
+
+    qtoks = F.filter(tokens_expr(F.col(query_text_col)), lambda t: t != "")
+    qpairs = F.transform(
+        F.array(qtoks),
+        lambda T: F.transform(
+            F.array_distinct(T),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter(T, lambda x: x == t)).cast("double").alias("qtf"),
+            ),
+        ),
+    )[0]
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.explode(qpairs).alias("p")
+        )
+        .select("query_id", F.col("p.term").alias("term"), F.col("p.qtf").alias("qtf"))
+        .withColumn("bucket", _term_bucket(nb))
+        .localCheckpoint(eager=True)  # query-sized; feeds bucket list + join
+    )
+    buckets = [r[0] for r in qterms.select("bucket").distinct().collect()]
+
+    post = (
+        spark.read.schema(StructType.fromJson(meta["postings_schema"]))
+        .parquet(join_uri(path, _BM25_POSTINGS_DIR))
+        # partition-pruned: only the query vocabulary's buckets are read
+        .where(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    dfr = (
+        spark.read.schema(StructType.fromJson(meta["df_schema"]))
+        .parquet(join_uri(path, _BM25_DF_DIR))
+        .where(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    matched = post.join(F.broadcast(qterms.drop("bucket")), on="term").join(
+        F.broadcast(dfr), on="term"
+    )
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.col("qtf") * idf * _bm25_weight(
+        F.col("tf").cast("double"),
+        F.col("dl").cast("double"),
+        F.lit(float(avgdl)),
+        k1,
+        b,
+    )
+    agg = (
+        matched.repartition("query_id")
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -2211,7 +2211,7 @@ def q_multimodal_features(spark, sf):
     )
 
 
-def q_bm25_search_docs(spark, sf):
+def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     """Hybrid retrieval as ONE tagged union (registry-folding
     pattern). The ``bm25`` part: the first 5 documents' 8-token
     prefixes play the query set; top-10 documents per query by Okapi
@@ -2226,11 +2226,20 @@ def q_bm25_search_docs(spark, sf):
     functions/text.py) — via reciprocal-rank fusion
     (operators/search.py rrf_fuse, Cormack et al. 2009): the
     hybrid-search composition every lexical+vector stack ships. The
-    oracle rebuilds both rankings AND the fused scores."""
-    from ..functions.text import hashed_tf_expr
-    from ..operators.dedup import _spread
-    from ..operators.search import bm25_topk, rrf_fuse
+    ``bm25idx`` part probes a REAL persisted postings index
+    (write_bm25_index — term-bucketed postings + docfreq dirs, frozen
+    additive corpus stats, partition-pruned probe) built per run into
+    a temp store; its rows must be IDENTICAL to the in-memory bm25
+    part, so the oracle simply re-states the bm25 ranking under the
+    'bm25idx' tag — an index-layout bug breaks the hash, not a side
+    metric. The oracle rebuilds both rankings AND the fused scores."""
+    import atexit
+    import shutil
+    import tempfile
 
+    from ..operators.search import bm25_index_topk, bm25_topk, write_bm25_index
+
+    parts = set(parts)
     d = _t(spark, sf, "documents")
     q = d.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
@@ -2238,10 +2247,40 @@ def q_bm25_search_docs(spark, sf):
             "query_text"
         ),
     )
-    # bm feeds BOTH legs (its own rows + the fusion input); without a
+    legs = []
+    # bm feeds BOTH the bm25 leg and the fusion input; without a
     # checkpoint Catalyst would inline the whole BM25 corpus subtree
     # twice — the 50-row ranking is the thing to reuse, not recompute
-    bm = bm25_topk(d, q, k=10).localCheckpoint(eager=True)
+    bm = None
+    if parts & {"bm25", "rrf"}:
+        bm = bm25_topk(d, q, k=10)
+        if {"bm25", "rrf"} <= parts:
+            bm = bm.localCheckpoint(eager=True)
+    if "bm25" in parts:
+        legs.append(bm.select(
+            F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank",
+            F.lit(None).cast("long").alias("n_lists"),
+        ))
+    if "rrf" in parts:
+        legs.append(_bm25_rrf_leg(d, q, bm))
+    if "bm25idx" in parts:
+        idx_root = tempfile.mkdtemp(prefix="gs_bm25idx_")
+        atexit.register(shutil.rmtree, idx_root, ignore_errors=True)
+        write_bm25_index(d, idx_root, num_buckets=16)
+        legs.append(bm25_index_topk(q, idx_root, k=10).select(
+            F.lit("bm25idx").alias("part"), "query_id", "doc_id", "score",
+            "rank", F.lit(None).cast("long").alias("n_lists"),
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _bm25_rrf_leg(d, q, bm):
+    from ..functions.text import hashed_tf_expr
+    from ..operators.dedup import _spread
+    from ..operators.search import rrf_fuse
 
     vecs = (
         _spread(d)
@@ -2265,16 +2304,10 @@ def q_bm25_search_docs(spark, sf):
         .where(F.col("rank") <= 10)
     )
     rrf = rrf_fuse({"bm25": bm, "cos": cos}, k=60, top_n=10)
-
-    bm_leg = bm.select(
-        F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank",
-        F.lit(None).cast("long").alias("n_lists"),
-    )
-    rrf_leg = rrf.select(
+    return rrf.select(
         F.lit("rrf").alias("part"), "query_id", "doc_id",
         F.col("rrf_score").alias("score"), "rank", "n_lists",
     )
-    return bm_leg.unionByName(rrf_leg)
 
 
 def q_hash_split_documents(spark, sf):
@@ -2447,21 +2480,11 @@ def _line_grain_part(grain: str) -> QueryFn:
 
 
 def _bm25_part(which: str) -> QueryFn:
+    # parts-restricted builders (the ann_ivf modes pattern): each leg
+    # is built alone, so the index write / bm checkpoint of one leg is
+    # never charged to another's timing
     def f(spark, sf):
-        if which == "bm25":
-            from ..operators.search import bm25_topk
-
-            d = _t(spark, sf, "documents")
-            q = d.where(F.col("doc_id") < 5).select(
-                F.col("doc_id").alias("query_id"),
-                F.concat_ws(
-                    " ", F.slice(tokens_expr(F.col("text")), 1, 8)
-                ).alias("query_text"),
-            )
-            return bm25_topk(d, q, k=10)
-        return QUERIES["bm25_search_docs"](spark, sf).where(
-            F.col("part") == F.lit("rrf")
-        )
+        return q_bm25_search_docs(spark, sf, parts=(which,))
 
     return f
 
@@ -2548,7 +2571,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         # custom builders: the full query checkpoints the BM25 ranking
         # eagerly at construction, so a tag filter would charge that to
         # whichever leg is timed
-        p: _bm25_part(p) for p in ("bm25", "rrf")
+        p: _bm25_part(p) for p in ("bm25", "rrf", "bm25idx")
     },
 }
 
@@ -3187,7 +3210,12 @@ ORACLES: dict[str, str] = {
         "SELECT 'bm25' AS part, query_id, doc_id, score, rank, "
         "CAST(NULL AS BIGINT) AS n_lists FROM bm "
         "UNION ALL "
-        "SELECT 'rrf', query_id, doc_id, score, rank, n_lists FROM rrf"
+        "SELECT 'rrf', query_id, doc_id, score, rank, n_lists FROM rrf "
+        "UNION ALL "
+        # the persisted-index probe must be row-identical to the
+        # in-memory ranking, so its oracle IS the bm ranking re-tagged
+        "SELECT 'bm25idx', query_id, doc_id, score, rank, "
+        "CAST(NULL AS BIGINT) FROM bm"
     ),
     "text_stats": (
         "SELECT doc_id, "

@@ -105,3 +105,66 @@ def test_rrf_fuse_hand_computed(spark):
     d = spark.createDataFrame([(1, 5, 1)], "query_id long, doc_id long, rank long")
     tie = {r.doc_id: r.rank for r in rrf_fuse({"c": c, "d": d}).collect()}
     assert tie == {5: 1, 7: 2}
+
+
+def test_bm25_index_store_build_probe_append(spark, tmp_path):
+    """The persisted BM25 index: probes equal the in-memory bm25_topk
+    over the same corpus; the postings/docfreq scans are
+    partition-pruned to the query vocabulary's buckets; appended
+    documents become scoreable with exactly-updated corpus stats
+    (n_docs/sum_dl additive, affected df buckets recomputed)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.search import (
+        append_bm25_index,
+        bm25_index_topk,
+        bm25_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick movement of the enemy will jeopardize five gunboats"),
+            (3, "brown foxes are quick and dogs are lazy"),
+            (4, "the five boxing wizards jump quickly"),
+            (5, "lazy afternoons with a brown dog and a quick fox"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "five wizards")],
+        "query_id long, query_text string",
+    )
+    path = "file://" + str(tmp_path / "bmidx")
+    write_bm25_index(docs, path, num_buckets=8)
+
+    key = lambda df: sorted(
+        (r.query_id, r.doc_id, round(r.score, 6), r.rank) for r in df.collect()
+    )
+    got = bm25_index_topk(queries, path, k=3)
+    want = bm25_topk(docs, queries, k=3)
+    assert key(got) == key(want)
+
+    # partition pruning visible on the store scans
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert re.findall(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # append: new docs scoreable, results equal in-memory over the union
+    extra = spark.createDataFrame(
+        [(6, "wizards of the quick brown variety"),
+         (7, "an entirely unrelated document about gunboats")],
+        "doc_id long, text string",
+    )
+    append_bm25_index(extra, path)
+    got2 = bm25_index_topk(queries, path, k=3)
+    want2 = bm25_topk(docs.unionByName(extra), queries, k=3)
+    assert key(got2) == key(want2)
+    assert {r.doc_id for r in got2.where("query_id = 101").collect()} >= {6}
