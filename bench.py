@@ -31,6 +31,13 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued 2): ``sessionize_events``
+gained the ``anomaly`` leg (rolling_zscore over gapless hourly
+per-type counts — one more event_type-keyed window pass) and
+``snapshot_upsert`` the ``diff`` leg (CDC full-outer pk join of the
+same two generations the upsert merges); both rows' parts maps
+attribute the new legs separately.
+
 ROUND-8 COMPOSITION CHANGES (continued): ``bm25_search_docs`` also
 gained the ``bm25idx`` leg — a REAL persisted term-bucketed postings
 index (write_bm25_index) built into a temp store and probed per run,

@@ -147,7 +147,8 @@ from .operators.similarity import (
 )
 from .operators.skew import salted_join, two_phase_count_distinct
 from .operators.snapshot import keep_last_dedup, read_snapshots, snapshot_records
-from .operators.timeseries import resample_gapfill, time_bucket_expr
+from .operators.timeseries import resample_gapfill, rolling_zscore, time_bucket_expr
+from .operators.cdc import snapshot_diff
 from .operators.snapshot_partitioned import (
     partitioned_snapshot_upsert,
     read_partitioned_snapshot,
@@ -257,6 +258,7 @@ __all__ = [
     "scd2_upsert",
     "scd2_upsert_partitioned",
     "resample_gapfill",
+    "rolling_zscore",
     "time_bucket_expr",
     "refresh_rollup",
     "rollup_aggregate",
@@ -304,6 +306,7 @@ __all__ = [
     "partitioned_snapshot_upsert",
     "read_partitioned_snapshot",
     "read_snapshots",
+    "snapshot_diff",
     "snapshot_records",
     "spark_type_to_singer_schema",
     "struct_to_json",

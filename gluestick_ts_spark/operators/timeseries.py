@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket_expr", "resample_gapfill"]
+__all__ = ["time_bucket_expr", "resample_gapfill", "rolling_zscore"]
 
 _FILLS = ("null", "zero", "locf", "linear")
 
@@ -163,3 +163,69 @@ def resample_gapfill(
     else:  # "null"
         out = out.select(*keys, "bucket", *names, "is_gap")
     return out
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_cols: list[str] | None = None,
+    lookback: int = 24,
+    threshold: float = 3.0,
+    min_periods: int = 8,
+) -> DataFrame:
+    """Trailing-window anomaly scores: each row's ``value_col`` scored
+    against the mean/stddev of the PRECEDING ``lookback`` rows (the
+    current row is excluded from its own baseline, so a spike cannot
+    mask itself). Appends
+
+    - ``roll_n``    — how many baseline rows the frame held,
+    - ``roll_mean`` — baseline mean (NULL until ``min_periods`` rows),
+    - ``zscore``    — (value − mean) / sample-stddev (NULL while the
+      baseline is short or constant),
+    - ``is_anomaly`` — ``|zscore| > threshold`` (false, never NULL, on
+      unscorable rows — downstream filters shouldn't trip on warmup).
+
+    Mean and variance derive from EXACT decimal rolling sums (sum,
+    sum-of-squares — the ``stats_agg_orders`` trick), so the doubles
+    are independent of partition/summation order and bit-comparable
+    across engines; values must fit ``decimal(18,4)`` (|v| < 1e14).
+
+    ``(group_cols, order_col)`` must be row-unique or the frame is
+    nondeterministic. One key-hash shuffle; each key's rows sort
+    within their partition — nothing global, the same scale shape as
+    the ``resample_gapfill`` fills, and at 100 TB the window state is
+    O(lookback) per key. Feed it gapless buckets (``resample_gapfill``
+    with ``fill='zero'``) or quiet periods silently vanish from the
+    baseline.
+    """
+    if lookback < 2 or min_periods < 2 or min_periods > lookback:
+        raise ValueError(
+            "rolling_zscore: need lookback >= min_periods >= 2 (sample "
+            f"stddev is undefined below 2), got lookback={lookback} "
+            f"min_periods={min_periods}"
+        )
+    keys = list(group_cols or [])
+    w = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("decimal(18,4)")
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1)
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    scorable = (n >= F.lit(min_periods)) & (var > 0)
+    return (
+        df.withColumn("roll_n", F.coalesce(n, F.lit(0)).cast("long"))
+        .withColumn("roll_mean", F.when(n >= F.lit(min_periods), mean))
+        .withColumn("zscore", F.when(scorable, z))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                scorable & (F.abs(z) > F.lit(float(threshold))), F.lit(False)
+            ),
+        )
+    )

@@ -51,6 +51,7 @@ from ..functions.sampling import (
 )
 from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
+from ..operators.cdc import snapshot_diff
 from ..operators.dedup import (
     dedup_clusters,
     dedup_exact,
@@ -169,7 +170,11 @@ def q_snapshot_upsert(spark, sf):
     (operators/scd2_partitioned.py — the 100 TB path, where an upsert
     rewrites only the buckets its keys hash to); it is row-identical
     to the flat operators/scd2.py store by shared merge algebra, so
-    the oracle is unchanged."""
+    the oracle is unchanged. The ``diff`` part is the delta-reporting
+    sibling (operators/cdc.py snapshot_diff): the SAME two generations
+    the upsert merges are diffed by pk into insert/update/delete rows
+    — ``status`` carries the change type, ``total`` the surviving
+    image (new image, old image for deletes)."""
     import atexit
     import shutil
     import tempfile
@@ -237,7 +242,20 @@ def q_snapshot_upsert(spark, sf):
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
-    return upsert.unionByName(scd2p)
+    diff = snapshot_diff(
+        old.drop("src"), new.drop("src"),
+        pk="o_orderkey", compare_cols=["total"],
+    ).select(
+        F.lit("diff").alias("part"),
+        "o_orderkey",
+        F.round(F.coalesce("total", "total_old"), 2).alias("total"),
+        F.lit(None).cast("int").alias("src"),
+        F.col("change_type").alias("status"),
+        F.lit(None).cast("string").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+    )
+    return upsert.unionByName(scd2p).unionByName(diff)
 
 
 def q_dedup_keep_last(spark, sf):
@@ -583,12 +601,20 @@ def q_sessionize_events(spark, sf):
     and the last-observation-carried-forward count riding
     ``period_offset`` (column reuse per the folding pattern;
     ``cohort_week`` carries the bucket timestamp, ``is_gap`` marks
-    spine-only rows and is NULL on the other parts). Timestamps are
+    spine-only rows and is NULL on the other parts); the ``anomaly``
+    part is trailing-window anomaly detection
+    (operators/timeseries.py rolling_zscore) over GAPLESS hourly
+    per-type counts — each hour scored against the mean/stddev of its
+    preceding 24 hours (exact decimal rolling sums, the
+    stats_agg_orders determinism trick), column reuse: ``session_id``
+    carries the baseline row count, ``period_offset`` the z-score
+    scaled to 1e-4 ticks (``round(z*10000)`` — the union has no free
+    double column), ``is_gap`` the anomaly flag. Timestamps are
     collision-free per user in the test data, so the oracle's
     earliest-match min-ts cascade is exactly the fold's greedy
     semantics."""
     from ..operators.funnel import funnel_counts, retention_matrix
-    from ..operators.timeseries import resample_gapfill
+    from ..operators.timeseries import resample_gapfill, rolling_zscore
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -667,11 +693,31 @@ def q_sessionize_events(spark, sf):
         F.col("cnt_locf").cast("long").alias("period_offset"),
         F.col("is_gap"),
     )
+    hourly = resample_gapfill(
+        ev, "ts", "1 hour", {"cnt": F.count("*")},
+        group_cols=["event_type"], fill="zero",
+    )
+    anom = rolling_zscore(
+        hourly, "cnt", "bucket", group_cols=["event_type"],
+        lookback=24, threshold=2.5, min_periods=8,
+    ).select(
+        F.lit("anomaly").alias("part"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("roll_n").alias("session_id"),
+        F.lit(None).cast("long").alias("step_idx"),
+        F.col("event_type").alias("step"),
+        F.col("cnt").cast("long").alias("n_users"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("cohort_week"),
+        F.round(F.col("zscore") * 10000).cast("long").alias("period_offset"),
+        F.col("is_anomaly").alias("is_gap"),
+    )
     return (
         sess.withColumn("is_gap", F.lit(None).cast("boolean"))
         .unionByName(fun.withColumn("is_gap", F.lit(None).cast("boolean")))
         .unionByName(ret.withColumn("is_gap", F.lit(None).cast("boolean")))
         .unionByName(gap)
+        .unionByName(anom)
     )
 
 
@@ -2509,6 +2555,16 @@ def _snapshot_upsert_part(which: str) -> QueryFn:
             return keep_last_dedup(
                 old.unionByName(new), ["o_orderkey"], [F.col("src").desc()]
             )
+        if which == "diff":
+            old = o.where(F.col("o_orderkey") % 3 != 0).select(
+                "o_orderkey", F.col("o_totalprice").alias("total")
+            )
+            new = o.where(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", (F.col("o_totalprice") * 2).alias("total")
+            )
+            return snapshot_diff(
+                old, new, pk="o_orderkey", compare_cols=["total"]
+            )
         return QUERIES["snapshot_upsert"](spark, sf).where(
             F.col("part") == F.lit("scd2")
         )
@@ -2538,7 +2594,7 @@ def _dedup_exact_docs_part(which: str) -> QueryFn:
 QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     "sessionize_events": {
         p: _tag_part("sessionize_events", "part", p)
-        for p in ("sess", "funnel", "retention", "gapfill")
+        for p in ("sess", "funnel", "retention", "gapfill", "anomaly")
     },
     "stats_agg_orders": {
         p: _tag_part("stats_agg_orders", "part", p) for p in ("stats", "topk")
@@ -2565,7 +2621,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         p: _dedup_exact_docs_part(p) for p in ("dedup", "winnow")
     },
     "snapshot_upsert": {
-        p: _snapshot_upsert_part(p) for p in ("upsert", "scd2")
+        p: _snapshot_upsert_part(p) for p in ("upsert", "scd2", "diff")
     },
     "bm25_search_docs": {
         # custom builders: the full query checkpoints the BM25 ranking
@@ -2733,7 +2789,23 @@ ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'scd2', o_orderkey, NULL, NULL, o_orderstatus, "
         "'2024-02-01 00:00:00', NULL, TRUE "
-        "FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 5 <> 0"
+        "FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 5 <> 0 "
+        # the diff part: CDC over the SAME two generations the upsert
+        # merges — full-outer join by pk, null-safe change detection
+        "UNION ALL "
+        "SELECT 'diff', d.o_orderkey, ROUND(COALESCE(d.total, d.total_old), 2), "
+        "NULL, d.change_type, NULL, NULL, CAST(NULL AS BOOLEAN) FROM ("
+        "SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey, "
+        "n.total, o.total AS total_old, "
+        "CASE WHEN o.o_orderkey IS NULL THEN 'insert' "
+        "WHEN n.o_orderkey IS NULL THEN 'delete' "
+        "WHEN n.total IS DISTINCT FROM o.total THEN 'update' "
+        "ELSE 'unchanged' END AS change_type "
+        "FROM (SELECT o_orderkey, o_totalprice * 2 AS total FROM orders "
+        "WHERE o_orderkey % 2 = 0) n "
+        "FULL OUTER JOIN (SELECT o_orderkey, o_totalprice AS total FROM orders "
+        "WHERE o_orderkey % 3 <> 0) o ON n.o_orderkey = o.o_orderkey) d "
+        "WHERE d.change_type <> 'unchanged'"
     ),
     "dedup_keep_last": (
         "SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM ("
@@ -2956,7 +3028,45 @@ ORACLES: dict[str, str] = {
         "last_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type "
         "ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
         "AS period_offset, "
-        "cnt IS NULL AS is_gap FROM j) g"
+        "cnt IS NULL AS is_gap FROM j) g "
+        # anomaly part: rolling z-score over gapless hourly counts —
+        # mean/var from EXACT decimal rolling sums (the stats_agg
+        # trick), z scaled to 1e-4 ticks (round(z*10000), the union
+        # has no free double column); session_id carries the baseline
+        # row count, is_gap the anomaly flag
+        "UNION ALL "
+        "SELECT 'anomaly', NULL, NULL, a.roll_n, NULL, a.step, "
+        "a.n_users, a.cohort_week, a.zsc, a.is_anom FROM ("
+        "WITH hc AS (SELECT event_type, "
+        "time_bucket(INTERVAL 1 HOUR, ts) AS b, COUNT(*) AS cnt "
+        "FROM events GROUP BY event_type, b), "
+        "hspine AS (SELECT event_type, "
+        "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b "
+        "FROM (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx "
+        "FROM hc GROUP BY event_type)), "
+        "hd AS (SELECT s.event_type, s.b, "
+        "CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt "
+        "FROM hspine s LEFT JOIN hc c USING (event_type, b)), "
+        "hz AS (SELECT event_type, b, cnt, "
+        "COUNT(*) OVER w AS roll_n, "
+        "CAST(SUM(CAST(cnt AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(cnt AS DECIMAL(18,4)) * CAST(cnt AS DECIMAL(18,4))) "
+        "OVER w AS DOUBLE) AS s2 FROM hd "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY b "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type AS step, cnt AS n_users, "
+        "strftime(b, '%Y-%m-%d %H:%M:%S') AS cohort_week, roll_n, "
+        "CASE WHEN roll_n >= 8 THEN "
+        "CASE WHEN (s2 - s*s/roll_n)/(roll_n-1) > 0 THEN "
+        "CAST(ROUND((CAST(cnt AS DOUBLE) - s/roll_n) "
+        "/ sqrt((s2 - s*s/roll_n)/(roll_n-1)) * 10000) AS BIGINT) "
+        "END END AS zsc, "
+        "COALESCE(CASE WHEN roll_n >= 8 THEN "
+        "CASE WHEN (s2 - s*s/roll_n)/(roll_n-1) > 0 THEN "
+        "abs((CAST(cnt AS DOUBLE) - s/roll_n) "
+        "/ sqrt((s2 - s*s/roll_n)/(roll_n-1))) > 2.5 "
+        "ELSE FALSE END ELSE FALSE END, FALSE) AS is_anom "
+        "FROM hz) a"
     ),
     "asof_join_orders": (
         "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("

@@ -480,3 +480,42 @@ def test_scd2_merge_keys_on_pk_and_broadcasts_batch_keys(spark, tmp_path):
     hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
     # every key exchange carries the pk, none the attribute payload
     assert hashed and all("id" in a and "city" not in a for a in hashed), hashed
+
+
+def test_snapshot_diff_leg_is_one_pk_equi_join(spark, sf_dir):
+    """The CDC diff leg (snapshot_upsert 'diff' part) is ONE pk-keyed
+    full-outer equi-join: every hash exchange keys on the pk, the join
+    is never a nested-loop/cartesian fallback, and everything after
+    the join is map-only (no second aggregation shuffle)."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    df = QUERY_PARTS["snapshot_upsert"]["diff"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "FullOuter" in plan, plan[:2000]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("o_orderkey" in a for a in hashed), hashed
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_anomaly_leg_windows_within_key_partitions(spark, sf_dir):
+    """The rolling-zscore leg (sessionize_events 'anomaly' part) keys
+    every exchange on event_type (the baseline window and the spine
+    join reuse the aggregate's partitioning) and never sorts globally
+    — the trailing frame orders buckets WITHIN each key's partition."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    df = QUERY_PARTS["sessionize_events"]["anomaly"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("event_type" in a for a in hashed), hashed
+    assert "rangepartitioning" not in plan, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

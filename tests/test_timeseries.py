@@ -124,3 +124,113 @@ def test_is_gap_not_fooled_by_null_aggregates(spark):
         assert m["2024-01-01 00:00:00"] == (1, None, False)  # observed, NULL agg
         assert m["2024-01-01 00:15:00"] == (None, None, True)
         assert m["2024-01-01 00:30:00"] == (1, 5.0, False)
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+def _z_df(spark, values, key="a"):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (key, base + timedelta(hours=i), float(v)) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+
+
+def _expected_z(values, i, lookback, min_periods):
+    """Pure-python twin of the operator's exact-sum formula."""
+    window = values[max(0, i - lookback): i]
+    n = len(window)
+    if n < min_periods:
+        return None
+    s, s2 = float(sum(window)), float(sum(v * v for v in window))
+    var = (s2 - s * s / n) / (n - 1)
+    if not var > 0:
+        return None
+    return (values[i] - s / n) / var ** 0.5
+
+
+def test_rolling_zscore_hand_computed(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    values = [10, 12, 11, 10, 13, 11, 12, 100, 11, 10]
+    out = rolling_zscore(
+        _z_df(spark, values), "v", "bucket", group_cols=["k"],
+        lookback=4, threshold=3.0, min_periods=2,
+    ).orderBy("bucket").collect()
+    for i, r in enumerate(out):
+        exp = _expected_z(values, i, 4, 2)
+        if exp is None:
+            assert r.zscore is None and r.is_anomaly is False
+        else:
+            assert abs(r.zscore - exp) < 1e-9, (i, r.zscore, exp)
+            assert r.is_anomaly == (abs(exp) > 3.0)
+        assert r.roll_n == min(i, 4)
+    # the spike is flagged, its neighbors are not
+    assert [r.is_anomaly for r in out].count(True) == 1
+    assert out[7].is_anomaly is True
+
+
+def test_rolling_zscore_warmup_and_constant_baseline(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    # constant baseline -> var 0 -> never scorable, never anomalous
+    out = rolling_zscore(
+        _z_df(spark, [5, 5, 5, 5, 5, 99]), "v", "bucket", group_cols=["k"],
+        lookback=4, min_periods=2,
+    ).orderBy("bucket").collect()
+    assert all(r.zscore is None for r in out)
+    assert all(r.is_anomaly is False for r in out)  # false, never NULL
+    # warmup: first min_periods rows unscorable even with variance
+    out2 = rolling_zscore(
+        _z_df(spark, [1, 9, 4, 7, 2]), "v", "bucket", group_cols=["k"],
+        lookback=4, min_periods=3,
+    ).orderBy("bucket").collect()
+    assert [r.zscore is None for r in out2] == [True, True, True, False, False]
+    assert [r.roll_mean is None for r in out2] == [True, True, True, False, False]
+
+
+def test_rolling_zscore_keys_are_independent(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    a = _z_df(spark, [10, 12, 10, 12, 50], key="a")
+    b = _z_df(spark, [1000, 1000, 1000, 1000, 1000], key="b")
+    out = rolling_zscore(
+        a.unionByName(b), "v", "bucket", group_cols=["k"],
+        lookback=4, min_periods=2, threshold=2.0,
+    )
+    m = {(r.k, r.bucket.hour): r.is_anomaly for r in out.collect()}
+    assert m[("a", 4)] is True  # b's plateau never leaks into a's baseline
+    assert all(not v for (k, _), v in m.items() if k == "b")
+
+
+def test_rolling_zscore_validation(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    df = _z_df(spark, [1, 2, 3])
+    for kw in (
+        {"lookback": 1},
+        {"min_periods": 1},
+        {"lookback": 4, "min_periods": 5},
+    ):
+        with pytest.raises(ValueError, match="rolling_zscore"):
+            rolling_zscore(df, "v", "bucket", group_cols=["k"], **kw)
+
+
+def test_rolling_zscore_plan_is_key_partitioned(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    out = rolling_zscore(
+        _z_df(spark, [1, 2, 3, 4, 5]), "v", "bucket", group_cols=["k"],
+        lookback=4, min_periods=2,
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    # one key-hash window pass: no global sort, no single partition
+    assert "rangepartitioning" not in plan, plan[:1500]
+    assert "SinglePartition" not in plan, plan[:1500]
