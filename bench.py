@@ -33,10 +33,11 @@ number (2.75 s) covers neither.
 
 ROUND-8 COMPOSITION CHANGES (continued 2): ``sessionize_events``
 gained the ``anomaly`` leg (rolling_zscore over gapless hourly
-per-type counts — one more event_type-keyed window pass) and
+per-type counts — one more event_type-keyed window pass),
 ``snapshot_upsert`` the ``diff`` leg (CDC full-outer pk join of the
-same two generations the upsert merges); both rows' parts maps
-attribute the new legs separately.
+same two generations the upsert merges), and ``stats_agg_orders``
+the ``dq`` leg (five data-quality expectations in one aggregate
+scan); the rows' parts maps attribute the new legs separately.
 
 ROUND-8 COMPOSITION CHANGES (continued): ``bm25_search_docs`` also
 gained the ``bm25idx`` leg — a REAL persisted term-bucketed postings

@@ -1,0 +1,165 @@
+"""Declarative data-quality expectations, verified in ONE corpus pass.
+
+An ETL platform that snapshots and re-syncs streams (the reference's
+whole job — ``etl-utils.ts:258-355``) eventually needs to ASSERT
+things about a batch before merging it: pk present and unique, values
+in range, formats valid, foreign keys resolvable. The Deequ/Great
+Expectations pattern: declare constraints, evaluate them all in one
+scan, get a per-constraint report instead of a crash halfway through
+a merge.
+
+Spark-first shape: every row-level constraint compiles to a
+conditional-count expression and ALL of them fold into ONE map-side-
+combined aggregate (plus ``count_distinct`` for uniqueness — Catalyst
+plans the expand in the same pass). The single 1-row aggregate then
+unpivots to one row per constraint via ``stack`` — still engine-level,
+no driver loop over constraints. At 100 TB the whole report costs one
+scan regardless of how many constraints ride it; only referential
+integrity (``check_foreign_key``) needs a second relation, and that is
+one broadcast/shuffle anti-join, never a driver-side set.
+
+No reference counterpart (extension op — the validation gate an
+ingest pipeline runs before ``snapshot_records``; sibling of
+``functions/schema_drift.py``, which gates the SCHEMA the same way
+this gates the VALUES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "expect",
+    "expect_not_null",
+    "expect_unique",
+    "expect_range",
+    "expect_regex",
+    "expect_in",
+    "check_expectations",
+    "check_foreign_key",
+]
+
+
+def expect(name: str, violation: Column) -> tuple[str, Column]:
+    """A named constraint from an arbitrary per-row violation
+    predicate (NULL predicate results count as violations — an
+    unevaluable constraint must not silently pass)."""
+    return (name, F.coalesce(violation, F.lit(True)))
+
+
+def expect_not_null(col: str) -> tuple[str, Column]:
+    return (f"not_null({col})", F.col(col).isNull())
+
+
+def expect_range(col: str, lo, hi) -> tuple[str, Column]:
+    """NULLs are not range violations — compose with expect_not_null
+    when absence itself is the defect."""
+    return (
+        f"range({col})",
+        F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def expect_regex(col: str, pattern: str) -> tuple[str, Column]:
+    return (
+        f"regex({col})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+    )
+
+
+def expect_in(col: str, values: list) -> tuple[str, Column]:
+    return (
+        f"in({col})",
+        F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+    )
+
+
+def expect_unique(cols: str | list[str]) -> tuple[str, None]:
+    """Key-uniqueness constraint (violations = rows beyond the first
+    per key = count − distinct count). Rows with a NULL key component
+    are excluded from both counts — flag absence with
+    expect_not_null, not a uniqueness artifact."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (f"unique({','.join(cols)})", None)  # sentinel: needs distinct agg
+
+
+def check_expectations(
+    df: DataFrame, constraints: list[tuple[str, Column | None]]
+) -> DataFrame:
+    """Evaluate every constraint in one aggregate pass. Returns one
+    row per constraint: ``(constraint, violations, total, passed)``
+    where ``total`` is the table row count and ``passed`` is
+    ``violations == 0``. Constraint names must be unique — the report
+    keys on them."""
+    if not constraints:
+        raise ValueError("check_expectations: no constraints given")
+    names = [n for n, _ in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(f"check_expectations: duplicate constraint names in {names}")
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for name, viol in constraints:
+        if viol is None:  # expect_unique sentinel
+            cols = name[len("unique("):-1].split(",")
+            any_null = None
+            for c in cols:
+                isnull = F.col(c).isNull()
+                any_null = isnull if any_null is None else (any_null | isnull)
+            nonnull = F.count(F.when(~any_null, F.lit(1)))
+            key = F.struct(*[F.col(c) for c in cols])
+            # a struct with a NULL field is still a non-NULL struct, so
+            # count_distinct would see null-keyed rows; mask them out to
+            # mirror the non-null row count above
+            aggs.append(
+                (nonnull - F.count_distinct(F.when(~any_null, key))).alias(name)
+            )
+        else:
+            aggs.append(
+                F.count(F.when(viol, F.lit(1))).alias(name)
+            )
+    one = df.agg(*aggs)
+    stack = "stack({n}, {args}) as (constraint, violations)".format(
+        n=len(names),
+        args=", ".join(f"'{n}', `{n}`" for n in names),
+    )
+    return one.select(
+        F.expr(stack), F.col("__total").alias("total")
+    ).select(
+        "constraint",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def check_foreign_key(
+    child: DataFrame, fk: str | list[str], parent: DataFrame, pk: str | list[str]
+) -> DataFrame:
+    """Referential-integrity report: child rows whose (non-NULL) fk
+    resolves to no parent pk. One anti-join against the DISTINCT
+    parent keys (broadcast when small, else a key shuffle) + the
+    child count — same report schema as ``check_expectations``.
+    NULL fk components are skipped (SQL FK semantics: unknowable,
+    not dangling)."""
+    fks = [fk] if isinstance(fk, str) else list(fk)
+    pks = [pk] if isinstance(pk, str) else list(pk)
+    if len(fks) != len(pks):
+        raise ValueError("check_foreign_key: fk/pk arity mismatch")
+    keys = parent.select(
+        *[F.col(p).alias(f) for p, f in zip(pks, fks)]
+    ).distinct()
+    nonnull = child
+    for f in fks:
+        nonnull = nonnull.where(F.col(f).isNotNull())
+    dangling = nonnull.join(keys, on=fks, how="left_anti")
+    name = f"foreign_key({','.join(fks)})"
+    return (
+        dangling.agg(F.count(F.lit(1)).alias("violations"))
+        .crossJoin(child.agg(F.count(F.lit(1)).alias("total")))
+        .select(
+            F.lit(name).alias("constraint"),
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )

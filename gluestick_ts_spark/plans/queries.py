@@ -933,7 +933,21 @@ def q_stats_agg_orders(spark, sf):
     pivot-style conditional counts per order status (folded in from the
     former conditional_agg_pivot query — same groupBy key, one agg);
     plus the 'topk' part: global top-100 orders by totalprice
-    (TakeOrderedAndProject — folded in from order_limit_global)."""
+    (TakeOrderedAndProject — folded in from order_limit_global); plus
+    the 'dq' part: the Deequ-style one-pass data-quality report
+    (operators/expectations.py — five constraints on orders folded
+    into ONE aggregate scan; column reuse: ``o_orderpriority`` carries
+    the constraint name, ``cnt`` the violation count, ``o_orderkey``
+    the table total, ``cnt_open`` the 0/1 passed flag)."""
+    from ..operators.expectations import (
+        check_expectations,
+        expect_in,
+        expect_not_null,
+        expect_range,
+        expect_regex,
+        expect_unique,
+    )
+
     o = _t(spark, sf, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
@@ -982,7 +996,30 @@ def q_stats_agg_orders(spark, sf):
             "o_totalprice",
         )
     )
-    return stats.unionByName(topk)
+    dq = check_expectations(
+        o,
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_in("o_orderstatus", ["O", "F", "P"]),
+            expect_range("o_totalprice", 0, 600000),
+            expect_regex("o_orderpriority", "^[1-5]-"),
+        ],
+    ).select(
+        F.lit("dq").alias("part"),
+        F.col("constraint").alias("o_orderpriority"),
+        F.col("violations").alias("cnt"),
+        F.lit(None).cast("double").alias("mean_price"),
+        F.lit(None).cast("double").alias("stddev_price"),
+        F.lit(None).cast("double").alias("min_price"),
+        F.lit(None).cast("double").alias("max_price"),
+        F.when(F.col("passed"), 1).otherwise(0).cast("long").alias("cnt_open"),
+        F.lit(None).cast("long").alias("cnt_filled"),
+        F.lit(None).cast("long").alias("cnt_partial"),
+        F.col("total").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    return stats.unionByName(topk).unionByName(dq)
 
 
 def q_rollup_events_hourly(spark, sf):
@@ -2597,7 +2634,8 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         for p in ("sess", "funnel", "retention", "gapfill", "anomaly")
     },
     "stats_agg_orders": {
-        p: _tag_part("stats_agg_orders", "part", p) for p in ("stats", "topk")
+        p: _tag_part("stats_agg_orders", "part", p)
+        for p in ("stats", "topk", "dq")
     },
     "json_extract_agg": {
         p: _tag_part("json_extract_agg", "part", p) for p in ("agg", "encode")
@@ -3196,7 +3234,32 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
         "CAST(NULL AS BIGINT), o_orderkey, o_totalprice FROM ("
         "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100) t"
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100) t "
+        # dq part: the one-pass expectations report — each constraint's
+        # violation count stated as plain SQL aggregates
+        "UNION ALL "
+        "SELECT 'dq' AS part, dq.constraint, dq.violations, "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS DOUBLE), "
+        "CAST(CASE WHEN dq.violations = 0 THEN 1 ELSE 0 END AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), dq.total, "
+        "CAST(NULL AS DOUBLE) FROM ("
+        "SELECT 'not_null(o_orderkey)' AS constraint, "
+        "CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) "
+        "AS violations, COUNT(*) AS total FROM orders "
+        "UNION ALL SELECT 'unique(o_orderkey)', "
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders "
+        "UNION ALL SELECT 'in(o_orderstatus)', "
+        "COUNT(CASE WHEN o_orderstatus IS NOT NULL "
+        "AND o_orderstatus NOT IN ('O','F','P') THEN 1 END), COUNT(*) FROM orders "
+        "UNION ALL SELECT 'range(o_totalprice)', "
+        "COUNT(CASE WHEN o_totalprice IS NOT NULL "
+        "AND o_totalprice NOT BETWEEN 0 AND 600000 THEN 1 END), COUNT(*) "
+        "FROM orders "
+        "UNION ALL SELECT 'regex(o_orderpriority)', "
+        "COUNT(CASE WHEN o_orderpriority IS NOT NULL "
+        "AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END), "
+        "COUNT(*) FROM orders) dq"
     ),
     "rollup_events_hourly": (
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "

@@ -102,17 +102,41 @@ def test_hot_paths_have_no_python_operators(spark, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q1_pricing_summary", "q6_revenue_delta", "stats_agg_orders",
-     "window_funcs_orders"],
+    ["q1_pricing_summary", "q6_revenue_delta", "window_funcs_orders"],
 )
 def test_single_pass_queries_shuffle_once(spark, sf_dir, name):
     """One groupBy/window over one table = exactly one shuffle; a
     second Exchange means the plan re-partitions data it already
     partitioned. (sessionize_events left this list when it became the
     behavioral-analytics union — its sess part's single user-keyed
-    window is now covered by the dedicated gate below.)"""
+    window is now covered by the dedicated gate below; same for
+    stats_agg_orders when it gained the dq leg — its stats part is
+    gated alone below.)"""
     plan = _plan(spark, sf_dir, name)
     assert _shuffles(plan) <= 1, (name, _shuffles(plan))
+
+
+def test_stats_part_still_shuffles_once_and_dq_scans_once(spark, sf_dir):
+    """stats_agg_orders grew legs, but its stats part must keep the
+    single-aggregation single-shuffle plan, and the dq leg (the
+    expectations report) must fold all five constraints into ONE scan
+    of orders — exchanges after the aggregate carry a handful of
+    1-row summaries, but a second 'Scan parquet' means a constraint
+    bought its own corpus pass."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    stats = QUERY_PARTS["stats_agg_orders"]["stats"](spark, sf_dir)
+    plan = stats._jdf.queryExecution().explainString(mode)
+    assert _shuffles(plan) <= 1, _shuffles(plan)
+    dq = QUERY_PARTS["stats_agg_orders"]["dq"](spark, sf_dir)
+    plan = dq._jdf.queryExecution().explainString(mode)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 1, scans
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
 
 
 def test_sessionize_union_keeps_user_keyed_shuffles_only(spark, sf_dir):
