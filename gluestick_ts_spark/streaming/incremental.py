@@ -41,6 +41,7 @@ __all__ = [
     "stream_semantic_dedup",
     "stream_scd2",
     "stream_session_window_counts",
+    "stream_expectations",
 ]
 
 
@@ -915,4 +916,81 @@ def stream_session_window_counts(
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def stream_expectations(
+    stream_df: DataFrame,
+    event_time_col: str,
+    constraints: list,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of ``check_expectations``
+    (``operators/expectations.py``): the same declarative constraints,
+    reported per event-time window (and optional slice columns) so an
+    ingest pipeline watches constraint violations live instead of
+    gating batches after the fact.
+
+    Same one-pass shape as batch: every row-level constraint is a
+    conditional count inside ONE watermark-bounded windowed
+    aggregation, then the 1-row-per-window summary unpivots to one row
+    per (window, constraint) — ``(window_start, window_end,
+    *group_cols, constraint, violations, total, passed)``. The only
+    semantic delta vs batch: ``expect_unique`` violations use
+    ``approx_count_distinct`` (exact COUNT DISTINCT is unsupported in
+    streaming aggregations), so its count carries HLL error (~2%) and
+    can even go slightly negative-then-clamped on tiny windows —
+    documented, and acceptable for a monitoring signal; the batch gate
+    remains the exact arbiter before a merge.
+    """
+    if not constraints:
+        raise ValueError("stream_expectations: no constraints given")
+    names = [n for n, _ in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"stream_expectations: duplicate constraint names in {names}"
+        )
+    keys = list(group_cols or [])
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for name, viol in constraints:
+        if viol is None:  # expect_unique sentinel (see batch twin)
+            cols = name[len("unique("):-1].split(",")
+            any_null = None
+            for c in cols:
+                isnull = F.col(c).isNull()
+                any_null = isnull if any_null is None else (any_null | isnull)
+            nonnull = F.count(F.when(~any_null, F.lit(1)))
+            key = F.struct(*[F.col(c) for c in cols])
+            approx = F.approx_count_distinct(F.when(~any_null, key))
+            aggs.append(F.greatest(nonnull - approx, F.lit(0)).alias(name))
+        else:
+            aggs.append(F.count(F.when(viol, F.lit(1))).alias(name))
+    agged = (
+        stream_df.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(F.col(event_time_col), window_duration),
+            *[F.col(c) for c in keys],
+        )
+        .agg(*aggs)
+    )
+    stack = "stack({n}, {args}) as (constraint, violations)".format(
+        n=len(names),
+        args=", ".join(f"'{n}', `{n}`" for n in names),
+    )
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(c) for c in keys],
+        F.expr(stack),
+        F.col("__total").alias("total"),
+    ).select(
+        "window_start",
+        "window_end",
+        *keys,
+        "constraint",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
     )

@@ -682,3 +682,60 @@ def test_session_window_counts_matches_custom_sessionizer(spark, tmp_path):
     late.write.mode("append").parquet(src)
     run()
     assert {s for s in native} <= got
+
+
+def test_stream_expectations(spark, tmp_path):
+    """Streaming DQ monitor: the batch constraints reported per
+    event-time window; unique violations via approx distinct (exact at
+    this cardinality); batch gate and stream agree on the same rows."""
+    import datetime
+
+    from gluestick_ts_spark.operators.expectations import (
+        check_expectations,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+    )
+    from gluestick_ts_spark.streaming.incremental import stream_expectations
+
+    src = str(tmp_path / "dqsrc")
+    schema = "id long, ts timestamp, amount double"
+    t = datetime.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t, 10.0),
+        (2, t, 150.0),       # range violation
+        (2, t, 50.0),        # duplicate id
+        (None, t, 7.0),      # null id
+    ]
+    _write_stream_batch(src, spark, rows, schema)
+    stream = spark.readStream.schema(schema).parquet(src)
+    rules = [
+        expect_not_null("id"),
+        expect_unique("id"),
+        expect_range("amount", 0.0, 100.0),
+    ]
+    rep = stream_expectations(
+        stream, "ts", rules, window_duration="1 hour", watermark="1 hour"
+    )
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("sdq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["constraint"]: r for r in spark.sql("SELECT * FROM sdq").collect()}
+    assert got["not_null(id)"]["violations"] == 1
+    assert got["unique(id)"]["violations"] == 1  # HLL exact at 3 keys
+    assert got["range(amount)"]["violations"] == 1
+    assert all(r["total"] == 4 and r["passed"] is False for r in got.values())
+    assert str(got["not_null(id)"]["window_start"]) == "2024-01-01 00:00:00"
+    # stream and batch gate agree constraint-for-constraint here
+    batch_rep = {
+        r.constraint: r.violations
+        for r in check_expectations(
+            spark.createDataFrame(rows, schema), rules
+        ).collect()
+    }
+    assert batch_rep == {k: v["violations"] for k, v in got.items()}
