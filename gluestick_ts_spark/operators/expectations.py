@@ -100,6 +100,14 @@ def check_expectations(
     aggs = [F.count(F.lit(1)).alias("__total")]
     for name, viol in constraints:
         if viol is None:  # expect_unique sentinel
+            if not (name.startswith("unique(") and name.endswith(")")):
+                # the key columns ride in the name — a renamed
+                # uniqueness constraint would silently check the wrong
+                # thing, so refuse anything but expect_unique's shape
+                raise ValueError(
+                    f"check_expectations: constraint {name!r} has no "
+                    "predicate — only expect_unique(...) may omit one"
+                )
             cols = name[len("unique("):-1].split(",")
             any_null = None
             for c in cols:

@@ -956,6 +956,11 @@ def stream_expectations(
     aggs = [F.count(F.lit(1)).alias("__total")]
     for name, viol in constraints:
         if viol is None:  # expect_unique sentinel (see batch twin)
+            if not (name.startswith("unique(") and name.endswith(")")):
+                raise ValueError(
+                    f"stream_expectations: constraint {name!r} has no "
+                    "predicate — only expect_unique(...) may omit one"
+                )
             cols = name[len("unique("):-1].split(",")
             any_null = None
             for c in cols:
