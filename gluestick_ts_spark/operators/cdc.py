@@ -59,12 +59,21 @@ def snapshot_diff(
             c for c in new.columns if c not in pks and c in old.columns
         ]
     missing = [c for c in compare_cols if c not in old.columns or c not in new.columns]
-    if not compare_cols or missing:
-        raise ValueError(
-            f"snapshot_diff: compare_cols must be shared non-pk columns; "
-            f"missing from a side: {missing}" if missing
-            else "snapshot_diff: no shared non-pk columns to compare"
-        )
+    overlap = [c for c in compare_cols if c in pks]
+    if not compare_cols or missing or overlap:
+        if overlap:
+            msg = (
+                f"snapshot_diff: compare_cols {overlap} are pk columns — "
+                "keys identify rows, they cannot also be compared values"
+            )
+        elif missing:
+            msg = (
+                "snapshot_diff: compare_cols must be shared non-pk "
+                f"columns; missing from a side: {missing}"
+            )
+        else:
+            msg = "snapshot_diff: no shared non-pk columns to compare"
+        raise ValueError(msg)
     o = old.select(
         *pks,
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],

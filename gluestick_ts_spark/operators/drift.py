@@ -44,10 +44,13 @@ def _bucket_expr(col: str, cuts: list[float]) -> Column:
     values in (cuts[i-1], cuts[i]]; underflow clamps to 0, overflow to
     the last bucket (current-side values outside the reference range
     must land SOMEWHERE visible, not vanish)."""
+    # the chain itself bounds the id: the largest branch assigns
+    # len(cuts), so overflow values land in the last bucket by
+    # construction — no extra clamp needed
     b = F.lit(0)
     for i, c in enumerate(cuts):
         b = F.when(F.col(col) > F.lit(float(c)), i + 1).otherwise(b)
-    return F.least(b, F.lit(len(cuts)))
+    return b
 
 
 def distribution_drift(

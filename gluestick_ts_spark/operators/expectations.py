@@ -81,57 +81,84 @@ def expect_unique(cols: str | list[str]) -> tuple[str, None]:
     are excluded from both counts — flag absence with
     expect_not_null, not a uniqueness artifact."""
     cols = [cols] if isinstance(cols, str) else list(cols)
-    return (f"unique({','.join(cols)})", None)  # sentinel: needs distinct agg
+    # the key columns ride OUT-OF-BAND (second element), never parsed
+    # back out of the display name — a column name containing ',' or
+    # ')' must not change which key gets checked
+    return (f"unique({','.join(cols)})", list(cols))
+
+
+def _constraint_aggs(
+    constraints: list, caller: str, distinct_fn
+) -> tuple[list[str], list[Column]]:
+    """Shared agg-builder for the batch and streaming gates: validate
+    names, compile each constraint to an aggregate aliased ``__c{i}``
+    (positional aliases, so arbitrary display names never reach an SQL
+    identifier), and return (names, aggs). ``distinct_fn`` is the
+    distinct-count aggregate uniqueness uses — exact in batch, approx
+    in streaming."""
+    if not constraints:
+        raise ValueError(f"{caller}: no constraints given")
+    names = [n for n, _ in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError(f"{caller}: duplicate constraint names in {names}")
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, (name, viol) in enumerate(constraints):
+        alias = f"__c{i}"
+        if isinstance(viol, (list, tuple)):  # expect_unique key columns
+            any_null = None
+            for c in viol:
+                isnull = F.col(c).isNull()
+                any_null = isnull if any_null is None else (any_null | isnull)
+            nonnull = F.count(F.when(~any_null, F.lit(1)))
+            key = F.struct(*[F.col(c) for c in viol])
+            # a struct with a NULL field is still a non-NULL struct, so
+            # the distinct count would see null-keyed rows; mask them
+            # out to mirror the non-null row count above
+            delta = nonnull - distinct_fn(F.when(~any_null, key))
+            # approx distinct can overshoot the true count on small
+            # frames; a negative violation count reads as corruption
+            aggs.append(F.greatest(delta, F.lit(0)).alias(alias))
+        elif viol is None:
+            raise ValueError(
+                f"{caller}: constraint {name!r} has no predicate — "
+                "uniqueness must come from expect_unique(...), which "
+                "carries its key columns"
+            )
+        else:
+            aggs.append(F.count(F.when(viol, F.lit(1))).alias(alias))
+    return names, aggs
+
+
+def _stack_report(names: list[str]) -> Column:
+    """Unpivot the 1-row constraint summary to (constraint, violations)
+    rows. Display names enter only as escaped string LITERALS; the
+    value side references the positional ``__c{i}`` aliases, so no
+    user-chosen name ever becomes an SQL identifier."""
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return F.expr(
+        "stack({n}, {args}) as (constraint, violations)".format(
+            n=len(names),
+            args=", ".join(f"{lit(n)}, __c{i}" for i, n in enumerate(names)),
+        )
+    )
 
 
 def check_expectations(
-    df: DataFrame, constraints: list[tuple[str, Column | None]]
+    df: DataFrame, constraints: list[tuple[str, Column | list[str]]]
 ) -> DataFrame:
     """Evaluate every constraint in one aggregate pass. Returns one
     row per constraint: ``(constraint, violations, total, passed)``
     where ``total`` is the table row count and ``passed`` is
     ``violations == 0``. Constraint names must be unique — the report
     keys on them."""
-    if not constraints:
-        raise ValueError("check_expectations: no constraints given")
-    names = [n for n, _ in constraints]
-    if len(set(names)) != len(names):
-        raise ValueError(f"check_expectations: duplicate constraint names in {names}")
-    aggs = [F.count(F.lit(1)).alias("__total")]
-    for name, viol in constraints:
-        if viol is None:  # expect_unique sentinel
-            if not (name.startswith("unique(") and name.endswith(")")):
-                # the key columns ride in the name — a renamed
-                # uniqueness constraint would silently check the wrong
-                # thing, so refuse anything but expect_unique's shape
-                raise ValueError(
-                    f"check_expectations: constraint {name!r} has no "
-                    "predicate — only expect_unique(...) may omit one"
-                )
-            cols = name[len("unique("):-1].split(",")
-            any_null = None
-            for c in cols:
-                isnull = F.col(c).isNull()
-                any_null = isnull if any_null is None else (any_null | isnull)
-            nonnull = F.count(F.when(~any_null, F.lit(1)))
-            key = F.struct(*[F.col(c) for c in cols])
-            # a struct with a NULL field is still a non-NULL struct, so
-            # count_distinct would see null-keyed rows; mask them out to
-            # mirror the non-null row count above
-            aggs.append(
-                (nonnull - F.count_distinct(F.when(~any_null, key))).alias(name)
-            )
-        else:
-            aggs.append(
-                F.count(F.when(viol, F.lit(1))).alias(name)
-            )
-    one = df.agg(*aggs)
-    stack = "stack({n}, {args}) as (constraint, violations)".format(
-        n=len(names),
-        args=", ".join(f"'{n}', `{n}`" for n in names),
+    names, aggs = _constraint_aggs(
+        constraints, "check_expectations", F.count_distinct
     )
+    one = df.agg(*aggs)
     return one.select(
-        F.expr(stack), F.col("__total").alias("total")
+        _stack_report(names), F.col("__total").alias("total")
     ).select(
         "constraint",
         "violations",

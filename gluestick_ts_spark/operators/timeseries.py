@@ -189,7 +189,9 @@ def rolling_zscore(
     Mean and variance derive from EXACT decimal rolling sums (sum,
     sum-of-squares — the ``stats_agg_orders`` trick), so the doubles
     are independent of partition/summation order and bit-comparable
-    across engines; values must fit ``decimal(18,4)`` (|v| < 1e14).
+    across engines; values must fit ``decimal(18,4)`` (|v| < 1e14 —
+    enforced: an oversized value raises at evaluation time rather than
+    silently NULLing itself out of its own baseline).
 
     ``(group_cols, order_col)`` must be row-unique or the frame is
     nondeterministic. One key-hash shuffle; each key's rows sort
@@ -210,7 +212,20 @@ def rolling_zscore(
         Window.partitionBy(*keys).orderBy(order_col)
         .rowsBetween(-lookback, -1)
     )
-    v = F.col(value_col).cast("decimal(18,4)")
+    # decimal overflow would NULL the value out of its own baseline
+    # silently (non-ANSI cast); fail loudly at the first oversized row
+    # instead of degrading to a no-signal metric
+    in_range = F.col(value_col).isNull() | (
+        F.abs(F.col(value_col).cast("double")) < F.lit(1e14)
+    )
+    guard = F.assert_true(
+        in_range,
+        F.lit(
+            f"rolling_zscore: |{value_col}| >= 1e14 overflows the exact "
+            "decimal(18,4) rolling sums — rescale the value first"
+        ),
+    )
+    v = F.when(guard.isNull(), F.col(value_col)).cast("decimal(18,4)")
     n = F.count(v).over(w)
     s = F.sum(v).over(w).cast("double")
     s2 = F.sum(v * v).over(w).cast("double")

@@ -945,33 +945,12 @@ def stream_expectations(
     documented, and acceptable for a monitoring signal; the batch gate
     remains the exact arbiter before a merge.
     """
-    if not constraints:
-        raise ValueError("stream_expectations: no constraints given")
-    names = [n for n, _ in constraints]
-    if len(set(names)) != len(names):
-        raise ValueError(
-            f"stream_expectations: duplicate constraint names in {names}"
-        )
+    from ..operators.expectations import _constraint_aggs, _stack_report
+
     keys = list(group_cols or [])
-    aggs = [F.count(F.lit(1)).alias("__total")]
-    for name, viol in constraints:
-        if viol is None:  # expect_unique sentinel (see batch twin)
-            if not (name.startswith("unique(") and name.endswith(")")):
-                raise ValueError(
-                    f"stream_expectations: constraint {name!r} has no "
-                    "predicate — only expect_unique(...) may omit one"
-                )
-            cols = name[len("unique("):-1].split(",")
-            any_null = None
-            for c in cols:
-                isnull = F.col(c).isNull()
-                any_null = isnull if any_null is None else (any_null | isnull)
-            nonnull = F.count(F.when(~any_null, F.lit(1)))
-            key = F.struct(*[F.col(c) for c in cols])
-            approx = F.approx_count_distinct(F.when(~any_null, key))
-            aggs.append(F.greatest(nonnull - approx, F.lit(0)).alias(name))
-        else:
-            aggs.append(F.count(F.when(viol, F.lit(1))).alias(name))
+    names, aggs = _constraint_aggs(
+        constraints, "stream_expectations", F.approx_count_distinct
+    )
     agged = (
         stream_df.withWatermark(event_time_col, watermark)
         .groupBy(
@@ -980,15 +959,11 @@ def stream_expectations(
         )
         .agg(*aggs)
     )
-    stack = "stack({n}, {args}) as (constraint, violations)".format(
-        n=len(names),
-        args=", ".join(f"'{n}', `{n}`" for n in names),
-    )
     return agged.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         *[F.col(c) for c in keys],
-        F.expr(stack),
+        _stack_report(names),
         F.col("__total").alias("total"),
     ).select(
         "window_start",

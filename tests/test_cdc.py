@@ -96,3 +96,9 @@ def test_plan_joins_on_pk_without_nested_loop(gens):
     # bucketed co-location), never a nested-loop/cartesian fallback
     assert "FullOuter" in plan, plan[:2000]
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+
+
+def test_pk_in_compare_cols_is_refused(gens):
+    old, new = gens
+    with pytest.raises(ValueError, match="pk columns"):
+        snapshot_diff(old, new, pk="id", compare_cols=["id", "bal"])

@@ -122,3 +122,39 @@ def test_report_is_one_aggregate_pass(tbl):
     assert len(scans) <= 1, scans
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_awkward_names_and_columns_survive(spark):
+    """Constraint display names with quotes and key columns with commas
+    must not corrupt the report: names enter only as escaped literals,
+    unique keys ride out-of-band (never re-parsed from the name)."""
+    df = (
+        spark.createDataFrame(
+            [(1, "p"), (1, "q"), (2, "p")], "a long, b string"
+        )
+        .withColumn("both", F.concat_ws("|", "a", "b"))
+        .withColumnRenamed("both", "a,b")
+    )
+    rep = _report(
+        check_expectations(
+            df,
+            [
+                expect("it's odd", F.col("a") % 2 == 1),
+                expect_unique("a,b"),   # ONE column literally named "a,b"
+            ],
+        )
+    )
+    assert rep["it's odd"] == (2, 3, False)
+    assert rep["unique(a,b)"] == (0, 3, True)  # 3 distinct "a|b" strings
+    # a,b-vs-(a,b) disambiguation: duplicate the a=1,b="p" row — the
+    # comma-named column AND the real pair now each hold one duplicate,
+    # but a SUBSEQUENT duplicate only in the pair interpretation
+    # (same (a,b), different "a,b") must count ONLY for the pair
+    extra = spark.createDataFrame([(1, "p", "X")], "a long, b string, `a,b` string")
+    dup = df.unionByName(extra)
+    one_col = _report(check_expectations(dup, [expect_unique("a,b")]))
+    pair = _report(check_expectations(dup, [expect_unique(["a", "b"])]))
+    assert one_col["unique(a,b)"][0] == 0   # "X" is a new value: no dup
+    assert pair["unique(a,b)"][0] == 1      # (1,"p") repeats: one dup
+    with pytest.raises(ValueError, match="expect_unique"):
+        check_expectations(df, [("custom", None)])

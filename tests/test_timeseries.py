@@ -234,3 +234,13 @@ def test_rolling_zscore_plan_is_key_partitioned(spark):
     # one key-hash window pass: no global sort, no single partition
     assert "rangepartitioning" not in plan, plan[:1500]
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_rolling_zscore_overflow_fails_loudly(spark):
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    df = _z_df(spark, [1.0, 2.0, 5e14, 3.0])
+    out = rolling_zscore(df, "v", "bucket", group_cols=["k"],
+                         lookback=3, min_periods=2)
+    with pytest.raises(Exception, match="overflows"):
+        out.collect()
