@@ -42,6 +42,7 @@ __all__ = [
     "stream_scd2",
     "stream_session_window_counts",
     "stream_expectations",
+    "stream_drift",
 ]
 
 
@@ -973,4 +974,91 @@ def stream_expectations(
         "violations",
         "total",
         (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def stream_drift(
+    stream_df: DataFrame,
+    event_time_col: str,
+    col: str,
+    ref: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "30 minutes",
+    max_categories: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``distribution_drift``
+    (``operators/drift.py``): per event-time window, the categorical
+    PSI of ``col`` against a REFERENCE corpus — the live "is the
+    incoming mix still the mix we tuned for" monitor.
+
+    The frozen-baseline recipe, streaming-shaped: the reference
+    histogram is computed ONCE (one batch aggregate, collected —
+    bounded by ``max_categories``, refused beyond it) and frozen into
+    the plan as literals; each window then needs only ONE streaming
+    aggregation (a conditional count per reference category + total),
+    and the PSI is in-row arithmetic over that single row — no second
+    streaming aggregation, no stream-static join, so it runs in any
+    output mode. Categories absent from the reference pool into a
+    ``<OTHER>`` bucket (epsilon-smoothed, so brand-new values surface
+    as drift instead of vanishing). NULL is its own category, as in
+    batch. Output: ``(window_start, window_end, n, psi,
+    top_drift_bucket)`` — ``top_drift_bucket`` names the category
+    contributing most PSI, the first thing an operator asks.
+    """
+    from ..operators.drift import _EPS
+
+    bucket = F.coalesce(F.col(col).cast("string"), F.lit("<NULL>"))
+    rows = (
+        ref.select(bucket.alias("b")).groupBy("b").count()
+        .orderBy("b").collect()
+    )
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"stream_drift: reference has {len(rows)} categories of "
+            f"{col!r} (max_categories={max_categories}) — a histogram "
+            "that wide should be hashed or topped-K first"
+        )
+    if not rows:
+        raise ValueError("stream_drift: reference side has no rows")
+    total_ref = sum(r["count"] for r in rows)
+    cats = [r["b"] for r in rows]
+    p_ref = {r["b"]: max(r["count"] / total_ref, _EPS) for r in rows}
+
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.count(F.when(bucket == F.lit(c), F.lit(1))).alias(f"__b{i}")
+        for i, c in enumerate(cats)
+    ]
+    agged = (
+        stream_df.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window_duration))
+        .agg(*aggs)
+    )
+    known = sum((F.col(f"__b{i}") for i in range(len(cats))), F.lit(0))
+    terms = []
+    for i, c in enumerate(cats):
+        p_cur = F.greatest(F.col(f"__b{i}") / F.col("__n"), F.lit(_EPS))
+        terms.append(
+            ((p_cur - F.lit(p_ref[c])) * F.log(p_cur / F.lit(p_ref[c])))
+            .alias("__t")
+        )
+    p_other = F.greatest(
+        (F.col("__n") - known) / F.col("__n"), F.lit(_EPS)
+    )
+    terms.append(
+        ((p_other - F.lit(_EPS)) * F.log(p_other / F.lit(_EPS))).alias("__t")
+    )
+    psi = sum(terms[1:], terms[0])
+    labels = [*cats, "<OTHER>"]
+    top = F.array(
+        *[
+            F.struct(t.alias("c"), F.lit(lbl).alias("b"))
+            for t, lbl in zip(terms, labels)
+        ]
+    )
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("__n").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        F.array_max(top)["b"].alias("top_drift_bucket"),
     )

@@ -739,3 +739,62 @@ def test_stream_expectations(spark, tmp_path):
         ).collect()
     }
     assert batch_rep == {k: v["violations"] for k, v in got.items()}
+
+
+def test_stream_drift(spark, tmp_path):
+    """Streaming PSI monitor: reference histogram frozen into the
+    plan; a matching window scores ~0, a skewed window exceeds the
+    0.25 'shifted' threshold and names the top-drifting category; a
+    reference-unseen value surfaces through <OTHER>."""
+    import datetime
+    import math
+
+    from gluestick_ts_spark.streaming.incremental import stream_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "lang string"
+    )
+    src = str(tmp_path / "drsrc")
+    schema = "id long, ts timestamp, lang string"
+    t1 = datetime.datetime(2024, 1, 1, 0, 30)
+    t2 = datetime.datetime(2024, 1, 1, 1, 30)
+    t3 = datetime.datetime(2024, 1, 1, 2, 30)
+    rows = (
+        [(1, t1, "a")] * 6 + [(2, t1, "b")] * 3 + [(3, t1, "c")]      # matches ref
+        + [(4, t2, "b")] * 10                                          # all-b window
+        + [(5, t3, "zz")] * 10                                         # unseen value
+    )
+    _write_stream_batch(src, spark, rows, schema)
+    rep = stream_drift(
+        spark.readStream.schema(schema).parquet(src), "ts", "lang", ref,
+        window_duration="1 hour", watermark="1 hour",
+    )
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("sdrift")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.window_start.hour: r for r in spark.sql("SELECT * FROM sdrift").collect()}
+    assert got[0].psi == pytest.approx(0.0, abs=1e-6)
+    # the top PSI contributor in the all-b window is the VANISHED
+    # majority category a ((eps-0.6)ln(eps/0.6) ≈ 7.98), not b itself
+    assert got[1].psi > 0.25 and got[1].top_drift_bucket == "a"
+    assert got[2].psi > 0.25 and got[2].top_drift_bucket == "<OTHER>"
+    assert got[0].n == 10 and got[1].n == 10
+    # hand-check the all-b window's PSI against the batch formula
+    import gluestick_ts_spark as gs
+    eps = 1e-6
+    exp = sum(
+        (pc - pr) * math.log(pc / pr)
+        for pc, pr in [(eps, 0.6), (1.0, 0.3), (eps, 0.1), (eps, eps)]
+    )
+    assert got[1].psi == pytest.approx(round(exp, 6), abs=1e-6)
+    with pytest.raises(ValueError, match="max_categories"):
+        stream_drift(
+            spark.readStream.schema(schema).parquet(src), "ts", "lang",
+            spark.range(50).select(F.col("id").cast("string").alias("lang")),
+            max_categories=10,
+        )
