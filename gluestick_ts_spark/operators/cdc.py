@@ -74,6 +74,19 @@ def snapshot_diff(
         else:
             msg = "snapshot_diff: no shared non-pk columns to compare"
         raise ValueError(msg)
+    clash = [
+        c for c in compare_cols
+        if f"{c}_old" in compare_cols or f"{c}_old" in pks
+    ]
+    if clash:
+        # the old image of column x is emitted as x_old; a REAL column
+        # by that name would collide ambiguously inside the join —
+        # refuse up front instead of failing (or mis-resolving) there
+        raise ValueError(
+            "snapshot_diff: old-image aliases collide with real columns "
+            f"({[f'{c}_old' for c in clash]}) — rename them or narrow "
+            "compare_cols"
+        )
     o = old.select(
         *pks,
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],

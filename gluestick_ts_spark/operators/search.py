@@ -270,6 +270,17 @@ def write_bm25_index(
     meta. Single-writer; Hadoop-FS-safe paths."""
     from ..sources.fs import join_uri, write_text_file
 
+    if mode != "overwrite":
+        # any other mode corrupts the index: postings would append but
+        # docfreq is recomputed over the FULL read-back postings and
+        # appending THAT duplicates (term, bucket) df rows, while meta
+        # would mix batch-only n_docs with whole-corpus sum_dl —
+        # incremental growth goes through append_bm25_index
+        raise ValueError(
+            f"write_bm25_index: mode={mode!r} unsupported — the index "
+            "write is all-or-nothing; use append_bm25_index for "
+            "incremental growth"
+        )
     spark = docs.sparkSession
     post = term_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket(num_buckets)
@@ -291,7 +302,7 @@ def write_bm25_index(
     dfr.write.mode(mode).partitionBy("bucket").parquet(
         join_uri(path, _BM25_DF_DIR)
     )
-    n_docs, sum_dl = _corpus_stats(docs, written, id_col, text_col)
+    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col)
     meta = {
         "num_buckets": num_buckets,
         "n_docs": n_docs,
@@ -302,20 +313,20 @@ def write_bm25_index(
     write_text_file(spark, join_uri(path, _BM25_META_FILE), json.dumps(meta))
 
 
-def _corpus_stats(docs, post, id_col: str, text_col: str) -> tuple[int, int]:
-    """(n_docs, sum_dl) for the additive index stats — derived from the
-    already-computed postings (one id-dedup aggregate) instead of
-    re-tokenizing the corpus; token-free documents carry no postings,
-    so their (dl = 0) absence cannot skew sum_dl, and n_docs counts the
-    corpus relation directly."""
-    n_docs = int(docs.select(F.count("*")).first()[0])
-    row = (
-        post.select("id", "dl")
-        .dropDuplicates(["id"])
-        .agg(F.sum("dl"))
-        .first()
-    )
-    return n_docs, int(row[0] or 0)
+def _corpus_stats(docs, id_col: str, text_col: str) -> tuple[int, int]:
+    """(n_docs, sum_dl) for the additive index stats — computed from
+    the corpus with the SAME tokenizer expression the in-memory
+    ranking's stats aggregate uses, so the index avgdl is identical to
+    bm25_topk's BY CONSTRUCTION. (Deriving sum_dl from the postings
+    would silently diverge: an empty-but-non-NULL text tokenizes to
+    one empty term, which the postings drop while the in-memory dl sum
+    still counts it — every score would then differ from the pinned
+    in-memory ranking.)"""
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokens_expr(F.col(text_col)))).alias("s"),
+    ).first()
+    return int(row["n"]), int(row["s"] or 0)
 
 
 def read_bm25_index_meta(spark, path: str) -> dict:
@@ -368,7 +379,7 @@ def append_bm25_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    n_docs, sum_dl = _corpus_stats(docs, post, id_col, text_col)
+    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col)
     meta["n_docs"] += n_docs
     meta["sum_dl"] += sum_dl
     from ..sources.fs import write_text_file

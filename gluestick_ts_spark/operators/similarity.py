@@ -368,7 +368,11 @@ def _seed_centroids(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent"))
         .collect()
     )
-    return [{"cid": int(r["cid"]), "cent": _unit_vec(r["cent"])} for r in rows]
+    # cid keeps the id column's own type (the trained path at
+    # train_ivf_centroids does the same): int() would crash on string
+    # ids and silently truncate float ids — _centroid_exprs already
+    # handles non-integer cids via its per-value-literal fallback
+    return [{"cid": r["cid"], "cent": _unit_vec(r["cent"])} for r in rows]
 
 
 def _probe_cids_expr(cents_lit: Column, vec: Column, n_probe: int) -> Column:

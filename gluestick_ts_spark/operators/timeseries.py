@@ -214,15 +214,21 @@ def rolling_zscore(
     )
     # decimal overflow would NULL the value out of its own baseline
     # silently (non-ANSI cast); fail loudly at the first oversized row
-    # instead of degrading to a no-signal metric
+    # instead of degrading to a no-signal metric. The bound covers the
+    # WINDOW SUM, not just the cast: the sum-of-squares aggregate holds
+    # decimal(38,8) (30 integer digits), so lookback * v^2 must stay
+    # under 1e30 — at large lookbacks that is tighter than the
+    # per-value decimal(18,4) range
+    bound = min(1e14, (1e30 / lookback) ** 0.5)
     in_range = F.col(value_col).isNull() | (
-        F.abs(F.col(value_col).cast("double")) < F.lit(1e14)
+        F.abs(F.col(value_col).cast("double")) < F.lit(bound)
     )
     guard = F.assert_true(
         in_range,
         F.lit(
-            f"rolling_zscore: |{value_col}| >= 1e14 overflows the exact "
-            "decimal(18,4) rolling sums — rescale the value first"
+            f"rolling_zscore: |{value_col}| >= {bound:.6g} overflows the "
+            f"exact decimal rolling sums at lookback={lookback} — "
+            "rescale the value first"
         ),
     )
     v = F.when(guard.isNull(), F.col(value_col)).cast("decimal(18,4)")

@@ -226,9 +226,10 @@ def write_zordered(
     return ranges
 
 
-write_zordered.__doc__ = write_zordered.__doc__.format(
-    max_bits=_MAX_QUANTILE_BITS
-)
+if write_zordered.__doc__:  # stripped under python -OO
+    write_zordered.__doc__ = write_zordered.__doc__.format(
+        max_bits=_MAX_QUANTILE_BITS
+    )
 
 
 def file_stats_ranges(

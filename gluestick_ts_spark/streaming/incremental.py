@@ -863,19 +863,38 @@ def stream_scd2(
     (``scd2_upsert_partitioned``) so each micro-batch rewrites only
     the buckets its keys hash to — the long-running-stream default at
     scale, where the flat layout's full-store swap grows with history.
+    With ``n_buckets=None`` a NEW partitioned store is created with 64
+    buckets, NOT the batch-operator's seed-batch auto-size: a stream's
+    first micro-batch is tiny by nature, and freezing ~1 bucket from
+    it would permanently reduce the partitioned layout to a worse
+    flat store (the count is frozen at creation; pass ``n_buckets``
+    sized for the stream's target history when 64 is wrong).
     foreachBatch serializes merges — single writer stream per store.
     Caller starts the returned writer.
     """
     from ..operators.scd2 import scd2_upsert
     from ..operators.scd2_partitioned import scd2_upsert_partitioned
 
+    _STREAM_DEFAULT_BUCKETS = 64
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if partitioned:
+            from ..operators.scd2_partitioned import _store_path
+            from ..sources.fs import hadoop_path_exists
+
+            # the streaming default applies ONLY at store creation: an
+            # existing store's frozen count is its law, and passing a
+            # conflicting explicit count would (correctly) be refused
+            nb = n_buckets
+            if nb is None and not hadoop_path_exists(
+                batch_df.sparkSession, _store_path(stream, snapshot_dir)
+            ):
+                nb = _STREAM_DEFAULT_BUCKETS
             scd2_upsert_partitioned(
                 batch_df, stream, snapshot_dir, pk=pk, eff_ts=eff_ts,
-                track_cols=track_cols, n_buckets=n_buckets,
+                track_cols=track_cols, n_buckets=nb,
             )
         else:
             scd2_upsert(

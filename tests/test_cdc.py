@@ -102,3 +102,13 @@ def test_pk_in_compare_cols_is_refused(gens):
     old, new = gens
     with pytest.raises(ValueError, match="pk columns"):
         snapshot_diff(old, new, pk="id", compare_cols=["id", "bal"])
+
+
+def test_old_image_alias_collision_is_refused(spark):
+    old = spark.createDataFrame([(1, "a", "b")], "id long, x string, x_old string")
+    new = spark.createDataFrame([(1, "a2", "b2")], "id long, x string, x_old string")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(old, new, pk="id")
+    # narrowing compare_cols away from the colliding pair works
+    ok = snapshot_diff(old, new, pk="id", compare_cols=["x_old"])
+    assert {r.change_type for r in ok.collect()} == {"update"}

@@ -1501,3 +1501,23 @@ def test_ivf_store_build_probe_append_compact(spark, tmp_path):
         per_cid.setdefault(cid, set()).add(f)
     assert per_cid and all(len(v) == 1 for v in per_cid.values())
     assert key(ann_ivf_store_topk(queries, path, k=4, n_probe=3)) == before_rows
+
+
+def test_ann_ivf_seed_path_accepts_string_ids(spark):
+    """The deterministic seed quantizer must keep the id column's own
+    type — string-keyed corpora are legal (the trained path already
+    preserves raw ids)."""
+    import gluestick_ts_spark.operators.similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(f"doc_{i}", [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 1.0])], "vec_id string, embedding array<double>"
+    )
+    out = sim.ann_ivf_topk(
+        corpus, queries, k=3, n_centroids=4, n_probe=4, train_iters=0
+    ).collect()
+    assert len(out) == 3
+    assert all(isinstance(r.neighbor_id, str) for r in out)

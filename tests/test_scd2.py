@@ -291,3 +291,40 @@ def test_stream_scd2_partitioned_matches_batch_and_survives_replay(spark, tmp_pa
     before = _hist_map(read_partitioned_scd2(spark, "s", d_stream))
     run()
     assert _hist_map(read_partitioned_scd2(spark, "s", d_stream)) == before
+
+
+def test_stream_scd2_partitioned_defaults_to_64_buckets(spark, tmp_path):
+    """A partitioned stream store created with n_buckets=None must NOT
+    freeze the seed-batch auto-size (a tiny first micro-batch would
+    freeze ~1 bucket forever, defeating the layout); the streaming
+    default is 64, and restarts against the existing store keep it."""
+    from gluestick_ts_spark.operators.snapshot_partitioned import (
+        read_store_buckets,
+    )
+    from gluestick_ts_spark.operators.scd2_partitioned import _store_path
+    from gluestick_ts_spark.streaming.incremental import stream_scd2
+
+    src = str(tmp_path / "src")
+    d = str(tmp_path / "snap")
+    schema = "id long, status string, ts string"
+    spark.createDataFrame(
+        [(1, "new", "2024-01-01 00:00:00")], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_scd2(
+        stream, "s", d, pk="id", eff_ts="ts", partitioned=True
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert read_store_buckets(spark, _store_path("s", d)) == 64
+    # second run (fresh query, same store): default must defer to the
+    # frozen count instead of conflicting with it
+    spark.createDataFrame(
+        [(2, "new", "2024-02-01 00:00:00")], schema
+    ).write.mode("append").parquet(src)
+    q2 = stream_scd2(
+        spark.readStream.schema(schema).parquet(src), "s", d,
+        pk="id", eff_ts="ts", partitioned=True,
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert read_store_buckets(spark, _store_path("s", d)) == 64
+

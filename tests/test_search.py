@@ -168,3 +168,41 @@ def test_bm25_index_store_build_probe_append(spark, tmp_path):
     want2 = bm25_topk(docs.unionByName(extra), queries, k=3)
     assert key(got2) == key(want2)
     assert {r.doc_id for r in got2.where("query_id = 101").collect()} >= {6}
+
+
+def test_index_avgdl_matches_inmemory_with_empty_text_doc(spark, tmp_path):
+    """An empty-but-non-NULL text tokenizes to one empty term: the
+    postings drop it but the in-memory dl sum counts it — the index
+    stats must use the SAME tokenizer sum, or every bm25_index_topk
+    score diverges from the pinned bm25_topk ranking."""
+    from gluestick_ts_spark.operators.search import (
+        bm25_index_topk,
+        bm25_topk,
+        read_bm25_index_meta,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine"), (2, ""), (3, "engine room"), (4, None)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bmidx_empty")
+    write_bm25_index(docs, path, num_buckets=4)
+    meta = read_bm25_index_meta(spark, path)
+    # in-memory stats: sum(dl)=2+1+2 (empty text has dl 1, NULL skipped),
+    # n=4 — the index meta must agree exactly
+    assert (meta["n_docs"], meta["sum_dl"]) == (4, 5)
+    q = spark.createDataFrame([(1, "engine")], "query_id long, query_text string")
+    mem = {(r.query_id, r.doc_id): (r.score, r.rank)
+           for r in bm25_topk(docs, q, k=5).collect()}
+    idx = {(r.query_id, r.doc_id): (r.score, r.rank)
+           for r in bm25_index_topk(q, path, k=5).collect()}
+    assert mem == idx and mem
+
+
+def test_write_bm25_index_rejects_non_overwrite(spark, tmp_path):
+    from gluestick_ts_spark.operators.search import write_bm25_index
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="append_bm25_index"):
+        write_bm25_index(docs, str(tmp_path / "x"), mode="append")

@@ -244,3 +244,20 @@ def test_rolling_zscore_overflow_fails_loudly(spark):
                          lookback=3, min_periods=2)
     with pytest.raises(Exception, match="overflows"):
         out.collect()
+
+
+def test_rolling_zscore_bound_scales_with_lookback(spark):
+    """The overflow guard covers the WINDOW SUM: at lookback=200 a
+    value of 9e13 (fine for the per-value cast) would overflow the
+    sum-of-squares aggregate, so it must raise, not NULL out."""
+    from gluestick_ts_spark.operators.timeseries import rolling_zscore
+
+    df = _z_df(spark, [9e13, 9e13, 9e13])
+    out = rolling_zscore(df, "v", "bucket", group_cols=["k"],
+                         lookback=200, min_periods=2)
+    with pytest.raises(Exception, match="overflows"):
+        out.collect()
+    # the same values pass at a small lookback where the sum fits
+    ok = rolling_zscore(df, "v", "bucket", group_cols=["k"],
+                        lookback=3, min_periods=2)
+    assert ok.count() == 3
