@@ -148,3 +148,48 @@ def test_bigram_pmi_hand_computed(spark):
     # totals broadcast; the corpus never self-joins
     plan = bigram_pmi(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# profile_columns (generic relational profiler)
+# ---------------------------------------------------------------------------
+
+def test_profile_columns_report(spark):
+    from gluestick_ts_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, ["x"]), (2, None, 2.5, []), (2, "c", None, None)],
+        "id long, s string, v double, arr array<string>",
+    )
+    rep = {r.column: r for r in profile_columns(df).collect()}
+    assert set(rep) == {"id", "s", "v", "arr"}
+    assert all(r.n == 3 for r in rep.values())
+    assert rep["id"].n_nulls == 0 and rep["id"].approx_distinct == 2
+    assert (rep["s"].min, rep["s"].max, rep["s"].n_nulls) == ("a", "c", 1)
+    assert rep["v"].null_frac == 0.333333
+    # nested types keep null stats, report NULL min/max/distinct
+    assert rep["arr"].dtype == "array<string>"
+    assert rep["arr"].n_nulls == 1 and rep["arr"].min is None
+    assert rep["arr"].approx_distinct is None
+
+
+def test_profile_columns_subset_validation_and_one_scan(spark):
+    import re
+
+    from gluestick_ts_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    sub = profile_columns(df, ["s"])
+    assert [r.column for r in sub.collect()] == ["s"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(df, [])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = profile_columns(df)._jdf.queryExecution().explainString(mode)
+    scans = re.findall(r"\(\d+\) (?:Scan|LocalTableScan)", plan)
+    assert len(scans) <= 1, scans
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
