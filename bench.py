@@ -37,7 +37,10 @@ per-type counts — one more event_type-keyed window pass),
 ``snapshot_upsert`` the ``diff`` leg (CDC full-outer pk join of the
 same two generations the upsert merges), and ``stats_agg_orders``
 the ``dq`` leg (five data-quality expectations in one aggregate
-scan); the rows' parts maps attribute the new legs separately.
+scan); ``sessionize_events`` additionally gained the ``debounce``
+leg (first-event-per-burst suppression — one more user-keyed window
+pass over the sess part's shuffle class); the rows' parts maps
+attribute the new legs separately.
 
 ROUND-8 COMPOSITION CHANGES (continued): ``bm25_search_docs`` also
 gained the ``bm25idx`` leg — a REAL persisted term-bucketed postings

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket_expr", "resample_gapfill", "rolling_zscore"]
+__all__ = ["time_bucket_expr", "resample_gapfill", "rolling_zscore", "debounce"]
 
 _FILLS = ("null", "zero", "locf", "linear")
 
@@ -249,4 +249,59 @@ def rolling_zscore(
                 scorable & (F.abs(z) > F.lit(float(threshold))), F.lit(False)
             ),
         )
+    )
+
+
+def debounce(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    within: str = "5 minutes",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst suppression: keep the FIRST event of each burst per key,
+    where a burst is a maximal run of events each within ``within`` of
+    the PREVIOUS event (the rolling-gap definition — a burst can
+    stretch past ``within`` total as long as no internal gap exceeds
+    it; the same lag + running-sum trick as gap sessionization, one
+    key-hash shuffle). The deduped double-fire / retry-storm cleaner
+    every event pipeline needs before counting anything.
+
+    Returns the kept rows plus ``burst_id`` (1-based per key) and
+    ``n_suppressed`` (how many followers the kept row absorbed — the
+    audit trail; sums to rows-in minus rows-out). ``(keys, ts_col,
+    tie_cols)`` must be row-unique for a deterministic keep.
+    """
+    # interval literal -> exact microseconds via an epoch round-trip
+    # (constant-folded; no per-row timestamp arithmetic)
+    step = F.unix_micros(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")) + F.expr(f"interval {within}")
+    )
+    ties = [F.col(c).asc() for c in (tie_cols or [])]
+    # NTZ-tolerant: unix_micros demands TIMESTAMP; an NTZ column (the
+    # raw-parquet default for some writers) casts via the session TZ,
+    # which only shifts every value uniformly — gaps are unaffected
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *ties)
+    prev = F.lag(ts_us).over(w)
+    new_burst = F.when(
+        prev.isNull() | (ts_us - prev > step), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bursts = df.withColumn(
+        "burst_id", F.sum(new_burst).over(wsum).cast("long")
+    )
+    wb = Window.partitionBy(*keys, "burst_id").orderBy(
+        F.col(ts_col).asc(), *ties
+    )
+    wb_all = wb.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        bursts.withColumn("__rn", F.row_number().over(wb))
+        .withColumn(
+            "n_suppressed", (F.count(F.lit(1)).over(wb_all) - 1).cast("long")
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
     )

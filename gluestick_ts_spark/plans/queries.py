@@ -609,12 +609,16 @@ def q_sessionize_events(spark, sf):
     stats_agg_orders determinism trick), column reuse: ``session_id``
     carries the baseline row count, ``period_offset`` the z-score
     scaled to 1e-4 ticks (``round(z*10000)`` — the union has no free
-    double column), ``is_gap`` the anomaly flag. Timestamps are
+    double column), ``is_gap`` the anomaly flag; the ``debounce`` part
+    is burst suppression (operators/timeseries.py debounce — keep the
+    first event per user per 30-minute-gap burst, the double-fire
+    cleaner): kept events ride with ``session_id`` carrying the burst
+    id and ``n_users`` the absorbed-follower count. Timestamps are
     collision-free per user in the test data, so the oracle's
     earliest-match min-ts cascade is exactly the fold's greedy
     semantics."""
     from ..operators.funnel import funnel_counts, retention_matrix
-    from ..operators.timeseries import resample_gapfill, rolling_zscore
+    from ..operators.timeseries import debounce, resample_gapfill, rolling_zscore
 
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -712,12 +716,28 @@ def q_sessionize_events(spark, sf):
         F.round(F.col("zscore") * 10000).cast("long").alias("period_offset"),
         F.col("is_anomaly").alias("is_gap"),
     )
+    deb = debounce(
+        ev.select("user_id", "event_id", "ts"),
+        "ts", ["user_id"], within="30 minutes", tie_cols=["event_id"],
+    ).select(
+        F.lit("debounce").alias("part"),
+        "user_id",
+        "event_id",
+        F.col("burst_id").alias("session_id"),
+        F.lit(None).cast("long").alias("step_idx"),
+        F.lit(None).cast("string").alias("step"),
+        F.col("n_suppressed").alias("n_users"),
+        F.lit(None).cast("string").alias("cohort_week"),
+        F.lit(None).cast("long").alias("period_offset"),
+        F.lit(None).cast("boolean").alias("is_gap"),
+    )
     return (
         sess.withColumn("is_gap", F.lit(None).cast("boolean"))
         .unionByName(fun.withColumn("is_gap", F.lit(None).cast("boolean")))
         .unionByName(ret.withColumn("is_gap", F.lit(None).cast("boolean")))
         .unionByName(gap)
         .unionByName(anom)
+        .unionByName(deb)
     )
 
 
@@ -2631,7 +2651,7 @@ def _dedup_exact_docs_part(which: str) -> QueryFn:
 QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     "sessionize_events": {
         p: _tag_part("sessionize_events", "part", p)
-        for p in ("sess", "funnel", "retention", "gapfill", "anomaly")
+        for p in ("sess", "funnel", "retention", "gapfill", "anomaly", "debounce")
     },
     "stats_agg_orders": {
         p: _tag_part("stats_agg_orders", "part", p)
@@ -3104,7 +3124,28 @@ ORACLES: dict[str, str] = {
         "abs((CAST(cnt AS DOUBLE) - s/roll_n) "
         "/ sqrt((s2 - s*s/roll_n)/(roll_n-1))) > 2.5 "
         "ELSE FALSE END ELSE FALSE END, FALSE) AS is_anom "
-        "FROM hz) a"
+        "FROM hz) a "
+        # debounce part: first event per user per 30-minute-gap burst
+        # (same lag + running-sum machinery as the sess part), with the
+        # absorbed-follower count riding n_users
+        "UNION ALL "
+        "SELECT 'debounce', db.user_id, db.event_id, db.burst_id, NULL, "
+        "NULL, db.n_suppressed, NULL, NULL, CAST(NULL AS BOOLEAN) FROM ("
+        "SELECT user_id, event_id, burst_id, "
+        "COUNT(*) OVER (PARTITION BY user_id, burst_id) - 1 AS n_suppressed, "
+        "row_number() OVER (PARTITION BY user_id, burst_id "
+        "ORDER BY ts ASC, event_id ASC) AS rn FROM ("
+        "SELECT user_id, event_id, ts, "
+        "CAST(SUM(new_burst) OVER (PARTITION BY user_id "
+        "ORDER BY ts ASC, event_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS burst_id FROM ("
+        "SELECT user_id, event_id, ts, CASE WHEN lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000 "
+        "THEN 1 ELSE 0 END AS new_burst FROM events) t0) b) db "
+        "WHERE db.rn = 1"
     ),
     "asof_join_orders": (
         "SELECT e.event_id, e.user_id, o.price FROM events e ASOF LEFT JOIN ("

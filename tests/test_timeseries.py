@@ -261,3 +261,62 @@ def test_rolling_zscore_bound_scales_with_lookback(spark):
     ok = rolling_zscore(df, "v", "bucket", group_cols=["k"],
                         lookback=3, min_periods=2)
     assert ok.count() == 3
+
+
+def test_debounce_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from gluestick_ts_spark.operators.timeseries import debounce
+
+    b = datetime(2024, 1, 1)
+    secs = {"u": [0, 10, 20, 400, 410, 1000], "v": [5]}
+    rows = [
+        (k, b + timedelta(seconds=s), i * 10 + j)
+        for i, (k, ss) in enumerate(secs.items())
+        for j, s in enumerate(ss)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long")
+    out = debounce(df, "ts", ["k"], within="1 minute", tie_cols=["eid"])
+    got = {(r.k, r.eid): (r.burst_id, r.n_suppressed) for r in out.collect()}
+    # u: bursts {0s,10s,20s}, {400s,410s}, {1000s}; v: single event
+    assert got == {
+        ("u", 0): (1, 2), ("u", 3): (2, 1), ("u", 5): (3, 0),
+        ("v", 10): (1, 0),
+    }
+    # conservation: suppressed + kept == rows in
+    assert sum(n for _, n in got.values()) + len(got) == len(rows)
+
+
+def test_debounce_rolling_gap_stretches_burst(spark):
+    """A burst is bounded by INTERNAL gaps, not total span: events at
+    0s, 50s, 100s, 150s with within=1min chain into ONE burst even
+    though the span (150s) exceeds the gap."""
+    from datetime import datetime, timedelta
+
+    from gluestick_ts_spark.operators.timeseries import debounce
+
+    b = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", b + timedelta(seconds=s), s) for s in (0, 50, 100, 150)],
+        "k string, ts timestamp, eid long",
+    )
+    out = debounce(df, "ts", ["k"], within="1 minute", tie_cols=["eid"]).collect()
+    assert len(out) == 1 and out[0].n_suppressed == 3
+
+
+def test_debounce_plan_is_key_partitioned(spark):
+    from datetime import datetime
+
+    from gluestick_ts_spark.operators.timeseries import debounce
+
+    df = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 1)], "k string, ts timestamp, eid long"
+    )
+    out = debounce(df, "ts", ["k"], within="1 minute", tie_cols=["eid"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "rangepartitioning" not in plan and "SinglePartition" not in plan, (
+        plan[:1500]
+    )
