@@ -798,3 +798,31 @@ def test_stream_drift(spark, tmp_path):
             spark.range(50).select(F.col("id").cast("string").alias("lang")),
             max_categories=10,
         )
+
+
+def test_stream_expectations_group_cols(spark, tmp_path):
+    """Slice columns partition the report: violations attribute to
+    their slice, and each (window, slice) carries its own total."""
+    import datetime
+
+    from gluestick_ts_spark.operators.expectations import expect_not_null
+    from gluestick_ts_spark.streaming.incremental import stream_expectations
+
+    src = str(tmp_path / "dqg")
+    schema = "id long, ts timestamp, src string"
+    t = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [(1, t, "a"), (None, t, "a"), (2, t, "b")]
+    _write_stream_batch(src, spark, rows, schema)
+    rep = stream_expectations(
+        spark.readStream.schema(schema).parquet(src), "ts",
+        [expect_not_null("id")], window_duration="1 hour",
+        watermark="1 hour", group_cols=["src"],
+    )
+    q = (
+        rep.writeStream.format("memory").queryName("sdqg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.src: (r.violations, r.total, r.passed)
+           for r in spark.sql("SELECT * FROM sdqg").collect()}
+    assert got == {"a": (1, 2, False), "b": (0, 1, True)}
