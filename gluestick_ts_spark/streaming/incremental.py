@@ -707,6 +707,7 @@ def stream_rollup(
     checkpoint_dir: str | None = None,
     compact_every: int | None = 32,
     distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
 ) -> DataStreamWriter:
     """Continuously-maintained materialized rollup over the
     DELTA-SNAPSHOT store (``write_rollup_delta``/``compact_rollup``):
@@ -744,6 +745,7 @@ def stream_rollup(
             batch_no=batch_id,
             bucket=bucket,
             distinct_cols=distinct_cols,
+            quantile_cols=quantile_cols,
         )
         if compact_every and batch_id % compact_every == compact_every - 1:
             compact_rollup(spark, path)

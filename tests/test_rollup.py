@@ -315,3 +315,78 @@ def test_compact_rollup_sweeps_crash_orphans_and_meta_is_crash_safe(
         "bucket_start", "event_type", "cnt", "sum_value"))
     assert healed == before
     json.loads(read_text_file(spark, path + "/rollup_meta.json"))  # restored
+
+
+def test_rollup_kll_quantiles_survive_refresh_and_deltas(spark, tmp_path):
+    """Mergeable KLL quantile sketches in the store: with <= k values
+    per bucket the sketch is EXACT, so the derived approx_p50/p95 must
+    equal the exact discrete quantile of the bucket's values after an
+    additive refresh AND through the delta-snapshot layout with
+    compaction — the percentile statistic plain additive stores can't
+    carry. The merged sketch must also agree with a one-shot aggregate
+    (merge invariance)."""
+    from gluestick_ts_spark.operators.rollup import (
+        compact_rollup,
+        refresh_rollup,
+        write_rollup,
+        write_rollup_delta,
+    )
+
+    ev = _events(spark)
+
+    def _exact(q):
+        # inclusive-rank discrete quantile: smallest value whose
+        # normalized rank >= q (the DataSketches default convention)
+        out = {}
+        rows = ev.groupBy(
+            F.window("ts", "1 hour")["start"].alias("b"), "event_type"
+        ).agg(F.sort_array(F.collect_list("value")).alias("vs")).collect()
+        for r in rows:
+            vs, n = r.vs, len(r.vs)
+            # smallest index i with (i+1)/n >= q
+            i = 0
+            while (i + 1) / n < q:
+                i += 1
+            out[(str(r.b), r.event_type)] = vs[i]
+        return out
+
+    exact_p50, exact_p95 = _exact(0.5), _exact(0.95)
+
+    def _got(df):
+        p50 = {(str(r.bucket_start), r.event_type): r.approx_p50_value
+               for r in df.collect()}
+        p95 = {(str(r.bucket_start), r.event_type): r.approx_p95_value
+               for r in df.collect()}
+        return p50, p95
+
+    # additive-refresh layout
+    p1 = "file://" + str(tmp_path / "k1")
+    seed = ev.where(F.col("event_id") % 2 == 0)
+    rest = ev.where(F.col("event_id") % 2 == 1)
+    write_rollup(
+        rollup_aggregate(seed, "ts", ["event_type"], ["value"],
+                         quantile_cols=["value"]), p1)
+    merged = refresh_rollup(rest, p1, "ts", ["event_type"], ["value"],
+                            quantile_cols=["value"])
+    got50, got95 = _got(merged)
+    assert got50 == exact_p50
+    assert got95 == exact_p95
+
+    # merge invariance: the refreshed store equals a one-shot aggregate
+    from gluestick_ts_spark.operators.rollup import _derive_means
+
+    one50, one95 = _got(_derive_means(
+        rollup_aggregate(ev, "ts", ["event_type"], ["value"],
+                         quantile_cols=["value"])))
+    assert (one50, one95) == (got50, got95)
+
+    # delta-snapshot layout + compaction
+    p2 = "file://" + str(tmp_path / "k2")
+    for b, part in enumerate((seed, rest)):
+        write_rollup_delta(part, p2, "ts", ["event_type"], ["value"],
+                           scope="q", batch_no=b, quantile_cols=["value"])
+    got50, got95 = _got(read_rollup(spark, p2))
+    assert got50 == exact_p50 and got95 == exact_p95
+    compact_rollup(spark, p2)
+    got50, got95 = _got(read_rollup(spark, p2))
+    assert got50 == exact_p50 and got95 == exact_p95
