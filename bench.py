@@ -31,6 +31,15 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued 3): ``rollup_events_hourly``
+now also carries a mergeable KLL quantile sketch of value through the
+store (write + refresh + union) plus an exact-percentile verification
+aggregate for its ``p95_in_rank_band`` guard, and
+``approx_distinct_users`` gained the ``overlap`` leg (theta-sketch
+distinct intersection of odd-day vs even-day users per event_type,
+plus its exact two-sided verification aggregate) — that row now has a
+parts map (sketch/auc/auc_lang/overlap) for attribution.
+
 ROUND-8 COMPOSITION CHANGES (continued 2): ``sessionize_events``
 gained the ``anomaly`` leg (rolling_zscore over gapless hourly
 per-type counts — one more event_type-keyed window pass),

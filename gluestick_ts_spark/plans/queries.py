@@ -1058,7 +1058,14 @@ def q_rollup_events_hourly(spark, sf):
     hold as a plain number — and ``users_within_5pct`` asserts the
     estimate landed within 5% of the exact per-bucket COUNT DISTINCT
     after surviving write + refresh + union (the within_bound
-    pattern; DuckDB states TRUE)."""
+    pattern; DuckDB states TRUE). It also carries a mergeable KLL
+    quantile sketch of value (the OTHER statistic additive stores
+    can't hold); ``p95_in_rank_band`` asserts the store-surviving P95
+    estimate lies within the exact [P85, max] value band of its
+    bucket — a rank window >= 5x wider than KLL's ~1.65% normalized
+    rank error at the default k, so the guard holds at any scale
+    while still pinning the sketch to its own bucket's distribution
+    (DuckDB states TRUE)."""
     import atexit
     import shutil
     import tempfile
@@ -1079,17 +1086,23 @@ def q_rollup_events_hourly(spark, sf):
     batch = ev.where(F.col("event_id") % 3 == 0)
     write_rollup(
         rollup_aggregate(
-            seed, "ts", ["event_type"], ["value"], distinct_cols=["user_id"]
+            seed, "ts", ["event_type"], ["value"],
+            distinct_cols=["user_id"], quantile_cols=["value"],
         ),
         path,
     )
     merged = refresh_rollup(
-        batch, path, "ts", ["event_type"], ["value"], distinct_cols=["user_id"]
+        batch, path, "ts", ["event_type"], ["value"],
+        distinct_cols=["user_id"], quantile_cols=["value"],
     )
     exact = ev.groupBy(
         F.window(F.col("ts"), "1 hour")["start"].alias("bucket_start"),
         "event_type",
-    ).agg(F.count_distinct("user_id").alias("__ex"))
+    ).agg(
+        F.count_distinct("user_id").alias("__ex"),
+        F.percentile("value", 0.85).alias("__p85"),
+        F.max("value").alias("__vmax"),
+    )
     return merged.join(exact, on=["bucket_start", "event_type"]).select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
             "bucket_start"
@@ -1102,6 +1115,9 @@ def q_rollup_events_hourly(spark, sf):
             F.abs(F.col("approx_distinct_user_id") - F.col("__ex"))
             <= 0.05 * F.col("__ex")
         ).alias("users_within_5pct"),
+        F.col("approx_p95_value").between(
+            F.col("__p85"), F.col("__vmax")
+        ).alias("p95_in_rank_band"),
     )
 
 
@@ -1151,9 +1167,20 @@ def q_approx_distinct_users(spark, sf):
     part is the STRATIFIED mode (group_cols=['stratum']): one AUC row
     per language, rank window partitioned by stratum — the 100 TB
     formulation, driver-checked so the partitioned ranking provably
-    matches DuckDB's per-stratum algebra."""
+    matches DuckDB's per-stratum algebra.
+
+    The ``overlap`` part is the Theta-sketch set-intersection operator
+    (operators/overlap.py): per event_type, the distinct users active
+    on BOTH odd and even days of the month — the statistic HLL can't
+    answer (HLL unions, never intersects) and whose exact form needs a
+    full id-keyed shuffle join. The sketch path is one aggregate per
+    side + a tiny sketch join; ``within_bound`` asserts the estimate
+    landed within 5% (+0.5 absolute slack for near-empty sets) of the
+    exact intersection, which DuckDB restates via the two-sided
+    HAVING. exact_users carries the exact intersection count."""
     from ..functions.text import gopher_quality_flags, quality_score_expr
     from ..operators.ml import binary_auc
+    from ..operators.overlap import distinct_overlap
 
     ev = _t(spark, sf, "events")
     rel_err = F.abs(
@@ -1198,7 +1225,37 @@ def q_approx_distinct_users(spark, sf):
         "n_neg",
         "stratum",
     )
-    return sketch.unionByName(auc).unionByName(strat)
+    even = ev.where(F.dayofmonth("ts") % 2 == 0)
+    odd = ev.where(F.dayofmonth("ts") % 2 == 1)
+    exact_inter = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.max((F.dayofmonth("ts") % 2 == 0).cast("int")).alias("__e"),
+            F.max((F.dayofmonth("ts") % 2 == 1).cast("int")).alias("__o"),
+        )
+        .where((F.col("__e") == 1) & (F.col("__o") == 1))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("__exact"))
+    )
+    overlap = (
+        distinct_overlap(even, odd, "user_id", keys=["event_type"])
+        .join(exact_inter, on="event_type", how="left")
+        .na.fill({"__exact": 0})
+        .select(
+            F.lit("overlap").alias("part"),
+            "event_type",
+            F.col("__exact").alias("exact_users"),
+            (
+                F.abs(F.col("distinct_intersection") - F.col("__exact"))
+                <= 0.05 * F.col("__exact") + 0.5
+            ).alias("within_bound"),
+            F.lit(None).cast("double").alias("auc"),
+            F.lit(None).cast("long").alias("n_pos"),
+            F.lit(None).cast("long").alias("n_neg"),
+            F.lit(None).cast("string").alias("stratum"),
+        )
+    )
+    return sketch.unionByName(auc).unionByName(strat).unionByName(overlap)
 
 
 # ---------------------------------------------------------------------------
@@ -2687,6 +2744,10 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         # whichever leg is timed
         p: _bm25_part(p) for p in ("bm25", "rrf", "bm25idx")
     },
+    "approx_distinct_users": {
+        p: _tag_part("approx_distinct_users", "part", p)
+        for p in ("sketch", "auc", "auc_lang", "overlap")
+    },
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -3308,7 +3369,8 @@ ORACLES: dict[str, str] = {
         "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value, "
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) "
         "AS mean_value, "
-        "TRUE AS users_within_5pct "
+        "TRUE AS users_within_5pct, "
+        "TRUE AS p95_in_rank_band "
         "FROM events GROUP BY bucket_start, event_type"
     ),
     "parse_objs_keep_original": (
@@ -3823,7 +3885,16 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), "
         "ROUND((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc, "
         "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
-        "lang AS stratum FROM al"
+        "lang AS stratum FROM al "
+        "UNION ALL "
+        "SELECT 'overlap' AS part, event_type, COUNT(*) AS exact_users, "
+        "TRUE AS within_bound, CAST(NULL AS DOUBLE) AS auc, "
+        "CAST(NULL AS BIGINT) AS n_pos, CAST(NULL AS BIGINT) AS n_neg, "
+        "CAST(NULL AS VARCHAR) AS stratum FROM ("
+        "SELECT event_type, user_id FROM events GROUP BY event_type, user_id "
+        "HAVING COUNT(CASE WHEN day(ts) % 2 = 0 THEN 1 END) > 0 "
+        "AND COUNT(CASE WHEN day(ts) % 2 = 1 THEN 1 END) > 0"
+        ") bi GROUP BY event_type"
     ),
     # within_bound pattern: the oracle replicates the deterministic
     # split + planting + fingerprint algebra and asserts the pipeline

@@ -543,3 +543,22 @@ def test_anomaly_leg_windows_within_key_partitions(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan[:2000]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_overlap_leg_joins_sketches_not_raw_ids(spark, sf_dir):
+    """The theta-overlap leg (approx_distinct_users 'overlap' part)
+    must join the per-event_type SKETCH relations — every hash
+    exchange keys on event_type (the sketch aggregates and their
+    join), or on the exact-verification pair; user_id alone never
+    becomes a join partitioning key, and the whole leg stays JVM-side."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    df = QUERY_PARTS["approx_distinct_users"]["overlap"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all("event_type" in a for a in hashed), hashed
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
