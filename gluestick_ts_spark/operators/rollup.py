@@ -37,6 +37,7 @@ __all__ = [
     "write_rollup",
     "refresh_rollup",
     "read_rollup",
+    "rollup_bucket_overlap",
     "write_rollup_delta",
     "compact_rollup",
 ]
@@ -55,6 +56,7 @@ def rollup_aggregate(
     bucket: str = "1 hour",
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
+    intersect_cols: list[str] | None = None,
 ) -> DataFrame:
     """One-pass bucket aggregate in the store's mergeable shape:
     ``bucket_start`` (timestamp), ``keys``, ``cnt`` (long), one exact
@@ -70,7 +72,15 @@ def rollup_aggregate(
     ~1.65% normalized RANK error at the default k=200, and EXACT
     whenever a bucket holds ≤ k values). Readers derive
     ``approx_distinct_<col>`` / ``approx_p50_<col>`` /
-    ``approx_p95_<col>`` estimates on demand."""
+    ``approx_p95_<col>`` estimates on demand.
+
+    ``intersect_cols`` additionally stores a ``theta_<col>``
+    DataSketches Theta sketch per bucket (unioned on re-merge via
+    ``theta_union_agg``). Unlike HLL, theta sketches INTERSECT, so a
+    reader can answer cross-bucket set questions from the store alone
+    — e.g. hour-over-hour returning users — without ever rescanning
+    raw history (see ``rollup_bucket_overlap``). Exact below the
+    4096-entry nominal threshold, bounded-error estimate above."""
     aggs = (
         [F.count("*").alias("cnt")]
         + [
@@ -84,6 +94,10 @@ def rollup_aggregate(
         + [
             F.kll_sketch_agg_double(F.col(c).cast("double")).alias(f"kll_{c}")
             for c in (quantile_cols or [])
+        ]
+        + [
+            F.theta_sketch_agg(F.col(c)).alias(f"theta_{c}")
+            for c in (intersect_cols or [])
         ]
     )
     return (
@@ -115,11 +129,13 @@ def _remerge(df: DataFrame, keys: list[str]) -> DataFrame:
     sum_cols = [c for c in df.columns if c.startswith("sum_")]
     hll_cols = [c for c in df.columns if c.startswith("hll_")]
     kll_cols = [c for c in df.columns if c.startswith("kll_")]
+    theta_cols = [c for c in df.columns if c.startswith("theta_")]
     return df.groupBy("bucket_start", *keys, _DATE).agg(
         F.sum("cnt").alias("cnt"),
         *[F.sum(c).cast(_SUM_DECIMAL).alias(c) for c in sum_cols],
         *[F.hll_union_agg(c).alias(c) for c in hll_cols],
         *[F.kll_merge_agg_double(c).alias(c) for c in kll_cols],
+        *[F.theta_union_agg(c).alias(c) for c in theta_cols],
     )
 
 
@@ -173,6 +189,55 @@ def read_rollup(
     return _derive_means(df) if derive_means else df
 
 
+def rollup_bucket_overlap(
+    rollup_df: DataFrame,
+    col: str,
+    keys: list[str],
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Cross-bucket distinct intersection FROM THE STORE: per key
+    chain, the estimated number of ``col`` ids present in both a
+    bucket and the bucket immediately before it (``approx_returning``)
+    — e.g. hour-over-hour returning users per event type. Needs the
+    store built with ``intersect_cols=[col]``.
+
+    Cost: one lag window over AT MOST one sketch row per (key, bucket)
+    + in-row ``theta_intersection`` — raw history is never rescanned;
+    the exact formulation would re-shuffle every raw id per adjacent
+    bucket pair. ``has_prev`` is false (and ``approx_returning`` NULL)
+    where the preceding bucket is absent from the store — a gap is a
+    visible discontinuity, never an intersection with stale data.
+    """
+    from pyspark.sql import Window
+
+    theta = f"theta_{col}"
+    if theta not in rollup_df.columns:
+        raise ValueError(
+            f"rollup store has no '{theta}' sketch column — build it "
+            f"with intersect_cols=[{col!r}]"
+        )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bucket_start")
+    prev_sketch = F.lag(theta).over(w)
+    prev_start = F.lag("bucket_start").over(w)
+    adjacent = prev_start == F.col("bucket_start") - F.expr(
+        f"INTERVAL {bucket}"
+    )
+    return rollup_df.select(
+        "bucket_start",
+        *keys,
+        F.theta_sketch_estimate(F.col(theta))
+        .cast("double")
+        .alias(f"approx_distinct_{col}"),
+        F.coalesce(adjacent, F.lit(False)).alias("has_prev"),
+        F.when(
+            F.coalesce(adjacent, F.lit(False)),
+            F.theta_sketch_estimate(
+                F.theta_intersection(prev_sketch, F.col(theta))
+            ).cast("double"),
+        ).alias("approx_returning"),
+    )
+
+
 def refresh_rollup(
     batch_df: DataFrame,
     path: str,
@@ -182,6 +247,7 @@ def refresh_rollup(
     bucket: str = "1 hour",
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
+    intersect_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incrementally fold a new batch into the persisted rollup:
     aggregate the batch (cost ∝ batch), read ONLY the store partitions
@@ -196,7 +262,7 @@ def refresh_rollup(
     spark = batch_df.sparkSession
     partial = rollup_aggregate(
         batch_df, ts_col, keys, value_cols, bucket, distinct_cols,
-        quantile_cols,
+        quantile_cols, intersect_cols,
     )
     partial = partial.withColumn(
         _DATE, F.to_date("bucket_start").cast("string")
@@ -353,6 +419,7 @@ def write_rollup_delta(
     bucket: str = "1 hour",
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
+    intersect_cols: list[str] | None = None,
 ) -> None:
     """Fold one micro-batch into the delta-snapshot store by writing
     its partial aggregate to the batch's OWN directory (overwrite) —
@@ -376,7 +443,7 @@ def write_rollup_delta(
         )
     partial = rollup_aggregate(
         batch_df, ts_col, keys, value_cols, bucket, distinct_cols,
-        quantile_cols,
+        quantile_cols, intersect_cols,
     )
     partial = partial.withColumn(_DATE, F.to_date("bucket_start").cast("string"))
     partial.write.partitionBy(_DATE).mode("overwrite").parquet(

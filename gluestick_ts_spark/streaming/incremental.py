@@ -708,6 +708,7 @@ def stream_rollup(
     compact_every: int | None = 32,
     distinct_cols: list[str] | None = None,
     quantile_cols: list[str] | None = None,
+    intersect_cols: list[str] | None = None,
 ) -> DataStreamWriter:
     """Continuously-maintained materialized rollup over the
     DELTA-SNAPSHOT store (``write_rollup_delta``/``compact_rollup``):
@@ -746,6 +747,7 @@ def stream_rollup(
             bucket=bucket,
             distinct_cols=distinct_cols,
             quantile_cols=quantile_cols,
+            intersect_cols=intersect_cols,
         )
         if compact_every and batch_id % compact_every == compact_every - 1:
             compact_rollup(spark, path)

@@ -390,3 +390,70 @@ def test_rollup_kll_quantiles_survive_refresh_and_deltas(spark, tmp_path):
     compact_rollup(spark, p2)
     got50, got95 = _got(read_rollup(spark, p2))
     assert got50 == exact_p50 and got95 == exact_p95
+
+
+def test_rollup_theta_overlap_answers_returning_users_from_store(
+    spark, tmp_path
+):
+    """intersect_cols stores theta sketches per bucket; after an
+    additive refresh, rollup_bucket_overlap must answer hour-over-hour
+    returning users FROM THE STORE exactly (small cardinalities are
+    exact in theta sketches), with gaps in the bucket chain reported
+    as has_prev=False rather than intersected across the hole."""
+    from gluestick_ts_spark.operators.rollup import (
+        refresh_rollup,
+        rollup_bucket_overlap,
+        write_rollup,
+    )
+
+    # one event type, 4 consecutive hours + 1 gapped hour, known users
+    rows = []
+    users_by_hour = {
+        0: [1, 2, 3, 4],
+        1: [3, 4, 5],          # overlap with h0: {3,4} -> 2
+        2: [5, 6],             # overlap with h1: {5}   -> 1
+        3: [7, 8],             # overlap with h2: {}    -> 0
+        5: [7, 8],             # gap at h4: has_prev False
+    }
+    i = 0
+    for h, us in users_by_hour.items():
+        for u in us:
+            rows.append((i, f"2024-05-01 {h:02d}:15:00", "click", 1.0, u))
+            i += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, "
+        "user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    path = "file://" + str(tmp_path / "theta_store")
+    write_rollup(
+        rollup_aggregate(
+            ev.where("event_id % 2 = 0"), "ts", ["event_type"], ["value"],
+            intersect_cols=["user_id"],
+        ),
+        path,
+    )
+    refresh_rollup(
+        ev.where("event_id % 2 = 1"), path, "ts", ["event_type"], ["value"],
+        intersect_cols=["user_id"],
+    )
+    store = read_rollup(spark, path, derive_means=False)
+    out = {
+        int(str(r.bucket_start)[11:13]): r
+        for r in rollup_bucket_overlap(
+            store, "user_id", ["event_type"]
+        ).collect()
+    }
+    assert out[0].has_prev is False and out[0].approx_returning is None
+    assert out[1].has_prev and out[1].approx_returning == 2.0
+    assert out[2].has_prev and out[2].approx_returning == 1.0
+    assert out[3].has_prev and out[3].approx_returning == 0.0
+    assert out[5].has_prev is False and out[5].approx_returning is None
+    assert out[0].approx_distinct_user_id == 4.0
+    # validation: a store without the sketch refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="intersect_cols"):
+        rollup_bucket_overlap(store.drop("theta_user_id"), "user_id",
+                              ["event_type"])
