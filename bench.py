@@ -31,6 +31,11 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued 4): ``top_terms`` gained the
+``doclp2`` leg (interpolated bigram LM — one more corpus explode, two
+short-key count aggregates, broadcast model tables) and now has a
+parts map (term/doclp/pmi/heavy/doclp2) for attribution.
+
 ROUND-8 COMPOSITION CHANGES (continued 3): ``rollup_events_hourly``
 now also carries a mergeable KLL quantile sketch of value through the
 store (write + refresh + union) plus an exact-percentile verification

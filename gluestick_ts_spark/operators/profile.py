@@ -29,7 +29,13 @@ from ..functions.text import (
     word_count_expr,
 )
 
-__all__ = ["corpus_profile", "unigram_logprob_scores", "bigram_pmi", "profile_columns"]
+__all__ = [
+    "corpus_profile",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    "bigram_pmi",
+    "profile_columns",
+]
 
 
 def corpus_profile(
@@ -177,6 +183,106 @@ def unigram_logprob_scores(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    min_count: int = 2,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model quality score — the CCNet
+    signal one context grain up from ``unigram_logprob_scores``: each
+    bigram position (w_prev, w) of a document scores
+
+        ln( lam * P(w | w_prev)  +  (1 - lam) * P(w) )
+
+    under the corpus's own empirical model, where the conditional is
+    c(w_prev, w) / c(w_prev) for bigrams in the model table (count >=
+    ``min_count``, top-``bigram_size`` by (count DESC, pair ASC)) and
+    0 otherwise — Jelinek-Mercer interpolation, so unseen pairs back
+    off to the unigram term (top-``vocab_size`` with the same
+    ln(0.5/N) OOV floor as the unigram op) instead of -inf. A low
+    score now catches text whose WORD ORDER is unusual for the corpus
+    (shuffled text, keyword stuffing, concatenated fragments) — the
+    unigram model, by construction, cannot: it scores a document and
+    its shuffle identically. Output ``(id, n_bigrams, mean_logprob2)``
+    over documents with >= 2 tokens; higher = more typical.
+
+    Scale shape (mirrors the unigram op, one grain up): bigrams are
+    built IN-ROW and exploded once; the model tables come from two
+    map-side-combined short-key aggregates; the conditional P(w|w_prev)
+    is FOLDED INTO the bigram table at build time (one short-key join
+    of the pruned bigram counts against exact unigram counts — so the
+    scoring pass needs no separate c(w_prev) lookup and the full
+    unigram relation is never broadcast); scoring joins the exploded
+    positions against the two BROADCAST model tables + a 1-row total.
+    Document text never shuffles; the only corpus-sized exchanges are
+    the two count aggregates and the final per-document mean.
+    No reference counterpart (extension op — corpus text analysis).
+    """
+    toks = F.filter(tokens_expr(text_col), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.orderBy(F.col("c1").desc(), F.col("tok").asc()).limit(
+        int(vocab_size)
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("__n"))
+
+    m = F.size("__t")
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.struct(
+            F.element_at("__t", i).alias("a"),
+            F.element_at("__t", i + 1).alias("b"),
+        ),
+    )
+    pairs = (
+        base.where(m >= 2)
+        .select("id", F.explode(bi_arr).alias("__bi"))
+        .select("id", F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
+    )
+    # model table with the conditional folded in: P(b|a) = cab / ca
+    btable = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= int(min_count))
+        .orderBy(F.col("cab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(int(bigram_size))
+        .join(uni.select(F.col("tok").alias("a"), F.col("c1").alias("ca")), on="a")
+        .select("a", "b", (F.col("cab").cast("double") / F.col("ca")).alias("__pb"))
+    )
+    scored = (
+        pairs.join(F.broadcast(btable), on=["a", "b"], how="left")
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("b"), "c1")),
+            on="b",
+            how="left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.lit(float(lam)) * F.coalesce(F.col("__pb"), F.lit(0.0))
+                + F.lit(1.0 - float(lam))
+                * (
+                    F.coalesce(F.col("c1").cast("double"), F.lit(0.5))
+                    / F.col("__n")
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob2"),
     )
 
 

@@ -1522,9 +1522,26 @@ def q_top_terms(spark, sf):
     feeds an exact broadcast-filtered recount): tokens above 0.5% of
     the corpus, hash-checked against DuckDB's plain GROUP BY/HAVING —
     the sketch proposes, the recount disposes, so the answer is exact
-    and partitioning-independent."""
+    and partitioning-independent.
+
+    The ``doclp2`` part is the INTERPOLATED BIGRAM language model
+    (operators/profile.py bigram_logprob_scores — Jelinek-Mercer
+    lam=0.7, vocab_size=100 so the OOV floor fires, bigram_size=500
+    and min_count=2 so both the top-B truncation and the backoff
+    branch are exercised): per-document mean ln(0.7*P(w|prev) +
+    0.3*P(w)) over bigram positions, the word-ORDER quality signal
+    the unigram part can't carry. DuckDB replicates the whole model:
+    same bigram construction, same (count DESC, pair ASC) table
+    ranking, same conditional fold, same interpolation arithmetic
+    (1-0.7 written as a DOUBLE subtraction to match IEEE exactly),
+    6-dp-rounded on both engines. n_tokens carries n_bigrams and
+    mean_logprob carries mean_logprob2 in this part's rows."""
     from ..operators.frequent import heavy_hitters
-    from ..operators.profile import bigram_pmi, unigram_logprob_scores
+    from ..operators.profile import (
+        bigram_logprob_scores,
+        bigram_pmi,
+        unigram_logprob_scores,
+    )
 
     d = _t(spark, sf, "documents")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
@@ -1578,7 +1595,23 @@ def q_top_terms(spark, sf):
         F.lit(None).cast("double").alias("mean_logprob"),
         F.lit(None).cast("double").alias("pmi"),
     )
-    return terms.unionByName(lp).unionByName(pmi).unionByName(heavy)
+    lp2 = bigram_logprob_scores(
+        d, vocab_size=100, bigram_size=500, min_count=2, lam=0.7
+    ).select(
+        F.lit("doclp2").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("cnt"),
+        "doc_id",
+        F.col("n_bigrams").alias("n_tokens"),
+        F.col("mean_logprob2").alias("mean_logprob"),
+        F.lit(None).cast("double").alias("pmi"),
+    )
+    return (
+        terms.unionByName(lp)
+        .unionByName(pmi)
+        .unionByName(heavy)
+        .unionByName(lp2)
+    )
 
 
 def q_chunk_tokens_docs(spark, sf):
@@ -2748,6 +2781,10 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         p: _tag_part("approx_distinct_users", "part", p)
         for p in ("sketch", "auc", "auc_lang", "overlap")
     },
+    "top_terms": {
+        p: _tag_part("top_terms", "part", p)
+        for p in ("term", "doclp", "pmi", "heavy", "doclp2")
+    },
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -3714,7 +3751,29 @@ ORACLES: dict[str, str] = {
         "AS pmi FROM bcnt "
         "JOIN counts ca ON ca.tok = bcnt.a "
         "JOIN counts cb ON cb.tok = bcnt.b CROSS JOIN btot "
-        "ORDER BY pmi DESC, bigram ASC LIMIT 50) "
+        "ORDER BY pmi DESC, bigram ASC LIMIT 50), "
+        # interpolated bigram LM (doclp2): same bigram construction
+        # per doc, model table = count>=2 top-500 by (cab DESC, a, b)
+        # with the conditional cab/c(a) folded in; score = ln(0.7*Pb +
+        # (1-0.7)*Pu) with the doclp vocab/floor — mirrors
+        # operators/profile.py bigram_logprob_scores exactly
+        "tarrd AS (SELECT doc_id, list_filter("
+        f"{_TOKS}, t -> t <> '') AS T FROM documents), "
+        "bgrd AS (SELECT doc_id, T[i] AS a, T[i+1] AS b "
+        "FROM tarrd, UNNEST(range(1, greatest(len(T) - 1, 0) + 1)) AS u(i)), "
+        "bc2 AS (SELECT a, b, COUNT(*) AS cab FROM bgrd GROUP BY a, b "
+        "HAVING COUNT(*) >= 2), "
+        "btab AS (SELECT a, b, CAST(cab AS DOUBLE) / CAST(ca.c AS DOUBLE) "
+        "AS pb FROM (SELECT a, b, cab, row_number() OVER ("
+        "ORDER BY cab DESC, a ASC, b ASC) AS r FROM bc2) bt "
+        "JOIN counts ca ON ca.tok = bt.a WHERE r <= 500), "
+        "doclp2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "ROUND(AVG(ln(CAST(0.7 AS DOUBLE) * COALESCE(pb, 0.0) + "
+        "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * "
+        "(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total.n))), 6) AS mlp2 "
+        "FROM bgrd LEFT JOIN btab USING (a, b) "
+        "LEFT JOIN vocab v ON v.tok = bgrd.b CROSS JOIN total "
+        "GROUP BY doc_id) "
         "SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
         "CAST(NULL AS BIGINT) AS n_tokens, "
         "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
@@ -3734,7 +3793,11 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
         "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
         "FROM toks GROUP BY tok "
-        "HAVING COUNT(*) > 0.005 * (SELECT COUNT(*) FROM toks)"
+        "HAVING COUNT(*) > 0.005 * (SELECT COUNT(*) FROM toks) "
+        "UNION ALL "
+        "SELECT 'doclp2' AS part, CAST(NULL AS VARCHAR) AS token, "
+        "CAST(NULL AS BIGINT) AS cnt, doc_id, n_bigrams AS n_tokens, "
+        "mlp2 AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi FROM doclp2"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("

@@ -562,3 +562,31 @@ def test_overlap_leg_joins_sketches_not_raw_ids(spark, sf_dir):
     assert hashed and all("event_type" in a for a in hashed), hashed
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_bigram_lm_leg_broadcasts_model_tables(spark, sf_dir):
+    """The interpolated-bigram-LM leg (top_terms 'doclp2' part) joins
+    the exploded bigram positions against BROADCAST model tables —
+    both the folded-conditional bigram table and the vocab ride
+    BroadcastHashJoins; hash exchanges key only on token/pair/doc
+    keys (the count aggregates and the per-document mean), there is
+    no global sort beyond TakeOrdered, and the leg stays JVM-side."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    df = QUERY_PARTS["top_terms"]["doclp2"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    allowed = ("__t", "tok", "a", "b", "id", "part")
+    for args in _exchange_args(plan):
+        if "hashpartitioning" not in args:
+            continue
+        keys = re.findall(r"hashpartitioning\(([^,)]+)", args)
+        assert keys and all(
+            any(k.strip().startswith(a) for a in allowed) for k in keys
+        ), args
+    assert "rangepartitioning" not in plan, plan[:2000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node

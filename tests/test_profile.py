@@ -193,3 +193,77 @@ def test_profile_columns_subset_validation_and_one_scan(spark):
     assert len(scans) <= 1, scans
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Jelinek-Mercer interpolated bigram scores against hand math:
+    corpus 'a b a b' / 'a b c' / 'c' with full vocab and min_count=1.
+    Unigrams a:3 b:3 c:2 (N=8); bigrams (a,b):3 (b,a):1 (b,c):1;
+    conditionals P(b|a)=1, P(a|b)=1/3, P(c|b)=1/3."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import bigram_logprob_scores
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(
+        d, vocab_size=10, bigram_size=10, min_count=1, lam=0.5
+    ).collect()}
+    # single-token doc 3 has no bigram positions
+    assert set(out) == {1, 2}
+    lp_ab = math.log(0.5 * 1.0 + 0.5 * 3 / 8)
+    lp_ba = math.log(0.5 * (1 / 3) + 0.5 * 3 / 8)
+    lp_bc = math.log(0.5 * (1 / 3) + 0.5 * 2 / 8)
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].mean_logprob2 - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out[2].n_bigrams == 2
+    assert abs(out[2].mean_logprob2 - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
+
+
+def test_bigram_logprob_backoff_and_oov_floor(spark):
+    """min_count prunes rare pairs (they back off to the unigram term
+    alone) and out-of-vocabulary tokens hit the ln(0.5/N) floor."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import bigram_logprob_scores
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    # vocab_size=2 -> vocab {a, b} (count DESC, tok ASC); c is OOV.
+    # min_count=2 -> only (a,b) survives in the bigram table.
+    out = {r.doc_id: r for r in bigram_logprob_scores(
+        d, vocab_size=2, bigram_size=10, min_count=2, lam=0.5
+    ).collect()}
+    lp_ab = math.log(0.5 * 1.0 + 0.5 * 3 / 8)
+    lp_ba = math.log(0.5 * 3 / 8)               # pair pruned: pure backoff
+    lp_bc = math.log(0.5 * 0.5 / 8)             # pruned pair + OOV floor
+    assert abs(out[1].mean_logprob2 - round((2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert abs(out[2].mean_logprob2 - round((lp_ab + lp_bc) / 2, 6)) < 1e-9
+
+
+def test_bigram_logprob_detects_word_order(spark):
+    """The property the unigram model cannot have: a document and its
+    token-shuffle share a unigram score, but the bigram model ranks
+    the in-order document strictly higher when the corpus repeats its
+    phrases."""
+    from gluestick_ts_spark.operators.profile import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    shuffled = "dog the over fox lazy quick jumps brown the"
+    corpus = [(i, phrase) for i in range(20)] + [(100, shuffled)]
+    d = spark.createDataFrame(corpus, "doc_id long, text string")
+    uni = {r.doc_id: r.mean_logprob
+           for r in unigram_logprob_scores(d, vocab_size=100).collect()}
+    assert uni[0] == uni[100]  # same bag of words
+    bi = {r.doc_id: r.mean_logprob2
+          for r in bigram_logprob_scores(
+              d, vocab_size=100, bigram_size=100, min_count=2
+          ).collect()}
+    assert bi[0] > bi[100]
