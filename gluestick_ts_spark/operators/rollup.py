@@ -38,6 +38,7 @@ __all__ = [
     "refresh_rollup",
     "read_rollup",
     "rollup_bucket_overlap",
+    "rollup_heavy_hitters",
     "write_rollup_delta",
     "compact_rollup",
 ]
@@ -187,6 +188,50 @@ def read_rollup(
     else:
         df = spark.read.parquet(path).drop(_DATE)
     return _derive_means(df) if derive_means else df
+
+
+def rollup_heavy_hitters(
+    rollup_df: DataFrame,
+    keys: list[str],
+    threshold_frac: float = 0.01,
+) -> DataFrame:
+    """Per-bucket heavy hitters FROM THE STORE: for every
+    ``bucket_start``, the key combinations whose ``cnt`` exceeds
+    ``threshold_frac`` of that bucket's total — the "trending terms
+    per hour" question. Because the rollup store (batch-refreshed or
+    streaming delta-snapshot via ``stream_rollup``) already holds the
+    exact per-(bucket, keys) counts, this is EXACT streaming heavy
+    hitters with none of the usual sketch caveats: one tiny per-bucket
+    total aggregate over the (already reduced) store + a broadcast
+    join back — raw events are never rescanned, and Structured
+    Streaming's single-aggregation limit never applies because the
+    second aggregate runs on the store at read time.
+
+    Output: ``bucket_start``, ``keys``, ``cnt``, ``bucket_total``,
+    ``frac`` (ROUND 6), ordered nowhere (caller sorts).
+    """
+    if not (0.0 < float(threshold_frac) < 1.0):
+        raise ValueError("threshold_frac must be in (0, 1)")
+    totals = rollup_df.groupBy("bucket_start").agg(
+        F.sum("cnt").alias("bucket_total")
+    )
+    return (
+        rollup_df.join(F.broadcast(totals), on="bucket_start")
+        .where(
+            F.col("cnt").cast("double")
+            > F.lit(float(threshold_frac)) * F.col("bucket_total").cast("double")
+        )
+        .select(
+            "bucket_start",
+            *keys,
+            "cnt",
+            "bucket_total",
+            F.round(
+                F.col("cnt").cast("double") / F.col("bucket_total").cast("double"),
+                6,
+            ).alias("frac"),
+        )
+    )
 
 
 def rollup_bucket_overlap(

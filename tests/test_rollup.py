@@ -457,3 +457,68 @@ def test_rollup_theta_overlap_answers_returning_users_from_store(
     with pytest.raises(ValueError, match="intersect_cols"):
         rollup_bucket_overlap(store.drop("theta_user_id"), "user_id",
                               ["event_type"])
+
+
+def test_rollup_heavy_hitters_is_exact_streaming_trending(spark, tmp_path):
+    """EXACT per-window heavy hitters from the streaming rollup store:
+    two micro-batches of a token stream fold into the delta-snapshot
+    store; rollup_heavy_hitters over the store must equal the plain
+    batch GROUP BY / HAVING answer per hour — Structured Streaming's
+    single-aggregation limit never bites because the second aggregate
+    runs on the (already reduced) store at read time."""
+    import pytest
+
+    from gluestick_ts_spark.operators.rollup import rollup_heavy_hitters
+    from gluestick_ts_spark.streaming.incremental import stream_rollup
+
+    rows = []
+    i = 0
+    # hour 0: 'hot' 12/20 rows; hour 1: 'warm' 8/16, 'hot' only 2
+    for tok, n, h in (("hot", 12, 0), ("x", 4, 0), ("y", 4, 0),
+                      ("warm", 8, 1), ("hot", 2, 1), ("z", 6, 1)):
+        for _ in range(n):
+            rows.append((i, f"2024-07-01 {h:02d}:{i % 60:02d}:00", tok))
+            i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, token string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    path = "file://" + str(tmp_path / "hstore")
+    ckpt = str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, token string"
+    for part in (0, 1):
+        ev.where(F.col("event_id") % 2 == part).write.mode("append").parquet(src)
+        q = (
+            stream_rollup(
+                spark.readStream.schema(schema).parquet(src),
+                path, "ts", ["token"], [], checkpoint_dir=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    store = read_rollup(spark, path, derive_means=False)
+    got = {
+        (str(r.bucket_start), r.token): (r.cnt, r.bucket_total, r.frac)
+        for r in rollup_heavy_hitters(store, ["token"], 0.3).collect()
+    }
+    # exact batch twin
+    win = ev.groupBy(
+        F.window("ts", "1 hour")["start"].alias("b"), "token"
+    ).agg(F.count("*").alias("c"))
+    tot = ev.groupBy(F.window("ts", "1 hour")["start"].alias("b")).agg(
+        F.count("*").alias("t")
+    )
+    exact = {
+        (str(r.b), r.token): (r.c, r.t, round(r.c / r.t, 6))
+        for r in win.join(tot, "b").where(F.col("c") > 0.3 * F.col("t")).collect()
+    }
+    assert got == exact
+    assert ("2024-07-01 00:00:00", "hot") in got
+    assert ("2024-07-01 01:00:00", "warm") in got
+    assert ("2024-07-01 01:00:00", "hot") not in got
+
+    with pytest.raises(ValueError, match="threshold_frac"):
+        rollup_heavy_hitters(store, ["token"], 1.5)
