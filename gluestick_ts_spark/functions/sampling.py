@@ -30,6 +30,9 @@ __all__ = [
     "stratified_hash_sample_expr",
     "domain_shares",
     "temperature_rates",
+    "epoch_shuffle_expr",
+    "epoch_shard_expr",
+    "write_training_shards",
 ]
 
 _HEX = "0123456789abcdef"
@@ -155,6 +158,69 @@ def hash_split(
         chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
     assigned = chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(names[-1])
     return df.withColumn(split_col, assigned)
+
+
+def epoch_shuffle_expr(key: Column | str, seed: int | str) -> Column:
+    """The deterministic training-epoch shuffle order: ``md5(seed ':'
+    key)`` as a sortable hex string. Ordering rows by it is a
+    reproducible pseudo-random permutation of the corpus — the same
+    permutation on every run, engine, and partition layout — and a
+    different ``seed`` is a FRESH permutation (the per-epoch reshuffle
+    training loops need, without materializing shuffled copies).
+    Distinct keys get distinct hashes, so the order is total."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+
+
+def epoch_shard_expr(
+    key: Column | str, seed: int | str, n_shards: int
+) -> Column:
+    """Deterministic shard id in [0, n_shards) from the first four hex
+    digits of the epoch hash (a 0..65535 draw, mod n_shards — the mod
+    bias is <= 1/65536 per shard). Same engine-portable ``instr``
+    arithmetic as ``md5_bucket_expr``; shards are a PARTITION of the
+    epoch order, so (shard, within-shard hash order) is the global
+    permutation cut into n_shards independent streams."""
+    if not 1 <= int(n_shards) <= 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    h = epoch_shuffle_expr(key, seed)
+
+    def nib(i: int) -> Column:
+        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+
+    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    return (v % int(n_shards)).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: str,
+    seed: int | str,
+    n_shards: int,
+) -> dict:
+    """Materialize one deterministically-shuffled training epoch as
+    ``shard=<i>/`` parquet directories: rows are assigned to shards by
+    ``epoch_shard_expr`` and written in within-shard epoch-hash order,
+    so a reader streaming shard files start-to-finish consumes the
+    global permutation for this seed. Re-running with the same seed
+    reproduces the identical layout; a new seed is a fresh epoch.
+
+    Scale shape: ONE hash-partitioned exchange on the shard id (every
+    shard's rows land in exactly one task, so each shard directory is
+    written as one contiguous sorted run) + a task-local sort — no
+    global sort, no driver collect. Returns the layout manifest
+    ``{key, seed, n_shards}``; pass the same values to reproduce."""
+    shuffled = (
+        df.withColumn("__gs_shard", epoch_shard_expr(key, seed, n_shards))
+        .withColumn("__gs_h", epoch_shuffle_expr(key, seed))
+        .repartition(int(n_shards), F.col("__gs_shard"))
+        .sortWithinPartitions("__gs_shard", "__gs_h")
+        .drop("__gs_h")
+        .withColumnRenamed("__gs_shard", "shard")
+    )
+    shuffled.write.partitionBy("shard").mode("overwrite").parquet(path)
+    return {"key": key, "seed": str(seed), "n_shards": int(n_shards)}
 
 
 def domain_shares(df: DataFrame, domain_col: str) -> dict[str, float]:

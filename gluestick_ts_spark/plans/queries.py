@@ -2512,8 +2512,20 @@ def q_hash_split_documents(spark, sf):
     stratum eval-set membership (stratified_hash_sample_expr — the
     same 16 docs per language forever, one lang-keyed window).
     Reproducible across engines, runs, and partitionings — the DuckDB
-    oracle replicates the bucket arithmetic digit for digit."""
-    from ..functions.sampling import stratified_hash_sample_expr
+    oracle replicates the bucket arithmetic digit for digit.
+
+    Round 8 adds the EPOCH-SHUFFLE primitives (the training loop's
+    reproducible global permutation): ``shard`` is the deterministic
+    epoch_shard_expr assignment (seed=1, 8 shards — first four hex
+    digits of md5('1:'||key) mod 8) and ``pos_in_shard`` the row's
+    position in within-shard epoch order (one shard-keyed window —
+    the same order write_training_shards materializes on disk).
+    DuckDB restates the full nibble arithmetic and the window."""
+    from ..functions.sampling import (
+        epoch_shard_expr,
+        epoch_shuffle_expr,
+        stratified_hash_sample_expr,
+    )
 
     d = _t(spark, sf, "documents")
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
@@ -2535,6 +2547,15 @@ def q_hash_split_documents(spark, sf):
         "wds_keep",
         srank.alias("strat_rank"),
         skeep.alias("in_eval_16"),
+        epoch_shard_expr("doc_id", 1, 8).alias("shard"),
+        F.row_number()
+        .over(
+            Window.partitionBy(epoch_shard_expr("doc_id", 1, 8)).orderBy(
+                epoch_shuffle_expr("doc_id", 1)
+            )
+        )
+        .cast("long")
+        .alias("pos_in_shard"),
     )
 
 
@@ -3434,8 +3455,20 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
         "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep, "
-        "strat_rank, strat_rank <= 16 AS in_eval_16 FROM ("
-        "SELECT doc_id, CAST((strpos('0123456789abcdef', "
+        "strat_rank, strat_rank <= 16 AS in_eval_16, shard, "
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY eh ASC) "
+        "AS BIGINT) AS pos_in_shard FROM ("
+        "SELECT doc_id, CAST(("
+        "(strpos('0123456789abcdef', substr(md5('1:' || CAST(doc_id AS "
+        "VARCHAR)), 1, 1)) - 1) * 4096 + "
+        "(strpos('0123456789abcdef', substr(md5('1:' || CAST(doc_id AS "
+        "VARCHAR)), 2, 1)) - 1) * 256 + "
+        "(strpos('0123456789abcdef', substr(md5('1:' || CAST(doc_id AS "
+        "VARCHAR)), 3, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(md5('1:' || CAST(doc_id AS "
+        "VARCHAR)), 4, 1)) - 1)) % 8 AS INTEGER) AS shard, "
+        "md5('1:' || CAST(doc_id AS VARCHAR)) AS eh, "
+        "CAST((strpos('0123456789abcdef', "
         "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
         "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
         "AS INTEGER) AS bucket, "

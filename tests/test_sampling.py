@@ -145,3 +145,87 @@ def test_temperature_rates_realize_target_mixture(spark):
 
     with _p.raises(ValueError, match="temperature"):
         temperature_rates(shares, temperature=0)
+
+
+def test_epoch_shuffle_reproducible_and_fresh_per_seed(spark):
+    """Same seed = identical permutation; new seed = a genuinely
+    different one. Shard assignment partitions the corpus exactly."""
+    import hashlib
+
+    from gluestick_ts_spark.functions.sampling import (
+        epoch_shard_expr,
+        epoch_shuffle_expr,
+    )
+
+    d = spark.range(500).withColumnRenamed("id", "doc_id")
+    order = lambda seed: [
+        r.doc_id
+        for r in d.orderBy(epoch_shuffle_expr("doc_id", seed)).collect()
+    ]
+    a, b, c = order(1), order(1), order(2)
+    assert a == b
+    assert a != c
+    assert sorted(a) == sorted(c) == list(range(500))  # permutations
+    # the order IS md5('seed:key') — engine-portable by construction
+    expect = sorted(
+        range(500),
+        key=lambda i: hashlib.md5(f"1:{i}".encode()).hexdigest(),
+    )
+    assert a == expect
+
+    shards = d.select(
+        "doc_id", epoch_shard_expr("doc_id", 1, 7).alias("s")
+    ).collect()
+    assert {r.s for r in shards} == set(range(7))
+    exp_shard = {
+        i: int(hashlib.md5(f"1:{i}".encode()).hexdigest()[:4], 16) % 7
+        for i in range(500)
+    }
+    assert {r.doc_id: r.s for r in shards} == exp_shard
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Shard directories hold the exact hash-assigned rows, each shard
+    file is ONE contiguous run sorted in epoch order (a sequential
+    reader consumes the permutation), and re-writing with the same
+    seed reproduces identical contents."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from gluestick_ts_spark.functions.sampling import write_training_shards
+
+    d = spark.range(300).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.col("doc_id") * 2
+    )
+    path = str(tmp_path / "epoch")
+    manifest = write_training_shards(d, path, "doc_id", seed=3, n_shards=4)
+    assert manifest == {"key": "doc_id", "seed": "3", "n_shards": 4}
+
+    h = lambda i: hashlib.md5(f"3:{i}".encode()).hexdigest()
+    exp_by_shard = {}
+    for i in range(300):
+        exp_by_shard.setdefault(int(h(i)[:4], 16) % 4, []).append(i)
+    for s in exp_by_shard:
+        exp_by_shard[s].sort(key=h)
+
+    got_by_shard = {}
+    for s in range(4):
+        files = sorted(glob.glob(f"{path}/shard={s}/*.parquet"))
+        assert len(files) == 1, (s, files)  # one contiguous sorted run
+        t = pq.read_table(files[0])
+        got_by_shard[s] = t.column("doc_id").to_pylist()
+        # payload columns ride along untouched
+        assert t.column("payload").to_pylist() == [
+            x * 2 for x in got_by_shard[s]
+        ]
+    assert got_by_shard == exp_by_shard
+
+    # identical re-write under the same seed
+    write_training_shards(d, path, "doc_id", seed=3, n_shards=4)
+    for s in range(4):
+        files = sorted(glob.glob(f"{path}/shard={s}/*.parquet"))
+        assert [
+            pq.read_table(f).column("doc_id").to_pylist() for f in files
+        ] == [exp_by_shard[s]]
