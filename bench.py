@@ -31,6 +31,12 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued 5): ``embedding_cosine_topk``
+gained the ``hardneg`` leg (hard-negative mining: one more corpus
+streaming pass against the broadcast anchors + per-anchor window)
+and ``hash_split_documents``'s map-only pass now also carries the
+epoch-shuffle shard/pos columns (one shard-keyed window).
+
 ROUND-8 COMPOSITION CHANGES (continued 4): ``top_terms`` gained the
 ``doclp2`` leg (interpolated bigram LM — one more corpus explode, two
 short-key count aggregates, broadcast model tables) and now has a

@@ -32,6 +32,7 @@ from .dedup import _spread
 
 __all__ = [
     "cosine_topk",
+    "hard_negatives",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_vs_exact",
@@ -106,6 +107,69 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str | None = None,
+    anchor_vec_col: str | None = None,
+    positive_anchor_col: str = "anchor_id",
+    positive_id_col: str = "positive_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each anchor, the ``k`` most-cosine-similar corpus items that are
+    NOT known positives of that anchor (and not the anchor itself) —
+    the "confusable but wrong" examples that make in-batch negatives
+    actually informative (DPR / SimCSE-style training data prep).
+
+    ``positives`` is the (anchor_id, positive_id) pair relation; the
+    exclusion is a null-aware anti-lookup applied BEFORE the top-k
+    window, so the output always holds k true negatives per anchor
+    (never k-minus-however-many-positives-ranked-high).
+
+    Scale shape (inherits ``cosine_topk``'s): anchors AND their
+    positive sets are broadcast (both are bounded by the training-
+    batch size, never corpus-sized); the corpus streams through one
+    projection + a per-anchor window. Output: ``anchor_id,
+    negative_id, cosine (ROUND 6), rank`` — rank deterministic
+    (cosine DESC, id ASC).
+    """
+    aid = anchor_id_col or id_col
+    avec = anchor_vec_col or vec_col
+    a = anchors.select(
+        F.col(aid).alias("anchor_id"), F.col(avec).alias("__avec")
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("__cvec")
+    )
+    pos = positives.select(
+        F.col(positive_anchor_col).alias("anchor_id"),
+        F.col(positive_id_col).alias("negative_id"),
+    ).distinct()
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("negative_id") != F.col("anchor_id"))
+        .join(F.broadcast(pos), on=["anchor_id", "negative_id"], how="left_anti")
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(
+                cosine_similarity_expr("__avec", "__cvec"), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= int(k))
     )
 
 

@@ -2001,7 +2001,27 @@ def q_embedding_cosine_topk(spark, sf):
         .select(F.lit("hashedtf").alias("part"), "query_id", "neighbor_id",
                 "cosine", "rank")
     )
-    return emb.unionByName(htf)
+    # hardneg part: contrastive hard-negative mining — the anchors'
+    # positives are their same-label items, so the mined set is each
+    # anchor's top-5 most-confusable OTHER-label neighbors
+    # (operators/similarity.py hard_negatives: broadcast anchors +
+    # broadcast positive pairs, anti-lookup BEFORE the top-k window)
+    from ..operators.similarity import hard_negatives
+
+    anchors = e.where(F.col("vec_id") < 8)
+    pos = anchors.select(
+        F.col("vec_id").alias("anchor_id"), "label"
+    ).join(
+        e.select(F.col("vec_id").alias("positive_id"), "label"), on="label"
+    ).select("anchor_id", "positive_id")
+    hn = hard_negatives(e, anchors, pos, k=5).select(
+        F.lit("hardneg").alias("part"),
+        F.col("anchor_id").alias("query_id"),
+        F.col("negative_id").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+    return emb.unionByName(htf).unionByName(hn)
 
 
 def q_embedding_neardup(spark, sf):
@@ -2773,7 +2793,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     },
     "embedding_cosine_topk": {
         p: _tag_part("embedding_cosine_topk", "part", p)
-        for p in ("emb", "hashedtf")
+        for p in ("emb", "hashedtf", "hardneg")
     },
     "ann_ivf_topk": {
         # mode-restricted builders, NOT tag filters: the ivfstore leg
@@ -3868,7 +3888,19 @@ ORACLES: dict[str, str] = {
         "row_number() OVER (PARTITION BY q.doc_id ORDER BY "
         "ROUND(list_cosine_similarity(q.v, c.v), 6) DESC, c.doc_id ASC) AS rank "
         "FROM hv q CROSS JOIN hv c "
-        "WHERE q.doc_id < 6 AND c.doc_id <> q.doc_id) h WHERE rank <= 3"
+        "WHERE q.doc_id < 6 AND c.doc_id <> q.doc_id) h WHERE rank <= 3 "
+        "UNION ALL "
+        # hard negatives: positives are same-label items, so the mined
+        # negatives are the top-5 other-label neighbors per anchor
+        "SELECT 'hardneg' AS part, query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, "
+        "c.vec_id ASC) AS rank "
+        "FROM embeddings q CROSS JOIN embeddings c "
+        "WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id "
+        "AND c.label <> q.label) n WHERE rank <= 5"
     ),
     "semantic_dedup_embeddings": (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "

@@ -1521,3 +1521,39 @@ def test_ann_ivf_seed_path_accepts_string_ids(spark):
     ).collect()
     assert len(out) == 3
     assert all(isinstance(r.neighbor_id, str) for r in out)
+
+
+def test_hard_negatives_excludes_positives_before_topk(spark):
+    """The anti-lookup runs BEFORE the top-k window: even when an
+    anchor's positives are its nearest neighbors, the output still
+    holds k true negatives ranked by similarity — never a shortened
+    or positive-contaminated list."""
+    from gluestick_ts_spark.operators.similarity import hard_negatives
+
+    # anchor 0 at [1,0]; ids 1,2 nearly parallel (positives), ids
+    # 3..6 progressively farther (the true negatives)
+    import math
+
+    rows = [(0, [1.0, 0.0])]
+    rows += [(1, [0.999, 0.01]), (2, [0.998, 0.02])]
+    for i, ang in zip(range(3, 7), (0.1, 0.2, 0.3, 0.4)):
+        rows.append((i, [math.cos(ang), math.sin(ang)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = e.where("vec_id = 0")
+    pos = spark.createDataFrame(
+        [(0, 1), (0, 2)], "anchor_id long, positive_id long"
+    )
+    out = hard_negatives(e, anchors, pos, k=3).collect()
+    assert [r.negative_id for r in sorted(out, key=lambda r: r.rank)] == [3, 4, 5]
+    assert all(r.anchor_id == 0 for r in out)
+    # cosines are similarity-ordered and positives/self are absent
+    got = [r.cosine for r in sorted(out, key=lambda r: r.rank)]
+    assert got == sorted(got, reverse=True)
+    assert {r.negative_id for r in out}.isdisjoint({0, 1, 2})
+
+    # without the positive pairs, the near-parallel items win: the
+    # exclusion is what made the negatives "hard but true"
+    base = hard_negatives(
+        e, anchors, pos.where("anchor_id < 0"), k=3
+    ).collect()
+    assert [r.negative_id for r in sorted(base, key=lambda r: r.rank)] == [1, 2, 3]
