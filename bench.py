@@ -31,6 +31,11 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-8 COMPOSITION CHANGES (continued 6): ``ngram_jaccard_adjacent``
+became a tagged union — the adjacent-pair verification plus the NEW
+``ppjoin`` leg (exact prefix-filtered set-similarity self-join over
+docs < 500 at t=0.5); its parts map attributes the two legs.
+
 ROUND-8 COMPOSITION CHANGES (continued 5): ``embedding_cosine_topk``
 gained the ``hardneg`` leg (hard-negative mining: one more corpus
 streaming pass against the broadcast anchors + per-anchor window)

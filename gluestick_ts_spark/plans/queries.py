@@ -1920,9 +1920,21 @@ def q_dedup_incremental_docs(spark, sf):
 
 
 def q_ngram_jaccard_adjacent(spark, sf):
-    """Exact n-gram Jaccard similarity (the fuzzy-dedup verification
-    primitive) over adjacent doc-id pairs — oracle-checkable since the
-    shingle definition is plain SQL."""
+    """Exact n-gram Jaccard similarity, both formulations, as ONE
+    tagged union (registry-folding pattern): the ``adjacent`` part is
+    the fuzzy-dedup verification primitive over adjacent doc-id pairs
+    (oracle-checkable since the shingle definition is plain SQL); the
+    ``ppjoin`` part is the EXACT prefix-filtered set-similarity
+    SELF-JOIN (operators/setjoin.py — SSJoin/PPJoin family): ALL pairs
+    of docs (id < 500 so the oracle's quadratic twin stays bounded)
+    whose 3-shingle Jaccard reaches 0.5, found via rarest-token-first
+    prefix blocking + in-row verify, never a cross join — the exact
+    companion the MinHash/LSH approximate path verifies against.
+    DuckDB restates ppjoin as the literal quadratic formulation, so
+    the prefix filter's completeness is driver-checked, not just
+    pytest-checked."""
+    from ..operators.setjoin import set_similarity_join
+
     d = _t(spark, sf, "documents")
     a = d.select(
         F.col("doc_id").alias("id_a"), shingles_expr(F.col("text"), 3).alias("sa")
@@ -1933,7 +1945,20 @@ def q_ngram_jaccard_adjacent(spark, sf):
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
-    return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    adjacent = j.select(
+        F.lit("adjacent").alias("part"),
+        "id_a",
+        "id_b",
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+    pp = set_similarity_join(
+        d.where(F.col("doc_id") < 500).select(
+            "doc_id", shingles_expr(F.col("text"), 3).alias("tokens")
+        ),
+        set_col="tokens",
+        threshold=0.5,
+    ).select(F.lit("ppjoin").alias("part"), "id_a", "id_b", "jaccard")
+    return adjacent.unionByName(pp)
 
 
 def q_embedding_cosine_topk(spark, sf):
@@ -2825,6 +2850,10 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     "top_terms": {
         p: _tag_part("top_terms", "part", p)
         for p in ("term", "doclp", "pmi", "heavy", "doclp2")
+    },
+    "ngram_jaccard_adjacent": {
+        p: _tag_part("ngram_jaccard_adjacent", "part", p)
+        for p in ("adjacent", "ppjoin")
     },
 }
 
@@ -3858,10 +3887,21 @@ ORACLES: dict[str, str] = {
         "i -> concat_ws(' ', T[i], T[i+1], T[i+2]))) AS sh FROM ("
         "SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS T "
         "FROM documents) t) "
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "SELECT 'adjacent' AS part, a.doc_id AS id_a, b.doc_id AS id_b, "
         "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard "
-        "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1"
+        "FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 "
+        "UNION ALL "
+        # ppjoin's literal quadratic twin: the prefix filter's
+        # completeness is checked against every pair, not a blocking
+        "SELECT 'ppjoin' AS part, id_a, id_b, ROUND(jac, 6) AS jaccard "
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "(CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE) - "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jac "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "WHERE a.doc_id < 500 AND b.doc_id < 500 "
+        "AND len(a.sh) > 0 AND len(b.sh) > 0) p WHERE jac >= 0.5"
     ),
     "embedding_cosine_topk": (
         "WITH hv AS (SELECT doc_id, "
