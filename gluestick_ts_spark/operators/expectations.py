@@ -36,9 +36,19 @@ __all__ = [
     "expect_range",
     "expect_regex",
     "expect_in",
+    "expect_quantile",
     "check_expectations",
     "check_foreign_key",
 ]
+
+
+class _AggConstraint:
+    """A DATASET-level constraint: its violation count is an aggregate
+    expression evaluated in the shared one-scan pass (0 = holds, 1 =
+    violated), not a per-row predicate count."""
+
+    def __init__(self, violations: Column):
+        self.violations = violations
 
 
 def expect(name: str, violation: Column) -> tuple[str, Column]:
@@ -87,6 +97,40 @@ def expect_unique(cols: str | list[str]) -> tuple[str, None]:
     return (f"unique({','.join(cols)})", list(cols))
 
 
+def expect_quantile(
+    col: str, q: float, lo, hi, exact: bool = False
+) -> tuple[str, "_AggConstraint"]:
+    """Dataset-level distribution constraint: the ``q``-quantile of
+    ``col`` must lie in ``[lo, hi]`` (the Deequ ``hasApproxQuantile``
+    gate — catches unit regressions like cents-vs-dollars that no
+    per-row range check can, since every individual value may still
+    be in range). Rides the SAME one-scan aggregate as the row-level
+    constraints; ``violations`` is 0 or 1 (an unevaluable quantile —
+    all-NULL column — is a violation, mirroring ``expect``'s rule).
+
+    ``exact=False`` (default) uses the mergeable ``percentile_approx``
+    sketch — the 100 TB path, and the only form a streaming window
+    aggregation accepts; ``exact=True`` uses the interpolated exact
+    ``percentile`` (sort-based — batch gates only)."""
+    if not (0.0 <= float(q) <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    c = F.col(col)
+    qa = (
+        F.percentile(c, F.lit(float(q)))
+        if exact
+        else F.percentile_approx(c, F.lit(float(q)))
+    )
+    in_band = qa.between(F.lit(lo), F.lit(hi))
+    return (
+        f"quantile({col},{q})",
+        _AggConstraint(
+            F.when(F.coalesce(in_band, F.lit(False)), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+        ),
+    )
+
+
 def _constraint_aggs(
     constraints: list, caller: str, distinct_fn
 ) -> tuple[list[str], list[Column]]:
@@ -104,7 +148,9 @@ def _constraint_aggs(
     aggs = [F.count(F.lit(1)).alias("__total")]
     for i, (name, viol) in enumerate(constraints):
         alias = f"__c{i}"
-        if isinstance(viol, (list, tuple)):  # expect_unique key columns
+        if isinstance(viol, _AggConstraint):  # dataset-level (quantile)
+            aggs.append(viol.violations.alias(alias))
+        elif isinstance(viol, (list, tuple)):  # expect_unique key columns
             any_null = None
             for c in viol:
                 isnull = F.col(c).isNull()

@@ -963,6 +963,7 @@ def q_stats_agg_orders(spark, sf):
         check_expectations,
         expect_in,
         expect_not_null,
+        expect_quantile,
         expect_range,
         expect_regex,
         expect_unique,
@@ -1024,6 +1025,11 @@ def q_stats_agg_orders(spark, sf):
             expect_in("o_orderstatus", ["O", "F", "P"]),
             expect_range("o_totalprice", 0, 600000),
             expect_regex("o_orderpriority", "^[1-5]-"),
+            # dataset-level distribution gate (the sixth constraint,
+            # riding the SAME one-scan aggregate): the exact
+            # interpolated median price must sit in a sane band —
+            # exact=True so DuckDB's quantile_cont restates it
+            expect_quantile("o_totalprice", 0.5, 1000, 400000, exact=True),
         ],
     ).select(
         F.lit("dq").alias("part"),
@@ -3468,6 +3474,10 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT 'regex(o_orderpriority)', "
         "COUNT(CASE WHEN o_orderpriority IS NOT NULL "
         "AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END), "
+        "COUNT(*) FROM orders "
+        "UNION ALL SELECT 'quantile(o_totalprice,0.5)', "
+        "CASE WHEN quantile_cont(o_totalprice, 0.5) "
+        "BETWEEN 1000 AND 400000 THEN 0 ELSE 1 END, "
         "COUNT(*) FROM orders) dq"
     ),
     "rollup_events_hourly": (

@@ -158,3 +158,67 @@ def test_awkward_names_and_columns_survive(spark):
     assert pair["unique(a,b)"][0] == 1      # (1,"p") repeats: one dup
     with pytest.raises(ValueError, match="expect_unique"):
         check_expectations(df, [("custom", None)])
+
+
+def test_quantile_constraint(tbl, spark):
+    """Dataset-level quantile gate rides the same one-scan report:
+    in-band passes, out-of-band fails with violations=1, an all-NULL
+    column is an (unevaluable) violation, exact and approx agree on
+    clean data, and the scan count stays 1."""
+    from gluestick_ts_spark.operators.expectations import expect_quantile
+
+    # amounts present: 10, 150, -5, 50 -> exact median (interpolated,
+    # NULLs ignored) = 30.0
+    rep = _report(
+        check_expectations(
+            tbl,
+            [
+                expect_quantile("amount", 0.5, 0, 100, exact=True),
+                expect_not_null("id"),
+            ],
+        )
+    )
+    assert rep["quantile(amount,0.5)"] == (0, 5, True)
+
+    rep = _report(
+        check_expectations(
+            tbl, [expect_quantile("amount", 0.5, 1000, 2000, exact=True)]
+        )
+    )
+    assert rep["quantile(amount,0.5)"] == (1, 5, False)
+
+    # approx sketch path (the streaming-compatible default)
+    rep = _report(
+        check_expectations(tbl, [expect_quantile("amount", 0.5, 0, 100)])
+    )
+    assert rep["quantile(amount,0.5)"] == (0, 5, True)
+
+    # all-NULL column: unevaluable -> violation
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    rep = _report(
+        check_expectations(allnull, [expect_quantile("v", 0.9, 0, 1)])
+    )
+    assert rep["quantile(v,0.9)"] == (1, 2, False)
+
+    with pytest.raises(ValueError, match="q must be"):
+        expect_quantile("v", 1.5, 0, 1)
+
+    # one-scan shape survives the mixed row-level + dataset-level report
+    out = check_expectations(
+        tbl,
+        [
+            expect_not_null("id"),
+            expect_quantile("amount", 0.95, -100, 1000),
+            expect_unique("id"),
+        ],
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    scans = re.findall(r"\(\d+\) (?:Scan|LocalTableScan)", plan)
+    assert len(scans) <= 1, scans

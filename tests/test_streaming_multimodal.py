@@ -693,6 +693,7 @@ def test_stream_expectations(spark, tmp_path):
     from gluestick_ts_spark.operators.expectations import (
         check_expectations,
         expect_not_null,
+        expect_quantile,
         expect_range,
         expect_unique,
     )
@@ -713,6 +714,9 @@ def test_stream_expectations(spark, tmp_path):
         expect_not_null("id"),
         expect_unique("id"),
         expect_range("amount", 0.0, 100.0),
+        # dataset-level quantile gate in its streaming (approx-sketch)
+        # form: median of [7, 10, 50, 150] is in band -> 0 violations
+        expect_quantile("amount", 0.5, 5.0, 100.0),
     ]
     rep = stream_expectations(
         stream, "ts", rules, window_duration="1 hour", watermark="1 hour"
@@ -729,7 +733,14 @@ def test_stream_expectations(spark, tmp_path):
     assert got["not_null(id)"]["violations"] == 1
     assert got["unique(id)"]["violations"] == 1  # HLL exact at 3 keys
     assert got["range(amount)"]["violations"] == 1
-    assert all(r["total"] == 4 and r["passed"] is False for r in got.values())
+    assert got["quantile(amount,0.5)"]["violations"] == 0
+    assert got["quantile(amount,0.5)"]["passed"] is True
+    assert all(r["total"] == 4 for r in got.values())
+    assert all(
+        r["passed"] is False
+        for k, r in got.items()
+        if not k.startswith("quantile")
+    )
     assert str(got["not_null(id)"]["window_start"]) == "2024-01-01 00:00:00"
     # stream and batch gate agree constraint-for-constraint here
     batch_rep = {
