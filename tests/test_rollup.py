@@ -522,3 +522,55 @@ def test_rollup_heavy_hitters_is_exact_streaming_trending(spark, tmp_path):
 
     with pytest.raises(ValueError, match="threshold_frac"):
         rollup_heavy_hitters(store, ["token"], 1.5)
+
+
+def test_stream_rollup_theta_returning_users_end_to_end(spark, tmp_path):
+    """The streaming composition: theta sketches ride stream_rollup's
+    delta-snapshot store across micro-batches, and the store-side
+    reader answers hour-over-hour returning users exactly — continuous
+    ingestion, set-intersection analytics, zero raw-event rescans."""
+    from gluestick_ts_spark.operators.rollup import rollup_bucket_overlap
+    from gluestick_ts_spark.streaming.incremental import stream_rollup
+
+    rows = []
+    i = 0
+    # h0 users {1,2,3}; h1 {2,3,4} (returning 2); h2 {9} (returning 0)
+    for h, us in ((0, [1, 2, 3]), (1, [2, 3, 4]), (2, [9])):
+        for u in us:
+            rows.append((i, f"2024-08-01 {h:02d}:05:00", "t", 1.0, u))
+            i += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, event_type string, value double, "
+        "user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    path = "file://" + str(tmp_path / "tstore")
+    ckpt = str(tmp_path / "ck")
+    schema = (
+        "event_id long, ts timestamp, event_type string, value double, "
+        "user_id long"
+    )
+    for part in (0, 1):
+        ev.where(F.col("event_id") % 2 == part).write.mode("append").parquet(src)
+        q = (
+            stream_rollup(
+                spark.readStream.schema(schema).parquet(src),
+                path, "ts", ["event_type"], ["value"],
+                checkpoint_dir=ckpt, intersect_cols=["user_id"],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    store = read_rollup(spark, path, derive_means=False)
+    out = {
+        int(str(r.bucket_start)[11:13]): r
+        for r in rollup_bucket_overlap(store, "user_id", ["event_type"]).collect()
+    }
+    assert out[0].approx_returning is None and out[0].has_prev is False
+    assert out[1].approx_returning == 2.0
+    assert out[2].approx_returning == 0.0
+    assert out[1].approx_distinct_user_id == 3.0
