@@ -34,6 +34,7 @@ __all__ = [
     "shingles_expr",
     "raw_shingles_expr",
     "repetition_ratio_expr",
+    "repetition_profile_sql",
     "gopher_quality_flags",
     "gopher_rules_sql",
     "redact_pii_expr",
@@ -561,6 +562,65 @@ def repetition_ratio_expr(text: Column | str, n: int = 3) -> Column:
         - F.size(F.array_distinct(raw)).cast("double")
         / F.greatest(F.size(raw), F.lit(1)).cast("double")
     )
+
+
+def repetition_profile_sql(
+    toks_sql: str, lines_sql: str, text_sql: str, g2_sql: str | None = None
+) -> dict[str, str]:
+    """The Gopher paper's CHARACTER-fraction repetition metrics (Rae
+    et al. 2021 §A1.1 Table A1) as Spark-SQL fragments over
+    already-projected token/line arrays — the positional
+    ``repetition_ratio_expr`` says how many gram SLOTS repeat; these
+    say how much of the document's MASS is repeated text, which is
+    what actually wastes training tokens:
+
+    - ``dup_line_frac``: fraction of line positions occupied by a
+      repeat of an earlier line (``1 − distinct/total``);
+    - ``dup_line_char_frac``: characters in line occurrences BEYOND
+      the first of each distinct line, over all line characters —
+      one giant duplicated footer scores high even when few lines
+      repeat;
+    - ``top2gram_char_frac``: characters covered by the single most
+      frequent word 2-gram (count × gram length) over the document's
+      characters — the keyword-stuffing signature. 0.0 under 2 tokens.
+
+    All three are in-row array arithmetic (map-only at any scale; the
+    distinct×occurrence scans are per-document, bounded by document
+    size). Engine-portable: the DuckDB oracle replicates each with
+    list_transform/list_filter. Returned as SQL strings for the same
+    one-parser-call reason as ``gopher_rules_sql``."""
+    total_line_chars = (
+        f"greatest(aggregate({lines_sql}, 0L, (a, x) -> a + length(x)), 1L)"
+    )
+    # callers that project the 2-gram array once (a lower select —
+    # Catalyst keeps non-cheap multi-referenced projections
+    # un-inlined) pass g2_sql to avoid re-deriving it per reference
+    g2 = g2_sql or (
+        f"CASE WHEN size({toks_sql}) >= 2 THEN "
+        f"slice(zip_with({toks_sql}, "
+        f"slice({toks_sql}, 2, greatest(size({toks_sql}) - 1, 1)), "
+        f"(a, b) -> concat_ws(' ', a, b)), 1, size({toks_sql}) - 1) "
+        "ELSE array() END"
+    )
+    return {
+        "dup_line_frac": (
+            f"ROUND(1.0D - CAST(size(array_distinct({lines_sql})) AS DOUBLE)"
+            f" / CAST(greatest(size({lines_sql}), 1) AS DOUBLE), 6)"
+        ),
+        "dup_line_char_frac": (
+            f"ROUND(CAST(aggregate(array_distinct({lines_sql}), 0L, "
+            f"(a, v) -> a + (size(filter({lines_sql}, x -> x = v)) - 1)"
+            f" * length(v)) AS DOUBLE)"
+            f" / CAST({total_line_chars} AS DOUBLE), 6)"
+        ),
+        "top2gram_char_frac": (
+            f"ROUND(CASE WHEN size({g2}) < 1 THEN 0.0D ELSE "
+            f"CAST(aggregate(array_distinct({g2}), 0L, "
+            f"(a, g) -> greatest(a, size(filter({g2}, x -> x = g))"
+            f" * length(g))) AS DOUBLE)"
+            f" / CAST(greatest(length({text_sql}), 1) AS DOUBLE) END, 6)"
+        ),
+    }
 
 
 def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:

@@ -39,6 +39,7 @@ from ..functions.text import (
     lang_id_sql,
     lang_score_sql,
     redact_pii_expr,
+    repetition_profile_sql,
     shingles_expr,
     tokens_expr,
     winnow_fingerprints_expr,
@@ -1347,6 +1348,15 @@ def q_text_stats(spark, sf):
             " / CAST(greatest(size(__grams), 1) AS DOUBLE), 6)"
         ).alias("dup_3gram_ratio"),
         F.expr(gopher).alias("gopher_pass"),
+        # Gopher's CHARACTER-fraction repetition metrics (round 8 —
+        # functions/text.py repetition_profile_sql): how much document
+        # MASS is repeated text, not just how many gram slots
+        *[
+            F.expr(sql).alias(name)
+            for name, sql in repetition_profile_sql(
+                "__toks", "__lines", "text"
+            ).items()
+        ],
     )
 
 
@@ -3640,8 +3650,24 @@ ORACLES: dict[str, str] = {
         f"/ CAST(greatest(len([array_to_string(({_TOKS})[i:i+2], ' ') "
         f"for i in range(1, greatest(len({_TOKS}) - 2, 1) + 1)]), 1) AS DOUBLE), 6) "
         "AS dup_3gram_ratio, "
-        f"({_GOPHER_PASS_SQL}) AS gopher_pass "
-        "FROM documents"
+        f"({_GOPHER_PASS_SQL}) AS gopher_pass, "
+        # character-fraction repetition metrics (repetition_profile_sql)
+        "ROUND(1.0 - CAST(len(list_distinct(L)) AS DOUBLE) "
+        "/ CAST(greatest(len(L), 1) AS DOUBLE), 6) AS dup_line_frac, "
+        "ROUND(CAST(coalesce(list_sum(list_transform(list_distinct(L), "
+        "v -> (len(list_filter(L, x -> x = v)) - 1) * length(v))), 0) "
+        "AS DOUBLE) / CAST(greatest(coalesce(list_sum(list_transform(L, "
+        "x -> length(x))), 0), 1) AS DOUBLE), 6) AS dup_line_char_frac, "
+        "ROUND(CASE WHEN len(G2) < 1 THEN 0.0 ELSE "
+        "CAST(list_max(list_transform(list_distinct(G2), "
+        "g -> len(list_filter(G2, x -> x = g)) * length(g))) AS DOUBLE) "
+        "/ CAST(greatest(length(text), 1) AS DOUBLE) END, 6) "
+        "AS top2gram_char_frac "
+        "FROM (SELECT *, string_split(text, chr(10)) AS L, "
+        f"CASE WHEN len({_TOKS}) >= 2 THEN "
+        f"[array_to_string(({_TOKS})[i:i+1], ' ') "
+        f"for i in range(1, len({_TOKS}))] "
+        "ELSE [] END AS G2 FROM documents) t"
     ),
     "lang_scores": (
         "SELECT doc_id, "

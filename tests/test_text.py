@@ -336,3 +336,46 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert got[2] == "no markup at all"
     # &amp; decodes LAST: "&amp;lt;" -> "&lt;" (one level), never "<"
     assert got[3] == "&lt; stays escaped-once"
+
+
+def test_repetition_profile_hand_computed(spark):
+    """Gopher character-fraction repetition metrics against hand math."""
+    from gluestick_ts_spark.functions.text import repetition_profile_sql
+
+    # doc 1: lines [foo, bar, foo, foo]; tokens of text incl newlines
+    d = spark.createDataFrame(
+        [
+            (1, "foo\nbar\nfoo\nfoo"),
+            (2, "buy now buy now buy now"),
+            (3, "all unique words here"),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "split(lower(trim(text)), '\\\\s+') AS T",
+        "split(text, '\\n') AS L",
+    )
+    exprs = repetition_profile_sql("T", "L", "text")
+    out = {
+        r.doc_id: r
+        for r in d.selectExpr(
+            "doc_id", *[f"{sql} AS {name}" for name, sql in exprs.items()]
+        ).collect()
+    }
+    # doc 1: 4 lines, 2 distinct -> dup_line_frac = 0.5;
+    # dup chars = (3-1)*3 for 'foo' + 0 for 'bar' = 6 over 12 -> 0.5
+    assert out[1].dup_line_frac == 0.5
+    assert out[1].dup_line_char_frac == 0.5
+    # doc 2: tokens [buy,now]x3 -> 2-grams: 'buy now'x3, 'now buy'x2;
+    # top = 3 * len('buy now')=7 -> 21 / len(text)=23
+    assert out[2].top2gram_char_frac == round(21 / 23, 6)
+    # doc 3: nothing repeats
+    assert out[3].dup_line_frac == 0.0
+    assert out[3].dup_line_char_frac == 0.0
+    # all 2-grams distinct: top covers one occurrence
+    assert 0 < out[3].top2gram_char_frac < 0.6
+    # doc 4: single token -> no 2-grams
+    assert out[4].top2gram_char_frac == 0.0
+    assert out[4].dup_line_frac == 0.0
