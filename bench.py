@@ -173,6 +173,13 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_frame_pipeline",
+    # round-8 additions: the sketch/LM/shuffle/ppjoin rows — NEW bench
+    # rows (no prior-round numbers; their first medians are this
+    # round's baselines, attributable leg-by-leg via the parts maps)
+    "top_terms",
+    "approx_distinct_users",
+    "hash_split_documents",
+    "ngram_jaccard_adjacent",
 ]
 
 

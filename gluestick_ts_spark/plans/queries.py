@@ -1315,6 +1315,12 @@ def q_text_stats(spark, sf):
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
         ).alias("__gg"),
+        # 2-gram array projected ONCE for the repetition profile (its
+        # top2gram metric references the array three times)
+        F.expr(
+            "CASE WHEN size(__toks) >= 2 THEN "
+            f"slice({g2}, 1, size(__toks) - 1) ELSE array() END"
+        ).alias("__g2v"),
     )
     sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
     stop_ratio = (
@@ -1354,7 +1360,7 @@ def q_text_stats(spark, sf):
         *[
             F.expr(sql).alias(name)
             for name, sql in repetition_profile_sql(
-                "__toks", "__lines", "text"
+                "__toks", "__lines", "text", g2_sql="__g2v"
             ).items()
         ],
     )
