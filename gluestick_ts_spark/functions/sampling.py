@@ -39,14 +39,23 @@ _HEX = "0123456789abcdef"
 N_BUCKETS = 256
 
 
+def _md5_nibble_value(h: Column, n_digits: int) -> Column:
+    """Integer in [0, 16^n_digits) from the first ``n_digits`` hex
+    digits of an md5 string — the one place the engine-portable
+    ``instr``-over-hex-alphabet decoding lives (both the 2-digit
+    sampling bucket and the 4-digit epoch shard build on it)."""
+    v = None
+    for i in range(1, n_digits + 1):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
+        v = nib if v is None else v * 16 + nib
+    return v
+
+
 def md5_bucket_expr(key: Column | str) -> Column:
     """Deterministic bucket in [0, 256) from ``md5(cast(key as
     string))`` — identical in any engine with md5."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.md5(k.cast("string"))
-    hi = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
-    lo = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    return (hi * 16 + lo).cast("int")
+    return _md5_nibble_value(F.md5(k.cast("string")), 2).cast("int")
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
@@ -183,12 +192,7 @@ def epoch_shard_expr(
     permutation cut into n_shards independent streams."""
     if not 1 <= int(n_shards) <= 65536:
         raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
-    h = epoch_shuffle_expr(key, seed)
-
-    def nib(i: int) -> Column:
-        return F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1
-
-    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    v = _md5_nibble_value(epoch_shuffle_expr(key, seed), 4)
     return (v % int(n_shards)).cast("int")
 
 

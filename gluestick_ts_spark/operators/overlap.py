@@ -53,12 +53,31 @@ def distinct_overlap(
 
     A key present on only one side reports the other side (and the
     intersection) as 0 — absence is an empty set, not NULL algebra.
+    A NULL key value is a first-class group (the join is null-safe),
+    so NULL-keyed rows on both sides intersect like any other group.
     """
     keys = list(keys or [])
     a = _sketch_side(df_a, col, keys, "__ta")
     b = _sketch_side(df_b, col, keys, "__tb")
     if keys:
-        j = a.join(b, on=keys, how="full_outer")
+        # null-safe equi-join: a plain `on=keys` join never matches
+        # NULL = NULL, which would split a both-sided NULL group into
+        # two one-sided rows silently reporting intersection 0
+        bb = b.select(
+            *[F.col(k).alias(f"__bk_{k}") for k in keys], "__tb"
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__bk_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = a.join(bb, on=cond, how="full_outer").select(
+            *[
+                F.coalesce(F.col(k), F.col(f"__bk_{k}")).alias(k)
+                for k in keys
+            ],
+            "__ta",
+            "__tb",
+        )
     else:
         # both sides are exactly one (possibly empty-sketch) row
         j = a.crossJoin(b)

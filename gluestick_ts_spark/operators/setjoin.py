@@ -72,8 +72,17 @@ def set_similarity_join(
             ).alias("os")
         )
     )
-    # prefix-filter length: |s| - ceil(t*|s|) + 1
-    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+    # prefix-filter length: |s| - ceil(t*|s|) + 1. The ceil must be of
+    # the EXACT product: IEEE t*n can land a hair above an exact
+    # integer (0.14*50 = 7.000000000000001), which would shorten the
+    # prefix and silently drop boundary pairs — completeness bugs, not
+    # precision noise. The 1e-9 back-off keeps ceil exact for every
+    # integer-valued product (set sizes are integers, so true products
+    # are never within 1e-9 of an integer from above) and can only
+    # LENGTHEN the prefix otherwise — extra candidates, never misses.
+    plen = F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)).cast(
+        "int"
+    ) + 1
     pref = ordered.select(
         "id", "n", F.explode(F.slice("os", 1, plen)).alias("token")
     )
@@ -87,10 +96,13 @@ def set_similarity_join(
     cand = (
         a.join(b, on="token")
         .where(F.col("id_a") < F.col("id_b"))
-        # size filter: J >= t forces t <= |A|/|B| <= 1/t
+        # size filter: J >= t forces t <= |A|/|B| <= 1/t. Same float-
+        # boundary guard as plen: the 1e-9 slack only ADMITS extra
+        # candidates (the exact verify disposes of them), never drops
+        # a pair whose exact ratio sits exactly at t
         .where(
-            (F.col("nb").cast("double") >= F.lit(t) * F.col("na"))
-            & (F.col("na").cast("double") >= F.lit(t) * F.col("nb"))
+            (F.col("nb").cast("double") >= F.lit(t) * F.col("na") - F.lit(1e-9))
+            & (F.col("na").cast("double") >= F.lit(t) * F.col("nb") - F.lit(1e-9))
         )
         .select("id_a", "id_b")
         .distinct()

@@ -113,7 +113,7 @@ def cosine_topk(
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,
-    positives: DataFrame,
+    positives: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -121,6 +121,7 @@ def hard_negatives(
     anchor_vec_col: str | None = None,
     positive_anchor_col: str = "anchor_id",
     positive_id_col: str = "positive_id",
+    positive_attr: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for
     each anchor, the ``k`` most-cosine-similar corpus items that are
@@ -128,41 +129,64 @@ def hard_negatives(
     the "confusable but wrong" examples that make in-batch negatives
     actually informative (DPR / SimCSE-style training data prep).
 
-    ``positives`` is the (anchor_id, positive_id) pair relation; the
-    exclusion is a null-aware anti-lookup applied BEFORE the top-k
-    window, so the output always holds k true negatives per anchor
-    (never k-minus-however-many-positives-ranked-high).
+    Positives come in two forms (at least one required, composable):
 
-    Scale shape (inherits ``cosine_topk``'s): anchors AND their
-    positive sets are broadcast (both are bounded by the training-
-    batch size, never corpus-sized); the corpus streams through one
-    projection + a per-anchor window. Output: ``anchor_id,
-    negative_id, cosine (ROUND 6), rank`` — rank deterministic
-    (cosine DESC, id ASC).
+    - ``positives``: an explicit (anchor_id, positive_id) pair
+      relation — BOUNDED BY THE TRAINING BATCH (it is broadcast; do
+      not materialize "every same-class corpus item" here);
+    - ``positive_attr = (anchor_col, corpus_col)``: positives DEFINED
+      by attribute equality (same label / same source / same near-dup
+      cluster id). The anchor's attribute rides the broadcast anchor
+      relation and exclusion is an in-row null-safe inequality — the
+      corpus-proportional positive set is never materialized at all.
+
+    Either way the exclusion applies BEFORE the top-k window, so the
+    output always holds k true negatives per anchor (never
+    k-minus-however-many-positives-ranked-high).
+
+    Scale shape (inherits ``cosine_topk``'s): everything broadcast is
+    batch-sized; the corpus streams through one projection + a
+    per-anchor window. Output: ``anchor_id, negative_id, cosine
+    (ROUND 6), rank`` — rank deterministic (cosine DESC, id ASC).
     """
+    if positives is None and positive_attr is None:
+        raise ValueError(
+            "hard_negatives: pass positives pairs and/or positive_attr"
+        )
     aid = anchor_id_col or id_col
     avec = anchor_vec_col or vec_col
-    a = anchors.select(
-        F.col(aid).alias("anchor_id"), F.col(avec).alias("__avec")
+    a_cols = [F.col(aid).alias("anchor_id"), F.col(avec).alias("__avec")]
+    if positive_attr is not None:
+        a_cols.append(F.col(positive_attr[0]).alias("__aattr"))
+    a = anchors.select(*a_cols)
+    c_cols = [
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("__cvec"),
+    ]
+    if positive_attr is not None:
+        c_cols.append(F.col(positive_attr[1]).alias("__cattr"))
+    c = _spread(corpus).select(*c_cols)
+    scored = c.crossJoin(F.broadcast(a)).where(
+        F.col("negative_id") != F.col("anchor_id")
     )
-    c = _spread(corpus).select(
-        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("__cvec")
-    )
-    pos = positives.select(
-        F.col(positive_anchor_col).alias("anchor_id"),
-        F.col(positive_id_col).alias("negative_id"),
-    ).distinct()
-    scored = (
-        c.crossJoin(F.broadcast(a))
-        .where(F.col("negative_id") != F.col("anchor_id"))
-        .join(F.broadcast(pos), on=["anchor_id", "negative_id"], how="left_anti")
-        .select(
-            "anchor_id",
-            "negative_id",
-            F.round(
-                cosine_similarity_expr("__avec", "__cvec"), 6
-            ).alias("cosine"),
+    if positive_attr is not None:
+        # null-safe: a NULL-attributed candidate only matches a
+        # NULL-attributed anchor (same unknown group = positive)
+        scored = scored.where(
+            ~F.col("__cattr").eqNullSafe(F.col("__aattr"))
         )
+    if positives is not None:
+        pos = positives.select(
+            F.col(positive_anchor_col).alias("anchor_id"),
+            F.col(positive_id_col).alias("negative_id"),
+        ).distinct()
+        scored = scored.join(
+            F.broadcast(pos), on=["anchor_id", "negative_id"], how="left_anti"
+        )
+    scored = scored.select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine_similarity_expr("__avec", "__cvec"), 6).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("negative_id").asc()

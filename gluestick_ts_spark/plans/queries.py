@@ -2049,19 +2049,18 @@ def q_embedding_cosine_topk(spark, sf):
                 "cosine", "rank")
     )
     # hardneg part: contrastive hard-negative mining — the anchors'
-    # positives are their same-label items, so the mined set is each
-    # anchor's top-5 most-confusable OTHER-label neighbors
-    # (operators/similarity.py hard_negatives: broadcast anchors +
-    # broadcast positive pairs, anti-lookup BEFORE the top-k window)
+    # positives are their same-label items, expressed through the
+    # positive_attr mode (the label rides the broadcast anchors as an
+    # in-row inequality; the corpus-proportional positive-pair set is
+    # never materialized), so the mined set is each anchor's top-5
+    # most-confusable OTHER-label neighbors, excluded BEFORE the
+    # top-k window
     from ..operators.similarity import hard_negatives
 
     anchors = e.where(F.col("vec_id") < 8)
-    pos = anchors.select(
-        F.col("vec_id").alias("anchor_id"), "label"
-    ).join(
-        e.select(F.col("vec_id").alias("positive_id"), "label"), on="label"
-    ).select("anchor_id", "positive_id")
-    hn = hard_negatives(e, anchors, pos, k=5).select(
+    hn = hard_negatives(
+        e, anchors, k=5, positive_attr=("label", "label")
+    ).select(
         F.lit("hardneg").alias("part"),
         F.col("anchor_id").alias("query_id"),
         F.col("negative_id").alias("neighbor_id"),
@@ -4097,14 +4096,20 @@ ORACLES: dict[str, str] = {
         "CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg, "
         "lang AS stratum FROM al "
         "UNION ALL "
-        "SELECT 'overlap' AS part, event_type, COUNT(*) AS exact_users, "
+        # LEFT JOIN from the full event_type list: the Spark side
+        # emits one overlap row per event_type even when the exact
+        # odd/even intersection is zero (full-outer overlap + fill 0)
+        "SELECT 'overlap' AS part, et.event_type, "
+        "COALESCE(bi.c, 0) AS exact_users, "
         "TRUE AS within_bound, CAST(NULL AS DOUBLE) AS auc, "
         "CAST(NULL AS BIGINT) AS n_pos, CAST(NULL AS BIGINT) AS n_neg, "
-        "CAST(NULL AS VARCHAR) AS stratum FROM ("
+        "CAST(NULL AS VARCHAR) AS stratum "
+        "FROM (SELECT DISTINCT event_type FROM events) et "
+        "LEFT JOIN (SELECT event_type, COUNT(*) AS c FROM ("
         "SELECT event_type, user_id FROM events GROUP BY event_type, user_id "
         "HAVING COUNT(CASE WHEN day(ts) % 2 = 0 THEN 1 END) > 0 "
         "AND COUNT(CASE WHEN day(ts) % 2 = 1 THEN 1 END) > 0"
-        ") bi GROUP BY event_type"
+        ") b GROUP BY event_type) bi USING (event_type)"
     ),
     # within_bound pattern: the oracle replicates the deterministic
     # split + planting + fingerprint algebra and asserts the pipeline

@@ -1557,3 +1557,47 @@ def test_hard_negatives_excludes_positives_before_topk(spark):
         e, anchors, pos.where("anchor_id < 0"), k=3
     ).collect()
     assert [r.negative_id for r in sorted(base, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_hard_negatives_attr_mode_and_validation(spark):
+    """positive_attr mode: same-attribute items are positives via an
+    in-row inequality on the broadcast anchors (nothing corpus-sized
+    materialized); NULL attributes form their own positive group; at
+    least one positive form is required."""
+    import pytest
+
+    from gluestick_ts_spark.operators.similarity import hard_negatives
+
+    e = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "a"),
+            (1, [0.99, 0.01], "a"),     # same label: positive
+            (2, [0.98, 0.02], "b"),     # other label: hard negative
+            (3, [0.0, 1.0], "b"),
+            (4, [0.97, 0.03], None),    # null label vs 'a': negative
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = hard_negatives(
+        e, e.where("vec_id = 0"), k=2, positive_attr=("label", "label")
+    ).collect()
+    assert [r.negative_id for r in sorted(out, key=lambda r: r.rank)] == [2, 4]
+
+    # a NULL-labeled anchor treats NULL-labeled items as positives
+    out2 = hard_negatives(
+        e, e.where("vec_id = 4"), k=4, positive_attr=("label", "label")
+    ).collect()
+    assert {r.negative_id for r in out2} == {0, 1, 2, 3}
+
+    # both forms compose: attr excludes label-a, pairs also exclude 2
+    pairs = spark.createDataFrame(
+        [(0, 2)], "anchor_id long, positive_id long"
+    )
+    out3 = hard_negatives(
+        e, e.where("vec_id = 0"), positives=pairs, k=2,
+        positive_attr=("label", "label"),
+    ).collect()
+    assert [r.negative_id for r in sorted(out3, key=lambda r: r.rank)] == [4, 3]
+
+    with pytest.raises(ValueError, match="positive"):
+        hard_negatives(e, e.where("vec_id = 0"), k=2)

@@ -97,3 +97,23 @@ def test_overlap_plan_never_joins_raw_ids(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "uid" not in m.group(1)
+
+
+def test_overlap_null_key_is_a_first_class_group(spark):
+    """NULL-keyed rows on both sides must intersect as one group (the
+    join is null-safe), not split into two one-sided rows reporting
+    intersection 0."""
+    a = spark.createDataFrame(
+        [(None, i) for i in range(1, 11)] + [("x", 1)],
+        "k string, uid long",
+    )
+    b = spark.createDataFrame(
+        [(None, i) for i in range(5, 16)] + [("y", 2)],
+        "k string, uid long",
+    )
+    rows = {r.k: r for r in distinct_overlap(a, b, "uid", keys=["k"]).collect()}
+    assert set(rows) == {None, "x", "y"}
+    nz = rows[None]
+    assert (nz.distinct_a, nz.distinct_b) == (10.0, 11.0)
+    assert nz.distinct_intersection == 6.0   # {5..10}
+    assert nz.distinct_union == 15.0         # {1..15}

@@ -85,3 +85,22 @@ def test_setjoin_plan_has_no_cross_join_and_prefix_blocks(spark):
         assert bad not in plan, bad
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_setjoin_threshold_boundary_exact(spark):
+    """Float-boundary completeness regression: t=0.14 with |A|=50,
+    |B|=7 subset of A gives exact J = 7/50 = 0.14 — qualifying at the
+    threshold — while IEEE 0.14*50 = 7.000000000000001 would have the
+    naive size filter and prefix length drop the pair."""
+    rows = [
+        (1, [f"w{i}" for i in range(50)]),
+        (2, [f"w{i}" for i in range(7)]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in set_similarity_join(df, threshold=0.14).collect()
+    }
+    assert got == {(1, 2): 0.14}, got
+    # and strictly-above-boundary thresholds still exclude it
+    assert set_similarity_join(df, threshold=0.15).count() == 0

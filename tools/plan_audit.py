@@ -80,7 +80,12 @@ NOTES: dict[str, str] = {
         "(intentional crossJoin); the scale path is the LSH-bucketed "
         "variant exercised in tests"
     ),
-    "ngram_jaccard_adjacent": "adjacent-id self-join, not all-pairs",
+    "ngram_jaccard_adjacent": (
+        "two exact legs, neither all-pairs: the adjacent part is an "
+        "id-shifted self-join; the ppjoin part blocks on rarest-token "
+        "PREFIXES (equi-join) with an in-row Jaccard verify — the "
+        "prefix-filter theorem keeps it complete at Jaccard>=t"
+    ),
     "multimodal_features": "synth+probe+decode are chained mapInPandas",
     "multimodal_frame_pipeline": "resize+frame-sample are chained mapInPandas",
     "approx_distinct_users": "HLL partial aggregates map-side",
