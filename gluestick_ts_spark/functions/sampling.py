@@ -214,7 +214,16 @@ def write_training_shards(
     shard's rows land in exactly one task, so each shard directory is
     written as one contiguous sorted run) + a task-local sort — no
     global sort, no driver collect. Returns the layout manifest
-    ``{key, seed, n_shards}``; pass the same values to reproduce."""
+    ``{key, seed, n_shards, total_rows, shard_rows}`` and writes it to
+    ``<path>/_manifest.json`` — the row counts come from the WRITTEN
+    parquet footers (one metadata-only read-back, n_shards count rows
+    to the driver), so a training loop can detect truncated or
+    partially-written epochs before consuming them."""
+    import json
+
+    from ..sources.fs import join_uri, write_text_file
+
+    spark = df.sparkSession
     shuffled = (
         df.withColumn("__gs_shard", epoch_shard_expr(key, seed, n_shards))
         .withColumn("__gs_h", epoch_shuffle_expr(key, seed))
@@ -224,7 +233,22 @@ def write_training_shards(
         .withColumnRenamed("__gs_shard", "shard")
     )
     shuffled.write.partitionBy("shard").mode("overwrite").parquet(path)
-    return {"key": key, "seed": str(seed), "n_shards": int(n_shards)}
+    counts = {
+        int(r["shard"]): r["cnt"]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    manifest = {
+        "key": key,
+        "seed": str(seed),
+        "n_shards": int(n_shards),
+        "total_rows": int(sum(counts.values())),
+        "shard_rows": {str(s): int(c) for s, c in sorted(counts.items())},
+    }
+    write_text_file(spark, join_uri(path, "_manifest.json"), json.dumps(manifest))
+    return manifest
 
 
 def domain_shares(df: DataFrame, domain_col: str) -> dict[str, float]:

@@ -201,7 +201,17 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
     )
     path = str(tmp_path / "epoch")
     manifest = write_training_shards(d, path, "doc_id", seed=3, n_shards=4)
-    assert manifest == {"key": "doc_id", "seed": "3", "n_shards": 4}
+    assert (manifest["key"], manifest["seed"], manifest["n_shards"]) == (
+        "doc_id", "3", 4,
+    )
+    # the manifest's counts come from the WRITTEN data and are also
+    # persisted as a sidecar for truncation detection
+    import json as _json
+
+    assert manifest["total_rows"] == 300
+    assert sum(manifest["shard_rows"].values()) == 300
+    sidecar = _json.load(open(path + "/_manifest.json"))
+    assert sidecar == manifest
 
     h = lambda i: hashlib.md5(f"3:{i}".encode()).hexdigest()
     exp_by_shard = {}
