@@ -40,12 +40,23 @@ def set_similarity_join(
     id_col: str = "doc_id",
     set_col: str = "tokens",
     threshold: float = 0.8,
+    materialize: bool = False,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` whose DISTINCT-element Jaccard
     similarity reaches ``threshold``. ``set_col`` is an array column
     (duplicates are collapsed — Jaccard is a set measure); empty sets
     never pair. Output: ``id_a, id_b, jaccard`` (ROUND 6), exact and
-    partitioning-independent. ``id_col`` values must be unique."""
+    partitioning-independent. ``id_col`` values must be unique.
+
+    The canonically-ordered relation feeds FOUR plan branches (both
+    prefix sides + both verify sides) and Spark does not reuse the
+    exchange across them, so the lazy plan tokenizes and reassembles
+    the corpus four times. ``materialize=True`` pins that relation
+    once via an eager ``localCheckpoint`` — the right call at corpus
+    scale, with ``ngram_jaccard_pairs``'s documented tradeoff: the
+    call runs Spark jobs immediately, the pinned blocks are not
+    recomputable after executor loss, and downstream filters cannot
+    push below the checkpoint."""
     if not (0.0 < float(threshold) <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
@@ -72,6 +83,8 @@ def set_similarity_join(
             ).alias("os")
         )
     )
+    if materialize:
+        ordered = ordered.localCheckpoint(eager=True)
     # prefix-filter length: |s| - ceil(t*|s|) + 1. The ceil must be of
     # the EXACT product: IEEE t*n can land a hair above an exact
     # integer (0.14*50 = 7.000000000000001), which would shorten the
@@ -107,8 +120,14 @@ def set_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    # verify against the ORDERED relation, not the raw sets: the
+    # canonical array holds exactly the distinct elements (order is
+    # irrelevant to |∩|/|∪|), and reusing `ordered` lets Spark's
+    # ReuseExchange serve the candidate and verify branches from ONE
+    # reassembly shuffle — the source is tokenized once, not three
+    # times
+    sa = ordered.select(F.col("id").alias("id_a"), F.col("os").alias("__sa"))
+    sb = ordered.select(F.col("id").alias("id_b"), F.col("os").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (
         F.size("__sa").cast("double") + F.size("__sb").cast("double") - inter

@@ -104,3 +104,18 @@ def test_setjoin_threshold_boundary_exact(spark):
     assert got == {(1, 2): 0.14}, got
     # and strictly-above-boundary thresholds still exclude it
     assert set_similarity_join(df, threshold=0.15).count() == 0
+
+
+def test_setjoin_materialize_equivalence(spark):
+    """materialize=True pins the ordered relation once; results must
+    be identical to the lazy plan."""
+    rng_rows = [(i, [f"w{j}" for j in range((i * 3) % 9 + 2)]) for i in range(60)]
+    df = spark.createDataFrame(rng_rows, "doc_id long, tokens array<string>")
+    lazy = _run(spark, rng_rows, 0.7)
+    mat = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in set_similarity_join(
+            df, threshold=0.7, materialize=True
+        ).collect()
+    }
+    assert mat == lazy
