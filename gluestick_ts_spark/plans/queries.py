@@ -54,6 +54,7 @@ from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
 from ..operators.cdc import snapshot_diff
 from ..operators.dedup import (
+    _hash_params,
     dedup_clusters,
     dedup_exact,
     dedup_minhash,
@@ -2133,61 +2134,46 @@ def q_semantic_dedup_embeddings(spark, sf):
 # Rows-only queries (not SQL-expressible; driver records weaker check)
 # ---------------------------------------------------------------------------
 
-def _no_exact_dup_guard(surv, cols: list[str]):
-    """Count-visible invariant for rows-only dedup entries: a correct
-    fuzzy dedup can never leave two survivors with the SAME normalized
-    fingerprint (exact dups have jaccard 1.0, identical signatures, and
-    band together with certainty). One alert row per violated
-    fingerprint (doc_id = -1) — healthy runs keep the historical row
-    count, a dedup regression changes it. ``surv`` must still carry
-    ``text``; ``cols`` is the public output projection."""
-    pinned = surv.select(
-        *cols, fingerprint_expr("text").alias("__fp")
-    ).localCheckpoint(eager=True)  # survivors-sized; referenced twice
-    dups = (
-        pinned.groupBy("__fp")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") > 1)
-    )
-    lit_cols = []
-    dtypes = dict(pinned.dtypes)
-    for c in cols:
-        if c == "doc_id":
-            lit_cols.append(F.lit(-1).cast(dtypes[c]).alias(c))
-        elif c == "source":
-            lit_cols.append(F.concat(F.lit("ALERT:dup_fp:"), "__fp").alias(c))
-        else:
-            lit_cols.append(F.lit(None).cast(dtypes[c]).alias(c))
-    alerts = dups.select(*lit_cols)
-    return pinned.drop("__fp").unionByName(alerts)
-
-
 def q_minhash_dedup_docs(spark, sf):
-    """Fuzzy dedup: MinHash -> LSH banding -> exact-Jaccard verify.
-    Rows-only entry, so the no-exact-dup-among-survivors invariant is
-    made COUNT-visible via alert rows (see _no_exact_dup_guard)."""
+    """Fuzzy dedup: MinHash -> LSH banding -> exact-Jaccard verify ->
+    pairwise survivor rule, run with the engine-portable md5 hash
+    family (``operators/dedup.py _HASH_FAMILIES``): the DuckDB oracle
+    replays the ENTIRE pipeline — 64 universal-hash signatures, 16-band
+    banding, bucket pair generation, exact-Jaccard verify at 0.7, and
+    the drop-higher-id rule — so this is a full rows+schema+hash check
+    (it was rows-only while the base hash was JVM-only xxhash64). The
+    former count-visible no-exact-dup guard is superseded by the
+    oracle, which pins every survivor row exactly."""
     d = _t(spark, sf, "documents")
-    out = dedup_minhash(d, threshold=0.7)
-    return _no_exact_dup_guard(out, ["doc_id", "lang", "source", "n_chars"])
+    out = dedup_minhash(d, threshold=0.7, hash_family="md5")
+    return out.select("doc_id", "lang", "source", "n_chars")
 
 
 def q_dedup_clusters_docs(spark, sf):
     """Transitive fuzzy dedup: MinHash/LSH pairs -> connected
-    components (iterative min-label propagation) -> one survivor per
-    duplicate cluster. Rows-only check with the count-visible
-    no-exact-dup invariant."""
+    components -> one survivor (min id) per duplicate cluster. The
+    md5 hash family makes the pair graph oracle-replayable, and the
+    DuckDB oracle computes EXACT components via a recursive CTE
+    (min-label over the transitive closure) — checking that the
+    iterative Spark min-propagation (doubling reach per round)
+    converged to the true closure, not just a bounded approximation."""
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d)
-    cand = minhash_lsh_pairs(sigs, 16, sig_len=64)
+    sigs = minhash_signatures(d, hash_family="md5")
+    cand = minhash_lsh_pairs(sigs, 16, sig_len=64, hash_family="md5")
     dup = ngram_jaccard_pairs(d, cand, threshold=0.7)
     out = dedup_clusters(d, dup.select("id_a", "id_b"))
-    return _no_exact_dup_guard(out, ["doc_id", "lang", "source"])
+    return out.select("doc_id", "lang", "source")
 
 
 def q_simhash_pairs_docs(spark, sf):
-    """SimHash near-dup candidate pairs (Hamming <= 8)."""
+    """SimHash near-dup candidate pairs (Hamming <= 8), 60-bit
+    engine-portable fingerprints. Because pigeonhole blocking has
+    recall 1.0, the blocked output EQUALS the quadratic pair set —
+    which is exactly what the DuckDB oracle computes (a 500-doc
+    self-join at sf0.01), so the banded fast path is verified
+    rows+schema+hash against the brute-force definition."""
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8)
+    return simhash_pairs(d, max_hamming=8, hash_family="md5")
 
 
 def _recall_guarded(out, floor: float):
@@ -2988,7 +2974,82 @@ _SCALNULLS = (
     "CAST(NULL AS VARCHAR) AS redacted, CAST(NULL AS VARCHAR) AS unhtml"
 )
 
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash pipeline as DuckDB CTEs (md5 hash family).
+# Exactly mirrors operators/dedup.py with hash_family="md5": 48-bit md5
+# prefix -> mod 2^31-1 -> the SAME 64 (a*x+b) mod p universal hashes
+# (literal-embedded below from the seed-42 param stream) -> 16 bands of
+# 4 rows -> md5 band hash -> bucket pairs -> exact-Jaccard verify 0.7.
+# ---------------------------------------------------------------------------
+_MH_PARAMS = _hash_params(64, 42)
+_MH_A = "[" + ",".join(str(a) for a, _ in _MH_PARAMS) + "]"
+_MH_B = "[" + ",".join(str(b) for _, b in _MH_PARAMS) + "]"
+_MINHASH_CTES = (
+    "t AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS T FROM documents), "
+    "s AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(T) - 2, 1) + 1), "
+    "i -> concat_ws(' ', T[i], T[i+1], T[i+2]))) AS sh FROM t), "
+    f"prm AS (SELECT {_MH_A} AS A, {_MH_B} AS B), "
+    "hx AS (SELECT doc_id, list_transform(sh, x -> "
+    "CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) % 2147483647) AS xs "
+    "FROM s), "
+    "sig AS (SELECT doc_id, list_transform(range(64), i -> "
+    "list_min(list_transform(xs, x -> (A[i+1]*x + B[i+1]) % 2147483647"
+    "))) AS sg FROM hx CROSS JOIN prm), "
+    "banded AS (SELECT doc_id, r.b AS b, md5(array_to_string("
+    "list_transform(sg[r.b*4+1 : r.b*4+4], v -> CAST(v AS VARCHAR)), ',')"
+    ") AS bh FROM sig CROSS JOIN range(16) r(b)), "
+    "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+    "FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh "
+    "AND x.doc_id < y.doc_id), "
+    "ver AS (SELECT id_a, id_b FROM cand "
+    "JOIN s sa ON sa.doc_id = cand.id_a "
+    "JOIN s sb ON sb.doc_id = cand.id_b "
+    "WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+    "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.7)"
+)
+
 ORACLES: dict[str, str] = {
+    "minhash_dedup_docs": (
+        "WITH " + _MINHASH_CTES + ", "
+        "losers AS (SELECT DISTINCT id_b FROM ver) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+        "LEFT JOIN losers l ON l.id_b = d.doc_id WHERE l.id_b IS NULL"
+    ),
+    "dedup_clusters_docs": (
+        # exact connected components of the verified pair graph via a
+        # recursive CTE (min reachable label); drop non-minimum members
+        "WITH RECURSIVE " + _MINHASH_CTES + ", "
+        "und AS (SELECT id_a AS a, id_b AS b FROM ver "
+        "UNION SELECT id_b, id_a FROM ver), "
+        "nodes AS (SELECT DISTINCT a AS n FROM und), "
+        "reach(n, m) AS (SELECT n, n FROM nodes "
+        "UNION SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m), "
+        "losers AS (SELECT n FROM reach GROUP BY n HAVING min(m) <> n) "
+        "SELECT d.doc_id, d.lang, d.source FROM documents d "
+        "LEFT JOIN losers l ON l.n = d.doc_id WHERE l.n IS NULL"
+    ),
+    "simhash_pairs_docs": (
+        # brute-force definition: 60-bit portable SimHash fingerprints
+        # (votes from md5-prefix token hashes), quadratic self-join,
+        # Hamming <= 8 — equals the banded fast path because pigeonhole
+        # blocking has recall 1.0 and the same hamming post-filter
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS T "
+        "FROM documents), "
+        "h AS (SELECT doc_id, list_transform(T, tk -> "
+        "CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS H FROM t), "
+        "fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), "
+        "j -> CASE WHEN list_sum(list_transform(H, x -> CASE WHEN "
+        "((x >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS f "
+        "FROM h) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.f, b.f)) <= 8"
+    ),
     "scan_project_literal": "SELECT *, 'acme' AS tenant FROM customer",
     "catalog_typed_cast": (
         "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "

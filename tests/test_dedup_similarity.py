@@ -286,28 +286,51 @@ def test_ann_recall_vs_exact_column(spark, sf_dir):
         assert 0.0 <= r.recall_at_k <= 1.0
 
 
-def test_no_exact_dup_guard_alert_rows(spark):
-    """The count-visible survivor invariant: clean survivor sets pass
-    through unchanged; an exact-dup leak appends one alert row per
-    duplicated fingerprint."""
-    from gluestick_ts_spark.plans.queries import _no_exact_dup_guard
+def test_portable_hash_family_minhash(docs):
+    """The md5 (engine-portable) hash family runs the SAME pipeline —
+    identical-text docs still produce identical signatures, the planted
+    near-dup still bands together and dedups, and the disjoint doc
+    survives. (Exact value parity with DuckDB is pinned by the
+    minhash_dedup_docs / dedup_clusters_docs oracles.)"""
+    sigs = minhash_signatures(docs, hash_family="md5")
+    by_id = {r["id"]: r["signature"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2] == by_id[3]
+    # every slot is a universal-hash value: 0 <= v < 2^31-1
+    assert all(0 <= v < (1 << 31) - 1 for v in by_id[1])
+    out = dedup_minhash(docs, threshold=0.5, hash_family="md5")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
 
-    clean = spark.createDataFrame(
-        [(1, "en", "web", "alpha beta"), (2, "en", "web", "gamma delta")],
-        "doc_id long, lang string, source string, text string",
-    )
-    out = _no_exact_dup_guard(clean, ["doc_id", "lang", "source"]).collect()
-    assert len(out) == 2 and all(r.doc_id != -1 for r in out)
 
-    leaky = spark.createDataFrame(
-        [(1, "en", "web", "same text"), (2, "en", "web", "Same  TEXT"),
-         (3, "en", "web", "unique here")],
-        "doc_id long, lang string, source string, text string",
-    )
-    out2 = _no_exact_dup_guard(leaky, ["doc_id", "lang", "source"]).collect()
-    alerts = [r for r in out2 if r.doc_id == -1]
-    assert len(out2) == 4 and len(alerts) == 1
-    assert alerts[0].source.startswith("ALERT:dup_fp:")
+def test_portable_hash_family_simhash_equals_bruteforce(docs):
+    """60-bit portable SimHash: the banded pair path must EQUAL the
+    quadratic hamming-<=-k definition (pigeonhole recall is 1.0), and
+    every fingerprint must fit in 60 bits."""
+    fps = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", simhash_expr("text", 60, "md5").alias("h")
+        ).collect()
+    }
+    assert all(0 <= h < (1 << 60) for h in fps.values())
+    ids = sorted(fps)
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 16
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_hamming=16, hash_family="md5").collect()
+    }
+    assert banded == brute and (1, 2, 0) in banded
+
+
+def test_hash_family_validation(docs):
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, hash_family="sha1")
+    with pytest.raises(ValueError):
+        simhash_expr("text", 64, "md5")  # md5 family caps at 60 bits
 
 
 def test_recall_guard_emits_alert_rows_on_breach(spark, sf_dir):

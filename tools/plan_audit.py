@@ -39,9 +39,9 @@ NOTES: dict[str, str] = {
         "post-convergence survivor join only"
     ),
     "simhash_pairs_docs": (
-        "pre-checkpoint DAG: in-row 64-bit simhash (0 shuffles) -> "
-        "pigeonhole band equi-join (1 shuffle per side, AQE-skew-"
-        "splittable) -> hamming verify"
+        "pre-checkpoint DAG: in-row simhash (60-bit portable md5 "
+        "family; 0 shuffles) -> pigeonhole band equi-join (1 shuffle "
+        "per side, AQE-skew-splittable) -> hamming verify"
     ),
     "ivf_train_centroids": (
         "training runs 2 bounded Lloyd's passes eagerly ((cid,dim) agg "
