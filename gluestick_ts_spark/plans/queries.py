@@ -2555,7 +2555,7 @@ def _bm25_rrf_leg(d, q, bm):
     )
 
 
-def q_hash_split_documents(spark, sf):
+def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
     """Both deterministic-sampling primitives in one map-only pass
     over each document (functions/sampling.py): the train/val/test
     split by md5 key bucket, AND the DoReMi-style domain-weighted
@@ -2572,7 +2572,18 @@ def q_hash_split_documents(spark, sf):
     digits of md5('1:'||key) mod 8) and ``pos_in_shard`` the row's
     position in within-shard epoch order (one shard-keyed window —
     the same order write_training_shards materializes on disk).
-    DuckDB restates the full nibble arithmetic and the window."""
+    DuckDB restates the full nibble arithmetic and the window.
+
+    Round 8 also adds the DSIR leg (operators/dsir.py — Xie et al.
+    2023 importance resampling): per-doc hashed unigram+bigram
+    log-weights toward the lang='en' target distribution plus the
+    seeded Gumbel top-100 selection flag. Histograms (two bounded
+    256-row aggregates) and the k-th key (TakeOrdered) are computed
+    eagerly at build; the emitted columns are map-only. The oracle
+    recomputes the ENTIRE chain — histograms, smoothing, ln-ratio
+    fold, Gumbel noise, threshold — in SQL. The log-weight expression
+    is let-bound via a 1-element array so the gram fold runs once per
+    row, not once per output column."""
     from ..functions.sampling import (
         epoch_shard_expr,
         epoch_shuffle_expr,
@@ -2580,6 +2591,43 @@ def q_hash_split_documents(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
+    dsir_cols = []
+    if "dsir" in parts:
+        from ..operators.dsir import (
+            dsir_logweight_expr,
+            gram_bucket_histogram,
+            gumbel_key_expr,
+        )
+
+        raw_h = gram_bucket_histogram(d)
+        tgt_h = gram_bucket_histogram(d.where(F.col("lang") == "en"))
+        logw = dsir_logweight_expr(F.col("text"), raw_h, tgt_h)
+        key = gumbel_key_expr(F.col("doc_id"), logw)
+        kth_row = (
+            d.select(key.alias("__k"))
+            .orderBy(F.desc("__k"))
+            .limit(100)
+            .agg(F.min("__k"))
+            .first()
+        )
+        kth = F.lit(float(kth_row[0])) if kth_row and kth_row[0] is not None else None
+        bound = F.transform(
+            F.array(logw),
+            lambda L: F.struct(
+                F.round(L, 6).alias("lw"),
+                gumbel_key_expr(F.col("doc_id"), L).alias("ky"),
+            ),
+        )[0]
+        dsir_cols = [
+            bound["lw"].alias("dsir_logw"),
+            F.round(bound["ky"], 6).alias("dsir_key"),
+            (bound["ky"] >= kth if kth is not None else F.lit(True)).alias(
+                "dsir_keep"
+            ),
+        ]
+        if "split" not in parts:
+            return d.select("doc_id", *dsir_cols)
+
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     out = weighted_domain_sample(
         out,
@@ -2608,6 +2656,7 @@ def q_hash_split_documents(spark, sf):
         )
         .cast("long")
         .alias("pos_in_shard"),
+        *dsir_cols,
     )
 
 
@@ -2861,6 +2910,19 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     "ngram_jaccard_adjacent": {
         p: _tag_part("ngram_jaccard_adjacent", "part", p)
         for p in ("adjacent", "ppjoin")
+    },
+    "hash_split_documents": {
+        # mode-restricted builders (the ann_ivf precedent): the dsir
+        # leg runs eager histogram + threshold jobs at construction,
+        # which a tag filter would charge to whichever leg is timed
+        p: (
+            lambda mode: (
+                lambda spark, sf: q_hash_split_documents(
+                    spark, sf, parts=(mode,)
+                )
+            )
+        )(p)
+        for p in ("split", "dsir")
     },
 }
 
@@ -3587,12 +3649,46 @@ ORACLES: dict[str, str] = {
         "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 20 <> 0"
     ),
     "hash_split_documents": (
+        # DSIR leg CTEs: hashed unigram+bigram buckets (2 md5 nibbles),
+        # raw + target (lang='en') histograms as frozen 256-slot
+        # arrays, Laplace-smoothed ln-ratio fold per doc, seeded
+        # portable Gumbel noise, top-100 threshold — the full
+        # operators/dsir.py chain restated
+        "WITH dt AS (SELECT doc_id, lang, list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') "
+        "AS T FROM documents), "
+        "dg AS (SELECT doc_id, lang, list_transform("
+        "list_concat(T, list_transform(range(1, greatest(len(T)-1,0)+1), "
+        "i -> T[i] || ' ' || T[i+1])), g -> "
+        "(strpos('0123456789abcdef', substr(md5(g),1,1))-1)*16 + "
+        "(strpos('0123456789abcdef', substr(md5(g),2,1))-1)) AS GB FROM dt), "
+        "dhr AS (SELECT b, count(*) AS c FROM ("
+        "SELECT unnest(GB) AS b FROM dg) GROUP BY b), "
+        "dht AS (SELECT b, count(*) AS c FROM ("
+        "SELECT unnest(GB) AS b FROM dg WHERE lang = 'en') GROUP BY b), "
+        "dar AS (SELECT list(coalesce(dhr.c, 0) ORDER BY r.b) AS H, "
+        "sum(coalesce(dhr.c, 0)) AS tot FROM range(256) r(b) "
+        "LEFT JOIN dhr ON dhr.b = r.b), "
+        "dat AS (SELECT list(coalesce(dht.c, 0) ORDER BY r.b) AS H, "
+        "sum(coalesce(dht.c, 0)) AS tot FROM range(256) r(b) "
+        "LEFT JOIN dht ON dht.b = r.b), "
+        "dky AS (SELECT doc_id, logw, logw + (-ln(-ln("
+        "(CAST('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), "
+        "1, 15) AS BIGINT) + 0.5) / 1152921504606846976.0))) AS ky FROM ("
+        "SELECT doc_id, list_sum(list_transform(GB, b -> "
+        "ln((dat.H[b+1] + 1.0)/(dat.tot + 256.0)) - "
+        "ln((dar.H[b+1] + 1.0)/(dar.tot + 256.0)))) AS logw "
+        "FROM dg CROSS JOIN dar CROSS JOIN dat) w), "
+        "dkth AS (SELECT min(ky) AS th FROM ("
+        "SELECT ky FROM dky ORDER BY ky DESC LIMIT 100)) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
         "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep, "
         "strat_rank, strat_rank <= 16 AS in_eval_16, shard, "
         "CAST(row_number() OVER (PARTITION BY shard ORDER BY eh ASC) "
-        "AS BIGINT) AS pos_in_shard FROM ("
+        "AS BIGINT) AS pos_in_shard, "
+        "ROUND(dky.logw, 6) AS dsir_logw, ROUND(dky.ky, 6) AS dsir_key, "
+        "dky.ky >= dkth.th AS dsir_keep FROM ("
         "SELECT doc_id, CAST(("
         "(strpos('0123456789abcdef', substr(md5('1:' || CAST(doc_id AS "
         "VARCHAR)), 1, 1)) - 1) * 4096 + "
@@ -3618,7 +3714,8 @@ ORACLES: dict[str, str] = {
         "CAST(row_number() OVER (PARTITION BY lang "
         "ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)) ASC) AS BIGINT) "
         "AS strat_rank "
-        "FROM documents) t"
+        "FROM documents) t "
+        "JOIN dky USING (doc_id) CROSS JOIN dkth"
     ),
     "bm25_search_docs": (
         "WITH dtok AS (SELECT doc_id, "

@@ -70,7 +70,8 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name, must_push):
         ("q1_pricing_summary", 16, 7),    # lineitem is 16 cols wide
         ("q6_revenue_delta", 16, 4),
         ("stats_agg_orders", 9, 4),       # orders is 9 cols wide
-        ("hash_split_documents", 5, 2),   # documents: only doc_id + lang read
+        ("hash_split_documents", 5, 3),   # documents: doc_id + lang + text
+                                          # (text feeds the dsir gram fold)
     ],
 )
 def test_scan_schema_pruned(spark, sf_dir, name, table_width, max_cols):
