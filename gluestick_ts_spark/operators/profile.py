@@ -35,6 +35,8 @@ __all__ = [
     "bigram_logprob_scores",
     "bigram_pmi",
     "profile_columns",
+    "group_quantile_cuts",
+    "adaptive_quality_filter",
 ]
 
 
@@ -435,3 +437,54 @@ def profile_columns(
         "min",
         "max",
     )
+
+
+def group_quantile_cuts(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    q: float = 0.25,
+    exact: bool = True,
+    cut_col: str = "group_cut",
+) -> DataFrame:
+    """Per-group score quantile: ``(group_col, cut_col)``, one row per
+    group. ``exact=True`` uses the interpolated exact percentile (the
+    oracle path — DuckDB's ``quantile_cont`` restates it, the
+    corpus_profile precedent); ``exact=False`` uses the mergeable
+    ``approx_percentile`` sketch — the 100 TB path, where per-group
+    sketches combine map-side and the cut never needs a value sort.
+    Either way: ONE map-side-combined aggregate collapsing to
+    <= |groups| rows."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    agg = (
+        F.percentile(score_col, F.lit(q))
+        if exact
+        else F.approx_percentile(score_col, F.lit(q))
+    )
+    return df.groupBy(group_col).agg(agg.alias(cut_col))
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    q: float = 0.25,
+    exact: bool = True,
+    cut_col: str = "group_cut",
+    keep_col: str = "above_group_cut",
+) -> DataFrame:
+    """Per-group ADAPTIVE quality threshold — the RefinedWeb/FineWeb
+    per-language curation recipe: instead of one global constant (which
+    over-prunes whichever language the heuristic scores low), each
+    group's cut is its OWN q-th score quantile, dropping the same
+    bottom fraction everywhere. Adds ``cut_col`` (the group's cut) and
+    ``keep_col`` (``score >= cut``) to every row.
+
+    Scale shape: the cuts relation is <= |groups| rows and broadcast
+    back onto the corpus — the corpus itself never shuffles. Groups
+    absent from the cuts side (NULL group) keep ``keep_col = NULL``
+    rather than a silent drop/keep."""
+    cuts = group_quantile_cuts(df, score_col, group_col, q, exact, cut_col)
+    out = df.join(F.broadcast(cuts), on=group_col, how="left")
+    return out.withColumn(keep_col, F.col(score_col) >= F.col(cut_col))

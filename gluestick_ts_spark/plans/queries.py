@@ -1453,21 +1453,41 @@ def q_curation_pipeline_docs(spark, sf):
     dropped first. Scale shape: three map-only flag columns + the
     fingerprint window + the broadcast contamination join + the
     unigram model's two short-key aggregates — no new shuffle class
-    beyond the stages' own."""
+    beyond the stages' own.
+
+    Round 8 adds the ADAPTIVE per-language threshold columns
+    (operators/profile.py adaptive_quality_filter — the RefinedWeb/
+    FineWeb recipe): ``lang_cut`` is the language's own P25 quality
+    quantile (exact interpolated percentile; DuckDB ``quantile_cont``
+    restates it) and ``adaptive_ok`` whether the doc clears its own
+    language's cut — advisory columns beside the fixed global 0.5
+    gate, from one <=|langs|-row aggregate broadcast back."""
     from ..functions.text import quality_score_expr
     from ..operators.dedup import _spread, ngram_contamination
-    from ..operators.profile import unigram_logprob_scores
+    from ..operators.profile import adaptive_quality_filter, unigram_logprob_scores
 
     d = _spread(_t(spark, sf, "documents"))
     per = d.select(
         "doc_id",
+        "lang",
         (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
         gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
-        (quality_score_expr("text") >= 0.5).alias("quality_ok"),
+        quality_score_expr("text").alias("__q"),
         fingerprint_expr("text").alias("__fp"),
     )
     w = Window.partitionBy("__fp").orderBy("doc_id")
     per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
+    per = adaptive_quality_filter(
+        per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
+    ).select(
+        "doc_id",
+        "is_benchmark",
+        "gopher_ok",
+        (F.col("__q") >= 0.5).alias("quality_ok"),
+        "dup_ok",
+        F.round("__cut", 6).alias("lang_cut"),
+        "adaptive_ok",
+    )
     contam = ngram_contamination(
         d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=8
     ).select("doc_id", "contaminated")
@@ -1485,6 +1505,8 @@ def q_curation_pipeline_docs(spark, sf):
             "gopher_ok",
             "quality_ok",
             F.coalesce("__lpok", F.lit(False)).alias("lp_ok"),
+            "lang_cut",
+            "adaptive_ok",
         )
     )
     keep = (
@@ -1513,6 +1535,8 @@ def q_curation_pipeline_docs(spark, sf):
         "lp_ok",
         keep.alias("keep"),
         reason.alias("drop_reason"),
+        "lang_cut",
+        "adaptive_ok",
     )
 
 
@@ -3946,29 +3970,35 @@ ORACLES: dict[str, str] = {
         "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
         "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) "
         "WHERE doc_id % 20 <> 0), "
-        "base AS (SELECT doc_id, doc_id % 20 = 0 AS is_benchmark, "
+        "base AS (SELECT doc_id, lang, doc_id % 20 = 0 AS is_benchmark, "
         f"({_GOPHER_PASS_SQL}) AS gopher_ok, "
-        f"({_QUALITY_DUCK}) >= 0.5 AS quality_ok, "
+        f"({_QUALITY_DUCK}) AS qs, "
         "row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "ORDER BY doc_id) = 1 AS dup_ok "
-        "FROM documents) "
+        "FROM documents), "
+        # adaptive per-language P25 quality cut (exact interpolated
+        # quantile — restates adaptive_quality_filter's F.percentile)
+        "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
+        "FROM base GROUP BY lang) "
         "SELECT b.doc_id, b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
-        "b.dup_ok, b.gopher_ok, b.quality_ok, "
+        "b.dup_ok, b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
         "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
         "(NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
-        "AND b.gopher_ok AND b.quality_ok "
+        "AND b.gopher_ok AND b.qs >= 0.5 "
         "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
         "CASE WHEN b.is_benchmark THEN 'benchmark' "
         "WHEN h.doc_id IS NOT NULL THEN 'contaminated' "
         "WHEN NOT b.dup_ok THEN 'duplicate' "
         "WHEN NOT b.gopher_ok THEN 'gopher' "
-        "WHEN NOT b.quality_ok THEN 'quality' "
+        "WHEN NOT b.qs >= 0.5 THEN 'quality' "
         "WHEN NOT COALESCE(d.lp >= -3.41, FALSE) THEN 'logprob' "
-        "END AS drop_reason "
+        "END AS drop_reason, "
+        "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
         "FROM base b LEFT JOIN hits h USING (doc_id) "
-        "LEFT JOIN doclp d USING (doc_id)"
+        "LEFT JOIN doclp d USING (doc_id) "
+        "LEFT JOIN cuts c USING (lang)"
     ),
     "corpus_profile_docs": (
         "WITH s AS (SELECT source, lang, "

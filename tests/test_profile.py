@@ -267,3 +267,46 @@ def test_bigram_logprob_detects_word_order(spark):
               d, vocab_size=100, bigram_size=100, min_count=2
           ).collect()}
     assert bi[0] > bi[100]
+
+
+def test_adaptive_quality_filter_per_group_cuts(spark):
+    """Hand-computed per-group P50: group a scores [0,1,2,3] -> cut
+    1.5; group b scores [10,20] -> cut 15. Membership is score >= own
+    group's cut, never the other group's."""
+    from gluestick_ts_spark.operators.profile import (
+        adaptive_quality_filter,
+        group_quantile_cuts,
+    )
+
+    rows = [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 20.0)]
+    d = spark.createDataFrame(rows, "g string, s double")
+    cuts = {r.g: r.group_cut for r in group_quantile_cuts(d, "s", "g", 0.5).collect()}
+    assert cuts == {"a": 1.5, "b": 15.0}
+    out = adaptive_quality_filter(d, "s", "g", q=0.5)
+    got = {(r.g, r.s): r.above_group_cut for r in out.collect()}
+    assert got[("a", 0.0)] is False and got[("a", 1.0)] is False
+    assert got[("a", 2.0)] is True and got[("a", 3.0)] is True
+    assert got[("b", 10.0)] is False and got[("b", 20.0)] is True
+
+
+def test_adaptive_quality_filter_approx_path_and_validation(spark, sf_dir):
+    """The mergeable approx_percentile path (the 100 TB shape) must
+    agree with the exact path on the large uniform-ish test corpus to
+    within the sketch's documented accuracy; q outside (0,1) raises."""
+    import pytest as _pytest
+
+    from gluestick_ts_spark.functions.text import quality_score_expr
+    from gluestick_ts_spark.operators.profile import group_quantile_cuts
+    from tests.conftest import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", quality_score_expr("text").alias("s")
+    )
+    exact = {r.lang: r.group_cut for r in group_quantile_cuts(d, "s", "lang", 0.25).collect()}
+    approx = {r.lang: r.group_cut
+              for r in group_quantile_cuts(d, "s", "lang", 0.25, exact=False).collect()}
+    for lang, cut in exact.items():
+        assert abs(approx[lang] - cut) <= 0.05 * abs(cut) + 0.01
+    with _pytest.raises(ValueError):
+        group_quantile_cuts(d, "s", "lang", 1.5)
