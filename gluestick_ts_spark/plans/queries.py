@@ -75,6 +75,7 @@ from ..operators.similarity import (
     ann_lsh_topk,
     ann_recall_vs_exact,
     cosine_topk,
+    hyperplanes,
     ivf_assign,
     train_ivf_centroids,
 )
@@ -2232,16 +2233,28 @@ def q_ann_lsh_topk(spark, sf):
     12 tables: measured recall@5 vs exact cosine is 0.78-0.90 on the
     64-dim test embeddings (6×4 scored only 0.33 — collision
     probability per table falls geometrically with plane count).
-    The result carries per-query ``recall_at_k``/``recall_ok`` columns
-    (vs the exact cosine top-k, seed-deterministic; per-query floor
-    0.4 = the measured minimum on the test embeddings) and appends an
-    alert row per breaching query, so a recall collapse changes the
-    driver-recorded row count, not just a pytest gate."""
+
+    Round 8: FULLY oracle-checked (was rows-only). The hyperplanes are
+    seed-deterministic driver constants, so the DuckDB oracle embeds
+    them as literals and replays the whole pipeline — all 48
+    sign-of-dot-product bucket bits per vector, multi-table candidate
+    generation, the exact-cosine re-rank (ROUND-before-rank on the
+    oracle side, the embedding_cosine_topk arrangement), and the
+    per-query recall@5 against the exact top-k. The former alert-row
+    guard is superseded: the oracle pins every row, including
+    ``recall_at_k``/``recall_ok``, so a recall collapse is a hash
+    mismatch, not just a count change."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
-    return _recall_guarded(
-        ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5), floor=0.4
+    out = ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        (F.col("recall_at_k") >= 0.4).alias("recall_ok"),
     )
 
 
@@ -3096,7 +3109,57 @@ _MINHASH_CTES = (
     "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.7)"
 )
 
+# ---------------------------------------------------------------------------
+# ann_lsh_topk oracle: the hyperplanes are seed-deterministic driver
+# constants (similarity.py hyperplanes, seed 42+1000*t), so they embed
+# as SQL literals (repr round-trips doubles exactly) and DuckDB replays
+# every sign-of-dot-product bucket bit. Sign agreement holds because
+# both engines fold the dot product over the same operand order.
+# ---------------------------------------------------------------------------
+_LSH_PLANES = [hyperplanes(64, 4, seed=42 + 1000 * t) for t in range(12)]
+
+
+def _lsh_bucket_sql(table: int) -> str:
+    terms = []
+    for i, plane in enumerate(_LSH_PLANES[table]):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(E, {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_BKS = "[" + ", ".join(_lsh_bucket_sql(t) for t in range(12)) + "]"
+
 ORACLES: dict[str, str] = {
+    "ann_lsh_topk": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E "
+        "FROM embeddings), "
+        f"bk AS (SELECT vec_id, {_LSH_BKS} AS bks, E FROM e), "
+        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(q.E, c.E), 6) AS cosine "
+        "FROM bk q JOIN bk c ON c.vec_id <> q.vec_id "
+        "AND len(list_filter(range(12), i -> q.bks[i+1] = c.bks[i+1])) > 0 "
+        "WHERE q.vec_id < 8), "
+        "appr AS (SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM cand) "
+        "WHERE rank <= 5), "
+        "ex AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "ROUND(list_cosine_similarity(q.E, c.E), 6) DESC, c.vec_id ASC) "
+        "AS rank FROM e q JOIN e c ON c.vec_id <> q.vec_id "
+        "WHERE q.vec_id < 8) WHERE rank <= 5), "
+        "rec AS (SELECT a.query_id, "
+        "ROUND(CAST(count(ex.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall "
+        "FROM appr a LEFT JOIN ex ON ex.query_id = a.query_id "
+        "AND ex.neighbor_id = a.neighbor_id GROUP BY a.query_id) "
+        "SELECT a.query_id, a.neighbor_id, a.cosine, a.rank, "
+        "r.recall AS recall_at_k, r.recall >= 0.4 AS recall_ok "
+        "FROM appr a JOIN rec r USING (query_id)"
+    ),
     "minhash_dedup_docs": (
         "WITH " + _MINHASH_CTES + ", "
         "losers AS (SELECT DISTINCT id_b FROM ver) "

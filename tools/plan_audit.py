@@ -62,9 +62,12 @@ NOTES: dict[str, str] = {
         "planted-retrieval guard"
     ),
     "ann_lsh_topk": (
-        "constant-folded hyperplane literals; id-only candidates; "
-        "recall-guard checkpoint (40 rows) pins the pipeline once, so "
-        "the audited plan starts at ExistingRDD"
+        "constant-folded hyperplane literals; id-only candidates "
+        "through the (table,bucket) equi-join + dedup; vectors re-join "
+        "once (query side broadcast); recall join is a broadcast of "
+        "the 40-row exact set (full DAG audited — the recall-guard "
+        "checkpoint left with the alert rows when the query gained a "
+        "complete oracle)"
     ),
     "dedup_incremental_docs": (
         "pre-checkpoint DAG: store sigs HOF fold (0 shuffles) + batch "
