@@ -40,6 +40,7 @@ from ..functions.text import tokens_expr
 __all__ = [
     "hashed_gram_buckets_expr",
     "gram_bucket_histogram",
+    "gram_bucket_histograms",
     "dsir_logweight_expr",
     "gumbel_key_expr",
     "dsir_select",
@@ -117,6 +118,39 @@ def gram_bucket_histogram(
     for r in rows:
         hist[r["b"]] = r["c"]
     return hist
+
+
+def gram_bucket_histograms(
+    df: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    num_buckets: int = 256,
+) -> tuple[list[int], list[int]]:
+    """Raw + target histograms in ONE corpus pass for the common DSIR
+    setup where the target is a boolean SLICE of the raw corpus (e.g.
+    ``lang == 'en'``): the bucket explode carries the slice flag and
+    the target side is a conditional count in the same map-side-
+    combined aggregate — half the corpus scans of two separate
+    ``gram_bucket_histogram`` calls."""
+    rows = (
+        df.select(
+            target_cond.alias("__t"),
+            F.explode(
+                hashed_gram_buckets_expr(F.col(text_col), num_buckets)
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("r"),
+            F.count_if(F.col("__t")).alias("t"),
+        )
+        .collect()
+    )
+    raw, tgt = [0] * num_buckets, [0] * num_buckets
+    for r in rows:
+        raw[r["b"]] = r["r"]
+        tgt[r["b"]] = r["t"]
+    return raw, tgt
 
 
 def dsir_logweight_expr(

@@ -2632,12 +2632,11 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
     if "dsir" in parts:
         from ..operators.dsir import (
             dsir_logweight_expr,
-            gram_bucket_histogram,
+            gram_bucket_histograms,
             gumbel_key_expr,
         )
 
-        raw_h = gram_bucket_histogram(d)
-        tgt_h = gram_bucket_histogram(d.where(F.col("lang") == "en"))
+        raw_h, tgt_h = gram_bucket_histograms(d, F.col("lang") == "en")
         logw = dsir_logweight_expr(F.col("text"), raw_h, tgt_h)
         key = gumbel_key_expr(F.col("doc_id"), logw)
         kth_row = (

@@ -100,3 +100,13 @@ def test_dsir_validation(spark):
         hashed_gram_buckets_expr("text", num_buckets=512)
     with pytest.raises(ValueError):
         dsir_logweight_expr("text", [1] * 4, [1] * 8)
+
+
+def test_single_pass_histograms_equal_two_pass(spark, sf_dir):
+    from gluestick_ts_spark.operators.dsir import gram_bucket_histograms
+
+    d = load(spark, sf_dir, "documents")
+    raw1 = gram_bucket_histogram(d)
+    tgt1 = gram_bucket_histogram(d.where(F.col("lang") == "en"))
+    raw2, tgt2 = gram_bucket_histograms(d, F.col("lang") == "en")
+    assert raw1 == raw2 and tgt1 == tgt2
