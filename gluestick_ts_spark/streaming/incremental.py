@@ -43,6 +43,7 @@ __all__ = [
     "stream_session_window_counts",
     "stream_expectations",
     "stream_drift",
+    "stream_dsir_filter",
 ]
 
 
@@ -1085,3 +1086,40 @@ def stream_drift(
         F.round(psi, 6).alias("psi"),
         F.array_max(top)["b"].alias("top_drift_bucket"),
     )
+
+
+def stream_dsir_filter(
+    stream_df: DataFrame,
+    raw_hist: list[int],
+    target_hist: list[int],
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    min_logw: float | None = None,
+    logw_col: str = "dsir_logw",
+) -> DataFrame:
+    """Streaming twin of DSIR data selection (``operators/dsir.py``):
+    score every arriving document's importance log-weight against
+    FROZEN offline histograms and optionally drop rows below a frozen
+    threshold.
+
+    The histograms are offline artifacts (``gram_bucket_histograms``
+    over the reference corpora) embedded as constant-folded integer
+    literals — exactly the ``frozen_logprob_expr`` deployment pattern —
+    so this is a pure STATELESS streaming projection: no watermark, no
+    state store, no foreachBatch, no shuffle; Structured Streaming's
+    fastest path, and replay trivially re-emits identical rows. The
+    Gumbel top-k half of batch DSIR needs a global view, so the
+    streaming deployment swaps it for a threshold calibrated offline
+    (e.g. the batch run's k-th selection key or a target quantile of
+    the log-weight distribution), which is how an offline-fit selector
+    normally ships. Returns the transformed streaming DataFrame — the
+    caller picks the sink/trigger."""
+    from ..operators.dsir import dsir_logweight_expr
+
+    out = stream_df.withColumn(
+        logw_col,
+        dsir_logweight_expr(F.col(text_col), raw_hist, target_hist, smoothing),
+    )
+    if min_logw is not None:
+        out = out.where(F.col(logw_col) >= F.lit(float(min_logw)))
+    return out

@@ -837,3 +837,68 @@ def test_stream_expectations_group_cols(spark, tmp_path):
     got = {r.src: (r.violations, r.total, r.passed)
            for r in spark.sql("SELECT * FROM sdqg").collect()}
     assert got == {"a": (1, 2, False), "b": (0, 1, True)}
+
+
+def test_stream_dsir_filter_matches_batch_and_is_stateless(spark, tmp_path):
+    """The streaming DSIR twin must (1) score each arriving doc
+    exactly as the batch expression does against the same frozen
+    histograms, (2) drop rows below the frozen threshold, and (3) be a
+    stateless projection — a second availableNow run over extra input
+    re-emits purely from the new files."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.dsir import (
+        dsir_logweight_expr,
+        gram_bucket_histograms,
+    )
+    from gluestick_ts_spark.streaming.incremental import stream_dsir_filter
+
+    ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw_h, tgt_h = gram_bucket_histograms(ref, F.col("lang") == "en")
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, lang string"
+    batch1 = [(r.doc_id, r.text, r.lang) for r in ref.limit(20).collect()]
+    _write_stream_batch(src, spark, batch1, schema)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = stream_dsir_filter(stream, raw_h, tgt_h)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("dsir_scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in spark.sql("SELECT * FROM dsir_scored").collect()
+    }
+    expect = {
+        r.doc_id: r.lw
+        for r in ref.limit(20)
+        .select(
+            "doc_id",
+            dsir_logweight_expr(F.col("text"), raw_h, tgt_h).alias("lw"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) == 20
+
+    # threshold filtering: only rows at/above the frozen cut survive
+    cut = sorted(expect.values())[len(expect) // 2]
+    filt = stream_dsir_filter(
+        spark.readStream.schema(schema).parquet(src), raw_h, tgt_h,
+        min_logw=cut,
+    )
+    q2 = (
+        filt.writeStream.format("memory")
+        .queryName("dsir_filtered")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept = {r.doc_id for r in spark.sql("SELECT * FROM dsir_filtered").collect()}
+    assert kept == {k for k, v in expect.items() if v >= cut}
