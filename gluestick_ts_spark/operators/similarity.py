@@ -506,10 +506,23 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     n_iter: int = 2,
+    deterministic: bool = False,
 ) -> list[dict]:
     """Lloyd's k-means refinement of the IVF centroids (spherical:
     centroids re-unit-normalized each round, so assignment stays a pure
     dot-product argmax).
+
+    ``deterministic=True`` replaces each per-(cid, dim) ``avg`` with a
+    fold over the cluster's values in ascending ``id_col`` order —
+    float summation order becomes FIXED, so the trained centroids are
+    bit-reproducible across partitionings, runs, AND engines (a
+    sequential fold any SQL engine can restate; this is what lets the
+    ``ivf_train_centroids`` driver query carry a full DuckDB oracle).
+    The cost: the aggregation buffers each (cid, dim) group's values,
+    so reserve it for training-sized corpora / verification — the
+    default streaming ``avg`` is the 100 TB path (its 1-ulp
+    nondeterminism moves an assignment only when two centroid dots tie
+    within float noise, which the recall/balance gates tolerate).
 
     Init is the deterministic "first ``n_centroids`` rows by id" seed
     (reproducible across runs/partitionings); each iteration assigns
@@ -550,18 +563,37 @@ def train_ivf_centroids(
         # and loses struct field aliases (FIELD_NOT_FOUND on `negdot`).
         assigned = (
             corpus.select(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
+                F.col(id_col).alias("__id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
             )
             .select(
+                "__id",
                 _argmax_cid_expr(cents_lit, F.col("__v")).alias("__cid"),
                 F.col("__v"),
             )
-            .select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .select("__id", "__cid", F.posexplode("__v").alias("__pos", "__x"))
         )
+        if deterministic:
+            # fixed-order fold: sort the group by id, then left-fold —
+            # the sum every engine reproduces bit-for-bit
+            mean_agg = (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__id").alias("i"), F.col("__x").alias("x")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                / F.count("*")
+            ).alias("__m")
+        else:
+            mean_agg = F.avg("__x").alias("__m")
         mean_rows = (
-            assigned.groupBy("__cid", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .collect()
+            assigned.groupBy("__cid", "__pos").agg(mean_agg).collect()
         )
         by_cid: dict = {}
         for r in mean_rows:

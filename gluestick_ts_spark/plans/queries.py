@@ -1731,12 +1731,18 @@ def q_ivf_train_centroids(spark, sf):
     embeddings table, then the inverted-list sizes per trained centroid
     (cid, list_size) — list BALANCE is the documented reason to train
     (bounded per-list candidate counts at scale), so the balance lands
-    in the recorded rows. Rows-only: k-means means are
-    summation-order-sensitive floats, so assignments near list
-    boundaries are engine-specific; the pytest recall/balance gates pin
-    quality."""
+    in the recorded rows.
+
+    Round 8: FULLY oracle-checked (was rows-only). With
+    ``deterministic=True`` every k-means mean is a fixed-order fold
+    (ascending vec_id), so the trained centroids are bit-reproducible
+    and the DuckDB oracle UNROLLS both Lloyd's iterations — seed
+    normalization, argmax assignment (cross join + window, lowest-cid
+    tie-break like the in-row fold), ordered-fold means, spherical
+    re-normalization, empty-cluster carry — and restates the final
+    assignment counts exactly."""
     e = _t(spark, sf, "embeddings")
-    cents = train_ivf_centroids(e, n_centroids=16, n_iter=2)
+    cents = train_ivf_centroids(e, n_centroids=16, n_iter=2, deterministic=True)
     assigned = ivf_assign(e, cents)
     return (
         assigned.groupBy(F.col("cid").cast("long").alias("cid"))
@@ -3131,7 +3137,68 @@ def _lsh_bucket_sql(table: int) -> str:
 
 _LSH_BKS = "[" + ", ".join(_lsh_bucket_sql(t) for t in range(12)) + "]"
 
+
+# ---------------------------------------------------------------------------
+# ivf_train_centroids oracle: both Lloyd's iterations unrolled. Valid
+# because train_ivf_centroids(deterministic=True) fixes every float
+# summation order (ordered fold by vec_id), so each step is
+# bit-reproducible: dot products fold left with a 0.0 init (x1 + 0.0 ==
+# x1), means fold the cluster's values in ascending id order, and the
+# spherical re-normalization is the same sequential sum-of-squares +
+# sqrt the Python _unit_vec computes.
+# ---------------------------------------------------------------------------
+_IVF_DOT = (
+    "list_reduce(list_transform(range(64), j -> {a}[j+1] * {b}[j+1]), "
+    "(a,b) -> a + b)"
+)
+_IVF_NORM = (
+    "(CASE WHEN sqrt(list_reduce(list_transform({v}, x -> x*x), "
+    "(a,b) -> a + b)) = 0 THEN 1.0 ELSE "
+    "sqrt(list_reduce(list_transform({v}, x -> x*x), (a,b) -> a + b)) END)"
+)
+
+
+def _ivf_assign_cte(name: str, prev: str) -> str:
+    dot = _IVF_DOT.format(a="e.E", b="c.C")
+    return (
+        f"{name} AS (SELECT vec_id, E, cid FROM ("
+        f"SELECT e.vec_id, e.E, c.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY -({dot}) ASC, c.cid ASC) AS rn "
+        f"FROM e CROSS JOIN {prev} c) t WHERE rn = 1)"
+    )
+
+
+def _ivf_iter_ctes(prev: str, n: int) -> str:
+    return (
+        _ivf_assign_cte(f"a{n}", prev) + ", "
+        f"m{n} AS (SELECT cid, j, "
+        f"list_reduce(list(x ORDER BY vec_id), (a,b) -> a + b) / count(*) "
+        f"AS m FROM (SELECT cid, vec_id, j, E[j+1] AS x FROM a{n}, "
+        f"range(64) r(j)) s GROUP BY cid, j), "
+        f"v{n} AS (SELECT cid, list(m ORDER BY j) AS V FROM m{n} "
+        f"GROUP BY cid), "
+        f"c{n} AS (SELECT p.cid, COALESCE(n.V2, p.C) AS C FROM {prev} p "
+        f"LEFT JOIN (SELECT cid, list_transform(V, x -> x / "
+        + _IVF_NORM.format(v="V")
+        + f") AS V2 FROM v{n}) n ON n.cid = p.cid)"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ivf_train_centroids": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E "
+        "FROM embeddings), "
+        "c0 AS (SELECT vec_id AS cid, list_transform(E, x -> x / "
+        + _IVF_NORM.format(v="E")
+        + ") AS C FROM e ORDER BY vec_id LIMIT 16), "
+        + _ivf_iter_ctes("c0", 1)
+        + ", "
+        + _ivf_iter_ctes("c1", 2)
+        + ", "
+        + _ivf_assign_cte("fin", "c2")
+        + " SELECT CAST(cid AS BIGINT) AS cid, count(*) AS list_size "
+        "FROM fin GROUP BY cid ORDER BY cid"
+    ),
     "ann_lsh_topk": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E "
         "FROM embeddings), "

@@ -1624,3 +1624,22 @@ def test_hard_negatives_attr_mode_and_validation(spark):
 
     with pytest.raises(ValueError, match="positive"):
         hard_negatives(e, e.where("vec_id = 0"), k=2)
+
+
+def test_ivf_deterministic_training_partition_invariant(spark, sf_dir):
+    """deterministic=True must produce BIT-identical centroids across
+    partitionings (the property the ivf_train_centroids oracle rests
+    on), and stay within float noise of the default streaming-avg
+    path."""
+    from gluestick_ts_spark.operators.similarity import train_ivf_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = train_ivf_centroids(e, n_centroids=8, n_iter=2, deterministic=True)
+    b = train_ivf_centroids(
+        e.repartition(13), n_centroids=8, n_iter=2, deterministic=True
+    )
+    assert a == b  # bit-identical, not just close
+    c = train_ivf_centroids(e, n_centroids=8, n_iter=2)
+    for ca, cc in zip(a, c):
+        assert ca["cid"] == cc["cid"]
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca["cent"], cc["cent"]))

@@ -44,9 +44,10 @@ NOTES: dict[str, str] = {
         "per side, AQE-skew-splittable) -> hamming verify"
     ),
     "ivf_train_centroids": (
-        "training runs 2 bounded Lloyd's passes eagerly ((cid,dim) agg "
-        "+ 16x64 collect per pass); audited plan is assignment (in-row "
-        "argmax fold, 0 shuffles) + one count agg"
+        "training runs 2 bounded Lloyd's passes eagerly ((cid,dim) "
+        "ordered-fold agg — deterministic mode, the oracle's "
+        "precondition — + 16x64 collect per pass); audited plan is "
+        "assignment (in-row argmax fold, 0 shuffles) + one count agg"
     ),
     "rollup_events_hourly": (
         "write+refresh of the materialized store run at query "
