@@ -769,6 +769,7 @@ def train_pq_codebooks(
     k: int = 16,
     n_iter: int = 2,
     seeds: list | None = None,
+    deterministic: bool = False,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``m`` subspaces and
     k-means each (ALL subspaces in the same corpus pass per Lloyd's
@@ -781,6 +782,16 @@ def train_pq_codebooks(
     bounded ``k × dim``-row collect. Empty cells keep their previous
     centroid. Returns ``codebooks[j][c] = centroid floats`` —
     persist/reuse for encode + search (training is a build-once step).
+
+    ``deterministic=True`` replaces each cell's streaming ``avg`` with
+    a fold over the cell's values in ascending ``id_col`` order (the
+    ``train_ivf_centroids`` arrangement): float summation order is
+    FIXED, so trained codebooks are bit-reproducible across
+    partitionings, runs, and engines — what lets the ``ann_ivf_topk``
+    driver query's ``ivfpq`` leg carry a full DuckDB oracle. The cost
+    (each (subspace, code, subpos) cell buffers its values) reserves
+    it for training-sized corpora; the default streaming ``avg`` is
+    the 100 TB path.
 
     Requires ``dim % m == 0`` (standard PQ subspace split).
     """
@@ -814,20 +825,44 @@ def train_pq_codebooks(
         books_lit = _pq_books_lit(books)
         dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         enc = corpus.select(
+            F.col(id_col).alias("__id"),
             _pq_codes_expr(books_lit, dbl, m, sub).alias("__codes"),
             dbl.alias("__v"),
         )
         jj = F.floor(F.col("__pos") / sub).cast("int")
+        if deterministic:
+            # fixed-order fold: sort the cell by id, then left-fold —
+            # the sum every engine reproduces bit-for-bit (the
+            # train_ivf_centroids deterministic-mode shape)
+            mean_agg = (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__id").alias("i"), F.col("__x").alias("x")
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"],
+                )
+                / F.count("*")
+            ).alias("__mean")
+        else:
+            mean_agg = F.avg("__x").alias("__mean")
         rows = (
-            enc.select(F.posexplode("__v").alias("__pos", "__x"), "__codes")
+            enc.select(
+                "__id", F.posexplode("__v").alias("__pos", "__x"), "__codes"
+            )
             .select(
+                "__id",
                 jj.alias("__j"),
                 F.element_at("__codes", jj + 1).alias("__c"),
                 (F.col("__pos") % sub).alias("__sp"),
                 "__x",
             )
             .groupBy("__j", "__c", "__sp")
-            .agg(F.avg("__x").alias("__mean"))
+            .agg(mean_agg)
             .collect()
         )
         means: dict[tuple[int, int], list[float | None]] = {}

@@ -2290,7 +2290,15 @@ def q_ann_ivf_topk(spark, sf, modes=("ivf", "ivfpq", "ivfstore")):
       the SAME seed centroids, probed via partition-pruned list dirs;
       rows must be identical to the in-memory ``ivf`` branch, so
       ``recall_ok`` here is an exact store-vs-inmemory agreement bit
-      (a layout bug changes the recorded rows, not just a metric)."""
+      (a layout bug changes the recorded rows, not just a metric).
+
+    Round 8: FULLY oracle-checked (was rows-only). The coarse
+    quantizer is the deterministic seed, cosine rank keys mirror
+    Spark's operation order bit-for-bit (``_ivf_cos``), PQ training
+    runs ``deterministic=True`` (ordered-fold means) so the DuckDB
+    oracle UNROLLS the Lloyd's iteration, and the store leg's
+    agreement bit is pinned to ``true`` — so a store-layout bug, a
+    recall collapse, OR quantization drift is now a hash mismatch."""
     from ..operators.similarity import (
         _unit_vec,
         ann_ivfpq_topk,
@@ -2352,7 +2360,8 @@ def _ann_ivfpq_leg(e, q, seed16, cents):
     ).unionByName(planted)
     # planted ids sort last, so seed16 doubles as the PQ seed set
     books = train_pq_codebooks(
-        corpus, m=8, k=16, n_iter=1, seeds=[r["v"] for r in seed16]
+        corpus, m=8, k=16, n_iter=1, seeds=[r["v"] for r in seed16],
+        deterministic=True,
     )
     out = ann_ivfpq_topk(
         corpus, planted, books, k=5, n_centroids=16, n_probe=4, centroids=cents
@@ -3168,6 +3177,41 @@ def _ivf_assign_cte(name: str, prev: str) -> str:
     )
 
 
+def _ivf_cos(a: str, b: str) -> str:
+    """Cosine mirroring Spark's cosine_similarity_expr operation
+    order exactly — dot / (sqrt(aa) * sqrt(bb)), each factor a
+    left-fold in element order — so UNROUNDED rank keys are
+    bit-identical across engines (no round-before-rank needed)."""
+    dot = _IVF_DOT.format(a=a, b=b)
+    aa = _IVF_DOT.format(a=a, b=a)
+    bb = _IVF_DOT.format(a=b, b=b)
+    return f"(({dot}) / (sqrt({aa}) * sqrt({bb})))"
+
+
+def _pq_subdist(vec: str, j: str, book: str) -> str:
+    """Squared L2 between subvector ``vec[j*8+1 .. j*8+8]`` and an
+    8-float codebook centroid — Spark's _sub_dist2 fold, same order."""
+    t = f"({vec}[{j}*8 + i + 1] - {book}[i+1])"
+    return (
+        f"list_reduce(list_transform(range(8), i -> {t} * {t}), "
+        "(x,y) -> x + y)"
+    )
+
+
+def _pq_encode_ctes(books: str, enc: str) -> str:
+    """CTE pair encoding the ``corp`` relation against codebook table
+    ``books`` (j, c, B): per (vector, subspace) the argmin-distance
+    code, lowest-c tie-break like the in-row fold's strict ``<``."""
+    d = _pq_subdist("corp.E", "b.j", "b.B")
+    return (
+        f"{enc}d AS (SELECT corp.vec_id, corp.E, b.j, b.c, {d} AS d "
+        f"FROM corp CROSS JOIN {books} b), "
+        f"{enc} AS (SELECT vec_id, E, j, c AS code FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id, j "
+        f"ORDER BY d ASC, c ASC) AS rn FROM {enc}d) t WHERE rn = 1)"
+    )
+
+
 def _ivf_iter_ctes(prev: str, n: int) -> str:
     return (
         _ivf_assign_cte(f"a{n}", prev) + ", "
@@ -3182,6 +3226,123 @@ def _ivf_iter_ctes(prev: str, n: int) -> str:
         + _IVF_NORM.format(v="V")
         + f") AS V2 FROM v{n}) n ON n.cid = p.cid)"
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk oracle: all three legs restated. Valid because (a) the
+# coarse quantizer is the deterministic first-16-by-id seed (unit
+# normalization = the same sequential sum-of-squares + sqrt as
+# _unit_vec), (b) cosine rank keys mirror Spark's exact operation
+# order (_ivf_cos) so UNROUNDED ranking is bit-identical, (c) PQ
+# training runs deterministic=True (ordered-fold means by vec_id) so
+# the one unrolled Lloyd's iteration is bit-reproducible, and (d) the
+# persisted-store leg re-reads parquet-round-tripped doubles, so its
+# ranking equals the in-memory ivf leg exactly (recall_ok is the
+# agreement bit and must be uniformly true).
+# ---------------------------------------------------------------------------
+_ANN_IVF_ORACLE = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E FROM embeddings), "
+    # shared seed-16: raw vectors (PQ codebook seeds, positional c) and
+    # unit-normalized coarse centroids c0
+    "s16 AS (SELECT vec_id, E, row_number() OVER (ORDER BY vec_id) - 1 AS c "
+    "FROM (SELECT vec_id, E FROM e ORDER BY vec_id LIMIT 16) t), "
+    "c0 AS (SELECT vec_id AS cid, list_transform(E, x -> x / "
+    + _IVF_NORM.format(v="E")
+    + ") AS C FROM s16), "
+    # ---- ivf leg: corpus list assignment + 4-list probe + exact re-rank
+    "asg AS (SELECT vec_id, E, cid FROM (SELECT e.vec_id, e.E, c.cid, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    f"-({_IVF_DOT.format(a='e.E', b='c.C')}) ASC, c.cid ASC) AS rn "
+    "FROM e CROSS JOIN c0 c) t WHERE rn = 1), "
+    "qp AS (SELECT query_id, QE, cid FROM (SELECT e.vec_id AS query_id, "
+    "e.E AS QE, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    f"-({_IVF_DOT.format(a='e.E', b='c.C')}) ASC, c.cid ASC) AS rn "
+    "FROM e CROSS JOIN c0 c WHERE e.vec_id < 8) t WHERE rn <= 4), "
+    "sc AS (SELECT qv.query_id, cv.vec_id AS neighbor_id, "
+    f"{_ivf_cos('qv.QE', 'cv.E')} AS cosine "
+    "FROM qp qv JOIN asg cv ON cv.cid = qv.cid "
+    "AND cv.vec_id <> qv.query_id), "
+    "appr AS (SELECT query_id, neighbor_id, cosine, rank FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc) t "
+    "WHERE rank <= 5), "
+    "ex AS (SELECT query_id, neighbor_id FROM (SELECT qv.vec_id AS "
+    "query_id, cv.vec_id AS neighbor_id, row_number() OVER ("
+    f"PARTITION BY qv.vec_id ORDER BY {_ivf_cos('qv.E', 'cv.E')} DESC, "
+    "cv.vec_id ASC) AS rank FROM e qv JOIN e cv "
+    "ON cv.vec_id <> qv.vec_id WHERE qv.vec_id < 8) t WHERE rank <= 5), "
+    "rec AS (SELECT appr.query_id, "
+    "ROUND(CAST(count(ex.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall "
+    "FROM appr LEFT JOIN ex ON ex.query_id = appr.query_id "
+    "AND ex.neighbor_id = appr.neighbor_id GROUP BY appr.query_id), "
+    "ivf AS (SELECT 'ivf' AS mode, appr.query_id, appr.neighbor_id, "
+    "ROUND(appr.cosine, 6) AS cosine, CAST(NULL AS DOUBLE) AS adc_dist, "
+    "CAST(appr.rank AS BIGINT) AS rank, rec.recall AS recall_at_k, "
+    "rec.recall >= 0.6 AS recall_ok FROM appr JOIN rec USING (query_id) "
+    "UNION ALL SELECT 'ivf', query_id, CAST(-1 AS BIGINT), "
+    "CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), "
+    "recall, false FROM rec WHERE recall < 0.6), "
+    # ---- ivfpq leg: planted corpus, 1 unrolled PQ Lloyd's iteration
+    # (deterministic ordered-fold means), ADC scoring over probed lists
+    "pl AS (SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(E, x -> x + 0.05) AS E FROM e WHERE vec_id < 8), "
+    "corp AS (SELECT vec_id, E FROM e UNION ALL "
+    "SELECT vec_id, E FROM pl), "
+    "b0 AS (SELECT r.j, s16.c, list_transform(range(8), "
+    "i -> s16.E[r.j*8 + i + 1]) AS B FROM s16, range(8) r(j)), "
+    + _pq_encode_ctes("b0", "e1")
+    + ", "
+    "m1 AS (SELECT j, code AS c, sp, "
+    "list_reduce(list(x ORDER BY vec_id), (x,y) -> x + y) / count(*) "
+    "AS m FROM (SELECT e1.vec_id, e1.j, e1.code, r.sp, "
+    "e1.E[e1.j*8 + r.sp + 1] AS x FROM e1, range(8) r(sp)) s "
+    "GROUP BY j, code, sp), "
+    "nb AS (SELECT j, c, list(m ORDER BY sp) AS B FROM m1 GROUP BY j, c), "
+    "b1 AS (SELECT b0.j, b0.c, COALESCE(nb.B, b0.B) AS B FROM b0 "
+    "LEFT JOIN nb ON nb.j = b0.j AND nb.c = b0.c), "
+    + _pq_encode_ctes("b1", "e2")
+    + ", "
+    "asg2 AS (SELECT vec_id, cid FROM (SELECT corp.vec_id, c.cid, "
+    "row_number() OVER (PARTITION BY corp.vec_id ORDER BY "
+    f"-({_IVF_DOT.format(a='corp.E', b='c.C')}) ASC, c.cid ASC) AS rn "
+    "FROM corp CROSS JOIN c0 c) t WHERE rn = 1), "
+    "qpq AS (SELECT query_id, QE, cid FROM (SELECT pl.vec_id AS "
+    "query_id, pl.E AS QE, c.cid, row_number() OVER ("
+    "PARTITION BY pl.vec_id ORDER BY "
+    f"-({_IVF_DOT.format(a='pl.E', b='c.C')}) ASC, c.cid ASC) AS rn "
+    "FROM pl CROSS JOIN c0 c) t WHERE rn <= 4), "
+    "adc AS (SELECT query_id, neighbor_id, "
+    "ROUND(list_reduce(list(d ORDER BY j), (x,y) -> x + y), 6) "
+    "AS adc_dist FROM (SELECT qv.query_id, e2.vec_id AS neighbor_id, "
+    f"e2.j, {_pq_subdist('qv.QE', 'e2.j', 'b1.B')} AS d "
+    "FROM qpq qv JOIN asg2 ON asg2.cid = qv.cid "
+    "AND asg2.vec_id <> qv.query_id "
+    "JOIN e2 ON e2.vec_id = asg2.vec_id "
+    "JOIN b1 ON b1.j = e2.j AND b1.c = e2.code) s "
+    "GROUP BY query_id, neighbor_id), "
+    "pqr AS (SELECT query_id, neighbor_id, adc_dist, rank FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM adc) t "
+    "WHERE rank <= 5), "
+    "pqok AS (SELECT query_id, max(CASE WHEN neighbor_id = "
+    "query_id - 100000 AND rank = 1 THEN 1 ELSE 0 END) = 1 AS ok "
+    "FROM pqr GROUP BY query_id), "
+    "pq AS (SELECT 'ivfpq' AS mode, pqr.query_id, pqr.neighbor_id, "
+    "CAST(NULL AS DOUBLE) AS cosine, pqr.adc_dist, "
+    "CAST(pqr.rank AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS "
+    "recall_at_k, pqok.ok AS recall_ok FROM pqr "
+    "JOIN pqok USING (query_id) "
+    "UNION ALL SELECT 'ivfpq', query_id, CAST(-1 AS BIGINT), "
+    "CAST(NULL AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT), "
+    "CAST(NULL AS DOUBLE), false FROM pqok WHERE NOT ok) "
+    # ---- ivfstore leg: parquet round-trips doubles exactly, so the
+    # persisted index ranking must equal the in-memory ivf leg
+    "SELECT * FROM ivf UNION ALL SELECT * FROM pq "
+    "UNION ALL SELECT 'ivfstore' AS mode, query_id, neighbor_id, "
+    "ROUND(cosine, 6) AS cosine, CAST(NULL AS DOUBLE) AS adc_dist, "
+    "CAST(rank AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS recall_at_k, "
+    "true AS recall_ok FROM appr"
+)
 
 
 ORACLES: dict[str, str] = {
@@ -3199,6 +3360,7 @@ ORACLES: dict[str, str] = {
         + " SELECT CAST(cid AS BIGINT) AS cid, count(*) AS list_size "
         "FROM fin GROUP BY cid ORDER BY cid"
     ),
+    "ann_ivf_topk": _ANN_IVF_ORACLE,
     "ann_lsh_topk": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E "
         "FROM embeddings), "

@@ -1643,3 +1643,22 @@ def test_ivf_deterministic_training_partition_invariant(spark, sf_dir):
     for ca, cc in zip(a, c):
         assert ca["cid"] == cc["cid"]
         assert all(abs(x - y) < 1e-9 for x, y in zip(ca["cent"], cc["cent"]))
+
+
+def test_pq_deterministic_training_partition_invariant(spark, sf_dir):
+    """train_pq_codebooks(deterministic=True) must produce BIT-identical
+    codebooks across partitionings (the property the ann_ivf_topk
+    oracle's unrolled ivfpq leg rests on), and stay within float noise
+    of the default streaming-avg path."""
+    from gluestick_ts_spark.operators.similarity import train_pq_codebooks
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = train_pq_codebooks(e, m=8, k=8, n_iter=1, deterministic=True)
+    b = train_pq_codebooks(
+        e.repartition(13), m=8, k=8, n_iter=1, deterministic=True
+    )
+    assert a == b  # bit-identical, not just close
+    c = train_pq_codebooks(e, m=8, k=8, n_iter=1)
+    for ja, jc in zip(a, c):
+        for ca, cc in zip(ja, jc):
+            assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cc))
