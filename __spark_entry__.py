@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
-    ops (LSH/IVF/minhash/simhash/multimodal) are intentionally absent."""
+    """DuckDB-equivalent SQL for EVERY query in ``queries()`` — the
+    iterative/approximate ops use literal-embedded seeded constants,
+    the md5 hash family, deterministic ordered folds, and (for the
+    codec pipelines) driver-computed expected-row VALUES tables."""
     return dict(ORACLES)

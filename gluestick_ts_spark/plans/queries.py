@@ -2433,6 +2433,46 @@ def _ann_ivfstore_leg(e, q, approx, cents):
     )
 
 
+def _mm_synth_payload(i: int) -> bytes:
+    """Deterministic media payload for doc_id ``i``: BMP (i%3==0) /
+    WAV (i%3==1) / PNG (i%3==2). Pure function of ``i`` — shared by
+    the Spark-side mapInPandas synth AND the driver-side oracle
+    expected-row builder, so the two can never drift."""
+    import io
+    import math
+    import struct as _struct
+    import wave
+
+    from ..operators.media_codecs import bmp_encode, png_encode
+
+    if i % 3 == 0:
+        color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
+        return bmp_encode(4, 4, [color] * 16)
+    if i % 3 == 2:
+        px = [
+            ((i + k) * 31 % 256, (i + k) * 53 % 256, (i + k) * 71 % 256)
+            for k in range(16)
+        ]
+        return png_encode(4, 4, px)
+    rate, n = 8000, 200 + (i % 10) * 40
+    freq = 200.0 + (i % 40) * 10.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            _struct.pack(
+                f"<{n}h",
+                *[
+                    int(0.4 * 32767 * math.sin(2 * math.pi * freq * t / rate))
+                    for t in range(n)
+                ],
+            )
+        )
+    return buf.getvalue()
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal pipeline over REAL codecs: deterministic BMP
     (doc_id % 3 == 0) / WAV (% 3 == 1) / PNG (% 3 == 2) payloads are
@@ -2440,52 +2480,22 @@ def q_multimodal_features(spark, sf):
     width/height/duration from the bytes) and feature-extracted (real
     pixel/sample statistics via the stdlib BMP/WAV/zlib-PNG decoders
     in operators/media_codecs.py — the fake byte-stat path only serves
-    formats needing unavailable codec libs)."""
-    import math
-    import struct as _struct
+    formats needing unavailable codec libs).
 
-    from ..operators.media_codecs import bmp_encode, png_encode
+    Fully oracled: payload synthesis is a pure function of doc_id, so
+    the expected rows are computed driver-side with the SAME codec
+    functions at oracle-build time and embedded as a VALUES table
+    (the literal-embedding trick that oracled the LSH hyperplanes);
+    the deterministic ``doc_id < 200`` slice replaces ``limit`` so
+    both engines see the identical row set."""
     from ..operators.multimodal import probe_media_metadata
 
-    d = _t(spark, sf, "documents").limit(200).select("doc_id")
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id")
 
     def _synth(batches):
-        import io
-        import wave
-
         for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                i = int(did)
-                if i % 3 == 0:
-                    color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
-                    payloads.append(bmp_encode(4, 4, [color] * 16))
-                elif i % 3 == 2:
-                    px = [
-                        ((i + k) * 31 % 256, (i + k) * 53 % 256, (i + k) * 71 % 256)
-                        for k in range(16)
-                    ]
-                    payloads.append(png_encode(4, 4, px))
-                else:
-                    rate, n = 8000, 200 + (i % 10) * 40
-                    freq = 200.0 + (i % 40) * 10.0
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as w:
-                        w.setnchannels(1)
-                        w.setsampwidth(2)
-                        w.setframerate(rate)
-                        w.writeframes(
-                            _struct.pack(
-                                f"<{n}h",
-                                *[
-                                    int(0.4 * 32767 * math.sin(2 * math.pi * freq * t / rate))
-                                    for t in range(n)
-                                ],
-                            )
-                        )
-                    payloads.append(buf.getvalue())
             pdf = pdf.copy()
-            pdf["content"] = payloads
+            pdf["content"] = [_mm_synth_payload(int(did)) for did in pdf["doc_id"]]
             yield pdf
 
     media = d.mapInPandas(
@@ -2503,8 +2513,10 @@ def q_multimodal_features(spark, sf):
         # decode provenance: "bmp"/"wav"/"png" = real stdlib decode,
         # "fake" = byte-stat fallback (indistinguishable numerically)
         "decoder",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        # exact float32 -> float64 widening (no rounding): the oracle
+        # embeds the identical doubles via repr(), which round-trips
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
     )
 
 
@@ -2714,8 +2726,16 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
 def q_multimodal_frame_pipeline(spark, sf):
     """Multimodal resize + frame-sample plumbing: binary payloads are
     resized (stub codec), then sampled into per-frame rows — all inside
-    Arrow batches via mapInPandas."""
-    d = _t(spark, sf, "documents").limit(100)
+    Arrow batches via mapInPandas.
+
+    Fully oracled: the byte-sampling resize and chunk frame-sampler
+    make every output length a pure integer function of the UTF-8 byte
+    length of ``text`` (resized_len = min(64, ceil(n/step)) with
+    step = max(1, n // 64); frame i length = min(size, n' - i*size)
+    with size = max(1, n' // 3)), so DuckDB restates the arithmetic
+    directly — no literal table needed. ``doc_id < 100`` replaces
+    ``limit`` so both engines see the identical row set."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
     media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
     media = attach_media_metadata(media, media_type="video", fmt="raw")
     resized = resize_media(media, width=16, height=4)
@@ -2783,7 +2803,9 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search_docs": q_bm25_search_docs,
     "chunk_tokens_docs": q_chunk_tokens_docs,
     "approx_distinct_users": q_approx_distinct_users,
-    # rows-only (no oracle entry): iterative / approximate / UDF ops
+    # iterative / approximate / UDF ops (all fully oracled since r8-r9:
+    # literal-embedded constants, md5 hash family, deterministic folds,
+    # and driver-computed expected-row tables for the codec pipelines)
     "ivf_train_centroids": q_ivf_train_centroids,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "dedup_clusters_docs": q_dedup_clusters_docs,
@@ -3345,7 +3367,83 @@ _ANN_IVF_ORACLE = (
 )
 
 
+# ---------------------------------------------------------------------------
+# multimodal_features oracle: the payload is a pure function of doc_id
+# (_mm_synth_payload) and the probe/feature path is pure Python
+# (media_codecs), so the expected output row for every candidate doc_id
+# is computed HERE, at oracle-build time, with the very same functions
+# the Arrow workers run — then embedded as a VALUES table joined
+# against the documents view (so only doc_ids present at the driver's
+# sf actually appear). Floats go through an explicit float32 round-trip
+# (struct pack/unpack) to mirror Arrow's array<float> narrowing, then
+# repr() — which round-trips doubles exactly — into the SQL literal.
+# ---------------------------------------------------------------------------
+
+
+def _mm_features_values() -> str:
+    import struct as _struct
+    import wave as _wave
+    import io as _io
+
+    from ..operators.media_codecs import bmp_decode, png_decode, sniff_format
+    from ..operators.multimodal import decode_features_with_provenance
+
+    def f32(x: float) -> float:
+        return _struct.unpack("<f", _struct.pack("<f", x))[0]
+
+    rows = []
+    for i in range(200):
+        payload = _mm_synth_payload(i)
+        fmt = sniff_format(payload)
+        width = "NULL"
+        duration = "NULL"
+        if fmt in ("bmp", "png"):
+            w, _, _ = (bmp_decode if fmt == "bmp" else png_decode)(payload)
+            width = str(w)
+        else:
+            with _wave.open(_io.BytesIO(payload), "rb") as wv:
+                duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))
+        feats, decoder = decode_features_with_provenance(payload, 8)
+        # string->DOUBLE cast: a bare decimal literal in VALUES would be
+        # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
+        rows.append(
+            f"({i}, '{fmt}', {width}, {duration}, {len(payload)}, "
+            f"'{decoder}', CAST('{f32(feats[0])!r}' AS DOUBLE), "
+            f"CAST('{f32(feats[1])!r}' AS DOUBLE))"
+        )
+    return ", ".join(rows)
+
+
+_MM_FEATURES_ORACLE = (
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1) "
+    "AS (VALUES " + _mm_features_values() + ") "
+    "SELECT e.doc_id, e.fmt, CAST(e.width AS INTEGER) AS width, "
+    "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
+    "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1 "
+    "FROM exp e JOIN documents d ON d.doc_id = e.doc_id"
+)
+
+# multimodal_frame_pipeline oracle: with unsniffable payloads the fake
+# resize (payload[::step][:64], step = max(1, n // 64)) and fake frame
+# sampler (min(3, n') chunks of size max(1, n' // 3)) reduce every
+# output to integer arithmetic over n = octet_length(utf-8 text) —
+# restated below without any literal table.
+_MM_FRAMES_ORACLE = (
+    "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n "
+    "FROM documents WHERE doc_id < 100 AND octet_length(encode(text)) > 0), "
+    "r AS (SELECT doc_id, LEAST(64, (n + GREATEST(1, n // 64) - 1) "
+    "// GREATEST(1, n // 64)) AS rn FROM m), "
+    "f AS (SELECT doc_id, rn, GREATEST(1, rn // 3) AS fsize FROM r), "
+    "fr AS (SELECT doc_id, CAST(t.i AS INTEGER) AS frame_idx, "
+    "CAST(LEAST(fsize, rn - t.i * fsize) AS BIGINT) AS frame_bytes "
+    "FROM f CROSS JOIN range(3) t(i) WHERE t.i < LEAST(3, rn)) "
+    "SELECT doc_id, frame_idx, frame_bytes, 'fake' AS sampler FROM fr"
+)
+
+
 ORACLES: dict[str, str] = {
+    "multimodal_features": _MM_FEATURES_ORACLE,
+    "multimodal_frame_pipeline": _MM_FRAMES_ORACLE,
     "ivf_train_centroids": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS E "
         "FROM embeddings), "
