@@ -44,13 +44,19 @@ __all__ = [
 _JSON_ARRAY_MAX_BYTES = 4 << 30  # refuse silently-unscalable exports
 
 
-def _resolve_name(name: str, unified_model: str | None) -> str:
+def _resolve_name(
+    name: str,
+    unified_model: str | None,
+    reserved_variables: dict[str, Any] | None = None,
+) -> str:
     """Name resolution incl. env override + templated prefix
-    (``etl-utils.ts:27-37``)."""
+    (``etl-utils.ts:27-37``); ``reserved_variables`` are job-scoped
+    template kwargs threaded into the variable dict, highest
+    precedence (``etl-utils.ts:25,34-35``)."""
     out_name = unified_model or os.environ.get(f"HG_UNIFIED_OUTPUT_{name.upper()}") or name
     prefix = os.environ.get("OUTPUT_FILE_PREFIX")
     if prefix:
-        variables = build_string_format_variables()
+        variables = build_string_format_variables(reserved_variables)
         out_name = format_str_safely(prefix, variables) + out_name
     return out_name
 
@@ -174,12 +180,23 @@ def to_export(
     single_file: bool = True,
     input_dir: str = "sync-output",
     root_dir: str = ".",
+    reserved_variables: dict[str, Any] | None = None,
     **singer_options: Any,
 ) -> None:
     """Dispatch to a writer (``etl-utils.ts:17-99``).
 
     Format precedence: ``export_format`` arg > ``DEFAULT_EXPORT_FORMAT``
     env > ``"singer"`` (``etl-utils.ts:23-26``).
+
+    ``reserved_variables`` are job-scoped template variables for the
+    ``OUTPUT_FILE_PREFIX`` templating, taking precedence over env/tenant
+    values (``etl-utils.ts:25,34-35``).
+
+    On the singer branch the dispatcher defaults ``allow_objects=True``
+    — ``allowObjects: options.allowObjects ?? true``
+    (``etl-utils.ts:55``) — while a DIRECT ``to_singer`` call keeps its
+    own ``False`` default (``singer.ts:300``); pass
+    ``allow_objects=False`` here to force JSON-stringified structs.
 
     Singer ``key_properties`` precedence: a NON-EMPTY ``keys`` arg,
     else a ``Reader`` PK lookup for the stream (parquet footer ->
@@ -192,7 +209,7 @@ def to_export(
     or call ``to_singer`` directly.
     """
     fmt = (export_format or os.environ.get("DEFAULT_EXPORT_FORMAT") or "singer").lower()
-    out_name = output_name or _resolve_name(name, unified_model)
+    out_name = output_name or _resolve_name(name, unified_model, reserved_variables)
     os.makedirs(output_dir, exist_ok=True)
 
     if fmt == "singer":
@@ -200,6 +217,8 @@ def to_export(
             from ..sources.reader import Reader
 
             keys = Reader(df.sparkSession, input_dir, root_dir).get_pk(name)
+        # dispatcher-only default flip (etl-utils.ts:55): ?? true
+        singer_options.setdefault("allow_objects", True)
         to_singer(
             df,
             out_name,

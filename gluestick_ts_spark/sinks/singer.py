@@ -157,7 +157,7 @@ def gen_singer_header(
     schema: dict[str, Any] | None = None,
     catalog_schema: dict[str, Any] | None = None,
     infer_json_strings: bool = False,
-    recursive_typing: bool = False,
+    recursive_typing: bool = True,
     sample_rows: int = 100,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Build the Singer schema AND the export-rewritten DataFrame.
@@ -185,7 +185,8 @@ def gen_singer_header(
     first element of the first row, object keys are merged across the
     elements of up to ``sample_rows`` rows, so rows with disjoint keys
     all land in the items schema. Bounded sample, never a full scan
-    (the reference pulls the whole column; SURVEY §7 risk 4).
+    (the reference pulls the whole column; SURVEY §7 risk 4). Defaults
+    ``True`` to match ``recursiveTyping = true`` (``singer.ts:304``).
     """
     properties: dict[str, Any] = {}
     exprs: list[Column] = []
@@ -284,7 +285,7 @@ def to_singer(
     single_file: bool = True,
     drop_all_null_cols: bool = False,
     infer_json_strings: bool = False,
-    recursive_typing: bool = False,
+    recursive_typing: bool = True,
     catalog_stream: str | None = None,
     root_dir: str = ".",
 ) -> None:

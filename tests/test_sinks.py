@@ -155,6 +155,43 @@ def test_to_export_singer_default(df, tmp_path):
     assert (tmp_path / "data.singer").exists()
 
 
+def test_to_export_singer_allow_objects_default_true(df, tmp_path):
+    """Dispatcher parity (etl-utils.ts:55): the singer branch of
+    toExport passes ``allowObjects ?? true``, so a struct column keeps
+    object typing on the DEFAULT dispatcher path — while a DIRECT
+    to_singer call keeps its own False default (singer.ts:300)."""
+    to_export(df, "users", str(tmp_path), keys=["id"])
+    schema_msg = json.loads((tmp_path / "data.singer").read_text().splitlines()[0])
+    assert schema_msg["schema"]["properties"]["addr"]["type"][0] == "object"
+
+    # explicit override still wins on the dispatcher path
+    to_export(df, "users", str(tmp_path), keys=["id"],
+              filename="strfy.singer", allow_objects=False)
+    msg2 = json.loads((tmp_path / "strfy.singer").read_text().splitlines()[0])
+    assert msg2["schema"]["properties"]["addr"]["type"][0] == "string"
+
+    # direct to_singer: reference default stays False
+    to_singer(df, "users", str(tmp_path), keys=["id"], filename="direct.singer")
+    msg3 = json.loads((tmp_path / "direct.singer").read_text().splitlines()[0])
+    assert msg3["schema"]["properties"]["addr"]["type"][0] == "string"
+
+
+def test_to_export_reserved_variables_prefix(df, tmp_path, monkeypatch):
+    """etl-utils.ts:25,34-35: options.reservedVariables thread into
+    buildStringFormatVariables for the OUTPUT_FILE_PREFIX templating,
+    overriding env-derived values of the same name."""
+    monkeypatch.setenv("OUTPUT_FILE_PREFIX", "{job_id}_{tenant}_")
+    monkeypatch.setenv("TENANT", "acme")
+    to_export(
+        df.select("id"), "users", str(tmp_path), export_format="jsonl",
+        reserved_variables={"job_id": "j42", "tenant": "beta"},
+    )
+    assert (tmp_path / "j42_beta_users.jsonl").exists()
+    # without reserved vars: unknown {job_id} left intact, env tenant used
+    to_export(df.select("id"), "users", str(tmp_path), export_format="jsonl")
+    assert (tmp_path / "{job_id}_acme_users.jsonl").exists()
+
+
 def test_unknown_format_raises(df, tmp_path):
     with pytest.raises(ValueError):
         to_export(df, "users", str(tmp_path), export_format="xml")
@@ -307,9 +344,10 @@ def test_gen_singer_header_recursive_typing_key_merge(spark):
     assert items["properties"]["b"]["type"][0] == "string"
     assert items["properties"]["c"]["type"][0] == "boolean"
 
-    # default (first-value sampling): only the first row's keys
+    # recursive_typing=False (first-value sampling): only the first
+    # row's keys — NOT the default, which is True per singer.ts:304
     _, header_first = gen_singer_header(
-        df, allow_objects=True, infer_json_strings=True
+        df, allow_objects=True, infer_json_strings=True, recursive_typing=False
     )
     assert set(header_first["properties"]["tags"]["items"]["properties"]) == {"a"}
 
