@@ -176,9 +176,15 @@ def epoch_shuffle_expr(key: Column | str, seed: int | str) -> Column:
     permutation on every run, engine, and partition layout — and a
     different ``seed`` is a FRESH permutation (the per-epoch reshuffle
     training loops need, without materializing shuffled copies).
-    Distinct keys get distinct hashes, so the order is total."""
+
+    Contract: ``key`` must be a NON-NULL unique id — distinct keys get
+    distinct hashes, making the order total. ``concat`` (not
+    ``concat_ws``, which SKIPS nulls) propagates a NULL key to a NULL
+    hash, so null-keyed rows surface as NULLs at the sort/shard stage
+    instead of silently colliding at md5('<seed>:')'s position (and
+    ``epoch_shard_expr`` would have inherited that collision)."""
     k = F.col(key) if isinstance(key, str) else key
-    return F.md5(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+    return F.md5(F.concat(F.lit(f"{seed}:"), k.cast("string")))
 
 
 def epoch_shard_expr(

@@ -51,12 +51,12 @@ _TWO_60 = float(1 << 60)
 
 
 def _bucket_of(g: Column, num_buckets: int) -> Column:
-    """First two md5 hex nibbles -> [0, 256), then % num_buckets —
-    the engine-portable bucket (hashed_tf_expr's arithmetic)."""
-    hexpos = lambda c: F.instr(F.lit(_HEX), c) - 1  # noqa: E731
-    b = hexpos(F.substring(F.md5(g), 1, 1)) * 16 + hexpos(
-        F.substring(F.md5(g), 2, 1)
-    )
+    """First two md5 hex chars -> [0, 256), then % num_buckets — the
+    engine-portable bucket (hashed_tf_expr's arithmetic). ``conv``
+    decodes BOTH hex chars from ONE ``md5`` call: Catalyst does not
+    reliably CSE subexpressions inside lambda functions, so the earlier
+    two-nibble ``instr`` form hashed every gram twice per corpus scan."""
+    b = F.conv(F.substring(F.md5(g), 1, 2), 16, 10).cast("int")
     return b % num_buckets
 
 
@@ -189,8 +189,20 @@ def gumbel_key_expr(key: Column | str, logw: Column, seed: int = 1) -> Column:
     chars of ``'dsir<seed>:' || key`` (u strictly inside (0,1), so both
     ln calls are finite), ``g = -ln(-ln(u))``. Taking the top-k rows by
     this key samples k documents WITHOUT replacement with probability
-    proportional to their importance weight (Gumbel-max top-k)."""
+    proportional to their importance weight (Gumbel-max top-k).
+
+    ``key`` must be NON-NULL: distinct keys are the 'independent noise
+    per row' contract, and a NULL key would otherwise propagate to a
+    NULL selection key and silently drop the row regardless of weight —
+    so a NULL raises per-row instead (zero extra scans)."""
     k = F.col(key) if isinstance(key, str) else key
+    k = F.when(
+        k.isNull(),
+        F.raise_error(
+            "gumbel_key_expr/dsir_select: the id column must be non-null "
+            "(distinct non-null keys get independent Gumbel noise)"
+        ),
+    ).otherwise(k)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"dsir{seed}:"), k.cast("string"))), 1, 15

@@ -141,8 +141,9 @@ def hard_negatives(
       corpus-proportional positive set is never materialized at all.
 
     Either way the exclusion applies BEFORE the top-k window, so the
-    output always holds k true negatives per anchor (never
-    k-minus-however-many-positives-ranked-high).
+    output holds up to k TRUE negatives per anchor (never
+    k-minus-however-many-positives-ranked-high; an anchor with fewer
+    than k eligible non-positive corpus items returns fewer rows).
 
     Scale shape (inherits ``cosine_topk``'s): everything broadcast is
     batch-sized; the corpus streams through one projection + a

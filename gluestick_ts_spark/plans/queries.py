@@ -4088,9 +4088,12 @@ ORACLES: dict[str, str] = {
         "dky AS (SELECT doc_id, logw, logw + (-ln(-ln("
         "(CAST('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), "
         "1, 15) AS BIGINT) + 0.5) / 1152921504606846976.0))) AS ky FROM ("
-        "SELECT doc_id, list_sum(list_transform(GB, b -> "
+        # COALESCE: list_sum over an empty gram list is NULL in DuckDB
+        # while Spark's 0.0-seeded fold returns 0.0 — a token-less doc
+        # must score 0.0 on both engines
+        "SELECT doc_id, COALESCE(list_sum(list_transform(GB, b -> "
         "ln((dat.H[b+1] + 1.0)/(dat.tot + 256.0)) - "
-        "ln((dar.H[b+1] + 1.0)/(dar.tot + 256.0)))) AS logw "
+        "ln((dar.H[b+1] + 1.0)/(dar.tot + 256.0)))), 0.0) AS logw "
         "FROM dg CROSS JOIN dar CROSS JOIN dat) w), "
         "dkth AS (SELECT min(ky) AS th FROM ("
         "SELECT ky FROM dky ORDER BY ky DESC LIMIT 100)) "

@@ -102,6 +102,42 @@ def test_dsir_validation(spark):
         dsir_logweight_expr("text", [1] * 4, [1] * 8)
 
 
+def test_gumbel_key_raises_on_null_id(spark):
+    """NULL id contract: a NULL key would silently drop its row at the
+    threshold filter regardless of weight, so the key expr raises
+    per-row instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from gluestick_ts_spark.operators.dsir import gumbel_key_expr
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (None, 0.9)], "doc_id long, logw double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as ei:
+        df.select(
+            gumbel_key_expr("doc_id", F.col("logw")).alias("k")
+        ).collect()
+    assert "non-null" in str(ei.value)
+
+
+def test_dsir_logweight_empty_text_is_zero(spark):
+    """A whitespace-only/empty document has no grams; the 0.0-seeded
+    fold must score it exactly 0.0 (the DuckDB oracle COALESCEs its
+    NULL list_sum to match)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        # non-uniform target: uniform histograms cancel identically
+        dsir_logweight_expr("text", [1] * 256, [1] + [2] * 255).alias("lw"),
+    ).collect()
+    by_id = {r.doc_id: r.lw for r in rows}
+    assert by_id[1] == 0.0 and by_id[2] == 0.0
+    assert by_id[3] != 0.0
+
+
 def test_single_pass_histograms_equal_two_pass(spark, sf_dir):
     from gluestick_ts_spark.operators.dsir import gram_bucket_histograms
 

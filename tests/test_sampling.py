@@ -184,6 +184,23 @@ def test_epoch_shuffle_reproducible_and_fresh_per_seed(spark):
     assert {r.doc_id: r.s for r in shards} == exp_shard
 
 
+def test_epoch_shuffle_null_key_yields_null_not_collision(spark):
+    """Non-null-key contract: concat (not concat_ws) propagates a NULL
+    key to a NULL hash, so null-keyed rows surface as NULLs instead of
+    all silently colliding at md5('<seed>:')'s permutation position."""
+    from gluestick_ts_spark.functions.sampling import epoch_shuffle_expr
+
+    d = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    vals = {
+        r.doc_id: r.h
+        for r in d.select(
+            "doc_id", epoch_shuffle_expr("doc_id", 1).alias("h")
+        ).collect()
+    }
+    assert vals[1] is not None
+    assert vals[None] is None
+
+
 def test_write_training_shards_layout_and_order(spark, tmp_path):
     """Shard directories hold the exact hash-assigned rows, each shard
     file is ONE contiguous run sorted in epoch order (a sequential
