@@ -31,6 +31,13 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-9 PART SPLIT: the persisted-index legs now time build vs probe
+separately — ``bm25idx_build``/``bm25idx_probe`` and
+``ivfstore_build``/``ivfstore_probe`` replace the single ``bm25idx``/
+``ivfstore`` part entries (the full-query rows still rebuild their
+store per run for correctness visibility; the parts map is where a
+probe-path regression must be visible on its own).
+
 ROUND-8 COMPOSITION CHANGES (continued 6): ``ngram_jaccard_adjacent``
 became a tagged union — the adjacent-pair verification plus the NEW
 ``ppjoin`` leg (exact prefix-filtered set-similarity self-join over
