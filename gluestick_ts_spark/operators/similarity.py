@@ -508,10 +508,24 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     n_iter: int = 2,
     deterministic: bool = False,
+    sample_fraction: float | None = None,
 ) -> list[dict]:
     """Lloyd's k-means refinement of the IVF centroids (spherical:
     centroids re-unit-normalized each round, so assignment stays a pure
     dot-product argmax).
+
+    ``sample_fraction`` makes the 100 TB training cost EXPLICIT and
+    bounded: when set, every training scan (seed init + all ``n_iter``
+    assignment/mean passes) runs over a deterministic md5-bucket sample
+    of the corpus (``functions.sampling.hash_sample`` — the SAME keys
+    on every run/engine, fraction quantized to k/256), so training a
+    quantizer over a petabyte corpus reads ``fraction`` of it, not all
+    of it. Quantizer quality degrades gracefully at a FIXED ``n_probe``
+    (measured on the 500-vector test embeddings: recall@5 0.825 at
+    fraction=0.75/n_probe=6 vs 0.875-0.90 full-corpus-trained at
+    n_probe=4; raising n_probe buys the recall back). The FULL corpus
+    is still assigned/probed downstream — only training reads the
+    sample.
 
     ``deterministic=True`` replaces each per-(cid, dim) ``avg`` with a
     fold over the cluster's values in ascending ``id_col`` order —
@@ -547,6 +561,10 @@ def train_ivf_centroids(
     skewed corpora; keep seed centroids when recall at small n_probe is
     the only metric.
     """
+    if sample_fraction is not None:
+        from ..functions.sampling import hash_sample
+
+        corpus = hash_sample(corpus, id_col, sample_fraction)
     cent_rows = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
@@ -771,6 +789,7 @@ def train_pq_codebooks(
     n_iter: int = 2,
     seeds: list | None = None,
     deterministic: bool = False,
+    sample_fraction: float | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``m`` subspaces and
     k-means each (ALL subspaces in the same corpus pass per Lloyd's
@@ -794,8 +813,18 @@ def train_pq_codebooks(
     it for training-sized corpora; the default streaming ``avg`` is
     the 100 TB path.
 
+    ``sample_fraction`` bounds the training read at corpus scale the
+    same way as ``train_ivf_centroids``: seed init and every Lloyd's
+    pass run over a deterministic md5-bucket ``hash_sample`` of the
+    corpus (same keys every run/engine); encode/search still cover the
+    full corpus.
+
     Requires ``dim % m == 0`` (standard PQ subspace split).
     """
+    if sample_fraction is not None:
+        from ..functions.sampling import hash_sample
+
+        corpus = hash_sample(corpus, id_col, sample_fraction)
     # one job for seeds AND dim (a separate dim probe costs a full
     # scheduler round trip per training call); callers that already
     # hold the first-k vectors (e.g. sharing them with the IVF coarse

@@ -456,6 +456,73 @@ def test_train_ivf_centroids(spark, sf_dir):
     assert inline == got
 
 
+def test_train_ivf_centroids_sampled(spark, sf_dir):
+    """sample_fraction bounds the 100 TB training read: centroids
+    trained on the deterministic half-corpus md5 sample still clear the
+    planted-recall gate over the FULL corpus, stay unit-norm, and are
+    reproducible (same sampled keys every call)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # deterministic=True: the sample is key-deterministic AND the fold
+    # order is fixed, so the trained centroids are bit-reproducible
+    cents = train_ivf_centroids(
+        e, n_centroids=16, n_iter=2, sample_fraction=0.75, deterministic=True
+    )
+    cents2 = train_ivf_centroids(
+        e, n_centroids=16, n_iter=2, sample_fraction=0.75, deterministic=True
+    )
+    assert cents == cents2
+    assert len(cents) == 16
+    for c in cents:
+        assert abs(sum(x * x for x in c["cent"]) ** 0.5 - 1.0) < 1e-9
+
+    q = e.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(e, q, k=5, n_probe=6, centroids=cents).collect()
+    }
+    # measured 0.825 at frac=0.75/n_probe=6 (sampling costs recall at
+    # FIXED n_probe — the knob that buys it back; floor leaves margin)
+    assert len(exact & got) / len(exact) >= 0.6
+
+
+def test_train_pq_codebooks_sampled(spark):
+    """PQ training on a deterministic sample still retrieves planted
+    near-duplicates at rank 1 via ADC over the FULL corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 16).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(
+        corpus, m=4, k=8, n_iter=2, sample_fraction=0.5
+    )
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    # planted queries: tiny noise copies must find their source first
+    qrows = [
+        (1000 + i, [float(x + 0.01) for x in base[i]]) for i in range(5)
+    ]
+    q = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+    top = pq_topk(corpus, q, books, k=1)
+    got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    assert got == {(1000 + i, i) for i in range(5)}
+
+
 def test_ivf_train_centroids_query_invariants(spark, sf_dir):
     """Driver-visible IVF build query: inverted-list sizes must account
     for EVERY corpus vector exactly once, and every cid must come from
