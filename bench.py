@@ -31,6 +31,11 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-9 COMPOSITION CHANGES: ``curation_pipeline_docs`` gained the
+URL-dedup + per-domain-cap first stage (two more short-key window
+shuffles over a synthesized URL column — operators/weburl.py), so its
+round-8 number (3.1 s warm) covers two fewer stages than round 9's.
+
 ROUND-9 PART SPLIT: the persisted-index legs now time build vs probe
 separately — ``bm25idx_build``/``bm25idx_probe`` and
 ``ivfstore_build``/``ivfstore_probe`` replace the single ``bm25idx``/

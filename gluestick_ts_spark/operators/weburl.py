@@ -1,0 +1,164 @@
+"""URL-grain dedup + per-domain caps — RefinedWeb's FIRST pipeline
+stage (Penedo et al. 2023 run URL dedup/filtering before any content
+stage, because it prunes re-crawls for the price of a short-key
+shuffle, never touching document text).
+
+Scale-extension operators (SURVEY §2.2 "Extensions"; the reference has
+no web-corpus operators — no parity target):
+
+- ``normalize_url_expr``: canonical URL key, pure in-row regex algebra
+  (lowercase scheme+host, strip default port / ``www.`` / fragment /
+  tracking params / trailing slash). Engine-portable: every pattern is
+  in the Java∩RE2 regex subset (the PII-redaction precedent), so a SQL
+  oracle restates it verbatim (DuckDB needs the ``'g'`` flag where
+  Spark's ``regexp_replace`` is global by default).
+- ``registered_domain_expr``: the crawl-politeness grouping key. The
+  real eTLD+1 needs the public-suffix list (a data file in
+  production); this is the documented last-two-labels heuristic —
+  right for .com/.org-style suffixes, one label short for ccSLDs like
+  ``.co.uk``.
+- ``url_dedup_flag`` / ``url_dedup``: keep-first by normalized URL
+  (lowest id wins — deterministic, partitioning-invariant). ONE
+  short-key hash shuffle on the normalized URL; document text never
+  moves.
+- ``domain_cap_flag``: keep at most ``cap`` documents per registered
+  domain, chosen by seeded md5 order (``epoch_shuffle_expr``'s trick:
+  the SAME deterministic pseudo-random ``cap`` docs per domain on
+  every run, engine, and partition layout — not "whichever arrived
+  first"). ONE short-key shuffle on the domain.
+
+100 TB shape: both windows partition by a short derived key whose
+cardinality grows with the corpus (URLs, domains), so AQE splits any
+skewed host; no driver collect, no join, no text movement anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "normalize_url_expr",
+    "registered_domain_expr",
+    "url_dedup_flag",
+    "url_dedup",
+    "domain_cap_flag",
+]
+
+# scheme://authority (userinfo@host:port) — the case-insensitive part
+_SCHEME_HOST = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+_TRACKING = r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*"
+
+
+def normalize_url_expr(url: Column | str) -> Column:
+    """Canonical URL string for dedup keys, in-row regex only.
+
+    Steps (each a documented simplification where flagged):
+    1. trim;
+    2. lowercase the ``scheme://host[:port]`` prefix (scheme and host
+       are case-insensitive per RFC 3986; the path is NOT touched);
+    3. drop a ``:80``/``:443`` default port (simplification: dropped
+       for any scheme, not just http/https);
+    4. drop one leading ``www.``;
+    5. drop the ``#fragment``;
+    6. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``) and repair the separators (``?&`` -> ``?``,
+       ``&&+`` -> ``&``, trailing ``?``/``&`` dropped);
+    7. drop one trailing ``/`` (simplification: treats ``.../a/`` ==
+       ``.../a`` and ``http://x.com/`` == ``http://x.com``).
+
+    Non-URL strings pass through steps that don't match — the
+    expression never fails, it just normalizes less.
+    """
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    prefix = F.lower(F.regexp_extract(u, _SCHEME_HOST, 1))
+    prefix = F.regexp_replace(prefix, r":(80|443)$", "")
+    prefix = F.regexp_replace(prefix, r"^([a-z][a-z0-9+.\-]*://)www\.", r"$1")
+    rest = F.regexp_replace(u, _SCHEME_HOST, "")
+    rest = F.regexp_replace(rest, r"#.*", "")
+    rest = F.regexp_replace(rest, _TRACKING, r"$1")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    # no scheme -> regexp_extract yields '' and rest is the whole
+    # string: concat degrades to the (trimmed, param-stripped) input
+    return F.concat(prefix, rest)
+
+
+def registered_domain_expr(url: Column | str) -> Column:
+    """Last-two-labels "registered domain" of the URL's host (lowered,
+    ``www.``/userinfo/port stripped). Single-label hosts (``localhost``)
+    return themselves; non-URLs return ''. Documented heuristic — swap
+    in a public-suffix-list lookup table for true eTLD+1."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    host = F.lower(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+        )
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(last2 != "", last2).otherwise(host)
+
+
+def url_dedup_flag(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    flag_col: str = "url_keep",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Append ``flag_col``: True on the single keeper (lowest ``id_col``)
+    of each normalized-URL group. Pass ``norm_col`` to also keep the
+    normalized key as a column. One hash shuffle on the short key."""
+    key = normalize_url_expr(url_col)
+    out = df.withColumn("__url_norm", key)
+    w = Window.partitionBy("__url_norm").orderBy(F.col(id_col).asc())
+    out = out.withColumn(flag_col, F.row_number().over(w) == 1)
+    if norm_col:
+        return out.withColumnRenamed("__url_norm", norm_col)
+    return out.drop("__url_norm")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first by normalized URL: the RefinedWeb re-crawl prune.
+    Returns surviving rows with their original columns."""
+    flagged = url_dedup_flag(df, url_col, id_col, flag_col="__keep")
+    return flagged.where(F.col("__keep")).drop("__keep")
+
+
+def domain_cap_flag(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    seed: int | str = 1,
+    flag_col: str = "domain_keep",
+    domain_col: str | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Append ``flag_col``: True for at most ``cap`` documents per
+    registered domain, selected by seeded deterministic md5 order
+    (``md5('<seed>:' || id)`` — a pseudo-random, partitioning-invariant
+    pick; ties impossible for distinct non-null ids). A different
+    ``seed`` picks a fresh ``cap``-subset. ``id_col`` must be non-null
+    (the ``epoch_shuffle_expr`` contract). One short-key shuffle."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    idc = F.col(id_col)
+    order_key = F.md5(F.concat(F.lit(f"{seed}:"), idc.cast("string")))
+    out = df.withColumn("__dom", registered_domain_expr(url_col))
+    w = Window.partitionBy("__dom").orderBy(order_key.asc())
+    out = out.withColumn("__drank", F.row_number().over(w))
+    out = out.withColumn(flag_col, F.col("__drank") <= cap)
+    if rank_col:
+        out = out.withColumnRenamed("__drank", rank_col)
+    else:
+        out = out.drop("__drank")
+    if domain_col:
+        return out.withColumnRenamed("__dom", domain_col)
+    return out.drop("__dom")

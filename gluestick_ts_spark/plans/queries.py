@@ -1462,26 +1462,60 @@ def q_curation_pipeline_docs(spark, sf):
     quantile (exact interpolated percentile; DuckDB ``quantile_cont``
     restates it) and ``adaptive_ok`` whether the doc clears its own
     language's cut — advisory columns beside the fixed global 0.5
-    gate, from one <=|langs|-row aggregate broadcast back."""
+    gate, from one <=|langs|-row aggregate broadcast back.
+
+    Round 9 adds RefinedWeb's actual FIRST stage ahead of every
+    content stage (operators/weburl.py): ``url_keep`` (keep-first by
+    normalized URL — the re-crawl prune; the synthetic URL is a pure
+    function of doc_id/source exercising case, www., tracking params,
+    and fragments, so the DuckDB oracle restates the whole regex
+    normalization chain) and ``domain``/``domain_keep`` (at most 100
+    docs per registered domain in seeded md5 order). Both fold into
+    ``keep``/``drop_reason`` at top priority."""
     from ..functions.text import quality_score_expr
     from ..operators.dedup import _spread, ngram_contamination
     from ..operators.profile import adaptive_quality_filter, unigram_logprob_scores
+    from ..operators.weburl import domain_cap_flag, url_dedup_flag
 
     d = _spread(_t(spark, sf, "documents"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.lit(".example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org/item/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&utm_medium=rss")
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("?p=2#sec"))
+        .otherwise(F.lit("")),
+    )
     per = d.select(
         "doc_id",
         "lang",
+        url.alias("__url"),
         (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
         gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
         quality_score_expr("text").alias("__q"),
         fingerprint_expr("text").alias("__fp"),
     )
+    per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
+    per = domain_cap_flag(
+        per, "__url", "doc_id", cap=100, seed=1,
+        flag_col="domain_keep", domain_col="domain",
+    ).drop("__url")
     w = Window.partitionBy("__fp").orderBy("doc_id")
     per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
     per = adaptive_quality_filter(
         per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
     ).select(
         "doc_id",
+        "url_keep",
+        "domain",
+        "domain_keep",
         "is_benchmark",
         "gopher_ok",
         (F.col("__q") >= 0.5).alias("quality_ok"),
@@ -1500,6 +1534,9 @@ def q_curation_pipeline_docs(spark, sf):
         .join(lp, on="doc_id", how="left")
         .select(
             "doc_id",
+            "url_keep",
+            "domain",
+            "domain_keep",
             "is_benchmark",
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
             "dup_ok",
@@ -1511,7 +1548,9 @@ def q_curation_pipeline_docs(spark, sf):
         )
     )
     keep = (
-        ~F.col("is_benchmark")
+        F.col("url_keep")
+        & F.col("domain_keep")
+        & ~F.col("is_benchmark")
         & ~F.col("contaminated")
         & F.col("dup_ok")
         & F.col("gopher_ok")
@@ -1519,7 +1558,9 @@ def q_curation_pipeline_docs(spark, sf):
         & F.col("lp_ok")
     )
     reason = (
-        F.when(F.col("is_benchmark"), "benchmark")
+        F.when(~F.col("url_keep"), "url_dup")
+        .when(~F.col("domain_keep"), "domain_cap")
+        .when(F.col("is_benchmark"), "benchmark")
         .when(F.col("contaminated"), "contaminated")
         .when(~F.col("dup_ok"), "duplicate")
         .when(~F.col("gopher_ok"), "gopher")
@@ -1528,6 +1569,9 @@ def q_curation_pipeline_docs(spark, sf):
     )
     return j.select(
         "doc_id",
+        "url_keep",
+        "domain",
+        "domain_keep",
         "is_benchmark",
         "contaminated",
         "dup_ok",
@@ -3467,6 +3511,48 @@ _ANN_IVF_ORACLE = (
 
 
 # ---------------------------------------------------------------------------
+# weburl oracle fragments: the normalize_url_expr / registered_domain
+# regex chains restated for DuckDB (same Java∩RE2-subset patterns;
+# backrefs are \1 there vs Spark's $1, and 'g' marks the spots where
+# Spark's always-global regexp_replace can hit more than one match).
+# ---------------------------------------------------------------------------
+
+
+def _url_norm_sql_for(u: str) -> str:
+    p = (
+        f"lower(regexp_extract({u}, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))"
+    )
+    p = f"regexp_replace({p}, ':(80|443)$', '')"
+    p = f"regexp_replace({p}, '^([a-z][a-z0-9+.\\-]*://)www\\.', '\\1')"
+    r = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')"
+    r = f"regexp_replace({r}, '#.*', '')"
+    r = (
+        f"regexp_replace({r}, '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|"
+        "msclkid)=[^&#]*', '\\1', 'g')"
+    )
+    r = f"regexp_replace({r}, '\\?&+', '?')"
+    r = f"regexp_replace({r}, '&&+', '&', 'g')"
+    r = f"regexp_replace({r}, '[?&]+$', '')"
+    r = f"regexp_replace({r}, '/$', '')"
+    return f"({p} || {r})"
+
+
+def _url_domain_sql_for(u: str) -> str:
+    h = (
+        f"lower(regexp_extract({u}, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+    )
+    h = f"regexp_replace({h}, '^www\\.', '')"
+    last2 = f"regexp_extract({h}, '([^.]+\\.[^.]+)$', 1)"
+    return f"(CASE WHEN {last2} <> '' THEN {last2} ELSE {h} END)"
+
+
+_URL_NORM_SQL = _url_norm_sql_for("{u}")
+_URL_DOMAIN_SQL = _url_domain_sql_for("{u}")
+
+
+# ---------------------------------------------------------------------------
 # multimodal_features oracle: the payload is a pure function of doc_id
 # (_mm_synth_payload) and the probe/feature path is pure Python
 # (media_codecs), so the expected output row for every candidate doc_id
@@ -4443,7 +4529,28 @@ ORACLES: dict[str, str] = {
         "JOIN tsd USING (doc_id)"
     ),
     "curation_pipeline_docs": (
-        "WITH tok AS (SELECT doc_id, "
+        "WITH urls AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
+        "|| source || '.example' || CAST(doc_id % 3 AS VARCHAR) "
+        "|| '.org/item/' || CAST(doc_id % 7 AS VARCHAR) "
+        "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' "
+        "WHEN doc_id % 4 = 1 THEN '?p=2#sec' ELSE '' END) AS u "
+        "FROM documents), "
+        # the FULL normalize_url_expr regex chain restated (DuckDB
+        # regexp_replace is first-match unless 'g'; Spark is global —
+        # 'g' added exactly where multiple matches are possible)
+        "unorm AS (SELECT doc_id, "
+        + _URL_NORM_SQL.format(u="u")
+        + " AS norm, "
+        + _URL_DOMAIN_SQL.format(u="u")
+        + " AS dom FROM urls), "
+        "uflag AS (SELECT doc_id, dom AS domain, "
+        "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
+        "AS url_keep, "
+        "row_number() OVER (PARTITION BY dom ORDER BY "
+        "md5('1:' || CAST(doc_id AS VARCHAR))) <= 100 AS domain_keep "
+        "FROM unorm), "
+        "tok AS (SELECT doc_id, "
         f"{_TOKS} AS toks FROM documents), "
         "toks AS (SELECT doc_id, t AS tk FROM ("
         "SELECT doc_id, unnest(toks) AS t FROM tok) u WHERE t <> ''), "
@@ -4472,14 +4579,18 @@ ORACLES: dict[str, str] = {
         # quantile — restates adaptive_quality_filter's F.percentile)
         "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
         "FROM base GROUP BY lang) "
-        "SELECT b.doc_id, b.is_benchmark, "
+        "SELECT b.doc_id, uf.url_keep, uf.domain, uf.domain_keep, "
+        "b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
         "b.dup_ok, b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
         "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
-        "(NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
+        "(uf.url_keep AND uf.domain_keep "
+        "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
         "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
-        "CASE WHEN b.is_benchmark THEN 'benchmark' "
+        "CASE WHEN NOT uf.url_keep THEN 'url_dup' "
+        "WHEN NOT uf.domain_keep THEN 'domain_cap' "
+        "WHEN b.is_benchmark THEN 'benchmark' "
         "WHEN h.doc_id IS NOT NULL THEN 'contaminated' "
         "WHEN NOT b.dup_ok THEN 'duplicate' "
         "WHEN NOT b.gopher_ok THEN 'gopher' "
@@ -4487,7 +4598,8 @@ ORACLES: dict[str, str] = {
         "WHEN NOT COALESCE(d.lp >= -3.41, FALSE) THEN 'logprob' "
         "END AS drop_reason, "
         "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
-        "FROM base b LEFT JOIN hits h USING (doc_id) "
+        "FROM base b JOIN uflag uf USING (doc_id) "
+        "LEFT JOIN hits h USING (doc_id) "
         "LEFT JOIN doclp d USING (doc_id) "
         "LEFT JOIN cuts c USING (lang)"
     ),

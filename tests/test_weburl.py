@@ -1,0 +1,141 @@
+"""URL-grain dedup + per-domain caps (operators/weburl.py) — the
+RefinedWeb first-stage operators: normalization algebra, keep-first
+semantics, deterministic seeded caps, partitioning invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.weburl import (
+    domain_cap_flag,
+    normalize_url_expr,
+    registered_domain_expr,
+    url_dedup,
+    url_dedup_flag,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    rows = df.select(
+        "i",
+        normalize_url_expr("u").alias("n"),
+        registered_domain_expr("u").alias("d"),
+    ).collect()
+    return {urls[r.i]: (r.n, r.d) for r in rows}
+
+
+def test_normalize_url_cases(spark):
+    got = _norm(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=2&utm_campaign=y#frag",
+            "https://sub.Example.org:443/a/b/",
+            "http://user:pw@Example.net:8080/x?fbclid=abc",
+            "http://example.com/Path?utm_source=x",
+            "http://example.com/a?utm_a=1&utm_b=2&keep=3",
+            "http://localhost/x",
+            "not a url",
+            "  http://example.com/padded  ",
+        ],
+    )
+    assert got[
+        "HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=2&utm_campaign=y#frag"
+    ] == ("http://example.com/Path/?id=2", "example.com")
+    assert got["https://sub.Example.org:443/a/b/"] == (
+        "https://sub.example.org/a/b",
+        "example.org",
+    )
+    # non-default port kept; userinfo kept in the key but not the domain
+    assert got["http://user:pw@Example.net:8080/x?fbclid=abc"] == (
+        "http://user:pw@example.net:8080/x",
+        "example.net",
+    )
+    assert got["http://example.com/Path?utm_source=x"][0] == "http://example.com/Path"
+    assert got["http://example.com/a?utm_a=1&utm_b=2&keep=3"][0] == (
+        "http://example.com/a?keep=3"
+    )
+    # single-label host falls back to itself
+    assert got["http://localhost/x"] == ("http://localhost/x", "localhost")
+    # non-URL degrades gracefully: passthrough key, empty domain
+    assert got["not a url"] == ("not a url", "")
+    assert got["  http://example.com/padded  "][0] == "http://example.com/padded"
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "http://A.com/x?utm_source=a"),
+            (1, "HTTP://a.COM/x"),
+            (2, "http://www.a.com/x#frag"),
+            (4, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    flags = {r.doc_id: r.url_keep for r in url_dedup_flag(df, "url", "doc_id").collect()}
+    # 1, 2, 3 normalize identically -> lowest id (1) survives
+    assert flags == {1: True, 2: False, 3: False, 4: True}
+    survivors = {r.doc_id for r in url_dedup(df, "url", "doc_id").collect()}
+    assert survivors == {1, 4}
+
+
+def test_domain_cap_deterministic_and_seeded(spark):
+    df = spark.createDataFrame(
+        [(i, f"http://h{i % 4}.site{i % 2}.org/p/{i}") for i in range(40)],
+        "doc_id long, url string",
+    )
+    kept = lambda seed, parts=4: {
+        r.doc_id
+        for r in domain_cap_flag(
+            df.repartition(parts), "url", "doc_id", cap=5, seed=seed
+        ).collect()
+        if r.domain_keep
+    }
+    a, b = kept(1), kept(1)
+    assert a == b and len(a) == 10  # 2 domains x cap 5
+    assert kept(1, parts=13) == a  # partitioning-invariant
+    assert kept(2) != a  # fresh seed = fresh subset
+    # the pick IS md5('<seed>:' || id) order per domain
+    by_dom = {0: [], 1: []}
+    for i in range(40):
+        by_dom[i % 2].append(i)
+    expect = set()
+    for dom, ids in by_dom.items():
+        ids.sort(key=lambda i: hashlib.md5(f"1:{i}".encode()).hexdigest())
+        expect.update(ids[:5])
+    assert a == expect
+
+
+def test_domain_cap_validation_and_columns(spark):
+    df = spark.createDataFrame([(1, "http://a.b.org/x")], "doc_id long, url string")
+    with pytest.raises(ValueError):
+        domain_cap_flag(df, cap=0)
+    row = domain_cap_flag(
+        df, "url", "doc_id", cap=1, domain_col="dom", rank_col="rk"
+    ).first()
+    assert row.dom == "b.org" and row.rk == 1 and row.domain_keep
+
+
+def test_url_stage_plan_shape(spark):
+    """Scale gate: the two weburl windows shuffle on the SHORT derived
+    keys (normalized url / domain), never on a text column, with no
+    Python operators and no cartesian product."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"http://h{i}.org/{i}", "t" * 50) for i in range(10)],
+        "doc_id long, url string, text string",
+    )
+    out = domain_cap_flag(url_dedup_flag(df, "url", "doc_id"), "url", "doc_id")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert hashed and all("text" not in h for h in hashed), hashed
