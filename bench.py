@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_frame_pipeline",
+    # round-9 addition: real-codec feature extraction + perceptual-hash
+    # near-dup pairs (first medians are this round's baselines)
+    "multimodal_features",
     # round-8 additions: the sketch/LM/shuffle/ppjoin rows — NEW bench
     # rows (no prior-round numbers; their first medians are this
     # round's baselines, attributable leg-by-leg via the parts maps)

@@ -2517,51 +2517,140 @@ def _mm_synth_payload(i: int) -> bytes:
     return buf.getvalue()
 
 
-def q_multimodal_features(spark, sf):
-    """Multimodal pipeline over REAL codecs: deterministic BMP
-    (doc_id % 3 == 0) / WAV (% 3 == 1) / PNG (% 3 == 2) payloads are
-    synthesized per row inside an Arrow batch, then probed (real
-    width/height/duration from the bytes) and feature-extracted (real
-    pixel/sample statistics via the stdlib BMP/WAV/zlib-PNG decoders
-    in operators/media_codecs.py — the fake byte-stat path only serves
-    formats needing unavailable codec libs).
+def _phash_synth_payload(i: int) -> bytes:
+    """Deterministic 8x8 grayscale BMP for the perceptual-hash leg —
+    PLANTED near-dup structure: group ``g = i % 30``, copy
+    ``c = i // 30`` (4 copies per group among doc_ids < 120). The base
+    pattern is a per-group md5-seeded 20/220 binary luma grid (strong
+    ±200 adjacent contrasts, so comparisons are far from ties, and —
+    measured — ZERO cross-group pairs at max_hamming=6):
 
-    Fully oracled: payload synthesis is a pure function of doc_id, so
-    the expected rows are computed driver-side with the SAME codec
-    functions at oracle-build time and embedded as a VALUES table
-    (the literal-embedding trick that oracled the LSH hyperplanes);
-    the deterministic ``doc_id < 200`` slice replaces ``limit`` so
-    both engines see the identical row set."""
+    - c=1 adds ±1 noise: dHash identical to c=0 (hamming 0 — noise
+      can't flip a ±200 comparison, and duplicate-sampled pixels stay
+      equal);
+    - c=2 inverts two isolated pixels: a handful of flipped
+      comparisons (small nonzero hamming);
+    - c=3 inverts the whole first two rows: usually beyond
+      max_hamming=6 (the negative case; the few groups where it stays
+      within are computed identically by both engines — the
+      correctness statement is banded == brute-force, per-value).
+
+    Pure function of ``i`` — shared by the Spark synth and the oracle
+    expected-hash builder (the ``_mm_synth_payload`` pattern)."""
+    import hashlib
+
+    from ..operators.media_codecs import bmp_encode
+
+    g, c = i % 30, i // 30
+    px = []
+    for k in range(64):
+        bit = int(hashlib.md5(f"{g}:{k}".encode()).hexdigest(), 16) % 2
+        if c == 2 and k in (9, 36):
+            bit = 1 - bit
+        if c == 3 and k < 16:
+            bit = 1 - bit
+        v = 220 if bit else 20
+        if c == 1:
+            v += (k + g) % 3 - 1  # ±1 noise, never flips a comparison
+        px.append((v, v, v))
+    return bmp_encode(8, 8, px)
+
+
+def q_multimodal_features(spark, sf, parts=("feat", "phash")):
+    """Multimodal pipeline over REAL codecs, as ONE tagged union
+    (registry-folding pattern).
+
+    ``feat``: deterministic BMP (doc_id % 3 == 0) / WAV (% 3 == 1) /
+    PNG (% 3 == 2) payloads are synthesized per row inside an Arrow
+    batch, then probed (real width/height/duration from the bytes),
+    feature-extracted (real pixel/sample statistics via the stdlib
+    BMP/WAV/zlib-PNG decoders in operators/media_codecs.py), and
+    perceptually hashed (``image_dhash`` — 64-bit dHash for the image
+    rows, NULL for WAV).
+
+    ``phash``: image near-dup pairs (operators/imagehash.py) over 120
+    planted 8x8 BMPs — dHash then pigeonhole-banded Hamming join at
+    max_hamming=6 (recall-1.0 blocking, so the banded output EQUALS
+    the quadratic definition the oracle brute-forces).
+
+    Fully oracled: every payload is a pure function of doc_id, so
+    expected rows/hashes are computed driver-side with the SAME codec
+    functions at oracle-build time and embedded as VALUES tables (the
+    literal-embedding trick that oracled the LSH hyperplanes);
+    deterministic ``doc_id <`` slices replace ``limit`` so both
+    engines see identical row sets."""
+    from ..operators.imagehash import hamming_neardup_pairs, image_dhash
     from ..operators.multimodal import probe_media_metadata
 
-    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    parts = set(parts)
+    legs = []
+    _null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    if "feat" in parts:
+        d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id")
 
-    def _synth(batches):
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["content"] = [_mm_synth_payload(int(did)) for did in pdf["doc_id"]]
-            yield pdf
+        def _synth(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    _mm_synth_payload(int(did)) for did in pdf["doc_id"]
+                ]
+                yield pdf
 
-    media = d.mapInPandas(
-        _synth, schema="doc_id long, content binary"
-    )
-    media = attach_media_metadata(media, media_type="unknown", fmt="bin")
-    media = probe_media_metadata(media)
-    out = extract_media_features(media, n_features=8)
-    return out.select(
-        "doc_id",
-        F.col("media_meta.format").alias("fmt"),
-        F.col("media_meta.width").alias("width"),
-        F.col("media_meta.duration_ms").alias("duration_ms"),
-        F.col("media_meta.size_bytes").alias("size_bytes"),
-        # decode provenance: "bmp"/"wav"/"png" = real stdlib decode,
-        # "fake" = byte-stat fallback (indistinguishable numerically)
-        "decoder",
-        # exact float32 -> float64 widening (no rounding): the oracle
-        # embeds the identical doubles via repr(), which round-trips
-        F.element_at("features", 1).cast("double").alias("f0"),
-        F.element_at("features", 2).cast("double").alias("f1"),
-    )
+        media = d.mapInPandas(_synth, schema="doc_id long, content binary")
+        media = attach_media_metadata(media, media_type="unknown", fmt="bin")
+        media = probe_media_metadata(media)
+        out = image_dhash(extract_media_features(media, n_features=8))
+        legs.append(out.select(
+            F.lit("feat").alias("part"),
+            "doc_id",
+            F.col("media_meta.format").alias("fmt"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+            F.col("media_meta.size_bytes").alias("size_bytes"),
+            # decode provenance: "bmp"/"wav"/"png" = real stdlib decode,
+            # "fake" = byte-stat fallback (indistinguishable numerically)
+            "decoder",
+            # exact float32 -> float64 widening (no rounding): the oracle
+            # embeds the identical doubles via repr(), which round-trips
+            F.element_at("features", 1).cast("double").alias("f0"),
+            F.element_at("features", 2).cast("double").alias("f1"),
+            "dhash",
+            _null("long").alias("pair_id"),
+            _null("long").alias("hamming"),
+        ))
+    if "phash" in parts:
+        p = _t(spark, sf, "documents").where(F.col("doc_id") < 120).select("doc_id")
+
+        def _psynth(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    _phash_synth_payload(int(did)) for did in pdf["doc_id"]
+                ]
+                yield pdf
+
+        imgs = p.mapInPandas(_psynth, schema="doc_id long, content binary")
+        pairs = hamming_neardup_pairs(
+            image_dhash(imgs), "doc_id", "dhash", max_hamming=6
+        )
+        legs.append(pairs.select(
+            F.lit("phash").alias("part"),
+            F.col("id_a").alias("doc_id"),
+            _null("string").alias("fmt"),
+            _null("int").alias("width"),
+            _null("long").alias("duration_ms"),
+            _null("long").alias("size_bytes"),
+            _null("string").alias("decoder"),
+            _null("double").alias("f0"),
+            _null("double").alias("f1"),
+            _null("long").alias("dhash"),
+            F.col("id_b").alias("pair_id"),
+            "hamming",
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
@@ -3127,6 +3216,19 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         p: _tag_part("ngram_jaccard_adjacent", "part", p)
         for p in ("adjacent", "ppjoin")
     },
+    "multimodal_features": {
+        # mode-restricted builders: the phash leg eagerly checkpoints
+        # its pair set at construction (hamming_neardup_pairs), which
+        # a tag filter would charge to whichever leg is timed
+        p: (
+            lambda mode: (
+                lambda spark, sf: q_multimodal_features(
+                    spark, sf, parts=(mode,)
+                )
+            )
+        )(p)
+        for p in ("feat", "phash")
+    },
     "hash_split_documents": {
         # mode-restricted builders (the ann_ivf precedent): the dsir
         # leg runs eager histogram + threshold jobs at construction,
@@ -3570,6 +3672,7 @@ def _mm_features_values() -> str:
     import wave as _wave
     import io as _io
 
+    from ..operators.imagehash import dhash_of_payload
     from ..operators.media_codecs import bmp_decode, png_decode, sniff_format
     from ..operators.multimodal import decode_features_with_provenance
 
@@ -3589,23 +3692,52 @@ def _mm_features_values() -> str:
             with _wave.open(_io.BytesIO(payload), "rb") as wv:
                 duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))
         feats, decoder = decode_features_with_provenance(payload, 8)
+        dh = dhash_of_payload(payload)
         # string->DOUBLE cast: a bare decimal literal in VALUES would be
         # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
         rows.append(
             f"({i}, '{fmt}', {width}, {duration}, {len(payload)}, "
             f"'{decoder}', CAST('{f32(feats[0])!r}' AS DOUBLE), "
-            f"CAST('{f32(feats[1])!r}' AS DOUBLE))"
+            f"CAST('{f32(feats[1])!r}' AS DOUBLE), "
+            f"{'NULL' if dh is None else dh})"
         )
     return ", ".join(rows)
 
 
+def _mm_phash_values() -> str:
+    from ..operators.imagehash import dhash_of_payload
+
+    return ", ".join(
+        f"({i}, {dhash_of_payload(_phash_synth_payload(i))})" for i in range(120)
+    )
+
+
 _MM_FEATURES_ORACLE = (
-    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1) "
-    "AS (VALUES " + _mm_features_values() + ") "
-    "SELECT e.doc_id, e.fmt, CAST(e.width AS INTEGER) AS width, "
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh) "
+    "AS (VALUES " + _mm_features_values() + "), "
+    "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
+    "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
+    "CAST(e.width AS INTEGER) AS width, "
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
-    "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1 "
-    "FROM exp e JOIN documents d ON d.doc_id = e.doc_id"
+    "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1, "
+    "CAST(e.dh AS BIGINT) AS dhash, CAST(NULL AS BIGINT) AS pair_id, "
+    "CAST(NULL AS BIGINT) AS hamming "
+    "FROM exp e JOIN documents d ON d.doc_id = e.doc_id), "
+    # brute-force quadratic Hamming over the literal hashes — equals
+    # the banded fast path because pigeonhole blocking has recall 1.0
+    "pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "bit_count(xor(CAST(a.h AS BIGINT), CAST(b.h AS BIGINT))) AS ham "
+    "FROM pexp a JOIN pexp b ON a.doc_id < b.doc_id "
+    "JOIN documents da ON da.doc_id = a.doc_id "
+    "JOIN documents db ON db.doc_id = b.doc_id), "
+    "ph AS (SELECT 'phash' AS part, id_a AS doc_id, "
+    "CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS INTEGER) AS width, "
+    "CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS size_bytes, "
+    "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
+    "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
+    "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
+    "FROM pp WHERE ham <= 6) "
+    "SELECT * FROM feat UNION ALL SELECT * FROM ph"
 )
 
 # multimodal_frame_pipeline oracle: with unsniffable payloads the fake

@@ -1,0 +1,136 @@
+"""Perceptual image hashing + Hamming near-dup (operators/imagehash.py):
+pure-function hash pins, banded-vs-brute-force equality (the recall-1.0
+pigeonhole guarantee), mixed-corpus NULL handling, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.imagehash import (
+    ahash_of_payload,
+    dhash_of_payload,
+    hamming_neardup_pairs,
+    image_dhash,
+)
+from gluestick_ts_spark.operators.media_codecs import bmp_encode, png_encode
+
+
+def _gray_bmp(vals):
+    """8x8 grayscale BMP from 64 luma values."""
+    return bmp_encode(8, 8, [(v, v, v) for v in vals])
+
+
+def test_dhash_pure_function_properties():
+    # solid image: no adjacent difference -> hash 0
+    solid = _gray_bmp([128] * 64)
+    assert dhash_of_payload(solid) == 0
+    # vertical strong gradient: every non-duplicated comparison fires
+    grad = _gray_bmp([220 if k % 2 else 20 for k in range(64)])
+    h = dhash_of_payload(grad)
+    assert h != 0
+    # deterministic + format-independent content hash (PNG twin of the
+    # same pixels hashes identically — the decode is the same grid)
+    png = png_encode(8, 8, [(v, v, v) for v in (220 if k % 2 else 20 for k in range(64))])
+    assert dhash_of_payload(png) == h
+    # non-image / undecodable -> None
+    assert dhash_of_payload(b"not an image at all") is None
+    assert dhash_of_payload(None) is None
+    # ahash: solid image has no pixel above the mean
+    assert ahash_of_payload(solid) == 0
+    assert ahash_of_payload(grad) not in (None, 0)
+
+
+def test_dhash_small_perturbation_small_hamming():
+    base = [220 if (k * 13 + k // 8) % 2 else 20 for k in range(64)]
+    mod = list(base)
+    mod[27] = 220 if mod[27] == 20 else 20  # one inverted pixel
+    ha = dhash_of_payload(_gray_bmp(base))
+    hb = dhash_of_payload(_gray_bmp(mod))
+    ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 4  # a pixel touches at most its 2 row comparisons (x2 dup cols)
+
+
+def test_image_dhash_column_and_nulls(spark):
+    rows = [
+        (1, _gray_bmp([10 * (k % 7) for k in range(64)])),
+        (2, b"RIFFxxxxWAVEbroken"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[1] == dhash_of_payload(rows[0][1])
+    assert got[2] is None and got[3] is None
+
+
+def test_banded_pairs_equal_brute_force(spark):
+    """The correctness core: pigeonhole banding at n_blocks=7 over
+    max_hamming=6 must return EXACTLY the quadratic pair set."""
+    import itertools
+
+    payloads = []
+    for g in range(12):
+        base = [220 if (g * 31 + 17 * k) % 3 % 2 else 20 for k in range(64)]
+        payloads.append((g * 10, base))
+        near = list(base)
+        near[9] = 220 if near[9] == 20 else 20
+        payloads.append((g * 10 + 1, near))
+        far = [220 - v + 40 for v in base]  # full inversion
+        payloads.append((g * 10 + 2, far))
+    hashes = {i: dhash_of_payload(_gray_bmp(v)) for i, v in payloads}
+    expect = set()
+    for (a, ha), (b, hb) in itertools.combinations(sorted(hashes.items()), 2):
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 6:
+            expect.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, _gray_bmp(v)) for i, v in payloads], "doc_id long, content binary"
+    )
+    pairs = hamming_neardup_pairs(image_dhash(df), "doc_id", "dhash", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == expect and len(expect) > 0
+    # hamming values are exact too
+    for r in pairs.collect():
+        ham = bin((hashes[r.id_a] ^ hashes[r.id_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == ham
+
+
+def test_hamming_pairs_validation(spark):
+    df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
+    # n_blocks <= max_hamming breaks the pigeonhole guarantee -> refused
+    with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, max_hamming=6, n_blocks=6)
+    with pytest.raises(ValueError):
+        image_dhash(df, kind="nope")
+
+
+def test_hamming_pairs_plan_shape(spark):
+    """Scale gate: candidates come from a (block, value) equi-join —
+    no cartesian product; the only Python stage is the decode UDF."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, _gray_bmp([(i * k) % 256 for k in range(64)])) for i in range(8)],
+        "doc_id long, content binary",
+    )
+    hashed = image_dhash(df)
+    # plan BEFORE the eager checkpoint: build the same join shape
+    h = hashed.where(F.col("dhash").isNotNull()).select(
+        F.col("doc_id").alias("id"), F.col("dhash").alias("__h")
+    )
+    blocks = h.select(
+        "id", "__h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("__h"), i * 9).bitwiseAND(F.lit((1 << 9) - 1))
+                for i in range(7)
+            ])
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("__h").alias("__ha"), "block", "block_val")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("__h").alias("__hb"), "block", "block_val")
+    joined = a.join(b, on=["block", "block_val"]).where(F.col("id_a") < F.col("id_b"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) (BroadcastHash|SortMergeHash|SortMerge)Join", plan)
