@@ -1478,19 +1478,27 @@ def q_curation_pipeline_docs(spark, sf):
     from ..operators.weburl import domain_cap_flag, url_dedup_flag
 
     d = _spread(_t(spark, sf, "documents"))
+    # Scale-stable synthetic URL (a pure function of doc_id): most docs
+    # get a doc-unique URL/domain, docs = 1 (mod 10) re-crawl their
+    # predecessor's page (10% planted dups AT ANY sf — different
+    # scheme-case/www/params, identical normalized key), and items = 3
+    # (mod 10) pile onto ONE hot domain (the crawl-skew case the cap
+    # exists for). Both fractions stay ~constant as the corpus grows.
+    item = F.when(
+        F.col("doc_id") % 10 == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    host = F.when(
+        item % 10 == 3, F.lit("hot.example-hub.org")
+    ).otherwise(F.concat(F.lit("example"), item.cast("string"), F.lit(".org")))
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
             F.lit("http://")
         ),
-        F.col("source"),
-        F.lit(".example"),
-        (F.col("doc_id") % 3).cast("string"),
-        F.lit(".org/item/"),
-        (F.col("doc_id") % 7).cast("string"),
-        F.when(
-            F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&utm_medium=rss")
-        )
-        .when(F.col("doc_id") % 4 == 1, F.lit("?p=2#sec"))
+        host,
+        F.lit("/item/"),
+        item.cast("string"),
+        F.when(item % 4 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(item % 4 == 1, F.lit("?p=2#sec"))
         .otherwise(F.lit("")),
     )
     per = d.select(
@@ -1504,7 +1512,7 @@ def q_curation_pipeline_docs(spark, sf):
     )
     per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
     per = domain_cap_flag(
-        per, "__url", "doc_id", cap=100, seed=1,
+        per, "__url", "doc_id", cap=25, seed=1,
         flag_col="domain_keep", domain_col="domain",
     ).drop("__url")
     w = Window.partitionBy("__fp").orderBy("doc_id")
@@ -4661,13 +4669,17 @@ ORACLES: dict[str, str] = {
         "JOIN tsd USING (doc_id)"
     ),
     "curation_pipeline_docs": (
-        "WITH urls AS (SELECT doc_id, "
-        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
-        "|| source || '.example' || CAST(doc_id % 3 AS VARCHAR) "
-        "|| '.org/item/' || CAST(doc_id % 7 AS VARCHAR) "
-        "|| CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' "
-        "WHEN doc_id % 4 = 1 THEN '?p=2#sec' ELSE '' END) AS u "
+        "WITH it AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS item "
         "FROM documents), "
+        "urls AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
+        "|| CASE WHEN item % 10 = 3 THEN 'hot.example-hub.org' "
+        "ELSE 'example' || CAST(item AS VARCHAR) || '.org' END "
+        "|| '/item/' || CAST(item AS VARCHAR) "
+        "|| CASE WHEN item % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' "
+        "WHEN item % 4 = 1 THEN '?p=2#sec' ELSE '' END) AS u "
+        "FROM it), "
         # the FULL normalize_url_expr regex chain restated (DuckDB
         # regexp_replace is first-match unless 'g'; Spark is global —
         # 'g' added exactly where multiple matches are possible)
@@ -4680,7 +4692,7 @@ ORACLES: dict[str, str] = {
         "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
         "AS url_keep, "
         "row_number() OVER (PARTITION BY dom ORDER BY "
-        "md5('1:' || CAST(doc_id AS VARCHAR))) <= 100 AS domain_keep "
+        "md5('1:' || CAST(doc_id AS VARCHAR))) <= 25 AS domain_keep "
         "FROM unorm), "
         "tok AS (SELECT doc_id, "
         f"{_TOKS} AS toks FROM documents), "

@@ -97,13 +97,26 @@ def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """CSV with struct stringify (``etl-utils.ts:71-97``)."""
     out = _stringify_complex(df)
     if not single_file:
-        out.write.mode("overwrite").option("header", "true").csv(path)
+        (
+            out.write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
         return
     tmp = tempfile.mkdtemp(prefix="gs_csv_")
     try:
         # Header must appear once; write data headerless and emit the
-        # header line on the driver.
-        out.write.mode("overwrite").option("header", "false").option("emptyValue", "").csv(tmp)
+        # header line on the driver. escape='"' = RFC 4180 doubled
+        # quotes, matching polars writeCSV (Spark's default backslash
+        # escape writes {\"k\"...} cells standard CSV readers misparse)
+        (
+            out.write.mode("overwrite")
+            .option("header", "false")
+            .option("emptyValue", "")
+            .option("escape", '"')
+            .csv(tmp)
+        )
         with open(path, "w", encoding="utf-8") as f:
             f.write(",".join(out.columns) + "\n")
         with open(path, "a", encoding="utf-8") as f:

@@ -267,7 +267,12 @@ def gen_singer_header(
             if name in properties:
                 properties[name] = prop
 
-    return df.select(*exprs), {"properties": properties}
+    # the reference's header envelope carries the object type
+    # (singer.ts:41: { type: ["object", "null"], properties: {} })
+    return df.select(*exprs), {
+        "type": ["object", "null"],
+        "properties": properties,
+    }
 
 
 # -- writer (singer.ts:283-392) ---------------------------------------------
@@ -345,9 +350,11 @@ def to_singer(
             "schema": header,
             "key_properties": keys,
         },
-        separators=(", ", ": "),
+        # compact separators = JSON.stringify's byte format (the
+        # reference emits SCHEMA/RECORD/STATE all compact)
+        separators=(",", ":"),
     )
-    state_msg = json.dumps({"type": "STATE", "value": {}}, separators=(", ", ": "))
+    state_msg = json.dumps({"type": "STATE", "value": {}}, separators=(",", ":"))
 
     # RECORD payloads: one JVM-side job. Null fields dropped per record
     # unless keep_null_fields (singer.ts:361-365) — to_json's
@@ -357,7 +364,7 @@ def to_singer(
         {"ignoreNullFields": "false" if keep_null_fields else "true"},
     )
     record_line = F.concat(
-        F.lit('{"type": "RECORD", "stream": "' + stream + '", "record": '),
+        F.lit('{"type":"RECORD","stream":"' + stream + '","record":'),
         payload,
         F.lit("}"),
     ).alias("value")

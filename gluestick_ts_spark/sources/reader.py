@@ -93,6 +93,11 @@ class Reader:
     def streams(self) -> list[str]:
         return sorted(self.input_files)
 
+    def keys(self) -> list[str]:
+        """Reference-named alias of the ``streams`` property
+        (``reader.ts:43`` — the examples iterate ``input.keys()``)."""
+        return self.streams
+
     # -- catalog -----------------------------------------------------------
 
     def read_catalog(self) -> Catalog | None:

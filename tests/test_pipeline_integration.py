@@ -104,11 +104,17 @@ def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
         .collect()
     }
     assert hist == {
-        None: 2002,
+        # round 9: the URL-dedup/domain-cap first stage takes top
+        # priority — url_dup is exactly the planted 10% re-crawl band,
+        # domain_cap the hot domain's mass minus its 25-doc cap; the
+        # content stages keep firing on the survivors
+        None: 1587,
         "benchmark": 250,
-        "contaminated": 27,
-        "duplicate": 8,
-        "gopher": 2582,
-        "logprob": 97,
-        "quality": 34,
+        "contaminated": 21,
+        "domain_cap": 475,
+        "duplicate": 5,
+        "gopher": 2054,
+        "logprob": 78,
+        "quality": 30,
+        "url_dup": 500,
     }, hist
