@@ -43,7 +43,9 @@ from .media_codecs import bmp_decode, png_decode, sniff_format
 __all__ = [
     "dhash_of_payload",
     "ahash_of_payload",
+    "wavhash_of_payload",
     "image_dhash",
+    "media_hashes",
     "hamming_neardup_pairs",
 ]
 
@@ -107,6 +109,82 @@ def ahash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
         if lum > mean:
             v |= 1 << i
     return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def wavhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
+    """64-bit audio "energy dHash" for PCM WAV payloads — the audio
+    twin of ``dhash_of_payload``: split the raw integer samples into
+    ``hash_size**2 + 1`` equal time windows, bit ``i`` set iff
+    ``sum(|s|)`` of window ``i`` exceeds window ``i+1``. Pure integer
+    arithmetic over the decoded sample words (no float normalization),
+    so the hash is bit-identical everywhere and SQL-literal-embeddable.
+    Robust to amplitude-preserving near-dups (re-trims, low-level
+    noise flip only near-tie windows); NOT a chromaprint — frequency
+    shifts change it, which is the right behavior for exact-ish
+    re-encode detection. None for non-WAV/undecodable payloads."""
+    import io
+    import struct
+    import wave
+
+    if payload is None or sniff_format(payload) != "wav":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    fmt = {1: "b", 2: "h", 4: "i"}.get(sampwidth)
+    if fmt is None:
+        return None
+    count = len(raw) // sampwidth
+    if count == 0:
+        return None
+    vals = struct.unpack(f"<{count}{fmt}", raw[: count * sampwidth])
+    n_win = hash_size * hash_size + 1
+    energies = []
+    for i in range(n_win):
+        lo = (i * count) // n_win
+        hi = ((i + 1) * count) // n_win
+        energies.append(sum(abs(v) for v in vals[lo:hi]))
+    v = 0
+    for i in range(hash_size * hash_size):
+        if energies[i] > energies[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def media_hashes(
+    df: DataFrame,
+    binary_col: str = "content",
+    columns: dict | None = None,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Append SEVERAL perceptual-hash columns in ONE Arrow pass (one
+    decode stage for the whole family — at scale the payload bytes are
+    the cost, not the per-hash arithmetic). ``columns`` maps column
+    name -> ``payload -> int | None``; default
+    ``{"dhash": dhash_of_payload, "wavhash": wavhash_of_payload}`` —
+    images hash into ``dhash`` (wavhash NULL) and WAVs into
+    ``wavhash`` (dhash NULL)."""
+    if columns is None:
+        columns = {"dhash": dhash_of_payload, "wavhash": wavhash_of_payload}
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(name, T.LongType(), True) for name in columns]
+    )
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            payloads = list(pdf[binary_col])
+            for name, fn in columns.items():
+                pdf[name] = pd.array(
+                    [fn(b, hash_size) for b in payloads], dtype="Int64"
+                )
+            yield pdf
+
+    return df.mapInPandas(_mapper, schema=out_schema)
 
 
 def image_dhash(

@@ -2587,7 +2587,11 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     literal-embedding trick that oracled the LSH hyperplanes);
     deterministic ``doc_id <`` slices replace ``limit`` so both
     engines see identical row sets."""
-    from ..operators.imagehash import hamming_neardup_pairs, image_dhash
+    from ..operators.imagehash import (
+        hamming_neardup_pairs,
+        image_dhash,
+        media_hashes,
+    )
     from ..operators.multimodal import probe_media_metadata
 
     parts = set(parts)
@@ -2607,7 +2611,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         media = d.mapInPandas(_synth, schema="doc_id long, content binary")
         media = attach_media_metadata(media, media_type="unknown", fmt="bin")
         media = probe_media_metadata(media)
-        out = image_dhash(extract_media_features(media, n_features=8))
+        out = media_hashes(extract_media_features(media, n_features=8))
         legs.append(out.select(
             F.lit("feat").alias("part"),
             "doc_id",
@@ -2623,6 +2627,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             F.element_at("features", 1).cast("double").alias("f0"),
             F.element_at("features", 2).cast("double").alias("f1"),
             "dhash",
+            "wavhash",
             _null("long").alias("pair_id"),
             _null("long").alias("hamming"),
         ))
@@ -2652,6 +2657,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             _null("double").alias("f0"),
             _null("double").alias("f1"),
             _null("long").alias("dhash"),
+            _null("long").alias("wavhash"),
             F.col("id_b").alias("pair_id"),
             "hamming",
         ))
@@ -3680,7 +3686,7 @@ def _mm_features_values() -> str:
     import wave as _wave
     import io as _io
 
-    from ..operators.imagehash import dhash_of_payload
+    from ..operators.imagehash import dhash_of_payload, wavhash_of_payload
     from ..operators.media_codecs import bmp_decode, png_decode, sniff_format
     from ..operators.multimodal import decode_features_with_provenance
 
@@ -3701,13 +3707,15 @@ def _mm_features_values() -> str:
                 duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))
         feats, decoder = decode_features_with_provenance(payload, 8)
         dh = dhash_of_payload(payload)
+        wh = wavhash_of_payload(payload)
         # string->DOUBLE cast: a bare decimal literal in VALUES would be
         # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
         rows.append(
             f"({i}, '{fmt}', {width}, {duration}, {len(payload)}, "
             f"'{decoder}', CAST('{f32(feats[0])!r}' AS DOUBLE), "
             f"CAST('{f32(feats[1])!r}' AS DOUBLE), "
-            f"{'NULL' if dh is None else dh})"
+            f"{'NULL' if dh is None else dh}, "
+            f"{'NULL' if wh is None else wh})"
         )
     return ", ".join(rows)
 
@@ -3721,15 +3729,15 @@ def _mm_phash_values() -> str:
 
 
 _MM_FEATURES_ORACLE = (
-    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh) "
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, wh) "
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
     "CAST(e.width AS INTEGER) AS width, "
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
     "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1, "
-    "CAST(e.dh AS BIGINT) AS dhash, CAST(NULL AS BIGINT) AS pair_id, "
-    "CAST(NULL AS BIGINT) AS hamming "
+    "CAST(e.dh AS BIGINT) AS dhash, CAST(e.wh AS BIGINT) AS wavhash, "
+    "CAST(NULL AS BIGINT) AS pair_id, CAST(NULL AS BIGINT) AS hamming "
     "FROM exp e JOIN documents d ON d.doc_id = e.doc_id), "
     # brute-force quadratic Hamming over the literal hashes — equals
     # the banded fast path because pigeonhole blocking has recall 1.0
@@ -3743,6 +3751,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS size_bytes, "
     "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
     "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
+    "CAST(NULL AS BIGINT) AS wavhash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
     "FROM pp WHERE ham <= 6) "
     "SELECT * FROM feat UNION ALL SELECT * FROM ph"

@@ -95,6 +95,69 @@ def test_banded_pairs_equal_brute_force(spark):
         assert r.hamming == ham
 
 
+def _wav(freq, n=400, rate=8000, amp=0.4, noise=0):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(
+            f"<{n}h",
+            *[
+                int(amp * 32767 * math.sin(2 * math.pi * freq * t / rate))
+                + ((t % 3) - 1) * noise
+                for t in range(n)
+            ],
+        ))
+    return buf.getvalue()
+
+
+def test_wavhash_pure_function_properties(spark):
+    from gluestick_ts_spark.operators.imagehash import (
+        media_hashes,
+        wavhash_of_payload,
+    )
+
+    a = wavhash_of_payload(_wav(300))
+    assert a is not None and a == wavhash_of_payload(_wav(300))
+    # amplitude-scaled copy: window-energy ORDER mostly preserved
+    near = wavhash_of_payload(_wav(300, amp=0.41))
+    ham_near = bin((a ^ near) & ((1 << 64) - 1)).count("1")
+    assert ham_near <= 8, ham_near
+    # different frequency: energy envelope reshuffles
+    far = wavhash_of_payload(_wav(487))
+    ham_far = bin((a ^ far) & ((1 << 64) - 1)).count("1")
+    assert ham_far > 8, ham_far
+    # non-audio -> None
+    assert wavhash_of_payload(_gray_bmp([1] * 64)) is None
+    assert wavhash_of_payload(b"junk") is None
+
+    # one-pass multi-hash column: images fill dhash, wavs fill wavhash
+    df = spark.createDataFrame(
+        [(1, _gray_bmp([k * 3 % 200 for k in range(64)])), (2, _wav(300))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: (r.dhash, r.wavhash) for r in media_hashes(df).collect()}
+    assert rows[1][0] is not None and rows[1][1] is None
+    assert rows[2][0] is None and rows[2][1] == a
+
+    # the hamming join works unchanged on the audio hash column
+    wdf = spark.createDataFrame(
+        [(1, _wav(300)), (2, _wav(300, amp=0.41)), (3, _wav(487))],
+        "doc_id long, content binary",
+    )
+    pairs = hamming_neardup_pairs(
+        media_hashes(wdf), "doc_id", "wavhash", max_hamming=8
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
 def test_hamming_pairs_validation(spark):
     df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
     # n_blocks <= max_hamming breaks the pigeonhole guarantee -> refused
