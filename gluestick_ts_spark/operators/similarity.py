@@ -33,6 +33,7 @@ from .dedup import _spread
 __all__ = [
     "cosine_topk",
     "hard_negatives",
+    "semantic_contamination",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_recall_vs_exact",
@@ -107,6 +108,64 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination screen (the Llama/Gemma-report
+    recipe, the embedding-space complement of ``ngram_contamination``):
+    for every benchmark item, the single most-similar training-corpus
+    item by exact cosine, plus the leak verdict ``contaminated =
+    (max_cosine >= threshold)``. An n-gram screen misses paraphrases; a
+    0.95-cosine match is the same content re-worded.
+
+    Output: ``bench_id, match_id, max_cosine (ROUND 6), contaminated``
+    — one row per benchmark item, ties to the lowest corpus id
+    (deterministic). Rounding happens BEFORE the argmax so the ranking
+    is engine-portable (the ``semantic_dedup`` convention).
+
+    Scale shape (inherits ``cosine_topk``'s): the BENCHMARK side is
+    broadcast (eval sets are small by construction); the corpus
+    streams through one projection + a per-bench-item max window —
+    cost is one corpus pass regardless of corpus size, no corpus
+    shuffle. Identical ids across the two relations are treated as
+    legitimate matches (cross-set semantics, ``exclude_self=False``)
+    unless the benchmark IS a corpus slice sharing the id space — pass
+    the same column names and filter upstream if self-pairs must drop.
+    """
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    b = F.broadcast(
+        benchmark.select(F.col(bid).alias("bench_id"), F.col(bvec).alias("__bv"))
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = c.crossJoin(b).select(
+        "bench_id",
+        "match_id",
+        F.round(cosine_similarity_expr("__bv", "__cv"), 6).alias("max_cosine"),
+    )
+    w = Window.partitionBy("bench_id").orderBy(
+        F.col("max_cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            "bench_id",
+            "match_id",
+            "max_cosine",
+            (F.col("max_cosine") >= F.lit(threshold)).alias("contaminated"),
+        )
     )
 
 

@@ -1142,17 +1142,58 @@ def q_parse_objs_keep_original(spark, sf):
     return ev.select("event_id", out.alias("k_or_raw"))
 
 
-def q_ngram_contamination_docs(spark, sf):
-    """Benchmark-contamination screen: every 20th document plays the
-    held-out eval set; the remaining corpus is scored by how many of
-    its distinct word 8-grams leak from that set (broadcast benchmark
-    hash set + one per-document count shuffle — the 100 TB shape).
-    Replaces the redundant exact-distinct query: `approx_distinct_users`
-    now carries the exact counts itself."""
-    d = _t(spark, sf, "documents")
-    bench = d.where(F.col("doc_id") % 20 == 0)
-    corp = d.where(F.col("doc_id") % 20 != 0)
-    return ngram_contamination(corp, bench, n=8)
+def q_ngram_contamination_docs(spark, sf, parts=("ngram", "sem")):
+    """Benchmark-contamination screens, both modalities, as ONE tagged
+    union (registry-folding pattern).
+
+    ``ngram``: every 20th document plays the held-out eval set; the
+    remaining corpus is scored by how many of its distinct word
+    8-grams leak from that set (broadcast benchmark hash set + one
+    per-document count shuffle — the 100 TB shape).
+
+    ``sem`` (round 9): the SEMANTIC screen an n-gram check can't do —
+    every 20th embedding plays the eval set and
+    ``semantic_contamination`` reports each one's single most-similar
+    training vector by exact cosine (rounded to 6 dp BEFORE the
+    argmax, ties to lowest id) plus the >= 0.92 leak verdict. The
+    benchmark side broadcasts; the corpus streams once. Oracle: DuckDB
+    brute-forces the same argmax with the same rounding."""
+    parts = set(parts)
+    legs = []
+    _nl = lambda t: F.lit(None).cast(t)  # noqa: E731
+    if "ngram" in parts:
+        d = _t(spark, sf, "documents")
+        bench = d.where(F.col("doc_id") % 20 == 0)
+        corp = d.where(F.col("doc_id") % 20 != 0)
+        legs.append(ngram_contamination(corp, bench, n=8).select(
+            F.lit("ngram").alias("part"),
+            "doc_id",
+            "n_contaminated",
+            "contaminated",
+            _nl("long").alias("match_id"),
+            _nl("double").alias("max_cosine"),
+        ))
+    if "sem" in parts:
+        from ..operators.similarity import semantic_contamination
+
+        e = _t(spark, sf, "embeddings")
+        sem = semantic_contamination(
+            e.where(F.col("vec_id") % 20 != 0),
+            e.where(F.col("vec_id") % 20 == 0),
+            threshold=0.92,
+        )
+        legs.append(sem.select(
+            F.lit("sem").alias("part"),
+            F.col("bench_id").alias("doc_id"),
+            _nl("long").alias("n_contaminated"),
+            "contaminated",
+            "match_id",
+            "max_cosine",
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_approx_distinct_users(spark, sf):
@@ -4389,11 +4430,26 @@ ORACLES: dict[str, str] = {
         "for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS g FROM tok), "
         "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
         "hits AS (SELECT doc_id, COUNT(*) AS n_contaminated "
-        "FROM grams JOIN bench USING (g) WHERE doc_id % 20 <> 0 GROUP BY doc_id) "
-        "SELECT d.doc_id, "
+        "FROM grams JOIN bench USING (g) WHERE doc_id % 20 <> 0 GROUP BY doc_id), "
+        # semantic leg: brute-force per-bench argmax over the corpus,
+        # 6-dp rounding BEFORE the argmax, ties to lowest corpus id
+        "semall AS (SELECT b.vec_id AS doc_id, c.vec_id AS match_id, "
+        "ROUND(list_cosine_similarity(b.embedding::DOUBLE[], "
+        "c.embedding::DOUBLE[]), 6) AS mc, "
+        "row_number() OVER (PARTITION BY b.vec_id ORDER BY "
+        "ROUND(list_cosine_similarity(b.embedding::DOUBLE[], "
+        "c.embedding::DOUBLE[]), 6) DESC, c.vec_id ASC) AS r "
+        "FROM embeddings b CROSS JOIN embeddings c "
+        "WHERE b.vec_id % 20 = 0 AND c.vec_id % 20 <> 0) "
+        "SELECT 'ngram' AS part, d.doc_id, "
         "CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
-        "COALESCE(h.n_contaminated, 0) > 0 AS contaminated "
-        "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 20 <> 0"
+        "COALESCE(h.n_contaminated, 0) > 0 AS contaminated, "
+        "CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS DOUBLE) AS max_cosine "
+        "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 20 <> 0 "
+        "UNION ALL "
+        "SELECT 'sem' AS part, doc_id, CAST(NULL AS BIGINT) AS n_contaminated, "
+        "mc >= 0.92 AS contaminated, CAST(match_id AS BIGINT) AS match_id, "
+        "mc AS max_cosine FROM semall WHERE r = 1"
     ),
     "hash_split_documents": (
         # DSIR leg CTEs: hashed unigram+bigram buckets (2 md5 nibbles),

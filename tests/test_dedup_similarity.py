@@ -523,6 +523,37 @@ def test_train_pq_codebooks_sampled(spark):
     assert got == {(1000 + i, i) for i in range(5)}
 
 
+def test_semantic_contamination_flags_paraphrase(spark):
+    """The embedding-space decontamination screen: a benchmark item
+    whose near-identical paraphrase sits in the training corpus must
+    flag, one with no close neighbor must not; output is one row per
+    bench item with a deterministic argmax."""
+    import numpy as np
+
+    from gluestick_ts_spark.operators.similarity import semantic_contamination
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16)
+    corpus_rows = [
+        (i, [float(x) for x in base[i]]) for i in range(40)
+    ]
+    # bench 1000 = paraphrase of corpus 7 (tiny perturbation);
+    # bench 1001 = a fresh random direction (no leak)
+    bench_rows = [
+        (1000, [float(x + 0.01) for x in base[7]]),
+        (1001, [float(x) for x in rng.randn(16)]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(bench_rows, "vec_id long, embedding array<double>")
+    out = {r.bench_id: r for r in semantic_contamination(
+        corpus, bench, threshold=0.95
+    ).collect()}
+    assert set(out) == {1000, 1001}
+    assert out[1000].contaminated and out[1000].match_id == 7
+    assert out[1000].max_cosine > 0.99
+    assert not out[1001].contaminated
+
+
 def test_ivf_train_centroids_query_invariants(spark, sf_dir):
     """Driver-visible IVF build query: inverted-list sizes must account
     for EVERY corpus vector exactly once, and every cid must come from
