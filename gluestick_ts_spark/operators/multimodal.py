@@ -208,6 +208,7 @@ def extract_media_features(
     n_features: int = 8,
     batch_size_hint: int | None = None,
     provenance_col: str | None = "decoder",
+    hash_columns: dict[str, Callable[[bytes | None], int | None]] | None = None,
 ) -> DataFrame:
     """Decode media payloads to feature vectors via ``mapInPandas``.
 
@@ -222,24 +223,37 @@ def extract_media_features(
     ``"custom"`` when a caller-supplied ``decode_fn`` ran — pass
     ``provenance_col=None`` to omit). The provenance column is the only
     way to tell a real decode from the fake fallback in a mixed corpus.
+
+    ``hash_columns`` (name -> ``payload -> int | None``, e.g. the
+    perceptual ``dhash_of_payload``/``wavhash_of_payload`` family)
+    appends LongType hash columns in the SAME Arrow pass — at 100 TB
+    the payload transfer/decode dominates, so feature extraction and
+    hashing must not each pay it.
     """
     if decode_fn is None:
         dispatch = lambda b: decode_features_with_provenance(b, n_features)  # noqa: E731
     else:
         dispatch = lambda b: (decode_fn(b), "custom")  # noqa: E731
+    hash_columns = hash_columns or {}
     extra = [T.StructField(feature_col, MEDIA_FEATURE_TYPE, True)]
     if provenance_col:
         extra.append(T.StructField(provenance_col, T.StringType(), True))
+    extra.extend(
+        T.StructField(name, T.LongType(), True) for name in hash_columns
+    )
     out_schema = T.StructType(list(df.schema.fields) + extra)
     bcol = binary_col
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            decoded = [dispatch(b) for b in pdf[bcol]]
+            payloads = list(pdf[bcol])
+            decoded = [dispatch(b) for b in payloads]
             pdf[feature_col] = [feats for feats, _ in decoded]
             if provenance_col:
                 pdf[provenance_col] = [label for _, label in decoded]
+            for name, fn in hash_columns.items():
+                pdf[name] = pd.array([fn(b) for b in payloads], dtype="Int64")
             yield pdf
 
     return df.mapInPandas(_mapper, schema=out_schema)

@@ -2629,9 +2629,10 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     deterministic ``doc_id <`` slices replace ``limit`` so both
     engines see identical row sets."""
     from ..operators.imagehash import (
+        dhash_of_payload,
         hamming_neardup_pairs,
         image_dhash,
-        media_hashes,
+        wavhash_of_payload,
     )
     from ..operators.multimodal import probe_media_metadata
 
@@ -2652,7 +2653,16 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         media = d.mapInPandas(_synth, schema="doc_id long, content binary")
         media = attach_media_metadata(media, media_type="unknown", fmt="bin")
         media = probe_media_metadata(media)
-        out = media_hashes(extract_media_features(media, n_features=8))
+        # features + provenance + both perceptual hashes in ONE Arrow
+        # pass — payloads decode once, not once per hash family
+        out = extract_media_features(
+            media,
+            n_features=8,
+            hash_columns={
+                "dhash": dhash_of_payload,
+                "wavhash": wavhash_of_payload,
+            },
+        )
         legs.append(out.select(
             F.lit("feat").alias("part"),
             "doc_id",
