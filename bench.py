@@ -31,6 +31,16 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
+ROUND-9 DRIFT INVESTIGATION (the round-7 protocol): the r9 suite reads
+uniformly ~1.35x r8 — INCLUDING untouched pure-relational queries
+(q1 1.53x, q3 1.93x, q6 1.79x, rollup_cube 1.70x) whose plans and
+inputs did not change, and a quiet targeted re-run reproduced the same
+absolute numbers (q1 median 1.45 s, q3 1.68 s) — so the shift is
+box/session-level load, not a code regression. Relative per-query
+ordering is unchanged and the parts maps attribute the real
+composition deltas (curation +2 URL-stage windows, multimodal feat
++hash columns).
+
 ROUND-9 COMPOSITION CHANGES: ``curation_pipeline_docs`` gained the
 URL-dedup + per-domain-cap first stage (two more short-key window
 shuffles over a synthesized URL column — operators/weburl.py), so its

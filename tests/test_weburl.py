@@ -119,6 +119,34 @@ def test_domain_cap_validation_and_columns(spark):
     assert row.dom == "b.org" and row.rk == 1 and row.domain_keep
 
 
+def test_normalize_url_idempotent_battery(spark):
+    """normalize(normalize(u)) == normalize(u) over a seeded battery of
+    URL-ish strings (schemes x cases x ports x params x fragments x
+    trailing slashes + junk) — a canonicalization that keeps moving on
+    re-application would make incremental URL stores self-inconsistent.
+    One Spark job for the whole battery."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "HTTPS://", "ftp://", ""]
+    hosts = ["WWW.Ex.COM", "a.b.ORG", "x.io:443", "h.net:8080", "solo"]
+    paths = ["", "/", "/a/b", "/a/b/", "/A%20b"]
+    qs = ["", "?x=1", "?utm_source=a", "?utm_a=1&b=2&utm_c=3#f", "#frag", "?a=1&"]
+    urls = ["not a url", "://broken", " spaced out "]
+    for _ in range(200):
+        urls.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths) + rng.choice(qs)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = normalize_url_expr("u")
+    rows = df.select(
+        once.alias("n1"),
+        normalize_url_expr(normalize_url_expr("u")).alias("n2"),
+    ).collect()
+    bad = [(r.n1, r.n2) for r in rows if r.n1 != r.n2]
+    assert bad == [], bad[:5]
+
+
 def test_url_stage_plan_shape(spark):
     """Scale gate: the two weburl windows shuffle on the SHORT derived
     keys (normalized url / domain), never on a text column, with no
