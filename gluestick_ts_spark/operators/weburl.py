@@ -43,6 +43,7 @@ __all__ = [
     "registered_domain_expr",
     "url_dedup_flag",
     "url_dedup",
+    "url_dedup_incremental",
     "domain_cap_flag",
 ]
 
@@ -129,6 +130,33 @@ def url_dedup(
     Returns surviving rows with their original columns."""
     flagged = url_dedup_flag(df, url_col, id_col, flag_col="__keep")
     return flagged.where(F.col("__keep")).drop("__keep")
+
+
+def url_dedup_incremental(
+    new_df: DataFrame,
+    corpus_urls: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Keep-first URL dedup of a NEW crawl batch against an existing
+    crawl's stored normalized-URL relation (schema ``url_norm``) — the
+    incremental-ingest form of the re-crawl prune, mirroring
+    ``dedup_exact_incremental``'s contract: within-batch keep-first,
+    then one anti-join on the short normalized key. The corpus is
+    touched only through its (tiny) URL-key relation; per-batch cost is
+    bounded by the batch.
+
+    Returns ``(survivors, survivor_urls)``; append ``survivor_urls``
+    to the store so the next batch never re-accepts a re-crawl.
+    """
+    within = url_dedup(new_df, url_col, id_col)
+    key = "__gs_url"
+    keyed = within.withColumn(key, normalize_url_expr(url_col))
+    survivors = keyed.join(
+        corpus_urls.select(F.col("url_norm").alias(key)), on=key, how="left_anti"
+    )
+    survivor_urls = survivors.select(F.col(key).alias("url_norm"))
+    return survivors.drop(key), survivor_urls
 
 
 def domain_cap_flag(

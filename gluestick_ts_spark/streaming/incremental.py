@@ -34,6 +34,7 @@ __all__ = [
     "stream_windowed_counts",
     "stream_sessionize",
     "stream_dedup_incremental",
+    "stream_url_dedup",
     "stream_corpus_profile",
     "stream_curation_filter",
     "frozen_logprob_expr",
@@ -296,6 +297,67 @@ def stream_dedup_incremental(
 
     if bucketed:
         _process = _process_bucketed
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def stream_url_dedup(
+    stream_df: DataFrame,
+    store_dir: str,
+    emit,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Streaming re-crawl prune (the weburl family's streaming twin):
+    each micro-batch is keep-first-deduped by normalized URL within the
+    batch, anti-joined against the durable normalized-URL store
+    (``<store_dir>/urls.parquet``), the survivors are handed to
+    ``emit(survivors_df, batch_id)``, and their keys append so later
+    batches — and later restarts — never re-accept a re-crawl.
+
+    Same replay-idempotency protocol as ``stream_dedup_incremental``:
+    every appended key is stamped with its micro-batch id, the dedup
+    EXCLUDES store rows carrying the current batch's stamp, the append
+    is skipped when the batch's ``.done`` marker exists, and survivors
+    are pinned and EMITTED BEFORE the append mutates the store. Keys
+    are ~a URL each — the store stays tiny relative to page payloads,
+    which never enter the join at all.
+    """
+    from ..operators.dedup import _exclude_batch_filter
+    from ..operators.weburl import url_dedup_incremental
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    url_path = join_uri(store_dir, "urls.parquet")
+    stamper = _BatchStamper(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
+        if hadoop_path_exists(spark, url_path):
+            store = spark.read.parquet(url_path)
+            if "batch_id" in store.columns:
+                store = _exclude_batch_filter(
+                    store, store.schema, stamp
+                ).drop("batch_id")
+        else:
+            store = spark.createDataFrame([], "url_norm string")
+        survivors, keys = url_dedup_incremental(
+            batch_df, store, url_col, id_col
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        keys = keys.localCheckpoint(eager=True)
+        emit(survivors, batch_id)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            keys.withColumn(
+                "batch_id", F.lit(int(stamp)).cast("long")
+            ).write.mode("append").parquet(url_path)
+            stamper.mark_appended(spark, store_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     if checkpoint_dir:

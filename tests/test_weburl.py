@@ -119,6 +119,141 @@ def test_domain_cap_validation_and_columns(spark):
     assert row.dom == "b.org" and row.rk == 1 and row.domain_keep
 
 
+def test_url_dedup_incremental(spark):
+    """Cross-batch form: within-batch keep-first, then anti-join vs the
+    stored normalized keys; survivors' keys extend the store."""
+    from gluestick_ts_spark.operators.weburl import url_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "http://a.org/x"), (2, "HTTP://WWW.A.ORG/x?utm_source=f"), (3, "http://b.org/y")],
+        "doc_id long, url string",
+    )
+    store = spark.createDataFrame([], "url_norm string")
+    s1, k1 = url_dedup_incremental(b1, store)
+    assert {r.doc_id for r in s1.collect()} == {1, 3}  # 2 = within-batch re-crawl
+    store = store.unionByName(k1)
+
+    b2 = spark.createDataFrame(
+        [(10, "https://a.org:443/x".replace("https", "http")),  # re-crawl of 1
+         (11, "http://c.org/z")],
+        "doc_id long, url string",
+    )
+    s2, k2 = url_dedup_incremental(b2, store)
+    assert {r.doc_id for r in s2.collect()} == {11}
+    assert {r.url_norm for r in k2.collect()} == {"http://c.org/z"}
+
+
+def test_stream_url_dedup(spark, tmp_path):
+    """Streaming twin: batch 1 seeds the URL store; batch 2's re-crawls
+    (case/www/params variants) are dropped while fresh URLs survive and
+    extend the store."""
+    from gluestick_ts_spark.streaming.incremental import stream_url_dedup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, url string"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+
+    def _write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    _write_batch([(1, "http://site.org/a"), (2, "http://other.net/b")])
+    q = (
+        stream_url_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert set().union(*emitted.values()) == {1, 2}
+
+    emitted.clear()
+    _write_batch([
+        (10, "HTTP://WWW.Site.ORG/a?utm_source=x"),  # re-crawl of 1
+        (11, "http://fresh.io/c"),
+    ])
+    q2 = (
+        stream_url_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert set().union(*emitted.values()) == {11}
+    stored = {r.url_norm for r in spark.read.parquet(f"{store}/urls.parquet").collect()}
+    assert stored == {
+        "http://site.org/a", "http://other.net/b", "http://fresh.io/c"
+    }
+
+
+def test_stream_url_dedup_crash_replay(spark, tmp_path):
+    """Crash window: store append + marker committed but the streaming
+    checkpoint commit lost -> the batch replays against the store state
+    the first attempt saw (its own stamped keys excluded) and re-emits
+    the SAME survivors instead of dropping them as self-duplicates."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_url_dedup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, url string"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "http://a.org/p"), (2, "http://b.org/q")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_url_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=ckpt,
+        ).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert set().union(*emitted.values()) == {1, 2}
+
+    # simulate the crash: drop the checkpoint commit (and its local-FS
+    # .crc shadow) so Spark replays batch 0 against the mutated store
+    commit0 = os.path.join(ckpt, "commits", "0")
+    os.remove(commit0)
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    emitted.clear()
+    q2 = (
+        stream_url_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=ckpt,
+        ).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(180)
+    assert set().union(*emitted.values()) == {1, 2}  # re-emitted, not self-dup'd
+    stored = [
+        r.url_norm
+        for r in spark.read.parquet(f"{store}/urls.parquet").collect()
+    ]
+    # the re-append is allowed (presence semantics); the KEY SET converges
+    assert set(stored) == {"http://a.org/p", "http://b.org/q"}
+
+
 def test_normalize_url_idempotent_battery(spark):
     """normalize(normalize(u)) == normalize(u) over a seeded battery of
     URL-ish strings (schemes x cases x ports x params x fragments x
