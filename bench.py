@@ -41,6 +41,12 @@ ordering is unchanged and the parts maps attribute the real
 composition deltas (curation +2 URL-stage windows, multimodal feat
 +hash columns).
 
+ROUND-9 COMPOSITION CHANGES (continued): ``line_dedup_docs`` gained
+the ``c4`` grain (C4 line-rule cleaning over a synthesized punctuated
+twin — one more map-only projection + the shared doc_id join) and
+``ngram_contamination_docs`` the ``sem`` leg (broadcast-bench exact
+cosine argmax; that query is not in the bench suite).
+
 ROUND-9 COMPOSITION CHANGES: ``curation_pipeline_docs`` gained the
 URL-dedup + per-domain-cap first stage (two more short-key window
 shuffles over a synthesized URL column — operators/weburl.py), so its

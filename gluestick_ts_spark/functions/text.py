@@ -37,6 +37,7 @@ __all__ = [
     "repetition_profile_sql",
     "gopher_quality_flags",
     "gopher_rules_sql",
+    "c4_line_rules_expr",
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
@@ -134,6 +135,54 @@ def self_dedup_lines_expr(text: Column | str) -> Column:
     ``array_distinct`` preserves first-occurrence order — so it's
     map-only at any corpus size."""
     return F.concat_ws("\n", F.array_distinct(F.split(_col(text), "\n")))
+
+
+def c4_line_rules_expr(
+    text: Column | str,
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+) -> Column:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    per-LINE half the doc-level Gopher rules don't cover), as one
+    map-only struct expression:
+
+    - a line is KEPT iff it ends in a terminal punctuation mark
+      (``. ! ?``, optionally followed by a closing quote), contains at
+      least ``min_words`` words, and does not mention ``javascript``
+      (case-insensitive);
+    - the DOCUMENT verdict ``keep`` additionally requires no
+      ``lorem ipsum`` placeholder text, no ``{`` (code), and at least
+      ``min_kept_lines`` surviving lines (the paper's 5-sentence
+      floor, counted on kept lines).
+
+    Returns ``struct(text_clean, n_lines, n_kept, has_lorem_ipsum,
+    has_brace, keep)`` — ``text_clean`` is the kept lines rejoined in
+    order. Every rule is a Java∩RE2-subset regex / substring test, so
+    a SQL oracle restates it verbatim. Pure Column algebra: map-only
+    at any corpus size."""
+    t = _col(text)
+    lines = F.split(t, "\n")
+    is_kept = lambda ln: (  # noqa: E731
+        ln.rlike("[.!?][\"']?\\s*$")
+        & (
+            F.size(F.filter(F.split(F.trim(ln), "\\s+"), lambda w: w != ""))
+            >= F.lit(min_words)
+        )
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return F.struct(
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= F.lit(min_kept_lines)) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )
 
 
 def fingerprint_expr(text: Column | str) -> Column:

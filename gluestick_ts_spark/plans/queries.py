@@ -1475,11 +1475,50 @@ def q_line_dedup_docs(spark, sf):
         "n_tokens",
         "n_tokens_kept",
     )
+    # c4 grain (round 9): C4's LINE-level cleaning rules
+    # (functions/text.py c4_line_rules_expr) over a synthesized
+    # punctuated multi-line twin of each document — 8-token chunks as
+    # lines, '.' on even chunks (so odd chunks exercise the
+    # terminal-punctuation drop), plus planted javascript / lorem
+    # ipsum / brace marker lines on deterministic doc_id bands. Pure
+    # expression of (text, doc_id), restated verbatim in the oracle;
+    # map-only, rides the same doc_id join.
+    from ..functions.text import c4_line_rules_expr
+
+    toks = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    chunk_lines = (
+        f"transform(sequence(0, int(ceil(size({toks}) / 8.0)) - 1), i -> "
+        f"concat(concat_ws(' ', slice({toks}, i * 8 + 1, 8)), "
+        "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+    )
+    synth = (
+        f"concat_ws('\\n', concat({chunk_lines}, "
+        "CASE WHEN doc_id % 17 = 0 THEN "
+        "array('click here to enable javascript now please.') "
+        "ELSE array() END, "
+        "CASE WHEN doc_id % 23 = 0 THEN "
+        "array('lorem ipsum dolor sit amet consectetur adipiscing elit.') "
+        "ELSE array() END, "
+        "CASE WHEN doc_id % 31 = 0 THEN "
+        "array('function f() { return 1; }') ELSE array() END))"
+    )
+    c4 = d.select(
+        "doc_id", F.expr(synth).alias("__c4text")
+    ).select(
+        "doc_id", c4_line_rules_expr("__c4text").alias("__c4")
+    ).select(
+        "doc_id",
+        F.col("__c4.n_lines").alias("c4_n_lines"),
+        F.col("__c4.n_kept").alias("c4_n_kept"),
+        F.col("__c4.keep").alias("c4_keep"),
+        F.md5(F.col("__c4.text_clean")).alias("c4_clean_md5"),
+    )
     return (
         line_dedup(d)
         .join(selfd, on="doc_id")
         .join(spans, on="doc_id")
         .join(substr, on="doc_id")
+        .join(c4, on="doc_id")
     )
 
 
@@ -1510,7 +1549,7 @@ def q_curation_pipeline_docs(spark, sf):
     normalized URL — the re-crawl prune; the synthetic URL is a pure
     function of doc_id/source exercising case, www., tracking params,
     and fragments, so the DuckDB oracle restates the whole regex
-    normalization chain) and ``domain``/``domain_keep`` (at most 100
+    normalization chain) and ``domain``/``domain_keep`` (at most 25
     docs per registered domain in seeded md5 order). Both fold into
     ``keep``/``drop_reason`` at top priority."""
     from ..functions.text import quality_score_expr
@@ -3055,6 +3094,29 @@ def _line_grain_part(grain: str) -> QueryFn:
             return sentence_span_dedup(d, broadcast_stats=True)
         if grain == "substr":
             return exact_substring_dedup(d, k=8, broadcast_stats=True)
+        if grain == "c4":
+            from ..functions.text import c4_line_rules_expr
+
+            toks = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+            chunk_lines = (
+                f"transform(sequence(0, int(ceil(size({toks}) / 8.0)) - 1), "
+                f"i -> concat(concat_ws(' ', slice({toks}, i * 8 + 1, 8)), "
+                "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+            )
+            synth = (
+                f"concat_ws('\\n', concat({chunk_lines}, "
+                "CASE WHEN doc_id % 17 = 0 THEN "
+                "array('click here to enable javascript now please.') "
+                "ELSE array() END, "
+                "CASE WHEN doc_id % 23 = 0 THEN "
+                "array('lorem ipsum dolor sit amet consectetur "
+                "adipiscing elit.') ELSE array() END, "
+                "CASE WHEN doc_id % 31 = 0 THEN "
+                "array('function f() { return 1; }') ELSE array() END))"
+            )
+            return d.select(
+                "doc_id", c4_line_rules_expr(F.expr(synth)).alias("__c4")
+            ).select("doc_id", "__c4.*")
         u = F.array_distinct(F.split(F.col("text"), "\n"))
         return d.select(
             "doc_id",
@@ -3252,7 +3314,8 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         "ivfstore_probe": _ivf_store_probe,
     },
     "line_dedup_docs": {
-        p: _line_grain_part(p) for p in ("line", "selfdedup", "span", "substr")
+        p: _line_grain_part(p)
+        for p in ("line", "selfdedup", "span", "substr", "c4")
     },
     "dedup_exact_docs": {
         p: _dedup_exact_docs_part(p) for p in ("dedup", "winnow")
@@ -4734,14 +4797,46 @@ ORACLES: dict[str, str] = {
         "AS n_tokens_kept "
         "FROM tokn t LEFT JOIN trem r "
         "ON t.doc_id = r.doc_id AND t.tidx = r.tidx "
-        "GROUP BY t.doc_id) "
+        "GROUP BY t.doc_id), "
+        # c4 grain: synthesized punctuated lines (8-token chunks, '.'
+        # on even chunks, planted javascript/lorem/brace marker lines)
+        # cleaned by C4's line rules — mirrors c4_line_rules_expr
+        "c4t AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') "
+        "AS T FROM documents), "
+        "c4l AS (SELECT doc_id, list_concat(list_concat(list_concat("
+        "[array_to_string(T[i*8+1:i*8+8], ' ') || "
+        "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END "
+        "for i in range(0, CAST(ceil(len(T)/8.0) AS INTEGER))], "
+        "CASE WHEN doc_id % 17 = 0 THEN "
+        "['click here to enable javascript now please.'] "
+        "ELSE CAST([] AS VARCHAR[]) END), "
+        "CASE WHEN doc_id % 23 = 0 THEN "
+        "['lorem ipsum dolor sit amet consectetur adipiscing elit.'] "
+        "ELSE CAST([] AS VARCHAR[]) END), "
+        "CASE WHEN doc_id % 31 = 0 THEN "
+        "['function f() { return 1; }'] ELSE CAST([] AS VARCHAR[]) END) "
+        "AS LNS FROM c4t), "
+        "c4 AS (SELECT doc_id, "
+        "CAST(len(LNS) AS BIGINT) AS c4_n_lines, "
+        "CAST(len(KPT) AS BIGINT) AS c4_n_kept, "
+        "(len(KPT) >= 5 AND NOT contains(lower(FULLT), 'lorem ipsum') "
+        "AND NOT contains(FULLT, '{')) AS c4_keep, "
+        "md5(array_to_string(KPT, chr(10))) AS c4_clean_md5 FROM ("
+        "SELECT doc_id, LNS, array_to_string(LNS, chr(10)) AS FULLT, "
+        "list_filter(LNS, ln -> "
+        "regexp_matches(ln, '[.!?][\"'']?\\s*$') "
+        "AND len(list_filter(string_split_regex(trim(ln), '\\s+'), "
+        "w -> w <> '')) >= 3 "
+        "AND NOT contains(lower(ln), 'javascript')) AS KPT FROM c4l) x) "
         "SELECT cd.doc_id, cd.text_dedup, cd.n_lines, cd.n_lines_kept, "
         "array_to_string(sd.U, chr(10)) AS text_selfdedup, "
         "CAST(len(sd.U) AS BIGINT) AS n_lines_unique, "
         "spd.text_spandedup, spd.n_sents, spd.n_sents_kept, "
-        "tsd.text_substrdedup, tsd.n_tokens, tsd.n_tokens_kept "
+        "tsd.text_substrdedup, tsd.n_tokens, tsd.n_tokens_kept, "
+        "c4.c4_n_lines, c4.c4_n_kept, c4.c4_keep, c4.c4_clean_md5 "
         "FROM cd JOIN sd USING (doc_id) JOIN spd USING (doc_id) "
-        "JOIN tsd USING (doc_id)"
+        "JOIN tsd USING (doc_id) JOIN c4 USING (doc_id)"
     ),
     "curation_pipeline_docs": (
         "WITH it AS (SELECT doc_id, "

@@ -379,3 +379,40 @@ def test_repetition_profile_hand_computed(spark):
     # doc 4: single token -> no 2-grams
     assert out[4].top2gram_char_frac == 0.0
     assert out[4].dup_line_frac == 0.0
+
+
+def test_c4_line_rules(spark):
+    """C4 line cleaning (Raffel et al. 2020 §2.2): terminal-punct /
+    min-words / javascript line drops, lorem-ipsum + brace + kept-line
+    doc verdict — hand-computed cases."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import c4_line_rules_expr
+
+    keep5 = "\n".join(f"this sentence number {i} is properly formed." for i in range(5))
+    docs = [
+        (1, keep5),  # 5 kept lines, clean -> keep
+        (2, keep5 + "\nno terminal punctuation here"),          # extra line dropped
+        (3, keep5 + "\nplease enable JavaScript to continue."),  # js line dropped
+        (4, keep5 + "\nshort one."),                              # < 3 words dropped
+        (5, keep5.replace("number 0", "Lorem Ipsum text")),       # lorem -> doc dropped
+        (6, keep5 + "\nif (x) { y(); }"),                          # brace -> doc dropped
+        (7, "only two good lines here today.\nanother good line is right here."),
+        (8, 'he said "stop right there now!"'),  # punct + closing quote kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", c4_line_rules_expr("text").alias("c4")
+        ).select("doc_id", "c4.*").collect()
+    }
+    assert out[1].keep and out[1].n_kept == 5 and out[1].text_clean == keep5
+    # the offending lines are dropped but the doc still keeps (5 survivors)
+    for i in (2, 3, 4):
+        assert out[i].n_lines == 6 and out[i].n_kept == 5 and out[i].keep, i
+        assert out[i].text_clean == keep5
+    assert out[5].has_lorem_ipsum and not out[5].keep and out[5].n_kept == 5
+    assert out[6].has_brace and not out[6].keep
+    assert out[7].n_kept == 2 and not out[7].keep  # under the 5-line floor
+    assert out[8].n_kept == 1  # terminal punct inside closing quote
