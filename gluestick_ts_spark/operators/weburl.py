@@ -117,7 +117,15 @@ def url_dedup_flag(
     key = normalize_url_expr(url_col)
     out = df.withColumn("__url_norm", key)
     w = Window.partitionBy("__url_norm").orderBy(F.col(id_col).asc())
-    out = out.withColumn(flag_col, F.row_number().over(w) == 1)
+    # NULL-url rows are NOT duplicates of each other (there is no key
+    # to agree on) — they all keep, instead of silently keep-firsting
+    # the whole null group as one URL
+    out = out.withColumn(
+        flag_col,
+        F.when(F.col("__url_norm").isNull(), F.lit(True)).otherwise(
+            F.row_number().over(w) == 1
+        ),
+    )
     if norm_col:
         return out.withColumnRenamed("__url_norm", norm_col)
     return out.drop("__url_norm")
@@ -152,10 +160,16 @@ def url_dedup_incremental(
     within = url_dedup(new_df, url_col, id_col)
     key = "__gs_url"
     keyed = within.withColumn(key, normalize_url_expr(url_col))
+    # NULL keys never match in the anti-join (SQL null semantics), so
+    # null-url rows always survive — consistent with url_dedup_flag
     survivors = keyed.join(
         corpus_urls.select(F.col("url_norm").alias(key)), on=key, how="left_anti"
     )
-    survivor_urls = survivors.select(F.col(key).alias("url_norm"))
+    # ...but a NULL is not a key worth STORING: it can never match a
+    # future batch either, it would only bloat the store
+    survivor_urls = survivors.where(F.col(key).isNotNull()).select(
+        F.col(key).alias("url_norm")
+    )
     return survivors.drop(key), survivor_urls
 
 
@@ -182,7 +196,15 @@ def domain_cap_flag(
     out = df.withColumn("__dom", registered_domain_expr(url_col))
     w = Window.partitionBy("__dom").orderBy(order_key.asc())
     out = out.withColumn("__drank", F.row_number().over(w))
-    out = out.withColumn(flag_col, F.col("__drank") <= cap)
+    # rows with no attributable domain (NULL url) always keep — the cap
+    # is a per-domain politeness budget, not a bucket for the unknown;
+    # non-URL strings still cap together under domain '' (documented)
+    out = out.withColumn(
+        flag_col,
+        F.when(F.col("__dom").isNull(), F.lit(True)).otherwise(
+            F.col("__drank") <= cap
+        ),
+    )
     if rank_col:
         out = out.withColumnRenamed("__drank", rank_col)
     else:

@@ -109,6 +109,29 @@ def test_domain_cap_deterministic_and_seeded(spark):
     assert a == expect
 
 
+def test_null_url_semantics(spark):
+    """NULL urls are identity-less: they never dedup against each other
+    (all keep), never count against a domain cap, survive the
+    incremental anti-join, and are not stored as keys."""
+    from gluestick_ts_spark.operators.weburl import url_dedup_incremental
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "http://a.org/x"), (4, "http://a.org/x")],
+        "doc_id long, url string",
+    )
+    flags = {r.doc_id: r.url_keep for r in url_dedup_flag(df, "url", "doc_id").collect()}
+    assert flags == {1: True, 2: True, 3: True, 4: False}
+    caps = {
+        r.doc_id: r.domain_keep
+        for r in domain_cap_flag(df, "url", "doc_id", cap=1).collect()
+    }
+    assert caps[1] and caps[2]  # unattributable rows never capped
+    store = spark.createDataFrame([("http://a.org/x",)], "url_norm string")
+    s, k = url_dedup_incremental(df, store)
+    assert {r.doc_id for r in s.collect()} == {1, 2}  # 3/4 caught/merged
+    assert k.count() == 0  # NULL keys never stored
+
+
 def test_domain_cap_validation_and_columns(spark):
     df = spark.createDataFrame([(1, "http://a.b.org/x")], "doc_id long, url string")
     with pytest.raises(ValueError):
