@@ -41,6 +41,11 @@ ordering is unchanged and the parts maps attribute the real
 composition deltas (curation +2 URL-stage windows, multimodal feat
 +hash columns).
 
+ROUND-9 COMPOSITION CHANGES (continued 2): ``ann_lsh_topk`` became a
+tagged union — the lsh leg plus the NEW ``ham`` leg (compressed-domain
+binary ANN: 64-plane sign codes + Hamming pre-rank + exact re-rank);
+its parts map attributes the two legs.
+
 ROUND-9 COMPOSITION CHANGES (continued): ``line_dedup_docs`` gained
 the ``c4`` grain (C4 line-rule cleaning over a synthesized punctuated
 twin — one more map-only projection + the shared doc_id join) and

