@@ -31,15 +31,17 @@ additionally carries a mergeable HLL distinct-user sketch through the
 store plus an exact-COUNT-DISTINCT verification join, so its round-6
 number (2.75 s) covers neither.
 
-ROUND-9 DRIFT INVESTIGATION (the round-7 protocol): the r9 suite reads
-uniformly ~1.35x r8 — INCLUDING untouched pure-relational queries
-(q1 1.53x, q3 1.93x, q6 1.79x, rollup_cube 1.70x) whose plans and
-inputs did not change, and a quiet targeted re-run reproduced the same
-absolute numbers (q1 median 1.45 s, q3 1.68 s) — so the shift is
-box/session-level load, not a code regression. Relative per-query
-ordering is unchanged and the parts maps attribute the real
-composition deltas (curation +2 URL-stage windows, multimodal feat
-+hash columns).
+ROUND-9 DRIFT INVESTIGATION (the round-7 protocol): a mid-round full
+run read uniformly ~1.35x r8 INCLUDING untouched pure-relational
+queries; the final end-of-round run on a quieter box landed at
+geomean 1.13x with several untouched queries back at or below r8
+(dedup_exact 0.88x, hash_split 0.93x, dedup_keep_last 0.96x) — the
+residual spread is session load noise plus real composition growth,
+attributed per-part: ann_lsh_topk 1.45x carries the NEW ham leg
+(parts: lsh 2.37 s vs ham 1.53 s), curation carries the URL stage,
+line_dedup the c4 grain (0.40 s part), multimodal_features the fused
+hash columns. Treat cross-round deltas under ~1.25x as environment
+noise unless a plan diff corroborates them (the r7/r8 rule).
 
 ROUND-9 COMPOSITION CHANGES (continued 2): ``ann_lsh_topk`` became a
 tagged union — the lsh leg plus the NEW ``ham`` leg (compressed-domain

@@ -2410,8 +2410,10 @@ def q_ann_lsh_topk(spark, sf, modes=("lsh", "ham")):
             (F.col("recall_at_k") >= 0.4).alias("recall_ok"),
         ))
     if "ham" in modes:
+        # dim=64 pinned: the default dim probe is a .first() driver job
+        # at query construction (fine for ad-hoc use, waste here)
         hout = ann_recall_vs_exact(
-            binary_hamming_topk(e, q, k=5).drop("hamming"), exact, k=5
+            binary_hamming_topk(e, q, k=5, dim=64).drop("hamming"), exact, k=5
         )
         legs.append(hout.select(
             F.lit("ham").alias("mode"),
