@@ -2398,7 +2398,8 @@ def q_ann_lsh_topk(spark, sf, modes=("lsh", "ham")):
     exact = cosine_topk(e, q, k=5)
     legs = []
     if "lsh" in modes:
-        approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
+        # dim=64 pinned here too — same construction-time probe skip
+        approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12, dim=64)
         out = ann_recall_vs_exact(approx, exact, k=5)
         legs.append(out.select(
             F.lit("lsh").alias("mode"),
