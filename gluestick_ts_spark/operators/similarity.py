@@ -34,6 +34,7 @@ __all__ = [
     "cosine_topk",
     "hard_negatives",
     "semantic_contamination",
+    "semantic_contamination_expr",
     "ann_lsh_topk",
     "binary_hamming_topk",
     "ann_ivf_topk",
@@ -167,6 +168,61 @@ def semantic_contamination(
             "max_cosine",
             (F.col("max_cosine") >= F.lit(threshold)).alias("contaminated"),
         )
+    )
+
+
+def semantic_contamination_expr(
+    vec_col: Column | str,
+    bench: list[dict],
+    threshold: float = 0.95,
+) -> Column:
+    """In-row twin of ``semantic_contamination`` against a FROZEN
+    benchmark embedding list — the ``frozen_logprob_expr`` deployment
+    pattern: the (small, by construction) eval set is an offline
+    artifact embedded as one constant-folded literal, so the screen is
+    a pure map-only projection usable in batch AND as a stateless
+    streaming stage (no state store, no shuffle, replay-identical).
+
+    ``bench``: ``[{"id": int, "vec": [floats]}, ...]`` (e.g. from
+    ``benchmark.collect()``). The fold visits bench items in ascending
+    id with a strict ``>`` comparison on the ROUND-6 cosine, so ties go
+    to the lowest id — identical semantics to the distributed argmax.
+    Returns ``struct(match_id long, max_cosine double, contaminated
+    boolean)``; an empty bench yields (NULL, NULL, false).
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    items = sorted(
+        ({"id": int(b["id"]), "vec": [float(x) for x in b["vec"]]} for b in bench),
+        key=lambda b: b["id"],
+    )
+    bench_lit = F.from_json(
+        F.lit(json.dumps(items)),
+        "array<struct<id: long, vec: array<double>>>",
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("match_id"),
+        F.lit(None).cast("double").alias("max_cosine"),
+    )
+    acc = F.aggregate(
+        bench_lit,
+        init,
+        lambda a, b: F.when(
+            a["max_cosine"].isNull()
+            | (F.round(cosine_similarity_expr(v, b["vec"]), 6) > a["max_cosine"]),
+            F.struct(
+                b["id"].alias("match_id"),
+                F.round(cosine_similarity_expr(v, b["vec"]), 6).alias(
+                    "max_cosine"
+                ),
+            ),
+        ).otherwise(a),
+    )
+    return F.struct(
+        acc["match_id"].alias("match_id"),
+        acc["max_cosine"].alias("max_cosine"),
+        F.coalesce(
+            acc["max_cosine"] >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "stream_sessionize",
     "stream_dedup_incremental",
     "stream_url_dedup",
+    "stream_semantic_contamination",
     "stream_corpus_profile",
     "stream_curation_filter",
     "frozen_logprob_expr",
@@ -302,6 +303,43 @@ def stream_dedup_incremental(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def stream_semantic_contamination(
+    stream_df: DataFrame,
+    bench: list[dict],
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    drop_contaminated: bool = False,
+    prefix: str = "sem_",
+) -> DataFrame:
+    """Streaming twin of ``semantic_contamination``: every arriving
+    embedding is argmax-scored against a FROZEN benchmark embedding
+    list (an offline artifact embedded as one constant-folded literal
+    — the ``stream_dsir_filter`` deployment pattern), appending
+    ``<prefix>match_id / <prefix>max_cosine / <prefix>contaminated``.
+
+    Pure STATELESS projection: no watermark, no state store, no
+    foreachBatch, no shuffle — Structured Streaming's fastest path,
+    and replay trivially re-emits identical rows. Eval sets are small
+    by construction; the literal costs |bench| x dim doubles per plan,
+    not per row. ``drop_contaminated=True`` filters leaks instead of
+    annotating them. Returns the transformed streaming DataFrame — the
+    caller picks the sink/trigger."""
+    from ..operators.similarity import semantic_contamination_expr
+
+    scored = stream_df.withColumn(
+        "__sem", semantic_contamination_expr(F.col(vec_col), bench, threshold)
+    )
+    out = scored.select(
+        "*",
+        F.col("__sem.match_id").alias(f"{prefix}match_id"),
+        F.col("__sem.max_cosine").alias(f"{prefix}max_cosine"),
+        F.col("__sem.contaminated").alias(f"{prefix}contaminated"),
+    ).drop("__sem")
+    if drop_contaminated:
+        out = out.where(~F.col(f"{prefix}contaminated"))
+    return out
 
 
 def stream_url_dedup(

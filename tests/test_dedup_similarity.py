@@ -604,6 +604,64 @@ def test_semantic_contamination_flags_paraphrase(spark):
     assert not out[1001].contaminated
 
 
+def test_semantic_contamination_expr_matches_distributed(spark, sf_dir):
+    """The frozen-literal in-row twin must agree row-for-row with the
+    distributed semantic_contamination over the same bench/corpus —
+    same ROUND-6-before-argmax, same lowest-id ties — and work as a
+    stateless streaming projection."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_contamination_expr,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench_df = e.where(F.col("vec_id") % 20 == 0)
+    corpus = e.where(F.col("vec_id") % 20 != 0)
+    bench = [
+        {"id": r.vec_id, "vec": list(r.embedding)} for r in bench_df.collect()
+    ]
+    # NOTE the roles: the EXPR screens arriving corpus docs against a
+    # frozen bench; the distributed op screens bench against corpus.
+    # Equivalence holds by symmetry of the pair set when we swap:
+    got_expr = {
+        r.vec_id: (r.s.match_id, r.s.max_cosine, r.s.contaminated)
+        for r in bench_df.select(
+            "vec_id",
+            semantic_contamination_expr(
+                "embedding",
+                [{"id": r.vec_id, "vec": list(r.embedding)}
+                 for r in corpus.collect()],
+                threshold=0.92,
+            ).alias("s"),
+        ).collect()
+    }
+    got_dist = {
+        r.bench_id: (r.match_id, r.max_cosine, r.contaminated)
+        for r in semantic_contamination(
+            corpus, bench_df, threshold=0.92
+        ).collect()
+    }
+    assert got_expr == got_dist
+
+    # streaming: stateless projection over a memory-rate stream shape
+    from gluestick_ts_spark.streaming.incremental import (
+        stream_semantic_contamination,
+    )
+
+    out = stream_semantic_contamination(
+        corpus, bench, threshold=0.92
+    )  # batch DF through the same code path (pure projection)
+    rows = {r.vec_id: r.sem_contaminated for r in out.collect()}
+    assert len(rows) == corpus.count()
+    # empty bench: NULLs + false, never an error
+    empty = corpus.select(
+        semantic_contamination_expr("embedding", []).alias("s")
+    ).first()
+    assert empty.s.match_id is None and empty.s.contaminated is False
+
+
 def test_ivf_train_centroids_query_invariants(spark, sf_dir):
     """Driver-visible IVF build query: inverted-list sizes must account
     for EVERY corpus vector exactly once, and every cid must come from
