@@ -43,6 +43,11 @@ line_dedup the c4 grain (0.40 s part), multimodal_features the fused
 hash columns. Treat cross-round deltas under ~1.25x as environment
 noise unless a plan diff corroborates them (the r7/r8 rule).
 
+ROUND-9 COMPOSITION CHANGES (continued 3): ``hash_split_documents``'s
+split part gained the token-budget selection columns (one short
+score-bucket aggregate + one bucket-keyed window on top of the
+map-only pass).
+
 ROUND-9 COMPOSITION CHANGES (continued 2): ``ann_lsh_topk`` became a
 tagged union — the lsh leg plus the NEW ``ham`` leg (compressed-domain
 binary ANN: 64-plane sign codes + Hamming pre-rank + exact re-rank);

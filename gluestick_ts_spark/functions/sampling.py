@@ -19,7 +19,9 @@ named splits with exact bucket boundaries (fractions are quantized to
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -27,6 +29,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "weighted_domain_sample",
+    "select_token_budget",
     "stratified_hash_sample_expr",
     "domain_shares",
     "temperature_rates",
@@ -255,6 +258,84 @@ def write_training_shards(
     }
     write_text_file(spark, join_uri(path, "_manifest.json"), json.dumps(manifest))
     return manifest
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    cum_col: str = "cum_tokens",
+    keep_col: str = "budget_keep",
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk documents in
+    (``score_col`` DESC, ``id_col`` ASC) order and keep every document
+    whose RUNNING token total (inclusive) stays within ``budget`` —
+    "assemble the best corpus that fits the training budget", the
+    selection step after scoring/dedup in a data pipeline. Appends
+    ``cum_col`` (the document's inclusive running total under that
+    global order) and ``keep_col``.
+
+    Greedy-prefix semantics (documented): the cut is a PREFIX of the
+    quality order — the first document that overflows the budget stops
+    the intake for every lower-scored document too (no knapsack
+    backfilling with smaller docs; the prefix rule is what keeps the
+    selection a pure function of the order).
+
+    100 TB shape — this is a GLOBAL running sum, and the naive
+    ``SUM() OVER (ORDER BY score)`` compiles to a single-partition
+    window. Instead: documents land in deterministic fixed-width score
+    buckets (``floor(score * n_buckets)`` — NOT sampled range
+    boundaries, so the assignment is reproducible across runs and
+    engines), ONE short aggregate computes per-bucket token sums,
+    the driver prefix-sums the <= ``n_buckets`` rows into per-bucket
+    offsets (bounded collect), and one bucket-keyed window adds the
+    in-bucket running sum to the broadcast offset. Two passes, no
+    global sort, skew bounded by the score distribution per 1/1024
+    score slice. Scores are assumed in [0, 1] (quality scores;
+    out-of-range scores clamp into the edge buckets — documented).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.greatest(F.lit(0), F.floor(s * int(n_buckets)).cast("int")),
+    )
+    bucketed = df.withColumn("__tb_bucket", bucket)
+    sums = {
+        int(r["__tb_bucket"]): int(r["toks"])
+        for r in bucketed.groupBy("__tb_bucket")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("toks"))
+        .collect()
+    }
+    # higher bucket = higher score = consumed first
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(sums, reverse=True):
+        offsets[b] = running
+        running += sums[b]
+    off_expr = F.element_at(
+        F.from_json(
+            F.lit(json.dumps({str(k): v for k, v in offsets.items()})),
+            "map<string, bigint>",
+        ),
+        F.col("__tb_bucket").cast("string"),
+    )
+    w = (
+        Window.partitionBy("__tb_bucket")
+        .orderBy(s.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed.withColumn(
+        cum_col,
+        (F.sum(F.col(token_col).cast("long")).over(w) + off_expr).cast("long"),
+    )
+    return out.withColumn(keep_col, F.col(cum_col) <= F.lit(int(budget))).drop(
+        "__tb_bucket"
+    )
 
 
 def domain_shares(df: DataFrame, domain_col: str) -> dict[str, float]:

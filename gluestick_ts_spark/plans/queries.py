@@ -2970,6 +2970,22 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
         "lang",
         {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.125},
     )
+    # round 9: token-budget corpus selection (select_token_budget —
+    # keep the best-quality docs whose running token total fits a
+    # 10k-token budget, score = heuristic quality, deterministic
+    # fixed-width score buckets + driver prefix over <=1024 bucket
+    # sums, never a single-partition global window); DuckDB restates
+    # it as the plain one-window cumulative-sum definition
+    from ..functions.sampling import select_token_budget
+    from ..functions.text import quality_score_expr, word_count_expr
+
+    out = out.withColumn("__q", quality_score_expr("text")).withColumn(
+        "__toks", word_count_expr("text").cast("long")
+    )
+    out = select_token_budget(
+        out, budget=10000, score_col="__q", token_col="__toks",
+        cum_col="budget_cum_tokens", keep_col="budget_keep",
+    )
     # third primitive: exact-N-per-stratum eval-set membership (16 docs
     # per language, the same 16 forever) — one lang-keyed window
     srank, skeep = stratified_hash_sample_expr("doc_id", "lang", 16)
@@ -2980,6 +2996,8 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
         "wds_bucket",
         "wds_rate",
         "wds_keep",
+        "budget_cum_tokens",
+        "budget_keep",
         srank.alias("strat_rank"),
         skeep.alias("in_eval_16"),
         epoch_shard_expr("doc_id", 1, 8).alias("shard"),
@@ -4645,10 +4663,21 @@ ORACLES: dict[str, str] = {
         "ln((dar.H[b+1] + 1.0)/(dar.tot + 256.0)))), 0.0) AS logw "
         "FROM dg CROSS JOIN dar CROSS JOIN dat) w), "
         "dkth AS (SELECT min(ky) AS th FROM ("
-        "SELECT ky FROM dky ORDER BY ky DESC LIMIT 100)) "
+        "SELECT ky FROM dky ORDER BY ky DESC LIMIT 100)), "
+        # token-budget selection: the DEFINITIONAL one-window cumsum —
+        # equals the bucketed distributed form because fixed-width
+        # score buckets order consistently with (q DESC, doc_id ASC)
+        "bq AS (SELECT doc_id, "
+        f"{_QUALITY_DUCK} AS q, CAST(len({_TOKS}) AS BIGINT) AS tk "
+        "FROM documents), "
+        "bcum AS (SELECT doc_id, CAST(SUM(tk) OVER ("
+        "ORDER BY q DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS budget_cum_tokens FROM bq) "
         "SELECT doc_id, bucket, CASE WHEN bucket < 205 THEN 'train' "
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
         "wds_bucket, wds_rate, wds_bucket < wds_rate AS wds_keep, "
+        "bcum.budget_cum_tokens, "
+        "bcum.budget_cum_tokens <= 10000 AS budget_keep, "
         "strat_rank, strat_rank <= 16 AS in_eval_16, shard, "
         "CAST(row_number() OVER (PARTITION BY shard ORDER BY eh ASC) "
         "AS BIGINT) AS pos_in_shard, "
@@ -4680,7 +4709,7 @@ ORACLES: dict[str, str] = {
         "ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)) ASC) AS BIGINT) "
         "AS strat_rank "
         "FROM documents) t "
-        "JOIN dky USING (doc_id) CROSS JOIN dkth"
+        "JOIN dky USING (doc_id) JOIN bcum USING (doc_id) CROSS JOIN dkth"
     ),
     "bm25_search_docs": (
         "WITH dtok AS (SELECT doc_id, "

@@ -256,3 +256,43 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert [
             pq.read_table(f).column("doc_id").to_pylist() for f in files
         ] == [exp_by_shard[s]]
+
+
+def test_select_token_budget(spark):
+    """Greedy token-budget selection: exact agreement with the
+    single-ordered-walk reference, partitioning-invariant, prefix
+    property (keep set is a prefix of the quality order), edge cases."""
+    import pytest as _pytest
+
+    from gluestick_ts_spark.functions.sampling import select_token_budget
+
+    rows = [(i, (i * 37 % 100) / 100.0, 10 + i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+    out = {r.doc_id: (r.cum_tokens, r.budget_keep)
+           for r in select_token_budget(df, 500, "q", "toks").collect()}
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum = 0
+    expect = {}
+    for i, _, t in order:
+        cum += t
+        expect[i] = (cum, cum <= 500)
+    assert out == expect
+    kept = [i for i, (_, k) in out.items() if k]
+    # prefix property: every kept doc outranks every dropped doc
+    rank = {i: n for n, (i, _, _) in enumerate(order)}
+    assert max(rank[i] for i in kept) < min(
+        rank[i] for i in out if i not in kept
+    )
+    # partitioning invariance
+    out13 = {r.doc_id: (r.cum_tokens, r.budget_keep)
+             for r in select_token_budget(
+                 df.repartition(13), 500, "q", "toks").collect()}
+    assert out13 == out
+    # budget 0 keeps nothing; budget >= total keeps everything
+    none = select_token_budget(df, 0, "q", "toks").where("budget_keep")
+    assert none.count() == 0
+    total = sum(t for _, _, t in rows)
+    alls = select_token_budget(df, total, "q", "toks").where("budget_keep")
+    assert alls.count() == 200
+    with _pytest.raises(ValueError):
+        select_token_budget(df, -1, "q", "toks")
