@@ -304,11 +304,16 @@ def select_token_budget(
         F.lit(int(n_buckets) - 1),
         F.greatest(F.lit(0), F.floor(s * int(n_buckets)).cast("int")),
     )
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     bucketed = df.withColumn("__tb_bucket", bucket)
+    # NULL-safety: a NULL token count contributes 0 (it costs no
+    # budget); a NULL score clamps into bucket 0 (greatest() skips
+    # NULLs) and sorts LAST within it under DESC — the worst-quality
+    # position, never a crash
     sums = {
         int(r["__tb_bucket"]): int(r["toks"])
         for r in bucketed.groupBy("__tb_bucket")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("toks"))
+        .agg(F.sum(toks).alias("toks"))
         .collect()
     }
     # higher bucket = higher score = consumed first
@@ -331,7 +336,7 @@ def select_token_budget(
     )
     out = bucketed.withColumn(
         cum_col,
-        (F.sum(F.col(token_col).cast("long")).over(w) + off_expr).cast("long"),
+        (F.sum(toks).over(w) + off_expr).cast("long"),
     )
     return out.withColumn(keep_col, F.col(cum_col) <= F.lit(int(budget))).drop(
         "__tb_bucket"

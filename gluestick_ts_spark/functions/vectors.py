@@ -36,11 +36,13 @@ def norm_expr(a: Column | str) -> Column:
 
 
 def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity in double precision; NULL-safe via division —
-    zero vectors yield NULL (division by zero), matching DuckDB's
+    """Cosine similarity in double precision; NULL-safe — zero vectors
+    yield NULL via ``try_divide`` (a bare ``/`` THROWS under Spark 4's
+    default ANSI mode, breaking the documented contract the moment a
+    zero/NULL vector reaches any cosine path), matching DuckDB's
     ``list_cosine_similarity`` NaN-avoidance contract closely enough
     for thresholded use."""
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def l2_distance_expr(a: Column | str, b: Column | str) -> Column:

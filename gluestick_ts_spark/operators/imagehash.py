@@ -195,24 +195,13 @@ def image_dhash(
     kind: str = "dhash",
 ) -> DataFrame:
     """Append the perceptual hash column (``long``, NULL for
-    non-image/undecodable payloads) via Arrow ``mapInPandas`` —
-    map-only, image bytes never shuffle."""
+    non-image/undecodable payloads) — the single-column convenience
+    form of ``media_hashes`` (one shared Arrow mapper, not a third
+    copy of it)."""
     if kind not in ("dhash", "ahash"):
         raise ValueError(f"kind must be 'dhash' or 'ahash', got {kind!r}")
     fn = dhash_of_payload if kind == "dhash" else ahash_of_payload
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(hash_col, T.LongType(), True)]
-    )
-
-    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[hash_col] = pd.array(
-                [fn(b, hash_size) for b in pdf[binary_col]], dtype="Int64"
-            )
-            yield pdf
-
-    return df.mapInPandas(_mapper, schema=out_schema)
+    return media_hashes(df, binary_col, {hash_col: fn}, hash_size)
 
 
 def hamming_neardup_pairs(
@@ -231,29 +220,41 @@ def hamming_neardup_pairs(
 
     Output: ``id_a, id_b, hamming`` (hamming as long).
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming} — at >= 64 "
+            "every 64-bit pair matches; emit a cross join deliberately if "
+            "that is really what you want"
+        )
     if n_blocks is None:
-        n_blocks = min(max_hamming + 1, 32)
+        # n_blocks > max_hamming always has a legal value up to 64
+        # (one block per bit); cap at 64, not 32, so max_hamming in
+        # [32, 63] gets a working default instead of a refusal
+        n_blocks = min(max_hamming + 1, 64)
     if n_blocks <= max_hamming:
         raise ValueError(
             f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
             "for the pigeonhole recall guarantee"
         )
     bits_per = max(1, 64 // n_blocks)
-    mask = (1 << bits_per) - 1
     h = df.where(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("__h")
     )
+    if n_blocks == 1:
+        # exact-duplicate search (max_hamming=0): the single "band" is
+        # the whole hash — no mask (a 64-bit all-ones literal overflows
+        # LongType), no shift
+        block_exprs = [F.col("__h")]
+    else:
+        mask = (1 << bits_per) - 1
+        block_exprs = [
+            F.shiftright(F.col("__h"), i * bits_per).bitwiseAND(F.lit(mask))
+            for i in range(n_blocks)
+        ]
     blocks = h.select(
         "id",
         "__h",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("__h"), i * bits_per).bitwiseAND(F.lit(mask))
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("block", "block_val"),
+        F.posexplode(F.array(*block_exprs)).alias("block", "block_val"),
     )
     blocks = blocks.persist()
     try:

@@ -188,7 +188,11 @@ def semantic_contamination_expr(
     id with a strict ``>`` comparison on the ROUND-6 cosine, so ties go
     to the lowest id — identical semantics to the distributed argmax.
     Returns ``struct(match_id long, max_cosine double, contaminated
-    boolean)``; an empty bench yields (NULL, NULL, false).
+    boolean)``; an empty bench yields (NULL, NULL, false). A NULL/zero
+    input vector (cosine NULL against every bench item) yields the
+    LOWEST bench id with NULL cosine and NULL contaminated — exactly
+    what the distributed window emits (NULLs sort last under DESC, id
+    tie-break picks the first item).
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     items = sorted(
@@ -199,30 +203,44 @@ def semantic_contamination_expr(
         F.lit(json.dumps(items)),
         "array<struct<id: long, vec: array<double>>>",
     )
+    # let-bind: ONE cosine per bench item per row (referencing the
+    # expression twice inside the fold would double the dominant
+    # dot-product cost of the streaming hot path)
+    scored = F.transform(
+        bench_lit,
+        lambda b: F.struct(
+            b["id"].alias("match_id"),
+            F.round(cosine_similarity_expr(v, b["vec"]), 6).alias("max_cosine"),
+        ),
+    )
     init = F.struct(
         F.lit(None).cast("long").alias("match_id"),
         F.lit(None).cast("double").alias("max_cosine"),
     )
     acc = F.aggregate(
-        bench_lit,
+        scored,
         init,
+        # replace iff: first item (install the lowest id even when its
+        # cosine is NULL — the distributed tie-break), or a NON-NULL
+        # cosine beating a NULL/lower accumulator. A NULL cosine never
+        # overwrites an installed accumulator.
         lambda a, b: F.when(
-            a["max_cosine"].isNull()
-            | (F.round(cosine_similarity_expr(v, b["vec"]), 6) > a["max_cosine"]),
-            F.struct(
-                b["id"].alias("match_id"),
-                F.round(cosine_similarity_expr(v, b["vec"]), 6).alias(
-                    "max_cosine"
-                ),
+            a["match_id"].isNull()
+            | (
+                b["max_cosine"].isNotNull()
+                & (a["max_cosine"].isNull() | (b["max_cosine"] > a["max_cosine"]))
             ),
+            b,
         ).otherwise(a),
     )
     return F.struct(
         acc["match_id"].alias("match_id"),
         acc["max_cosine"].alias("max_cosine"),
-        F.coalesce(
-            acc["max_cosine"] >= F.lit(threshold), F.lit(False)
-        ).alias("contaminated"),
+        # empty bench -> false (documented); NULL cosine -> NULL,
+        # matching the distributed op's `max_cosine >= t` semantics
+        F.when(acc["match_id"].isNull(), F.lit(False))
+        .otherwise(acc["max_cosine"] >= F.lit(threshold))
+        .alias("contaminated"),
     )
 
 
@@ -439,6 +457,7 @@ def binary_hamming_topk(
     seed: int = 707,
     rerank_factor: int = 16,
     dim: int | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Compressed-domain ANN: sign-random-projection binary codes
     (Charikar 2002 — Hamming distance between sign codes approximates
@@ -489,10 +508,17 @@ def binary_hamming_topk(
         code(F.col(vec_col)).alias("__ccode"),
     )
     ham = F.bit_count(F.col("__qcode").bitwiseXOR(F.col("__ccode")))
-    cand = (
-        c.crossJoin(q)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", ham.cast("long").alias("hamming"))
+    # cosine_topk's auto rule: exclude self-matches only when queries
+    # share the corpus id space (they do here — same id_col on both
+    # sides); pass exclude_self=False when a SEPARATE query table's id
+    # coincidentally equals a corpus id and the match is legitimate
+    if exclude_self is None:
+        exclude_self = True
+    cand = c.crossJoin(q)
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.select(
+        "query_id", "neighbor_id", ham.cast("long").alias("hamming")
     )
     wh = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id").asc()

@@ -1486,10 +1486,13 @@ def q_line_dedup_docs(spark, sf):
     from ..functions.text import c4_line_rules_expr
 
     toks = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
+    # zero-token guard: Spark's sequence(0, -1) is the DESCENDING
+    # [0, -1] (phantom lines); the oracle's range(0, 0) is empty
     chunk_lines = (
+        f"CASE WHEN size({toks}) = 0 THEN array() ELSE "
         f"transform(sequence(0, int(ceil(size({toks}) / 8.0)) - 1), i -> "
         f"concat(concat_ws(' ', slice({toks}, i * 8 + 1, 8)), "
-        "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+        "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"
     )
     synth = (
         f"concat_ws('\\n', concat({chunk_lines}, "
@@ -2648,15 +2651,20 @@ def _phash_synth_payload(i: int) -> bytes:
     ±200 adjacent contrasts, so comparisons are far from ties, and —
     measured — ZERO cross-group pairs at max_hamming=6):
 
-    - c=1 adds ±1 noise: dHash identical to c=0 (hamming 0 — noise
-      can't flip a ±200 comparison, and duplicate-sampled pixels stay
-      equal);
-    - c=2 inverts two isolated pixels: a handful of flipped
-      comparisons (small nonzero hamming);
+    - c=1 adds ±1 noise: ±200 comparisons never flip, but EQUAL-value
+      comparisons between distinct same-bit adjacent source pixels DO
+      — measured hamming(c0, c1) spans 0..15 across groups, so some
+      noisy copies pair and some legitimately exceed the threshold;
+    - c=2 inverts two isolated pixels: a few flipped comparisons
+      (measured 0..6 — 0 where the inverted pixels' neighbors already
+      matched the inverted value);
     - c=3 inverts the whole first two rows: usually beyond
-      max_hamming=6 (the negative case; the few groups where it stays
-      within are computed identically by both engines — the
-      correctness statement is banded == brute-force, per-value).
+      max_hamming=6 (the negative case).
+
+    The expected pairs are whatever these hashes actually produce — the
+    correctness statement is banded == brute-force per-value on BOTH
+    engines (52 pairs at sf >= 0.01, zero cross-group), not a hand-made
+    pair list.
 
     Pure function of ``i`` — shared by the Spark synth and the oracle
     expected-hash builder (the ``_mm_synth_payload`` pattern)."""
@@ -3152,9 +3160,10 @@ def _line_grain_part(grain: str) -> QueryFn:
 
             toks = "filter(split(lower(trim(text)), '\\\\s+'), x -> x != '')"
             chunk_lines = (
+                f"CASE WHEN size({toks}) = 0 THEN array() ELSE "
                 f"transform(sequence(0, int(ceil(size({toks}) / 8.0)) - 1), "
                 f"i -> concat(concat_ws(' ', slice({toks}, i * 8 + 1, 8)), "
-                "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+                "CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)) END"
             )
             synth = (
                 f"concat_ws('\\n', concat({chunk_lines}, "
@@ -3204,11 +3213,17 @@ def _bm25_part(which: str) -> QueryFn:
 _BENCH_STORE_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _fresh_store_dir(prefix: str) -> str:
+def _fresh_store_dir(prefix: str, replaces: str | None = None) -> str:
+    """New temp store root; ``replaces`` (the cache entry being
+    overwritten) is deleted NOW — bench loops rebuild stores per
+    median pass, and deferring every cleanup to atexit accumulates one
+    full on-disk store copy per iteration."""
     import atexit
     import shutil
     import tempfile
 
+    if replaces:
+        shutil.rmtree(replaces, ignore_errors=True)
     root = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
@@ -3227,7 +3242,9 @@ def _bm25_queries(spark, sf):
 def _bm25_index_build(spark, sf):
     from ..operators.search import write_bm25_index
 
-    root = _fresh_store_dir("gs_bm25idx_bench_")
+    root = _fresh_store_dir(
+        "gs_bm25idx_bench_", replaces=_BENCH_STORE_CACHE.get(("bm25", sf))
+    )
     d, _ = _bm25_queries(spark, sf)
     write_bm25_index(d, root, num_buckets=16)
     _BENCH_STORE_CACHE[("bm25", sf)] = root
@@ -3261,7 +3278,9 @@ def _ivf_seed_centroids(spark, sf):
 def _ivf_store_build(spark, sf):
     from ..operators.similarity import write_ivf_store
 
-    root = _fresh_store_dir("gs_ivfstore_bench_")
+    root = _fresh_store_dir(
+        "gs_ivfstore_bench_", replaces=_BENCH_STORE_CACHE.get(("ivf", sf))
+    )
     e, cents = _ivf_seed_centroids(spark, sf)
     write_ivf_store(e, root, centroids=cents)
     _BENCH_STORE_CACHE[("ivf", sf)] = root
@@ -3273,7 +3292,10 @@ def _ivf_store_probe(spark, sf):
 
     if ("ivf", sf) not in _BENCH_STORE_CACHE:
         _ivf_store_build(spark, sf).collect()  # cold standalone run
-    e, _ = _ivf_seed_centroids(spark, sf)
+    # plain table read — _ivf_seed_centroids would run its 16-row
+    # sort+collect here and pollute exactly the probe-only timing this
+    # split exists to isolate
+    e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 8)
     return ann_ivf_store_topk(
         q, _BENCH_STORE_CACHE[("ivf", sf)], k=5, n_probe=4

@@ -338,7 +338,11 @@ def stream_semantic_contamination(
         F.col("__sem.contaminated").alias(f"{prefix}contaminated"),
     ).drop("__sem")
     if drop_contaminated:
-        out = out.where(~F.col(f"{prefix}contaminated"))
+        # NULL verdicts (NULL/zero embeddings — cosine undefined) KEEP:
+        # a row that can't be attributed must not silently vanish
+        out = out.where(
+            ~F.coalesce(F.col(f"{prefix}contaminated"), F.lit(False))
+        )
     return out
 
 

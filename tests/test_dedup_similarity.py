@@ -661,6 +661,41 @@ def test_semantic_contamination_expr_matches_distributed(spark, sf_dir):
     ).first()
     assert empty.s.match_id is None and empty.s.contaminated is False
 
+    # NULL / zero vectors (cosine undefined everywhere): BOTH paths
+    # emit the LOWEST id with NULL cosine and NULL verdict — and the
+    # streaming drop mode must KEEP the unattributable row
+    from gluestick_ts_spark.streaming.incremental import (
+        stream_semantic_contamination as _ssc,
+    )
+
+    weird = spark.createDataFrame(
+        [(900, [0.0] * 8), (901, None)],
+        "vec_id long, embedding array<double>",
+    )
+    b8 = [{"id": 5, "vec": [1.0] * 8}, {"id": 3, "vec": [0.5] * 8}]
+    ex = {
+        r.vec_id: (r.s.match_id, r.s.max_cosine, r.s.contaminated)
+        for r in weird.select(
+            "vec_id", semantic_contamination_expr("embedding", b8).alias("s")
+        ).collect()
+    }
+    assert ex[900] == (3, None, None)  # lowest bench id, NULL verdict
+    bench8 = spark.createDataFrame(
+        [(b["id"], b["vec"]) for b in b8], "vec_id long, embedding array<double>"
+    )
+    dist = {
+        r.bench_id: (r.match_id, r.max_cosine, r.contaminated)
+        for r in semantic_contamination(
+            bench8, weird.where("vec_id = 900")
+        ).collect()
+    }
+    # distributed roles swapped (zero-vector bench item vs real
+    # corpus): identical NULL semantics to the expr
+    assert dist == {900: (3, None, None)}
+
+    kept = _ssc(weird, b8, drop_contaminated=True)
+    assert kept.count() == 2  # NULL verdicts keep
+
 
 def test_ivf_train_centroids_query_invariants(spark, sf_dir):
     """Driver-visible IVF build query: inverted-list sizes must account

@@ -164,7 +164,33 @@ def test_hamming_pairs_validation(spark):
     with pytest.raises(ValueError):
         hamming_neardup_pairs(df, max_hamming=6, n_blocks=6)
     with pytest.raises(ValueError):
+        hamming_neardup_pairs(df, max_hamming=64)
+    with pytest.raises(ValueError):
         image_dhash(df, kind="nope")
+
+
+def test_hamming_pairs_edge_thresholds(spark):
+    """max_hamming=0 (exact-duplicate search: the single band is the
+    whole hash, no 64-bit mask literal) and max_hamming in [32, 63]
+    (default n_blocks must not trip its own validation) both work."""
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -7), (4, -7), (5, 6)],
+        "doc_id long, h long",
+    )
+    exact = hamming_neardup_pairs(df, "doc_id", "h", max_hamming=0)
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == {(1, 2), (3, 4)}
+    wide = hamming_neardup_pairs(df, "doc_id", "h", max_hamming=40)
+    got = {(r.id_a, r.id_b): r.hamming for r in wide.collect()}
+    # brute force over the 5 hashes
+    hs = {1: 7, 2: 7, 3: -7, 4: -7, 5: 6}
+    import itertools
+
+    expect = {
+        (a, b): bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 40
+    }
+    assert got == expect
 
 
 def test_hamming_pairs_plan_shape(spark):
