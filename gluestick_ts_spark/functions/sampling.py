@@ -262,13 +262,15 @@ def write_training_shards(
 
 def select_token_budget(
     df: DataFrame,
-    budget: int,
+    budget: int | dict,
     score_col: str,
     token_col: str,
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     cum_col: str = "cum_tokens",
     keep_col: str = "budget_keep",
+    group_col: str | None = None,
+    default_budget: int = 0,
 ) -> DataFrame:
     """Greedy token-budget corpus selection: walk documents in
     (``score_col`` DESC, ``id_col`` ASC) order and keep every document
@@ -296,8 +298,17 @@ def select_token_budget(
     global sort, skew bounded by the score distribution per 1/1024
     score slice. Scores are assumed in [0, 1] (quality scores;
     out-of-range scores clamp into the edge buckets — documented).
+
+    ``group_col`` runs an INDEPENDENT selection per group (the
+    "N tokens per language" data-mixing contract): ``budget`` may then
+    be a ``{group: budget}`` dict (missing groups fall to
+    ``default_budget``; a NULL group value is its own group); the
+    driver prefix covers <= |groups| x n_buckets rows and the window
+    partitions by (group, bucket) — the same two-pass shape.
     """
-    if budget < 0:
+    if group_col is None and isinstance(budget, dict):
+        raise ValueError("a budget dict requires group_col")
+    if budget is not None and not isinstance(budget, dict) and int(budget) < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     s = F.col(score_col).cast("double")
     bucket = F.least(
@@ -305,32 +316,46 @@ def select_token_budget(
         F.greatest(F.lit(0), F.floor(s * int(n_buckets)).cast("int")),
     )
     toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
-    bucketed = df.withColumn("__tb_bucket", bucket)
+    # group key '' = "no group" in single-budget mode; a NULL group
+    # value is its own group (keyed by a sentinel)
+    grp = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+        if group_col
+        else F.lit("")
+    )
+    bucketed = df.withColumn("__tb_bucket", bucket).withColumn("__tb_grp", grp)
     # NULL-safety: a NULL token count contributes 0 (it costs no
     # budget); a NULL score clamps into bucket 0 (greatest() skips
     # NULLs) and sorts LAST within it under DESC — the worst-quality
     # position, never a crash
-    sums = {
-        int(r["__tb_bucket"]): int(r["toks"])
-        for r in bucketed.groupBy("__tb_bucket")
+    sums: dict[tuple[str, int], int] = {
+        (r["__tb_grp"], int(r["__tb_bucket"])): int(r["toks"])
+        for r in bucketed.groupBy("__tb_grp", "__tb_bucket")
         .agg(F.sum(toks).alias("toks"))
         .collect()
     }
-    # higher bucket = higher score = consumed first
-    offsets: dict[int, int] = {}
-    running = 0
-    for b in sorted(sums, reverse=True):
-        offsets[b] = running
-        running += sums[b]
+    # higher bucket = higher score = consumed first, independently
+    # per group (driver prefix over <= |groups| x n_buckets rows)
+    offsets: dict[str, dict[str, int]] = {}
+    for g in {g for g, _ in sums}:
+        running = 0
+        goff: dict[str, int] = {}
+        for b in sorted((b for gg, b in sums if gg == g), reverse=True):
+            goff[str(b)] = running
+            running += sums[(g, b)]
+        offsets[g] = goff
     off_expr = F.element_at(
-        F.from_json(
-            F.lit(json.dumps({str(k): v for k, v in offsets.items()})),
-            "map<string, bigint>",
+        F.element_at(
+            F.from_json(
+                F.lit(json.dumps(offsets)),
+                "map<string, map<string, bigint>>",
+            ),
+            F.col("__tb_grp"),
         ),
         F.col("__tb_bucket").cast("string"),
     )
     w = (
-        Window.partitionBy("__tb_bucket")
+        Window.partitionBy("__tb_grp", "__tb_bucket")
         .orderBy(s.desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -338,8 +363,24 @@ def select_token_budget(
         cum_col,
         (F.sum(toks).over(w) + off_expr).cast("long"),
     )
-    return out.withColumn(keep_col, F.col(cum_col) <= F.lit(int(budget))).drop(
-        "__tb_bucket"
+    if isinstance(budget, dict):
+        for g, v in budget.items():
+            if int(v) < 0:
+                raise ValueError(f"budget for {g!r} must be >= 0, got {v}")
+        budget_expr = F.coalesce(
+            F.element_at(
+                F.from_json(
+                    F.lit(json.dumps({str(k): int(v) for k, v in budget.items()})),
+                    "map<string, bigint>",
+                ),
+                F.col("__tb_grp"),
+            ),
+            F.lit(int(default_budget)),
+        )
+    else:
+        budget_expr = F.lit(int(budget))
+    return out.withColumn(keep_col, F.col(cum_col) <= budget_expr).drop(
+        "__tb_bucket", "__tb_grp"
     )
 
 

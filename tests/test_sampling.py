@@ -296,3 +296,41 @@ def test_select_token_budget(spark):
     assert alls.count() == 200
     with _pytest.raises(ValueError):
         select_token_budget(df, -1, "q", "toks")
+
+
+def test_select_token_budget_per_group(spark):
+    """group_col mode: independent greedy selection per group with
+    per-group dict budgets; exact agreement with per-group ordered
+    walks; missing groups fall to default_budget; NULL group is its
+    own group."""
+    from gluestick_ts_spark.functions.sampling import select_token_budget
+
+    rows = []
+    for i in range(300):
+        lang = ["en", "de", None][i % 3]
+        rows.append((i, lang, (i * 53 % 97) / 100.0, 20 + i % 9))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double, toks long")
+    budgets = {"en": 1000, "de": 400}
+    out = {r.doc_id: (r.cum_tokens, r.budget_keep)
+           for r in select_token_budget(
+               df.repartition(9), budgets, "q", "toks",
+               group_col="lang", default_budget=100,
+           ).collect()}
+    # per-group reference walks
+    for lang in ("en", "de", None):
+        grp = sorted((r for r in rows if r[1] == lang),
+                     key=lambda r: (-r[2], r[0]))
+        cum = 0
+        cap = budgets.get(lang, 100)
+        for i, _, _, t in grp:
+            cum += t
+            assert out[i] == (cum, cum <= cap), (lang, i, out[i], cum, cap)
+    # single-budget mode is the group_col=None special case
+    single = select_token_budget(df, 2000, "q", "toks")
+    assert single.where("budget_keep").count() > 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        select_token_budget(df, {"en": 10}, "q", "toks")  # dict needs group_col
+    with _p.raises(ValueError):
+        select_token_budget(df, {"en": -1}, "q", "toks", group_col="lang")
