@@ -47,6 +47,9 @@ __all__ = [
     "image_dhash",
     "media_hashes",
     "hamming_neardup_pairs",
+    "hamming_join",
+    "media_dedup",
+    "media_dedup_incremental",
 ]
 
 
@@ -275,3 +278,137 @@ def hamming_neardup_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         blocks.unpersist()
+
+
+def _band_block_exprs(col: Column, n_blocks: int, max_hamming: int) -> list:
+    """The pigeonhole band expressions shared by the self-join and the
+    two-relation join (validation included)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming})"
+        )
+    bits_per = max(1, 64 // n_blocks)
+    if n_blocks == 1:
+        return [col]
+    mask = (1 << bits_per) - 1
+    return [
+        F.shiftright(col, i * bits_per).bitwiseAND(F.lit(mask))
+        for i in range(n_blocks)
+    ]
+
+
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+    right_id_col: str | None = None,
+    right_hash_col: str | None = None,
+) -> DataFrame:
+    """All cross-relation pairs within ``max_hamming`` between two
+    64-bit hash relations — the two-sided form of
+    ``hamming_neardup_pairs`` (same pigeonhole recall-1.0 blocking,
+    same exact ``bit_count(xor)`` post-filter; NULL hashes drop). The
+    incremental-dedup primitive: ``left`` is a new batch, ``right`` a
+    persisted hash store, and neither side is ever cross-joined — the
+    candidates come from the (block, value) equi-join.
+
+    Output: ``id_a`` (left), ``id_b`` (right), ``hamming`` — ALL
+    matching cross pairs including equal ids (cross-relation semantics;
+    filter upstream if the relations share an id space).
+    """
+    if n_blocks is None:
+        n_blocks = min(max_hamming + 1, 64)
+    rid = right_id_col or id_col
+    rhash = right_hash_col or hash_col
+    a = left.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
+    )
+    b = right.where(F.col(rhash).isNotNull()).select(
+        F.col(rid).alias("id_b"), F.col(rhash).alias("__hb")
+    )
+    ab = a.select(
+        "id_a",
+        "__ha",
+        F.posexplode(
+            F.array(*_band_block_exprs(F.col("__ha"), n_blocks, max_hamming))
+        ).alias("block", "block_val"),
+    )
+    bb = b.select(
+        "id_b",
+        "__hb",
+        F.posexplode(
+            F.array(*_band_block_exprs(F.col("__hb"), n_blocks, max_hamming))
+        ).alias("block", "block_val"),
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        ab.join(bb, on=["block", "block_val"])
+        .where(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+def media_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Perceptual media dedup: near-dup pairs -> connected components
+    -> keep each cluster's minimum id (the ``dedup_clusters``
+    composition over Hamming instead of Jaccard — transitive
+    near-duplicates collapse to ONE survivor even when the endpoints
+    of a chain differ by more than ``max_hamming``). Rows whose hash
+    is NULL (non-media / undecodable) always survive — they have no
+    identity to collide on."""
+    from .dedup import connected_min_labels
+
+    pairs = hamming_neardup_pairs(df, id_col, hash_col, max_hamming, n_blocks)
+    labels = connected_min_labels(pairs)
+    losers = labels.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def media_dedup_incremental(
+    new_df: DataFrame,
+    store_hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    n_blocks: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental perceptual dedup of a NEW media batch against an
+    accepted-corpus hash relation (schema ``id, hash`` — ~16 bytes per
+    accepted item regardless of media size, which is what makes
+    cross-store media dedup scale: payloads never re-read). Mirrors
+    ``dedup_exact_incremental``'s contract: within-batch cluster dedup
+    first, then every batch item within ``max_hamming`` of ANY stored
+    hash is dropped (banded join, never a cross join). Returns
+    ``(survivors, survivor_hashes)``; append the hashes to the store
+    for the next batch. NULL-hash rows always survive and are never
+    stored."""
+    within = media_dedup(new_df, id_col, hash_col, max_hamming, n_blocks)
+    hits = hamming_join(
+        within,
+        store_hashes,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        right_id_col="id",
+        right_hash_col="hash",
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    survivors = within.join(hits, on=id_col, how="left_anti")
+    survivor_hashes = survivors.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("hash")
+    )
+    return survivors, survivor_hashes

@@ -193,6 +193,42 @@ def test_hamming_pairs_edge_thresholds(spark):
     assert got == expect
 
 
+def test_media_dedup_and_incremental(spark):
+    """Cluster dedup over Hamming: a transitive chain collapses to one
+    survivor; NULL-hash rows always survive; the incremental form
+    drops batch items near ANY stored hash and never stores NULLs."""
+    from gluestick_ts_spark.operators.imagehash import (
+        hamming_join,
+        media_dedup,
+        media_dedup_incremental,
+    )
+
+    # hashes with a transitive chain: 0b0, 0b11, 0b1111 (0-3: ham 2;
+    # 3-15: ham 2; 0-15: ham 4 > max 3 only via the chain), a far one,
+    # and a NULL
+    rows = [(1, 0), (2, 3), (3, 15), (4, -1), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    out = {r.doc_id for r in media_dedup(df, max_hamming=3).collect()}
+    assert out == {1, 4, 5}  # chain 1-2-3 collapses to min id 1
+
+    # incremental: store holds hash 2 (ham 1 from new hash 3)
+    store = spark.createDataFrame([(100, 2)], "id long, hash long")
+    batch = spark.createDataFrame(
+        [(10, 3), (11, -1), (12, None)], "doc_id long, dhash long"
+    )  # note: ham(2, 1<<40) is only 2 — 'far' needs MANY differing bits
+    surv, keys = media_dedup_incremental(batch, store, max_hamming=3)
+    assert {r.doc_id for r in surv.collect()} == {11, 12}
+    assert {(r.id, r.hash) for r in keys.collect()} == {(11, -1)}
+
+    # hamming_join keeps equal-id cross pairs (cross-relation contract)
+    j = hamming_join(
+        spark.createDataFrame([(7, 5)], "doc_id long, dhash long"),
+        spark.createDataFrame([(7, 5)], "id long, hash long"),
+        right_id_col="id", right_hash_col="hash", max_hamming=0,
+    )
+    assert [(r.id_a, r.id_b, r.hamming) for r in j.collect()] == [(7, 7, 0)]
+
+
 def test_hamming_pairs_plan_shape(spark):
     """Scale gate: candidates come from a (block, value) equi-join —
     no cartesian product; the only Python stage is the decode UDF."""
