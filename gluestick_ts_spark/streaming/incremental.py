@@ -35,6 +35,7 @@ __all__ = [
     "stream_sessionize",
     "stream_dedup_incremental",
     "stream_url_dedup",
+    "stream_media_dedup",
     "stream_semantic_contamination",
     "stream_corpus_profile",
     "stream_curation_filter",
@@ -344,6 +345,72 @@ def stream_semantic_contamination(
             ~F.coalesce(F.col(f"{prefix}contaminated"), F.lit(False))
         )
     return out
+
+
+def stream_media_dedup(
+    stream_df: DataFrame,
+    store_dir: str,
+    emit,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Streaming perceptual media dedup against a durable hash store
+    (``<store_dir>/hashes.parquet`` — ~16 bytes per accepted item,
+    payloads never re-read): each micro-batch is hashed in-batch
+    (``image_dhash`` — pass a pre-hashed stream by using an existing
+    ``hash_col``), cluster-deduped within the batch, banded-screened
+    against the store (``media_dedup_incremental``), survivors handed
+    to ``emit(survivors_df, batch_id)``, and their hashes appended.
+
+    Same replay-idempotency protocol as ``stream_dedup_incremental``:
+    batch-stamped appends, current-stamp exclusion on read, ``.done``
+    markers, survivors pinned and EMITTED BEFORE the append. NULL-hash
+    rows (non-media/undecodable) always pass through and are never
+    stored."""
+    from ..operators.dedup import _exclude_batch_filter
+    from ..operators.imagehash import image_dhash, media_dedup_incremental
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    hash_path = join_uri(store_dir, "hashes.parquet")
+    stamper = _BatchStamper(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
+        if hadoop_path_exists(spark, hash_path):
+            store = spark.read.parquet(hash_path)
+            if "batch_id" in store.columns:
+                store = _exclude_batch_filter(
+                    store, store.schema, stamp
+                ).drop("batch_id")
+        else:
+            store = spark.createDataFrame([], "id long, hash long")
+        hashed = (
+            batch_df
+            if hash_col in batch_df.columns
+            else image_dhash(batch_df, binary_col, hash_col)
+        )
+        survivors, keys = media_dedup_incremental(
+            hashed, store, id_col, hash_col, max_hamming
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        keys = keys.localCheckpoint(eager=True)
+        emit(survivors, batch_id)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            keys.withColumn(
+                "batch_id", F.lit(int(stamp)).cast("long")
+            ).write.mode("append").parquet(hash_path)
+            stamper.mark_appended(spark, store_dir, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def stream_url_dedup(

@@ -259,3 +259,56 @@ def test_hamming_pairs_plan_shape(spark):
     plan = joined._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan
     assert re.search(r"\(\d+\) (BroadcastHash|SortMergeHash|SortMerge)Join", plan)
+
+
+def test_stream_media_dedup(spark, tmp_path):
+    """Streaming twin over a durable hash store: batch 1 seeds; batch
+    2's near-copy of a stored image dies against the store while fresh
+    content survives and extends it; non-images pass through."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_media_dedup
+
+    def img(seed, flip=()):
+        vals = [220 if (seed * 31 + 17 * k) % 3 % 2 else 20 for k in range(64)]
+        for f in flip:
+            vals[f] = 240 - vals[f]
+        return _gray_bmp(vals)
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, content binary"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    put([(1, img(1)), (2, img(1, (9,))), (3, img(5)), (4, b"not an image")])
+    q = (
+        stream_media_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=str(tmp_path / "ck"),
+        ).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert set().union(*emitted.values()) == {1, 3, 4}  # 2 = in-batch near-dup
+
+    emitted.clear()
+    put([(10, img(1, (27,))), (11, img(9)), (12, b"junk")])
+    q2 = (
+        stream_media_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=str(tmp_path / "ck"),
+        ).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(180)
+    assert set().union(*emitted.values()) == {11, 12}  # 10 caught by the store
+    stored = {r.id for r in spark.read.parquet(f"{store}/hashes.parquet").collect()}
+    assert stored == {1, 3, 11}  # non-images never stored
