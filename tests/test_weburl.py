@@ -325,3 +325,41 @@ def test_url_stage_plan_shape(spark):
         assert node not in plan
     hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert hashed and all("text" not in h for h in hashed), hashed
+
+
+def test_compact_flat_store(spark, tmp_path):
+    """Flat-store maintenance: crash-window duplicate keys are
+    reclaimed, the stale batch_id column and replay markers drop, part
+    files coalesce, and the screen still works against the compacted
+    store."""
+    import os
+
+    from gluestick_ts_spark.operators.dedup import compact_flat_store
+    from gluestick_ts_spark.operators.weburl import url_dedup_incremental
+
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/batches")
+    open(f"{store}/batches/x-0.done", "w").write("done")
+    # simulate two appends incl. a crash-window duplicate
+    for batch in ([("http://a.org/x", 1)], [("http://a.org/x", 1), ("http://b.org/y", 2)]):
+        spark.createDataFrame(batch, "url_norm string, batch_id long") \
+            .write.mode("append").parquet(f"{store}/urls.parquet")
+    assert spark.read.parquet(f"{store}/urls.parquet").count() == 3
+
+    compact_flat_store(spark, store, "urls.parquet", ["url_norm"], num_files=1)
+    compacted = spark.read.parquet(f"{store}/urls.parquet")
+    assert compacted.count() == 2
+    assert "batch_id" not in compacted.columns
+    assert not os.path.exists(f"{store}/batches")
+    parts = [f for f in os.listdir(f"{store}/urls.parquet") if f.startswith("part-")]
+    assert len(parts) == 1
+
+    # the screen still works against the compacted store
+    batch = spark.createDataFrame(
+        [(7, "HTTP://WWW.A.ORG/x"), (8, "http://c.io/z")], "doc_id long, url string"
+    )
+    surv, _ = url_dedup_incremental(batch, compacted)
+    assert {r.doc_id for r in surv.collect()} == {8}
+
+    # compacting a missing store is a no-op, not an error
+    compact_flat_store(spark, str(tmp_path / "nope"), "urls.parquet", ["url_norm"])
