@@ -306,9 +306,12 @@ def select_token_budget(
     driver prefix covers <= |groups| x n_buckets rows and the window
     partitions by (group, bucket) — the same two-pass shape.
     """
+    if budget is None:
+        # fail here with the contract, not later as F.lit(int(None))
+        raise ValueError("budget must be an int or a {group: int} dict, got None")
     if group_col is None and isinstance(budget, dict):
         raise ValueError("a budget dict requires group_col")
-    if budget is not None and not isinstance(budget, dict) and int(budget) < 0:
+    if not isinstance(budget, dict) and int(budget) < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     s = F.col(score_col).cast("double")
     bucket = F.least(

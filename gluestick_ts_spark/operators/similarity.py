@@ -487,14 +487,16 @@ def binary_hamming_topk(
     if n_bits < 1 or n_bits > 64:
         raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     if dim is None:
-        first = corpus.select(vec_col).first()
-        if first is None:
-            return corpus.sparkSession.createDataFrame(
-                [],
-                "query_id long, neighbor_id long, hamming long, "
-                "cosine double, rank int",
-            )
-        dim = len(first[0])
+        # NO data probe here: an earlier draft ran corpus.first() to
+        # discover the dimension, which launched a hidden Spark job at
+        # PLAN-BUILD time (invisible to plan gates, surprising for
+        # library callers composing lazily). Spark's ArrayType carries
+        # no length, so the dimension must come from the caller.
+        raise ValueError(
+            "dim is required: pass the embedding dimensionality explicitly "
+            "(ArrayType schemas don't carry a length, and probing the data "
+            "would launch a job at plan-build time)"
+        )
     planes = hyperplanes(dim, n_bits, seed=seed)
     code = lambda c: lsh_bucket_expr(c, planes)  # noqa: E731 — 1 table = the full code
     q = F.broadcast(

@@ -370,7 +370,7 @@ def stream_media_dedup(
     markers, survivors pinned and EMITTED BEFORE the append. NULL-hash
     rows (non-media/undecodable) always pass through and are never
     stored."""
-    from ..operators.dedup import _exclude_batch_filter
+    from ..operators.dedup import _exclude_batch_filter, recover_flat_store
     from ..operators.imagehash import image_dhash, media_dedup_incremental
     from ..sources.fs import hadoop_path_exists, join_uri
 
@@ -382,6 +382,10 @@ def stream_media_dedup(
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        # a compaction that crashed mid-swap leaves the data path absent
+        # with the keys parked in .pre-compact — restore them rather
+        # than reading "empty" and re-accepting every seen hash
+        recover_flat_store(spark, store_dir, "hashes.parquet")
         if hadoop_path_exists(spark, hash_path):
             store = spark.read.parquet(hash_path)
             if "batch_id" in store.columns:
@@ -436,7 +440,7 @@ def stream_url_dedup(
     are ~a URL each — the store stays tiny relative to page payloads,
     which never enter the join at all.
     """
-    from ..operators.dedup import _exclude_batch_filter
+    from ..operators.dedup import _exclude_batch_filter, recover_flat_store
     from ..operators.weburl import url_dedup_incremental
     from ..sources.fs import hadoop_path_exists, join_uri
 
@@ -448,6 +452,9 @@ def stream_url_dedup(
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        # heal a crashed compaction (see recover_flat_store) before the
+        # missing-store-means-empty branch below can misfire
+        recover_flat_store(spark, store_dir, "urls.parquet")
         if hadoop_path_exists(spark, url_path):
             store = spark.read.parquet(url_path)
             if "batch_id" in store.columns:

@@ -539,14 +539,14 @@ def test_binary_hamming_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 8)
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
-    got1 = binary_hamming_topk(e, q, k=5).collect()
+    got1 = binary_hamming_topk(e, q, k=5, dim=64).collect()
     got = {(r.query_id, r.neighbor_id) for r in got1}
     assert len(got) == 40
     # measured 0.775 at the default rerank_factor=16; floor with margin
     assert len(exact & got) / len(exact) >= 0.6
     # deterministic: same rows on re-run
     got2 = {(r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rank)
-            for r in binary_hamming_topk(e, q, k=5).collect()}
+            for r in binary_hamming_topk(e, q, k=5, dim=64).collect()}
     assert {(r.query_id, r.neighbor_id, r.hamming, r.cosine, r.rank)
             for r in got1} == got2
 
@@ -561,7 +561,7 @@ def test_binary_hamming_topk(spark, sf_dir):
         [(1000 + i, [float(x + 0.02) for x in base[i]]) for i in range(6)],
         "vec_id long, embedding array<double>",
     )
-    top1 = binary_hamming_topk(corpus, probes, k=1, rerank_factor=4)
+    top1 = binary_hamming_topk(corpus, probes, k=1, rerank_factor=4, dim=16)
     assert {(r.query_id, r.neighbor_id) for r in top1.collect()} == {
         (1000 + i, i) for i in range(6)
     }
@@ -570,7 +570,24 @@ def test_binary_hamming_topk(spark, sf_dir):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        binary_hamming_topk(e, q, n_bits=65)
+        binary_hamming_topk(e, q, n_bits=65, dim=64)
+    # dim is REQUIRED: the earlier data-probe default launched a hidden
+    # job at plan-build time
+    with _pytest.raises(ValueError, match="dim is required"):
+        binary_hamming_topk(e, q, k=5)
+
+    # and construction must not launch ANY job (the retired first()
+    # probe did) — pin via a job group: plan-build inside the group,
+    # then assert the group never ran a job
+    sc = spark.sparkContext
+    sc.setJobGroup("bht-construct-probe", "plan build only")
+    try:
+        _plan_only = binary_hamming_topk(e, q, k=5, dim=64)
+        _plan_only.schema  # analysis is fine; execution is not
+    finally:
+        sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup("bht-construct-probe") == []
 
 
 def test_semantic_contamination_flags_paraphrase(spark):

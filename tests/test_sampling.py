@@ -296,6 +296,10 @@ def test_select_token_budget(spark):
     assert alls.count() == 200
     with _pytest.raises(ValueError):
         select_token_budget(df, -1, "q", "toks")
+    # budget=None rejects with the contract up front, not an opaque
+    # int(None) TypeError deep in the plan build
+    with _pytest.raises(ValueError, match="got None"):
+        select_token_budget(df, None, "q", "toks")
 
 
 def test_select_token_budget_per_group(spark):

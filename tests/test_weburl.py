@@ -363,3 +363,49 @@ def test_compact_flat_store(spark, tmp_path):
 
     # compacting a missing store is a no-op, not an error
     compact_flat_store(spark, str(tmp_path / "nope"), "urls.parquet", ["url_norm"])
+
+
+def test_recover_flat_store_after_crashed_compaction(spark, tmp_path):
+    """A compaction that crashes between rename(data -> .pre-compact)
+    and rename(tmp -> data) leaves the store path ABSENT; the readers
+    must restore the parked keys instead of treating the store as
+    empty and re-accepting every previously-seen URL/hash."""
+    import os
+    import shutil
+
+    from gluestick_ts_spark.operators.dedup import (
+        compact_flat_store,
+        recover_flat_store,
+    )
+    from gluestick_ts_spark.operators.weburl import url_dedup_incremental
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("http://a.org/x", 1), ("http://b.org/y", 2)],
+        "url_norm string, batch_id long",
+    ).write.parquet(f"{store}/urls.parquet")
+
+    # simulate the crash window: data renamed away, tmp half-written
+    shutil.move(f"{store}/urls.parquet", f"{store}/urls.parquet.pre-compact")
+    os.makedirs(f"{store}/urls.parquet.compact-tmp")
+    open(f"{store}/urls.parquet.compact-tmp/part-junk", "w").write("x")
+    assert not os.path.exists(f"{store}/urls.parquet")
+
+    assert recover_flat_store(spark, store, "urls.parquet") is True
+    assert not os.path.exists(f"{store}/urls.parquet.pre-compact")
+    assert not os.path.exists(f"{store}/urls.parquet.compact-tmp")
+    recovered = spark.read.parquet(f"{store}/urls.parquet")
+    assert recovered.count() == 2
+
+    # the screen sees the recovered keys (a.org/x is NOT re-accepted)
+    batch = spark.createDataFrame(
+        [(7, "http://a.org/x"), (8, "http://c.io/z")], "doc_id long, url string"
+    )
+    surv, _ = url_dedup_incremental(batch, recovered.drop("batch_id"))
+    assert {r.doc_id for r in surv.collect()} == {8}
+
+    # idempotent: nothing left to recover; compaction heals itself too
+    assert recover_flat_store(spark, store, "urls.parquet") is False
+    shutil.move(f"{store}/urls.parquet", f"{store}/urls.parquet.pre-compact")
+    compact_flat_store(spark, store, "urls.parquet", ["url_norm"], num_files=1)
+    assert spark.read.parquet(f"{store}/urls.parquet").count() == 2
