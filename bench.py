@@ -15,6 +15,18 @@ pass's cold timings (planning + codegen included — comparable to the
 single-shot numbers benched in rounds 1-2) ride along under
 ``queries_cold`` / ``cold_total``.
 
+DRIFT SENTINEL (round 10, the r9 verdict's process item):
+``q1_pricing_summary`` is re-timed single-shot at suite start AND end
+(after its own warm pass); the headline carries
+``sentinel.{start,end,mean,ratio}`` and ``queries_normalized``
+(median / sentinel mean — unitless, box-drift-cancelling). Cross-round
+comparison rule: compare ``queries_normalized`` first; a query whose
+NORMALIZED ratio moved >1.15x has a plan-level change worth
+attributing via ``parts``, while uniform movement of the RAW medians
+with a matching sentinel move is box noise. An intra-run
+``sentinel.ratio`` far from 1.0 means the box's load changed DURING
+the suite — treat that run's per-query numbers as low-confidence.
+
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm
 single-shot timing per leg (QUERY_PARTS in plans/queries.py: union
@@ -251,6 +263,31 @@ def main() -> None:
         .count()
     )
 
+    # DRIFT SENTINEL (round 10): the driver-measured warm suite drifted
+    # 70.3 -> 88.5 s across rounds 8-9 while quiet re-runs stayed ~12%
+    # lower — box/session noise is now the size of a real regression.
+    # Re-time ONE stable, untouched-since-r3 query (q1) single-shot at
+    # suite START and END; the pair (and their ratio) rides in the
+    # headline so a round-over-round comparison can separate "the box
+    # was slow" (sentinel moved with the suite) from "a plan regressed"
+    # (a query moved, the sentinel didn't). ``queries_normalized``
+    # divides each median by the sentinel mean — unitless ratios that
+    # cancel uniform box drift across rounds.
+    SENTINEL = "q1_pricing_summary"
+
+    def _time_sentinel() -> float:
+        fn = QUERIES[SENTINEL]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    try:
+        _time_sentinel()  # warm q1's own codegen so start != cold
+        sentinel_start = _time_sentinel()
+    except Exception as exc:  # noqa: BLE001 — sentinel must not kill the suite
+        print(f"BENCH-ERR sentinel: {exc}", file=sys.stderr)
+        sentinel_start = None
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     errors: dict[str, str] = {}
@@ -298,10 +335,26 @@ def main() -> None:
             del df
             gc.collect()
 
+    try:
+        sentinel_end = _time_sentinel()
+    except Exception as exc:  # noqa: BLE001
+        print(f"BENCH-ERR sentinel: {exc}", file=sys.stderr)
+        sentinel_end = None
+    sentinel_mean = (
+        round((sentinel_start + sentinel_end) / 2, 3)
+        if sentinel_start and sentinel_end
+        else None
+    )
+
     timed = {n: s for n, s in samples.items() if s}
     medians = {n: round(statistics.median(s), 3) for n, s in timed.items()}
     cold = {n: round(s[0], 3) for n, s in timed.items()}
     total = round(sum(medians.values()), 3)
+    normalized = (
+        {n: round(v / sentinel_mean, 3) for n, v in medians.items()}
+        if sentinel_mean
+        else {}
+    )
     queries_out: dict[str, object] = dict(medians)
     for n, err in errors.items():
         queries_out[n] = {"err": err}
@@ -322,6 +375,18 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "parts": parts,
         "errors": len(errors),
+        "sentinel": {
+            "query": SENTINEL,
+            "start": sentinel_start,
+            "end": sentinel_end,
+            "mean": sentinel_mean,
+            "ratio": (
+                round(sentinel_end / sentinel_start, 3)
+                if sentinel_start and sentinel_end
+                else None
+            ),
+        },
+        "queries_normalized": normalized,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
