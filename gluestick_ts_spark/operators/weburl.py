@@ -12,11 +12,11 @@ no web-corpus operators — no parity target):
   in the Java∩RE2 regex subset (the PII-redaction precedent), so a SQL
   oracle restates it verbatim (DuckDB needs the ``'g'`` flag where
   Spark's ``regexp_replace`` is global by default).
-- ``registered_domain_expr``: the crawl-politeness grouping key. The
-  real eTLD+1 needs the public-suffix list (a data file in
-  production); this is the documented last-two-labels heuristic —
-  right for .com/.org-style suffixes, one label short for ccSLDs like
-  ``.co.uk``.
+- ``registered_domain_expr``: the crawl-politeness grouping key —
+  TRUE eTLD+1 against a bounded public-suffix snapshot
+  (``operators/psl.py``; pass the full production list via
+  ``parse_psl_rules``), so ``a.co.uk``/``b.co.uk`` cap independently.
+  Compiles to in-row ``IN`` lists — no join, no UDF.
 - ``url_dedup_flag`` / ``url_dedup``: keep-first by normalized URL
   (lowest id wins — deterministic, partitioning-invariant). ONE
   short-key hash shuffle on the normalized URL; document text never
@@ -88,20 +88,62 @@ def normalize_url_expr(url: Column | str) -> Column:
     return F.concat(prefix, rest)
 
 
-def registered_domain_expr(url: Column | str) -> Column:
-    """Last-two-labels "registered domain" of the URL's host (lowered,
-    ``www.``/userinfo/port stripped). Single-label hosts (``localhost``)
-    return themselves; non-URLs return ''. Documented heuristic — swap
-    in a public-suffix-list lookup table for true eTLD+1."""
+def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) -> Column:
+    """True eTLD+1 "registered domain" of the URL's host (lowered,
+    ``www.``/userinfo/port stripped): one label deeper than the host's
+    longest matching PUBLIC SUFFIX, so ``a.co.uk`` and ``b.co.uk`` cap
+    independently instead of collapsing into one ``co.uk`` group.
+
+    ``psl`` defaults to the bounded embedded snapshot
+    (``operators/psl.py`` — high-traffic ccSLDs, the US state
+    hierarchy, wildcard ccTLDs, top private-section hosting suffixes);
+    pass ``parse_psl_rules(open('public_suffix_list.dat'))`` for the
+    full production list. The tables compile to in-row ``IN`` lists —
+    no join, no shuffle, no UDF, so the expression stays inside
+    whole-stage codegen at any scale.
+
+    Resolution order (the PSL algorithm over the snapshot's rule
+    shapes): exception host (``!www.ck``) -> itself; 3-label suffix
+    (``k12.ca.us``) -> last 4 labels; 2-label suffix (``co.uk``) or
+    wildcard TLD (``*.ck``) -> last 3 labels; otherwise the last-2
+    fallback. A host AT suffix depth (``co.uk`` itself — no registrant
+    label) returns the host. Single-label hosts (``localhost``) return
+    themselves; non-URLs return ''. The leading ``www.`` strips only
+    when >= 2 labels remain (``www.ck`` is a real registered domain,
+    not a prefix)."""
+    if psl is None:
+        from .psl import PSL_SNAPSHOT
+
+        psl = PSL_SNAPSHOT
     u = F.trim(F.col(url) if isinstance(url, str) else url)
     host = F.lower(
         F.regexp_extract(
             u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
         )
     )
-    host = F.regexp_replace(host, r"^www\.", "")
-    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(last2 != "", last2).otherwise(host)
+    host = F.when(
+        host.rlike(r"^www\..*\."), F.regexp_replace(host, r"^www\.", "")
+    ).otherwise(host)
+    lastk = lambda k: F.regexp_extract(  # noqa: E731
+        host, "(" + r"\.".join([r"[^.]+"] * k) + ")$", 1
+    )
+    last1, last2, last3, last4 = lastk(1), lastk(2), lastk(3), lastk(4)
+    dom = F.when(last2 != "", last2).otherwise(host)
+    if psl.suffixes_2 or psl.wildcard_tlds:
+        cond = F.lit(False)
+        if psl.suffixes_2:
+            cond = cond | last2.isin(sorted(psl.suffixes_2))
+        if psl.wildcard_tlds:
+            cond = cond | last1.isin(sorted(psl.wildcard_tlds))
+        dom = F.when(cond, F.when(last3 != "", last3).otherwise(host)).otherwise(dom)
+    if psl.suffixes_3:
+        dom = F.when(
+            last3.isin(sorted(psl.suffixes_3)),
+            F.when(last4 != "", last4).otherwise(host),
+        ).otherwise(dom)
+    if psl.exceptions:
+        dom = F.when(last2.isin(sorted(psl.exceptions)), last2).otherwise(dom)
+    return dom
 
 
 def url_dedup_flag(

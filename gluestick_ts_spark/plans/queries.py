@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
+from ..operators.psl import registered_domain_sql as _psl_registered_domain_sql
 from ..functions.text import (
     LANG_MARKERS,
     strip_html_expr,
@@ -1554,7 +1555,14 @@ def q_curation_pipeline_docs(spark, sf):
     and fragments, so the DuckDB oracle restates the whole regex
     normalization chain) and ``domain``/``domain_keep`` (at most 25
     docs per registered domain in seeded md5 order). Both fold into
-    ``keep``/``drop_reason`` at top priority."""
+    ``keep``/``drop_reason`` at top priority.
+
+    Round 10 upgrades the domain key to TRUE eTLD+1 against the
+    embedded public-suffix snapshot (operators/psl.py): the host mix
+    gains doc-unique ``.co.uk`` registrants, ``github.io``
+    private-section subdomains, and ``k12.ca.us`` 3-label hosts, and
+    the oracle regenerates its domain CASE from the SAME snapshot
+    tables — a rule-set divergence is structurally impossible."""
     from ..functions.text import quality_score_expr
     from ..operators.dedup import _spread, ngram_contamination
     from ..operators.profile import adaptive_quality_filter, unigram_logprob_scores
@@ -1570,9 +1578,19 @@ def q_curation_pipeline_docs(spark, sf):
     item = F.when(
         F.col("doc_id") % 10 == 1, F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
-    host = F.when(
-        item % 10 == 3, F.lit("hot.example-hub.org")
-    ).otherwise(F.concat(F.lit("example"), item.cast("string"), F.lit(".org")))
+    # host mix exercises the PSL paths (round 10): doc-unique .co.uk
+    # registrants (2-label ccSLD — must NOT collapse into one co.uk
+    # group), private-section github.io subdomains, and the 3-label US
+    # school hierarchy, beside the plain .org default and the hot
+    # domain the cap exists for
+    istr = item.cast("string")
+    host = (
+        F.when(item % 10 == 3, F.lit("hot.example-hub.org"))
+        .when(item % 10 == 7, F.concat(F.lit("example"), istr, F.lit(".co.uk")))
+        .when(item % 10 == 4, F.concat(F.lit("site"), istr, F.lit(".github.io")))
+        .when(item % 10 == 6, F.concat(F.lit("school"), istr, F.lit(".k12.ca.us")))
+        .otherwise(F.concat(F.lit("example"), istr, F.lit(".org")))
+    )
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.")).otherwise(
             F.lit("http://")
@@ -3870,18 +3888,22 @@ def _url_norm_sql_for(u: str) -> str:
     return f"({p} || {r})"
 
 
-def _url_domain_sql_for(u: str) -> str:
+def _url_host_sql_for(u: str) -> str:
+    """The lowered, userinfo/port-stripped host, with the leading
+    ``www.`` dropped only when >= 2 labels remain (``www.ck`` is a real
+    registered domain) — registered_domain_expr's host extraction.
+    Compute it into a CTE column: the PSL CASE references it ~9x."""
     h = (
         f"lower(regexp_extract({u}, "
         "'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
     )
-    h = f"regexp_replace({h}, '^www\\.', '')"
-    last2 = f"regexp_extract({h}, '([^.]+\\.[^.]+)$', 1)"
-    return f"(CASE WHEN {last2} <> '' THEN {last2} ELSE {h} END)"
+    return (
+        f"(CASE WHEN regexp_matches({h}, '^www\\..*\\.') "
+        f"THEN regexp_replace({h}, '^www\\.', '') ELSE {h} END)"
+    )
 
 
 _URL_NORM_SQL = _url_norm_sql_for("{u}")
-_URL_DOMAIN_SQL = _url_domain_sql_for("{u}")
 
 
 # ---------------------------------------------------------------------------
@@ -4982,6 +5004,9 @@ ORACLES: dict[str, str] = {
         "urls AS (SELECT doc_id, "
         "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
         "|| CASE WHEN item % 10 = 3 THEN 'hot.example-hub.org' "
+        "WHEN item % 10 = 7 THEN 'example' || CAST(item AS VARCHAR) || '.co.uk' "
+        "WHEN item % 10 = 4 THEN 'site' || CAST(item AS VARCHAR) || '.github.io' "
+        "WHEN item % 10 = 6 THEN 'school' || CAST(item AS VARCHAR) || '.k12.ca.us' "
         "ELSE 'example' || CAST(item AS VARCHAR) || '.org' END "
         "|| '/item/' || CAST(item AS VARCHAR) "
         "|| CASE WHEN item % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' "
@@ -4989,12 +5014,17 @@ ORACLES: dict[str, str] = {
         "FROM it), "
         # the FULL normalize_url_expr regex chain restated (DuckDB
         # regexp_replace is first-match unless 'g'; Spark is global —
-        # 'g' added exactly where multiple matches are possible)
+        # 'g' added exactly where multiple matches are possible), and
+        # the PSL eTLD+1 CASE generated from the SAME snapshot tables
+        # the Spark expression reads (operators/psl.py)
+        "uhost AS (SELECT doc_id, u, "
+        + _url_host_sql_for("u")
+        + " AS h FROM urls), "
         "unorm AS (SELECT doc_id, "
         + _URL_NORM_SQL.format(u="u")
         + " AS norm, "
-        + _URL_DOMAIN_SQL.format(u="u")
-        + " AS dom FROM urls), "
+        + _psl_registered_domain_sql("h")
+        + " AS dom FROM uhost), "
         "uflag AS (SELECT doc_id, dom AS domain, "
         "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
         "AS url_keep, "

@@ -409,3 +409,101 @@ def test_recover_flat_store_after_crashed_compaction(spark, tmp_path):
     shutil.move(f"{store}/urls.parquet", f"{store}/urls.parquet.pre-compact")
     compact_flat_store(spark, store, "urls.parquet", ["url_norm"], num_files=1)
     assert spark.read.parquet(f"{store}/urls.parquet").count() == 2
+
+
+def test_registered_domain_psl_etld1(spark):
+    """True eTLD+1 against the embedded PSL snapshot: ccSLDs,
+    3-label suffixes, wildcard TLDs, the www.ck exception, and the
+    private hosting section all resolve at the registrant grain."""
+    cases = {
+        # 2-label ccSLD: a.co.uk and b.co.uk are SEPARATE registrants
+        "http://a.co.uk/x": "a.co.uk",
+        "http://deep.sub.b.co.uk/x": "b.co.uk",
+        "http://www.example.co.uk/": "example.co.uk",
+        # host AT suffix depth has no registrant label -> itself
+        "http://co.uk/": "co.uk",
+        # 3-label suffix (US school hierarchy)
+        "http://school7.k12.ca.us/": "school7.k12.ca.us",
+        "http://x.school7.k12.ca.us/": "school7.k12.ca.us",
+        # 2-label state suffix
+        "http://agency.ca.us/": "agency.ca.us",
+        # wildcard TLD *.ck: every 2-label suffix under ck is public
+        "http://a.b.ck/": "a.b.ck",
+        "http://x.a.b.ck/": "a.b.ck",
+        # ...except the carved-out exception !www.ck
+        "http://www.ck/": "www.ck",
+        "http://foo.www.ck/": "www.ck",
+        # private hosting section: subdomains are separate registrants
+        "http://alice.github.io/p": "alice.github.io",
+        "http://bob.github.io/p": "bob.github.io",
+        "http://shop.blogspot.com/": "shop.blogspot.com",
+        # plain gTLD fallback unchanged
+        "http://www.example.com/": "example.com",
+        "http://sub.example.org/": "example.org",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.u: r.d
+        for r in df.select("u", registered_domain_expr("u").alias("d")).collect()
+    }
+    assert got == cases
+
+
+def test_registered_domain_custom_psl(spark):
+    """parse_psl_rules: raw PSL-format lines (comments, wildcards,
+    exceptions) feed registered_domain_expr; unsupported shapes fail
+    loudly."""
+    from gluestick_ts_spark.operators.psl import parse_psl_rules
+
+    tables = parse_psl_rules(
+        ["// comment", "", "co.test", "*.wild", "!ok.wild", "plain"]
+    )
+    assert tables.suffixes_2 == {"co.test"}
+    assert tables.wildcard_tlds == {"wild"}
+    assert tables.exceptions == {"ok.wild"}
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.co.test/"),
+            (2, "http://a.b.wild/"),
+            (3, "http://x.ok.wild/"),
+            (4, "http://a.co.uk/"),  # NOT in the custom tables
+        ],
+        "i long, u string",
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registered_domain_expr("u", psl=tables).alias("d")
+        ).collect()
+    }
+    assert got == {1: "a.co.test", 2: "a.b.wild", 3: "ok.wild", 4: "co.uk"}
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_psl_rules(["a.b.c.d"])
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_psl_rules(["*.two.labels"])
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_psl_rules(["!deep.exception.host"])
+
+
+def test_domain_cap_psl_independent_ccsld(spark):
+    """The r9 gap, closed: one hot .co.uk registrant must exhaust ITS
+    OWN cap without starving every other .co.uk site (last-2-labels
+    collapsed them all into one 'co.uk' group)."""
+    rows = [(i, f"http://a.co.uk/p{i}") for i in range(10)]
+    rows += [(100 + i, f"http://b.co.uk/p{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_cap_flag(df, cap=5, domain_col="dom")
+    by_dom = {
+        d: sorted(r.doc_id for r in rs)
+        for d, rs in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r.dom), key=lambda r: r.dom
+        )
+    }
+    assert set(by_dom) == {"a.co.uk", "b.co.uk"}
+    rows_out = out.collect()
+    a_kept = sum(r.domain_keep for r in rows_out if r.dom == "a.co.uk")
+    b_kept = sum(r.domain_keep for r in rows_out if r.dom == "b.co.uk")
+    assert a_kept == 5  # a.co.uk capped at its own budget
+    assert b_kept == 3  # b.co.uk UNTOUCHED by a's overflow
