@@ -39,7 +39,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .media_codecs import bmp_decode, png_decode, sniff_format
+from .media_codecs import bmp_decode, jpeg_decode, png_decode, sniff_format
+
+_IMAGE_DECODERS = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}
 
 __all__ = [
     "dhash_of_payload",
@@ -55,14 +57,16 @@ __all__ = [
 
 
 def _gray_grid(payload: bytes, out_w: int, out_h: int) -> list[list[int]] | None:
-    """Decode a BMP/PNG payload and nearest-neighbor-resize its
+    """Decode a BMP/PNG/JPEG payload and nearest-neighbor-resize its
     integer luma plane to ``out_w x out_h``. None when the payload is
-    not a decodable image."""
+    not a decodable image (incl. progressive JPEG — out of the
+    baseline decoder's scope, documented in ``jpeg_codec``)."""
     fmt = sniff_format(payload)
-    if fmt not in ("bmp", "png"):
+    decoder = _IMAGE_DECODERS.get(fmt)
+    if decoder is None:
         return None
     try:
-        w, h, px = (bmp_decode if fmt == "bmp" else png_decode)(payload)
+        w, h, px = decoder(payload)
     except ValueError:
         return None
     if w <= 0 or h <= 0:

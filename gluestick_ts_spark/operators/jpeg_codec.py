@@ -1,0 +1,669 @@
+"""Pure-stdlib baseline JPEG codec (``media_codecs``' fourth format).
+
+Real web-crawl images are overwhelmingly JPEG, so a perceptual dedup
+family that only decodes BMP/PNG/WAV silently no-ops on the dominant
+format — the round-9 verdict's top gap. This module closes it with a
+from-scratch baseline (SOF0/SOF1) DECODER general enough for real
+crawl JPEGs — arbitrary DQT/DHT tables read from the file, 1- and
+3-component scans, sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0),
+restart markers, byte unstuffing — plus an ENCODER used by the synth
+fixtures and ``jpeg_resize`` (4:4:4 or grayscale, self-declared
+canonical Huffman tables, formula quantization).
+
+Determinism contract (the ``imagehash`` literal-embedding requirement):
+every arithmetic step is INTEGER — the DCT basis is an embedded
+fixed-point table (no ``math.cos`` at import: libm may differ by an
+ulp across platforms), dequantize/IDCT/level-shift/YCbCr all use
+explicit shift-rounding — so ``jpeg_decode(payload)`` is a pure,
+platform-exact function of the bytes, and driver-side expected-hash
+builders can replay it literally. NOTE: the pixels may differ from
+libjpeg's by ±1 LSB (different IDCT rounding); perceptual hashes
+compare ±100-scale luma contrasts and tolerate that by construction.
+
+Out of scope (raise ``ValueError``, callers fall back to the labeled
+fake path): progressive (SOF2), arithmetic coding, 12-bit precision,
+4+-sampling factors, hierarchical. The reference has no media code at
+all (scale-extension surface, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["jpeg_decode", "jpeg_encode"]
+
+# orthonormal DCT-II basis B[u][x] = C(u)/2 * cos((2x+1)u*pi/16),
+# fixed-point at 2^13 (embedded literals — see determinism contract)
+_DCT_SCALE_BITS = 13
+_DCT8 = (
+    (2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+)
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The JPEG zigzag scan as (row, col) pairs, generated (not
+    transcribed): anti-diagonals alternate direction, odd sums walk
+    row 0->s, even sums row s->0."""
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        pts = (
+            [(r, s - r) for r in range(s + 1)]
+            if s % 2
+            else [(r, s - r) for r in range(s, -1, -1)]
+        )
+        out += [(r, c) for r, c in pts if r < 8 and c < 8]
+    return out
+
+
+_ZIGZAG = _zigzag_order()  # index k -> (row, col)
+
+
+def _rshift_round(v: int, n: int) -> int:
+    """Arithmetic shift with +half rounding — the ONE rounding rule
+    every fixed-point step here uses (floor-based, so -0.5 rounds to
+    0: a fixed, documented choice, not a platform one)."""
+    return (v + (1 << (n - 1))) >> n
+
+
+# -- shared 8x8 transforms -----------------------------------------------------
+
+def _idct_block(coef: list[int]) -> list[int]:
+    """2D inverse DCT of 64 natural-order dequantized coefficients to
+    64 clamped [0, 255] samples (level shift +128 included). Two
+    separable fixed-point passes; the first keeps 4 guard bits."""
+    tmp = [0] * 64
+    for u in range(8):
+        row = coef[u * 8 : u * 8 + 8]
+        if not any(row):
+            continue
+        for y in range(8):
+            s = 0
+            for v in range(8):
+                s += row[v] * _DCT8[v][y]
+            tmp[u * 8 + y] = _rshift_round(s, _DCT_SCALE_BITS - 4)
+    out = [0] * 64
+    for y in range(8):
+        col = [tmp[u * 8 + y] for u in range(8)]
+        for x in range(8):
+            s = 0
+            for u in range(8):
+                s += col[u] * _DCT8[u][x]
+            px = _rshift_round(s, _DCT_SCALE_BITS + 4) + 128
+            out[x * 8 + y] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+def _fdct_block(samples: list[int]) -> list[int]:
+    """2D forward DCT of 64 natural-order [0, 255] samples (level
+    shift -128 included) to 64 natural-order coefficients."""
+    tmp = [0] * 64
+    for y in range(8):
+        col = [samples[x * 8 + y] - 128 for x in range(8)]
+        for u in range(8):
+            s = 0
+            for x in range(8):
+                s += col[x] * _DCT8[u][x]
+            tmp[u * 8 + y] = _rshift_round(s, _DCT_SCALE_BITS - 4)
+    out = [0] * 64
+    for u in range(8):
+        row = tmp[u * 8 : u * 8 + 8]
+        for v in range(8):
+            s = 0
+            for y in range(8):
+                s += row[y] * _DCT8[v][y]
+            out[u * 8 + v] = _rshift_round(s, _DCT_SCALE_BITS + 4)
+    return out
+
+
+# -- decoder -------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past-the-end pad with 1s (the spec's marker-fill rule);
+            # well-formed streams never depend on these
+            return 1
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huff(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (length, code) -> symbol map from a DHT
+    table's 16 length counts + value list."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG magnitude extension: a ``size``-bit amplitude whose top
+    bit is 0 encodes a negative value."""
+    if size == 0:
+        return 0
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a baseline (SOF0/SOF1) JPEG to ``(width, height,
+    pixels)`` row-major top-down ``(r, g, b)`` tuples — the
+    ``bmp_decode``/``png_decode`` contract, so the shared pixel
+    pipeline (features / resize / luma grids) needs no new shape.
+    Raises ``ValueError`` for non-JPEG payloads and the documented
+    out-of-scope corners (progressive, 12-bit, sampling factors > 2).
+    """
+    if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (width, height, [(cid, h, v, tq), ...])
+    scan = None  # ([(comp_idx, dc_id, ac_id), ...], entropy_start)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                o += 1
+                if pq == 0:
+                    qt[tq] = list(seg[o : o + 64])
+                    o += 64
+                else:  # 16-bit table
+                    qt[tq] = list(struct.unpack_from(">64H", seg, o))
+                    o += 128
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                values = seg[o + 17 : o + 17 + n]
+                table = _build_huff(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                o += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h_, w_ = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            frame = (w_, h_, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF{marker - 0xC0}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            comp_ids = [c[0] for c in frame[2]]
+            sel = []
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                sel.append((comp_ids.index(cs), td_ta >> 4, td_ta & 0xF))
+            scan = (sel, pos + 2 + seglen)
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height, comps = frame
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    sel, entropy_start = scan
+
+    # split the entropy stream into restart segments, unstuffing FF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = entropy_start
+    n = len(payload)
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # per-component sample planes at their own sampled resolution,
+    # padded to whole MCUs
+    planes = []
+    for _, hs, vs, _ in comps:
+        pw, ph = mcux * hs * 8, mcuy * vs * 8
+        planes.append(([0] * (pw * ph), pw))
+
+    n_mcus = mcux * mcuy
+    per_seg = restart_interval or n_mcus
+    mcu = 0
+    for seg_bytes in segments:
+        if mcu >= n_mcus:
+            break
+        reader = _BitReader(seg_bytes)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, dc_id, ac_id in sel:
+                _, hs, vs, tq = comps[ci]
+                if tq not in qt:
+                    raise ValueError(f"JPEG missing quant table {tq}")
+                q = qt[tq]
+                dct = huff_dc.get(dc_id)
+                act = huff_ac.get(ac_id)
+                if dct is None or act is None:
+                    raise ValueError("JPEG missing Huffman table")
+                plane, pw = planes[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = [0] * 64
+                        t = _huff_decode(reader, dct)
+                        diff = _extend(reader.read_bits(t), t)
+                        preds[ci] += diff
+                        coef[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, act)
+                            r_, s_ = rs >> 4, rs & 0xF
+                            if s_ == 0:
+                                if r_ == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r_
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            val = _extend(reader.read_bits(s_), s_)
+                            zr, zc = _ZIGZAG[k]
+                            coef[zr * 8 + zc] = val * q[k]
+                            k += 1
+                        block = _idct_block(coef)
+                        ox = (mx * hs + bx) * 8
+                        oy = (my * vs + by) * 8
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            boff = yy * 8
+                            plane[row : row + 8] = block[boff : boff + 8]
+            mcu += 1
+
+    # upsample to full resolution (replication) + color convert
+    pixels: list[tuple[int, int, int]] = []
+    if len(comps) == 1:
+        plane, pw = planes[0]
+        for y in range(height):
+            base = y * pw
+            for x in range(width):
+                g = plane[base + x]
+                pixels.append((g, g, g))
+        return width, height, pixels
+    (py_, pwy), (pcb, pwc1), (pcr, pwc2) = planes
+    hy, vy = comps[0][1], comps[0][2]
+    h1, v1 = comps[1][1], comps[1][2]
+    h2, v2 = comps[2][1], comps[2][2]
+    for y in range(height):
+        for x in range(width):
+            Y = py_[(y * vy // vmax) * pwy + (x * hy // hmax)]
+            cb = pcb[(y * v1 // vmax) * pwc1 + (x * h1 // hmax)] - 128
+            cr = pcr[(y * v2 // vmax) * pwc2 + (x * h2 // hmax)] - 128
+            # fixed-point JFIF inverse at 2^16 (integer, one rounding)
+            r = Y + _rshift_round(91881 * cr, 16)
+            g = Y - _rshift_round(22554 * cb + 46802 * cr, 16)
+            b = Y + _rshift_round(116130 * cb, 16)
+            pixels.append((
+                0 if r < 0 else (255 if r > 255 else r),
+                0 if g < 0 else (255 if g > 255 else g),
+                0 if b < 0 else (255 if b > 255 else b),
+            ))
+    return width, height, pixels
+
+
+# -- encoder -------------------------------------------------------------------
+
+# encoder Huffman tables: SELF-DECLARED canonical tables (written into
+# DHT, so any conformant decoder reads them) — every DC category
+# (0..11) gets a 4-bit code, every AC (run, size) symbol an 8-bit code.
+# Deliberately suboptimal-but-trivial: no Annex K transcription to get
+# wrong, and the all-ones code is never assigned (12 < 15, 162 < 255).
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALUES = bytes(range(12))
+_ENC_AC_VALUES = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _enc_table(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder side."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _enc_table(_ENC_DC_BITS, _ENC_DC_VALUES)
+_ENC_AC = _enc_table(_ENC_AC_BITS, _ENC_AC_VALUES)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (the marker rule)
+
+
+def _size_cat(v: int) -> int:
+    """JPEG magnitude category: bits needed for |v|."""
+    a = -v if v < 0 else v
+    s = 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _quant_tables(quant_scale: int) -> tuple[list[int], list[int]]:
+    """Formula quantization tables (natural order): step grows with
+    frequency; DC step 1 keeps the means hash-grade faithful. A
+    formula (not a transcribed Annex K table) — the tables travel in
+    DQT, so nothing downstream assumes them."""
+    lum = [min(255, 1 + (u + v) * quant_scale) for u in range(8) for v in range(8)]
+    chr_ = [
+        min(255, 1 + (u + v) * 2 * quant_scale) for u in range(8) for v in range(8)
+    ]
+    return lum, chr_
+
+
+def _encode_block(
+    w: _BitWriter, coef: list[int], q: list[int], pred: int
+) -> int:
+    """Quantize (symmetric round), zigzag, entropy-code one block;
+    returns the new DC predictor."""
+    zz = []
+    for k in range(64):
+        zr, zc = _ZIGZAG[k]
+        c_ = coef[zr * 8 + zc]
+        qk = q[zr * 8 + zc]
+        v = (abs(c_) + qk // 2) // qk
+        if c_ < 0:
+            v = -v
+        if k and v > 1023:
+            v = 1023  # AC size <= 10 (spec bound)
+        elif k and v < -1023:
+            v = -1023
+        zz.append(v)
+    diff = zz[0] - pred
+    s = _size_cat(diff)
+    code, length = _ENC_DC[s]
+    w.write(code, length)
+    if s:
+        amp = diff if diff > 0 else diff + (1 << s) - 1
+        w.write(amp, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            zc_, zl = _ENC_AC[0xF0]
+            w.write(zc_, zl)
+            run -= 16
+        s = _size_cat(zz[k])
+        code, length = _ENC_AC[(run << 4) | s]
+        w.write(code, length)
+        amp = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+        w.write(amp, s)
+        run = 0
+    if run:
+        code, length = _ENC_AC[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
+def jpeg_encode(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    quant_scale: int = 1,
+    grayscale: bool = False,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major top-down ``(r, g, b)`` pixels as a valid
+    baseline JPEG — YCbCr 4:4:4 or 4:2:0 (``subsampling``), or
+    single-component grayscale; self-declared canonical Huffman
+    tables; formula quantization (``quant_scale`` up = smaller/
+    lossier); optional restart markers every ``restart_interval``
+    MCUs. 4:2:0 + restart markers exist mainly so the DECODER's
+    real-crawl paths (sampling-factor MCU layout, RSTn resync) are
+    exercised by honest fixtures, not just the 4:4:4 happy path.
+    Deterministic (same fixed-point DCT/rounding as the decoder), so
+    synth fixtures built from it are literal-embeddable. Round-trip
+    error vs the original pixels is bounded by the quantization (~±3
+    per channel at the default, plus chroma averaging under 4:2:0)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate image dimensions")
+    if len(pixels) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    lum_q, chr_q = _quant_tables(quant_scale)
+
+    # color convert (fixed-point JFIF forward) into full-res planes
+    ncomp = 1 if grayscale else 3
+    yp: list[int] = [0] * (width * height)
+    cbp: list[int] = [0] * (width * height) if ncomp == 3 else []
+    crp: list[int] = [0] * (width * height) if ncomp == 3 else []
+    for i, (r, g, b) in enumerate(pixels):
+        y = _rshift_round(19595 * r + 38470 * g + 7471 * b, 16)
+        yp[i] = 255 if y > 255 else y
+        if ncomp == 3:
+            cb = 128 + _rshift_round(-11059 * r - 21709 * g + 32768 * b, 16)
+            cr = 128 + _rshift_round(32768 * r - 27439 * g - 5329 * b, 16)
+            cbp[i] = 0 if cb < 0 else (255 if cb > 255 else cb)
+            crp[i] = 0 if cr < 0 else (255 if cr > 255 else cr)
+
+    # component layout: (plane, comp_width, comp_height, h, v)
+    sub = subsampling == "420" and ncomp == 3
+    if ncomp == 1:
+        comps = [(yp, width, height, 1, 1)]
+    elif not sub:
+        comps = [
+            (yp, width, height, 1, 1),
+            (cbp, width, height, 1, 1),
+            (crp, width, height, 1, 1),
+        ]
+    else:
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+
+        def down(src: list[int]) -> list[int]:
+            out = [0] * (cw * ch)
+            for yy in range(ch):
+                y0, y1 = 2 * yy, min(height - 1, 2 * yy + 1)
+                for xx in range(cw):
+                    x0, x1 = 2 * xx, min(width - 1, 2 * xx + 1)
+                    out[yy * cw + xx] = (
+                        src[y0 * width + x0]
+                        + src[y0 * width + x1]
+                        + src[y1 * width + x0]
+                        + src[y1 * width + x1]
+                        + 2
+                    ) >> 2
+            return out
+
+        comps = [
+            (yp, width, height, 2, 2),
+            (down(cbp), cw, ch, 1, 1),
+            (down(crp), cw, ch, 1, 1),
+        ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT
+    out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([0x00]) + bytes(
+        lum_q[_ZIGZAG[k][0] * 8 + _ZIGZAG[k][1]] for k in range(64)
+    )
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([0x01]) + bytes(
+            chr_q[_ZIGZAG[k][0] * 8 + _ZIGZAG[k][1]] for k in range(64)
+        )
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c, (_, _, _, hs, vs) in enumerate(comps):
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT x (2 or 4)
+    def dht(tc: int, th: int, bits: list[int], values: bytes) -> bytes:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + values
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALUES)
+    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALUES)
+    if ncomp == 3:
+        out += dht(0, 1, _ENC_DC_BITS, _ENC_DC_VALUES)
+        out += dht(1, 1, _ENC_AC_BITS, _ENC_AC_VALUES)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcux * mcuy
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.flush()
+            out_rst = 0xD0 + (rst % 8)
+            w.out += bytes([0xFF, out_rst])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci, (plane, cw_, ch_, hs, vs) in enumerate(comps):
+            q = lum_q if ci == 0 else chr_q
+            for by in range(vs):
+                for bx in range(hs):
+                    samples = [0] * 64
+                    oy = (my * vs + by) * 8
+                    ox = (mx * hs + bx) * 8
+                    for yy in range(8):
+                        sy = min(ch_ - 1, oy + yy)
+                        for xx in range(8):
+                            sx = min(cw_ - 1, ox + xx)
+                            samples[yy * 8 + xx] = plane[sy * cw_ + sx]
+                    preds[ci] = _encode_block(
+                        w, _fdct_block(samples), q, preds[ci]
+                    )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -1,7 +1,7 @@
 """Pure-stdlib media codecs for the multimodal operators.
 
-Real decoders for the two uncompressed formats a container with no
-media libraries can still parse honestly:
+Real decoders for the formats a container with no media libraries can
+still parse honestly:
 
 - **BMP** (Windows bitmap, BI_RGB 24/32-bit): header + pixel parsing,
   channel statistics, and a real nearest-neighbor resize that emits a
@@ -9,6 +9,12 @@ media libraries can still parse honestly:
 - **WAV** (RIFF PCM, via stdlib ``wave``): sample decoding (8/16/32
   bit), amplitude statistics, duration, and real time-slice "frames"
   re-encoded as standalone WAV payloads.
+- **PNG** (via stdlib ``zlib``): 8-bit gray/RGB/RGBA, all five
+  scanline filters, valid re-encode.
+- **JPEG** (round 10, ``jpeg_codec.py``): from-scratch baseline
+  decoder (arbitrary DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers,
+  fixed-point integer IDCT — platform-exact) + a deterministic
+  encoder; progressive/arithmetic raise and fall to the fake path.
 
 ``sniff_format`` dispatches on magic bytes; payloads in any other
 format fall back to the clearly-labeled deterministic fakes in
@@ -30,6 +36,8 @@ import struct
 import wave
 import zlib
 
+from .jpeg_codec import jpeg_decode, jpeg_encode
+
 __all__ = [
     "sniff_format",
     "bmp_decode",
@@ -43,11 +51,16 @@ __all__ = [
     "png_encode",
     "png_features",
     "png_resize",
+    "jpeg_decode",
+    "jpeg_encode",
+    "jpeg_features",
+    "jpeg_resize",
 ]
 
 
 def sniff_format(payload: bytes | None) -> str | None:
-    """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``, or None."""
+    """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``,
+    ``"jpeg"``, or None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -56,6 +69,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -403,6 +418,26 @@ def png_features(payload: bytes, n_features: int = 8) -> list[float]:
     """Real pixel statistics from a decoded PNG — identical feature
     contract to ``bmp_features``."""
     return _pixel_features(*png_decode(payload), n_features)
+
+
+def jpeg_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real pixel statistics from a decoded baseline JPEG
+    (``jpeg_codec.jpeg_decode``) — identical feature contract to
+    ``bmp_features``."""
+    return _pixel_features(*jpeg_decode(payload), n_features)
+
+
+def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode, sample, re-encode as a
+    valid baseline 4:4:4 JPEG (the default encoder settings)."""
+    sw, sh, pixels = jpeg_decode(payload)
+    out = []
+    for r in range(height):
+        sr = min(sh - 1, (r * sh) // height)
+        for c in range(width):
+            sc = min(sw - 1, (c * sw) // width)
+            out.append(pixels[sr * sw + sc])
+    return jpeg_encode(width, height, out)
 
 
 def png_resize(payload: bytes, width: int, height: int) -> bytes:

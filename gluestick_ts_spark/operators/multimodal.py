@@ -35,6 +35,9 @@ from .media_codecs import (
     bmp_decode,
     bmp_features,
     bmp_resize,
+    jpeg_decode,
+    jpeg_features,
+    jpeg_resize,
     png_decode,
     png_features,
     png_resize,
@@ -101,9 +104,10 @@ def probe_media_metadata(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Fill the metadata struct from the payloads themselves via an
-    Arrow-batched probe: BMP/PNG -> real width/height (+ format/media_type),
-    WAV -> real duration_ms (+ format/media_type); unsniffable payloads
-    keep their existing metadata untouched. Same schema in and out."""
+    Arrow-batched probe: BMP/PNG/JPEG -> real width/height
+    (+ format/media_type), WAV -> real duration_ms (+ format/
+    media_type); unsniffable payloads keep their existing metadata
+    untouched. Same schema in and out."""
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,8 +117,9 @@ def probe_media_metadata(
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 fmt = sniff_format(payload)
                 try:
-                    if fmt in ("bmp", "png"):
-                        dec = bmp_decode if fmt == "bmp" else png_decode
+                    if fmt in ("bmp", "png", "jpeg"):
+                        dec = {"bmp": bmp_decode, "png": png_decode,
+                               "jpeg": jpeg_decode}[fmt]
                         w, h, _ = dec(payload)
                         meta.update(
                             media_type="image", format=fmt, width=w, height=h
@@ -172,7 +177,8 @@ def decode_features_with_provenance(
     payload: bytes | None, n_features: int = 8
 ) -> tuple[list[float], str]:
     """Format-sniffing feature decoder that also reports WHICH decoder
-    produced the vector: ``("png"|"bmp"|"wav")`` for a real decode,
+    produced the vector: ``("png"|"bmp"|"jpeg"|"wav")`` for a real
+    decode,
     ``"fake"`` for the byte-stat stand-in. In a mixed corpus real and
     fake feature vectors are numerically indistinguishable, so the
     label is the only audit trail — downstream filters can drop or
@@ -184,10 +190,12 @@ def decode_features_with_provenance(
             return bmp_features(payload, n_features), "bmp"
         if fmt == "png":
             return png_features(payload, n_features), "png"
+        if fmt == "jpeg":
+            return jpeg_features(payload, n_features), "jpeg"
         if fmt == "wav":
             return wav_features(payload, n_features), "wav"
     except ValueError:
-        pass  # sniffed but undecodable (truncated/compressed) -> fake
+        pass  # sniffed but undecodable (truncated/progressive) -> fake
     return fake_decode_features(payload, n_features), "fake"
 
 
@@ -278,11 +286,11 @@ def _sniff_resize(
     payloads (re-encoded as a valid BMP, labeled ``"bmp"``);
     byte-sampling fake labeled ``"fake"`` for everything else."""
     fmt = sniff_format(payload)
-    if fmt in ("bmp", "png"):
+    if fmt in ("bmp", "png", "jpeg"):
         try:
-            if fmt == "bmp":
-                return bmp_resize(payload, width, height), "bmp"
-            return png_resize(payload, width, height), "png"
+            fn = {"bmp": bmp_resize, "png": png_resize,
+                  "jpeg": jpeg_resize}[fmt]
+            return fn(payload, width, height), fmt
         except ValueError:
             pass
     return _fake_resize(payload, width, height), "fake"

@@ -2622,26 +2622,40 @@ def _ann_ivfstore_leg(e, q, approx, cents):
 
 
 def _mm_synth_payload(i: int) -> bytes:
-    """Deterministic media payload for doc_id ``i``: BMP (i%3==0) /
-    WAV (i%3==1) / PNG (i%3==2). Pure function of ``i`` — shared by
-    the Spark-side mapInPandas synth AND the driver-side oracle
+    """Deterministic media payload for doc_id ``i``: BMP (i%4==0) /
+    WAV (i%4==1) / PNG (i%4==2) / baseline JPEG (i%4==3 — round 10,
+    the dominant web format; 4:2:0 with restart markers every other
+    doc so the decoder's real-crawl paths are exercised, not just the
+    4:4:4 happy path). Pure function of ``i`` — shared by the
+    Spark-side mapInPandas synth AND the driver-side oracle
     expected-row builder, so the two can never drift."""
     import io
     import math
     import struct as _struct
     import wave
 
-    from ..operators.media_codecs import bmp_encode, png_encode
+    from ..operators.media_codecs import bmp_encode, jpeg_encode, png_encode
 
-    if i % 3 == 0:
+    if i % 4 == 0:
         color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
         return bmp_encode(4, 4, [color] * 16)
-    if i % 3 == 2:
+    if i % 4 == 2:
         px = [
             ((i + k) * 31 % 256, (i + k) * 53 % 256, (i + k) * 71 % 256)
             for k in range(16)
         ]
         return png_encode(4, 4, px)
+    if i % 4 == 3:
+        px = [
+            ((i * 3 + x * 29) % 256, (i * 5 + y * 43) % 256, (i + x * y * 7) % 256)
+            for y in range(8)
+            for x in range(8)
+        ]
+        return jpeg_encode(
+            8, 8, px,
+            subsampling="420" if i % 8 == 3 else "444",
+            restart_interval=1 if i % 8 == 7 else 0,
+        )
     rate, n = 8000, 200 + (i % 10) * 40
     freq = 200.0 + (i % 40) * 10.0
     buf = io.BytesIO()
@@ -2662,63 +2676,78 @@ def _mm_synth_payload(i: int) -> bytes:
 
 
 def _phash_synth_payload(i: int) -> bytes:
-    """Deterministic 8x8 grayscale BMP for the perceptual-hash leg —
-    PLANTED near-dup structure: group ``g = i % 30``, copy
+    """Deterministic 16x16 grayscale image for the perceptual-hash
+    leg — PLANTED near-dup structure: group ``g = i % 30``, copy
     ``c = i // 30`` (4 copies per group among doc_ids < 120). The base
-    pattern is a per-group md5-seeded 20/220 binary luma grid (strong
-    ±200 adjacent contrasts, so comparisons are far from ties, and —
-    measured — ZERO cross-group pairs at max_hamming=6):
+    pattern is a per-group md5-seeded 4-level luma grid (values
+    20/95/170/245, 2x2 blocks) with HORIZONTALLY-ADJACENT cells forced
+    DISTINCT (>= 75 apart) — dHash compares only horizontal neighbors,
+    so every comparison sits far from a tie and survives lossy decode
+    noise (round 10: the old 20/220 binary grid was ~half ties, which
+    JPEG's ±3 decode noise coin-flipped):
 
-    - c=1 adds ±1 noise: ±200 comparisons never flip, but EQUAL-value
-      comparisons between distinct same-bit adjacent source pixels DO
-      — measured hamming(c0, c1) spans 0..15 across groups, so some
-      noisy copies pair and some legitimately exceed the threshold;
-    - c=2 inverts two isolated pixels: a few flipped comparisons
-      (measured 0..6 — 0 where the inverted pixels' neighbors already
-      matched the inverted value);
-    - c=3 inverts the whole first two rows: usually beyond
-      max_hamming=6 (the negative case).
+    - c=1 is the c=0 image RE-ENCODED AS A BASELINE JPEG (round 10 —
+      the real crawl near-dup: same image, different codec): measured
+      hamming(c0, c1) spans 1..6 across groups — every cross-codec
+      twin pairs, none exactly (honest lossy-decode variation);
+    - c=2 value-flips (v -> 265-v) two isolated cells: measured 0..4;
+    - c=3 value-flips the whole first two cell rows: measured 14 —
+      always beyond max_hamming=6 (the negative case).
 
     The expected pairs are whatever these hashes actually produce — the
     correctness statement is banded == brute-force per-value on BOTH
-    engines (52 pairs at sf >= 0.01, zero cross-group), not a hand-made
-    pair list.
+    engines (79 pairs at sf >= 0.01, zero cross-group — re-measured
+    with the JPEG twin), not a hand-made pair list.
 
     Pure function of ``i`` — shared by the Spark synth and the oracle
     expected-hash builder (the ``_mm_synth_payload`` pattern)."""
     import hashlib
 
-    from ..operators.media_codecs import bmp_encode
+    from ..operators.media_codecs import bmp_encode, jpeg_encode
 
     g, c = i % 30, i // 30
-    px = []
-    for k in range(64):
-        bit = int(hashlib.md5(f"{g}:{k}".encode()).hexdigest(), 16) % 2
-        if c == 2 and k in (9, 36):
-            bit = 1 - bit
-        if c == 3 and k < 16:
-            bit = 1 - bit
-        v = 220 if bit else 20
-        if c == 1:
-            v += (k + g) % 3 - 1  # ±1 noise, never flips a comparison
-        px.append((v, v, v))
-    return bmp_encode(8, 8, px)
+    vals = []
+    for y in range(8):
+        prev = None
+        row = []
+        for x in range(8):
+            ch = int(hashlib.md5(f"{g}:{y}:{x}".encode()).hexdigest(), 16) % 4
+            if ch == prev:
+                ch = (ch + 1) % 4  # force horizontal distinctness
+            prev = ch
+            row.append(20 + 75 * ch)
+        vals.append(row)
+    if c == 2:
+        for k in (9, 36):
+            vals[k // 8][k % 8] = 265 - vals[k // 8][k % 8]
+    if c == 3:
+        for k in range(16):
+            vals[k // 8][k % 8] = 265 - vals[k // 8][k % 8]
+    px = [
+        (vals[y // 2][x // 2],) * 3 for y in range(16) for x in range(16)
+    ]
+    if c == 1:
+        return jpeg_encode(16, 16, px)
+    return bmp_encode(16, 16, px)
 
 
 def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     """Multimodal pipeline over REAL codecs, as ONE tagged union
     (registry-folding pattern).
 
-    ``feat``: deterministic BMP (doc_id % 3 == 0) / WAV (% 3 == 1) /
-    PNG (% 3 == 2) payloads are synthesized per row inside an Arrow
-    batch, then probed (real width/height/duration from the bytes),
-    feature-extracted (real pixel/sample statistics via the stdlib
-    BMP/WAV/zlib-PNG decoders in operators/media_codecs.py), and
-    perceptually hashed (``image_dhash`` — 64-bit dHash for the image
-    rows, NULL for WAV).
+    ``feat``: deterministic BMP (doc_id % 4 == 0) / WAV (% 4 == 1) /
+    PNG (% 4 == 2) / baseline JPEG (% 4 == 3, round 10 — incl. 4:2:0
+    and restart-marker variants) payloads are synthesized per row
+    inside an Arrow batch, then probed (real width/height/duration
+    from the bytes), feature-extracted (real pixel/sample statistics
+    via the stdlib BMP/WAV/zlib-PNG/from-scratch-JPEG decoders in
+    operators/media_codecs.py), and perceptually hashed
+    (``image_dhash`` — 64-bit dHash for the image rows, NULL for
+    WAV).
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
-    planted 8x8 BMPs — dHash then pigeonhole-banded Hamming join at
+    planted 8x8 images (90 BMPs + 30 JPEG cross-codec twins, round
+    10) — dHash then pigeonhole-banded Hamming join at
     max_hamming=6 (recall-1.0 blocking, so the banded output EQUALS
     the quadratic definition the oracle brute-forces).
 
@@ -3925,7 +3954,12 @@ def _mm_features_values() -> str:
     import io as _io
 
     from ..operators.imagehash import dhash_of_payload, wavhash_of_payload
-    from ..operators.media_codecs import bmp_decode, png_decode, sniff_format
+    from ..operators.media_codecs import (
+        bmp_decode,
+        jpeg_decode,
+        png_decode,
+        sniff_format,
+    )
     from ..operators.multimodal import decode_features_with_provenance
 
     def f32(x: float) -> float:
@@ -3937,8 +3971,9 @@ def _mm_features_values() -> str:
         fmt = sniff_format(payload)
         width = "NULL"
         duration = "NULL"
-        if fmt in ("bmp", "png"):
-            w, _, _ = (bmp_decode if fmt == "bmp" else png_decode)(payload)
+        if fmt in ("bmp", "png", "jpeg"):
+            dec = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}
+            w, _, _ = dec[fmt](payload)
             width = str(w)
         else:
             with _wave.open(_io.BytesIO(payload), "rb") as wv:

@@ -336,3 +336,110 @@ def test_png_resize_and_dispatch_labels():
     feats, label = decode_features_with_provenance(b, 8)
     assert label == "png"
     assert abs(feats[5] * 4096 - 8) < 1e-9  # real width flowed through
+
+
+# -- JPEG (round 10) ----------------------------------------------------------
+
+def _grad16():
+    return [
+        ((x * 255) // 15, (y * 255) // 15, ((x + y) * 255) // 30)
+        for y in range(16)
+        for x in range(16)
+    ]
+
+
+def test_jpeg_roundtrip_and_sniff():
+    """Baseline JPEG encode -> decode round-trips within quantization
+    error on smooth images, for 4:4:4, 4:2:0, grayscale, odd
+    dimensions, and restart markers; sniff_format recognizes it."""
+    from gluestick_ts_spark.operators.media_codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        sniff_format,
+    )
+
+    def mae(a, b):
+        return sum(
+            abs(x - y) for pa, pb in zip(a, b) for x, y in zip(pa, pb)
+        ) / (3 * len(a))
+
+    px = _grad16()
+    for kwargs, tol in [
+        ({}, 3),
+        ({"subsampling": "420"}, 6),
+        ({"restart_interval": 1}, 3),
+        ({"subsampling": "420", "restart_interval": 2}, 6),
+    ]:
+        enc = jpeg_encode(16, 16, px, **kwargs)
+        assert sniff_format(enc) == "jpeg"
+        w, h, dec = jpeg_decode(enc)
+        assert (w, h) == (16, 16)
+        assert mae(px, dec) < tol, (kwargs, mae(px, dec))
+    # grayscale: compare against the luma image (chroma drops by design)
+    gray = [( (299*r + 587*g + 114*b) // 1000,) * 3 for r, g, b in px]
+    enc = jpeg_encode(16, 16, px, grayscale=True)
+    w, h, dec = jpeg_decode(enc)
+    assert all(r == g == b for r, g, b in dec)
+    assert mae(gray, dec) < 4, mae(gray, dec)
+    # odd dimensions (edge-replicated padding blocks)
+    podd = [((x * 37) % 256, (y * 59) % 256, 77) for y in range(13) for x in range(17)]
+    for sub in ("444", "420"):
+        w, h, dec = jpeg_decode(jpeg_encode(17, 13, podd, subsampling=sub))
+        assert (w, h) == (17, 13) and len(dec) == 17 * 13
+
+
+def test_jpeg_decode_pinned_fixture():
+    """The decode is a PLATFORM-EXACT pure function of the bytes
+    (fixed-point integer IDCT, embedded basis table): both the encoded
+    stream and the decoded pixel plane are pinned by digest, so any
+    codec drift — however small — fails here before it can silently
+    move the literal-embedded dhash oracles."""
+    import hashlib
+
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    px = _grad16()
+    enc = jpeg_encode(16, 16, px)
+    assert hashlib.md5(enc).hexdigest() == "155a63b7c071d2db20c493600a41f7f3"
+    w, h, dec = jpeg_decode(enc)
+    flat = bytes(v for p in dec for v in p)
+    assert hashlib.md5(flat).hexdigest() == "1b910e6ccb0959f9e53812b46ae75891"
+    enc420 = jpeg_encode(16, 16, px, subsampling="420", restart_interval=1)
+    assert hashlib.md5(enc420).hexdigest() == "cb826e58c3301a374cf12f0827c6d9d4"
+    flat2 = bytes(v for p in jpeg_decode(enc420)[2] for v in p)
+    assert hashlib.md5(flat2).hexdigest() == "30df79741fc4b34dda46d994cbca34b8"
+
+
+def test_jpeg_features_resize_and_errors():
+    """jpeg_features shares the pixel-statistics contract; jpeg_resize
+    emits a valid decodable JPEG at the target size; out-of-scope and
+    malformed payloads raise ValueError (callers fall to the fake
+    path)."""
+    import pytest
+
+    from gluestick_ts_spark.operators.media_codecs import (
+        bmp_encode,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_features,
+        jpeg_resize,
+        sniff_format,
+    )
+
+    enc = jpeg_encode(16, 16, _grad16())
+    feats = jpeg_features(enc, 8)
+    assert len(feats) == 8 and 0.0 < feats[3] < 1.0  # luma mean plausible
+    small = jpeg_resize(enc, 4, 4)
+    assert sniff_format(small) == "jpeg"
+    w, h, _ = jpeg_decode(small)
+    assert (w, h) == (4, 4)
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xe0 truncated")
+    with pytest.raises(ValueError):
+        jpeg_decode(bmp_encode(2, 2, [(0, 0, 0)] * 4))
+    # progressive (SOF2) is out of scope and must say so
+    prog = bytearray(jpeg_encode(16, 16, _grad16()))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|arithmetic"):
+        jpeg_decode(bytes(prog))
