@@ -35,6 +35,7 @@ __all__ = [
     "stream_sessionize",
     "stream_dedup_incremental",
     "stream_url_dedup",
+    "stream_domain_caps",
     "stream_media_dedup",
     "stream_semantic_contamination",
     "stream_corpus_profile",
@@ -473,6 +474,98 @@ def stream_url_dedup(
             keys.withColumn(
                 "batch_id", F.lit(int(stamp)).cast("long")
             ).write.mode("append").parquet(url_path)
+            stamper.mark_appended(spark, store_dir, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def stream_domain_caps(
+    stream_df: DataFrame,
+    store_dir: str,
+    emit,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    seed: int | str = 1,
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Streaming per-domain politeness caps — ``domain_cap_flag``'s
+    continuous-crawl twin: the budget is enforced ACROSS micro-batches
+    through a durable per-domain ACCEPTED-count store
+    (``<store_dir>/domains.parquet``, the rollup-delta pattern:
+    additive ``(domain, cnt, batch_id)`` rows, one row per domain per
+    batch). Each batch ranks its rows per eTLD+1 domain in seeded
+    deterministic md5 order, keeps a row iff ``stored_count +
+    in-batch rank <= cap``, hands survivors to ``emit(survivors_df,
+    batch_id)``, and appends the survivors' per-domain counts.
+
+    Replay idempotency differs from the presence stores in ONE
+    deliberate way: counts are ADDITIVE, so a crash-window duplicate
+    append must not double-count — the store read dedups by
+    ``(domain, batch_id)`` BEFORE summing (a replayed append writes
+    byte-identical rows, which collapse), on top of the shared
+    protocol (current-stamp exclusion, ``.done`` markers,
+    emit-before-append). Maintenance: ``compact_count_store`` — NOT
+    ``compact_flat_store``, whose presence-dedup would corrupt sums.
+
+    NULL-domain rows (no URL) always pass and are never stored — the
+    cap is a per-registrant budget, not a bucket for the unknown. One
+    short-key window per batch + one domain-keyed store aggregate;
+    document text never enters either. 100 TB/day shape: the store
+    grows one row per ACTIVE domain per batch and compacts to one row
+    per domain — never corpus-sized."""
+    from ..operators.dedup import _exclude_batch_filter, recover_flat_store
+    from ..operators.weburl import registered_domain_expr
+    from ..sources.fs import hadoop_path_exists, join_uri
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    dom_path = join_uri(store_dir, "domains.parquet")
+    stamper = _BatchStamper(checkpoint_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stamp = stamper.stamp(spark, batch_id)
+        recover_flat_store(spark, store_dir, "domains.parquet")
+        if hadoop_path_exists(spark, dom_path):
+            store = spark.read.parquet(dom_path)
+            store = _exclude_batch_filter(store, store.schema, stamp)
+            counts = (
+                store.dropDuplicates(["domain", "batch_id"])
+                .groupBy("domain")
+                .agg(F.sum("cnt").alias("__prior"))
+            )
+        else:
+            counts = spark.createDataFrame([], "domain string, __prior long")
+        keyed = batch_df.withColumn("__dom", registered_domain_expr(url_col))
+        order_key = F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy("__dom").orderBy(order_key.asc())
+        ranked = keyed.withColumn("__rank", F.row_number().over(w)).join(
+            counts.withColumnRenamed("domain", "__dom"), on="__dom", how="left"
+        )
+        survivors = ranked.where(
+            F.col("__dom").isNull()
+            | (F.col("__rank") + F.coalesce(F.col("__prior"), F.lit(0)) <= cap)
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        deltas = (
+            survivors.where(F.col("__dom").isNotNull())
+            .groupBy(F.col("__dom").alias("domain"))
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        emit(survivors.drop("__dom", "__rank", "__prior"), batch_id)
+        if not stamper.already_appended(spark, store_dir, batch_id):
+            deltas.withColumn(
+                "batch_id", F.lit(int(stamp)).cast("long")
+            ).write.mode("append").parquet(dom_path)
             stamper.mark_appended(spark, store_dir, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")

@@ -507,3 +507,163 @@ def test_domain_cap_psl_independent_ccsld(spark):
     b_kept = sum(r.domain_keep for r in rows_out if r.dom == "b.co.uk")
     assert a_kept == 5  # a.co.uk capped at its own budget
     assert b_kept == 3  # b.co.uk UNTOUCHED by a's overflow
+
+
+def test_stream_domain_caps(spark, tmp_path):
+    """Streaming per-domain caps over the durable count store: the
+    budget is enforced ACROSS micro-batches (batch 1 spends 2 of
+    hot.org's cap=3; batch 2 gets exactly 1 more), NULL-url rows
+    always pass, and fresh domains are independent."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_domain_caps
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, url string"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+
+    def run():
+        q = (
+            stream_domain_caps(
+                spark.readStream.schema(schema).parquet(src), store, emit,
+                cap=3, checkpoint_dir=str(tmp_path / "ck"),
+            ).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, "http://hot.org/a"), (2, "http://hot.org/b"), (3, None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert set().union(*emitted.values()) == {1, 2, 3}
+
+    emitted.clear()
+    spark.createDataFrame(
+        [
+            (10, "http://hot.org/c"),
+            (11, "http://hot.org/d"),
+            (12, "http://hot.org/e"),
+            (13, "http://cool.net/x"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = set().union(*emitted.values())
+    # exactly ONE of 10/11/12 fits hot.org's remaining budget; 13 is a
+    # fresh domain and always fits
+    assert 13 in got and len(got & {10, 11, 12}) == 1, got
+    store_df = spark.read.parquet(f"{store}/domains.parquet")
+    totals = {
+        r.domain: r.total
+        for r in store_df.dropDuplicates(["domain", "batch_id"])
+        .groupBy("domain")
+        .sum("cnt")
+        .withColumnRenamed("sum(cnt)", "total")
+        .collect()
+    }
+    assert totals == {"hot.org": 3, "cool.net": 1}, totals
+
+
+def test_stream_domain_caps_crash_replay(spark, tmp_path):
+    """Crash window: the count-store append committed but the
+    checkpoint commit was lost -> the batch replays, re-emits the SAME
+    survivors, and the ADDITIVE counts do NOT double (the (domain,
+    batch_id) idempotence key collapses the duplicate delta rows)."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_domain_caps
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, url string"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "http://a.org/p"), (2, "http://a.org/q"), (3, "http://a.org/r")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            stream_domain_caps(
+                spark.readStream.schema(schema).parquet(src), store, emit,
+                cap=2, checkpoint_dir=ckpt,
+            ).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    first = set().union(*emitted.values())
+    assert len(first) == 2  # cap=2 of the 3 a.org docs
+
+    # crash: drop the checkpoint commit so batch 0 replays
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    emitted.clear()
+    run()
+    assert set().union(*emitted.values()) == first  # same survivors re-emitted
+
+    store_df = spark.read.parquet(f"{store}/domains.parquet")
+    total = (
+        store_df.dropDuplicates(["domain", "batch_id"])
+        .groupBy("domain").sum("cnt").collect()
+    )
+    assert {(r.domain, r["sum(cnt)"]) for r in total} == {("a.org", 2)}, total
+
+    # a post-replay batch still sees cap exhausted
+    emitted.clear()
+    spark.createDataFrame(
+        [(20, "http://a.org/s")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert set().union(*(emitted.values() or [set()])) == set()
+
+
+def test_compact_count_store(spark, tmp_path):
+    """Count-store maintenance: (domain, batch_id) duplicate delta rows
+    collapse FIRST (crash-window re-append), then counts SUM to one row
+    per domain; presence-compaction (compact_flat_store) would have
+    been wrong here. A compacted store keeps enforcing the cap."""
+    import os
+
+    from gluestick_ts_spark.operators.dedup import compact_count_store
+
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/batches")
+    open(f"{store}/batches/x-0.done", "w").write("done")
+    rows = [
+        ("a.org", 2, 100), ("a.org", 2, 100),  # crash-window duplicate
+        ("a.org", 1, 101),
+        ("b.net", 3, 100),
+    ]
+    spark.createDataFrame(rows, "domain string, cnt long, batch_id long") \
+        .write.mode("append").parquet(f"{store}/domains.parquet")
+
+    compact_count_store(spark, store, "domains.parquet", ["domain"], num_files=1)
+    got = {
+        (r.domain, r.cnt, r.batch_id)
+        for r in spark.read.parquet(f"{store}/domains.parquet").collect()
+    }
+    assert got == {("a.org", 3, None), ("b.net", 3, None)}, got
+    assert not os.path.exists(f"{store}/batches")
+
+    # idempotent: compacting a compacted store changes nothing
+    compact_count_store(spark, store, "domains.parquet", ["domain"])
+    got2 = {
+        (r.domain, r.cnt, r.batch_id)
+        for r in spark.read.parquet(f"{store}/domains.parquet").collect()
+    }
+    assert got2 == got
