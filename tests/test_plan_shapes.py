@@ -368,6 +368,11 @@ def test_curation_pipeline_composes_without_new_shuffle_classes(spark, sf_dir):
         assert node not in plan, node
     hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
     assert hashed and all("text" not in a for a in hashed), hashed
+    # the round-9 URL stage's two windows key on THEIR short derived
+    # columns (normalized url / eTLD+1 domain) — presence proves the
+    # stage composed into the plan without a new shuffle class
+    assert any("__url_norm" in a for a in hashed), hashed
+    assert any("__dom" in a for a in hashed), hashed
 
 
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):
@@ -591,3 +596,112 @@ def test_bigram_lm_leg_broadcasts_model_tables(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan[:2000]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_phash_band_join_never_cross_joins_and_decodes_once(spark, sf_dir):
+    """multimodal_features' phash leg (round-9/10 part): the pigeonhole
+    band join must be an EQUI-join on (block, block_val) — never a
+    CartesianProduct over hashes — and Python appears ONLY at the two
+    Arrow decode boundaries (payload synth + image_dhash). The leg
+    eagerly checkpoints at construction, so this gates the same inner
+    pipeline the query runs, built from the query's own synthesizer."""
+    from gluestick_ts_spark.operators.imagehash import hamming_join, image_dhash
+    from gluestick_ts_spark.plans.queries import QUERIES, _phash_synth_payload
+
+    d = QUERIES["scan_project_literal"]  # noqa: F841 — registry import sanity
+    base = spark.range(60).withColumnRenamed("id", "doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [_phash_synth_payload(int(i)) for i in pdf["doc_id"]]
+            yield pdf
+
+    imgs = base.mapInPandas(_synth, schema="doc_id long, content binary")
+    hashed = image_dhash(imgs)
+    pairs = hamming_join(hashed, hashed, max_hamming=6)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pairs._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join's explain text repeats the decode subtree once per
+    # side (2 Arrow stages x 2 sides); the production pipeline persists
+    # the banded blocks so decode EXECUTES once — what matters here is
+    # that Python appears only at decode, nowhere in the join/filter
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= 4, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # candidates come from an EQUI-join (broadcast at test size,
+    # shuffled-on-(block, block_val) at scale) and no exchange ever
+    # carries the payload bytes — only ids/hashes/band keys move
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan[:1200]
+    hashed_keys = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert all("content" not in a for a in hashed_keys), hashed_keys
+
+
+def test_ham_leg_broadcasts_codes_and_bounds_rerank(spark, sf_dir):
+    """ann_lsh_topk's ham leg (round-9 part): the Hamming scan streams
+    corpus CODES against BROADCAST query codes (one BroadcastNestedLoop
+    join over 64-bit ints — the documented small-side cross, never a
+    CartesianProduct), the exact re-rank rejoins vectors by id (hash
+    joins), and every hash exchange keys on ids — vectors never key a
+    shuffle."""
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    ham = QUERY_PARTS["ann_lsh_topk"]["ham"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = ham._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    # two sanctioned broadcast-small-side crosses: the corpus-codes
+    # scan against the broadcast query codes, and the recall
+    # verification's exact-cosine pass against the same broadcast
+    # queries — never more
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    assert "BroadcastExchange" in plan  # query codes + query vectors
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    hashed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert hashed and all(
+        ("query_id" in a or "neighbor_id" in a or "vec_id" in a)
+        and "embedding" not in a
+        for a in hashed
+    ), hashed
+
+
+def test_budget_columns_never_single_partition(spark, sf_dir):
+    """hash_split_documents' budget columns (round-9 part): the global
+    running token sum must ride the two-pass score-bucket scheme —
+    NO SinglePartition exchange anywhere in the split part's plan. The
+    second half proves the gate has teeth: the naive formulation (a
+    global ORDER BY window) DOES trip it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    split = QUERY_PARTS["hash_split_documents"]["split"](spark, sf_dir)
+    plan = split._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" not in plan, plan[:1500]
+
+    # injected regression: the naive global cumulative window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = docs.withColumn(
+        "cum",
+        F.sum(F.length("text")).over(
+            Window.orderBy(F.col("doc_id")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    naive_plan = naive._jdf.queryExecution().explainString(mode)
+    assert "SinglePartition" in naive_plan  # the gate catches the naive plan
