@@ -39,9 +39,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .media_codecs import bmp_decode, jpeg_decode, png_decode, sniff_format
+from .media_codecs import bmp_decode, gif_decode, jpeg_decode, png_decode, sniff_format
 
-_IMAGE_DECODERS = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}
+_IMAGE_DECODERS = {
+    "bmp": bmp_decode,
+    "png": png_decode,
+    "jpeg": jpeg_decode,
+    "gif": gif_decode,
+}
 
 __all__ = [
     "dhash_of_payload",
@@ -57,7 +62,7 @@ __all__ = [
 
 
 def _gray_grid(payload: bytes, out_w: int, out_h: int) -> list[list[int]] | None:
-    """Decode a BMP/PNG/JPEG payload and nearest-neighbor-resize its
+    """Decode a BMP/PNG/JPEG/GIF payload and nearest-neighbor-resize its
     integer luma plane to ``out_w x out_h``. None when the payload is
     not a decodable image (incl. progressive JPEG — out of the
     baseline decoder's scope, documented in ``jpeg_codec``)."""

@@ -15,6 +15,9 @@ still parse honestly:
   decoder (arbitrary DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers,
   fixed-point integer IDCT — platform-exact) + a deterministic
   encoder; progressive/arithmetic raise and fall to the fake path.
+- **GIF** (round 10, ``gif_codec.py``): full LZW decoder (87a/89a,
+  local/global palettes, interlace, frame composition; first frame
+  only — documented) + a lossless <=256-color fixture encoder.
 
 ``sniff_format`` dispatches on magic bytes; payloads in any other
 format fall back to the clearly-labeled deterministic fakes in
@@ -36,6 +39,7 @@ import struct
 import wave
 import zlib
 
+from .gif_codec import gif_decode, gif_encode
 from .jpeg_codec import jpeg_decode, jpeg_encode
 
 __all__ = [
@@ -55,12 +59,16 @@ __all__ = [
     "jpeg_encode",
     "jpeg_features",
     "jpeg_resize",
+    "gif_decode",
+    "gif_encode",
+    "gif_features",
+    "gif_resize",
 ]
 
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``,
-    ``"jpeg"``, or None."""
+    ``"jpeg"``, ``"gif"``, or None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -71,6 +79,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -451,3 +461,26 @@ def png_resize(payload: bytes, width: int, height: int) -> bytes:
             sc = min(sw - 1, (c * sw) // width)
             out.append(pixels[sr * sw + sc])
     return png_encode(width, height, out)
+
+
+def gif_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real pixel statistics from a decoded GIF first frame
+    (``gif_codec.gif_decode``) — identical feature contract to
+    ``bmp_features``."""
+    return _pixel_features(*gif_decode(payload), n_features)
+
+
+def gif_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize: decode the first frame, sample,
+    re-encode as a single-frame GIF (lossless — NN sampling only picks
+    existing palette colors). The >256-distinct-color guard can fire
+    only when the background color was not in the palette; callers'
+    sniff dispatchers treat that ValueError as fall-to-fake."""
+    sw, sh, pixels = gif_decode(payload)
+    out = []
+    for r in range(height):
+        sr = min(sh - 1, (r * sh) // height)
+        for c in range(width):
+            sc = min(sw - 1, (c * sw) // width)
+            out.append(pixels[sr * sw + sc])
+    return gif_encode(width, height, out)

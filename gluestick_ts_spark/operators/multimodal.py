@@ -35,6 +35,9 @@ from .media_codecs import (
     bmp_decode,
     bmp_features,
     bmp_resize,
+    gif_decode,
+    gif_features,
+    gif_resize,
     jpeg_decode,
     jpeg_features,
     jpeg_resize,
@@ -104,7 +107,7 @@ def probe_media_metadata(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Fill the metadata struct from the payloads themselves via an
-    Arrow-batched probe: BMP/PNG/JPEG -> real width/height
+    Arrow-batched probe: BMP/PNG/JPEG/GIF -> real width/height
     (+ format/media_type), WAV -> real duration_ms (+ format/
     media_type); unsniffable payloads keep their existing metadata
     untouched. Same schema in and out."""
@@ -117,9 +120,9 @@ def probe_media_metadata(
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 fmt = sniff_format(payload)
                 try:
-                    if fmt in ("bmp", "png", "jpeg"):
+                    if fmt in ("bmp", "png", "jpeg", "gif"):
                         dec = {"bmp": bmp_decode, "png": png_decode,
-                               "jpeg": jpeg_decode}[fmt]
+                               "jpeg": jpeg_decode, "gif": gif_decode}[fmt]
                         w, h, _ = dec(payload)
                         meta.update(
                             media_type="image", format=fmt, width=w, height=h
@@ -177,8 +180,8 @@ def decode_features_with_provenance(
     payload: bytes | None, n_features: int = 8
 ) -> tuple[list[float], str]:
     """Format-sniffing feature decoder that also reports WHICH decoder
-    produced the vector: ``("png"|"bmp"|"jpeg"|"wav")`` for a real
-    decode,
+    produced the vector: ``("png"|"bmp"|"jpeg"|"gif"|"wav")`` for a
+    real decode,
     ``"fake"`` for the byte-stat stand-in. In a mixed corpus real and
     fake feature vectors are numerically indistinguishable, so the
     label is the only audit trail — downstream filters can drop or
@@ -192,6 +195,8 @@ def decode_features_with_provenance(
             return png_features(payload, n_features), "png"
         if fmt == "jpeg":
             return jpeg_features(payload, n_features), "jpeg"
+        if fmt == "gif":
+            return gif_features(payload, n_features), "gif"
         if fmt == "wav":
             return wav_features(payload, n_features), "wav"
     except ValueError:
@@ -286,10 +291,10 @@ def _sniff_resize(
     payloads (re-encoded as a valid BMP, labeled ``"bmp"``);
     byte-sampling fake labeled ``"fake"`` for everything else."""
     fmt = sniff_format(payload)
-    if fmt in ("bmp", "png", "jpeg"):
+    if fmt in ("bmp", "png", "jpeg", "gif"):
         try:
             fn = {"bmp": bmp_resize, "png": png_resize,
-                  "jpeg": jpeg_resize}[fmt]
+                  "jpeg": jpeg_resize, "gif": gif_resize}[fmt]
             return fn(payload, width, height), fmt
         except ValueError:
             pass

@@ -2626,16 +2626,35 @@ def _mm_synth_payload(i: int) -> bytes:
     WAV (i%4==1) / PNG (i%4==2) / baseline JPEG (i%4==3 — round 10,
     the dominant web format; 4:2:0 with restart markers every other
     doc so the decoder's real-crawl paths are exercised, not just the
-    4:4:4 happy path). Pure function of ``i`` — shared by the
-    Spark-side mapInPandas synth AND the driver-side oracle
-    expected-row builder, so the two can never drift."""
+    4:4:4 happy path), with every 20th doc (i%20==10, inside the PNG
+    quarter) a GIF (round 10 — LZW palette decode rides the driver
+    query). Pure function of ``i`` — shared by the Spark-side
+    mapInPandas synth AND the driver-side oracle expected-row builder,
+    so the two can never drift."""
     import io
     import math
     import struct as _struct
     import wave
 
-    from ..operators.media_codecs import bmp_encode, jpeg_encode, png_encode
+    from ..operators.media_codecs import (
+        bmp_encode,
+        gif_encode,
+        jpeg_encode,
+        png_encode,
+    )
 
+    if i % 20 == 10:
+        # GIF slot (round 10 — rides the png quarter's i%4==2 position
+        # every 20th doc): 6-color 8x8 pattern, lossless palette encode
+        px = [
+            (
+                (i * 11 + (k % 8) * 37) % 256 // 43 * 43,
+                (i * 7 + (k // 8) * 29) % 256 // 43 * 43,
+                (i + k) % 256 // 43 * 43,
+            )
+            for k in range(64)
+        ]
+        return gif_encode(8, 8, px)
     if i % 4 == 0:
         color = (i * 37 % 256, i * 59 % 256, i * 83 % 256)
         return bmp_encode(4, 4, [color] * 16)
@@ -2703,7 +2722,7 @@ def _phash_synth_payload(i: int) -> bytes:
     expected-hash builder (the ``_mm_synth_payload`` pattern)."""
     import hashlib
 
-    from ..operators.media_codecs import bmp_encode, jpeg_encode
+    from ..operators.media_codecs import bmp_encode, gif_encode, jpeg_encode
 
     g, c = i % 30, i // 30
     vals = []
@@ -2728,6 +2747,11 @@ def _phash_synth_payload(i: int) -> bytes:
     ]
     if c == 1:
         return jpeg_encode(16, 16, px)
+    if c == 2:
+        # round 10: the two-cell-flip copy ships as a GIF — LOSSLESS,
+        # so its hashes (and the measured 0..4 hamming) are unchanged
+        # while the LZW decoder rides the driver query
+        return gif_encode(16, 16, px)
     return bmp_encode(16, 16, px)
 
 
@@ -2746,8 +2770,8 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     WAV).
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
-    planted 8x8 images (90 BMPs + 30 JPEG cross-codec twins, round
-    10) — dHash then pigeonhole-banded Hamming join at
+    planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
+    twins, round 10) — dHash then pigeonhole-banded Hamming join at
     max_hamming=6 (recall-1.0 blocking, so the banded output EQUALS
     the quadratic definition the oracle brute-forces).
 
@@ -3956,6 +3980,7 @@ def _mm_features_values() -> str:
     from ..operators.imagehash import dhash_of_payload, wavhash_of_payload
     from ..operators.media_codecs import (
         bmp_decode,
+        gif_decode,
         jpeg_decode,
         png_decode,
         sniff_format,
@@ -3971,8 +3996,9 @@ def _mm_features_values() -> str:
         fmt = sniff_format(payload)
         width = "NULL"
         duration = "NULL"
-        if fmt in ("bmp", "png", "jpeg"):
-            dec = {"bmp": bmp_decode, "png": png_decode, "jpeg": jpeg_decode}
+        if fmt in ("bmp", "png", "jpeg", "gif"):
+            dec = {"bmp": bmp_decode, "png": png_decode,
+                   "jpeg": jpeg_decode, "gif": gif_decode}
             w, _, _ = dec[fmt](payload)
             width = str(w)
         else:

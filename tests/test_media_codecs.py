@@ -443,3 +443,114 @@ def test_jpeg_features_resize_and_errors():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive|arithmetic"):
         jpeg_decode(bytes(prog))
+
+
+# -- GIF (round 10) -----------------------------------------------------------
+
+def test_gif_roundtrip_lossless_and_sniff():
+    """GIF encode -> decode is LOSSLESS (palette format), including
+    streams long enough to force LZW code-width growth and CLEAR
+    resets; sniff_format recognizes both versions; >256 colors and
+    malformed payloads raise."""
+    import pytest
+
+    from gluestick_ts_spark.operators.media_codecs import (
+        gif_decode,
+        gif_encode,
+        sniff_format,
+    )
+
+    colors = [(i * 37 % 256, i * 59 % 256, i * 83 % 256) for i in range(256)]
+    px = [colors[(x * 7 + y * 13) % 256] for y in range(80) for x in range(100)]
+    enc = gif_encode(100, 80, px)
+    assert sniff_format(enc) == "gif"
+    assert gif_decode(enc) == (100, 80, px)  # bit-exact, 8000 px > 4094 codes
+    small = gif_encode(3, 2, [(0, 0, 0)] * 5 + [(255, 255, 255)])
+    assert gif_decode(small)[2][-1] == (255, 255, 255)
+    with pytest.raises(ValueError, match="256 colors"):
+        gif_encode(17, 17, [(i % 256, i // 256, 0) for i in range(289)])
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a truncated")
+    with pytest.raises(ValueError):
+        gif_decode(b"not a gif at all!")
+
+
+def test_gif_decoder_real_world_shapes():
+    """The decoder paths real crawl GIFs hit beyond our encoder's
+    output: INTERLACED row order, a skipped 89a extension block, and a
+    frame composed at a (left, top) offset with a LOCAL color table
+    over the global background."""
+    import struct
+
+    from gluestick_ts_spark.operators.media_codecs import gif_decode, gif_encode
+
+    # interlaced: permute rows into the four-pass storage order, then
+    # flip the interlace bit — the decoder must undo the permutation
+    w, h = 8, 16
+    px = [((y * 16) % 256, x * 31 % 256, 7) for y in range(h) for x in range(w)]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    storage = [px[r * w + c] for r in order for c in range(w)]
+    enc = bytearray(gif_encode(w, h, storage))
+    table_size = 2 << (enc[10] & 0x07)
+    desc = 13 + 3 * table_size  # image descriptor offset
+    assert enc[desc] == 0x2C
+    enc[desc + 9] |= 0x40  # interlace flag
+    dw, dh, dec = gif_decode(bytes(enc))
+    assert (dw, dh) == (w, h) and dec == px
+
+    # extension skipping + offset frame + local palette: hand-assemble
+    header = b"GIF89a" + struct.pack("<HH", 4, 4)
+    header += bytes([0x80, 0, 0])  # global table (2 entries), bg idx 0
+    header += bytes((10, 20, 30)) + bytes((0, 0, 0))  # bg color, filler
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    # 2x2 frame at (1, 1), LOCAL 2-color table, LZW for indices [0,1,1,0]
+    img = b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + bytes([0x80])
+    img += bytes((200, 0, 0)) + bytes((0, 200, 0))
+    # min code size 2: clear=4, end=5; codes 4,0,1,1 at 3 bits — after
+    # the second post-clear code the table hits slot 8, so a conformant
+    # decoder widens to 4 bits for the remaining codes 0,5
+    lzw = bytearray()
+    acc = nbits = 0
+    for code, width in ((4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)):
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            lzw.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+    img += bytes([2, len(lzw)]) + bytes(lzw) + b"\x00"
+    payload = header + gce + img + b"\x3b"
+    dw, dh, dec = gif_decode(payload)
+    assert (dw, dh) == (4, 4)
+    assert dec[0] == (10, 20, 30)              # background outside frame
+    assert dec[1 * 4 + 1] == (200, 0, 0)       # frame (0,0) -> canvas (1,1)
+    assert dec[1 * 4 + 2] == (0, 200, 0)
+    assert dec[2 * 4 + 1] == (0, 200, 0)
+    assert dec[2 * 4 + 2] == (200, 0, 0)
+
+
+def test_gif_features_resize_and_hash():
+    """gif_features shares the pixel-statistics contract, gif_resize
+    emits a decodable GIF, and a GIF re-encode of a BMP dhash-matches
+    its source EXACTLY (lossless — the strongest cross-codec twin)."""
+    from gluestick_ts_spark.operators.imagehash import dhash_of_payload
+    from gluestick_ts_spark.operators.media_codecs import (
+        bmp_encode,
+        gif_decode,
+        gif_encode,
+        gif_features,
+        gif_resize,
+        sniff_format,
+    )
+
+    px = [((x * 50) % 256, (y * 80) % 256, 128) for y in range(8) for x in range(8)]
+    enc = gif_encode(8, 8, px)
+    feats = gif_features(enc, 8)
+    assert len(feats) == 8 and 0.0 < feats[3] < 1.0
+    small = gif_resize(enc, 4, 4)
+    assert sniff_format(small) == "gif"
+    assert gif_decode(small)[0] == 4
+    assert dhash_of_payload(enc) == dhash_of_payload(bmp_encode(8, 8, px))

@@ -32,13 +32,13 @@ def test_every_query_has_an_oracle():
 def test_mm_synth_payload_deterministic_and_format_cycled():
     from gluestick_ts_spark.operators.media_codecs import sniff_format
 
-    for i in range(16):
+    for i in range(24):
         p1, p2 = _mm_synth_payload(i), _mm_synth_payload(i)
         assert p1 == p2
-        assert (
-            sniff_format(p1)
-            == {0: "bmp", 1: "wav", 2: "png", 3: "jpeg"}[i % 4]
-        )
+        expect = {0: "bmp", 1: "wav", 2: "png", 3: "jpeg"}[i % 4]
+        if i % 20 == 10:
+            expect = "gif"  # the GIF slot rides the png quarter
+        assert sniff_format(p1) == expect
 
 
 def test_frame_oracle_arithmetic_matches_fake_codecs():
@@ -93,6 +93,7 @@ MODULE_REACH = {
     "operators.funnel": (_Q, ["sessionize_events"]),  # funnel/retention parts
     "operators.imagehash": (_Q, ["multimodal_features"]),  # phash part + cols
     "operators.jpeg_codec": (_Q, ["multimodal_features"]),  # jpeg quarter
+    "operators.gif_codec": (_Q, ["multimodal_features"]),  # gif slots
     "operators.linkage": (_Q, ["semi_anti_join_customers"]),  # fuzzy part
     "operators.media_codecs": (_Q, ["multimodal_features"]),
     "operators.ml": (_Q, ["approx_distinct_users"]),  # auc/auc_lang parts
