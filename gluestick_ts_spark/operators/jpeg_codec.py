@@ -192,10 +192,15 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # the spec allows any number of 0xFF fill bytes before a marker
+        while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG ended before SOS")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (may hold several tables)
