@@ -84,18 +84,40 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     return out
 
 
+# cap header-declared dimensions BEFORE allocating the canvas: a
+# 14-byte payload can declare 65535x65535 (a multi-GB Python list) and
+# OOM the executor before any validity check fires — and unlike JPEG,
+# LZW legitimately expands small payloads, so the cap is absolute
+# rather than payload-proportional.
+_MAX_PIXELS = 1 << 24
+
+
 def gif_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a GIF's FIRST frame to ``(width, height, pixels)``
     row-major top-down ``(r, g, b)`` tuples over the logical screen —
     the ``bmp_decode``/``png_decode``/``jpeg_decode`` contract. Areas
-    the first frame doesn't cover show the background color (or black
-    with no global table). Raises ``ValueError`` for non-GIF/corrupt
-    payloads."""
+    the first frame doesn't cover — and its TRANSPARENT pixels (GCE
+    transparency index) — show the background color (or black with no
+    global table). Raises ``ValueError`` for non-GIF/corrupt/truncated
+    payloads and images beyond ``_MAX_PIXELS``."""
+    try:
+        return _gif_decode_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        # truncated-anywhere payloads must honor the ValueError-only
+        # contract the Arrow fallback paths catch
+        raise ValueError(f"corrupt GIF payload: {e}") from e
+
+
+def _gif_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate GIF dimensions")
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"GIF too large: {width}x{height}")
     packed = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -119,11 +141,20 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         else (0, 0, 0)
     )
     canvas = [bg] * (width * height)
+    transparent: int | None = None
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension
+            # Graphic Control Extension: honor the transparency index
+            # for the frame it precedes (a transparent pixel shows the
+            # background, as any conformant renderer draws it); every
+            # other extension is skipped
+            if payload[pos + 1] == 0xF9 and payload[pos + 2] >= 4:
+                gce_packed = payload[pos + 3]
+                if gce_packed & 0x01:
+                    transparent = payload[pos + 6]
             pos = skip_subblocks(pos + 2)
             continue
         if block != 0x2C:
@@ -172,7 +203,7 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             base = src_r * iw
             for x in range(min(iw, width - left)):
                 idx = indices[base + x]
-                if idx < nt:
+                if idx < nt and idx != transparent:
                     canvas[y * width + left + x] = table[idx]
         return width, height, canvas  # FIRST frame only (documented)
     raise ValueError("GIF contains no image block")

@@ -39,14 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .media_codecs import bmp_decode, gif_decode, jpeg_decode, png_decode, sniff_format
-
-_IMAGE_DECODERS = {
-    "bmp": bmp_decode,
-    "png": png_decode,
-    "jpeg": jpeg_decode,
-    "gif": gif_decode,
-}
+from .media_codecs import IMAGE_DECODERS, sniff_format
 
 __all__ = [
     "dhash_of_payload",
@@ -67,7 +60,7 @@ def _gray_grid(payload: bytes, out_w: int, out_h: int) -> list[list[int]] | None
     not a decodable image (incl. progressive JPEG — out of the
     baseline decoder's scope, documented in ``jpeg_codec``)."""
     fmt = sniff_format(payload)
-    decoder = _IMAGE_DECODERS.get(fmt)
+    decoder = IMAGE_DECODERS.get(fmt)
     if decoder is None:
         return None
     try:
@@ -92,7 +85,10 @@ def dhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
     """64-bit (for the default size 8) difference hash: resize the
     luma plane to ``(hash_size+1) x hash_size``, bit ``y*size + x`` set
     iff ``luma[y][x] > luma[y][x+1]`` (the standard dHash). Returns a
-    SIGNED 64-bit int (bit 63 may be set), matching Spark LongType."""
+    SIGNED 64-bit int (bit 63 may be set), matching Spark LongType.
+    A size-N hash is N*N bits — only N <= 8 fits the LongType columns
+    (``media_hashes`` enforces this; larger sizes are for driver-side
+    use only, and the signed-64 wrap applies only at N == 8)."""
     if payload is None:
         return None
     grid = _gray_grid(payload, hash_size + 1, hash_size)
@@ -192,10 +188,19 @@ def media_hashes(
     name -> ``payload -> int | None`` — SINGLE-ARG callables, the same
     convention ``extract_media_features(hash_columns=...)`` uses (bind
     a non-default size with ``functools.partial(dhash_of_payload,
-    hash_size=16)``; ``hash_size`` here applies only to the default
-    columns). Default ``{"dhash": dhash_of_payload, "wavhash":
-    wavhash_of_payload}`` — images hash into ``dhash`` (wavhash NULL)
-    and WAVs into ``wavhash`` (dhash NULL)."""
+    hash_size=4)``; ``hash_size`` here applies only to the default
+    columns). ``hash_size`` must stay <= 8: the output columns are
+    64-bit LongType, and a size-N hash carries N*N bits (size 16 would
+    be 256 bits — an Arrow overflow at write, never a silent
+    truncation, but a task failure). Default ``{"dhash":
+    dhash_of_payload, "wavhash": wavhash_of_payload}`` — images hash
+    into ``dhash`` (wavhash NULL) and WAVs into ``wavhash`` (dhash
+    NULL)."""
+    if not 1 <= hash_size <= 8:
+        raise ValueError(
+            f"hash_size must be in [1, 8] (size**2 bits must fit the 64-bit "
+            f"LongType hash columns), got {hash_size}"
+        )
     if columns is None:
         columns = {
             "dhash": functools.partial(dhash_of_payload, hash_size=hash_size),

@@ -172,14 +172,36 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
+# decoders cap header-declared dimensions BEFORE allocating: a 14-byte
+# payload can declare a 65535x65535 canvas, and building it would OOM
+# the executor before any validity check fires. 16.7M px (~4Kx4K) is
+# far above the hash/feature use cases and keeps worst-case decode
+# memory bounded; larger (or corrupt-header) images raise ValueError
+# and take the labeled fake path.
+_MAX_PIXELS = 1 << 24
+
+
 def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a baseline (SOF0/SOF1) JPEG to ``(width, height,
     pixels)`` row-major top-down ``(r, g, b)`` tuples — the
     ``bmp_decode``/``png_decode`` contract, so the shared pixel
     pipeline (features / resize / luma grids) needs no new shape.
-    Raises ``ValueError`` for non-JPEG payloads and the documented
-    out-of-scope corners (progressive, 12-bit, sampling factors > 2).
+    Raises ``ValueError`` for non-JPEG/corrupt/truncated payloads and
+    the documented out-of-scope corners (progressive, 12-bit, sampling
+    factors > 2, non-interleaved multi-scan, > ``_MAX_PIXELS``).
     """
+    try:
+        return _jpeg_decode_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        # truncated-anywhere payloads must honor the ValueError-only
+        # contract the Arrow fallback paths catch — a raw struct.error
+        # would fail the whole Spark task on one corrupt crawl payload
+        raise ValueError(f"corrupt JPEG payload: {e}") from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -239,6 +261,12 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 comps.append((cid, hs, vs, tq))
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
+            if w_ * h_ > _MAX_PIXELS:
+                raise ValueError(f"JPEG too large: {w_}x{h_}")
+            # a legal baseline block costs >= ~2 bits; dims wildly
+            # beyond what the payload could encode mean a forged header
+            if w_ * h_ > 4096 * len(payload):
+                raise ValueError("JPEG dimensions exceed payload capacity")
             frame = (w_, h_, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -253,6 +281,13 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             comp_ids = [c[0] for c in frame[2]]
+            if ns != len(comp_ids):
+                # a partial scan would leave the other components'
+                # planes at zero and return color-shifted garbage
+                # WITHOUT an error — refuse instead (fake path)
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported"
+                )
             sel = []
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]

@@ -42,7 +42,13 @@ import zlib
 from .gif_codec import gif_decode, gif_encode
 from .jpeg_codec import jpeg_decode, jpeg_encode
 
+# shared header-declared-dimension cap (the jpeg/gif codecs carry their
+# own copies — they cannot import this module without a cycle): decode
+# memory stays bounded no matter what a crafted header claims
+_MAX_PIXELS = 1 << 24
+
 __all__ = [
+    "IMAGE_DECODERS",
     "sniff_format",
     "bmp_decode",
     "bmp_features",
@@ -82,6 +88,20 @@ def sniff_format(payload: bytes | None) -> str | None:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     return None
+
+
+def _nn_resize(decode_fn, encode_fn, payload: bytes, width: int, height: int) -> bytes:
+    """The ONE nearest-neighbor resize all four image codecs share:
+    decode, integer-index sample, re-encode with the matching
+    encoder."""
+    sw, sh, pixels = decode_fn(payload)
+    out = []
+    for r in range(height):
+        sr = min(sh - 1, (r * sh) // height)
+        for c in range(width):
+            sc = min(sw - 1, (c * sw) // width)
+            out.append(pixels[sr * sw + sc])
+    return encode_fn(width, height, out)
 
 
 # -- BMP ---------------------------------------------------------------------
@@ -176,14 +196,7 @@ def bmp_features(payload: bytes, n_features: int = 8) -> list[float]:
 def bmp_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor resize: decode, sample, re-encode as a
     valid 24-bit BMP."""
-    sw, sh, pixels = bmp_decode(payload)
-    out = []
-    for r in range(height):
-        sr = min(sh - 1, (r * sh) // height)
-        for c in range(width):
-            sc = min(sw - 1, (c * sw) // width)
-            out.append(pixels[sr * sw + sc])
-    return bmp_encode(width, height, out)
+    return _nn_resize(bmp_decode, bmp_encode, payload, width, height)
 
 
 # -- WAV ---------------------------------------------------------------------
@@ -336,8 +349,14 @@ def png_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         pos += 12 + length  # length + type + data + crc
     if width <= 0 or height <= 0 or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"PNG too large: {width}x{height}")
     stride = width * channels
+    # bounded inflate: a zlib bomb with small declared dims must not
+    # expand past the scanline budget the header promises
+    raw = zlib.decompressobj().decompress(
+        bytes(idat), height * (stride + 1)
+    )
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG scanlines")
     pixels: list[tuple[int, int, int]] = []
@@ -440,27 +459,13 @@ def jpeg_features(payload: bytes, n_features: int = 8) -> list[float]:
 def jpeg_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor resize: decode, sample, re-encode as a
     valid baseline 4:4:4 JPEG (the default encoder settings)."""
-    sw, sh, pixels = jpeg_decode(payload)
-    out = []
-    for r in range(height):
-        sr = min(sh - 1, (r * sh) // height)
-        for c in range(width):
-            sc = min(sw - 1, (c * sw) // width)
-            out.append(pixels[sr * sw + sc])
-    return jpeg_encode(width, height, out)
+    return _nn_resize(jpeg_decode, jpeg_encode, payload, width, height)
 
 
 def png_resize(payload: bytes, width: int, height: int) -> bytes:
     """Real nearest-neighbor resize: decode, sample, re-encode as a
     valid 8-bit RGB PNG."""
-    sw, sh, pixels = png_decode(payload)
-    out = []
-    for r in range(height):
-        sr = min(sh - 1, (r * sh) // height)
-        for c in range(width):
-            sc = min(sw - 1, (c * sw) // width)
-            out.append(pixels[sr * sw + sc])
-    return png_encode(width, height, out)
+    return _nn_resize(png_decode, png_encode, payload, width, height)
 
 
 def gif_features(payload: bytes, n_features: int = 8) -> list[float]:
@@ -476,11 +481,15 @@ def gif_resize(payload: bytes, width: int, height: int) -> bytes:
     existing palette colors). The >256-distinct-color guard can fire
     only when the background color was not in the palette; callers'
     sniff dispatchers treat that ValueError as fall-to-fake."""
-    sw, sh, pixels = gif_decode(payload)
-    out = []
-    for r in range(height):
-        sr = min(sh - 1, (r * sh) // height)
-        for c in range(width):
-            sc = min(sw - 1, (c * sw) // width)
-            out.append(pixels[sr * sw + sc])
-    return gif_encode(width, height, out)
+    return _nn_resize(gif_decode, gif_encode, payload, width, height)
+
+
+# the ONE image-decoder registry (imagehash, the multimodal probe, and
+# the driver-query oracle builders all dispatch through it — no more
+# per-site copies of the same dict)
+IMAGE_DECODERS = {
+    "bmp": bmp_decode,
+    "png": png_decode,
+    "jpeg": jpeg_decode,
+    "gif": gif_decode,
+}

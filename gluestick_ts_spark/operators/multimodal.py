@@ -32,16 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .media_codecs import (
-    bmp_decode,
+    IMAGE_DECODERS,
     bmp_features,
     bmp_resize,
-    gif_decode,
     gif_features,
     gif_resize,
-    jpeg_decode,
     jpeg_features,
     jpeg_resize,
-    png_decode,
     png_features,
     png_resize,
     sniff_format,
@@ -120,10 +117,8 @@ def probe_media_metadata(
                 meta = dict(meta) if isinstance(meta, dict) else {}
                 fmt = sniff_format(payload)
                 try:
-                    if fmt in ("bmp", "png", "jpeg", "gif"):
-                        dec = {"bmp": bmp_decode, "png": png_decode,
-                               "jpeg": jpeg_decode, "gif": gif_decode}[fmt]
-                        w, h, _ = dec(payload)
+                    if fmt in IMAGE_DECODERS:
+                        w, h, _ = IMAGE_DECODERS[fmt](payload)
                         meta.update(
                             media_type="image", format=fmt, width=w, height=h
                         )
@@ -287,9 +282,11 @@ def _fake_resize(payload: bytes | None, width: int, height: int) -> bytes:
 def _sniff_resize(
     payload: bytes | None, width: int, height: int
 ) -> tuple[bytes, str]:
-    """Default resize: REAL nearest-neighbor pixel resize for BMP
-    payloads (re-encoded as a valid BMP, labeled ``"bmp"``);
-    byte-sampling fake labeled ``"fake"`` for everything else."""
+    """Default resize: REAL nearest-neighbor pixel resize for
+    BMP/PNG/JPEG/GIF payloads (re-encoded in the SAME container,
+    labeled with the format); byte-sampling fake labeled ``"fake"``
+    for everything else — including a corrupt payload of a known
+    format (the ValueError fall-through)."""
     fmt = sniff_format(payload)
     if fmt in ("bmp", "png", "jpeg", "gif"):
         try:

@@ -16,10 +16,14 @@ private-section hosting suffixes like ``github.io``/``blogspot.com``
 whose subdomains are separate registrants) — NOT the full ~10k-entry
 file. Single-label TLDs need no entry (they are the fallback rule).
 Production use with the full list: download the PSL file, feed its
-rule lines to ``parse_psl_rules``, and pass the resulting tables to
-``registered_domain_expr(url, psl=...)`` — the tables are a broadcast-
-sized in-row lookup either way (the expression compiles to ``IN``
-lists; no join, no shuffle, no UDF).
+rule lines to ``parse_psl_rules(lines, on_unsupported="skip")``, and
+pass the resulting tables to ``registered_domain_expr(url, psl=...)``
+— the tables are a broadcast-sized in-row lookup either way (the
+expression compiles to ``IN`` lists; no join, no shuffle, no UDF).
+The parser covers every ICANN-section rule shape; "skip" drops only
+the handful of 4+-label rules (e.g. ``pvt.k12.ma.us``), whose hosts
+then resolve one label shallower — documented coverage loss, never a
+crash.
 
 Rule semantics implemented (the PSL algorithm, bounded to the rule
 shapes in the snapshot):
@@ -32,9 +36,11 @@ shapes in the snapshot):
   wildcard — ``www.ck`` itself is the registered domain.
 
 The snapshot carries 2- and 3-label plain rules, 1-label wildcard
-bases, and 2-label exceptions — the shapes that exist in the real
-list for high-traffic suffixes (deeper private-section rules like
-``*.compute.amazonaws.com`` are out of snapshot scope, documented).
+bases, and 2-label exceptions; the PARSER additionally handles the
+real list's 2-label wildcard bases (``*.kawasaki.jp`` -> registered =
+last 4 labels) and 3-label exceptions (``!city.kawasaki.jp``), so the
+full ICANN section loads cleanly. Deeper private-section rules like
+``*.compute.amazonaws.com`` are governed by ``on_unsupported``.
 """
 
 from __future__ import annotations
@@ -53,37 +59,67 @@ __all__ = [
 class PslTables(NamedTuple):
     """Parsed public-suffix rules, split by shape for the in-row
     expression: ``suffixes_2``/``suffixes_3`` are plain 2-/3-label
-    rules, ``wildcard_tlds`` the base labels of ``*.<tld>`` rules,
-    ``exceptions`` the ``!``-carved hosts (sans ``!``)."""
+    rules, ``wildcard_tlds``/``wildcard_2`` the 1-/2-label bases of
+    ``*.<base>`` rules (``*.ck`` / ``*.kawasaki.jp``),
+    ``exceptions``/``exceptions_3`` the 2-/3-label ``!``-carved hosts
+    (``!www.ck`` / ``!city.kawasaki.jp``)."""
 
     suffixes_2: frozenset
     suffixes_3: frozenset
     wildcard_tlds: frozenset
     exceptions: frozenset
+    wildcard_2: frozenset = frozenset()
+    exceptions_3: frozenset = frozenset()
 
 
-def parse_psl_rules(rules: Iterable[str]) -> PslTables:
+def parse_psl_rules(
+    rules: Iterable[str], on_unsupported: str = "raise"
+) -> PslTables:
     """Parse PSL-format rule lines (comments ``//`` and blanks are
     skipped, so a raw ``public_suffix_list.dat`` file's lines feed in
-    directly). Rule shapes beyond the snapshot's (1-label plain rules
-    — redundant with the fallback; 4+-label rules; nested wildcards)
-    raise, so an unsupported production rule fails loudly instead of
-    silently mis-grouping."""
+    directly). Covers every rule shape in the real list's ICANN
+    section: plain 2-/3-label suffixes, 1-/2-label wildcard bases
+    (``*.ck``, ``*.kawasaki.jp``), 2-/3-label exceptions (``!www.ck``,
+    ``!city.kawasaki.jp``); 1-label plain rules are the fallback and
+    need no entry. Deeper shapes (4+-label plain rules like
+    ``pvt.k12.ma.us`` and some private-section rules) are governed by
+    ``on_unsupported``: ``"raise"`` (default — fail loudly rather than
+    silently mis-group) or ``"skip"`` (drop the rule; those hosts
+    resolve one label shallower — the documented coverage loss when
+    feeding the FULL production file)."""
+    if on_unsupported not in ("raise", "skip"):
+        raise ValueError(f"on_unsupported must be 'raise' or 'skip', got {on_unsupported!r}")
     suf2, suf3, wild, exc = set(), set(), set(), set()
+    wild2, exc3 = set(), set()
+
+    def unsupported(msg: str) -> None:
+        if on_unsupported == "raise":
+            raise ValueError(msg)
+
     for raw in rules:
         rule = raw.strip().lower()
         if not rule or rule.startswith("//"):
             continue
         if rule.startswith("!"):
             host = rule[1:]
-            if host.count(".") != 1:
-                raise ValueError(f"unsupported exception rule shape: {raw!r}")
-            exc.add(host)
+            n = host.count(".")
+            if n == 1:
+                exc.add(host)
+            elif n == 2:
+                exc3.add(host)
+            else:
+                unsupported(f"unsupported exception rule shape: {raw!r}")
         elif rule.startswith("*."):
             base = rule[2:]
-            if "." in base or not base:
-                raise ValueError(f"unsupported wildcard rule shape: {raw!r}")
-            wild.add(base)
+            n = base.count(".")
+            if not base:
+                unsupported(f"unsupported wildcard rule shape: {raw!r}")
+            elif n == 0:
+                wild.add(base)
+            elif n == 1:
+                wild2.add(base)
+            else:
+                unsupported(f"unsupported wildcard rule shape: {raw!r}")
         else:
             n = rule.count(".")
             if n == 0:
@@ -93,8 +129,15 @@ def parse_psl_rules(rules: Iterable[str]) -> PslTables:
             elif n == 2:
                 suf3.add(rule)
             else:
-                raise ValueError(f"unsupported rule depth (>3 labels): {raw!r}")
-    return PslTables(frozenset(suf2), frozenset(suf3), frozenset(wild), frozenset(exc))
+                unsupported(f"unsupported rule depth (>3 labels): {raw!r}")
+    return PslTables(
+        frozenset(suf2),
+        frozenset(suf3),
+        frozenset(wild),
+        frozenset(exc),
+        frozenset(wild2),
+        frozenset(exc3),
+    )
 
 
 def registered_domain_sql(host_ref: str, psl: PslTables | None = None) -> str:
@@ -116,11 +159,18 @@ def registered_domain_sql(host_ref: str, psl: PslTables | None = None) -> str:
 
     l1, l2, l3, l4 = lastk(1), lastk(2), lastk(3), lastk(4)
     branches = []
+    if psl.exceptions_3:
+        branches.append(f"WHEN {l3} IN {inlist(psl.exceptions_3)} THEN {l3}")
     if psl.exceptions:
         branches.append(f"WHEN {l2} IN {inlist(psl.exceptions)} THEN {l2}")
+    conds3 = []
     if psl.suffixes_3:
+        conds3.append(f"{l3} IN {inlist(psl.suffixes_3)}")
+    if psl.wildcard_2:
+        conds3.append(f"{l2} IN {inlist(psl.wildcard_2)}")
+    if conds3:
         branches.append(
-            f"WHEN {l3} IN {inlist(psl.suffixes_3)} THEN "
+            f"WHEN {' OR '.join(conds3)} THEN "
             f"(CASE WHEN {l4} <> '' THEN {l4} ELSE {host_ref} END)"
         )
     conds = []

@@ -97,8 +97,11 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
     ``psl`` defaults to the bounded embedded snapshot
     (``operators/psl.py`` — high-traffic ccSLDs, the US state
     hierarchy, wildcard ccTLDs, top private-section hosting suffixes);
-    pass ``parse_psl_rules(open('public_suffix_list.dat'))`` for the
-    full production list. The tables compile to in-row ``IN`` lists —
+    pass ``parse_psl_rules(open('public_suffix_list.dat'),
+    on_unsupported="skip")`` for the full production list (every ICANN
+    rule shape is covered incl. ``*.kawasaki.jp`` wildcards and
+    ``!city.kawasaki.jp`` exceptions; "skip" drops only 4+-label
+    rules, documented). The tables compile to in-row ``IN`` lists —
     no join, no shuffle, no UDF, so the expression stays inside
     whole-stage codegen at any scale.
 
@@ -128,6 +131,8 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
         host, "(" + r"\.".join([r"[^.]+"] * k) + ")$", 1
     )
     last1, last2, last3, last4 = lastk(1), lastk(2), lastk(3), lastk(4)
+    wild2 = getattr(psl, "wildcard_2", frozenset())
+    exc3 = getattr(psl, "exceptions_3", frozenset())
     dom = F.when(last2 != "", last2).otherwise(host)
     if psl.suffixes_2 or psl.wildcard_tlds:
         cond = F.lit(False)
@@ -136,13 +141,22 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
         if psl.wildcard_tlds:
             cond = cond | last1.isin(sorted(psl.wildcard_tlds))
         dom = F.when(cond, F.when(last3 != "", last3).otherwise(host)).otherwise(dom)
-    if psl.suffixes_3:
+    if psl.suffixes_3 or wild2:
+        # *.kawasaki.jp: every 3-label suffix whose last 2 labels are
+        # the wildcard base is public — same action as a plain 3-label
+        # suffix rule (registered = last 4 labels)
+        cond3 = F.lit(False)
+        if psl.suffixes_3:
+            cond3 = cond3 | last3.isin(sorted(psl.suffixes_3))
+        if wild2:
+            cond3 = cond3 | last2.isin(sorted(wild2))
         dom = F.when(
-            last3.isin(sorted(psl.suffixes_3)),
-            F.when(last4 != "", last4).otherwise(host),
+            cond3, F.when(last4 != "", last4).otherwise(host)
         ).otherwise(dom)
     if psl.exceptions:
         dom = F.when(last2.isin(sorted(psl.exceptions)), last2).otherwise(dom)
+    if exc3:
+        dom = F.when(last3.isin(sorted(exc3)), last3).otherwise(dom)
     return dom
 
 

@@ -3978,13 +3978,7 @@ def _mm_features_values() -> str:
     import io as _io
 
     from ..operators.imagehash import dhash_of_payload, wavhash_of_payload
-    from ..operators.media_codecs import (
-        bmp_decode,
-        gif_decode,
-        jpeg_decode,
-        png_decode,
-        sniff_format,
-    )
+    from ..operators.media_codecs import IMAGE_DECODERS, sniff_format
     from ..operators.multimodal import decode_features_with_provenance
 
     def f32(x: float) -> float:
@@ -3996,10 +3990,8 @@ def _mm_features_values() -> str:
         fmt = sniff_format(payload)
         width = "NULL"
         duration = "NULL"
-        if fmt in ("bmp", "png", "jpeg", "gif"):
-            dec = {"bmp": bmp_decode, "png": png_decode,
-                   "jpeg": jpeg_decode, "gif": gif_decode}
-            w, _, _ = dec[fmt](payload)
+        if fmt in IMAGE_DECODERS:
+            w, _, _ = IMAGE_DECODERS[fmt](payload)
             width = str(w)
         else:
             with _wave.open(_io.BytesIO(payload), "rb") as wv:

@@ -443,6 +443,25 @@ def test_jpeg_features_resize_and_errors():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive|arithmetic"):
         jpeg_decode(bytes(prog))
+    # round-10 review fixes: truncated-inside-a-segment payloads raise
+    # ValueError (not struct.error), forged huge headers refuse before
+    # allocating, and a non-interleaved multi-scan SOS refuses instead
+    # of silently returning color-shifted pixels
+    import struct as _struct
+
+    whole = jpeg_encode(16, 16, _grad16())
+    with pytest.raises(ValueError):
+        jpeg_decode(whole[: whole.find(b"\xff\xc0") + 5])
+    bomb = (b"\xff\xd8\xff\xc0" + _struct.pack(">H", 11) + bytes([8])
+            + _struct.pack(">HH", 30000, 30000) + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="too large|capacity"):
+        jpeg_decode(bomb)
+    multi = bytearray(whole)
+    sos = multi.find(b"\xff\xda")
+    # rewrite SOS to claim a single-component scan of the 3-comp frame
+    multi[sos + 4] = 1
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(bytes(multi[: sos + 2 + 8]) + b"\x00\x3f\x00")
 
 
 # -- GIF (round 10) -----------------------------------------------------------
@@ -530,6 +549,27 @@ def test_gif_decoder_real_world_shapes():
     assert dec[1 * 4 + 2] == (0, 200, 0)
     assert dec[2 * 4 + 1] == (0, 200, 0)
     assert dec[2 * 4 + 2] == (200, 0, 0)
+
+    # GCE TRANSPARENCY honored (round-10 review fix): flag index 1 as
+    # transparent — those pixels must show the background, as any
+    # conformant renderer draws them
+    gce_t = b"\x21\xf9\x04\x01\x00\x00\x01\x00"  # flag set, idx 1
+    dec_t = gif_decode(header + gce_t + img + b"\x3b")[2]
+    assert dec_t[1 * 4 + 1] == (200, 0, 0)     # idx 0 still paints
+    assert dec_t[1 * 4 + 2] == (10, 20, 30)    # idx 1 -> background
+    assert dec_t[2 * 4 + 1] == (10, 20, 30)
+    assert dec_t[2 * 4 + 2] == (200, 0, 0)
+
+    # header-declared-dimension bomb: tiny payload, huge canvas — must
+    # raise instantly instead of allocating gigabytes
+    import pytest
+
+    bomb = b"GIF89a" + struct.pack("<HH", 30000, 30000) + b"\x00\x00\x00\x3b"
+    with pytest.raises(ValueError, match="too large"):
+        gif_decode(bomb)
+    # truncated-anywhere payloads raise ValueError, never struct.error
+    with pytest.raises(ValueError):
+        gif_decode(b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x80\x00\x00\x2c\x01")
 
 
 def test_gif_features_resize_and_hash():

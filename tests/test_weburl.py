@@ -479,12 +479,15 @@ def test_registered_domain_custom_psl(spark):
         ).collect()
     }
     assert got == {1: "a.co.test", 2: "a.b.wild", 3: "ok.wild", 4: "co.uk"}
+    # shapes beyond the ICANN section's (4+ labels) fail loudly by
+    # default; 2-label wildcards / 3-label exceptions ARE supported
+    # (round-10 review fix — the real list contains them)
     with pytest.raises(ValueError, match="unsupported"):
         parse_psl_rules(["a.b.c.d"])
     with pytest.raises(ValueError, match="unsupported"):
-        parse_psl_rules(["*.two.labels"])
+        parse_psl_rules(["*.three.label.base"])
     with pytest.raises(ValueError, match="unsupported"):
-        parse_psl_rules(["!deep.exception.host"])
+        parse_psl_rules(["!four.label.exception.host"])
 
 
 def test_domain_cap_psl_independent_ccsld(spark):
@@ -667,3 +670,67 @@ def test_compact_count_store(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/domains.parquet").collect()
     }
     assert got2 == got
+
+
+def test_registered_domain_full_psl_shapes_and_sql_twin(spark):
+    """The real list's deeper ICANN shapes — 2-label wildcard bases
+    (*.kawasaki.jp) and 3-label exceptions (!city.kawasaki.jp) — parse
+    and resolve at the right grain, AND the DuckDB SQL twin generated
+    from the same tables agrees host-for-host with the Spark
+    expression (the oracle-parity contract)."""
+    import duckdb
+
+    from gluestick_ts_spark.operators.psl import (
+        parse_psl_rules,
+        registered_domain_sql,
+    )
+
+    tables = parse_psl_rules(
+        ["co.uk", "k12.ca.us", "*.ck", "!www.ck",
+         "*.kawasaki.jp", "!city.kawasaki.jp"]
+    )
+    urls = [
+        "http://a.co.uk/x",            # 2-label suffix
+        "http://x.school.k12.ca.us/",  # 3-label suffix
+        "http://a.b.ck/",              # 1-label wildcard
+        "http://foo.www.ck/",          # 2-label exception
+        "http://shop.ichihara.kawasaki.jp/",   # 2-label wildcard -> last4
+        "http://ichihara.kawasaki.jp/",        # AT wildcard-suffix depth
+        "http://x.city.kawasaki.jp/",          # 3-label exception
+        "http://city.kawasaki.jp/",
+        "http://plain.example.com/",
+        "http://localhost/",
+        "not a url",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registered_domain_expr("u", psl=tables).alias("d")
+        ).collect()
+    }
+    assert got[4] == "shop.ichihara.kawasaki.jp"
+    assert got[5] == "ichihara.kawasaki.jp"  # no registrant label -> host
+    assert got[6] == "city.kawasaki.jp"
+    assert got[7] == "city.kawasaki.jp"
+    assert got[0] == "a.co.uk" and got[1] == "school.k12.ca.us"
+    assert got[2] == "a.b.ck" and got[3] == "www.ck"
+    assert got[8] == "example.com" and got[9] == "localhost" and got[10] == ""
+
+    # SQL twin parity over the SAME tables and hosts
+    from gluestick_ts_spark.plans.queries import _url_host_sql_for
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    sql = (
+        f"WITH urls(i, u) AS (VALUES {vals}), "
+        f"h AS (SELECT i, {_url_host_sql_for('u')} AS hh FROM urls) "
+        f"SELECT i, {registered_domain_sql('hh', tables)} AS d FROM h ORDER BY i"
+    )
+    oracle = {i: d for i, d in con.execute(sql).fetchall()}
+    assert oracle == got, {k: (got[k], oracle[k]) for k in got if got[k] != oracle[k]}
+
+    # full-file path: unsupported depths skip instead of raising
+    t2 = parse_psl_rules(["pvt.k12.ma.us", "*.a.b.c", "!a.b.c.d", "co.zz"],
+                         on_unsupported="skip")
+    assert t2.suffixes_2 == {"co.zz"}
