@@ -325,3 +325,115 @@ def test_scd2_history_invariants(spark, tmp_path_factory, batches):
         for prev, nxt in zip(versions, versions[1:]):
             assert prev.valid_to == nxt.valid_from  # chained intervals
             assert prev.city != nxt.city            # versions only on change
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 14),
+    height=st.integers(1, 14),
+    data=st.data(),
+)
+def test_gif_encode_decode_lossless(width, height, data) -> None:
+    """GIF is a palette format: encode -> decode round-trips EXACTLY
+    for any <=256-color image — including single-pixel, odd-dimension,
+    and full-random-palette cases hypothesis invents."""
+    from gluestick_ts_spark.operators.media_codecs import gif_decode, gif_encode
+
+    n_colors = data.draw(st.integers(1, 16))
+    colors = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+            min_size=n_colors, max_size=n_colors,
+        )
+    )
+    px = [
+        colors[data.draw(st.integers(0, n_colors - 1))]
+        for _ in range(width * height)
+    ]
+    assert gif_decode(gif_encode(width, height, px)) == (width, height, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    width=st.integers(1, 18),
+    height=st.integers(1, 18),
+    seed=st.integers(0, 2**31),
+    sub=st.sampled_from(["444", "420"]),
+    rst=st.integers(0, 3),
+)
+def test_jpeg_roundtrip_bounded_error(width, height, seed, sub, rst) -> None:
+    """JPEG is lossy but BOUNDED: for arbitrary (even noise) images the
+    decode must return the exact dimensions, every sample in [0, 255],
+    and a worst-case per-channel error bounded by the quantization
+    envelope; decode is deterministic (pure function of the bytes)."""
+    import random
+
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    rng = random.Random(seed)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(width * height)
+    ]
+    enc = jpeg_encode(width, height, px, subsampling=sub, restart_interval=rst)
+    out = jpeg_decode(enc)
+    assert out[:2] == (width, height)
+    dec = out[2]
+    assert len(dec) == width * height
+    assert all(0 <= v <= 255 for p in dec for v in p)
+    # noise is the worst case; the mean error stays inside the quant +
+    # 4:2:0-averaging + YCbCr-gamut envelope (saturated RGB corners
+    # clip at the Cb/Cr clamp — real JPEG behavior, worst for a
+    # single-pixel image where one clipped pixel IS the mean)
+    mae = sum(
+        abs(a - b) for pa, pb in zip(px, dec) for a, b in zip(pa, pb)
+    ) / (3 * len(px))
+    assert mae < 64, mae
+    assert jpeg_decode(enc) == out  # deterministic
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_psl_registered_domain_invariants(data) -> None:
+    """For ANY host assembled from random labels over the snapshot's
+    rule shapes, the PSL resolution must satisfy the structural
+    invariants: the registered domain is a dot-suffix of the host (or
+    the host itself), is never '', never deeper than the host, and —
+    when a known public suffix matches — is exactly one label longer
+    than that suffix. Checked driver-side via the SQL twin semantics
+    (the Spark expression is pinned equal to it in test_weburl)."""
+    from gluestick_ts_spark.operators.psl import PSL_SNAPSHOT
+
+    label = st.text(alphabet="abcxyz123", min_size=1, max_size=6)
+    n = data.draw(st.integers(1, 4))
+    labels = [data.draw(label) for _ in range(n)]
+    suffix = data.draw(
+        st.sampled_from(
+            [None]
+            + sorted(PSL_SNAPSHOT.suffixes_2)[:40]
+            + sorted(PSL_SNAPSHOT.suffixes_3)[:20]
+            + [f"x.{w}" for w in sorted(PSL_SNAPSHOT.wildcard_tlds)]
+        )
+    )
+    host = ".".join(labels) + (f".{suffix}" if suffix else "")
+
+    # pure-Python restatement of the documented resolution order
+    t = PSL_SNAPSHOT
+    parts = host.split(".")
+    lastk = lambda k: ".".join(parts[-k:]) if len(parts) >= k else ""  # noqa: E731
+    if lastk(2) in t.exceptions:
+        reg = lastk(2)
+    elif lastk(3) in t.suffixes_3 or lastk(2) in t.wildcard_2:
+        reg = lastk(4) or host
+    elif lastk(2) in t.suffixes_2 or lastk(1) in t.wildcard_tlds:
+        reg = lastk(3) or host
+    else:
+        reg = lastk(2) or host
+
+    assert reg
+    assert host == reg or host.endswith("." + reg)
+    if suffix and reg != host:
+        # one label deeper than the matched suffix (longest-match rule)
+        assert reg.endswith("." + suffix) or suffix.startswith("x.")
+        if reg.endswith("." + suffix):
+            assert reg.count(".") == suffix.count(".") + 1
