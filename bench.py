@@ -27,6 +27,26 @@ with a matching sentinel move is box noise. An intra-run
 ``sentinel.ratio`` far from 1.0 means the box's load changed DURING
 the suite — treat that run's per-query numbers as low-confidence.
 
+ROUND-10 DRIFT DATA: three same-tree quiet runs read warm totals
+75.9 / 94.4 / 85.3 s (geomean vs the r9 driver numbers 0.87 / 1.12 /
+0.97) with sentinel means 1.09 / 1.06 / 1.18 — i.e. the box's
+run-to-run spread is ±12% and NOT fully uniform (the sentinel
+normalizes uniform drift; heavy shuffle queries carry extra variance
+the small sentinel can't see). Median story: round 10 is at parity
+vs r9 despite multimodal_features gaining JPEG+GIF decode and
+curation_pipeline_docs the PSL eTLD+1 CASE (the only like-for-like
+composition growth, ~1.2x on that one row). The r7/r8 rule stands:
+treat cross-round deltas under ~1.25x as noise unless a plan diff
+corroborates.
+
+ROUND-10 COMPOSITION CHANGES: ``multimodal_features``'s feat leg
+became a 4-format cycle (JPEG quarter incl. 4:2:0/RST variants, GIF
+slot every 20th doc) and its phash leg's planted groups gained JPEG +
+GIF cross-codec twins over a new tie-free pattern;
+``curation_pipeline_docs``' url stage now resolves TRUE eTLD+1
+against the embedded PSL snapshot (in-row IN lists) over a host mix
+with .co.uk / github.io / k12.ca.us shapes.
+
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm
 single-shot timing per leg (QUERY_PARTS in plans/queries.py: union
