@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["gif_decode", "gif_encode"]
+__all__ = ["gif_decode", "gif_decode_frames", "gif_encode"]
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
@@ -111,6 +111,22 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
 
 
 def _gif_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    w, h, frames = gif_decode_frames(payload, max_frames=1)
+    return w, h, frames[0]
+
+
+def gif_decode_frames(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode UP TO ``max_frames`` composed frames of a (possibly
+    animated) GIF: ``(width, height, [frame_pixels, ...])``, each frame
+    the full logical screen AS RENDERED at that point of the animation
+    — cumulative composition with GCE transparency honored and disposal
+    method 2 (restore-to-background) applied between frames (method 3,
+    restore-to-previous, is treated as leave-in-place — a documented
+    simplification; it is rare in crawl GIFs). The per-payload cost is
+    bounded by ``max_frames``, so samplers never pay for a whole
+    animation to take a few frames."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
@@ -141,20 +157,22 @@ def _gif_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int
         else (0, 0, 0)
     )
     canvas = [bg] * (width * height)
+    frames: list[list[tuple[int, int, int]]] = []
     transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
             # Graphic Control Extension: honor the transparency index
-            # for the frame it precedes (a transparent pixel shows the
-            # background, as any conformant renderer draws it); every
-            # other extension is skipped
+            # and disposal method for the frame it precedes (a
+            # transparent pixel shows what is already on the canvas);
+            # every other extension is skipped
             if payload[pos + 1] == 0xF9 and payload[pos + 2] >= 4:
                 gce_packed = payload[pos + 3]
-                if gce_packed & 0x01:
-                    transparent = payload[pos + 6]
+                transparent = payload[pos + 6] if gce_packed & 0x01 else None
+                disposal = (gce_packed >> 2) & 0x07
             pos = skip_subblocks(pos + 2)
             continue
         if block != 0x2C:
@@ -205,8 +223,19 @@ def _gif_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int
                 idx = indices[base + x]
                 if idx < nt and idx != transparent:
                     canvas[y * width + left + x] = table[idx]
-        return width, height, canvas  # FIRST frame only (documented)
-    raise ValueError("GIF contains no image block")
+        frames.append(list(canvas))
+        if max_frames is not None and len(frames) >= max_frames:
+            return width, height, frames
+        if disposal == 2:  # restore the frame's rect to background
+            for y in range(top, min(top + ih, height)):
+                row = y * width
+                for x in range(left, min(left + iw, width)):
+                    canvas[row + x] = bg
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return width, height, frames
 
 
 def gif_encode(

@@ -152,13 +152,24 @@ def wavhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError):
         return None
-    dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sampwidth)
-    if dtype is None:
-        return None
     count = len(raw) // sampwidth
     if count == 0:
         return None
-    vals = np.frombuffer(raw, dtype=dtype, count=count)
+    if sampwidth == 3:
+        # 24-bit PCM (round 10): assemble little-endian 3-byte words
+        # and sign-extend — studio-grade WAVs are commonly 24-bit
+        b = np.frombuffer(raw, dtype=np.uint8, count=count * 3).reshape(
+            count, 3
+        ).astype(np.int64)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals -= (vals & 0x800000) << 1
+    else:
+        dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(
+            sampwidth
+        )
+        if dtype is None:
+            return None
+        vals = np.frombuffer(raw, dtype=dtype, count=count)
     # abs AFTER the int64 widen: np.abs(int8(-128)) wraps to -128,
     # Python's abs() does not — the widen keeps them identical
     absvals = np.abs(vals.astype(np.int64))

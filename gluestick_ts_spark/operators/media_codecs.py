@@ -6,8 +6,8 @@ still parse honestly:
 - **BMP** (Windows bitmap, BI_RGB 24/32-bit): header + pixel parsing,
   channel statistics, and a real nearest-neighbor resize that emits a
   valid 24-bit BMP.
-- **WAV** (RIFF PCM, via stdlib ``wave``): sample decoding (8/16/32
-  bit), amplitude statistics, duration, and real time-slice "frames"
+- **WAV** (RIFF PCM, via stdlib ``wave``): sample decoding (8/16/24/
+  32 bit), amplitude statistics, duration, and real time-slice "frames"
   re-encoded as standalone WAV payloads.
 - **PNG** (via stdlib ``zlib``): 8-bit gray/RGB/RGBA, all five
   scanline filters, valid re-encode.
@@ -39,7 +39,7 @@ import struct
 import wave
 import zlib
 
-from .gif_codec import gif_decode, gif_encode
+from .gif_codec import gif_decode, gif_decode_frames, gif_encode
 from .jpeg_codec import jpeg_decode, jpeg_encode
 
 # shared header-declared-dimension cap (the jpeg/gif codecs carry their
@@ -66,7 +66,9 @@ __all__ = [
     "jpeg_features",
     "jpeg_resize",
     "gif_decode",
+    "gif_decode_frames",
     "gif_encode",
+    "gif_frames",
     "gif_features",
     "gif_resize",
 ]
@@ -220,9 +222,17 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
             raw = w.readframes(nframes)
     except (wave.Error, EOFError) as e:
         raise ValueError(f"not a decodable WAV: {e}") from e
-    if sampwidth not in _WIDTH_FMT:
+    if sampwidth not in (1, 2, 3, 4):
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
     count = len(raw) // sampwidth
+    if sampwidth == 3:
+        # 24-bit PCM (round 10): 3-byte little-endian signed words
+        samples = []
+        scale = float(1 << 23)
+        for i in range(count):
+            v = int.from_bytes(raw[3 * i : 3 * i + 3], "little", signed=True)
+            samples.append(v / scale)
+        return framerate, nchannels, nframes, samples
     vals = struct.unpack(f"<{count}{_WIDTH_FMT[sampwidth]}", raw[: count * sampwidth])
     if sampwidth == 1:
         # 8-bit WAV is unsigned ('b' read it signed: shift accordingly)
@@ -493,3 +503,18 @@ IMAGE_DECODERS = {
     "jpeg": jpeg_decode,
     "gif": gif_decode,
 }
+
+
+def gif_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Real frame sampling for (possibly animated) GIFs — the image
+    twin of ``wav_frames``: decode up to ``n_frames`` COMPOSED frames
+    (cumulative rendering, transparency + restore-to-background
+    disposal honored) and re-encode each as a standalone PNG. PNG —
+    not GIF — on purpose: a composed frame can mix colors from several
+    per-frame palettes past the 256-color GIF limit, and PNG is the
+    repo's lossless unbounded-palette container, so the sampler never
+    fails on a legal animation. A still GIF yields one frame. Cost is
+    bounded by ``n_frames`` (later animation frames are never
+    decoded)."""
+    w, h, frames = gif_decode_frames(payload, max_frames=max(1, n_frames))
+    return [png_encode(w, h, f) for f in frames]

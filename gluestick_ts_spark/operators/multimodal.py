@@ -36,6 +36,7 @@ from .media_codecs import (
     bmp_features,
     bmp_resize,
     gif_features,
+    gif_frames,
     gif_resize,
     jpeg_features,
     jpeg_resize,
@@ -361,12 +362,21 @@ def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
 
 def _sniff_frames(payload: bytes | None, n_frames: int) -> tuple[list[bytes], str]:
     """Default frame sampler: REAL time-slice windows for WAV payloads
-    (each frame is itself a valid, decodable WAV, labeled ``"wav"``);
-    contiguous byte-chunk fake labeled ``"fake"`` for everything else
-    (video codecs need ffmpeg)."""
-    if sniff_format(payload) == "wav":
+    (each frame is itself a valid, decodable WAV, labeled ``"wav"``)
+    and REAL composed animation frames for GIF payloads (round 10 —
+    each frame re-encoded as a standalone PNG, labeled ``"gif"``; see
+    ``media_codecs.gif_frames`` for why PNG); contiguous byte-chunk
+    fake labeled ``"fake"`` for everything else (video codecs need
+    ffmpeg)."""
+    fmt = sniff_format(payload)
+    if fmt == "wav":
         try:
             return wav_frames(payload, n_frames), "wav"
+        except ValueError:
+            pass
+    elif fmt == "gif":
+        try:
+            return gif_frames(payload, n_frames), "gif"
         except ValueError:
             pass
     return _fake_frames(payload, n_frames), "fake"

@@ -594,3 +594,88 @@ def test_gif_features_resize_and_hash():
     assert sniff_format(small) == "gif"
     assert gif_decode(small)[0] == 4
     assert dhash_of_payload(enc) == dhash_of_payload(bmp_encode(8, 8, px))
+
+
+def test_gif_animation_frames_and_wav24():
+    """Round-10 follow-ons: animated-GIF frame sampling (composed
+    frames re-encoded as standalone PNGs, cost bounded by max_frames)
+    and 24-bit PCM WAV decode (sign-extended 3-byte words) — the
+    wavhash of a 24-bit waveform equals its 16-bit twin's (window
+    energies scale, comparisons don't flip)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from gluestick_ts_spark.operators.imagehash import wavhash_of_payload
+    from gluestick_ts_spark.operators.media_codecs import (
+        gif_decode_frames,
+        gif_encode,
+        gif_frames,
+        png_decode,
+        sniff_format,
+        wav_decode,
+    )
+
+    # animated gif: splice three local-palette solid frames
+    def local_frame(color, w=4, h=4):
+        img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x80])
+        img += bytes(color) + b"\x00\x00\x00"
+        lzw = bytearray()
+        acc = nbits = 0
+        cs, nc, first = 3, 6, True
+        seq = [(4, 3)]
+        for _ in range(w * h):
+            seq.append((0, cs))
+            if first:
+                first = False
+            else:
+                nc += 1
+                if nc == (1 << cs) and cs < 12:
+                    cs += 1
+        seq.append((5, cs))
+        for code, width_ in seq:
+            acc |= code << nbits
+            nbits += width_
+            while nbits >= 8:
+                lzw.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            lzw.append(acc & 0xFF)
+        return img + bytes([2, len(lzw)]) + bytes(lzw) + b"\x00"
+
+    header = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 0, 0])
+              + bytes((9, 9, 9)) + b"\x00\x00\x00")
+    anim = (header + local_frame((255, 0, 0)) + local_frame((0, 255, 0))
+            + local_frame((0, 0, 255)) + b"\x3b")
+    w, h, frames = gif_decode_frames(anim, max_frames=10)
+    assert [f[0] for f in frames] == [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    assert len(gif_decode_frames(anim, max_frames=1)[2]) == 1  # bounded
+    pngs = gif_frames(anim, 3)
+    assert all(sniff_format(p) == "png" for p in pngs)
+    assert png_decode(pngs[1])[2][0] == (0, 255, 0)
+    # a still gif yields its one frame
+    still = gif_encode(4, 4, [(7, 7, 7)] * 16)
+    assert len(gif_frames(still, 5)) == 1
+
+    # 24-bit wav
+    samples = [int(4_000_000 * math.sin(i / 9)) for i in range(1500)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        ))
+    p24 = buf.getvalue()
+    fr, nch, nfr, dec = wav_decode(p24)
+    assert nfr == 1500 and abs(dec[100] - samples[100] / (1 << 23)) < 1e-12
+    buf16 = io.BytesIO()
+    with wave.open(buf16, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<1500h", *[s >> 8 for s in samples]))
+    assert wavhash_of_payload(p24) == wavhash_of_payload(buf16.getvalue())
