@@ -100,17 +100,6 @@ def gif_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     transparency index) — show the background color (or black with no
     global table). Raises ``ValueError`` for non-GIF/corrupt/truncated
     payloads and images beyond ``_MAX_PIXELS``."""
-    try:
-        return _gif_decode_impl(payload)
-    except ValueError:
-        raise
-    except (struct.error, IndexError) as e:
-        # truncated-anywhere payloads must honor the ValueError-only
-        # contract the Arrow fallback paths catch
-        raise ValueError(f"corrupt GIF payload: {e}") from e
-
-
-def _gif_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     w, h, frames = gif_decode_frames(payload, max_frames=1)
     return w, h, frames[0]
 
@@ -126,7 +115,20 @@ def gif_decode_frames(
     restore-to-previous, is treated as leave-in-place — a documented
     simplification; it is rare in crawl GIFs). The per-payload cost is
     bounded by ``max_frames``, so samplers never pay for a whole
-    animation to take a few frames."""
+    animation to take a few frames. Raises ``ValueError`` (never a raw
+    struct/index error) for corrupt/truncated payloads — the contract
+    every Arrow fallback path catches."""
+    try:
+        return _gif_decode_frames_impl(payload, max_frames)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF payload: {e}") from e
+
+
+def _gif_decode_frames_impl(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     width, height = struct.unpack_from("<HH", payload, 6)
@@ -178,6 +180,12 @@ def gif_decode_frames(
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        if iw * ih > _MAX_PIXELS:
+            # the logical-screen cap alone is not enough: the image
+            # descriptor's own dimensions drive the LZW output size,
+            # and a 4x4-screen payload declaring a 65535x65535 frame
+            # would otherwise expand unboundedly before any check
+            raise ValueError(f"GIF frame too large: {iw}x{ih}")
         ipacked = payload[pos + 9]
         pos += 10
         table = global_table

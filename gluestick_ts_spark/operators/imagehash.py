@@ -24,7 +24,15 @@ is a scale-extension surface like ``multimodal.py``).
 
 100 TB shape: hashing is map-only (the image bytes never shuffle — the
 64-bit hash column is what moves); the band join keys are short and
-AQE-skew-splittable. A solid-color corpus degenerates to one band
+AQE-skew-splittable.
+
+CODEC-VERSION COUPLING: a stored hash is a function of the DECODER —
+any decode-changing codec fix (e.g. honoring GIF transparency) shifts
+the hashes of affected payloads, so durable hash stores built before
+such a change silently stop matching re-arrivals of the same bytes.
+When a codec fix lands, rebuild the media-hash stores (rehash from
+payloads) or accept the documented recall loss on the affected
+format. A solid-color corpus degenerates to one band
 bucket — the same hot-value caveat ``simhash_pairs`` documents; the
 join (not a bucket groupBy) keeps it inside AQE's skew-split reach.
 """

@@ -363,10 +363,15 @@ def png_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError(f"PNG too large: {width}x{height}")
     stride = width * channels
     # bounded inflate: a zlib bomb with small declared dims must not
-    # expand past the scanline budget the header promises
-    raw = zlib.decompressobj().decompress(
-        bytes(idat), height * (stride + 1)
-    )
+    # expand past the scanline budget the header promises; corrupt
+    # streams must raise ValueError (the Arrow fallback contract), not
+    # a raw zlib.error
+    try:
+        raw = zlib.decompressobj().decompress(
+            bytes(idat), height * (stride + 1)
+        )
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG scanlines")
     pixels: list[tuple[int, int, int]] = []
