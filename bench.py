@@ -41,8 +41,10 @@ corroborates.
 
 ROUND-10 COMPOSITION CHANGES: ``multimodal_features``'s feat leg
 became a 4-format cycle (JPEG quarter incl. 4:2:0/RST variants, GIF
-slot every 20th doc) and its phash leg's planted groups gained JPEG +
-GIF cross-codec twins over a new tie-free pattern;
+slot every 20th doc), carries the full hash family (dhash + NEW ahash
++ wavhash — same single decode pass, negligible cost), and its phash
+leg's planted groups gained JPEG + GIF cross-codec twins over a new
+tie-free pattern;
 ``curation_pipeline_docs``' url stage now resolves TRUE eTLD+1
 against the embedded PSL snapshot (in-row IN lists) over a host mix
 with .co.uk / github.io / k12.ca.us shapes.

@@ -2765,9 +2765,10 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     inside an Arrow batch, then probed (real width/height/duration
     from the bytes), feature-extracted (real pixel/sample statistics
     via the stdlib BMP/WAV/zlib-PNG/from-scratch-JPEG decoders in
-    operators/media_codecs.py), and perceptually hashed
-    (``image_dhash`` — 64-bit dHash for the image rows, NULL for
-    WAV).
+    operators/media_codecs.py), and perceptually hashed — the WHOLE
+    family (dHash + aHash + wavhash, round 10) in the one decode
+    pass; image rows fill dhash/ahash (wavhash NULL), WAVs fill
+    wavhash.
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
     planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
@@ -2782,6 +2783,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     deterministic ``doc_id <`` slices replace ``limit`` so both
     engines see identical row sets."""
     from ..operators.imagehash import (
+        ahash_of_payload,
         dhash_of_payload,
         hamming_neardup_pairs,
         image_dhash,
@@ -2811,8 +2813,12 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         out = extract_media_features(
             media,
             n_features=8,
+            # the WHOLE perceptual family in the one decode pass —
+            # round 10 adds ahash so every hash column is driver-
+            # oracled, not just dhash/wavhash
             hash_columns={
                 "dhash": dhash_of_payload,
+                "ahash": ahash_of_payload,
                 "wavhash": wavhash_of_payload,
             },
         )
@@ -2831,6 +2837,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             F.element_at("features", 1).cast("double").alias("f0"),
             F.element_at("features", 2).cast("double").alias("f1"),
             "dhash",
+            "ahash",
             "wavhash",
             _null("long").alias("pair_id"),
             _null("long").alias("hamming"),
@@ -2861,6 +2868,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             _null("double").alias("f0"),
             _null("double").alias("f1"),
             _null("long").alias("dhash"),
+            _null("long").alias("ahash"),
             _null("long").alias("wavhash"),
             F.col("id_b").alias("pair_id"),
             "hamming",
@@ -3977,7 +3985,11 @@ def _mm_features_values() -> str:
     import wave as _wave
     import io as _io
 
-    from ..operators.imagehash import dhash_of_payload, wavhash_of_payload
+    from ..operators.imagehash import (
+        ahash_of_payload,
+        dhash_of_payload,
+        wavhash_of_payload,
+    )
     from ..operators.media_codecs import IMAGE_DECODERS, sniff_format
     from ..operators.multimodal import decode_features_with_provenance
 
@@ -3998,6 +4010,7 @@ def _mm_features_values() -> str:
                 duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))
         feats, decoder = decode_features_with_provenance(payload, 8)
         dh = dhash_of_payload(payload)
+        ah = ahash_of_payload(payload)
         wh = wavhash_of_payload(payload)
         # string->DOUBLE cast: a bare decimal literal in VALUES would be
         # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
@@ -4006,6 +4019,7 @@ def _mm_features_values() -> str:
             f"'{decoder}', CAST('{f32(feats[0])!r}' AS DOUBLE), "
             f"CAST('{f32(feats[1])!r}' AS DOUBLE), "
             f"{'NULL' if dh is None else dh}, "
+            f"{'NULL' if ah is None else ah}, "
             f"{'NULL' if wh is None else wh})"
         )
     return ", ".join(rows)
@@ -4020,14 +4034,15 @@ def _mm_phash_values() -> str:
 
 
 _MM_FEATURES_ORACLE = (
-    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, wh) "
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh) "
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
     "CAST(e.width AS INTEGER) AS width, "
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
     "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1, "
-    "CAST(e.dh AS BIGINT) AS dhash, CAST(e.wh AS BIGINT) AS wavhash, "
+    "CAST(e.dh AS BIGINT) AS dhash, CAST(e.ah AS BIGINT) AS ahash, "
+    "CAST(e.wh AS BIGINT) AS wavhash, "
     "CAST(NULL AS BIGINT) AS pair_id, CAST(NULL AS BIGINT) AS hamming "
     "FROM exp e JOIN documents d ON d.doc_id = e.doc_id), "
     # brute-force quadratic Hamming over the literal hashes — equals
@@ -4042,7 +4057,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS size_bytes, "
     "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
     "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
-    "CAST(NULL AS BIGINT) AS wavhash, "
+    "CAST(NULL AS BIGINT) AS ahash, CAST(NULL AS BIGINT) AS wavhash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
     "FROM pp WHERE ham <= 6) "
     "SELECT * FROM feat UNION ALL SELECT * FROM ph"
