@@ -38,6 +38,7 @@ __all__ = [
     "gopher_quality_flags",
     "gopher_rules_sql",
     "c4_line_rules_expr",
+    "license_flags_expr",
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
@@ -746,3 +747,61 @@ def strip_html_expr(text: Column | str) -> Column:
     for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# canonical license names, matched word-bounded case-insensitive. The
+# detection is a KEYWORD screen (The-Stack-style permissive-license
+# gating / C4-style notice filtering), not an SPDX parser: the goal is
+# the curation verdict "this document carries licensing/copyright
+# boilerplate", cheap enough to run on every crawl document in-row.
+_LICENSE_NAMES = (
+    ("cc-by", r"\bcc[- ]by(?:[- ](?:sa|nc|nd|nc[- ]sa|nc[- ]nd))?\b"),
+    ("creative-commons", r"\bcreative\s+commons\b"),
+    ("apache", r"\bapache\s+license\b"),
+    ("mit", r"\bmit\s+licen[cs]e\b"),
+    ("agpl", r"\bagpl\b"),
+    ("lgpl", r"\blgpl\b"),
+    ("gpl", r"\bgpl\b|\bgnu\s+(?:general|lesser)\s+public\s+licen[cs]e\b"),
+    ("bsd", r"\bbsd\s+licen[cs]e\b|\b[234]-clause\s+bsd\b"),
+    ("mpl", r"\bmozilla\s+public\s+licen[cs]e\b|\bmpl[- ]2\.0\b"),
+    ("public-domain", r"\bpublic\s+domain\b|\bcc0\b|\bunlicen[cs]e\b"),
+)
+_COPYRIGHT_RE = r"(?i)(©|\(c\)\s*(19|20)\d{2}|\bcopyright\b\s*(©|\(c\))?\s*(19|20)\d{2})"
+_RIGHTS_RE = r"(?i)\ball\s+rights\s+reserved\b"
+
+
+def license_flags_expr(text: Column | str) -> Column:
+    """License/copyright screening flags — the corpus-curation stage
+    that gates redistribution-sensitive documents (the code-corpus
+    permissive-license screen and the web-corpus notice filter), as
+    ONE in-row struct:
+
+    - ``has_copyright``: a dated copyright mark (``© 2021``,
+      ``Copyright (c) 1999``) appears;
+    - ``rights_reserved``: an "all rights reserved" clause appears;
+    - ``license_name``: the FIRST canonical license family matched
+      (priority order: the specific before the generic — ``cc-by``
+      before ``creative-commons``, ``agpl``/``lgpl`` before ``gpl``),
+      NULL when none;
+    - ``has_license``: any family matched.
+
+    Pure regex over the lowered text (Java∩RE2 subset — the PII /
+    weburl precedent, so a SQL oracle can restate it verbatim);
+    map-only at any scale. A KEYWORD screen, not an SPDX parser:
+    mentions of a license in prose flag too — the right bias for a
+    curation gate, where false positives route to review and false
+    negatives leak restricted text into training."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    name = F.lit(None).cast("string")
+    for canon, pat in reversed(_LICENSE_NAMES):
+        name = F.when(t.rlike(pat), F.lit(canon)).otherwise(name)
+    return F.struct(
+        (F.col(text) if isinstance(text, str) else text)
+        .rlike(_COPYRIGHT_RE)
+        .alias("has_copyright"),
+        (F.col(text) if isinstance(text, str) else text)
+        .rlike(_RIGHTS_RE)
+        .alias("rights_reserved"),
+        name.alias("license_name"),
+        name.isNotNull().alias("has_license"),
+    )

@@ -416,3 +416,54 @@ def test_c4_line_rules(spark):
     assert out[6].has_brace and not out[6].keep
     assert out[7].n_kept == 2 and not out[7].keep  # under the 5-line floor
     assert out[8].n_kept == 1  # terminal punct inside closing quote
+
+
+def test_license_flags_expr(spark):
+    """License/copyright screening: dated copyright marks, rights
+    clauses, and canonical license families detect with the specific
+    name winning over the generic; clean prose stays unflagged."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import license_flags_expr
+
+    cases = [
+        (1, "Copyright (c) 2019 Example Corp. All rights reserved."),
+        (2, "This work is licensed under CC BY-NC-SA 4.0."),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "Released under the MIT license for everyone"),
+        (5, "GNU General Public License as published by the FSF"),
+        (6, "dual-licensed: LGPL or a commercial license"),
+        (7, "dedicated to the public domain via CC0"),
+        (8, "just a normal sentence about cats and the weather"),
+        (9, "© 2023 Someone"),
+        (10, "the word copyright alone, undated, is not a mark"),
+        (11, "Creative Commons Attribution means CC tools apply"),
+    ]
+    df = spark.createDataFrame(cases, "i long, text string")
+    rows = {
+        r.i: r.f
+        for r in df.select("i", license_flags_expr("text").alias("f")).collect()
+    }
+    assert rows[1].has_copyright and rows[1].rights_reserved
+    assert rows[2].license_name == "cc-by"          # specific beats generic
+    assert rows[3].license_name == "apache"
+    assert rows[4].license_name == "mit"
+    assert rows[5].license_name == "gpl"
+    assert rows[6].license_name == "lgpl"           # lgpl beats gpl substring
+    assert rows[7].license_name == "public-domain"
+    assert rows[8] == (False, False, None, False)
+    assert rows[9].has_copyright
+    assert not rows[10].has_copyright and rows[10].license_name is None
+    assert rows[11].license_name == "creative-commons"
+    # map-only: no shuffle, no Python operator in the plan
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        df.select(license_flags_expr("text"))
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
