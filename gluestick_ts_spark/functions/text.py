@@ -791,17 +791,14 @@ def license_flags_expr(text: Column | str) -> Column:
     mentions of a license in prose flag too — the right bias for a
     curation gate, where false positives route to review and false
     negatives leak restricted text into training."""
-    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    raw = F.col(text) if isinstance(text, str) else text
+    t = F.lower(raw)
     name = F.lit(None).cast("string")
     for canon, pat in reversed(_LICENSE_NAMES):
         name = F.when(t.rlike(pat), F.lit(canon)).otherwise(name)
     return F.struct(
-        (F.col(text) if isinstance(text, str) else text)
-        .rlike(_COPYRIGHT_RE)
-        .alias("has_copyright"),
-        (F.col(text) if isinstance(text, str) else text)
-        .rlike(_RIGHTS_RE)
-        .alias("rights_reserved"),
+        raw.rlike(_COPYRIGHT_RE).alias("has_copyright"),
+        raw.rlike(_RIGHTS_RE).alias("rights_reserved"),
         name.alias("license_name"),
         name.isNotNull().alias("has_license"),
     )

@@ -139,19 +139,27 @@ class _BitReader:
         return v
 
 
-def _build_huff(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman (length, code) -> symbol map from a DHT
-    table's 16 length counts + value list."""
-    table: dict[tuple[int, int], int] = {}
+def _canonical_codes(bits: list[int], values: bytes):
+    """Walk a canonical Huffman table (16 length counts + value list),
+    yielding ``(symbol, code, length)`` — the one assignment rule both
+    the decoder's (length, code) -> symbol map and the encoder's
+    symbol -> (code, length) map are built from."""
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            yield values[k], code, length
             k += 1
             code += 1
         code <<= 1
-    return table
+
+
+def _build_huff(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (length, code) -> symbol map from a DHT
+    table's 16 length counts + value list."""
+    return {
+        (length, code): sym for sym, code, length in _canonical_codes(bits, values)
+    }
 
 
 def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -424,17 +432,11 @@ _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0
 
 
 def _enc_table(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) for the encoder side."""
-    out: dict[int, tuple[int, int]] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[values[k]] = (code, length)
-            k += 1
-            code += 1
-        code <<= 1
-    return out
+    """symbol -> (code, length) for the encoder side (same canonical
+    walk as the decoder's ``_build_huff``)."""
+    return {
+        sym: (code, length) for sym, code, length in _canonical_codes(bits, values)
+    }
 
 
 _ENC_DC = _enc_table(_ENC_DC_BITS, _ENC_DC_VALUES)

@@ -131,8 +131,7 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
         host, "(" + r"\.".join([r"[^.]+"] * k) + ")$", 1
     )
     last1, last2, last3, last4 = lastk(1), lastk(2), lastk(3), lastk(4)
-    wild2 = getattr(psl, "wildcard_2", frozenset())
-    exc3 = getattr(psl, "exceptions_3", frozenset())
+    wild2, exc3 = psl.wildcard_2, psl.exceptions_3
     dom = F.when(last2 != "", last2).otherwise(host)
     if psl.suffixes_2 or psl.wildcard_tlds:
         cond = F.lit(False)
@@ -247,8 +246,9 @@ def domain_cap_flag(
     (the ``epoch_shuffle_expr`` contract). One short-key shuffle."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    idc = F.col(id_col)
-    order_key = F.md5(F.concat(F.lit(f"{seed}:"), idc.cast("string")))
+    from ..functions.sampling import epoch_shuffle_expr
+
+    order_key = epoch_shuffle_expr(id_col, seed)
     out = df.withColumn("__dom", registered_domain_expr(url_col))
     w = Window.partitionBy("__dom").orderBy(order_key.asc())
     out = out.withColumn("__drank", F.row_number().over(w))

@@ -517,6 +517,7 @@ def stream_domain_caps(
     document text never enters either. 100 TB/day shape: the store
     grows one row per ACTIVE domain per batch and compacts to one row
     per domain — never corpus-sized."""
+    from ..functions.sampling import epoch_shuffle_expr
     from ..operators.dedup import _exclude_batch_filter, recover_flat_store
     from ..operators.weburl import registered_domain_expr
     from ..sources.fs import hadoop_path_exists, join_uri
@@ -543,9 +544,7 @@ def stream_domain_caps(
         else:
             counts = spark.createDataFrame([], "domain string, __prior long")
         keyed = batch_df.withColumn("__dom", registered_domain_expr(url_col))
-        order_key = F.md5(
-            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-        )
+        order_key = epoch_shuffle_expr(id_col, seed)
         w = Window.partitionBy("__dom").orderBy(order_key.asc())
         ranked = keyed.withColumn("__rank", F.row_number().over(w)).join(
             counts.withColumnRenamed("domain", "__dom"), on="__dom", how="left"
