@@ -49,6 +49,14 @@ tie-free pattern;
 against the embedded PSL snapshot (in-row IN lists) over a host mix
 with .co.uk / github.io / k12.ca.us shapes.
 
+ROUND-11 COMPOSITION CHANGES: ``curation_pipeline_docs`` gained the
+LICENSE/COPYRIGHT screen as a ninth oracle-checked drop-reason stage
+(map-only regex columns riding the ``per`` projection — no new
+shuffle), and the query now has per-stage ``parts`` attribution
+(url/license/dup/gopher/quality/adaptive/contam/logprob —
+stage-restricted builders, each timing ONE stage's marginal pipeline
+over the base scan).
+
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm
 single-shot timing per leg (QUERY_PARTS in plans/queries.py: union

@@ -39,6 +39,7 @@ __all__ = [
     "gopher_rules_sql",
     "c4_line_rules_expr",
     "license_flags_expr",
+    "license_flags_sql",
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
@@ -802,3 +803,32 @@ def license_flags_expr(text: Column | str) -> Column:
         name.alias("license_name"),
         name.isNotNull().alias("has_license"),
     )
+
+
+def license_flags_sql(col: str) -> dict[str, str]:
+    """DuckDB restatement of :func:`license_flags_expr`, GENERATED from
+    the same pattern tables (the psl.py ``registered_domain_sql``
+    precedent): a rule divergence between engine and oracle is
+    structurally impossible because both compile from ``_LICENSE_NAMES``
+    / ``_COPYRIGHT_RE`` / ``_RIGHTS_RE``. The patterns live in the
+    Java∩RE2 subset, so the strings embed verbatim. Returns SQL
+    fragments keyed ``has_copyright`` / ``rights_reserved`` /
+    ``license_name`` / ``license_ok`` over the text column ``col``
+    (``license_ok`` is the curation gate: drop rights-reserved marks
+    and copyright notices that carry no recognized license family)."""
+    name = (
+        "(CASE "
+        + " ".join(
+            f"WHEN regexp_matches(lower({col}), '{pat}') THEN '{canon}'"
+            for canon, pat in _LICENSE_NAMES
+        )
+        + " ELSE NULL END)"
+    )
+    hc = f"regexp_matches({col}, '{_COPYRIGHT_RE}')"
+    rr = f"regexp_matches({col}, '{_RIGHTS_RE}')"
+    return {
+        "has_copyright": hc,
+        "rights_reserved": rr,
+        "license_name": name,
+        "license_ok": f"(NOT ({rr} OR ({hc} AND {name} IS NULL)))",
+    }

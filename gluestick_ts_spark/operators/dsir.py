@@ -242,6 +242,10 @@ def dsir_select(
     ).withColumn(
         "dsir_key", gumbel_key_expr(F.col(id_col), F.col("dsir_logw"), seed)
     )
+    # eager threshold job BY DESIGN (not a hidden query-builder probe):
+    # Gumbel top-k selection needs the k-th key materialized — callers
+    # of a *selection* operator expect the action, and the histograms
+    # above already ran two
     kth_row = (
         keyed.select("dsir_key")
         .orderBy(F.desc("dsir_key"))

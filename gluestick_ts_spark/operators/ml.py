@@ -82,6 +82,9 @@ def train_logreg(
     with the returned frozen weights is map-only via
     ``logreg_score_expr``.
     """
+    # data probe is FINE here (unlike the ANN query builders' retired
+    # first() probes): training is an eager entry point that runs one
+    # job per GD pass anyway — the caller expects actions
     first = df.select(F.size(vec_col)).first()
     if first is None:
         raise ValueError("train_logreg: empty input")

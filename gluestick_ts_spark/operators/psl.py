@@ -51,6 +51,8 @@ __all__ = [
     "PslTables",
     "parse_psl_rules",
     "registered_domain_sql",
+    "is_public_suffix_sql",
+    "www_strip_host_sql",
     "PSL_SNAPSHOT_RULES",
     "PSL_SNAPSHOT",
 ]
@@ -185,6 +187,60 @@ def registered_domain_sql(host_ref: str, psl: PslTables | None = None) -> str:
         )
     branches.append(f"WHEN {l2} <> '' THEN {l2}")
     return "(CASE " + " ".join(branches) + f" ELSE {host_ref} END)"
+
+
+def is_public_suffix_sql(ref: str, psl: PslTables | None = None) -> str:
+    """ANSI/DuckDB boolean: whether the host string ``ref`` IS a public
+    suffix — the SQL twin of ``weburl._is_public_suffix`` (the ``www.``
+    strip guard), generated from the SAME rule tables. Whole-string
+    ``IN`` for plain rules, label-count + base lookup for wildcards,
+    exceptions carved back out (registrable)."""
+    if psl is None:
+        psl = PSL_SNAPSHOT
+
+    def inlist(vals: frozenset) -> str:
+        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
+
+    conds = []
+    if psl.suffixes_2:
+        conds.append(f"{ref} IN {inlist(psl.suffixes_2)}")
+    if psl.suffixes_3:
+        conds.append(f"{ref} IN {inlist(psl.suffixes_3)}")
+    if psl.wildcard_tlds:
+        conds.append(
+            f"(regexp_matches({ref}, '^[^.]+\\.[^.]+$') AND "
+            f"regexp_extract({ref}, '([^.]+)$', 1) "
+            f"IN {inlist(psl.wildcard_tlds)})"
+        )
+    if psl.wildcard_2:
+        conds.append(
+            f"(regexp_matches({ref}, '^[^.]+\\.[^.]+\\.[^.]+$') AND "
+            f"regexp_extract({ref}, '([^.]+\\.[^.]+)$', 1) "
+            f"IN {inlist(psl.wildcard_2)})"
+        )
+    cond = "(" + " OR ".join(conds) + ")" if conds else "FALSE"
+    carve = []
+    if psl.exceptions:
+        carve.append(f"{ref} NOT IN {inlist(psl.exceptions)}")
+    if psl.exceptions_3:
+        carve.append(f"{ref} NOT IN {inlist(psl.exceptions_3)}")
+    if carve:
+        cond = "(" + cond + " AND " + " AND ".join(carve) + ")"
+    return cond
+
+
+def www_strip_host_sql(h: str, psl: PslTables | None = None) -> str:
+    """ANSI/DuckDB restatement of the host's conditional ``www.`` strip
+    (``registered_domain_expr``'s host preparation): strip only when
+    >= 2 labels remain AND the remainder is not itself a public suffix
+    (``www.ck`` / ``www.blogspot.com`` keep their ``www``). ``h`` is the
+    already-lowered host expression."""
+    stripped = f"regexp_replace({h}, '^www\\.', '')"
+    return (
+        f"(CASE WHEN regexp_matches({h}, '^www\\..*\\.') "
+        f"AND NOT {is_public_suffix_sql(stripped, psl)} "
+        f"THEN {stripped} ELSE {h} END)"
+    )
 
 
 def _us_state_rules() -> list[str]:

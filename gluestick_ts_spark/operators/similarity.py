@@ -579,7 +579,16 @@ def ann_lsh_topk(
     tests/test_dedup_similarity.py.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        # same contract as binary_hamming_topk: NO data probe — an
+        # earlier draft ran corpus.first() to discover the dimension,
+        # which launched a hidden Spark job at PLAN-BUILD time
+        # (invisible to plan gates, surprising for library callers
+        # composing lazily)
+        raise ValueError(
+            "dim is required: pass the embedding dimensionality explicitly "
+            "(ArrayType schemas don't carry a length, and probing the data "
+            "would launch a job at plan-build time)"
+        )
     all_planes = [
         hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]

@@ -88,6 +88,38 @@ def normalize_url_expr(url: Column | str) -> Column:
     return F.concat(prefix, rest)
 
 
+def _is_public_suffix(s: Column, psl) -> Column:
+    """Whether the (lowered) host string ``s`` IS a public suffix under
+    the rule tables — the guard the ``www.``-strip needs: a host whose
+    registrant label is literally ``www`` under a multi-label/private
+    suffix (``www.blogspot.com``) must not be stripped down to the bare
+    suffix. Whole-string ``IN`` checks for plain rules; wildcard rules
+    match by label count + base lookup; exception rules carve hosts
+    back OUT (they are registrable, not public). In-row, codegen-safe."""
+    cond = F.lit(False)
+    if psl.suffixes_2:
+        cond = cond | s.isin(sorted(psl.suffixes_2))
+    if psl.suffixes_3:
+        cond = cond | s.isin(sorted(psl.suffixes_3))
+    if psl.wildcard_tlds:
+        cond = cond | (
+            s.rlike(r"^[^.]+\.[^.]+$")
+            & F.regexp_extract(s, r"([^.]+)$", 1).isin(sorted(psl.wildcard_tlds))
+        )
+    if psl.wildcard_2:
+        cond = cond | (
+            s.rlike(r"^[^.]+\.[^.]+\.[^.]+$")
+            & F.regexp_extract(s, r"([^.]+\.[^.]+)$", 1).isin(
+                sorted(psl.wildcard_2)
+            )
+        )
+    if psl.exceptions:
+        cond = cond & ~s.isin(sorted(psl.exceptions))
+    if psl.exceptions_3:
+        cond = cond & ~s.isin(sorted(psl.exceptions_3))
+    return cond
+
+
 def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) -> Column:
     """True eTLD+1 "registered domain" of the URL's host (lowered,
     ``www.``/userinfo/port stripped): one label deeper than the host's
@@ -112,8 +144,11 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
     fallback. A host AT suffix depth (``co.uk`` itself — no registrant
     label) returns the host. Single-label hosts (``localhost``) return
     themselves; non-URLs return ''. The leading ``www.`` strips only
-    when >= 2 labels remain (``www.ck`` is a real registered domain,
-    not a prefix)."""
+    when >= 2 labels remain AND the remainder is not itself a public
+    suffix — ``www.ck`` is a real registered domain, and so is the
+    ``www`` registrant under a multi-label/private suffix
+    (``www.blogspot.com``/``www.github.io`` must NOT collapse into the
+    bare hosting suffix)."""
     if psl is None:
         from .psl import PSL_SNAPSHOT
 
@@ -124,8 +159,9 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
             u, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
         )
     )
+    stripped = F.regexp_replace(host, r"^www\.", "")
     host = F.when(
-        host.rlike(r"^www\..*\."), F.regexp_replace(host, r"^www\.", "")
+        host.rlike(r"^www\..*\.") & ~_is_public_suffix(stripped, psl), stripped
     ).otherwise(host)
     lastk = lambda k: F.regexp_extract(  # noqa: E731
         host, "(" + r"\.".join([r"[^.]+"] * k) + ")$", 1
@@ -252,14 +288,16 @@ def domain_cap_flag(
     out = df.withColumn("__dom", registered_domain_expr(url_col))
     w = Window.partitionBy("__dom").orderBy(order_key.asc())
     out = out.withColumn("__drank", F.row_number().over(w))
-    # rows with no attributable domain (NULL url) always keep — the cap
-    # is a per-domain politeness budget, not a bucket for the unknown;
-    # non-URL strings still cap together under domain '' (documented)
+    # rows with no attributable domain always keep — the cap is a
+    # per-domain politeness budget, not a bucket for the unknown. That
+    # covers NULL urls AND non-URL strings (registered_domain_expr
+    # resolves the latter to ''): capping all malformed rows together
+    # under one '' bucket would silently drop everything past `cap`
     out = out.withColumn(
         flag_col,
-        F.when(F.col("__dom").isNull(), F.lit(True)).otherwise(
-            F.col("__drank") <= cap
-        ),
+        F.when(
+            F.col("__dom").isNull() | (F.col("__dom") == ""), F.lit(True)
+        ).otherwise(F.col("__drank") <= cap),
     )
     if rank_col:
         out = out.withColumnRenamed("__drank", rank_col)

@@ -39,6 +39,7 @@ from ..functions.text import (
     gopher_rules_sql,
     lang_id_sql,
     lang_score_sql,
+    license_flags_sql,
     redact_pii_expr,
     repetition_profile_sql,
     shingles_expr,
@@ -1526,7 +1527,22 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
-def q_curation_pipeline_docs(spark, sf):
+# license-stage planted footers (pure function of doc_id % 20) — ONE
+# table drives both the Spark expression in q_curation_pipeline_docs
+# and the DuckDB oracle's CASE, so the planted text cannot diverge
+_LIC_FOOTERS = (
+    (5, " © 2021 Example Corp. All rights reserved."),
+    (9, " Licensed under the Apache License, Version 2.0."),
+    (
+        13,
+        " This work is licensed under CC-BY 4.0."
+        " Copyright (c) 2019 Contributors.",
+    ),
+    (17, " Copyright (c) 2020 Example Corp."),
+)
+
+
+def q_curation_pipeline_docs(spark, sf, stages=None):
     """END-TO-END curation verdict per document — the composition a
     training-data pipeline actually runs, with drop-reason
     attribution in priority order: benchmark membership ->
@@ -1562,13 +1578,94 @@ def q_curation_pipeline_docs(spark, sf):
     gains doc-unique ``.co.uk`` registrants, ``github.io``
     private-section subdomains, and ``k12.ca.us`` 3-label hosts, and
     the oracle regenerates its domain CASE from the SAME snapshot
-    tables — a rule-set divergence is structurally impossible."""
-    from ..functions.text import quality_score_expr
+    tables — a rule-set divergence is structurally impossible.
+
+    Round 11 adds the LICENSE/COPYRIGHT screen as an oracle-checked
+    drop-reason stage (functions/text.py license_flags_expr — The-Stack
+    permissive-license gating / C4 notice filtering): the synthetic
+    corpus plants boilerplate footers as a pure function of doc_id
+    (rights-reserved marks, a permissive Apache grant, CC-BY with a
+    dated copyright, and a bare copyright notice), and ``license_ok``
+    drops rights-reserved documents and copyright notices that carry no
+    recognized license family — the curation bias where permissively
+    licensed text stays and restricted text routes out. The oracle
+    regexes are GENERATED from the same pattern tables
+    (license_flags_sql), the psl.py one-rule-source precedent.
+
+    ``stages`` restricts the build to one stage's marginal pipeline for
+    bench attribution (QUERY_PARTS) — the full query (default) is the
+    driver/oracle surface."""
+    from ..functions.text import license_flags_expr, quality_score_expr
     from ..operators.dedup import _spread, ngram_contamination
     from ..operators.profile import adaptive_quality_filter, unigram_logprob_scores
     from ..operators.weburl import domain_cap_flag, url_dedup_flag
 
     d = _spread(_t(spark, sf, "documents"))
+    # license/copyright boilerplate footers planted as a pure function
+    # of doc_id (constant fractions at any sf) from the shared
+    # _LIC_FOOTERS table: rights-reserved (drop), permissive Apache
+    # (keep), CC-BY + dated copyright (keep — license present), bare
+    # copyright with no license (drop)
+    _footer = F.lit("")
+    for _m, _s in reversed(_LIC_FOOTERS):
+        _footer = F.when(F.col("doc_id") % 20 == _m, F.lit(_s)).otherwise(_footer)
+    _lic = license_flags_expr(F.concat(F.col("text"), _footer))
+    _lic_ok = ~(
+        _lic.getField("rights_reserved")
+        | (_lic.getField("has_copyright") & _lic.getField("license_name").isNull())
+    )
+    if stages is not None:
+        # single-stage marginal-cost builders (bench attribution only;
+        # the ann_ivf mode-restricted precedent)
+        (stage,) = stages
+        if stage == "license":
+            return d.select(
+                "doc_id",
+                _lic.getField("has_copyright").alias("has_copyright"),
+                _lic.getField("rights_reserved").alias("rights_reserved"),
+                _lic.getField("license_name").alias("license_name"),
+                _lic_ok.alias("license_ok"),
+            )
+        if stage == "dup":
+            per = d.select("doc_id", fingerprint_expr("text").alias("__fp"))
+            w = Window.partitionBy("__fp").orderBy("doc_id")
+            return per.withColumn(
+                "dup_ok", F.row_number().over(w) == 1
+            ).drop("__fp")
+        if stage == "gopher":
+            return d.select(
+                "doc_id",
+                gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
+            )
+        if stage == "quality":
+            return d.select(
+                "doc_id", (quality_score_expr("text") >= 0.5).alias("quality_ok")
+            )
+        if stage == "adaptive":
+            per = d.select(
+                "doc_id", "lang", quality_score_expr("text").alias("__q")
+            )
+            per = adaptive_quality_filter(
+                per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
+            )
+            return per.select(
+                "doc_id", F.round("__cut", 6).alias("lang_cut"), "adaptive_ok"
+            )
+        if stage == "contam":
+            return ngram_contamination(
+                d.where(F.col("doc_id") % 20 != 0),
+                d.where(F.col("doc_id") % 20 == 0),
+                n=8,
+            ).select("doc_id", "contaminated")
+        if stage == "logprob":
+            return unigram_logprob_scores(d, vocab_size=100).select(
+                "doc_id",
+                (F.col("mean_logprob") >= F.lit(-3.41)).alias("lp_ok"),
+            )
+        if stage != "url":
+            raise ValueError(f"unknown curation stage: {stage!r}")
+        # fall through: the url stage builds the shared URL pipeline
+        # below and returns right after the domain-cap flag
     # Scale-stable synthetic URL (a pure function of doc_id): most docs
     # get a doc-unique URL/domain, docs = 1 (mod 10) re-crawl their
     # predecessor's page (10% planted dups AT ANY sf — different
@@ -1602,6 +1699,13 @@ def q_curation_pipeline_docs(spark, sf):
         .when(item % 4 == 1, F.lit("?p=2#sec"))
         .otherwise(F.lit("")),
     )
+    if stages is not None:  # the "url" marginal-cost builder
+        per = d.select("doc_id", url.alias("__url"))
+        per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
+        return domain_cap_flag(
+            per, "__url", "doc_id", cap=25, seed=1,
+            flag_col="domain_keep", domain_col="domain",
+        ).drop("__url")
     per = d.select(
         "doc_id",
         "lang",
@@ -1610,6 +1714,7 @@ def q_curation_pipeline_docs(spark, sf):
         gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
         quality_score_expr("text").alias("__q"),
         fingerprint_expr("text").alias("__fp"),
+        _lic.alias("__lic"),
     )
     per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
     per = domain_cap_flag(
@@ -1629,6 +1734,18 @@ def q_curation_pipeline_docs(spark, sf):
         "gopher_ok",
         (F.col("__q") >= 0.5).alias("quality_ok"),
         "dup_ok",
+        F.col("__lic").getField("has_copyright").alias("has_copyright"),
+        F.col("__lic").getField("rights_reserved").alias("rights_reserved"),
+        F.col("__lic").getField("license_name").alias("license_name"),
+        (
+            ~(
+                F.col("__lic").getField("rights_reserved")
+                | (
+                    F.col("__lic").getField("has_copyright")
+                    & F.col("__lic").getField("license_name").isNull()
+                )
+            )
+        ).alias("license_ok"),
         F.round("__cut", 6).alias("lang_cut"),
         "adaptive_ok",
     )
@@ -1649,6 +1766,10 @@ def q_curation_pipeline_docs(spark, sf):
             "is_benchmark",
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
             "dup_ok",
+            "has_copyright",
+            "rights_reserved",
+            "license_name",
+            "license_ok",
             "gopher_ok",
             "quality_ok",
             F.coalesce("__lpok", F.lit(False)).alias("lp_ok"),
@@ -1662,6 +1783,7 @@ def q_curation_pipeline_docs(spark, sf):
         & ~F.col("is_benchmark")
         & ~F.col("contaminated")
         & F.col("dup_ok")
+        & F.col("license_ok")
         & F.col("gopher_ok")
         & F.col("quality_ok")
         & F.col("lp_ok")
@@ -1672,6 +1794,7 @@ def q_curation_pipeline_docs(spark, sf):
         .when(F.col("is_benchmark"), "benchmark")
         .when(F.col("contaminated"), "contaminated")
         .when(~F.col("dup_ok"), "duplicate")
+        .when(~F.col("license_ok"), "license")
         .when(~F.col("gopher_ok"), "gopher")
         .when(~F.col("quality_ok"), "quality")
         .when(~F.col("lp_ok"), "logprob")
@@ -1684,6 +1807,10 @@ def q_curation_pipeline_docs(spark, sf):
         "is_benchmark",
         "contaminated",
         "dup_ok",
+        "has_copyright",
+        "rights_reserved",
+        "license_name",
+        "license_ok",
         "gopher_ok",
         "quality_ok",
         "lp_ok",
@@ -3534,6 +3661,28 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         )(p)
         for p in ("split", "dsir")
     },
+    "curation_pipeline_docs": {
+        # stage-restricted builders: each times ONE stage's marginal
+        # pipeline over the base scan (the full query composes them
+        # behind shared projections, so tag filters can't attribute it)
+        p: (
+            lambda st: (
+                lambda spark, sf: q_curation_pipeline_docs(
+                    spark, sf, stages=(st,)
+                )
+            )
+        )(p)
+        for p in (
+            "url",
+            "license",
+            "dup",
+            "gopher",
+            "quality",
+            "adaptive",
+            "contam",
+            "logprob",
+        )
+    },
 }
 
 _SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
@@ -3951,17 +4100,19 @@ def _url_norm_sql_for(u: str) -> str:
 
 def _url_host_sql_for(u: str) -> str:
     """The lowered, userinfo/port-stripped host, with the leading
-    ``www.`` dropped only when >= 2 labels remain (``www.ck`` is a real
-    registered domain) — registered_domain_expr's host extraction.
-    Compute it into a CTE column: the PSL CASE references it ~9x."""
+    ``www.`` dropped only when >= 2 labels remain AND the remainder is
+    not itself a public suffix (www.ck / www.blogspot.com keep their
+    www) — registered_domain_expr's host extraction, the strip guard
+    GENERATED from the same PSL tables (operators/psl.py
+    www_strip_host_sql). Compute it into a CTE column: the PSL CASE
+    references it ~9x."""
+    from ..operators.psl import www_strip_host_sql
+
     h = (
         f"lower(regexp_extract({u}, "
         "'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
     )
-    return (
-        f"(CASE WHEN regexp_matches({h}, '^www\\..*\\.') "
-        f"THEN regexp_replace({h}, '^www\\.', '') ELSE {h} END)"
-    )
+    return www_strip_host_sql(h)
 
 
 _URL_NORM_SQL = _url_norm_sql_for("{u}")
@@ -5099,6 +5250,23 @@ ORACLES: dict[str, str] = {
         "row_number() OVER (PARTITION BY dom ORDER BY "
         "md5('1:' || CAST(doc_id AS VARCHAR))) <= 25 AS domain_keep "
         "FROM unorm), "
+        # license stage: planted footers from the SAME _LIC_FOOTERS
+        # table, screen regexes GENERATED from the same pattern tables
+        # as the Spark expression (functions/text.py license_flags_sql)
+        "licb AS (SELECT doc_id, text || CASE "
+        + " ".join(
+            f"WHEN doc_id % 20 = {m} THEN '{s}'" for m, s in _LIC_FOOTERS
+        )
+        + " ELSE '' END AS lt FROM documents), "
+        "licf AS (SELECT doc_id, "
+        + license_flags_sql("lt")["has_copyright"]
+        + " AS has_copyright, "
+        + license_flags_sql("lt")["rights_reserved"]
+        + " AS rights_reserved, "
+        + license_flags_sql("lt")["license_name"]
+        + " AS license_name, "
+        + license_flags_sql("lt")["license_ok"]
+        + " AS license_ok FROM licb), "
         "tok AS (SELECT doc_id, "
         f"{_TOKS} AS toks FROM documents), "
         "toks AS (SELECT doc_id, t AS tk FROM ("
@@ -5131,10 +5299,14 @@ ORACLES: dict[str, str] = {
         "SELECT b.doc_id, uf.url_keep, uf.domain, uf.domain_keep, "
         "b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
-        "b.dup_ok, b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
+        "b.dup_ok, "
+        "lf.has_copyright, lf.rights_reserved, lf.license_name, "
+        "lf.license_ok, "
+        "b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
         "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
         "(uf.url_keep AND uf.domain_keep "
         "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
+        "AND lf.license_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
         "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
         "CASE WHEN NOT uf.url_keep THEN 'url_dup' "
@@ -5142,12 +5314,14 @@ ORACLES: dict[str, str] = {
         "WHEN b.is_benchmark THEN 'benchmark' "
         "WHEN h.doc_id IS NOT NULL THEN 'contaminated' "
         "WHEN NOT b.dup_ok THEN 'duplicate' "
+        "WHEN NOT lf.license_ok THEN 'license' "
         "WHEN NOT b.gopher_ok THEN 'gopher' "
         "WHEN NOT b.qs >= 0.5 THEN 'quality' "
         "WHEN NOT COALESCE(d.lp >= -3.41, FALSE) THEN 'logprob' "
         "END AS drop_reason, "
         "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
         "FROM base b JOIN uflag uf USING (doc_id) "
+        "JOIN licf lf USING (doc_id) "
         "LEFT JOIN hits h USING (doc_id) "
         "LEFT JOIN doclp d USING (doc_id) "
         "LEFT JOIN cuts c USING (lang)"

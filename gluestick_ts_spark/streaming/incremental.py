@@ -511,8 +511,10 @@ def stream_domain_caps(
     emit-before-append). Maintenance: ``compact_count_store`` — NOT
     ``compact_flat_store``, whose presence-dedup would corrupt sums.
 
-    NULL-domain rows (no URL) always pass and are never stored — the
-    cap is a per-registrant budget, not a bucket for the unknown. One
+    NULL-domain rows (no URL) and ''-domain rows (malformed/non-URL
+    strings — ``registered_domain_expr`` returns '' for them) always
+    pass and are never stored — the cap is a per-registrant budget,
+    not a bucket for the unknown. One
     short-key window per batch + one domain-keyed store aggregate;
     document text never enters either. 100 TB/day shape: the store
     grows one row per ACTIVE domain per batch and compacts to one row
@@ -551,11 +553,12 @@ def stream_domain_caps(
         )
         survivors = ranked.where(
             F.col("__dom").isNull()
+            | (F.col("__dom") == "")
             | (F.col("__rank") + F.coalesce(F.col("__prior"), F.lit(0)) <= cap)
         )
         survivors = survivors.localCheckpoint(eager=True)
         deltas = (
-            survivors.where(F.col("__dom").isNotNull())
+            survivors.where(F.col("__dom").isNotNull() & (F.col("__dom") != ""))
             .groupBy(F.col("__dom").alias("domain"))
             .agg(F.count("*").alias("cnt"))
             .localCheckpoint(eager=True)

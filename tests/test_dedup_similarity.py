@@ -128,7 +128,7 @@ def test_cosine_topk_exact(vecs):
 
 
 def test_ann_lsh_recall_on_neardup(vecs):
-    out = ann_lsh_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2, n_planes=4, n_tables=8)
+    out = ann_lsh_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2, n_planes=4, n_tables=8, dim=4)
     neighbors = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
     assert 2 in neighbors  # the true near-dup must be found
 
@@ -247,7 +247,7 @@ def test_ann_recall_floor(spark, sf_dir):
     q = e.where(F.col("vec_id") < 8)
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()}
     lsh = {(r.query_id, r.neighbor_id)
-           for r in ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12).collect()}
+           for r in ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12, dim=64).collect()}
     ivf = {(r.query_id, r.neighbor_id)
            for r in ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4).collect()}
     assert len(exact & lsh) / len(exact) >= 0.5
@@ -272,7 +272,7 @@ def test_ann_recall_vs_exact_column(spark, sf_dir):
     self_rec = ann_recall_vs_exact(exact, cosine_topk(e, q, k=5), k=5)
     assert all(r.recall_at_k == 1.0 for r in self_rec.collect())
 
-    approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12)
+    approx = ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12, dim=64)
     out = ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5).collect()
     ex_sets: dict = {}
     for r in cosine_topk(e, q, k=5).collect():
@@ -349,7 +349,7 @@ def test_recall_guard_emits_alert_rows_on_breach(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 8)
     out = ann_recall_vs_exact(
-        ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12), cosine_topk(e, q, k=5), k=5
+        ann_lsh_topk(e, q, k=5, n_planes=4, n_tables=12, dim=64), cosine_topk(e, q, k=5), k=5
     )
     healthy = _recall_guarded(out, floor=0.4).collect()
     assert sum(1 for r in healthy if r.neighbor_id == -1) == 0
@@ -588,6 +588,31 @@ def test_binary_hamming_topk(spark, sf_dir):
         sc.setJobGroup("", "")
     tracker = sc.statusTracker()
     assert tracker.getJobIdsForGroup("bht-construct-probe") == []
+
+
+def test_ann_lsh_topk_requires_dim_no_hidden_job(spark, sf_dir):
+    """ann_lsh_topk shares binary_hamming_topk's contract: dim is
+    REQUIRED (the retired corpus.first() probe launched a hidden job at
+    plan-build time), and construction must not launch ANY job."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.similarity import ann_lsh_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    with _pytest.raises(ValueError, match="dim is required"):
+        ann_lsh_topk(e, q, k=5)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-construct-probe", "plan build only")
+    try:
+        _plan_only = ann_lsh_topk(e, q, k=5, dim=64)
+        _plan_only.schema  # analysis is fine; execution is not
+    finally:
+        sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup("lsh-construct-probe") == []
 
 
 def test_semantic_contamination_flags_paraphrase(spark):

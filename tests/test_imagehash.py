@@ -63,6 +63,29 @@ def test_image_dhash_column_and_nulls(spark):
     assert got[2] is None and got[3] is None
 
 
+def test_custom_hash_callable_one_convention(spark):
+    """The SAME single-arg ``payload -> int | None`` callable works in
+    BOTH custom-hash APIs — ``media_hashes(columns=...)`` and
+    ``extract_media_features(hash_columns=...)`` — and produces the
+    same column (the r10 arity split, fixed: bind sizes via partial)."""
+    import functools
+
+    from gluestick_ts_spark.operators.imagehash import media_hashes
+    from gluestick_ts_spark.operators.multimodal import extract_media_features
+
+    fam = functools.partial(dhash_of_payload, hash_size=4)
+    rows = [(1, _gray_bmp([10 * (k % 7) for k in range(64)])), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    a = {r.doc_id: r.h4 for r in media_hashes(df, columns={"h4": fam}).collect()}
+    b = {
+        r.doc_id: r.h4
+        for r in extract_media_features(
+            df, n_features=1, hash_columns={"h4": fam}
+        ).collect()
+    }
+    assert a == b and a[1] == fam(rows[0][1]) and a[2] is None
+
+
 def test_banded_pairs_equal_brute_force(spark):
     """The correctness core: pigeonhole banding at n_blocks=7 over
     max_hamming=6 must return EXACTLY the quadratic pair set."""

@@ -181,7 +181,7 @@ def test_ann_lsh_reuses_query_partitioning(spark, sf_dir):
     from gluestick_ts_spark.operators.similarity import ann_lsh_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5)
+    out = ann_lsh_topk(e, e.where(F.col("vec_id") < 8), k=5, dim=64)
     plan = _plan_of(spark, out)
     assert _shuffles(plan) == 1, plan
     args = re.findall(r"\(\d+\) Exchange\n(?:[^\n]*\n)?Arguments: ([^\n]+)", plan)

@@ -467,3 +467,55 @@ def test_license_flags_expr(spark):
     assert "Exchange" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_license_flags_sql_matches_expr(spark):
+    """license_flags_sql generates the DuckDB restatement from the SAME
+    pattern tables as the Spark expression — every fragment must agree
+    row-for-row on the tricky cases (specific-over-generic priority,
+    dated vs undated marks, the curation-gate boolean)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import (
+        license_flags_expr,
+        license_flags_sql,
+    )
+
+    cases = [
+        (1, "Copyright (c) 2019 Example Corp. All rights reserved."),
+        (2, "This work is licensed under CC BY-NC-SA 4.0."),
+        (3, "Licensed under the Apache License, Version 2.0"),
+        (4, "Released under the MIT license for everyone"),
+        (5, "GNU General Public License as published by the FSF"),
+        (6, "dual-licensed: LGPL or a commercial license"),
+        (7, "dedicated to the public domain via CC0"),
+        (8, "just a normal sentence about cats and the weather"),
+        (9, "© 2023 Someone"),
+        (10, "the word copyright alone, undated, is not a mark"),
+        (11, "Creative Commons Attribution means CC tools apply"),
+        (12, "© 2021 Example Corp. All rights reserved."),
+        (13, "Copyright (c) 2020 Example Corp."),
+    ]
+    df = spark.createDataFrame(cases, "i long, text string")
+    lic = license_flags_expr("text")
+    lic_ok = ~(
+        lic.getField("rights_reserved")
+        | (lic.getField("has_copyright") & lic.getField("license_name").isNull())
+    )
+    got = {
+        r.i: (r.f.has_copyright, r.f.rights_reserved, r.f.license_name, r.ok)
+        for r in df.select("i", lic.alias("f"), lic_ok.alias("ok")).collect()
+    }
+    frag = license_flags_sql("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT i, {frag['has_copyright']}, {frag['rights_reserved']}, "
+            f"{frag['license_name']}, {frag['license_ok']} FROM t"
+        ).fetchall()
+    }
+    assert got == want

@@ -222,6 +222,70 @@ def test_stream_url_dedup(spark, tmp_path):
     }
 
 
+def test_stream_url_dedup_survives_crashed_compaction(spark, tmp_path):
+    """END-TO-END crashed-compaction durability: a compaction that dies
+    BETWEEN rename(data -> .pre-compact) and rename(.compact-tmp ->
+    data) leaves the store path absent — the next STREAM batch must
+    still reject previously-seen URLs (recovery-on-read restores the
+    pre-compaction keys), never treat the store as empty."""
+    import os
+    import shutil
+
+    from gluestick_ts_spark.streaming.incremental import stream_url_dedup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, url string"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+
+    def run():
+        q = (
+            stream_url_dedup(
+                spark.readStream.schema(schema).parquet(src), store, emit,
+                checkpoint_dir=str(tmp_path / "ck"),
+            ).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, "http://seen.org/a"), (2, "http://seen.org/b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert set().union(*emitted.values()) == {1, 2}
+
+    # kill a compaction between the two renames: data moved aside, the
+    # compacted tmp written but never moved into place
+    data = f"{store}/urls.parquet"
+    os.rename(data, data + ".pre-compact")
+    os.makedirs(data + ".compact-tmp")
+    open(data + ".compact-tmp/part-stale.parquet", "w").write("junk")
+    assert not os.path.exists(data)
+
+    emitted.clear()
+    spark.createDataFrame(
+        [(10, "HTTP://WWW.Seen.ORG/a?utm_source=x"),  # re-crawl of 1
+         (11, "http://fresh.io/c")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    # the re-crawl is REJECTED (store healed from .pre-compact), the
+    # fresh URL survives, and the crash debris is gone
+    assert set().union(*emitted.values()) == {11}
+    assert not os.path.exists(data + ".pre-compact")
+    assert not os.path.exists(data + ".compact-tmp")
+    stored = {
+        r.url_norm for r in spark.read.parquet(data).collect()
+    }
+    assert stored == {
+        "http://seen.org/a", "http://seen.org/b", "http://fresh.io/c"
+    }
+    shutil.rmtree(str(tmp_path / "ck"), ignore_errors=True)
+
+
 def test_stream_url_dedup_crash_replay(spark, tmp_path):
     """Crash window: store append + marker committed but the streaming
     checkpoint commit lost -> the batch replays against the store state
@@ -437,6 +501,15 @@ def test_registered_domain_psl_etld1(spark):
         "http://alice.github.io/p": "alice.github.io",
         "http://bob.github.io/p": "bob.github.io",
         "http://shop.blogspot.com/": "shop.blogspot.com",
+        # a literal 'www' REGISTRANT under a multi-label/private suffix
+        # must NOT be stripped down to the bare public suffix
+        "http://www.blogspot.com/": "www.blogspot.com",
+        "http://www.github.io/": "www.github.io",
+        "http://www.co.uk/": "www.co.uk",
+        "http://www.k12.ca.us/": "www.k12.ca.us",
+        "http://www.foo.ck/": "www.foo.ck",  # *.ck: foo.ck is public
+        # ...while a www PREFIX over a real registrant still strips
+        "http://www.sub.blogspot.com/": "sub.blogspot.com",
         # plain gTLD fallback unchanged
         "http://www.example.com/": "example.com",
         "http://sub.example.org/": "example.org",
@@ -540,11 +613,16 @@ def test_stream_domain_caps(spark, tmp_path):
         )
         q.awaitTermination(180)
 
+    # 4 malformed (non-URL) rows exceed cap=3: they resolve to domain
+    # '' which — like NULL — is identity-less, so ALL pass and none
+    # are stored (ADVICE r10: no silent '' cap bucket)
     spark.createDataFrame(
-        [(1, "http://hot.org/a"), (2, "http://hot.org/b"), (3, None)], schema
+        [(1, "http://hot.org/a"), (2, "http://hot.org/b"), (3, None),
+         (4, "nope one"), (5, "nope two"), (6, "nope three"),
+         (7, "nope four")], schema
     ).coalesce(1).write.mode("append").parquet(src)
     run()
-    assert set().union(*emitted.values()) == {1, 2, 3}
+    assert set().union(*emitted.values()) == {1, 2, 3, 4, 5, 6, 7}
 
     emitted.clear()
     spark.createDataFrame(
@@ -661,7 +739,11 @@ def test_compact_count_store(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/domains.parquet").collect()
     }
     assert got == {("a.org", 3, None), ("b.net", 3, None)}, got
-    assert not os.path.exists(f"{store}/batches")
+    # ADDITIVE stores KEEP their replay markers: post-compaction the
+    # folded counts carry batch_id NULL, so a replayed batch can no
+    # longer be excluded by stamp — only its .done marker stops a
+    # double-count re-append
+    assert os.path.exists(f"{store}/batches/x-0.done")
 
     # idempotent: compacting a compacted store changes nothing
     compact_count_store(spark, store, "domains.parquet", ["domain"])
@@ -701,6 +783,12 @@ def test_registered_domain_full_psl_shapes_and_sql_twin(spark):
         "http://plain.example.com/",
         "http://localhost/",
         "not a url",
+        # www-registrant guard: remainder-is-a-public-suffix blocks the
+        # strip (plain 2-label, 2-label wildcard); an exception-carved
+        # remainder is registrable, so the strip proceeds
+        "http://www.co.uk/",
+        "http://www.ichihara.kawasaki.jp/",
+        "http://www.city.kawasaki.jp/",
     ]
     df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
     got = {
@@ -716,15 +804,23 @@ def test_registered_domain_full_psl_shapes_and_sql_twin(spark):
     assert got[0] == "a.co.uk" and got[1] == "school.k12.ca.us"
     assert got[2] == "a.b.ck" and got[3] == "www.ck"
     assert got[8] == "example.com" and got[9] == "localhost" and got[10] == ""
+    assert got[11] == "www.co.uk"
+    assert got[12] == "www.ichihara.kawasaki.jp"
+    assert got[13] == "city.kawasaki.jp"
 
-    # SQL twin parity over the SAME tables and hosts
-    from gluestick_ts_spark.plans.queries import _url_host_sql_for
+    # SQL twin parity over the SAME tables and hosts (the www-strip
+    # guard must read the same custom tables as the Spark expression)
+    from gluestick_ts_spark.operators.psl import www_strip_host_sql
 
     con = duckdb.connect()
     vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    raw_host = (
+        "lower(regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+    )
     sql = (
         f"WITH urls(i, u) AS (VALUES {vals}), "
-        f"h AS (SELECT i, {_url_host_sql_for('u')} AS hh FROM urls) "
+        f"h AS (SELECT i, {www_strip_host_sql(raw_host, tables)} AS hh FROM urls) "
         f"SELECT i, {registered_domain_sql('hh', tables)} AS d FROM h ORDER BY i"
     )
     oracle = {i: d for i, d in con.execute(sql).fetchall()}
