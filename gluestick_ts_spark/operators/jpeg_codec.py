@@ -20,10 +20,27 @@ builders can replay it literally. NOTE: the pixels may differ from
 libjpeg's by ±1 LSB (different IDCT rounding); perceptual hashes
 compare ±100-scale luma contrasts and tolerate that by construction.
 
+Round 11 closes the two remaining real-crawl gaps:
+
+- **Progressive (SOF2)** decodes FULLY — all four scan kinds of
+  ITU T.81 §G (DC first/refinement, AC first/refinement with EOBRUN
+  and spectral bands), interleaved and non-interleaved, successive
+  approximation, restart markers per scan. Coefficients accumulate
+  across scans in zigzag order and IDCT once at EOI — so progressive
+  crawl JPEGs (a double-digit share of real web images) take the REAL
+  decode path, not the labeled fake. The encoder gains
+  ``progressive=True`` (a 9-scan script exercising every scan kind)
+  so fixtures are honest self-made streams.
+- **EXIF orientation**: the APP1 TIFF tag 0x0112 is parsed (both
+  endiannesses, bounded) and the decoded pixel plane is normalized to
+  upright BEFORE return — so a rotated re-upload (orientation 6/8,
+  ubiquitous from phones) hashes identically to its upright twin.
+  ``jpeg_encode(exif_orientation=...)`` writes the tag for fixtures.
+
 Out of scope (raise ``ValueError``, callers fall back to the labeled
-fake path): progressive (SOF2), arithmetic coding, 12-bit precision,
-4+-sampling factors, hierarchical. The reference has no media code at
-all (scale-extension surface, SURVEY §2.2).
+fake path): arithmetic coding, 12-bit precision, 4+-sampling factors,
+hierarchical, non-interleaved multi-scan BASELINE. The reference has
+no media code at all (scale-extension surface, SURVEY §2.2).
 """
 
 from __future__ import annotations
@@ -190,13 +207,16 @@ _MAX_PIXELS = 1 << 24
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Decode a baseline (SOF0/SOF1) JPEG to ``(width, height,
-    pixels)`` row-major top-down ``(r, g, b)`` tuples — the
-    ``bmp_decode``/``png_decode`` contract, so the shared pixel
-    pipeline (features / resize / luma grids) needs no new shape.
-    Raises ``ValueError`` for non-JPEG/corrupt/truncated payloads and
-    the documented out-of-scope corners (progressive, 12-bit, sampling
-    factors > 2, non-interleaved multi-scan, > ``_MAX_PIXELS``).
+    """Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JPEG to
+    ``(width, height, pixels)`` row-major top-down ``(r, g, b)``
+    tuples — the ``bmp_decode``/``png_decode`` contract, so the shared
+    pixel pipeline (features / resize / luma grids) needs no new
+    shape. EXIF orientation (APP1 tag 0x0112) is applied, so the
+    returned pixels are UPRIGHT (width/height are the post-rotation
+    dims for orientations 5-8). Raises ``ValueError`` for
+    non-JPEG/corrupt/truncated payloads and the documented
+    out-of-scope corners (arithmetic, 12-bit, sampling factors > 2,
+    non-interleaved multi-scan baseline, > ``_MAX_PIXELS``).
     """
     try:
         return _jpeg_decode_impl(payload)
@@ -209,6 +229,261 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError(f"corrupt JPEG payload: {e}") from e
 
 
+def _parse_exif_orientation(tiff: bytes) -> int:
+    """Bounded parse of a TIFF header's IFD0 for the orientation tag
+    (0x0112, SHORT). Returns 1 (upright) for anything malformed —
+    orientation is a hint, never a reason to fail a decode."""
+    try:
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return 1
+        if struct.unpack_from(e + "H", tiff, 2)[0] != 42:
+            return 1
+        (off,) = struct.unpack_from(e + "I", tiff, 4)
+        (cnt,) = struct.unpack_from(e + "H", tiff, off)
+        for i in range(min(cnt, 256)):
+            tag, typ, n = struct.unpack_from(e + "HHI", tiff, off + 2 + 12 * i)
+            if tag == 0x0112 and typ == 3 and n == 1:
+                (val,) = struct.unpack_from(e + "H", tiff, off + 10 + 12 * i)
+                return val if 1 <= val <= 8 else 1
+        return 1
+    except (struct.error, IndexError):
+        return 1
+
+
+def _apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize an (h, w, 3) pixel array to upright per the EXIF
+    orientation tag (the transform a browser applies before display):
+    2 mirror-H, 3 rot180, 4 mirror-V, 5 transpose, 6 rot90 CW,
+    7 transverse, 8 rot90 CCW."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(arr, -1)
+    if orientation == 7:
+        return np.rot90(arr.transpose(1, 0, 2), 2)
+    if orientation == 8:
+        return np.rot90(arr, 1)
+    return arr
+
+
+def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into restart segments,
+    unstuffing FF00; returns ``(segments, end_pos)`` with ``end_pos``
+    at the 0xFF of the terminating marker (or end of payload)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    n = len(payload)
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _comp_blocks(
+    width: int, height: int, hs: int, vs: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """A component's own block grid (bx, by) — the grid non-interleaved
+    progressive scans walk (T.81 A.2.2: ceil of the sampled dims / 8)."""
+    cw = (width * hs + hmax - 1) // hmax
+    ch = (height * vs + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _dec_ac_first(
+    reader: _BitReader, act: dict, blk, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of a progressive AC FIRST scan (T.81 G.1.2.2):
+    (run, size) pairs with EOBRUN block skips, values scaled by 2^Al.
+    ``blk`` is the block's 64-entry zigzag coefficient view; returns
+    the remaining EOBRUN (count of FURTHER blocks to skip)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r_, s_ = rs >> 4, rs & 0xF
+        if s_ == 0:
+            if r_ != 15:
+                eobrun = (1 << r_) - 1
+                if r_:
+                    eobrun += reader.read_bits(r_)
+                break
+            k += 16  # ZRL
+            continue
+        k += r_
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        blk[k] = _extend(reader.read_bits(s_), s_) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine(
+    reader: _BitReader, act: dict, blk, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of a progressive AC REFINEMENT scan (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±2^Al, already-nonzero
+    coefficients read one correction bit each as they are passed over
+    (by runs, ZRL, or the EOB-run tail). Returns the remaining EOBRUN
+    (INCLUSIVE convention: > 0 at entry means this whole block is
+    inside the run and only correction bits are read)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, act)
+            r_, s_ = rs >> 4, rs & 0xF
+            val = 0
+            if s_ == 0:
+                if r_ != 15:
+                    eobrun = 1 << r_
+                    if r_:
+                        eobrun += reader.read_bits(r_)
+                    break  # tail corrections handled below
+                # r_ == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s_ != 1:
+                    raise ValueError("invalid JPEG AC refinement size")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r_ == 0:
+                        break
+                    r_ -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("JPEG progressive AC index overflow")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    payload_segments: list[bytes],
+    sel: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    geom: tuple[int, int, int, int],
+    coefs: list,
+    width: int,
+    height: int,
+) -> None:
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient arrays. Interleaved (multi-component, DC only) scans
+    walk the MCU grid; single-component scans walk that component's
+    own block grid (one block per restart unit)."""
+    hmax, vmax, mcux, mcuy = geom
+    interleaved = len(sel) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if ss != 0 and interleaved:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63 or ah > 13 or al > 13:
+        raise ValueError("invalid progressive scan parameters")
+
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        ci0 = sel[0][0]
+        _, hs0, vs0, _ = comps[ci0]
+        bx0, by0 = _comp_blocks(width, height, hs0, vs0, hmax, vmax)
+        n_units = bx0 * by0
+    per_seg = restart_interval or n_units
+    unit = 0
+    for seg_bytes in payload_segments:
+        if unit >= n_units:
+            break
+        reader = _BitReader(seg_bytes)
+        preds = [0] * len(comps)
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if ss == 0 and interleaved:  # DC scan, MCU walk
+                my, mx = divmod(unit, mcux)
+                for ci, dc_id, _ac in sel:
+                    _, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            y, x = my * vs + by, mx * hs + bx
+                            if ah == 0:
+                                dct = huff_dc.get(dc_id)
+                                if dct is None:
+                                    raise ValueError("JPEG missing Huffman table")
+                                t = _huff_decode(reader, dct)
+                                preds[ci] += _extend(reader.read_bits(t), t)
+                                coefs[ci][y, x, 0] = preds[ci] << al
+                            elif reader.read_bit():
+                                coefs[ci][y, x, 0] |= 1 << al
+            else:  # single-component scan, block walk
+                ci, dc_id, ac_id = sel[0]
+                y, x = divmod(unit, bx0)
+                if ss == 0:
+                    if ah == 0:
+                        dct = huff_dc.get(dc_id)
+                        if dct is None:
+                            raise ValueError("JPEG missing Huffman table")
+                        t = _huff_decode(reader, dct)
+                        preds[ci] += _extend(reader.read_bits(t), t)
+                        coefs[ci][y, x, 0] = preds[ci] << al
+                    elif reader.read_bit():
+                        coefs[ci][y, x, 0] |= 1 << al
+                else:
+                    act = huff_ac.get(ac_id)
+                    if act is None:
+                        raise ValueError("JPEG missing Huffman table")
+                    blk = coefs[ci][y, x]
+                    if ah == 0:
+                        eobrun = _dec_ac_first(
+                            reader, act, blk, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _dec_ac_refine(
+                            reader, act, blk, ss, se, al, eobrun
+                        )
+            unit += 1
+
+
 def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
@@ -218,7 +493,12 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (width, height, [(cid, h, v, tq), ...])
-    scan = None  # ([(comp_idx, dc_id, ac_id), ...], entropy_start)
+    progressive = False
+    orientation = 1
+    planes = None  # baseline: IDCT'd sample planes
+    coefs = None  # progressive: zigzag coefficient accumulators
+    geom = None  # (hmax, vmax, mcux, mcuy)
+    saw_scan = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -229,8 +509,10 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
         if marker == 0xD8:  # stray SOI
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before any scan
-            raise ValueError("JPEG ended before SOS")
+        if marker == 0xD9:  # EOI
+            if not saw_scan:
+                raise ValueError("JPEG ended before SOS")
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (may hold several tables)
@@ -254,7 +536,9 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
                 table = _build_huff(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 o += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":  # APP1 EXIF
+            orientation = _parse_exif_orientation(seg[6:])
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -276,20 +560,24 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
             if w_ * h_ > 4096 * len(payload):
                 raise ValueError("JPEG dimensions exceed payload capacity")
             frame = (w_, h_, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG coding (SOF{marker - 0xC0}: progressive/"
-                "arithmetic/hierarchical)"
+                f"unsupported JPEG coding (SOF{marker - 0xC0}: "
+                "arithmetic/hierarchical/lossless)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            width, height, comps = frame
+            if width <= 0 or height <= 0:
+                raise ValueError("degenerate JPEG dimensions")
             ns = seg[0]
-            comp_ids = [c[0] for c in frame[2]]
-            if ns != len(comp_ids):
+            comp_ids = [c[0] for c in comps]
+            if not progressive and ns != len(comp_ids):
                 # a partial scan would leave the other components'
                 # planes at zero and return color-shifted garbage
                 # WITHOUT an error — refuse instead (fake path)
@@ -299,52 +587,113 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
             sel = []
             for c in range(ns):
                 cs, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                if cs not in comp_ids:
+                    raise ValueError("JPEG scan selects unknown component")
                 sel.append((comp_ids.index(cs), td_ta >> 4, td_ta & 0xF))
-            scan = (sel, pos + 2 + seglen)
-            break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
+            segments, end_pos = _entropy_segments(payload, pos + 2 + seglen)
+            if geom is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                geom = (hmax, vmax, mcux, mcuy)
+            saw_scan = True
+            if progressive:
+                if coefs is None:
+                    # zigzag coefficient accumulators sized to the MCU
+                    # grid (interleaved DC scans cover padding blocks;
+                    # AC scans walk only the comp grid inside it)
+                    coefs = [
+                        np.zeros(
+                            (geom[3] * vs, geom[2] * hs, 64), dtype=np.int64
+                        )
+                        for _, hs, vs, _ in comps
+                    ]
+                _decode_progressive_scan(
+                    segments, sel, ss, se, ah, al, comps, huff_dc, huff_ac,
+                    restart_interval, geom, coefs, width, height,
+                )
+                pos = end_pos
+                continue
+            planes = _decode_baseline_scan(
+                segments, sel, comps, qt, huff_dc, huff_ac,
+                restart_interval, geom,
+            )
+            break  # baseline: one interleaved scan is the whole image
         # APPn / COM / anything else: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     width, height, comps = frame
-    if width <= 0 or height <= 0:
-        raise ValueError("degenerate JPEG dimensions")
-    sel, entropy_start = scan
+    hmax, vmax, mcux, mcuy = geom
 
-    # split the entropy stream into restart segments, unstuffing FF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = entropy_start
-    n = len(payload)
-    while p < n:
-        b = payload[p]
-        if b == 0xFF and p + 1 < n:
-            nxt = payload[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or any other marker ends the scan
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
+    if progressive:
+        # dequantize + IDCT each component's own block grid (padding
+        # blocks beyond it are never read by the upsampler)
+        planes = [
+            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
+            for _, hs, vs, _ in comps
+        ]
+        for ci, (_cid, hs, vs, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(f"JPEG missing quant table {tq}")
+            q = np.asarray(qt[tq], dtype=np.int64)
+            bx_n, by_n = _comp_blocks(width, height, hs, vs, hmax, vmax)
+            plane = planes[ci]
+            for yb in range(by_n):
+                for xb in range(bx_n):
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[_ZIG_IDX] = coefs[ci][yb, xb] * q
+                    plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                        _idct_block(nat)
+                    )
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # per-component sample planes at their own sampled resolution,
-    # padded to whole MCUs
+    # upsample to full resolution (replication) + color convert — all
+    # int64 numpy (exact, same shift-rounding as the scalar rule)
+    if len(comps) == 1:
+        g = planes[0][:height, :width]
+        arr = np.stack([g, g, g], axis=-1)
+    else:
+        ys = np.arange(height)
+        xs = np.arange(width)
+
+        def up(ci: int) -> np.ndarray:
+            _, hs, vs, _ = comps[ci]
+            return planes[ci][np.ix_((ys * vs) // vmax, (xs * hs) // hmax)]
+
+        Y, cb, cr = up(0), up(1) - 128, up(2) - 128
+        # fixed-point JFIF inverse at 2^16 (integer, one rounding)
+        r = np.clip(Y + ((91881 * cr + 32768) >> 16), 0, 255)
+        g = np.clip(Y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
+        b = np.clip(Y + ((116130 * cb + 32768) >> 16), 0, 255)
+        arr = np.stack([r, g, b], axis=-1)
+    arr = _apply_orientation(arr, orientation)
+    oh, ow = arr.shape[0], arr.shape[1]
+    flat = arr.reshape(oh * ow, 3).tolist()
+    return ow, oh, [tuple(p) for p in flat]
+
+
+def _decode_baseline_scan(
+    segments: list[bytes],
+    sel: list[tuple[int, int, int]],
+    comps: list,
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    geom: tuple[int, int, int, int],
+) -> list[np.ndarray]:
+    """Decode the single interleaved baseline scan: per-block Huffman →
+    dequantize → IDCT straight into padded sample planes (bit-identical
+    to the round-10 inline loop — the pinned fixture digests prove it)."""
+    hmax, vmax, mcux, mcuy = geom
     planes = [
         np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int64)
         for _, hs, vs, _ in comps
     ]
-
     n_mcus = mcux * mcuy
     per_seg = restart_interval or n_mcus
     mcu = 0
@@ -392,28 +741,7 @@ def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, list[tuple[int, int, in
                         oy = (my * vs + by) * 8
                         plane[oy : oy + 8, ox : ox + 8] = _idct_block(coef)
             mcu += 1
-
-    # upsample to full resolution (replication) + color convert — all
-    # int64 numpy (exact, same shift-rounding as the scalar rule)
-    if len(comps) == 1:
-        g = planes[0][:height, :width].ravel().tolist()
-        return width, height, list(zip(g, g, g))
-
-    ys = np.arange(height)
-    xs = np.arange(width)
-
-    def up(ci: int) -> np.ndarray:
-        _, hs, vs, _ = comps[ci]
-        return planes[ci][np.ix_((ys * vs) // vmax, (xs * hs) // hmax)]
-
-    Y, cb, cr = up(0), up(1) - 128, up(2) - 128
-    # fixed-point JFIF inverse at 2^16 (integer, one rounding)
-    r = np.clip(Y + ((91881 * cr + 32768) >> 16), 0, 255)
-    g = np.clip(Y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)
-    b = np.clip(Y + ((116130 * cb + 32768) >> 16), 0, 255)
-    return width, height, list(
-        zip(r.ravel().tolist(), g.ravel().tolist(), b.ravel().tolist())
-    )
+    return planes
 
 
 # -- encoder -------------------------------------------------------------------
@@ -493,18 +821,25 @@ def _quant_tables(quant_scale: int) -> tuple[list[int], list[int]]:
 _ZIG_IDX = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
 
 
-def _encode_block(
-    w: _BitWriter, coef: np.ndarray, q: np.ndarray, pred: int
-) -> int:
-    """Quantize (symmetric round — numpy int64, exact), zigzag,
-    entropy-code one block; returns the new DC predictor."""
+def _quantize_zz(coef: np.ndarray, q: np.ndarray) -> list[int]:
+    """Quantize (symmetric round — numpy int64, exact) + zigzag one
+    block of natural-order DCT coefficients; AC clipped to the spec's
+    10-bit magnitude bound."""
     c = coef.ravel()
     v = (np.abs(c) + q // 2) // q
     v = np.where(c < 0, -v, v)
     zz = v[_ZIG_IDX]
     # AC size <= 10 (spec bound); DC (index 0) is range-safe by math
     zz[1:] = np.clip(zz[1:], -1023, 1023)
-    zz = zz.tolist()
+    return zz.tolist()
+
+
+def _encode_block(
+    w: _BitWriter, coef: np.ndarray, q: np.ndarray, pred: int
+) -> int:
+    """Quantize, zigzag, entropy-code one baseline block; returns the
+    new DC predictor."""
+    zz = _quantize_zz(coef, q)
     diff = zz[0] - pred
     s = _size_cat(diff)
     code, length = _ENC_DC[s]
@@ -541,6 +876,8 @@ def jpeg_encode(
     grayscale: bool = False,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """Encode row-major top-down ``(r, g, b)`` pixels as a valid
     baseline JPEG — YCbCr 4:4:4 or 4:2:0 (``subsampling``), or
@@ -553,13 +890,27 @@ def jpeg_encode(
     Deterministic (same fixed-point DCT/rounding as the decoder), so
     synth fixtures built from it are literal-embeddable. Round-trip
     error vs the original pixels is bounded by the quantization (~±3
-    per channel at the default, plus chroma averaging under 4:2:0)."""
+    per channel at the default, plus chroma averaging under 4:2:0).
+
+    ``progressive=True`` (round 11) writes a SOF2 PROGRESSIVE stream
+    whose 9-scan script (5 for grayscale) exercises every T.81 §G scan
+    kind — interleaved DC first at Al=1, spectral-band AC first scans
+    at Al=1 (with EOBRUN), interleaved DC refinement, and AC
+    refinement to Al=0 — so the decoder's progressive paths are
+    covered by honest self-made fixtures. The quantized coefficients
+    are IDENTICAL to the baseline encode of the same pixels (same
+    DCT/tables), so a progressive stream decodes to the exact pixels
+    of its baseline twin. ``exif_orientation`` writes an APP1 EXIF
+    header carrying tag 0x0112 (fixtures for the rotated-duplicate
+    normalization)."""
     if width <= 0 or height <= 0:
         raise ValueError("degenerate image dimensions")
     if len(pixels) != width * height:
         raise ValueError("pixel count does not match dimensions")
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if exif_orientation is not None and not 1 <= exif_orientation <= 8:
+        raise ValueError(f"exif_orientation must be in [1, 8], got {exif_orientation}")
     lum_q, chr_q = _quant_tables(quant_scale)
 
     # color convert (fixed-point JFIF forward, int64 numpy — exact,
@@ -611,6 +962,17 @@ def jpeg_encode(
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if exif_orientation is not None:
+        # minimal APP1 EXIF: little-endian TIFF, one IFD0 entry (the
+        # orientation SHORT), no next IFD
+        tiff = (
+            b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHIHH", 0x0112, 3, 1, exif_orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        body = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(body)) + body
     # DQT
     out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([0x00]) + bytes(
         lum_q[_ZIGZAG[k][0] * 8 + _ZIGZAG[k][1]] for k in range(64)
@@ -619,11 +981,13 @@ def jpeg_encode(
         out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([0x01]) + bytes(
             chr_q[_ZIGZAG[k][0] * 8 + _ZIGZAG[k][1]] for k in range(64)
         )
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for c, (_, _, _, hs, vs) in enumerate(comps):
         sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     # DHT x (2 or 4)
     def dht(tc: int, th: int, bits: list[int], values: bytes) -> bytes:
         body = bytes([(tc << 4) | th]) + bytes(bits) + values
@@ -636,23 +1000,32 @@ def jpeg_encode(
         out += dht(1, 1, _ENC_AC_BITS, _ENC_AC_VALUES)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     hmax = max(c[3] for c in comps)
     vmax = max(c[4] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     n_mcus = mcux * mcuy
+    lum_qa = np.asarray(lum_q, dtype=np.int64)
+    chr_qa = np.asarray(chr_q, dtype=np.int64)
+
+    if progressive:
+        out += _encode_progressive_scans(
+            comps, lum_qa, chr_qa, mcux, mcuy, restart_interval
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS (baseline: one interleaved scan)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
     w = _BitWriter()
     preds = [0] * ncomp
     rst = 0
-    lum_qa = np.asarray(lum_q, dtype=np.int64)
-    chr_qa = np.asarray(chr_q, dtype=np.int64)
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             w.flush()
@@ -680,4 +1053,208 @@ def jpeg_encode(
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _enc_ac_first_block(
+    w: _BitWriter, blk: list[int], ss: int, se: int, al: int
+) -> None:
+    """Encode one block of a progressive AC FIRST scan: (run, size)
+    over the 2^Al-magnitude-shifted band, EOB forced per block (an
+    encoder may legally end the EOB run at every block)."""
+    r_ = 0
+    for k in range(ss, se + 1):
+        v = blk[k]
+        a = (-v if v < 0 else v) >> al
+        if a == 0:
+            r_ += 1
+            continue
+        while r_ >= 16:
+            code, length = _ENC_AC[0xF0]
+            w.write(code, length)
+            r_ -= 16
+        s = _size_cat(a)
+        code, length = _ENC_AC[(r_ << 4) | s]
+        w.write(code, length)
+        sv = a if v > 0 else -a
+        amp = sv if sv > 0 else sv + (1 << s) - 1
+        w.write(amp, s)
+        r_ = 0
+    if r_:
+        code, length = _ENC_AC[0x00]  # EOB (EOBRUN = 1)
+        w.write(code, length)
+
+
+def _enc_ac_refine_block(
+    w: _BitWriter, blk: list[int], ss: int, se: int, al: int
+) -> None:
+    """Encode one block of a progressive AC REFINEMENT scan (the
+    libjpeg encode_mcu_AC_refine logic, EOB forced per block):
+    newly-significant coefficients (shifted magnitude exactly 1) emit
+    (run, 1) + a sign bit; already-nonzero coefficients buffer one
+    correction bit each, flushed after the next emitted symbol."""
+    absv = [(-blk[k] if blk[k] < 0 else blk[k]) >> al for k in range(ss, se + 1)]
+    # eobk = last newly-significant position; zero runs beyond it fold
+    # into the final EOB instead of ZRLs (the libjpeg k <= EOB guard)
+    eobk = ss - 1
+    for i, k in enumerate(range(ss, se + 1)):
+        if absv[i] == 1:
+            eobk = k
+    r_ = 0
+    pending: list[int] = []
+    for i, k in enumerate(range(ss, se + 1)):
+        a = absv[i]
+        if a == 0:
+            r_ += 1
+            continue
+        # the ZRL flush runs at EVERY nonzero position (libjpeg's
+        # ordering) so buffered correction bits stay positionally
+        # aligned with the zero runs the decoder walks
+        while r_ > 15 and k <= eobk:
+            code, length = _ENC_AC[0xF0]
+            w.write(code, length)
+            r_ -= 16
+            for bit in pending:
+                w.write(bit, 1)
+            pending = []
+        if a > 1:  # already nonzero in earlier scans: correction bit
+            pending.append(a & 1)
+            continue
+        # newly significant at this Al
+        code, length = _ENC_AC[(r_ << 4) | 1]
+        w.write(code, length)
+        w.write(0 if blk[k] < 0 else 1, 1)
+        for bit in pending:
+            w.write(bit, 1)
+        pending = []
+        r_ = 0
+    if r_ > 0 or pending:
+        code, length = _ENC_AC[0x00]  # EOB — run of 1 block (this one)
+        w.write(code, length)
+        for bit in pending:
+            w.write(bit, 1)
+
+
+def _encode_progressive_scans(
+    comps: list,
+    lum_qa: np.ndarray,
+    chr_qa: np.ndarray,
+    mcux: int,
+    mcuy: int,
+    restart_interval: int,
+) -> bytes:
+    """Emit the progressive scan script: quantize every block once
+    (MCU grid, edge-replicated padding — identical coefficients to the
+    baseline encode), then write 9 scans (5 for grayscale): interleaved
+    DC first (Al=1), per-component spectral-band AC first scans (Al=1),
+    interleaved DC refinement, per-component AC refinement to Al=0.
+    Restart markers (if configured) apply per scan — every
+    ``restart_interval`` MCUs interleaved, blocks non-interleaved."""
+    ncomp = len(comps)
+
+    # quantize all blocks into per-comp zigzag arrays over the MCU grid
+    qblk: list[list[list[list[int]]]] = []
+    for ci, (plane, cw_, ch_, hs, vs) in enumerate(comps):
+        q = lum_qa if ci == 0 else chr_qa
+        rows = []
+        for yb in range(mcuy * vs):
+            row = []
+            oy = yb * 8
+            for xb in range(mcux * hs):
+                ox = xb * 8
+                samples = plane[
+                    np.ix_(
+                        np.minimum(np.arange(oy, oy + 8), ch_ - 1),
+                        np.minimum(np.arange(ox, ox + 8), cw_ - 1),
+                    )
+                ]
+                row.append(_quantize_zz(_fdct_block(samples), q))
+            rows.append(row)
+        qblk.append(rows)
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        _, cw_, ch_, _, _ = comps[ci]
+        return (cw_ + 7) // 8, (ch_ + 7) // 8
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cidx, td, ta in scan_comps:
+            body += bytes([cidx + 1, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    out = bytearray()
+    n_mcus = mcux * mcuy
+
+    def run_units(n_units: int, encode_unit, fresh_state) -> bytes:
+        """Per-scan entropy emission with restart-marker resync."""
+        w = _BitWriter()
+        rst = 0
+        state = fresh_state()
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                state = fresh_state()
+            encode_unit(w, u, state)
+        w.flush()
+        return bytes(w.out)
+
+    def dc_first_unit(w: _BitWriter, mcu: int, preds: list[int]) -> None:
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            _, _, _, hs, vs = comps[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    v = qblk[ci][my * vs + by][mx * hs + bx][0] >> 1  # Al=1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _size_cat(diff)
+                    code, length = _ENC_DC[s]
+                    w.write(code, length)
+                    if s:
+                        amp = diff if diff > 0 else diff + (1 << s) - 1
+                        w.write(amp, s)
+
+    def dc_refine_unit(w: _BitWriter, mcu: int, _state) -> None:
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            _, _, _, hs, vs = comps[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    w.write(qblk[ci][my * vs + by][mx * hs + bx][0] & 1, 1)
+
+    def ac_unit(ci: int, ss, se, al, refine: bool):
+        bxc, _ = comp_grid(ci)
+
+        def f(w: _BitWriter, unit: int, _state) -> None:
+            y, x = divmod(unit, bxc)
+            blk = qblk[ci][y][x]
+            if refine:
+                _enc_ac_refine_block(w, blk, ss, se, al)
+            else:
+                _enc_ac_first_block(w, blk, ss, se, al)
+
+        return f
+
+    dc_comps = [(ci, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(dc_comps, 0, 0, 0, 1)
+    out += run_units(n_mcus, dc_first_unit, lambda: [0] * ncomp)
+    # spectral-band AC first scans at Al=1
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss_, se_ in bands:
+        bxc, byc = comp_grid(ci)
+        out += sos([(ci, 0, 0 if ci == 0 else 1)], ss_, se_, 0, 1)
+        out += run_units(bxc * byc, ac_unit(ci, ss_, se_, 1, False), lambda: None)
+    # DC refinement (no Huffman, one raw bit per block)
+    out += sos(dc_comps, 0, 0, 1, 0)
+    out += run_units(n_mcus, dc_refine_unit, lambda: None)
+    # AC refinement to Al=0
+    for ci in range(ncomp):
+        bxc, byc = comp_grid(ci)
+        out += sos([(ci, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0)
+        out += run_units(bxc * byc, ac_unit(ci, 1, 63, 0, True), lambda: None)
     return bytes(out)

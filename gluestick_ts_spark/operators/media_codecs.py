@@ -14,7 +14,12 @@ still parse honestly:
 - **JPEG** (round 10, ``jpeg_codec.py``): from-scratch baseline
   decoder (arbitrary DQT/DHT, 4:4:4/4:2:2/4:2:0, restart markers,
   fixed-point integer IDCT — platform-exact) + a deterministic
-  encoder; progressive/arithmetic raise and fall to the fake path.
+  encoder. Round 11: PROGRESSIVE (SOF2) decodes fully (all four T.81
+  §G scan kinds, EOBRUN, spectral bands, successive approximation)
+  and EXIF orientation normalizes the pixels upright — so progressive
+  crawl images and rotated phone re-uploads take the real decode path
+  and hash with their twins; only arithmetic/12-bit/hierarchical
+  still fall to the labeled fake.
 - **GIF** (round 10, ``gif_codec.py``): full LZW decoder (87a/89a,
   local/global palettes, interlace, frame composition; first frame
   only — documented) + a lossless <=256-color fixture encoder.

@@ -2750,14 +2750,15 @@ def _ann_ivfstore_leg(e, q, approx, cents):
 
 def _mm_synth_payload(i: int) -> bytes:
     """Deterministic media payload for doc_id ``i``: BMP (i%4==0) /
-    WAV (i%4==1) / PNG (i%4==2) / baseline JPEG (i%4==3 — round 10,
-    the dominant web format; 4:2:0 with restart markers every other
-    doc so the decoder's real-crawl paths are exercised, not just the
-    4:4:4 happy path), with every 20th doc (i%20==10, inside the PNG
-    quarter) a GIF (round 10 — LZW palette decode rides the driver
-    query). Pure function of ``i`` — shared by the Spark-side
-    mapInPandas synth AND the driver-side oracle expected-row builder,
-    so the two can never drift."""
+    WAV (i%4==1) / PNG (i%4==2) / JPEG (i%4==3 — round 10, the
+    dominant web format; 4:2:0 with restart markers every other doc so
+    the decoder's real-crawl paths are exercised, not just the 4:4:4
+    happy path; round 11: every third JPEG slot is PROGRESSIVE SOF2
+    and every fourth carries an EXIF orientation tag), with every 20th
+    doc (i%20==10, inside the PNG quarter) a GIF (round 10 — LZW
+    palette decode rides the driver query). Pure function of ``i`` —
+    shared by the Spark-side mapInPandas synth AND the driver-side
+    oracle expected-row builder, so the two can never drift."""
     import io
     import math
     import struct as _struct
@@ -2797,10 +2798,16 @@ def _mm_synth_payload(i: int) -> bytes:
             for y in range(8)
             for x in range(8)
         ]
+        # round 11: every third JPEG slot is PROGRESSIVE (SOF2 — the
+        # real-crawl double-digit share) and every fourth carries an
+        # EXIF orientation tag, so the progressive scan kinds and the
+        # orientation normalization ride the driver oracle
         return jpeg_encode(
             8, 8, px,
             subsampling="420" if i % 8 == 3 else "444",
             restart_interval=1 if i % 8 == 7 else 0,
+            progressive=i % 12 == 11,
+            exif_orientation=6 if i % 16 == 15 else None,
         )
     rate, n = 8000, 200 + (i % 10) * 40
     freq = 200.0 + (i % 40) * 10.0
@@ -2873,7 +2880,11 @@ def _phash_synth_payload(i: int) -> bytes:
         (vals[y // 2][x // 2],) * 3 for y in range(16) for x in range(16)
     ]
     if c == 1:
-        return jpeg_encode(16, 16, px)
+        # round 11: odd groups' cross-codec twin ships PROGRESSIVE —
+        # decode(progressive) == decode(baseline) bit-exactly (pinned),
+        # so the measured hamming spans are unchanged while the SOF2
+        # scan paths ride the driver oracle
+        return jpeg_encode(16, 16, px, progressive=g % 2 == 1)
     if c == 2:
         # round 10: the two-cell-flip copy ships as a GIF — LOSSLESS,
         # so its hashes (and the measured 0..4 hamming) are unchanged
@@ -2887,8 +2898,9 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     (registry-folding pattern).
 
     ``feat``: deterministic BMP (doc_id % 4 == 0) / WAV (% 4 == 1) /
-    PNG (% 4 == 2) / baseline JPEG (% 4 == 3, round 10 — incl. 4:2:0
-    and restart-marker variants) payloads are synthesized per row
+    PNG (% 4 == 2) / JPEG (% 4 == 3, round 10 — incl. 4:2:0 and
+    restart-marker variants; round 11 — progressive SOF2 and
+    EXIF-orientation slots) payloads are synthesized per row
     inside an Arrow batch, then probed (real width/height/duration
     from the bytes), feature-extracted (real pixel/sample statistics
     via the stdlib BMP/WAV/zlib-PNG/from-scratch-JPEG decoders in
@@ -2899,7 +2911,9 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
     planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
-    twins, round 10) — dHash then pigeonhole-banded Hamming join at
+    twins, round 10; round 11 — odd groups' JPEG twin is progressive,
+    decode-identical to baseline) — dHash then pigeonhole-banded
+    Hamming join at
     max_hamming=6 (recall-1.0 blocking, so the banded output EQUALS
     the quadratic definition the oracle brute-forces).
 

@@ -252,6 +252,56 @@ def test_media_dedup_and_incremental(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in j.collect()] == [(7, 7, 0)]
 
 
+def test_exif_rotated_pair_lands_in_one_dedup_cluster(spark):
+    """Round 11: a rotated phone re-upload (EXIF orientation 6) must
+    land in the SAME media_dedup cluster as its upright original — the
+    decoder normalizes orientation before the luma grid, so the dHash
+    compares upright pixels on both. A genuinely different image stays
+    its own cluster (negative control)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from gluestick_ts_spark.operators.imagehash import media_dedup, media_hashes
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    # 16x16, 2x2 cells of 4-level luma with horizontally-adjacent cells
+    # >= 75 apart (the tie-free dhash pattern from the phash fixtures)
+    levels = [20, 95, 170, 245]
+    vals = []
+    for y in range(8):
+        prev = None
+        row = []
+        for x in range(8):
+            ch = int(_hl.md5(f"rot:{y}:{x}".encode()).hexdigest(), 16) % 4
+            if prev is not None and abs(levels[ch] - levels[prev]) < 75:
+                ch = (ch + 2) % 4
+            row.append(ch)
+            prev = ch
+        vals.append(row)
+    px = [
+        (levels[vals[y // 2][x // 2]],) * 3
+        for y in range(16)
+        for x in range(16)
+    ]
+    upright = jpeg_encode(16, 16, px)
+    arr = np.array(jpeg_decode(upright)[2], dtype=np.int64).reshape(16, 16, 3)
+    stored = np.ascontiguousarray(np.rot90(arr, 1))  # camera wrote it rotated
+    rotated = jpeg_encode(
+        16, 16, [tuple(p) for p in stored.reshape(256, 3).tolist()],
+        exif_orientation=6,
+    )
+    other = jpeg_encode(
+        16, 16, [((x * 93 + y * 57) % 256,) * 3 for y in range(16) for x in range(16)]
+    )
+    df = spark.createDataFrame(
+        [(1, upright), (2, rotated), (3, other)], "doc_id long, content binary"
+    )
+    hashed = media_hashes(df).select("doc_id", "dhash")
+    survivors = {r.doc_id for r in media_dedup(hashed, max_hamming=6).collect()}
+    assert survivors == {1, 3}, survivors  # 2 collapsed into 1; 3 distinct
+
+
 def test_hamming_pairs_plan_shape(spark):
     """Scale gate: candidates come from a (block, value) equi-join —
     no cartesian product; the only Python stage is the decode UDF."""

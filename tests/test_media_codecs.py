@@ -437,11 +437,13 @@ def test_jpeg_features_resize_and_errors():
         jpeg_decode(b"\xff\xd8\xff\xe0 truncated")
     with pytest.raises(ValueError):
         jpeg_decode(bmp_encode(2, 2, [(0, 0, 0)] * 4))
-    # progressive (SOF2) is out of scope and must say so
+    # a BASELINE stream whose SOF marker is forged to SOF2 is a corrupt
+    # progressive file (its interleaved Ss=0..Se=63 scan is illegal in
+    # progressive mode) — refuse, never return garbage
     prog = bytearray(jpeg_encode(16, 16, _grad16()))
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive|arithmetic"):
+    with pytest.raises(ValueError, match="progressive"):
         jpeg_decode(bytes(prog))
     # round-10 review fixes: truncated-inside-a-segment payloads raise
     # ValueError (not struct.error), forged huge headers refuse before
@@ -462,6 +464,117 @@ def test_jpeg_features_resize_and_errors():
     multi[sos + 4] = 1
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg_decode(bytes(multi[: sos + 2 + 8]) + b"\x00\x3f\x00")
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Round 11: a progressive (SOF2) stream decodes to EXACTLY the
+    pixels of its baseline twin — the encoder quantizes once and the
+    scan script (DC first/refine at Al=1->0, spectral-band AC first
+    scans with EOBRUN, AC refinement) transmits the same coefficients.
+    Pinned digests: progressive streams are platform-exact pure
+    functions too, and their decode digests EQUAL the baseline decode
+    pins, so any progressive-path drift fails loudly here."""
+    import hashlib
+
+    import pytest
+
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    px = _grad16()
+    prog = jpeg_encode(16, 16, px, progressive=True)
+    assert hashlib.md5(prog).hexdigest() == "1fb6cfa61eaf52d6242fdefe220ba810"
+    w, h, dec = jpeg_decode(prog)
+    assert (w, h) == (16, 16)
+    flat = bytes(v for p in dec for v in p)
+    # == test_jpeg_decode_pinned_fixture's BASELINE decode digest
+    assert hashlib.md5(flat).hexdigest() == "1b910e6ccb0959f9e53812b46ae75891"
+    assert dec == jpeg_decode(jpeg_encode(16, 16, px))[2]
+
+    # subsampling + restart markers ride the progressive scans too
+    prog420 = jpeg_encode(
+        16, 16, px, subsampling="420", restart_interval=1, progressive=True
+    )
+    assert hashlib.md5(prog420).hexdigest() == "c1c150405185a4a453459eecdbabfed9"
+    flat2 = bytes(v for p in jpeg_decode(prog420)[2] for v in p)
+    assert hashlib.md5(flat2).hexdigest() == "30df79741fc4b34dda46d994cbca34b8"
+
+    # grayscale + odd dims (edge-replicated padding blocks, 5-scan script)
+    podd = [((x * 37) % 256, (x * 37) % 256, (x * 37) % 256)
+            for _y in range(13) for x in range(17)]
+    for gray in (False, True):
+        pb = jpeg_decode(jpeg_encode(17, 13, podd, grayscale=gray))
+        pp = jpeg_decode(jpeg_encode(17, 13, podd, grayscale=gray, progressive=True))
+        assert pb == pp
+
+    # truncated-anywhere progressive payloads honor the ValueError-only
+    # contract (never a task-killing raw exception)
+    for cut in (len(prog) // 4, len(prog) // 2, len(prog) - 3):
+        with pytest.raises(ValueError):
+            jpeg_decode(prog[:cut] + b"\xff\xd9")
+
+
+def test_jpeg_exif_orientation_normalizes_upright():
+    """Round 11: the decoded pixel plane is normalized by the EXIF
+    orientation tag — all 8 orientations of the same source decode to
+    upright dims with only lossy-bound error vs the upright twin (a
+    rotated phone re-upload must hash WITH its original, not apart).
+    Malformed EXIF bodies are ignored (orientation is a hint)."""
+    import numpy as np
+
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    w, h = 12, 8
+    px = [((x * 31) % 256, (y * 41) % 256, (x + y * 3) % 256)
+          for y in range(h) for x in range(w)]
+    arr = np.array(
+        jpeg_decode(jpeg_encode(w, h, px))[2], dtype=np.int64
+    ).reshape(h, w, 3)
+    # stored = the inverse transform of each orientation (what a camera
+    # writes), so the decoder's normalization must return the upright
+    inv = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1, :],
+        5: lambda a: a.transpose(1, 0, 2),
+        6: lambda a: np.rot90(a, 1),
+        7: lambda a: np.rot90(a.transpose(1, 0, 2), 2),
+        8: lambda a: np.rot90(a, -1),
+    }
+    for o, f in inv.items():
+        stored = np.ascontiguousarray(f(arr))
+        sh, sw = stored.shape[0], stored.shape[1]
+        pay = jpeg_encode(
+            sw, sh,
+            [tuple(p) for p in stored.reshape(sh * sw, 3).tolist()],
+            exif_orientation=o,
+        )
+        dw, dh, dec = jpeg_decode(pay)
+        assert (dw, dh) == (w, h), (o, dw, dh)
+        err = np.abs(
+            np.array(dec, dtype=np.int64).reshape(dh, dw, 3) - arr
+        ).max()
+        assert err <= 10, (o, err)  # double-quantization lossy bound
+
+    # progressive + EXIF compose
+    stored = np.ascontiguousarray(np.rot90(arr, 1))
+    sh, sw = stored.shape[0], stored.shape[1]
+    pay = jpeg_encode(
+        sw, sh,
+        [tuple(p) for p in stored.reshape(sh * sw, 3).tolist()],
+        exif_orientation=6, progressive=True,
+    )
+    dw, dh, dec = jpeg_decode(pay)
+    assert (dw, dh) == (w, h)
+    err = np.abs(np.array(dec, dtype=np.int64).reshape(dh, dw, 3) - arr).max()
+    assert err <= 10, err
+
+    # malformed EXIF bodies are ignored, not fatal
+    base = bytearray(jpeg_encode(w, h, px, exif_orientation=3))
+    app1 = base.find(b"\xff\xe1")
+    base[app1 + 10 : app1 + 14] = b"\xff\xff\xff\xff"  # corrupt IFD offset
+    dw, dh, _ = jpeg_decode(bytes(base))
+    assert (dw, dh) == (w, h)
 
 
 # -- GIF (round 10) -----------------------------------------------------------
