@@ -196,7 +196,9 @@ def decode_features_with_provenance(
         if fmt == "wav":
             return wav_features(payload, n_features), "wav"
     except ValueError:
-        pass  # sniffed but undecodable (truncated/progressive) -> fake
+        # sniffed but undecodable (truncated/arithmetic/hierarchical;
+        # progressive decodes for real since round 11) -> labeled fake
+        pass
     return fake_decode_features(payload, n_features), "fake"
 
 

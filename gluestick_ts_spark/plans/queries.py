@@ -5258,11 +5258,15 @@ ORACLES: dict[str, str] = {
         + " AS norm, "
         + _psl_registered_domain_sql("h")
         + " AS dom FROM uhost), "
+        # NULL/'' domains are identity-less and always keep — the same
+        # exemption domain_cap_flag applies (weburl.py); latent for the
+        # all-well-formed synth URLs but the rule must not diverge
         "uflag AS (SELECT doc_id, dom AS domain, "
         "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
         "AS url_keep, "
+        "(dom IS NULL OR dom = '' OR "
         "row_number() OVER (PARTITION BY dom ORDER BY "
-        "md5('1:' || CAST(doc_id AS VARCHAR))) <= 25 AS domain_keep "
+        "md5('1:' || CAST(doc_id AS VARCHAR))) <= 25) AS domain_keep "
         "FROM unorm), "
         # license stage: planted footers from the SAME _LIC_FOOTERS
         # table, screen regexes GENERATED from the same pattern tables
@@ -5273,14 +5277,13 @@ ORACLES: dict[str, str] = {
         )
         + " ELSE '' END AS lt FROM documents), "
         "licf AS (SELECT doc_id, "
-        + license_flags_sql("lt")["has_copyright"]
-        + " AS has_copyright, "
-        + license_flags_sql("lt")["rights_reserved"]
-        + " AS rights_reserved, "
-        + license_flags_sql("lt")["license_name"]
-        + " AS license_name, "
-        + license_flags_sql("lt")["license_ok"]
-        + " AS license_ok FROM licb), "
+        + (lambda lf: (
+            lf["has_copyright"] + " AS has_copyright, "
+            + lf["rights_reserved"] + " AS rights_reserved, "
+            + lf["license_name"] + " AS license_name, "
+            + lf["license_ok"] + " AS license_ok"
+        ))(license_flags_sql("lt"))
+        + " FROM licb), "
         "tok AS (SELECT doc_id, "
         f"{_TOKS} AS toks FROM documents), "
         "toks AS (SELECT doc_id, t AS tk FROM ("
