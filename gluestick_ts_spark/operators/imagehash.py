@@ -32,7 +32,9 @@ the hashes of affected payloads, so durable hash stores built before
 such a change silently stop matching re-arrivals of the same bytes.
 When a codec fix lands, rebuild the media-hash stores (rehash from
 payloads) or accept the documented recall loss on the affected
-format. A solid-color corpus degenerates to one band
+format. Round 11 is such a version: progressive JPEGs now decode for
+real (previously fake-path hashes) and EXIF-rotated JPEGs hash
+upright — stores holding hashes of either class need a rebuild. A solid-color corpus degenerates to one band
 bucket — the same hot-value caveat ``simhash_pairs`` documents; the
 join (not a bucket groupBy) keeps it inside AQE's skew-split reach.
 """

@@ -822,6 +822,7 @@ def stream_curation_filter(
     logprob_min: float | None = None,
     checkpoint_dir: str | None = None,
     num_buckets: int = 256,
+    license_screen: bool = False,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -833,6 +834,14 @@ def stream_curation_filter(
     'quality' | 'logprob' | NULL), so the drop-rate monitor and the
     survivor sink read one frame; fingerprints of kept rows are then
     appended to the store.
+
+    ``license_screen=True`` (round 11) adds the batch pipeline's
+    license/copyright stage at the same priority (after 'duplicate',
+    before 'gopher'): the output gains ``has_copyright`` /
+    ``rights_reserved`` / ``license_name`` / ``license_ok`` columns
+    and a 'license' drop reason (drop rights-reserved marks and
+    copyright notices with no recognized license family). Map-only
+    in-row regex — no new state, no new shuffle.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -859,6 +868,7 @@ def stream_curation_filter(
     from ..functions.text import (
         fingerprint_expr,
         gopher_quality_flags,
+        license_flags_expr,
         quality_score_expr,
     )
     from ..operators.dedup import (
@@ -904,6 +914,23 @@ def stream_curation_filter(
             )
         else:
             lp_ok = F.lit(True)
+        lic_cols = []
+        if license_screen:
+            _lic = license_flags_expr(text_col)
+            lic_cols = [
+                _lic.getField("has_copyright").alias("has_copyright"),
+                _lic.getField("rights_reserved").alias("rights_reserved"),
+                _lic.getField("license_name").alias("license_name"),
+                (
+                    ~(
+                        _lic.getField("rights_reserved")
+                        | (
+                            _lic.getField("has_copyright")
+                            & _lic.getField("license_name").isNull()
+                        )
+                    )
+                ).alias("license_ok"),
+            ]
         enriched = batch_df.select(
             F.col(id_col),
             F.col(text_col),
@@ -913,6 +940,7 @@ def stream_curation_filter(
                 "quality_ok"
             ),
             lp_ok.alias("lp_ok"),
+            *lic_cols,
         )
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         first_in_batch = F.row_number().over(w) == 1
@@ -931,15 +959,19 @@ def stream_curation_filter(
                 F.col("__first") & F.col("__in_store").isNull(),
             )
         )
+        lic_gate = F.col("license_ok") if license_screen else F.lit(True)
         keep = (
             F.col("dup_ok")
+            & lic_gate
             & F.col("gopher_ok")
             & F.col("quality_ok")
             & F.col("lp_ok")
         )
+        reason = F.when(~F.col("dup_ok"), "duplicate")
+        if license_screen:
+            reason = reason.when(~F.col("license_ok"), "license")
         reason = (
-            F.when(~F.col("dup_ok"), "duplicate")
-            .when(~F.col("gopher_ok"), "gopher")
+            reason.when(~F.col("gopher_ok"), "gopher")
             .when(~F.col("quality_ok"), "quality")
             .when(~F.col("lp_ok"), "logprob")
         )
@@ -947,6 +979,11 @@ def stream_curation_filter(
             id_col,
             text_col,
             "dup_ok",
+            *(
+                ["has_copyright", "rights_reserved", "license_name", "license_ok"]
+                if license_screen
+                else []
+            ),
             "gopher_ok",
             "quality_ok",
             "lp_ok",

@@ -513,6 +513,50 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
             jpeg_decode(prog[:cut] + b"\xff\xd9")
 
 
+def test_jpeg_progressive_corruption_never_escapes_valueerror():
+    """The Arrow-boundary safety contract on the NEW progressive paths:
+    a seeded battery of single-byte corruptions over a valid
+    progressive stream must either still decode or raise ValueError —
+    never a raw struct/Index/numpy error that would kill a whole Spark
+    task on one corrupt crawl payload."""
+    import random
+
+    import pytest
+
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode, jpeg_encode
+
+    prog = jpeg_encode(
+        16, 16, _grad16(), subsampling="420", restart_interval=1,
+        progressive=True, exif_orientation=6,
+    )
+    rng = random.Random(11)
+    outcomes = {"ok": 0, "valueerror": 0}
+    for _ in range(300):
+        b = bytearray(prog)
+        i = rng.randrange(2, len(b))  # keep the SOI magic intact
+        b[i] ^= 1 << rng.randrange(8)
+        try:
+            jpeg_decode(bytes(b))
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["valueerror"] += 1
+        # anything else propagates and fails the test
+    assert outcomes["ok"] + outcomes["valueerror"] == 300
+    # truncations at every 37th byte: same ok-or-ValueError contract.
+    # (A progressive stream truncated between scans legitimately
+    # decodes from the scans already received — the format's defining
+    # feature; header/mid-segment truncations raise.)
+    raised = 0
+    for cut in range(4, len(prog), 37):
+        try:
+            jpeg_decode(prog[:cut])
+        except ValueError:
+            raised += 1
+    assert raised > 0  # header-region cuts must refuse
+    with pytest.raises(ValueError):
+        jpeg_decode(prog[:16])  # inside the APP headers
+
+
 def test_jpeg_exif_orientation_normalizes_upright():
     """Round 11: the decoded pixel plane is normalized by the EXIF
     orientation tag — all 8 orientations of the same source decode to

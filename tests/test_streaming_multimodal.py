@@ -485,6 +485,62 @@ def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
         raise AssertionError("legacy store was not rejected")
 
 
+def test_stream_curation_filter_license_screen(spark, tmp_path):
+    """Round 11: license_screen=True adds the batch pipeline's
+    license/copyright stage to the streaming twin at the same priority
+    (after duplicate, before gopher): rights-reserved and
+    license-less-copyright documents drop with reason 'license',
+    permissively-licensed ones pass, and the verdict frame carries the
+    four license columns."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, text string"
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+    rows: dict[int, dict] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            rows[r.doc_id] = {
+                "keep": r.keep, "reason": r.drop_reason,
+                "name": r.license_name, "ok": r.license_ok,
+            }
+
+    os.makedirs(store, exist_ok=True)
+    _write_stream_batch(
+        src, spark,
+        [
+            (1, good),
+            (2, good + " © 2021 Example Corp. All rights reserved."),
+            (3, good + " Licensed under the Apache License, Version 2.0."),
+            (4, good + " Copyright (c) 2020 Example Corp."),
+        ],
+        schema,
+    )
+    q = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            quality_min=0.5, checkpoint_dir=str(tmp_path / "ck"),
+            license_screen=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows[1]["keep"] and rows[1]["reason"] is None
+    assert rows[2] == {
+        "keep": False, "reason": "license", "name": None, "ok": False
+    }
+    assert rows[3]["keep"] and rows[3]["name"] == "apache" and rows[3]["ok"]
+    assert rows[4] == {
+        "keep": False, "reason": "license", "name": None, "ok": False
+    }
+
+
 def test_stream_curation_filter_crash_replay_reemits_survivors(spark, tmp_path):
     """Crash-replay idempotency (the at-least-once gap): after a batch's
     store append commits but before the streaming checkpoint commit, a
