@@ -784,7 +784,12 @@ def license_flags_expr(text: Column | str) -> Column:
       (priority order: the specific before the generic — ``cc-by``
       before ``creative-commons``, ``agpl``/``lgpl`` before ``gpl``),
       NULL when none;
-    - ``has_license``: any family matched.
+    - ``has_license``: any family matched;
+    - ``license_ok``: the ONE curation-gate rule (drop rights-reserved
+      marks and copyright notices carrying no recognized license
+      family) — centralized here so the batch pipeline, the streaming
+      twin, and the SQL oracle (``license_flags_sql``) all read the
+      same formula.
 
     Pure regex over the lowered text (Java∩RE2 subset — the PII /
     weburl precedent, so a SQL oracle can restate it verbatim);
@@ -797,11 +802,14 @@ def license_flags_expr(text: Column | str) -> Column:
     name = F.lit(None).cast("string")
     for canon, pat in reversed(_LICENSE_NAMES):
         name = F.when(t.rlike(pat), F.lit(canon)).otherwise(name)
+    hc = raw.rlike(_COPYRIGHT_RE)
+    rr = raw.rlike(_RIGHTS_RE)
     return F.struct(
-        raw.rlike(_COPYRIGHT_RE).alias("has_copyright"),
-        raw.rlike(_RIGHTS_RE).alias("rights_reserved"),
+        hc.alias("has_copyright"),
+        rr.alias("rights_reserved"),
         name.alias("license_name"),
         name.isNotNull().alias("has_license"),
+        (~(rr | (hc & name.isNull()))).alias("license_ok"),
     )
 
 

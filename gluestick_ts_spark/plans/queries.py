@@ -1610,10 +1610,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     for _m, _s in reversed(_LIC_FOOTERS):
         _footer = F.when(F.col("doc_id") % 20 == _m, F.lit(_s)).otherwise(_footer)
     _lic = license_flags_expr(F.concat(F.col("text"), _footer))
-    _lic_ok = ~(
-        _lic.getField("rights_reserved")
-        | (_lic.getField("has_copyright") & _lic.getField("license_name").isNull())
-    )
+    _lic_ok = _lic.getField("license_ok")  # the ONE gate rule (text.py)
     if stages is not None:
         # single-stage marginal-cost builders (bench attribution only;
         # the ann_ivf mode-restricted precedent)
@@ -1737,15 +1734,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         F.col("__lic").getField("has_copyright").alias("has_copyright"),
         F.col("__lic").getField("rights_reserved").alias("rights_reserved"),
         F.col("__lic").getField("license_name").alias("license_name"),
-        (
-            ~(
-                F.col("__lic").getField("rights_reserved")
-                | (
-                    F.col("__lic").getField("has_copyright")
-                    & F.col("__lic").getField("license_name").isNull()
-                )
-            )
-        ).alias("license_ok"),
+        F.col("__lic").getField("license_ok").alias("license_ok"),
         F.round("__cut", 6).alias("lang_cut"),
         "adaptive_ok",
     )

@@ -830,10 +830,10 @@ def stream_curation_filter(
     unigram-LM logprob — plus exact dedup both within the batch
     (keep-first) and against a durable cross-batch fingerprint store.
     ``emit(verdict_df, batch_id)`` receives EVERY row with ``keep``
-    and first-failing ``drop_reason`` ('duplicate' | 'gopher' |
-    'quality' | 'logprob' | NULL), so the drop-rate monitor and the
-    survivor sink read one frame; fingerprints of kept rows are then
-    appended to the store.
+    and first-failing ``drop_reason`` ('duplicate' | 'license' (when
+    ``license_screen=True``) | 'gopher' | 'quality' | 'logprob' |
+    NULL), so the drop-rate monitor and the survivor sink read one
+    frame; fingerprints of kept rows are then appended to the store.
 
     ``license_screen=True`` (round 11) adds the batch pipeline's
     license/copyright stage at the same priority (after 'duplicate',
@@ -918,18 +918,13 @@ def stream_curation_filter(
         if license_screen:
             _lic = license_flags_expr(text_col)
             lic_cols = [
-                _lic.getField("has_copyright").alias("has_copyright"),
-                _lic.getField("rights_reserved").alias("rights_reserved"),
-                _lic.getField("license_name").alias("license_name"),
-                (
-                    ~(
-                        _lic.getField("rights_reserved")
-                        | (
-                            _lic.getField("has_copyright")
-                            & _lic.getField("license_name").isNull()
-                        )
-                    )
-                ).alias("license_ok"),
+                _lic.getField(f).alias(f)
+                for f in (
+                    "has_copyright",
+                    "rights_reserved",
+                    "license_name",
+                    "license_ok",
+                )
             ]
         enriched = batch_df.select(
             F.col(id_col),

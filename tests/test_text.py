@@ -451,7 +451,7 @@ def test_license_flags_expr(spark):
     assert rows[5].license_name == "gpl"
     assert rows[6].license_name == "lgpl"           # lgpl beats gpl substring
     assert rows[7].license_name == "public-domain"
-    assert rows[8] == (False, False, None, False)
+    assert rows[8] == (False, False, None, False, True)
     assert rows[9].has_copyright
     assert not rows[10].has_copyright and rows[10].license_name is None
     assert rows[11].license_name == "creative-commons"
@@ -499,13 +499,10 @@ def test_license_flags_sql_matches_expr(spark):
     ]
     df = spark.createDataFrame(cases, "i long, text string")
     lic = license_flags_expr("text")
-    lic_ok = ~(
-        lic.getField("rights_reserved")
-        | (lic.getField("has_copyright") & lic.getField("license_name").isNull())
-    )
     got = {
-        r.i: (r.f.has_copyright, r.f.rights_reserved, r.f.license_name, r.ok)
-        for r in df.select("i", lic.alias("f"), lic_ok.alias("ok")).collect()
+        r.i: (r.f.has_copyright, r.f.rights_reserved, r.f.license_name,
+              r.f.license_ok)
+        for r in df.select("i", lic.alias("f")).collect()
     }
     frag = license_flags_sql("text")
     con = duckdb.connect()
