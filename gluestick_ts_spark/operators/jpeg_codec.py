@@ -757,6 +757,18 @@ _ENC_AC_VALUES = bytes(
     [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALUES), 0, 0, 0, 0, 0, 0, 0, 0]
+# progressive AC table: additionally carries the multi-block EOBRUN
+# symbols (r<<4 for r=1..14 — EOB runs of 2..32767 blocks; r=15 is
+# ZRL), which baseline never uses. 176 symbols, all 8-bit, all-ones
+# still never assigned (175 < 255)
+_ENC_AC_PROG_VALUES = bytes(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_PROG_BITS = [
+    0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_PROG_VALUES), 0, 0, 0, 0, 0, 0, 0, 0,
+]
 
 
 def _enc_table(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
@@ -769,6 +781,7 @@ def _enc_table(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
 
 _ENC_DC = _enc_table(_ENC_DC_BITS, _ENC_DC_VALUES)
 _ENC_AC = _enc_table(_ENC_AC_BITS, _ENC_AC_VALUES)
+_ENC_AC_PROG = _enc_table(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALUES)
 
 
 class _BitWriter:
@@ -993,11 +1006,16 @@ def jpeg_encode(
         body = bytes([(tc << 4) | th]) + bytes(bits) + values
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
+    ac_bits, ac_values = (
+        (_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALUES)
+        if progressive
+        else (_ENC_AC_BITS, _ENC_AC_VALUES)
+    )
     out += dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALUES)
-    out += dht(1, 0, _ENC_AC_BITS, _ENC_AC_VALUES)
+    out += dht(1, 0, ac_bits, ac_values)
     if ncomp == 3:
         out += dht(0, 1, _ENC_DC_BITS, _ENC_DC_VALUES)
-        out += dht(1, 1, _ENC_AC_BITS, _ENC_AC_VALUES)
+        out += dht(1, 1, ac_bits, ac_values)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
@@ -1056,46 +1074,86 @@ def jpeg_encode(
     return bytes(out)
 
 
+class _EobState:
+    """Cross-block EOB-run accumulator for progressive AC scans (the
+    libjpeg protocol — NOT the lazy one-EOB-per-block shortcut):
+    ``eobrun`` counts covered blocks, ``bits`` buffers the refinement
+    correction bits of the covered blocks' tail regions (emitted right
+    after the EOB code, in block order — the decoder re-reads them as
+    it walks each covered block)."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(w: _BitWriter, st: _EobState) -> None:
+    """Emit the pending EOB run: symbol (r<<4) with r = floor(log2(n))
+    plus n - 2^r extra bits (total covered = 2^r + extra on BOTH the
+    first-scan and refinement decoders), then the buffered correction
+    bits."""
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, length = _ENC_AC_PROG[r << 4]
+        w.write(code, length)
+        if r:
+            w.write(st.eobrun - (1 << r), r)
+        for bit in st.bits:
+            w.write(bit, 1)
+        st.eobrun = 0
+        st.bits = []
+
+
 def _enc_ac_first_block(
-    w: _BitWriter, blk: list[int], ss: int, se: int, al: int
+    w: _BitWriter, blk: list[int], ss: int, se: int, al: int, st: _EobState
 ) -> None:
     """Encode one block of a progressive AC FIRST scan: (run, size)
-    over the 2^Al-magnitude-shifted band, EOB forced per block (an
-    encoder may legally end the EOB run at every block)."""
+    over the 2^Al-magnitude-shifted band; trailing zeros join the
+    cross-block EOB run (flushed before this block's first symbol,
+    at restarts, and at scan end)."""
     r_ = 0
+    wrote = False
     for k in range(ss, se + 1):
         v = blk[k]
         a = (-v if v < 0 else v) >> al
         if a == 0:
             r_ += 1
             continue
+        if not wrote:
+            _flush_eobrun(w, st)  # the run ends before this block
+            wrote = True
         while r_ >= 16:
-            code, length = _ENC_AC[0xF0]
+            code, length = _ENC_AC_PROG[0xF0]
             w.write(code, length)
             r_ -= 16
         s = _size_cat(a)
-        code, length = _ENC_AC[(r_ << 4) | s]
+        code, length = _ENC_AC_PROG[(r_ << 4) | s]
         w.write(code, length)
         sv = a if v > 0 else -a
         amp = sv if sv > 0 else sv + (1 << s) - 1
         w.write(amp, s)
         r_ = 0
     if r_:
-        code, length = _ENC_AC[0x00]  # EOB (EOBRUN = 1)
-        w.write(code, length)
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:  # spec max run
+            _flush_eobrun(w, st)
 
 
 def _enc_ac_refine_block(
-    w: _BitWriter, blk: list[int], ss: int, se: int, al: int
+    w: _BitWriter, blk: list[int], ss: int, se: int, al: int, st: _EobState
 ) -> None:
     """Encode one block of a progressive AC REFINEMENT scan (the
-    libjpeg encode_mcu_AC_refine logic, EOB forced per block):
+    libjpeg encode_mcu_AC_refine logic with cross-block EOB runs):
     newly-significant coefficients (shifted magnitude exactly 1) emit
     (run, 1) + a sign bit; already-nonzero coefficients buffer one
-    correction bit each, flushed after the next emitted symbol."""
+    correction bit each, flushed after the next emitted symbol; a
+    block whose band ends in zeros/corrections joins the EOB run with
+    its correction bits buffered into the run state."""
     absv = [(-blk[k] if blk[k] < 0 else blk[k]) >> al for k in range(ss, se + 1)]
     # eobk = last newly-significant position; zero runs beyond it fold
-    # into the final EOB instead of ZRLs (the libjpeg k <= EOB guard)
+    # into the EOB run instead of ZRLs (the libjpeg k <= EOB guard)
     eobk = ss - 1
     for i, k in enumerate(range(ss, se + 1)):
         if absv[i] == 1:
@@ -1111,7 +1169,8 @@ def _enc_ac_refine_block(
         # ordering) so buffered correction bits stay positionally
         # aligned with the zero runs the decoder walks
         while r_ > 15 and k <= eobk:
-            code, length = _ENC_AC[0xF0]
+            _flush_eobrun(w, st)
+            code, length = _ENC_AC_PROG[0xF0]
             w.write(code, length)
             r_ -= 16
             for bit in pending:
@@ -1121,7 +1180,8 @@ def _enc_ac_refine_block(
             pending.append(a & 1)
             continue
         # newly significant at this Al
-        code, length = _ENC_AC[(r_ << 4) | 1]
+        _flush_eobrun(w, st)
+        code, length = _ENC_AC_PROG[(r_ << 4) | 1]
         w.write(code, length)
         w.write(0 if blk[k] < 0 else 1, 1)
         for bit in pending:
@@ -1129,10 +1189,11 @@ def _enc_ac_refine_block(
         pending = []
         r_ = 0
     if r_ > 0 or pending:
-        code, length = _ENC_AC[0x00]  # EOB — run of 1 block (this one)
-        w.write(code, length)
-        for bit in pending:
-            w.write(bit, 1)
+        st.eobrun += 1
+        st.bits.extend(pending)
+        # libjpeg's MAX_CORR_BITS guard: bound the buffered bits
+        if st.eobrun == 0x7FFF or len(st.bits) > 900:
+            _flush_eobrun(w, st)
 
 
 def _encode_progressive_scans(
@@ -1186,18 +1247,24 @@ def _encode_progressive_scans(
     out = bytearray()
     n_mcus = mcux * mcuy
 
-    def run_units(n_units: int, encode_unit, fresh_state) -> bytes:
-        """Per-scan entropy emission with restart-marker resync."""
+    def run_units(n_units: int, encode_unit, fresh_state, end_state=None) -> bytes:
+        """Per-scan entropy emission with restart-marker resync;
+        ``end_state`` flushes cross-unit state (the AC EOB run) at
+        every segment boundary and at scan end."""
         w = _BitWriter()
         rst = 0
         state = fresh_state()
         for u in range(n_units):
             if restart_interval and u and u % restart_interval == 0:
+                if end_state is not None:
+                    end_state(w, state)
                 w.flush()
                 w.out += bytes([0xFF, 0xD0 + (rst % 8)])
                 rst += 1
                 state = fresh_state()
             encode_unit(w, u, state)
+        if end_state is not None:
+            end_state(w, state)
         w.flush()
         return bytes(w.out)
 
@@ -1228,13 +1295,13 @@ def _encode_progressive_scans(
     def ac_unit(ci: int, ss, se, al, refine: bool):
         bxc, _ = comp_grid(ci)
 
-        def f(w: _BitWriter, unit: int, _state) -> None:
+        def f(w: _BitWriter, unit: int, st: _EobState) -> None:
             y, x = divmod(unit, bxc)
             blk = qblk[ci][y][x]
             if refine:
-                _enc_ac_refine_block(w, blk, ss, se, al)
+                _enc_ac_refine_block(w, blk, ss, se, al, st)
             else:
-                _enc_ac_first_block(w, blk, ss, se, al)
+                _enc_ac_first_block(w, blk, ss, se, al, st)
 
         return f
 
@@ -1243,18 +1310,22 @@ def _encode_progressive_scans(
     # scan 1: DC first, interleaved, Al=1
     out += sos(dc_comps, 0, 0, 0, 1)
     out += run_units(n_mcus, dc_first_unit, lambda: [0] * ncomp)
-    # spectral-band AC first scans at Al=1
+    # spectral-band AC first scans at Al=1 (cross-block EOB runs)
     bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
     for ci, ss_, se_ in bands:
         bxc, byc = comp_grid(ci)
         out += sos([(ci, 0, 0 if ci == 0 else 1)], ss_, se_, 0, 1)
-        out += run_units(bxc * byc, ac_unit(ci, ss_, se_, 1, False), lambda: None)
+        out += run_units(
+            bxc * byc, ac_unit(ci, ss_, se_, 1, False), _EobState, _flush_eobrun
+        )
     # DC refinement (no Huffman, one raw bit per block)
     out += sos(dc_comps, 0, 0, 1, 0)
     out += run_units(n_mcus, dc_refine_unit, lambda: None)
-    # AC refinement to Al=0
+    # AC refinement to Al=0 (cross-block EOB runs + buffered bits)
     for ci in range(ncomp):
         bxc, byc = comp_grid(ci)
         out += sos([(ci, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0)
-        out += run_units(bxc * byc, ac_unit(ci, 1, 63, 0, True), lambda: None)
+        out += run_units(
+            bxc * byc, ac_unit(ci, 1, 63, 0, True), _EobState, _flush_eobrun
+        )
     return bytes(out)

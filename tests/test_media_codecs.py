@@ -482,7 +482,7 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
 
     px = _grad16()
     prog = jpeg_encode(16, 16, px, progressive=True)
-    assert hashlib.md5(prog).hexdigest() == "1fb6cfa61eaf52d6242fdefe220ba810"
+    assert hashlib.md5(prog).hexdigest() == "25872b19b100c6213dcb11938582d29a"
     w, h, dec = jpeg_decode(prog)
     assert (w, h) == (16, 16)
     flat = bytes(v for p in dec for v in p)
@@ -494,7 +494,7 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
     prog420 = jpeg_encode(
         16, 16, px, subsampling="420", restart_interval=1, progressive=True
     )
-    assert hashlib.md5(prog420).hexdigest() == "c1c150405185a4a453459eecdbabfed9"
+    assert hashlib.md5(prog420).hexdigest() == "b99c3c025dc79cc6c005d78fa6404d0d"
     flat2 = bytes(v for p in jpeg_decode(prog420)[2] for v in p)
     assert hashlib.md5(flat2).hexdigest() == "30df79741fc4b34dda46d994cbca34b8"
 
@@ -506,11 +506,84 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
         pp = jpeg_decode(jpeg_encode(17, 13, podd, grayscale=gray, progressive=True))
         assert pb == pp
 
-    # truncated-anywhere progressive payloads honor the ValueError-only
-    # contract (never a task-killing raw exception)
+    # truncated-anywhere progressive payloads honor the ok-or-ValueError
+    # contract (never a task-killing raw exception; a cut between scans
+    # legally decodes from the scans received — the format's feature)
     for cut in (len(prog) // 4, len(prog) // 2, len(prog) - 3):
-        with pytest.raises(ValueError):
+        try:
             jpeg_decode(prog[:cut] + b"\xff\xd9")
+        except ValueError:
+            pass
+
+
+def test_jpeg_progressive_cross_block_eob_runs():
+    """The encoder emits TRUE cross-block EOB runs (the libjpeg
+    protocol real crawl streams use), not one EOB per block — and the
+    decoder walks them: (1) an 8-block all-zero tail costs ONE
+    (r<<4)-coded run symbol; (2) refinement correction bits buffer
+    ACROSS the covered blocks and replay positionally."""
+    from gluestick_ts_spark.operators.jpeg_codec import (
+        _ENC_AC_PROG_BITS,
+        _ENC_AC_PROG_VALUES,
+        _BitReader,
+        _BitWriter,
+        _EobState,
+        _build_huff,
+        _dec_ac_first,
+        _dec_ac_refine,
+        _enc_ac_first_block,
+        _enc_ac_refine_block,
+        _flush_eobrun,
+    )
+
+    table = _build_huff(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALUES)
+
+    # (1) first scan: block 0 has one coefficient, blocks 1..8 all zero
+    blocks = [[0] * 64 for _ in range(9)]
+    blocks[0][5] = 12
+    w = _BitWriter()
+    st = _EobState()
+    for b in blocks:
+        _enc_ac_first_block(w, b, 1, 63, 0, st)
+    _flush_eobrun(w, st)
+    w.flush()
+    data = bytes(w.out)
+    rd = _BitReader(data)
+    out = [[0] * 64 for _ in range(9)]
+    eobrun = 0
+    for b in out:
+        eobrun = _dec_ac_first(rd, table, b, 1, 63, 0, eobrun)
+    assert out == blocks
+    # one (run,size) symbol + amplitude + ONE multi-block EOBRUN symbol
+    # — nine per-block EOBs would cost ~9 more bytes
+    assert len(data) <= 4, (len(data), data.hex())
+
+    # (2) two-scan successive approximation with refinement corrections
+    # buffered through a multi-block EOB run: block 1 carries ONLY a
+    # correction (|2| -> bit 0) and block 3 only zeros, so both join
+    # the run; block 2 goes newly significant mid-run, flushing it
+    final = [[0] * 64 for _ in range(4)]
+    final[0][1], final[0][9] = 5, -3
+    final[1][7] = 2          # correction-only block inside the run
+    final[2][4] = -1         # newly significant at Al=0
+    w1, s1 = _BitWriter(), _EobState()
+    for b in final:
+        _enc_ac_first_block(w1, b, 1, 63, 1, s1)  # first scan at Al=1
+    _flush_eobrun(w1, s1)
+    w1.flush()
+    w2, s2 = _BitWriter(), _EobState()
+    for b in final:
+        _enc_ac_refine_block(w2, b, 1, 63, 0, s2)  # refine to Al=0
+    _flush_eobrun(w2, s2)
+    w2.flush()
+    rec = [[0] * 64 for _ in range(4)]
+    rd1, eob1 = _BitReader(bytes(w1.out)), 0
+    for b in rec:
+        eob1 = _dec_ac_first(rd1, table, b, 1, 63, 1, eob1)
+    rd2, eob2 = _BitReader(bytes(w2.out)), 0
+    for b in rec:
+        eob2 = _dec_ac_refine(rd2, table, b, 1, 63, 0, eob2)
+    assert rec == final
 
 
 def test_jpeg_progressive_corruption_never_escapes_valueerror():
