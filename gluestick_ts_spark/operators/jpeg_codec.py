@@ -1114,16 +1114,15 @@ def _enc_ac_first_block(
     cross-block EOB run (flushed before this block's first symbol,
     at restarts, and at scan end)."""
     r_ = 0
-    wrote = False
     for k in range(ss, se + 1):
         v = blk[k]
         a = (-v if v < 0 else v) >> al
         if a == 0:
             r_ += 1
             continue
-        if not wrote:
-            _flush_eobrun(w, st)  # the run ends before this block
-            wrote = True
+        # the pending run ends before this block's first symbol
+        # (idempotent no-op afterwards — the refine twin's idiom)
+        _flush_eobrun(w, st)
         while r_ >= 16:
             code, length = _ENC_AC_PROG[0xF0]
             w.write(code, length)

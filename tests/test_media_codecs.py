@@ -547,7 +547,9 @@ def test_jpeg_progressive_cross_block_eob_runs():
         _enc_ac_first_block(w, b, 1, 63, 0, st)
     _flush_eobrun(w, st)
     w.flush()
-    data = bytes(w.out)
+    # _BitReader expects an UNSTUFFED entropy segment; the writer
+    # byte-stuffs 0xFF -> 0xFF00, so unstuff like the real scan path
+    data = bytes(w.out).replace(b"\xff\x00", b"\xff")
     rd = _BitReader(data)
     out = [[0] * 64 for _ in range(9)]
     eobrun = 0
@@ -577,10 +579,11 @@ def test_jpeg_progressive_cross_block_eob_runs():
     _flush_eobrun(w2, s2)
     w2.flush()
     rec = [[0] * 64 for _ in range(4)]
-    rd1, eob1 = _BitReader(bytes(w1.out)), 0
+    unstuff = lambda ba: bytes(ba).replace(b"\xff\x00", b"\xff")  # noqa: E731
+    rd1, eob1 = _BitReader(unstuff(w1.out)), 0
     for b in rec:
         eob1 = _dec_ac_first(rd1, table, b, 1, 63, 1, eob1)
-    rd2, eob2 = _BitReader(bytes(w2.out)), 0
+    rd2, eob2 = _BitReader(unstuff(w2.out)), 0
     for b in rec:
         eob2 = _dec_ac_refine(rd2, table, b, 1, 63, 0, eob2)
     assert rec == final
