@@ -55,6 +55,7 @@ __all__ = [
     "dhash_of_payload",
     "ahash_of_payload",
     "wavhash_of_payload",
+    "rot_min_dhash_of_payload",
     "image_dhash",
     "media_hashes",
     "hamming_neardup_pairs",
@@ -110,6 +111,64 @@ def dhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
             if grid[y][x] > grid[y][x + 1]:
                 v |= 1 << (y * hash_size + x)
     return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def rot_min_dhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
+    """Rotation-CANONICAL dHash: the unsigned minimum of the four
+    right-angle rotations' dHashes. EXIF normalization (round 11)
+    handles TAGGED rotations; this handles the untagged ones
+    (screenshots, scans, stripped-metadata re-uploads). Exactly
+    invariant under any right-angle rotation of the input pixels —
+    the four rotations of a rotated image are the same four images,
+    so the min is unchanged — while lossy re-encodes land at small
+    Hamming distance like any dHash near-dup. Mirror flips are NOT
+    canonicalized (a mirrored meme is arguably different content);
+    extend to the 8-element dihedral min if that changes. Same decode
+    cost as ``dhash_of_payload`` (one decode, four tiny grid passes);
+    integer-exact and SQL-literal-embeddable like the whole family."""
+    if payload is None:
+        return None
+    fmt = sniff_format(payload)
+    decoder = IMAGE_DECODERS.get(fmt)
+    if decoder is None:
+        return None
+    try:
+        w, h, px = decoder(payload)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    lum = [
+        [
+            (299 * px[y * w + x][0] + 587 * px[y * w + x][1]
+             + 114 * px[y * w + x][2]) // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+    def dhash_of(mat: list[list[int]]) -> int:
+        mh, mw = len(mat), len(mat[0])
+        v = 0
+        for oy in range(hash_size):
+            sy = (oy * mh) // hash_size
+            for ox in range(hash_size):
+                sxa = (ox * mw) // (hash_size + 1)
+                sxb = ((ox + 1) * mw) // (hash_size + 1)
+                if mat[sy][sxa] > mat[sy][sxb]:
+                    v |= 1 << (oy * hash_size + ox)
+        return v
+
+    best = None
+    mat = lum
+    for _ in range(4):
+        v = dhash_of(mat)
+        if best is None or v < best:
+            best = v
+        # rotate 90° CW: out[i][j] = mat[H-1-j][i]
+        mh, mw = len(mat), len(mat[0])
+        mat = [[mat[mh - 1 - j][i] for j in range(mh)] for i in range(mw)]
+    return best - (1 << 64) if best >= 1 << 63 else best
 
 
 def ahash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:

@@ -2894,9 +2894,11 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     from the bytes), feature-extracted (real pixel/sample statistics
     via the stdlib BMP/WAV/zlib-PNG/from-scratch-JPEG decoders in
     operators/media_codecs.py), and perceptually hashed — the WHOLE
-    family (dHash + aHash + wavhash, round 10) in the one decode
-    pass; image rows fill dhash/ahash (wavhash NULL), WAVs fill
-    wavhash.
+    family (dHash + aHash + wavhash, round 10; round 11 adds the
+    rotation-canonical rothash — min over the four right-angle
+    rotations, the untagged-rotation complement to EXIF
+    normalization) in the one decode pass; image rows fill
+    dhash/ahash/rothash (wavhash NULL), WAVs fill wavhash.
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
     planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
@@ -2917,6 +2919,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         dhash_of_payload,
         hamming_neardup_pairs,
         image_dhash,
+        rot_min_dhash_of_payload,
         wavhash_of_payload,
     )
     from ..operators.multimodal import probe_media_metadata
@@ -2950,6 +2953,10 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
                 "dhash": dhash_of_payload,
                 "ahash": ahash_of_payload,
                 "wavhash": wavhash_of_payload,
+                # round 11: rotation-canonical dHash (min over the four
+                # right-angle rotations) — catches UNTAGGED rotated
+                # re-uploads the EXIF normalization can't see
+                "rothash": rot_min_dhash_of_payload,
             },
         )
         legs.append(out.select(
@@ -2969,6 +2976,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             "dhash",
             "ahash",
             "wavhash",
+            "rothash",
             _null("long").alias("pair_id"),
             _null("long").alias("hamming"),
         ))
@@ -3000,6 +3008,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             _null("long").alias("dhash"),
             _null("long").alias("ahash"),
             _null("long").alias("wavhash"),
+            _null("long").alias("rothash"),
             F.col("id_b").alias("pair_id"),
             "hamming",
         ))
@@ -4142,6 +4151,7 @@ def _mm_features_values() -> str:
     from ..operators.imagehash import (
         ahash_of_payload,
         dhash_of_payload,
+        rot_min_dhash_of_payload,
         wavhash_of_payload,
     )
     from ..operators.media_codecs import IMAGE_DECODERS, sniff_format
@@ -4166,6 +4176,7 @@ def _mm_features_values() -> str:
         dh = dhash_of_payload(payload)
         ah = ahash_of_payload(payload)
         wh = wavhash_of_payload(payload)
+        rh = rot_min_dhash_of_payload(payload)
         # string->DOUBLE cast: a bare decimal literal in VALUES would be
         # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
         rows.append(
@@ -4174,7 +4185,8 @@ def _mm_features_values() -> str:
             f"CAST('{f32(feats[1])!r}' AS DOUBLE), "
             f"{'NULL' if dh is None else dh}, "
             f"{'NULL' if ah is None else ah}, "
-            f"{'NULL' if wh is None else wh})"
+            f"{'NULL' if wh is None else wh}, "
+            f"{'NULL' if rh is None else rh})"
         )
     return ", ".join(rows)
 
@@ -4188,7 +4200,7 @@ def _mm_phash_values() -> str:
 
 
 _MM_FEATURES_ORACLE = (
-    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh) "
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh, rh) "
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
@@ -4196,7 +4208,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
     "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1, "
     "CAST(e.dh AS BIGINT) AS dhash, CAST(e.ah AS BIGINT) AS ahash, "
-    "CAST(e.wh AS BIGINT) AS wavhash, "
+    "CAST(e.wh AS BIGINT) AS wavhash, CAST(e.rh AS BIGINT) AS rothash, "
     "CAST(NULL AS BIGINT) AS pair_id, CAST(NULL AS BIGINT) AS hamming "
     "FROM exp e JOIN documents d ON d.doc_id = e.doc_id), "
     # brute-force quadratic Hamming over the literal hashes — equals
@@ -4212,6 +4224,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
     "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
     "CAST(NULL AS BIGINT) AS ahash, CAST(NULL AS BIGINT) AS wavhash, "
+    "CAST(NULL AS BIGINT) AS rothash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
     "FROM pp WHERE ham <= 6) "
     "SELECT * FROM feat UNION ALL SELECT * FROM ph"

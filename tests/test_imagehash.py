@@ -302,6 +302,59 @@ def test_exif_rotated_pair_lands_in_one_dedup_cluster(spark):
     assert survivors == {1, 3}, survivors  # 2 collapsed into 1; 3 distinct
 
 
+def test_rot_min_dhash_rotation_invariant(spark):
+    """Round 11: the rotation-canonical dHash (unsigned min over the
+    four right-angle rotations) is EXACTLY invariant under untagged
+    rotation of the pixels — the complement to EXIF normalization —
+    while plain dHash differs; an untagged rotated pair collapses to
+    one media_dedup cluster when deduping on the rothash column."""
+    import numpy as np
+
+    from gluestick_ts_spark.operators.imagehash import (
+        media_dedup,
+        media_hashes,
+        rot_min_dhash_of_payload,
+    )
+    from gluestick_ts_spark.operators.media_codecs import bmp_encode
+
+    px = [((x * 37 + y * 11) % 256, (x * 5 + y * 43) % 256,
+           (x * x + y * 3) % 256) for y in range(12) for x in range(16)]
+    arr = np.array(px, dtype=np.int64).reshape(12, 16, 3)
+
+    def enc(a):
+        return bmp_encode(
+            a.shape[1], a.shape[0], [tuple(p) for p in a.reshape(-1, 3).tolist()]
+        )
+
+    base = enc(arr)
+    h0 = rot_min_dhash_of_payload(base)
+    for k in (1, 2, 3):
+        assert rot_min_dhash_of_payload(enc(np.rot90(arr, k))) == h0, k
+    # plain dHash is NOT rotation-invariant (the gap rothash closes)
+    assert dhash_of_payload(enc(np.rot90(arr, 1))) != dhash_of_payload(base)
+    # non-images and NULLs degrade to NULL like the rest of the family
+    assert rot_min_dhash_of_payload(None) is None
+    assert rot_min_dhash_of_payload(b"RIFFxxxxWAVEbroken") is None
+
+    # dedup on the rothash column: untagged rotation collapses, a
+    # different image survives
+    other = enc(np.array(
+        [((x * 93 + y * 57) % 256,) * 3 for y in range(12) for x in range(16)],
+        dtype=np.int64).reshape(12, 16, 3))
+    df = spark.createDataFrame(
+        [(1, base), (2, enc(np.rot90(arr, 1))), (3, other)],
+        "doc_id long, content binary",
+    )
+    hashed = media_hashes(
+        df, columns={"rothash": rot_min_dhash_of_payload}
+    ).select("doc_id", "rothash")
+    survivors = {
+        r.doc_id
+        for r in media_dedup(hashed, hash_col="rothash", max_hamming=6).collect()
+    }
+    assert survivors == {1, 3}, survivors
+
+
 def test_hamming_pairs_plan_shape(spark):
     """Scale gate: candidates come from a (block, value) equi-join —
     no cartesian product; the only Python stage is the decode UDF."""
