@@ -302,6 +302,73 @@ def test_exif_rotated_pair_lands_in_one_dedup_cluster(spark):
     assert survivors == {1, 3}, survivors  # 2 collapsed into 1; 3 distinct
 
 
+def test_stream_media_dedup_prehashed_rothash(spark, tmp_path):
+    """The pre-hashed stream path (docstring contract: 'pass a
+    pre-hashed stream by using an existing hash_col') with the
+    rotation-canonical hash: an UNTAGGED rotated re-upload of an
+    accepted image dies against the durable store in a later batch,
+    fresh content survives."""
+    import os
+
+    import numpy as np
+
+    from gluestick_ts_spark.operators.imagehash import (
+        media_hashes,
+        rot_min_dhash_of_payload,
+    )
+    from gluestick_ts_spark.operators.media_codecs import bmp_encode
+    from gluestick_ts_spark.streaming.incremental import stream_media_dedup
+
+    px = [((x * 37 + y * 11) % 256, (x * 5 + y * 43) % 256,
+           (x * x + y * 3) % 256) for y in range(12) for x in range(16)]
+    arr = np.array(px, dtype=np.int64).reshape(12, 16, 3)
+
+    def enc(a):
+        return bmp_encode(
+            a.shape[1], a.shape[0], [tuple(p) for p in a.reshape(-1, 3).tolist()]
+        )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, content binary"
+    emitted: dict[int, set] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, set()).update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        hashed = media_hashes(
+            stream, columns={"rothash": rot_min_dhash_of_payload}
+        )
+        q = stream_media_dedup(
+            hashed, store, emit, hash_col="rothash",
+            checkpoint_dir=str(tmp_path / "ck"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    put([(1, enc(arr))])
+    run()
+    assert set().union(*emitted.values()) == {1}
+
+    emitted.clear()
+    other = enc(np.array(
+        [((x * 93 + y * 57) % 256,) * 3 for y in range(12) for x in range(16)],
+        dtype=np.int64).reshape(12, 16, 3))
+    put([(10, enc(np.rot90(arr, 1))), (11, other)])  # 10 = rotated re-upload
+    run()
+    assert set().union(*emitted.values()) == {11}
+    stored = {r.id for r in spark.read.parquet(f"{store}/hashes.parquet").collect()}
+    assert stored == {1, 11}
+
+
 def test_rot_min_dhash_rotation_invariant(spark):
     """Round 11: the rotation-canonical dHash (unsigned min over the
     four right-angle rotations) is EXACTLY invariant under untagged
