@@ -23,6 +23,13 @@ still parse honestly:
 - **GIF** (round 10, ``gif_codec.py``): full LZW decoder (87a/89a,
   local/global palettes, interlace, frame composition; first frame
   only — documented) + a lossless <=256-color fixture encoder.
+- **AVI / MJPEG video** (round 11, ``avi_codec.py``): tolerant RIFF
+  container walker whose frames are standalone JPEGs the repo's own
+  decoder handles (baseline AND progressive MJPEG) — REAL video frame
+  sampling (a pure demux, cost bounded by frames asked) and
+  header-only width/height/frames/fps probing; deterministic fixture
+  writer. Replaces the labeled fake sampler for the one video format
+  that needs no codec library.
 
 ``sniff_format`` dispatches on magic bytes; payloads in any other
 format fall back to the clearly-labeled deterministic fakes in
@@ -44,6 +51,7 @@ import struct
 import wave
 import zlib
 
+from .avi_codec import avi_decode_frames, avi_encode, avi_frames, avi_probe
 from .gif_codec import gif_decode, gif_decode_frames, gif_encode
 from .jpeg_codec import jpeg_decode, jpeg_encode
 
@@ -74,6 +82,11 @@ __all__ = [
     "gif_decode_frames",
     "gif_encode",
     "gif_frames",
+    "avi_encode",
+    "avi_decode_frames",
+    "avi_probe",
+    "avi_frames",
+    "avi_features",
     "gif_features",
     "gif_resize",
 ]
@@ -81,7 +94,8 @@ __all__ = [
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``,
-    ``"jpeg"``, ``"gif"``, or None."""
+    ``"jpeg"``, ``"gif"``, ``"avi"`` (round 11 — MJPEG video), or
+    None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -90,6 +104,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -502,6 +518,17 @@ def gif_resize(payload: bytes, width: int, height: int) -> bytes:
     only when the background color was not in the palette; callers'
     sniff dispatchers treat that ValueError as fall-to-fake."""
     return _nn_resize(gif_decode, gif_encode, payload, width, height)
+
+
+def avi_features(payload: bytes, n_features: int = 8) -> list[float]:
+    """Real pixel statistics from the FIRST decoded MJPEG frame —
+    identical feature contract to the image codecs, so a mixed
+    image/video corpus shares one feature space. First frame only by
+    design: the probe's duration/frame-count carries the temporal
+    dimension; decoding every frame for a feature vector would make
+    cost ∝ video length."""
+    w, h, frames = avi_decode_frames(payload, max_frames=1)
+    return _pixel_features(w, h, frames[0], n_features)
 
 
 # the ONE image-decoder registry (imagehash, the multimodal probe, and

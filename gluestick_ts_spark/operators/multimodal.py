@@ -33,6 +33,9 @@ from pyspark.sql import types as T
 
 from .media_codecs import (
     IMAGE_DECODERS,
+    avi_features,
+    avi_frames,
+    avi_probe,
     bmp_features,
     bmp_resize,
     gif_features,
@@ -107,8 +110,10 @@ def probe_media_metadata(
     """Fill the metadata struct from the payloads themselves via an
     Arrow-batched probe: BMP/PNG/JPEG/GIF -> real width/height
     (+ format/media_type), WAV -> real duration_ms (+ format/
-    media_type); unsniffable payloads keep their existing metadata
-    untouched. Same schema in and out."""
+    media_type), AVI -> real width/height/duration from the container
+    headers alone (round 11 — media_type="video", no frame decode);
+    unsniffable payloads keep their existing metadata untouched. Same
+    schema in and out."""
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,6 +133,13 @@ def probe_media_metadata(
                         dur = int(nframes * 1000 / framerate) if framerate else None
                         meta.update(
                             media_type="audio", format="wav", duration_ms=dur
+                        )
+                    elif fmt == "avi":  # round 11: header-only probe
+                        vw, vh, nf, fps = avi_probe(payload)
+                        meta.update(
+                            media_type="video", format="avi",
+                            width=vw, height=vh,
+                            duration_ms=(nf * 1000 // fps) if fps else None,
                         )
                 except ValueError:
                     pass  # sniffed but undecodable: keep caller metadata
@@ -176,8 +188,8 @@ def decode_features_with_provenance(
     payload: bytes | None, n_features: int = 8
 ) -> tuple[list[float], str]:
     """Format-sniffing feature decoder that also reports WHICH decoder
-    produced the vector: ``("png"|"bmp"|"jpeg"|"gif"|"wav")`` for a
-    real decode,
+    produced the vector: ``("png"|"bmp"|"jpeg"|"gif"|"wav"|"avi")``
+    for a real decode,
     ``"fake"`` for the byte-stat stand-in. In a mixed corpus real and
     fake feature vectors are numerically indistinguishable, so the
     label is the only audit trail — downstream filters can drop or
@@ -195,6 +207,8 @@ def decode_features_with_provenance(
             return gif_features(payload, n_features), "gif"
         if fmt == "wav":
             return wav_features(payload, n_features), "wav"
+        if fmt == "avi":
+            return avi_features(payload, n_features), "avi"
     except ValueError:
         # sniffed but undecodable (truncated/arithmetic/hierarchical;
         # progressive decodes for real since round 11) -> labeled fake
@@ -364,12 +378,14 @@ def _fake_frames(payload: bytes | None, n_frames: int) -> list[bytes]:
 
 def _sniff_frames(payload: bytes | None, n_frames: int) -> tuple[list[bytes], str]:
     """Default frame sampler: REAL time-slice windows for WAV payloads
-    (each frame is itself a valid, decodable WAV, labeled ``"wav"``)
-    and REAL composed animation frames for GIF payloads (round 10 —
-    each frame re-encoded as a standalone PNG, labeled ``"gif"``; see
-    ``media_codecs.gif_frames`` for why PNG); contiguous byte-chunk
-    fake labeled ``"fake"`` for everything else (video codecs need
-    ffmpeg)."""
+    (each frame is itself a valid, decodable WAV, labeled ``"wav"``),
+    REAL composed animation frames for GIF payloads (round 10 — each
+    frame re-encoded as a standalone PNG, labeled ``"gif"``; see
+    ``media_codecs.gif_frames`` for why PNG), and REAL video frames
+    for MJPEG AVIs (round 11 — each frame the embedded standalone
+    JPEG, a pure demux, labeled ``"avi"``); contiguous byte-chunk fake
+    labeled ``"fake"`` for everything else (non-MJPEG video codecs
+    need ffmpeg)."""
     fmt = sniff_format(payload)
     if fmt == "wav":
         try:
@@ -379,6 +395,11 @@ def _sniff_frames(payload: bytes | None, n_frames: int) -> tuple[list[bytes], st
     elif fmt == "gif":
         try:
             return gif_frames(payload, n_frames), "gif"
+        except ValueError:
+            pass
+    elif fmt == "avi":  # round 11: REAL video frames (MJPEG demux)
+        try:
+            return avi_frames(payload, n_frames), "avi"
         except ValueError:
             pass
     return _fake_frames(payload, n_frames), "fake"

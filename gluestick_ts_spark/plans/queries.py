@@ -2745,7 +2745,10 @@ def _mm_synth_payload(i: int) -> bytes:
     happy path; round 11: every third JPEG slot is PROGRESSIVE SOF2
     and every fourth carries an EXIF orientation tag), with every 20th
     doc (i%20==10, inside the PNG quarter) a GIF (round 10 — LZW
-    palette decode rides the driver query). Pure function of ``i`` —
+    palette decode rides the driver query) and every 20th (i%20==13,
+    inside the WAV quarter) an MJPEG AVI (round 11 — VIDEO: container
+    demux + JPEG frame decode ride the driver query, width AND
+    duration both real). Pure function of ``i`` —
     shared by the Spark-side mapInPandas synth AND the driver-side
     oracle expected-row builder, so the two can never drift."""
     import io
@@ -2781,6 +2784,21 @@ def _mm_synth_payload(i: int) -> bytes:
             for k in range(16)
         ]
         return png_encode(4, 4, px)
+    if i % 20 == 13:
+        # AVI slot (round 11 — MJPEG VIDEO rides the driver oracle,
+        # inside the WAV quarter's i%4==1 position every 20th doc):
+        # 2-frame 8x8 video, frames a pure function of i
+        from ..operators.media_codecs import avi_encode
+
+        def _fr(k):
+            return [
+                ((i * 31 + k * 11 + x * 29) % 256, (i * 7 + y * 43) % 256,
+                 (x * y + i + k) % 256)
+                for y in range(8)
+                for x in range(8)
+            ]
+
+        return avi_encode(8, 8, [_fr(0), _fr(1)], fps=4)
     if i % 4 == 3:
         px = [
             ((i * 3 + x * 29) % 256, (i * 5 + y * 43) % 256, (i + x * y * 7) % 256)
@@ -2889,7 +2907,8 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     ``feat``: deterministic BMP (doc_id % 4 == 0) / WAV (% 4 == 1) /
     PNG (% 4 == 2) / JPEG (% 4 == 3, round 10 — incl. 4:2:0 and
     restart-marker variants; round 11 — progressive SOF2 and
-    EXIF-orientation slots) payloads are synthesized per row
+    EXIF-orientation slots) payloads — plus a GIF slot and (round 11)
+    an MJPEG-AVI VIDEO slot — are synthesized per row
     inside an Arrow batch, then probed (real width/height/duration
     from the bytes), feature-extracted (real pixel/sample statistics
     via the stdlib BMP/WAV/zlib-PNG/from-scratch-JPEG decoders in
@@ -4169,6 +4188,12 @@ def _mm_features_values() -> str:
         if fmt in IMAGE_DECODERS:
             w, _, _ = IMAGE_DECODERS[fmt](payload)
             width = str(w)
+        elif fmt == "avi":  # round 11: header probe, both dims AND duration
+            from ..operators.media_codecs import avi_probe
+
+            vw, _vh, nf, fps = avi_probe(payload)
+            width = str(vw)
+            duration = str(nf * 1000 // fps)
         else:
             with _wave.open(_io.BytesIO(payload), "rb") as wv:
                 duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))

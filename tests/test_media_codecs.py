@@ -697,6 +697,123 @@ def test_jpeg_exif_orientation_normalizes_upright():
     assert (dw, dh) == (w, h)
 
 
+def test_avi_mjpeg_roundtrip_probe_sampler_and_errors():
+    """Round 11: MJPEG-in-AVI — REAL video. Deterministic container
+    writer (digest-pinned), header-only probe, frame decode equal to
+    standalone JPEG decode of the same pixels (baseline AND progressive
+    MJPEG), bounded sampling, the ValueError-only corruption contract."""
+    import hashlib
+    import random
+
+    import pytest
+
+    from gluestick_ts_spark.operators.media_codecs import (
+        avi_decode_frames,
+        avi_encode,
+        avi_frames,
+        avi_probe,
+        jpeg_decode,
+        jpeg_encode,
+        sniff_format,
+    )
+
+    def frame(i):
+        return [((i * 31 + x * 29) % 256, (i * 7 + y * 43) % 256,
+                 (x * y + i) % 256) for y in range(8) for x in range(8)]
+
+    frames = [frame(i) for i in range(3)]
+    avi = avi_encode(8, 8, frames, fps=5)
+    assert hashlib.md5(avi).hexdigest() == "f6a3a6ff1b6d2bd08627bb887a6ead5b"
+    assert sniff_format(avi) == "avi"
+    assert avi_probe(avi) == (8, 8, 3, 5)
+
+    w, h, dec = avi_decode_frames(avi)
+    assert (w, h, len(dec)) == (8, 8, 3)
+    for i in range(3):
+        assert dec[i] == jpeg_decode(jpeg_encode(8, 8, frames[i]))[2], i
+    # bounded decode: parsing stops after max_frames
+    assert avi_decode_frames(avi, max_frames=2)[2] == dec[:2]
+    # the sampler is a pure demux: embedded standalone JPEGs
+    fs = avi_frames(avi, 2)
+    assert len(fs) == 2 and all(f[:3] == b"\xff\xd8\xff" for f in fs)
+    assert jpeg_decode(fs[1])[2] == dec[1]
+    # progressive MJPEG rides the SOF2 decoder
+    assert avi_decode_frames(
+        avi_encode(8, 8, frames, fps=5, progressive=True)
+    )[2] == dec
+
+    # error contract: non-AVI RIFFs, garbage, header truncation
+    for bad in (b"RIFF1234AVI ", b"RIFFxxxxWAVEdata", b"", avi[:40]):
+        with pytest.raises(ValueError):
+            avi_decode_frames(bad)
+    with pytest.raises(ValueError):
+        avi_frames(avi, 0)
+    # seeded single-byte corruption battery: decode-or-ValueError only
+    rng = random.Random(7)
+    for _ in range(200):
+        b = bytearray(avi)
+        b[rng.randrange(4, len(b))] ^= 1 << rng.randrange(8)
+        try:
+            avi_decode_frames(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_avi_spark_pipeline_probe_features_frames(spark):
+    """The Spark-side video path end-to-end: the metadata probe fills
+    media_type='video' + real dims/duration from the container headers,
+    the feature extractor labels decoder='avi' (first-frame pixel
+    stats), and sample_frames emits REAL decodable JPEG frames labeled
+    'avi' — the byte-chunk fake no longer touches MJPEG video."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.media_codecs import (
+        avi_encode,
+        jpeg_decode,
+    )
+    from gluestick_ts_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_media_features,
+        probe_media_metadata,
+        sample_frames,
+    )
+
+    def frame(i):
+        return [((i * 31 + x * 29) % 256, (i * 7 + y * 43) % 256,
+                 (x * y + i) % 256) for y in range(8) for x in range(8)]
+
+    avi = avi_encode(8, 8, [frame(0), frame(1)], fps=4)
+    df = spark.createDataFrame([(1, avi), (2, b"not media")],
+                               "doc_id long, content binary")
+    meta = {
+        r.doc_id: r.media_meta
+        for r in probe_media_metadata(
+            attach_media_metadata(df, media_type="video", fmt="bin")
+        ).collect()
+    }
+    assert meta[1]["media_type"] == "video" and meta[1]["format"] == "avi"
+    assert (meta[1]["width"], meta[1]["height"]) == (8, 8)
+    assert meta[1]["duration_ms"] == 2 * 1000 // 4
+    assert meta[2]["format"] == "bin"  # unsniffable keeps caller metadata
+
+    feats = {
+        r.doc_id: r.decoder
+        for r in extract_media_features(df, n_features=8).collect()
+    }
+    assert feats == {1: "avi", 2: "fake"}
+
+    rows = sample_frames(
+        df, n_frames=2, provenance_col="sampler"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.sampler for r in by_doc[1]] == ["avi", "avi"]
+    w, h, px = jpeg_decode(by_doc[1][1].frame)
+    assert (w, h) == (8, 8) and len(px) == 64
+    assert all(r.sampler == "fake" for r in by_doc[2])
+
+
 # -- GIF (round 10) -----------------------------------------------------------
 
 def test_gif_roundtrip_lossless_and_sniff():

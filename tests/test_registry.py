@@ -38,6 +38,8 @@ def test_mm_synth_payload_deterministic_and_format_cycled():
         expect = {0: "bmp", 1: "wav", 2: "png", 3: "jpeg"}[i % 4]
         if i % 20 == 10:
             expect = "gif"  # the GIF slot rides the png quarter
+        if i % 20 == 13:
+            expect = "avi"  # round 11: the VIDEO slot rides the wav quarter
         assert sniff_format(p1) == expect
 
 
@@ -94,6 +96,7 @@ MODULE_REACH = {
     "operators.imagehash": (_Q, ["multimodal_features"]),  # phash part + cols
     "operators.jpeg_codec": (_Q, ["multimodal_features"]),  # jpeg quarter
     "operators.gif_codec": (_Q, ["multimodal_features"]),  # gif slots
+    "operators.avi_codec": (_Q, ["multimodal_features"]),  # video slots (r11)
     "operators.linkage": (_Q, ["semi_anti_join_customers"]),  # fuzzy part
     "operators.media_codecs": (_Q, ["multimodal_features"]),
     "operators.ml": (_Q, ["approx_distinct_users"]),  # auc/auc_lang parts
