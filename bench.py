@@ -55,7 +55,10 @@ LICENSE/COPYRIGHT screen as a ninth oracle-checked drop-reason stage
 shuffle), and the query now has per-stage ``parts`` attribution
 (url/license/dup/gopher/quality/adaptive/contam/logprob —
 stage-restricted builders, each timing ONE stage's marginal pipeline
-over the base scan).
+over the base scan). ``multimodal_features``' feat leg gained two more
+hash columns in the SAME single decode pass (temporal video vhash +
+Haitsma-Kalker audio spechash — per-payload arithmetic only, no new
+decode, no new shuffle), so any movement there is hash math, not plan.
 
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm

@@ -9,6 +9,11 @@ is a scale-extension surface like ``multimodal.py``).
   maps), so a hash is bit-identical on every platform and can embed as
   a SQL literal for DuckDB oracles — the ``_mm_synth_payload``
   pattern.
+- ``vhash_of_payload`` / ``spechash_of_payload`` (round 11): the video
+  and spectral-audio members — frame-majority dHash over the sampled
+  frames of an MJPEG-AVI / animated GIF, and the Haitsma-Kalker
+  energy-difference fingerprint (volume-invariant, the
+  loudness-normalized-re-upload complement to ``wavhash``).
 - ``image_dhash``: the distributed column — Arrow ``mapInPandas``
   batches, one decode per payload, NULL for undecodable/non-image
   payloads (the labeled-fake philosophy of ``multimodal.py``: a mixed
@@ -56,6 +61,8 @@ __all__ = [
     "ahash_of_payload",
     "wavhash_of_payload",
     "rot_min_dhash_of_payload",
+    "vhash_of_payload",
+    "spechash_of_payload",
     "image_dhash",
     "media_hashes",
     "hamming_neardup_pairs",
@@ -68,8 +75,9 @@ __all__ = [
 def _gray_grid(payload: bytes, out_w: int, out_h: int) -> list[list[int]] | None:
     """Decode a BMP/PNG/JPEG/GIF payload and nearest-neighbor-resize its
     integer luma plane to ``out_w x out_h``. None when the payload is
-    not a decodable image (incl. progressive JPEG — out of the
-    baseline decoder's scope, documented in ``jpeg_codec``)."""
+    not a decodable image. JPEG covers baseline AND progressive (SOF2)
+    since round 11, with EXIF orientation normalized upright before
+    hashing (``jpeg_codec``)."""
     fmt = sniff_format(payload)
     decoder = IMAGE_DECODERS.get(fmt)
     if decoder is None:
@@ -253,6 +261,134 @@ def wavhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
     for i in range(hash_size * hash_size):
         if energies[i] > energies[i + 1]:
             v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def vhash_of_payload(
+    payload: bytes | None, n_frames: int = 5, hash_size: int = 8
+) -> int | None:
+    """64-bit temporal VIDEO hash: dHash the first ``n_frames`` sampled
+    frames (MJPEG-AVI demux / animated-GIF compose — the containers
+    ``sample_frames`` already handles), then bitwise STRICT-MAJORITY
+    vote across the frame hashes (bit set iff set in > half the
+    frames). The video twin of ``dhash_of_payload``: a re-muxed /
+    fps-retagged copy (same frames, different container metadata)
+    hashes identically; a lossy per-frame re-encode lands at small
+    Hamming distance (each bit flips only if it flips in a majority of
+    frames — strictly more stable than any single frame's dHash); a
+    single corrupted or swapped frame among >= 3 moves nothing unless
+    it tips a majority. A still GIF degenerates to its one frame's
+    dHash. Integer-exact and SQL-literal-embeddable like the family.
+    None for non-video containers (images fill ``dhash``, audio
+    ``wavhash`` — the NULL-pattern tells the modality) and for
+    undecodable payloads. Cost is bounded by ``n_frames`` — later
+    frames of a long video are never decoded."""
+    if payload is None:
+        return None
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+    fmt = sniff_format(payload)
+    try:
+        if fmt == "avi":
+            from .avi_codec import avi_frames
+
+            frames = avi_frames(payload, n_frames)
+        elif fmt == "gif":
+            from .media_codecs import gif_frames
+
+            frames = gif_frames(payload, n_frames)
+        else:
+            return None
+    except ValueError:
+        return None
+    ones = [0] * (hash_size * hash_size)
+    n = 0
+    for frame in frames:
+        h = dhash_of_payload(frame, hash_size)
+        if h is None:
+            continue
+        h &= (1 << 64) - 1
+        n += 1
+        for i in range(hash_size * hash_size):
+            if h >> i & 1:
+                ones[i] += 1
+    if n == 0:
+        return None
+    v = 0
+    for i, c in enumerate(ones):
+        if 2 * c > n:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def spechash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
+    """64-bit SPECTRAL audio fingerprint — the Haitsma-Kalker (ISMIR
+    2002, "A Highly Robust Audio Fingerprint System") energy-difference
+    scheme sized to one word: split the downmixed signal into
+    ``hash_size + 1`` equal time windows and each window's FFT power
+    spectrum (DC excluded) into ``hash_size + 1`` equal bands, then
+    bit ``t*hash_size + b`` = sign of the time-and-band double
+    difference ``(E[t+1][b] - E[t+1][b+1]) - (E[t][b] - E[t][b+1])``.
+
+    Every bit compares energy DIFFERENCES, so a uniform gain scales
+    all terms by gain^2 and flips nothing — invariance BY CONSTRUCTION
+    (sign of a difference-of-differences is scale-invariant), where
+    ``wavhash_of_payload``'s gain tolerance is incidental (its
+    window-energy comparisons survive gain but near-tie windows flip
+    under the requantization a real loudness-normalized re-encode
+    applies). And spechash reads FREQUENCY structure, which the pure
+    time-envelope wavhash has no principled view of — together they
+    cover the two re-upload axes a curation pipeline actually sees.
+    A transposed melody still differs, which is the right sensitivity
+    for near-dup detection, not genre matching.
+
+    None for non-WAV/undecodable payloads and for clips too short to
+    fill the grid (each window must yield > ``hash_size`` usable FFT
+    bins — under ~0.02 s at 8 kHz). float64 numpy throughout: the
+    hash is deterministic for a given numpy build, which is the
+    oracle's situation (driver and workers share one env); it is NOT
+    cross-platform bit-pinned like the integer family, so durable
+    stores of spechashes are coupled to the numpy build the way image
+    hashes are coupled to the codec version (module docstring)."""
+    import numpy as np
+
+    if payload is None or sniff_format(payload) != "wav":
+        return None
+    from .media_codecs import wav_decode
+
+    try:
+        _rate, nch, _nf, samples = wav_decode(payload)
+    except ValueError:
+        return None
+    if nch < 1 or not samples:
+        return None
+    sig = np.asarray(samples, dtype=np.float64)
+    if nch > 1:
+        sig = sig[: len(sig) // nch * nch].reshape(-1, nch).mean(axis=1)
+    n_win = hash_size + 1
+    n_bands = hash_size + 1
+    count = len(sig)
+    win_len = count // n_win
+    # each window needs > hash_size usable (non-DC) rfft bins so every
+    # band holds >= 1 bin: len//2 usable bins for a length-L window
+    if win_len // 2 < n_bands:
+        return None
+    bounds = (np.arange(n_win + 1, dtype=np.int64) * count) // n_win
+    energies = np.empty((n_win, n_bands), dtype=np.float64)
+    for t in range(n_win):
+        spec = np.abs(np.fft.rfft(sig[bounds[t] : bounds[t + 1]])) ** 2
+        usable = spec[1:]  # drop DC: a level shift is not content
+        edges = (np.arange(n_bands + 1, dtype=np.int64) * len(usable)) // n_bands
+        csum = np.concatenate(([0.0], np.cumsum(usable)))
+        energies[t] = csum[edges[1:]] - csum[edges[:-1]]
+    v = 0
+    for t in range(hash_size):
+        for b in range(hash_size):
+            d = (energies[t + 1, b] - energies[t + 1, b + 1]) - (
+                energies[t, b] - energies[t, b + 1]
+            )
+            if d > 0:
+                v |= 1 << (t * hash_size + b)
     return v - (1 << 64) if v >= 1 << 63 else v
 
 

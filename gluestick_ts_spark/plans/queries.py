@@ -2916,8 +2916,11 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     family (dHash + aHash + wavhash, round 10; round 11 adds the
     rotation-canonical rothash — min over the four right-angle
     rotations, the untagged-rotation complement to EXIF
-    normalization) in the one decode pass; image rows fill
-    dhash/ahash/rothash (wavhash NULL), WAVs fill wavhash.
+    normalization — plus the temporal video vhash (frame-majority
+    dHash over the AVI/GIF sampled frames) and the Haitsma-Kalker
+    gain-invariant audio spechash) in the one decode pass; image rows
+    fill dhash/ahash/rothash (wavhash/vhash/spechash NULL per
+    modality), WAVs fill wavhash+spechash, videos fill vhash.
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
     planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
@@ -2939,6 +2942,8 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         hamming_neardup_pairs,
         image_dhash,
         rot_min_dhash_of_payload,
+        spechash_of_payload,
+        vhash_of_payload,
         wavhash_of_payload,
     )
     from ..operators.multimodal import probe_media_metadata
@@ -2976,6 +2981,13 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
                 # right-angle rotations) — catches UNTAGGED rotated
                 # re-uploads the EXIF normalization can't see
                 "rothash": rot_min_dhash_of_payload,
+                # round 11: the video + spectral-audio members — frame-
+                # majority dHash over the AVI/GIF sampled frames, and
+                # the Haitsma-Kalker gain-invariant audio fingerprint;
+                # video rows fill vhash (dhash NULL), WAVs fill
+                # wavhash+spechash
+                "vhash": vhash_of_payload,
+                "spechash": spechash_of_payload,
             },
         )
         legs.append(out.select(
@@ -2996,6 +3008,8 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             "ahash",
             "wavhash",
             "rothash",
+            "vhash",
+            "spechash",
             _null("long").alias("pair_id"),
             _null("long").alias("hamming"),
         ))
@@ -3028,6 +3042,8 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
             _null("long").alias("ahash"),
             _null("long").alias("wavhash"),
             _null("long").alias("rothash"),
+            _null("long").alias("vhash"),
+            _null("long").alias("spechash"),
             F.col("id_b").alias("pair_id"),
             "hamming",
         ))
@@ -4171,6 +4187,8 @@ def _mm_features_values() -> str:
         ahash_of_payload,
         dhash_of_payload,
         rot_min_dhash_of_payload,
+        spechash_of_payload,
+        vhash_of_payload,
         wavhash_of_payload,
     )
     from ..operators.media_codecs import IMAGE_DECODERS, sniff_format
@@ -4202,6 +4220,8 @@ def _mm_features_values() -> str:
         ah = ahash_of_payload(payload)
         wh = wavhash_of_payload(payload)
         rh = rot_min_dhash_of_payload(payload)
+        vh = vhash_of_payload(payload)
+        sh = spechash_of_payload(payload)
         # string->DOUBLE cast: a bare decimal literal in VALUES would be
         # typed DECIMAL and lose the 1-ulp exactness repr() guarantees
         rows.append(
@@ -4211,7 +4231,9 @@ def _mm_features_values() -> str:
             f"{'NULL' if dh is None else dh}, "
             f"{'NULL' if ah is None else ah}, "
             f"{'NULL' if wh is None else wh}, "
-            f"{'NULL' if rh is None else rh})"
+            f"{'NULL' if rh is None else rh}, "
+            f"{'NULL' if vh is None else vh}, "
+            f"{'NULL' if sh is None else sh})"
         )
     return ", ".join(rows)
 
@@ -4225,7 +4247,7 @@ def _mm_phash_values() -> str:
 
 
 _MM_FEATURES_ORACLE = (
-    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh, rh) "
+    "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh, rh, vh, sh) "
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
@@ -4234,6 +4256,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(e.size_bytes AS BIGINT) AS size_bytes, e.decoder, e.f0, e.f1, "
     "CAST(e.dh AS BIGINT) AS dhash, CAST(e.ah AS BIGINT) AS ahash, "
     "CAST(e.wh AS BIGINT) AS wavhash, CAST(e.rh AS BIGINT) AS rothash, "
+    "CAST(e.vh AS BIGINT) AS vhash, CAST(e.sh AS BIGINT) AS spechash, "
     "CAST(NULL AS BIGINT) AS pair_id, CAST(NULL AS BIGINT) AS hamming "
     "FROM exp e JOIN documents d ON d.doc_id = e.doc_id), "
     # brute-force quadratic Hamming over the literal hashes — equals
@@ -4250,6 +4273,7 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
     "CAST(NULL AS BIGINT) AS ahash, CAST(NULL AS BIGINT) AS wavhash, "
     "CAST(NULL AS BIGINT) AS rothash, "
+    "CAST(NULL AS BIGINT) AS vhash, CAST(NULL AS BIGINT) AS spechash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
     "FROM pp WHERE ham <= 6) "
     "SELECT * FROM feat UNION ALL SELECT * FROM ph"

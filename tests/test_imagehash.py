@@ -563,3 +563,147 @@ def test_jpeg_cross_codec_neardup(spark):
     # media_dedup keeps one survivor per cross-codec cluster
     surv = media_dedup(image_dhash(df), "doc_id", "dhash", max_hamming=6)
     assert {r.doc_id for r in surv.collect()} == {2 * g for g in range(6)}
+
+
+def test_vhash_temporal_properties():
+    """vhash (round 11): container-metadata invariance, strict-majority
+    single-frame tolerance, still-GIF degeneration, modality NULLs."""
+    from gluestick_ts_spark.operators.imagehash import vhash_of_payload
+    from gluestick_ts_spark.operators.media_codecs import avi_encode, gif_encode
+
+    def frame(seed, k):
+        return [
+            ((seed * 31 + k * 11 + x * 29) % 256, (seed * 7 + y * 43) % 256,
+             (x * y + seed + k) % 256)
+            for y in range(8)
+            for x in range(8)
+        ]
+
+    frames = [frame(5, k) for k in range(5)]
+    v = vhash_of_payload(avi_encode(8, 8, frames, fps=4))
+    assert v is not None
+    # re-mux at a different fps: same frames, same hash (a container
+    # retag must not defeat video dedup)
+    assert vhash_of_payload(avi_encode(8, 8, frames, fps=30)) == v
+    # replacing ONE frame of five flips a bit only where it tips a
+    # strict majority — with 4/5 frames intact no bit's majority can
+    # flip unless the vote was already 3-2, so distance stays small
+    swapped = frames[:4] + [frame(99, 0)]
+    v2 = vhash_of_payload(avi_encode(8, 8, swapped, fps=4))
+    ham = bin((v ^ v2) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16, ham
+    # a still GIF is a 1-frame video: vhash degenerates to the frame's
+    # dHash (composed-frame PNG pixels == the GIF pixels)
+    px = [((k * 37) % 256,) * 3 for k in range(64)]
+    g = gif_encode(8, 8, px)
+    assert vhash_of_payload(g) == dhash_of_payload(g)
+    # modality NULLs: images/audio/garbage are not videos
+    assert vhash_of_payload(_gray_bmp([128] * 64)) is None
+    assert vhash_of_payload(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+    assert vhash_of_payload(None) is None
+    with pytest.raises(ValueError, match="n_frames"):
+        vhash_of_payload(b"x", n_frames=0)
+
+
+def _pcm_wav(vals, rate=8000, nch=1):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+    return buf.getvalue()
+
+
+def test_spechash_gain_invariance_and_sensitivity():
+    """spechash (round 11): Haitsma-Kalker energy-difference bits are
+    EXACTLY gain-invariant (sign of a difference-of-differences is
+    scale-invariant; a power-of-two integer gain is also float-exact),
+    frequency-sensitive, and NULL off-modality / under-length."""
+    import math
+
+    from gluestick_ts_spark.operators.imagehash import (
+        spechash_of_payload,
+        wavhash_of_payload,
+    )
+
+    # base samples forced to multiples of 4 so the /4 gain is integer-
+    # exact end to end (no requantization noise in the invariance pin)
+    base = [
+        int(0.8 * 32767 * math.sin(2 * math.pi * 440.0 * t / 8000)) // 4 * 4
+        for t in range(400)
+    ]
+    h = spechash_of_payload(_pcm_wav(base))
+    assert h is not None
+    assert spechash_of_payload(_pcm_wav([v // 4 for v in base])) == h
+    # inexact gain (x0.3 at synthesis): robust in practice — the sine's
+    # band structure keeps every double-difference far from zero
+    scaled = [
+        int(0.3 * 0.8 * 32767 * math.sin(2 * math.pi * 440.0 * t / 8000))
+        for t in range(400)
+    ]
+    ham = bin((h ^ spechash_of_payload(_pcm_wav(scaled))) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4, ham
+    # frequency content changes the fingerprint (wavhash's blind spot
+    # is spechash's whole job)
+    other = [
+        int(0.8 * 32767 * math.sin(2 * math.pi * 1200.0 * t / 8000)) // 4 * 4
+        for t in range(400)
+    ]
+    assert spechash_of_payload(_pcm_wav(other)) != h
+    # stereo downmixes (two identical channels == the mono signal)
+    stereo = [v for v in base for _ in range(2)]
+    assert spechash_of_payload(_pcm_wav(stereo, nch=2)) == h
+    # too short to fill the (hash_size+1)^2 energy grid -> None
+    assert spechash_of_payload(_pcm_wav(base[:40])) is None
+    # off-modality / garbage -> None
+    assert spechash_of_payload(_gray_bmp([128] * 64)) is None
+    assert spechash_of_payload(b"junk") is None
+    assert spechash_of_payload(None) is None
+    # and the amplitude hash remains a DIFFERENT function (envelope
+    # view): same clip, different word
+    assert wavhash_of_payload(_pcm_wav(base)) != h
+
+
+def test_vhash_spechash_distributed_columns(spark):
+    """The new family members ride the one shared Arrow mapper with the
+    single-arg convention; modality NULL pattern holds distributed."""
+    from gluestick_ts_spark.operators.imagehash import (
+        media_hashes,
+        spechash_of_payload,
+        vhash_of_payload,
+    )
+    from gluestick_ts_spark.operators.media_codecs import avi_encode
+
+    import math
+
+    frames = [
+        [((k * 31 + x) % 256, (y * 43) % 256, (x * y + k) % 256)
+         for y in range(8) for x in range(8)]
+        for k in range(2)
+    ]
+    wav = _pcm_wav(
+        [int(0.5 * 32767 * math.sin(2 * math.pi * 300.0 * t / 8000))
+         for t in range(300)]
+    )
+    rows = [
+        (0, avi_encode(8, 8, frames, fps=4)),
+        (1, wav),
+        (2, _gray_bmp([128] * 64)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r.doc_id: (r.vhash, r.spechash)
+        for r in media_hashes(
+            df, columns={"vhash": vhash_of_payload, "spechash": spechash_of_payload}
+        ).collect()
+    }
+    assert out[0] == (vhash_of_payload(rows[0][1]), None)
+    assert out[1] == (None, spechash_of_payload(wav))
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
