@@ -152,6 +152,10 @@ MODULE_REACH = {
                                     "q1_pricing_summary"]),  # every _t() scan
     "sources.reader": (_X, "reference Reader (csv/parquet/catalog); "
         "end-to-end example replays in tests/test_examples_replay.py"),
+    "sources.warc": (_X, "crawl-container source (WARC/1.1 + HTTP split); "
+        "fixture round-trips + distributed binaryFile reads in "
+        "tests/test_warc.py — a source, like sources.reader, has no "
+        "single-relation oracle surface"),
     # streaming/
     "streaming.incremental": (_X, "foreachBatch twins of registry-reached "
         "batch operators; crash-replay pytest suite "

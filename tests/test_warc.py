@@ -1,0 +1,207 @@
+"""WARC crawl-container source (sources/warc.py): fixture round-trips
+for every container layout (plain / per-record gzip / whole-file gzip),
+HTTP framing (chunked + content-encoding), charset resolution, the
+labeled-_error corruption contract, and the distributed binaryFile
+read incl. the text-only projection a curation pipeline uses."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.sources.warc import (
+    http_text_of,
+    parse_http_response,
+    parse_warc_records,
+    read_warc,
+    warc_encode,
+)
+
+
+def _chunked(b: bytes, n: int = 7) -> bytes:
+    out = []
+    for i in range(0, len(b), n):
+        c = b[i : i + n]
+        out.append(f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n")
+    return b"".join(out) + b"0\r\n\r\n"
+
+
+def _http(body: bytes, ct: str = "text/html", extra: bytes = b"") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ct.encode() + b"\r\n" + extra
+        + b"\r\n" + body
+    )
+
+
+_HTML = (
+    "<html><head><meta charset=iso-8859-1></head>"
+    "<body>caf\xe9 crawl page</body></html>"
+).encode("iso-8859-1")
+
+
+def _capture(url: str, body: bytes) -> dict:
+    return {
+        "warc_type": "response",
+        "url": url,
+        "content_type": "application/http; msgtype=response",
+        "body": body,
+    }
+
+
+def _fixture_records() -> list[dict]:
+    return [
+        {"warc_type": "warcinfo", "content_type": "application/warc-fields",
+         "body": b"software: fixture\r\n"},
+        {"warc_type": "request", "url": "http://a.example/",
+         "content_type": "application/http; msgtype=request",
+         "body": b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n"},
+        _capture("http://a.example/", _http(_HTML)),
+        _capture(
+            "http://b.example/x",
+            _http(
+                _chunked(gzip.compress(_HTML)),
+                ct="text/html; charset=ISO-8859-1",
+                extra=b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+            ),
+        ),
+        {"warc_type": "metadata", "url": "http://a.example/",
+         "content_type": "application/warc-fields",
+         "body": b"fetchTimeMs: 12\r\n"},
+    ]
+
+
+def test_roundtrip_all_three_layouts():
+    recs = _fixture_records()
+    plain = warc_encode(recs, per_record_gzip=False)
+    layouts = {
+        "plain": plain,
+        "per_record_gzip": warc_encode(recs, per_record_gzip=True),
+        "whole_file_gzip": gzip.compress(plain),
+    }
+    for name, data in layouts.items():
+        got = list(parse_warc_records(data))
+        assert [r["warc_type"] for r in got] == [
+            "warcinfo", "request", "response", "response", "metadata",
+        ], name
+        assert got[2]["url"] == "http://a.example/"
+        assert got[2]["record_id"] == "<urn:uuid:rec-00000002>"
+        assert not any(r["warc_type"] == "_error" for r in got), name
+    # the fixture writer is byte-deterministic (mtime pinned)
+    assert warc_encode(recs) == warc_encode(recs)
+
+
+def test_http_split_chunked_gzip_and_charsets():
+    recs = _fixture_records()
+    got = list(parse_warc_records(warc_encode(recs)))
+    # straight capture
+    s, h, b = parse_http_response(got[2]["body"])
+    assert (s, b) == (200, _HTML)
+    # chunked + gzip capture reassembles to the identical document
+    s2, h2, b2 = parse_http_response(got[3]["body"])
+    assert (s2, b2) == (200, _HTML)
+    # charset from the HTTP header param
+    assert "café crawl page" in http_text_of(b2, h2["content-type"])
+    # charset from the <meta> sniff when the header is silent
+    assert "café crawl page" in http_text_of(b, "text/html")
+    # non-text content types stay binary
+    assert http_text_of(b"\x89PNG....", "image/png") is None
+    # charset lies fall through to lossy latin-1, never an exception
+    bad = "ünïcode".encode("utf-16")
+    assert http_text_of(bad, "text/plain; charset=utf-8") is not None
+    # max_chars caps
+    assert http_text_of(b"x" * 100, "text/plain", max_chars=10) == "x" * 10
+
+
+def test_http_split_tolerates_framing_lies():
+    # declared chunked but not actually chunked: raw bytes come back
+    lying = _http(b"not chunked at all",
+                  extra=b"Transfer-Encoding: chunked\r\n")
+    s, _h, b = parse_http_response(lying)
+    assert s == 200 and b == b"not chunked at all"
+    # declared gzip but plain: raw bytes come back
+    lying2 = _http(b"plain body", extra=b"Content-Encoding: gzip\r\n")
+    assert parse_http_response(lying2)[2] == b"plain body"
+    # raw-deflate servers (zlib-header-less) still decode
+    import zlib as _z
+    co = _z.compressobj(wbits=-15)
+    raw_deflate = co.compress(b"deflated!") + co.flush()
+    ok = _http(raw_deflate, extra=b"Content-Encoding: deflate\r\n")
+    assert parse_http_response(ok)[2] == b"deflated!"
+    # a non-HTTP payload (resource record) passes through untouched
+    assert parse_http_response(b"just bytes") == (None, {}, b"just bytes")
+
+
+def test_corruption_is_labeled_not_fatal():
+    recs = _fixture_records()
+    plain = warc_encode(recs, per_record_gzip=False)
+    cut = plain[:-60]  # chop into the final record
+    got = list(parse_warc_records(cut))
+    assert got[-1]["warc_type"] == "_error" and got[-1]["error"]
+    assert [r["warc_type"] for r in got[:-1]] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    # garbage container: one _error row, nothing else
+    only = list(parse_warc_records(b"this is not a warc"))
+    assert [r["warc_type"] for r in only] == ["_error"]
+    # corrupt gzip member: same contract
+    broken = warc_encode(recs)[:-20]
+    assert list(parse_warc_records(broken))[-1]["warc_type"] == "_error"
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    (wdir / "seg-0.warc.gz").write_bytes(warc_encode(_fixture_records()))
+    (wdir / "seg-1.warc").write_bytes(
+        warc_encode(
+            [_capture(f"http://c.example/{i}", _http(_HTML)) for i in range(3)],
+            per_record_gzip=False,
+        )
+    )
+    df = read_warc(spark, str(wdir))
+    rows = df.collect()
+    # responses only by default; both container files contribute
+    assert sorted(r.url for r in rows) == [
+        "http://a.example/", "http://b.example/x",
+        "http://c.example/0", "http://c.example/1", "http://c.example/2",
+    ]
+    by_url = {r.url: r for r in rows}
+    a = by_url["http://a.example/"]
+    assert a.http_status == 200
+    assert bytes(a.payload) == _HTML
+    assert "café crawl page" in a.text
+    assert a.error is None and a.truncated is False
+    # the chunked+gzip capture decoded identically
+    assert bytes(by_url["http://b.example/x"].payload) == _HTML
+    # record_types widens the selection
+    n_meta = read_warc(spark, str(wdir), record_types=("metadata",)).count()
+    assert n_meta == 1
+    with pytest.raises(ValueError, match="record_types"):
+        read_warc(spark, str(wdir), record_types=())
+
+
+def test_read_warc_caps_corruption_and_projection(spark, tmp_path):
+    wdir = tmp_path / "crawl2"
+    wdir.mkdir()
+    big = _capture("http://big.example/", _http(b"B" * 4096, ct="text/plain"))
+    (wdir / "good.warc").write_bytes(warc_encode([big], per_record_gzip=False))
+    (wdir / "bad.warc").write_bytes(b"WARC/1.1\r\nbroken")
+    df = read_warc(
+        spark, str(wdir), max_payload_bytes=1024, emit_payload=False
+    )
+    rows = {r.warc_type: r for r in df.collect()}
+    # the oversized body truncated at the cap, payload projected away,
+    # text still derived from the capped bytes
+    r = rows["response"]
+    assert r.truncated is True and r.payload is None
+    assert r.text == "B" * 1024
+    # the corrupt sibling file became one labeled row, not a job failure
+    e = rows["_error"]
+    assert e.error and e.url is None
+    # curation-style text-only read composes with engine expressions
+    clean = df.where(F.col("error").isNull()).select(
+        "url", F.length("text").alias("n")
+    )
+    assert clean.collect()[0].n == 1024
