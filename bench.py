@@ -59,6 +59,12 @@ over the base scan). ``multimodal_features``' feat leg gained two more
 hash columns in the SAME single decode pass (temporal video vhash +
 Haitsma-Kalker audio spechash — per-payload arithmetic only, no new
 decode, no new shuffle), so any movement there is hash math, not plan.
+``text_stats`` gained the jusText main-content extraction columns
+(main_text/block_classes over a deterministic boilerplate wrapper):
+measured composition cost ~2.4 -> ~3.5 s warm at sf0.1 (block structs
+staged once per doc via the query's SPARK-36718 level projections —
+the naive single-expression form re-derived them ~5x for 11+ s and
+was rejected).
 
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm

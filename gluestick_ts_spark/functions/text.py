@@ -40,6 +40,9 @@ __all__ = [
     "c4_line_rules_expr",
     "license_flags_expr",
     "license_flags_sql",
+    "main_text_expr",
+    "block_classes_expr",
+    "justext_sql",
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
@@ -840,3 +843,217 @@ def license_flags_sql(col: str) -> dict[str, str]:
         "license_name": name,
         "license_ok": f"(NOT ({rr} OR ({hc} AND {name} IS NULL)))",
     }
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (jusText-style, Pomikálek 2011): block-level
+# boilerplate removal — the real-curation upgrade over the whole-page
+# strip_html_expr, which keeps nav/footer/cookie-bar text glued to the
+# content. Shared constants drive BOTH the Spark expression and the
+# generated DuckDB restatement (the license_flags_sql / PSL pattern:
+# one rule source, two dialects, provably no drift).
+# ---------------------------------------------------------------------------
+
+# block-level HTML elements: a tag open/close of any of these ends the
+# current text block (inline tags — <a>, <b>, <span> — do NOT split)
+_JT_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|"
+    r"blockquote|pre|article|section|header|footer|nav|aside|figure|"
+    r"figcaption|form|fieldset|main|hr|br)\b[^>]*>"
+)
+_JT_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+# integer-exact thresholds (hash-stable across engines): a block is
+# boilerplate when anchor text is > 1/3 of its text (3*alen > n), and
+# content when it is >= min_len chars with a stopword share >=
+# stop_tenths/10 (10*nstop >= stop_tenths*nw) — the jusText defaults
+# quantized to integers; stop_tenths is TUNABLE like jusText's
+# stopword-density params (an 18-word stopword list undercounts real
+# jusText lists ~10x, so corpora scored with it sit lower)
+_JT_MIN_LEN = 80
+_JT_STOP_TENTHS = 3
+
+
+def main_text_expr(
+    html: Column | str,
+    min_len: int = _JT_MIN_LEN,
+    stop_tenths: int = _JT_STOP_TENTHS,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> Column:
+    """Extracted MAIN content of an HTML document — jusText-style
+    block classification (Pomikálek 2011, simplified), entirely in-row
+    Column algebra (map-only at any corpus size, no UDF):
+
+    1. split at block-level tags (inline markup stays inside blocks);
+    2. per block: strip tags/entities, then classify on integer-exact
+       stats — ``bad`` when anchor text exceeds 1/3 of the block's
+       text (nav bars, footers, related-links), ``good`` when >=
+       ``min_len`` chars with a >= 3/10 stopword share (prose),
+       ``short`` otherwise;
+    3. one context pass: a ``short`` block becomes ``good`` when an
+       adjacent block classified ``good`` in pass 2 (captions and
+       single-sentence paragraphs ride their surrounding prose) —
+       ONE bounded pass, not jusText's fixpoint iteration, documented
+       simplification;
+    4. the ``good`` blocks' text joined with single spaces.
+
+    Empty blocks (pure markup) are dropped before classification so
+    adjacency means VISIBLE adjacency. Returns '' when nothing
+    classifies good. The DuckDB twin ``justext_sql`` is generated from
+    the same constants."""
+    st = _jt_structs(html, stopwords)
+    fin = _jt_final_classes(st, min_len, stop_tenths)
+    kept = F.filter(
+        F.zip_with(st, fin, lambda s, c: F.when(c == "good", s["txt"])),
+        lambda t: t.isNotNull(),
+    )
+    return F.array_join(kept, " ")
+
+
+def block_classes_expr(
+    html: Column | str,
+    min_len: int = _JT_MIN_LEN,
+    stop_tenths: int = _JT_STOP_TENTHS,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> Column:
+    """The per-block verdicts behind :func:`main_text_expr`, joined
+    ``','`` in document order ('' for a blockless/markup-only doc) —
+    the drop-reason-attribution companion (WHY did text vanish), and
+    what the oracle pins class-by-class."""
+    fin = _jt_final_classes(_jt_structs(html, stopwords), min_len, stop_tenths)
+    return F.array_join(fin, ",")
+
+
+def _jt_structs(html: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """array<struct<txt,n,alen,nw,nstop>> of NON-EMPTY blocks."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+
+    def mk(b: Column) -> Column:
+        txt = strip_html_expr(b)
+        astr = strip_html_expr(
+            F.array_join(F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " ")
+        )
+        words = F.split(txt, r"\s+")
+        return F.struct(
+            txt.alias("txt"),
+            F.length(txt).alias("n"),
+            F.length(astr).alias("alen"),
+            F.size(words).alias("nw"),
+            F.size(
+                F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))
+            ).alias("nstop"),
+        )
+
+    blocks = F.split(_col(html), _JT_BLOCK_SPLIT, -1)
+    return F.filter(F.transform(blocks, mk), lambda s: s["n"] > 0)
+
+
+def _jt_classify(st: Column, min_len: int, stop_tenths: int) -> Column:
+    """Pass-2 per-block classes from the stats structs."""
+    return F.transform(
+        st,
+        lambda s: F.when(3 * s["alen"] > s["n"], F.lit("bad"))
+        .when(
+            (s["n"] >= F.lit(int(min_len)))
+            & (10 * s["nstop"] >= F.lit(int(stop_tenths)) * s["nw"]),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("short")),
+    )
+
+
+def _jt_context(cls: Column) -> Column:
+    """Pass-3 context inheritance. Reads PASS-2 classes (cls), so the
+    result is one parallel step, independent of evaluation order —
+    not a fixpoint."""
+    return F.transform(
+        cls,
+        lambda c, i: F.when(c != "short", c).otherwise(
+            F.when(
+                (
+                    F.coalesce(
+                        F.when(i >= 1, F.try_element_at(cls, i)), F.lit("")
+                    )
+                    == "good"
+                )
+                | (F.coalesce(F.try_element_at(cls, i + 2), F.lit("")) == "good"),
+                F.lit("good"),
+            ).otherwise(F.lit("short"))
+        ),
+    )
+
+
+def _jt_final_classes(st: Column, min_len: int, stop_tenths: int) -> Column:
+    return _jt_context(_jt_classify(st, min_len, stop_tenths))
+
+
+def _jt_strip_sql(x: str) -> str:
+    """DuckDB scalar restatement of strip_html_expr's chain."""
+    out = f"regexp_replace({x}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{rep.replace(chr(39), chr(39)*2)}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def justext_sql(
+    html_sql: str,
+    min_len: int = _JT_MIN_LEN,
+    stop_tenths: int = _JT_STOP_TENTHS,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> dict[str, str]:
+    """DuckDB scalar restatements of :func:`main_text_expr` /
+    :func:`block_classes_expr`, GENERATED from the same block-split /
+    anchor regexes, entity table, stopword list, and integer
+    thresholds the Spark expressions compile from — fragments keyed
+    ``main_text`` and ``block_classes`` over the HTML-string SQL
+    expression ``html_sql``. Index math uses DuckDB's NULL-on-
+    out-of-range list indexing where Spark needs try_element_at —
+    same values, dialect-local safety."""
+    sw = "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
+    anchor = _JT_ANCHOR.replace("'", "''")
+    split = _JT_BLOCK_SPLIT.replace("'", "''")
+    words = f"regexp_split_to_array(s.txt, '\\s+')"
+    st = (
+        f"list_filter(list_transform(regexp_split_to_array({html_sql}, "
+        f"'{split}'), b -> struct_pack("
+        f"txt := {_jt_strip_sql('b')}, "
+        f"alen := length({_jt_strip_sql(_q_anchor_join('b', anchor))}))), "
+        "s -> length(s.txt) > 0)"
+    )
+    # classify in a second list_transform so per-block stats derive
+    # from the struct once (mirrors the Spark struct projection)
+    cls = (
+        f"list_transform({st}, s -> CASE "
+        "WHEN 3 * s.alen > length(s.txt) THEN 'bad' "
+        f"WHEN length(s.txt) >= {int(min_len)} AND "
+        f"10 * len(list_filter({words}, w -> list_contains({sw}, lower(w)))) "
+        f">= {int(stop_tenths)} * len({words}) THEN 'good' "
+        "ELSE 'short' END)"
+    )
+    fin = (
+        f"(SELECT CASE WHEN len(c) = 0 THEN [] ELSE "
+        "list_transform(range(1, len(c) + 1), i -> "
+        "CASE WHEN c[i] != 'short' THEN c[i] "
+        "WHEN c[i-1] = 'good' OR c[i+1] = 'good' THEN 'good' "
+        f"ELSE 'short' END) END FROM (SELECT {cls} AS c) __jc)"
+    )
+    # coalesce: DuckDB's array_to_string is NULL on an EMPTY list where
+    # Spark's array_join is '' — same value space either way
+    main = (
+        "(SELECT coalesce(array_to_string(list_filter("
+        "list_transform(range(1, len(f) + 1), i -> "
+        "CASE WHEN f[i] = 'good' THEN t[i].txt END), x -> x IS NOT NULL), ' '), '') "
+        f"FROM (SELECT {fin} AS f, {st} AS t) __jm)"
+    )
+    return {
+        "main_text": main,
+        "block_classes": (
+            "(SELECT coalesce(array_to_string(f, ','), '') "
+            f"FROM (SELECT {fin} AS f) __jb)"
+        ),
+    }
+
+
+def _q_anchor_join(b: str, anchor_escaped: str) -> str:
+    return (
+        f"array_to_string(regexp_extract_all({b}, '{anchor_escaped}', 1), ' ')"
+    )

@@ -37,6 +37,7 @@ from ..functions.text import (
     fingerprint_expr,
     gopher_quality_flags,
     gopher_rules_sql,
+    justext_sql,
     lang_id_sql,
     lang_score_sql,
     license_flags_sql,
@@ -1314,10 +1315,33 @@ def q_approx_distinct_users(spark, sf):
 # Extension: text analysis / dedup / similarity (SURVEY §2.2 Extensions)
 # ---------------------------------------------------------------------------
 
+# deterministic boilerplate wrapper for the text_stats justext columns:
+# a link-only nav block, the document text as the content block, a
+# short trailing paragraph (exercises context inheritance), and a
+# link-heavy footer — shared verbatim by the Spark synth and the
+# oracle's SQL so the two engines classify the SAME page
+_JT_HTML_PRE = (
+    '<div><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></div><p>'
+)
+_JT_HTML_POST = (
+    '</p><p>Read the full story.</p>'
+    '<div>(c) 2026 <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'
+)
+
+
 def q_text_stats(spark, sf):
     """Quality scoring + token counting over documents plus the
     Gopher-rule overall verdict — oracle-checked, so all eight
-    published rules are replicated in SQL and hash-compared.
+    published rules are replicated in SQL and hash-compared. Round 11
+    adds the jusText-style main-content extraction columns
+    (functions/text.py main_text_expr / block_classes_expr): each
+    document is wrapped in a deterministic boilerplate page
+    (nav + content + short trailer + footer, ``_JT_HTML_PRE/POST``)
+    and the extractor must classify the blocks and recover the
+    content — the DuckDB twin is GENERATED from the same constants
+    (justext_sql), so the block split, the strip chain, the integer
+    thresholds, and the context pass are all hash-compared.
 
     Plan shape: the token / 3-gram / line arrays are projected ONCE in
     lower selects and every output column references them — Catalyst
@@ -1326,11 +1350,20 @@ def q_text_stats(spark, sf):
     per column (the naive single-select form re-derived the token
     array ~20x per row). Values are identical to the
     functions/text.py expressions the oracle mirrors."""
+    from ..functions.text import _jt_classify, _jt_context, _jt_structs
+
     d = _t(spark, sf, "documents")
     lvl1 = d.select(
         "doc_id",
         "text",
         F.expr("split(lower(trim(text)), '\\\\s+')").alias("__toks"),
+        # jusText block structs projected ONCE (strip chain + anchor
+        # extract + stopword filter are the expensive part — the
+        # same SPARK-36718 staging the token array rides)
+        _jt_structs(
+            F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)),
+            STOPWORDS_EN,
+        ).alias("__jt_st"),
     )
     g2 = (
         "zip_with(__toks, slice(__toks, 2, greatest(size(__toks) - 1, 1)), "
@@ -1344,8 +1377,14 @@ def q_text_stats(spark, sf):
         "doc_id",
         "text",
         "__toks",
+        "__jt_st",
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
+        # stop_tenths=1: the 18-word engine stopword list scores this
+        # synthetic corpus ~6% (real jusText lists are ~10x larger), so
+        # the tunable density floor drops to 10% to exercise BOTH
+        # classes + the inheritance pass on this data
+        _jt_classify(F.col("__jt_st"), 80, 1).alias("__jt_cls"),
     )
     # Gopher's repetition rule sees NO grams for sub-3-token docs (the
     # pseudo-gram the slice floor produces is fake data); dup_3gram_ratio
@@ -1357,6 +1396,8 @@ def q_text_stats(spark, sf):
         "__toks",
         "__grams",
         "__lines",
+        "__jt_st",
+        _jt_context(F.col("__jt_cls")).alias("__jt_fin"),
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
         ).alias("__gg"),
@@ -1408,6 +1449,24 @@ def q_text_stats(spark, sf):
                 "__toks", "__lines", "text", g2_sql="__g2v"
             ).items()
         ],
+        # round 11: jusText main-content extraction over the shared
+        # boilerplate wrapper — map-only Column algebra, no UDF
+        # round 11: jusText main-content extraction over the staged
+        # arrays — value-identical to main_text_expr/block_classes_expr
+        # (tests/test_text.py pins the staged == single-expression
+        # equality), structs and classes computed once per doc
+        F.array_join(
+            F.filter(
+                F.zip_with(
+                    F.col("__jt_st"),
+                    F.col("__jt_fin"),
+                    lambda s, c: F.when(c == "good", s["txt"]),
+                ),
+                lambda t: t.isNotNull(),
+            ),
+            " ",
+        ).alias("main_text"),
+        F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
     )
 
 
@@ -5147,7 +5206,17 @@ ORACLES: dict[str, str] = {
         "CAST(list_max(list_transform(list_distinct(G2), "
         "g -> len(list_filter(G2, x -> x = g)) * length(g))) AS DOUBLE) "
         "/ CAST(greatest(length(text), 1) AS DOUBLE) END, 6) "
-        "AS top2gram_char_frac "
+        "AS top2gram_char_frac, "
+        # round 11: jusText columns GENERATED from the same constants
+        # the Spark expression compiles from
+        + justext_sql(
+            f"concat('{_JT_HTML_PRE}', text, '{_JT_HTML_POST}')", stop_tenths=1
+        )["main_text"]
+        + " AS main_text, "
+        + justext_sql(
+            f"concat('{_JT_HTML_PRE}', text, '{_JT_HTML_POST}')", stop_tenths=1
+        )["block_classes"]
+        + " AS block_classes "
         "FROM (SELECT *, string_split(text, chr(10)) AS L, "
         f"CASE WHEN len({_TOKS}) >= 2 THEN "
         f"[array_to_string(({_TOKS})[i:i+1], ' ') "

