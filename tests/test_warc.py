@@ -205,3 +205,125 @@ def test_read_warc_caps_corruption_and_projection(spark, tmp_path):
         "url", F.length("text").alias("n")
     )
     assert clean.collect()[0].n == 1024
+
+
+def test_warc_fuzz_never_raises_and_roundtrips():
+    """Property gates (the codec-family fuzz pattern): (a) arbitrary
+    record lists round-trip through warc_encode -> parse_warc_records
+    in both layouts; (b) random truncations/mutations of a valid
+    container never raise — worst case is a labeled _error row."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rec_st = st.fixed_dictionaries(
+        {
+            "warc_type": st.sampled_from(
+                ["response", "request", "metadata", "resource", "warcinfo"]
+            ),
+            "body": st.binary(max_size=200),
+        },
+        optional={
+            "url": st.text(
+                alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=1, max_size=40,
+            ).map(lambda s: "http://x/" + s),
+            "content_type": st.sampled_from(
+                ["application/http; msgtype=response", "text/plain",
+                 "application/warc-fields"]
+            ),
+        },
+    )
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(rec_st, min_size=1, max_size=6), st.booleans())
+    def roundtrip(recs, pergz):
+        data = warc_encode(recs, per_record_gzip=pergz)
+        got = list(parse_warc_records(data))
+        assert len(got) == len(recs)
+        for r, rec in zip(got, recs):
+            assert r["warc_type"] == rec["warc_type"]
+            assert r["body"] == rec["body"]
+            assert r["url"] == rec.get("url")
+
+    roundtrip()
+
+    base = warc_encode(_fixture_records(), per_record_gzip=False)
+    base_gz = warc_encode(_fixture_records(), per_record_gzip=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 1), st.integers(0, 10_000), st.integers(0, 255))
+    def mutate(which, pos, byte):
+        data = bytearray(base if which == 0 else base_gz)
+        p = pos % len(data)
+        data[p] = byte
+        rows = list(parse_warc_records(bytes(data)))
+        # tolerant contract: rows parse or one trailing labeled error;
+        # NEVER an exception, never more than one _error row
+        assert sum(1 for r in rows if r["warc_type"] == "_error") <= 1
+
+    mutate()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10_000))
+    def truncate(cut):
+        data = base[: cut % len(base)]
+        rows = list(parse_warc_records(data))
+        assert sum(1 for r in rows if r["warc_type"] == "_error") <= 1
+
+    truncate()
+
+
+def test_warc_to_curation_pipeline(spark, tmp_path):
+    """The full crawl story end-to-end: WARC containers -> read_warc
+    -> jusText main-content extraction -> quality/license screens —
+    every stage engine-level after the one Arrow parse boundary."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import (
+        license_flags_expr,
+        main_text_expr,
+        quality_score_expr,
+    )
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog and then walks to "
+        "the river in the morning for a drink of water with all of the "
+        "other animals in the area and it is a fine day for that."
+    )
+    def page(body_html):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + body_html.encode()
+        )
+
+    captures = [
+        _capture("http://good.example/", page(
+            f'<div><a href="/">Home</a> <a href="/a">About</a></div>'
+            f"<p>{prose}</p><div>(c) <a href='/t'>Terms</a></div>")),
+        _capture("http://licensed.example/", page(
+            f"<p>{prose} All rights reserved.</p>")),
+        _capture("http://linkfarm.example/", page(
+            '<div><a href="x">one</a> <a href="y">two</a> '
+            '<a href="z">three</a></div>')),
+    ]
+    wdir = tmp_path / "crawl3"
+    wdir.mkdir()
+    (wdir / "c.warc.gz").write_bytes(warc_encode(captures))
+
+    docs = (
+        read_warc(spark, str(wdir), emit_payload=False)
+        .where(F.col("error").isNull() & (F.col("http_status") == 200))
+        .select("url", main_text_expr(F.col("text")).alias("main"))
+        .select(
+            "url", "main",
+            quality_score_expr(F.col("main")).alias("quality"),
+            license_flags_expr(F.col("main"))["license_ok"].alias("lic_ok"),
+        )
+    )
+    rows = {r.url: r for r in docs.collect()}
+    assert prose in rows["http://good.example/"].main
+    assert "Home" not in rows["http://good.example/"].main  # nav died
+    assert rows["http://good.example/"].lic_ok is True
+    assert rows["http://licensed.example/"].lic_ok is False  # rights clause
+    assert rows["http://linkfarm.example/"].main == ""  # nothing survived
