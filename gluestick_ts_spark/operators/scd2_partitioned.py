@@ -108,7 +108,11 @@ def scd2_upsert_partitioned(
         first = _scd2_merge(None, new_versions, pks, attrs, carry).withColumn(
             _BUCKET, _bucket_expr(pks, n_buckets)
         )
-        first.write.partitionBy(_BUCKET).mode("overwrite").parquet(path)
+        # ~1 file/bucket seed layout (the dedup stores' rationale):
+        # upsert reads open bucket-count files, not tasks x buckets
+        first.repartition(n_buckets, _BUCKET).write.partitionBy(_BUCKET).mode(
+            "overwrite"
+        ).parquet(path)
         write_store_buckets(spark, path, n_buckets)
         return read_partitioned_scd2(spark, stream, snapshot_dir)
 

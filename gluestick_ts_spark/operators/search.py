@@ -285,9 +285,14 @@ def write_bm25_index(
     post = term_postings(docs, id_col, text_col).withColumn(
         "bucket", _term_bucket(num_buckets)
     )
-    post.write.mode(mode).partitionBy("bucket").parquet(
-        join_uri(path, _BM25_POSTINGS_DIR)
-    )
+    # repartition ON the bucket key before the partitioned write: each
+    # bucket lands wholly in one task, so the layout is ~1 file/bucket
+    # instead of tasks x buckets tiny files — the probe's pruned scan
+    # and the docfreq read-back open 64 files, not thousands (one
+    # bounded shuffle of the postings buys every later read)
+    post.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(join_uri(path, _BM25_POSTINGS_DIR))
     # df and corpus stats derive from the postings JUST WRITTEN — a
     # columnar read-back instead of recomputing the tokenize+count
     # pass (twice); also the scale-safe shape, since the postings
@@ -299,9 +304,11 @@ def write_bm25_index(
         written.groupBy("term", "bucket")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    dfr.write.mode(mode).partitionBy("bucket").parquet(
-        join_uri(path, _BM25_DF_DIR)
-    )
+    # same 1-file/bucket layout as the postings (the agg already
+    # shuffled on (term, bucket); this folds it to bucket grain)
+    dfr.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(join_uri(path, _BM25_DF_DIR))
     n_docs, sum_dl = _corpus_stats(docs, id_col, text_col)
     meta = {
         "num_buckets": num_buckets,

@@ -1744,9 +1744,11 @@ def write_ivf_store(
             "index must still freeze its quantizer"
         )
     assigned = _ivf_store_rows(corpus, centroids, id_col, vec_col)
-    assigned.write.mode(mode).partitionBy("cid").parquet(
-        join_uri(path, _IVF_DATA_DIR)
-    )
+    # repartition ON cid: ~1 file/list instead of tasks x lists tiny
+    # files — a probe's pruned scan opens nprobe files, not thousands
+    assigned.repartition(len(centroids), "cid").write.mode(mode).partitionBy(
+        "cid"
+    ).parquet(join_uri(path, _IVF_DATA_DIR))
     meta = {
         "centroids": centroids,
         # frozen read schema: empty/partial stores open without footer
