@@ -30,6 +30,9 @@ HTTP framing; no warcio.
   parsed and oversized bodies never reach the Arrow batch.
 - ``warc_encode``: deterministic fixture writer (the codec modules'
   pattern) emitting spec-shaped records, per-record-gzip or plain.
+- ``write_wet``: the inverse sink — extracted text back out as WARC
+  ``conversion`` records (Common Crawl's WET sidecar layout), one
+  multi-member ``.warc.gz`` per partition, executor-side.
 
 100 TB shape: payload bytes live only between the file scan and the
 mapInPandas output row (project ``text`` and drop ``payload`` before
@@ -54,6 +57,7 @@ __all__ = [
     "http_text_of",
     "read_warc",
     "warc_encode",
+    "write_wet",
     "WARC_SCHEMA",
 ]
 
@@ -415,3 +419,60 @@ def warc_encode(records: list[dict], per_record_gzip: bool = True) -> bytes:
             raw = buf.getvalue()
         out.append(raw)
     return b"".join(out)
+
+
+def write_wet(
+    df,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    per_record_gzip: bool = True,
+) -> None:
+    """WET-style text-extraction sink: write ``(url, text)`` rows as
+    WARC ``conversion`` records (the layout Common Crawl publishes its
+    extracted-text sidecar files in) — ``read_warc``'s inverse, so a
+    curation pipeline can emit crawl-shaped artifacts other crawl
+    tooling reads back. One ``part-<partition>.warc.gz`` per input
+    partition, written executor-side: per-record gzip members
+    concatenate into a valid multi-member ``.warc.gz`` (the property
+    the reader's member walker exploits), so no driver collect and no
+    single-file bottleneck — control output file count with the
+    DataFrame's partitioning. NULL-text rows are skipped (nothing was
+    extracted); ``date_col`` (a string column, default a fixed epoch)
+    stamps WARC-Date. ``path`` must be a directory on a filesystem
+    every executor can open POSIX-style (local dir, fuse-mounted
+    object store) — the driver-side Hadoop-FS helpers are for tiny
+    metadata, not record streams."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+    cols = [url_col, text_col] + ([date_col] if date_col else [])
+    ext = ".warc.gz" if per_record_gzip else ".warc"
+
+    def _write(rows):
+        recs = []
+        for row in rows:
+            if row[text_col] is None:
+                continue
+            rec = {
+                "warc_type": "conversion",
+                "url": row[url_col],
+                "content_type": "text/plain",
+                "body": str(row[text_col]).encode("utf-8"),
+            }
+            if date_col and row[date_col] is not None:
+                rec["warc_date"] = str(row[date_col])
+            recs.append(rec)
+        if not recs:
+            return
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(path, f".part-{pid:05d}{ext}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(warc_encode(recs, per_record_gzip=per_record_gzip))
+        # rename-into-place: a killed task never leaves a half record
+        os.replace(tmp, os.path.join(path, f"part-{pid:05d}{ext}"))
+
+    df.select(*cols).foreachPartition(_write)

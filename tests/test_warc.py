@@ -327,3 +327,30 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
     assert rows["http://good.example/"].lic_ok is True
     assert rows["http://licensed.example/"].lic_ok is False  # rights clause
     assert rows["http://linkfarm.example/"].main == ""  # nothing survived
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """WET sink: (url, text) -> conversion records -> read_warc reads
+    them back; per-partition files, NULL-text rows skipped, atomic
+    part naming."""
+    from gluestick_ts_spark.sources.warc import write_wet
+
+    rows = [
+        ("http://a.example/", "extracted text one", "2026-02-01T00:00:00Z"),
+        ("http://b.example/", "extracted text two with café", "2026-02-01T00:00:01Z"),
+        ("http://c.example/", None, "2026-02-01T00:00:02Z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, ts string").repartition(2)
+    out = tmp_path / "wet"
+    write_wet(df, str(out), date_col="ts")
+    files = sorted(p.name for p in out.iterdir())
+    assert files and all(f.startswith("part-") and f.endswith(".warc.gz") for f in files)
+    back = read_warc(spark, str(out), record_types=("conversion",))
+    got = {r.url: (r.text, r.warc_date) for r in back.collect()}
+    assert got == {
+        "http://a.example/": ("extracted text one", "2026-02-01T00:00:00Z"),
+        "http://b.example/": ("extracted text two with café", "2026-02-01T00:00:01Z"),
+    }
+    # no error rows, no tmp litter
+    assert back.where(F.col("error").isNotNull()).count() == 0
+    assert not [p for p in out.iterdir() if p.name.startswith(".")]
