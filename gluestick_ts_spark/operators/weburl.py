@@ -45,6 +45,7 @@ __all__ = [
     "url_dedup",
     "url_dedup_incremental",
     "domain_cap_flag",
+    "domain_blocklist_flag",
 ]
 
 # scheme://authority (userinfo@host:port) — the case-insensitive part
@@ -306,3 +307,53 @@ def domain_cap_flag(
     if domain_col:
         return out.withColumnRenamed("__dom", domain_col)
     return out.drop("__dom")
+
+
+def domain_blocklist_flag(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: "tuple[str, ...] | list[str] | DataFrame" = (),
+    flag_col: str = "blocklist_ok",
+    domain_col: str | None = None,
+    psl=None,
+) -> DataFrame:
+    """Append ``flag_col``: False when the URL's registered domain
+    (true eTLD+1, same resolution as the cap/dedup stages) is on the
+    blocklist — RefinedWeb's adult/fraud/malware URL-filtering stage,
+    which in their recipe runs BEFORE any content stage.
+
+    Two scale modes by ``blocklist`` type:
+
+    - tuple/list of domains: compiles to an in-row ``NOT isin`` —
+      constant-folded, codegen'd, zero shuffle; right for curated
+      lists up to a few thousand entries;
+    - single-column DataFrame (column ``domain``): a BROADCAST left
+      join + null test — right for UT1-scale lists (millions of
+      domains, still megabytes as a broadcast); the corpus never
+      shuffles for the verdict either way.
+
+    Rows with no attributable domain (NULL url, non-URL strings that
+    resolve to '') always KEEP — a blocklist names real domains; the
+    identity-less can't be on it (the ``domain_cap_flag`` exemption,
+    same rationale)."""
+    out = df.withColumn("__bldom", registered_domain_expr(url_col, psl=psl))
+    if isinstance(blocklist, DataFrame):
+        bl = blocklist.select(
+            F.col("domain").alias("__bldom"), F.lit(True).alias("__blocked")
+        ).dropDuplicates(["__bldom"])
+        out = out.join(F.broadcast(bl), on="__bldom", how="left").withColumn(
+            flag_col, F.col("__blocked").isNull()
+        ).drop("__blocked")
+    else:
+        blocked = (
+            F.col("__bldom").isin(*[str(d).lower() for d in blocklist])
+            if len(tuple(blocklist))
+            else F.lit(False)
+        )
+        # NULL domain -> isin is NULL -> coalesce keeps (identity-less)
+        out = out.withColumn(
+            flag_col, ~F.coalesce(blocked, F.lit(False))
+        )
+    if domain_col:
+        return out.withColumnRenamed("__bldom", domain_col)
+    return out.drop("__bldom")

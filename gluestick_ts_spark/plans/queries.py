@@ -1600,6 +1600,13 @@ _LIC_FOOTERS = (
     (17, " Copyright (c) 2020 Example Corp."),
 )
 
+# round 11: the URL-blocklist stage's list — one planted tracker-farm
+# REGISTRANT the item%10==9 docs' ads. subdomain resolves to (the list
+# is at eTLD+1 grain, so every subdomain of a blocked registrant is
+# blocked — UT1 semantics); shared verbatim with the oracle's IN list,
+# the _LIC_FOOTERS one-source pattern
+_BLOCKED_DOMAINS = ("tracker-farm.example",)
+
 
 def q_curation_pipeline_docs(spark, sf, stages=None):
     """END-TO-END curation verdict per document — the composition a
@@ -1651,13 +1658,27 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     regexes are GENERATED from the same pattern tables
     (license_flags_sql), the psl.py one-rule-source precedent.
 
+    Round 11 (cont.) adds RefinedWeb's URL BLOCKLIST as the new
+    top-priority stage (operators/weburl.py domain_blocklist_flag —
+    the adult/fraud/tracker screen their recipe runs before any
+    content stage): the item%10==9 docs resolve to the planted
+    ``ads.tracker-farm.example`` domain, the ``_BLOCKED_DOMAINS``
+    tuple compiles to an in-row NOT-isin on the same eTLD+1 resolution
+    the cap uses (no join, no shuffle; a UT1-scale list would switch
+    to the operator's broadcast-DataFrame mode), and the oracle's IN
+    list is built from the SAME tuple.
+
     ``stages`` restricts the build to one stage's marginal pipeline for
     bench attribution (QUERY_PARTS) — the full query (default) is the
     driver/oracle surface."""
     from ..functions.text import license_flags_expr, quality_score_expr
     from ..operators.dedup import _spread, ngram_contamination
     from ..operators.profile import adaptive_quality_filter, unigram_logprob_scores
-    from ..operators.weburl import domain_cap_flag, url_dedup_flag
+    from ..operators.weburl import (
+        domain_blocklist_flag,
+        domain_cap_flag,
+        url_dedup_flag,
+    )
 
     d = _spread(_t(spark, sf, "documents"))
     # license/copyright boilerplate footers planted as a pure function
@@ -1718,10 +1739,10 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
                 "doc_id",
                 (F.col("mean_logprob") >= F.lit(-3.41)).alias("lp_ok"),
             )
-        if stage != "url":
+        if stage not in ("url", "blocklist"):
             raise ValueError(f"unknown curation stage: {stage!r}")
-        # fall through: the url stage builds the shared URL pipeline
-        # below and returns right after the domain-cap flag
+        # fall through: the url/blocklist stages build the shared URL
+        # synth below and return right after their own flag
     # Scale-stable synthetic URL (a pure function of doc_id): most docs
     # get a doc-unique URL/domain, docs = 1 (mod 10) re-crawl their
     # predecessor's page (10% planted dups AT ANY sf — different
@@ -1742,6 +1763,9 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .when(item % 10 == 7, F.concat(F.lit("example"), istr, F.lit(".co.uk")))
         .when(item % 10 == 4, F.concat(F.lit("site"), istr, F.lit(".github.io")))
         .when(item % 10 == 6, F.concat(F.lit("school"), istr, F.lit(".k12.ca.us")))
+        # round 11: the blocklisted tracker farm (~10% of items) — the
+        # RefinedWeb URL-filter stage's planted target
+        .when(item % 10 == 9, F.lit("ads.tracker-farm.example"))
         .otherwise(F.concat(F.lit("example"), istr, F.lit(".org")))
     )
     url = F.concat(
@@ -1755,8 +1779,12 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .when(item % 4 == 1, F.lit("?p=2#sec"))
         .otherwise(F.lit("")),
     )
-    if stages is not None:  # the "url" marginal-cost builder
+    if stages is not None:  # the "url"/"blocklist" marginal builders
         per = d.select("doc_id", url.alias("__url"))
+        if stage == "blocklist":
+            return domain_blocklist_flag(
+                per, "__url", _BLOCKED_DOMAINS, domain_col="domain"
+            ).drop("__url")
         per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
         return domain_cap_flag(
             per, "__url", "doc_id", cap=25, seed=1,
@@ -1772,6 +1800,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         fingerprint_expr("text").alias("__fp"),
         _lic.alias("__lic"),
     )
+    per = domain_blocklist_flag(per, "__url", _BLOCKED_DOMAINS)
     per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
     per = domain_cap_flag(
         per, "__url", "doc_id", cap=25, seed=1,
@@ -1783,6 +1812,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
     ).select(
         "doc_id",
+        "blocklist_ok",
         "url_keep",
         "domain",
         "domain_keep",
@@ -1808,6 +1838,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .join(lp, on="doc_id", how="left")
         .select(
             "doc_id",
+            "blocklist_ok",
             "url_keep",
             "domain",
             "domain_keep",
@@ -1826,7 +1857,8 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         )
     )
     keep = (
-        F.col("url_keep")
+        F.col("blocklist_ok")
+        & F.col("url_keep")
         & F.col("domain_keep")
         & ~F.col("is_benchmark")
         & ~F.col("contaminated")
@@ -1836,8 +1868,11 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         & F.col("quality_ok")
         & F.col("lp_ok")
     )
+    # blocklist outranks everything — RefinedWeb's recipe runs the URL
+    # filter before any dedup or content stage
     reason = (
-        F.when(~F.col("url_keep"), "url_dup")
+        F.when(~F.col("blocklist_ok"), "blocked")
+        .when(~F.col("url_keep"), "url_dup")
         .when(~F.col("domain_keep"), "domain_cap")
         .when(F.col("is_benchmark"), "benchmark")
         .when(F.col("contaminated"), "contaminated")
@@ -1849,6 +1884,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     )
     return j.select(
         "doc_id",
+        "blocklist_ok",
         "url_keep",
         "domain",
         "domain_keep",
@@ -3780,6 +3816,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         )(p)
         for p in (
             "url",
+            "blocklist",
             "license",
             "dup",
             "gopher",
@@ -5360,6 +5397,7 @@ ORACLES: dict[str, str] = {
         "WHEN item % 10 = 7 THEN 'example' || CAST(item AS VARCHAR) || '.co.uk' "
         "WHEN item % 10 = 4 THEN 'site' || CAST(item AS VARCHAR) || '.github.io' "
         "WHEN item % 10 = 6 THEN 'school' || CAST(item AS VARCHAR) || '.k12.ca.us' "
+        "WHEN item % 10 = 9 THEN 'ads.tracker-farm.example' "
         "ELSE 'example' || CAST(item AS VARCHAR) || '.org' END "
         "|| '/item/' || CAST(item AS VARCHAR) "
         "|| CASE WHEN item % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' "
@@ -5382,6 +5420,12 @@ ORACLES: dict[str, str] = {
         # exemption domain_cap_flag applies (weburl.py); latent for the
         # all-well-formed synth URLs but the rule must not diverge
         "uflag AS (SELECT doc_id, dom AS domain, "
+        # blocklist stage: the IN list is the SAME _BLOCKED_DOMAINS
+        # tuple the Spark expression compiles from; identity-less
+        # ('' / NULL) domains always keep, the cap-stage exemption
+        "(dom IS NULL OR dom NOT IN ("
+        + ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
+        + ")) AS blocklist_ok, "
         "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
         "AS url_keep, "
         "(dom IS NULL OR dom = '' OR "
@@ -5433,20 +5477,21 @@ ORACLES: dict[str, str] = {
         # quantile — restates adaptive_quality_filter's F.percentile)
         "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
         "FROM base GROUP BY lang) "
-        "SELECT b.doc_id, uf.url_keep, uf.domain, uf.domain_keep, "
-        "b.is_benchmark, "
+        "SELECT b.doc_id, uf.blocklist_ok, uf.url_keep, uf.domain, "
+        "uf.domain_keep, b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
         "b.dup_ok, "
         "lf.has_copyright, lf.rights_reserved, lf.license_name, "
         "lf.license_ok, "
         "b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
         "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
-        "(uf.url_keep AND uf.domain_keep "
+        "(uf.blocklist_ok AND uf.url_keep AND uf.domain_keep "
         "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
         "AND lf.license_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
         "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
-        "CASE WHEN NOT uf.url_keep THEN 'url_dup' "
+        "CASE WHEN NOT uf.blocklist_ok THEN 'blocked' "
+        "WHEN NOT uf.url_keep THEN 'url_dup' "
         "WHEN NOT uf.domain_keep THEN 'domain_cap' "
         "WHEN b.is_benchmark THEN 'benchmark' "
         "WHEN h.doc_id IS NOT NULL THEN 'contaminated' "

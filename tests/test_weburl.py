@@ -891,3 +891,66 @@ def test_full_scale_psl_file_ingestion(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_domain_blocklist_flag_both_modes(spark):
+    """URL blocklist (round 11): eTLD+1-grain matching (a blocked
+    registrant blocks every subdomain), in-row isin mode == broadcast
+    DataFrame mode, identity-less rows always keep."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.weburl import domain_blocklist_flag
+
+    rows = [
+        (0, "http://ads.tracker-farm.example/x"),   # subdomain of blocked
+        (1, "https://TRACKER-FARM.example/y"),      # case + bare registrant
+        (2, "http://fine.example.org/z"),           # clean
+        (3, "http://tracker-farm.example.org/w"),   # different registrant!
+        (4, "not a url at all"),                    # '' domain -> keep
+        (5, None),                                  # NULL url -> keep
+        (6, "http://bad.co.uk/p"),                  # blocked ccSLD registrant
+        (7, "http://sub.bad.co.uk/q"),              # its subdomain
+        (8, "http://alsobad.co.uk/r"),              # sibling registrant: keep
+    ]
+    bl = ("tracker-farm.example", "bad.co.uk")
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    want = {0: False, 1: False, 2: True, 3: True, 4: True, 5: True,
+            6: False, 7: False, 8: True}
+
+    got = {
+        r.doc_id: r.blocklist_ok
+        for r in domain_blocklist_flag(df, "url", bl).collect()
+    }
+    assert got == want, got
+
+    # broadcast-DataFrame mode (the UT1-scale path): same verdicts
+    bldf = spark.createDataFrame([(d,) for d in bl], "domain string")
+    got2 = {
+        r.doc_id: r.blocklist_ok
+        for r in domain_blocklist_flag(df, "url", bldf).collect()
+    }
+    assert got2 == want, got2
+
+    # domain_col exposes the resolved key; empty blocklist keeps all
+    out = domain_blocklist_flag(df, "url", (), domain_col="dom")
+    assert all(r.blocklist_ok for r in out.collect())
+    assert {r.doc_id: r.dom for r in out.collect()}[0] == "tracker-farm.example"
+
+
+def test_domain_blocklist_dataframe_mode_is_broadcast(spark):
+    """The DataFrame-blocklist mode must plan a broadcast join — a
+    shuffle of the corpus for a megabyte list is the failure the mode
+    exists to avoid."""
+    from gluestick_ts_spark.operators.weburl import domain_blocklist_flag
+
+    df = spark.createDataFrame(
+        [(i, f"http://site{i}.org/x") for i in range(100)],
+        "doc_id long, url string",
+    )
+    bldf = spark.createDataFrame([("site7.org",)], "domain string")
+    plan = (
+        domain_blocklist_flag(df, "url", bldf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
