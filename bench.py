@@ -61,10 +61,17 @@ Haitsma-Kalker audio spechash — per-payload arithmetic only, no new
 decode, no new shuffle), so any movement there is hash math, not plan.
 ``text_stats`` gained the jusText main-content extraction columns
 (main_text/block_classes over a deterministic boilerplate wrapper):
-measured composition cost ~2.4 -> ~3.5 s warm at sf0.1 (block structs
-staged once per doc via the query's SPARK-36718 level projections —
-the naive single-expression form re-derived them ~5x for 11+ s and
-was rejected).
+measured composition cost ~2.4 -> ~3.5-4.3 s warm at sf0.1 (block
+structs staged once per doc via the query's SPARK-36718 level
+projections — the naive single-expression form re-derived them ~5x
+for 11+ s and was rejected; the residual is the per-block strip
+chain, which IS the operator). ``curation_pipeline_docs`` gained the
+URL-BLOCKLIST stage (in-row NOT-isin on the shared eTLD+1 resolution
+— no new shuffle; 'blocked' now outranks every reason, so the
+histogram moved). The BM25/IVF/signature/fingerprint store initial
+writes now repartition on their bucket key (~1 file/bucket instead of
+tasks x buckets): ``bm25_search_docs`` 7.15 -> ~5.0 s and
+``ann_ivf_topk`` 7.29 -> ~5.8 s warm are LAYOUT wins, not noise.
 
 PER-PART TIMINGS: tagged-union/composition rows time several unrelated
 pipelines in one number; ``parts`` decomposes them — one warm

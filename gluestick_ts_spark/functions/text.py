@@ -900,8 +900,8 @@ def main_text_expr(
     adjacency means VISIBLE adjacency. Returns '' when nothing
     classifies good. The DuckDB twin ``justext_sql`` is generated from
     the same constants."""
-    st = _jt_structs(html, stopwords)
-    fin = _jt_final_classes(st, min_len, stop_tenths)
+    st = _jt_blocks(html, stopwords, min_len, stop_tenths)
+    fin = _jt_context(F.transform(st, lambda s: s["cls"]))
     kept = F.filter(
         F.zip_with(st, fin, lambda s, c: F.when(c == "good", s["txt"])),
         lambda t: t.isNotNull(),
@@ -919,12 +919,27 @@ def block_classes_expr(
     ``','`` in document order ('' for a blockless/markup-only doc) —
     the drop-reason-attribution companion (WHY did text vanish), and
     what the oracle pins class-by-class."""
-    fin = _jt_final_classes(_jt_structs(html, stopwords), min_len, stop_tenths)
+    fin = _jt_context(
+        F.transform(
+            _jt_blocks(html, stopwords, min_len, stop_tenths),
+            lambda s: s["cls"],
+        )
+    )
     return F.array_join(fin, ",")
 
 
-def _jt_structs(html: Column | str, stopwords: tuple[str, ...]) -> Column:
-    """array<struct<txt,n,alen,nw,nstop>> of NON-EMPTY blocks."""
+def _jt_blocks(
+    html: Column | str,
+    stopwords: tuple[str, ...],
+    min_len: int,
+    stop_tenths: int,
+) -> Column:
+    """array<struct<txt,n,cls>> of NON-EMPTY blocks with their PASS-2
+    class. Classification happens inside the one block pass so the
+    when() chain short-circuits: the stopword scan (the expensive
+    per-block work — split + 18-way membership per word) only runs
+    for blocks that already cleared the link-density and length
+    gates; nav/footer/caption blocks never pay it."""
     sw = F.array(*[F.lit(s) for s in stopwords])
 
     def mk(b: Column) -> Column:
@@ -932,33 +947,25 @@ def _jt_structs(html: Column | str, stopwords: tuple[str, ...]) -> Column:
         astr = strip_html_expr(
             F.array_join(F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " ")
         )
+        n = F.length(txt)
         words = F.split(txt, r"\s+")
-        return F.struct(
-            txt.alias("txt"),
-            F.length(txt).alias("n"),
-            F.length(astr).alias("alen"),
-            F.size(words).alias("nw"),
-            F.size(
-                F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))
-            ).alias("nstop"),
+        cls = (
+            F.when(3 * F.length(astr) > n, F.lit("bad"))
+            .when(n < F.lit(int(min_len)), F.lit("short"))
+            .when(
+                10
+                * F.size(
+                    F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))
+                )
+                >= F.lit(int(stop_tenths)) * F.size(words),
+                F.lit("good"),
+            )
+            .otherwise(F.lit("short"))
         )
+        return F.struct(txt.alias("txt"), n.alias("n"), cls.alias("cls"))
 
     blocks = F.split(_col(html), _JT_BLOCK_SPLIT, -1)
     return F.filter(F.transform(blocks, mk), lambda s: s["n"] > 0)
-
-
-def _jt_classify(st: Column, min_len: int, stop_tenths: int) -> Column:
-    """Pass-2 per-block classes from the stats structs."""
-    return F.transform(
-        st,
-        lambda s: F.when(3 * s["alen"] > s["n"], F.lit("bad"))
-        .when(
-            (s["n"] >= F.lit(int(min_len)))
-            & (10 * s["nstop"] >= F.lit(int(stop_tenths)) * s["nw"]),
-            F.lit("good"),
-        )
-        .otherwise(F.lit("short")),
-    )
 
 
 def _jt_context(cls: Column) -> Column:
@@ -980,10 +987,6 @@ def _jt_context(cls: Column) -> Column:
             ).otherwise(F.lit("short"))
         ),
     )
-
-
-def _jt_final_classes(st: Column, min_len: int, stop_tenths: int) -> Column:
-    return _jt_context(_jt_classify(st, min_len, stop_tenths))
 
 
 def _jt_strip_sql(x: str) -> str:

@@ -1350,7 +1350,7 @@ def q_text_stats(spark, sf):
     per column (the naive single-select form re-derived the token
     array ~20x per row). Values are identical to the
     functions/text.py expressions the oracle mirrors."""
-    from ..functions.text import _jt_classify, _jt_context, _jt_structs
+    from ..functions.text import _jt_blocks, _jt_context
 
     d = _t(spark, sf, "documents")
     lvl1 = d.select(
@@ -1359,10 +1359,16 @@ def q_text_stats(spark, sf):
         F.expr("split(lower(trim(text)), '\\\\s+')").alias("__toks"),
         # jusText block structs projected ONCE (strip chain + anchor
         # extract + stopword filter are the expensive part — the
-        # same SPARK-36718 staging the token array rides)
-        _jt_structs(
+        # same SPARK-36718 staging the token array rides).
+        # stop_tenths=1: the 18-word engine stopword list scores this
+        # synthetic corpus ~6% (real jusText lists are ~10x larger), so
+        # the tunable density floor drops to 10% to exercise BOTH
+        # classes + the inheritance pass on this data
+        _jt_blocks(
             F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)),
             STOPWORDS_EN,
+            80,
+            1,
         ).alias("__jt_st"),
     )
     g2 = (
@@ -1380,11 +1386,7 @@ def q_text_stats(spark, sf):
         "__jt_st",
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
-        # stop_tenths=1: the 18-word engine stopword list scores this
-        # synthetic corpus ~6% (real jusText lists are ~10x larger), so
-        # the tunable density floor drops to 10% to exercise BOTH
-        # classes + the inheritance pass on this data
-        _jt_classify(F.col("__jt_st"), 80, 1).alias("__jt_cls"),
+        F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
     )
     # Gopher's repetition rule sees NO grams for sub-3-token docs (the
     # pseudo-gram the slice floor produces is fake data); dup_3gram_ratio

@@ -823,6 +823,8 @@ def stream_curation_filter(
     checkpoint_dir: str | None = None,
     num_buckets: int = 256,
     license_screen: bool = False,
+    url_col: str | None = None,
+    blocklist=(),
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -842,6 +844,14 @@ def stream_curation_filter(
     and a 'license' drop reason (drop rights-reserved marks and
     copyright notices with no recognized license family). Map-only
     in-row regex — no new state, no new shuffle.
+
+    ``url_col`` + ``blocklist`` (round 11) add the batch pipeline's
+    URL-BLOCKLIST screen at the same TOP priority it has there
+    (operators/weburl.py domain_blocklist_flag — eTLD+1-grain, tuple
+    -> in-row NOT-isin, DataFrame -> per-batch broadcast join): the
+    output gains ``blocklist_ok`` and a 'blocked' first-failing drop
+    reason. Stateless — no new state, replay re-derives identical
+    verdicts.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -929,6 +939,7 @@ def stream_curation_filter(
         enriched = batch_df.select(
             F.col(id_col),
             F.col(text_col),
+            *([F.col(url_col)] if url_col else []),
             fingerprint_expr(text_col).alias("__fp"),
             gopher_quality_flags(text_col).getField("passes").alias("gopher_ok"),
             (quality_score_expr(text_col) >= float(quality_min)).alias(
@@ -937,6 +948,10 @@ def stream_curation_filter(
             lp_ok.alias("lp_ok"),
             *lic_cols,
         )
+        if url_col:
+            from ..operators.weburl import domain_blocklist_flag
+
+            enriched = domain_blocklist_flag(enriched, url_col, blocklist)
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         first_in_batch = F.row_number().over(w) == 1
         # membership probe: batch-side broadcast semi-join against the
@@ -955,14 +970,22 @@ def stream_curation_filter(
             )
         )
         lic_gate = F.col("license_ok") if license_screen else F.lit(True)
+        bl_gate = F.col("blocklist_ok") if url_col else F.lit(True)
         keep = (
-            F.col("dup_ok")
+            bl_gate
+            & F.col("dup_ok")
             & lic_gate
             & F.col("gopher_ok")
             & F.col("quality_ok")
             & F.col("lp_ok")
         )
-        reason = F.when(~F.col("dup_ok"), "duplicate")
+        # blocklist outranks everything — the batch pipeline's priority
+        if url_col:
+            reason = F.when(~F.col("blocklist_ok"), "blocked").when(
+                ~F.col("dup_ok"), "duplicate"
+            )
+        else:
+            reason = F.when(~F.col("dup_ok"), "duplicate")
         if license_screen:
             reason = reason.when(~F.col("license_ok"), "license")
         reason = (
@@ -973,6 +996,7 @@ def stream_curation_filter(
         out = verdict.select(
             id_col,
             text_col,
+            *([url_col, "blocklist_ok"] if url_col else []),
             "dup_ok",
             *(
                 ["has_copyright", "rights_reserved", "license_name", "license_ok"]

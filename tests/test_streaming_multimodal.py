@@ -958,3 +958,75 @@ def test_stream_dsir_filter_matches_batch_and_is_stateless(spark, tmp_path):
     q2.awaitTermination(120)
     kept = {r.doc_id for r in spark.sql("SELECT * FROM dsir_filtered").collect()}
     assert kept == {k for k, v in expect.items() if v >= cut}
+
+
+def test_stream_curation_filter_url_blocklist(spark, tmp_path):
+    """Streaming URL-blocklist screen (round 11): blocked docs get the
+    top-priority 'blocked' reason (outranking 'duplicate' like the
+    batch pipeline), never enter the fingerprint store, and a clean
+    re-send of a blocked duplicate still dies as blocked."""
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string, url string"
+
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+
+    rows: dict[int, dict] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            rows[r.doc_id] = {
+                "keep": r.keep, "reason": r.drop_reason, "bl": r.blocklist_ok,
+            }
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    _write_stream_batch(
+        src, spark,
+        [
+            (1, good, "http://clean.example.org/a"),
+            # same TEXT as 1 (an exact dup) on a blocked subdomain:
+            # 'blocked' must outrank 'duplicate'
+            (2, good, "http://ads.tracker-farm.example/b"),
+            (3, good + " extra", "http://sub.tracker-farm.example/c"),
+        ],
+        schema,
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_curation_filter(
+            stream, store, emit,
+            quality_min=0.0, checkpoint_dir=ckpt,
+            url_col="url", blocklist=("tracker-farm.example",),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows[1] == {"keep": True, "reason": None, "bl": True}
+    assert rows[2] == {"keep": False, "reason": "blocked", "bl": False}
+    assert rows[3] == {"keep": False, "reason": "blocked", "bl": False}
+
+    # batch 2: doc 3's TEXT re-sent from a clean domain — it never
+    # entered the store (blocked rows aren't appended), so it keeps
+    rows.clear()
+    _write_stream_batch(
+        src, spark, [(4, good + " extra", "http://clean2.example.org/d")],
+        schema,
+    )
+    q2 = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            quality_min=0.0, checkpoint_dir=ckpt,
+            url_col="url", blocklist=("tracker-farm.example",),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert rows[4] == {"keep": True, "reason": None, "bl": True}
