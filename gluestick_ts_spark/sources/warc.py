@@ -56,6 +56,7 @@ __all__ = [
     "parse_http_response",
     "http_text_of",
     "read_warc",
+    "read_warc_stream",
     "warc_encode",
     "write_wet",
     "WARC_SCHEMA",
@@ -318,9 +319,72 @@ def read_warc(
     raw bytes should exist."""
     if not record_types:
         raise ValueError("record_types must name at least one WARC type")
-    want = {t.lower() for t in record_types}
-
     files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_mapper(
+            record_types, emit_text, emit_payload, max_payload_bytes,
+            max_text_chars,
+        ),
+        schema=WARC_SCHEMA,
+    )
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    emit_text: bool = True,
+    emit_payload: bool = True,
+    max_payload_bytes: int = 8 * 1024 * 1024,
+    max_text_chars: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_warc`: a continuously
+    arriving crawl (new ``.warc.gz`` segments landing in a directory —
+    exactly how crawls are delivered) becomes a STREAMING DataFrame of
+    the same ``WARC_SCHEMA`` rows. The file source's checkpoint gives
+    exactly-once per container file; the record parse is the SAME
+    stateless Arrow mapper the batch reader uses, so batch and stream
+    rows are identical for identical bytes. Compose downstream with
+    the streaming curation family (``stream_curation_filter`` takes
+    the extracted text column) or any ``writeStream`` sink.
+    ``max_files_per_trigger`` bounds a micro-batch (containers are
+    ~1 GB each — admission control is per-file here)."""
+    if not record_types:
+        raise ValueError("record_types must name at least one WARC type")
+    from pyspark.sql import types as T
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(bin_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_mapper(
+            record_types, emit_text, emit_payload, max_payload_bytes,
+            max_text_chars,
+        ),
+        schema=WARC_SCHEMA,
+    )
+
+
+def _warc_mapper(
+    record_types: tuple[str, ...],
+    emit_text: bool,
+    emit_payload: bool,
+    max_payload_bytes: int,
+    max_text_chars: int | None,
+):
+    """The shared batch/stream Arrow mapper behind ``read_warc`` /
+    ``read_warc_stream`` (one parse implementation, two scan kinds)."""
+    want = {t.lower() for t in record_types}
 
     def _parse(batches):
         import pandas as pd
@@ -381,7 +445,7 @@ def read_warc(
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(_parse, schema=WARC_SCHEMA)
+    return _parse
 
 
 def warc_encode(records: list[dict], per_record_gzip: bool = True) -> bytes:

@@ -354,3 +354,48 @@ def test_write_wet_roundtrip(spark, tmp_path):
     # no error rows, no tmp litter
     assert back.where(F.col("error").isNotNull()).count() == 0
     assert not [p for p in out.iterdir() if p.name.startswith(".")]
+
+
+def test_read_warc_stream_exactly_once(spark, tmp_path):
+    """Streaming WARC ingest: new container files become record rows
+    through the SAME mapper as the batch reader; the file-source
+    checkpoint processes each container exactly once across restarts."""
+    from gluestick_ts_spark.sources.warc import read_warc_stream
+
+    wdir = tmp_path / "incoming"
+    wdir.mkdir()
+    ckpt = str(tmp_path / "ck")
+    (wdir / "seg-0.warc.gz").write_bytes(
+        warc_encode([_capture("http://s0.example/", _http(_HTML))])
+    )
+    got: list = []
+
+    def run():
+        q = (
+            read_warc_stream(spark, str(wdir), emit_payload=False)
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r.url, r.text is not None) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert got == [("http://s0.example/", True)]
+    # second container arrives; restart processes ONLY the new file
+    (wdir / "seg-1.warc.gz").write_bytes(
+        warc_encode([_capture("http://s1.example/", _http(_HTML))])
+    )
+    run()
+    assert sorted(got) == [
+        ("http://s0.example/", True), ("http://s1.example/", True),
+    ]
+    # stream rows == batch rows for the same bytes (shared mapper)
+    batch = {r.url for r in read_warc(spark, str(wdir)).collect()}
+    assert batch == {u for u, _ in got}
+    with pytest.raises(ValueError, match="record_types"):
+        read_warc_stream(spark, str(wdir), record_types=())
