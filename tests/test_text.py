@@ -667,3 +667,65 @@ def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
     )
     assert staged.exceptAll(direct).count() == 0
     assert direct.exceptAll(staged).count() == 0
+
+
+def test_justext_engines_agree_property(spark):
+    """Hypothesis gate on the no-drift contract: RANDOM pages built
+    from a small HTML grammar (nested inline tags, anchors, entities,
+    uppercase tags, unterminated junk, unicode) classify and extract
+    identically on Spark and DuckDB. One batched run — all examples in
+    one DataFrame / one SQL scan."""
+    duckdb = pytest.importorskip("duckdb")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gluestick_ts_spark.functions.text import (
+        block_classes_expr,
+        justext_sql,
+        main_text_expr,
+    )
+
+    words = st.sampled_from(
+        ["the", "and", "of", "wordy", "river", "fox", "café", "z9",
+         "&amp;", "&lt;x&gt;", "it", "for", "long", "words", "here"]
+    )
+    sentence = st.lists(words, min_size=0, max_size=30).map(" ".join)
+    anchor = sentence.map(lambda s: f'<a href="/x">{s}</a>')
+    block_tag = st.sampled_from(["p", "div", "li", "td", "h2", "NAV", "P"])
+    block = st.tuples(
+        block_tag, st.lists(st.one_of(sentence, anchor), min_size=0, max_size=3)
+    ).map(lambda t: f"<{t[0]}>" + " ".join(t[1]) + f"</{t[0]}>")
+    page = st.lists(
+        st.one_of(block, st.just("<br>"), st.just("<p junk")), max_size=6
+    ).map("".join)
+
+    cases: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(page)
+    def collect(p):
+        cases.append(p)
+
+    collect()
+
+    df = spark.createDataFrame(list(enumerate(cases)), "id long, html string")
+    got = {
+        r.id: (r.m, r.c)
+        for r in df.select(
+            "id",
+            main_text_expr("html", stop_tenths=1).alias("m"),
+            block_classes_expr("html", stop_tenths=1).alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    frag = justext_sql("html", stop_tenths=1)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT id, {frag['main_text']}, {frag['block_classes']} FROM t"
+        ).fetchall()
+    }
+    mism = [i for i in got if got[i] != want[i]]
+    assert not mism, [(cases[i], got[i], want[i]) for i in mism[:3]]

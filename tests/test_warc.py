@@ -399,3 +399,80 @@ def test_read_warc_stream_exactly_once(spark, tmp_path):
     assert batch == {u for u, _ in got}
     with pytest.raises(ValueError, match="record_types"):
         read_warc_stream(spark, str(wdir), record_types=())
+
+
+def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
+    """The WHOLE streaming crawl story in one pipe: .warc.gz segments
+    land in a directory -> read_warc_stream -> jusText main-content
+    extraction -> stream_curation_filter with the URL blocklist — a
+    second segment's re-crawl of an accepted page dies as a duplicate
+    against the durable store, and blocked domains never pass."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import main_text_expr
+    from gluestick_ts_spark.sources.warc import read_warc_stream
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    # 6 stopwords + 54 distinct words: clears Gopher's word floor AND
+    # the jusText density gate at stop_tenths=1 (6/60 = exactly 10%)
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    prose = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+
+    def page(extra=""):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<div><a href='/'>Home</a></div><p>{prose}{extra}</p>".encode()
+        )
+
+    wdir = tmp_path / "incoming"
+    wdir.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    (wdir / "seg-0.warc.gz").write_bytes(warc_encode([
+        _capture("http://good.example/a", page()),
+        _capture("http://ads.tracker-farm.example/x", page(" blocked copy")),
+    ]))
+    verdicts: dict = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            verdicts[r.doc_id] = (r.keep, r.drop_reason)
+
+    def run():
+        docs = (
+            read_warc_stream(spark, str(wdir), emit_payload=False)
+            .where(F.col("error").isNull())
+            .select(
+                F.col("url").alias("doc_id"),
+                F.col("url"),
+                main_text_expr(F.col("text"), stop_tenths=1).alias("text"),
+            )
+        )
+        q = (
+            stream_curation_filter(
+                docs, store, emit, id_col="doc_id", quality_min=0.0,
+                checkpoint_dir=ckpt,
+                url_col="url", blocklist=("tracker-farm.example",),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    assert verdicts["http://good.example/a"] == (True, None)
+    assert verdicts["http://ads.tracker-farm.example/x"] == (False, "blocked")
+
+    # segment 2: a re-crawl of the accepted page (same content, new
+    # URL path) — exact dedup against the durable store kills it
+    verdicts.clear()
+    (wdir / "seg-1.warc.gz").write_bytes(warc_encode([
+        _capture("http://good.example/a-recrawl", page()),
+    ]))
+    run()
+    assert verdicts == {
+        "http://good.example/a-recrawl": (False, "duplicate")
+    }, verdicts
