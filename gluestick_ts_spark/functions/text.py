@@ -862,6 +862,12 @@ _JT_BLOCK_SPLIT = (
     r"figcaption|form|fieldset|main|hr|br)\b[^>]*>"
 )
 _JT_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a>"
+# script/style CONTENT and comments are invisible text — they must
+# vanish BEFORE block splitting or a JS/CSS blob becomes a "block"
+# that can ride context inheritance into the extracted text
+_JT_INVISIBLE = (
+    r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->"
+)
 # integer-exact thresholds (hash-stable across engines): a block is
 # boilerplate when anchor text is > 1/3 of its text (3*alen > n), and
 # content when it is >= min_len chars with a stopword share >=
@@ -883,7 +889,10 @@ def main_text_expr(
     block classification (Pomikálek 2011, simplified), entirely in-row
     Column algebra (map-only at any corpus size, no UDF):
 
-    1. split at block-level tags (inline markup stays inside blocks);
+    1. erase invisible content (``<script>``/``<style>`` bodies and
+       HTML comments — a JS blob must not become a classifiable
+       block), then split at block-level tags (inline markup stays
+       inside blocks);
     2. per block: strip tags/entities, then classify on integer-exact
        stats — ``bad`` when anchor text exceeds 1/3 of the block's
        text (nav bars, footers, related-links), ``good`` when >=
@@ -964,7 +973,8 @@ def _jt_blocks(
         )
         return F.struct(txt.alias("txt"), n.alias("n"), cls.alias("cls"))
 
-    blocks = F.split(_col(html), _JT_BLOCK_SPLIT, -1)
+    visible = F.regexp_replace(_col(html), _JT_INVISIBLE, " ")
+    blocks = F.split(visible, _JT_BLOCK_SPLIT, -1)
     return F.filter(F.transform(blocks, mk), lambda s: s["n"] > 0)
 
 
@@ -1014,9 +1024,11 @@ def justext_sql(
     sw = "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
     anchor = _JT_ANCHOR.replace("'", "''")
     split = _JT_BLOCK_SPLIT.replace("'", "''")
+    invis = _JT_INVISIBLE.replace("'", "''")
     words = f"regexp_split_to_array(s.txt, '\\s+')"
     st = (
-        f"list_filter(list_transform(regexp_split_to_array({html_sql}, "
+        f"list_filter(list_transform(regexp_split_to_array("
+        f"regexp_replace({html_sql}, '{invis}', ' ', 'g'), "
         f"'{split}'), b -> struct_pack("
         f"txt := {_jt_strip_sql('b')}, "
         f"alen := length({_jt_strip_sql(_q_anchor_join('b', anchor))}))), "

@@ -557,6 +557,21 @@ def test_main_text_classification_semantics(spark):
     assert out[0][0] == f"{_JT_PROSE} Read more of it."
     assert out[1] == ("", "") and out[2] == ("", "")
     assert out[3] == ("", "bad")
+    # script/style bodies and comments are invisible: a JS blob must
+    # not become a block (or ride inheritance into the extraction)
+    scripted = spark.createDataFrame(
+        [(f"<p>{_JT_PROSE}</p>"
+          "<script>var boilerplate = 'very long javascript blob that "
+          "must never appear in extracted text at all';</script>"
+          f"<style>.x {{ color: red }}</style><!-- hidden comment -->"
+          f"<p>{_JT_PROSE}</p>",)],
+        "html string",
+    ).select(main_text_expr("html").alias("m")).collect()[0].m
+    assert "javascript blob" not in scripted
+    assert "color" not in scripted
+    assert "hidden comment" not in scripted
+    assert scripted == f"{_JT_PROSE} {_JT_PROSE}"
+
     # inline markup does NOT split a block; entities decode in place
     one = spark.createDataFrame(
         [(f"<p>{_JT_PROSE[:-6]} <b>bold</b> &amp; more of the text.</p>",)],
@@ -696,7 +711,14 @@ def test_justext_engines_agree_property(spark):
         block_tag, st.lists(st.one_of(sentence, anchor), min_size=0, max_size=3)
     ).map(lambda t: f"<{t[0]}>" + " ".join(t[1]) + f"</{t[0]}>")
     page = st.lists(
-        st.one_of(block, st.just("<br>"), st.just("<p junk")), max_size=6
+        st.one_of(
+            block,
+            st.just("<br>"),
+            st.just("<p junk"),
+            st.just("<script>var x = 'the and of invisible';</script>"),
+            st.just("<!-- the and of commented -->"),
+        ),
+        max_size=6,
     ).map("".join)
 
     cases: list[str] = []
