@@ -46,6 +46,9 @@ __all__ = [
     "url_dedup_incremental",
     "domain_cap_flag",
     "domain_blocklist_flag",
+    "parse_robots_rules",
+    "robots_pattern_sql_regex",
+    "robots_filter",
 ]
 
 # scheme://authority (userinfo@host:port) — the case-insensitive part
@@ -357,3 +360,173 @@ def domain_blocklist_flag(
     if domain_col:
         return out.withColumnRenamed("__bldom", domain_col)
     return out.drop("__bldom")
+
+
+def parse_robots_rules(robots_text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse one robots.txt body (RFC 9309) into the rule list that
+    applies to ``user_agent``: ``[(path_pattern, allow)]``. Group
+    selection is the spec's: the group(s) whose ``User-agent`` line is
+    the LONGEST match for our product token win; ``*`` groups apply
+    only when no specific group matched. Patterns keep the spec's
+    ``*`` (any run) and trailing ``$`` (end anchor) syntax verbatim —
+    :func:`robots_pattern_sql_regex` compiles them for matching.
+    Unparseable lines are skipped (crawl-captured robots files hold
+    every syntax error ever typed); an empty/absent/garbage file
+    yields ``[]`` — allow-all, the spec's default."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_group_body = False
+    for raw in (robots_text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if value:  # empty Disallow = allow-all, contributes nothing
+                cur_rules.append((value, field == "allow"))
+        # other fields (sitemap, crawl-delay) end nothing and add nothing
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    # longest user-agent token match wins; '*' only as fallback
+    best_len = -1
+    best_rules: list[tuple[str, bool]] = []
+    star_rules: list[tuple[str, bool]] = []
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                star_rules = star_rules + rules
+            elif a in ua or ua in a:
+                if len(a) > best_len:
+                    best_len, best_rules = len(a), list(rules)
+                elif len(a) == best_len:
+                    best_rules = best_rules + rules
+    return best_rules if best_len >= 0 else star_rules
+
+
+def robots_pattern_sql_regex(pattern: str) -> str:
+    """Compile a robots.txt path pattern to the Java∩RE2 regex both
+    engines match with: regex-escape everything, ``*`` -> ``.*``, a
+    trailing ``$`` -> end anchor, and anchor the start (robots
+    patterns are path PREFIXES)."""
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.[]{}()<>+-=!?^$|":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else "")
+
+
+def robots_filter(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    user_agent: str = "*",
+    flag_col: str = "robots_ok",
+    psl=None,
+) -> DataFrame:
+    """Append ``flag_col``: False when the crawl's own robots.txt for
+    the URL's registered domain disallows the URL's path for
+    ``user_agent`` — RFC 9309 longest-match-wins with allow winning
+    ties, allow-all when a domain has no robots capture. The
+    compliance stage a governed crawl pipeline runs (robots captures
+    arrive IN the WARC dump; pair with ``read_warc(record_types=
+    ("response",))`` filtered to ``/robots.txt`` paths).
+
+    ``robots``: ``(domain, robots_text)`` — one row per registered
+    domain. Scale shape: each domain's rules compile to ONE row
+    holding an array of ``(spec, allow, rx)`` structs; that relation
+    is BROADCAST (robots corpora are domain-count-sized — millions of
+    rows, still megabytes), the corpus joins 1:1 on its in-row domain
+    key, and the longest-match resolution is in-row array algebra
+    (``filter`` by ``rlike`` + ``array_max`` over ``(spec, allow)``
+    structs — lexicographic struct max IS the RFC tiebreak). One
+    broadcast join, zero corpus shuffles, no row-id round-trip."""
+    from pyspark.sql import types as T
+
+    rule_schema = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField(
+                "rules",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("spec", T.IntegerType()),
+                            T.StructField("allow", T.BooleanType()),
+                            T.StructField("rx", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def _compile(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for dom, txt in zip(pdf["domain"], pdf["robots_text"]):
+                rules = [
+                    (len(pat), allow, robots_pattern_sql_regex(pat))
+                    for pat, allow in parse_robots_rules(txt or "", user_agent)
+                ]
+                if rules:
+                    rows.append((dom, rules))
+            yield pd.DataFrame(rows, columns=["domain", "rules"])
+
+    compiled = (
+        robots.select("domain", "robots_text")
+        .dropDuplicates(["domain"])
+        .mapInPandas(_compile, schema=rule_schema)
+        .withColumnRenamed("domain", "__rbdom")
+    )
+    path = F.regexp_extract(
+        _ucol(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    out = df.withColumn("__rdom", registered_domain_expr(url_col, psl=psl))
+    out = out.withColumn("__rpath", path)
+    joined = out.join(
+        F.broadcast(compiled), out["__rdom"] == compiled["__rbdom"], "left"
+    )
+    hit = F.filter(
+        F.col("rules"), lambda r: F.regexp_like(F.col("__rpath"), r["rx"])
+    )
+    # lexicographic struct max == RFC 9309 §2.3.2: longest pattern
+    # wins, allow beats disallow on equal length; empty -> NULL -> the
+    # spec's allow-all default (also covers domains with no robots)
+    best = F.array_max(
+        F.transform(
+            hit,
+            lambda r: F.struct(
+                r["spec"].alias("spec"), r["allow"].cast("int").alias("a")
+            ),
+        )
+    )
+    return joined.withColumn(
+        flag_col,
+        F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+            F.coalesce(best["a"] == 1, F.lit(True))
+        ),
+    ).drop("__rdom", "__rpath", "__rbdom", "rules")
+
+
+def _ucol(c):
+    return F.col(c) if isinstance(c, str) else c

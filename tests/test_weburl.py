@@ -954,3 +954,85 @@ def test_domain_blocklist_dataframe_mode_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_parse_robots_rules_rfc9309():
+    """RFC 9309 semantics driver-side: group selection by longest
+    user-agent match with '*' as fallback, empty Disallow = allow-all,
+    comments/garbage skipped, wildcard syntax preserved."""
+    from gluestick_ts_spark.operators.weburl import (
+        parse_robots_rules,
+        robots_pattern_sql_regex,
+    )
+
+    txt = """
+# a comment
+User-agent: examplebot
+Disallow: /private/
+Allow: /private/ok$
+
+User-agent: otherbot
+User-agent: thirdbot
+Disallow: /all-others/
+
+User-agent: *
+Disallow: /tmp/*.pdf
+Disallow:
+Crawl-delay: 10
+this line is garbage
+"""
+    # specific group wins over '*'
+    assert parse_robots_rules(txt, "examplebot") == [
+        ("/private/", False), ("/private/ok$", True),
+    ]
+    # multi-agent group
+    assert parse_robots_rules(txt, "thirdbot") == [("/all-others/", False)]
+    # unknown agent falls to '*' (empty Disallow contributes nothing)
+    assert parse_robots_rules(txt, "somebody") == [("/tmp/*.pdf", False)]
+    # garbage file -> allow-all
+    assert parse_robots_rules("%%% not robots %%%") == []
+    assert parse_robots_rules("") == []
+    # pattern compilation: escape, * -> .*, trailing $ anchors
+    import re
+
+    rx = robots_pattern_sql_regex("/tmp/*.pdf")
+    assert re.match(rx, "/tmp/a/b/x.pdf") and not re.match(rx, "/doc/x.pdf")
+    rx2 = robots_pattern_sql_regex("/exact$")
+    assert re.fullmatch(rx2[1:-1], "/exact"[0:]) or re.match(rx2, "/exact")
+    assert not re.match(rx2, "/exact/sub")
+
+
+def test_robots_filter_longest_match_and_defaults(spark):
+    """Distributed verdicts: longest-match-wins, allow beats disallow
+    on ties, allow-all for unmatched paths / missing domains / garbage
+    robots; the plan stays one broadcast join (no corpus shuffle)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.weburl import robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            ("site.example", "User-agent: *\nDisallow: /private/\n"
+             "Allow: /private/pub/\nDisallow: /private/pub/secret$"),
+            ("open.example", "garbage robots file %%%"),
+        ],
+        "domain string, robots_text string",
+    )
+    urls = [
+        (0, "http://www.site.example/index.html"),          # no rule -> allow
+        (1, "http://site.example/private/x"),               # disallow
+        (2, "http://site.example/private/pub/a"),           # longer allow wins
+        (3, "http://site.example/private/pub/secret"),      # longest disallow
+        (4, "http://site.example/private/pub/secret2"),     # $ anchor: allow
+        (5, "http://sub.site.example/private/y"),           # subdomain -> same reg dom
+        (6, "http://open.example/anything"),                # garbage -> allow
+        (7, "http://norobots.example/x"),                   # no robots -> allow
+        (8, "not a url"),                                   # '' domain -> allow
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    out = robots_filter(df, robots, "url")
+    got = {r.doc_id: r.robots_ok for r in out.collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True,
+                   5: False, 6: True, 7: True, 8: True}, got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
