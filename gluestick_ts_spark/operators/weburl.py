@@ -434,29 +434,44 @@ def robots_pattern_sql_regex(pattern: str) -> str:
 
 def robots_filter(
     df: DataFrame,
-    robots: DataFrame,
+    robots: "DataFrame | list[tuple[str, str]] | tuple",
     url_col: str = "url",
     user_agent: str = "*",
     flag_col: str = "robots_ok",
     psl=None,
+    broadcast: bool = True,
+    key: str = "host",
 ) -> DataFrame:
     """Append ``flag_col``: False when the crawl's own robots.txt for
-    the URL's registered domain disallows the URL's path for
-    ``user_agent`` — RFC 9309 longest-match-wins with allow winning
-    ties, allow-all when a domain has no robots capture. The
-    compliance stage a governed crawl pipeline runs (robots captures
-    arrive IN the WARC dump; pair with ``read_warc(record_types=
-    ("response",))`` filtered to ``/robots.txt`` paths).
+    the URL's HOST disallows the URL's path for ``user_agent`` — RFC
+    9309 longest-match-wins with allow winning ties, allow-all when a
+    host has no robots capture. The compliance stage a governed crawl
+    pipeline runs (robots captures arrive IN the WARC dump; pair with
+    ``read_warc(record_types=("response",))`` filtered to
+    ``/robots.txt`` paths).
 
-    ``robots``: ``(domain, robots_text)`` — one row per registered
-    domain. Scale shape: each domain's rules compile to ONE row
+    ``key="host"`` (default) matches the spec: robots.txt scope is the
+    ORIGIN, so ``www.x.com`` and ``docs.x.com`` each have their own
+    file — the robots relation keys by raw lowercased host.
+    ``key="domain"`` matches on the registered eTLD+1 instead, for
+    aggregated per-registrant policy tables.
+
+    ``robots``: ``(domain, robots_text)`` — one row per host (or
+    registered domain in domain mode). A DataFrame compiles its rules
+    in an Arrow pass over the ROBOTS side (the corpus side never runs
+    Python); a local list/tuple of pairs compiles DRIVER-side into a
+    literal relation — zero Python operators anywhere in the plan,
+    the right mode for fixed policy tables. Scale shape: each domain's rules compile to ONE row
     holding an array of ``(spec, allow, rx)`` structs; that relation
     is BROADCAST (robots corpora are domain-count-sized — millions of
     rows, still megabytes), the corpus joins 1:1 on its in-row domain
     key, and the longest-match resolution is in-row array algebra
     (``filter`` by ``rlike`` + ``array_max`` over ``(spec, allow)``
     structs — lexicographic struct max IS the RFC tiebreak). One
-    broadcast join, zero corpus shuffles, no row-id round-trip."""
+    broadcast join, zero corpus shuffles, no row-id round-trip.
+    ``broadcast=False`` switches to a plain equi-join (corpus shuffles
+    on the domain key) for whole-web robots corpora too big to
+    broadcast (~10^8 domains); verdict algebra identical."""
     from pyspark.sql import types as T
 
     rule_schema = T.StructType(
@@ -491,21 +506,49 @@ def robots_filter(
                     rows.append((dom, rules))
             yield pd.DataFrame(rows, columns=["domain", "rules"])
 
-    compiled = (
-        robots.select("domain", "robots_text")
-        .dropDuplicates(["domain"])
-        .mapInPandas(_compile, schema=rule_schema)
-        .withColumnRenamed("domain", "__rbdom")
-    )
+    if isinstance(robots, DataFrame):
+        compiled = (
+            robots.select("domain", "robots_text")
+            .dropDuplicates(["domain"])
+            .mapInPandas(_compile, schema=rule_schema)
+            .withColumnRenamed("domain", "__rbdom")
+        )
+    else:
+        spark = df.sparkSession
+        seen: dict = {}
+        for dom, txt in robots:
+            seen.setdefault(
+                dom,
+                [
+                    (len(pat), allow, robots_pattern_sql_regex(pat))
+                    for pat, allow in parse_robots_rules(txt or "", user_agent)
+                ],
+            )
+        rows = [(d, r) for d, r in seen.items() if r]
+        compiled = spark.createDataFrame(
+            rows, rule_schema
+        ).withColumnRenamed("domain", "__rbdom")
+    if key not in ("host", "domain"):
+        raise ValueError(f"key must be 'host' or 'domain', got {key!r}")
     path = F.regexp_extract(
         _ucol(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    out = df.withColumn("__rdom", registered_domain_expr(url_col, psl=psl))
-    out = out.withColumn("__rpath", path)
-    joined = out.join(
-        F.broadcast(compiled), out["__rdom"] == compiled["__rbdom"], "left"
+    match_key = (
+        F.lower(
+            F.regexp_extract(
+                _ucol(url_col),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+                1,
+            )
+        )
+        if key == "host"
+        else registered_domain_expr(url_col, psl=psl)
     )
+    out = df.withColumn("__rdom", match_key)
+    out = out.withColumn("__rpath", path)
+    right = F.broadcast(compiled) if broadcast else compiled
+    joined = out.join(right, out["__rdom"] == right["__rbdom"], "left")
     hit = F.filter(
         F.col("rules"), lambda r: F.regexp_like(F.col("__rpath"), r["rx"])
     )

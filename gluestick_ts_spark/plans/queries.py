@@ -1602,6 +1602,50 @@ _LIC_FOOTERS = (
     (17, " Copyright (c) 2020 Example Corp."),
 )
 
+# round 11: the robots-compliance stage's fixtures — two fixed sites
+# (each serving the same file on its www. and bare HOSTS — robots
+# scope is the origin) with real RFC 9309 rule sets (wildcards, $
+# anchors, allow overrides). The docs site disallows /item/ but allows
+# paths ending 35 (1/5 of its slot); the hot site's allow-override
+# re-admits every path (its items all contain a 3), so robots
+# exercises longest-match BOTH ways. The oracle's verdict CASE is
+# GENERATED from these texts via the same parse_robots_rules +
+# robots_pattern_sql_regex the operator uses.
+_DOCS_ROBOTS = "User-agent: *\nDisallow: /item/\nAllow: /item/*35$"
+_HOT_ROBOTS = "User-agent: *\nDisallow: /item/\nAllow: /item/*3"
+_ROBOTS_TXT = (
+    ("docs.example-site.net", _DOCS_ROBOTS),
+    ("www.docs.example-site.net", _DOCS_ROBOTS),
+    ("hot.example-hub.org", _HOT_ROBOTS),
+    ("www.hot.example-hub.org", _HOT_ROBOTS),
+)
+
+
+def _robots_case_sql(dom_sql: str, path_sql: str) -> str:
+    """DuckDB restatement of robots_filter's verdict over the fixed
+    _ROBOTS_TXT table: per domain, a longest-pattern-first (allow
+    first on ties) CASE — which IS the RFC 9309 resolution for a
+    static rule set. Generated from the same parse/compile functions
+    the Spark operator runs."""
+    from ..operators.weburl import parse_robots_rules, robots_pattern_sql_regex
+
+    branches = []
+    for dom, txt in _ROBOTS_TXT:
+        rules = sorted(
+            (
+                (len(pat), allow, robots_pattern_sql_regex(pat))
+                for pat, allow in parse_robots_rules(txt)
+            ),
+            reverse=True,
+        )
+        inner = " ".join(
+            f"WHEN regexp_matches({path_sql}, '{rx}') THEN {str(allow).upper()}"
+            for _ln, allow, rx in rules
+        )
+        branches.append(f"WHEN {dom_sql} = '{dom}' THEN (CASE {inner} ELSE TRUE END)")
+    return "(CASE " + " ".join(branches) + " ELSE TRUE END)"
+
+
 # round 11: the URL-blocklist stage's list — one planted tracker-farm
 # REGISTRANT the item%10==9 docs' ads. subdomain resolves to (the list
 # is at eTLD+1 grain, so every subdomain of a blocked registrant is
@@ -1668,7 +1712,15 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     tuple compiles to an in-row NOT-isin on the same eTLD+1 resolution
     the cap uses (no join, no shuffle; a UT1-scale list would switch
     to the operator's broadcast-DataFrame mode), and the oracle's IN
-    list is built from the SAME tuple.
+    list is built from the SAME tuple. Plus the ROBOTS-COMPLIANCE
+    stage right behind it (operators/weburl.py robots_filter, RFC
+    9309): the item%20==15 docs land on a fixed docs site whose
+    robots.txt disallows /item/ with a wildcard+$ allow-override, the
+    hot site's allow-override re-admits everything (longest-match
+    exercised both ways), matching is per raw HOST (origin scope, the
+    www. and bare hosts each carry the file), and the oracle's verdict
+    CASE is GENERATED from the same robots texts via the operator's
+    own parse/compile functions (_robots_case_sql).
 
     ``stages`` restricts the build to one stage's marginal pipeline for
     bench attribution (QUERY_PARTS) — the full query (default) is the
@@ -1679,6 +1731,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     from ..operators.weburl import (
         domain_blocklist_flag,
         domain_cap_flag,
+        robots_filter,
         url_dedup_flag,
     )
 
@@ -1741,7 +1794,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
                 "doc_id",
                 (F.col("mean_logprob") >= F.lit(-3.41)).alias("lp_ok"),
             )
-        if stage not in ("url", "blocklist"):
+        if stage not in ("url", "blocklist", "robots"):
             raise ValueError(f"unknown curation stage: {stage!r}")
         # fall through: the url/blocklist stages build the shared URL
         # synth below and return right after their own flag
@@ -1761,7 +1814,10 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     # domain the cap exists for
     istr = item.cast("string")
     host = (
-        F.when(item % 10 == 3, F.lit("hot.example-hub.org"))
+        # round 11: fixed robots-governed docs domain (~5% of items) —
+        # checked FIRST (mod-20, more specific than the mod-10 slots)
+        F.when(item % 20 == 15, F.lit("docs.example-site.net"))
+        .when(item % 10 == 3, F.lit("hot.example-hub.org"))
         .when(item % 10 == 7, F.concat(F.lit("example"), istr, F.lit(".co.uk")))
         .when(item % 10 == 4, F.concat(F.lit("site"), istr, F.lit(".github.io")))
         .when(item % 10 == 6, F.concat(F.lit("school"), istr, F.lit(".k12.ca.us")))
@@ -1781,12 +1837,16 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .when(item % 4 == 1, F.lit("?p=2#sec"))
         .otherwise(F.lit("")),
     )
-    if stages is not None:  # the "url"/"blocklist" marginal builders
+    if stages is not None:  # the url/blocklist/robots marginal builders
         per = d.select("doc_id", url.alias("__url"))
         if stage == "blocklist":
             return domain_blocklist_flag(
                 per, "__url", _BLOCKED_DOMAINS, domain_col="domain"
             ).drop("__url")
+        if stage == "robots":
+            # local-pair mode: rules compile driver-side, so the plan
+            # carries zero Python operators (the no-Python gate)
+            return robots_filter(per, list(_ROBOTS_TXT), "__url").drop("__url")
         per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
         return domain_cap_flag(
             per, "__url", "doc_id", cap=25, seed=1,
@@ -1803,6 +1863,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         _lic.alias("__lic"),
     )
     per = domain_blocklist_flag(per, "__url", _BLOCKED_DOMAINS)
+    per = robots_filter(per, list(_ROBOTS_TXT), "__url")
     per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
     per = domain_cap_flag(
         per, "__url", "doc_id", cap=25, seed=1,
@@ -1815,6 +1876,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     ).select(
         "doc_id",
         "blocklist_ok",
+        "robots_ok",
         "url_keep",
         "domain",
         "domain_keep",
@@ -1841,6 +1903,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .select(
             "doc_id",
             "blocklist_ok",
+            "robots_ok",
             "url_keep",
             "domain",
             "domain_keep",
@@ -1860,6 +1923,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     )
     keep = (
         F.col("blocklist_ok")
+        & F.col("robots_ok")
         & F.col("url_keep")
         & F.col("domain_keep")
         & ~F.col("is_benchmark")
@@ -1874,6 +1938,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     # filter before any dedup or content stage
     reason = (
         F.when(~F.col("blocklist_ok"), "blocked")
+        .when(~F.col("robots_ok"), "robots")
         .when(~F.col("url_keep"), "url_dup")
         .when(~F.col("domain_keep"), "domain_cap")
         .when(F.col("is_benchmark"), "benchmark")
@@ -1887,6 +1952,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     return j.select(
         "doc_id",
         "blocklist_ok",
+        "robots_ok",
         "url_keep",
         "domain",
         "domain_keep",
@@ -3819,6 +3885,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         for p in (
             "url",
             "blocklist",
+            "robots",
             "license",
             "dup",
             "gopher",
@@ -5395,7 +5462,8 @@ ORACLES: dict[str, str] = {
         "FROM documents), "
         "urls AS (SELECT doc_id, "
         "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END "
-        "|| CASE WHEN item % 10 = 3 THEN 'hot.example-hub.org' "
+        "|| CASE WHEN item % 20 = 15 THEN 'docs.example-site.net' "
+        "WHEN item % 10 = 3 THEN 'hot.example-hub.org' "
         "WHEN item % 10 = 7 THEN 'example' || CAST(item AS VARCHAR) || '.co.uk' "
         "WHEN item % 10 = 4 THEN 'site' || CAST(item AS VARCHAR) || '.github.io' "
         "WHEN item % 10 = 6 THEN 'school' || CAST(item AS VARCHAR) || '.k12.ca.us' "
@@ -5417,7 +5485,15 @@ ORACLES: dict[str, str] = {
         + _URL_NORM_SQL.format(u="u")
         + " AS norm, "
         + _psl_registered_domain_sql("h")
-        + " AS dom FROM uhost), "
+        + " AS dom, "
+        # robots matches the RAW lowercased host (origin scope), not
+        # the www-stripped PSL host h
+        "lower(regexp_extract(u, "
+        "'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS rawh, "
+        # the URL's path(+query) for the robots verdict — '' -> '/'
+        "CASE WHEN regexp_extract(u, '://[^/?#]*([^#]*)', 1) = '' THEN '/' "
+        "ELSE regexp_extract(u, '://[^/?#]*([^#]*)', 1) END AS pth "
+        "FROM uhost), "
         # NULL/'' domains are identity-less and always keep — the same
         # exemption domain_cap_flag applies (weburl.py); latent for the
         # all-well-formed synth URLs but the rule must not diverge
@@ -5428,6 +5504,10 @@ ORACLES: dict[str, str] = {
         "(dom IS NULL OR dom NOT IN ("
         + ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
         + ")) AS blocklist_ok, "
+        # robots verdict CASE GENERATED from the same _ROBOTS_TXT rule
+        # texts via the operator's own parse/compile functions
+        + _robots_case_sql("rawh", "pth")
+        + " AS robots_ok, "
         "row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1 "
         "AS url_keep, "
         "(dom IS NULL OR dom = '' OR "
@@ -5479,20 +5559,21 @@ ORACLES: dict[str, str] = {
         # quantile — restates adaptive_quality_filter's F.percentile)
         "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
         "FROM base GROUP BY lang) "
-        "SELECT b.doc_id, uf.blocklist_ok, uf.url_keep, uf.domain, "
-        "uf.domain_keep, b.is_benchmark, "
+        "SELECT b.doc_id, uf.blocklist_ok, uf.robots_ok, uf.url_keep, "
+        "uf.domain, uf.domain_keep, b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
         "b.dup_ok, "
         "lf.has_copyright, lf.rights_reserved, lf.license_name, "
         "lf.license_ok, "
         "b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
         "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
-        "(uf.blocklist_ok AND uf.url_keep AND uf.domain_keep "
+        "(uf.blocklist_ok AND uf.robots_ok AND uf.url_keep AND uf.domain_keep "
         "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
         "AND lf.license_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
         "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
         "CASE WHEN NOT uf.blocklist_ok THEN 'blocked' "
+        "WHEN NOT uf.robots_ok THEN 'robots' "
         "WHEN NOT uf.url_keep THEN 'url_dup' "
         "WHEN NOT uf.domain_keep THEN 'domain_cap' "
         "WHEN b.is_benchmark THEN 'benchmark' "

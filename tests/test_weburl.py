@@ -1030,9 +1030,53 @@ def test_robots_filter_longest_match_and_defaults(spark):
         (8, "not a url"),                                   # '' domain -> allow
     ]
     df = spark.createDataFrame(urls, "doc_id long, url string")
-    out = robots_filter(df, robots, "url")
+    # domain mode: subdomains share the registrant's policy table
+    out = robots_filter(df, robots, "url", key="domain")
     got = {r.doc_id: r.robots_ok for r in out.collect()}
     assert got == {0: True, 1: False, 2: True, 3: False, 4: True,
                    5: False, 6: True, 7: True, 8: True}, got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    # host mode (the default, spec-correct): robots scope is the
+    # ORIGIN — www./sub. hosts do NOT inherit the bare host's file
+    hgot = {
+        r.doc_id: r.robots_ok
+        for r in robots_filter(df, robots, "url").collect()
+    }
+    assert hgot[1] is False and hgot[3] is False   # exact host matches
+    assert hgot[0] is True and hgot[5] is True     # www./sub. unmatched
+    with pytest.raises(ValueError, match="key"):
+        robots_filter(df, robots, "url", key="nope")
+
+    # broadcast=False: identical verdicts through the shuffle-join path
+    jgot = {
+        r.doc_id: r.robots_ok
+        for r in robots_filter(
+            df, robots, "url", key="domain", broadcast=False
+        ).collect()
+    }
+    assert jgot == got
+
+
+def test_robots_filter_local_pairs_mode_no_python(spark):
+    """A local (domain, robots_text) list compiles driver-side: same
+    verdicts as the DataFrame mode with ZERO Python operators in the
+    plan — the mode fixed policy tables (and the curation stage) use."""
+    from gluestick_ts_spark.operators.weburl import robots_filter
+
+    pairs = [("site.example", "User-agent: *\nDisallow: /no/")]
+    df = spark.createDataFrame(
+        [(0, "http://site.example/ok"), (1, "http://site.example/no/x")],
+        "doc_id long, url string",
+    )
+    out = robots_filter(df, pairs, "url")
+    assert {r.doc_id: r.robots_ok for r in out.collect()} == {0: True, 1: False}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, node
+    # identical verdicts through the DataFrame (Arrow-compile) mode
+    rdf = spark.createDataFrame(pairs, "domain string, robots_text string")
+    assert {r.doc_id: r.robots_ok for r in robots_filter(df, rdf, "url").collect()} == {
+        0: True, 1: False,
+    }
