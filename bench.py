@@ -68,7 +68,9 @@ for 11+ s and was rejected; the residual is the per-block strip
 chain, which IS the operator). ``curation_pipeline_docs`` gained the
 URL-BLOCKLIST stage (in-row NOT-isin on the shared eTLD+1 resolution
 — no new shuffle; 'blocked' now outranks every reason, so the
-histogram moved). The BM25/IVF/signature/fingerprint store initial
+histogram moved) AND the ROBOTS-COMPLIANCE stage (a 2-site driver-
+compiled rule relation broadcast + in-row array_max resolution — one
+tiny broadcast join, no corpus shuffle, no Python). The BM25/IVF/signature/fingerprint store initial
 writes now repartition on their bucket key (~1 file/bucket instead of
 tasks x buckets): ``bm25_search_docs`` 7.15 -> ~5.0 s and
 ``ann_ivf_topk`` 7.29 -> ~5.8 s warm are LAYOUT wins, not noise.
