@@ -1330,7 +1330,7 @@ _JT_HTML_POST = (
 )
 
 
-def q_text_stats(spark, sf):
+def q_text_stats(spark, sf, parts=("stats", "justext")):
     """Quality scoring + token counting over documents plus the
     Gopher-rule overall verdict — oracle-checked, so all eight
     published rules are replicated in SQL and hash-compared. Round 11
@@ -1352,7 +1352,42 @@ def q_text_stats(spark, sf):
     functions/text.py expressions the oracle mirrors."""
     from ..functions.text import _jt_blocks, _jt_context
 
+    parts = set(parts)
     d = _t(spark, sf, "documents")
+    if parts == {"justext"}:
+        # marginal builder (bench attribution): ONLY the jusText
+        # columns over the base scan
+        st = _jt_blocks(
+            F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)),
+            STOPWORDS_EN,
+            80,
+            1,
+        )
+        lv = d.select("doc_id", st.alias("__jt_st"))
+        lv = lv.select(
+            "doc_id",
+            "__jt_st",
+            F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
+        )
+        lv = lv.select(
+            "doc_id", "__jt_st", _jt_context(F.col("__jt_cls")).alias("__jt_fin")
+        )
+        return lv.select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.zip_with(
+                        F.col("__jt_st"),
+                        F.col("__jt_fin"),
+                        lambda s, c: F.when(c == "good", s["txt"]),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+                " ",
+            ).alias("main_text"),
+            F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
+        )
+    jt = "justext" in parts
     lvl1 = d.select(
         "doc_id",
         "text",
@@ -1364,12 +1399,20 @@ def q_text_stats(spark, sf):
         # synthetic corpus ~6% (real jusText lists are ~10x larger), so
         # the tunable density floor drops to 10% to exercise BOTH
         # classes + the inheritance pass on this data
-        _jt_blocks(
-            F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)),
-            STOPWORDS_EN,
-            80,
-            1,
-        ).alias("__jt_st"),
+        *(
+            [
+                _jt_blocks(
+                    F.concat(
+                        F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)
+                    ),
+                    STOPWORDS_EN,
+                    80,
+                    1,
+                ).alias("__jt_st")
+            ]
+            if jt
+            else []
+        ),
     )
     g2 = (
         "zip_with(__toks, slice(__toks, 2, greatest(size(__toks) - 1, 1)), "
@@ -1383,10 +1426,14 @@ def q_text_stats(spark, sf):
         "doc_id",
         "text",
         "__toks",
-        "__jt_st",
+        *(["__jt_st"] if jt else []),
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
-        F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
+        *(
+            [F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls")]
+            if jt
+            else []
+        ),
     )
     # Gopher's repetition rule sees NO grams for sub-3-token docs (the
     # pseudo-gram the slice floor produces is fake data); dup_3gram_ratio
@@ -1398,8 +1445,8 @@ def q_text_stats(spark, sf):
         "__toks",
         "__grams",
         "__lines",
-        "__jt_st",
-        _jt_context(F.col("__jt_cls")).alias("__jt_fin"),
+        *(["__jt_st"] if jt else []),
+        *([_jt_context(F.col("__jt_cls")).alias("__jt_fin")] if jt else []),
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
         ).alias("__gg"),
@@ -1457,18 +1504,24 @@ def q_text_stats(spark, sf):
         # arrays — value-identical to main_text_expr/block_classes_expr
         # (tests/test_text.py pins the staged == single-expression
         # equality), structs and classes computed once per doc
-        F.array_join(
-            F.filter(
-                F.zip_with(
-                    F.col("__jt_st"),
-                    F.col("__jt_fin"),
-                    lambda s, c: F.when(c == "good", s["txt"]),
-                ),
-                lambda t: t.isNotNull(),
-            ),
-            " ",
-        ).alias("main_text"),
-        F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
+        *(
+            [
+                F.array_join(
+                    F.filter(
+                        F.zip_with(
+                            F.col("__jt_st"),
+                            F.col("__jt_fin"),
+                            lambda s, c: F.when(c == "good", s["txt"]),
+                        ),
+                        lambda t: t.isNotNull(),
+                    ),
+                    " ",
+                ).alias("main_text"),
+                F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
+            ]
+            if jt
+            else []
+        ),
     )
 
 
@@ -3870,6 +3923,16 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
             )
         )(p)
         for p in ("split", "dsir")
+    },
+    "text_stats": {
+        # mode-restricted builders: 'stats' = the pre-round-11 columns
+        # with NO jusText work; 'justext' = only the extraction columns
+        p: (
+            lambda mode: (
+                lambda spark, sf: q_text_stats(spark, sf, parts=(mode,))
+            )
+        )(p)
+        for p in ("stats", "justext")
     },
     "curation_pipeline_docs": {
         # stage-restricted builders: each times ONE stage's marginal
