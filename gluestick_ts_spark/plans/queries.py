@@ -3116,7 +3116,58 @@ def _phash_synth_payload(i: int) -> bytes:
     return bmp_encode(16, 16, px)
 
 
-def q_multimodal_features(spark, sf, parts=("feat", "phash")):
+def _vdup_synth_payload(i: int) -> bytes:
+    """Deterministic 4-frame 8x8 MJPEG-AVI for the video near-dup leg
+    — PLANTED structure over group ``g = i % 10``, copy ``c = i //
+    10`` (3 copies per group among doc_ids < 30): c=1 is the c=0
+    video RE-MUXED at a different fps (identical frames — vhash
+    hamming measured 0 for every group: the container-retag re-upload
+    vhash exists to catch); c=2 swaps ONE of the four frames for an
+    unrelated one (measured 4..15 across groups — the strict-majority
+    vote moves only where a 3-1 bit loses its margin); cross-group
+    distances measured 11..24. max_hamming=8 pairs every re-mux twin,
+    most frame-swap variants, and ZERO cross-group pairs; the
+    correctness statement is banded == brute-force per-value on BOTH
+    engines (the phash leg's contract), not a hand-made pair list.
+    Frames are md5-seeded 4-level luma grids with horizontally-
+    adjacent cells forced distinct (the _phash_synth_payload tie-free
+    pattern), pure function of ``i`` — shared by the Spark synth and
+    the oracle expected-hash builder."""
+    import hashlib
+
+    from ..operators.media_codecs import avi_encode
+
+    g, c = i % 10, i // 10
+
+    def frame(gg: int, k: int):
+        vals = []
+        for y in range(8):
+            row = []
+            prev = None
+            for x in range(8):
+                ch = (
+                    int(
+                        hashlib.md5(f"v{gg}:{k}:{y}:{x}".encode()).hexdigest(),
+                        16,
+                    )
+                    % 4
+                )
+                if ch == prev:
+                    ch = (ch + 1) % 4
+                prev = ch
+                row.append(20 + 75 * ch)
+            vals.append(row)
+        return [(vals[y][x],) * 3 for y in range(8) for x in range(8)]
+
+    frames = [frame(g, k) for k in range(4)]
+    if c == 1:
+        return avi_encode(8, 8, frames, fps=25)
+    if c == 2:
+        frames[2] = frame(g + 100, 0)
+    return avi_encode(8, 8, frames, fps=8)
+
+
+def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup")):
     """Multimodal pipeline over REAL codecs, as ONE tagged union
     (registry-folding pattern).
 
@@ -3137,6 +3188,14 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
     gain-invariant audio spechash) in the one decode pass; image rows
     fill dhash/ahash/rothash (wavhash/vhash/spechash NULL per
     modality), WAVs fill wavhash+spechash, videos fill vhash.
+
+    ``vdup``: VIDEO near-dup pairs over 30 planted 4-frame MJPEG-AVIs
+    (10 groups x {base, fps-retagged re-mux, one-frame-swap}) — vhash
+    then the same pigeonhole-banded Hamming join at max_hamming=8
+    (re-mux pairs at 0, frame swaps at 4..15, cross-group >= 11), so
+    container retags and near-identical clips collapse while distinct
+    content stays apart; fully oracled via driver-computed vhash
+    literals + DuckDB brute force (the phash contract).
 
     ``phash``: image near-dup pairs (operators/imagehash.py) over 120
     planted 16x16 images (60 BMPs + 30 JPEG + 30 GIF cross-codec
@@ -3246,6 +3305,43 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash")):
         )
         legs.append(pairs.select(
             F.lit("phash").alias("part"),
+            F.col("id_a").alias("doc_id"),
+            _null("string").alias("fmt"),
+            _null("int").alias("width"),
+            _null("long").alias("duration_ms"),
+            _null("long").alias("size_bytes"),
+            _null("string").alias("decoder"),
+            _null("double").alias("f0"),
+            _null("double").alias("f1"),
+            _null("long").alias("dhash"),
+            _null("long").alias("ahash"),
+            _null("long").alias("wavhash"),
+            _null("long").alias("rothash"),
+            _null("long").alias("vhash"),
+            _null("long").alias("spechash"),
+            F.col("id_b").alias("pair_id"),
+            "hamming",
+        ))
+    if "vdup" in parts:
+        v = _t(spark, sf, "documents").where(F.col("doc_id") < 30).select("doc_id")
+
+        def _vsynth(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    _vdup_synth_payload(int(did)) for did in pdf["doc_id"]
+                ]
+                yield pdf
+
+        vids = v.mapInPandas(_vsynth, schema="doc_id long, content binary")
+        from ..operators.imagehash import media_hashes
+
+        vh = media_hashes(vids, columns={"vhash": vhash_of_payload}).select(
+            "doc_id", F.col("vhash")
+        )
+        vpairs = hamming_neardup_pairs(vh, "doc_id", "vhash", max_hamming=8)
+        legs.append(vpairs.select(
+            F.lit("vdup").alias("part"),
             F.col("id_a").alias("doc_id"),
             _null("string").alias("fmt"),
             _null("int").alias("width"),
@@ -3909,7 +4005,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
                 )
             )
         )(p)
-        for p in ("feat", "phash")
+        for p in ("feat", "phash", "vdup")
     },
     "hash_split_documents": {
         # mode-restricted builders (the ann_ivf precedent): the dsir
@@ -4466,6 +4562,14 @@ def _mm_features_values() -> str:
     return ", ".join(rows)
 
 
+def _mm_vdup_values() -> str:
+    from ..operators.imagehash import vhash_of_payload
+
+    return ", ".join(
+        f"({i}, {vhash_of_payload(_vdup_synth_payload(i))})" for i in range(30)
+    )
+
+
 def _mm_phash_values() -> str:
     from ..operators.imagehash import dhash_of_payload
 
@@ -4478,6 +4582,7 @@ _MM_FEATURES_ORACLE = (
     "WITH exp(doc_id, fmt, width, duration_ms, size_bytes, decoder, f0, f1, dh, ah, wh, rh, vh, sh) "
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
+    "vexp(doc_id, h) AS (VALUES " + _mm_vdup_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
     "CAST(e.width AS INTEGER) AS width, "
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
@@ -4503,8 +4608,24 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS BIGINT) AS rothash, "
     "CAST(NULL AS BIGINT) AS vhash, CAST(NULL AS BIGINT) AS spechash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
-    "FROM pp WHERE ham <= 6) "
-    "SELECT * FROM feat UNION ALL SELECT * FROM ph"
+    "FROM pp WHERE ham <= 6), "
+    # video near-dup brute force over the vhash literals (vdup leg)
+    "vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "bit_count(xor(CAST(a.h AS BIGINT), CAST(b.h AS BIGINT))) AS ham "
+    "FROM vexp a JOIN vexp b ON a.doc_id < b.doc_id "
+    "JOIN documents da ON da.doc_id = a.doc_id "
+    "JOIN documents db ON db.doc_id = b.doc_id), "
+    "vh AS (SELECT 'vdup' AS part, id_a AS doc_id, "
+    "CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS INTEGER) AS width, "
+    "CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS size_bytes, "
+    "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
+    "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
+    "CAST(NULL AS BIGINT) AS ahash, CAST(NULL AS BIGINT) AS wavhash, "
+    "CAST(NULL AS BIGINT) AS rothash, "
+    "CAST(NULL AS BIGINT) AS vhash, CAST(NULL AS BIGINT) AS spechash, "
+    "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
+    "FROM vp WHERE ham <= 8) "
+    "SELECT * FROM feat UNION ALL SELECT * FROM ph UNION ALL SELECT * FROM vh"
 )
 
 # multimodal_frame_pipeline oracle: with unsniffable payloads the fake
