@@ -532,8 +532,16 @@ def write_wet(
             recs.append(rec)
         if not recs:
             return
-        pid = TaskContext.get().partitionId()
-        tmp = os.path.join(path, f".part-{pid:05d}{ext}.tmp")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt number in the TMP name: under speculative execution
+        # two live attempts of one partition must not write the same
+        # tmp file; both rename to the same final name and the content
+        # is identical (deterministic encode of the same rows), so
+        # last-rename-wins is safe
+        tmp = os.path.join(
+            path, f".part-{pid:05d}-a{ctx.attemptNumber()}{ext}.tmp"
+        )
         with open(tmp, "wb") as f:
             f.write(warc_encode(recs, per_record_gzip=per_record_gzip))
         # rename-into-place: a killed task never leaves a half record

@@ -998,8 +998,8 @@ this line is garbage
     rx = robots_pattern_sql_regex("/tmp/*.pdf")
     assert re.match(rx, "/tmp/a/b/x.pdf") and not re.match(rx, "/doc/x.pdf")
     rx2 = robots_pattern_sql_regex("/exact$")
-    assert re.fullmatch(rx2[1:-1], "/exact"[0:]) or re.match(rx2, "/exact")
-    assert not re.match(rx2, "/exact/sub")
+    assert re.search(rx2, "/exact")
+    assert not re.search(rx2, "/exact/sub")
 
 
 def test_robots_filter_longest_match_and_defaults(spark):
