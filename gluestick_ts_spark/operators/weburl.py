@@ -460,8 +460,11 @@ def robots_filter(
     registered domain in domain mode). A DataFrame compiles its rules
     in an Arrow pass over the ROBOTS side (the corpus side never runs
     Python); a local list/tuple of pairs compiles DRIVER-side into a
-    literal relation — zero Python operators anywhere in the plan,
-    the right mode for fixed policy tables. Scale shape: each domain's rules compile to ONE row
+    pure IN-ROW when/regexp chain — NO join, no local relation, fully
+    whole-stage-codegen'd (the blocklist-tuple pattern), the right
+    mode for fixed policy tables up to a few hundred hosts.
+
+    DataFrame scale shape: each domain's rules compile to ONE row
     holding an array of ``(spec, allow, rx)`` structs; that relation
     is BROADCAST (robots corpora are domain-count-sized — millions of
     rows, still megabytes), the corpus joins 1:1 on its in-row domain
@@ -472,6 +475,58 @@ def robots_filter(
     ``broadcast=False`` switches to a plain equi-join (corpus shuffles
     on the domain key) for whole-web robots corpora too big to
     broadcast (~10^8 domains); verdict algebra identical."""
+    if key not in ("host", "domain"):
+        raise ValueError(f"key must be 'host' or 'domain', got {key!r}")
+    path = F.regexp_extract(
+        _ucol(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    match_key = (
+        F.lower(
+            F.regexp_extract(
+                _ucol(url_col),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+                1,
+            )
+        )
+        if key == "host"
+        else registered_domain_expr(url_col, psl=psl)
+    )
+
+    if not isinstance(robots, DataFrame):
+        # local pairs: fold an in-row longest-pattern-first (allow
+        # first on ties) when-chain per host — which IS the RFC
+        # resolution for a static rule set. Built back-to-front so the
+        # allow-all default is the innermost otherwise; a NULL/''
+        # match key satisfies no host equality and falls through to
+        # allow (the identity-less exemption)
+        seen: dict = {}
+        for dom, txt in robots:
+            seen.setdefault(
+                dom,
+                sorted(
+                    (
+                        (len(pat), allow, robots_pattern_sql_regex(pat))
+                        for pat, allow in parse_robots_rules(
+                            txt or "", user_agent
+                        )
+                    ),
+                    reverse=True,
+                ),
+            )
+        out = df.withColumn("__rdom", match_key).withColumn("__rpath", path)
+        flag = F.lit(True)
+        for dom, rules in reversed(list(seen.items())):
+            if not rules:
+                continue
+            inner = F.lit(True)
+            for _ln, allow, rx in reversed(rules):
+                inner = F.when(
+                    F.regexp_like(F.col("__rpath"), F.lit(rx)), F.lit(allow)
+                ).otherwise(inner)
+            flag = F.when(F.col("__rdom") == dom, inner).otherwise(flag)
+        return out.withColumn(flag_col, flag).drop("__rdom", "__rpath")
+
     from pyspark.sql import types as T
 
     rule_schema = T.StructType(
@@ -506,44 +561,11 @@ def robots_filter(
                     rows.append((dom, rules))
             yield pd.DataFrame(rows, columns=["domain", "rules"])
 
-    if isinstance(robots, DataFrame):
-        compiled = (
-            robots.select("domain", "robots_text")
-            .dropDuplicates(["domain"])
-            .mapInPandas(_compile, schema=rule_schema)
-            .withColumnRenamed("domain", "__rbdom")
-        )
-    else:
-        spark = df.sparkSession
-        seen: dict = {}
-        for dom, txt in robots:
-            seen.setdefault(
-                dom,
-                [
-                    (len(pat), allow, robots_pattern_sql_regex(pat))
-                    for pat, allow in parse_robots_rules(txt or "", user_agent)
-                ],
-            )
-        rows = [(d, r) for d, r in seen.items() if r]
-        compiled = spark.createDataFrame(
-            rows, rule_schema
-        ).withColumnRenamed("domain", "__rbdom")
-    if key not in ("host", "domain"):
-        raise ValueError(f"key must be 'host' or 'domain', got {key!r}")
-    path = F.regexp_extract(
-        _ucol(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
-    )
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    match_key = (
-        F.lower(
-            F.regexp_extract(
-                _ucol(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
-                1,
-            )
-        )
-        if key == "host"
-        else registered_domain_expr(url_col, psl=psl)
+    compiled = (
+        robots.select("domain", "robots_text")
+        .dropDuplicates(["domain"])
+        .mapInPandas(_compile, schema=rule_schema)
+        .withColumnRenamed("domain", "__rbdom")
     )
     out = df.withColumn("__rdom", match_key)
     out = out.withColumn("__rpath", path)
