@@ -533,7 +533,7 @@ def robots_filter(
         [
             T.StructField("domain", T.StringType()),
             T.StructField(
-                "rules",
+                "__rbrules",
                 T.ArrayType(
                     T.StructType(
                         [
@@ -559,7 +559,7 @@ def robots_filter(
                 ]
                 if rules:
                     rows.append((dom, rules))
-            yield pd.DataFrame(rows, columns=["domain", "rules"])
+            yield pd.DataFrame(rows, columns=["domain", "__rbrules"])
 
     compiled = (
         robots.select("domain", "robots_text")
@@ -572,7 +572,7 @@ def robots_filter(
     right = F.broadcast(compiled) if broadcast else compiled
     joined = out.join(right, out["__rdom"] == right["__rbdom"], "left")
     hit = F.filter(
-        F.col("rules"), lambda r: F.regexp_like(F.col("__rpath"), r["rx"])
+        F.col("__rbrules"), lambda r: F.regexp_like(F.col("__rpath"), r["rx"])
     )
     # lexicographic struct max == RFC 9309 §2.3.2: longest pattern
     # wins, allow beats disallow on equal length; empty -> NULL -> the
@@ -587,11 +587,10 @@ def robots_filter(
     )
     return joined.withColumn(
         flag_col,
-        F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+        F.when(F.col("__rbrules").isNull(), F.lit(True)).otherwise(
             F.coalesce(best["a"] == 1, F.lit(True))
         ),
-    ).drop("__rdom", "__rpath", "__rbdom", "rules")
+    ).drop("__rdom", "__rpath", "__rbdom", "__rbrules")
 
 
-def _ucol(c):
-    return F.col(c) if isinstance(c, str) else c
+from ..functions.text import _col as _ucol  # noqa: E402 (shared coercion helper)

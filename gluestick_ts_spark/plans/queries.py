@@ -1498,8 +1498,6 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                 "__toks", "__lines", "text", g2_sql="__g2v"
             ).items()
         ],
-        # round 11: jusText main-content extraction over the shared
-        # boilerplate wrapper — map-only Column algebra, no UDF
         # round 11: jusText main-content extraction over the staged
         # arrays — value-identical to main_text_expr/block_classes_expr
         # (tests/test_text.py pins the staged == single-expression

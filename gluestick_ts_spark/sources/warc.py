@@ -66,29 +66,79 @@ __all__ = [
 # a crafted Content-Length or gzip bomb must cap out, not OOM a worker
 _MAX_HEADER_BYTES = 64 * 1024
 _MAX_DECOMPRESS_BYTES = 1 << 30
+# feed size for incremental gzip decode: bounds the per-step copy so a
+# 1 GB container of 50k per-record members costs O(container) total
+# memcpy, not O(members x container) (the naive data[pos:] slicing)
+_GZ_FEED = 4 << 20
+
+
+def _capped_decompress(d, feed: bytes, total: int, where: int) -> tuple[list, int]:
+    """Feed one chunk into decompressobj ``d`` honoring the global
+    output cap (zlib's max_length is an OUTPUT limit per call —
+    looping over ``unconsumed_tail`` is what makes it a real cap).
+    Returns (pieces, new_total); raises ValueError at the cap."""
+    pieces = []
+    while True:
+        remaining = _MAX_DECOMPRESS_BYTES - total
+        if remaining <= 0:
+            raise ValueError(f"gzip member at {where} exceeds decompress cap")
+        piece = d.decompress(feed, remaining)
+        total += len(piece)
+        if piece:
+            pieces.append(piece)
+        if d.unconsumed_tail and not d.eof:
+            feed = d.unconsumed_tail
+            continue
+        return pieces, total
 
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a (possibly multi-member) gzip stream, yielding one
     bytes blob per member — per-record gzip gives one record per
     member; whole-file gzip gives a single member holding them all.
-    Raises ValueError on corrupt streams or a decompression bomb."""
+    Incremental feeding (``_GZ_FEED`` slices off a memoryview) keeps
+    total copying linear in the container size regardless of member
+    count. Raises ValueError on corrupt streams or a decompression
+    bomb (hard ``_MAX_DECOMPRESS_BYTES`` output cap per member)."""
+    mv = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out: list = []
+        total = 0
+        p = pos
         try:
-            out = d.decompress(data[pos:], _MAX_DECOMPRESS_BYTES)
+            while not d.eof:
+                if p >= n:
+                    raise ValueError(f"truncated gzip member at {pos}")
+                chunk = bytes(mv[p : p + _GZ_FEED])
+                p += len(chunk)
+                pieces, total = _capped_decompress(d, chunk, total, pos)
+                out.extend(pieces)
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member at {pos}: {e}") from e
-        if d.unconsumed_tail:
-            raise ValueError(f"gzip member at {pos} exceeds decompress cap")
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at {pos}")
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: no forward progress
+        # rewind the final chunk's unread tail (post-member bytes)
+        p -= len(d.unused_data)
+        if p <= pos:  # defensive: no forward progress
             raise ValueError(f"gzip stream stalled at {pos}")
-        pos += consumed
+        pos = p
+        yield b"".join(out)
+
+
+def _hdr_end(buf: bytes, start: int) -> tuple[int, int]:
+    """Locate the header-block terminator from ``start``: the EARLIER
+    of CRLFCRLF / LFLF within the header window (a bare-LF WARC record
+    can hold a CRLF HTTP capture in its body — searching CRLF first
+    across the whole window would frame on the HTTP headers instead).
+    Returns (index, separator_len); (-1, 0) when absent."""
+    crlf = buf.find(b"\r\n\r\n", start, start + _MAX_HEADER_BYTES)
+    lf = buf.find(b"\n\n", start, start + _MAX_HEADER_BYTES)
+    if crlf < 0 and lf < 0:
+        return -1, 0
+    if lf < 0 or (0 <= crlf < lf):
+        return crlf, 4
+    return lf, 2
 
 
 def _split_headers(block: bytes) -> dict[str, str]:
@@ -138,11 +188,7 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
                     break
                 if not chunk[pos : pos + 5] == b"WARC/":
                     raise ValueError(f"bad record magic at offset {pos}")
-                hdr_end = chunk.find(b"\r\n\r\n", pos, pos + _MAX_HEADER_BYTES)
-                sep = 4
-                if hdr_end < 0:
-                    hdr_end = chunk.find(b"\n\n", pos, pos + _MAX_HEADER_BYTES)
-                    sep = 2
+                hdr_end, sep = _hdr_end(chunk, pos)
                 if hdr_end < 0:
                     raise ValueError(f"unterminated header block at {pos}")
                 first_nl = chunk.index(b"\n", pos)
@@ -183,6 +229,8 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("chunked body: missing size line")
         size_line = body[pos:nl].rstrip(b"\r")
         size = int(size_line.split(b";")[0], 16)  # ignore chunk extensions
+        if size < 0:  # int(b'-1', 16) parses; negative slicing corrupts
+            raise ValueError("chunked body: negative chunk size")
         pos = nl + 1
         if size == 0:
             return b"".join(out)  # trailers, if any, are dropped
@@ -206,11 +254,7 @@ def parse_http_response(raw: bytes) -> tuple[int | None, dict[str, str], bytes]:
     if not m:
         return None, {}, raw
     status = int(m.group(1))
-    hdr_end = raw.find(b"\r\n\r\n", 0, _MAX_HEADER_BYTES)
-    sep = 4
-    if hdr_end < 0:
-        hdr_end = raw.find(b"\n\n", 0, _MAX_HEADER_BYTES)
-        sep = 2
+    hdr_end, sep = _hdr_end(raw, 0)
     if hdr_end < 0:
         return status, {}, b""
     first_nl = raw.index(b"\n")
@@ -223,18 +267,20 @@ def parse_http_response(raw: bytes) -> tuple[int | None, dict[str, str], bytes]:
             pass  # tolerate broken framing: raw bytes beat a dead task
     enc = headers.get("content-encoding", "").lower().strip()
     if enc in ("gzip", "x-gzip", "deflate"):
-        try:
-            if enc == "deflate":
-                try:
-                    body = zlib.decompress(body, bufsize=_MAX_DECOMPRESS_BYTES)
-                except zlib.error:  # raw-deflate servers (the classic bug)
-                    body = zlib.decompress(
-                        body, wbits=-15, bufsize=_MAX_DECOMPRESS_BYTES
-                    )
-            else:
-                body = gzip.decompress(body)
-        except (zlib.error, gzip.BadGzipFile, EOFError, OSError):
-            pass
+        # capped incremental decode: a bombed body that would exceed
+        # _MAX_DECOMPRESS_BYTES falls back to the (small) raw bytes —
+        # zlib.decompress's bufsize is an INITIAL allocation, not a
+        # cap, so the naive call both preallocated 1 GiB and let a
+        # few-KB bomb expand without limit
+        for wbits in ((15, -15) if enc == "deflate" else (31,)):
+            try:
+                d = zlib.decompressobj(wbits=wbits)
+                pieces, _total = _capped_decompress(d, body, 0, 0)
+                if d.eof or not d.unused_data:
+                    body = b"".join(pieces)
+                    break
+            except (ValueError, zlib.error):
+                continue  # next wbits flavor, else raw fallback
     return status, headers, body
 
 
@@ -389,9 +435,20 @@ def _warc_mapper(
     def _parse(batches):
         import pandas as pd
 
+        cols = [
+            "warc_file", "record_offset", "warc_type", "url",
+            "warc_date", "record_id", "content_type", "http_status",
+            "http_content_type", "payload", "text", "truncated",
+            "error",
+        ]
         for pdf in batches:
-            rows = []
+            # one output frame PER FILE: an Arrow batch can hold many
+            # ~1 GB containers, and accumulating every file's payload
+            # rows into one frame multiplies peak memory by the batch's
+            # file count — the exact buildup the module's scale note
+            # forbids
             for fname, blob in zip(pdf["path"], pdf["content"]):
+                rows = []
                 for rec in parse_warc_records(bytes(blob)):
                     if rec["warc_type"] == "_error":
                         rows.append(
@@ -435,15 +492,8 @@ def _warc_mapper(
                             None,
                         )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "warc_file", "record_offset", "warc_type", "url",
-                    "warc_date", "record_id", "content_type", "http_status",
-                    "http_content_type", "payload", "text", "truncated",
-                    "error",
-                ],
-            )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return _parse
 

@@ -476,3 +476,82 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
     assert verdicts == {
         "http://good.example/a-recrawl": (False, "duplicate")
     }, verdicts
+
+
+def test_bare_lf_record_with_crlf_http_body():
+    """Review regression: a bare-LF WARC record whose body is a CRLF
+    HTTP capture must frame on the WARC LFLF terminator, not the HTTP
+    CRLFCRLF deeper in the window — and later records must survive."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello"
+    rec = (
+        b"WARC/1.1\n"
+        b"WARC-Type: response\n"
+        b"WARC-Target-URI: http://lf.example/\n"
+        b"Content-Type: application/http; msgtype=response\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\n\n"
+        + http + b"\n\n"
+    )
+    follow = warc_encode(
+        [_capture("http://next.example/", _http(b"after"))],
+        per_record_gzip=False,
+    )
+    got = list(parse_warc_records(rec + follow))
+    assert [r["warc_type"] for r in got] == ["response", "response"], got
+    assert got[0]["url"] == "http://lf.example/"
+    assert got[0]["content_type"] == "application/http; msgtype=response"
+    assert got[0]["body"] == http  # the FULL capture, not the payload tail
+    s, _h, b = parse_http_response(got[0]["body"])
+    assert (s, b) == (200, b"hello")
+    assert got[1]["url"] == "http://next.example/"
+    # and a bare-LF HTTP capture still splits
+    s2, _h2, b2 = parse_http_response(
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\nbody"
+    )
+    assert (s2, b2) == (200, b"body")
+
+
+def test_decompression_bomb_caps_not_ooms():
+    """Review regression: zlib's bufsize is an initial allocation, not
+    an output cap — a content-encoding bomb must fall back to the raw
+    bytes, and a bombed .warc.gz member must become a labeled error."""
+    import zlib as _z
+
+    import gluestick_ts_spark.sources.warc as w
+
+    old = w._MAX_DECOMPRESS_BYTES
+    w._MAX_DECOMPRESS_BYTES = 1 << 16  # 64 KB cap for the test
+    try:
+        bomb = gzip.compress(b"\x00" * (1 << 20))  # 1 MB -> ~1 KB
+        lying = _http(bomb, ct="text/plain",
+                      extra=b"Content-Encoding: gzip\r\n")
+        s, _h, b = parse_http_response(lying)
+        assert s == 200 and b == bomb  # raw fallback, not 1 MB
+        # a legitimate small gzip body still decodes
+        ok = _http(gzip.compress(b"small"), ct="text/plain",
+                   extra=b"Content-Encoding: gzip\r\n")
+        assert parse_http_response(ok)[2] == b"small"
+        # deflate flavors too
+        okd = _http(_z.compress(b"zbody"), ct="text/plain",
+                    extra=b"Content-Encoding: deflate\r\n")
+        assert parse_http_response(okd)[2] == b"zbody"
+        # a bombed gzip MEMBER in the container itself: labeled _error
+        member_bomb = gzip.compress(
+            (b"WARC/1.1\r\nWARC-Type: metadata\r\nContent-Length: "
+             + str(1 << 20).encode() + b"\r\n\r\n" + b"\x00" * (1 << 20)
+             + b"\r\n\r\n")
+        )
+        rows = list(parse_warc_records(member_bomb))
+        assert rows[-1]["warc_type"] == "_error"
+        assert "cap" in rows[-1]["error"]
+    finally:
+        w._MAX_DECOMPRESS_BYTES = old
+
+
+def test_dechunk_rejects_negative_chunk_size():
+    """Review regression: int(b'-1', 16) parses — a negative chunk size
+    must trigger the raw-bytes fallback, not negative-index slicing."""
+    lying = _http(b"-4\r\ngarbage that must come back verbatim",
+                  extra=b"Transfer-Encoding: chunked\r\n")
+    s, _h, b = parse_http_response(lying)
+    assert s == 200
+    assert b == b"-4\r\ngarbage that must come back verbatim"
