@@ -58,7 +58,10 @@ stage-restricted builders, each timing ONE stage's marginal pipeline
 over the base scan). ``multimodal_features``' feat leg gained two more
 hash columns in the SAME single decode pass (temporal video vhash +
 Haitsma-Kalker audio spechash — per-payload arithmetic only, no new
-decode, no new shuffle), so any movement there is hash math, not plan.
+decode, no new shuffle), so any movement there is hash math, not plan
+— and a THIRD leg, ``vdup`` (30 planted 4-frame MJPEG-AVIs through
+vhash + the banded Hamming join), attributable via its parts entry;
+expect ~1.5-1.8x on that row vs r10 from the two new legs combined.
 ``text_stats`` gained the jusText main-content extraction columns
 (main_text/block_classes over a deterministic boilerplate wrapper):
 measured composition cost ~2.4 -> ~3.5-4.3 s warm at sf0.1 (block
