@@ -293,11 +293,14 @@ def http_text_of(
     body: bytes, content_type: str | None, max_chars: int | None = None
 ) -> str | None:
     """Decode a textual HTTP body to str; None for non-text content
-    types. Charset resolution order: Content-Type header param ->
+    types. Charset resolution order: byte-order mark (a BOM is the
+    document's own first-party declaration — UTF-8/16/32 pages whose
+    headers claim something else are a standing crawl reality and
+    decode to mojibake without it) -> Content-Type header param ->
     HTML ``<meta charset=...>`` sniff (first 4 KB) -> UTF-8 ->
     Latin-1 with replacement (total — never raises; a crawl's charset
     labels are wrong constantly and a lossy decode beats a dead
-    task)."""
+    task). The BOM itself is consumed by the matching codec."""
     ct = (content_type or "").lower()
     if not (
         ct.startswith("text/")
@@ -308,6 +311,16 @@ def http_text_of(
     ):
         return None
     charsets = []
+    # order matters: UTF-32 BOMs start with the UTF-16 LE BOM bytes
+    for bom, cs in (
+        (b"\xef\xbb\xbf", "utf-8-sig"),
+        (b"\xff\xfe\x00\x00", "utf-32"),
+        (b"\xfe\xff", "utf-16"),
+        (b"\xff\xfe", "utf-16"),
+    ):
+        if body.startswith(bom):
+            charsets.append(cs)
+            break
     m = re.search(r"charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", ct)
     if m:
         charsets.append(m.group(1))

@@ -107,8 +107,15 @@ def test_http_split_chunked_gzip_and_charsets():
     assert "café crawl page" in http_text_of(b, "text/html")
     # non-text content types stay binary
     assert http_text_of(b"\x89PNG....", "image/png") is None
-    # charset lies fall through to lossy latin-1, never an exception
-    bad = "ünïcode".encode("utf-16")
+    # a BOM is the page's own declaration and beats a LYING header
+    # (the UTF-16-with-wrong-charset-header crawl classic)
+    u16 = "café page ünïcode".encode("utf-16")
+    assert http_text_of(u16, "text/html; charset=iso-8859-1") == "café page ünïcode"
+    assert http_text_of(
+        "﻿bom'd utf-8".encode("utf-8"), "text/plain"
+    ) == "bom'd utf-8"  # BOM consumed, not leaked into the text
+    # charset lies WITHOUT a BOM still fall through lossily, no raise
+    bad = "ünïcode".encode("utf-16-be")  # BOM-less
     assert http_text_of(bad, "text/plain; charset=utf-8") is not None
     # max_chars caps
     assert http_text_of(b"x" * 100, "text/plain", max_chars=10) == "x" * 10
