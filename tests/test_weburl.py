@@ -1080,3 +1080,48 @@ def test_robots_filter_local_pairs_mode_no_python(spark):
     assert {r.doc_id: r.robots_ok for r in robots_filter(df, rdf, "url").collect()} == {
         0: True, 1: False,
     }
+
+
+def test_parse_robots_rules_fuzz_never_raises():
+    """Property gate (the codec/WARC fuzz pattern): arbitrary text —
+    random lines of field-ish tokens, garbage, unicode — never raises;
+    the result is always a list of (str pattern, bool allow), and the
+    compiled regex of every returned pattern is a valid Java∩RE2
+    expression (re.compile accepts it)."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gluestick_ts_spark.operators.weburl import (
+        parse_robots_rules,
+        robots_pattern_sql_regex,
+    )
+
+    line = st.one_of(
+        st.text(max_size=40),
+        st.tuples(
+            st.sampled_from(
+                ["User-agent", "user-AGENT", "Disallow", "Allow",
+                 "Sitemap", "Crawl-delay", "weird-field", ""]
+            ),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=500),
+                max_size=30,
+            ),
+        ).map(lambda t: f"{t[0]}: {t[1]}"),
+        st.just("#comment"),
+    )
+    ua = st.sampled_from(["*", "examplebot", "x", ""])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(line, max_size=12).map("\n".join), ua)
+    def run(txt, agent):
+        rules = parse_robots_rules(txt, agent)
+        assert isinstance(rules, list)
+        for pat, allow in rules:
+            assert isinstance(pat, str) and isinstance(allow, bool)
+            _re.compile(robots_pattern_sql_regex(pat))
+
+    run()
+    assert parse_robots_rules(None if False else "", "*") == []
