@@ -37,7 +37,7 @@ import struct
 
 from .jpeg_codec import jpeg_decode, jpeg_encode
 
-__all__ = ["avi_encode", "avi_decode_frames", "avi_probe", "avi_frames"]
+__all__ = ["avi_encode", "avi_decode_frames", "avi_probe", "avi_frames", "avi_frames_at"]
 
 # frame-count cap for the unbounded (max_frames=None) decode — far
 # above the sampler use cases; a forged header can't drive an
@@ -285,6 +285,63 @@ def avi_frames(payload: bytes, n_frames: int) -> list[bytes]:
                     out.append(frame)
                     if len(out) >= n_frames:
                         return out
+            break
+        if not out:
+            raise ValueError("AVI holds no decodable video frames")
+        return out
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AVI payload: {e}") from e
+
+
+def avi_frames_at(payload: bytes, indices) -> list[bytes]:
+    """Positional frame sampler: the embedded JPEGs at the requested
+    frame ORDINALS (0-based), in ascending-ordinal order — the EVEN
+    sampling primitive (``vhash_of_payload(sample="even")``): picking
+    [0, n/k, 2n/k, ...] makes the signature robust to head/tail trims
+    that shift every frame the first-k sampler sees. The demux walks
+    chunk HEADERS up to the last requested ordinal (cheap — no decode)
+    and decodes ONLY the selected frames; parsing stops at the last
+    hit. Missing ordinals (beyond the stream) are skipped, not errors;
+    an empty selection raises ValueError."""
+    want = sorted({int(i) for i in indices})
+    if not want or want[0] < 0:
+        raise ValueError(f"indices must be non-empty and >= 0, got {indices!r}")
+    last = want[-1]
+    wanted = set(want)
+    try:
+        width, height, _n, _fps = _avi_probe_impl(payload)
+        out: list[bytes] = []
+        ordinal = 0
+        for fourcc, body, size in _walk_chunks(payload, 12, len(payload)):
+            if fourcc != b"LIST" or payload[body : body + 4] != b"movi":
+                continue
+            for f2, b2, s2 in _walk_chunks(payload, body + 4, body + size):
+                targets = (
+                    _walk_chunks(payload, b2 + 4, b2 + s2)
+                    if f2 == b"LIST" and payload[b2 : b2 + 4] == b"rec "
+                    else [(f2, b2, s2)]
+                )
+                for f3, b3, s3 in targets:
+                    if not _is_frame_chunk(f3):
+                        continue
+                    if ordinal in wanted:
+                        frame = payload[b3 : b3 + s3]
+                        fw, fh, _ = jpeg_decode(frame)  # validate
+                        if (fw, fh) != (width, height):
+                            raise ValueError(
+                                f"AVI frame dims {fw}x{fh} != header "
+                                f"{width}x{height}"
+                            )
+                        out.append(frame)
+                    if ordinal >= last:
+                        if not out:
+                            raise ValueError(
+                                "AVI holds no decodable video frames"
+                            )
+                        return out
+                    ordinal += 1
             break
         if not out:
             raise ValueError("AVI holds no decodable video frames")

@@ -265,7 +265,10 @@ def wavhash_of_payload(payload: bytes | None, hash_size: int = 8) -> int | None:
 
 
 def vhash_of_payload(
-    payload: bytes | None, n_frames: int = 5, hash_size: int = 8
+    payload: bytes | None,
+    n_frames: int = 5,
+    hash_size: int = 8,
+    sample: str = "first",
 ) -> int | None:
     """64-bit temporal VIDEO hash: dHash the first ``n_frames`` sampled
     frames (MJPEG-AVI demux / animated-GIF compose — the containers
@@ -279,6 +282,15 @@ def vhash_of_payload(
     single corrupted or swapped frame among >= 3 moves nothing unless
     it tips a majority. A still GIF degenerates to its one frame's
     dHash. Integer-exact and SQL-literal-embeddable like the family.
+
+    ``sample``: "first" (default) takes the first ``n_frames`` —
+    strictly cost-bounded, later frames never touched; "even" spreads
+    the picks across the whole stream ([j*n/k] ordinals from the
+    header frame count), making the signature robust to head/tail
+    TRIMS that shift every frame the first-k sampler sees — for AVI
+    the extra cost is a header-only chunk walk (decodes stay at
+    ``n_frames``); for animated GIF, frame COMPOSITION forces decoding
+    up to the last pick, so "even" costs O(stream length) there.
     None for non-video containers (images fill ``dhash``, audio
     ``wavhash`` — the NULL-pattern tells the modality) and for
     undecodable payloads. Cost is bounded by ``n_frames`` — later
@@ -287,16 +299,38 @@ def vhash_of_payload(
         return None
     if n_frames < 1:
         raise ValueError(f"n_frames must be >= 1, got {n_frames}")
+    if sample not in ("first", "even"):
+        raise ValueError(f"sample must be 'first' or 'even', got {sample!r}")
     fmt = sniff_format(payload)
     try:
         if fmt == "avi":
-            from .avi_codec import avi_frames
+            if sample == "even":
+                from .avi_codec import avi_frames_at, avi_probe
 
-            frames = avi_frames(payload, n_frames)
+                _w, _h, nf, _fps = avi_probe(payload)
+                k = min(n_frames, max(nf, 1))
+                frames = avi_frames_at(
+                    payload, [(j * max(nf, 1)) // k for j in range(k)]
+                )
+            else:
+                from .avi_codec import avi_frames
+
+                frames = avi_frames(payload, n_frames)
         elif fmt == "gif":
-            from .media_codecs import gif_frames
+            from .media_codecs import gif_decode_frames, gif_frames
 
-            frames = gif_frames(payload, n_frames)
+            if sample == "even":
+                from .media_codecs import png_encode
+
+                # bounded like the AVI sampler's _MAX_FRAMES: a forged
+                # header can't make "even" decode an unbounded animation
+                w, h, decoded = gif_decode_frames(payload, max_frames=4096)
+                nf = max(len(decoded), 1)
+                k = min(n_frames, nf)
+                picks = sorted({(j * nf) // k for j in range(k)})
+                frames = [png_encode(w, h, decoded[i]) for i in picks]
+            else:
+                frames = gif_frames(payload, n_frames)
         else:
             return None
     except ValueError:

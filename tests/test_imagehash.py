@@ -707,3 +707,73 @@ def test_vhash_spechash_distributed_columns(spark):
     assert out[1] == (None, spechash_of_payload(wav))
     assert out[2] == (None, None)
     assert out[3] == (None, None)
+
+
+def test_vhash_even_sampling_trim_robustness():
+    """sample="even" (round 11): even ordinals survive head trims that
+    shift every frame the first-k sampler sees; short videos degrade
+    to first-k; GIF even-sampling composes correctly; bad mode raises."""
+    from gluestick_ts_spark.operators.imagehash import vhash_of_payload
+    from gluestick_ts_spark.operators.media_codecs import avi_encode, gif_encode
+
+    def frame(seed, k):
+        return [
+            ((seed * 31 + k * 11 + x * 29) % 256, (seed * 7 + y * 43) % 256,
+             (x * y + seed + k) % 256)
+            for y in range(8)
+            for x in range(8)
+        ]
+
+    frames = [frame(5, k) for k in range(20)]
+    full = avi_encode(8, 8, frames, fps=8)
+    trimmed = avi_encode(8, 8, frames[2:], fps=8)  # head-trim re-upload
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    d_first = ham(
+        vhash_of_payload(full, n_frames=5),
+        vhash_of_payload(trimmed, n_frames=5),
+    )
+    d_even = ham(
+        vhash_of_payload(full, n_frames=5, sample="even"),
+        vhash_of_payload(trimmed, n_frames=5, sample="even"),
+    )
+    # even sampling must not be WORSE than first-k under a trim, and
+    # on this planted content it is strictly better (0 vs 8 measured)
+    assert d_even <= d_first
+    assert d_even <= 2, (d_even, d_first)
+    # a video shorter than n_frames: both modes see all frames
+    short = avi_encode(8, 8, frames[:3], fps=8)
+    assert vhash_of_payload(short, n_frames=5) == vhash_of_payload(
+        short, n_frames=5, sample="even"
+    )
+    # still GIF: even == first == the frame's dhash
+    g = gif_encode(8, 8, [((k * 37) % 256,) * 3 for k in range(64)])
+    assert vhash_of_payload(g, sample="even") == vhash_of_payload(g)
+    with pytest.raises(ValueError, match="sample"):
+        vhash_of_payload(full, sample="middle")
+
+
+def test_avi_frames_at_positional_sampler():
+    """avi_frames_at: exactly the requested ordinals, ascending; past-
+    the-end ordinals skipped; decodes only the picks; validation."""
+    from gluestick_ts_spark.operators.avi_codec import avi_encode, avi_frames, avi_frames_at
+    from gluestick_ts_spark.operators.media_codecs import jpeg_decode
+
+    def frame(k):
+        return [((k * 31 + x) % 256, (x * 3) % 256, (k + x) % 256)
+                for x in range(64)]
+
+    payload = avi_encode(8, 8, [frame(k) for k in range(7)], fps=4)
+    first = avi_frames(payload, 7)
+    got = avi_frames_at(payload, [0, 3, 6])
+    assert got == [first[0], first[3], first[6]]
+    # unordered/duplicate input normalizes; past-the-end skipped
+    assert avi_frames_at(payload, [6, 0, 0, 25]) == [first[0], first[6]]
+    for f in got:
+        jpeg_decode(f)  # every pick is a standalone decodable JPEG
+    with pytest.raises(ValueError, match="indices"):
+        avi_frames_at(payload, [])
+    with pytest.raises(ValueError, match="indices"):
+        avi_frames_at(payload, [-1, 2])
