@@ -825,6 +825,7 @@ def stream_curation_filter(
     license_screen: bool = False,
     url_col: str | None = None,
     blocklist=(),
+    robots=(),
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -851,7 +852,11 @@ def stream_curation_filter(
     -> in-row NOT-isin, DataFrame -> per-batch broadcast join): the
     output gains ``blocklist_ok`` and a 'blocked' first-failing drop
     reason. Stateless — no new state, replay re-derives identical
-    verdicts.
+    verdicts. ``robots`` (a (host, robots_text) list or DataFrame,
+    with ``url_col``) likewise adds the ROBOTS-COMPLIANCE screen
+    (operators/weburl.py robots_filter) right behind it — the batch
+    pipeline's priority — as ``robots_ok`` + a 'robots' drop reason;
+    local lists compile to the in-row when-chain, equally stateless.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -949,9 +954,15 @@ def stream_curation_filter(
             *lic_cols,
         )
         if url_col:
-            from ..operators.weburl import domain_blocklist_flag
+            from ..operators.weburl import domain_blocklist_flag, robots_filter
 
             enriched = domain_blocklist_flag(enriched, url_col, blocklist)
+            if robots is not None and (
+                not isinstance(robots, (list, tuple)) or len(robots)
+            ):
+                enriched = robots_filter(enriched, robots, url_col)
+            else:
+                enriched = enriched.withColumn("robots_ok", F.lit(True))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         first_in_batch = F.row_number().over(w) == 1
         # membership probe: batch-side broadcast semi-join against the
@@ -971,18 +982,22 @@ def stream_curation_filter(
         )
         lic_gate = F.col("license_ok") if license_screen else F.lit(True)
         bl_gate = F.col("blocklist_ok") if url_col else F.lit(True)
+        rb_gate = F.col("robots_ok") if url_col else F.lit(True)
         keep = (
             bl_gate
+            & rb_gate
             & F.col("dup_ok")
             & lic_gate
             & F.col("gopher_ok")
             & F.col("quality_ok")
             & F.col("lp_ok")
         )
-        # blocklist outranks everything — the batch pipeline's priority
+        # blocklist then robots outrank everything — batch priority
         if url_col:
-            reason = F.when(~F.col("blocklist_ok"), "blocked").when(
-                ~F.col("dup_ok"), "duplicate"
+            reason = (
+                F.when(~F.col("blocklist_ok"), "blocked")
+                .when(~F.col("robots_ok"), "robots")
+                .when(~F.col("dup_ok"), "duplicate")
             )
         else:
             reason = F.when(~F.col("dup_ok"), "duplicate")
@@ -996,7 +1011,7 @@ def stream_curation_filter(
         out = verdict.select(
             id_col,
             text_col,
-            *([url_col, "blocklist_ok"] if url_col else []),
+            *([url_col, "blocklist_ok", "robots_ok"] if url_col else []),
             "dup_ok",
             *(
                 ["has_copyright", "rights_reserved", "license_name", "license_ok"]

@@ -1030,3 +1030,50 @@ def test_stream_curation_filter_url_blocklist(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert rows[4] == {"keep": True, "reason": None, "bl": True}
+
+
+def test_stream_curation_filter_robots(spark, tmp_path):
+    """Streaming robots screen (round 11): RFC verdicts per micro-batch
+    at the batch pipeline's priority (blocked > robots > duplicate),
+    stateless, in-row compiled from a local rule list."""
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string, url string"
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+
+    rows: dict = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            rows[r.doc_id] = (r.keep, r.drop_reason, r.robots_ok)
+
+    import os
+
+    os.makedirs(store, exist_ok=True)
+    _write_stream_batch(
+        src, spark,
+        [
+            (1, good, "http://site.example/ok/page"),
+            (2, good + " x", "http://site.example/private/p"),     # robots
+            (3, good + " y", "http://ads.bad.example/private/p"),  # blocked wins
+        ],
+        schema,
+    )
+    q = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            quality_min=0.0, checkpoint_dir=ckpt,
+            url_col="url", blocklist=("bad.example",),
+            robots=[("site.example", "User-agent: *\nDisallow: /private/")],
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert rows[1] == (True, None, True)
+    assert rows[2] == (False, "robots", False)
+    assert rows[3][0:2] == (False, "blocked")  # blocked outranks robots
