@@ -49,6 +49,7 @@ __all__ = [
     "parse_robots_rules",
     "robots_pattern_sql_regex",
     "robots_filter",
+    "robots_from_warc",
 ]
 
 # scheme://authority (userinfo@host:port) — the case-insensitive part
@@ -406,7 +407,13 @@ def parse_robots_rules(robots_text: str, user_agent: str = "*") -> list[tuple[st
         for a in agents:
             if a == "*":
                 star_rules = star_rules + rules
-            elif a in ua or ua in a:
+            elif a and a in ua:
+                # one-directional on purpose: the robots token must be
+                # a substring of OUR product token. The reverse
+                # (``ua in a``) would let an unrelated longer token
+                # ('mybot-images' for agent 'mybot', or any token
+                # containing '*' when user_agent='*') win as the
+                # "specific" group; '*' stays purely the fallback
                 if len(a) > best_len:
                     best_len, best_rules = len(a), list(rules)
                 elif len(a) == best_len:
@@ -591,6 +598,84 @@ def robots_filter(
             F.coalesce(best["a"] == 1, F.lit(True))
         ),
     ).drop("__rdom", "__rpath", "__rbdom", "__rbrules")
+
+
+def robots_from_warc(
+    warc_df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    status_col: str = "http_status",
+    date_col: str = "warc_date",
+) -> DataFrame:
+    """Distill a ``read_warc`` frame into the ``(domain, robots_text)``
+    relation :func:`robots_filter` consumes — the formalized version of
+    its docstring recipe, so every pipeline builds the compliance table
+    the same way instead of each hand-rolling the filter slightly
+    differently.
+
+    Selection: response captures whose URL path (query/fragment
+    ignored) is exactly ``/robots.txt`` — the RFC 9309 well-known
+    location — keyed by the raw lowercased HOST (the spec's origin
+    scope; feed the result to ``robots_filter(key="host")``, the
+    default). Latest capture wins per host, ordered by ``date_col``
+    (WARC-Date is ISO-8601, so string order IS time order), tie-broken
+    by ``warc_file``/``record_offset`` when the frame still carries
+    them — fully deterministic.
+
+    Status handling (RFC 9309 §2.3.1):
+
+    - 2xx (or a NULL status — resource/conversion records store bare
+      payloads): the capture body is the policy;
+    - 3xx/4xx "unavailable": the host row is DROPPED — no relation row
+      means ``robots_filter``'s allow-all default, which is the spec's
+      MAY-crawl ruling for unavailable robots;
+    - 5xx "unreachable": the spec says assume complete disallow — the
+      row synthesizes ``User-agent: *\\nDisallow: /``.
+
+    Scale: the candidate set is host-count-sized (one /robots.txt row
+    per host per crawl pass), so the keep-latest window shuffles a
+    relation ~6 orders smaller than the corpus; the corpus itself is
+    untouched. Batch-only (keep-latest needs a window): for streaming
+    curation, snapshot the relation batch-side from the crawl so far —
+    robots compliance is an admission-time policy table, not per-event
+    state."""
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+            1,
+        )
+    )
+    status = F.col(status_col)
+    cand = warc_df.where((path == "/robots.txt") & (host != "")).where(
+        status.isNull() | (status < 300) | (status >= 500)
+    )
+    tie = [c for c in ("warc_file", "record_offset") if c in warc_df.columns]
+    w = Window.partitionBy("__rb_host").orderBy(
+        F.col(date_col).desc_nulls_last(),
+        *[F.col(c).desc_nulls_last() for c in tie],
+        F.col("__rb_text").asc_nulls_last(),
+    )
+    return (
+        cand.select(
+            host.alias("__rb_host"),
+            F.col(date_col),
+            *[F.col(c) for c in tie],
+            F.when(
+                status >= 500, F.lit("User-agent: *\nDisallow: /")
+            ).otherwise(F.coalesce(F.col(text_col), F.lit("")))
+            .alias("__rb_text"),
+        )
+        .withColumn("__rb_rn", F.row_number().over(w))
+        .where(F.col("__rb_rn") == 1)
+        .select(
+            F.col("__rb_host").alias("domain"),
+            F.col("__rb_text").alias("robots_text"),
+        )
+    )
 
 
 from ..functions.text import _col as _ucol  # noqa: E402 (shared coercion helper)

@@ -256,7 +256,12 @@ def parse_http_response(raw: bytes) -> tuple[int | None, dict[str, str], bytes]:
     status = int(m.group(1))
     hdr_end, sep = _hdr_end(raw, 0)
     if hdr_end < 0:
-        return status, {}, b""
+        # header block oversized (> _MAX_HEADER_BYTES) or unterminated:
+        # the raw-bytes-fallback philosophy says lose the HEADERS, not
+        # the body — return everything after the status line undecoded
+        # rather than silently discarding the capture
+        nl = raw.find(b"\n")
+        return status, {}, raw[nl + 1 :] if nl >= 0 else b""
     first_nl = raw.index(b"\n")
     headers = _split_headers(raw[first_nl + 1 : hdr_end])
     body = raw[hdr_end + sep :]
@@ -311,10 +316,13 @@ def http_text_of(
     ):
         return None
     charsets = []
-    # order matters: UTF-32 BOMs start with the UTF-16 LE BOM bytes
+    # order matters: UTF-32 LE BOMs start with the UTF-16 LE BOM bytes
+    # (UTF-32 BE starts with NULs — order-independent, listed with its
+    # endian twin for symmetry)
     for bom, cs in (
         (b"\xef\xbb\xbf", "utf-8-sig"),
         (b"\xff\xfe\x00\x00", "utf-32"),
+        (b"\x00\x00\xfe\xff", "utf-32"),
         (b"\xfe\xff", "utf-16"),
         (b"\xff\xfe", "utf-16"),
     ):
@@ -347,6 +355,54 @@ WARC_SCHEMA = (
 )
 
 
+def _binary_file_max_length(spark: SparkSession) -> int:
+    """Spark's ``binaryFile`` per-file ceiling
+    (``spark.sql.sources.binaryFile.maxLength``, default Int.MaxValue —
+    the source's content column is one JVM byte array, so a file past
+    it THROWS in the task). The readers filter on it so an oversized
+    container becomes a labeled ``_error`` row instead of a job
+    failure."""
+    try:
+        return int(spark.conf.get("spark.sql.sources.binaryFile.maxLength"))
+    except Exception:
+        return (1 << 31) - 1
+
+
+def _oversized_error_rows(files: DataFrame, max_len: int) -> DataFrame:
+    """``WARC_SCHEMA``-shaped labeled ``_error`` rows for containers
+    the binaryFile source cannot load (``length > max_len``). Built
+    from the scan's METADATA columns only — selecting path/length
+    never reads file content, so the length ceiling can't throw — and
+    fully distributed (no driver collect: 'rare' is a hope, not a
+    bound)."""
+    from pyspark.sql import functions as F
+
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    return files.where(F.col("length") > max_len).select(
+        F.col("path").alias("warc_file"),
+        null("long").alias("record_offset"),
+        F.lit("_error").alias("warc_type"),
+        null("string").alias("url"),
+        null("string").alias("warc_date"),
+        null("string").alias("record_id"),
+        null("string").alias("content_type"),
+        null("int").alias("http_status"),
+        null("string").alias("http_content_type"),
+        null("binary").alias("payload"),
+        null("string").alias("text"),
+        null("boolean").alias("truncated"),
+        F.concat(
+            F.lit("container length "),
+            F.col("length").cast("string"),
+            F.lit(
+                " exceeds the binaryFile source ceiling "
+                f"(spark.sql.sources.binaryFile.maxLength={max_len}); "
+                "split the container or raise the ceiling"
+            ),
+        ).alias("error"),
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -375,17 +431,38 @@ def read_warc(
     grain: ~64k files/dump); non-selected record types are skipped
     before HTTP parsing; bodies above the cap truncate. Project away
     ``payload`` before any shuffle — the scan is the only place the
-    raw bytes should exist."""
+    raw bytes should exist.
+
+    Robustness: a container past the binaryFile source's per-file
+    ceiling (``spark.sql.sources.binaryFile.maxLength``, default
+    Int.MaxValue ≈ 2 GiB — Common Crawl targets ~1 GiB but IA /
+    uncapped heritrix archives routinely exceed it) would THROW in
+    the task and fail the whole job; here the scan filters on the
+    (pushed-down) ``length`` metadata column so oversized files are
+    never content-read, and each surfaces as one labeled ``_error``
+    row instead — the same never-die contract as mid-file
+    corruption."""
     if not record_types:
         raise ValueError("record_types must name at least one WARC type")
+    from pyspark.sql import functions as F
+
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(
-        _warc_mapper(
-            record_types, emit_text, emit_payload, max_payload_bytes,
-            max_text_chars,
-        ),
-        schema=WARC_SCHEMA,
+    max_len = _binary_file_max_length(spark)
+    # length <= ceiling pushes down to the binaryFile scan (the source
+    # supports metadata filter pushdown), so oversized files are
+    # skipped BEFORE the content read that would throw
+    good = (
+        files.where(F.col("length") <= max_len)
+        .select("path", "content")
+        .mapInPandas(
+            _warc_mapper(
+                record_types, emit_text, emit_payload, max_payload_bytes,
+                max_text_chars,
+            ),
+            schema=WARC_SCHEMA,
+        )
     )
+    return good.unionByName(_oversized_error_rows(files, max_len))
 
 
 def read_warc_stream(
@@ -408,9 +485,16 @@ def read_warc_stream(
     the streaming curation family (``stream_curation_filter`` takes
     the extracted text column) or any ``writeStream`` sink.
     ``max_files_per_trigger`` bounds a micro-batch (containers are
-    ~1 GB each — admission control is per-file here)."""
+    ~1 GB each — admission control is per-file here).
+
+    Oversized containers (past ``spark.sql.sources.binaryFile.
+    maxLength``) surface as labeled ``_error`` rows exactly like the
+    batch reader — the length filter keeps the content read from ever
+    throwing, so a continuously running crawl ingest survives the one
+    bad segment."""
     if not record_types:
         raise ValueError("record_types must name at least one WARC type")
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     bin_schema = T.StructType(
@@ -425,13 +509,21 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     files = reader.load(path)
-    return files.select("path", "content").mapInPandas(
-        _warc_mapper(
-            record_types, emit_text, emit_payload, max_payload_bytes,
-            max_text_chars,
-        ),
-        schema=WARC_SCHEMA,
+    max_len = _binary_file_max_length(spark)
+    good = (
+        files.where(F.col("length") <= max_len)
+        .select("path", "content")
+        .mapInPandas(
+            _warc_mapper(
+                record_types, emit_text, emit_payload, max_payload_bytes,
+                max_text_chars,
+            ),
+            schema=WARC_SCHEMA,
+        )
     )
+    # self-union of one streaming source: both arms share the file
+    # listing; the checkpoint tracks each arm's offsets independently
+    return good.unionByName(_oversized_error_rows(files, max_len))
 
 
 def _warc_mapper(
@@ -555,6 +647,7 @@ def write_wet(
     text_col: str = "text",
     date_col: str | None = None,
     per_record_gzip: bool = True,
+    mode: str = "error",
 ) -> None:
     """WET-style text-extraction sink: write ``(url, text)`` rows as
     WARC ``conversion`` records (the layout Common Crawl publishes its
@@ -570,12 +663,43 @@ def write_wet(
     stamps WARC-Date. ``path`` must be a directory on a filesystem
     every executor can open POSIX-style (local dir, fuse-mounted
     object store) — the driver-side Hadoop-FS helpers are for tiny
-    metadata, not record streams."""
+    metadata, not record streams.
+
+    ``mode`` is the Spark writer convention over the part files this
+    sink owns (``part-NNNNN.warc[.gz]``): ``"error"`` (default)
+    refuses a target that already holds parts — a rerun into the same
+    path with FEWER partitions would otherwise leave stale high-
+    numbered parts silently mixing into any downstream ``read_warc``
+    over the directory; ``"overwrite"`` deletes the existing parts
+    (both extensions, plus orphaned ``.tmp`` attempts) driver-side
+    before the distributed write.
+
+    Rows are sorted by ``(url, text)`` WITHIN each partition before
+    encoding, so two speculative attempts of one partition encode
+    byte-identical files even when the upstream iterator order is
+    nondeterministic (a shuffle without ordering) — that determinism
+    is what makes the attempts' last-rename-wins safe. Partition
+    MEMBERSHIP must still be deterministic; control it with the
+    DataFrame's partitioning."""
     import os
 
     from pyspark import TaskContext
 
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"mode must be 'error' or 'overwrite', got {mode!r}")
     os.makedirs(path, exist_ok=True)
+    part_re = re.compile(r"(\.)?part-\d{5}(-a\d+)?\.warc(\.gz)?(\.tmp)?$")
+    existing = [f for f in os.listdir(path) if part_re.fullmatch(f)]
+    if existing:
+        if mode == "error":
+            raise FileExistsError(
+                f"write_wet target {path!r} already holds "
+                f"{len(existing)} part file(s); pass mode='overwrite' "
+                "to replace them (a rerun with fewer partitions would "
+                "otherwise leave stale parts mixing into reads)"
+            )
+        for f in existing:
+            os.remove(os.path.join(path, f))
     cols = [url_col, text_col] + ([date_col] if date_col else [])
     ext = ".warc.gz" if per_record_gzip else ".warc"
 
@@ -595,13 +719,16 @@ def write_wet(
             recs.append(rec)
         if not recs:
             return
+        # in-partition sort: attempt-invariant byte output (see the
+        # docstring's speculative-execution note)
+        recs.sort(key=lambda r: (r.get("url") or "", r["body"]))
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         # attempt number in the TMP name: under speculative execution
         # two live attempts of one partition must not write the same
         # tmp file; both rename to the same final name and the content
-        # is identical (deterministic encode of the same rows), so
-        # last-rename-wins is safe
+        # is identical (deterministic encode of the same sorted rows),
+        # so last-rename-wins is safe
         tmp = os.path.join(
             path, f".part-{pid:05d}-a{ctx.attemptNumber()}{ext}.tmp"
         )

@@ -283,14 +283,20 @@ def test_warc_fuzz_never_raises_and_roundtrips():
 
 def test_warc_to_curation_pipeline(spark, tmp_path):
     """The full crawl story end-to-end: WARC containers -> read_warc
-    -> jusText main-content extraction -> quality/license screens —
-    every stage engine-level after the one Arrow parse boundary."""
+    -> robots compliance FROM THE CRAWL'S OWN robots.txt captures
+    (robots_from_warc, r12) -> jusText main-content extraction ->
+    quality/license screens — every stage engine-level after the one
+    Arrow parse boundary."""
     from pyspark.sql import functions as F
 
     from gluestick_ts_spark.functions.text import (
         license_flags_expr,
         main_text_expr,
         quality_score_expr,
+    )
+    from gluestick_ts_spark.operators.weburl import (
+        robots_filter,
+        robots_from_warc,
     )
 
     prose = (
@@ -305,9 +311,18 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
         )
 
     captures = [
+        # the crawl carries its own compliance policy: good.example's
+        # robots.txt disallows /private/ — the helper, not hand-rolled
+        # filtering, turns these captures into the policy relation
+        _capture(
+            "http://good.example/robots.txt",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            b"User-agent: *\nDisallow: /private/\n",
+        ),
         _capture("http://good.example/", page(
             f'<div><a href="/">Home</a> <a href="/a">About</a></div>'
             f"<p>{prose}</p><div>(c) <a href='/t'>Terms</a></div>")),
+        _capture("http://good.example/private/x", page(f"<p>{prose}</p>")),
         _capture("http://licensed.example/", page(
             f"<p>{prose} All rights reserved.</p>")),
         _capture("http://linkfarm.example/", page(
@@ -318,9 +333,12 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
     wdir.mkdir()
     (wdir / "c.warc.gz").write_bytes(warc_encode(captures))
 
+    crawl = read_warc(spark, str(wdir), emit_payload=False)
+    robots_rel = robots_from_warc(crawl)
     docs = (
-        read_warc(spark, str(wdir), emit_payload=False)
+        crawl
         .where(F.col("error").isNull() & (F.col("http_status") == 200))
+        .where(~F.col("url").endswith("/robots.txt"))
         .select("url", main_text_expr(F.col("text")).alias("main"))
         .select(
             "url", "main",
@@ -328,12 +346,17 @@ def test_warc_to_curation_pipeline(spark, tmp_path):
             license_flags_expr(F.col("main"))["license_ok"].alias("lic_ok"),
         )
     )
+    docs = robots_filter(docs, robots_rel, "url")
     rows = {r.url: r for r in docs.collect()}
     assert prose in rows["http://good.example/"].main
     assert "Home" not in rows["http://good.example/"].main  # nav died
     assert rows["http://good.example/"].lic_ok is True
     assert rows["http://licensed.example/"].lic_ok is False  # rights clause
     assert rows["http://linkfarm.example/"].main == ""  # nothing survived
+    # robots verdicts came from the crawl's own captures
+    assert rows["http://good.example/"].robots_ok is True
+    assert rows["http://good.example/private/x"].robots_ok is False
+    assert rows["http://licensed.example/"].robots_ok is True  # no robots
 
 
 def test_write_wet_roundtrip(spark, tmp_path):
@@ -417,6 +440,7 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from gluestick_ts_spark.functions.text import main_text_expr
+    from gluestick_ts_spark.operators.weburl import robots_from_warc
     from gluestick_ts_spark.sources.warc import read_warc_stream
     from gluestick_ts_spark.streaming.incremental import stream_curation_filter
 
@@ -439,7 +463,14 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
 
     os.makedirs(store, exist_ok=True)
     (wdir / "seg-0.warc.gz").write_bytes(warc_encode([
+        # the crawl ships its own policy: robots_from_warc snapshots it
+        _capture(
+            "http://good.example/robots.txt",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            b"User-agent: *\nDisallow: /private/\n",
+        ),
         _capture("http://good.example/a", page()),
+        _capture("http://good.example/private/p", page(" private copy")),
         _capture("http://ads.tracker-farm.example/x", page(" blocked copy")),
     ]))
     verdicts: dict = {}
@@ -449,9 +480,14 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
             verdicts[r.doc_id] = (r.keep, r.drop_reason)
 
     def run():
+        # admission-time policy table: snapshot the crawl-so-far's
+        # robots captures batch-side (robots_from_warc is batch-only —
+        # keep-latest needs a window), joined statically into the stream
+        robots_rel = robots_from_warc(read_warc(spark, str(wdir)))
         docs = (
             read_warc_stream(spark, str(wdir), emit_payload=False)
             .where(F.col("error").isNull())
+            .where(~F.col("url").endswith("/robots.txt"))
             .select(
                 F.col("url").alias("doc_id"),
                 F.col("url"),
@@ -463,6 +499,7 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
                 docs, store, emit, id_col="doc_id", quality_min=0.0,
                 checkpoint_dir=ckpt,
                 url_col="url", blocklist=("tracker-farm.example",),
+                robots=robots_rel,
             )
             .trigger(availableNow=True)
             .start()
@@ -471,6 +508,7 @@ def test_streaming_crawl_to_curation_end_to_end(spark, tmp_path):
 
     run()
     assert verdicts["http://good.example/a"] == (True, None)
+    assert verdicts["http://good.example/private/p"] == (False, "robots")
     assert verdicts["http://ads.tracker-farm.example/x"] == (False, "blocked")
 
     # segment 2: a re-crawl of the accepted page (same content, new
@@ -562,3 +600,207 @@ def test_dechunk_rejects_negative_chunk_size():
     s, _h, b = parse_http_response(lying)
     assert s == 200
     assert b == b"-4\r\ngarbage that must come back verbatim"
+
+
+def test_read_warc_oversized_container_is_error_row_not_job_death(spark, tmp_path):
+    """r12: a container past Spark's binaryFile per-file ceiling
+    (spark.sql.sources.binaryFile.maxLength, default Int.MaxValue)
+    must become ONE labeled _error row — the module's never-die
+    contract — not a task-level SparkException killing the job. The
+    ceiling is lowered for the test; the filter reads the conf, so the
+    guard path is the production path."""
+    wdir = tmp_path / "crawl_big"
+    wdir.mkdir()
+    small = warc_encode([_capture("http://ok.example/", _http(_HTML))])
+    (wdir / "ok.warc.gz").write_bytes(small)
+    # oversized: anything past the lowered ceiling
+    big = warc_encode(
+        [_capture(f"http://big.example/{i}", _http(_HTML)) for i in range(40)]
+    )
+    (wdir / "big.warc.gz").write_bytes(big)
+    assert len(big) > len(small)
+    conf = "spark.sql.sources.binaryFile.maxLength"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, str(len(small)))  # ok fits, big doesn't
+    try:
+        rows = read_warc(spark, str(wdir)).collect()
+    finally:
+        spark.conf.set(conf, old)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.warc_type, []).append(r)
+    assert [r.url for r in by_type["response"]] == ["http://ok.example/"]
+    errs = by_type["_error"]
+    assert len(errs) == 1
+    assert errs[0].warc_file.endswith("big.warc.gz")
+    assert "exceeds the binaryFile source ceiling" in errs[0].error
+    assert str(len(big)) in errs[0].error
+
+
+def test_read_warc_stream_oversized_container_is_error_row(spark, tmp_path):
+    """The streaming twin of the oversized guard: a continuously
+    running crawl ingest survives the one bad segment, which arrives
+    as a labeled _error row through the same union path."""
+    from gluestick_ts_spark.sources.warc import read_warc_stream
+
+    wdir = tmp_path / "incoming_big"
+    wdir.mkdir()
+    small = warc_encode([_capture("http://s.example/", _http(_HTML))])
+    (wdir / "s.warc.gz").write_bytes(small)
+    big = warc_encode(
+        [_capture(f"http://b.example/{i}", _http(_HTML)) for i in range(40)]
+    )
+    (wdir / "b.warc.gz").write_bytes(big)
+    conf = "spark.sql.sources.binaryFile.maxLength"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, str(len(small)))
+    got: list = []
+    try:
+        q = (
+            read_warc_stream(spark, str(wdir), emit_payload=False)
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r.warc_type, r.url, r.error) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck_big"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(conf, old)
+    types = sorted(t for t, _, _ in got)
+    assert types == ["_error", "response"]
+    err = next(e for t, _, e in got if t == "_error")
+    assert "exceeds the binaryFile source ceiling" in err
+    assert ("response", "http://s.example/", None) in got
+
+
+def test_parse_http_response_unterminated_headers_keep_body():
+    """ADVICE r12: an oversized/unterminated header block loses the
+    HEADERS, not the body — raw bytes after the status line come back
+    instead of b'' (the raw-bytes-fallback philosophy)."""
+    # header block larger than the 64 KiB window, never terminated
+    raw = (
+        b"HTTP/1.1 200 OK\r\nX-Pad: " + b"a" * (70 * 1024)
+        + b"\r\nX-More: v\r\nTHE BODY SURVIVES"
+    )
+    s, h, b = parse_http_response(raw)
+    assert s == 200 and h == {}
+    assert b.endswith(b"THE BODY SURVIVES") and b.startswith(b"X-Pad: ")
+    # status line only, no newline at all: nothing to salvage
+    assert parse_http_response(b"HTTP/1.1 204 No Content") == (204, {}, b"")
+
+
+def test_http_text_of_utf32_be_bom():
+    """ADVICE r12: the UTF-32 BE BOM (00 00 FE FF) joins the BOM table
+    so big-endian UTF-32 pages decode instead of latin-1 mojibake."""
+    body = b"\x00\x00\xfe\xff" + "café ünïcode".encode("utf-32-be")
+    assert http_text_of(body, "text/plain; charset=iso-8859-1") == "café ünïcode"
+    # and the LE twin still works
+    import codecs
+
+    le = codecs.BOM_UTF32_LE + "café".encode("utf-32-le")
+    assert http_text_of(le, "text/plain") == "café"
+
+
+def test_write_wet_mode_and_stale_parts(spark, tmp_path):
+    """ADVICE r12: rerunning write_wet into a populated target must not
+    leave stale part files mixing into downstream reads — default mode
+    'error' refuses, 'overwrite' clears the old parts first (the
+    fewer-partitions rerun is exactly the silent-mix case)."""
+    from gluestick_ts_spark.sources.warc import write_wet
+
+    out = tmp_path / "wet_modes"
+    df2 = spark.createDataFrame(
+        [("http://a.example/", "one"), ("http://b.example/", "two")],
+        "url string, text string",
+    ).repartition(2)
+    write_wet(df2, str(out))
+    assert len(list(out.glob("part-*.warc.gz"))) == 2
+    with pytest.raises(FileExistsError, match="overwrite"):
+        write_wet(df2, str(out))
+    with pytest.raises(ValueError, match="mode"):
+        write_wet(df2, str(out), mode="append")
+    # overwrite with FEWER partitions: no stale part-00001 left behind
+    df1 = spark.createDataFrame(
+        [("http://c.example/", "three")], "url string, text string"
+    ).coalesce(1)
+    write_wet(df1, str(out), mode="overwrite")
+    assert [p.name for p in sorted(out.glob("part-*"))] == ["part-00000.warc.gz"]
+    back = read_warc(spark, str(out), record_types=("conversion",))
+    assert [r.url for r in back.collect()] == ["http://c.example/"]
+
+
+def test_write_wet_output_is_row_order_invariant(spark, tmp_path):
+    """ADVICE r12: rows are sorted within each partition before
+    encoding, so the SAME partition contents in a different iterator
+    order produce byte-identical files — the property that makes
+    speculative-attempt last-rename-wins safe."""
+    from gluestick_ts_spark.sources.warc import write_wet
+
+    rows = [(f"http://h{i}.example/", f"text {i}") for i in range(8)]
+    a, b = tmp_path / "wa", tmp_path / "wb"
+    df_fwd = spark.createDataFrame(rows, "url string, text string").coalesce(1)
+    df_rev = spark.createDataFrame(rows[::-1], "url string, text string").coalesce(1)
+    write_wet(df_fwd, str(a))
+    write_wet(df_rev, str(b))
+    fa, fb = a / "part-00000.warc.gz", b / "part-00000.warc.gz"
+    assert fa.read_bytes() == fb.read_bytes()
+
+
+def test_robots_from_warc_relation(spark, tmp_path):
+    """r12: the formalized crawl->compliance bridge — /robots.txt
+    response captures become the (domain, robots_text) relation
+    robots_filter takes: latest-capture-wins per host, 4xx hosts drop
+    (allow-all default), 5xx hosts synthesize complete disallow
+    (RFC 9309 §2.3.1), page captures ignored."""
+    from gluestick_ts_spark.operators.weburl import robots_from_warc, robots_filter
+
+    def robots(host, body, status=200, date="2026-01-01T00:00:00Z"):
+        rec = _capture(
+            f"http://{host}/robots.txt",
+            (f"HTTP/1.1 {status} X\r\nContent-Type: text/plain\r\n\r\n").encode()
+            + body,
+        )
+        rec["warc_date"] = date
+        return rec
+
+    captures = [
+        # stale capture first, fresh one later: fresh must win
+        robots("site.example", b"User-agent: *\nDisallow: /\n",
+               date="2026-01-01T00:00:00Z"),
+        robots("site.example", b"User-agent: *\nDisallow: /private/\n",
+               date="2026-02-01T00:00:00Z"),
+        # 404 robots: unavailable -> allow-all -> NO relation row
+        robots("gone.example", b"not found", status=404),
+        # 500 robots: unreachable -> complete disallow row
+        robots("down.example", b"oops", status=500),
+        # an ordinary page capture is not a policy
+        _capture("http://site.example/page", _http(_HTML)),
+    ]
+    wdir = tmp_path / "crawl_rb"
+    wdir.mkdir()
+    (wdir / "c.warc.gz").write_bytes(warc_encode(captures))
+
+    rel = robots_from_warc(read_warc(spark, str(wdir)))
+    got = {r.domain: r.robots_text for r in rel.collect()}
+    assert set(got) == {"site.example", "down.example"}
+    assert "Disallow: /private/" in got["site.example"]  # latest won
+    assert got["down.example"] == "User-agent: *\nDisallow: /"
+
+    # and the relation drives robots_filter end-to-end
+    urls = spark.createDataFrame(
+        [
+            (0, "http://site.example/ok"),
+            (1, "http://site.example/private/x"),
+            (2, "http://gone.example/anything"),   # 404 robots -> allow
+            (3, "http://down.example/anything"),   # 500 robots -> disallow
+        ],
+        "doc_id long, url string",
+    )
+    verdicts = {
+        r.doc_id: r.robots_ok for r in robots_filter(urls, rel, "url").collect()
+    }
+    assert verdicts == {0: True, 1: False, 2: True, 3: False}

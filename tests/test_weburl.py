@@ -1125,3 +1125,32 @@ def test_parse_robots_rules_fuzz_never_raises():
 
     run()
     assert parse_robots_rules(None if False else "", "*") == []
+
+
+def test_parse_robots_rules_ua_match_is_one_directional():
+    """ADVICE r12: group selection matches the robots token as a
+    substring of OUR product token only — an unrelated LONGER token
+    ('mybot-images' for agent 'mybot') must not win as the specific
+    group, a token containing '*' must not hijack user_agent='*', and
+    an empty User-agent value matches nothing."""
+    from gluestick_ts_spark.operators.weburl import parse_robots_rules
+
+    txt = """
+User-agent: mybot-images
+Disallow: /images-only/
+
+User-agent: *
+Disallow: /fallback/
+"""
+    # 'mybot' is NOT 'mybot-images': falls to the '*' group
+    assert parse_robots_rules(txt, "mybot") == [("/fallback/", False)]
+    # the images crawler itself still gets its group
+    assert parse_robots_rules(txt, "mybot-images/1.0") == [
+        ("/images-only/", False)
+    ]
+    # a token containing '*' is not the default group
+    star_bait = "User-agent: evil*corp\nDisallow: /\n"
+    assert parse_robots_rules(star_bait, "*") == []
+    # empty User-agent value matches no crawler
+    empty = "User-agent:\nDisallow: /x/\nUser-agent: *\nDisallow: /y/\n"
+    assert parse_robots_rules(empty, "somebot") == [("/y/", False)]
