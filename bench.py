@@ -39,6 +39,26 @@ composition growth, ~1.2x on that one row). The r7/r8 rule stands:
 treat cross-round deltas under ~1.25x as noise unless a plan diff
 corroborates.
 
+ROUND-12 ADDITION — WARC INGEST LEG: the declared actual-100 TB grain
+(crawl containers in, extracted text out) finally has a throughput
+number. ``warc_ingest`` in BENCH_FULL.json times ``read_warc(
+emit_text=True, emit_payload=False)`` (the curation entry path: one
+task per container, HTTP split + charset decode + text projection,
+payload dropped at the scan) over a DETERMINISTIC synthesized fixture
+(~100 MB raw HTML across 16 per-record-gzip containers, built by our
+own ``warc_encode`` at bench setup — generation time reported
+separately, never timed), and ``write_wet`` of the extracted text
+(from a persisted frame, so the write leg times the SINK alone).
+Metrics: ``read_mb_s`` is on-disk container MB/s (the unit crawl
+dumps are priced in), ``read_records_s``, ``wet_mb_s`` on emitted
+bytes. COMPARABILITY: first round carrying the leg — r12 numbers are
+the baselines; the fixture is sf-INDEPENDENT (same bytes at every
+SF), so cross-round deltas here are decode/layout changes or box
+noise, never data-scale composition. Round-over-round rule: compare
+read_mb_s against the sentinel-normalized suite the same way as
+query medians; a >1.25x move with a flat sentinel is a real
+ingest-path regression (Arrow mapper, gzip walker, http_text_of).
+
 ROUND-10 COMPOSITION CHANGES: ``multimodal_features``'s feat leg
 became a 4-format cycle (JPEG quarter incl. 4:2:0/RST variants, GIF
 slot every 20th doc), carries the full hash family (dhash + NEW ahash
@@ -289,6 +309,118 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_warc_ingest(spark) -> dict:
+    """The WARC-ingest + WET-write throughput leg (round 12): see the
+    module docstring's ROUND-12 ADDITION for what it times and how to
+    compare it across rounds. Fixture is deterministic (seedless
+    arithmetic word rotation), ~100 MB raw across 16 containers, built
+    and deleted under a temp dir; generation is reported but never
+    timed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.sources.warc import read_warc, warc_encode, write_wet
+
+    root = tempfile.mkdtemp(prefix="gs_bench_warc_")
+    try:
+        wdir = os.path.join(root, "crawl")
+        os.makedirs(wdir)
+        t0 = time.time()
+        # 8 base bodies (~16 KB each) rotated per record with a unique
+        # prefix: deterministic, cheap to build, compresses like prose
+        words = [f"w{i:03d}" for i in range(997)]
+        bases = [
+            " ".join(words[(b * 131 + j * 7) % 997] for j in range(2048))
+            for b in range(8)
+        ]
+        containers, per = 16, 400
+        disk_bytes = 0
+        raw_bytes = 0
+        for c in range(containers):
+            recs = []
+            for i in range(per):
+                html = (
+                    f"<html><head><title>doc {c}-{i}</title></head>"
+                    f"<body><p>doc {c}-{i} {bases[(c + i) % 8]}</p></body></html>"
+                )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "url": f"http://bench{c:02d}.example/doc/{i}",
+                        "content_type": "application/http; msgtype=response",
+                        "body": (
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                            + html.encode()
+                        ),
+                    }
+                )
+            raw_bytes += sum(len(r["body"]) for r in recs)
+            blob = warc_encode(recs, per_record_gzip=True)
+            disk_bytes += len(blob)
+            with open(os.path.join(wdir, f"seg-{c:02d}.warc.gz"), "wb") as fh:
+                fh.write(blob)
+        gen_sec = round(time.time() - t0, 3)
+
+        # READ leg: the curation entry path — text projected, payload
+        # dropped at the scan (the module's 100 TB prescription).
+        # Cold first (binaryFile scan codegen + first Arrow exchange is
+        # ~2.5 s one-time on this box), then warm — the warm number is
+        # the throughput headline, same convention as the query suite.
+        def _read_pass() -> float:
+            t0 = time.time()
+            read_warc(
+                spark, wdir, emit_text=True, emit_payload=False
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        read_cold = _read_pass()
+        read_sec = _read_pass()
+
+        docs = (
+            read_warc(spark, wdir, emit_text=True, emit_payload=False)
+            .where(F.col("error").isNull())
+            .select("url", "text")
+            .persist()
+        )
+        records = docs.count()  # cache materialization — untimed
+
+        # WET WRITE leg: the sink alone (input frame is cached); warm
+        # pass after one cold, like the read
+        def _wet_pass(out: str) -> float:
+            t0 = time.time()
+            write_wet(docs, out, mode="overwrite")
+            return time.time() - t0
+
+        _wet_pass(os.path.join(root, "wet_cold"))
+        out = os.path.join(root, "wet")
+        wet_sec = _wet_pass(out)
+        wet_bytes = sum(
+            os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
+        )
+        docs.unpersist()
+        mb = 1024 * 1024
+        return {
+            "containers": containers,
+            "records": records,
+            "container_bytes": disk_bytes,
+            "raw_capture_bytes": raw_bytes,
+            "fixture_gen_sec": gen_sec,
+            "read_cold_sec": round(read_cold, 3),
+            "read_sec": round(read_sec, 3),
+            "read_mb_s": round(disk_bytes / mb / read_sec, 2),
+            "read_raw_mb_s": round(raw_bytes / mb / read_sec, 2),
+            "read_records_s": round(records / read_sec, 1),
+            "wet_write_sec": round(wet_sec, 3),
+            "wet_bytes": wet_bytes,
+            "wet_mb_s": round(wet_bytes / mb / wet_sec, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -386,6 +518,16 @@ def main() -> None:
             del df
             gc.collect()
 
+    # round 12: the ingest-grain throughput leg (fault-isolated like
+    # everything else; SPARK_GRAFT_BENCH_WARC=0 skips it)
+    warc_ingest: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WARC", "1") != "0":
+        try:
+            warc_ingest = _bench_warc_ingest(spark)
+        except Exception as exc:  # noqa: BLE001
+            warc_ingest = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"BENCH-ERR warc_ingest: {warc_ingest['err']}", file=sys.stderr)
+
     try:
         sentinel_end = _time_sentinel()
     except Exception as exc:  # noqa: BLE001
@@ -438,6 +580,7 @@ def main() -> None:
             ),
         },
         "queries_normalized": normalized,
+        "warc_ingest": warc_ingest,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
