@@ -89,13 +89,35 @@ __all__ = [
     "avi_features",
     "gif_features",
     "gif_resize",
+    "mp4_probe",
+    "mp4_encode_meta",
+    "mp3_probe",
+    "mp3_encode_meta",
 ]
+
+
+def _is_mp3_frame_header(b1: int, b2: int) -> bool:
+    """Whether bytes 2-3 of a candidate sync complete a VALID MPEG
+    audio Layer III frame header (version not reserved, layer III,
+    bitrate index not free/bad, sample-rate index not reserved) — the
+    validity checks are what keep the bare 0xFFEx sync from
+    false-positive sniffing random binary."""
+    if (b1 & 0xE0) != 0xE0:
+        return False
+    version = (b1 >> 3) & 3
+    layer = (b1 >> 1) & 3
+    bidx = (b2 >> 4) & 0xF
+    ridx = (b2 >> 2) & 3
+    return version != 1 and layer == 1 and bidx not in (0, 15) and ridx != 3
 
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Magic-byte format sniff: ``"png"``, ``"bmp"``, ``"wav"``,
-    ``"jpeg"``, ``"gif"``, ``"avi"`` (round 11 — MJPEG video), or
-    None."""
+    ``"jpeg"``, ``"gif"``, ``"avi"`` (round 11 — MJPEG video),
+    ``"mp4"`` / ``"mp3"`` (round 12 — metadata-probe formats: the
+    container/frame headers parse for REAL width/height/duration via
+    ``mp4_probe``/``mp3_probe``; pixel/sample decode still needs codec
+    libraries and stays the labeled fake), or None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -110,6 +132,15 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    # ISO BMFF: size(4) + 'ftyp' — the brand-independent MP4 signature
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    # MP3: an ID3v2 tag, or a valid Layer III frame sync at offset 0
+    # (JPEG's FF D8 fails the 0xE0 mask, so order here is free)
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if payload[0] == 0xFF and _is_mp3_frame_header(payload[1], payload[2]):
+        return "mp3"
     return None
 
 
@@ -555,3 +586,196 @@ def gif_frames(payload: bytes, n_frames: int) -> list[bytes]:
     decoded)."""
     w, h, frames = gif_decode_frames(payload, max_frames=max(1, n_frames))
     return [png_encode(w, h, f) for f in frames]
+
+
+# -- MP4 / MP3 metadata probes (round 12) -------------------------------------
+#
+# The two formats that dominate real crawls' media bytes. Full decode
+# needs codec libraries this container doesn't have (the labeled-fake
+# contract covers the pixel/sample path), but METADATA does not: an
+# ISO/IEC 14496-12 box walk and an MPEG audio (ISO 11172-3 / 13818-3)
+# frame-header scan yield real duration/dimensions/sample-rate cheaply
+# — which is what a curation user filters on.
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Walk ISO BMFF boxes in ``data[start:end]``, yielding
+    ``(type, body_start, box_end)``. Handles 64-bit largesize
+    (size==1) and to-end-of-file (size==0); raises ValueError on a
+    size that doesn't advance or overruns — each step moves forward by
+    >= 8 bytes, so the walk is linear and bounded."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box at {pos}")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad mp4 box size {size} at {pos}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_probe(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Real MP4 metadata from the ``moov`` box alone — no frame
+    decode: ``(width, height, duration_ms)``.
+
+    ``mvhd`` carries the presentation timescale + duration (version 0:
+    32-bit fields at offsets 12/16 of the box body; version 1: 64-bit
+    duration at 24 after 8-byte timestamps); each ``trak``'s ``tkhd``
+    carries the track's display width/height as 16.16 fixed point in
+    the body's last 8 bytes (same tail position in both versions —
+    audio tracks are 0x0, so the first non-zero pair is the video
+    track). Raises ValueError when the payload isn't ISO BMFF or holds
+    no ``moov``."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (ISO BMFF) payload")
+    width = height = duration_ms = None
+    saw_moov = False
+    for typ, a, b in _mp4_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        saw_moov = True
+        for t2, c, d in _mp4_boxes(payload, a, b):
+            body = payload[c:d]
+            if t2 == b"mvhd" and len(body) >= 20:
+                if body[0] == 1 and len(body) >= 32:  # version 1
+                    ts = int.from_bytes(body[20:24], "big")
+                    dur = int.from_bytes(body[24:32], "big")
+                else:  # version 0
+                    ts = int.from_bytes(body[12:16], "big")
+                    dur = int.from_bytes(body[16:20], "big")
+                if ts:
+                    duration_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                for t3, e, f in _mp4_boxes(payload, c, d):
+                    tb = payload[e:f]
+                    if t3 == b"tkhd" and len(tb) >= 8:
+                        w = int.from_bytes(tb[-8:-4], "big") >> 16
+                        h = int.from_bytes(tb[-4:], "big") >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+        break  # one moov per file
+    if not saw_moov:
+        raise ValueError("mp4 payload holds no moov box")
+    return width, height, duration_ms
+
+
+def mp4_encode_meta(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Deterministic metadata-true MP4 fixture: a spec-shaped
+    ``ftyp`` + ``moov(mvhd + trak(tkhd))`` + stub ``mdat`` whose
+    header math round-trips through :func:`mp4_probe` exactly. The
+    media samples are a zero stub — this is a METADATA fixture (the
+    probe never looks at mdat), same philosophy as ``warc_encode``."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    dur = duration_ms * timescale // 1000
+    # mvhd v0: flags(4) times(8) timescale(4) duration(4) rate(4)
+    # volume(2) reserved(10) matrix(36) predefined(24) next_track(4)
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big") + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big") + bytes(10)
+        + _MP4_IDENTITY_MATRIX + bytes(24) + (2).to_bytes(4, "big"),
+    )
+    # tkhd v0: flags(4) times(8) track_id(4) reserved(4) duration(4)
+    # reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
+    # width(4) height(4) — width/height 16.16 fixed point
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + dur.to_bytes(4, "big") + bytes(8) + bytes(2) + bytes(2)
+        + bytes(2) + bytes(2) + _MP4_IDENTITY_MATRIX
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2mp41")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd)) + box(b"mdat", bytes(32))
+
+
+_MP4_IDENTITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(12)
+    + (0x00010000).to_bytes(4, "big") + bytes(12)
+    + (0x40000000).to_bytes(4, "big")
+)
+
+# MPEG audio Layer III tables (ISO 11172-3 / 13818-3): kbps by bitrate
+# index, Hz by sample-rate index keyed on the header version bits
+# (3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5)
+_MP3_KBPS_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_KBPS_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_HZ = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_MAX_RESYNC = 64 * 1024  # junk scanned before the FIRST frame
+
+
+def mp3_probe(payload: bytes) -> tuple[int, int, int]:
+    """Real MP3 metadata from the frame headers alone — no sample
+    decode: ``(sample_rate_hz, duration_ms, frame_count)``.
+
+    Skips a leading ID3v2 tag (syncsafe size), resyncs over up to 64 KB
+    of pre-stream junk, then walks Layer III frame headers: each frame
+    contributes its version's samples-per-frame (1152 MPEG1 / 576
+    MPEG2+2.5) and advances by the header-derived frame length, so
+    duration sums correctly for VBR streams too (the Xing estimate is
+    exactly this sum). The walk is linear in the payload; trailing
+    junk/tags end it. Raises ValueError when no valid frame exists."""
+    n = len(payload)
+    pos = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for byte in payload[6:10]:
+            size = (size << 7) | (byte & 0x7F)
+        pos = 10 + size
+    frames = 0
+    total_samples = 0
+    rate = 0
+    scan_limit = pos + _MP3_MAX_RESYNC
+    while pos + 4 <= n:
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if not (b0 == 0xFF and _is_mp3_frame_header(b1, b2)):
+            if frames or pos > scan_limit:
+                break  # stream over (trailing tag) or junk cap hit
+            pos += 1
+            continue
+        version = (b1 >> 3) & 3
+        kbps = (_MP3_KBPS_V1 if version == 3 else _MP3_KBPS_V2)[(b2 >> 4) & 0xF]
+        hz = _MP3_HZ[version][(b2 >> 2) & 3]
+        padding = (b2 >> 1) & 1
+        spf = 1152 if version == 3 else 576
+        flen = spf // 8 * kbps * 1000 // hz + padding
+        if flen <= 4:
+            break  # defensive: never stall
+        frames += 1
+        total_samples += spf
+        rate = hz
+        pos += flen
+    if not frames:
+        raise ValueError("no MPEG audio frames in payload")
+    return rate, total_samples * 1000 // rate, frames
+
+
+def mp3_encode_meta(
+    duration_ms: int, sample_rate: int = 44100, kbps: int = 128
+) -> bytes:
+    """Deterministic metadata-true MP3 fixture: enough valid MPEG1
+    Layer III frames (zero-filled side-info/samples — a silence
+    stream) to cover ``duration_ms``; round-trips through
+    :func:`mp3_probe` to within one frame (~26 ms)."""
+    bidx = _MP3_KBPS_V1.index(kbps)
+    ridx = _MP3_HZ[3].index(sample_rate)
+    hdr = bytes(
+        (0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1, (bidx << 4) | (ridx << 2), 0)
+    )
+    flen = 1152 // 8 * kbps * 1000 // sample_rate
+    frame = hdr + bytes(flen - 4)
+    n_frames = max(1, (duration_ms * sample_rate + 1152 * 1000 - 1) // (1152 * 1000))
+    return frame * n_frames

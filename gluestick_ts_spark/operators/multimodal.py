@@ -43,6 +43,8 @@ from .media_codecs import (
     gif_resize,
     jpeg_features,
     jpeg_resize,
+    mp3_probe,
+    mp4_probe,
     png_features,
     png_resize,
     sniff_format,
@@ -111,9 +113,13 @@ def probe_media_metadata(
     Arrow-batched probe: BMP/PNG/JPEG/GIF -> real width/height
     (+ format/media_type), WAV -> real duration_ms (+ format/
     media_type), AVI -> real width/height/duration from the container
-    headers alone (round 11 — media_type="video", no frame decode);
-    unsniffable payloads keep their existing metadata untouched. Same
-    schema in and out."""
+    headers alone (round 11 — media_type="video", no frame decode),
+    MP4 -> real width/height/duration from the ``moov`` box walk and
+    MP3 -> real duration from the MPEG frame-header scan (round 12 —
+    the dominant real-crawl formats get REAL metadata even though
+    their pixel/sample decode stays the labeled fake); unsniffable
+    payloads keep their existing metadata untouched. Same schema in
+    and out."""
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,6 +146,18 @@ def probe_media_metadata(
                             media_type="video", format="avi",
                             width=vw, height=vh,
                             duration_ms=(nf * 1000 // fps) if fps else None,
+                        )
+                    elif fmt == "mp4":  # round 12: moov box walk
+                        mw, mh, mdur = mp4_probe(payload)
+                        meta.update(
+                            media_type="video", format="mp4",
+                            width=mw, height=mh, duration_ms=mdur,
+                        )
+                    elif fmt == "mp3":  # round 12: frame-header scan
+                        hz, adur, _nf = mp3_probe(payload)
+                        meta.update(
+                            media_type="audio", format="mp3",
+                            duration_ms=adur,
                         )
                 except ValueError:
                     pass  # sniffed but undecodable: keep caller metadata
@@ -194,7 +212,14 @@ def decode_features_with_provenance(
     fake feature vectors are numerically indistinguishable, so the
     label is the only audit trail — downstream filters can drop or
     re-queue ``decoder = 'fake'`` rows once a real codec is plugged
-    in."""
+    in.
+
+    Round 12: MP4/MP3 payloads label ``"mp4-meta"``/``"mp3-meta"`` —
+    the feature vector is still the byte-stat fake (sample decode
+    needs codec libraries), but the format was positively identified
+    and ``probe_media_metadata`` fills REAL duration/dimensions for
+    it, so these rows are re-queueable by format, unlike anonymous
+    ``"fake"`` bytes."""
     fmt = sniff_format(payload)
     try:
         if fmt == "bmp":
@@ -209,6 +234,8 @@ def decode_features_with_provenance(
             return wav_features(payload, n_features), "wav"
         if fmt == "avi":
             return avi_features(payload, n_features), "avi"
+        if fmt in ("mp4", "mp3"):
+            return fake_decode_features(payload, n_features), fmt + "-meta"
     except ValueError:
         # sniffed but undecodable (truncated/arithmetic/hierarchical;
         # progressive decodes for real since round 11) -> labeled fake

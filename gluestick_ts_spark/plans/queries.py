@@ -2962,7 +2962,13 @@ def _mm_synth_payload(i: int) -> bytes:
     palette decode rides the driver query) and every 20th (i%20==13,
     inside the WAV quarter) an MJPEG AVI (round 11 — VIDEO: container
     demux + JPEG frame decode ride the driver query, width AND
-    duration both real). Pure function of ``i`` —
+    duration both real). Round 12 adds the two dominant real-crawl
+    formats as METADATA-probe slots: every 20th doc (i%20==6, PNG
+    quarter) a fixture MP4 whose moov walk yields REAL
+    width/height/duration, and every 20th (i%20==9, WAV quarter) a
+    fixture MP3 whose frame-header scan yields REAL duration — their
+    feature vectors stay the labeled fake ('mp4-meta'/'mp3-meta'
+    provenance), which the oracle checks too. Pure function of ``i`` —
     shared by the Spark-side mapInPandas synth AND the driver-side
     oracle expected-row builder, so the two can never drift."""
     import io
@@ -2974,9 +2980,23 @@ def _mm_synth_payload(i: int) -> bytes:
         bmp_encode,
         gif_encode,
         jpeg_encode,
+        mp3_encode_meta,
+        mp4_encode_meta,
         png_encode,
     )
 
+    if i % 20 == 6:
+        # MP4 slot (round 12 — rides the PNG quarter): metadata-true
+        # fixture; width/height/duration vary with i so the probe math
+        # is pinned across shapes, not one constant (modulus 3 is
+        # coprime to the slot lattice's 20 — i%5 would be constant)
+        return mp4_encode_meta(
+            160 + (i % 3) * 16, 90 + (i % 3) * 9, 1000 + i * 33
+        )
+    if i % 20 == 9:
+        # MP3 slot (round 12 — rides the WAV quarter): valid MPEG1
+        # Layer III silence frames; duration varies with i
+        return mp3_encode_meta(500 + (i % 7) * 130)
     if i % 20 == 10:
         # GIF slot (round 10 — rides the png quarter's i%4==2 position
         # every 20th doc): 6-color 8x8 pattern, lossless palette encode
@@ -4534,6 +4554,17 @@ def _mm_features_values() -> str:
             vw, _vh, nf, fps = avi_probe(payload)
             width = str(vw)
             duration = str(nf * 1000 // fps)
+        elif fmt == "mp4":  # round 12: moov walk — real dims + duration
+            from ..operators.media_codecs import mp4_probe
+
+            mw, _mh, md = mp4_probe(payload)
+            width = str(mw)
+            duration = str(md)
+        elif fmt == "mp3":  # round 12: frame-header scan — real duration
+            from ..operators.media_codecs import mp3_probe
+
+            _hz, md, _nf = mp3_probe(payload)
+            duration = str(md)
         else:
             with _wave.open(_io.BytesIO(payload), "rb") as wv:
                 duration = str(int(wv.getnframes() * 1000 / wv.getframerate()))

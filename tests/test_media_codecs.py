@@ -1029,3 +1029,125 @@ def test_gif_animation_frames_and_wav24():
         wv.setframerate(8000)
         wv.writeframes(struct.pack("<1500h", *[s >> 8 for s in samples]))
     assert wavhash_of_payload(p24) == wavhash_of_payload(buf16.getvalue())
+
+
+def test_mp4_probe_metadata_and_box_shapes():
+    """r12: real MP4 metadata from the moov walk — fixture round-trip,
+    version-1 mvhd (64-bit duration), largesize boxes, and the
+    ValueError contract for non-BMFF / moov-less / lying payloads."""
+    from gluestick_ts_spark.operators.media_codecs import (
+        mp4_encode_meta,
+        mp4_probe,
+        sniff_format,
+    )
+
+    p = mp4_encode_meta(1920, 1080, 90500)
+    assert sniff_format(p) == "mp4"
+    assert mp4_probe(p) == (1920, 1080, 90500)
+    # odd timescale: integer truncation is the documented contract
+    assert mp4_probe(mp4_encode_meta(640, 360, 12345, timescale=90000))[2] == 12345
+
+    def box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    # version-1 mvhd: 8-byte times, 64-bit duration
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + bytes(16) + (1000).to_bytes(4, "big")
+        + (75_000).to_bytes(8, "big") + bytes(80),
+    )
+    p1 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd_v1)
+    assert mp4_probe(p1) == (None, None, 75_000)
+    # largesize (size==1) top-level box is walked, not tripped over
+    moov = box(b"moov", mvhd_v1)
+    large_moov = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (len(moov) - 8 + 16).to_bytes(8, "big") + moov[8:]
+    )
+    assert mp4_probe(box(b"ftyp", b"isom" + bytes(8)) + large_moov)[2] == 75_000
+    # contract: ValueError, never IndexError/overrun
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mp4_probe(b"not a movie at all....")
+    with _pt.raises(ValueError):
+        mp4_probe(box(b"ftyp", b"isom" + bytes(8)))  # no moov
+    lying = bytearray(p)
+    lying[0:4] = (1 << 30).to_bytes(4, "big")  # ftyp size overruns file
+    with _pt.raises(ValueError):
+        mp4_probe(bytes(lying))
+
+
+def test_mp3_probe_frames_id3_vbr_and_errors():
+    """r12: real MP3 metadata from the frame-header scan — fixture
+    round-trip within one frame, ID3v2 skip (syncsafe size), VBR
+    duration as the per-frame sum, MPEG2 sample rates, junk
+    tolerance, and the ValueError contract."""
+    from gluestick_ts_spark.operators.media_codecs import (
+        mp3_encode_meta,
+        mp3_probe,
+        sniff_format,
+    )
+
+    p = mp3_encode_meta(30_000)
+    assert sniff_format(p) == "mp3"
+    hz, dur, frames = mp3_probe(p)
+    assert hz == 44100 and abs(dur - 30_000) <= 27
+    # ID3v2 prefix (syncsafe size) skips cleanly
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + bytes(133)
+    assert sniff_format(id3 + p) == "mp3"
+    assert mp3_probe(id3 + p) == (hz, dur, frames)
+    # VBR: mixed-bitrate frames sum per-frame samples (the Xing math)
+    vbr = mp3_encode_meta(1000, kbps=320) + mp3_encode_meta(1000, kbps=64)
+    hz2, dur2, _f2 = mp3_probe(vbr)
+    assert hz2 == 44100 and abs(dur2 - 2000) <= 54
+    # MPEG2 table: 16 kHz Layer III uses 576 samples/frame
+    # (build one frame by hand: version bits 10, layer III)
+    hdr = bytes((0xFF, 0xE0 | (2 << 3) | (1 << 1) | 1, (4 << 4) | (2 << 2), 0))
+    flen = 576 // 8 * 32 * 1000 // 16000  # 32 kbps @ 16 kHz
+    one = hdr + bytes(flen - 4)
+    assert mp3_probe(one * 10) == (16000, 10 * 576 * 1000 // 16000, 10)
+    # trailing junk (an ID3v1 tag) ends the stream, no error
+    assert mp3_probe(p + b"TAG" + bytes(125))[2] == frames
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mp3_probe(bytes(200_000))  # no frame within the resync cap
+
+
+def test_probe_media_metadata_mp4_mp3(spark):
+    """r12: the Arrow probe fills REAL metadata for the two dominant
+    crawl formats while their feature decode stays honestly labeled
+    ('mp4-meta'/'mp3-meta' — positively identified, metadata real,
+    vector fake)."""
+    from gluestick_ts_spark.operators.media_codecs import (
+        mp3_encode_meta,
+        mp4_encode_meta,
+    )
+    from gluestick_ts_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_media_features,
+        probe_media_metadata,
+    )
+
+    rows = [
+        (1, mp4_encode_meta(1280, 720, 42_000)),
+        (2, mp3_encode_meta(7_000)),
+        (3, b"\x00" * 64),  # unsniffable: metadata untouched
+    ]
+    df = attach_media_metadata(
+        spark.createDataFrame(rows, "id int, content binary"), "content"
+    )
+    probed = {r.id: r.media_meta for r in probe_media_metadata(df).collect()}
+    m4 = probed[1]
+    assert (m4["media_type"], m4["format"]) == ("video", "mp4")
+    assert (m4["width"], m4["height"], m4["duration_ms"]) == (1280, 720, 42_000)
+    m3 = probed[2]
+    assert (m3["media_type"], m3["format"]) == ("audio", "mp3")
+    assert abs(m3["duration_ms"] - 7_000) <= 27
+    assert probed[3]["width"] is None and probed[3]["format"] == "bin"
+    labels = {
+        r.id: r.decoder
+        for r in extract_media_features(df, "content").collect()
+    }
+    assert labels == {1: "mp4-meta", 2: "mp3-meta", 3: "fake"}

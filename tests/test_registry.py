@@ -40,6 +40,10 @@ def test_mm_synth_payload_deterministic_and_format_cycled():
             expect = "gif"  # the GIF slot rides the png quarter
         if i % 20 == 13:
             expect = "avi"  # round 11: the VIDEO slot rides the wav quarter
+        if i % 20 == 6:
+            expect = "mp4"  # round 12: metadata-probe slot, png quarter
+        if i % 20 == 9:
+            expect = "mp3"  # round 12: metadata-probe slot, wav quarter
         assert sniff_format(p1) == expect
 
 
