@@ -39,6 +39,19 @@ composition growth, ~1.2x on that one row). The r7/r8 rule stands:
 treat cross-round deltas under ~1.25x as noise unless a plan diff
 corroborates.
 
+ROUND-12 COMPOSITION CHANGES: ``text_stats``'s justext part is now
+LANGUAGE-ROUTED — one lang-ID pass per doc (argmax over 5 marker
+lists, staged once) + an in-row stoplist when-chain replace the fixed
+EN list, and every 50th doc's content is a planted de/fr/zh twin (the
+routed-gate planted positive); expect a modest justext-part increase
+(lang-ID ≈ the lang_scores query's per-doc cost) — attribute via
+``parts.text_stats.justext``. ``multimodal_features`` gained the
+``vtrim`` leg (20 planted head-trimmed video twins through the
+even-ordinal vhash + the banded join — a fourth parts entry) and two
+metadata-probe slots in the feat leg (MP4 moov walk, MP3 frame scan —
+header-only, negligible); expect movement on that row to attribute to
+``parts.multimodal_features.vtrim``.
+
 ROUND-12 ADDITION — WARC INGEST LEG: the declared actual-100 TB grain
 (crawl containers in, extracted text out) finally has a throughput
 number. ``warc_ingest`` in BENCH_FULL.json times ``read_warc(

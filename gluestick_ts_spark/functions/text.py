@@ -43,6 +43,9 @@ __all__ = [
     "main_text_expr",
     "block_classes_expr",
     "justext_sql",
+    "stopwords_for_lang_expr",
+    "stopwords_for_lang_sql",
+    "STOPWORDS_BY_LANG",
     "redact_pii_expr",
     "chunk_tokens",
     "hashed_tf_expr",
@@ -61,6 +64,38 @@ STOPWORDS_EN = (
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "this", "that",
 )
+
+# Per-language stoplists for the language-ROUTED jusText density gate
+# (round 12): the extractor's stopword-share floor measures "is this
+# prose", and prose in German has no English function words — an
+# EN-only list under-classifies every non-English document as `short`,
+# biasing curation against exactly the documents a multilingual
+# sampler upweights. Same 18-word scale as STOPWORDS_EN (real jusText
+# lists are ~10x larger — the documented undercount applies per
+# language); zh matches the corpus's pinyin-transliterated synth (the
+# LANG_MARKERS convention). Keys align with lang_id_expr's langs.
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS_EN,
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+        "mit", "von", "zu", "den", "dem", "im", "auf", "sich", "auch",
+        "aber",
+    ),
+    "fr": (
+        "le", "la", "les", "et", "est", "un", "une", "des", "que",
+        "pour", "dans", "qui", "sur", "pas", "plus", "par", "avec",
+        "son",
+    ),
+    "es": (
+        "el", "la", "los", "las", "y", "es", "un", "una", "que",
+        "por", "en", "no", "se", "del", "con", "para", "su", "al",
+    ),
+    "zh": (
+        "de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1",
+        "men5", "he2", "ye3", "zhe4", "na4", "ge4", "shang4", "li3",
+        "dou1", "hen3",
+    ),
+}
 
 # Per-language marker words for the n-gram/stopword language-ID
 # heuristic. Scores are overlap fractions; deterministic tie-break by
@@ -879,11 +914,59 @@ _JT_MIN_LEN = 80
 _JT_STOP_TENTHS = 3
 
 
+def stopwords_for_lang_expr(
+    lang: Column | str,
+    tables: "dict[str, tuple[str, ...]] | None" = None,
+    default: str = "en",
+) -> Column:
+    """``array<string>`` stoplist selected IN-ROW by a language column
+    (``lang_id_expr``'s output), falling back to ``default`` for
+    unmodeled languages and 'und' — the routing column the jusText
+    density gate takes so one block pass classifies a multilingual
+    corpus with the right function words per document. A 5-way
+    when-chain over literal arrays: constant-folded, codegen'd, zero
+    joins. Stage the RESULT as a named column below the block pass
+    (the SPARK-36718 staging every multi-referenced projection gets)
+    so it evaluates once per document, not once per word."""
+    tables = STOPWORDS_BY_LANG if tables is None else tables
+    lc = _col(lang)
+    out = F.array(*[F.lit(s) for s in tables[default]])
+    for code, words in tables.items():
+        if code == default:
+            continue
+        out = F.when(
+            lc == code, F.array(*[F.lit(s) for s in words])
+        ).otherwise(out)
+    return out
+
+
+def stopwords_for_lang_sql(
+    lang_sql: str,
+    tables: "dict[str, tuple[str, ...]] | None" = None,
+    default: str = "en",
+) -> str:
+    """DuckDB twin of :func:`stopwords_for_lang_expr`: a CASE over
+    list literals keyed by the language SQL fragment ``lang_sql`` —
+    GENERATED from the same tables, so the two engines route
+    identically."""
+    tables = STOPWORDS_BY_LANG if tables is None else tables
+
+    def lst(words: tuple[str, ...]) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    whens = " ".join(
+        f"WHEN ({lang_sql}) = '{code}' THEN {lst(words)}"
+        for code, words in tables.items()
+        if code != default
+    )
+    return f"(CASE {whens} ELSE {lst(tables[default])} END)"
+
+
 def main_text_expr(
     html: Column | str,
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
-    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    stopwords: "tuple[str, ...] | Column" = STOPWORDS_EN,
 ) -> Column:
     """Extracted MAIN content of an HTML document — jusText-style
     block classification (Pomikálek 2011, simplified), entirely in-row
@@ -908,7 +991,12 @@ def main_text_expr(
     Empty blocks (pure markup) are dropped before classification so
     adjacency means VISIBLE adjacency. Returns '' when nothing
     classifies good. The DuckDB twin ``justext_sql`` is generated from
-    the same constants."""
+    the same constants.
+
+    ``stopwords`` takes a tuple (one fixed list) OR a Column —
+    typically ``stopwords_for_lang_expr(lang_col)`` — so the density
+    gate routes per-document by language (round 12); either way the
+    block pass runs once."""
     st = _jt_blocks(html, stopwords, min_len, stop_tenths)
     fin = _jt_context(F.transform(st, lambda s: s["cls"]))
     kept = F.filter(
@@ -922,7 +1010,7 @@ def block_classes_expr(
     html: Column | str,
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
-    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    stopwords: "tuple[str, ...] | Column" = STOPWORDS_EN,
 ) -> Column:
     """The per-block verdicts behind :func:`main_text_expr`, joined
     ``','`` in document order ('' for a blockless/markup-only doc) —
@@ -939,7 +1027,7 @@ def block_classes_expr(
 
 def _jt_blocks(
     html: Column | str,
-    stopwords: tuple[str, ...],
+    stopwords: "tuple[str, ...] | Column",
     min_len: int,
     stop_tenths: int,
 ) -> Column:
@@ -948,8 +1036,15 @@ def _jt_blocks(
     when() chain short-circuits: the stopword scan (the expensive
     per-block work — split + 18-way membership per word) only runs
     for blocks that already cleared the link-density and length
-    gates; nav/footer/caption blocks never pay it."""
-    sw = F.array(*[F.lit(s) for s in stopwords])
+    gates; nav/footer/caption blocks never pay it. ``stopwords`` as
+    a Column (an array<string> expression, e.g. the lang-routed
+    selector) is used as-is — stage it as a named column below this
+    pass so it evaluates once per document."""
+    sw = (
+        stopwords
+        if isinstance(stopwords, Column)
+        else F.array(*[F.lit(s) for s in stopwords])
+    )
 
     def mk(b: Column) -> Column:
         txt = strip_html_expr(b)
@@ -1011,7 +1106,7 @@ def justext_sql(
     html_sql: str,
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
-    stopwords: tuple[str, ...] = STOPWORDS_EN,
+    stopwords: "tuple[str, ...] | str" = STOPWORDS_EN,
 ) -> dict[str, str]:
     """DuckDB scalar restatements of :func:`main_text_expr` /
     :func:`block_classes_expr`, GENERATED from the same block-split /
@@ -1020,8 +1115,17 @@ def justext_sql(
     ``main_text`` and ``block_classes`` over the HTML-string SQL
     expression ``html_sql``. Index math uses DuckDB's NULL-on-
     out-of-range list indexing where Spark needs try_element_at —
-    same values, dialect-local safety."""
-    sw = "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
+    same values, dialect-local safety.
+
+    ``stopwords`` as a STRING is used verbatim as the DuckDB list
+    expression — pass ``stopwords_for_lang_sql(...)`` for the
+    lang-routed gate (round 12); a tuple compiles to one literal
+    list."""
+    sw = (
+        stopwords
+        if isinstance(stopwords, str)
+        else "[" + ", ".join(f"'{w}'" for w in stopwords) + "]"
+    )
     anchor = _JT_ANCHOR.replace("'", "''")
     split = _JT_BLOCK_SPLIT.replace("'", "''")
     invis = _JT_INVISIBLE.replace("'", "''")

@@ -44,6 +44,7 @@ from ..functions.text import (
     redact_pii_expr,
     repetition_profile_sql,
     shingles_expr,
+    stopwords_for_lang_sql,
     tokens_expr,
     winnow_fingerprints_expr,
     winnow_fps_sql,
@@ -1329,6 +1330,71 @@ _JT_HTML_POST = (
     '<div>(c) 2026 <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'
 )
 
+# round 12: planted NON-ENGLISH docs for the language-ROUTED jusText
+# gate. The sf corpus is EN word-soup only, so multilingual routing
+# would be vacuously EN-only; these deterministic twins replace the
+# CONTENT text of every 50th doc (pure function of doc_id — base prose
+# + the doc_id as suffix, mirrored verbatim in the oracle SQL) with
+# prose in a modeled language whose ROUTED stop-density clears the
+# stop_tenths=1 gate while the EN list scores it 0.0 — i.e. each
+# planted doc's content block flips short -> good ONLY because routing
+# picked the right stoplist: the count-visible planted positive the
+# generated-oracle discipline requires (10 docs per language at
+# sf0.01, visible in the jt_lang histogram).
+_JT_LANG_TEXTS: dict[int, tuple[str, str]] = {
+    7: ("de", "der schnelle braune fuchs springt mit dem faulen hund "
+        "und die katze bleibt nicht weg sondern ist mit dem hund "
+        "zusammen bei dem haus von der familie zu hause nummer "),
+    19: ("fr", "le renard brun rapide saute par dessus le chien "
+         "paresseux et le chat reste dans la maison avec les enfants "
+         "qui jouent pour une heure et est heureux dans le jardin "
+         "avec le chien "),
+    31: ("zh", "wo3 men5 de5 pengyou shi4 bu4 zai4 jia li3 ta1 men5 "
+         "you3 le5 hen3 duo shi4 qing he2 wo3 men5 yi qi zhe4 ge4 "
+         "shang4 wu qu kan na4 ge4 ren "),
+}
+
+
+def _jt_text_expr() -> "F.Column":
+    """The jusText input text column: the doc's own text, except the
+    planted-language slots (``_JT_LANG_TEXTS``)."""
+    out = F.col("text")
+    for mod, (_code, base) in _JT_LANG_TEXTS.items():
+        out = F.when(
+            F.col("doc_id") % 50 == mod,
+            F.concat(F.lit(base), F.col("doc_id").cast("string")),
+        ).otherwise(out)
+    return out
+
+
+def _jt_text_sql() -> str:
+    """DuckDB twin of :func:`_jt_text_expr` (same literals)."""
+    whens = " ".join(
+        f"WHEN doc_id % 50 = {mod} THEN concat('{base}', CAST(doc_id AS VARCHAR))"
+        for mod, (_code, base) in _JT_LANG_TEXTS.items()
+    )
+    return f"(CASE {whens} ELSE text END)"
+
+
+def _jt_lang_sql(text_sql: str = "JT") -> str:
+    """DuckDB restatement of lang_id_expr over ``text_sql`` — argmax
+    marker score, ties to the earliest declared language (the FIRST
+    matching WHEN), 'und' at zero (the lang_scores oracle pattern)."""
+    toks = f"regexp_split_to_array(lower(trim({text_sql})), '\\s+')"
+
+    def score(lang: str) -> str:
+        return (
+            f"(CAST(len(list_filter({toks}, t -> list_contains("
+            f"{_marker_list(lang)}, t))) AS DOUBLE)"
+            f" / CAST(greatest(len({toks}), 1) AS DOUBLE))"
+        )
+
+    greatest = "greatest(" + ", ".join(score(l) for l in LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN {score(lang)} = {greatest} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"(CASE WHEN {greatest} = 0 THEN 'und' {whens} END)"
+
 
 def q_text_stats(spark, sf, parts=("stats", "justext")):
     """Quality scoring + token counting over documents plus the
@@ -1350,30 +1416,48 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
     per column (the naive single-select form re-derived the token
     array ~20x per row). Values are identical to the
     functions/text.py expressions the oracle mirrors."""
-    from ..functions.text import _jt_blocks, _jt_context
+    from ..functions.text import (
+        _jt_blocks,
+        _jt_context,
+        lang_id_sql,
+        stopwords_for_lang_expr,
+    )
 
     parts = set(parts)
     d = _t(spark, sf, "documents")
     if parts == {"justext"}:
         # marginal builder (bench attribution): ONLY the jusText
-        # columns over the base scan
+        # columns over the base scan — same lang-routed staging as the
+        # full path (round 12)
+        lv = d.select("doc_id", _jt_text_expr().alias("__jt_text"))
+        lv = lv.select(
+            "doc_id", "__jt_text",
+            F.expr(lang_id_sql("__jt_text")).alias("__jt_lang"),
+        )
+        lv = lv.select(
+            "doc_id", "__jt_text", "__jt_lang",
+            stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw"),
+        )
         st = _jt_blocks(
-            F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)),
-            STOPWORDS_EN,
+            F.concat(F.lit(_JT_HTML_PRE), F.col("__jt_text"), F.lit(_JT_HTML_POST)),
+            F.col("__jt_sw"),
             80,
             1,
         )
-        lv = d.select("doc_id", st.alias("__jt_st"))
+        lv = lv.select("doc_id", "__jt_lang", st.alias("__jt_st"))
         lv = lv.select(
             "doc_id",
+            "__jt_lang",
             "__jt_st",
             F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
         )
         lv = lv.select(
-            "doc_id", "__jt_st", _jt_context(F.col("__jt_cls")).alias("__jt_fin")
+            "doc_id", "__jt_lang", "__jt_st",
+            _jt_context(F.col("__jt_cls")).alias("__jt_fin"),
         )
         return lv.select(
             "doc_id",
+            F.col("__jt_lang").alias("jt_lang"),
             F.array_join(
                 F.filter(
                     F.zip_with(
@@ -1388,14 +1472,25 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
         )
     jt = "justext" in parts
+    if jt:
+        # round 12: language-ROUTED stoplist staging — the planted-text
+        # twin, its predicted language, and the routed stoplist array
+        # are each projected ONCE in lower selects (lang runs per doc,
+        # never per word; the SPARK-36718 staging rationale)
+        d = d.select("doc_id", "text", _jt_text_expr().alias("__jt_text"))
+        d = d.select("*", F.expr(lang_id_sql("__jt_text")).alias("__jt_lang"))
+        d = d.select(
+            "*", stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw")
+        )
     lvl1 = d.select(
         "doc_id",
         "text",
+        *(["__jt_lang"] if jt else []),
         F.expr("split(lower(trim(text)), '\\\\s+')").alias("__toks"),
         # jusText block structs projected ONCE (strip chain + anchor
         # extract + stopword filter are the expensive part — the
         # same SPARK-36718 staging the token array rides).
-        # stop_tenths=1: the 18-word engine stopword list scores this
+        # stop_tenths=1: the 18-word engine stopword lists score this
         # synthetic corpus ~6% (real jusText lists are ~10x larger), so
         # the tunable density floor drops to 10% to exercise BOTH
         # classes + the inheritance pass on this data
@@ -1403,9 +1498,11 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             [
                 _jt_blocks(
                     F.concat(
-                        F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST)
+                        F.lit(_JT_HTML_PRE),
+                        F.col("__jt_text"),
+                        F.lit(_JT_HTML_POST),
                     ),
-                    STOPWORDS_EN,
+                    F.col("__jt_sw"),
                     80,
                     1,
                 ).alias("__jt_st")
@@ -1426,7 +1523,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "doc_id",
         "text",
         "__toks",
-        *(["__jt_st"] if jt else []),
+        *(["__jt_st", "__jt_lang"] if jt else []),
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
         *(
@@ -1445,7 +1542,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "__toks",
         "__grams",
         "__lines",
-        *(["__jt_st"] if jt else []),
+        *(["__jt_st", "__jt_lang"] if jt else []),
         *([_jt_context(F.col("__jt_cls")).alias("__jt_fin")] if jt else []),
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
@@ -1501,9 +1598,12 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         # round 11: jusText main-content extraction over the staged
         # arrays — value-identical to main_text_expr/block_classes_expr
         # (tests/test_text.py pins the staged == single-expression
-        # equality), structs and classes computed once per doc
+        # equality), structs and classes computed once per doc;
+        # round 12: jt_lang exposes the routing verdict so the planted
+        # non-EN positives are count-visible in the driver output
         *(
             [
+                F.col("__jt_lang").alias("jt_lang"),
                 F.array_join(
                     F.filter(
                         F.zip_with(
@@ -3151,41 +3251,70 @@ def _vdup_synth_payload(i: int) -> bytes:
     adjacent cells forced distinct (the _phash_synth_payload tie-free
     pattern), pure function of ``i`` — shared by the Spark synth and
     the oracle expected-hash builder."""
-    import hashlib
-
     from ..operators.media_codecs import avi_encode
 
     g, c = i % 10, i // 10
-
-    def frame(gg: int, k: int):
-        vals = []
-        for y in range(8):
-            row = []
-            prev = None
-            for x in range(8):
-                ch = (
-                    int(
-                        hashlib.md5(f"v{gg}:{k}:{y}:{x}".encode()).hexdigest(),
-                        16,
-                    )
-                    % 4
-                )
-                if ch == prev:
-                    ch = (ch + 1) % 4
-                prev = ch
-                row.append(20 + 75 * ch)
-            vals.append(row)
-        return [(vals[y][x],) * 3 for y in range(8) for x in range(8)]
-
-    frames = [frame(g, k) for k in range(4)]
+    frames = [_vdup_frame(g, k) for k in range(4)]
     if c == 1:
         return avi_encode(8, 8, frames, fps=25)
     if c == 2:
-        frames[2] = frame(g + 100, 0)
+        frames[2] = _vdup_frame(g + 100, 0)
     return avi_encode(8, 8, frames, fps=8)
 
 
-def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup")):
+def _vdup_frame(gg: int, k: int):
+    """The vdup fixtures' shared frame builder: an md5-seeded 4-level
+    luma grid with horizontally-adjacent cells forced distinct (the
+    _phash_synth_payload tie-free pattern)."""
+    import hashlib
+
+    vals = []
+    for y in range(8):
+        row = []
+        prev = None
+        for x in range(8):
+            ch = (
+                int(
+                    hashlib.md5(f"v{gg}:{k}:{y}:{x}".encode()).hexdigest(),
+                    16,
+                )
+                % 4
+            )
+            if ch == prev:
+                ch = (ch + 1) % 4
+            prev = ch
+            row.append(20 + 75 * ch)
+        vals.append(row)
+    return [(vals[y][x],) * 3 for y in range(8) for x in range(8)]
+
+
+def _vtrim_synth_payload(i: int) -> bytes:
+    """Deterministic MJPEG-AVI for the TRIM-robust video near-dup leg
+    (round 12 — makes ``vhash_of_payload(sample="even")`` driver-
+    visible): group ``g = i % 10``, copy ``c = i // 10`` (2 copies per
+    group among doc_ids < 20). c=0 is an 8-frame video opening on
+    THREE identical title-card frames before five identical content
+    frames; c=1 is the HEAD-TRIMMED re-upload (title cards cut — the
+    classic clip re-post). The even-ordinal sampler picks frames
+    spread over the stream, so its 5 picks majority-vote to the
+    CONTENT hash on both copies — hamming 0 per group (measured) —
+    while the first-k sampler sees [T,T,T,X,X] on the base and hashes
+    the TITLE CARD: first-mode distances measured 17..38 across
+    groups, always past max_hamming=8 (pinned in pytest), so every
+    pair this leg emits exists ONLY because of the even-ordinal mode.
+    Cross-group even-mode distances measured >= 21. Pure function of
+    ``i`` — shared by the Spark synth and the oracle expected-hash
+    builder."""
+    from ..operators.media_codecs import avi_encode
+
+    g, c = i % 10, i // 10
+    title = _vdup_frame(g + 200, 0)
+    content = _vdup_frame(g, 0)
+    frames = [content] * 5 if c else [title] * 3 + [content] * 5
+    return avi_encode(8, 8, frames, fps=8)
+
+
+def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup", "vtrim")):
     """Multimodal pipeline over REAL codecs, as ONE tagged union
     (registry-folding pattern).
 
@@ -3360,6 +3489,48 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup")):
         vpairs = hamming_neardup_pairs(vh, "doc_id", "vhash", max_hamming=8)
         legs.append(vpairs.select(
             F.lit("vdup").alias("part"),
+            F.col("id_a").alias("doc_id"),
+            _null("string").alias("fmt"),
+            _null("int").alias("width"),
+            _null("long").alias("duration_ms"),
+            _null("long").alias("size_bytes"),
+            _null("string").alias("decoder"),
+            _null("double").alias("f0"),
+            _null("double").alias("f1"),
+            _null("long").alias("dhash"),
+            _null("long").alias("ahash"),
+            _null("long").alias("wavhash"),
+            _null("long").alias("rothash"),
+            _null("long").alias("vhash"),
+            _null("long").alias("spechash"),
+            F.col("id_b").alias("pair_id"),
+            "hamming",
+        ))
+    if "vtrim" in parts:
+        # round 12: the TRIM-robust twin of vdup — same banded join,
+        # but hashes from the even-ordinal sampler, over fixtures whose
+        # pairs exist ONLY under that mode (head-trimmed re-uploads;
+        # see _vtrim_synth_payload)
+        vt = _t(spark, sf, "documents").where(F.col("doc_id") < 20).select("doc_id")
+
+        def _vtsynth(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [
+                    _vtrim_synth_payload(int(did)) for did in pdf["doc_id"]
+                ]
+                yield pdf
+
+        tvids = vt.mapInPandas(_vtsynth, schema="doc_id long, content binary")
+        from ..operators.imagehash import media_hashes
+
+        tvh = media_hashes(
+            tvids,
+            columns={"vhash": lambda p: vhash_of_payload(p, sample="even")},
+        ).select("doc_id", F.col("vhash"))
+        tpairs = hamming_neardup_pairs(tvh, "doc_id", "vhash", max_hamming=8)
+        legs.append(tpairs.select(
+            F.lit("vtrim").alias("part"),
             F.col("id_a").alias("doc_id"),
             _null("string").alias("fmt"),
             _null("int").alias("width"),
@@ -4023,7 +4194,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
                 )
             )
         )(p)
-        for p in ("feat", "phash", "vdup")
+        for p in ("feat", "phash", "vdup", "vtrim")
     },
     "hash_split_documents": {
         # mode-restricted builders (the ann_ivf precedent): the dsir
@@ -4599,6 +4770,17 @@ def _mm_vdup_values() -> str:
     )
 
 
+def _mm_vtrim_values() -> str:
+    # round 12: even-ordinal sampler hashes — the Spark leg computes
+    # the SAME vhash_of_payload(sample="even") worker-side
+    from ..operators.imagehash import vhash_of_payload
+
+    return ", ".join(
+        f"({i}, {vhash_of_payload(_vtrim_synth_payload(i), sample='even')})"
+        for i in range(20)
+    )
+
+
 def _mm_phash_values() -> str:
     from ..operators.imagehash import dhash_of_payload
 
@@ -4612,6 +4794,7 @@ _MM_FEATURES_ORACLE = (
     "AS (VALUES " + _mm_features_values() + "), "
     "pexp(doc_id, h) AS (VALUES " + _mm_phash_values() + "), "
     "vexp(doc_id, h) AS (VALUES " + _mm_vdup_values() + "), "
+    "vtexp(doc_id, h) AS (VALUES " + _mm_vtrim_values() + "), "
     "feat AS (SELECT 'feat' AS part, e.doc_id, e.fmt, "
     "CAST(e.width AS INTEGER) AS width, "
     "CAST(e.duration_ms AS BIGINT) AS duration_ms, "
@@ -4653,8 +4836,26 @@ _MM_FEATURES_ORACLE = (
     "CAST(NULL AS BIGINT) AS rothash, "
     "CAST(NULL AS BIGINT) AS vhash, CAST(NULL AS BIGINT) AS spechash, "
     "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
-    "FROM vp WHERE ham <= 8) "
-    "SELECT * FROM feat UNION ALL SELECT * FROM ph UNION ALL SELECT * FROM vh"
+    "FROM vp WHERE ham <= 8), "
+    # trim-robust video pairs brute force over the EVEN-ordinal vhash
+    # literals (vtrim leg, round 12)
+    "vtp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "bit_count(xor(CAST(a.h AS BIGINT), CAST(b.h AS BIGINT))) AS ham "
+    "FROM vtexp a JOIN vtexp b ON a.doc_id < b.doc_id "
+    "JOIN documents da ON da.doc_id = a.doc_id "
+    "JOIN documents db ON db.doc_id = b.doc_id), "
+    "vth AS (SELECT 'vtrim' AS part, id_a AS doc_id, "
+    "CAST(NULL AS VARCHAR) AS fmt, CAST(NULL AS INTEGER) AS width, "
+    "CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS BIGINT) AS size_bytes, "
+    "CAST(NULL AS VARCHAR) AS decoder, CAST(NULL AS DOUBLE) AS f0, "
+    "CAST(NULL AS DOUBLE) AS f1, CAST(NULL AS BIGINT) AS dhash, "
+    "CAST(NULL AS BIGINT) AS ahash, CAST(NULL AS BIGINT) AS wavhash, "
+    "CAST(NULL AS BIGINT) AS rothash, "
+    "CAST(NULL AS BIGINT) AS vhash, CAST(NULL AS BIGINT) AS spechash, "
+    "CAST(id_b AS BIGINT) AS pair_id, CAST(ham AS BIGINT) AS hamming "
+    "FROM vtp WHERE ham <= 8) "
+    "SELECT * FROM feat UNION ALL SELECT * FROM ph UNION ALL "
+    "SELECT * FROM vh UNION ALL SELECT * FROM vth"
 )
 
 # multimodal_frame_pipeline oracle: with unsniffable payloads the fake
@@ -5527,20 +5728,30 @@ ORACLES: dict[str, str] = {
         "/ CAST(greatest(length(text), 1) AS DOUBLE) END, 6) "
         "AS top2gram_char_frac, "
         # round 11: jusText columns GENERATED from the same constants
-        # the Spark expression compiles from
+        # the Spark expression compiles from; round 12: the planted-
+        # text twin (JT), its predicted language (JLANG), and the
+        # lang-ROUTED stoplist CASE are generated from the SAME tables
+        # (_JT_LANG_TEXTS / LANG_MARKERS / STOPWORDS_BY_LANG)
+        "JLANG AS jt_lang, "
         + justext_sql(
-            f"concat('{_JT_HTML_PRE}', text, '{_JT_HTML_POST}')", stop_tenths=1
+            f"concat('{_JT_HTML_PRE}', JT, '{_JT_HTML_POST}')",
+            stop_tenths=1,
+            stopwords=stopwords_for_lang_sql("JLANG"),
         )["main_text"]
         + " AS main_text, "
         + justext_sql(
-            f"concat('{_JT_HTML_PRE}', text, '{_JT_HTML_POST}')", stop_tenths=1
+            f"concat('{_JT_HTML_PRE}', JT, '{_JT_HTML_POST}')",
+            stop_tenths=1,
+            stopwords=stopwords_for_lang_sql("JLANG"),
         )["block_classes"]
         + " AS block_classes "
         "FROM (SELECT *, string_split(text, chr(10)) AS L, "
         f"CASE WHEN len({_TOKS}) >= 2 THEN "
         f"[array_to_string(({_TOKS})[i:i+1], ' ') "
         f"for i in range(1, len({_TOKS}))] "
-        "ELSE [] END AS G2 FROM documents) t"
+        "ELSE [] END AS G2, "
+        + _jt_lang_sql("JT") + " AS JLANG FROM "
+        "(SELECT *, " + _jt_text_sql() + " AS JT FROM documents) t0) t"
     ),
     "lang_scores": (
         "SELECT doc_id, "

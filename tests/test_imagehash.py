@@ -777,3 +777,35 @@ def test_avi_frames_at_positional_sampler():
         avi_frames_at(payload, [])
     with pytest.raises(ValueError, match="indices"):
         avi_frames_at(payload, [-1, 2])
+
+
+def test_vtrim_fixtures_pair_only_under_even_sampling():
+    """r12: the vtrim leg's planted head-trimmed re-uploads pair at
+    hamming 0 under the even-ordinal sampler and sit far past the
+    max_hamming=8 gate under the first-k sampler — every driver-visible
+    vtrim pair exists ONLY because of sample='even' (the trim-robust
+    mode the SURVEY advertises)."""
+    from gluestick_ts_spark.operators.imagehash import vhash_of_payload
+    from gluestick_ts_spark.plans.queries import _vtrim_synth_payload
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    evens = []
+    for g in range(10):
+        base = _vtrim_synth_payload(g)
+        trim = _vtrim_synth_payload(g + 10)
+        e = ham(
+            vhash_of_payload(base, sample="even"),
+            vhash_of_payload(trim, sample="even"),
+        )
+        f = ham(vhash_of_payload(base), vhash_of_payload(trim))
+        assert e == 0, (g, e)
+        assert f > 8, (g, f)  # first-mode NEVER pairs these
+        evens.append(vhash_of_payload(base, sample="even"))
+    # cross-group even-mode distances stay far from the gate
+    assert min(
+        ham(evens[a], evens[b])
+        for a in range(10)
+        for b in range(a + 1, 10)
+    ) > 8

@@ -705,3 +705,99 @@ def test_budget_columns_never_single_partition(spark, sf_dir):
     )
     naive_plan = naive._jdf.queryExecution().explainString(mode)
     assert "SinglePartition" in naive_plan  # the gate catches the naive plan
+
+
+def test_robots_verdict_broadcasts_rules_and_never_shuffles_corpus(
+    spark, sf_dir
+):
+    """robots_filter's DataFrame mode (r11; centrally gated r12): the
+    compiled rules relation BROADCASTS and the corpus joins it 1:1 —
+    one BroadcastHashJoin, zero corpus-side exchanges (the only hash
+    exchange is the rules-side dropDuplicates on `domain`, which is
+    domain-count-sized), and Python appears ONLY at the rules-compile
+    Arrow boundary, never on the corpus side."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.weburl import robots_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", "User-agent: *\nDisallow: /p/1") for i in range(3)],
+        "domain string, robots_text string",
+    )
+    out = robots_filter(docs, robots, "url")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # every key-partitioned exchange is the rules side (domain key);
+    # none may carry the corpus text or url
+    keyed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+    assert len(keyed) <= 1, keyed
+    assert all("domain" in a for a in keyed), keyed
+    assert all("text" not in a and "url" not in a for a in keyed), keyed
+    # one Arrow stage: the rules compile; the corpus never runs Python
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_band_joins_never_cross_join(spark, sf_dir):
+    """multimodal_features' vdup AND vtrim legs (r11/r12): the banded
+    Hamming join over 64-bit video hashes must stay an EQUI-join —
+    never a CartesianProduct over clips — and no exchange may carry
+    the video payload bytes; Python appears only at the synth+hash
+    Arrow boundaries (the phash gate, extended to the video legs)."""
+    from gluestick_ts_spark.operators.imagehash import (
+        hamming_join,
+        media_hashes,
+        vhash_of_payload,
+    )
+    from gluestick_ts_spark.plans.queries import (
+        _vdup_synth_payload,
+        _vtrim_synth_payload,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for n, synth, hash_fn in (
+        (30, _vdup_synth_payload, vhash_of_payload),
+        (20, _vtrim_synth_payload,
+         lambda p: vhash_of_payload(p, sample="even")),
+    ):
+        base = spark.range(n).withColumnRenamed("id", "doc_id")
+
+        def _synth(batches, fn=synth):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["content"] = [fn(int(i)) for i in pdf["doc_id"]]
+                yield pdf
+
+        vids = base.mapInPandas(_synth, schema="doc_id long, content binary")
+        hashed = media_hashes(vids, columns={"vhash": hash_fn}).select(
+            "doc_id", "vhash"
+        )
+        pairs = hamming_join(hashed, hashed, id_col="doc_id",
+                             hash_col="vhash", max_hamming=8)
+        plan = pairs._jdf.queryExecution().explainString(mode)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), plan[:1200]
+        keyed = [a for a in _exchange_args(plan) if "hashpartitioning" in a]
+        assert all("content" not in a for a in keyed), keyed
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -669,16 +669,39 @@ def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
     )
     import pyspark.sql.functions as F
 
+    from gluestick_ts_spark.functions.text import (
+        lang_id_expr,
+        stopwords_for_lang_expr,
+    )
+    from gluestick_ts_spark.plans.queries import _jt_text_expr
+
     staged = (
         QUERIES["text_stats"](spark, sf_dir)
         .select("doc_id", "main_text", "block_classes")
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    html = F.concat(F.lit(_JT_HTML_PRE), F.col("text"), F.lit(_JT_HTML_POST))
-    direct = docs.select(
+    # r12: the direct form routes the stoplist exactly as the query —
+    # planted-text twin, lang-ID, routed selector. The lang/stoplist
+    # columns MUST be staged in lower selects (as the query stages
+    # them): inlining the lang-ID when-chain into main_text_expr's
+    # per-word lambda multiplies the expression tree past what
+    # Catalyst can compile in reasonable time
+    lv = docs.select("doc_id", _jt_text_expr().alias("__jt"))
+    lv = lv.select(
+        "doc_id", "__jt", lang_id_expr(F.col("__jt")).alias("__lang")
+    )
+    lv = lv.select(
+        "doc_id", "__jt", stopwords_for_lang_expr(F.col("__lang")).alias("__sw")
+    )
+    html = F.concat(F.lit(_JT_HTML_PRE), F.col("__jt"), F.lit(_JT_HTML_POST))
+    direct = lv.select(
         "doc_id",
-        main_text_expr(html, stop_tenths=1).alias("main_text"),
-        block_classes_expr(html, stop_tenths=1).alias("block_classes"),
+        main_text_expr(html, stop_tenths=1, stopwords=F.col("__sw")).alias(
+            "main_text"
+        ),
+        block_classes_expr(
+            html, stop_tenths=1, stopwords=F.col("__sw")
+        ).alias("block_classes"),
     )
     assert staged.exceptAll(direct).count() == 0
     assert direct.exceptAll(staged).count() == 0
@@ -751,3 +774,71 @@ def test_justext_engines_agree_property(spark):
     }
     mism = [i for i in got if got[i] != want[i]]
     assert not mism, [(cases[i], got[i], want[i]) for i in mism[:3]]
+
+
+def test_justext_lang_routed_stoplists(spark):
+    """r12: the jusText density gate routes its stoplist by language —
+    German/French/pinyin-zh prose flips short -> good ONLY under the
+    routed list (the EN list scores it 0), and the DuckDB twin
+    generated from the same tables agrees; EN and unmodeled docs keep
+    the EN fallback."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import (
+        STOPWORDS_BY_LANG,
+        STOPWORDS_EN,
+        block_classes_expr,
+        justext_sql,
+        lang_id_expr,
+        stopwords_for_lang_expr,
+        stopwords_for_lang_sql,
+    )
+
+    de = ("der schnelle braune fuchs springt mit dem faulen hund und die "
+          "katze bleibt nicht weg sondern ist mit dem hund zusammen bei "
+          "dem haus von der familie zu hause")
+    fr = ("le renard brun rapide saute par dessus le chien paresseux et "
+          "le chat reste dans la maison avec les enfants qui jouent pour "
+          "une heure et est heureux dans le jardin avec le chien")
+    en = ("the quick brown fox jumps over the lazy dog and it stays in "
+          "the house with the family for a while as the day goes by and "
+          "that is all of it")
+    rows = [(1, f"<p>{de}</p>"), (2, f"<p>{fr}</p>"), (3, f"<p>{en}</p>")]
+    df = spark.createDataFrame(rows, "id int, html string")
+    df = df.withColumn("lang", lang_id_expr(F.expr("regexp_replace(html, '<[^>]*>', ' ')")))
+    routed = df.select(
+        "id", "lang",
+        block_classes_expr(
+            "html", stop_tenths=1,
+            stopwords=stopwords_for_lang_expr(F.col("lang")),
+        ).alias("routed"),
+        block_classes_expr("html", stop_tenths=1).alias("en_only"),
+    ).collect()
+    got = {r.id: (r.lang, r.routed, r.en_only) for r in routed}
+    # the FLIP: non-EN prose is good routed, short under the EN list
+    assert got[1] == ("de", "good", "short")
+    assert got[2] == ("fr", "good", "short")
+    assert got[3] == ("en", "good", "good")  # EN unchanged either way
+
+    # the generated DuckDB twin routes identically
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{h}', '{l}')"
+            for (i, h), l in zip(rows, ["de", "fr", "en"])
+        )
+        + ") AS v(id, html, lang)"
+    )
+    frag = justext_sql(
+        "html", stop_tenths=1, stopwords=stopwords_for_lang_sql("lang")
+    )
+    duck = dict(
+        con.execute(f"SELECT id, {frag['block_classes']} FROM t").fetchall()
+    )
+    assert duck == {1: "good", 2: "good", 3: "good"}
+    # routing tables and the selector cover every modeled language
+    assert set(STOPWORDS_BY_LANG) == {"en", "de", "fr", "es", "zh"}
+    assert STOPWORDS_BY_LANG["en"] is STOPWORDS_EN

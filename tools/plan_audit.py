@@ -125,7 +125,28 @@ def main() -> None:
             note = (note + "; " if note else "") + "plan truncated at checkpoint"
         rows.append((name, "+".join(joins) or "-", shuffles, pushed,
                      widths or "-", topk, py or "", note))
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        tree = head + ("+working-changes" if dirty else "")
+    except Exception:  # noqa: BLE001 — provenance line must not kill the audit
+        tree = "unknown"
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)", "",
+           f"Audited tree: `{tree}` ({len(rows)} registry queries). A regen",
+           "that changes nothing below this line means the round's additions",
+           "introduced no new join strategy, shuffle, pushdown, scan-width,",
+           "or Python-boundary class — the audit's invariance IS the finding.",
+           "",
            f"Scale dir: `{sf_dir}`. Every registry query is audited.",
            "Shuffles = `Exchange` operators (broadcast exchanges excluded).",
            "Pushdown = scans with non-empty `PushedFilters`. Scan widths =",
