@@ -100,6 +100,17 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
     total copying linear in the container size regardless of member
     count. Raises ValueError on corrupt streams or a decompression
     bomb (hard ``_MAX_DECOMPRESS_BYTES`` output cap per member)."""
+    for _off, _length, blob in _gzip_member_slices(data):
+        yield blob
+
+
+def _gzip_member_slices(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Like :func:`_gzip_members` but yields ``(compressed_offset,
+    compressed_length, member_bytes)`` — the COMPRESSED extent of each
+    member in the container, which is exactly what a CDX index records
+    (``sources/cdx.py``): a ranged fetch seeks ``offset``, reads
+    ``length`` bytes, and gunzips one member without touching the rest
+    of the file."""
     mv = memoryview(data)
     n = len(data)
     pos = 0
@@ -122,8 +133,8 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         p -= len(d.unused_data)
         if p <= pos:  # defensive: no forward progress
             raise ValueError(f"gzip stream stalled at {pos}")
+        yield pos, p - pos, b"".join(out)
         pos = p
-        yield b"".join(out)
 
 
 def _hdr_end(buf: bytes, start: int) -> tuple[int, int]:
@@ -179,43 +190,59 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             chunks = iter([bytes(data)])
         member_off = 0
         for chunk in chunks:
-            pos = 0
-            while pos < len(chunk):
-                # skip inter-record blank lines (spec: 2 CRLF trailers)
-                while pos < len(chunk) and chunk[pos : pos + 1] in (b"\r", b"\n"):
-                    pos += 1
-                if pos >= len(chunk):
-                    break
-                if not chunk[pos : pos + 5] == b"WARC/":
-                    raise ValueError(f"bad record magic at offset {pos}")
-                hdr_end, sep = _hdr_end(chunk, pos)
-                if hdr_end < 0:
-                    raise ValueError(f"unterminated header block at {pos}")
-                first_nl = chunk.index(b"\n", pos)
-                headers = _split_headers(chunk[first_nl + 1 : hdr_end])
-                try:
-                    length = int(headers["content-length"])
-                except (KeyError, ValueError):
-                    raise ValueError(f"missing/bad Content-Length at {pos}")
-                if length < 0:
-                    raise ValueError(f"negative Content-Length at {pos}")
-                body_at = hdr_end + sep
-                if body_at + length > len(chunk):
-                    raise ValueError(f"record at {pos} overruns container")
-                yield {
-                    "offset": member_off + pos,
-                    "warc_type": headers.get("warc-type", ""),
-                    "url": headers.get("warc-target-uri"),
-                    "warc_date": headers.get("warc-date"),
-                    "record_id": headers.get("warc-record-id"),
-                    "content_type": headers.get("content-type"),
-                    "truncated": "warc-truncated" in headers,
-                    "body": chunk[body_at : body_at + length],
-                }
-                pos = body_at + length
+            for rec in _walk_chunk(chunk):
+                rec["offset"] = member_off + rec.pop("chunk_offset")
+                del rec["chunk_end"]
+                yield rec
             member_off += len(chunk)
     except ValueError as e:
         yield {"warc_type": "_error", "error": str(e)}
+
+
+def _walk_chunk(chunk: bytes) -> Iterator[dict]:
+    """Walk the WARC records of ONE decompressed chunk (a gzip member
+    or a plain container), yielding record dicts with CHUNK-RELATIVE
+    ``chunk_offset``/``chunk_end`` byte extents — the shared core of
+    :func:`parse_warc_records` and the CDX indexer
+    (``sources/cdx.py``), which needs in-chunk extents to make ranged
+    fetches land exactly on a record. Raises ValueError on corruption
+    (callers decide the labeled-``_error`` policy)."""
+    pos = 0
+    while pos < len(chunk):
+        # skip inter-record blank lines (spec: 2 CRLF trailers)
+        while pos < len(chunk) and chunk[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= len(chunk):
+            break
+        if not chunk[pos : pos + 5] == b"WARC/":
+            raise ValueError(f"bad record magic at offset {pos}")
+        hdr_end, sep = _hdr_end(chunk, pos)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated header block at {pos}")
+        first_nl = chunk.index(b"\n", pos)
+        headers = _split_headers(chunk[first_nl + 1 : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"missing/bad Content-Length at {pos}")
+        if length < 0:
+            raise ValueError(f"negative Content-Length at {pos}")
+        body_at = hdr_end + sep
+        if body_at + length > len(chunk):
+            raise ValueError(f"record at {pos} overruns container")
+        yield {
+            "chunk_offset": pos,
+            "chunk_end": body_at + length,
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "truncated": "warc-truncated" in headers,
+            "payload_digest": headers.get("warc-payload-digest"),
+            "body": chunk[body_at : body_at + length],
+        }
+        pos = body_at + length
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -526,6 +553,49 @@ def read_warc_stream(
     return good.unionByName(_oversized_error_rows(files, max_len))
 
 
+def _record_row(
+    fname,
+    offset,
+    rec: dict,
+    emit_text: bool,
+    emit_payload: bool,
+    max_payload_bytes: int,
+    max_text_chars: int | None,
+) -> tuple:
+    """One parsed record dict -> one ``WARC_SCHEMA`` row tuple — the
+    shared conversion behind ``read_warc`` / ``read_warc_stream`` and
+    the CDX ranged fetch (``sources/cdx.py``), so a record fetched by
+    index is byte-identical to the same record read by full scan."""
+    body = rec["body"]
+    status = None
+    http_ct = None
+    ctype = (rec["content_type"] or "").lower()
+    if ctype.startswith("application/http"):
+        status, hh, body = parse_http_response(body)
+        http_ct = hh.get("content-type")
+    else:
+        http_ct = rec["content_type"]
+    capped = len(body) > max_payload_bytes
+    if capped:
+        body = body[:max_payload_bytes]
+    text = http_text_of(body, http_ct, max_text_chars) if emit_text else None
+    return (
+        fname,
+        offset,
+        rec["warc_type"],
+        rec["url"],
+        rec["warc_date"],
+        rec["record_id"],
+        rec["content_type"],
+        status,
+        http_ct,
+        body if emit_payload else None,
+        text,
+        bool(rec["truncated"] or capped),
+        None,
+    )
+
+
 def _warc_mapper(
     record_types: tuple[str, ...],
     emit_text: bool,
@@ -563,38 +633,10 @@ def _warc_mapper(
                         continue
                     if rec["warc_type"].lower() not in want:
                         continue
-                    body = rec["body"]
-                    status = None
-                    http_ct = None
-                    ctype = (rec["content_type"] or "").lower()
-                    if ctype.startswith("application/http"):
-                        status, hh, body = parse_http_response(body)
-                        http_ct = hh.get("content-type")
-                    else:
-                        http_ct = rec["content_type"]
-                    capped = len(body) > max_payload_bytes
-                    if capped:
-                        body = body[:max_payload_bytes]
-                    text = (
-                        http_text_of(body, http_ct, max_text_chars)
-                        if emit_text
-                        else None
-                    )
                     rows.append(
-                        (
-                            fname,
-                            rec["offset"],
-                            rec["warc_type"],
-                            rec["url"],
-                            rec["warc_date"],
-                            rec["record_id"],
-                            rec["content_type"],
-                            status,
-                            http_ct,
-                            body if emit_payload else None,
-                            text,
-                            bool(rec["truncated"] or capped),
-                            None,
+                        _record_row(
+                            fname, rec["offset"], rec, emit_text,
+                            emit_payload, max_payload_bytes, max_text_chars,
                         )
                     )
                 if rows:

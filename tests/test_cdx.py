@@ -1,0 +1,328 @@
+"""CDX/CDXJ crawl-index source + ranged fetch (sources/cdx.py):
+SURT canonicalization (python/Column twins in lockstep + independent
+expected literals), index building over all three container layouts
+with fetchable byte extents, CDXJ/classic-CDX text round-trips
+(JVM-side plans), ranged fetch == full-scan equality, the labeled
+``_error`` contract on every failure mode, and the plan-shape gates
+(one task per container grain; no Python in the text index scans)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.sources.cdx import (
+    fetch_warc_records,
+    index_warc,
+    read_cdx,
+    read_cdxj,
+    surt,
+    surt_expr,
+    write_cdxj,
+)
+from gluestick_ts_spark.sources.warc import read_warc, warc_encode
+
+
+def _http(body: bytes, ct: str = "text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ct.encode()
+        + b"\r\nContent-Length: " + str(len(body)).encode()
+        + b"\r\n\r\n" + body
+    )
+
+
+def _capture(i: int, status: bytes = b"200 OK", ct: str = "text/html") -> dict:
+    body = f"<html>document {i} body text</html>".encode()
+    http = (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ct.encode()
+        + b"\r\n\r\n" + body
+    )
+    return {
+        "warc_type": "response",
+        "url": f"http://www.site{i % 3}.com/page/{i}?b=2&a=1",
+        "warc_date": f"2024-01-02T03:04:{i:02d}Z",
+        "content_type": "application/http; msgtype=response",
+        "body": http,
+    }
+
+
+@pytest.fixture(scope="module")
+def crawl_dir(tmp_path_factory):
+    """12 captures across the three container layouts: per-record gzip
+    (the seekable spec layout), plain, and whole-file gzip (the
+    non-seekable wild layout)."""
+    d = tmp_path_factory.mktemp("cdx_crawl")
+    recs = [_capture(i) for i in range(12)]
+    recs[5]["body"] = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+    )
+    (d / "a.warc.gz").write_bytes(warc_encode(recs[:4], per_record_gzip=True))
+    (d / "b.warc").write_bytes(warc_encode(recs[4:8], per_record_gzip=False))
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(warc_encode(recs[8:], per_record_gzip=False))
+    (d / "c.warc.gz").write_bytes(buf.getvalue())
+    return str(d)
+
+
+# ---------------------------------------------------------------- SURT
+
+# independent expected literals (IA SURT examples style), NOT derived
+# from either implementation — the lockstep test below would otherwise
+# pass on a shared bug
+SURT_CASES = [
+    ("http://www.Example.com/a?b=2&a=1", "com,example)/a?a=1&b=2"),
+    ("https://example.com:443/", "com,example)/"),
+    ("http://example.com:80/Path/X", "com,example)/path/x"),
+    ("http://sub.example.co.uk/p", "uk,co,example,sub)/p"),
+    ("http://user:pw@www2.foo.org/p#frag", "org,foo)/p"),
+    ("https://example.com", "com,example)/"),
+    ("http://example.com/?", "com,example)/"),
+    ("http://example.com/a?x&x&", "com,example)/a?x&x"),
+    ("HTTP://WWW.UPPER.NET/Q?Z=1", "net,upper)/q?z=1"),
+    ("no-scheme.com/x", "com,no-scheme)/x"),
+    ("http://example.com:8080/x", "com,example:8080)/x"),
+]
+
+
+def test_surt_expected_literals():
+    for url, want in SURT_CASES:
+        assert surt(url) == want, url
+
+
+def test_surt_expr_matches_python_twin(spark):
+    urls = [u for u, _ in SURT_CASES] + [
+        "http://a.b.c.d.example.com/deep/path/?q=3&q=1&q=2",
+        "ftp://files.example.org/pub",
+        "http://example.com/%7Euser",
+        "",
+        "   http://spaced.example.com/x   ",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
+    assert got == [surt(u) for u in urls]
+
+
+# ------------------------------------------------------------- indexing
+
+def test_index_warc_all_layouts(spark, crawl_dir):
+    idx = index_warc(spark, crawl_dir).cache()
+    rows = idx.collect()
+    assert len(rows) == 12
+    assert all(r.warc_type == "response" and r.error is None for r in rows)
+    assert all(r.urlkey == surt(r.url) for r in rows)
+    assert all(r.timestamp == f"202401020304{int(r.url.split('/')[-1].split('?')[0]):02d}" for r in rows)
+    assert all(r.mime == "text/html" for r in rows)
+    assert {r.status for r in rows} == {200, 404}
+    # extents by layout: per-record gzip has per-record offsets and
+    # rec_offset 0; whole-file gzip shares (0, filelen) and moves
+    # rec_offset; plain carries the record's own byte extent
+    per_rec = [r for r in rows if r.filename.endswith("a.warc.gz")]
+    assert sorted(r.rec_offset for r in per_rec) == [0, 0, 0, 0]
+    assert len({r.offset for r in per_rec}) == 4
+    whole = [r for r in rows if r.filename.endswith("c.warc.gz")]
+    assert {r.offset for r in whole} == {0}
+    assert len({r.rec_offset for r in whole}) == 4
+    assert len({r.length for r in whole}) == 1
+    plain = [r for r in rows if r.filename.endswith("b.warc")]
+    assert len({r.offset for r in plain}) == 4
+    assert all(r.rec_offset == 0 for r in plain)
+    # digests: 40-char base32 sha1 over the payload (headers excluded),
+    # distinct per distinct body
+    assert all(len(r.digest) == 32 and r.digest.isupper() for r in rows)
+    assert len({r.digest for r in rows}) == 12
+
+
+def test_index_extents_are_real_byte_ranges(spark, crawl_dir):
+    """Slicing the container file at (offset, length) yields bytes
+    that decode to a WARC record — the index is byte-accurate, not
+    bookkeeping."""
+    idx = index_warc(spark, crawl_dir).collect()
+    for r in idx:
+        path = r.filename.removeprefix("file:")
+        with open(path, "rb") as f:
+            f.seek(r.offset)
+            raw = f.read(r.length)
+        assert len(raw) == r.length
+        if raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+        assert raw[r.rec_offset : r.rec_offset + 5] == b"WARC/"
+
+
+def test_index_warc_stamped_digest_wins(spark, tmp_path):
+    """A crawler-stamped WARC-Payload-Digest header is taken verbatim
+    (scheme tag dropped) — indexing must not re-hash what the crawler
+    already hashed."""
+    raw = warc_encode([_capture(0)], per_record_gzip=False)
+    raw = raw.replace(
+        b"WARC-Type: response",
+        b"WARC-Type: response\r\n"
+        b"WARC-Payload-Digest: sha1:STAMPEDB32VALUE",
+        1,
+    )
+    (tmp_path / "d.warc").write_bytes(raw)
+    idx = index_warc(spark, str(tmp_path)).collect()
+    assert idx[0].digest == "STAMPEDB32VALUE"
+
+
+def test_index_warc_corrupt_container_labeled(spark, tmp_path):
+    good = warc_encode([_capture(0)], per_record_gzip=True)
+    (tmp_path / "good.warc.gz").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(good[: len(good) // 2])
+    idx = index_warc(spark, str(tmp_path))
+    errs = idx.where("warc_type = '_error'").collect()
+    assert len(errs) == 1 and "bad.warc.gz" in errs[0].filename
+    assert idx.where("warc_type = 'response'").count() == 1
+
+
+def test_index_warc_oversized_container_labeled(spark, tmp_path):
+    (tmp_path / "e.warc").write_bytes(warc_encode([_capture(0)], False))
+    spark.conf.set("spark.sql.sources.binaryFile.maxLength", "10")
+    try:
+        rows = index_warc(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.unset("spark.sql.sources.binaryFile.maxLength")
+    assert len(rows) == 1
+    assert rows[0].warc_type == "_error"
+    assert "ceiling" in rows[0].error
+
+
+# --------------------------------------------------- CDXJ / classic CDX
+
+def test_cdxj_round_trip_sorted(spark, crawl_dir, tmp_path):
+    idx = index_warc(spark, crawl_dir)
+    out = str(tmp_path / "cdxj")
+    write_cdxj(idx, out)
+    # written lines are globally sorted by (urlkey, timestamp): the
+    # part files hold disjoint ordered ranges, so part-ordered concat
+    # is fully sorted
+    import glob
+
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [ln.rstrip("\n") for ln in f]
+    keys = [(ln.split(" ", 2)[0], ln.split(" ", 2)[1]) for ln in lines]
+    assert keys == sorted(keys)
+    back = read_cdxj(spark, out)
+    cols = ["urlkey", "timestamp", "url", "mime", "status", "digest",
+            "length", "offset", "rec_offset", "filename", "warc_type"]
+    a = sorted(map(tuple, idx.where("urlkey is not null").select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+
+def test_read_cdxj_bad_line_labeled(spark, tmp_path):
+    p = tmp_path / "cdxj"
+    p.mkdir()
+    (p / "part-00000").write_text(
+        'com,ok)/ 20240101000000 {"url":"http://ok/","status":"200",'
+        '"length":"5","offset":"0","rec_offset":"0",'
+        '"filename":"f.warc.gz","mime":"text/html","digest":"D",'
+        '"warc_type":"response"}\n'
+        "garbage line without json\n"
+    )
+    rows = read_cdxj(spark, str(p)).collect()
+    good = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(good) == 1 and good[0].status == 200 and good[0].length == 5
+    assert len(bad) == 1 and "garbage" in bad[0].error
+    assert bad[0].urlkey is None
+
+
+def test_read_classic_cdx11(spark, tmp_path):
+    p = tmp_path / "cdx"
+    p.mkdir()
+    (p / "part-00000").write_text(
+        " CDX N b a m s k r M S V g\n"
+        "com,example)/ 20240102030405 http://example.com/ text/html 200 "
+        "ABCDEF - - 1234 5678 crawl-00.warc.gz\n"
+        "com,example)/x 20240102030406 http://example.com/x - - - - - "
+        "99 0 crawl-00.warc.gz\n"
+    )
+    rows = read_cdx(spark, str(p)).orderBy("urlkey").collect()
+    assert len(rows) == 2
+    r = rows[0]
+    assert (r.urlkey, r.timestamp, r.status, r.digest, r.length, r.offset,
+            r.filename) == ("com,example)/", "20240102030405", 200, "ABCDEF",
+                            1234, 5678, "crawl-00.warc.gz")
+    assert rows[1].mime is None and rows[1].status is None
+    assert all(r.rec_offset == 0 and r.error is None for r in rows)
+
+
+# -------------------------------------------------------- ranged fetch
+
+def test_fetch_equals_full_scan_all_layouts(spark, crawl_dir, tmp_path):
+    """The headline contract: index -> filter -> fetch returns rows
+    identical to the full scan's for the same records, across every
+    layout (per-record gzip / plain / whole-file gzip)."""
+    idx = index_warc(spark, crawl_dir)
+    out = str(tmp_path / "cdxj")
+    write_cdxj(idx, out)
+    sel = read_cdxj(spark, out).where("urlkey like 'com,site1%'")
+    urls = [r.url for r in sel.collect()]
+    assert len(urls) == 4  # one per layout at least
+    fetched = fetch_warc_records(spark, sel)
+    full = read_warc(spark, crawl_dir).where(F.col("url").isin(urls))
+    key = lambda r: (  # noqa: E731 — record_offset intentionally excluded
+        r.url, r.warc_date, r.http_status, r.http_content_type, r.text,
+        bytes(r.payload), r.truncated,
+    )
+    assert sorted(map(key, fetched.collect())) == sorted(
+        map(key, full.collect())
+    )
+    assert fetched.where("error is not null").count() == 0
+
+
+def test_fetch_text_only_projection(spark, crawl_dir):
+    idx = index_warc(spark, crawl_dir).where("status = 200")
+    rows = fetch_warc_records(spark, idx, emit_payload=False).collect()
+    assert all(r.payload is None for r in rows)
+    assert all("body text" in r.text for r in rows)
+
+
+def test_fetch_error_rows_not_task_deaths(spark, crawl_dir):
+    entries = spark.createDataFrame(
+        [
+            (f"file:{crawl_dir}/a.warc.gz", 999_999, 64, 0),  # past EOF
+            (f"{crawl_dir}/missing.warc.gz", 0, 64, 0),  # no such file
+            (f"{crawl_dir}/b.warc", 3, 64, 0),  # mid-record garbage
+        ],
+        "filename string, offset long, length long, rec_offset long",
+    )
+    rows = fetch_warc_records(spark, entries).collect()
+    assert len(rows) == 3
+    assert all(r.warc_type == "_error" and r.error for r in rows)
+
+
+def test_fetch_plan_shape(spark, crawl_dir):
+    """One exchange (the by-filename repartition) then the Arrow
+    mapper — selected extents are the only bytes that move, and the
+    fetch never touches the binaryFile source."""
+    idx = index_warc(spark, crawl_dir).where("status = 200")
+    plan = fetch_warc_records(
+        spark, idx.select("filename", "offset", "length", "rec_offset")
+        .localCheckpoint()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "binaryFile" not in plan
+
+
+def test_cdxj_scan_plan_is_jvm_side(spark, crawl_dir, tmp_path):
+    """The index text scans stay Python-free: filtering a crawl by
+    CDX must not pay an Arrow boundary."""
+    out = str(tmp_path / "cdxj")
+    write_cdxj(index_warc(spark, crawl_dir), out)
+    plan = (
+        read_cdxj(spark, out)
+        .where("status = 200")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
