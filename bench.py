@@ -52,6 +52,15 @@ metadata-probe slots in the feat leg (MP4 moov walk, MP3 frame scan —
 header-only, negligible); expect movement on that row to attribute to
 ``parts.multimodal_features.vtrim``.
 
+ROUND-12 COMPOSITION CHANGE — lang_scores: the row now TRAINS the
+quality classifier at query construction (operators/classifier.py — 4
+full-batch gradient jobs over cached features, ~2-4 s at sf0.1) and
+emits ``clf_score``/``clf_prob``/``clf_keep``; expect the row to grow
+from ~0.8 s to the training cost and attribute via the new
+``parts.lang_scores`` map (``lang`` = the original columns alone,
+``clf`` = train + apply alone). The training jobs are composition,
+not regression — the lang part should hold at its r11 cost.
+
 ROUND-12 ADDITION — WARC INGEST LEG: the declared actual-100 TB grain
 (crawl containers in, extracted text out) finally has a throughput
 number. ``warc_ingest`` in BENCH_FULL.json times ``read_warc(

@@ -57,6 +57,14 @@ from ..functions.sampling import (
 from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
 from ..operators.cdc import snapshot_diff
+from ..operators.classifier import (
+    clf_features_sql,
+    logreg_apply_sql,
+    logreg_prob_expr,
+    logreg_score_micro_expr,
+    logreg_train_sql,
+    train_logreg_hashed,
+)
 from ..operators.dedup import (
     _hash_params,
     dedup_clusters,
@@ -1623,19 +1631,46 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
     )
 
 
-def q_lang_scores(spark, sf):
+def q_lang_scores(spark, sf, parts=("lang", "clf")):
     """Language-ID heuristic: marker-word overlap scores + argmax.
     Built from the parsed-SQL fragments (lang_score_sql/lang_id_sql) —
     one parser call per column instead of ~50 py4j constructions per
-    language; semantics identical to lang_score_expr/lang_id_expr."""
+    language; semantics identical to lang_score_expr/lang_id_expr.
+
+    Round 12: the row also carries the TRAINED quality classifier
+    (operators/classifier.py — the fastText/CCNet bootstrap pattern:
+    gopher rules label, logistic regression generalizes them into a
+    soft score). Training runs EAGERLY at query construction (the
+    ivf_train_centroids precedent): 4 full-batch gradient iterations,
+    each one map-side-combined aggregation job, weights exchanged as
+    exact integer micro-units so the DuckDB oracle — which re-derives
+    the ENTIRE training as an unrolled CTE chain from the same
+    constants — reaches bit-identical weights. Output columns:
+    ``clf_score`` (micro-unit LONG, exact integer arithmetic ->
+    hash-exact), ``clf_prob`` (rounded sigmoid), ``clf_keep``
+    (decision boundary). ``parts`` restricts for bench attribution
+    (``lang`` = the original row, ``clf`` = train + apply)."""
     d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        *[
+    sel = [F.col("doc_id")]
+    if "lang" in parts:
+        sel += [
             F.expr(lang_score_sql("text", lang)).alias(f"score_{lang}")
             for lang in LANG_MARKERS
-        ],
-        F.expr(lang_id_sql("text")).alias("lang_pred"),
+        ]
+        sel.append(F.expr(lang_id_sql("text")).alias("lang_pred"))
+    if "clf" not in parts:
+        return d.select(*sel)
+    gopher = " AND ".join(gopher_rules_sql("text").values())
+    model = train_logreg_hashed(d, F.expr(gopher))
+    sel.append(
+        logreg_score_micro_expr(
+            "text", model["weights_micro"], model["bias_micro"]
+        ).alias("clf_score")
+    )
+    return d.select(*sel).select(
+        "*",
+        logreg_prob_expr(F.col("clf_score")).alias("clf_prob"),
+        (F.col("clf_score") >= 0).alias("clf_keep"),
     )
 
 
@@ -4113,6 +4148,12 @@ def _dedup_exact_docs_part(which: str) -> QueryFn:
 
 
 QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
+    "lang_scores": {
+        # mode-restricted builders (the ann_ivf precedent): the clf
+        # leg charges its own training jobs to itself
+        "lang": lambda spark, sf: q_lang_scores(spark, sf, parts=("lang",)),
+        "clf": lambda spark, sf: q_lang_scores(spark, sf, parts=("clf",)),
+    },
     "sessionize_events": {
         p: _tag_part("sessionize_events", "part", p)
         for p in ("sess", "funnel", "retention", "gapfill", "anomaly", "debounce")
@@ -5753,8 +5794,23 @@ ORACLES: dict[str, str] = {
         + _jt_lang_sql("JT") + " AS JLANG FROM "
         "(SELECT *, " + _jt_text_sql() + " AS JT FROM documents) t0) t"
     ),
+    # round 12: the classifier columns re-derive the ENTIRE logistic-
+    # regression training as an unrolled CTE chain (logreg_train_sql —
+    # quantized gradients make the two engines' weights bit-identical;
+    # see operators/classifier.py) and score each doc with exact
+    # integer micro-unit arithmetic. Generated-oracle discipline: the
+    # trainer has independent numpy-reference + convergence pins in
+    # tests/test_classifier.py, and the keep-count histogram is pinned
+    # at sf0.1 there too.
     "lang_scores": (
-        "SELECT doc_id, "
+        "WITH "
+        + logreg_train_sql(_GOPHER_PASS_SQL)
+        + ", clf_sc AS (SELECT fx.doc_id, "
+        + logreg_apply_sql("fx.x")
+        + " AS clf_score FROM "
+        + clf_features_sql()
+        + " fx, clf_wfin), "
+        "base AS (SELECT doc_id, "
         + ", ".join(f"score_{lang}" for lang in LANG_MARKERS)
         + ", CASE WHEN " + _GREATEST_ALL + " = 0 THEN 'und' "
         + " ".join(
@@ -5762,7 +5818,12 @@ ORACLES: dict[str, str] = {
         )
         + " END AS lang_pred FROM (SELECT doc_id, "
         + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS)
-        + " FROM documents) t"
+        + " FROM documents) t) "
+        "SELECT base.*, c.clf_score, "
+        "ROUND(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + "
+        "exp(-(CAST(c.clf_score AS DOUBLE)/1e6))), 6) AS clf_prob, "
+        "c.clf_score >= 0 AS clf_keep "
+        "FROM base JOIN clf_sc c USING (doc_id)"
     ),
     "dedup_exact_docs": (
         "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "

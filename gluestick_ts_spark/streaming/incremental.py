@@ -826,6 +826,8 @@ def stream_curation_filter(
     url_col: str | None = None,
     blocklist=(),
     robots=(),
+    clf_model: dict | None = None,
+    clf_min_prob: float = 0.5,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -857,6 +859,16 @@ def stream_curation_filter(
     (operators/weburl.py robots_filter) right behind it — the batch
     pipeline's priority — as ``robots_ok`` + a 'robots' drop reason;
     local lists compile to the in-row when-chain, equally stateless.
+
+    ``clf_model`` (round 12) adds the TRAINED quality classifier
+    (operators/classifier.py — pass ``train_logreg_hashed``'s return
+    dict) as a FROZEN-model stage, the standard deployment shape:
+    train offline on a batch sample, apply per micro-batch. Output
+    gains ``clf_score`` (micro-unit LONG), ``clf_prob``, and
+    ``clf_ok`` (``clf_prob >= clf_min_prob``), with a 'classifier'
+    first-failing drop reason between 'quality' and 'logprob' (it
+    REFINES the heuristic quality family). Pure in-row integer
+    arithmetic — stateless, no new shuffle, replay-identical.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -941,6 +953,24 @@ def stream_curation_filter(
                     "license_ok",
                 )
             ]
+        clf_cols = []
+        if clf_model is not None:
+            from ..operators.classifier import (
+                DEFAULT_LEN_FLAGS,
+                logreg_score_micro_expr,
+            )
+
+            clf_cols = [
+                logreg_score_micro_expr(
+                    text_col,
+                    clf_model["weights_micro"],
+                    clf_model["bias_micro"],
+                    dim=clf_model.get("dim", 64),
+                    len_flags=tuple(
+                        clf_model.get("len_flags", DEFAULT_LEN_FLAGS)
+                    ),
+                ).alias("clf_score")
+            ]
         enriched = batch_df.select(
             F.col(id_col),
             F.col(text_col),
@@ -952,7 +982,16 @@ def stream_curation_filter(
             ),
             lp_ok.alias("lp_ok"),
             *lic_cols,
+            *clf_cols,
         )
+        if clf_model is not None:
+            from ..operators.classifier import logreg_prob_expr
+
+            enriched = enriched.withColumn(
+                "clf_prob", logreg_prob_expr(F.col("clf_score"))
+            ).withColumn(
+                "clf_ok", F.col("clf_prob") >= F.lit(float(clf_min_prob))
+            )
         if url_col:
             from ..operators.weburl import domain_blocklist_flag, robots_filter
 
@@ -983,6 +1022,7 @@ def stream_curation_filter(
         lic_gate = F.col("license_ok") if license_screen else F.lit(True)
         bl_gate = F.col("blocklist_ok") if url_col else F.lit(True)
         rb_gate = F.col("robots_ok") if url_col else F.lit(True)
+        clf_gate = F.col("clf_ok") if clf_model is not None else F.lit(True)
         keep = (
             bl_gate
             & rb_gate
@@ -990,6 +1030,7 @@ def stream_curation_filter(
             & lic_gate
             & F.col("gopher_ok")
             & F.col("quality_ok")
+            & clf_gate
             & F.col("lp_ok")
         )
         # blocklist then robots outrank everything — batch priority
@@ -1003,11 +1044,14 @@ def stream_curation_filter(
             reason = F.when(~F.col("dup_ok"), "duplicate")
         if license_screen:
             reason = reason.when(~F.col("license_ok"), "license")
-        reason = (
-            reason.when(~F.col("gopher_ok"), "gopher")
-            .when(~F.col("quality_ok"), "quality")
-            .when(~F.col("lp_ok"), "logprob")
+        reason = reason.when(~F.col("gopher_ok"), "gopher").when(
+            ~F.col("quality_ok"), "quality"
         )
+        if clf_model is not None:
+            # the trained model refines the heuristic quality family:
+            # its verdict slots right behind 'quality'
+            reason = reason.when(~F.col("clf_ok"), "classifier")
+        reason = reason.when(~F.col("lp_ok"), "logprob")
         out = verdict.select(
             id_col,
             text_col,
@@ -1020,6 +1064,11 @@ def stream_curation_filter(
             ),
             "gopher_ok",
             "quality_ok",
+            *(
+                ["clf_score", "clf_prob", "clf_ok"]
+                if clf_model is not None
+                else []
+            ),
             "lp_ok",
             keep.alias("keep"),
             reason.alias("drop_reason"),

@@ -1,0 +1,363 @@
+"""Trainable quality classifier (operators/classifier.py): the
+generated-oracle discipline demands (a) spec-anchored unit cases
+written INDEPENDENTLY of the SQL generator — here a from-scratch numpy
+re-implementation of the quantized-GD protocol, a finite-difference
+gradient check against the logistic-loss definition, and a hand-built
+feature expectation — plus (b) count-visible planted positives (the
+keep/disagreement histogram pins). Also: cross-engine exactness of the
+DuckDB training twin, partitioning-invariance (the exact-integer
+gradient claim), and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.functions.text import gopher_rules_sql
+from gluestick_ts_spark.operators.classifier import (
+    DEFAULT_LEN_FLAGS,
+    clf_features_expr,
+    clf_features_sql,
+    logreg_apply_sql,
+    logreg_prob_expr,
+    logreg_score_micro_expr,
+    logreg_train_sql,
+    train_logreg_hashed,
+)
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def _docs(spark, path=SF1):
+    return spark.read.parquet(f"{path}/documents.parquet")
+
+
+def _gopher():
+    return F.expr(" AND ".join(gopher_rules_sql("text").values()))
+
+
+# ------------------------------------------------- independent numpy twin
+
+def _bucket(tok: str, dim: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return ("0123456789abcdef".index(h[0]) * 16
+            + "0123456789abcdef".index(h[1])) % dim
+
+
+def _features_np(text: str, dim=64, flags=DEFAULT_LEN_FLAGS) -> np.ndarray:
+    toks = [t for t in text.strip().lower().split() if t]
+    v = np.zeros(dim)
+    for t in toks:
+        v[_bucket(t, dim)] += 1
+    tot = len(toks)
+    x = np.round(1000.0 * v / max(tot, 1))
+    return np.concatenate([x, [100.0 if tot >= f else 0.0 for f in flags]])
+
+
+def _round_away(x, digits):
+    s = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def _train_np(X, y, iters=4, lr=0.0001, l2=0.0):
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r = np.round(p * 1e6) - y * 1e6
+        g = (r[:, None] * X).sum(0)
+        gb = r.sum()
+        w = np.array(
+            [_round_away(w[j] - lr * (g[j] / 1e6 / n + l2 * w[j]), 9)
+             for j in range(d)]
+        )
+        b = _round_away(b - lr * gb / 1e6 / n, 9)
+    return w, b
+
+
+SYNTH = [
+    # separable: "good" docs are stopword-rich and long, "bad" short/symbolic
+    (" ".join(["the and of to in a is that for with"] * 8), 1),
+    (" ".join(["we hold these truths to be self evident and clear"] * 6), 1),
+    (" ".join(["scan table join merge sort the of and to value"] * 7), 1),
+    ("### ### ### $$$", 0),
+    ("short", 0),
+    ("buy now click here", 0),
+    (" ".join(["the quick brown fox jumps over a lazy dog again and"] * 5), 1),
+    ("x y z", 0),
+] * 4
+
+
+def test_trainer_matches_independent_numpy_twin(spark):
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(SYNTH)],
+        "doc_id long, text string, y int",
+    )
+    m = train_logreg_hashed(df, F.col("y") == 1, iters=4)
+    X = np.stack([_features_np(t) for t, _ in SYNTH])
+    yv = np.array([float(y) for _, y in SYNTH])
+    w, b = _train_np(X, yv)
+    assert m["bias"] == b
+    assert m["weights"] == list(w)
+
+
+def test_gradient_matches_logloss_finite_difference(spark):
+    """One UNQUANTIZED step of the trainer's math is the gradient of
+    mean logistic loss — anchor to the spec, not to our own code:
+    d/dw_j [ -mean(y·ln p + (1-y)·ln(1-p)) ] == mean((p - y)·x_j)."""
+    X = np.stack([_features_np(t) for t, _ in SYNTH[:8]])
+    y = np.array([float(v) for _, v in SYNTH[:8]])
+    rng = np.random.default_rng(7)
+    w = rng.normal(0, 0.01, X.shape[1])
+    b = 0.003
+
+    def loss(wv, bv):
+        p = 1.0 / (1.0 + np.exp(-(X @ wv + bv)))
+        p = np.clip(p, 1e-12, 1 - 1e-12)
+        return -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+
+    p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    analytic = ((p - y)[:, None] * X).mean(0)
+    eps = 1e-7
+    for j in [0, 5, 64, 67]:
+        wp = w.copy(); wp[j] += eps
+        wm = w.copy(); wm[j] -= eps
+        num = (loss(wp, b) - loss(wm, b)) / (2 * eps)
+        assert abs(num - analytic[j]) < 1e-4 * max(1.0, abs(analytic[j]))
+
+
+def test_features_hand_built_expectation(spark):
+    """Feature spec pinned by a by-hand expectation: 'aa aa bb' has
+    counts {bucket(aa): 2, bucket(bb): 1}, per-mille 667/333 (2/3 and
+    1/3 of 1000, rounded), all length flags 0 (3 < 25)."""
+    df = spark.createDataFrame([("aa aa bb",)], "text string")
+    x = df.select(clf_features_expr("text").alias("x")).first().x
+    assert len(x) == 64 + len(DEFAULT_LEN_FLAGS)
+    ba, bb = _bucket("aa", 64), _bucket("bb", 64)
+    expect = {ba: 667.0, bb: 333.0}
+    for j in range(64):
+        assert x[j] == expect.get(j, 0.0)
+    assert x[64:] == [0.0] * len(DEFAULT_LEN_FLAGS)
+    # length flags: 30 tokens -> first flag (>=25) fires at value 100
+    df2 = spark.createDataFrame([(" ".join(["w"] * 30),)], "text string")
+    x2 = df2.select(clf_features_expr("text").alias("x")).first().x
+    assert x2[64:] == [100.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_empty_text_scores_bias(spark):
+    df = spark.createDataFrame([("",), ("   ",)], "text string")
+    wm = [3] * 69
+    got = df.select(
+        logreg_score_micro_expr("text", wm, -42).alias("s")
+    ).collect()
+    assert [r.s for r in got] == [-42, -42]
+
+
+def test_training_partition_invariant(spark):
+    """The exact-integer gradient claim, executed: different
+    partitionings sum the same longs — weights identical bit for bit."""
+    d = _docs(spark)
+    m1 = train_logreg_hashed(d, _gopher(), iters=2)
+    m2 = train_logreg_hashed(d.repartition(7), _gopher(), iters=2)
+    assert m1["weights"] == m2["weights"] and m1["bias"] == m2["bias"]
+
+
+def test_convergence_and_keep_histogram_pins(spark):
+    """Count-visible pins on the corpus task (sf0.001): accuracy vs
+    the bootstrap labels, keep count, and the PLANTED-POSITIVE side of
+    the story — 40 documents the trained model keeps although the rule
+    verdict rejects them (the soft score generalizing past the cliffs)
+    and none the other way. A shared-definition bug in the generated
+    oracle cannot silently reproduce these exact histograms."""
+    d = _docs(spark)
+    m = train_logreg_hashed(d, _gopher())
+    assert m["grad_norms"][0] > m["grad_norms"][-1] * 0.5  # moving, not dead
+    sc = d.select(
+        _gopher().cast("int").alias("y"),
+        logreg_score_micro_expr(
+            "text", m["weights_micro"], m["bias_micro"]
+        ).alias("s"),
+    ).collect()
+    keep = sum(r.s >= 0 for r in sc)
+    agree = sum((r.s >= 0) == bool(r.y) for r in sc)
+    clf_keep_rule_drop = sum((r.s >= 0) and not r.y for r in sc)
+    rule_keep_clf_drop = sum((r.s < 0) and r.y for r in sc)
+    assert (keep, agree, clf_keep_rule_drop, rule_keep_clf_drop) == (
+        284, 460, 40, 0,
+    )
+    assert agree / len(sc) >= 0.85
+
+
+def test_separable_synthetic_converges(spark):
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(SYNTH)],
+        "doc_id long, text string, y int",
+    )
+    m = train_logreg_hashed(df, F.col("y") == 1, iters=6)
+    got = df.select(
+        "y",
+        logreg_score_micro_expr(
+            "text", m["weights_micro"], m["bias_micro"]
+        ).alias("s"),
+    ).collect()
+    acc = sum((r.s >= 0) == bool(r.y) for r in got) / len(got)
+    assert acc >= 0.95
+
+
+def test_duckdb_training_twin_bit_identical(spark):
+    """The oracle's unrolled CTE training reaches the SAME weights as
+    the distributed trainer — on the test corpus, checked here at test
+    granularity (the driver checks it again inside lang_scores)."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.plans.queries import _GOPHER_PASS_SQL
+
+    d = _docs(spark)
+    m = train_logreg_hashed(d, _gopher(), iters=3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF1}/documents.parquet')"
+    )
+    chain = logreg_train_sql(_GOPHER_PASS_SQL, iters=3)
+    W, B, WM, BM = con.execute(
+        f"WITH {chain} SELECT W, B, WM, BM FROM clf_wfin"
+    ).fetchone()
+    assert B == m["bias"]
+    assert list(W) == m["weights"]
+    assert list(WM) == m["weights_micro"] and BM == m["bias_micro"]
+    # inference twin: exact micro-unit scores on every doc
+    sdf = d.select(
+        "doc_id",
+        logreg_score_micro_expr(
+            "text", m["weights_micro"], m["bias_micro"]
+        ).alias("s"),
+    )
+    want = {r.doc_id: r.s for r in sdf.collect()}
+    got = dict(
+        con.execute(
+            f"WITH {chain} SELECT doc_id, {logreg_apply_sql('fx.x')} "
+            f"FROM {clf_features_sql()} fx, clf_wfin"
+        ).fetchall()
+    )
+    assert want == got
+
+
+def test_prob_monotone_and_keep_boundary(spark):
+    df = spark.createDataFrame(
+        [(s,) for s in (-2_000_000, -1, 0, 1, 3_000_000)], "s long"
+    )
+    rows = df.select(
+        "s", logreg_prob_expr(F.col("s")).alias("p")
+    ).orderBy("s").collect()
+    ps = [r.p for r in rows]
+    assert ps == sorted(ps)
+    assert ps[0] < 0.5 < ps[-1]
+    assert abs(rows[2].p - 0.5) < 1e-9  # score 0 -> 0.5 exactly
+
+
+def test_validation_errors(spark):
+    d = _docs(spark)
+    with pytest.raises(ValueError):
+        train_logreg_hashed(d, _gopher(), dim=0)
+    with pytest.raises(ValueError):
+        train_logreg_hashed(d, _gopher(), iters=0)
+    with pytest.raises(ValueError):
+        logreg_score_micro_expr("text", [1, 2, 3], 0)  # wrong width
+    with pytest.raises(TypeError):
+        clf_features_expr(F.col("text"))
+    with pytest.raises(ValueError):
+        train_logreg_hashed(d.limit(0), _gopher())
+
+
+def test_sf01_keep_histogram_pin(spark):
+    """The sf0.1 planted-positive pin the bench corpus sees (skipped
+    when the scale dir is absent)."""
+    import os
+
+    path = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{path}/documents.parquet"):
+        pytest.skip("sf0.1 not present")
+    d = _docs(spark, path)
+    m = train_logreg_hashed(d, _gopher())
+    sc = d.select(
+        _gopher().cast("int").alias("y"),
+        logreg_score_micro_expr(
+            "text", m["weights_micro"], m["bias_micro"]
+        ).alias("s"),
+    ).collect()
+    keep = sum(r.s >= 0 for r in sc)
+    agree = sum((r.s >= 0) == bool(r.y) for r in sc)
+    assert keep == 2738 and len(sc) == 5000
+    assert agree / len(sc) >= 0.85
+
+
+def test_stream_curation_classifier_stage(spark, tmp_path):
+    """The frozen-model streaming stage (stream_curation_filter
+    clf_model=...): a model trained to recognize a marker vocabulary
+    drops a gopher-AND-quality-passing document that lacks it, with
+    first-failing reason 'classifier', and the streamed clf_score
+    equals the batch expression's for identical text (frozen weights
+    -> replay-identical verdicts)."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+
+    def doc(marked: bool, salt: int) -> str:
+        words = stop6 + [f"word{chr(97 + (i + salt) % 26)}{i}" for i in range(54)]
+        if marked:
+            words = words + ["qualmark"] * 12
+        return " ".join(words)
+
+    train = [(i, doc(i % 2 == 0, i), 1 if i % 2 == 0 else 0) for i in range(24)]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, y int")
+    model = train_logreg_hashed(tdf, F.col("y") == 1, iters=6)
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    os.makedirs(store, exist_ok=True)
+    marked, unmarked = doc(True, 100), doc(False, 100)
+    _rows: dict[int, dict] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            _rows[r.doc_id] = {
+                "keep": r.keep, "reason": r.drop_reason,
+                "score": r.clf_score, "ok": r.clf_ok,
+            }
+
+    spark.createDataFrame(
+        [(1, marked), (2, unmarked), (3, "tiny doc")], schema
+    ).write.mode("append").parquet(src)
+    q = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src),
+            store, emit, quality_min=0.5, checkpoint_dir=ckpt,
+            clf_model=model,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert _rows[1]["keep"] and _rows[1]["reason"] is None
+    assert not _rows[2]["keep"] and _rows[2]["reason"] == "classifier"
+    assert _rows[3]["reason"] == "gopher"  # gopher outranks classifier
+    # streamed score == the batch expression's score for the same text
+    batch = spark.createDataFrame([(1, marked), (2, unmarked)], schema).select(
+        "doc_id",
+        logreg_score_micro_expr(
+            "text", model["weights_micro"], model["bias_micro"]
+        ).alias("s"),
+    ).collect()
+    for r in batch:
+        assert _rows[r.doc_id]["score"] == r.s
+    assert _rows[1]["ok"] and not _rows[2]["ok"]

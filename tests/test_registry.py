@@ -98,6 +98,7 @@ MODULE_REACH = {
     "operators.frequent": (_Q, ["top_terms"]),  # heavy part
     "operators.funnel": (_Q, ["sessionize_events"]),  # funnel/retention parts
     "operators.imagehash": (_Q, ["multimodal_features"]),  # phash part + cols
+    "operators.classifier": (_Q, ["lang_scores"]),  # clf_* columns (r12)
     "operators.jpeg_codec": (_Q, ["multimodal_features"]),  # jpeg quarter
     "operators.gif_codec": (_Q, ["multimodal_features"]),  # gif slots
     "operators.avi_codec": (_Q, ["multimodal_features"]),  # video slots (r11)
@@ -151,6 +152,9 @@ MODULE_REACH = {
     "sinks.singer": (_X, "singer message sink; byte-level example replays"),
     "sinks.zorder": (_X, "file-layout writer; benefit MEASURED from written "
         "parquet footers in tests/test_zorder.py"),
+    "sources.cdx": (_X, "crawl-index source (CDX/CDXJ/SURT) + ranged "
+        "record fetch; byte-extent and fetch==scan equality pins in "
+        "tests/test_cdx.py (r12)"),
     "sources.fs": (_X, "Hadoop-FS path utilities used by every store"),
     "sources.parquet_compat": (_Q, ["parse_dates_fallback",
                                     "q1_pricing_summary"]),  # every _t() scan
