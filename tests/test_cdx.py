@@ -326,3 +326,71 @@ def test_cdxj_scan_plan_is_jvm_side(spark, crawl_dir, tmp_path):
     )
     for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+# ------------------------------------------------------ latest_captures
+
+def test_latest_captures_selection(spark):
+    from gluestick_ts_spark.sources.cdx import latest_captures
+
+    rows = [
+        # urlkey, ts, status, mime, digest, filename, offset
+        ("com,a)/", "20240101000000", 200, "text/html", "D1", "f1", 0),
+        ("com,a)/", "20240301000000", 200, "text/html", "D2", "f2", 0),  # latest
+        ("com,a)/", "20240201000000", 404, "text/html", "D3", "f3", 0),  # 404 out
+        ("com,b)/", "20240101000000", 200, "text/html", "D2", "f1", 9),  # mirror of a's latest
+        ("com,c)/", "20240101000000", 200, "image/png", "D4", "f1", 5),  # mime out
+        ("com,d)/", None, 200, "text/html", None, "f9", 7),  # null ts still selectable
+    ]
+    idx = spark.createDataFrame(
+        [
+            (k, t, f"http://{k}", m, s, d, 10, o, 0, fn, "response", None)
+            for (k, t, s, m, d, fn, o) in rows
+        ],
+        "urlkey string, timestamp string, url string, mime string, "
+        "status int, digest string, length long, offset long, "
+        "rec_offset long, filename string, warc_type string, error string",
+    )
+    got = {
+        r.urlkey: r
+        for r in latest_captures(idx, mime_prefix="text/").collect()
+    }
+    assert set(got) == {"com,a)/", "com,b)/", "com,d)/"}
+    assert got["com,a)/"].timestamp == "20240301000000"  # latest wins
+    # digest collapse: a's latest and b captured identical payloads ->
+    # one representative (smallest urlkey)
+    got2 = {
+        r.urlkey
+        for r in latest_captures(
+            idx, mime_prefix="text/", dedup_digest=True
+        ).collect()
+    }
+    assert got2 == {"com,a)/", "com,d)/"}  # b folded into a; null digest kept
+
+
+def test_latest_captures_end_to_end_recrawl(spark, tmp_path):
+    """Index a two-crawl layout (same url captured twice, content
+    changed) — latest_captures -> fetch returns ONLY the newer body."""
+    from gluestick_ts_spark.sources.cdx import latest_captures
+
+    def cap(body: bytes, ts: str) -> dict:
+        return {
+            "warc_type": "response",
+            "url": "http://site.com/page",
+            "warc_date": ts,
+            "content_type": "application/http; msgtype=response",
+            "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + body,
+        }
+
+    (tmp_path / "crawl1.warc.gz").write_bytes(
+        warc_encode([cap(b"old content", "2024-01-01T00:00:00Z")])
+    )
+    (tmp_path / "crawl2.warc.gz").write_bytes(
+        warc_encode([cap(b"new content", "2024-06-01T00:00:00Z")])
+    )
+    idx = index_warc(spark, str(tmp_path))
+    sel = latest_captures(idx)
+    fetched = fetch_warc_records(spark, sel).collect()
+    assert len(fetched) == 1
+    assert fetched[0].text == "new content"
