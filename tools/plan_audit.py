@@ -27,6 +27,14 @@ from gluestick_ts_spark.session import get_spark
 # by eager work, and the scale story for Python-boundary / bounded-
 # baseline queries. Every non-obvious plan gets a note.
 NOTES: dict[str, str] = {
+    "lang_scores": (
+        "classifier training runs eagerly at construction (r12): one "
+        "localCheckpoint pass builds lang cols + dim-32 feature arrays "
+        "+ the gopher label (map-only), then 4 gradient jobs each ONE "
+        "map-side-combined explode agg shipping 38 longs/partition; "
+        "audited plan is the from-cache inference fold (0 shuffles, "
+        "starts at ExistingRDD)"
+    ),
     "minhash_dedup_docs": (
         "pre-checkpoint DAG: per-row HOF signature fold (0 shuffles) -> "
         "LSH banding groupBy on (band, hash) (1 shuffle) -> id-pair "
