@@ -41,6 +41,15 @@ bit-identical weights):
 CTE chain from the same constants, so the oracle re-derives the
 weights independently — training itself is correctness-gated, not
 just inference (the ``ivf_train_centroids`` precedent).
+
+Relationship to ``operators/ml.py``: that module's ``train_logreg`` /
+``distill_quality_classifier`` are the earlier plain-float distillation
+path, whose docstring documents that float gradient sums are NOT
+order-exact and training there is pytest-gated only. This module is
+the successor for verifiable pipelines: the quantization protocol
+makes training deterministic under any partitioning AND cross-engine
+checkable, at the price of fixing the feature family to integer-valued
+vectors.
 """
 
 from __future__ import annotations

@@ -19,8 +19,16 @@ here is built from Column expressions + bounded driver collects:
   midrank tie handling. Midranks are exact multiples of 0.5, so the
   sums are ASSOCIATIVE-exact in doubles — the result is deterministic
   across partitionings and engines, which is what lets the driver's
-  DuckDB oracle hash-check it (gradient sums are NOT order-exact, so
-  training itself is pytest-gated, not oracle-checked).
+  DuckDB oracle hash-check it (gradient sums here are NOT order-exact,
+  so training itself is pytest-gated, not oracle-checked).
+
+Round 12: ``operators/classifier.py`` closes that gap for the
+distillation flow — its trainer exchanges gradients as exact integer
+micro-units (order-free long sums), so training IS oracle-checked
+there (bit-identical DuckDB re-derivation). This module keeps the
+plain-float path (simpler math, any-real-valued features) and the
+AUC metric; prefer ``classifier.train_logreg_hashed`` when you need
+reproducibility under repartitioning or cross-engine verification.
 
 No reference counterpart (extension ops).
 """

@@ -50,6 +50,10 @@ __all__ = [
     "robots_pattern_sql_regex",
     "robots_filter",
     "robots_from_warc",
+    "sitemaps_from_robots",
+    "sitemap_locs_expr",
+    "sitemap_is_index_expr",
+    "sitemap_urls_from_warc",
 ]
 
 # scheme://authority (userinfo@host:port) — the case-insensitive part
@@ -679,3 +683,107 @@ def robots_from_warc(
 
 
 from ..functions.text import _col as _ucol  # noqa: E402 (shared coercion helper)
+
+
+def sitemaps_from_robots(
+    robots_df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_text",
+) -> DataFrame:
+    """Sitemap DISCOVERY from the robots relation
+    (:func:`robots_from_warc`'s output): every ``Sitemap:`` directive
+    (sitemaps.org protocol §"informing search engine crawlers" — line
+    anywhere in the file, case-insensitive, multiple allowed, value an
+    absolute URL) becomes one ``(domain, sitemap_url)`` row. The
+    standard crawl-frontier seed: robots names the sitemaps, sitemaps
+    name the URLs (:func:`sitemap_locs_expr`).
+
+    In-row ``regexp_extract_all`` + ``explode`` over the host-count-
+    sized robots relation — negligible at any crawl scale."""
+    locs = F.expr(
+        f"regexp_extract_all({text_col}, "
+        r"'(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)"
+    )
+    return robots_df.select(
+        F.col(domain_col), F.explode(locs).alias("sitemap_url")
+    )
+
+
+# sitemap XML entity decode — the protocol REQUIRES entity-escaped
+# URLs in <loc>; &amp; last so double-escapes don't double-decode
+_SITEMAP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def sitemap_locs_expr(xml: str) -> Column:
+    """URLs of one sitemap document as ``array<string>``: every
+    ``<loc>`` element's text (sitemaps.org §XML format — used both by
+    ``<urlset>`` page sitemaps and ``<sitemapindex>`` index files),
+    CDATA unwrapped, whitespace trimmed, the five XML entities
+    decoded. ``xml`` is a column name / SQL fragment string. Pure
+    in-row regex chain — parsing a billion fetched sitemaps is
+    map-only. Pair with :func:`sitemap_is_index_expr` to route index
+    files back into the fetch frontier instead of the page queue."""
+    if not isinstance(xml, str):
+        raise TypeError(
+            "sitemap_locs_expr takes a column name / SQL fragment string "
+            "(regexp_extract_all enters the plan through the parser)"
+        )
+    raw = F.transform(
+        F.expr(
+            f"regexp_extract_all({xml}, '(?is)<loc[^>]*>(.*?)</loc>', 1)"
+        ),
+        lambda s: F.trim(
+            F.regexp_replace(s, r"(?s)^\s*<!\[CDATA\[(.*)\]\]>\s*$", r"$1")
+        ),
+    )
+    def _decode(ent: str, rep: str):
+        # closure factory, NOT default args — pyspark counts lambda
+        # defaults as HOF parameters and rejects the 3-arg signature
+        return lambda s: F.replace(s, F.lit(ent), F.lit(rep))
+
+    out = raw
+    for ent, rep in _SITEMAP_ENTITIES:
+        out = F.transform(out, _decode(ent, rep))
+    return F.filter(out, lambda s: s != "")
+
+
+def sitemap_is_index_expr(xml: Column | str) -> Column:
+    """Whether a sitemap document is an INDEX file (``<sitemapindex>``
+    root — its <loc>s name more sitemaps, not pages)."""
+    x = F.col(xml) if isinstance(xml, str) else xml
+    return x.rlike(r"(?is)<\s*sitemapindex[\s>]")
+
+
+def sitemap_urls_from_warc(
+    warc_df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    status_col: str = "http_status",
+) -> DataFrame:
+    """Distill fetched sitemap captures from a ``read_warc`` frame
+    into the crawl frontier: rows whose URL path names a sitemap
+    (``*.xml``/``*.xml.gz`` containing ``sitemap``) or whose body has
+    a ``<urlset>``/``<sitemapindex>`` root, exploded to one row per
+    ``<loc>`` — ``(source_url, url, from_index)``. ``from_index=true``
+    rows are sitemap URLs to fetch next; false rows are page URLs.
+    2xx/NULL statuses only. Map-only over the matching captures."""
+    x = F.col(text_col)
+    status = F.col(status_col)
+    is_sm = (
+        F.lower(F.col(url_col)).rlike(r"sitemap[^/]*\.xml(\.gz)?([?#].*)?$")
+        | x.rlike(r"(?is)<\s*(urlset|sitemapindex)[\s>]")
+    )
+    cand = warc_df.where(
+        x.isNotNull() & is_sm & (status.isNull() | (status < 300))
+    )
+    return cand.select(
+        F.col(url_col).alias("source_url"),
+        sitemap_is_index_expr(x).alias("from_index"),
+        F.explode(sitemap_locs_expr(text_col)).alias("url"),
+    ).select("source_url", "url", "from_index")

@@ -328,7 +328,11 @@ def index_warc(
 
 
 def write_cdxj(
-    df: DataFrame, path: str, sort: bool = True, mode: str = "error"
+    df: DataFrame,
+    path: str,
+    sort: bool = True,
+    mode: str = "error",
+    compression: str | None = None,
 ) -> None:
     """Write ``CDX_SCHEMA`` rows as CDXJ text lines (``urlkey SP
     timestamp SP {json}`` — the CDX-server format Common Crawl
@@ -337,9 +341,12 @@ def write_cdxj(
     ``sort=True`` range-sorts by (urlkey, timestamp) — the published
     indexes are globally sorted so a reader can binary-search a
     domain's block; Spark's sort is a range-partitioned exchange, so
-    part files hold disjoint, ordered key ranges. ``_error`` rows
-    (null urlkey) are excluded — an index line without a key is
-    unsortable and unprobeable."""
+    part files hold disjoint, ordered key ranges. ``compression=
+    "gzip"`` writes ``part-*.txt.gz`` (the Common Crawl ``cdx-*.gz``
+    shape; ``read_cdxj`` reads both — the Hadoop text source decodes
+    codecs transparently). ``_error`` rows (null urlkey) are
+    excluded — an index line without a key is unsortable and
+    unprobeable."""
     out = df.where(F.col("urlkey").isNotNull())
     if sort:
         out = out.sort("urlkey", "timestamp")
@@ -361,7 +368,10 @@ def write_cdxj(
             )
         ),
     )
-    out.select(line.alias("value")).write.mode(mode).text(path)
+    writer = out.select(line.alias("value")).write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.text(path)
 
 
 def read_cdxj(spark: SparkSession, path: str) -> DataFrame:

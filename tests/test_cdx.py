@@ -394,3 +394,21 @@ def test_latest_captures_end_to_end_recrawl(spark, tmp_path):
     fetched = fetch_warc_records(spark, sel).collect()
     assert len(fetched) == 1
     assert fetched[0].text == "new content"
+
+
+def test_cdxj_gzip_round_trip(spark, crawl_dir, tmp_path):
+    """Common Crawl ships its index gzipped (cdx-*.gz): a compressed
+    write round-trips through the same reader (Hadoop codec decode is
+    transparent), byte-content equal to the plain write."""
+    import glob
+
+    plain, gz = str(tmp_path / "plain"), str(tmp_path / "gz")
+    idx = index_warc(spark, crawl_dir)
+    write_cdxj(idx, plain)
+    write_cdxj(idx, gz, compression="gzip")
+    assert glob.glob(gz + "/part-*.txt.gz")
+    cols = ["urlkey", "timestamp", "url", "status", "length", "offset",
+            "rec_offset", "filename"]
+    a = sorted(map(tuple, read_cdxj(spark, plain).select(*cols).collect()))
+    b = sorted(map(tuple, read_cdxj(spark, gz).select(*cols).collect()))
+    assert a == b and len(a) == 12

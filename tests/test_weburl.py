@@ -1154,3 +1154,124 @@ Disallow: /fallback/
     # empty User-agent value matches no crawler
     empty = "User-agent:\nDisallow: /x/\nUser-agent: *\nDisallow: /y/\n"
     assert parse_robots_rules(empty, "somebot") == [("/y/", False)]
+
+
+# ------------------------------------------------------ sitemap discovery
+
+def test_sitemaps_from_robots_directives(spark):
+    from gluestick_ts_spark.operators.weburl import sitemaps_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://a.com/sitemap.xml\n"
+                "SITEMAP:\thttps://a.com/news-sitemap.xml\n",
+            ),
+            ("b.com", "User-agent: *\nAllow: /\n"),  # none
+            ("c.com", "  sitemap: https://cdn.c.com/sm/index.xml.gz"),
+        ],
+        "domain string, robots_text string",
+    )
+    got = {
+        (r.domain, r.sitemap_url)
+        for r in sitemaps_from_robots(robots).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/news-sitemap.xml"),
+        ("c.com", "https://cdn.c.com/sm/index.xml.gz"),
+    }
+
+
+def test_sitemap_locs_entities_cdata_and_index_flag(spark):
+    from gluestick_ts_spark.operators.weburl import (
+        sitemap_is_index_expr,
+        sitemap_locs_expr,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9">\n'
+        "<url><loc> https://x.com/a?p=1&amp;q=2 </loc>"
+        "<lastmod>2024-01-01</lastmod></url>\n"
+        "<url><loc><![CDATA[https://x.com/b]]></loc></url>\n"
+        "<url><loc></loc></url>\n"  # empty loc dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>\n<sitemap><LOC>https://x.com/sm1.xml</LOC>"
+        "</sitemap>\n<sitemap><loc>https://x.com/sm2.xml.gz</loc>"
+        "</sitemap>\n</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<html>not a sitemap</html>")],
+        "id long, xml string",
+    )
+    rows = {
+        r.id: (r.locs, r.isx)
+        for r in df.select(
+            "id",
+            sitemap_locs_expr("xml").alias("locs"),
+            sitemap_is_index_expr("xml").alias("isx"),
+        ).collect()
+    }
+    assert rows[1] == (["https://x.com/a?p=1&q=2", "https://x.com/b"], False)
+    assert rows[2] == (["https://x.com/sm1.xml", "https://x.com/sm2.xml.gz"], True)
+    assert rows[3] == ([], False)
+
+
+def test_sitemap_urls_from_warc_frontier(spark, tmp_path):
+    """Crawl -> frontier e2e: robots names the sitemap, the fetched
+    sitemap index names more sitemaps (from_index=true), the page
+    sitemap names pages — all through read_warc + the helpers."""
+    from gluestick_ts_spark.operators.weburl import (
+        robots_from_warc,
+        sitemap_urls_from_warc,
+        sitemaps_from_robots,
+    )
+    from gluestick_ts_spark.sources.warc import read_warc, warc_encode
+
+    def cap(url, body, ct=b"text/xml"):
+        return {
+            "warc_type": "response",
+            "url": url,
+            "warc_date": "2024-01-01T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "body": b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n"
+            + body,
+        }
+
+    recs = [
+        cap(
+            "http://s.com/robots.txt",
+            b"User-agent: *\nAllow: /\nSitemap: http://s.com/sitemap.xml\n",
+            b"text/plain",
+        ),
+        cap(
+            "http://s.com/sitemap.xml",
+            b"<sitemapindex><sitemap><loc>http://s.com/sm-pages.xml</loc>"
+            b"</sitemap></sitemapindex>",
+        ),
+        cap(
+            "http://s.com/sm-pages.xml",
+            b"<urlset><url><loc>http://s.com/p1</loc></url>"
+            b"<url><loc>http://s.com/p2</loc></url></urlset>",
+        ),
+        cap("http://s.com/p1", b"<html>a page</html>", b"text/html"),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(warc_encode(recs))
+    crawl = read_warc(spark, str(tmp_path))
+    robots = robots_from_warc(crawl)
+    seeds = {
+        r.sitemap_url for r in sitemaps_from_robots(robots).collect()
+    }
+    assert seeds == {"http://s.com/sitemap.xml"}
+    frontier = sitemap_urls_from_warc(crawl).collect()
+    got = {(r.source_url, r.url, r.from_index) for r in frontier}
+    assert got == {
+        ("http://s.com/sitemap.xml", "http://s.com/sm-pages.xml", True),
+        ("http://s.com/sm-pages.xml", "http://s.com/p1", False),
+        ("http://s.com/sm-pages.xml", "http://s.com/p2", False),
+    }
