@@ -690,12 +690,16 @@ def write_wet(
     date_col: str | None = None,
     per_record_gzip: bool = True,
     mode: str = "error",
+    record_type: str = "conversion",
+    payload_content_type: str = "text/plain",
 ) -> None:
     """WET-style text-extraction sink: write ``(url, text)`` rows as
     WARC ``conversion`` records (the layout Common Crawl publishes its
     extracted-text sidecar files in) — ``read_warc``'s inverse, so a
     curation pipeline can emit crawl-shaped artifacts other crawl
-    tooling reads back. One ``part-<partition>.warc.gz`` per input
+    tooling reads back. ``record_type``/``payload_content_type``
+    re-skin the same sink for other sidecar layouts (``sources/wat.py``
+    writes ``metadata`` records of ``application/json`` envelopes). One ``part-<partition>.warc.gz`` per input
     partition, written executor-side: per-record gzip members
     concatenate into a valid multi-member ``.warc.gz`` (the property
     the reader's member walker exploits), so no driver collect and no
@@ -751,9 +755,9 @@ def write_wet(
             if row[text_col] is None:
                 continue
             rec = {
-                "warc_type": "conversion",
+                "warc_type": record_type,
                 "url": row[url_col],
-                "content_type": "text/plain",
+                "content_type": payload_content_type,
                 "body": str(row[text_col]).encode("utf-8"),
             }
             if date_col and row[date_col] is not None:

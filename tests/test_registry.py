@@ -156,6 +156,9 @@ MODULE_REACH = {
         "record fetch; byte-extent and fetch==scan equality pins in "
         "tests/test_cdx.py (r12)"),
     "sources.fs": (_X, "Hadoop-FS path utilities used by every store"),
+    "sources.wat": (_X, "WAT metadata sidecar (generate/write/parse + "
+        "link-graph edges); round-trip + real-CC-envelope + frontier "
+        "composition pins in tests/test_wat.py (r12)"),
     "sources.parquet_compat": (_Q, ["parse_dates_fallback",
                                     "q1_pricing_summary"]),  # every _t() scan
     "sources.reader": (_X, "reference Reader (csv/parquet/catalog); "
