@@ -1,0 +1,170 @@
+"""Link-graph curation signals over crawl outlinks — the
+domain-authority side of web curation (Common Crawl publishes exactly
+this: domain-level webgraph + centrality ranks, used to seed and
+weight crawls; quality pipelines use domain rank as a prior the way
+they use the quality classifier's score).
+
+- ``domain_link_edges``: page-level outlinks (``wat_links`` /
+  ``sitemap_urls_from_warc`` output) collapsed to the eTLD+1 DOMAIN
+  graph (``registered_domain_expr`` both sides, self-loops and
+  identity-less rows dropped, parallel edges counted) — the grain
+  where the graph gets small: a 10^11-page crawl is a ~10^7-domain
+  graph, comfortably iterable.
+- ``pagerank``: damped PageRank with dangling-mass redistribution,
+  run as a fixed number of join+aggregate rounds. Ranks are QUANTIZED
+  to an integer 1e-9 grid every round, so the per-node sums are
+  exact LONG arithmetic — the result is bit-deterministic under any
+  partitioning (the ``operators/classifier.py`` micro-unit protocol,
+  applied to graph iteration; plain float PageRank differs run to run
+  because shuffle order reorders float adds).
+
+100 TB shape: the page->domain collapse is one short-string shuffle of
+the edge list; each PageRank round is one join (ranks are the small
+relation once the graph is domain-grain) + one aggregate, with a
+checkpoint per round to truncate lineage (the ``dedup_clusters``
+iterative precedent). No driver-side graph, no adjacency collect —
+the only scalars collected are n (node count) and the per-round
+dangling mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["domain_link_edges", "pagerank"]
+
+# rank grid: 1e-9 of total mass — fine enough that fixed-round ranks
+# order correctly for any realistic graph, and small enough that every
+# intermediate product (u * d_units <= GRID * GRID = 1e18) stays inside
+# a long under ANSI overflow checking
+_GRID = 1_000_000_000
+
+
+def domain_link_edges(
+    links: DataFrame,
+    src_col: str = "source_url",
+    dst_col: str = "url",
+    psl=None,
+) -> DataFrame:
+    """Collapse page-level outlink rows to the registered-domain
+    (eTLD+1) edge list: ``(src, dst, n_links)``. Self-loops (intra-
+    domain navigation — the vast majority of raw links) and rows where
+    either side has no extractable domain are dropped; parallel edges
+    aggregate into ``n_links``. One shuffle on the (short) domain
+    pair."""
+    from .weburl import registered_domain_expr
+
+    e = links.select(
+        registered_domain_expr(F.col(src_col), psl).alias("src"),
+        registered_domain_expr(F.col(dst_col), psl).alias("dst"),
+    ).where(
+        (F.col("src") != "") & (F.col("dst") != "")
+        & (F.col("src") != F.col("dst"))
+    )
+    return e.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Damped PageRank over a directed edge list, ``iters`` fixed
+    rounds from the uniform vector — returns ``(node, rank)`` with
+    ranks summing to ~1. Dangling nodes (no outlinks) redistribute
+    their mass uniformly each round, the standard correction — without
+    it total mass leaks and ranks stop being comparable across graphs.
+    ``weight_col`` (e.g. ``n_links``) makes the per-edge transfer
+    proportional instead of uniform across a node's outlinks.
+
+    Determinism contract: ranks live on an integer 1e-9 grid — each
+    round transfers ``floor(rank_units * w / W_out)`` units per edge
+    (exact longs; the sub-unit floor residue, bounded by out-degree
+    units, is dropped — documented mass slippage < n_edges/1e9), so
+    sums are order-free and the output is IDENTICAL under any
+    partitioning or engine. Each round is one join + one aggregate +
+    an eager checkpoint (lineage truncation, the iterative-operator
+    pattern); the only driver scalars are n and the round's dangling
+    mass."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # damping factor in grid units per 1.0 of rank: transfer keeps
+    # d * rank; base keeps (1-d)/n. Both derived from the SAME integer
+    # d_units so mass bookkeeping stays exact.
+    d_units = int(round(damping * _GRID))
+    base_units = (_GRID - d_units) // n
+    pr = nodes.select("node", F.lit(_GRID // n).cast("long").alias("u"))
+    for _ in range(iters):
+        ranked_out = pr.join(
+            outw, pr["node"] == outw["src"], "left"
+        ).select(pr["node"], "u", "wout")
+        # dangling mass: nodes with no outlinks (wout null)
+        dangling = (
+            ranked_out.where(F.col("wout").isNull())
+            .agg(F.sum("u").alias("s"))
+            .first()["s"]
+            or 0
+        )
+        # per-edge transfer in exact integer units:
+        #   floor( floor(d*u/GRID) * w / W )
+        damped = (F.col("u") * d_units) / F.lit(_GRID)
+        sends = (
+            ranked_out.where(F.col("wout").isNotNull())
+            .select(
+                F.col("node").alias("src"),
+                F.floor(damped).cast("long").alias("du"),
+                "wout",
+            )
+            .join(e, "src")
+            .select(
+                "dst",
+                F.floor(F.col("du") * F.col("w") / F.col("wout"))
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("t").alias("recv"))
+        )
+        share = int((dangling * d_units) // _GRID // n)
+        pr = (
+            nodes.join(sends, nodes["node"] == sends["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("recv"), F.lit(0))
+                    + F.lit(base_units + share).cast("long")
+                ).alias("u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        "node", (F.col("u").cast("double") / _GRID).alias("rank")
+    )

@@ -1,0 +1,169 @@
+"""Domain link graph + quantized PageRank (operators/linkgraph.py):
+hand-computed closed-form ranks, an independent python twin of the
+integer-unit protocol (exact equality), weighted transfer, dangling
+redistribution, partition invariance, and the crawl e2e
+(WAT links -> domain edges -> ranks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gluestick_ts_spark.operators.linkgraph import (
+    _GRID,
+    domain_link_edges,
+    pagerank,
+)
+
+
+def _edges(spark, rows, schema="src string, dst string, w long"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+# ------------------------------------------------ independent twin
+
+def _pagerank_py(edges, iters=5, damping=0.85):
+    """From-scratch python twin of the integer-unit protocol (same
+    spec, independent code): edges = [(src, dst, w)]."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    d_units = int(round(damping * _GRID))
+    base = (_GRID - d_units) // n
+    u = {x: _GRID // n for x in nodes}
+    for _ in range(iters):
+        dangling = sum(u[x] for x in nodes if x not in outw)
+        recv = {x: 0 for x in nodes}
+        for s, dst, w in edges:
+            du = (u[s] * d_units) // _GRID
+            recv[dst] += (du * w) // outw[s]
+        share = (dangling * d_units) // _GRID // n
+        u = {x: recv[x] + base + share for x in nodes}
+    return {x: u[x] / _GRID for x in nodes}
+
+
+def test_cycle_is_uniform(spark):
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    got = _ranks(pagerank(e, iters=4))
+    assert set(got) == {"a", "b", "c"}
+    vals = set(got.values())
+    assert len(vals) == 1  # symmetric graph -> identical ranks
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_star_closed_form_one_round(spark):
+    """B,C,D -> A; A dangling. One round from uniform has the closed
+    form A = 3·d/4 + (1−d)/4 + d/16, others = (1−d)/4 + d/16."""
+    e = _edges(spark, [(s, "a", 1) for s in ("b", "c", "d")])
+    got = _ranks(pagerank(e, iters=1))
+    d = 0.85
+    a_expect = 3 * (d / 4) + (1 - d) / 4 + d * 0.25 / 4
+    o_expect = (1 - d) / 4 + d * 0.25 / 4
+    assert abs(got["a"] - a_expect) < 1e-9
+    for x in ("b", "c", "d"):
+        assert abs(got[x] - o_expect) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_matches_independent_python_twin_exactly(spark, iters):
+    rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1),
+        ("d", "a", 5), ("e", "a", 1), ("b", "e", 1),
+    ]
+    e = _edges(spark, rows)
+    got = _ranks(pagerank(e, iters=iters, weight_col="w"))
+    want = _pagerank_py(rows, iters=iters)
+    assert got == want  # EXACT — both sides are the same integer grid
+
+
+def test_weighted_transfer_proportional(spark):
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1)])
+    got = _ranks(pagerank(e, iters=1, weight_col="w"))
+    # b receives 3x c's transfer on top of the shared base
+    base_plus_share = min(got["b"], got["c"], got["a"])
+    assert abs(
+        (got["b"] - base_plus_share) - 3 * (got["c"] - base_plus_share)
+    ) < 1e-9
+
+
+def test_partition_invariance_exact(spark):
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}", 1 + i % 4) for i in range(60)]
+    rows = [r for r in rows if r[0] != r[1]]
+    a = _ranks(pagerank(_edges(spark, rows), iters=3, weight_col="w"))
+    b = _ranks(
+        pagerank(_edges(spark, rows).repartition(13), iters=3, weight_col="w")
+    )
+    assert a == b  # bit-identical under repartitioning
+
+
+def test_authority_outranks_spokes(spark):
+    e = _edges(
+        spark,
+        [(f"s{i}", "hub", 1) for i in range(8)] + [("hub", "s0", 1)],
+    )
+    got = _ranks(pagerank(e, iters=5))
+    assert got["hub"] == max(got.values())
+    assert got["s0"] > got["s1"]  # the hub's one outlink lifts s0
+
+
+def test_validation(spark):
+    e = _edges(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError):
+        pagerank(e, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.0)
+
+
+def test_domain_link_edges_etld1_collapse(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://www.a.com/p1", "http://b.co.uk/x"),
+            ("http://a.com/p2", "http://sub.b.co.uk/y"),  # same domain pair
+            ("http://a.com/p3", "http://a.com/other"),  # self-loop dropped
+            ("not a url", "http://b.co.uk/z"),  # no src domain -> dropped
+        ],
+        "source_url string, url string",
+    )
+    rows = domain_link_edges(links).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src, r.dst, r.n_links) == ("a.com", "b.co.uk", 2)
+
+
+def test_crawl_to_ranks_e2e(spark, tmp_path):
+    """WAT links -> domain edges -> ranks: the authority domain every
+    page links to outranks the sources."""
+    from gluestick_ts_spark.sources.warc import read_warc, warc_encode
+    from gluestick_ts_spark.sources.wat import (
+        read_wat,
+        wat_from_warc,
+        wat_links,
+        write_wat,
+    )
+
+    def cap(i):
+        html = (
+            f"<html><body><a href='http://hub.org/{i}'>h</a>"
+            f"<a href='http://peer{(i + 1) % 3}.net/'>p</a></body></html>"
+        )
+        return {
+            "warc_type": "response",
+            "url": f"http://peer{i}.net/page",
+            "content_type": "application/http; msgtype=response",
+            "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode(),
+        }
+
+    (tmp_path / "c.warc.gz").write_bytes(warc_encode([cap(i) for i in range(3)]))
+    wat = wat_from_warc(read_warc(spark, str(tmp_path)))
+    write_wat(wat, str(tmp_path / "wat"))
+    edges = domain_link_edges(wat_links(read_wat(spark, str(tmp_path / "wat"))))
+    ranks = _ranks(pagerank(edges, iters=3, weight_col="n_links"))
+    assert ranks["hub.org"] == max(ranks.values())

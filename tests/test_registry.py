@@ -103,6 +103,9 @@ MODULE_REACH = {
     "operators.gif_codec": (_Q, ["multimodal_features"]),  # gif slots
     "operators.avi_codec": (_Q, ["multimodal_features"]),  # video slots (r11)
     "operators.linkage": (_Q, ["semi_anti_join_customers"]),  # fuzzy part
+    "operators.linkgraph": (_X, "domain link graph + quantized PageRank "
+        "over crawl outlinks; hand-computed-rank + partition-invariance "
+        "pins in tests/test_linkgraph.py (r12)"),
     "operators.media_codecs": (_Q, ["multimodal_features"]),
     "operators.ml": (_Q, ["approx_distinct_users"]),  # auc/auc_lang parts
     "operators.multimodal": (_Q, ["multimodal_features",
