@@ -29,7 +29,7 @@ dangling mass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["domain_link_edges", "pagerank"]
@@ -101,6 +101,11 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
+    # weight cap: per-edge transfer computes du * w with du <= d·GRID
+    # (~8.5e8), so w <= 1e9 keeps the product inside a long under ANSI
+    # overflow checking; beyond that an edge already takes essentially
+    # the whole out-share, so clamping loses nothing
+    w = F.least(w, F.lit(_GRID).cast("long"))
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -134,22 +139,20 @@ def pagerank(
             or 0
         )
         # per-edge transfer in exact integer units:
-        #   floor( floor(d*u/GRID) * w / W )
-        damped = (F.col("u") * d_units) / F.lit(_GRID)
+        #   (u*d_units div GRID) * w div wout
+        # INTEGRAL division (`div`), never `/`: double division rounds
+        # past 2^53, so floor(double(a)/b) can come out one unit below
+        # exact a // b — which would break both the bit-determinism
+        # contract and the python-twin equality pin
         sends = (
             ranked_out.where(F.col("wout").isNotNull())
             .select(
                 F.col("node").alias("src"),
-                F.floor(damped).cast("long").alias("du"),
+                F.expr(f"u * {d_units}L div {_GRID}L").alias("du"),
                 "wout",
             )
             .join(e, "src")
-            .select(
-                "dst",
-                F.floor(F.col("du") * F.col("w") / F.col("wout"))
-                .cast("long")
-                .alias("t"),
-            )
+            .select("dst", F.expr("du * w div wout").alias("t"))
             .groupBy("dst")
             .agg(F.sum("t").alias("recv"))
         )

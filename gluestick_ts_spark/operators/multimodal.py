@@ -149,10 +149,21 @@ def probe_media_metadata(
                         )
                     elif fmt == "mp4":  # round 12: moov box walk
                         mw, mh, mdur = mp4_probe(payload)
-                        meta.update(
-                            media_type="video", format="mp4",
-                            width=mw, height=mh, duration_ms=mdur,
-                        )
+                        # no video track header -> audio-only ISO BMFF
+                        # (M4A/M4B podcasts sniff as mp4 too): classify
+                        # audio and do NOT clobber caller width/height
+                        # with None — the ValueError path's keep-caller
+                        # promise applies to absent fields as well
+                        if mw is None and mh is None:
+                            meta.update(
+                                media_type="audio", format="mp4",
+                                duration_ms=mdur,
+                            )
+                        else:
+                            meta.update(
+                                media_type="video", format="mp4",
+                                width=mw, height=mh, duration_ms=mdur,
+                            )
                     elif fmt == "mp3":  # round 12: frame-header scan
                         hz, adur, _nf = mp3_probe(payload)
                         meta.update(

@@ -127,6 +127,11 @@ def surt(url: str) -> str:
         rest = path + (("?" + "&".join(params)) if params else "")
     if not rest.startswith("/"):
         rest = "/" + rest
+    # literal spaces percent-encode (IA's canonicalizer escapes them):
+    # the CDXJ line format is space-delimited, so a space inside the
+    # urlkey would shear read_cdxj's 3-way split and silently turn the
+    # row into an unparseable error line
+    rest = rest.replace(" ", "%20")
     return ",".join(reversed(host.split("."))) + port + ")" + rest
 
 
@@ -158,17 +163,21 @@ def surt_expr(url: Column | str) -> Column:
     rest2 = F.when(rest2.startswith("/"), rest2).otherwise(
         F.concat(F.lit("/"), rest2)
     )
+    rest2 = F.replace(rest2, F.lit(" "), F.lit("%20"))
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.concat(rev, port, F.lit(")"), rest2)
 
 
 def _cdx_timestamp(warc_date: str | None) -> str | None:
     """WARC-Date (``2024-01-02T03:04:05Z``) -> the CDX 14-digit
-    timestamp (``20240102030405``); None/garbage -> None."""
+    timestamp (``20240102030405``); None/garbage/truncated -> None.
+    Strictly 14 digits or nothing: a PARTIAL timestamp would sort
+    lexicographically older than every full one in
+    ``latest_captures``'s election, silently losing real captures."""
     if not warc_date:
         return None
     digits = re.sub(r"\D", "", warc_date)[:14]
-    return digits if len(digits) == 14 else (digits or None)
+    return digits if len(digits) == 14 else None
 
 
 def _http_head(body: bytes) -> tuple[int | None, str | None]:
@@ -469,6 +478,12 @@ def _fetch_mapper(
             "error",
         ]
         open_name, handle = None, None
+        # one-slot decoded-member cache: whole-file-gzip layouts give
+        # every record the SAME (offset, length) extent with differing
+        # rec_offsets, and entries arrive offset-sorted — without this
+        # a k-record selection re-reads and re-gunzips the container k
+        # times (O(k x container) instead of O(container))
+        cache_key, cache_chunk = None, None
 
         def _err(fname, off, msg):
             return (fname, off, "_error", None, None, None, None, None,
@@ -491,17 +506,22 @@ def _fetch_mapper(
                                 handle.close()
                             handle = open(local, "rb")
                             open_name = local
-                        handle.seek(off)
-                        raw = handle.read(length)
-                        if len(raw) < length:
-                            raise ValueError(
-                                f"short read: wanted {length} bytes at "
-                                f"{off}, got {len(raw)}"
-                            )
-                        if raw[:2] == b"\x1f\x8b":
-                            chunk = _gunzip_one(raw)
+                        if cache_key == (local, off, length):
+                            chunk = cache_chunk
                         else:
-                            chunk = raw
+                            handle.seek(off)
+                            raw = handle.read(length)
+                            if len(raw) < length:
+                                raise ValueError(
+                                    f"short read: wanted {length} bytes "
+                                    f"at {off}, got {len(raw)}"
+                                )
+                            if raw[:2] == b"\x1f\x8b":
+                                chunk = _gunzip_one(raw)
+                            else:
+                                chunk = raw
+                            cache_key = (local, off, length)
+                            cache_chunk = chunk
                         rec = None
                         for r in _walk_chunk(chunk):
                             if r["chunk_offset"] == rec_off:

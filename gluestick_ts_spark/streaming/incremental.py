@@ -987,10 +987,19 @@ def stream_curation_filter(
         if clf_model is not None:
             from ..operators.classifier import logreg_prob_expr
 
+            # the GATE uses the UNROUNDED sigmoid: comparing the
+            # 6-dp-rounded display column would let score -1/-2 (prob
+            # 0.4999995+ -> rounds to 0.500000) pass at the default
+            # threshold, disagreeing with the batch decision boundary
+            # clf_score >= 0 for the same frozen model
+            raw_prob = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(-(F.col("clf_score").cast("double") / F.lit(1e6)))
+            )
             enriched = enriched.withColumn(
                 "clf_prob", logreg_prob_expr(F.col("clf_score"))
             ).withColumn(
-                "clf_ok", F.col("clf_prob") >= F.lit(float(clf_min_prob))
+                "clf_ok", raw_prob >= F.lit(float(clf_min_prob))
             )
         if url_col:
             from ..operators.weburl import domain_blocklist_flag, robots_filter

@@ -412,3 +412,53 @@ def test_cdxj_gzip_round_trip(spark, crawl_dir, tmp_path):
     a = sorted(map(tuple, read_cdxj(spark, plain).select(*cols).collect()))
     b = sorted(map(tuple, read_cdxj(spark, gz).select(*cols).collect()))
     assert a == b and len(a) == 12
+
+
+def test_space_in_url_survives_cdxj(spark, tmp_path):
+    """Literal spaces in capture URLs percent-encode into the SURT key
+    (the CDXJ line format is space-delimited — an unescaped space
+    would shear the reader's split and silently lose the row)."""
+    rec = _capture(0)
+    rec["url"] = "http://x.com/a b/c?q=1 2"
+    (tmp_path / "s.warc.gz").write_bytes(warc_encode([rec]))
+    idx = index_warc(spark, str(tmp_path))
+    key = idx.first().urlkey
+    assert " " not in key
+    assert key == surt(rec["url"]) == "com,x)/a%20b/c?q=1%202"
+    out = str(tmp_path / "ix")
+    write_cdxj(idx, out)
+    back = read_cdxj(spark, out).collect()
+    assert len(back) == 1 and back[0].error is None
+    assert back[0].url == rec["url"]  # the raw URL rides the json
+    fetched = fetch_warc_records(spark, read_cdxj(spark, out))
+    assert fetched.first().url == rec["url"]
+    # expr twin agrees on the encoded form
+    got = (
+        spark.createDataFrame([(rec["url"],)], "url string")
+        .select(surt_expr("url").alias("s"))
+        .first()
+        .s
+    )
+    assert got == key
+
+
+def test_partial_warc_date_yields_null_timestamp(spark, tmp_path):
+    """A truncated WARC-Date maps to a NULL timestamp (never a partial
+    one — partial digits would sort strictly older than every full
+    timestamp and always lose latest_captures' election)."""
+    from gluestick_ts_spark.sources.cdx import _cdx_timestamp, latest_captures
+
+    assert _cdx_timestamp("2024-01-02") is None
+    assert _cdx_timestamp("garbage") is None
+    assert _cdx_timestamp("2024-01-02T03:04:05Z") == "20240102030405"
+    rec = _capture(0)
+    rec["warc_date"] = "2024-01-02"  # truncated
+    rec2 = _capture(0)
+    rec2["warc_date"] = "2023-06-01T00:00:00Z"  # older but COMPLETE
+    (tmp_path / "t.warc").write_bytes(warc_encode([rec, rec2], False))
+    idx = index_warc(spark, str(tmp_path))
+    rows = {r.timestamp for r in idx.collect()}
+    assert rows == {None, "20230601000000"}
+    # null timestamps sort LAST (desc_nulls_last): the complete date wins
+    win = latest_captures(idx).first()
+    assert win.timestamp == "20230601000000"

@@ -31,6 +31,7 @@ def _pagerank_py(edges, iters=5, damping=0.85):
     spec, independent code): edges = [(src, dst, w)]."""
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n = len(nodes)
+    edges = [(s, d, min(w, _GRID)) for s, d, w in edges]  # the op's cap
     outw = {}
     for s, _, w in edges:
         outw[s] = outw.get(s, 0) + w
@@ -167,3 +168,19 @@ def test_crawl_to_ranks_e2e(spark, tmp_path):
     edges = domain_link_edges(wat_links(read_wat(spark, str(tmp_path / "wat"))))
     ranks = _ranks(pagerank(edges, iters=3, weight_col="n_links"))
     assert ranks["hub.org"] == max(ranks.values())
+
+
+def test_huge_weights_stay_integer_exact(spark):
+    """Transfers whose products pass 2^53 (where double division would
+    round away from exact integer division) still match the python
+    twin bit for bit — the `div` (integral) path, plus the 1e9 weight
+    cap keeping products inside a long under ANSI mode."""
+    rows = [
+        ("a", "b", 999_999_937),  # prime-ish divisor territory
+        ("a", "c", 1),
+        ("d", "a", 123_456_789_123),  # beyond the cap -> clamped
+    ]
+    e = _edges(spark, rows)
+    got = _ranks(pagerank(e, iters=2, weight_col="w"))
+    want = _pagerank_py(rows, iters=2)
+    assert got == want

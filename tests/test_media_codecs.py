@@ -1151,3 +1151,31 @@ def test_probe_media_metadata_mp4_mp3(spark):
         for r in extract_media_features(df, "content").collect()
     }
     assert labels == {1: "mp4-meta", 2: "mp3-meta", 3: "fake"}
+
+
+def test_audio_only_mp4_classifies_audio(spark):
+    """An ISO BMFF container with no video track header (M4A/M4B
+    podcasts sniff as 'mp4' too) classifies media_type='audio' with
+    the real duration, and does NOT clobber caller-claimed fields
+    with None widths."""
+    from gluestick_ts_spark.operators.media_codecs import mp4_encode_meta
+    from gluestick_ts_spark.operators.multimodal import (
+        attach_media_metadata,
+        probe_media_metadata,
+    )
+
+    from pyspark.sql import functions as F
+
+    payload = mp4_encode_meta(0, 0, 9_000)  # zero-dim tkhd = no video
+    df = attach_media_metadata(
+        spark.createDataFrame([(1, payload)], "id int, content binary"),
+        "content",
+    ).withColumn(
+        # caller-claimed width: must survive the audio probe
+        "media_meta",
+        F.col("media_meta").withField("width", F.lit(640)),
+    )
+    m = probe_media_metadata(df).first().media_meta
+    assert (m["media_type"], m["format"]) == ("audio", "mp4")
+    assert m["duration_ms"] == 9_000
+    assert m["width"] == 640  # untouched
