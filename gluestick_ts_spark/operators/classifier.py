@@ -195,14 +195,27 @@ def train_logreg_hashed(
         if features_col is not None
         else clf_features_expr(text_col, dim, len_flags)
     )
-    feat = df.select(
-        x.alias("x"),
-        _col(label).cast("double").alias("y"),
-    ).persist()
+    # null labels are FILTERED, not coerced: Spark's sum would skip a
+    # null residual while a CASE-mapped 0 label would train on the row
+    # — the two engines must see the SAME row set or the bit-identical
+    # weights contract breaks (logreg_train_sql filters identically)
+    feat = (
+        df.select(
+            x.alias("x"),
+            _col(label).cast("double").alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+        .persist()
+    )
     try:
-        n = feat.count()
-        if n == 0:
-            raise ValueError("training frame is empty")
+        # n (the training row count) comes out of the FIRST gradient
+        # job below — every posexplode group j holds exactly one term
+        # per training row, so count(*) per group IS n. Folding it in
+        # saves a whole Spark job (the old standalone feat.count()):
+        # the per-iteration schedule is now exactly `iters` aggregation
+        # jobs, which is irreducible — each iteration's residuals
+        # depend on the previous iteration's weights.
+        n = None
         w = [0.0] * d
         b = 0.0
         grad_norms = []
@@ -224,9 +237,16 @@ def train_logreg_hashed(
             ).select("r", F.posexplode("x").alias("j", "xv"))
             rows = (
                 proj.groupBy("j")
-                .agg(F.sum((F.col("r") * F.col("xv")).cast("long")).alias("g"))
+                .agg(
+                    F.sum((F.col("r") * F.col("xv")).cast("long")).alias("g"),
+                    F.count(F.lit(1)).alias("c"),
+                )
                 .collect()
             )
+            if n is None:
+                n = int(rows[0]["c"]) if rows else 0
+                if n == 0:
+                    raise ValueError("training frame is empty")
             g = {int(row["j"]): int(row["g"] or 0) for row in rows}
             grad_norms.append(sum(abs(x) for x in g.values()))
             w = [
@@ -403,10 +423,15 @@ def logreg_train_sql(
     # Spark trainer's IEEE doubles
     lr_d = f"CAST({lr!r} AS DOUBLE)"
     l2_d = f"CAST({l2!r} AS DOUBLE)"
+    # three-way CASE so a NULL label stays NULL (a plain CASE..ELSE 0
+    # would coerce null to 0 and train on the row — diverging from the
+    # Spark trainer, which filters null labels); the clf_fx WHERE below
+    # then drops those rows so both engines train on the SAME set
     feats = clf_features_sql(
         text_sql, dim, len_flags, id_col, from_table,
         extra_select=(
-            f"CAST(CASE WHEN ({label_sql}) THEN 1.0 ELSE 0.0 END "
+            f"CAST(CASE WHEN ({label_sql}) THEN 1.0 "
+            f"WHEN NOT ({label_sql}) THEN 0.0 ELSE NULL END "
             "AS DOUBLE) AS y"
         ),
         extra_alias="y",
@@ -416,7 +441,8 @@ def logreg_train_sql(
     # one several times — without materialization the chain recomputes
     # with exponential fan-out
     ctes = [
-        f"clf_fx AS MATERIALIZED (SELECT * FROM {feats} t)",
+        f"clf_fx AS MATERIALIZED (SELECT * FROM {feats} t "
+        "WHERE t.y IS NOT NULL)",
         "clf_nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n "
         "FROM clf_fx)",
         (

@@ -81,7 +81,12 @@ def pagerank(
     their mass uniformly each round, the standard correction — without
     it total mass leaks and ranks stop being comparable across graphs.
     ``weight_col`` (e.g. ``n_links``) makes the per-edge transfer
-    proportional instead of uniform across a node's outlinks.
+    proportional instead of uniform across a node's outlinks; edges
+    with null or non-positive weight are DROPPED up front (they
+    transfer nothing by definition, and keeping them could make a
+    node's out-weight sum zero — a divide-by-zero job failure under
+    ANSI mode), so a node referenced only by such edges is not in the
+    graph at all.
 
     Determinism contract: ranks live on an integer 1e-9 grid — each
     round transfers ``floor(rank_units * w / W_out)`` units per edge
@@ -101,16 +106,28 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
-    # weight cap: per-edge transfer computes du * w with du <= d·GRID
+    # drop null/non-positive weights BEFORE the out-weight sum: a node
+    # whose edges all carry w <= 0 would otherwise get wout = 0 and
+    # `du * w div wout` divides by zero — a job-killing error under
+    # ANSI mode. A zero-weight edge transfers nothing by definition,
+    # so dropping it (the node becomes dangling if nothing remains) is
+    # the faithful semantics, not a clamp. The filter runs on the RAW
+    # weight — F.least SKIPS nulls, so capping first would resurrect a
+    # null weight as _GRID.
+    # Weight cap: per-edge transfer computes du * w with du <= d·GRID
     # (~8.5e8), so w <= 1e9 keeps the product inside a long under ANSI
     # overflow checking; beyond that an edge already takes essentially
-    # the whole out-share, so clamping loses nothing
-    w = F.least(w, F.lit(_GRID).cast("long"))
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        w.alias("w"),
-    ).localCheckpoint(eager=True)
+    # the whole out-share, so capping loses nothing.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .withColumn("w", F.least(F.col("w"), F.lit(_GRID).cast("long")))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -5990,7 +5990,7 @@ ORACLES: dict[str, str] = {
         # robots matches the RAW lowercased host (origin scope), not
         # the www-stripped PSL host h
         "lower(regexp_extract(u, "
-        "'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS rawh, "
+        r"'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS rawh, "
         # the URL's path(+query) for the robots verdict — '' -> '/'
         "CASE WHEN regexp_extract(u, '://[^/?#]*([^#]*)', 1) = '' THEN '/' "
         "ELSE regexp_extract(u, '://[^/?#]*([^#]*)', 1) END AS pth "

@@ -123,16 +123,21 @@ def surt(url: str) -> str:
     rest = re.sub(r"#.*$", "", rest, flags=re.S)
     if "?" in rest:
         path, q = rest.split("?", 1)
+        # UTF-8 byte order == codepoint order, so plain sorted() here
+        # matches the Column twin's encode()-comparator sort even for
+        # astral-plane params (Java's default String compare is UTF-16
+        # code-UNIT order, which diverges above U+FFFF)
         params = sorted(p for p in q.split("&") if p)
         rest = path + (("?" + "&".join(params)) if params else "")
     if not rest.startswith("/"):
         rest = "/" + rest
+    key = ",".join(reversed(host.split("."))) + port + ")" + rest
     # literal spaces percent-encode (IA's canonicalizer escapes them):
-    # the CDXJ line format is space-delimited, so a space inside the
-    # urlkey would shear read_cdxj's 3-way split and silently turn the
-    # row into an unparseable error line
-    rest = rest.replace(" ", "%20")
-    return ",".join(reversed(host.split("."))) + port + ")" + rest
+    # the CDXJ line format is space-delimited, so a space ANYWHERE in
+    # the urlkey — authority included, not just path+query — would
+    # shear read_cdxj's 3-way split and silently turn the row into an
+    # unparseable error line on round-trip. Escape the assembled key.
+    return key.replace(" ", "%20")
 
 
 def surt_expr(url: Column | str) -> Column:
@@ -152,7 +157,18 @@ def surt_expr(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"(?s)#.*$", "")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     q = F.regexp_replace(rest, r"^[^?]*\??", "")
-    params = F.array_sort(F.filter(F.split(q, "&"), lambda p: p != ""))
+    # sort params by their UTF-8 BYTES, not Java's default UTF-16
+    # code-unit order: byte order == codepoint order == Python
+    # sorted(), so the twins agree even on astral-plane (emoji) params
+    # where UTF-16 surrogates would sort differently
+    by_utf8 = lambda a, b: (  # noqa: E731
+        F.when(F.encode(a, "UTF-8") < F.encode(b, "UTF-8"), F.lit(-1))
+        .when(F.encode(a, "UTF-8") > F.encode(b, "UTF-8"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    params = F.array_sort(
+        F.filter(F.split(q, "&"), lambda p: p != ""), by_utf8
+    )
     rest2 = F.concat(
         path,
         F.when(
@@ -163,9 +179,10 @@ def surt_expr(url: Column | str) -> Column:
     rest2 = F.when(rest2.startswith("/"), rest2).otherwise(
         F.concat(F.lit("/"), rest2)
     )
-    rest2 = F.replace(rest2, F.lit(" "), F.lit("%20"))
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    return F.concat(rev, port, F.lit(")"), rest2)
+    key = F.concat(rev, port, F.lit(")"), rest2)
+    # escape the WHOLE assembled key (authority included) — see surt()
+    return F.replace(key, F.lit(" "), F.lit("%20"))
 
 
 def _cdx_timestamp(warc_date: str | None) -> str | None:
@@ -401,22 +418,37 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     )
     # validity sentinel: from_json is PERMISSIVE (malformed json -> a
     # struct of nulls, not a null struct), so a parsed line counts as
-    # good only when the mandatory ``filename`` field survived —
-    # every written line carries it, and an index row without a
-    # filename is unfetchable anyway
-    ok = F.col("__j.filename").isNotNull()
+    # good only when the mandatory ``filename`` field survived — every
+    # written line carries it, and an index row without a filename is
+    # unfetchable anyway. Numeric fields go through try_cast, NEVER
+    # plain cast: under the session's ANSI mode a malformed numeric in
+    # ONE third-party index line would otherwise throw
+    # CAST_INVALID_INPUT and kill the whole read — instead a present-
+    # but-uncastable numeric folds the line into the error sentinel.
+    num_ok = lambda f, t: (  # noqa: E731
+        F.col(f"__j.{f}").isNull() | F.col(f"__j.{f}").try_cast(t).isNotNull()
+    )
+    ok = (
+        F.col("__j.filename").isNotNull()
+        & num_ok("status", "int")
+        & num_ok("length", "long")
+        & num_ok("offset", "long")
+        & num_ok("rec_offset", "long")
+    )
     return parsed.select(
         F.when(ok, F.col("urlkey")).alias("urlkey"),
         F.when(ok, F.col("timestamp")).alias("timestamp"),
-        F.col("__j.url").alias("url"),
-        F.col("__j.mime").alias("mime"),
-        F.col("__j.status").cast("int").alias("status"),
-        F.col("__j.digest").alias("digest"),
-        F.col("__j.length").cast("long").alias("length"),
-        F.col("__j.offset").cast("long").alias("offset"),
-        F.col("__j.rec_offset").cast("long").alias("rec_offset"),
-        F.col("__j.filename").alias("filename"),
-        F.col("__j.warc_type").alias("warc_type"),
+        F.when(ok, F.col("__j.url")).alias("url"),
+        F.when(ok, F.col("__j.mime")).alias("mime"),
+        F.when(ok, F.col("__j.status").try_cast("int")).alias("status"),
+        F.when(ok, F.col("__j.digest")).alias("digest"),
+        F.when(ok, F.col("__j.length").try_cast("long")).alias("length"),
+        F.when(ok, F.col("__j.offset").try_cast("long")).alias("offset"),
+        F.when(ok, F.col("__j.rec_offset").try_cast("long")).alias(
+            "rec_offset"
+        ),
+        F.when(ok, F.col("__j.filename")).alias("filename"),
+        F.when(ok, F.col("__j.warc_type")).alias("warc_type"),
         F.when(~ok, F.col("value")).alias("error"),
     )
 
@@ -432,19 +464,32 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path).where(~F.col("value").startswith(" CDX"))
     p = F.split(F.col("value"), " ")
     d = lambda i: F.nullif(p.getItem(i), F.lit("-"))  # noqa: E731
+    # try_cast, never cast: ANSI mode would turn one malformed numeric
+    # field in a third-party index ('abc' in the status slot) into a
+    # job-killing CAST_INVALID_INPUT; bad numerics fold the line into
+    # the error sentinel instead (the read_cdxj contract)
+    num_ok = lambda i, t: (  # noqa: E731
+        d(i).isNull() | d(i).try_cast(t).isNotNull()
+    )
+    ok = (
+        (F.size(p) >= 11)
+        & num_ok(4, "int")
+        & num_ok(8, "long")
+        & num_ok(9, "long")
+    )
     return lines.select(
-        d(0).alias("urlkey"),
-        d(1).alias("timestamp"),
-        d(2).alias("url"),
-        d(3).alias("mime"),
-        d(4).cast("int").alias("status"),
-        d(5).alias("digest"),
-        d(8).cast("long").alias("length"),
-        d(9).cast("long").alias("offset"),
-        F.lit(0).cast("long").alias("rec_offset"),
-        d(10).alias("filename"),
+        F.when(ok, d(0)).alias("urlkey"),
+        F.when(ok, d(1)).alias("timestamp"),
+        F.when(ok, d(2)).alias("url"),
+        F.when(ok, d(3)).alias("mime"),
+        F.when(ok, d(4).try_cast("int")).alias("status"),
+        F.when(ok, d(5)).alias("digest"),
+        F.when(ok, d(8).try_cast("long")).alias("length"),
+        F.when(ok, d(9).try_cast("long")).alias("offset"),
+        F.when(ok, F.lit(0).cast("long")).alias("rec_offset"),
+        F.when(ok, d(10)).alias("filename"),
         F.lit(None).cast("string").alias("warc_type"),
-        F.when(F.size(p) < 11, F.col("value")).alias("error"),
+        F.when(~ok, F.col("value")).alias("error"),
     )
 
 
@@ -452,6 +497,40 @@ def _strip_file_scheme(path: str) -> str:
     if path.startswith("file:"):
         return re.sub(r"^file:(//)?", "", path)
     return path
+
+
+def _open_container(path: str):
+    """Open one container for ranged reads, FS-agnostic: plain local
+    paths and Hadoop-style single-slash ``file:/...`` names (what
+    binaryFile stamps into ``path``) use a direct ``open()`` (no
+    wrapper overhead on the hot local case); any ``scheme://`` URI —
+    ``file://`` included — routes through
+    ``pyarrow.fs.FileSystem.from_uri``, so the SAME code serves
+    ``s3://``/``gcs://``/``hdfs://`` containers on a real cluster,
+    where the ranged-fetch payoff (selectivity becomes IO) actually
+    matters. pyarrow input files are seekable readers, so the
+    open-once-per-container forward-read pattern is preserved.
+    Failures raise OSError/ValueError — the mapper's error-row path
+    (pyarrow's ArrowInvalid/ArrowIOError subclass them)."""
+    if re.match(r"^[a-z][a-z0-9+.\-]*://", path):
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        return filesystem.open_input_file(p)
+    return open(_strip_file_scheme(path), "rb")
+
+
+def _as_long(v) -> int | None:
+    """Defensive numeric coercion for index-entry fields arriving
+    through Arrow/pandas: None and NaN (how pandas renders null longs)
+    -> None, everything else -> int. Never raises — a null extent must
+    become a labeled error ROW, not a task death."""
+    try:
+        if v is None or v != v:
+            return None
+        return int(v)
+    except (TypeError, ValueError):
+        return None
 
 
 def _fetch_mapper(
@@ -496,15 +575,25 @@ def _fetch_mapper(
                     pdf["filename"], pdf["offset"], pdf["length"],
                     pdf["rec_offset"],
                 ):
-                    off = int(off)
-                    length = int(length)
-                    rec_off = int(rec_off) if rec_off == rec_off else 0
-                    local = _strip_file_scheme(str(fname))
+                    # conversions NEVER outside the try: read_cdxj /
+                    # read_cdx emit null extents for error lines, and
+                    # int(NaN) raising here would be a task death —
+                    # exactly the contract violation the error row
+                    # exists to prevent
+                    off = _as_long(off)
+                    length = _as_long(length)
+                    rec_off = _as_long(rec_off) or 0
+                    local = str(fname)
                     try:
+                        if off is None or length is None:
+                            raise ValueError(
+                                "null offset/length in index entry "
+                                "(unparseable or error index line?)"
+                            )
                         if open_name != local:
                             if handle is not None:
                                 handle.close()
-                            handle = open(local, "rb")
+                            handle = _open_container(local)
                             open_name = local
                         if cache_key == (local, off, length):
                             chunk = cache_chunk
@@ -584,10 +673,13 @@ def fetch_warc_records(
     reads forward (a seek stream, the access pattern object stores
     and page caches reward). Selected bytes are the ONLY bytes read:
     k records of ~50 KB across a 100 TB crawl cost O(50k·KB), not
-    O(crawl). Paths are local-filesystem (or ``file:`` URIs) — on a
-    real cluster the containers live on a mounted/fuse store; a
-    Hadoop-FS ranged reader would slot in here without changing the
-    plan shape. Every failure mode is a labeled ``_error`` row."""
+    O(crawl). FS-agnostic: local paths / ``file:`` names open
+    directly; any ``scheme://`` URI (s3/gcs/hdfs) routes through
+    ``pyarrow.fs.FileSystem.from_uri`` (see ``_open_container``) with
+    the same open-once forward-read pattern — on a real cluster,
+    where the containers live on an object store, this is where the
+    selectivity-becomes-IO payoff actually lands. Every failure mode
+    is a labeled ``_error`` row."""
     cols = entries.select(
         F.col("filename"),
         F.col("offset").cast("long"),

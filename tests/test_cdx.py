@@ -462,3 +462,149 @@ def test_partial_warc_date_yields_null_timestamp(spark, tmp_path):
     # null timestamps sort LAST (desc_nulls_last): the complete date wins
     win = latest_captures(idx).first()
     assert win.timestamp == "20230601000000"
+
+
+# ------------------------------------------- round-13 hardening fixes
+
+def test_surt_space_in_authority_escaped(spark):
+    """A space surviving in the AUTHORITY (not just path/query) must
+    escape too: the CDXJ line format is space-delimited, and a space
+    anywhere in the urlkey shears the 3-way split on round-trip."""
+    urls = ["http://bad host.com/x", "http://ex.com/a b?c d=1", "a b/c d"]
+    for u in urls:
+        assert " " not in surt(u), u
+    got = [
+        r.s
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(surt_expr("url").alias("s"))
+        .collect()
+    ]
+    assert got == [surt(u) for u in urls]
+
+
+def test_surt_non_ascii_param_order_matches_python(spark):
+    """Query-param sorting is UTF-8 BYTE order in both twins — BMP
+    non-ASCII and astral-plane (emoji) params included, where Java's
+    default UTF-16 code-unit compare would diverge from Python."""
+    urls = [
+        "http://example.com/a?\U0001F600=1&z=2&é=3",
+        "http://example.com/a?！=x&\U0001F680=y&b=0",
+        "http://example.com/?\U0001F600a=1&=2",  # surrogate-order trap
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
+    assert got == [surt(u) for u in urls]
+
+
+def test_read_cdxj_malformed_numeric_is_error_row(spark, tmp_path):
+    """A present-but-uncastable numeric field (third-party index
+    garbage) folds the LINE into the error sentinel — it must never
+    throw CAST_INVALID_INPUT under ANSI mode and kill the read."""
+    p = tmp_path / "cdxj"
+    p.mkdir()
+    (p / "part-00000").write_text(
+        'com,ok)/ 20240101000000 {"url":"http://ok/","status":"200",'
+        '"length":"5","offset":"0","rec_offset":"0",'
+        '"filename":"f.warc.gz"}\n'
+        'com,bad)/ 20240101000001 {"url":"http://bad/","status":"abc",'
+        '"length":"5","offset":"0","rec_offset":"0",'
+        '"filename":"f.warc.gz"}\n'
+        'com,bad2)/ 20240101000002 {"url":"http://bad2/","status":"200",'
+        '"length":"NaNopes","offset":"0","rec_offset":"0",'
+        '"filename":"f.warc.gz"}\n'
+    )
+    rows = read_cdxj(spark, str(p)).collect()  # must not raise
+    good = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(good) == 1 and good[0].urlkey == "com,ok)/"
+    assert len(bad) == 2
+    assert all(r.urlkey is None and r.filename is None for r in bad)
+    assert any("abc" in r.error for r in bad)
+
+
+def test_read_cdx_malformed_numeric_is_error_row(spark, tmp_path):
+    p = tmp_path / "cdx"
+    p.mkdir()
+    (p / "part-00000").write_text(
+        "com,example)/ 20240102030405 http://example.com/ text/html abc "
+        "D - - 1234 5678 crawl-00.warc.gz\n"
+        "com,example)/y 20240102030406 http://example.com/y text/html 200 "
+        "D - - nope 5678 crawl-00.warc.gz\n"
+        "com,example)/z 20240102030407 http://example.com/z text/html 200 "
+        "D - - 12 34 crawl-00.warc.gz\n"
+    )
+    rows = read_cdx(spark, str(p)).collect()  # must not raise
+    good = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(good) == 1 and good[0].urlkey == "com,example)/z"
+    assert len(bad) == 2 and all(r.status is None for r in bad)
+
+
+def test_fetch_null_extent_is_error_row(spark, crawl_dir):
+    """Null offset/length entries (what read_cdxj emits for its own
+    error lines) become labeled _error rows, never an int(NaN) task
+    death in the mapper."""
+    entries = spark.createDataFrame(
+        [
+            (f"{crawl_dir}/a.warc.gz", None, 64, 0),
+            (f"{crawl_dir}/a.warc.gz", 0, None, None),
+            (None, None, None, None),
+        ],
+        "filename string, offset long, length long, rec_offset long",
+    )
+    rows = fetch_warc_records(spark, entries).collect()
+    assert len(rows) == 3
+    assert all(r.warc_type == "_error" for r in rows)
+    assert sum("null offset/length" in (r.error or "") for r in rows) == 3
+
+
+def test_fetch_through_pyarrow_file_uri(spark, crawl_dir):
+    """fetch == scan equality THROUGH the pyarrow.fs path: the same
+    entries with filenames rewritten to file:// URIs (which route via
+    FileSystem.from_uri) return byte-identical records."""
+    idx = index_warc(spark, crawl_dir).where("status = 200")
+    direct = fetch_warc_records(spark, idx)
+    # binaryFile stamps Hadoop-style file:/abs names — rebuild as the
+    # explicit file:// URI form, which routes through pyarrow
+    via_uri = fetch_warc_records(
+        spark,
+        idx.withColumn(
+            "filename",
+            F.concat(
+                F.lit("file://"),
+                F.regexp_replace("filename", "^file:(//)?", ""),
+            ),
+        ),
+    )
+    key = lambda r: (  # noqa: E731
+        r.url, r.warc_date, r.http_status, r.text, bytes(r.payload),
+    )
+    d, v = direct.collect(), via_uri.collect()
+    assert len(d) > 0 and sorted(map(key, d)) == sorted(map(key, v))
+    assert all(r.error is None for r in v)
+
+
+def test_open_container_pyarrow_ranged_read(tmp_path):
+    """Unit: the pyarrow branch of _open_container serves seek + exact
+    ranged reads (the only two calls the fetch mapper makes)."""
+    from gluestick_ts_spark.sources.cdx import _open_container
+
+    blob = bytes(range(256)) * 4
+    f = tmp_path / "c.bin"
+    f.write_bytes(blob)
+    h = _open_container(f"file://{f}")
+    try:
+        h.seek(100)
+        assert h.read(32) == blob[100:132]
+        h.seek(5)
+        assert h.read(3) == blob[5:8]
+    finally:
+        h.close()
+    # single-slash Hadoop form and bare path take the plain-open branch
+    for name in (f"file:{f}", str(f)):
+        h2 = _open_container(name)
+        try:
+            h2.seek(10)
+            assert h2.read(4) == blob[10:14]
+        finally:
+            h2.close()

@@ -361,3 +361,35 @@ def test_stream_curation_classifier_stage(spark, tmp_path):
     for r in batch:
         assert _rows[r.doc_id]["score"] == r.s
     assert _rows[1]["ok"] and not _rows[2]["ok"]
+
+
+def test_null_labels_filtered_identically_both_engines(spark):
+    """Null labels are FILTERED in both trainers (not coerced to 0 by
+    the SQL CASE): training with nulls present equals training on the
+    pre-filtered frame, and the DuckDB twin lands the same weights."""
+    duckdb = pytest.importorskip("duckdb")
+    d = _docs(spark)
+    # label: gopher over text, but NULL for every 7th doc
+    null_if = "doc_id % 7 = 0"
+    lab = F.when(F.expr(null_if), F.lit(None)).otherwise(_gopher())
+    m = train_logreg_hashed(d, lab, iters=2)
+    m_pref = train_logreg_hashed(
+        d.where(f"NOT ({null_if})"), _gopher(), iters=2
+    )
+    assert m["weights"] == m_pref["weights"] and m["bias"] == m_pref["bias"]
+    assert m["n"] == m_pref["n"]
+    from gluestick_ts_spark.plans.queries import _GOPHER_PASS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF1}/documents.parquet')"
+    )
+    chain = logreg_train_sql(
+        f"CASE WHEN {null_if} THEN NULL ELSE {_GOPHER_PASS_SQL} END",
+        iters=2,
+    )
+    W, B = con.execute(
+        f"WITH {chain} SELECT W, B FROM clf_wfin"
+    ).fetchone()
+    assert list(W) == m["weights"] and B == m["bias"]

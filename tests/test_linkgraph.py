@@ -184,3 +184,26 @@ def test_huge_weights_stay_integer_exact(spark):
     got = _ranks(pagerank(e, iters=2, weight_col="w"))
     want = _pagerank_py(rows, iters=2)
     assert got == want
+
+
+def test_non_positive_weight_edges_dropped_not_div0(spark):
+    """Zero/negative/null caller-supplied weights must not produce a
+    wout=0 group (a divide-by-zero job failure under ANSI mode): such
+    edges are dropped up front, and a node referenced ONLY by them is
+    not in the graph."""
+    e = _edges(
+        spark,
+        [
+            ("a", "b", 0),     # a's only edge is zero-weight -> a dangles
+            ("a", "z", -3),    # negative: dropped
+            ("c", "a", 2),
+            ("a2", "c", None), # null: dropped
+            ("d", "c", 1),
+        ],
+    )
+    got = _ranks(pagerank(e, iters=3, weight_col="w"))
+    # b, z, a2 were referenced only through dropped edges
+    assert set(got) == {"a", "c", "d"}
+    want = _pagerank_py([("c", "a", 2), ("d", "c", 1)], iters=3)
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-6
