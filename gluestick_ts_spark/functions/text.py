@@ -31,12 +31,20 @@ __all__ = [
     "lang_id_expr",
     "lang_score_sql",
     "lang_id_sql",
+    "lang_id_duck_sql",
+    "DEFAULT_LANGS",
+    "CJK_LANGS",
+    "CJK_CLASS",
+    "CJK_STOP_CHARS",
     "shingles_expr",
     "raw_shingles_expr",
     "repetition_ratio_expr",
     "repetition_profile_sql",
     "gopher_quality_flags",
     "gopher_rules_sql",
+    "gopher_rules_duck_sql",
+    "gopher_cjk_toks_sql",
+    "gopher_cjk_toks_duck_sql",
     "c4_line_rules_expr",
     "license_flags_expr",
     "license_flags_sql",
@@ -72,8 +80,10 @@ STOPWORDS_EN = (
 # biasing curation against exactly the documents a multilingual
 # sampler upweights. Same 18-word scale as STOPWORDS_EN (real jusText
 # lists are ~10x larger — the documented undercount applies per
-# language); zh matches the corpus's pinyin-transliterated synth (the
-# LANG_MARKERS convention). Keys align with lang_id_expr's langs.
+# language). WORD stoplists only: unsegmented CJK scripts never route
+# here — they take the char-grain density gate (round 13, see
+# ``main_text_expr``'s ``cjk`` parameter), because a whitespace-token
+# stoplist is structurally meaningless for text without spaces.
 STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "en": STOPWORDS_EN,
     "de": (
@@ -90,23 +100,56 @@ STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
         "el", "la", "los", "las", "y", "es", "un", "una", "que",
         "por", "en", "no", "se", "del", "con", "para", "su", "al",
     ),
-    "zh": (
-        "de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1",
-        "men5", "he2", "ye3", "zhe4", "na4", "ge4", "shang4", "li3",
-        "dou1", "hen3",
-    ),
 }
 
 # Per-language marker words for the n-gram/stopword language-ID
-# heuristic. Scores are overlap fractions; deterministic tie-break by
-# declaration order.
+# heuristic — SPACE-SEGMENTED languages only. Scores are overlap
+# fractions; deterministic tie-break by declaration order. CJK
+# languages are identified by SCRIPT (codepoint-class counts, below),
+# never by word markers: real Chinese/Japanese prose has no spaces, so
+# `tokens_expr` yields one giant pseudo-token per clause and every
+# word-marker score is identically zero (the round-12 pinyin zh table
+# only matched this repo's transliterated synth corpus — replaced).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
     "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
     "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
-    "zh": ("de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1", "men5", "he2"),
 }
+
+# ---------------------------------------------------------------------
+# Script-aware CJK handling (round 13). Public Unicode block ranges,
+# embedded as LITERAL characters so the SAME class string compiles in
+# Java regex (Spark) and RE2 (DuckDB) — both accept literal-codepoint
+# ranges inside a class; all endpoints are BMP so Spark's UTF-16
+# `length` and DuckDB's codepoint `length` agree everywhere they're
+# used together.
+# ---------------------------------------------------------------------
+_HAN_CLASS = "㐀-䶿一-鿿"  # CJK Unified Ideographs + Ext-A
+_KANA_CLASS = "぀-ゟ゠-ヿ"  # hiragana + katakana
+_HANGUL_CLASS = "ᄀ-ᇿ가-힯"  # jamo + syllables
+CJK_CLASS = _HAN_CLASS + _KANA_CLASS + _HANGUL_CLASS
+CJK_LANGS = ("zh", "ja", "ko")
+
+# routing thresholds, integer-exact (hash-stable across engines):
+# a document routes CJK when >= 3/10 of its non-space characters are
+# CJK-script codepoints; within CJK it is `ko` when hangul is at
+# least half the CJK mass, else `ja` when kana is >= 1/10 of it
+# (Japanese prose is 30-70% kana; Chinese has none), else `zh`.
+_CJK_DOC_TENTHS = 3
+_KO_HANGUL_HALVES = 1  # 2 * hangul >= 1 * cjk
+_JA_KANA_TENTHS = 1  # 10 * kana >= 1 * cjk
+
+# High-frequency CJK function CHARACTERS (the char-grain analog of the
+# word stoplists): zh particles/copulas, ja kana particles, ko
+# particle syllables. Used by the routed Gopher stopword rule — CJK
+# tokens are single chars under the char-grain tokenizer, so char
+# membership is the right grain.
+CJK_STOP_CHARS: tuple[str, ...] = (
+    "的", "了", "是", "在", "我", "有", "和", "不", "这", "也",
+    "の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+    "이", "다", "의", "가", "에", "는", "로", "을", "를", "고",
+)
 
 # BPE-ish token regex: word runs OR single non-space symbols. Java and
 # RE2 agree on this pattern for ASCII input.
@@ -336,25 +379,54 @@ def winnow_fps_sql(
     )
 
 
+_SCRIPT_CLASS = {"zh": _HAN_CLASS, "ja": _KANA_CLASS, "ko": _HANGUL_CLASS}
+
+
 def lang_score_expr(text: Column | str, lang: str) -> Column:
-    """Overlap fraction between a doc's tokens and a language's marker
-    words."""
+    """Language evidence score in [0, 1]. Space-segmented languages:
+    overlap fraction between the doc's tokens and the language's
+    marker words. CJK languages (round 13): the fraction of non-space
+    CHARACTERS in the language's dominant script class (han for zh,
+    kana for ja, hangul for ko) — word overlap is identically zero for
+    unsegmented prose, so character class IS the marker."""
+    t = _col(text)
+    if lang in CJK_LANGS:
+        hits = F.regexp_count(t, F.lit(f"[{_SCRIPT_CLASS[lang]}]"))
+        nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+        return hits.cast("double") / F.greatest(
+            nonspace, F.lit(1)
+        ).cast("double")
     markers = LANG_MARKERS[lang]
-    toks = tokens_expr(text)
+    toks = tokens_expr(t)
     mk = F.array(*[F.lit(m) for m in markers])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(mk, t)))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh")) -> Column:
-    """Predicted language = argmax marker-overlap score, ties broken by
-    ``langs`` order (earlier wins); 'und' when every score is zero.
+DEFAULT_LANGS = ("en", "de", "fr", "es", "zh", "ja", "ko")
 
-    Implemented as ``array_max`` over ``struct(score, -index, lang)`` —
-    struct comparison is lexicographic, so the max struct carries the
-    highest score and, on ties, the earliest declared language.
+
+def lang_id_expr(
+    text: Column | str, langs: tuple[str, ...] = DEFAULT_LANGS
+) -> Column:
+    """Predicted language. Round 13 routing: a document whose
+    non-space characters are >= 3/10 CJK-script codepoints is
+    identified BY SCRIPT — `ko` when hangul is at least half the CJK
+    mass, else `ja` when kana is >= 1/10 of it, else `zh` (all
+    integer-exact count comparisons — real CJK prose has no spaces,
+    so the word-marker path below structurally cannot see it). Every
+    other document takes the word-marker argmax over the
+    space-segmented ``langs``, ties broken by declaration order
+    (earlier wins); 'und' when every score is zero.
+
+    Implemented as ``array_max`` over ``struct(score, -index, lang)``
+    for the word path — struct comparison is lexicographic, so the max
+    struct carries the highest score and, on ties, the earliest
+    declared language. All in-row Column algebra, map-only anywhere.
     """
     t = _col(text)
+    word_langs = [l for l in langs if l not in CJK_LANGS]
+    cjk_langs = [l for l in langs if l in CJK_LANGS]
     candidates = F.array(
         *[
             F.struct(
@@ -362,11 +434,33 @@ def lang_id_expr(text: Column | str, langs: tuple[str, ...] = ("en", "de", "fr",
                 F.lit(-i).alias("prio"),
                 F.lit(lang).alias("lang"),
             )
-            for i, lang in enumerate(langs)
+            for i, lang in enumerate(word_langs)
         ]
     )
     best = F.array_max(candidates)
-    return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+    word_pred = F.when(best["score"] > 0.0, best["lang"]).otherwise(
+        F.lit("und")
+    )
+    if not cjk_langs:
+        return word_pred
+    han = F.regexp_count(t, F.lit(f"[{_HAN_CLASS}]"))
+    kana = F.regexp_count(t, F.lit(f"[{_KANA_CLASS}]"))
+    hangul = F.regexp_count(t, F.lit(f"[{_HANGUL_CLASS}]"))
+    cjk = han + kana + hangul
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    routed = (
+        F.when(2 * hangul >= _KO_HANGUL_HALVES * cjk, F.lit("ko"))
+        .when(10 * kana >= _JA_KANA_TENTHS * cjk, F.lit("ja"))
+        .otherwise(F.lit("zh"))
+    )
+    # restrict routing to the requested CJK languages (callers asking
+    # for e.g. zh only fall back to the word path for ja/ko scripts)
+    routed_ok = routed.isin(list(cjk_langs))
+    return F.when(
+        (10 * cjk >= _CJK_DOC_TENTHS * F.greatest(nonspace, F.lit(1)))
+        & routed_ok,
+        routed,
+    ).otherwise(word_pred)
 
 
 def lang_score_sql(col: str, lang: str) -> str:
@@ -374,6 +468,12 @@ def lang_score_sql(col: str, lang: str) -> str:
     column — semantics identical; exists so multi-language queries can
     enter the plan as parsed SQL (one parser call) instead of ~50 py4j
     Column constructions per language (see gopher_rules_sql rationale)."""
+    if lang in CJK_LANGS:
+        return (
+            f"CAST(regexp_count(`{col}`, '[{_SCRIPT_CLASS[lang]}]') AS DOUBLE)"
+            f" / CAST(greatest(length(regexp_replace(`{col}`, "
+            "'\\\\s', '')), 1) AS DOUBLE)"
+        )
     toks = f"split(lower(trim(`{col}`)), '\\\\s+')"
     mk = "array(" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + ")"
     return (
@@ -382,17 +482,96 @@ def lang_score_sql(col: str, lang: str) -> str:
     )
 
 
-def lang_id_sql(col: str, langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh")) -> str:
+def _cjk_route_sqls(col_expr: str, dialect: str) -> tuple[str, str]:
+    """(is_cjk_doc, routed_lang) fragments over the text expression
+    ``col_expr`` — ONE generator for both engines (dialect 'spark' |
+    'duck'), so the integer-exact routing thresholds can't drift. The
+    only dialect deltas are the count/replace function spellings."""
+    if dialect == "spark":
+        cnt = lambda cls: f"regexp_count({col_expr}, '[{cls}]')"  # noqa: E731
+        nonspace = (
+            f"length(regexp_replace({col_expr}, '\\\\s', ''))"
+        )
+    else:
+        cnt = lambda cls: (  # noqa: E731
+            f"len(regexp_extract_all({col_expr}, '[{cls}]'))"
+        )
+        nonspace = f"length(regexp_replace({col_expr}, '\\s', '', 'g'))"
+    han, kana, hangul = (
+        cnt(_HAN_CLASS), cnt(_KANA_CLASS), cnt(_HANGUL_CLASS)
+    )
+    cjk = f"({han} + {kana} + {hangul})"
+    is_cjk = (
+        f"(10 * {cjk} >= {_CJK_DOC_TENTHS} * greatest({nonspace}, 1))"
+    )
+    routed = (
+        f"(CASE WHEN 2 * {hangul} >= {_KO_HANGUL_HALVES} * {cjk} THEN 'ko' "
+        f"WHEN 10 * {kana} >= {_JA_KANA_TENTHS} * {cjk} THEN 'ja' "
+        "ELSE 'zh' END)"
+    )
+    return is_cjk, routed
+
+
+def lang_id_sql(col: str, langs: tuple[str, ...] = DEFAULT_LANGS) -> str:
     """Spark-SQL fragment computing ``lang_id_expr`` for a named column
-    (argmax marker score via lexicographic struct max, ties to earlier
-    language, 'und' when all scores are zero)."""
+    (script-routed CJK first, then argmax marker score via
+    lexicographic struct max, ties to earlier language, 'und' when all
+    scores are zero)."""
+    word_langs = [l for l in langs if l not in CJK_LANGS]
+    cjk_langs = [l for l in langs if l in CJK_LANGS]
     cands = ", ".join(
         f"named_struct('score', {lang_score_sql(col, lang)}, "
         f"'prio', {-i}, 'lang', '{lang}')"
-        for i, lang in enumerate(langs)
+        for i, lang in enumerate(word_langs)
     )
     best = f"array_max(array({cands}))"
-    return f"CASE WHEN {best}.score > 0.0D THEN {best}.lang ELSE 'und' END"
+    word = f"CASE WHEN {best}.score > 0.0D THEN {best}.lang ELSE 'und' END"
+    if not cjk_langs:
+        return f"({word})"
+    is_cjk, routed = _cjk_route_sqls(f"`{col}`", "spark")
+    in_list = ", ".join(f"'{l}'" for l in cjk_langs)
+    return (
+        f"(CASE WHEN {is_cjk} AND {routed} IN ({in_list}) THEN {routed} "
+        f"ELSE {word} END)"
+    )
+
+
+def lang_id_duck_sql(
+    text_sql: str, langs: tuple[str, ...] = DEFAULT_LANGS
+) -> str:
+    """DuckDB twin of ``lang_id_expr``/``lang_id_sql`` over the text
+    SQL expression ``text_sql`` — GENERATED from the same marker
+    tables, script classes, and integer thresholds (the
+    license_flags_sql one-rule-source pattern), so the two engines
+    route identically by construction. Word path: argmax marker score
+    with declaration-order tie-break ('und' at zero)."""
+    word_langs = [l for l in langs if l not in CJK_LANGS]
+    cjk_langs = [l for l in langs if l in CJK_LANGS]
+    toks = f"regexp_split_to_array(lower(trim({text_sql})), '\\s+')"
+
+    def score(lang: str) -> str:
+        mk = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        return (
+            f"(CAST(len(list_filter({toks}, t -> list_contains({mk}, t)))"
+            f" AS DOUBLE) / CAST(greatest(len({toks}), 1) AS DOUBLE))"
+        )
+
+    greatest = (
+        "greatest(" + ", ".join(score(l) for l in word_langs) + ")"
+    )
+    whens = " ".join(
+        f"WHEN {score(lang)} = {greatest} THEN '{lang}'"
+        for lang in word_langs
+    )
+    word = f"CASE WHEN {greatest} = 0 THEN 'und' {whens} END"
+    if not cjk_langs:
+        return f"({word})"
+    is_cjk, routed = _cjk_route_sqls(text_sql, "duck")
+    in_list = ", ".join(f"'{l}'" for l in cjk_langs)
+    return (
+        f"(CASE WHEN {is_cjk} AND {routed} IN ({in_list}) THEN {routed} "
+        f"ELSE {word} END)"
+    )
 
 
 def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:
@@ -516,6 +695,32 @@ def chunk_tokens(
     )
 
 
+def gopher_cjk_toks_sql(text_col: str = "text") -> str:
+    """Spark-SQL fragment: the CHAR-GRAIN token array for CJK-routed
+    Gopher scoring — every CJK-script character is its own token,
+    interleaved non-CJK non-space runs stay whole words (digits,
+    latin loanwords). The standard proxy segmentation for scripts
+    without spaces: word-count becomes char-count, word n-grams
+    become char n-grams, and the published Gopher thresholds apply at
+    the morpheme grain. Stage the result ONCE in a lower select (the
+    SPARK-36718 pattern) and hand it to ``gopher_rules_sql`` as
+    ``toks_sql``."""
+    t = f"`{text_col}`"
+    return (
+        f"regexp_extract_all(lower(trim({t})), "
+        f"'([{CJK_CLASS}]|[^{CJK_CLASS}\\\\s]+)', 1)"
+    )
+
+
+def gopher_cjk_toks_duck_sql(text_sql: str = "text") -> str:
+    """DuckDB twin of :func:`gopher_cjk_toks_sql` — same pattern,
+    RE2 dialect."""
+    return (
+        f"regexp_extract_all(lower(trim({text_sql})), "
+        f"'[{CJK_CLASS}]|[^{CJK_CLASS}\\s]+')"
+    )
+
+
 def gopher_rules_sql(
     text_col: str = "text",
     min_words: int = 50,
@@ -531,6 +736,7 @@ def gopher_rules_sql(
     toks_sql: str | None = None,
     lines_sql: str | None = None,
     grams_sql: str | None = None,
+    cjk_sql: str | None = None,
 ) -> dict[str, str]:
     """Spark-SQL fragment per Gopher rule (see ``gopher_quality_flags``)
     keyed by flag name. Kept as SQL strings so the whole rule set
@@ -543,7 +749,19 @@ def gopher_rules_sql(
     precomputed column reference for the derived arrays — callers that
     project the token/gram/line arrays ONCE in a lower select (Catalyst
     keeps non-cheap multi-referenced projections un-inlined) avoid
-    re-deriving them per rule."""
+    re-deriving them per rule.
+
+    ``cjk_sql`` (round 13): a doc-level boolean SQL fragment routing
+    the THREE word-shape rules to their char-grain CJK variants —
+    mean word length bounds drop to [1, max] (char tokens are length
+    1), the alpha-word class widens to include CJK-script chars, and
+    the stopword rule counts ``CJK_STOP_CHARS`` hits instead of
+    English stopwords. Callers MUST pair it with a routed
+    ``toks_sql``/``grams_sql`` (``gopher_cjk_toks_sql`` under the
+    same CASE) so the count/repetition rules run at the same grain —
+    without the routed tokens a real CJK document is one giant token
+    and every rule fails vacuously, which is precisely the mass-drop
+    this routing exists to fix."""
     t = f"`{text_col}`"
     toks = toks_sql or f"split(lower(trim({t})), '\\\\s+')"
     nw = f"CAST(size({toks}) AS DOUBLE)"
@@ -574,11 +792,38 @@ def gopher_rules_sql(
     else:
         grams = grams_sql
     sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
+    mwl_min = (
+        f"(CASE WHEN ({cjk_sql}) THEN 1.0D ELSE {min_mean_word_len}D END)"
+        if cjk_sql is not None
+        else f"{min_mean_word_len}D"
+    )
+    alpha_frac = (
+        f"CAST(size(filter({toks}, w -> w rlike '[a-z]')) AS DOUBLE)"
+        f" / {safe_w}"
+    )
+    stop_hits = (
+        f"size(array_distinct(filter({toks}, w -> array_contains({sw}, w))))"
+    )
+    if cjk_sql is not None:
+        alpha_cjk = (
+            f"CAST(size(filter({toks}, w -> w rlike "
+            f"'[a-z{CJK_CLASS}]')) AS DOUBLE) / {safe_w}"
+        )
+        alpha_frac = (
+            f"(CASE WHEN ({cjk_sql}) THEN {alpha_cjk} "
+            f"ELSE {alpha_frac} END)"
+        )
+        csw = "array(" + ", ".join(f"'{c}'" for c in CJK_STOP_CHARS) + ")"
+        stop_hits = (
+            f"(CASE WHEN ({cjk_sql}) THEN size(array_distinct(filter("
+            f"{toks}, w -> array_contains({csw}, w)))) "
+            f"ELSE {stop_hits} END)"
+        )
     return {
         "n_words_ok": f"({nw} >= {min_words} AND {nw} <= {max_words})",
         "mean_word_len_ok": (
             f"(CAST(aggregate({toks}, 0L, (a, x) -> a + length(x)) AS DOUBLE)"
-            f" / {safe_w} BETWEEN {min_mean_word_len}D AND {max_mean_word_len}D)"
+            f" / {safe_w} BETWEEN {mwl_min} AND {max_mean_word_len}D)"
         ),
         "symbol_ratio_ok": (
             f"(CAST(regexp_count({t}, '#') + regexp_count({t}, '\\\\.\\\\.\\\\.|…') AS DOUBLE)"
@@ -592,20 +837,116 @@ def gopher_rules_sql(
             f"(CAST(size(filter({lines}, l -> trim(l) rlike '(\\\\.\\\\.\\\\.|…)$')) AS DOUBLE)"
             f" / {safe_l} <= {max_ellipsis_line_frac}D)"
         ),
-        "alpha_words_ok": (
-            f"(CAST(size(filter({toks}, w -> w rlike '[a-z]')) AS DOUBLE)"
-            f" / {safe_w} >= {min_alpha_word_frac}D)"
-        ),
-        "stopwords_ok": (
-            f"(size(array_distinct(filter({toks}, w -> array_contains({sw}, w))))"
-            f" >= {min_stopword_hits})"
-        ),
+        "alpha_words_ok": f"({alpha_frac} >= {min_alpha_word_frac}D)",
+        "stopwords_ok": f"({stop_hits} >= {min_stopword_hits})",
         # vacuous pass on an empty gram list (docs under 3 tokens have
         # no 3-grams to repeat)
         "repetition_ok": (
             f"(size({grams}) < 1 OR "
             f"1.0D - CAST(size(array_distinct({grams})) AS DOUBLE)"
             f" / CAST(size({grams}) AS DOUBLE) <= {max_dup_3gram_ratio}D)"
+        ),
+    }
+
+
+def gopher_rules_duck_sql(
+    text_sql: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_3gram_ratio: float = 0.5,
+    toks_sql: str | None = None,
+    lines_sql: str | None = None,
+    grams_sql: str | None = None,
+    cjk_sql: str | None = None,
+) -> dict[str, str]:
+    """DuckDB restatement of :func:`gopher_rules_sql`, GENERATED from
+    the same thresholds / stopword tables / CJK script classes (the
+    license_flags_sql one-rule-source pattern) — rule drift between
+    engine and oracle is structurally impossible. Same staging
+    contract: pass ``toks_sql``/``lines_sql``/``grams_sql`` for
+    arrays the caller projected once, and ``cjk_sql`` (a doc-level
+    boolean fragment) paired with char-grain routed tokens."""
+    t = text_sql
+    toks = toks_sql or f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    nw = f"CAST(len({toks}) AS DOUBLE)"
+    safe_w = f"greatest({nw}, 1.0)"
+    lines = lines_sql or f"string_split({t}, chr(10))"
+    safe_l = f"CAST(greatest(len({lines}), 1) AS DOUBLE)"
+    if grams_sql is None:
+        tri = (
+            f"[array_to_string(({toks})[i:i+2], ' ') "
+            f"for i in range(1, greatest(len({toks}) - 2, 1) + 1)]"
+        )
+        grams = (
+            f"CASE WHEN len({toks}) >= 3 THEN {tri} "
+            "ELSE CAST([] AS VARCHAR[]) END"
+        )
+    else:
+        grams = grams_sql
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    mwl_min = (
+        f"(CASE WHEN ({cjk_sql}) THEN 1.0 ELSE {min_mean_word_len} END)"
+        if cjk_sql is not None
+        else f"{min_mean_word_len}"
+    )
+    alpha_frac = (
+        f"CAST(len(list_filter({toks}, w -> regexp_matches(w, '[a-z]')))"
+        f" AS DOUBLE) / {safe_w}"
+    )
+    stop_hits = (
+        f"len(list_distinct(list_filter({toks}, "
+        f"w -> list_contains({sw}, w))))"
+    )
+    if cjk_sql is not None:
+        alpha_cjk = (
+            f"CAST(len(list_filter({toks}, w -> regexp_matches(w, "
+            f"'[a-z{CJK_CLASS}]'))) AS DOUBLE) / {safe_w}"
+        )
+        alpha_frac = (
+            f"(CASE WHEN ({cjk_sql}) THEN {alpha_cjk} "
+            f"ELSE {alpha_frac} END)"
+        )
+        csw = "[" + ", ".join(f"'{c}'" for c in CJK_STOP_CHARS) + "]"
+        stop_hits = (
+            f"(CASE WHEN ({cjk_sql}) THEN len(list_distinct(list_filter("
+            f"{toks}, w -> list_contains({csw}, w)))) "
+            f"ELSE {stop_hits} END)"
+        )
+    return {
+        "n_words_ok": f"(len({toks}) BETWEEN {min_words} AND {max_words})",
+        "mean_word_len_ok": (
+            f"(CAST(coalesce(list_sum(list_transform({toks}, "
+            f"x -> length(x))), 0) AS DOUBLE) / {safe_w} "
+            f"BETWEEN {mwl_min} AND {max_mean_word_len})"
+        ),
+        "symbol_ratio_ok": (
+            f"(CAST(len(regexp_extract_all({t}, '#')) + "
+            f"len(regexp_extract_all({t}, '\\.\\.\\.|…')) AS DOUBLE)"
+            f" / {safe_w} <= {max_symbol_word_ratio})"
+        ),
+        "bullet_lines_ok": (
+            f"(CAST(len(list_filter({lines}, l -> "
+            "regexp_matches(trim(l), '^([•‣▪-]\\s)'))) AS DOUBLE)"
+            f" / {safe_l} <= {max_bullet_line_frac})"
+        ),
+        "ellipsis_lines_ok": (
+            f"(CAST(len(list_filter({lines}, l -> "
+            "regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)"
+            f" / {safe_l} <= {max_ellipsis_line_frac})"
+        ),
+        "alpha_words_ok": f"({alpha_frac} >= {min_alpha_word_frac})",
+        "stopwords_ok": f"({stop_hits} >= {min_stopword_hits})",
+        "repetition_ok": (
+            f"(len({grams}) < 1 OR "
+            f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE)"
+            f" / CAST(len({grams}) AS DOUBLE) <= {max_dup_3gram_ratio})"
         ),
     }
 
@@ -912,6 +1253,14 @@ _JT_INVISIBLE = (
 # jusText lists ~10x, so corpora scored with it sit lower)
 _JT_MIN_LEN = 80
 _JT_STOP_TENTHS = 3
+# CJK char-grain gate (round 13): a stopWORD share is structurally
+# zero for unsegmented scripts, so CJK-routed documents classify a
+# block `good` when it is >= 40 chars with >= 3/10 CJK-script
+# characters ("is this CJK prose at all" — the jusText-for-Chinese
+# adaptation; 40 CJK chars carry roughly the information of 80 latin
+# chars, one han char ~ one morpheme)
+_JT_MIN_LEN_CJK = 40
+_JT_CJK_TENTHS = 3
 
 
 def stopwords_for_lang_expr(
@@ -967,6 +1316,9 @@ def main_text_expr(
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
     stopwords: "tuple[str, ...] | Column" = STOPWORDS_EN,
+    cjk: "Column | None" = None,
+    min_len_cjk: int = _JT_MIN_LEN_CJK,
+    cjk_tenths: int = _JT_CJK_TENTHS,
 ) -> Column:
     """Extracted MAIN content of an HTML document — jusText-style
     block classification (Pomikálek 2011, simplified), entirely in-row
@@ -996,8 +1348,22 @@ def main_text_expr(
     ``stopwords`` takes a tuple (one fixed list) OR a Column —
     typically ``stopwords_for_lang_expr(lang_col)`` — so the density
     gate routes per-document by language (round 12); either way the
-    block pass runs once."""
-    st = _jt_blocks(html, stopwords, min_len, stop_tenths)
+    block pass runs once.
+
+    ``cjk`` (round 13) is an optional BOOLEAN Column (typically
+    ``lang_col.isin(*CJK_LANGS)``): blocks of a CJK-routed document
+    take the char-grain gate instead of the stopword-share gate —
+    ``good`` when >= ``min_len_cjk`` chars with a >= ``cjk_tenths``/10
+    CJK-character share (unsegmented prose has no word tokens for a
+    stoplist to hit, so without this route every real Chinese/
+    Japanese/Korean content block classifies ``short`` and the
+    extractor mass-drops exactly the documents a multilingual corpus
+    needs). Link-density (``bad``) and the context pass apply
+    identically to both routes."""
+    st = _jt_blocks(
+        html, stopwords, min_len, stop_tenths, cjk, min_len_cjk,
+        cjk_tenths,
+    )
     fin = _jt_context(F.transform(st, lambda s: s["cls"]))
     kept = F.filter(
         F.zip_with(st, fin, lambda s, c: F.when(c == "good", s["txt"])),
@@ -1011,6 +1377,9 @@ def block_classes_expr(
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
     stopwords: "tuple[str, ...] | Column" = STOPWORDS_EN,
+    cjk: "Column | None" = None,
+    min_len_cjk: int = _JT_MIN_LEN_CJK,
+    cjk_tenths: int = _JT_CJK_TENTHS,
 ) -> Column:
     """The per-block verdicts behind :func:`main_text_expr`, joined
     ``','`` in document order ('' for a blockless/markup-only doc) —
@@ -1018,7 +1387,10 @@ def block_classes_expr(
     what the oracle pins class-by-class."""
     fin = _jt_context(
         F.transform(
-            _jt_blocks(html, stopwords, min_len, stop_tenths),
+            _jt_blocks(
+                html, stopwords, min_len, stop_tenths, cjk,
+                min_len_cjk, cjk_tenths,
+            ),
             lambda s: s["cls"],
         )
     )
@@ -1030,6 +1402,9 @@ def _jt_blocks(
     stopwords: "tuple[str, ...] | Column",
     min_len: int,
     stop_tenths: int,
+    cjk: "Column | None" = None,
+    min_len_cjk: int = _JT_MIN_LEN_CJK,
+    cjk_tenths: int = _JT_CJK_TENTHS,
 ) -> Column:
     """array<struct<txt,n,cls>> of NON-EMPTY blocks with their PASS-2
     class. Classification happens inside the one block pass so the
@@ -1039,7 +1414,9 @@ def _jt_blocks(
     gates; nav/footer/caption blocks never pay it. ``stopwords`` as
     a Column (an array<string> expression, e.g. the lang-routed
     selector) is used as-is — stage it as a named column below this
-    pass so it evaluates once per document."""
+    pass so it evaluates once per document. ``cjk`` (a boolean
+    Column, doc-level) switches the good-gate to char-grain CJK
+    density — see :func:`main_text_expr`."""
     sw = (
         stopwords
         if isinstance(stopwords, Column)
@@ -1053,9 +1430,17 @@ def _jt_blocks(
         )
         n = F.length(txt)
         words = F.split(txt, r"\s+")
+        cls = F.when(3 * F.length(astr) > n, F.lit("bad"))
+        if cjk is not None:
+            n_cjk = F.regexp_count(txt, F.lit(f"[{CJK_CLASS}]"))
+            cls = cls.when(
+                cjk
+                & (n >= F.lit(int(min_len_cjk)))
+                & (10 * n_cjk >= F.lit(int(cjk_tenths)) * n),
+                F.lit("good"),
+            ).when(cjk, F.lit("short"))
         cls = (
-            F.when(3 * F.length(astr) > n, F.lit("bad"))
-            .when(n < F.lit(int(min_len)), F.lit("short"))
+            cls.when(n < F.lit(int(min_len)), F.lit("short"))
             .when(
                 10
                 * F.size(
@@ -1107,6 +1492,9 @@ def justext_sql(
     min_len: int = _JT_MIN_LEN,
     stop_tenths: int = _JT_STOP_TENTHS,
     stopwords: "tuple[str, ...] | str" = STOPWORDS_EN,
+    cjk: "str | None" = None,
+    min_len_cjk: int = _JT_MIN_LEN_CJK,
+    cjk_tenths: int = _JT_CJK_TENTHS,
 ) -> dict[str, str]:
     """DuckDB scalar restatements of :func:`main_text_expr` /
     :func:`block_classes_expr`, GENERATED from the same block-split /
@@ -1120,7 +1508,9 @@ def justext_sql(
     ``stopwords`` as a STRING is used verbatim as the DuckDB list
     expression — pass ``stopwords_for_lang_sql(...)`` for the
     lang-routed gate (round 12); a tuple compiles to one literal
-    list."""
+    list. ``cjk`` as a boolean SQL expression (doc-level — e.g.
+    ``"JLANG IN ('zh','ja','ko')"``) enables the char-grain CJK gate
+    arms, mirrored from the Spark expression (round 13)."""
     sw = (
         stopwords
         if isinstance(stopwords, str)
@@ -1138,12 +1528,22 @@ def justext_sql(
         f"alen := length({_jt_strip_sql(_q_anchor_join('b', anchor))}))), "
         "s -> length(s.txt) > 0)"
     )
+    cjk_arms = ""
+    if cjk is not None:
+        n_cjk = f"len(regexp_extract_all(s.txt, '[{CJK_CLASS}]'))"
+        cjk_arms = (
+            f"WHEN ({cjk}) AND length(s.txt) >= {int(min_len_cjk)} AND "
+            f"10 * {n_cjk} >= {int(cjk_tenths)} * length(s.txt) "
+            "THEN 'good' "
+            f"WHEN ({cjk}) THEN 'short' "
+        )
     # classify in a second list_transform so per-block stats derive
     # from the struct once (mirrors the Spark struct projection)
     cls = (
         f"list_transform({st}, s -> CASE "
         "WHEN 3 * s.alen > length(s.txt) THEN 'bad' "
-        f"WHEN length(s.txt) >= {int(min_len)} AND "
+        + cjk_arms
+        + f"WHEN length(s.txt) >= {int(min_len)} AND "
         f"10 * len(list_filter({words}, w -> list_contains({sw}, lower(w)))) "
         f">= {int(stop_tenths)} * len({words}) THEN 'good' "
         "ELSE 'short' END)"

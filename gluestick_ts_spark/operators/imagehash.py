@@ -294,7 +294,21 @@ def vhash_of_payload(
     None for non-video containers (images fill ``dhash``, audio
     ``wavhash`` — the NULL-pattern tells the modality) and for
     undecodable payloads. Cost is bounded by ``n_frames`` — later
-    frames of a long video are never decoded."""
+    frames of a long video are never decoded.
+
+    Why ``"first"`` stays the default (round-13 decision): the two
+    modes trade robustness against a worst-case cost bound. "even" is
+    strictly more robust (head/tail trims — the vtrim driver leg
+    proves it end-to-end at hamming 0 vs 17-38 for first-k) and costs
+    the same decode count on AVI (positional demux), but on animated
+    GIF every frame is a DELTA over the previous composition, so
+    "even"'s last pick forces decoding the whole stream — a
+    crawl-supplied multi-megabyte GIF turns a bounded per-record cost
+    into an O(payload) one, the exact failure class the WARC-side
+    bomb caps exist to prevent. A default must be safe on the
+    untrusted path; callers that know their corpus is AVI-shaped (or
+    accept the GIF cost) opt into ``sample="even"`` per column, as
+    the multimodal_features vtrim leg does."""
     if payload is None:
         return None
     if n_frames < 1:

@@ -30,14 +30,20 @@ from pyspark.sql import functions as F
 from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
 from ..operators.psl import registered_domain_sql as _psl_registered_domain_sql
 from ..functions.text import (
+    CJK_LANGS,
+    DEFAULT_LANGS,
     LANG_MARKERS,
     strip_html_expr,
     STOPWORDS_EN,
     chunk_tokens,
     fingerprint_expr,
+    gopher_cjk_toks_duck_sql,
+    gopher_cjk_toks_sql,
     gopher_quality_flags,
+    gopher_rules_duck_sql,
     gopher_rules_sql,
     justext_sql,
+    lang_id_duck_sql,
     lang_id_sql,
     lang_score_sql,
     license_flags_sql,
@@ -1349,6 +1355,13 @@ _JT_HTML_POST = (
 # picked the right stoplist: the count-visible planted positive the
 # generated-oracle discipline requires (10 docs per language at
 # sf0.01, visible in the jt_lang histogram).
+# Round 13 replaces the pinyin-transliterated zh synth with REAL
+# Chinese script and adds Japanese and Korean: these docs have no
+# usable whitespace tokens, so they exercise the whole CJK route —
+# script-class lang-ID, the char-grain jusText density gate (their
+# content block flips short -> good ONLY under the cjk arms), and the
+# char-grain routed Gopher rules (gopher_pass_routed flips false ->
+# true ONLY under routing — unrouted they are one giant pseudo-token).
 _JT_LANG_TEXTS: dict[int, tuple[str, str]] = {
     7: ("de", "der schnelle braune fuchs springt mit dem faulen hund "
         "und die katze bleibt nicht weg sondern ist mit dem hund "
@@ -1357,9 +1370,16 @@ _JT_LANG_TEXTS: dict[int, tuple[str, str]] = {
          "paresseux et le chat reste dans la maison avec les enfants "
          "qui jouent pour une heure et est heureux dans le jardin "
          "avec le chien "),
-    31: ("zh", "wo3 men5 de5 pengyou shi4 bu4 zai4 jia li3 ta1 men5 "
-         "you3 le5 hen3 duo shi4 qing he2 wo3 men5 yi qi zhe4 ge4 "
-         "shang4 wu qu kan na4 ge4 ren "),
+    31: ("zh", "我们的朋友不在家里他们有很多事情和我们一起去看那个人的"
+         "房子这是一个很好的地方大家都喜欢在这里住因为天气很好而且人们"
+         "也很友善我们每天都去公园散步"),
+    11: ("ja", "私たちの友達は家にいませんが彼らはたくさんの用事があっ"
+         "て私たちと一緒にあの人の家を見に行きますこれはとても良い場所"
+         "でみんなここに住むのが好きです毎日公園を散歩します"),
+    43: ("ko", "우리의 친구는 집에 없지만 그들은 많은 일이 있어서 "
+         "우리와 함께 그 사람의 집을 보러 갑니다 이것은 아주 좋은 "
+         "곳이고 모두가 여기에 사는 것을 좋아합니다 매일 공원을 "
+         "산책합니다 "),
 }
 
 
@@ -1385,23 +1405,37 @@ def _jt_text_sql() -> str:
 
 
 def _jt_lang_sql(text_sql: str = "JT") -> str:
-    """DuckDB restatement of lang_id_expr over ``text_sql`` — argmax
-    marker score, ties to the earliest declared language (the FIRST
-    matching WHEN), 'und' at zero (the lang_scores oracle pattern)."""
-    toks = f"regexp_split_to_array(lower(trim({text_sql})), '\\s+')"
+    """DuckDB restatement of lang_id_expr over ``text_sql`` — since
+    round 13 this is the GENERATED script-routed twin
+    (functions/text.py lang_id_duck_sql: CJK script gate first, then
+    argmax marker score with declaration-order tie-break, 'und' at
+    zero)."""
+    return lang_id_duck_sql(text_sql)
 
-    def score(lang: str) -> str:
-        return (
-            f"(CAST(len(list_filter({toks}, t -> list_contains("
-            f"{_marker_list(lang)}, t))) AS DOUBLE)"
-            f" / CAST(greatest(len({toks}), 1) AS DOUBLE))"
-        )
 
-    greatest = "greatest(" + ", ".join(score(l) for l in LANG_MARKERS) + ")"
-    whens = " ".join(
-        f"WHEN {score(lang)} = {greatest} THEN '{lang}'" for lang in LANG_MARKERS
-    )
-    return f"(CASE WHEN {greatest} = 0 THEN 'und' {whens} END)"
+# round 13: CJK routing plumbing for text_stats — the doc-level route
+# predicate, the char-grain routed token array (staged ONCE, the
+# SPARK-36718 pattern), and the routed Gopher verdict, all generated
+# from functions/text.py's script classes and thresholds. The DuckDB
+# twins below are generated from the SAME constants.
+_JT_CJK_SQL = "`__jt_lang` IN (" + ", ".join(f"'{l}'" for l in CJK_LANGS) + ")"
+_JT_CJK_DUCK = "JLANG IN (" + ", ".join(f"'{l}'" for l in CJK_LANGS) + ")"
+_JT_RT_SQL = (
+    f"CASE WHEN {_JT_CJK_SQL} THEN {gopher_cjk_toks_sql('__jt_text')} "
+    "ELSE split(lower(trim(`__jt_text`)), '\\\\s+') END"
+)
+_JT_RT_DUCK = (
+    f"CASE WHEN {_JT_CJK_DUCK} THEN {gopher_cjk_toks_duck_sql('JT')} "
+    "ELSE regexp_split_to_array(lower(trim(JT)), '\\s+') END"
+)
+_JT_GOPHER_ROUTED_SQL = " AND ".join(
+    gopher_rules_sql(
+        "__jt_text", toks_sql="__rt", cjk_sql=_JT_CJK_SQL
+    ).values()
+)
+_JT_GOPHER_ROUTED_DUCK = " AND ".join(
+    gopher_rules_duck_sql("JT", toks_sql="RT", cjk_sql=_JT_CJK_DUCK).values()
+)
 
 
 def q_text_stats(spark, sf, parts=("stats", "justext")):
@@ -1445,22 +1479,28 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         lv = lv.select(
             "doc_id", "__jt_text", "__jt_lang",
             stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw"),
+            F.expr(_JT_RT_SQL).alias("__rt"),
         )
         st = _jt_blocks(
             F.concat(F.lit(_JT_HTML_PRE), F.col("__jt_text"), F.lit(_JT_HTML_POST)),
             F.col("__jt_sw"),
             80,
             1,
+            cjk=F.col("__jt_lang").isin(*CJK_LANGS),
         )
-        lv = lv.select("doc_id", "__jt_lang", st.alias("__jt_st"))
+        lv = lv.select(
+            "doc_id", "__jt_lang", "__jt_text", "__rt", st.alias("__jt_st")
+        )
         lv = lv.select(
             "doc_id",
             "__jt_lang",
+            "__jt_text",
+            "__rt",
             "__jt_st",
             F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
         )
         lv = lv.select(
-            "doc_id", "__jt_lang", "__jt_st",
+            "doc_id", "__jt_lang", "__jt_text", "__rt", "__jt_st",
             _jt_context(F.col("__jt_cls")).alias("__jt_fin"),
         )
         return lv.select(
@@ -1478,6 +1518,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                 " ",
             ).alias("main_text"),
             F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
+            F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
         )
     jt = "justext" in parts
     if jt:
@@ -1488,12 +1529,14 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         d = d.select("doc_id", "text", _jt_text_expr().alias("__jt_text"))
         d = d.select("*", F.expr(lang_id_sql("__jt_text")).alias("__jt_lang"))
         d = d.select(
-            "*", stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw")
+            "*",
+            stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw"),
+            F.expr(_JT_RT_SQL).alias("__rt"),
         )
     lvl1 = d.select(
         "doc_id",
         "text",
-        *(["__jt_lang"] if jt else []),
+        *(["__jt_lang", "__jt_text", "__rt"] if jt else []),
         F.expr("split(lower(trim(text)), '\\\\s+')").alias("__toks"),
         # jusText block structs projected ONCE (strip chain + anchor
         # extract + stopword filter are the expensive part — the
@@ -1513,6 +1556,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                     F.col("__jt_sw"),
                     80,
                     1,
+                    cjk=F.col("__jt_lang").isin(*CJK_LANGS),
                 ).alias("__jt_st")
             ]
             if jt
@@ -1531,7 +1575,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "doc_id",
         "text",
         "__toks",
-        *(["__jt_st", "__jt_lang"] if jt else []),
+        *(["__jt_st", "__jt_lang", "__jt_text", "__rt"] if jt else []),
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
         *(
@@ -1550,7 +1594,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "__toks",
         "__grams",
         "__lines",
-        *(["__jt_st", "__jt_lang"] if jt else []),
+        *(["__jt_st", "__jt_lang", "__jt_text", "__rt"] if jt else []),
         *([_jt_context(F.col("__jt_cls")).alias("__jt_fin")] if jt else []),
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
@@ -1624,6 +1668,11 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                     " ",
                 ).alias("main_text"),
                 F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
+                # round 13: the char-grain routed Gopher verdict over
+                # the planted text — flips false -> true for the CJK
+                # plants ONLY under routing (unrouted they are one
+                # giant pseudo-token and every word rule fails)
+                F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
             ]
             if jt
             else []
@@ -1651,13 +1700,20 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
     (decision boundary). ``parts`` restricts for bench attribution
     (``lang`` = the original row, ``clf`` = train + apply)."""
     d = _t(spark, sf, "documents")
+    # round 13: all lang columns (scores + lang_pred) read the PLANTED
+    # text twin (the text_stats _JT_LANG_TEXTS slots — real-script
+    # zh/ja/ko among them), so script routing is count-visible in
+    # lang_pred and the CJK script-fraction scores are non-trivially
+    # exercised; the classifier below keeps reading the raw corpus
+    # text (its oracle restates training — don't grow it).
+    d = d.select("*", _jt_text_expr().alias("__lt"))
     sel = [F.col("doc_id")]
     if "lang" in parts:
         sel += [
-            F.expr(lang_score_sql("text", lang)).alias(f"score_{lang}")
-            for lang in LANG_MARKERS
+            F.expr(lang_score_sql("__lt", lang)).alias(f"score_{lang}")
+            for lang in DEFAULT_LANGS
         ]
-        sel.append(F.expr(lang_id_sql("text")).alias("lang_pred"))
+        sel.append(F.expr(lang_id_sql("__lt")).alias("lang_pred"))
     if "clf" not in parts:
         return d.select(*sel)
     # ONE materialized pass builds lang columns, the classifier
@@ -2185,9 +2241,12 @@ def q_corpus_profile_docs(spark, sf):
     return corpus_profile(_t(spark, sf, "documents"))
 
 
-def q_top_terms(spark, sf):
+def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "rank")):
     """Corpus token-frequency analysis, both grains, as ONE tagged
-    union (registry-folding pattern): the ``term`` part is the top-50
+    union (registry-folding pattern — round 13 adds the ``rank`` part:
+    domain PageRank over a deterministic synthetic link graph, FULL
+    oracle via an exact-integer unrolled CTE chain; see the in-body
+    comment): the ``term`` part is the top-50
     corpus terms (explode, drop stopwords/empties, count); the
     ``doclp`` part is the CCNet-style per-document mean unigram
     log-probability under the corpus's own empirical model
@@ -2225,6 +2284,8 @@ def q_top_terms(spark, sf):
         unigram_logprob_scores,
     )
 
+    parts = set(parts)
+    legs = []
     d = _t(spark, sf, "documents")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     toks = d.select(F.explode(tokens_expr("text")).alias("token"))
@@ -2242,6 +2303,7 @@ def q_top_terms(spark, sf):
             F.lit(None).cast("long").alias("n_tokens"),
             F.lit(None).cast("double").alias("mean_logprob"),
             F.lit(None).cast("double").alias("pmi"),
+            F.lit(None).cast("double").alias("rank"),
         )
     )
     lp = unigram_logprob_scores(d, vocab_size=100).select(
@@ -2252,6 +2314,7 @@ def q_top_terms(spark, sf):
         "n_tokens",
         "mean_logprob",
         F.lit(None).cast("double").alias("pmi"),
+        F.lit(None).cast("double").alias("rank"),
     )
     pmi = bigram_pmi(d, min_count=5, top_n=50).select(
         F.lit("pmi").alias("part"),
@@ -2261,6 +2324,7 @@ def q_top_terms(spark, sf):
         F.lit(None).cast("long").alias("n_tokens"),
         F.lit(None).cast("double").alias("mean_logprob"),
         "pmi",
+        F.lit(None).cast("double").alias("rank"),
     )
     heavy = heavy_hitters(
         d.select(F.explode(tokens_expr("text")).alias("tok")).where(
@@ -2276,6 +2340,7 @@ def q_top_terms(spark, sf):
         F.lit(None).cast("long").alias("n_tokens"),
         F.lit(None).cast("double").alias("mean_logprob"),
         F.lit(None).cast("double").alias("pmi"),
+        F.lit(None).cast("double").alias("rank"),
     )
     lp2 = bigram_logprob_scores(
         d, vocab_size=100, bigram_size=500, min_count=2, lam=0.7
@@ -2287,13 +2352,70 @@ def q_top_terms(spark, sf):
         F.col("n_bigrams").alias("n_tokens"),
         F.col("mean_logprob2").alias("mean_logprob"),
         F.lit(None).cast("double").alias("pmi"),
+        F.lit(None).cast("double").alias("rank"),
     )
-    return (
-        terms.unionByName(lp)
-        .unionByName(pmi)
-        .unionByName(heavy)
-        .unionByName(lp2)
-    )
+    # round 13: the ``rank`` part graduates the bit-deterministic
+    # PageRank (operators/linkgraph.py) to a driver-visible FULL
+    # oracle. The documents table carries no URL column, so the link
+    # graph is a DETERMINISTIC pure function of doc_id (two outlinks
+    # per doc over a 23-domain universe; domains d19..d22 never emit,
+    # so the dangling-mass redistribution path is exercised), run
+    # through the REAL production path — url synth -> domain_link_edges
+    # (PSL eTLD+1 collapse) -> weighted 3-round integer-grid pagerank.
+    # Ranks live on the 1e-9 grid with integral-div transfers, so the
+    # DuckDB oracle re-derives the ENTIRE iteration as exact-LONG CTEs
+    # (the logreg_train_sql precedent) and lands bit-identical values.
+    # Eager at query construction (the ivf/classifier precedent): the
+    # per-round dangling-mass scalars are collected, on a graph already
+    # collapsed to <= 23 nodes.
+    from ..operators.linkgraph import domain_link_edges, pagerank
+
+    ranks = None
+    if "rank" in parts:
+        ids = d.select("doc_id")
+        _u = lambda prefix, expr, path: F.concat(  # noqa: E731
+            F.lit(prefix), expr.cast("string"), F.lit(path),
+            F.col("doc_id").cast("string"),
+        )
+        links = ids.select(
+            _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
+                "source_url"
+            ),
+            _u("http://d", (F.col("doc_id") * 7 + 3) % 23, ".com/q/").alias(
+                "url"
+            ),
+        ).unionByName(
+            ids.select(
+                _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
+                    "source_url"
+                ),
+                _u("http://d", (F.col("doc_id") * 5 + 1) % 23, ".com/r/").alias(
+                    "url"
+                ),
+            )
+        )
+        ranks = pagerank(
+            domain_link_edges(links), iters=3, weight_col="n_links"
+        ).select(
+            F.lit("rank").alias("part"),
+            F.col("node").alias("token"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("mean_logprob"),
+            F.lit(None).cast("double").alias("pmi"),
+            F.col("rank"),
+        )
+    for name, leg in (
+        ("term", terms), ("doclp", lp), ("pmi", pmi),
+        ("heavy", heavy), ("doclp2", lp2), ("rank", ranks),
+    ):
+        if name in parts:
+            legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def q_chunk_tokens_docs(spark, sf):
@@ -4222,9 +4344,17 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
         p: _tag_part("approx_distinct_users", "part", p)
         for p in ("sketch", "auc", "auc_lang", "overlap")
     },
+    # part-restricted builders (the q_lang_scores pattern), NOT
+    # _tag_part: the rank leg runs its PageRank eagerly at query
+    # construction, and a filter-after-build would charge that cost to
+    # every other part's attribution number
     "top_terms": {
-        p: _tag_part("top_terms", "part", p)
-        for p in ("term", "doclp", "pmi", "heavy", "doclp2")
+        p: (
+            lambda part: (
+                lambda spark, sf: q_top_terms(spark, sf, parts=(part,))
+            )
+        )(p)
+        for p in ("term", "doclp", "pmi", "heavy", "doclp2", "rank")
     },
     "ngram_jaccard_adjacent": {
         p: _tag_part("ngram_jaccard_adjacent", "part", p)
@@ -4360,14 +4490,25 @@ def _marker_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
 
 
-def _lang_score_sql(lang: str) -> str:
+def _lang_score_sql(lang: str, text_sql: str = "text") -> str:
+    """DuckDB twin of functions/text.py lang_score_sql: marker-word
+    overlap for space-segmented langs, script-class character fraction
+    for CJK langs (round 13) — same integer counts, same double
+    division, so values hash-match."""
+    from ..functions.text import _SCRIPT_CLASS
+
+    if lang in CJK_LANGS:
+        return (
+            f"CAST(len(regexp_extract_all({text_sql}, "
+            f"'[{_SCRIPT_CLASS[lang]}]')) AS DOUBLE)"
+            f" / CAST(greatest(length(regexp_replace({text_sql}, "
+            "'\\s', '', 'g')), 1) AS DOUBLE)"
+        )
+    toks = f"regexp_split_to_array(lower(trim({text_sql})), '\\s+')"
     return (
-        f"CAST(len(list_filter({_TOKS}, t -> list_contains({_marker_list(lang)}, t))) AS DOUBLE)"
-        f" / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)"
+        f"CAST(len(list_filter({toks}, t -> list_contains({_marker_list(lang)}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({toks}), 1) AS DOUBLE)"
     )
-
-
-_GREATEST_ALL = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
 
 # per-row quality-score fragments (DuckDB twins of functions/text.py)
 _STOP_RATIO_DUCK = (
@@ -4384,14 +4525,66 @@ _QUALITY_DUCK = (
     f"+ 0.2 * (1.0 - least(({_PUNCT_RATIO_DUCK}) * 10.0, 1.0))"
 )
 # per-row argmax language prediction over score_<lang> columns
-_LANG_PRED_DUCK = (
-    "CASE WHEN " + _GREATEST_ALL + " = 0 THEN 'und' "
-    + " ".join(
-        f"WHEN score_{lang} = {_GREATEST_ALL} THEN '{lang}'"
-        for lang in LANG_MARKERS
-    )
-    + " END"
-)
+def _pagerank_duck_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    """The top_terms ``rank`` part's oracle: the synthetic doc_id link
+    graph and the ENTIRE fixed-round integer-grid PageRank unrolled as
+    DuckDB CTEs over exact BIGINTs (the logreg_train_sql precedent) —
+    possible precisely because operators/linkgraph.py quantizes ranks
+    to the 1e-9 grid and transfers with integral division, making the
+    result partitioning- and engine-independent. Domain derivation is
+    restated directly from the URL construction ('d<k>.com' — the PSL
+    eTLD+1 of these hosts is the host minus the www label, verified by
+    the lockstep tests); edge weights are parallel-edge counts (always
+    >= 1, far below the 1e9 weight cap, so the cap needs no
+    restatement). Terminates in ``pr{iters}(node, u)``."""
+    from ..operators.linkgraph import _GRID
+
+    d_units = int(round(damping * _GRID))
+    ctes = [
+        "prlk AS (SELECT doc_id AS i FROM documents)",
+        (
+            "predges AS MATERIALIZED (SELECT src, dst, "
+            "CAST(COUNT(*) AS BIGINT) AS w FROM ("
+            "SELECT 'd' || CAST(i % 19 AS VARCHAR) || '.com' AS src, "
+            "'d' || CAST((i * 7 + 3) % 23 AS VARCHAR) || '.com' AS dst "
+            "FROM prlk UNION ALL "
+            "SELECT 'd' || CAST(i % 19 AS VARCHAR) || '.com', "
+            "'d' || CAST((i * 5 + 1) % 23 AS VARCHAR) || '.com' "
+            "FROM prlk) e0 WHERE src <> dst GROUP BY src, dst)"
+        ),
+        (
+            "prnodes AS MATERIALIZED (SELECT DISTINCT node FROM ("
+            "SELECT src AS node FROM predges "
+            "UNION ALL SELECT dst FROM predges) u0)"
+        ),
+        "prn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prnodes)",
+        (
+            "proutw AS MATERIALIZED (SELECT src, SUM(w) AS wout "
+            "FROM predges GROUP BY src)"
+        ),
+        (
+            f"pr0 AS MATERIALIZED (SELECT node, "
+            f"CAST({_GRID} // n AS BIGINT) AS u FROM prnodes, prn)"
+        ),
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"prd{k} AS (SELECT COALESCE(SUM(u), 0) AS dm FROM pr{k} "
+            "WHERE node NOT IN (SELECT src FROM proutw))"
+        )
+        ctes.append(
+            f"pr{k + 1} AS MATERIALIZED (SELECT nn.node, "
+            f"COALESCE(s.recv, 0) + ({_GRID} - {d_units}) // prn.n "
+            f"+ ((prd{k}.dm * {d_units} // {_GRID}) // prn.n) AS u "
+            "FROM prnodes nn LEFT JOIN ("
+            f"SELECT e.dst, SUM(((p.u * {d_units} // {_GRID}) * e.w) "
+            f"// o.wout) AS recv FROM pr{k} p "
+            "JOIN proutw o ON o.src = p.node "
+            "JOIN predges e ON e.src = p.node GROUP BY e.dst) s "
+            f"ON nn.node = s.dst, prn, prd{k})"
+        )
+    return ", ".join(ctes)
+
 
 # typed-NULL column fragments for the scalar_funcs tagged union
 _ARRNULLS = (
@@ -5794,21 +5987,27 @@ ORACLES: dict[str, str] = {
             f"concat('{_JT_HTML_PRE}', JT, '{_JT_HTML_POST}')",
             stop_tenths=1,
             stopwords=stopwords_for_lang_sql("JLANG"),
+            cjk=_JT_CJK_DUCK,
         )["main_text"]
         + " AS main_text, "
         + justext_sql(
             f"concat('{_JT_HTML_PRE}', JT, '{_JT_HTML_POST}')",
             stop_tenths=1,
             stopwords=stopwords_for_lang_sql("JLANG"),
+            cjk=_JT_CJK_DUCK,
         )["block_classes"]
-        + " AS block_classes "
+        + " AS block_classes, "
+        # round 13: char-grain routed Gopher over the planted text —
+        # generated from the same thresholds/classes as the Spark side
+        f"({_JT_GOPHER_ROUTED_DUCK}) AS gopher_pass_routed "
+        "FROM (SELECT *, " + _JT_RT_DUCK + " AS RT "
         "FROM (SELECT *, string_split(text, chr(10)) AS L, "
         f"CASE WHEN len({_TOKS}) >= 2 THEN "
         f"[array_to_string(({_TOKS})[i:i+1], ' ') "
         f"for i in range(1, len({_TOKS}))] "
         "ELSE [] END AS G2, "
         + _jt_lang_sql("JT") + " AS JLANG FROM "
-        "(SELECT *, " + _jt_text_sql() + " AS JT FROM documents) t0) t"
+        "(SELECT *, " + _jt_text_sql() + " AS JT FROM documents) t0) t1) t"
     ),
     # round 12: the classifier columns re-derive the ENTIRE logistic-
     # regression training as an unrolled CTE chain (logreg_train_sql —
@@ -5826,15 +6025,17 @@ ORACLES: dict[str, str] = {
         + " AS clf_score FROM "
         + clf_features_sql(dim=32)
         + " fx, clf_wfin), "
+        # round 13: scores + lang_pred over the PLANTED text twin (LT)
+        # with the script-routed generated lang-ID — mirrors the Spark
+        # side's __lt staging column-for-column
         "base AS (SELECT doc_id, "
-        + ", ".join(f"score_{lang}" for lang in LANG_MARKERS)
-        + ", CASE WHEN " + _GREATEST_ALL + " = 0 THEN 'und' "
-        + " ".join(
-            f"WHEN score_{lang} = {_GREATEST_ALL} THEN '{lang}'" for lang in LANG_MARKERS
+        + ", ".join(
+            f"{_lang_score_sql(lang, 'LT')} AS score_{lang}"
+            for lang in DEFAULT_LANGS
         )
-        + " END AS lang_pred FROM (SELECT doc_id, "
-        + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS)
-        + " FROM documents) t) "
+        + ", " + lang_id_duck_sql("LT") + " AS lang_pred "
+        "FROM (SELECT doc_id, " + _jt_text_sql() + " AS LT "
+        "FROM documents) t) "
         "SELECT base.*, c.clf_score, "
         "ROUND(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + "
         "exp(-(CAST(c.clf_score AS DOUBLE)/1e6))), 6) AS clf_prob, "
@@ -6099,12 +6300,11 @@ ORACLES: dict[str, str] = {
         f"{_QUALITY_DUCK} AS q, "
         f"CASE WHEN ({_GOPHER_PASS_SQL}) THEN 1 ELSE 0 END AS gp, "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
-        + ", ".join(
-            f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS
-        )
-        + " FROM documents), "
-        "p AS (SELECT source, lang, tok, chr, q, gp, fp, "
-        f"{_LANG_PRED_DUCK} AS pred FROM s) "
+        # round 13: pred is the script-routed generated lang-ID twin
+        # (profile.py's lang_match uses the routed lang_id_expr)
+        + lang_id_duck_sql("text")
+        + " AS pred FROM documents), "
+        "p AS (SELECT source, lang, tok, chr, q, gp, fp, pred FROM s) "
         "SELECT source, lang, COUNT(*) AS n_docs, "
         "CAST(SUM(tok) AS BIGINT) AS n_tokens, "
         "CAST(SUM(chr) AS BIGINT) AS n_chars, "
@@ -6176,31 +6376,44 @@ ORACLES: dict[str, str] = {
         "(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total.n))), 6) AS mlp2 "
         "FROM bgrd LEFT JOIN btab USING (a, b) "
         "LEFT JOIN vocab v ON v.tok = bgrd.b CROSS JOIN total "
-        "GROUP BY doc_id) "
-        "SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
+        "GROUP BY doc_id), "
+        # round 13: the PageRank iteration, exact-integer unrolled
+        + _pagerank_duck_ctes(iters=3)
+        + " SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
         "CAST(NULL AS BIGINT) AS n_tokens, "
-        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(NULL AS DOUBLE) AS rank "
         "FROM terms "
         "UNION ALL "
         "SELECT 'doclp' AS part, CAST(NULL AS VARCHAR) AS token, "
         "CAST(NULL AS BIGINT) AS cnt, doc_id, n_tokens, mean_logprob, "
-        "CAST(NULL AS DOUBLE) AS pmi FROM doclp "
+        "CAST(NULL AS DOUBLE) AS pmi, CAST(NULL AS DOUBLE) AS rank "
+        "FROM doclp "
         "UNION ALL "
         "SELECT 'pmi' AS part, bigram AS token, cnt, "
         "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
-        "CAST(NULL AS DOUBLE) AS mean_logprob, pmi FROM pmis "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, pmi, "
+        "CAST(NULL AS DOUBLE) AS rank FROM pmis "
         "UNION ALL "
         # exact heavy hitters: the engine's sketch+recount must land
         # exactly on the plain GROUP BY ... HAVING answer
         "SELECT 'heavy' AS part, tok AS token, COUNT(*) AS cnt, "
         "CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens, "
-        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(NULL AS DOUBLE) AS rank "
         "FROM toks GROUP BY tok "
         "HAVING COUNT(*) > 0.005 * (SELECT COUNT(*) FROM toks) "
         "UNION ALL "
         "SELECT 'doclp2' AS part, CAST(NULL AS VARCHAR) AS token, "
         "CAST(NULL AS BIGINT) AS cnt, doc_id, n_bigrams AS n_tokens, "
-        "mlp2 AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi FROM doclp2"
+        "mlp2 AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(NULL AS DOUBLE) AS rank FROM doclp2 "
+        "UNION ALL "
+        "SELECT 'rank' AS part, node AS token, "
+        "CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(u AS DOUBLE) / 1000000000 AS rank FROM pr3"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("

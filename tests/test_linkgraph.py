@@ -207,3 +207,39 @@ def test_non_positive_weight_edges_dropped_not_div0(spark):
     want = _pagerank_py([("c", "a", 2), ("d", "c", 1)], iters=3)
     assert got == want
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_top_terms_rank_part_matches_python_twin(spark, sf_dir):
+    """The driver-visible ``rank`` part of top_terms (round 13) lands
+    EXACTLY on the independent python twin, fed the same deterministic
+    doc_id link graph: url synth -> eTLD+1 collapse -> weighted
+    3-round integer PageRank. Also pins the graph shape: 23 domains,
+    d19..d22 dangling (never sources), ranks summing to ~1."""
+    from collections import Counter
+
+    from gluestick_ts_spark.plans.queries import QUERIES
+
+    got = {
+        r.token: r.rank
+        for r in QUERIES["top_terms"](spark, sf_dir)
+        .where("part = 'rank'")
+        .select("token", "rank")
+        .collect()
+    }
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    raw = Counter()
+    for i in ids:
+        s = f"d{i % 19}.com"
+        for dst in (f"d{(i * 7 + 3) % 23}.com", f"d{(i * 5 + 1) % 23}.com"):
+            if dst != s:
+                raw[(s, dst)] += 1
+    want = _pagerank_py([(s, d, w) for (s, d), w in raw.items()], iters=3)
+    assert got == want
+    assert len(got) == 23
+    assert {f"d{k}.com" for k in (19, 20, 21, 22)} <= set(got)
+    assert abs(sum(got.values()) - 1.0) < 1e-6

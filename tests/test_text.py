@@ -691,16 +691,21 @@ def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
         "doc_id", "__jt", lang_id_expr(F.col("__jt")).alias("__lang")
     )
     lv = lv.select(
-        "doc_id", "__jt", stopwords_for_lang_expr(F.col("__lang")).alias("__sw")
+        "doc_id", "__jt", "__lang",
+        stopwords_for_lang_expr(F.col("__lang")).alias("__sw"),
     )
+    from gluestick_ts_spark.functions.text import CJK_LANGS
+
     html = F.concat(F.lit(_JT_HTML_PRE), F.col("__jt"), F.lit(_JT_HTML_POST))
     direct = lv.select(
         "doc_id",
-        main_text_expr(html, stop_tenths=1, stopwords=F.col("__sw")).alias(
-            "main_text"
-        ),
+        main_text_expr(
+            html, stop_tenths=1, stopwords=F.col("__sw"),
+            cjk=F.col("__lang").isin(*CJK_LANGS),
+        ).alias("main_text"),
         block_classes_expr(
-            html, stop_tenths=1, stopwords=F.col("__sw")
+            html, stop_tenths=1, stopwords=F.col("__sw"),
+            cjk=F.col("__lang").isin(*CJK_LANGS),
         ).alias("block_classes"),
     )
     assert staged.exceptAll(direct).count() == 0
@@ -778,10 +783,11 @@ def test_justext_engines_agree_property(spark):
 
 def test_justext_lang_routed_stoplists(spark):
     """r12: the jusText density gate routes its stoplist by language —
-    German/French/pinyin-zh prose flips short -> good ONLY under the
-    routed list (the EN list scores it 0), and the DuckDB twin
-    generated from the same tables agrees; EN and unmodeled docs keep
-    the EN fallback."""
+    German/French prose flips short -> good ONLY under the routed list
+    (the EN list scores it 0), and the DuckDB twin generated from the
+    same tables agrees; EN and unmodeled docs keep the EN fallback.
+    (CJK routing is char-grain, not stoplist — see the round-13 CJK
+    tests below.)"""
     from pyspark.sql import functions as F
 
     from gluestick_ts_spark.functions.text import (
@@ -839,6 +845,233 @@ def test_justext_lang_routed_stoplists(spark):
         con.execute(f"SELECT id, {frag['block_classes']} FROM t").fetchall()
     )
     assert duck == {1: "good", 2: "good", 3: "good"}
-    # routing tables and the selector cover every modeled language
-    assert set(STOPWORDS_BY_LANG) == {"en", "de", "fr", "es", "zh"}
+    # routing tables and the selector cover every modeled WORD
+    # language — CJK langs are script-routed to the char-grain gate
+    # and deliberately have no word stoplist (r13)
+    assert set(STOPWORDS_BY_LANG) == {"en", "de", "fr", "es"}
     assert STOPWORDS_BY_LANG["en"] is STOPWORDS_EN
+
+
+# --------------------------------------------- round 13: CJK routing
+
+# real-script sample prose (spec-anchored test literals, NOT derived
+# from the engine's planted corpus constants)
+_ZH = ("我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子这是一个"
+       "很好的地方大家都喜欢在这里住因为天气很好而且人们也很友善")
+_JA = ("私たちの友達は家にいませんが彼らはたくさんの用事があって私たちと"
+       "一緒にあの人の家を見に行きますこれはとても良い場所でみんなここに"
+       "住むのが好きです")
+_KO = ("우리의 친구는 집에 없지만 그들은 많은 일이 있어서 우리와 함께 "
+       "그 사람의 집을 보러 갑니다 이것은 아주 좋은 곳이고 모두가 "
+       "여기에 사는 것을 좋아합니다")
+
+
+def test_lang_id_scripts_spec_literals(spark):
+    """Independent spec anchors for the script router: real zh/ja/ko
+    prose, a kanji-heavy ja sentence (kana >= 10% of CJK mass), a
+    below-threshold mixed doc, and the EN/DE word path unchanged."""
+    from gluestick_ts_spark.functions.text import lang_id_expr
+
+    cases = [
+        (1, _ZH, "zh"),
+        (2, _JA, "ja"),
+        (3, _KO, "ko"),
+        # kanji-dominant Japanese still routes ja via the kana floor
+        (4, "東京都の電車は毎日運行しています", "ja"),
+        # a couple of CJK chars inside EN prose stay on the word path
+        (5, "mixed english text with 一点 chinese only here and the it is", "en"),
+        (6, "der hund ist nicht ein fisch und das ist gut", "de"),
+        (7, "", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "id long, t string"
+    )
+    got = {r.id: r.l for r in df.select("id", lang_id_expr("t").alias("l")).collect()}
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_lang_id_three_twins_lockstep(spark):
+    """lang_id_expr (Column) == lang_id_sql (Spark SQL) ==
+    lang_id_duck_sql (DuckDB) on word, CJK, mixed, and edge inputs —
+    the generated twins must route identically by construction."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        lang_id_duck_sql,
+        lang_id_expr,
+        lang_id_sql,
+        lang_score_expr,
+        lang_score_sql,
+    )
+
+    texts = [
+        _ZH, _JA, _KO, "", "the and of it for", "le chat est dans la maison",
+        "日本語とenglishの混在テキストです毎日続きます",
+        "한국어와 english mixed 텍스트",
+        "七", "の", "가",
+        "numbers 12345 only !!!",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    a = {r.id: r.l for r in df.select("id", lang_id_expr("t").alias("l")).collect()}
+    b = {r.id: r.l for r in df.select("id", F.expr(lang_id_sql("t")).alias("l")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    c = dict(con.execute(f"SELECT id, {lang_id_duck_sql('t')} FROM t").fetchall())
+    assert a == b == c, (a, b, c)
+    # CJK score twins: exact double equality (integer counts, one
+    # double division on both engines)
+    for lang in ("zh", "ja", "ko"):
+        sa = {r.id: r.s for r in df.select(
+            "id", lang_score_expr("t", lang).alias("s")).collect()}
+        sb = {r.id: r.s for r in df.select(
+            "id", F.expr(lang_score_sql("t", lang)).alias("s")).collect()}
+        assert sa == sb, lang
+
+
+def test_justext_cjk_char_grain_gate(spark):
+    """A real-script CJK content block flips short -> good ONLY under
+    the cjk char-grain arms (it has no whitespace tokens for any
+    stoplist to hit), the DuckDB twin agrees arm for arm, and non-CJK
+    docs are untouched by the cjk parameter."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        CJK_LANGS,
+        block_classes_expr,
+        justext_sql,
+        lang_id_expr,
+    )
+
+    en = ("the quick brown fox jumps over the lazy dog and it stays in "
+          "the house with the family for a while as the day goes by and "
+          "that is all of it")
+    rows = [(1, _ZH), (2, _JA), (3, _KO), (4, en)]
+    df = spark.createDataFrame(rows, "id int, t string")
+    df = df.withColumn("lang", lang_id_expr("t")).withColumn(
+        "html", F.concat(F.lit("<p>"), F.col("t"), F.lit("</p>"))
+    )
+    got = {
+        r.id: (r.lang, r.routed, r.unrouted)
+        for r in df.select(
+            "id", "lang",
+            block_classes_expr(
+                "html", stop_tenths=1, cjk=F.col("lang").isin(*CJK_LANGS)
+            ).alias("routed"),
+            block_classes_expr("html", stop_tenths=1).alias("unrouted"),
+        ).collect()
+    }
+    assert got[1] == ("zh", "good", "short")
+    assert got[2] == ("ja", "good", "short")
+    assert got[3] == ("ko", "good", "short")
+    assert got[4] == ("en", "good", "good")
+    # a SHORT CJK block (under min_len_cjk) stays short
+    tiny = spark.createDataFrame([(1, "<p>你好世界</p>")], "id int, html string")
+    assert tiny.select(
+        block_classes_expr("html", cjk=F.lit(True)).alias("c")
+    ).first().c == "short"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, html VARCHAR, lang VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, f"<p>{s}</p>", l) for (i, s), l in zip(rows, ["zh", "ja", "ko", "en"])],
+    )
+    frag = justext_sql("html", stop_tenths=1, cjk="lang IN ('zh','ja','ko')")
+    duck = dict(con.execute(f"SELECT id, {frag['block_classes']} FROM t").fetchall())
+    assert duck == {1: "good", 2: "good", 3: "good", 4: "good"}
+
+
+def test_gopher_cjk_routed_rules_twins(spark):
+    """Char-grain routed Gopher: real CJK prose FAILS every-word rules
+    unrouted (one giant pseudo-token) and PASSES routed; the generated
+    DuckDB twin agrees flag by flag on CJK, EN, and edge docs."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        gopher_cjk_toks_duck_sql,
+        gopher_cjk_toks_sql,
+        gopher_rules_duck_sql,
+        gopher_rules_sql,
+    )
+
+    en = " ".join(
+        ["the quick brown fox jumps over the lazy dog again and"] * 6
+    )
+    rows = [(1, _ZH, "zh"), (2, _JA, "ja"), (3, _KO, "ko"), (4, en, "en"),
+            (5, "", "und"), (6, "的的的的的" * 30, "zh")]
+    cjk = "lang IN ('zh','ja','ko')"
+    df = spark.createDataFrame(rows, "id int, t string, lang string")
+    rt = (f"(CASE WHEN ({cjk}) THEN {gopher_cjk_toks_sql('t')} "
+          "ELSE split(lower(trim(`t`)), '\\\\s+') END)")
+    df = df.withColumn("__rt", F.expr(rt))
+    rules = gopher_rules_sql("t", toks_sql="__rt", cjk_sql=cjk)
+    keys = list(rules)
+    sp = {
+        r.id: tuple(r[k] for k in keys)
+        for r in df.select(
+            "id", *[F.expr(s).alias(k) for k, s in rules.items()]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(id INT, t VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    rtd = (f"(CASE WHEN ({cjk}) THEN {gopher_cjk_toks_duck_sql('t')} "
+           "ELSE regexp_split_to_array(lower(trim(t)), '\\s+') END)")
+    rules_d = gopher_rules_duck_sql("t", toks_sql="RT", cjk_sql=cjk)
+    duck = {
+        r[0]: tuple(bool(v) for v in r[1:])
+        for r in con.execute(
+            "SELECT id, " + ", ".join(rules_d[k] for k in keys)
+            + f" FROM (SELECT *, {rtd} AS RT FROM d) x"
+        ).fetchall()
+    }
+    assert sp == duck, (sp, duck)
+    # real CJK prose passes routed
+    passing = {i for i, flags in sp.items() if all(flags)}
+    assert {1, 2, 3} <= passing
+    # ...but fails the UNROUTED word rules (the mass-drop being fixed)
+    rules_u = gopher_rules_sql("t")
+    un = {
+        r.id: r.p
+        for r in df.select(
+            "id", F.expr(" AND ".join(rules_u.values())).alias("p")
+        ).collect()
+    }
+    assert not un[1] and not un[2] and not un[3]
+    # repeated-char spam doc fails the routed repetition rule
+    assert not all(sp[6]), sp[6]
+
+
+def test_text_stats_cjk_plants_pinned(spark, sf_dir):
+    """Count-visible planted positives at sf scale: 10 docs per CJK
+    language at sf0.01 (5 at sf0.001...), each flipping its content
+    block good under the char-grain gate and passing routed Gopher."""
+    from gluestick_ts_spark.plans.queries import QUERIES
+
+    ts = (
+        QUERIES["text_stats"](spark, sf_dir)
+        .select("doc_id", "jt_lang", "main_text", "block_classes",
+                "gopher_pass_routed")
+        .cache()
+    )
+    n_docs = ts.count()
+    per_mod = n_docs // 50
+    hist = {
+        r.jt_lang: r.n
+        for r in ts.groupBy("jt_lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang in ("zh", "ja", "ko", "de", "fr"):
+        assert hist.get(lang) == per_mod, (lang, hist)
+    cjk = ts.where("jt_lang IN ('zh','ja','ko')")
+    assert cjk.where("gopher_pass_routed").count() == 3 * per_mod
+    assert cjk.where("length(main_text) > 0").count() == 3 * per_mod
+    assert cjk.where("block_classes like '%good%'").count() == 3 * per_mod
+    # the routed column degenerates to the word-grain verdict for
+    # every unplanted doc (cjk=false arms are the original rules)
+    assert (
+        ts.where("doc_id % 50 NOT IN (7, 19, 31, 11, 43)")
+        .join(
+            QUERIES["text_stats"](spark, sf_dir).select("doc_id", "gopher_pass"),
+            "doc_id",
+        )
+        .where("gopher_pass_routed != gopher_pass")
+        .count()
+        == 0
+    )
