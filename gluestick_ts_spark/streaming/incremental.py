@@ -828,6 +828,7 @@ def stream_curation_filter(
     robots=(),
     clf_model: dict | None = None,
     clf_min_prob: float = 0.5,
+    cjk_route: bool = False,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -869,6 +870,18 @@ def stream_curation_filter(
     first-failing drop reason between 'quality' and 'logprob' (it
     REFINES the heuristic quality family). Pure in-row integer
     arithmetic — stateless, no new shuffle, replay-identical.
+
+    ``cjk_route=True`` (round 13) gives the streaming gopher stage the
+    batch pipeline's script-aware CJK routing: each document's
+    language is identified in-row (``lang_id_expr`` — emitted as a
+    ``lang`` column for drop-rate monitoring), and CJK-routed rows
+    score the CHAR-GRAIN Gopher rules (``gopher_cjk_toks_sql`` tokens
+    + routed mean-length/alpha/stop-char rules) instead of the word
+    rules that structurally fail on unsegmented prose. Map-only and
+    stateless like the rest of the stage — replay-identical, and the
+    verdict equals the batch routed-gopher verdict for the same text
+    (pinned in tests). Default off so existing checkpointed streams
+    keep byte-identical verdicts.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -971,12 +984,47 @@ def stream_curation_filter(
                     ),
                 ).alias("clf_score")
             ]
-        enriched = batch_df.select(
+        if cjk_route:
+            from ..functions.text import (
+                CJK_LANGS,
+                gopher_cjk_toks_sql,
+                gopher_rules_sql,
+                lang_id_expr,
+            )
+
+            cjk_sql = (
+                "`__lang` IN ("
+                + ", ".join(f"'{l}'" for l in CJK_LANGS)
+                + ")"
+            )
+            rt_sql = (
+                f"CASE WHEN {cjk_sql} THEN {gopher_cjk_toks_sql(text_col)} "
+                f"ELSE split(lower(trim(`{text_col}`)), '\\\\s+') END"
+            )
+            # lang and the routed token array staged ONCE in lower
+            # selects (the SPARK-36718 pattern the batch query uses)
+            staged = batch_df.select(
+                "*", lang_id_expr(text_col).alias("__lang")
+            ).select("*", F.expr(rt_sql).alias("__rt"))
+            gopher_ok = F.expr(
+                " AND ".join(
+                    gopher_rules_sql(
+                        text_col, toks_sql="__rt", cjk_sql=cjk_sql
+                    ).values()
+                )
+            )
+            lang_cols = [F.col("__lang").alias("lang")]
+        else:
+            staged = batch_df
+            gopher_ok = gopher_quality_flags(text_col).getField("passes")
+            lang_cols = []
+        enriched = staged.select(
             F.col(id_col),
             F.col(text_col),
             *([F.col(url_col)] if url_col else []),
+            *lang_cols,
             fingerprint_expr(text_col).alias("__fp"),
-            gopher_quality_flags(text_col).getField("passes").alias("gopher_ok"),
+            gopher_ok.alias("gopher_ok"),
             (quality_score_expr(text_col) >= float(quality_min)).alias(
                 "quality_ok"
             ),
@@ -1065,6 +1113,7 @@ def stream_curation_filter(
             id_col,
             text_col,
             *([url_col, "blocklist_ok", "robots_ok"] if url_col else []),
+            *(["lang"] if cjk_route else []),
             "dup_ok",
             *(
                 ["has_copyright", "rights_reserved", "license_name", "license_ok"]

@@ -1075,3 +1075,85 @@ def test_text_stats_cjk_plants_pinned(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_stream_curation_cjk_route(spark, tmp_path):
+    """Streaming twin of the routed Gopher stage (round 13): with
+    cjk_route=True a real-script zh document survives the gopher gate
+    (and carries lang='zh' for monitoring); with the default word
+    rules the SAME document is dropped with reason 'gopher'; EN
+    verdicts are identical either way, and the streamed routed verdict
+    equals the batch routed-gopher expression for the same text."""
+    import os
+
+    from gluestick_ts_spark.functions.text import (
+        gopher_cjk_toks_sql,
+        gopher_rules_sql,
+    )
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the old mill where it finds a quiet place to rest for the "
+        "night and in the morning it sets out again across the wide "
+        "green valley toward the distant hills looking for food and "
+        "shelter along the winding path"
+    )
+    zh = _ZH + _ZH[:40]  # comfortably past every length floor
+    schema = "doc_id long, text string"
+    rows = [(1, en), (2, zh)]
+
+    def _run(route: bool, tag: str) -> dict:
+        src = str(tmp_path / f"src_{tag}")
+        store = str(tmp_path / f"store_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        os.makedirs(store, exist_ok=True)
+        got: dict[int, dict] = {}
+
+        def emit(df, batch_id):
+            for r in df.collect():
+                got[r.doc_id] = {
+                    "keep": r.keep,
+                    "reason": r.drop_reason,
+                    "lang": getattr(r, "lang", None),
+                }
+
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            stream_curation_filter(
+                spark.readStream.schema(schema).parquet(src),
+                store, emit, quality_min=0.1, checkpoint_dir=ckpt,
+                cjk_route=route,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    routed = _run(True, "r")
+    plain = _run(False, "p")
+    assert routed[1]["keep"] and routed[1]["lang"] == "en"
+    assert routed[2]["lang"] == "zh"
+    assert routed[2]["reason"] != "gopher"
+    assert not plain[2]["keep"] and plain[2]["reason"] == "gopher"
+    assert plain[1]["keep"] == routed[1]["keep"]
+    # stream verdict == batch routed-gopher verdict for the same text
+    cjk_sql = "`__lang` IN ('zh', 'ja', 'ko')"
+    rt = (f"CASE WHEN {cjk_sql} THEN {gopher_cjk_toks_sql('text')} "
+          "ELSE split(lower(trim(`text`)), '\\\\s+') END")
+    batch = {
+        r.doc_id: r.g
+        for r in spark.createDataFrame(rows, schema)
+        .withColumn("__lang", lang_id_expr("text"))
+        .withColumn("__rt", F.expr(rt))
+        .select(
+            "doc_id",
+            F.expr(" AND ".join(
+                gopher_rules_sql("text", toks_sql="__rt", cjk_sql=cjk_sql).values()
+            )).alias("g"),
+        )
+        .collect()
+    }
+    assert batch[2] is True
+    assert (routed[2]["reason"] != "gopher") == batch[2]
