@@ -95,8 +95,8 @@ def pagerank(
     sums are order-free and the output is IDENTICAL under any
     partitioning or engine. Each round is one join + one aggregate +
     an eager checkpoint (lineage truncation, the iterative-operator
-    pattern); the only driver scalars are n and the round's dangling
-    mass."""
+    pattern), with the round's dangling mass riding as a broadcast
+    one-row aggregate inside that job; the only driver scalar is n."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0.0 < damping < 1.0:
@@ -148,12 +148,18 @@ def pagerank(
         ranked_out = pr.join(
             outw, pr["node"] == outw["src"], "left"
         ).select(pr["node"], "u", "wout")
-        # dangling mass: nodes with no outlinks (wout null)
-        dangling = (
+        # dangling mass: nodes with no outlinks (wout null) — kept as
+        # a BROADCAST one-row aggregate, not a collect: a per-round
+        # first() was a whole extra Spark job per iteration (r13 —
+        # measured ~1 s/round of pure job overhead on a tiny graph),
+        # while the broadcast folds it into the round's single job.
+        # Same exact integer arithmetic either way; n remains the only
+        # driver-side scalar.
+        dang = (
             ranked_out.where(F.col("wout").isNull())
-            .agg(F.sum("u").alias("s"))
-            .first()["s"]
-            or 0
+            .agg(
+                F.coalesce(F.sum("u"), F.lit(0)).cast("long").alias("__dm")
+            )
         )
         # per-edge transfer in exact integer units:
         #   (u*d_units div GRID) * w div wout
@@ -173,14 +179,19 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("t").alias("recv"))
         )
-        share = int((dangling * d_units) // _GRID // n)
+        # share = (dangling * d_units) div GRID div n — exact longs,
+        # identical to the python twin's ((dm * d_units) // GRID) // n
         pr = (
             nodes.join(sends, nodes["node"] == sends["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.coalesce(F.col("recv"), F.lit(0))
-                    + F.lit(base_units + share).cast("long")
+                    + F.lit(base_units).cast("long")
+                    + F.expr(
+                        f"__dm * {d_units}L div {_GRID}L div {n}L"
+                    )
                 ).alias("u"),
             )
             .localCheckpoint(eager=True)

@@ -2394,8 +2394,19 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
                 ),
             )
         )
+        # scoped suffix table: the synth universe is *.com only, and
+        # the FULL embedded PSL snapshot compiles to an in-row
+        # when/IN tree whose per-execution analysis+codegen cost
+        # (~4-5 s at sf0.1, measured) would dwarf the 23-node graph it
+        # feeds — the caller-supplied-psl API exists for exactly this
+        # (the full table stays default and is exercised by the
+        # curation/weburl rows)
+        from ..operators.psl import parse_psl_rules
+
         ranks = pagerank(
-            domain_link_edges(links), iters=3, weight_col="n_links"
+            domain_link_edges(links, psl=parse_psl_rules([])),
+            iters=3,
+            weight_col="n_links",
         ).select(
             F.lit("rank").alias("part"),
             F.col("node").alias("token"),
