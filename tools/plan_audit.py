@@ -27,6 +27,15 @@ from gluestick_ts_spark.session import get_spark
 # by eager work, and the scale story for Python-boundary / bounded-
 # baseline queries. Every non-obvious plan gets a note.
 NOTES: dict[str, str] = {
+    "top_terms": (
+        "rank part (r13) runs its PageRank eagerly at construction: "
+        "doc_id-derived 2-outlink url synth -> eTLD+1 collapse (scoped "
+        "suffix table) -> 23-node edge list checkpointed, then 3 "
+        "rounds each ONE join+aggregate job with the dangling mass as "
+        "a broadcast one-row aggregate (n is the only driver scalar); "
+        "audited plan is the 5 lazy text parts unioned with the "
+        "post-checkpoint rank projection"
+    ),
     "lang_scores": (
         "classifier training runs eagerly at construction (r12): one "
         "localCheckpoint pass builds lang cols + dim-32 feature arrays "
