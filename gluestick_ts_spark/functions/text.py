@@ -632,11 +632,26 @@ def chunk_tokens(
     text_col: str = "text",
     chunk_size: int = 256,
     overlap: int = 32,
+    cjk: "Column | None" = None,
 ):
     """Split documents into overlapping token-window chunks — the
     context-window prep step of a training pipeline. One output row per
     chunk: ``<id_col>, chunk_idx (int), chunk_text (string),
     n_tokens (long)``.
+
+    ``cjk`` (round 13) is an optional doc-level BOOLEAN Column
+    (typically ``lang_id_expr(text).isin(*CJK_LANGS)``): routed rows
+    tokenize at the CHAR grain (each CJK-script character is its own
+    token, interleaved non-CJK runs stay whole — the
+    ``gopher_cjk_toks_sql`` segmentation), because whitespace
+    tokenization sees unsegmented prose as ONE giant token and emits
+    the whole document as a single over-length chunk. Routed chunk
+    text rejoins with a space only BETWEEN TWO NON-CJK tokens (CJK
+    typography sets latin runs tight against ideographs), so
+    ``"我们用 spark sql 每天"`` windows reconstruct their latin
+    spacing; like the word path's whitespace normalization, original
+    whitespace runs inside CJK text are not byte-preserved — chunking
+    is a token-window operator, not a byte-fidelity one.
 
     Row-local: tokenize once, build the chunk list inside the row with
     a ``transform`` over start offsets, then ONE ``posexplode`` — no
@@ -655,7 +670,17 @@ def chunk_tokens(
     if not 0 <= overlap < chunk_size:
         raise ValueError("require 0 <= overlap < chunk_size")
     step = chunk_size - overlap
-    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    word_toks = tokens_expr(base)
+    if cjk is None:
+        toks = word_toks
+    else:
+        char_toks = F.regexp_extract_all(
+            F.lower(F.trim(base)),
+            F.lit(f"([{CJK_CLASS}]|[^{CJK_CLASS}\\s]+)"),
+            1,
+        )
+        toks = F.when(cjk, char_toks).otherwise(word_toks)
 
     def _n_chunks(T):
         return F.greatest(
@@ -665,21 +690,48 @@ def chunk_tokens(
             F.lit(1),
         )
 
+    def _text_of(SL):
+        word = F.concat_ws(" ", SL)
+        if cjk is None:
+            return word
+        # conditional-separator rejoin: a space goes only BETWEEN TWO
+        # NON-CJK tokens (prev token read via 1-based element_at(S, i)
+        # == the 0-based transform index's predecessor)
+        joined = F.concat_ws(
+            "",
+            F.transform(
+                SL,
+                lambda t, i: F.concat(
+                    F.when(
+                        (i == 0)
+                        | F.element_at(SL, i).rlike(f"[{CJK_CLASS}]$")
+                        | t.rlike(f"^[{CJK_CLASS}]"),
+                        F.lit(""),
+                    ).otherwise(F.lit(" ")),
+                    t,
+                ),
+            ),
+        )
+        return F.when(cjk, joined).otherwise(word)
+
     # LET-BINDING (hashed_tf_expr's trick): referencing `toks` from
     # every chunk slot would make Catalyst re-run the tokenizing split
     # per slot (2x per chunk here); binding the token array to a lambda
-    # variable tokenizes once per row
+    # variable tokenizes once per row. The chunk's SLICE is let-bound
+    # the same way (the routed rejoin references it 3x).
     chunks = F.transform(
         F.array(toks),
         lambda T: F.transform(
             F.sequence(F.lit(0), _n_chunks(T) - 1),
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(T, i * step + 1, chunk_size)).alias(
-                    "chunk_text"
+            lambda i: F.get(
+                F.transform(
+                    F.array(F.slice(T, i * step + 1, chunk_size)),
+                    lambda SL: F.struct(
+                        _text_of(SL).alias("chunk_text"),
+                        F.size(SL).cast("long").alias("n_tokens"),
+                    ),
                 ),
-                F.size(F.slice(T, i * step + 1, chunk_size))
-                .cast("long")
-                .alias("n_tokens"),
+                0,
             ),
         ),
     )[0]

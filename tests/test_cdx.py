@@ -608,3 +608,65 @@ def test_open_container_pyarrow_ranged_read(tmp_path):
             assert h2.read(4) == blob[10:14]
         finally:
             h2.close()
+
+
+# ------------------------------------------ columnar (parquet) index
+
+def test_cdx_parquet_round_trip_and_probe(spark, crawl_dir, tmp_path):
+    """The cc-index-shaped parquet layout: rows round-trip identically
+    to the text index (minus excluded error rows), and a prefix probe
+    returns exactly the text-filter answer."""
+    from gluestick_ts_spark.sources.cdx import (
+        probe_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    idx = index_warc(spark, crawl_dir)
+    out = str(tmp_path / "ccidx")
+    write_cdx_parquet(idx, out)
+    back = read_cdx_parquet(spark, out)
+    key = lambda r: (  # noqa: E731
+        r.urlkey, r.timestamp, r.url, r.mime, r.status, r.digest,
+        r.length, r.offset, r.rec_offset, r.filename, r.warc_type,
+    )
+    want = sorted(map(key, idx.where("urlkey is not null").collect()))
+    got = sorted(map(key, back.collect()))
+    assert got == want and len(got) == 12
+    assert all(r.tld == "com" for r in back.collect())
+    probed = probe_cdx_parquet(back, "com,site1)/")
+    assert sorted(r.urlkey for r in probed.collect()) == sorted(
+        r.urlkey for r in idx.where("urlkey like 'com,site1)/%'").collect()
+    )
+    # short-prefix probe (can't name a full TLD) stays correct
+    assert probe_cdx_parquet(back, "co").count() == 12
+    # the parquet rows feed the ranged fetch exactly like the text path
+    fetched = fetch_warc_records(spark, probed, emit_payload=False)
+    assert fetched.where("error is not null").count() == 0
+    assert fetched.count() == probed.count()
+
+
+def test_cdx_parquet_probe_plan_prunes(spark, crawl_dir, tmp_path):
+    """Plan gate: the probe reaches the scan as a tld PartitionFilter
+    plus a pushed urlkey StartsWith — selectivity becomes IO at the
+    parquet layer, no full-index scan."""
+    from gluestick_ts_spark.sources.cdx import (
+        probe_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    out = str(tmp_path / "ccidx")
+    write_cdx_parquet(index_warc(spark, crawl_dir), out)
+    plan = (
+        probe_cdx_parquet(read_cdx_parquet(spark, out), "com,site1)/")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tld" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert "StartsWith(urlkey,com,site1)/" in plan.replace(" ", "")
+    for marker in ("MapInPandas", "BatchEvalPython"):
+        assert marker not in plan

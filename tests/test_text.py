@@ -1157,3 +1157,110 @@ def test_stream_curation_cjk_route(spark, tmp_path):
     }
     assert batch[2] is True
     assert (routed[2]["reason"] != "gopher") == batch[2]
+
+
+def test_chunk_tokens_cjk_route(spark):
+    """CJK-routed chunking (round 13): a zh doc chunks at the CHAR
+    grain (window/overlap arithmetic over characters) instead of
+    emitting the whole document as ONE giant-token chunk; mixed
+    zh+latin windows keep a space only between two non-CJK tokens; EN
+    docs are untouched by the route (cjk=false rows == unrouted
+    output)."""
+    from gluestick_ts_spark.functions.text import (
+        CJK_LANGS,
+        chunk_tokens,
+        lang_id_expr,
+    )
+
+    zh = "我们的朋友不在家里他们有很多事情"  # 16 chars
+    mixed = "我们用 spark sql 每天处理数据"
+    en = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, zh), (2, mixed), (3, en)], "doc_id long, text string"
+    ).withColumn("__cjk", lang_id_expr("text").isin(*CJK_LANGS))
+
+    out = chunk_tokens(
+        df, chunk_size=6, overlap=2, cjk=F.col("__cjk")
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_text, r.n_tokens)
+        )
+    # zh: 16 chars, window 6 step 4 -> ceil((16-2)/4) = 4 chunks
+    c1 = sorted(by_doc[1])
+    assert [c[2] for c in c1] == [6, 6, 6, 4]
+    assert c1[0][1] == "我们的朋友不"
+    assert c1[1][1] == "友不在家里他"  # starts at 4, 2-char overlap
+    # every char covered, no spaces injected
+    assert "".join(zh) == c1[0][1] + c1[1][1][2:] + c1[2][1][2:] + c1[3][1][2:]
+    # mixed: tokens = 3 chars + 'spark' + 'sql' + 6 chars = 11 tokens;
+    # the latin pair keeps its space, CJK boundaries stay tight
+    c2 = sorted(by_doc[2])
+    assert c2[0][1] == "我们用spark sql每"
+    # unrouted (word-grain) zh: ONE chunk holding the whole doc as a
+    # single token — the failure mode the route exists to fix
+    un = chunk_tokens(
+        df.where("doc_id = 1"), chunk_size=6, overlap=2
+    ).collect()
+    assert len(un) == 1 and un[0].n_tokens == 1
+    # EN rows identical with and without the route column
+    routed_en = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in out
+        if r.doc_id == 3
+    )
+    plain_en = sorted(
+        (r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_tokens(
+            df.where("doc_id = 3"), chunk_size=6, overlap=2
+        ).collect()
+    )
+    assert routed_en == plain_en
+
+
+def test_chunk_tokens_cjk_duckdb_twin(spark):
+    """The routed chunker's algebra restated in DuckDB (char-grain
+    tokens, window arithmetic, conditional-separator rejoin) lands on
+    identical chunk rows — the no-drift gate for a future driver
+    ride-along."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        CJK_CLASS,
+        chunk_tokens,
+    )
+
+    rows = [(1, _ZH), (2, "我们用 spark sql 每天处理数据 123")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_tokens(
+            df, chunk_size=8, overlap=3, cjk=F.lit(True)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    toks = (
+        f"regexp_extract_all(lower(trim(text)), "
+        f"'[{CJK_CLASS}]|[^{CJK_CLASS}\\s]+')"
+    )
+    # step = 8 - 3 = 5; n_chunks = greatest(ceil((len-3)/5), 1)
+    q = f"""
+    WITH a AS (SELECT doc_id, {toks} AS T FROM t),
+    c AS (SELECT doc_id, T,
+          greatest(CAST(ceil((len(T) - 3) / 5.0) AS INT), 1) AS nc FROM a),
+    w AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          T[i*5+1 : i*5+8] AS SL
+          FROM c, UNNEST(range(0, nc)) AS u(i))
+    SELECT doc_id, chunk_idx,
+      list_reduce(list_transform(range(1, len(SL)+1), i ->
+        CASE WHEN i = 1 THEN SL[i]
+             WHEN regexp_matches(SL[i-1], '[{CJK_CLASS}]$')
+               OR regexp_matches(SL[i], '^[{CJK_CLASS}]') THEN SL[i]
+             ELSE ' ' || SL[i] END), (x, y) -> x || y) AS chunk_text,
+      CAST(len(SL) AS BIGINT) AS n_tokens
+    FROM w
+    """
+    want = sorted(tuple(r) for r in con.execute(q).fetchall())
+    assert got == want
