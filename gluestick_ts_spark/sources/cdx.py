@@ -73,6 +73,8 @@ __all__ = [
     "read_cdx",
     "write_cdx_parquet",
     "read_cdx_parquet",
+    "append_cdx_parquet",
+    "compact_cdx_parquet",
     "probe_cdx_parquet",
     "fetch_warc_records",
     "latest_captures",
@@ -530,6 +532,35 @@ def read_cdx_parquet(spark: SparkSession, path: str) -> DataFrame:
     — splittable, column-pruned, filter-pushed by Catalyst."""
     cols = [c.split()[0] for c in CDX_SCHEMA.split(", ")]
     return spark.read.parquet(path).select(*cols, "tld")
+
+
+def append_cdx_parquet(index: DataFrame, path: str) -> None:
+    """Append one crawl segment's index rows to an existing columnar
+    CDX table (the per-dump incremental shape: each monthly segment
+    appends, nothing rewrites). Appended files are sorted within
+    themselves, so per-file/row-group urlkey stats stay tight and
+    probe pruning keeps working; GLOBAL order within a partition is
+    no longer total — run :func:`compact_cdx_parquet` periodically to
+    fold small per-append files back into sorted ones (the
+    compact_signature_store maintenance precedent)."""
+    write_cdx_parquet(index, path, mode="append")
+
+
+def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
+    """Rewrite the columnar index with per-partition sorted files —
+    folds the small files appends accumulate and restores tight
+    row-group stats. Atomic per Spark overwrite semantics; run it
+    off the probe path."""
+    cur = spark.read.parquet(path)
+    cols = [c.split()[0] for c in CDX_SCHEMA.split(", ")]
+    staged = cur.select(*cols, "tld").localCheckpoint(eager=True)
+    (
+        staged.repartition("tld")
+        .sortWithinPartitions("urlkey", "timestamp")
+        .write.mode("overwrite")
+        .partitionBy("tld")
+        .parquet(path)
+    )
 
 
 def probe_cdx_parquet(index: DataFrame, urlkey_prefix: str) -> DataFrame:

@@ -670,3 +670,80 @@ def test_cdx_parquet_probe_plan_prunes(spark, crawl_dir, tmp_path):
     assert "StartsWith(urlkey,com,site1)/" in plan.replace(" ", "")
     for marker in ("MapInPandas", "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_cdx_parquet_append_and_compact(spark, crawl_dir, tmp_path):
+    """Incremental index maintenance: a second segment APPENDS (probe
+    sees both segments; per-file sorted stats keep pruning honest),
+    and compact folds the per-append files back to one sorted set per
+    partition with identical rows."""
+    import glob as _glob
+
+    from gluestick_ts_spark.sources.cdx import (
+        append_cdx_parquet,
+        compact_cdx_parquet,
+        probe_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    out = str(tmp_path / "ccidx")
+    idx = index_warc(spark, crawl_dir)
+    write_cdx_parquet(idx.where("status = 200"), out)
+    append_cdx_parquet(idx.where("status = 404"), out)
+    back = read_cdx_parquet(spark, out)
+    assert back.count() == 12
+    assert probe_cdx_parquet(back, "com,site2)/").count() == idx.where(
+        "urlkey like 'com,site2)/%'"
+    ).count()
+    key = lambda r: (r.urlkey, r.timestamp, r.offset, r.rec_offset)  # noqa: E731
+    before_rows = sorted(map(key, back.collect()))
+    n_files = len(_glob.glob(f"{out}/tld=com/*.parquet"))
+    compact_cdx_parquet(spark, out)
+    after = read_cdx_parquet(spark, out)
+    assert after.count() == 12
+    assert len(_glob.glob(f"{out}/tld=com/*.parquet")) <= n_files
+    assert before_rows == sorted(map(key, after.collect()))
+
+
+def test_surt_twins_property(spark):
+    """Hypothesis gate on the SURT twins: RANDOM url-ish strings —
+    unicode hosts/params (BMP and astral), stray spaces, empty and
+    repeated params, ports, userinfo — canonicalize identically in
+    Python and the Column expression. One batched run."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(
+        alphabet="abz09-é日😀", min_size=1, max_size=4
+    )
+    host = st.lists(label, min_size=1, max_size=3).map(".".join)
+    param = st.text(alphabet="abz=9é日😀 ", min_size=0, max_size=5)
+    url = st.builds(
+        lambda scheme, user, h, port, path, params, frag: (
+            scheme + user + h + port + "/" + path
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http://", "https://", "", "HTTP://www."]),
+        st.sampled_from(["", "user:pw@"]),
+        host,
+        st.sampled_from(["", ":80", ":8080"]),
+        st.text(alphabet="ab/ 0é", max_size=6),
+        st.lists(param, max_size=4),
+        st.sampled_from(["", "#frag x"]),
+    )
+
+    cases: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(url)
+    def collect(u):
+        cases.append(u)
+
+    collect()
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r.s for r in df.select(surt_expr("url").alias("s")).collect()]
+    want = [surt(u) for u in cases]
+    mism = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
+    assert not mism, mism[:5]
