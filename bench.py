@@ -472,6 +472,30 @@ def _bench_warc_ingest(spark) -> dict:
         fetch_sec = _fetch_pass()
         fetched = int(sel.count())
 
+        # columnar-index leg (round 13): the cc-index parquet shape —
+        # one-time write cost, then the probe that replaces a full
+        # text-index scan (partition + row-group pruned)
+        from gluestick_ts_spark.sources.cdx import (
+            probe_cdx_parquet,
+            read_cdx_parquet,
+            write_cdx_parquet,
+        )
+
+        ccidx_dir = os.path.join(root, "ccidx")
+        t0 = time.time()
+        write_cdx_parquet(index_warc(spark, wdir), ccidx_dir)
+        ccidx_write_sec = time.time() - t0
+
+        def _probe_pass() -> float:
+            t0 = time.time()
+            probe_cdx_parquet(
+                read_cdx_parquet(spark, ccidx_dir), "example,bench00"
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        _probe_pass()
+        ccidx_probe_sec = _probe_pass()
+
         # WAT sidecar leg (round 13): envelope generation (the in-row
         # JSON build over the container walk) and the sidecar write —
         # the per-dump metadata pass a crawl user runs once per
@@ -525,6 +549,8 @@ def _bench_warc_ingest(spark) -> dict:
             "cdx_fetch_records": fetched,
             "cdx_fetch_sec": round(fetch_sec, 3),
             "cdx_fetch_records_s": round(fetched / fetch_sec, 1),
+            "ccidx_write_sec": round(ccidx_write_sec, 3),
+            "ccidx_probe_sec": round(ccidx_probe_sec, 3),
             "wat_gen_sec": round(wat_gen_sec, 3),
             "wat_gen_records_s": round(records / wat_gen_sec, 1),
             "wat_write_sec": round(wat_write_sec, 3),
