@@ -46,6 +46,8 @@ __all__ = [
     "gopher_cjk_toks_sql",
     "gopher_cjk_toks_duck_sql",
     "c4_line_rules_expr",
+    "C4_TERMINAL_RE",
+    "C4_CJK_TERMINAL_RE",
     "license_flags_expr",
     "license_flags_sql",
     "main_text_expr",
@@ -220,10 +222,20 @@ def self_dedup_lines_expr(text: Column | str) -> Column:
     return F.concat_ws("\n", F.array_distinct(F.split(_col(text), "\n")))
 
 
+# terminal-punctuation patterns for the C4 line keep-rule. The CJK
+# variant adds fullwidth terminators and closing quotes/brackets —
+# real zh/ja lines end 。/！/？ (often inside 」』）), which the ASCII
+# pattern rejects wholesale. Opt-in (pass as ``terminal_re``) so the
+# default rule and its oracles stay byte-identical.
+C4_TERMINAL_RE = "[.!?][\"']?\\s*$"
+C4_CJK_TERMINAL_RE = "[.!?。！？…][\"'」』）]?\\s*$"
+
+
 def c4_line_rules_expr(
     text: Column | str,
     min_words: int = 3,
     min_kept_lines: int = 5,
+    terminal_re: str = C4_TERMINAL_RE,
 ) -> Column:
     """C4's line-level cleaning rules (Raffel et al. 2020 §2.2 — the
     per-LINE half the doc-level Gopher rules don't cover), as one
@@ -246,7 +258,7 @@ def c4_line_rules_expr(
     t = _col(text)
     lines = F.split(t, "\n")
     is_kept = lambda ln: (  # noqa: E731
-        ln.rlike("[.!?][\"']?\\s*$")
+        ln.rlike(terminal_re)
         & (
             F.size(F.filter(F.split(F.trim(ln), "\\s+"), lambda w: w != ""))
             >= F.lit(min_words)

@@ -1945,3 +1945,67 @@ def test_pq_deterministic_training_partition_invariant(spark, sf_dir):
     for ja, jc in zip(a, c):
         for ca, cc in zip(ja, jc):
             assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cc))
+
+
+def test_sentence_span_dedup_cjk_split(spark):
+    """CJK boundary routing (round 13): fullwidth terminators split
+    real zh prose into sentences so a duplicated 3-sentence span is
+    actually scrubbed; under the default ASCII pattern the same doc is
+    ONE sentence and dedup is vacuous — the gap the opt-in pattern
+    closes. DuckDB twin check on the rebuilt text."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.operators.dedup import (
+        CJK_SENTENCE_SPLIT_RE,
+        sentence_span_dedup,
+    )
+
+    span = "我们去公园。天气很好。大家都很高兴。"
+    a = "第一句话很普通。" + span + "结尾也不同。"
+    b = "开头完全不同。" + span + "最后一句话。"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+
+    routed = {
+        r.doc_id: (r.text_dedup, r.n_sents, r.n_sents_kept)
+        for r in sentence_span_dedup(
+            df, sentence_split_re=CJK_SENTENCE_SPLIT_RE
+        ).collect()
+    }
+    # 5 sentences per doc; the first doc keeps everything, the second
+    # loses the duplicated 3-sentence span
+    assert routed[1] == ("第一句话很普通 我们去公园 天气很好 大家都很高兴 结尾也不同", 5, 5)
+    assert routed[2] == ("开头完全不同 最后一句话", 5, 2)
+    # default ASCII pattern: one giant sentence per doc, nothing to span
+    plain = {
+        r.doc_id: (r.n_sents, r.n_sents_kept)
+        for r in sentence_span_dedup(df).collect()
+    }
+    assert plain == {1: (1, 1), 2: (1, 1)}
+    # DuckDB twin over the same pattern re-derives the rebuilt text
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, a), (2, b)])
+    q = f"""
+    WITH sa AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(text, '{CJK_SENTENCE_SPLIT_RE}'),
+        x -> trim(x) <> '') AS A FROM t),
+    sp AS (SELECT doc_id, i - 1 AS s0,
+        md5(array_to_string(A[i:i+2], chr(1))) AS k
+        FROM sa, UNNEST(range(1, greatest(len(A) - 2, 0) + 1)) AS u(i)),
+    spw AS (SELECT doc_id, s0,
+        COUNT(*) OVER (PARTITION BY k) AS nk,
+        row_number() OVER (PARTITION BY k ORDER BY doc_id, s0) AS rn FROM sp),
+    removed AS (SELECT DISTINCT doc_id, s0 + d AS sidx
+        FROM spw, UNNEST(range(0, 3)) AS r(d) WHERE nk >= 2 AND rn > 1),
+    sent AS (SELECT doc_id, i - 1 AS sidx, A[i] AS sent
+        FROM sa, UNNEST(range(1, len(A) + 1)) AS u(i))
+    SELECT s.doc_id,
+      COALESCE(string_agg(s.sent, ' ' ORDER BY s.sidx)
+               FILTER (WHERE r.doc_id IS NULL), '') AS td
+    FROM sent s LEFT JOIN removed r
+      ON s.doc_id = r.doc_id AND s.sidx = r.sidx
+    GROUP BY s.doc_id
+    """
+    duck = dict(con.execute(q).fetchall())
+    assert duck == {1: routed[1][0], 2: routed[2][0]}

@@ -1264,3 +1264,29 @@ def test_chunk_tokens_cjk_duckdb_twin(spark):
     """
     want = sorted(tuple(r) for r in con.execute(q).fetchall())
     assert got == want
+
+
+def test_c4_line_rules_cjk_terminators(spark):
+    """C4's keep-rule with the CJK terminator pattern: a zh line
+    ending 。 (or ！inside a closing quote) is kept, while the default
+    ASCII pattern drops it; ASCII lines behave identically under both
+    patterns."""
+    from gluestick_ts_spark.functions.text import (
+        C4_CJK_TERMINAL_RE,
+        c4_line_rules_expr,
+    )
+
+    zh_line = "我们 的 朋友 今天 不在 家里。"  # spaced so min_words passes
+    zh_quote = "他 说 这 很 好！」"
+    en_line = "the quick brown fox jumps far."
+    bad_line = "no terminal punctuation here"
+    text = "\n".join([zh_line, zh_quote, en_line, bad_line])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    routed = df.select(
+        c4_line_rules_expr("text", terminal_re=C4_CJK_TERMINAL_RE).alias("c")
+    ).first().c
+    plain = df.select(c4_line_rules_expr("text").alias("c")).first().c
+    assert routed.n_kept == 3 and zh_line in routed.text_clean
+    assert zh_quote in routed.text_clean
+    assert plain.n_kept == 1 and plain.text_clean == en_line
+    assert bad_line not in routed.text_clean
