@@ -13,6 +13,8 @@ definition so the DuckDB oracle can replicate it bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,6 +51,8 @@ __all__ = [
     "C4_TERMINAL_RE",
     "C4_CJK_TERMINAL_RE",
     "license_flags_expr",
+    "blocked_terms_flags_expr",
+    "blocked_terms_sql",
     "license_flags_sql",
     "main_text_expr",
     "block_classes_expr",
@@ -1212,6 +1216,106 @@ _LICENSE_NAMES = (
 )
 _COPYRIGHT_RE = r"(?i)(©|\(c\)\s*(19|20)\d{2}|\bcopyright\b\s*(©|\(c\))?\s*(19|20)\d{2})"
 _RIGHTS_RE = r"(?i)\ball\s+rights\s+reserved\b"
+
+
+def blocked_terms_flags_expr(
+    text: Column | str,
+    terms: tuple[str, ...],
+    max_hit_frac: float = 0.0,
+) -> Column:
+    """Blocked-terms screening — the C4-style "bad words" content
+    gate (Raffel et al. 2020 drop any page containing a word from a
+    public blocklist; RefinedWeb and friends keep the same stage with
+    tuned lists). The repo ships the MECHANISM, not a list: ``terms``
+    is caller-supplied (e.g. the public LDNOOBW lists), because the
+    right list is a policy decision per corpus and jurisdiction.
+
+    Matching: single-word terms match whole lowered whitespace tokens
+    stripped of leading/trailing punctuation (``"Spam!"`` hits
+    ``spam`` — C4 matches words, not substrings, so ``class`` never
+    hits ``ass``); multi-word terms match as word-bounded lowered
+    phrases. Returns ``struct(n_hits, hit_frac, first_term,
+    blocked)`` — ``blocked`` when the hit fraction of tokens exceeds
+    ``max_hit_frac`` (the default 0.0 is C4's any-hit-drops rule; a
+    small positive value tolerates incidental mentions, the
+    RefinedWeb-style relaxation). Pure in-row Column algebra
+    (membership over a literal array + bounded rlikes), map-only at
+    any corpus size; the DuckDB twin is GENERATED from the same terms
+    (:func:`blocked_terms_sql`)."""
+    if not terms:
+        raise ValueError("blocked_terms_flags_expr needs a non-empty list")
+    t = _col(text)
+    words = [w for w in terms if " " not in w]
+    phrases = [w for w in terms if " " in w]
+    toks = F.transform(
+        tokens_expr(t),
+        lambda w: F.regexp_replace(w, r"^[^\w]+|[^\w]+$", ""),
+    )
+    nw = F.greatest(F.size(toks), F.lit(1))
+    hits = F.lit(0)
+    first = F.lit(None).cast("string")
+    if words:
+        wl = F.array(*[F.lit(w.lower()) for w in words])
+        hits = F.size(F.filter(toks, lambda w: F.array_contains(wl, w)))
+        # first matching term in DECLARATION order (stable attribution)
+        for w in reversed(words):
+            first = F.when(
+                F.array_contains(toks, F.lit(w.lower())), F.lit(w)
+            ).otherwise(first)
+    low = F.lower(t)
+    for p in phrases:
+        pat = (
+            r"\b"
+            + r"\s+".join(re.escape(w) for w in p.lower().split())
+            + r"\b"
+        )
+        cnt = F.regexp_count(low, F.lit(pat))
+        hits = hits + cnt
+        first = F.coalesce(first, F.when(cnt > 0, F.lit(p)))
+    frac = hits.cast("double") / nw.cast("double")
+    return F.struct(
+        hits.cast("long").alias("n_hits"),
+        F.round(frac, 6).alias("hit_frac"),
+        first.alias("first_term"),
+        (frac > F.lit(float(max_hit_frac))).alias("blocked"),
+    )
+
+
+def blocked_terms_sql(
+    col: str, terms: tuple[str, ...], max_hit_frac: float = 0.0
+) -> dict[str, str]:
+    """DuckDB restatement of :func:`blocked_terms_flags_expr`,
+    GENERATED from the same term list (the license_flags_sql
+    one-rule-source pattern). Fragments keyed ``n_hits`` /
+    ``hit_frac`` / ``blocked`` over text column ``col``."""
+    if not terms:
+        raise ValueError("blocked_terms_sql needs a non-empty list")
+    words = [w for w in terms if " " not in w]
+    phrases = [w for w in terms if " " in w]
+    toks = (
+        f"list_transform(regexp_split_to_array(lower(trim({col})), "
+        "'\\s+'), w -> regexp_replace(regexp_replace(w, '^[^\\w]+', ''),"
+        " '[^\\w]+$', ''))"
+    )
+    nw = f"greatest(len({toks}), 1)"
+    parts = []
+    if words:
+        wl = "[" + ", ".join(f"'{w.lower()}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter({toks}, w -> list_contains({wl}, w)))"
+        )
+    for p in phrases:
+        pat = '\\s+'.join(re.escape(w) for w in p.lower().split())
+        parts.append(
+            f"len(regexp_extract_all(lower({col}), '\\b{pat}\\b'))"
+        )
+    hits = "(" + " + ".join(parts) + ")"
+    frac = f"(CAST({hits} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    return {
+        "n_hits": f"CAST({hits} AS BIGINT)",
+        "hit_frac": f"ROUND({frac}, 6)",
+        "blocked": f"({frac} > CAST({max_hit_frac!r} AS DOUBLE))",
+    }
 
 
 def license_flags_expr(text: Column | str) -> Column:

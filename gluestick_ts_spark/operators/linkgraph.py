@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["domain_link_edges", "pagerank"]
+__all__ = ["domain_link_edges", "pagerank", "attach_domain_rank"]
 
 # rank grid: 1e-9 of total mass — fine enough that fixed-round ranks
 # order correctly for any realistic graph, and small enough that every
@@ -198,4 +198,46 @@ def pagerank(
         )
     return pr.select(
         "node", (F.col("u").cast("double") / _GRID).alias("rank")
+    )
+
+
+def attach_domain_rank(
+    docs: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    psl=None,
+    default_rank: float = 0.0,
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Join :func:`pagerank` domain ranks onto a document frame as a
+    quality PRIOR — the Common Crawl pattern (their published
+    domain-level centrality ranks are consumed exactly this way:
+    domain authority as a per-document feature beside the content
+    heuristics, feeding sampling weights or a classifier feature).
+
+    Scale shape: the document's registered domain (eTLD+1, same
+    ``registered_domain_expr`` grain the edge list was built at) is
+    derived IN-ROW, and the rank relation — the ~10^7-row domain
+    grain, dwarfed by any corpus — is broadcast into a left join, so
+    the corpus never shuffles and the plan stays one map-side stage.
+    Unranked domains (not in the crawl graph: fresh hosts, identity-
+    less URLs) get ``default_rank`` so downstream arithmetic is
+    total."""
+    from .weburl import registered_domain_expr
+
+    r = F.broadcast(
+        ranks.select(
+            F.col("node").alias("__dom"), F.col("rank").alias(rank_col)
+        )
+    )
+    out = docs.withColumn(
+        "__dom", registered_domain_expr(F.col(url_col), psl)
+    )
+    return (
+        out.join(r, on="__dom", how="left")
+        .drop("__dom")
+        .withColumn(
+            rank_col,
+            F.coalesce(F.col(rank_col), F.lit(float(default_rank))),
+        )
     )

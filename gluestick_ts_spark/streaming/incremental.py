@@ -829,6 +829,8 @@ def stream_curation_filter(
     clf_model: dict | None = None,
     clf_min_prob: float = 0.5,
     cjk_route: bool = False,
+    blocked_terms: tuple[str, ...] = (),
+    blocked_terms_max_frac: float = 0.0,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -870,6 +872,14 @@ def stream_curation_filter(
     first-failing drop reason between 'quality' and 'logprob' (it
     REFINES the heuristic quality family). Pure in-row integer
     arithmetic — stateless, no new shuffle, replay-identical.
+
+    ``blocked_terms`` (round 13) adds the C4-style bad-words CONTENT
+    screen (``functions/text.py blocked_terms_flags_expr`` — the list
+    is caller policy, e.g. the public LDNOOBW lists): output gains
+    ``terms_ok`` plus ``term_hit_frac``, with a 'blocked_terms'
+    first-failing drop reason right after the dup stage (content
+    policy outranks quality heuristics, matching where real pipelines
+    put it). Map-only, stateless, replay-identical.
 
     ``cjk_route=True`` (round 13) gives the streaming gopher stage the
     batch pipeline's script-aware CJK routing: each document's
@@ -1018,6 +1028,17 @@ def stream_curation_filter(
             staged = batch_df
             gopher_ok = gopher_quality_flags(text_col).getField("passes")
             lang_cols = []
+        bt_cols = []
+        if blocked_terms:
+            from ..functions.text import blocked_terms_flags_expr
+
+            _bt = blocked_terms_flags_expr(
+                text_col, tuple(blocked_terms), blocked_terms_max_frac
+            )
+            bt_cols = [
+                (~_bt.getField("blocked")).alias("terms_ok"),
+                _bt.getField("hit_frac").alias("term_hit_frac"),
+            ]
         enriched = staged.select(
             F.col(id_col),
             F.col(text_col),
@@ -1031,6 +1052,7 @@ def stream_curation_filter(
             lp_ok.alias("lp_ok"),
             *lic_cols,
             *clf_cols,
+            *bt_cols,
         )
         if clf_model is not None:
             from ..operators.classifier import logreg_prob_expr
@@ -1080,10 +1102,12 @@ def stream_curation_filter(
         bl_gate = F.col("blocklist_ok") if url_col else F.lit(True)
         rb_gate = F.col("robots_ok") if url_col else F.lit(True)
         clf_gate = F.col("clf_ok") if clf_model is not None else F.lit(True)
+        bt_gate = F.col("terms_ok") if blocked_terms else F.lit(True)
         keep = (
             bl_gate
             & rb_gate
             & F.col("dup_ok")
+            & bt_gate
             & lic_gate
             & F.col("gopher_ok")
             & F.col("quality_ok")
@@ -1099,6 +1123,9 @@ def stream_curation_filter(
             )
         else:
             reason = F.when(~F.col("dup_ok"), "duplicate")
+        if blocked_terms:
+            # content policy outranks the quality heuristics
+            reason = reason.when(~F.col("terms_ok"), "blocked_terms")
         if license_screen:
             reason = reason.when(~F.col("license_ok"), "license")
         reason = reason.when(~F.col("gopher_ok"), "gopher").when(
@@ -1114,6 +1141,7 @@ def stream_curation_filter(
             text_col,
             *([url_col, "blocklist_ok", "robots_ok"] if url_col else []),
             *(["lang"] if cjk_route else []),
+            *(["terms_ok", "term_hit_frac"] if blocked_terms else []),
             "dup_ok",
             *(
                 ["has_copyright", "rights_reserved", "license_name", "license_ok"]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gluestick_ts_spark.operators.linkgraph import (
     _GRID,
+    attach_domain_rank,
     domain_link_edges,
     pagerank,
 )
@@ -243,3 +244,32 @@ def test_top_terms_rank_part_matches_python_twin(spark, sf_dir):
     assert len(got) == 23
     assert {f"d{k}.com" for k in (19, 20, 21, 22)} <= set(got)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_attach_domain_rank_prior(spark):
+    """Rank attach: docs get their eTLD+1 domain's rank as a prior via
+    a BROADCAST left join (plan-gated — the corpus side never
+    shuffles); unknown domains fall back to default_rank."""
+    e = _edges(spark, [("a.com", "b.com", 3), ("c.com", "a.com", 1)])
+    ranks = pagerank(e, iters=2, weight_col="w")
+    rk = {r.node: r.rank for r in ranks.collect()}
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.a.com/page/1"),
+            (2, "https://sub.b.com/x?q=1"),
+            (3, "http://unknown-host.net/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = attach_domain_rank(docs, ranks)
+    got = {r.doc_id: r.domain_rank for r in out.collect()}
+    assert got[1] == rk["a.com"]
+    assert got[2] == rk["b.com"]
+    assert got[3] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attach_domain_rank_import():
+    from gluestick_ts_spark.operators.linkgraph import attach_domain_rank  # noqa: F401

@@ -1290,3 +1290,109 @@ def test_c4_line_rules_cjk_terminators(spark):
     assert zh_quote in routed.text_clean
     assert plain.n_kept == 1 and plain.text_clean == en_line
     assert bad_line not in routed.text_clean
+
+
+def test_blocked_terms_flags(spark):
+    """Blocked-terms screen: whole-token matching (never substrings),
+    punctuation-stripped tokens, word-bounded multi-word phrases,
+    any-hit vs tolerated-fraction thresholds, declaration-order
+    first_term attribution, and the generated DuckDB twin."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        blocked_terms_flags_expr,
+        blocked_terms_sql,
+    )
+
+    terms = ("zork", "grue phrase", "blorb")
+    rows = [
+        (1, "a clean document with ten ordinary words inside it"),
+        (2, "this mentions Zork! once in twelve words of text here"),
+        (3, "classwork is not zorkish nor zorks plural forms"),  # no whole-token hit
+        (4, "a grue   phrase with odd spacing and a blorb too"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.f.n_hits, r.f.first_term, r.f.blocked)
+        for r in df.select(
+            "id", blocked_terms_flags_expr("text", terms).alias("f")
+        ).collect()
+    }
+    assert got[1] == (0, None, False)
+    assert got[2] == (1, "zork", True)
+    assert got[3] == (0, None, False)
+    assert got[4][0] == 2 and got[4][2] is True
+    assert got[5] == (0, None, False)
+    # tolerated fraction: one hit in 12 tokens passes at 10%
+    tol = {
+        r.id: r.f.blocked
+        for r in df.select(
+            "id",
+            blocked_terms_flags_expr("text", terms, max_hit_frac=0.1).alias(
+                "f"
+            ),
+        ).collect()
+    }
+    assert tol[2] is False and tol[4] is True
+    with pytest.raises(ValueError):
+        blocked_terms_flags_expr("text", ())
+    # generated twin agrees value-for-value
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    frag = blocked_terms_sql("text", terms)
+    duck = {
+        r[0]: (r[1], bool(r[2]), r[3])
+        for r in con.execute(
+            f"SELECT id, {frag['n_hits']}, {frag['blocked']}, "
+            f"{frag['hit_frac']} FROM t"
+        ).fetchall()
+    }
+    spark_side = {
+        r.id: (r.f.n_hits, r.f.blocked, r.f.hit_frac)
+        for r in df.select(
+            "id", blocked_terms_flags_expr("text", terms).alias("f")
+        ).collect()
+    }
+    assert duck == spark_side
+
+
+def test_stream_curation_blocked_terms_stage(spark, tmp_path):
+    """The streaming bad-words stage: a gopher-and-quality-passing doc
+    carrying a blocked term drops with first-failing reason
+    'blocked_terms' (outranking quality heuristics), clean docs keep,
+    and the emitted frame carries terms_ok/term_hit_frac."""
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away to the old mill where it finds a quiet place to rest "
+            "for the night and in the morning it sets out again across "
+            "the wide green valley toward the distant hills looking for "
+            "food and shelter along the winding path")
+    dirty = good + " and then a zork appears"
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ck"))
+    os.makedirs(store, exist_ok=True)
+    schema = "doc_id long, text string"
+    got: dict[int, tuple] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            got[r.doc_id] = (r.keep, r.drop_reason, r.terms_ok)
+
+    spark.createDataFrame(
+        [(1, good), (2, dirty)], schema
+    ).write.mode("append").parquet(src)
+    q = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src),
+            store, emit, quality_min=0.5, checkpoint_dir=ckpt,
+            blocked_terms=("zork",),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got[1] == (True, None, True)
+    assert got[2] == (False, "blocked_terms", False)
