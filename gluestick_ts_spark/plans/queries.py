@@ -1383,6 +1383,13 @@ _JT_LANG_TEXTS: dict[int, tuple[str, str]] = {
 }
 
 
+# round 13: the driver-visible blocked-terms policy list (see
+# q_lang_scores) — one whole-token term + one word-bounded phrase,
+# both present in the synth vocabulary so the gate splits the corpus
+# deterministically
+_BT_TERMS = ("dup", "table hash")
+
+
 def _jt_text_expr() -> "F.Column":
     """The jusText input text column: the doc's own text, except the
     planted-language slots (``_JT_LANG_TEXTS``)."""
@@ -1714,6 +1721,19 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
             for lang in DEFAULT_LANGS
         ]
         sel.append(F.expr(lang_id_sql("__lt")).alias("lang_pred"))
+        # round 13: the blocked-terms content gate rides here for
+        # driver visibility — a deterministic 2-term policy list drawn
+        # from the synth vocabulary (one whole-token term + one
+        # word-bounded phrase, so both matchers are oracle-exercised);
+        # the DuckDB twin is GENERATED from the same list
+        from ..functions.text import blocked_terms_flags_expr
+
+        bt = blocked_terms_flags_expr("text", _BT_TERMS)
+        sel += [
+            bt.getField("n_hits").alias("bt_hits"),
+            bt.getField("hit_frac").alias("bt_frac"),
+            bt.getField("blocked").alias("bt_blocked"),
+        ]
     if "clf" not in parts:
         return d.select(*sel)
     # ONE materialized pass builds lang columns, the classifier
@@ -4536,6 +4556,18 @@ _QUALITY_DUCK = (
     f"+ 0.2 * (1.0 - least(({_PUNCT_RATIO_DUCK}) * 10.0, 1.0))"
 )
 # per-row argmax language prediction over score_<lang> columns
+def _bt_duck_cols() -> str:
+    """lang_scores' blocked-terms oracle columns, GENERATED from the
+    same _BT_TERMS list the Spark side compiles from."""
+    from ..functions.text import blocked_terms_sql
+
+    f = blocked_terms_sql("text", _BT_TERMS)
+    return (
+        f"{f['n_hits']} AS bt_hits, {f['hit_frac']} AS bt_frac, "
+        f"{f['blocked']} AS bt_blocked"
+    )
+
+
 def _pagerank_duck_ctes(iters: int = 3, damping: float = 0.85) -> str:
     """The top_terms ``rank`` part's oracle: the synthetic doc_id link
     graph and the ENTIRE fixed-round integer-grid PageRank unrolled as
@@ -6044,8 +6076,9 @@ ORACLES: dict[str, str] = {
             f"{_lang_score_sql(lang, 'LT')} AS score_{lang}"
             for lang in DEFAULT_LANGS
         )
-        + ", " + lang_id_duck_sql("LT") + " AS lang_pred "
-        "FROM (SELECT doc_id, " + _jt_text_sql() + " AS LT "
+        + ", " + lang_id_duck_sql("LT") + " AS lang_pred, "
+        + _bt_duck_cols()
+        + " FROM (SELECT doc_id, text, " + _jt_text_sql() + " AS LT "
         "FROM documents) t) "
         "SELECT base.*, c.clf_score, "
         "ROUND(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + "

@@ -1396,3 +1396,31 @@ def test_stream_curation_blocked_terms_stage(spark, tmp_path):
     q.awaitTermination(180)
     assert got[1] == (True, None, True)
     assert got[2] == (False, "blocked_terms", False)
+
+
+def test_lang_scores_blocked_terms_pinned(spark, sf_dir):
+    """Driver-visible blocked-terms split: the 2-term policy list
+    (_BT_TERMS — one whole-token term, one word-bounded phrase) blocks
+    a deterministic, BOTH-matchers-exercised subset of the corpus."""
+    from gluestick_ts_spark.plans.queries import _BT_TERMS, QUERIES
+
+    assert any(" " in t for t in _BT_TERMS)  # a phrase IS in the policy
+    assert any(" " not in t for t in _BT_TERMS)
+    ls = QUERIES["lang_scores"](spark, sf_dir).cache()
+    n = ls.count()
+    blocked = ls.where("bt_blocked").count()
+    assert 0 < blocked < n  # non-trivial split
+    assert ls.where("bt_blocked AND bt_hits = 0").count() == 0
+    assert ls.where("NOT bt_blocked AND bt_hits > 0").count() == 0
+    # both matchers contribute: some blocked docs carry the token,
+    # some only the phrase
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    word = [t for t in _BT_TERMS if " " not in t][0]
+    j = ls.join(docs, "doc_id").where("bt_hits > 0")
+    has_tok = (
+        f"array_contains(split(lower(trim(text)), '\\\\s+'), '{word}')"
+    )
+    assert j.where(has_tok).count() > 0
+    assert j.where(f"NOT {has_tok}").count() > 0
