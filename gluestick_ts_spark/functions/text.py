@@ -52,6 +52,8 @@ __all__ = [
     "C4_CJK_TERMINAL_RE",
     "license_flags_expr",
     "blocked_terms_flags_expr",
+    "normalize_width_expr",
+    "normalize_width_sql",
     "blocked_terms_sql",
     "license_flags_sql",
     "main_text_expr",
@@ -1216,6 +1218,38 @@ _LICENSE_NAMES = (
 )
 _COPYRIGHT_RE = r"(?i)(©|\(c\)\s*(19|20)\d{2}|\bcopyright\b\s*(©|\(c\))?\s*(19|20)\d{2})"
 _RIGHTS_RE = r"(?i)\ball\s+rights\s+reserved\b"
+
+
+# NFKC width-fold subset: the 94 fullwidth ASCII forms (U+FF01-FF5E)
+# map to their ASCII originals, and the ideographic space (U+3000) to
+# a plain space. CJK web text routinely carries fullwidth latin,
+# digits, and punctuation (ＡＢＣ１２３！), which makes byte-exact
+# dedup keys, URL extraction, and number parsing silently miss —
+# this is the bounded, deterministic slice of NFKC a curation
+# pipeline actually needs, expressible as ONE translate() on both
+# engines (full NFKC needs ICU, which neither engine exposes in-row).
+_WIDTH_FROM = "".join(chr(0xFF01 + i) for i in range(94)) + "　"
+_WIDTH_TO = "".join(chr(0x21 + i) for i in range(94)) + " "
+
+
+def normalize_width_expr(text: Column | str) -> Column:
+    """Fold fullwidth ASCII forms and the ideographic space to their
+    halfwidth originals — one JVM-side ``translate`` (per-char map,
+    whole-stage codegen'd, map-only anywhere). Run it BEFORE
+    fingerprinting/dedup on CJK-bearing corpora so ``ＡＢＣ１２３``
+    and ``ABC123`` share a key. Everything outside the mapped set
+    (all CJK ideographs/kana/hangul included) passes through
+    untouched."""
+    return F.translate(_col(text), _WIDTH_FROM, _WIDTH_TO)
+
+
+def normalize_width_sql(col: str) -> str:
+    """DuckDB twin of :func:`normalize_width_expr`, GENERATED from the
+    same character tables (DuckDB's ``translate`` has identical
+    per-char-map semantics)."""
+    frm = _WIDTH_FROM.replace("'", "''")
+    to = _WIDTH_TO.replace("'", "''")
+    return f"translate({col}, '{frm}', '{to}')"
 
 
 def blocked_terms_flags_expr(

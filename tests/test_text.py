@@ -1424,3 +1424,47 @@ def test_lang_scores_blocked_terms_pinned(spark, sf_dir):
     )
     assert j.where(has_tok).count() > 0
     assert j.where(f"NOT {has_tok}").count() > 0
+
+
+def test_normalize_width_fold(spark):
+    """Fullwidth ASCII forms and the ideographic space fold to their
+    halfwidth originals (so dedup keys unify); CJK scripts pass
+    through untouched; the generated DuckDB twin is char-identical."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        fingerprint_expr,
+        normalize_width_expr,
+        normalize_width_sql,
+    )
+
+    rows = [
+        (1, "ＡＢＣ　１２３！？（ｘ＝ｙ）"),
+        (2, "ABC 123!?(x=y)"),
+        (3, "我们的朋友１２３在家"),   # CJK untouched, digits folded
+        (4, "plain ascii stays"),
+        (5, "＇quoted＇ and ＼backslash＼"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", normalize_width_expr("t").alias("n")).collect()
+    }
+    assert got[1] == "ABC 123!?(x=y)" == got[2]
+    assert got[3] == "我们的朋友123在家"
+    assert got[4] == "plain ascii stays"
+    assert got[5] == "'quoted' and \\backslash\\"
+    # fingerprints unify after the fold
+    fps = (
+        df.where("id <= 2")
+        .select(fingerprint_expr(normalize_width_expr("t")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert fps == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(f"SELECT id, {normalize_width_sql('t')} FROM t").fetchall()
+    )
+    assert duck == got
