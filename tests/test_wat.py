@@ -161,3 +161,46 @@ def test_read_wat_plan_is_jvm_side_after_container_walk(spark, tmp_path):
     assert plan.count("MapInPandas") == 1
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_wat_streaming_sidecar(spark, tmp_path):
+    """Streaming WAT generation (round 13 gate): wat_from_warc is pure
+    in-row Column algebra, so it composes with read_warc_stream and a
+    foreachBatch sidecar writer — envelopes equal the batch path's for
+    the same containers, and a replay (fresh checkpoint, same input)
+    produces identical rows."""
+    import os
+
+    from gluestick_ts_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "c.warc.gz").write_bytes(warc_encode([_cap(i) for i in range(3)]))
+
+    def _run(tag: str) -> dict:
+        got: dict[str, tuple] = {}
+
+        def emit(df, batch_id):
+            for r in wat_from_warc(df).collect():
+                got[r.url] = (r.warc_date, r.wat)
+
+        q = (
+            read_warc_stream(spark, str(src))
+            .writeStream.foreachBatch(emit)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ck_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    stream1 = _run("a")
+    batch = {
+        r.url: (r.warc_date, r.wat)
+        for r in wat_from_warc(read_warc(spark, str(src))).collect()
+    }
+    assert stream1 == batch and len(batch) == 3
+    # replay determinism: a fresh run over the same input is identical
+    assert _run("b") == stream1
