@@ -129,9 +129,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # Script-aware CJK handling (round 13). Public Unicode block ranges,
 # embedded as LITERAL characters so the SAME class string compiles in
 # Java regex (Spark) and RE2 (DuckDB) — both accept literal-codepoint
-# ranges inside a class; all endpoints are BMP so Spark's UTF-16
-# `length` and DuckDB's codepoint `length` agree everywhere they're
-# used together.
+# ranges inside a class. Engine agreement on counts holds for ANY
+# input, astral planes included: Spark's `length` is
+# UTF8String.numChars() — CODEPOINTS, not UTF-16 units — and DuckDB's
+# `length` is codepoints too (verified cross-engine on astral input;
+# tests/test_text.py::test_nonspace_count_codepoints_cross_engine),
+# so the nonspace denominators below cannot drift on emoji.
 # ---------------------------------------------------------------------
 _HAN_CLASS = "㐀-䶿一-鿿"  # CJK Unified Ideographs + Ext-A
 _KANA_CLASS = "぀-ゟ゠-ヿ"  # hiragana + katakana
@@ -445,20 +448,25 @@ def lang_id_expr(
     t = _col(text)
     word_langs = [l for l in langs if l not in CJK_LANGS]
     cjk_langs = [l for l in langs if l in CJK_LANGS]
-    candidates = F.array(
-        *[
-            F.struct(
-                lang_score_expr(t, lang).alias("score"),
-                F.lit(-i).alias("prio"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(word_langs)
-        ]
-    )
-    best = F.array_max(candidates)
-    word_pred = F.when(best["score"] > 0.0, best["lang"]).otherwise(
-        F.lit("und")
-    )
+    if word_langs:
+        candidates = F.array(
+            *[
+                F.struct(
+                    lang_score_expr(t, lang).alias("score"),
+                    F.lit(-i).alias("prio"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(word_langs)
+            ]
+        )
+        best = F.array_max(candidates)
+        word_pred = F.when(best["score"] > 0.0, best["lang"]).otherwise(
+            F.lit("und")
+        )
+    else:
+        # CJK-only request: empty array_max is VOID-typed and fails
+        # analysis on field access — the word path IS 'und'
+        word_pred = F.lit("und")
     if not cjk_langs:
         return word_pred
     han = F.regexp_count(t, F.lit(f"[{_HAN_CLASS}]"))
@@ -537,13 +545,18 @@ def lang_id_sql(col: str, langs: tuple[str, ...] = DEFAULT_LANGS) -> str:
     scores are zero)."""
     word_langs = [l for l in langs if l not in CJK_LANGS]
     cjk_langs = [l for l in langs if l in CJK_LANGS]
-    cands = ", ".join(
-        f"named_struct('score', {lang_score_sql(col, lang)}, "
-        f"'prio', {-i}, 'lang', '{lang}')"
-        for i, lang in enumerate(word_langs)
-    )
-    best = f"array_max(array({cands}))"
-    word = f"CASE WHEN {best}.score > 0.0D THEN {best}.lang ELSE 'und' END"
+    if word_langs:
+        cands = ", ".join(
+            f"named_struct('score', {lang_score_sql(col, lang)}, "
+            f"'prio', {-i}, 'lang', '{lang}')"
+            for i, lang in enumerate(word_langs)
+        )
+        best = f"array_max(array({cands}))"
+        word = f"CASE WHEN {best}.score > 0.0D THEN {best}.lang ELSE 'und' END"
+    else:
+        # CJK-only request: the word path is the literal 'und'
+        # (lang_id_expr's behavior) — array_max(array()) fails analysis
+        word = "'und'"
     if not cjk_langs:
         return f"({word})"
     is_cjk, routed = _cjk_route_sqls(f"`{col}`", "spark")
@@ -574,14 +587,19 @@ def lang_id_duck_sql(
             f" AS DOUBLE) / CAST(greatest(len({toks}), 1) AS DOUBLE))"
         )
 
-    greatest = (
-        "greatest(" + ", ".join(score(l) for l in word_langs) + ")"
-    )
-    whens = " ".join(
-        f"WHEN {score(lang)} = {greatest} THEN '{lang}'"
-        for lang in word_langs
-    )
-    word = f"CASE WHEN {greatest} = 0 THEN 'und' {whens} END"
+    if word_langs:
+        greatest = (
+            "greatest(" + ", ".join(score(l) for l in word_langs) + ")"
+        )
+        whens = " ".join(
+            f"WHEN {score(lang)} = {greatest} THEN '{lang}'"
+            for lang in word_langs
+        )
+        word = f"CASE WHEN {greatest} = 0 THEN 'und' {whens} END"
+    else:
+        # CJK-only request: zero-arg greatest() is a DuckDB syntax
+        # error — the word path is the literal 'und' (lang_id_expr)
+        word = "'und'"
     if not cjk_langs:
         return f"({word})"
     is_cjk, routed = _cjk_route_sqls(text_sql, "duck")
@@ -1286,26 +1304,32 @@ def blocked_terms_flags_expr(
         lambda w: F.regexp_replace(w, r"^[^\w]+|[^\w]+$", ""),
     )
     nw = F.greatest(F.size(toks), F.lit(1))
-    hits = F.lit(0)
-    first = F.lit(None).cast("string")
-    if words:
-        wl = F.array(*[F.lit(w.lower()) for w in words])
-        hits = F.size(F.filter(toks, lambda w: F.array_contains(wl, w)))
-        # first matching term in DECLARATION order (stable attribution)
-        for w in reversed(words):
-            first = F.when(
-                F.array_contains(toks, F.lit(w.lower())), F.lit(w)
-            ).otherwise(first)
     low = F.lower(t)
-    for p in phrases:
-        pat = (
+
+    def _phrase_pat(p: str) -> str:
+        return (
             r"\b"
             + r"\s+".join(re.escape(w) for w in p.lower().split())
             + r"\b"
         )
-        cnt = F.regexp_count(low, F.lit(pat))
-        hits = hits + cnt
-        first = F.coalesce(first, F.when(cnt > 0, F.lit(p)))
+
+    hits = F.lit(0)
+    if words:
+        wl = F.array(*[F.lit(w.lower()) for w in words])
+        hits = F.size(F.filter(toks, lambda w: F.array_contains(wl, w)))
+    for p in phrases:
+        hits = hits + F.regexp_count(low, F.lit(_phrase_pat(p)))
+    # first matching term in DECLARATION order across the WHOLE list —
+    # one when-chain mixing word-membership and phrase tests (a word
+    # declared after a phrase must NOT outrank it)
+    first = F.lit(None).cast("string")
+    for term in reversed(terms):
+        cond = (
+            F.regexp_count(low, F.lit(_phrase_pat(term))) > 0
+            if " " in term
+            else F.array_contains(toks, F.lit(term.lower()))
+        )
+        first = F.when(cond, F.lit(term)).otherwise(first)
     frac = hits.cast("double") / nw.cast("double")
     return F.struct(
         hits.cast("long").alias("n_hits"),

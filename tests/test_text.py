@@ -928,6 +928,105 @@ def test_lang_id_three_twins_lockstep(spark):
         assert sa == sb, lang
 
 
+def test_lang_id_twins_cjk_only_langs(spark):
+    """langs with NO word-marker language (CJK-only) must still parse
+    and route on all three twins — the word path degenerates to the
+    literal 'und' (a zero-arg greatest()/empty array_max would fail
+    analysis otherwise)."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        lang_id_duck_sql,
+        lang_id_sql,
+    )
+
+    texts = [_ZH, _JA, _KO, "the and of it for", ""]
+    langs = ("zh", "ja", "ko")
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    a = {
+        r.id: r.l
+        for r in df.select(
+            "id", lang_id_expr("t", langs).alias("l")
+        ).collect()
+    }
+    b = {
+        r.id: r.l
+        for r in df.select(
+            "id", F.expr(lang_id_sql("t", langs)).alias("l")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    c = dict(
+        con.execute(
+            f"SELECT id, {lang_id_duck_sql('t', langs)} FROM t"
+        ).fetchall()
+    )
+    assert a == b == c == {0: "zh", 1: "ja", 2: "ko", 3: "und", 4: "und"}
+
+
+def test_nonspace_count_codepoints_cross_engine(spark):
+    """The CJK-routing nonspace denominator counts CODEPOINTS on both
+    engines, astral planes included: Spark's length() is
+    UTF8String.numChars() (codepoints, not UTF-16 units), matching
+    DuckDB — so emoji in input text cannot drift lang_score/lang_id
+    between engine and oracle."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        lang_id_duck_sql,
+        lang_id_sql,
+        lang_score_sql,
+        lang_score_expr,
+    )
+
+    # astral-plane emoji (U+1F600, U+1F680) interleaved with CJK: a
+    # UTF-16-unit count would see each emoji as 2 and dilute the
+    # score/route denominators on exactly one engine
+    texts = [
+        "\U0001F600\U0001F680 我们的朋友不在家里他们有很多事情",
+        "emoji \U0001F600 only with words the and of",
+        "\U0001F600\U0001F680\U0001F4A9",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    a = {
+        r.id: (r.l, r.s)
+        for r in df.select(
+            "id",
+            lang_id_expr("t").alias("l"),
+            lang_score_expr("t", "zh").alias("s"),
+        ).collect()
+    }
+    b = {
+        r.id: (r.l, r.s)
+        for r in df.select(
+            "id",
+            F.expr(lang_id_sql("t")).alias("l"),
+            F.expr(lang_score_sql("t", "zh")).alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    from gluestick_ts_spark.functions.text import _SCRIPT_CLASS
+
+    zh_duck = (
+        f"CAST(len(regexp_extract_all(t, '[{_SCRIPT_CLASS['zh']}]')) AS DOUBLE)"
+        " / CAST(greatest(length(regexp_replace(t, '\\s', '', 'g')), 1)"
+        " AS DOUBLE)"
+    )
+    c = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT id, {lang_id_duck_sql('t')}, {zh_duck} FROM t"
+        ).fetchall()
+    }
+    assert a == b == c, (a, b, c)
+    # 16 CJK chars of 18 nonspace CODEPOINTS in row 0 — the exact
+    # fraction pins the codepoint denominator (a UTF-16-unit count
+    # would divide by 20: each astral emoji is 2 units)
+    assert a[0] == ("zh", 16 / 18)
+
+
 def test_justext_cjk_char_grain_gate(spark):
     """A real-script CJK content block flips short -> good ONLY under
     the cjk char-grain arms (it has no whitespace tokens for any
@@ -1321,7 +1420,10 @@ def test_blocked_terms_flags(spark):
     assert got[1] == (0, None, False)
     assert got[2] == (1, "zork", True)
     assert got[3] == (0, None, False)
-    assert got[4][0] == 2 and got[4][2] is True
+    # declaration order across the WHOLE list: 'grue phrase' (declared
+    # 2nd) outranks the also-matching word 'blorb' (declared 3rd) —
+    # words must not take structural precedence over earlier phrases
+    assert got[4] == (2, "grue phrase", True)
     assert got[5] == (0, None, False)
     # tolerated fraction: one hit in 12 tokens passes at 10%
     tol = {
