@@ -244,7 +244,18 @@ def train_logreg_hashed(
                 .collect()
             )
             if n is None:
-                n = int(rows[0]["c"]) if rows else 0
+                # n = slot j == 0's group count: concat(x, [bias]) is
+                # non-empty for every non-null feature array, so each
+                # training row lands in group 0 exactly once. An
+                # arbitrary rows[0] group is only equivalent for dense
+                # length-d arrays — caller-supplied features_col may be
+                # null/ragged, where feature groups have unequal counts
+                # (a ragged row's bias lands at j=len(x), not j=d) and
+                # rows[0] (unordered collect) is whichever group
+                # happened first.
+                n = next(
+                    (int(row["c"]) for row in rows if int(row["j"]) == 0), 0
+                )
                 if n == 0:
                     raise ValueError("training frame is empty")
             g = {int(row["j"]): int(row["g"] or 0) for row in rows}

@@ -549,18 +549,56 @@ def append_cdx_parquet(index: DataFrame, path: str) -> None:
 def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     """Rewrite the columnar index with per-partition sorted files —
     folds the small files appends accumulate and restores tight
-    row-group stats. Atomic per Spark overwrite semantics; run it
-    off the probe path."""
+    row-group stats; run it off the probe path.
+
+    Crash-safety: the compacted table is written to a TEMP SIBLING
+    directory first, then swapped in with two renames (current ->
+    ``.bak``, temp -> current) and the backup dropped only after the
+    swap — the live index survives a mid-job failure at every point
+    (a static Spark ``overwrite`` deletes the existing files BEFORE
+    the new write commits, so a lost executor or storage pressure
+    mid-rewrite would destroy the only copy; the former full-table
+    ``localCheckpoint`` staging also pinned the whole 10^10-row table
+    in executor storage, which does not scale). If a previous run
+    died between the two renames (current missing, ``.bak`` present),
+    the backup is restored before compacting. Renames go through
+    ``pyarrow.fs`` so the same code serves local paths and
+    ``scheme://`` object-store/HDFS URIs (rename is atomic on POSIX
+    and HDFS; on S3-likes it is copy+delete — still never
+    destructive, the source survives until the copy lands)."""
+    from pyarrow import fs as pafs
+
+    if re.match(r"^[a-z][a-z0-9+.\-]*://", path):
+        filesystem, p = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, p = pafs.LocalFileSystem(), _strip_file_scheme(path)
+    p = p.rstrip("/")
+    tmp, bak = p + ".compact-tmp", p + ".bak"
+    if (
+        filesystem.get_file_info(p).type == pafs.FileType.NotFound
+        and filesystem.get_file_info(bak).type != pafs.FileType.NotFound
+    ):
+        # a previous run died between the two renames — roll back
+        filesystem.move(bak, p)
+    for stale in (tmp, bak):
+        if filesystem.get_file_info(stale).type != pafs.FileType.NotFound:
+            filesystem.delete_dir(stale)
     cur = spark.read.parquet(path)
     cols = [c.split()[0] for c in CDX_SCHEMA.split(", ")]
-    staged = cur.select(*cols, "tld").localCheckpoint(eager=True)
     (
-        staged.repartition("tld")
+        cur.select(*cols, "tld")
+        .repartition("tld")
         .sortWithinPartitions("urlkey", "timestamp")
         .write.mode("overwrite")
         .partitionBy("tld")
-        .parquet(path)
+        # Spark addresses the temp dir by the caller's own naming
+        # (full URI when path is one); pyarrow moves use the
+        # from_uri-stripped twin of the same name
+        .parquet(path.rstrip("/") + ".compact-tmp")
     )
+    filesystem.move(p, bak)
+    filesystem.move(tmp, p)
+    filesystem.delete_dir(bak)
 
 
 def probe_cdx_parquet(index: DataFrame, urlkey_prefix: str) -> DataFrame:

@@ -704,6 +704,19 @@ def test_cdx_parquet_append_and_compact(spark, crawl_dir, tmp_path):
     assert after.count() == 12
     assert len(_glob.glob(f"{out}/tld=com/*.parquet")) <= n_files
     assert before_rows == sorted(map(key, after.collect()))
+    # swap hygiene: no temp/backup sibling left behind
+    import os as _os
+
+    assert not _os.path.exists(out + ".compact-tmp")
+    assert not _os.path.exists(out + ".bak")
+    # crash-recovery: a run that died BETWEEN the two renames leaves
+    # (path missing, path.bak present) — the next compact restores the
+    # backup first and completes with identical rows
+    _os.rename(out, out + ".bak")
+    compact_cdx_parquet(spark, out)
+    recovered = read_cdx_parquet(spark, out)
+    assert before_rows == sorted(map(key, recovered.collect()))
+    assert not _os.path.exists(out + ".bak")
 
 
 def test_surt_twins_property(spark):

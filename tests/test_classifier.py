@@ -107,7 +107,26 @@ def test_trainer_matches_independent_numpy_twin(spark):
     assert m["weights"] == list(w)
 
 
-def test_gradient_matches_logloss_finite_difference(spark):
+def test_trainer_n_with_null_and_ragged_features(spark):
+    """Caller-supplied ``features_col`` may hold null or ragged
+    arrays, where posexplode groups have UNEQUAL counts — ``n`` must
+    come from the bias slot (one per non-null row), not an arbitrary
+    group from an unordered collect. A dense-features twin with the
+    same effective rows pins the expected n."""
+    d = 4
+    dense = [
+        (i, [1.0 * (i % 2), 0.5, 0.25 * i, 1.0], i % 2) for i in range(8)
+    ]
+    rows = dense + [(8, None, 1), (9, [1.0], 0)]  # null + ragged
+    df = spark.createDataFrame(
+        rows, "doc_id long, x array<double>, y int"
+    )
+    m = train_logreg_hashed(
+        df, "y", dim=d, iters=1, len_flags=(), features_col="x"
+    )
+    # 9 rows carry a non-null array (8 dense + 1 ragged); the null-x
+    # row explodes to nothing and cannot train
+    assert m["n"] == 9
     """One UNQUANTIZED step of the trainer's math is the gradient of
     mean logistic loss — anchor to the spec, not to our own code:
     d/dw_j [ -mean(y·ln p + (1-y)·ln(1-p)) ] == mean((p - y)·x_j)."""
