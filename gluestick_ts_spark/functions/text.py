@@ -40,6 +40,8 @@ __all__ = [
     "CJK_STOP_CHARS",
     "shingles_expr",
     "raw_shingles_expr",
+    "cjk_char_tokens_expr",
+    "is_cjk_doc_expr",
     "repetition_ratio_expr",
     "repetition_profile_sql",
     "gopher_quality_flags",
@@ -54,6 +56,7 @@ __all__ = [
     "blocked_terms_flags_expr",
     "normalize_width_expr",
     "normalize_width_sql",
+    "fingerprint_sql",
     "blocked_terms_sql",
     "license_flags_sql",
     "main_text_expr",
@@ -289,12 +292,31 @@ def c4_line_rules_expr(
     )
 
 
-def fingerprint_expr(text: Column | str) -> Column:
+def fingerprint_expr(text: Column | str, width_fold: bool = False) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase
     text. Stable across engines (md5 is md5 everywhere) — used as the
-    exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    exact-dedup key.
+
+    ``width_fold=True`` (round 14) folds fullwidth ASCII forms and
+    the ideographic space to halfwidth (``normalize_width_expr``)
+    BEFORE normalization, so ``ＨＥＬＬＯ`` and ``hello`` share a key
+    — fullwidth re-typings are the most common CJK exact-dup class.
+    The fold maps the ideographic space to a plain space ahead of the
+    whitespace collapse, so mixed-space runs normalize identically.
+    Off by default: existing fingerprint stores key on the unfolded
+    text. SQL twin: ``fingerprint_sql(col, width_fold=True)``."""
+    t = _col(text)
+    if width_fold:
+        t = normalize_width_expr(t)
+    norm = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
     return F.md5(norm)
+
+
+def fingerprint_sql(col: str, width_fold: bool = False) -> str:
+    """DuckDB twin of :func:`fingerprint_expr` — GENERATED with the
+    same width-fold tables so the keys cannot drift."""
+    t = normalize_width_sql(col) if width_fold else col
+    return f"md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
 
 
 def winnow_fingerprints_expr(
@@ -610,18 +632,35 @@ def lang_id_duck_sql(
     )
 
 
-def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined) of the tokenized text, WITH
-    duplicates — one gram per token position. Documents shorter than
-    ``n`` tokens yield the full token string as a single shingle.
+def cjk_char_tokens_expr(text: Column | str) -> Column:
+    """CHAR-GRAIN token array for script-routed operators: every
+    CJK-script character is its own token, interleaved non-CJK
+    non-space runs stay whole (digits, latin loanwords) — the
+    ``gopher_cjk_toks_sql`` segmentation as a Column (one regex pass,
+    map-only)."""
+    return F.regexp_extract_all(
+        F.lower(F.trim(_col(text))),
+        F.lit(f"([{CJK_CLASS}]|[^{CJK_CLASS}\\s]+)"),
+        1,
+    )
 
-    Built as ``zip_with`` over shifted slices, NOT ``transform(seq, i ->
-    slice(toks, i, n))``: expressions inside a higher-order-function
-    lambda re-evaluate per element, so the transform form re-tokenizes
-    (regex split) the document once per shingle — O(tokens²) regex work.
-    Here every array (tokens and its shifts) is a plain argument,
-    evaluated once per row."""
-    toks = tokens_expr(text)
+
+def is_cjk_doc_expr(text: Column | str) -> Column:
+    """The doc-level CJK route predicate (boolean Column): >= 3/10 of
+    the document's non-space codepoints are CJK-script — exactly the
+    script gate ``lang_id_expr`` routes on, factored out so dedup
+    operators can route without computing the full language id. The
+    SQL twins are ``_cjk_route_sqls(...)[0]`` (both dialects)."""
+    t = _col(text)
+    cjk = F.regexp_count(t, F.lit(f"[{CJK_CLASS}]"))
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    return 10 * cjk >= _CJK_DOC_TENTHS * F.greatest(nonspace, F.lit(1))
+
+
+def _grams_from_tokens(toks: Column, n: int) -> Column:
+    """n-gram shingles (space-joined) over an already-built token
+    array, WITH duplicates — the shared fold behind
+    ``raw_shingles_expr`` and its char-grain route."""
     grams = toks
     for k in range(2, n + 1):
         # zip_with pads the shorter (shifted) side with nulls; concat_ws
@@ -635,9 +674,48 @@ def raw_shingles_expr(text: Column | str, n: int = 3) -> Column:
     return F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
 
 
-def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — ``raw_shingles_expr`` deduped."""
-    return F.array_distinct(raw_shingles_expr(text, n))
+def raw_shingles_expr(
+    text: Column | str,
+    n: int = 3,
+    cjk: Column | None = None,
+    cjk_n: int = 5,
+) -> Column:
+    """Word n-gram shingles (space-joined) of the tokenized text, WITH
+    duplicates — one gram per token position. Documents shorter than
+    ``n`` tokens yield the full token string as a single shingle.
+
+    ``cjk`` (round 14) is an optional doc-level BOOLEAN Column
+    (typically :func:`is_cjk_doc_expr`): routed rows shingle CHAR
+    ``cjk_n``-grams over the char-grain tokens
+    (:func:`cjk_char_tokens_expr`) instead of word n-grams —
+    unsegmented zh/ja prose is ONE whitespace token, so the word grain
+    yields ~1 shingle per document and MinHash/SimHash near-dup recall
+    collapses to ~0 on exactly the documents the CJK-routed quality
+    pipeline keeps. Char n≈5 is the winnowing precedent
+    (``winnow_fingerprints_expr``'s k).
+
+    Built as ``zip_with`` over shifted slices, NOT ``transform(seq, i ->
+    slice(toks, i, n))``: expressions inside a higher-order-function
+    lambda re-evaluate per element, so the transform form re-tokenizes
+    (regex split) the document once per shingle — O(tokens²) regex work.
+    Here every array (tokens and its shifts) is a plain argument,
+    evaluated once per row."""
+    grams = _grams_from_tokens(tokens_expr(text), n)
+    if cjk is None:
+        return grams
+    cjk_grams = _grams_from_tokens(cjk_char_tokens_expr(text), cjk_n)
+    return F.when(cjk, cjk_grams).otherwise(grams)
+
+
+def shingles_expr(
+    text: Column | str,
+    n: int = 3,
+    cjk: Column | None = None,
+    cjk_n: int = 5,
+) -> Column:
+    """Distinct word n-gram shingles — ``raw_shingles_expr`` deduped
+    (char ``cjk_n``-grams for ``cjk``-routed rows)."""
+    return F.array_distinct(raw_shingles_expr(text, n, cjk, cjk_n))
 
 
 # PII redaction patterns, applied in order (emails first — they contain
@@ -711,12 +789,7 @@ def chunk_tokens(
     if cjk is None:
         toks = word_toks
     else:
-        char_toks = F.regexp_extract_all(
-            F.lower(F.trim(base)),
-            F.lit(f"([{CJK_CLASS}]|[^{CJK_CLASS}\\s]+)"),
-            1,
-        )
-        toks = F.when(cjk, char_toks).otherwise(word_toks)
+        toks = F.when(cjk, cjk_char_tokens_expr(base)).otherwise(word_toks)
 
     def _n_chunks(T):
         return F.greatest(

@@ -37,11 +37,14 @@ from ..functions.text import (
     STOPWORDS_EN,
     chunk_tokens,
     fingerprint_expr,
+    fingerprint_sql,
     gopher_cjk_toks_duck_sql,
     gopher_cjk_toks_sql,
     gopher_quality_flags,
     gopher_rules_duck_sql,
     gopher_rules_sql,
+    _cjk_route_sqls,
+    is_cjk_doc_expr,
     justext_sql,
     lang_id_duck_sql,
     lang_id_sql,
@@ -1444,6 +1447,30 @@ _JT_GOPHER_ROUTED_DUCK = " AND ".join(
     gopher_rules_duck_sql("JT", toks_sql="RT", cjk_sql=_JT_CJK_DUCK).values()
 )
 
+# round 14: the same routed-gopher plumbing for the CURATION pipeline,
+# whose planted text column is named `text` (the _jt_text_expr slots
+# now flow through the flagship end-to-end verdict, so the batch
+# gopher stage routes by script exactly like text_stats'
+# gopher_pass_routed and the STREAMING filter's cjk_route stage —
+# stream and batch defaults agree again)
+_CUR_RT_SQL = (
+    f"CASE WHEN {_JT_CJK_SQL} THEN {gopher_cjk_toks_sql('text')} "
+    "ELSE split(lower(trim(`text`)), '\\\\s+') END"
+)
+_CUR_GOPHER_ROUTED_SQL = " AND ".join(
+    gopher_rules_sql("text", toks_sql="__rt", cjk_sql=_JT_CJK_SQL).values()
+)
+_CUR_RT_DUCK = (
+    f"CASE WHEN {_JT_CJK_DUCK.replace('JLANG', 'jlang')} "
+    f"THEN {gopher_cjk_toks_duck_sql('text')} "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+)
+_CUR_GOPHER_ROUTED_DUCK = " AND ".join(
+    gopher_rules_duck_sql(
+        "text", toks_sql="RT", cjk_sql=_JT_CJK_DUCK.replace("JLANG", "jlang")
+    ).values()
+)
+
 
 def q_text_stats(spark, sf, parts=("stats", "justext")):
     """Quality scoring + token counting over documents plus the
@@ -1938,7 +1965,9 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     attribution in priority order: benchmark membership ->
     contamination (8-gram leak from the benchmark slice) -> exact
     duplicate (keep-first) -> Gopher rules -> heuristic quality
-    (>= 0.5) -> unigram logprob (>= -3.41, ~P10 of the corpus). Every
+    (>= 0.5) -> unigram logprob (>= -3.445, ~P15 of the round-14
+    PLANTED corpus — re-tuned: the multilingual plant shifts the
+    word-soup lp distribution by ~-0.04, past the old cut). Every
     stage is an already-oracle-proven operator; this query proves the
     COMPOSITION, including the reason each dropped document would be
     dropped first. Scale shape: three map-only flag columns + the
@@ -2014,6 +2043,20 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     )
 
     d = _spread(_t(spark, sf, "documents"))
+    # round 14: the _JT_LANG_TEXTS planted multilingual/CJK slots flow
+    # through the FLAGSHIP end-to-end verdict (they were confined to
+    # text_stats/lang_scores before), and the gopher stage routes by
+    # script — the planted real-script zh/ja/ko docs survive gopher
+    # ONLY because routing applies the char-grain rules (unrouted they
+    # are one giant pseudo-token: instant word-count fail). Staged as
+    # real columns (Project layers) so lang-ID runs once per doc and
+    # the routed token array is shared by all gopher rules
+    # (SPARK-36718).
+    d = (
+        d.withColumn("text", _jt_text_expr())
+        .withColumn("__jt_lang", F.expr(lang_id_sql("text")))
+        .withColumn("__rt", F.expr(_CUR_RT_SQL))
+    )
     # license/copyright boilerplate footers planted as a pure function
     # of doc_id (constant fractions at any sf) from the shared
     # _LIC_FOOTERS table: rights-reserved (drop), permissive Apache
@@ -2045,7 +2088,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         if stage == "gopher":
             return d.select(
                 "doc_id",
-                gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
+                F.expr(_CUR_GOPHER_ROUTED_SQL).alias("gopher_ok"),
             )
         if stage == "quality":
             return d.select(
@@ -2070,7 +2113,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         if stage == "logprob":
             return unigram_logprob_scores(d, vocab_size=100).select(
                 "doc_id",
-                (F.col("mean_logprob") >= F.lit(-3.41)).alias("lp_ok"),
+                (F.col("mean_logprob") >= F.lit(-3.445)).alias("lp_ok"),
             )
         if stage not in ("url", "blocklist", "robots"):
             raise ValueError(f"unknown curation stage: {stage!r}")
@@ -2135,7 +2178,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         "lang",
         url.alias("__url"),
         (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
-        gopher_quality_flags("text").getField("passes").alias("gopher_ok"),
+        F.expr(_CUR_GOPHER_ROUTED_SQL).alias("gopher_ok"),
         quality_score_expr("text").alias("__q"),
         fingerprint_expr("text").alias("__fp"),
         _lic.alias("__lic"),
@@ -2173,7 +2216,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=8
     ).select("doc_id", "contaminated")
     lp = unigram_logprob_scores(d, vocab_size=100).select(
-        "doc_id", (F.col("mean_logprob") >= F.lit(-3.41)).alias("__lpok")
+        "doc_id", (F.col("mean_logprob") >= F.lit(-3.445)).alias("__lpok")
     )
     j = (
         per.join(contam, on="doc_id", how="left")
@@ -2421,13 +2464,15 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
         # feeds — the caller-supplied-psl API exists for exactly this
         # (the full table stays default and is exercised by the
         # curation/weburl rows)
+        from ..operators.linkgraph import attach_domain_rank
         from ..operators.psl import parse_psl_rules
 
-        ranks = pagerank(
+        pr = pagerank(
             domain_link_edges(links, psl=parse_psl_rules([])),
             iters=3,
             weight_col="n_links",
-        ).select(
+        )
+        ranks = pr.select(
             F.lit("rank").alias("part"),
             F.col("node").alias("token"),
             F.lit(None).cast("long").alias("cnt"),
@@ -2437,6 +2482,34 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
             F.lit(None).cast("double").alias("pmi"),
             F.col("rank"),
         )
+        # round 14: the crawl->rank chain's CONSUMER step is driver
+        # visible too — attach_domain_rank broadcast-joins the domain
+        # prior onto every document through its (synthetic) source
+        # URL's eTLD+1, the Common Crawl domain-centrality-as-feature
+        # pattern. One map-side stage (rank side broadcast); the
+        # oracle restates the join through the same pure-function
+        # domain and the exact-integer pr3 grid.
+        rankdoc = attach_domain_rank(
+            ids.select(
+                "doc_id",
+                _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
+                    "__url"
+                ),
+            ),
+            pr,
+            url_col="__url",
+            psl=parse_psl_rules([]),
+        ).select(
+            F.lit("rankdoc").alias("part"),
+            F.lit(None).cast("string").alias("token"),
+            F.lit(None).cast("long").alias("cnt"),
+            "doc_id",
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("mean_logprob"),
+            F.lit(None).cast("double").alias("pmi"),
+            F.col("domain_rank").alias("rank"),
+        )
+        ranks = ranks.unionByName(rankdoc)
     for name, leg in (
         ("term", terms), ("doclp", lp), ("pmi", pmi),
         ("heavy", heavy), ("doclp2", lp2), ("rank", ranks),
@@ -2545,7 +2618,15 @@ def q_dedup_exact_docs(spark, sf):
     fingerprint set (Schleimer et al. 2003 — robust to partial
     overlap; ``winnow_fingerprints_expr``), with its size. The winnow
     column is map-only over the survivors and bit-identical to the
-    DuckDB ``winnow_fps_sql`` twin."""
+    DuckDB ``winnow_fps_sql`` twin.
+
+    Round 14: the dedup keys on the WIDTH-FOLDED fingerprint
+    (``dedup_exact(width_fold=True)``), and ``_wf_text_expr`` plants
+    fullwidth/halfwidth re-typed pairs (doc_id %% 400 in {77, 277}:
+    same text, one member typed in fullwidth forms + ideographic
+    spaces) that collapse onto one survivor ONLY because of the fold
+    — unfolded they fingerprint apart. The oracle folds with the
+    generated ``fingerprint_sql(width_fold=True)`` twin."""
     from ..operators.dedup import _spread
 
     # winnow BELOW the dedup shuffle, on the spread scan: the rolling
@@ -2554,7 +2635,9 @@ def q_dedup_exact_docs(spark, sf):
     # small data) would serialize it onto a few cores (measured 20x on
     # the bench entry). The window then carries the ~0.5 KB fingerprint
     # string — one shuffle total, unchanged.
-    d = _spread(_t(spark, sf, "documents"))
+    d = _spread(_t(spark, sf, "documents")).withColumn(
+        "text", _wf_text_expr()
+    )
     # rolling hash computed ONCE per row: projected in a lower select
     # and referenced twice above — Catalyst keeps non-cheap
     # multi-referenced projections un-inlined (SPARK-36718, the
@@ -2575,10 +2658,10 @@ def q_dedup_exact_docs(spark, sf):
         ).alias("winnow_fps"),
         F.size(F.col("__wfps")).cast("long").alias("n_winnow_fps"),
     )
-    out = dedup_exact(enriched)
+    out = dedup_exact(enriched, width_fold=True)
     return out.select(
         "doc_id",
-        fingerprint_expr("text").alias("fp"),
+        fingerprint_expr("text", width_fold=True).alias("fp"),
         "winnow_fps",
         "n_winnow_fps",
     )
@@ -2961,9 +3044,20 @@ def q_minhash_dedup_docs(spark, sf):
     the drop-higher-id rule — so this is a full rows+schema+hash check
     (it was rows-only while the base hash was JVM-only xxhash64). The
     former count-visible no-exact-dup guard is superseded by the
-    oracle, which pins every survivor row exactly."""
+    oracle, which pins every survivor row exactly.
+
+    Round 14: the shingle grain is SCRIPT-ROUTED (char 5-grams for
+    ``is_cjk_doc_expr`` docs — word n-grams give an unsegmented zh doc
+    ~1 shingle and recall ~0), and the ``_cjk_dd_text_expr`` planted
+    real-script near-dup pairs (doc_id %% 200 in {31, 131}) are killed
+    ONLY because of it; the oracle replays plant, route, and both gram
+    grains from the same constants."""
     d = _t(spark, sf, "documents")
-    out = dedup_minhash(d, threshold=0.7, hash_family="md5")
+    planted = d.withColumn("text", _cjk_dd_text_expr(200, 31, 131))
+    out = dedup_minhash(
+        planted, threshold=0.7, hash_family="md5",
+        cjk=is_cjk_doc_expr("text"),
+    )
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
@@ -2974,12 +3068,16 @@ def q_dedup_clusters_docs(spark, sf):
     DuckDB oracle computes EXACT components via a recursive CTE
     (min-label over the transitive closure) — checking that the
     iterative Spark min-propagation (doubling reach per round)
-    converged to the true closure, not just a bounded approximation."""
+    converged to the true closure, not just a bounded approximation.
+    Round 14: same script-routed shingle grain + planted CJK pairs as
+    ``q_minhash_dedup_docs`` (the shared ``_MINHASH_CTES`` oracle)."""
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d, hash_family="md5")
+    planted = d.withColumn("text", _cjk_dd_text_expr(200, 31, 131))
+    cjk = is_cjk_doc_expr("text")
+    sigs = minhash_signatures(planted, hash_family="md5", cjk=cjk)
     cand = minhash_lsh_pairs(sigs, 16, sig_len=64, hash_family="md5")
-    dup = ngram_jaccard_pairs(d, cand, threshold=0.7)
-    out = dedup_clusters(d, dup.select("id_a", "id_b"))
+    dup = ngram_jaccard_pairs(planted, cand, threshold=0.7, cjk=cjk)
+    out = dedup_clusters(planted, dup.select("id_a", "id_b"))
     return out.select("doc_id", "lang", "source")
 
 
@@ -2989,9 +3087,19 @@ def q_simhash_pairs_docs(spark, sf):
     recall 1.0, the blocked output EQUALS the quadratic pair set —
     which is exactly what the DuckDB oracle computes (a 500-doc
     self-join at sf0.01), so the banded fast path is verified
-    rows+schema+hash against the brute-force definition."""
+    rows+schema+hash against the brute-force definition.
+
+    Round 14: features are SCRIPT-ROUTED (raw char 5-grams for CJK
+    docs — a one-token zh doc's unrouted fingerprint is the sign
+    pattern of a single hash, no similarity signal), with planted
+    real-script pairs at doc_id %% 500 in {31, 281} detected only
+    under routing; the oracle routes identically."""
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, max_hamming=8, hash_family="md5")
+    planted = d.withColumn("text", _cjk_dd_text_expr(500, 31, 281))
+    return simhash_pairs(
+        planted, max_hamming=8, hash_family="md5",
+        cjk=is_cjk_doc_expr("text"),
+    )
 
 
 def _recall_guarded(out, floor: float):
@@ -4658,12 +4766,129 @@ _SCALNULLS = (
 _MH_PARAMS = _hash_params(64, 42)
 _MH_A = "[" + ",".join(str(a) for a, _ in _MH_PARAMS) + "]"
 _MH_B = "[" + ",".join(str(b) for _, b in _MH_PARAMS) + "]"
+
+# ---------------------------------------------------------------------------
+# Round 14: planted REAL-SCRIPT zh near-duplicate families for the fuzzy
+# dedup queries. The sf corpus is EN word-soup, so the CJK-routed
+# shingle grain would be vacuous on raw data; these slots replace the
+# text of doc_id % mod in {a, b} (a pure function of doc_id, mirrored
+# verbatim in the oracle SQL) with: a fixed zh prose base + a
+# 64-han-char high-entropy "century" tail (md5 hex of doc_id//mod,
+# translate'd onto 16 han digits — md5 is md5 on both engines, so the
+# tail is identical by construction) + a one-char member marker.
+# Same-century members share everything but the marker (char-5-gram
+# Jaccard ~0.96 -> detected); different centuries share only the base
+# (~0.3 -> verify-rejected), so clusters are exactly the planted PAIRS
+# at any sf. Under the WORD grain each planted doc is ONE whitespace
+# token -> one shingle -> no candidate pair: the planted families are
+# detected ONLY because the routed grain works — the count-visible
+# positive the generated-oracle discipline requires.
+# ---------------------------------------------------------------------------
+_CJK_DD_BASE = (
+    "今天我们一起去公园散步看到很多人在那里运动和聊天天气很好"
+    "大家都很开心因为春天来了花也都开了孩子们在草地上跑来跑去"
+)
+_CJK_DD_HAN16 = "零一二三四五六七八九甲乙丙丁戊己"
+_CJK_DD_HEX = "0123456789abcdef"
+
+
+def _cjk_dd_text_expr(mod: int, a: int, b: int) -> "F.Column":
+    century = F.expr(f"doc_id div {mod}").cast("string")
+    tail = F.translate(
+        F.concat(
+            F.md5(century), F.md5(F.expr(f"doc_id div {mod} + 1").cast("string"))
+        ),
+        _CJK_DD_HEX,
+        _CJK_DD_HAN16,
+    )
+    marker = F.when(F.col("doc_id") % mod == a, F.lit("甲")).otherwise(
+        F.lit("乙")
+    )
+    return F.when(
+        (F.col("doc_id") % mod).isin(a, b),
+        F.concat(F.lit(_CJK_DD_BASE), tail, marker),
+    ).otherwise(F.col("text"))
+
+
+def _cjk_dd_text_sql(mod: int, a: int, b: int) -> str:
+    """DuckDB twin of :func:`_cjk_dd_text_expr` (same literals;
+    ``//`` == Spark ``div`` for non-negative BIGINTs)."""
+    tail = (
+        f"translate(md5(CAST(doc_id // {mod} AS VARCHAR)) || "
+        f"md5(CAST(doc_id // {mod} + 1 AS VARCHAR)), "
+        f"'{_CJK_DD_HEX}', '{_CJK_DD_HAN16}')"
+    )
+    return (
+        f"(CASE WHEN doc_id % {mod} IN ({a}, {b}) THEN "
+        f"concat('{_CJK_DD_BASE}', {tail}, "
+        f"CASE WHEN doc_id % {mod} = {a} THEN '甲' ELSE '乙' END) "
+        "ELSE text END)"
+    )
+
+
+# Round 14: planted fullwidth/halfwidth re-typed pairs for the
+# width-folded exact dedup (q_dedup_exact_docs). Slot a carries plain
+# ASCII; slot b the SAME text typed in fullwidth forms + ideographic
+# spaces (one translate, identical on both engines) — the pair shares
+# a fingerprint ONLY under normalize_width folding.
+_WF_HALF = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_WF_FULL = "".join(
+    "　" if c == " " else chr(ord(c) + 0xFEE0) for c in _WF_HALF
+)
+_WF_BASE = "width fold pair number "
+
+
+def _wf_text_expr(mod: int = 400, a: int = 77, b: int = 277) -> "F.Column":
+    half = F.concat(
+        F.lit(_WF_BASE), F.expr(f"doc_id div {mod}").cast("string")
+    )
+    return (
+        F.when(F.col("doc_id") % mod == a, half)
+        .when(
+            F.col("doc_id") % mod == b,
+            F.translate(half, _WF_HALF, _WF_FULL),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def _wf_text_sql(mod: int = 400, a: int = 77, b: int = 277) -> str:
+    """DuckDB twin of :func:`_wf_text_expr` (same literals)."""
+    half = f"'{_WF_BASE}' || CAST(doc_id // {mod} AS VARCHAR)"
+    return (
+        f"(CASE WHEN doc_id % {mod} = {a} THEN {half} "
+        f"WHEN doc_id % {mod} = {b} THEN "
+        f"translate({half}, '{_WF_HALF}', '{_WF_FULL}') "
+        "ELSE text END)"
+    )
+
+
+def _duck_grams(T: str, n: int) -> str:
+    """DuckDB n-gram list over token array ``T`` — the
+    raw_shingles_expr shape (shorter-than-n arrays give the full
+    token string; out-of-range elements are NULL, skipped by
+    concat_ws exactly like the Spark zip_with fold)."""
+    parts = ", ".join(f"{T}[i+{k}]" for k in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({T}) - {n - 1}, 1) + 1), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+# routed token/shingle CTEs shared by the minhash and clusters oracles:
+# plant -> per-doc script route (the SAME _cjk_route_sqls gate the lang
+# family uses) -> char-5 grams for routed docs, word-3 grams otherwise
+_MH_IS_CJK = _cjk_route_sqls("text", "duck")[0]
 _MINHASH_CTES = (
-    "t AS (SELECT doc_id, "
-    "regexp_split_to_array(lower(trim(text)), '\\s+') AS T FROM documents), "
-    "s AS (SELECT doc_id, list_distinct(list_transform("
-    "range(1, greatest(len(T) - 2, 1) + 1), "
-    "i -> concat_ws(' ', T[i], T[i+1], T[i+2]))) AS sh FROM t), "
+    "pd AS (SELECT doc_id, "
+    f"{_cjk_dd_text_sql(200, 31, 131)} AS text FROM documents), "
+    f"t AS (SELECT doc_id, {_MH_IS_CJK} AS CJ, "
+    f"CASE WHEN {_MH_IS_CJK} THEN {gopher_cjk_toks_duck_sql('text')} "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS T "
+    "FROM pd), "
+    "s AS (SELECT doc_id, list_distinct(CASE WHEN CJ "
+    f"THEN {_duck_grams('T', 5)} ELSE {_duck_grams('T', 3)} END) AS sh "
+    "FROM t), "
     f"prm AS (SELECT {_MH_A} AS A, {_MH_B} AS B), "
     "hx AS (SELECT doc_id, list_transform(sh, x -> "
     "CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) % 2147483647) AS xs "
@@ -5259,12 +5484,25 @@ ORACLES: dict[str, str] = {
     ),
     "simhash_pairs_docs": (
         # brute-force definition: 60-bit portable SimHash fingerprints
-        # (votes from md5-prefix token hashes), quadratic self-join,
+        # (votes from md5-prefix feature hashes), quadratic self-join,
         # Hamming <= 8 — equals the banded fast path because pigeonhole
-        # blocking has recall 1.0 and the same hamming post-filter
-        "WITH t AS (SELECT doc_id, "
-        "regexp_split_to_array(lower(trim(text)), '\\s+') AS T "
-        "FROM documents), "
+        # blocking has recall 1.0 and the same hamming post-filter.
+        # Round 14: planted zh pairs + script-routed features (RAW
+        # char 5-grams for CJK docs, word tokens otherwise) — the same
+        # plant/route/grain constants as the Spark side
+        "WITH pd AS (SELECT doc_id, "
+        + _cjk_dd_text_sql(500, 31, 281)
+        + " AS text FROM documents), "
+        "ct AS (SELECT doc_id, "
+        + _MH_IS_CJK
+        + " AS CJ, "
+        + gopher_cjk_toks_duck_sql("text")
+        + " AS C, "
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS W "
+        "FROM pd), "
+        "t AS (SELECT doc_id, CASE WHEN CJ THEN "
+        + _duck_grams("C", 5)
+        + " ELSE W END AS T FROM ct), "
         "h AS (SELECT doc_id, list_transform(T, tk -> "
         "CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT)) AS H FROM t), "
         "fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), "
@@ -6087,13 +6325,21 @@ ORACLES: dict[str, str] = {
         "FROM base JOIN clf_sc c USING (doc_id)"
     ),
     "dedup_exact_docs": (
-        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+        # round 14: planted width pairs + the GENERATED width-folded
+        # fingerprint twin — the fold is the dedup key on both engines
+        "WITH wd AS (SELECT doc_id, "
+        + _wf_text_sql()
+        + " AS text FROM documents) "
+        "SELECT doc_id, "
+        + fingerprint_sql("text", width_fold=True)
+        + " AS fp, "
         + "array_to_string(" + winnow_fps_sql("text")
         + ", ',') AS winnow_fps, CAST(len("
         + winnow_fps_sql("text")
         + ") AS BIGINT) AS n_winnow_fps "
-        "FROM documents QUALIFY row_number() OVER (PARTITION BY "
-        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) = 1"
+        "FROM wd QUALIFY row_number() OVER (PARTITION BY "
+        + fingerprint_sql("text", width_fold=True)
+        + " ORDER BY doc_id) = 1"
     ),
     "line_dedup_docs": (
         "WITH l AS (SELECT doc_id, "
@@ -6203,7 +6449,22 @@ ORACLES: dict[str, str] = {
         "JOIN tsd USING (doc_id) JOIN c4 USING (doc_id)"
     ),
     "curation_pipeline_docs": (
-        "WITH it AS (SELECT doc_id, "
+        # round 14: jd plants the _JT_LANG_TEXTS multilingual/CJK
+        # slots (same literals as _jt_text_expr), jl stages the
+        # routed language id, jr the script-routed token array — all
+        # content CTEs below read the PLANTED text and the gopher
+        # verdict routes by script (generated from the same rule
+        # tables as the Spark side)
+        "WITH jd AS (SELECT doc_id, lang, "
+        + _jt_text_sql()
+        + " AS text FROM documents), "
+        "jl AS (SELECT doc_id, lang, text, "
+        + lang_id_duck_sql("text")
+        + " AS jlang FROM jd), "
+        "jr AS (SELECT doc_id, lang, text, jlang, "
+        + _CUR_RT_DUCK
+        + " AS RT FROM jl), "
+        "it AS (SELECT doc_id, "
         "CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS item "
         "FROM documents), "
         "urls AS (SELECT doc_id, "
@@ -6267,7 +6528,7 @@ ORACLES: dict[str, str] = {
         + " ".join(
             f"WHEN doc_id % 20 = {m} THEN '{s}'" for m, s in _LIC_FOOTERS
         )
-        + " ELSE '' END AS lt FROM documents), "
+        + " ELSE '' END AS lt FROM jd), "
         "licf AS (SELECT doc_id, "
         + (lambda lf: (
             lf["has_copyright"] + " AS has_copyright, "
@@ -6277,7 +6538,7 @@ ORACLES: dict[str, str] = {
         ))(license_flags_sql("lt"))
         + " FROM licb), "
         "tok AS (SELECT doc_id, "
-        f"{_TOKS} AS toks FROM documents), "
+        f"{_TOKS} AS toks FROM jd), "
         "toks AS (SELECT doc_id, t AS tk FROM ("
         "SELECT doc_id, unnest(toks) AS t FROM tok) u WHERE t <> ''), "
         "counts AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY tk), "
@@ -6295,12 +6556,12 @@ ORACLES: dict[str, str] = {
         "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) "
         "WHERE doc_id % 20 <> 0), "
         "base AS (SELECT doc_id, lang, doc_id % 20 = 0 AS is_benchmark, "
-        f"({_GOPHER_PASS_SQL}) AS gopher_ok, "
+        f"({_CUR_GOPHER_ROUTED_DUCK}) AS gopher_ok, "
         f"({_QUALITY_DUCK}) AS qs, "
         "row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "ORDER BY doc_id) = 1 AS dup_ok "
-        "FROM documents), "
+        "FROM jr), "
         # adaptive per-language P25 quality cut (exact interpolated
         # quantile — restates adaptive_quality_filter's F.percentile)
         "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
@@ -6312,12 +6573,12 @@ ORACLES: dict[str, str] = {
         "lf.has_copyright, lf.rights_reserved, lf.license_name, "
         "lf.license_ok, "
         "b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
-        "COALESCE(d.lp >= -3.41, FALSE) AS lp_ok, "
+        "COALESCE(d.lp >= -3.445, FALSE) AS lp_ok, "
         "(uf.blocklist_ok AND uf.robots_ok AND uf.url_keep AND uf.domain_keep "
         "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
         "AND lf.license_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
-        "AND COALESCE(d.lp >= -3.41, FALSE)) AS keep, "
+        "AND COALESCE(d.lp >= -3.445, FALSE)) AS keep, "
         "CASE WHEN NOT uf.blocklist_ok THEN 'blocked' "
         "WHEN NOT uf.robots_ok THEN 'robots' "
         "WHEN NOT uf.url_keep THEN 'url_dup' "
@@ -6328,7 +6589,7 @@ ORACLES: dict[str, str] = {
         "WHEN NOT lf.license_ok THEN 'license' "
         "WHEN NOT b.gopher_ok THEN 'gopher' "
         "WHEN NOT b.qs >= 0.5 THEN 'quality' "
-        "WHEN NOT COALESCE(d.lp >= -3.41, FALSE) THEN 'logprob' "
+        "WHEN NOT COALESCE(d.lp >= -3.445, FALSE) THEN 'logprob' "
         "END AS drop_reason, "
         "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
         "FROM base b JOIN uflag uf USING (doc_id) "
@@ -6457,7 +6718,18 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS doc_id, "
         "CAST(NULL AS BIGINT) AS n_tokens, "
         "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
-        "CAST(u AS DOUBLE) / 1000000000 AS rank FROM pr3"
+        "CAST(u AS DOUBLE) / 1000000000 AS rank FROM pr3 "
+        "UNION ALL "
+        # round 14: attach_domain_rank's broadcast join restated — the
+        # doc's eTLD+1 is the pure function 'd{doc_id%19}.com' of the
+        # synth URL, joined to the final integer-grid round
+        "SELECT 'rankdoc' AS part, CAST(NULL AS VARCHAR) AS token, "
+        "CAST(NULL AS BIGINT) AS cnt, d.doc_id, "
+        "CAST(NULL AS BIGINT) AS n_tokens, "
+        "CAST(NULL AS DOUBLE) AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(p.u AS DOUBLE) / 1000000000 AS rank FROM documents d "
+        "JOIN pr3 p ON p.node = 'd' || CAST(d.doc_id % 19 AS VARCHAR) "
+        "|| '.com'"
     ),
     "ngram_jaccard_adjacent": (
         "WITH s AS (SELECT doc_id, list_distinct(list_transform("

@@ -828,7 +828,7 @@ def stream_curation_filter(
     robots=(),
     clf_model: dict | None = None,
     clf_min_prob: float = 0.5,
-    cjk_route: bool = False,
+    cjk_route: bool = True,
     blocked_terms: tuple[str, ...] = (),
     blocked_terms_max_frac: float = 0.0,
 ) -> DataStreamWriter:
@@ -890,8 +890,12 @@ def stream_curation_filter(
     rules that structurally fail on unsegmented prose. Map-only and
     stateless like the rest of the stage — replay-identical, and the
     verdict equals the batch routed-gopher verdict for the same text
-    (pinned in tests). Default off so existing checkpointed streams
-    keep byte-identical verdicts.
+    (pinned in tests). Default ON since round 14, matching the batch
+    pipeline's now-routed gopher stage (stream and batch must agree
+    by default); a stream checkpointed under the round-13 default
+    should pass ``cjk_route=False`` explicitly to keep byte-identical
+    verdicts across the upgrade (the flag only changes verdicts for
+    CJK-script documents, and adds the ``lang`` monitoring column).
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by

@@ -114,6 +114,195 @@ def test_simhash_pairs(docs):
     assert (1, 4) in pairs
 
 
+_ZH = ("我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子这是一个"
+       "很好的地方大家都喜欢在这里住因为天气很好而且人们也很友善")
+
+
+@pytest.fixture()
+def cjk_docs(spark):
+    # 1/2: a real-script zh near-dup pair (one char changed); 3: a
+    # different zh doc; 4/5: the EN near-dup pair from `docs` — the
+    # routed grain must change NOTHING for word-path documents
+    near_zh = _ZH[:-1] + "好"
+    other_zh = ("今天的天气不太好所以我们决定留在家里看书喝茶和朋友聊天"
+                "直到晚上才出门散步一会儿然后回来吃饭休息准备明天的工作")
+    return spark.createDataFrame(
+        [
+            (1, _ZH),
+            (2, near_zh),
+            (3, other_zh),
+            (4, BASE),
+            (5, BASE.replace("lazy", "sleepy")),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_cjk_route_finds_real_script_near_dups(cjk_docs):
+    """The round-14 recall fix: an unsegmented zh near-dup pair is ~1
+    word-shingle per doc (signatures carry no similarity), so unrouted
+    dedup keeps both; with cjk routing (char 5-grams) the pair is
+    found and the higher id dropped — while the EN pair's outcome is
+    IDENTICAL under both configs (routing is a per-doc branch)."""
+    from gluestick_ts_spark.functions.text import (
+        is_cjk_doc_expr,
+        shingles_expr,
+    )
+
+    # grain sanity: unrouted zh doc is ONE shingle, routed ~len-4
+    sizes = {
+        r.doc_id: (r.un, r.rt)
+        for r in cjk_docs.select(
+            "doc_id",
+            F.size(shingles_expr("text")).alias("un"),
+            F.size(
+                shingles_expr("text", cjk=is_cjk_doc_expr("text"))
+            ).alias("rt"),
+        ).collect()
+    }
+    assert sizes[1][0] == 1 and sizes[1][1] > 50
+    assert sizes[4][0] == sizes[4][1] > 5  # EN: same grain either way
+
+    unrouted = sorted(
+        r.doc_id for r in dedup_minhash(cjk_docs, threshold=0.5).collect()
+    )
+    routed = sorted(
+        r.doc_id
+        for r in dedup_minhash(
+            cjk_docs, threshold=0.5, cjk=is_cjk_doc_expr("text")
+        ).collect()
+    )
+    assert unrouted == [1, 2, 3, 4]  # zh near-dup pair NOT detected
+    assert routed == [1, 3, 4]  # char grain kills doc 2, keeps others
+
+
+def test_simhash_cjk_route_pairs(cjk_docs):
+    """Routed SimHash features (raw char 5-grams) give the zh pair a
+    small Hamming distance; unrouted, each zh doc's fingerprint is the
+    sign pattern of ONE token hash — no signal. EN behavior pinned
+    unchanged, and the md5 family routes identically (the oracle
+    path)."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+
+    cjk = is_cjk_doc_expr("text")
+    for fam in ("xxhash64", "md5"):
+        routed = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(
+                cjk_docs, max_hamming=16, hash_family=fam, cjk=cjk
+            ).collect()
+        }
+        assert (1, 2) in routed and routed[(1, 2)] <= 8
+        assert (4, 5) in routed
+        assert (1, 3) not in routed
+    unrouted = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(cjk_docs, max_hamming=16).collect()
+    }
+    assert (1, 2) not in unrouted  # one-token fingerprints: no signal
+    assert (4, 5) in unrouted
+
+
+def test_cjk_plant_twins_and_driver_pins(spark, sf_dir):
+    """The _cjk_dd_text planted-family twins produce BYTE-IDENTICAL
+    text on both engines (md5 + translate are engine-portable), and
+    the driver query kills exactly the planted higher-id member of
+    every same-century pair at two scales — the count-visible planted
+    positive for the routed shingle grain."""
+    import os
+
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.plans.queries import (
+        QUERIES,
+        _cjk_dd_text_expr,
+        _cjk_dd_text_sql,
+    )
+
+    ids = [0, 31, 131, 231, 331, 431, 4931]
+    df = spark.createDataFrame(
+        [(i, f"orig {i}") for i in ids], "doc_id long, text string"
+    )
+    a = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", _cjk_dd_text_expr(200, 31, 131).alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, f"orig {i}") for i in ids]
+    )
+    b = dict(
+        con.execute(
+            f"SELECT doc_id, {_cjk_dd_text_sql(200, 31, 131)} FROM documents"
+        ).fetchall()
+    )
+    assert a == b
+    assert a[0] == "orig 0"  # non-slot rows untouched
+    # same century -> identical but for the one-char marker
+    assert a[31][:-1] == a[131][:-1] and (a[31][-1], a[131][-1]) == ("甲", "乙")
+    # different centuries -> different high-entropy tails
+    assert a[231][:-1] != a[31][:-1]
+    # driver pins: every planted same-century pair loses its higher id
+    # (131 + 200k), at sf0.01 and — when present — sf0.1
+    for sf, n_pairs in (("sf0.01", 2), ("sf0.1", 25)):
+        path = os.path.join(os.path.dirname(sf_dir.rstrip("/")), sf)
+        if not os.path.exists(os.path.join(path, "documents.parquet")):
+            continue
+        survivors = {
+            r.doc_id
+            for r in QUERIES["minhash_dedup_docs"](spark, path)
+            .select("doc_id")
+            .collect()
+        }
+        killed = {131 + 200 * k for k in range(n_pairs)}
+        kept = {31 + 200 * k for k in range(n_pairs)}
+        assert killed.isdisjoint(survivors)
+        assert kept <= survivors
+
+
+def test_width_folded_exact_dedup(spark):
+    """A fullwidth re-typed duplicate collapses onto its halfwidth
+    twin ONLY under width_fold=True, the Spark fingerprint equals the
+    generated DuckDB twin in both modes, and non-fullwidth rows are
+    untouched by the fold."""
+    duckdb = pytest.importorskip("duckdb")
+    from gluestick_ts_spark.functions.text import (
+        fingerprint_expr,
+        fingerprint_sql,
+    )
+
+    rows = [
+        (1, "Hello  Width 42"),
+        (2, "ＨＥＬＬＯ　ＷＩＤＴＨ　４２"),  # fullwidth + ideographic spaces
+        (3, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fold in (False, True):
+        a = {
+            r.doc_id: r.fp
+            for r in df.select(
+                "doc_id", fingerprint_expr("text", fold).alias("fp")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        b = dict(
+            con.execute(
+                f"SELECT doc_id, {fingerprint_sql('text', fold)} FROM t"
+            ).fetchall()
+        )
+        assert a == b, fold
+        assert (a[1] == a[2]) is fold
+        assert a[1] != a[3]
+    folded = dedup_exact(df, width_fold=True)
+    assert sorted(r.doc_id for r in folded.collect()) == [1, 3]
+    unfolded = dedup_exact(df)
+    assert sorted(r.doc_id for r in unfolded.collect()) == [1, 2, 3]
+
+
 def test_embedding_neardup(vecs):
     out = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(vecs, threshold=0.95).collect()}
     assert (1, 2) in out

@@ -121,16 +121,43 @@ def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
         # *35$ allow-override (200 = 4/5 of the 250-doc slot), and the
         # slot's move onto ONE shared host also raises domain_cap by
         # that site's over-cap allowed mass (475 -> 521)
-        None: 1075,
+        # Round 14 re-pin: the _JT_LANG_TEXTS multilingual/CJK slots
+        # now flow through the flagship verdict (10% of docs), the
+        # gopher stage is SCRIPT-ROUTED, and the logprob cut is
+        # re-tuned to the planted corpus (-3.445, ~P15 — the plant
+        # shifted the razor-thin word-soup lp distribution by ~-0.04,
+        # past the old -3.41 cut, which would have zeroed `keep`).
+        # gopher 1360 -> 1376 (planted de docs fail the 50-word floor;
+        # planted CJK docs PASS under routing — see the slot
+        # assertions below), quality/logprob/contaminated shift by the
+        # planted slots' overlap with their bands.
+        None: 1050,
         "benchmark": 250,
         "blocked": 500,
         "contaminated": 18,
         "domain_cap": 521,
         "duplicate": 4,
-        "gopher": 1360,
+        "gopher": 1376,
         "license": 498,
-        "logprob": 53,
-        "quality": 21,
+        "logprob": 55,
+        "quality": 28,
         "robots": 200,
         "url_dup": 500,
     }, hist
+    # the count-visible ROUTING positive: every planted real-script
+    # CJK doc (100 per language at sf0.1) passes the routed gopher
+    # stage — unrouted, each is one giant pseudo-token and fails the
+    # 50-word floor; the de slot pins the word path still fires
+    slots = (
+        QUERIES["curation_pipeline_docs"](spark, sf01)
+        .where("doc_id % 50 in (31, 11, 43, 7)")
+        .groupBy((F.col("doc_id") % 50).alias("slot"))
+        .agg(F.sum(F.col("gopher_ok").cast("int")).alias("n_pass"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    got = {r.slot: (r.n_pass, r.n) for r in slots}
+    assert got[31] == (100, 100)  # zh — routed char grain passes
+    assert got[11] == (100, 100)  # ja
+    assert got[43] == (100, 100)  # ko
+    assert got[7] == (0, 100)  # de — word grain, under the word floor
