@@ -555,7 +555,14 @@ def _bench_warc_ingest(spark) -> dict:
             "wat_gen_records_s": round(records / wat_gen_sec, 1),
             "wat_write_sec": round(wat_write_sec, 3),
             "wat_bytes": wat_bytes,
-            "wat_write_mb_s": round(wat_bytes / mb / wat_write_sec, 2),
+            # records/s is the honest primary unit for WAT: the
+            # payloads are tiny JSON envelopes, so MB/s through the
+            # same sink that writes WET at ~26 MB/s reads as a
+            # regression when it's just small records (annotated only)
+            "wat_write_records_s": round(records / wat_write_sec, 1),
+            "wat_write_payload_mb_s_note": round(
+                wat_bytes / mb / wat_write_sec, 2
+            ),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -660,10 +667,22 @@ def main() -> None:
         print(f"BENCH-ERR sentinel: {exc}", file=sys.stderr)
         sentinel_start = None
 
+    # round 14: EVERY leg gets runs + extra passes (median-of-5 at the
+    # defaults). r12 flagged six 15-34% phantom movers, r13 medianed
+    # exactly those six — and the phantom moved to five DIFFERENT legs
+    # at up to 1.96x with empty diffs, while all six medianed legs
+    # landed 0.85-0.97x. Two rounds of evidence: per-leg drift on 1-2 s
+    # legs is ~+/-50% at runs=3 on this box, so the fixed-subset fix
+    # was aimed at the wrong set; medians for all legs cost ~2x warm
+    # wall time (minutes) and buy a regression signal that actually
+    # means something.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    extra_runs = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_VOLATILE_EXTRA", "2"))
+    )
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     errors: dict[str, str] = {}
-    for _ in range(n_runs):
+    for _ in range(n_runs + extra_runs):
         for name in BENCH_QUERIES:
             if name in errors:
                 continue  # already failed; don't burn passes re-throwing
@@ -685,38 +704,6 @@ def main() -> None:
             # they free on Python GC, and letting them pile up inflates
             # executor memory pressure for every query timed after a
             # checkpoint-heavy one.
-            del df
-            gc.collect()
-
-    # round 13: median-of-(runs+2) for the legs that moved 15-34% on an
-    # UNTOUCHED tree between r11 and r12 — on this box their
-    # run-to-run noise floor exceeds the signal a real 1.3x regression
-    # would emit, so they get two extra warm passes and their medians
-    # come from 5 samples. Methodology note rides in the JSON so
-    # cross-round comparison stays honest.
-    volatile = [
-        "dedup_exact_docs",
-        "sessionize_events",
-        "range_join_followup_orders",
-        "ngram_jaccard_adjacent",
-        "stats_agg_orders",
-        "window_funcs_orders",
-    ]
-    extra_runs = max(
-        0, int(os.environ.get("SPARK_GRAFT_BENCH_VOLATILE_EXTRA", "2"))
-    )
-    for _ in range(extra_runs):
-        for name in volatile:
-            if name in errors or name not in samples:
-                continue
-            t0 = time.time()
-            try:
-                df = QUERIES[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                continue
-            samples[name].append(time.time() - t0)
             del df
             gc.collect()
 
@@ -813,10 +800,11 @@ def main() -> None:
         "queries_normalized": normalized,
         "warc_ingest": warc_ingest,
         "linkgraph": linkgraph,
-        # methodology (round 13): these legs' medians come from
-        # runs + volatile_extra_runs samples (see the r12 noise note)
-        "volatile_legs": volatile,
-        "volatile_extra_runs": extra_runs,
+        # methodology (round 14): EVERY leg's median comes from
+        # runs + extra_runs warm samples (median-of-5 at defaults) —
+        # the r12/r13 phantom-mover evidence says per-leg noise on
+        # this box exceeds regression signal at 3 samples
+        "warm_samples_per_leg": n_runs + extra_runs,
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

@@ -610,6 +610,41 @@ def test_ngram_contamination(spark):
     assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
 
 
+def test_ngram_contamination_cjk_route(spark):
+    """Round 14: a verbatim zh eval leak is invisible to the word
+    grain (the whole document is ~1 word 13-gram) and caught by the
+    routed char grain; EN contamination results are identical under
+    both configs."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import ngram_contamination
+
+    cjk = is_cjk_doc_expr("text")
+    bench = spark.createDataFrame(
+        [(100, _ZH), (101, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [
+            # embeds a >13-char verbatim zh span from the benchmark
+            (1, "前言" + _ZH[5:40] + "结语"),
+            (2, "the quick brown fox jumps high above the fence today"),
+            (3, "完全无关的中文内容在这里没有任何基准语料的片段重叠存在"),
+        ],
+        "doc_id long, text string",
+    )
+    routed = {
+        r.doc_id: r.contaminated
+        for r in ngram_contamination(corp, bench, n=13, cjk=cjk).collect()
+    }
+    plain = {
+        r.doc_id: r.contaminated
+        for r in ngram_contamination(corp, bench, n=13).collect()
+    }
+    assert routed[1] is True and plain[1] is False  # the leak needs routing
+    assert routed[3] is False and plain[3] is False
+    assert routed[2] == plain[2]  # EN path untouched by routing
+
+
 def test_train_ivf_centroids(spark, sf_dir):
     """Lloyd's IVF training: unit centroids, stable cids, reusable via
     the centroids= param, and trained recall still clears the gate."""
@@ -1014,6 +1049,43 @@ def test_dedup_minhash_incremental(spark, docs):
     new_store = store.unionByName(sigs)
     again, _ = dedup_minhash_incremental(batch, new_store, threshold=0.7)
     assert again.count() == 0
+
+
+def test_dedup_minhash_incremental_cjk_route(spark):
+    """Round 14: the incremental path honors the routed shingle grain
+    end to end — a zh near-dup of a stored zh doc is dropped via the
+    signature estimate ONLY when BOTH the store and the batch were
+    signed with the same cjk routing; unrouted, both sides carry the
+    degenerate one-shingle signatures and the near-dup sails through.
+    EN docs behave identically either way."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_signatures,
+    )
+
+    cjk = is_cjk_doc_expr("text")
+    corpus = spark.createDataFrame(
+        [(1, _ZH), (2, BASE)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, _ZH[:-1] + "好"),  # near dup of stored zh doc 1
+            (11, BASE.replace("lazy", "sleepy")),  # near dup of stored 2
+            (12, "a genuinely new document about page cache behavior here"),
+        ],
+        "doc_id long, text string",
+    )
+    routed_store = minhash_signatures(corpus, cjk=cjk)
+    got, sigs = dedup_minhash_incremental(
+        batch, routed_store, threshold=0.7, cjk=cjk
+    )
+    assert {r.doc_id for r in got.collect()} == {12}
+    assert {r.id for r in sigs.collect()} == {12}
+    # unrouted both sides: the zh near-dup is NOT detected (recall ~0)
+    plain_store = minhash_signatures(corpus)
+    got2, _ = dedup_minhash_incremental(batch, plain_store, threshold=0.7)
+    assert {r.doc_id for r in got2.collect()} == {10, 12}
 
 
 def test_dedup_minhash_incremental_batch_internal_neardups(spark, docs):
