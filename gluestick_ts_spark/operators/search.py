@@ -35,8 +35,30 @@ import json
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_expr
+from ..functions.text import (
+    _grams_from_tokens,
+    cjk_char_tokens_expr,
+    is_cjk_doc_expr,
+    tokens_expr,
+)
 from .dedup import _spread
+
+
+def _route_toks(text: Column, cjk_route: bool, cjk_n: int) -> Column:
+    """BM25's term stream, script-routed (round 14): CJK-script rows
+    tokenize as char ``cjk_n``-grams (bigrams by default — the classic
+    CJK lexical-IR grain, cf. Lucene's CJK analysis), everything else
+    as whitespace words. Whitespace tokenization sees an unsegmented
+    zh/ja document as ONE term, so unrouted BM25 can only match such a
+    document VERBATIM-WHOLE — recall ~0 for any real query. One
+    in-row branch, same map-only shape."""
+    toks = tokens_expr(text)
+    if not cjk_route:
+        return toks
+    return F.when(
+        is_cjk_doc_expr(text),
+        _grams_from_tokens(cjk_char_tokens_expr(text), cjk_n),
+    ).otherwise(toks)
 
 __all__ = [
     "term_postings",
@@ -53,6 +75,8 @@ def term_postings(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cjk_route: bool = False,
+    cjk_n: int = 2,
 ) -> DataFrame:
     """``(id, term, tf, dl)`` — one row per distinct term per document.
 
@@ -65,7 +89,7 @@ def term_postings(
     sharded corpus).
     """
     df = _spread(df)
-    toks = tokens_expr(F.col(text_col))
+    toks = _route_toks(F.col(text_col), cjk_route, cjk_n)
     # LET-BINDING (hashed_tf_expr's trick): referencing the tokenizer
     # expression from every distinct-term slot would make Catalyst
     # re-run the split per term; bind the token array once per row
@@ -110,27 +134,36 @@ def bm25_topk(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    cjk_route: bool = False,
+    cjk_n: int = 2,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
+
+    ``cjk_route=True`` (round 14) routes BOTH sides' terms by script
+    (``_route_toks``): CJK documents AND CJK queries tokenize as char
+    ``cjk_n``-grams, so a zh query can match a zh document at the
+    morpheme grain; word-path documents/queries are bit-identical to
+    the unrouted run (the branch only fires on CJK-script rows),
+    though corpus statistics (avgdl) see the routed lengths.
 
     Output: ``query_id, doc_id, score (6 dp), rank`` — ``rank`` dense
     1..k by (score desc, doc_id asc). Query term repeats contribute
     multiplicatively (bag-of-words query), matching the classic
     formulation.
     """
-    postings = term_postings(docs, id_col, text_col)
+    postings = term_postings(docs, id_col, text_col, cjk_route, cjk_n)
 
     # corpus stats with exact integer sums: avgdl independent of
     # partition/summation order (DECIMAL-sum discipline of
     # stats_agg_orders)
     stats = _spread(docs).select(
-        F.size(tokens_expr(F.col(text_col))).alias("__dl")
+        F.size(_route_toks(F.col(text_col), cjk_route, cjk_n)).alias("__dl")
     ).agg(
         F.count("*").cast("double").alias("__n"),
         (F.sum("__dl").cast("double") / F.count("*")).alias("__avgdl"),
     )
 
-    qtoks = tokens_expr(F.col(query_text_col))
+    qtoks = _route_toks(F.col(query_text_col), cjk_route, cjk_n)
     qpairs = F.transform(
         F.array_distinct(qtoks),
         lambda t: F.struct(
@@ -259,6 +292,8 @@ def write_bm25_index(
     text_col: str = "text",
     num_buckets: int = 64,
     mode: str = "overwrite",
+    cjk_route: bool = False,
+    cjk_n: int = 2,
 ) -> None:
     """Persist the corpus as a BM25 index: ``(id, term, tf, dl)``
     postings AND per-term document frequencies, both parquet-partitioned
@@ -282,7 +317,7 @@ def write_bm25_index(
             "incremental growth"
         )
     spark = docs.sparkSession
-    post = term_postings(docs, id_col, text_col).withColumn(
+    post = term_postings(docs, id_col, text_col, cjk_route, cjk_n).withColumn(
         "bucket", _term_bucket(num_buckets)
     )
     # repartition ON the bucket key before the partitioned write: each
@@ -309,9 +344,14 @@ def write_bm25_index(
     dfr.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
         "bucket"
     ).parquet(join_uri(path, _BM25_DF_DIR))
-    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col)
+    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col, cjk_route, cjk_n)
     meta = {
         "num_buckets": num_buckets,
+        # the term grain is part of the store's FROZEN contract, like
+        # the signature store's shingle config: appends and probes read
+        # these, so an index built routed can never be probed unrouted
+        "cjk_route": cjk_route,
+        "cjk_n": cjk_n,
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "postings_schema": json.loads(post.schema.json()),
@@ -320,7 +360,9 @@ def write_bm25_index(
     write_text_file(spark, join_uri(path, _BM25_META_FILE), json.dumps(meta))
 
 
-def _corpus_stats(docs, id_col: str, text_col: str) -> tuple[int, int]:
+def _corpus_stats(
+    docs, id_col: str, text_col: str, cjk_route: bool = False, cjk_n: int = 2
+) -> tuple[int, int]:
     """(n_docs, sum_dl) for the additive index stats — computed from
     the corpus with the SAME tokenizer expression the in-memory
     ranking's stats aggregate uses, so the index avgdl is identical to
@@ -331,7 +373,9 @@ def _corpus_stats(docs, id_col: str, text_col: str) -> tuple[int, int]:
     in-memory ranking.)"""
     row = docs.agg(
         F.count("*").alias("n"),
-        F.sum(F.size(tokens_expr(F.col(text_col)))).alias("s"),
+        F.sum(
+            F.size(_route_toks(F.col(text_col), cjk_route, cjk_n))
+        ).alias("s"),
     ).first()
     return int(row["n"]), int(row["s"] or 0)
 
@@ -362,7 +406,9 @@ def append_bm25_index(
     spark = docs.sparkSession
     meta = read_bm25_index_meta(spark, path)
     nb = meta["num_buckets"]
-    post = term_postings(docs, id_col, text_col).withColumn(
+    cjk_route = bool(meta.get("cjk_route", False))
+    cjk_n = int(meta.get("cjk_n", 2))
+    post = term_postings(docs, id_col, text_col, cjk_route, cjk_n).withColumn(
         "bucket", _term_bucket(nb)
     ).localCheckpoint(eager=True)  # batch-sized; feeds write + bucket list
     post.write.mode("append").partitionBy("bucket").parquet(
@@ -386,7 +432,7 @@ def append_bm25_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col)
+    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col, cjk_route, cjk_n)
     meta["n_docs"] += n_docs
     meta["sum_dl"] += sum_dl
     from ..sources.fs import write_text_file
@@ -420,7 +466,16 @@ def bm25_index_topk(
     n = float(meta["n_docs"])
     avgdl = (meta["sum_dl"] / meta["n_docs"]) if meta["n_docs"] else 1.0
 
-    qtoks = F.filter(tokens_expr(F.col(query_text_col)), lambda t: t != "")
+    # query terms take the index's FROZEN grain (meta) — a routed
+    # index probed with word queries would never match a CJK doc
+    qtoks = F.filter(
+        _route_toks(
+            F.col(query_text_col),
+            bool(meta.get("cjk_route", False)),
+            int(meta.get("cjk_n", 2)),
+        ),
+        lambda t: t != "",
+    )
     qpairs = F.transform(
         F.array(qtoks),
         lambda T: F.transform(

@@ -3895,12 +3895,33 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     from ..operators.search import bm25_index_topk, bm25_topk, write_bm25_index
 
     parts = set(parts)
-    d = _t(spark, sf, "documents")
+    # round 14: planted zh docs (doc_id % 250 == 61, base + century
+    # suffix) + a zh query (query_id 100, a 12-char substring of the
+    # base) exercise the char-bigram routed grain end to end: the
+    # lexical legs run cjk_route=True, so the zh query matches the
+    # planted docs at the morpheme grain — unrouted they are one term
+    # each and the query scores nothing. EN docs/queries word-route
+    # bit-identically; the rrf leg's hashed-TF vectors stay word-grain
+    # on both engines (the fusion input contract is unchanged).
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 250 == 61,
+            F.concat(
+                F.lit(_BM_ZH_BASE),
+                F.expr("doc_id div 250").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
     q = d.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 8)).alias(
             "query_text"
         ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(100, _BM_ZH_BASE[4:16])], "query_id long, query_text string"
+        )
     )
     legs = []
     # bm feeds BOTH the bm25 leg and the fusion input; without a
@@ -3908,7 +3929,7 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     # twice — the 50-row ranking is the thing to reuse, not recompute
     bm = None
     if parts & {"bm25", "rrf"}:
-        bm = bm25_topk(d, q, k=10)
+        bm = bm25_topk(d, q, k=10, cjk_route=True)
         if {"bm25", "rrf"} <= parts:
             bm = bm.localCheckpoint(eager=True)
     if "bm25" in parts:
@@ -3921,7 +3942,7 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     if "bm25idx" in parts:
         idx_root = tempfile.mkdtemp(prefix="gs_bm25idx_")
         atexit.register(shutil.rmtree, idx_root, ignore_errors=True)
-        write_bm25_index(d, idx_root, num_buckets=16)
+        write_bm25_index(d, idx_root, num_buckets=16, cjk_route=True)
         legs.append(bm25_index_topk(q, idx_root, k=10).select(
             F.lit("bm25idx").alias("part"), "query_id", "doc_id", "score",
             "rank", F.lit(None).cast("long").alias("n_lists"),
@@ -4836,6 +4857,14 @@ _WF_FULL = "".join(
     "　" if c == " " else chr(ord(c) + 0xFEE0) for c in _WF_HALF
 )
 _WF_BASE = "width fold pair number "
+
+# Round 14: the BM25 routed-grain plant (q_bm25_search_docs) — zh docs
+# at doc_id % 250 == 61 (base + century suffix) and a zh query that is
+# a substring of the base, matchable only at the char-bigram grain.
+_BM_ZH_BASE = (
+    "春天来了公园里的花都开了很多人带着孩子来这里散步玩耍"
+    "天气特别好大家的心情也都很好晚上还有人在湖边唱歌跳舞"
+)
 
 
 def _wf_text_expr(mod: int = 400, a: int = 77, b: int = 277) -> "F.Column":
@@ -6150,20 +6179,43 @@ ORACLES: dict[str, str] = {
         "JOIN dky USING (doc_id) JOIN bcum USING (doc_id) CROSS JOIN dkth"
     ),
     "bm25_search_docs": (
-        "WITH dtok AS (SELECT doc_id, "
-        f"{_TOKS} AS T FROM documents), "
+        # round 14: pd plants the zh docs, rtok/qt routes the LEXICAL
+        # grain by script (char bigrams for CJK rows — the Lucene-CJK
+        # grain); dtok stays WORD grain because the q prefixes and the
+        # rrf leg's hashed-TF vectors are word-grain on the Spark side
+        "WITH pd AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 250 = 61 THEN "
+        f"'{_BM_ZH_BASE}' || CAST(doc_id // 250 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        "dtok AS (SELECT doc_id, "
+        f"{_TOKS} AS T FROM pd), "
+        "rt0 AS (SELECT doc_id, "
+        + gopher_cjk_toks_duck_sql("text")
+        + " AS C, "
+        f"{_TOKS} AS W, {_MH_IS_CJK} AS CJ FROM pd), "
+        "rtok AS (SELECT doc_id, CASE WHEN CJ THEN "
+        + _duck_grams("C", 2)
+        + " ELSE W END AS T FROM rt0), "
         "post AS (SELECT doc_id, term, "
         "CAST(len(list_filter(T, x -> x = term)) AS BIGINT) AS tf, "
         "CAST(len(T) AS BIGINT) AS dl FROM ("
-        "SELECT doc_id, T, unnest(list_distinct(T)) AS term FROM dtok) "
+        "SELECT doc_id, T, unnest(list_distinct(T)) AS term FROM rtok) "
         "WHERE term <> ''), "
         "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
-        "CAST(SUM(len(T)) AS DOUBLE) / COUNT(*) AS avgdl FROM dtok), "
+        "CAST(SUM(len(T)) AS DOUBLE) / COUNT(*) AS avgdl FROM rtok), "
         "q AS (SELECT doc_id AS query_id, "
         "array_to_string(T[1:8], ' ') AS query_text FROM dtok "
-        "JOIN documents USING (doc_id) WHERE doc_id < 5), "
-        "qtok AS (SELECT query_id, "
-        "regexp_split_to_array(lower(trim(query_text)), '\\s+') AS T FROM q), "
+        "JOIN pd USING (doc_id) WHERE doc_id < 5 "
+        f"UNION ALL SELECT 100, '{_BM_ZH_BASE[4:16]}'), "
+        "qt0 AS (SELECT query_id, query_text, "
+        + gopher_cjk_toks_duck_sql("query_text")
+        + " AS QC, "
+        + _cjk_route_sqls("query_text", "duck")[0]
+        + " AS QCJ FROM q), "
+        "qtok AS (SELECT query_id, CASE WHEN QCJ THEN "
+        + _duck_grams("QC", 2)
+        + " ELSE regexp_split_to_array(lower(trim(query_text)), '\\s+') "
+        "END AS T FROM qt0), "
         "qterm AS (SELECT query_id, term, "
         "CAST(len(list_filter(T, x -> x = term)) AS DOUBLE) AS qtf FROM ("
         "SELECT query_id, T, unnest(list_distinct(T)) AS term FROM qtok) "

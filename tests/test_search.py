@@ -206,3 +206,95 @@ def test_write_bm25_index_rejects_non_overwrite(spark, tmp_path):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="append_bm25_index"):
         write_bm25_index(docs, str(tmp_path / "x"), mode="append")
+
+
+_ZH_DOC = ("我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子"
+           "这是一个很好的地方大家都喜欢在这里住因为天气很好")
+_ZH_OTHER = ("今天的天气不太好所以我们决定留在家里看书喝茶和朋友聊天"
+             "直到晚上才出门散步一会儿然后回来吃饭休息准备明天的工作")
+
+
+def test_bm25_cjk_route(spark):
+    """Round 14: a zh query matches zh documents at the char-bigram
+    grain ONLY under cjk_route — unrouted, an unsegmented document is
+    one term and any non-verbatim query scores nothing. EN rankings
+    are identical under both configs (the route branch only fires on
+    CJK-script rows)."""
+    docs = spark.createDataFrame(
+        [
+            (1, _ZH_DOC),
+            (2, _ZH_OTHER),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "a quick movement of the enemy jeopardizes gunboats"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, _ZH_DOC[3:12]), (2, "quick fox")],
+        "query_id long, query_text string",
+    )
+    routed = {
+        (r.query_id, r.rank): r.doc_id
+        for r in bm25_topk(docs, queries, k=4, cjk_route=True).collect()
+    }
+    assert routed[(1, 1)] == 1  # the zh source doc ranks first
+    assert routed[(2, 1)] == 3  # EN ranking unchanged
+    plain = {
+        r.query_id: r.doc_id
+        for r in bm25_topk(docs, queries, k=4).collect()
+        if r.rank == 1
+    }
+    assert 1 not in plain  # zh query matches NOTHING unrouted
+    assert plain[2] == 3
+    # postings grain sanity: routed zh doc explodes to many bigram
+    # terms, unrouted to one giant term
+    n_routed = term_postings(docs, cjk_route=True).where("id = 1").count()
+    n_plain = term_postings(docs).where("id = 1").count()
+    assert n_plain == 1 and n_routed > 30
+
+
+def test_bm25_index_cjk_grain_frozen(spark, tmp_path):
+    """The index's term grain is frozen in meta: a routed index probes
+    routed (zh query matches), appends keep the grain, and the probe
+    equals the in-memory routed ranking."""
+    from gluestick_ts_spark.operators.search import (
+        append_bm25_index,
+        bm25_index_topk,
+        read_bm25_index_meta,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _ZH_DOC), (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(2, _ZH_OTHER)], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(1, _ZH_DOC[3:12]), (2, "quick fox")],
+        "query_id long, query_text string",
+    )
+    path = str(tmp_path / "bm25cjk")
+    write_bm25_index(docs, path, num_buckets=8, cjk_route=True)
+    meta = read_bm25_index_meta(spark, path)
+    assert meta["cjk_route"] is True and meta["cjk_n"] == 2
+    append_bm25_index(extra, path)
+    got = {
+        (r.query_id, r.rank): r.doc_id
+        for r in bm25_index_topk(queries, path, k=3).collect()
+    }
+    assert got[(1, 1)] == 1
+    assert got[(2, 1)] == 3
+    # probe == in-memory routed ranking over the full corpus
+    mem = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_topk(
+            docs.unionByName(extra), queries, k=3, cjk_route=True
+        ).collect()
+    }
+    idx = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bm25_index_topk(queries, path, k=3).collect()
+    }
+    assert mem == idx
