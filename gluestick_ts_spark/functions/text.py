@@ -202,21 +202,48 @@ def stopword_ratio_expr(text: Column | str, stopwords: tuple[str, ...] = STOPWOR
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_score_expr(text: Column | str) -> Column:
+def quality_score_expr(
+    text: Column | str, cjk: Column | None = None
+) -> Column:
     """Composite [0,1] quality heuristic: rewards mid-length docs and
     a sane stopword ratio, penalizes punctuation soup. The exact
     formula is the contract (oracle replicates it):
 
     ``0.4*min(words/100,1) + 0.4*min(stop_ratio*5,1) + 0.2*(1-min(punct_ratio*10,1))``
-    """
+
+    ``cjk`` (round 14, typically ``is_cjk_doc_expr``) routes the
+    formula to the CHAR grain for CJK-script rows — the SAME weights
+    and caps over char tokens (:func:`cjk_char_tokens_expr`) with the
+    ``CJK_STOP_CHARS`` density standing in for the stopword ratio:
+    unsegmented prose is one whitespace token, so the word-grain score
+    pins every real CJK document at the length floor with a zero
+    stopword term (a structural fail, not a quality signal). The
+    punctuation term is char-based already and stays shared."""
+    punct = punct_ratio_expr(text)
+    punct_term = F.lit(0.2) * (
+        F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0))
+    )
     words = word_count_expr(text).cast("double")
     stop = stopword_ratio_expr(text)
-    punct = punct_ratio_expr(text)
-    return (
+    word_score = (
         F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
         + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
-        + F.lit(0.2) * (F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0)))
+        + punct_term
     )
+    if cjk is None:
+        return word_score
+    ctoks = cjk_char_tokens_expr(text)
+    sw = F.array(*[F.lit(c) for c in CJK_STOP_CHARS])
+    cstop = F.size(
+        F.filter(ctoks, lambda t: F.array_contains(sw, t))
+    ).cast("double") / F.greatest(F.size(ctoks), F.lit(1)).cast("double")
+    cjk_score = (
+        F.lit(0.4)
+        * F.least(F.size(ctoks).cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * F.least(cstop * F.lit(5.0), F.lit(1.0))
+        + punct_term
+    )
+    return F.when(cjk, cjk_score).otherwise(word_score)
 
 
 def token_count_expr(text: Column | str, pattern: str = TOKEN_REGEX) -> Column:

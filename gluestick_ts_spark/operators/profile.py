@@ -132,6 +132,7 @@ def unigram_logprob_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 50_000,
+    cjk: "Column | None" = None,
 ) -> DataFrame:
     """CCNet-style statistical quality signal: per-document mean
     unigram log-probability under the corpus's own empirical unigram
@@ -153,10 +154,22 @@ def unigram_logprob_scores(
     a broadcast. Document text never shuffles.
     No reference counterpart (extension op).
     """
-    from ..functions.text import tokens_expr
+    from ..functions.text import cjk_char_tokens_expr, tokens_expr
 
+    # ``cjk`` (round 14, typically ``is_cjk_doc_expr``): routed rows
+    # tokenize at the CHAR grain — an unsegmented CJK document is one
+    # giant unique token under whitespace tokenization, so its "mean
+    # unigram logprob" is a single OOV floor, not a typicality signal.
+    # The model is shared (one vocabulary over both grains); pair the
+    # score with a per-language cut (adaptive_quality_filter) rather
+    # than a global constant when the corpus is multilingual.
+    tok_arr = tokens_expr(text_col)
+    if cjk is not None:
+        tok_arr = F.when(cjk, cjk_char_tokens_expr(text_col)).otherwise(
+            tok_arr
+        )
     toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("__t")
+        F.col(id_col).alias("id"), F.explode(tok_arr).alias("__t")
     ).where(F.col("__t") != "")
 
     counts = toks.groupBy("__t").agg(F.count("*").alias("__c"))

@@ -31,6 +31,7 @@ from ..functions.datetime_utils import ISO8601_SPARK_FORMAT, parse_dates_expr
 from ..operators.psl import registered_domain_sql as _psl_registered_domain_sql
 from ..functions.text import (
     CJK_LANGS,
+    CJK_STOP_CHARS,
     DEFAULT_LANGS,
     LANG_MARKERS,
     strip_html_expr,
@@ -1414,6 +1415,41 @@ def _jt_text_sql() -> str:
     return f"(CASE {whens} ELSE text END)"
 
 
+# Round 14: EXTRA curation-only CJK slots on mods whose synthetic URLs
+# are clean (item % 10 == 7 -> doc-unique .co.uk; % 20 != 15; odd, so
+# never benchmark): the _JT slots all collide with the URL plant's
+# drop bands (31/11 are the %10==1 re-crawl band, 43 the %10==3 hot
+# domain), so no CJK document could ever reach the content stages —
+# these slots let routed CJK docs run the WHOLE gauntlet to keep=TRUE.
+# Same prose bases as _JT_LANG_TEXTS (one literal source).
+_CUR_EXTRA_SLOTS: dict[int, str] = {27: "zh", 17: "ja", 47: "ko"}
+_JT_BASE_BY_CODE = {code: base for _m, (code, base) in _JT_LANG_TEXTS.items()}
+
+
+def _cur_text_expr() -> "F.Column":
+    out = _jt_text_expr()
+    for mod, code in _CUR_EXTRA_SLOTS.items():
+        out = F.when(
+            F.col("doc_id") % 50 == mod,
+            F.concat(
+                F.lit(_JT_BASE_BY_CODE[code]), F.col("doc_id").cast("string")
+            ),
+        ).otherwise(out)
+    return out
+
+
+def _cur_text_sql() -> str:
+    """DuckDB twin of :func:`_cur_text_expr` (same literals; the slot
+    sets are disjoint, so CASE order is immaterial)."""
+    whens = " ".join(
+        f"WHEN doc_id % 50 = {mod} THEN "
+        f"concat('{_JT_BASE_BY_CODE[code]}', CAST(doc_id AS VARCHAR))"
+        for mod, code in _CUR_EXTRA_SLOTS.items()
+    )
+    inner = _jt_text_sql()
+    return f"(CASE {whens} ELSE {inner} END)"
+
+
 def _jt_lang_sql(text_sql: str = "JT") -> str:
     """DuckDB restatement of lang_id_expr over ``text_sql`` — since
     round 13 this is the GENERATED script-routed twin
@@ -1964,10 +2000,13 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     training-data pipeline actually runs, with drop-reason
     attribution in priority order: benchmark membership ->
     contamination (8-gram leak from the benchmark slice) -> exact
-    duplicate (keep-first) -> Gopher rules -> heuristic quality
-    (>= 0.5) -> unigram logprob (>= -3.445, ~P15 of the round-14
-    PLANTED corpus — re-tuned: the multilingual plant shifts the
-    word-soup lp distribution by ~-0.04, past the old cut). Every
+    duplicate (keep-first) -> Gopher rules (SCRIPT-ROUTED, round 14)
+    -> heuristic quality (>= 0.5, script-routed) -> unigram logprob
+    (round 14: a PER-ROUTED-LANGUAGE adaptive P10 cut over the
+    script-routed unigram model — the CCNet shape; a global constant
+    structurally mass-drops every minority language, and the
+    word-soup corpus's razor-thin lp distribution snapped the old
+    fixed cut on every content change). Every
     stage is an already-oracle-proven operator; this query proves the
     COMPOSITION, including the reason each dropped document would be
     dropped first. Scale shape: three map-only flag columns + the
@@ -2053,10 +2092,11 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     # the routed token array is shared by all gopher rules
     # (SPARK-36718).
     d = (
-        d.withColumn("text", _jt_text_expr())
+        d.withColumn("text", _cur_text_expr())
         .withColumn("__jt_lang", F.expr(lang_id_sql("text")))
         .withColumn("__rt", F.expr(_CUR_RT_SQL))
     )
+    _cjk_pred = F.expr(_JT_CJK_SQL)
     # license/copyright boilerplate footers planted as a pure function
     # of doc_id (constant fractions at any sf) from the shared
     # _LIC_FOOTERS table: rights-reserved (drop), permissive Apache
@@ -2092,11 +2132,15 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
             )
         if stage == "quality":
             return d.select(
-                "doc_id", (quality_score_expr("text") >= 0.5).alias("quality_ok")
+                "doc_id",
+                (quality_score_expr("text", cjk=_cjk_pred) >= 0.5).alias(
+                    "quality_ok"
+                ),
             )
         if stage == "adaptive":
             per = d.select(
-                "doc_id", "lang", quality_score_expr("text").alias("__q")
+                "doc_id", "lang",
+                quality_score_expr("text", cjk=_cjk_pred).alias("__q"),
             )
             per = adaptive_quality_filter(
                 per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
@@ -2108,12 +2152,21 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
             return ngram_contamination(
                 d.where(F.col("doc_id") % 20 != 0),
                 d.where(F.col("doc_id") % 20 == 0),
-                n=8,
+                n=8, cjk=_cjk_pred, cjk_n=8,
             ).select("doc_id", "contaminated")
         if stage == "logprob":
-            return unigram_logprob_scores(d, vocab_size=100).select(
-                "doc_id",
-                (F.col("mean_logprob") >= F.lit(-3.445)).alias("lp_ok"),
+            lp_sc = unigram_logprob_scores(
+                d, vocab_size=100, cjk=_cjk_pred
+            ).join(d.select("doc_id", "__jt_lang"), on="doc_id")
+            lp_sc = lp_sc.select(
+                "doc_id", "mean_logprob", "__jt_lang"
+            ).localCheckpoint(eager=True)  # see the full-path comment
+            lp_sc = adaptive_quality_filter(
+                lp_sc, "mean_logprob", "__jt_lang", q=0.10,
+                cut_col="__lpc", keep_col="lp_ok",
+            )
+            return lp_sc.select(
+                "doc_id", F.round("__lpc", 6).alias("lp_cut"), "lp_ok"
             )
         if stage not in ("url", "blocklist", "robots"):
             raise ValueError(f"unknown curation stage: {stage!r}")
@@ -2176,10 +2229,11 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     per = d.select(
         "doc_id",
         "lang",
+        F.col("__jt_lang").alias("doc_lang"),
         url.alias("__url"),
         (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
         F.expr(_CUR_GOPHER_ROUTED_SQL).alias("gopher_ok"),
-        quality_score_expr("text").alias("__q"),
+        quality_score_expr("text", cjk=_cjk_pred).alias("__q"),
         fingerprint_expr("text").alias("__fp"),
         _lic.alias("__lic"),
     )
@@ -2196,6 +2250,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
     ).select(
         "doc_id",
+        "doc_lang",
         "blocklist_ok",
         "robots_ok",
         "url_keep",
@@ -2213,16 +2268,39 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         "adaptive_ok",
     )
     contam = ngram_contamination(
-        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=8
+        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0),
+        n=8, cjk=_cjk_pred, cjk_n=8,
     ).select("doc_id", "contaminated")
-    lp = unigram_logprob_scores(d, vocab_size=100).select(
-        "doc_id", (F.col("mean_logprob") >= F.lit(-3.445)).alias("__lpok")
+    # round 14: the logprob gate is a PER-LANGUAGE adaptive P10 cut
+    # (the CCNet shape — they bucket perplexity per language) over the
+    # SCRIPT-ROUTED unigram model: a global constant structurally
+    # mass-drops every minority language (and the word-soup corpus's
+    # razor-thin lp distribution made the old -3.41/-3.445 constant
+    # snap on every content change), while each language's own tail
+    # is a real typicality signal at any mix.
+    lp = unigram_logprob_scores(d, vocab_size=100, cjk=_cjk_pred).join(
+        d.select("doc_id", F.col("__jt_lang").alias("__lg")), on="doc_id"
     )
+    # the adaptive filter reads its input twice (the <=|langs|-row cuts
+    # aggregate + the join-back); without a checkpoint the WHOLE
+    # unigram model (two exchanges + the 1-row total cross join)
+    # inlines into both branches. The checkpointed relation is 3 thin
+    # columns per doc (the bm/rank eager-at-construction precedent);
+    # at full scale persist the scores to a table (or exact=False
+    # approx cuts) instead of re-deriving them per branch.
+    lp = lp.select("doc_id", "mean_logprob", "__lg").localCheckpoint(
+        eager=True
+    )
+    lp = adaptive_quality_filter(
+        lp, "mean_logprob", "__lg", q=0.10,
+        cut_col="__lpc", keep_col="__lpok",
+    ).select("doc_id", F.round("__lpc", 6).alias("lp_cut"), "__lpok")
     j = (
         per.join(contam, on="doc_id", how="left")
         .join(lp, on="doc_id", how="left")
         .select(
             "doc_id",
+            "doc_lang",
             "blocklist_ok",
             "robots_ok",
             "url_keep",
@@ -2238,6 +2316,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
             "gopher_ok",
             "quality_ok",
             F.coalesce("__lpok", F.lit(False)).alias("lp_ok"),
+            "lp_cut",
             "lang_cut",
             "adaptive_ok",
         )
@@ -2272,6 +2351,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     )
     return j.select(
         "doc_id",
+        "doc_lang",
         "blocklist_ok",
         "robots_ok",
         "url_keep",
@@ -2289,6 +2369,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         "lp_ok",
         keep.alias("keep"),
         reason.alias("drop_reason"),
+        "lp_cut",
         "lang_cut",
         "adaptive_ok",
     )
@@ -4684,6 +4765,19 @@ _QUALITY_DUCK = (
     f"+ 0.4 * least(({_STOP_RATIO_DUCK}) * 5.0, 1.0) "
     f"+ 0.2 * (1.0 - least(({_PUNCT_RATIO_DUCK}) * 10.0, 1.0))"
 )
+
+# round 14: the char-grain quality twin over a routed token array
+# column named RT (GENERATED from CJK_STOP_CHARS — same weights/caps
+# as _QUALITY_DUCK, stop-CHAR density standing in for the word
+# stopword ratio; the punctuation term is char-based and shared)
+_CJK_STOPCH_LIST = "[" + ", ".join(f"'{c}'" for c in CJK_STOP_CHARS) + "]"
+_QUALITY_CJK_DUCK_RT = (
+    "0.4 * least(CAST(len(RT) AS DOUBLE) / 100.0, 1.0) "
+    "+ 0.4 * least((CAST(len(list_filter(RT, t -> list_contains("
+    f"{_CJK_STOPCH_LIST}, t))) AS DOUBLE) "
+    "/ CAST(greatest(len(RT), 1) AS DOUBLE)) * 5.0, 1.0) "
+    f"+ 0.2 * (1.0 - least(({_PUNCT_RATIO_DUCK}) * 10.0, 1.0))"
+)
 # per-row argmax language prediction over score_<lang> columns
 def _bt_duck_cols() -> str:
     """lang_scores' blocked-terms oracle columns, GENERATED from the
@@ -6508,7 +6602,7 @@ ORACLES: dict[str, str] = {
         # verdict routes by script (generated from the same rule
         # tables as the Spark side)
         "WITH jd AS (SELECT doc_id, lang, "
-        + _jt_text_sql()
+        + _cur_text_sql()
         + " AS text FROM documents), "
         "jl AS (SELECT doc_id, lang, text, "
         + lang_id_duck_sql("text")
@@ -6589,8 +6683,7 @@ ORACLES: dict[str, str] = {
             + lf["license_ok"] + " AS license_ok"
         ))(license_flags_sql("lt"))
         + " FROM licb), "
-        "tok AS (SELECT doc_id, "
-        f"{_TOKS} AS toks FROM jd), "
+        "tok AS (SELECT doc_id, RT AS toks FROM jr), "
         "toks AS (SELECT doc_id, t AS tk FROM ("
         "SELECT doc_id, unnest(toks) AS t FROM tok) u WHERE t <> ''), "
         "counts AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY tk), "
@@ -6607,9 +6700,12 @@ ORACLES: dict[str, str] = {
         "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0), "
         "hits AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) "
         "WHERE doc_id % 20 <> 0), "
-        "base AS (SELECT doc_id, lang, doc_id % 20 = 0 AS is_benchmark, "
+        "base AS (SELECT doc_id, lang, jlang, "
+        "doc_id % 20 = 0 AS is_benchmark, "
         f"({_CUR_GOPHER_ROUTED_DUCK}) AS gopher_ok, "
-        f"({_QUALITY_DUCK}) AS qs, "
+        "CASE WHEN jlang IN ("
+        + ", ".join(f"'{l}'" for l in CJK_LANGS)
+        + f") THEN ({_QUALITY_CJK_DUCK_RT}) ELSE ({_QUALITY_DUCK}) END AS qs, "
         "row_number() OVER (PARTITION BY "
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
         "ORDER BY doc_id) = 1 AS dup_ok "
@@ -6617,20 +6713,28 @@ ORACLES: dict[str, str] = {
         # adaptive per-language P25 quality cut (exact interpolated
         # quantile — restates adaptive_quality_filter's F.percentile)
         "cuts AS (SELECT lang, quantile_cont(qs, 0.25) AS cut "
-        "FROM base GROUP BY lang) "
-        "SELECT b.doc_id, uf.blocklist_ok, uf.robots_ok, uf.url_keep, "
+        "FROM base GROUP BY lang), "
+        # round 14: per-ROUTED-LANGUAGE adaptive P10 logprob cut (the
+        # CCNet shape) over the script-routed unigram model — restates
+        # adaptive_quality_filter's exact interpolated percentile
+        "lpj AS (SELECT d.doc_id, d.lp, b.jlang FROM doclp d "
+        "JOIN base b USING (doc_id)), "
+        "lpcuts AS (SELECT jlang, quantile_cont(lp, 0.10) AS lpc "
+        "FROM lpj GROUP BY jlang) "
+        "SELECT b.doc_id, b.jlang AS doc_lang, "
+        "uf.blocklist_ok, uf.robots_ok, uf.url_keep, "
         "uf.domain, uf.domain_keep, b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
         "b.dup_ok, "
         "lf.has_copyright, lf.rights_reserved, lf.license_name, "
         "lf.license_ok, "
         "b.gopher_ok, b.qs >= 0.5 AS quality_ok, "
-        "COALESCE(d.lp >= -3.445, FALSE) AS lp_ok, "
+        "COALESCE(l.lp >= lc.lpc, FALSE) AS lp_ok, "
         "(uf.blocklist_ok AND uf.robots_ok AND uf.url_keep AND uf.domain_keep "
         "AND NOT b.is_benchmark AND h.doc_id IS NULL AND b.dup_ok "
         "AND lf.license_ok "
         "AND b.gopher_ok AND b.qs >= 0.5 "
-        "AND COALESCE(d.lp >= -3.445, FALSE)) AS keep, "
+        "AND COALESCE(l.lp >= lc.lpc, FALSE)) AS keep, "
         "CASE WHEN NOT uf.blocklist_ok THEN 'blocked' "
         "WHEN NOT uf.robots_ok THEN 'robots' "
         "WHEN NOT uf.url_keep THEN 'url_dup' "
@@ -6641,13 +6745,15 @@ ORACLES: dict[str, str] = {
         "WHEN NOT lf.license_ok THEN 'license' "
         "WHEN NOT b.gopher_ok THEN 'gopher' "
         "WHEN NOT b.qs >= 0.5 THEN 'quality' "
-        "WHEN NOT COALESCE(d.lp >= -3.445, FALSE) THEN 'logprob' "
+        "WHEN NOT COALESCE(l.lp >= lc.lpc, FALSE) THEN 'logprob' "
         "END AS drop_reason, "
+        "ROUND(lc.lpc, 6) AS lp_cut, "
         "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
         "FROM base b JOIN uflag uf USING (doc_id) "
         "JOIN licf lf USING (doc_id) "
         "LEFT JOIN hits h USING (doc_id) "
-        "LEFT JOIN doclp d USING (doc_id) "
+        "LEFT JOIN lpj l USING (doc_id) "
+        "LEFT JOIN lpcuts lc ON lc.jlang = l.jlang "
         "LEFT JOIN cuts c USING (lang)"
     ),
     "corpus_profile_docs": (

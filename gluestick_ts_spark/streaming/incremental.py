@@ -1043,6 +1043,17 @@ def stream_curation_filter(
                 (~_bt.getField("blocked")).alias("terms_ok"),
                 _bt.getField("hit_frac").alias("term_hit_frac"),
             ]
+        # quality routes with the gopher stage (round 14): the staged
+        # __lang exists exactly when cjk_route is on, and the batch
+        # pipeline's quality stage routes by the same predicate
+        q_expr = (
+            quality_score_expr(
+                text_col,
+                cjk=F.col("__lang").isin(*CJK_LANGS) if cjk_route else None,
+            )
+            if cjk_route
+            else quality_score_expr(text_col)
+        )
         enriched = staged.select(
             F.col(id_col),
             F.col(text_col),
@@ -1050,9 +1061,7 @@ def stream_curation_filter(
             *lang_cols,
             fingerprint_expr(text_col).alias("__fp"),
             gopher_ok.alias("gopher_ok"),
-            (quality_score_expr(text_col) >= float(quality_min)).alias(
-                "quality_ok"
-            ),
+            (q_expr >= float(quality_min)).alias("quality_ok"),
             lp_ok.alias("lp_ok"),
             *lic_cols,
             *clf_cols,

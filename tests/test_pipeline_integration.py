@@ -122,25 +122,27 @@ def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
         # slot's move onto ONE shared host also raises domain_cap by
         # that site's over-cap allowed mass (475 -> 521)
         # Round 14 re-pin: the _JT_LANG_TEXTS multilingual/CJK slots
-        # now flow through the flagship verdict (10% of docs), the
-        # gopher stage is SCRIPT-ROUTED, and the logprob cut is
-        # re-tuned to the planted corpus (-3.445, ~P15 — the plant
-        # shifted the razor-thin word-soup lp distribution by ~-0.04,
-        # past the old -3.41 cut, which would have zeroed `keep`).
-        # gopher 1360 -> 1376 (planted de docs fail the 50-word floor;
-        # planted CJK docs PASS under routing — see the slot
-        # assertions below), quality/logprob/contaminated shift by the
-        # planted slots' overlap with their bands.
-        None: 1050,
+        # flow through the flagship verdict (plus three CLEAN-URL CJK
+        # slots, _CUR_EXTRA_SLOTS — the _JT mods all collide with the
+        # URL plant's drop bands, so no CJK doc could reach the
+        # content stages); the gopher AND quality stages are
+        # SCRIPT-ROUTED; the logprob gate is a per-routed-language
+        # adaptive P10 cut over the script-routed unigram model
+        # (replacing the global -3.41 constant that snapped on every
+        # content change — the word-soup lp distribution is
+        # razor-thin). Planted zh/ja/ko docs now reach keep=TRUE (the
+        # slot assertions below); license fires on the half of the
+        # new slots that land on dropping footers.
+        None: 1128,
         "benchmark": 250,
         "blocked": 500,
-        "contaminated": 18,
+        "contaminated": 16,
         "domain_cap": 521,
-        "duplicate": 4,
-        "gopher": 1376,
-        "license": 498,
-        "logprob": 55,
-        "quality": 28,
+        "duplicate": 2,
+        "gopher": 1287,
+        "license": 500,
+        "logprob": 77,
+        "quality": 19,
         "robots": 200,
         "url_dup": 500,
     }, hist
@@ -161,3 +163,22 @@ def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
     assert got[11] == (100, 100)  # ja
     assert got[43] == (100, 100)  # ko
     assert got[7] == (0, 100)  # de — word grain, under the word floor
+    # the round-14 END-TO-END positive: the clean-URL CJK slots run
+    # the whole gauntlet — routed gopher + routed quality + the
+    # per-language adaptive logprob cut — and HALF of each slot
+    # reaches keep=TRUE (the other half lands on the license plant's
+    # dropping footers: the license screen applies to CJK docs too)
+    through = {
+        r.slot: (r.n_keep, r.lang_set)
+        for r in QUERIES["curation_pipeline_docs"](spark, sf01)
+        .where("doc_id % 50 in (27, 17, 47)")
+        .groupBy((F.col("doc_id") % 50).alias("slot"))
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.array_sort(F.collect_set("doc_lang")).alias("lang_set"),
+        )
+        .collect()
+    }
+    assert through[27] == (50, ["zh"])
+    assert through[17] == (50, ["ja"])
+    assert through[47] == (50, ["ko"])
