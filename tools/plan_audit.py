@@ -27,6 +27,17 @@ from gluestick_ts_spark.session import get_spark
 # by eager work, and the scale story for Python-boundary / bounded-
 # baseline queries. Every non-obvious plan gets a note.
 NOTES: dict[str, str] = {
+    "curation_pipeline_docs": (
+        "lp stage (r14) runs eagerly at construction: the script-routed "
+        "unigram model (two short-key map-side-combined aggregates + "
+        "the 1-row corpus-total cross join) scores every doc once and "
+        "the 3-thin-column result checkpoints BEFORE the per-routed-"
+        "language adaptive P10 cut — the cuts aggregate + join-back "
+        "read the checkpoint, not two inlined copies of the model; "
+        "audited plan is the URL/license/gopher/quality/dup stages "
+        "(map-only + fingerprint window + broadcast joins) over the "
+        "post-checkpoint lp relation"
+    ),
     "top_terms": (
         "rank part (r13) runs its PageRank eagerly at construction: "
         "doc_id-derived 2-outlink url synth -> eTLD+1 collapse (scoped "
