@@ -4526,7 +4526,44 @@ def _dedup_exact_docs_part(which: str) -> QueryFn:
     return f
 
 
+def _dedup_incr_part(stage: str) -> QueryFn:
+    """Marginal-cost builders for the dedup_incremental_docs bench
+    attribution (CUMULATIVE, not disjoint — each stage's own pipeline
+    from scratch, the curation-stages shape): ``sigfold`` is the
+    per-row HOF signature fold over the ingest batch alone, ``within``
+    the batch-internal LSH+verify dedup, ``cross`` the full
+    incremental run against a freshly signed store. Subtracting
+    adjacent parts bounds each stage's marginal cost; the driver query
+    itself stays the oracle surface."""
+
+    def run(spark, sf):
+        from ..operators.dedup import (
+            dedup_minhash,
+            dedup_minhash_incremental,
+            minhash_signatures,
+        )
+
+        d = _t(spark, sf, "documents")
+        batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+        if stage == "sigfold":
+            return minhash_signatures(batch)
+        if stage == "within":
+            return dedup_minhash(batch, threshold=0.7)
+        store_sigs = minhash_signatures(
+            d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        )
+        survivors, _sigs = dedup_minhash_incremental(
+            batch, store_sigs, threshold=0.7
+        )
+        return survivors
+
+    return run
+
+
 QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
+    "dedup_incremental_docs": {
+        p: _dedup_incr_part(p) for p in ("sigfold", "within", "cross")
+    },
     "lang_scores": {
         # mode-restricted builders (the ann_ivf precedent): the clf
         # leg charges its own training jobs to itself
