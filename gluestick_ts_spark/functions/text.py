@@ -1241,7 +1241,9 @@ def repetition_profile_sql(
     }
 
 
-def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:
+def hashed_tf_expr(
+    text: Column | str, dim: int = 64, cjk: Column | None = None
+) -> Column:
     """Feature-hashing (hashing-trick) term-frequency vector: each
     token lands in ``md5(token)``-derived bucket ``% dim``, and the
     vector holds per-bucket token counts as doubles — a model-free,
@@ -1261,14 +1263,27 @@ def hashed_tf_expr(text: Column | str, dim: int = 64) -> Column:
     ``dim`` must be <= 256 — a larger dim would silently leave buckets
     256..dim-1 permanently empty. Powers of two (which divide 256)
     give uniform buckets; other dims carry the usual slight modulo
-    bias and are accepted but not recommended."""
+    bias and are accepted but not recommended.
+
+    ``cjk`` (round 14, typically ``is_cjk_doc_expr``) routes a row's
+    terms to char tokens: an unsegmented CJK document is ONE
+    whitespace token, so its unrouted vector is a single hot bucket —
+    useless as a feature and degenerate for cosine similarity.
+    Vectors are comparable only within one routing config (same
+    portability caveat as the signature stores); existing driver
+    surfaces stay word-grain, so their oracles are unchanged."""
     if not 1 <= dim <= 256:
         raise ValueError(
             f"hashed_tf_expr: dim must be in [1, 256] (got {dim}) — bucket "
             "ids come from two md5 hex chars; dims beyond 256 would leave "
             "buckets permanently empty"
         )
-    toks = F.filter(tokens_expr(text), lambda t: t != "")
+    base_toks = tokens_expr(text)
+    if cjk is not None:
+        base_toks = F.when(cjk, cjk_char_tokens_expr(text)).otherwise(
+            base_toks
+        )
+    toks = F.filter(base_toks, lambda t: t != "")
     hexpos = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
     idx = lambda t: (  # noqa: E731
         hexpos(F.substring(F.md5(t), 1, 1)) * 16

@@ -1570,3 +1570,52 @@ def test_normalize_width_fold(spark):
         con.execute(f"SELECT id, {normalize_width_sql('t')} FROM t").fetchall()
     )
     assert duck == got
+
+
+def test_hashed_tf_cjk_route(spark):
+    """Routed hashed-TF: an unsegmented zh doc's unrouted vector is a
+    single hot bucket (one whitespace token); routed, its char tokens
+    spread across buckets and two zh near-dups become cosine-similar
+    while two different zh docs do not. EN vectors are identical under
+    both configs."""
+    from gluestick_ts_spark.functions.text import (
+        hashed_tf_expr,
+        is_cjk_doc_expr,
+    )
+    from gluestick_ts_spark.functions.vectors import cosine_similarity_expr
+
+    zh_other = ("今天的天气不太好所以我们决定留在家里看书喝茶和朋友聊天"
+                "直到晚上才出门散步一会儿然后回来吃饭休息准备明天")
+    rows = [
+        (1, _ZH),
+        (2, _ZH[:-1] + "好"),
+        (3, zh_other),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cjk = is_cjk_doc_expr("text")
+    v = df.select(
+        "doc_id",
+        hashed_tf_expr("text", 64).alias("plain"),
+        hashed_tf_expr("text", 64, cjk=cjk).alias("routed"),
+    )
+    got = {r.doc_id: (r.plain, r.routed) for r in v.collect()}
+    # unrouted zh: exactly one nonzero bucket; routed: many
+    assert sum(1 for x in got[1][0] if x > 0) == 1
+    assert sum(1 for x in got[1][1] if x > 0) > 20
+    assert got[4][0] == got[4][1]  # EN identical either way
+    pairs = (
+        v.alias("a")
+        .crossJoin(v.alias("b"))
+        .where("a.doc_id < b.doc_id")
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            F.round(
+                cosine_similarity_expr("a.routed", "b.routed"), 4
+            ).alias("cr"),
+        )
+    )
+    cos = {(r.ia, r.ib): r.cr for r in pairs.collect()}
+    assert cos[(1, 2)] > 0.95  # near-dups under the routed grain
+    assert cos[(1, 3)] < cos[(1, 2)] - 0.05  # different zh docs separate
