@@ -182,3 +182,63 @@ def test_curation_drop_reason_histogram_stable_at_corpus_scale(spark):
     assert through[27] == (50, ["zh"])
     assert through[17] == (50, ["ja"])
     assert through[47] == (50, ["ko"])
+
+
+def test_curation_lp_cut_partition_invariant(spark):
+    """The per-routed-language adaptive logprob cut must be a pure
+    function of the data, not the partitioning: F.percentile is an
+    exact interpolated quantile, and the routed unigram model's
+    vocabulary ranking ties break on the token — so re-partitioning
+    the corpus leaves every lp_cut and lp_ok bit-identical. Guards the
+    round-14 lp redesign's determinism contract (the DuckDB oracle
+    re-derives the same cuts independently)."""
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import _spread  # noqa: F401
+    from gluestick_ts_spark.operators.profile import (
+        adaptive_quality_filter,
+        unigram_logprob_scores,
+    )
+
+    zh = ("我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子"
+          "这是一个很好的地方大家都喜欢在这里住")
+    rows = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog "
+            f"and the day goes by while item {i % 7} waits")
+        for i in range(40)
+    ] + [(100 + i, zh + str(i)) for i in range(10)]
+    # one clearly-atypical doc per group (all-OOV vocabulary): each
+    # language's P10 cut must actually drop ITS OWN tail
+    rows += [
+        (99, "zyzzyva qwertic xylograph vexillum plictho grammatolatry"),
+        (110, "鑫釁龘靐齉爩麤龗灪吁霺韤鱻"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cuts_of(frame):
+        cjk = is_cjk_doc_expr("text")
+        lang = F.when(cjk, F.lit("zh")).otherwise(F.lit("en"))
+        lp = unigram_logprob_scores(frame, vocab_size=30, cjk=cjk).join(
+            frame.select("doc_id", lang.alias("__lg")), on="doc_id"
+        )
+        out = adaptive_quality_filter(
+            lp, "mean_logprob", "__lg", q=0.10,
+            cut_col="__c", keep_col="__ok",
+        )
+        return {
+            r["doc_id"]: (r["__c"], r["__ok"])
+            for r in out.select("doc_id", "__c", "__ok").collect()
+        }
+
+    a = cuts_of(df)
+    b = cuts_of(df.repartition(7))
+    c = cuts_of(df.repartition(1))
+    assert a == b == c
+    # both language groups carry a real cut and the P10 rule fires in
+    # each: the planted all-OOV doc is ITS OWN language's tail (never
+    # judged against the other group's cut), typical docs keep
+    assert a[99][1] is False and a[110][1] is False
+    assert a[0][1] is True and a[100][1] is True
+    # the two groups' cuts are genuinely independent values
+    assert a[0][0] != a[100][0]
