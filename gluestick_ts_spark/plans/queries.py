@@ -4039,13 +4039,26 @@ def _bm25_rrf_leg(d, q, bm):
     from ..operators.dedup import _spread
     from ..operators.search import rrf_fuse
 
+    # round 14: the vector leg routes its hashed-TF grain by script
+    # too (char tokens for CJK rows — an unsegmented doc's word-grain
+    # vector is a single hot bucket, useless for cosine), so the zh
+    # query's fused ranking carries a real vector signal beside the
+    # bigram lexical leg; EN vectors are bit-identical to word grain
     vecs = (
         _spread(d)
-        .select(F.col("doc_id"), hashed_tf_expr("text", 64).alias("v"))
+        .select(
+            F.col("doc_id"),
+            hashed_tf_expr(
+                "text", 64, cjk=is_cjk_doc_expr("text")
+            ).alias("v"),
+        )
         .where(F.aggregate("v", F.lit(0.0), lambda a, x: a + x) > 0)
     )
     qv = q.select(
-        "query_id", hashed_tf_expr("query_text", 64).alias("qv")
+        "query_id",
+        hashed_tf_expr(
+            "query_text", 64, cjk=is_cjk_doc_expr("query_text")
+        ).alias("qv"),
     ).where(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x) > 0)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("doc_id").asc()
@@ -6373,17 +6386,17 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, list_transform(TT, t -> "
         "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 + "
         "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64) AS ID "
-        "FROM (SELECT doc_id, list_filter(T, t -> t <> '') AS TT "
-        "FROM dtok) a WHERE len(TT) > 0) b), "
+        "FROM (SELECT doc_id, list_filter(CASE WHEN CJ THEN C ELSE W END, "
+        "t -> t <> '') AS TT FROM rt0) a WHERE len(TT) > 0) b), "
         "qh AS (SELECT query_id, "
         "[CAST(len(list_filter(ID, j -> j = i)) AS DOUBLE) "
         "for i in range(0, 64)] AS qv FROM ("
         "SELECT query_id, list_transform(TT, t -> "
         "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 + "
         "(strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64) AS ID "
-        "FROM (SELECT query_id, list_filter("
-        "regexp_split_to_array(lower(trim(query_text)), '\\s+'), "
-        "t -> t <> '') AS TT FROM q) a WHERE len(TT) > 0) b), "
+        "FROM (SELECT query_id, list_filter(CASE WHEN QCJ THEN QC ELSE "
+        "regexp_split_to_array(lower(trim(query_text)), '\\s+') END, "
+        "t -> t <> '') AS TT FROM qt0) a WHERE len(TT) > 0) b), "
         "cosr AS (SELECT query_id, doc_id, rank FROM ("
         "SELECT qh.query_id, hv.doc_id, "
         "CAST(row_number() OVER (PARTITION BY qh.query_id ORDER BY "
