@@ -1285,11 +1285,19 @@ def hashed_tf_expr(
         )
     toks = F.filter(base_toks, lambda t: t != "")
     hexpos = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
-    idx = lambda t: (  # noqa: E731
-        hexpos(F.substring(F.md5(t), 1, 1)) * 16
-        + hexpos(F.substring(F.md5(t), 2, 1))
-    ) % dim
-    idxs = F.transform(toks, lambda t: idx(t))
+    # md5 is LET-BOUND per token by staging it through its own
+    # transform: HOF lambda parameters are materialized values, so `h`
+    # below is one md5 evaluation per token — referencing F.md5(t)
+    # twice inside one lambda body is NOT reliably CSE'd by Catalyst
+    # and would hash every token twice.
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    idxs = F.transform(
+        md5s,
+        lambda h: (
+            hexpos(F.substring(h, 1, 1)) * 16 + hexpos(F.substring(h, 2, 1))
+        )
+        % dim,
+    )
     # LET-BINDING (the winnow_fingerprints_expr trick): referencing the
     # Python-level `idxs` expression in all `dim` output slots would
     # make Catalyst INLINE it dim times — one md5 per token PER SLOT, a

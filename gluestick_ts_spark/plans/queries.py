@@ -3982,8 +3982,8 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     # lexical legs run cjk_route=True, so the zh query matches the
     # planted docs at the morpheme grain — unrouted they are one term
     # each and the query scores nothing. EN docs/queries word-route
-    # bit-identically; the rrf leg's hashed-TF vectors stay word-grain
-    # on both engines (the fusion input contract is unchanged).
+    # bit-identically; the rrf leg's hashed-TF vectors route their
+    # grain by script too (char bigrams for CJK rows) on both engines.
     d = _t(spark, sf, "documents").withColumn(
         "text",
         F.when(
@@ -6325,8 +6325,9 @@ ORACLES: dict[str, str] = {
     "bm25_search_docs": (
         # round 14: pd plants the zh docs, rtok/qt routes the LEXICAL
         # grain by script (char bigrams for CJK rows — the Lucene-CJK
-        # grain); dtok stays WORD grain because the q prefixes and the
-        # rrf leg's hashed-TF vectors are word-grain on the Spark side
+        # grain); dtok stays WORD grain for the q prefixes only — the
+        # rrf leg's hashed-TF vectors route by script (hv/qh CTEs)
+        # matching the Spark side's routed hashed_tf_expr
         "WITH pd AS (SELECT doc_id, "
         "CASE WHEN doc_id % 250 = 61 THEN "
         f"'{_BM_ZH_BASE}' || CAST(doc_id // 250 AS VARCHAR) "

@@ -562,10 +562,13 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     in executor storage, which does not scale). If a previous run
     died between the two renames (current missing, ``.bak`` present),
     the backup is restored before compacting. Renames go through
-    ``pyarrow.fs`` so the same code serves local paths and
-    ``scheme://`` object-store/HDFS URIs (rename is atomic on POSIX
-    and HDFS; on S3-likes it is copy+delete — still never
-    destructive, the source survives until the copy lands)."""
+    ``pyarrow.fs`` so the same code serves local paths and HDFS-like
+    ``scheme://`` URIs whose filesystems implement directory move
+    (atomic on POSIX and HDFS). S3-likes are NOT supported: pyarrow's
+    ``S3FileSystem.move`` rejects directories (prefixes), so the swap
+    raises at the first ``move`` — non-destructively, before any
+    delete; on S3 park the index under a versioned prefix and swap a
+    pointer/manifest instead."""
     from pyarrow import fs as pafs
 
     if re.match(r"^[a-z][a-z0-9+.\-]*://", path):

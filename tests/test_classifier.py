@@ -127,6 +127,9 @@ def test_trainer_n_with_null_and_ragged_features(spark):
     # 9 rows carry a non-null array (8 dense + 1 ragged); the null-x
     # row explodes to nothing and cannot train
     assert m["n"] == 9
+
+
+def test_gradient_matches_logloss_finite_difference(spark):
     """One UNQUANTIZED step of the trainer's math is the gradient of
     mean logistic loss — anchor to the spec, not to our own code:
     d/dw_j [ -mean(y·ln p + (1-y)·ln(1-p)) ] == mean((p - y)·x_j)."""
