@@ -386,11 +386,38 @@ def read_bm25_index_meta(spark, path: str) -> dict:
     return json.loads(read_text_file(spark, join_uri(path, _BM25_META_FILE)))
 
 
+def _check_frozen_grain(
+    meta: dict, cjk_route: bool | None, cjk_n: int | None, caller: str
+) -> None:
+    """Assert a caller's ATTESTED term grain against the index's frozen
+    one. The frozen grain always governs execution (the entry points
+    read it from the meta); this check only exists so a caller who
+    BELIEVES the index has a particular grain finds out loudly when it
+    doesn't — postings appended or queries tokenized under the wrong
+    belief would match nothing for the routed script."""
+    frozen_route = bool(meta.get("cjk_route", False))
+    frozen_n = int(meta.get("cjk_n", 2))
+    if cjk_route is not None and bool(cjk_route) != frozen_route:
+        raise ValueError(
+            f"{caller}: caller attested cjk_route={bool(cjk_route)} but the "
+            f"index froze cjk_route={frozen_route} — the frozen grain "
+            "governs; rebuild the index to change it"
+        )
+    if cjk_n is not None and int(cjk_n) != frozen_n:
+        raise ValueError(
+            f"{caller}: caller attested cjk_n={int(cjk_n)} but the index "
+            f"froze cjk_n={frozen_n} — the frozen grain governs; rebuild "
+            "the index to change it"
+        )
+
+
 def append_bm25_index(
     docs: DataFrame,
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cjk_route: bool | None = None,
+    cjk_n: int | None = None,
 ) -> None:
     """Append new documents: postings land in their term buckets
     (dynamic partition append), the affected buckets' document
@@ -398,7 +425,13 @@ def append_bm25_index(
     scan + dynamic overwrite — df is not additive per append because a
     term's rows may span appends), and the additive corpus stats
     update exactly. Probes before/after an append see exact BM25 over
-    the corpus-so-far. Single-writer, like every store in this repo."""
+    the corpus-so-far. Single-writer, like every store in this repo.
+
+    The term grain always comes from the index's FROZEN meta — the
+    optional ``cjk_route``/``cjk_n`` arguments are an ATTESTATION of
+    what the caller expects (the ``append_signature_store(signing=…)``
+    pattern): pass them to make a grain drift raise instead of being
+    silently overridden by the meta; None skips the check."""
     from pyspark.sql.types import StructType
 
     from ..sources.fs import join_uri
@@ -406,6 +439,7 @@ def append_bm25_index(
     spark = docs.sparkSession
     meta = read_bm25_index_meta(spark, path)
     nb = meta["num_buckets"]
+    _check_frozen_grain(meta, cjk_route, cjk_n, "append_bm25_index")
     cjk_route = bool(meta.get("cjk_route", False))
     cjk_n = int(meta.get("cjk_n", 2))
     post = term_postings(docs, id_col, text_col, cjk_route, cjk_n).withColumn(
@@ -448,6 +482,8 @@ def bm25_index_topk(
     query_text_col: str = "query_text",
     k1: float = 1.2,
     b: float = 0.75,
+    cjk_route: bool | None = None,
+    cjk_n: int | None = None,
 ) -> DataFrame:
     """Probe the persisted index: the query vocabulary's term buckets
     form a bounded driver collect (<= distinct query terms ints), BOTH
@@ -455,7 +491,10 @@ def bm25_index_topk(
     buckets, and the tiny query relation broadcasts into the match
     join — per-query cost ∝ probed buckets, never corpus size. Output
     ``(query_id, doc_id, score, rank)``, identical to ``bm25_topk``
-    over the same corpus (scores rounded to 6 dp before ranking)."""
+    over the same corpus (scores rounded to 6 dp before ranking).
+    ``cjk_route``/``cjk_n`` are an optional grain ATTESTATION checked
+    against the frozen meta (see ``append_bm25_index``); the frozen
+    grain always governs query tokenization."""
     from pyspark.sql.types import StructType
 
     from ..sources.fs import join_uri
@@ -463,6 +502,7 @@ def bm25_index_topk(
     spark = queries.sparkSession
     meta = read_bm25_index_meta(spark, path)
     nb = meta["num_buckets"]
+    _check_frozen_grain(meta, cjk_route, cjk_n, "bm25_index_topk")
     n = float(meta["n_docs"])
     avgdl = (meta["sum_dl"] / meta["n_docs"]) if meta["n_docs"] else 1.0
 

@@ -212,6 +212,7 @@ def stream_dedup_incremental(
         dedup_minhash_incremental,
         dedup_minhash_incremental_bucketed,
         minhash_signatures,
+        minhash_signing,
         write_signature_store,
     )
     from ..sources.fs import hadoop_path_exists, join_uri
@@ -226,9 +227,21 @@ def stream_dedup_incremental(
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
         num_hashes = minhash_kwargs.get("num_hashes", 64)
+        cjk = minhash_kwargs.get("cjk")
+        cjk_shingle_n = minhash_kwargs.get("cjk_shingle_n", 5)
+        signing = minhash_signing(
+            num_hashes=num_hashes,
+            shingle_n=minhash_kwargs.get("shingle_n", 3),
+            seed=minhash_kwargs.get("seed", 42),
+            hash_family="xxhash64",
+            cjk_routed=cjk is not None,
+            cjk_shingle_n=cjk_shingle_n,
+        )
         if not hadoop_path_exists(spark, meta_path):
-            # first batch: freeze the banding params (and the batch_id
-            # provenance column) into an empty store
+            # first batch: freeze the banding params, the SIGNING
+            # RECIPE, and the batch_id provenance column into an empty
+            # store — a restart under a different shingle grain then
+            # fails loudly instead of banding incomparable signatures
             write_signature_store(
                 minhash_signatures(
                     batch_df.limit(0), id_col, text_col, num_hashes
@@ -237,6 +250,7 @@ def stream_dedup_incremental(
                 num_bands=minhash_kwargs.get("num_bands", 16),
                 num_buckets=num_buckets,
                 sig_len=num_hashes,
+                signing=signing,
             )
         survivors, sigs = dedup_minhash_incremental_bucketed(
             batch_df,
@@ -248,6 +262,8 @@ def stream_dedup_incremental(
             threshold=threshold,
             seed=minhash_kwargs.get("seed", 42),
             exclude_batch_id=stamp,
+            cjk=cjk,
+            cjk_shingle_n=cjk_shingle_n,
         )
         # EMIT BEFORE APPEND (same ordering contract as the flat-store
         # path): appending first would lose a crash window where the
@@ -261,6 +277,7 @@ def stream_dedup_incremental(
             append_signature_store(
                 sigs.withColumn("batch_id", F.lit(int(stamp)).cast("long")),
                 store_dir,
+                signing=signing,
             )
             stamper.mark_appended(spark, store_dir, batch_id)
 
@@ -896,6 +913,11 @@ def stream_curation_filter(
     should pass ``cjk_route=False`` explicitly to keep byte-identical
     verdicts across the upgrade (the flag only changes verdicts for
     CJK-script documents, and adds the ``lang`` monitoring column).
+    Round 15: the flag is FROZEN into the store's meta at seeding
+    (``curation_cjk_route``) and asserted every batch, so a resumed
+    stream whose flag drifted from the store's raises instead of
+    silently changing verdicts; stores seeded before round 15 carry
+    no frozen flag and cannot detect the mismatch.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -928,6 +950,7 @@ def stream_curation_filter(
     from ..operators.dedup import (
         append_fingerprint_store,
         fingerprint_store_membership,
+        read_signature_store_meta,
         write_fingerprint_store,
     )
     from ..sources.fs import hadoop_path_exists, join_uri
@@ -953,12 +976,30 @@ def stream_curation_filter(
                     "(legacy).select('fp', F.lit(-1).alias('batch_id')), "
                     "store_dir)"
                 )
-            # first batch: freeze the bucket count and the batch_id
-            # provenance column into an empty store
+            # first batch: freeze the bucket count, the batch_id
+            # provenance column, and the stream's ROUTING CONFIG into
+            # an empty store — a resume under a different cjk_route
+            # then fails loudly instead of silently changing verdicts
+            # (the round-14 default flip's upgrade hazard)
             write_fingerprint_store(
                 spark.createDataFrame([], "fp string, batch_id long"),
                 store_dir,
                 num_buckets=num_buckets,
+                extra_meta={"curation_cjk_route": bool(cjk_route)},
+            )
+        frozen_route = read_signature_store_meta(spark, store_dir).get(
+            "curation_cjk_route"
+        )
+        if frozen_route is not None and bool(frozen_route) != bool(cjk_route):
+            # legacy stores (seeded before round 15) carry no key and
+            # cannot detect a mismatch — documented migration hazard
+            raise ValueError(
+                "stream_curation_filter: this store was seeded with "
+                f"cjk_route={bool(frozen_route)} but the stream resumed "
+                f"with cjk_route={bool(cjk_route)} — the flag changes "
+                "verdicts for CJK documents, so a silent flip would "
+                "corrupt the stream's keep/drop continuity. Pass the "
+                "frozen value (or seed a new store) instead."
             )
         lp_ok: object
         if logprob_model is not None and logprob_min is not None:

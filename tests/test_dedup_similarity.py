@@ -1992,6 +1992,145 @@ def test_append_signature_store_rejects_narrower_schema(spark, docs, tmp_path):
     assert [r.batch_id for r in got] == [1]
 
 
+def test_signature_store_frozen_signing_recipe(spark, docs, tmp_path):
+    """Round 15: the store meta freezes the SIGNING RECIPE and every
+    incremental/append entry point asserts the batch's recipe against
+    it — a routed batch banding against an unrouted store (or a seed /
+    shingle-grain drift) raises instead of silently producing
+    meaningless collisions. Legacy metas (no ``signing`` key) are
+    treated as unrouted: unrouted batches pass, routed batches raise."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import (
+        append_signature_store,
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        minhash_signing,
+        read_signature_store_meta,
+        write_signature_store,
+    )
+
+    cjk = is_cjk_doc_expr("text")
+    corpus = spark.createDataFrame(
+        [(1, _ZH), (2, BASE)], "doc_id long, text string"
+    )
+    routed = minhash_signing(cjk_routed=True)
+    path = "file://" + str(tmp_path / "routedstore")
+    write_signature_store(
+        minhash_signatures(corpus, cjk=cjk), path, num_buckets=4,
+        signing=routed,
+    )
+    assert read_signature_store_meta(spark, path)["signing"] == routed
+
+    batch = spark.createDataFrame(
+        [
+            (10, _ZH[:-1] + "好"),  # near dup of stored zh doc 1
+            (12, "a genuinely new document about page cache behavior"),
+        ],
+        "doc_id long, text string",
+    )
+    # matching recipe: the routed zh near-dup is caught via the store
+    got, _ = dedup_minhash_incremental_bucketed(
+        batch, path, threshold=0.7, cjk=cjk
+    )
+    assert {r.doc_id for r in got.collect()} == {12}
+    # unrouted batch against the routed store: refused up front
+    with pytest.raises(ValueError, match="signing recipe"):
+        dedup_minhash_incremental_bucketed(batch, path, threshold=0.7)
+    # seed drift is equally fatal (collisions would be garbage)
+    with pytest.raises(ValueError, match="seed"):
+        dedup_minhash_incremental_bucketed(
+            batch, path, threshold=0.7, cjk=cjk, seed=7
+        )
+    # attested appends check too; unattested (signing=None) still land
+    with pytest.raises(ValueError, match="signing recipe"):
+        append_signature_store(
+            minhash_signatures(batch), path, signing=minhash_signing()
+        )
+    # an UNROUTED store rejects cjk_routed batches but ignores the
+    # unused cjk_shingle_n knob between two unrouted recipes
+    plain = "file://" + str(tmp_path / "plainstore")
+    write_signature_store(
+        minhash_signatures(corpus), plain, num_buckets=4,
+        signing=minhash_signing(cjk_shingle_n=9),
+    )
+    ok, _ = dedup_minhash_incremental_bucketed(batch, plain, threshold=0.7)
+    assert ok.count() >= 1
+    with pytest.raises(ValueError, match="signing recipe"):
+        dedup_minhash_incremental_bucketed(batch, plain, threshold=0.7, cjk=cjk)
+    # legacy meta (no signing key): unrouted passes, routed raises
+    legacy = "file://" + str(tmp_path / "legacystore")
+    write_signature_store(minhash_signatures(corpus), legacy, num_buckets=4)
+    assert "signing" not in read_signature_store_meta(spark, legacy)
+    ok2, _ = dedup_minhash_incremental_bucketed(batch, legacy, threshold=0.7)
+    assert ok2.count() >= 1
+    with pytest.raises(ValueError, match="legacy"):
+        dedup_minhash_incremental_bucketed(
+            batch, legacy, threshold=0.7, cjk=cjk
+        )
+    # malformed signing dicts are rejected at write time
+    with pytest.raises(ValueError, match="unknown signing keys"):
+        write_signature_store(
+            minhash_signatures(corpus), plain, num_buckets=4,
+            signing={"shingles": 3},
+        )
+
+
+def test_fingerprint_store_frozen_width_fold(spark, tmp_path):
+    """Round 15: ``width_fold`` is frozen into the fingerprint store
+    meta — folded and unfolded fingerprints are different keys, so a
+    batch whose fold disagrees with the store raises. A folded store
+    catches the fullwidth re-typed duplicate the fold exists for."""
+    from gluestick_ts_spark.functions.text import fingerprint_expr
+    from gluestick_ts_spark.operators.dedup import (
+        append_fingerprint_store,
+        dedup_exact_incremental_bucketed,
+        read_signature_store_meta,
+        write_fingerprint_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "hello world from the corpus")], "doc_id long, text string"
+    )
+    folded = "file://" + str(tmp_path / "foldedstore")
+    write_fingerprint_store(
+        corpus.select(fingerprint_expr("text", width_fold=True).alias("fp")),
+        folded,
+        num_buckets=8,
+        width_fold=True,
+    )
+    assert read_signature_store_meta(spark, folded)["width_fold"] is True
+    batch = spark.createDataFrame(
+        [
+            (10, "ｈｅｌｌｏ　ｗｏｒｌｄ ｆｒｏｍ ｔｈｅ ｃｏｒｐｕｓ"),
+            (11, "a different document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # matching fold: the fullwidth re-typing collapses onto stored 1
+    got, _ = dedup_exact_incremental_bucketed(batch, folded, width_fold=True)
+    assert {r.doc_id for r in got.collect()} == {11}
+    # fold mismatch (either direction) is refused up front
+    with pytest.raises(ValueError, match="width_fold"):
+        dedup_exact_incremental_bucketed(batch, folded)
+    plain = "file://" + str(tmp_path / "plainfpstore")
+    write_fingerprint_store(
+        corpus.select(fingerprint_expr("text").alias("fp")), plain,
+        num_buckets=8,
+    )
+    with pytest.raises(ValueError, match="width_fold"):
+        dedup_exact_incremental_bucketed(batch, plain, width_fold=True)
+    # ... and the unfolded batch misses the fullwidth dup, by design
+    got2, _ = dedup_exact_incremental_bucketed(batch, plain)
+    assert {r.doc_id for r in got2.collect()} == {10, 11}
+    # attested appends check the frozen fold as well
+    with pytest.raises(ValueError, match="width_fold"):
+        append_fingerprint_store(
+            batch.select(fingerprint_expr("text").alias("fp")),
+            folded,
+            width_fold=False,
+        )
+
+
 def test_ivf_store_build_probe_append_compact(spark, tmp_path):
     """The persisted IVF index: probes equal the in-memory ann_ivf_topk
     with the same centroids, the probe scan is partition-pruned to the

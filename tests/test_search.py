@@ -298,3 +298,19 @@ def test_bm25_index_cjk_grain_frozen(spark, tmp_path):
         for r in bm25_index_topk(queries, path, k=3).collect()
     }
     assert mem == idx
+    # grain ATTESTATION (round 15): a caller who believes the index has
+    # a different grain is told loudly on EVERY entry point — the meta
+    # is read and checked on append and probe alike, never just written
+    with pytest.raises(ValueError, match="cjk_route"):
+        append_bm25_index(extra, path, cjk_route=False)
+    with pytest.raises(ValueError, match="cjk_n"):
+        append_bm25_index(extra, path, cjk_route=True, cjk_n=3)
+    with pytest.raises(ValueError, match="cjk_route"):
+        bm25_index_topk(queries, path, k=3, cjk_route=False)
+    with pytest.raises(ValueError, match="cjk_n"):
+        bm25_index_topk(queries, path, k=3, cjk_route=True, cjk_n=5)
+    # matching attestation is a no-op (frozen grain already governs)
+    ok = bm25_index_topk(queries, path, k=3, cjk_route=True, cjk_n=2)
+    assert {
+        (r.query_id, r.rank): (r.doc_id, r.score) for r in ok.collect()
+    } == idx

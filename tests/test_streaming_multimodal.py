@@ -321,6 +321,64 @@ def test_stream_dedup_incremental_bucketed_store(spark, tmp_path):
     assert {r.id for r in stored.select("id").distinct().collect()} == {1, 2, 11}
 
 
+def test_stream_dedup_bucketed_cjk_route_and_frozen_recipe(spark, tmp_path):
+    """Round 15: the bucketed streaming path forwards the cjk routing
+    to the store dedup (a zh near-dup is caught ACROSS micro-batches),
+    the signing recipe is frozen into the store at seeding, and a
+    restart under a different recipe fails the query loudly instead of
+    banding incomparable signatures."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import read_signature_store_meta
+    from gluestick_ts_spark.streaming.incremental import stream_dedup_incremental
+
+    zh = (
+        "我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子这是一个"
+        "非常好的地方我们都很喜欢在这里吃饭和说话"
+    )
+    src = str(tmp_path / "srcz")
+    store = "file://" + str(tmp_path / "storez")
+    schema = "doc_id long, text string"
+    emitted: set = set()
+
+    def emit(df, batch_id):
+        emitted.update(r.doc_id for r in df.collect())
+
+    def run(batch_rows, ckpt, **kwargs):
+        _write_stream_batch(src, spark, batch_rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_incremental(
+                stream, store, emit, threshold=0.7,
+                bucketed=True, num_buckets=8,
+                checkpoint_dir=str(tmp_path / ckpt),
+                **kwargs,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    routed = dict(cjk=is_cjk_doc_expr("text"), cjk_shingle_n=5)
+    run([(1, zh), (2, "plain english content about stream stores")], "zk1", **routed)
+    assert emitted == {1, 2}
+    meta = read_signature_store_meta(spark, store)
+    assert meta["signing"]["cjk_routed"] is True
+    assert meta["signing"]["cjk_shingle_n"] == 5
+
+    # batch 2: zh near-dup of stored doc 1 — caught only because the
+    # bucketed path signs the batch with the SAME routed grain
+    emitted.clear()
+    run([(10, zh[:-1] + "好"), (11, "another fresh english document here")], "zk2", **routed)
+    assert emitted == {11}, emitted
+
+    # restart under a different recipe: the foreachBatch body raises,
+    # failing the query, instead of silently banding cross-grain
+    with pytest.raises(StreamingQueryException, match="signing recipe"):
+        run([(20, "one more unrelated document")], "zk3")
+
+
 def test_fs_helpers(spark, tmp_path):
     """hadoop_path_exists agrees with the local FS for file:/ URIs and
     bare paths; join_uri always joins with '/'."""
@@ -483,6 +541,49 @@ def test_stream_curation_filter_verdicts_and_store(spark, tmp_path):
     with _p.raises(StreamingQueryException, match="legacy flat fingerprint"):
         q9.awaitTermination(120)
         raise AssertionError("legacy store was not rejected")
+
+
+def test_stream_curation_filter_frozen_cjk_route(spark, tmp_path):
+    """Round 15: the curation stream freezes its cjk_route flag into
+    the store meta at seeding; a resume under a different flag fails
+    loudly (the flag changes CJK verdicts, so a silent flip corrupts
+    keep/drop continuity across the round-14 default change)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from gluestick_ts_spark.operators.dedup import read_signature_store_meta
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "csrc")
+    store = str(tmp_path / "cstore")
+    schema = "doc_id long, text string"
+    good = " ".join(
+        ["the", "and", "of", "to", "in", "is"]
+        + [f"word{chr(97 + i % 26)}{i}" for i in range(54)]
+    )
+
+    def emit(df, batch_id):
+        df.collect()
+
+    def run(rows, ckpt, **kwargs):
+        _write_stream_batch(src, spark, rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_curation_filter(
+                stream, store, emit, quality_min=0.5,
+                checkpoint_dir=str(tmp_path / ckpt), **kwargs,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run([(1, good)], "cck1")  # seeds with the default cjk_route=True
+    assert read_signature_store_meta(spark, store)["curation_cjk_route"] is True
+    # same flag resumes fine
+    run([(2, good + " extra")], "cck2")
+    # flipped flag fails the batch instead of silently changing verdicts
+    with pytest.raises(StreamingQueryException, match="cjk_route"):
+        run([(3, good + " more")], "cck3", cjk_route=False)
 
 
 def test_stream_curation_filter_license_screen(spark, tmp_path):
