@@ -1846,7 +1846,15 @@ def q_line_dedup_docs(spark, sf):
     (sentence_span_dedup) and the ExactSubstr k-token grain
     (exact_substring_dedup, Lee et al. 2022 — k=8 here so the
     sf-scale word-soup corpus exercises real cross-document window
-    collisions)."""
+    collisions). Round 15 adds the ROUTED ExactSubstr grain: a
+    synthesized all-CJK twin corpus (shared family prefix + per-doc
+    han tail, ``_xs_cjk_text_expr``) run through
+    ``exact_substring_dedup(cjk=is_cjk_doc_expr, cjk_k=20)`` — the
+    char-window grain where unsegmented zh boilerplate is actually
+    catchable (word windows see one token and pass everything) —
+    with the DuckDB twin re-deriving the same char windows,
+    grain-tagged keys, and separator-free rebuild."""
+    from ..functions.text import is_cjk_doc_expr
     from ..operators.dedup import (
         _spread,
         exact_substring_dedup,
@@ -1878,6 +1886,21 @@ def q_line_dedup_docs(spark, sf):
         F.col("text_dedup").alias("text_substrdedup"),
         "n_tokens",
         "n_tokens_kept",
+    )
+    # routed ExactSubstr over the synthesized CJK twin corpus (the
+    # planted prefix families make every doc a routed row with a real
+    # duplicated char span); md5 of the rebuilt text keeps the row thin
+    xs = exact_substring_dedup(
+        d.select("doc_id", _xs_cjk_text_expr().alias("text")),
+        k=8,
+        cjk=is_cjk_doc_expr("text"),
+        cjk_k=20,
+        broadcast_stats=True,
+    ).select(
+        "doc_id",
+        F.md5("text_dedup").alias("xs_cjk_md5"),
+        F.col("n_tokens").alias("xs_cjk_n_tokens"),
+        F.col("n_tokens_kept").alias("xs_cjk_n_kept"),
     )
     # c4 grain (round 9): C4's LINE-level cleaning rules
     # (functions/text.py c4_line_rules_expr) over a synthesized
@@ -1925,6 +1948,7 @@ def q_line_dedup_docs(spark, sf):
         .join(selfd, on="doc_id")
         .join(spans, on="doc_id")
         .join(substr, on="doc_id")
+        .join(xs, on="doc_id")
         .join(c4, on="doc_id")
     )
 
@@ -4956,6 +4980,41 @@ _CJK_DD_BASE = (
 _CJK_DD_HAN16 = "零一二三四五六七八九甲乙丙丁戊己"
 _CJK_DD_HEX = "0123456789abcdef"
 
+# Round 15: the ExactSubstr ROUTED-grain plant (q_line_dedup_docs) —
+# every doc gets a synthesized all-CJK twin text: a SHARED prefix
+# (31-char family A for doc_id % 3 in (0, 1); 27-char family B for
+# % 3 = 2) followed by a per-doc high-entropy 32-char han tail
+# (translate(md5(doc_id))). At char windows cjk_k=20 every window
+# fully inside the shared prefix is corpus-duplicated, so each
+# family's global-first doc keeps its full text and every other doc
+# keeps exactly its unique tail — while at the WORD grain these docs
+# are one whitespace token (< k) and pass through whole, the
+# recall-0 failure the routing exists to close.
+_XS_BASE_A = "春天来了公园里的花都开了很多人带着孩子来这里散步玩耍天气特别好"
+_XS_BASE_B = "图书馆的新书架上摆满了各种语言的小说和诗集学生们都来借"
+
+
+def _xs_cjk_text_expr() -> "F.Column":
+    tail = F.translate(
+        F.md5(F.col("doc_id").cast("string")), _CJK_DD_HEX, _CJK_DD_HAN16
+    )
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 2, F.lit(_XS_BASE_B)).otherwise(
+            F.lit(_XS_BASE_A)
+        ),
+        tail,
+    )
+
+
+def _xs_cjk_text_sql() -> str:
+    """DuckDB twin of :func:`_xs_cjk_text_expr` (same literals)."""
+    return (
+        f"(CASE WHEN doc_id % 3 = 2 THEN '{_XS_BASE_B}' "
+        f"ELSE '{_XS_BASE_A}' END || "
+        f"translate(md5(CAST(doc_id AS VARCHAR)), "
+        f"'{_CJK_DD_HEX}', '{_CJK_DD_HAN16}'))"
+    )
+
 
 def _cjk_dd_text_expr(mod: int, a: int, b: int) -> "F.Column":
     century = F.expr(f"doc_id div {mod}").cast("string")
@@ -6605,6 +6664,37 @@ ORACLES: dict[str, str] = {
         "FROM tokn t LEFT JOIN trem r "
         "ON t.doc_id = r.doc_id AND t.tidx = r.tidx "
         "GROUP BY t.doc_id), "
+        # ROUTED ExactSubstr grain (round 15): synthesized all-CJK twin
+        # text (shared family prefix + per-doc han tail), CHAR tokens,
+        # 20-char windows, grain-tagged keys ('c20' + chr(2) prefix),
+        # separator-free rebuild — mirrors exact_substring_dedup(
+        # cjk=is_cjk_doc_expr, cjk_k=20) byte-for-byte
+        "xsrc AS (SELECT doc_id, "
+        + _xs_cjk_text_sql()
+        + " AS xt FROM documents), "
+        "xta AS (SELECT doc_id, "
+        + gopher_cjk_toks_duck_sql("xt")
+        + " AS C FROM xsrc), "
+        "xsp AS (SELECT doc_id, i - 1 AS s0, "
+        "md5('c20' || chr(2) || array_to_string(C[i:i+19], chr(1))) AS k "
+        "FROM xta, UNNEST(range(1, greatest(len(C) - 19, 0) + 1)) AS u(i)), "
+        "xspw AS (SELECT doc_id, s0, "
+        "COUNT(*) OVER (PARTITION BY k) AS nk, "
+        "row_number() OVER (PARTITION BY k ORDER BY doc_id, s0) AS rn "
+        "FROM xsp), "
+        "xrem AS (SELECT DISTINCT doc_id, s0 + d AS tidx "
+        "FROM xspw, UNNEST(range(0, 20)) AS r(d) WHERE nk >= 2 AND rn > 1), "
+        "xtok AS (SELECT doc_id, i - 1 AS tidx, C[i] AS tk "
+        "FROM xta, UNNEST(range(1, len(C) + 1)) AS u(i)), "
+        "xsd AS (SELECT t.doc_id, "
+        "md5(COALESCE(string_agg(t.tk, '' ORDER BY t.tidx) "
+        "FILTER (WHERE r.doc_id IS NULL), '')) AS xs_cjk_md5, "
+        "COUNT(*) AS xs_cjk_n_tokens, "
+        "CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS xs_cjk_n_kept "
+        "FROM xtok t LEFT JOIN xrem r "
+        "ON t.doc_id = r.doc_id AND t.tidx = r.tidx "
+        "GROUP BY t.doc_id), "
         # c4 grain: synthesized punctuated lines (8-token chunks, '.'
         # on even chunks, planted javascript/lorem/brace marker lines)
         # cleaned by C4's line rules — mirrors c4_line_rules_expr
@@ -6641,9 +6731,11 @@ ORACLES: dict[str, str] = {
         "CAST(len(sd.U) AS BIGINT) AS n_lines_unique, "
         "spd.text_spandedup, spd.n_sents, spd.n_sents_kept, "
         "tsd.text_substrdedup, tsd.n_tokens, tsd.n_tokens_kept, "
+        "xsd.xs_cjk_md5, xsd.xs_cjk_n_tokens, xsd.xs_cjk_n_kept, "
         "c4.c4_n_lines, c4.c4_n_kept, c4.c4_keep, c4.c4_clean_md5 "
         "FROM cd JOIN sd USING (doc_id) JOIN spd USING (doc_id) "
-        "JOIN tsd USING (doc_id) JOIN c4 USING (doc_id)"
+        "JOIN tsd USING (doc_id) JOIN xsd USING (doc_id) "
+        "JOIN c4 USING (doc_id)"
     ),
     "curation_pipeline_docs": (
         # round 14: jd plants the _JT_LANG_TEXTS multilingual/CJK

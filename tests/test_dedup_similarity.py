@@ -1911,6 +1911,52 @@ def test_exact_substring_dedup_lee2022_semantics(spark):
         exact_substring_dedup(docs, k=1)
 
 
+def test_exact_substring_dedup_cjk_route(spark):
+    """Round 15: routed rows slide CHAR windows (cjk_k) — a zh doc
+    sharing a long char span with an earlier doc loses the span and
+    rebuilds separator-free, while at the word grain the same docs are
+    single tokens (< k) and pass through whole (the recall-0 failure
+    the routing closes). EN rows in the same corpus keep byte-identical
+    word-grain behavior, routed or not."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import exact_substring_dedup
+
+    base = "春天来了公园里的花都开了很多人带着孩子来这里散步玩耍天气特别好"  # 31
+    t1, t2 = "湖边唱歌跳舞的人们非常开心今晚", "山上看风景的游客拍了很多照片啊"
+    en = "the quick brown fox jumps over the lazy dog again and again tonight my friend"
+    docs = spark.createDataFrame(
+        [(1, base + t1), (2, base + t2), (3, en), (4, en + " extra")],
+        "doc_id long, text string",
+    )
+    cjk = is_cjk_doc_expr("text")
+    got = {
+        r.doc_id: r
+        for r in exact_substring_dedup(docs, k=8, cjk=cjk, cjk_k=20).collect()
+    }
+    # doc 1 is the global first for every shared base window: untouched,
+    # rebuilt WITHOUT separators (char grain)
+    assert got[1].text_dedup == base + t1
+    assert (got[1].n_tokens, got[1].n_tokens_kept) == (46, 46)
+    # doc 2 loses the whole 31-char shared base (windows 0..11 union);
+    # its unique tail survives flush
+    assert got[2].text_dedup == t2
+    assert (got[2].n_tokens, got[2].n_tokens_kept) == (46, 15)
+    # EN rows: word grain exactly as the unrouted operator
+    assert got[3].n_tokens_kept == 15
+    assert got[4].text_dedup == "extra"
+    # unrouted: the zh docs are 1 whitespace token each, shorter than
+    # k, and pass through whole — recall 0 at this grain
+    plain = {
+        r.doc_id: r for r in exact_substring_dedup(docs, k=8).collect()
+    }
+    assert plain[2].text_dedup == base + t2
+    assert (plain[2].n_tokens, plain[2].n_tokens_kept) == (1, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cjk_k must be"):
+        exact_substring_dedup(docs, k=8, cjk=cjk, cjk_k=1)
+
+
 def test_compact_semantic_store(spark, tmp_path):
     """Cluster-store compaction: one part file per cid dir after,
     dedup results identical before/after, crash-window duplicate rows
