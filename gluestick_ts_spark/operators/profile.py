@@ -209,6 +209,7 @@ def bigram_logprob_scores(
     bigram_size: int = 200_000,
     min_count: int = 2,
     lam: float = 0.7,
+    cjk: "Column | None" = None,
 ) -> DataFrame:
     """Interpolated bigram language-model quality score — the CCNet
     signal one context grain up from ``unigram_logprob_scores``: each
@@ -239,8 +240,25 @@ def bigram_logprob_scores(
     Document text never shuffles; the only corpus-sized exchanges are
     the two count aggregates and the final per-document mean.
     No reference counterpart (extension op — corpus text analysis).
+
+    ``cjk`` (round 15, typically ``is_cjk_doc_expr``) routes a row's
+    tokens to the CHAR grain, the same routing its unigram sibling got
+    in round 14 — unrouted, an unsegmented CJK document is ONE
+    whitespace token, so it has zero bigram positions and no score at
+    all (it vanishes from the output); routed, its bigram positions
+    are adjacent CHAR pairs — exactly the BM25 CJK term grain — and
+    the word-order signal is real. The model is shared (one bigram
+    table over both grains); pair with a per-language cut when the
+    corpus is multilingual, as with the unigram score.
     """
-    toks = F.filter(tokens_expr(text_col), lambda t: t != "")
+    from ..functions.text import cjk_char_tokens_expr
+
+    tok_arr = tokens_expr(text_col)
+    if cjk is not None:
+        tok_arr = F.when(cjk, cjk_char_tokens_expr(text_col)).otherwise(
+            tok_arr
+        )
+    toks = F.filter(tok_arr, lambda t: t != "")
     base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
     uni = (
         base.select(F.explode("__t").alias("tok"))

@@ -2510,8 +2510,20 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
         F.lit(None).cast("double").alias("pmi"),
         F.lit(None).cast("double").alias("rank"),
     )
+    # round 15: doclp2 runs over a PLANTED corpus (zh near-dup docs at
+    # the doc_id % 200 in (61, 161) band, the _cjk_dd recipe) WITH
+    # script routing — unrouted, an unsegmented zh doc is one
+    # whitespace token, has zero bigram positions, and silently
+    # VANISHES from this part; routed, its positions are adjacent CHAR
+    # pairs (the BM25 CJK term grain) and the word-order signal is
+    # real. The oracle re-derives the planted text, the routed token
+    # arrays, and the whole bigram model from them.
+    from ..functions.text import is_cjk_doc_expr
+
+    d2 = d.withColumn("text", _cjk_dd_text_expr(200, 61, 161))
     lp2 = bigram_logprob_scores(
-        d, vocab_size=100, bigram_size=500, min_count=2, lam=0.7
+        d2, vocab_size=100, bigram_size=500, min_count=2, lam=0.7,
+        cjk=is_cjk_doc_expr("text"),
     ).select(
         F.lit("doclp2").alias("part"),
         F.lit(None).cast("string").alias("token"),
@@ -6961,13 +6973,31 @@ ORACLES: dict[str, str] = {
         "JOIN counts ca ON ca.tok = bcnt.a "
         "JOIN counts cb ON cb.tok = bcnt.b CROSS JOIN btot "
         "ORDER BY pmi DESC, bigram ASC LIMIT 50), "
-        # interpolated bigram LM (doclp2): same bigram construction
-        # per doc, model table = count>=2 top-500 by (cab DESC, a, b)
-        # with the conditional cab/c(a) folded in; score = ln(0.7*Pb +
-        # (1-0.7)*Pu) with the doclp vocab/floor — mirrors
-        # operators/profile.py bigram_logprob_scores exactly
-        "tarrd AS (SELECT doc_id, list_filter("
-        f"{_TOKS}, t -> t <> '') AS T FROM documents), "
+        # interpolated bigram LM (doclp2): round 15 — the part runs
+        # over the PLANTED corpus (zh docs at doc_id % 200 in (61,
+        # 161)) with SCRIPT-ROUTED token arrays (char grain for CJK
+        # rows), so its unigram backoff model (cnt2/vocab2/total2) is
+        # re-derived from the routed planted tokens rather than shared
+        # with doclp. Same bigram construction per doc, model table =
+        # count>=2 top-500 by (cab DESC, a, b) with the conditional
+        # cab/c(a) folded in; score = ln(0.7*Pb + (1-0.7)*Pu) with the
+        # same vocab-100/OOV-floor shape — mirrors
+        # operators/profile.py bigram_logprob_scores(cjk=...) exactly
+        "pd2 AS (SELECT doc_id, "
+        + _cjk_dd_text_sql(200, 61, 161)
+        + " AS text FROM documents), "
+        "rt2 AS (SELECT doc_id, CASE WHEN "
+        + _MH_IS_CJK
+        + " THEN "
+        + gopher_cjk_toks_duck_sql("text")
+        + f" ELSE {_TOKS} END AS T0 FROM pd2), "
+        "tarrd AS (SELECT doc_id, list_filter(T0, t -> t <> '') AS T "
+        "FROM rt2), "
+        "cnt2 AS (SELECT tk AS tok, COUNT(*) AS c "
+        "FROM tarrd, UNNEST(T) AS u(tk) GROUP BY tk), "
+        "vocab2 AS (SELECT tok, c FROM cnt2 "
+        "ORDER BY c DESC, tok ASC LIMIT 100), "
+        "total2 AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt2), "
         "bgrd AS (SELECT doc_id, T[i] AS a, T[i+1] AS b "
         "FROM tarrd, UNNEST(range(1, greatest(len(T) - 1, 0) + 1)) AS u(i)), "
         "bc2 AS (SELECT a, b, COUNT(*) AS cab FROM bgrd GROUP BY a, b "
@@ -6975,13 +7005,13 @@ ORACLES: dict[str, str] = {
         "btab AS (SELECT a, b, CAST(cab AS DOUBLE) / CAST(ca.c AS DOUBLE) "
         "AS pb FROM (SELECT a, b, cab, row_number() OVER ("
         "ORDER BY cab DESC, a ASC, b ASC) AS r FROM bc2) bt "
-        "JOIN counts ca ON ca.tok = bt.a WHERE r <= 500), "
+        "JOIN cnt2 ca ON ca.tok = bt.a WHERE r <= 500), "
         "doclp2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
         "ROUND(AVG(ln(CAST(0.7 AS DOUBLE) * COALESCE(pb, 0.0) + "
         "(CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * "
-        "(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total.n))), 6) AS mlp2 "
+        "(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total2.n))), 6) AS mlp2 "
         "FROM bgrd LEFT JOIN btab USING (a, b) "
-        "LEFT JOIN vocab v ON v.tok = bgrd.b CROSS JOIN total "
+        "LEFT JOIN vocab2 v ON v.tok = bgrd.b CROSS JOIN total2 "
         "GROUP BY doc_id), "
         # round 13: the PageRank iteration, exact-integer unrolled
         + _pagerank_duck_ctes(iters=3)

@@ -269,6 +269,44 @@ def test_bigram_logprob_detects_word_order(spark):
     assert bi[0] > bi[100]
 
 
+def test_bigram_logprob_cjk_route(spark):
+    """Round 15: routed CJK rows score CHAR bigrams — unrouted, an
+    unsegmented zh document is one whitespace token with ZERO bigram
+    positions, so it silently vanishes from the output; routed, its
+    positions are adjacent char pairs and repeated zh boilerplate
+    scores higher than a character-shuffle of the same text (the
+    word-order property, at the routed grain). Non-CJK rows score
+    identically routed or not."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.profile import bigram_logprob_scores
+
+    zh = "春天来了公园里的花都开了很多人来这里散步"
+    zh_shuffled = "花了都春来很公了人天里这开多的园来里步散"  # same chars
+    en = "the quick brown fox jumps over the lazy dog"
+    corpus = (
+        [(i, zh) for i in range(10)]
+        + [(50, zh_shuffled)]
+        + [(60, en), (61, en)]
+    )
+    d = spark.createDataFrame(corpus, "doc_id long, text string")
+    cjk = is_cjk_doc_expr("text")
+    plain = {r.doc_id: r for r in bigram_logprob_scores(
+        d, vocab_size=100, bigram_size=200, min_count=2).collect()}
+    routed = {r.doc_id: r for r in bigram_logprob_scores(
+        d, vocab_size=100, bigram_size=200, min_count=2, cjk=cjk).collect()}
+    # unrouted: every zh doc is 1 token -> no bigram rows at all
+    assert 0 not in plain and 50 not in plain
+    # routed: zh docs carry len-1 char-bigram positions and the
+    # in-order boilerplate outscores its character shuffle
+    assert routed[0].n_bigrams == len(zh) - 1
+    assert routed[0].mean_logprob2 > routed[50].mean_logprob2
+    # EN rows: same bigram positions either way; the SCORE may shift
+    # because the model is shared (routing adds the zh char mass to
+    # the unigram backoff total — the documented one-model contract)
+    assert plain[60].n_bigrams == routed[60].n_bigrams == len(en.split()) - 1
+    assert routed[60].mean_logprob2 == routed[61].mean_logprob2
+
+
 def test_adaptive_quality_filter_per_group_cuts(spark):
     """Hand-computed per-group P50: group a scores [0,1,2,3] -> cut
     1.5; group b scores [10,20] -> cut 15. Membership is score >= own
