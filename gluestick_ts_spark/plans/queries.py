@@ -2030,7 +2030,13 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     script-routed unigram model — the CCNet shape; a global constant
     structurally mass-drops every minority language, and the
     word-soup corpus's razor-thin lp distribution snapped the old
-    fixed cut on every content change). Every
+    fixed cut on every content change). Round 15 closes the
+    crawl->rank->curation chain: the synthetic crawl graph's
+    integer-grid PageRank (the top_terms rank part's graph,
+    ``_synth_crawl_rank``) broadcast-joins onto every doc through its
+    crawl-source domain as an ANNOTATE-only ``domain_rank`` column —
+    the RefinedWeb/Common-Crawl domain-prior-as-feature pattern;
+    keep/drop_reason are untouched by design. Every
     stage is an already-oracle-proven operator; this query proves the
     COMPOSITION, including the reason each dropped document would be
     dropped first. Scale shape: three map-only flag columns + the
@@ -2345,6 +2351,33 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
             "adaptive_ok",
         )
     )
+    # round 15: the crawl->rank->curation chain closes — the domain
+    # PageRank prior (RefinedWeb/Common-Crawl centrality-as-feature)
+    # rides the verdict row as an ANNOTATE stage: each doc's synthetic
+    # crawl-source domain (d<doc_id%19>.com, the same deterministic
+    # graph as top_terms' rank part) broadcast-joins its
+    # integer-grid rank on as ``domain_rank``. Annotate-only by
+    # design: the prior feeds sampling weights / classifier features
+    # downstream, and keep/drop_reason stay byte-stable (the sf0.1
+    # histogram pin is untouched). One map-side stage — the ≤23-row
+    # rank relation broadcasts; the corpus never shuffles for it.
+    from ..operators.linkgraph import attach_domain_rank
+    from ..operators.psl import parse_psl_rules
+
+    j = attach_domain_rank(
+        j.withColumn(
+            "__src_url",
+            F.concat(
+                F.lit("http://www.d"),
+                (F.col("doc_id") % 19).cast("string"),
+                F.lit(".com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ),
+        _synth_crawl_rank(d.select("doc_id")),
+        url_col="__src_url",
+        psl=parse_psl_rules([]),
+    ).drop("__src_url")
     keep = (
         F.col("blocklist_ok")
         & F.col("robots_ok")
@@ -2396,6 +2429,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         "lp_cut",
         "lang_cut",
         "adaptive_ok",
+        "domain_rank",
     )
 
 
@@ -2548,47 +2582,24 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
     # Eager at query construction (the ivf/classifier precedent): the
     # per-round dangling-mass scalars are collected, on a graph already
     # collapsed to <= 23 nodes.
-    from ..operators.linkgraph import domain_link_edges, pagerank
-
     ranks = None
     if "rank" in parts:
         ids = d.select("doc_id")
+        # scoped suffix table inside _synth_crawl_rank: the synth
+        # universe is *.com only, and the FULL embedded PSL snapshot
+        # compiles to an in-row when/IN tree whose per-execution
+        # analysis+codegen cost (~4-5 s at sf0.1, measured) would
+        # dwarf the 23-node graph it feeds — the caller-supplied-psl
+        # API exists for exactly this (the full table stays default
+        # and is exercised by the curation/weburl rows)
+        from ..operators.linkgraph import attach_domain_rank
+        from ..operators.psl import parse_psl_rules
+
         _u = lambda prefix, expr, path: F.concat(  # noqa: E731
             F.lit(prefix), expr.cast("string"), F.lit(path),
             F.col("doc_id").cast("string"),
         )
-        links = ids.select(
-            _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
-                "source_url"
-            ),
-            _u("http://d", (F.col("doc_id") * 7 + 3) % 23, ".com/q/").alias(
-                "url"
-            ),
-        ).unionByName(
-            ids.select(
-                _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
-                    "source_url"
-                ),
-                _u("http://d", (F.col("doc_id") * 5 + 1) % 23, ".com/r/").alias(
-                    "url"
-                ),
-            )
-        )
-        # scoped suffix table: the synth universe is *.com only, and
-        # the FULL embedded PSL snapshot compiles to an in-row
-        # when/IN tree whose per-execution analysis+codegen cost
-        # (~4-5 s at sf0.1, measured) would dwarf the 23-node graph it
-        # feeds — the caller-supplied-psl API exists for exactly this
-        # (the full table stays default and is exercised by the
-        # curation/weburl rows)
-        from ..operators.linkgraph import attach_domain_rank
-        from ..operators.psl import parse_psl_rules
-
-        pr = pagerank(
-            domain_link_edges(links, psl=parse_psl_rules([])),
-            iters=3,
-            weight_col="n_links",
-        )
+        pr = _synth_crawl_rank(ids)
         ranks = pr.select(
             F.lit("rank").alias("part"),
             F.col("node").alias("token"),
@@ -5006,6 +5017,47 @@ _XS_BASE_A = "春天来了公园里的花都开了很多人带着孩子来这里
 _XS_BASE_B = "图书馆的新书架上摆满了各种语言的小说和诗集学生们都来借"
 
 
+def _synth_crawl_rank(ids):
+    """The deterministic doc_id crawl graph SHARED by top_terms' rank
+    part and the curation pipeline's rank stage (round 15): every doc
+    lives on domain d<doc_id%19>.com and links to d<(id*7+3)%23>.com
+    and d<(id*5+1)%23>.com (d19..d22 never emit, exercising the
+    dangling-mass path). Returns the bit-deterministic integer-grid
+    PageRank(iters=3) relation (node, rank); the DuckDB twin is
+    ``_pagerank_duck_ctes`` terminating in pr3. Scoped empty-PSL: the
+    synth universe is *.com only (see the in-body comment at the
+    top_terms call site)."""
+    from ..operators.linkgraph import domain_link_edges, pagerank
+    from ..operators.psl import parse_psl_rules
+
+    _u = lambda prefix, expr, path: F.concat(  # noqa: E731
+        F.lit(prefix), expr.cast("string"), F.lit(path),
+        F.col("doc_id").cast("string"),
+    )
+    links = ids.select(
+        _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
+            "source_url"
+        ),
+        _u("http://d", (F.col("doc_id") * 7 + 3) % 23, ".com/q/").alias(
+            "url"
+        ),
+    ).unionByName(
+        ids.select(
+            _u("http://www.d", F.col("doc_id") % 19, ".com/p/").alias(
+                "source_url"
+            ),
+            _u("http://d", (F.col("doc_id") * 5 + 1) % 23, ".com/r/").alias(
+                "url"
+            ),
+        )
+    )
+    return pagerank(
+        domain_link_edges(links, psl=parse_psl_rules([])),
+        iters=3,
+        weight_col="n_links",
+    )
+
+
 def _xs_cjk_text_expr() -> "F.Column":
     tail = F.translate(
         F.md5(F.col("doc_id").cast("string")), _CJK_DD_HEX, _CJK_DD_HAN16
@@ -6875,8 +6927,12 @@ ORACLES: dict[str, str] = {
         "lpj AS (SELECT d.doc_id, d.lp, b.jlang FROM doclp d "
         "JOIN base b USING (doc_id)), "
         "lpcuts AS (SELECT jlang, quantile_cont(lp, 0.10) AS lpc "
-        "FROM lpj GROUP BY jlang) "
-        "SELECT b.doc_id, b.jlang AS doc_lang, "
+        "FROM lpj GROUP BY jlang), "
+        # round 15: the rank ANNOTATE stage — the same exact-integer
+        # pr3 grid as top_terms' rank oracle, joined through the pure
+        # crawl-source domain d<doc_id%19>.com (the rankdoc precedent)
+        + _pagerank_duck_ctes(iters=3)
+        + " SELECT b.doc_id, b.jlang AS doc_lang, "
         "uf.blocklist_ok, uf.robots_ok, uf.url_keep, "
         "uf.domain, uf.domain_keep, b.is_benchmark, "
         "h.doc_id IS NOT NULL AS contaminated, "
@@ -6903,13 +6959,16 @@ ORACLES: dict[str, str] = {
         "WHEN NOT COALESCE(l.lp >= lc.lpc, FALSE) THEN 'logprob' "
         "END AS drop_reason, "
         "ROUND(lc.lpc, 6) AS lp_cut, "
-        "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok "
+        "ROUND(c.cut, 6) AS lang_cut, b.qs >= c.cut AS adaptive_ok, "
+        "CAST(p.u AS DOUBLE) / 1000000000 AS domain_rank "
         "FROM base b JOIN uflag uf USING (doc_id) "
         "JOIN licf lf USING (doc_id) "
         "LEFT JOIN hits h USING (doc_id) "
         "LEFT JOIN lpj l USING (doc_id) "
         "LEFT JOIN lpcuts lc ON lc.jlang = l.jlang "
-        "LEFT JOIN cuts c USING (lang)"
+        "LEFT JOIN cuts c USING (lang) "
+        "LEFT JOIN pr3 p ON p.node = 'd' || CAST(b.doc_id % 19 AS VARCHAR) "
+        "|| '.com'"
     ),
     "corpus_profile_docs": (
         "WITH s AS (SELECT source, lang, "

@@ -848,6 +848,7 @@ def stream_curation_filter(
     cjk_route: bool = True,
     blocked_terms: tuple[str, ...] = (),
     blocked_terms_max_frac: float = 0.0,
+    domain_ranks=None,
 ) -> DataStreamWriter:
     """Streaming curation: every micro-batch gets the per-document
     verdict a batch pipeline computes (``curation_pipeline_docs``
@@ -919,6 +920,18 @@ def stream_curation_filter(
     silently changing verdicts; stores seeded before round 15 carry
     no frozen flag and cannot detect the mismatch.
 
+    ``domain_ranks`` (round 15, requires ``url_col``) adds the batch
+    pipeline's domain-authority ANNOTATE stage: a FROZEN offline rank
+    artifact — a ``[(domain, rank), ...]`` list or a (node, rank)
+    DataFrame, e.g. ``operators/linkgraph.py pagerank`` output or
+    Common Crawl's published domain ranks — broadcast-joins onto each
+    document through its URL's eTLD+1 (``attach_domain_rank``), adding
+    a ``domain_rank`` column (unranked domains 0.0). Annotate-only,
+    like the batch stage: verdicts are unchanged; the prior feeds
+    downstream sampling weights / classifier features. Stateless and
+    map-side — replay-identical, no new shuffle, the standard
+    frozen-model deployment shape (the clf_model/stream_dsir pattern).
+
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
     ``pmod(xxhash64(fp), num_buckets)``), and the dedup stage is a
@@ -957,6 +970,11 @@ def stream_curation_filter(
 
     meta_path = join_uri(store_dir, "store_meta.json")
     stamper = _BatchStamper(checkpoint_dir)
+    if domain_ranks is not None and not url_col:
+        raise ValueError(
+            "stream_curation_filter: domain_ranks requires url_col — the "
+            "rank joins through the document URL's eTLD+1"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1135,6 +1153,17 @@ def stream_curation_filter(
                 enriched = robots_filter(enriched, robots, url_col)
             else:
                 enriched = enriched.withColumn("robots_ok", F.lit(True))
+            if domain_ranks is not None:
+                from ..operators.linkgraph import attach_domain_rank
+
+                ranks_df = (
+                    domain_ranks
+                    if isinstance(domain_ranks, DataFrame)
+                    else spark.createDataFrame(
+                        list(domain_ranks), "node string, rank double"
+                    )
+                )
+                enriched = attach_domain_rank(enriched, ranks_df, url_col)
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         first_in_batch = F.row_number().over(w) == 1
         # membership probe: batch-side broadcast semi-join against the
@@ -1210,6 +1239,7 @@ def stream_curation_filter(
                 else []
             ),
             "lp_ok",
+            *(["domain_rank"] if domain_ranks is not None else []),
             keep.alias("keep"),
             reason.alias("drop_reason"),
             F.col("__fp"),

@@ -1133,6 +1133,66 @@ def test_stream_curation_filter_url_blocklist(spark, tmp_path):
     assert rows[4] == {"keep": True, "reason": None, "bl": True}
 
 
+def test_stream_curation_filter_domain_rank_annotate(spark, tmp_path):
+    """Round 15: the frozen domain-authority artifact annotates every
+    verdict row with ``domain_rank`` via the URL's eTLD+1 — equal to
+    the batch attach_domain_rank over the same rows (stream == batch),
+    unranked domains 0.0, verdicts untouched; domain_ranks without
+    url_col is rejected up front."""
+    from gluestick_ts_spark.operators.linkgraph import attach_domain_rank
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string, url string"
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+    # rank keys live at the eTLD+1 grain (the edge-list grain):
+    # www./subdomain labels and URL case must collapse onto them
+    ranks = [("alpha-site.org", 0.25), ("gamma-site.net", 0.5)]
+    batch_rows = [
+        (1, good, "http://www.alpha-site.org/a"),
+        (2, good + " extra", "http://unranked-site.com/b"),
+        (3, good + " more", "HTTP://SUB.GAMMA-SITE.NET/c?x=1"),
+    ]
+
+    got: dict[int, tuple] = {}
+
+    def emit(df, batch_id):
+        for r in df.collect():
+            got[r.doc_id] = (r.domain_rank, r.keep)
+
+    _write_stream_batch(src, spark, batch_rows, schema)
+    q = (
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            quality_min=0.0, checkpoint_dir=ckpt,
+            url_col="url", domain_ranks=ranks,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got[1] == (0.25, True)
+    assert got[2] == (0.0, True)   # unranked -> default, verdict intact
+    assert got[3] == (0.5, True)   # case/www-insensitive eTLD+1 grain
+    # stream == batch: the batch-side attach over the same rows agrees
+    b = attach_domain_rank(
+        spark.createDataFrame(batch_rows, schema),
+        spark.createDataFrame(ranks, "node string, rank double"),
+        "url",
+    )
+    assert {r.doc_id: r.domain_rank for r in b.collect()} == {
+        k: v[0] for k, v in got.items()
+    }
+    with pytest.raises(ValueError, match="requires url_col"):
+        stream_curation_filter(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            domain_ranks=ranks,
+        )
+
+
 def test_stream_curation_filter_robots(spark, tmp_path):
     """Streaming robots screen (round 11): RFC verdicts per micro-batch
     at the batch pipeline's priority (blocked > robots > duplicate),
