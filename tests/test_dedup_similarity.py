@@ -1957,6 +1957,39 @@ def test_exact_substring_dedup_cjk_route(spark):
         exact_substring_dedup(docs, k=8, cjk=cjk, cjk_k=1)
 
 
+def test_exact_substring_cjk_partition_invariant(spark):
+    """The routed grain's keep-global-first tie-break is (id, position)
+    — a pure function of the data — so re-partitioning the corpus
+    leaves every rebuilt text and count bit-identical (the standing
+    invariance guard every grain with a cut or tie-break ships)."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import exact_substring_dedup
+
+    base = "春天来了公园里的花都开了很多人带着孩子来这里散步玩耍天气特别好"
+    rows = [
+        (i, base + "零一二三四五六七八九甲乙丙丁戊己"[i % 7:][:9] + str(i))
+        for i in range(30)
+    ] + [(100 + i, f"english document number {i} about spark partitions "
+                   f"and shuffle behavior over time item {i % 5}")
+         for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(frame):
+        return {
+            r.doc_id: (r.text_dedup, r.n_tokens, r.n_tokens_kept)
+            for r in exact_substring_dedup(
+                frame, k=8, cjk=is_cjk_doc_expr("text"), cjk_k=20
+            ).collect()
+        }
+
+    a = run(df)
+    assert a == run(df.repartition(7)) == run(df.repartition(1))
+    # count-visible planted positive: exactly one zh doc keeps the
+    # shared 31-char prefix (the global first), all others lose it
+    full = [i for i in range(30) if a[i][2] == a[i][1]]
+    assert len(full) == 1
+
+
 def test_compact_semantic_store(spark, tmp_path):
     """Cluster-store compaction: one part file per cid dir after,
     dedup results identical before/after, crash-window duplicate rows

@@ -307,6 +307,37 @@ def test_bigram_logprob_cjk_route(spark):
     assert routed[60].mean_logprob2 == routed[61].mean_logprob2
 
 
+def test_bigram_logprob_cjk_partition_invariant(spark):
+    """The routed bigram model's two cuts (top-V vocab, top-B bigram
+    table) tie-break on full (count DESC, key ASC) order — pure
+    functions of the data — so re-partitioning the corpus leaves every
+    routed score bit-identical (the standing invariance guard for
+    grains with a cut)."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.profile import bigram_logprob_scores
+
+    zh = "春天来了公园里的花都开了很多人来这里散步"
+    rows = [(i, zh + str(i % 3)) for i in range(12)] + [
+        (50 + i, f"the quick brown fox {i % 4} jumps over the lazy dog")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(frame):
+        return {
+            r.doc_id: (r.n_bigrams, r.mean_logprob2)
+            for r in bigram_logprob_scores(
+                frame, vocab_size=40, bigram_size=60, min_count=2,
+                cjk=is_cjk_doc_expr("text"),
+            ).collect()
+        }
+
+    a = run(df)
+    assert a == run(df.repartition(5)) == run(df.repartition(1))
+    # count-visible: every routed zh doc carries char-bigram positions
+    assert all(a[i][0] == len(zh + "0") - 1 for i in range(12))
+
+
 def test_adaptive_quality_filter_per_group_cuts(spark):
     """Hand-computed per-group P50: group a scores [0,1,2,3] -> cut
     1.5; group b scores [10,20] -> cut 15. Membership is score >= own
