@@ -546,6 +546,47 @@ def append_cdx_parquet(index: DataFrame, path: str) -> None:
     write_cdx_parquet(index, path, mode="append")
 
 
+def _fs_move_dir(filesystem, src: str, dst: str) -> None:
+    """Directory move through ``pyarrow.fs`` with an object-store
+    fallback: POSIX/HDFS filesystems get the native (atomic) rename;
+    filesystems whose ``move`` rejects directories — pyarrow's
+    S3FileSystem refuses prefix moves — fall back to a recursive
+    per-file COPY to the destination followed by a source delete.
+    The fallback is never destructive (every byte is copied before
+    anything is deleted) but it is NOT atomic: a crash mid-copy
+    leaves a partial ``dst`` beside an intact ``src``, and a crash
+    mid-delete leaves a partial ``src`` beside a complete ``dst`` —
+    callers whose crash protocol keys on "src missing" must treat a
+    surviving partial ``src`` as the stale side."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem.move(src, dst)
+        return
+    except (NotImplementedError, OSError):
+        # pyarrow surfaces Arrow NotImplemented/IOError statuses as
+        # subclasses of these (ArrowNotImplementedError is a
+        # NotImplementedError) — S3's directory-move refusal lands here
+        pass
+    src = src.rstrip("/")
+    dst = dst.rstrip("/")
+    infos = filesystem.get_file_info(
+        pafs.FileSelector(src, recursive=True, allow_not_found=False)
+    )
+    filesystem.create_dir(dst, recursive=True)
+    for info in sorted(infos, key=lambda i: i.path):
+        rel = info.path[len(src):].lstrip("/")
+        target = f"{dst}/{rel}"
+        if info.type == pafs.FileType.Directory:
+            filesystem.create_dir(target, recursive=True)
+        elif info.type == pafs.FileType.File:
+            parent = target.rsplit("/", 1)[0]
+            if parent != dst:
+                filesystem.create_dir(parent, recursive=True)
+            filesystem.copy_file(info.path, target)
+    filesystem.delete_dir(src)
+
+
 def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     """Rewrite the columnar index with per-partition sorted files —
     folds the small files appends accumulate and restores tight
@@ -564,11 +605,15 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     the backup is restored before compacting. Renames go through
     ``pyarrow.fs`` so the same code serves local paths and HDFS-like
     ``scheme://`` URIs whose filesystems implement directory move
-    (atomic on POSIX and HDFS). S3-likes are NOT supported: pyarrow's
-    ``S3FileSystem.move`` rejects directories (prefixes), so the swap
-    raises at the first ``move`` — non-destructively, before any
-    delete; on S3 park the index under a versioned prefix and swap a
-    pointer/manifest instead."""
+    (atomic on POSIX and HDFS). S3-likes get the ``_fs_move_dir``
+    fallback — pyarrow's ``S3FileSystem.move`` rejects directories
+    (prefixes), so each swap step becomes a recursive per-file copy
+    then a source delete: never destructive (every byte lands before
+    anything is deleted) but NOT atomic, so the crash-window rollback
+    above is weaker there (a crash mid-copy leaves a partial sibling
+    to clean up; the live index itself is only ever deleted AFTER its
+    replacement fully exists). For busy S3 indexes prefer parking the
+    table under a versioned prefix and swapping a pointer/manifest."""
     from pyarrow import fs as pafs
 
     if re.match(r"^[a-z][a-z0-9+.\-]*://", path):
@@ -582,7 +627,7 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
         and filesystem.get_file_info(bak).type != pafs.FileType.NotFound
     ):
         # a previous run died between the two renames — roll back
-        filesystem.move(bak, p)
+        _fs_move_dir(filesystem, bak, p)
     for stale in (tmp, bak):
         if filesystem.get_file_info(stale).type != pafs.FileType.NotFound:
             filesystem.delete_dir(stale)
@@ -599,8 +644,8 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
         # from_uri-stripped twin of the same name
         .parquet(path.rstrip("/") + ".compact-tmp")
     )
-    filesystem.move(p, bak)
-    filesystem.move(tmp, p)
+    _fs_move_dir(filesystem, p, bak)
+    _fs_move_dir(filesystem, tmp, p)
     filesystem.delete_dir(bak)
 
 

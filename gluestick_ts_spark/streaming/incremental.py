@@ -200,6 +200,15 @@ def stream_dedup_incremental(
     streams sharing one store are not supported — fan unioned sources
     into one stream instead.
 
+    Round 15: BOTH layouts freeze the SIGNING RECIPE (shingle grain,
+    seed, num_hashes, hash family, cjk routing — ``minhash_signing``)
+    at first batch — the bucketed store in its ``store_meta.json``,
+    the flat store in a ``flat_signing.json`` sidecar — and assert it
+    every batch, so a stream restarted under a different recipe fails
+    loudly instead of silently banding incomparable signatures.
+    Stores seeded before round 15 carry no frozen recipe and cannot
+    detect the drift.
+
     ``bucketed=True`` keeps the store in the band-hash-bucketed layout
     (``write_signature_store``): each micro-batch's candidate join then
     partition-prunes the store scan to the batch's own buckets — the
@@ -215,7 +224,13 @@ def stream_dedup_incremental(
         minhash_signing,
         write_signature_store,
     )
-    from ..sources.fs import hadoop_path_exists, join_uri
+    from ..sources.fs import (
+        hadoop_path_exists,
+        join_uri,
+        read_text_file,
+        write_text_file,
+    )
+    import json
 
     sig_path = join_uri(store_dir, "signatures.parquet")
     meta_path = join_uri(store_dir, "store_meta.json")
@@ -281,11 +296,43 @@ def stream_dedup_incremental(
             )
             stamper.mark_appended(spark, store_dir, batch_id)
 
+    def _signing_from_kwargs():
+        return minhash_signing(
+            num_hashes=minhash_kwargs.get("num_hashes", 64),
+            shingle_n=minhash_kwargs.get("shingle_n", 3),
+            seed=minhash_kwargs.get("seed", 42),
+            hash_family="xxhash64",
+            cjk_routed=minhash_kwargs.get("cjk") is not None,
+            cjk_shingle_n=minhash_kwargs.get("cjk_shingle_n", 5),
+        )
+
+    def _check_flat_signing(spark) -> dict:
+        # the FLAT store's twin of the bucketed meta contract (round
+        # 15): the signing recipe is frozen into a sidecar on the
+        # first batch and asserted on every later one, so a stream
+        # restarted under a different shingle grain/seed/routing fails
+        # loudly instead of silently banding incomparable signatures.
+        # Stores seeded before round 15 carry no sidecar and cannot
+        # detect the drift (documented migration hazard).
+        from ..operators.dedup import _check_signing
+
+        signing = _signing_from_kwargs()
+        flat_meta = join_uri(store_dir, "flat_signing.json")
+        if hadoop_path_exists(spark, flat_meta):
+            frozen = json.loads(read_text_file(spark, flat_meta))
+            _check_signing(
+                {"signing": frozen}, signing, "stream_dedup_incremental"
+            )
+        else:
+            write_text_file(spark, flat_meta, json.dumps(signing))
+        return signing
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        _check_flat_signing(spark)
         if hadoop_path_exists(spark, sig_path):
             store = spark.read.parquet(sig_path)
             if "batch_id" in store.columns:

@@ -760,3 +760,61 @@ def test_surt_twins_property(spark):
     want = [surt(u) for u in cases]
     mism = [(c, g, w) for c, g, w in zip(cases, got, want) if g != w]
     assert not mism, mism[:5]
+
+
+def test_fs_move_dir_object_store_fallback(tmp_path):
+    """_fs_move_dir (round 15): filesystems whose move() rejects
+    directories — pyarrow's S3FileSystem refuses prefix moves — fall
+    back to recursive per-file copy + source delete with identical
+    end state (bytes land before anything is deleted); move-capable
+    filesystems keep the native one-call rename."""
+    from pyarrow import fs as pafs
+
+    from gluestick_ts_spark.sources.cdx import _fs_move_dir
+
+    class S3LikeFS:
+        """Delegates to LocalFileSystem but refuses directory moves,
+        the S3FileSystem behavior the fallback exists for."""
+
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+            self.moves = 0
+
+        def move(self, src, dst):
+            if self._fs.get_file_info(src).type == pafs.FileType.Directory:
+                raise NotImplementedError(
+                    "Move expected to fail: S3 does not move directories"
+                )
+            self._fs.move(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    src = tmp_path / "srcdir"
+    (src / "tld=com").mkdir(parents=True)
+    (src / "tld=org" / "deeper").mkdir(parents=True)
+    (src / "part-0.parquet").write_bytes(b"root-bytes")
+    (src / "tld=com" / "part-1.parquet").write_bytes(b"com-bytes")
+    (src / "tld=org" / "deeper" / "part-2.parquet").write_bytes(b"org-bytes")
+    dst = tmp_path / "dstdir"
+    fs = S3LikeFS()
+    _fs_move_dir(fs, str(src), str(dst))
+    assert not src.exists()
+    assert (dst / "part-0.parquet").read_bytes() == b"root-bytes"
+    assert (dst / "tld=com" / "part-1.parquet").read_bytes() == b"com-bytes"
+    assert (
+        dst / "tld=org" / "deeper" / "part-2.parquet"
+    ).read_bytes() == b"org-bytes"
+
+    # move-capable path: one native rename, no copy fan-out
+    class CountingFS(S3LikeFS):
+        def move(self, src, dst):
+            self.moves += 1
+            self._fs.move(src, dst)
+
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    (src2 / "f").write_bytes(b"x")
+    fs2 = CountingFS()
+    _fs_move_dir(fs2, str(src2), str(tmp_path / "dst2"))
+    assert fs2.moves == 1 and (tmp_path / "dst2" / "f").read_bytes() == b"x"

@@ -379,6 +379,59 @@ def test_stream_dedup_bucketed_cjk_route_and_frozen_recipe(spark, tmp_path):
         run([(20, "one more unrelated document")], "zk3")
 
 
+def test_stream_dedup_flat_frozen_recipe(spark, tmp_path):
+    """Round 15: the FLAT store layout freezes the signing recipe too
+    (a flat_signing.json sidecar, the bucketed meta's twin) — a stream
+    restarted unrouted against a routed flat store fails loudly; a
+    same-recipe restart resumes fine."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.streaming.incremental import stream_dedup_incremental
+
+    src = str(tmp_path / "srcf")
+    store = str(tmp_path / "storef")
+    schema = "doc_id long, text string"
+    emitted: set = set()
+
+    def emit(df, batch_id):
+        emitted.update(r.doc_id for r in df.collect())
+
+    def run(batch_rows, ckpt, **kwargs):
+        _write_stream_batch(src, spark, batch_rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_incremental(
+                stream, store, emit, threshold=0.7,
+                checkpoint_dir=str(tmp_path / ckpt), **kwargs,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    zh = (
+        "我们的朋友不在家里他们有很多事情和我们一起去看那个人的房子这是"
+        "一个非常好的地方我们都很喜欢在这里吃饭和说话"
+    )
+    routed = dict(cjk=is_cjk_doc_expr("text"), cjk_shingle_n=5)
+    run([(1, zh), (2, "an english page about flat signature stores")],
+        "fk1", **routed)
+    assert emitted == {1, 2}
+    import json as _json
+
+    frozen = _json.loads(open(f"{store}/flat_signing.json").read())
+    assert frozen["cjk_routed"] is True
+    # same recipe resumes; the routed zh near-dup dies cross-batch
+    emitted.clear()
+    run([(10, zh[:-1] + "好"), (11, "a different english page entirely")],
+        "fk2", **routed)
+    assert emitted == {11}, emitted
+    # drifted recipe fails the query
+    with pytest.raises(StreamingQueryException, match="signing recipe"):
+        run([(20, "yet another unrelated document")], "fk3")
+
+
 def test_fs_helpers(spark, tmp_path):
     """hadoop_path_exists agrees with the local FS for file:/ URIs and
     bare paths; join_uri always joins with '/'."""
