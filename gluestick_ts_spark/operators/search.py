@@ -403,7 +403,9 @@ def _check_frozen_grain(
             f"index froze cjk_route={frozen_route} — the frozen grain "
             "governs; rebuild the index to change it"
         )
-    if cjk_n is not None and int(cjk_n) != frozen_n:
+    # cjk_n is only meaningful on a routed index — an unused knob must
+    # not reject (the minhash_signing normalization rule)
+    if frozen_route and cjk_n is not None and int(cjk_n) != frozen_n:
         raise ValueError(
             f"{caller}: caller attested cjk_n={int(cjk_n)} but the index "
             f"froze cjk_n={frozen_n} — the frozen grain governs; rebuild "
