@@ -4383,6 +4383,16 @@ def _line_grain_part(grain: str) -> QueryFn:
             return sentence_span_dedup(d, broadcast_stats=True)
         if grain == "substr":
             return exact_substring_dedup(d, k=8, broadcast_stats=True)
+        if grain == "xs":
+            from ..functions.text import is_cjk_doc_expr
+
+            return exact_substring_dedup(
+                d.select("doc_id", _xs_cjk_text_expr().alias("text")),
+                k=8,
+                cjk=is_cjk_doc_expr("text"),
+                cjk_k=20,
+                broadcast_stats=True,
+            )
         if grain == "c4":
             from ..functions.text import c4_line_rules_expr
 
@@ -4661,7 +4671,7 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
     },
     "line_dedup_docs": {
         p: _line_grain_part(p)
-        for p in ("line", "selfdedup", "span", "substr", "c4")
+        for p in ("line", "selfdedup", "span", "substr", "xs", "c4")
     },
     "dedup_exact_docs": {
         p: _dedup_exact_docs_part(p) for p in ("dedup", "winnow")
