@@ -13,6 +13,7 @@ definition so the DuckDB oracle can replicate it bit-for-bit.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import Column
@@ -41,6 +42,7 @@ __all__ = [
     "shingles_expr",
     "raw_shingles_expr",
     "cjk_char_tokens_expr",
+    "cjk_dict_tokens_expr",
     "is_cjk_doc_expr",
     "repetition_ratio_expr",
     "repetition_profile_sql",
@@ -682,6 +684,109 @@ def is_cjk_doc_expr(text: Column | str) -> Column:
     cjk = F.regexp_count(t, F.lit(f"[{CJK_CLASS}]"))
     nonspace = F.length(F.regexp_replace(t, r"\s", ""))
     return 10 * cjk >= _CJK_DOC_TENTHS * F.greatest(nonspace, F.lit(1))
+
+
+def cjk_dict_tokens_expr(
+    text: Column | str, words: tuple[str, ...] | list
+) -> Column:
+    """Dictionary-based CJK WORD segmentation (round 15): forward
+    maximum matching (FMM — the classical greedy zh/ja segmenter;
+    public knowledge, e.g. Lucene's dictionary-based CJK analyzers and
+    the MMSEG family) of the char-grain token array against a
+    CALLER-SUPPLIED word list, as a pure Column fold. At each
+    position, the LONGEST dictionary word starting there is taken as
+    one token; otherwise the single char (or atomic non-CJK run)
+    passes through — so the result refines ``cjk_char_tokens_expr``
+    exactly where the caller's dictionary has coverage and degrades to
+    it everywhere else. The dictionary is caller policy (the
+    ``blocked_terms`` pattern): domain lexicons, product names,
+    stopword inventories.
+
+    Returns ``array<string>``. NULL/empty text gives an empty array.
+    Compose with the route predicate for mixed corpora::
+
+        F.when(is_cjk_doc_expr(t), cjk_dict_tokens_expr(t, words))
+         .otherwise(tokens_expr(t))
+
+    Implementation: the char array is LET-BOUND once (the
+    ``winnow_fingerprints_expr`` rule), then ONE ``aggregate`` fold
+    over positions carries ``(skip, toks)`` — per-row O(n x L)
+    slice/compare work with the dictionary as a single constant-folded
+    ``from_json`` literal (membership is an O(|dict|) array scan per
+    probe: fine for policy-scale lists; a 10^5+-word lexicon should
+    instead explode candidates and broadcast-join the dictionary
+    relation — the scale path, not built here). A multi-char match is
+    accepted only when the joined slice has codepoint length == j,
+    which both rejects windows that run off the end and prevents a
+    dictionary word from gluing a non-CJK RUN token to its neighbors
+    (runs are atomic, len > 1). Word length is capped at 8 to bound
+    the per-step when-chain. No reference counterpart (extension op —
+    the segmentation grain beyond the char-n-gram routing the rest of
+    the family uses)."""
+    words = tuple(dict.fromkeys(w for w in words if w))
+    if not words:
+        raise ValueError("cjk_dict_tokens_expr: words must be non-empty")
+    if any(len(w) < 2 for w in words):
+        raise ValueError(
+            "cjk_dict_tokens_expr: 1-char dictionary words are no-ops "
+            "(single chars already pass through) — remove them"
+        )
+    max_l = max(len(w) for w in words)
+    if max_l > 8:
+        raise ValueError(
+            f"cjk_dict_tokens_expr: longest word has {max_l} chars; the "
+            "FMM when-chain is capped at 8 — split longer entries"
+        )
+    # ONE from_json literal instead of |dict| py4j lit() calls (the
+    # minhash_signatures plit precedent); constant-folded by Catalyst
+    dict_arr = F.from_json(
+        F.lit(json.dumps(list(words), ensure_ascii=False)), "array<string>"
+    )
+
+    def _fold(C: Column) -> Column:
+        n = F.size(C)
+
+        def step(acc: Column, i: Column) -> Column:
+            def w_of(j):
+                return F.concat_ws("", F.slice(C, i, F.lit(j)))
+
+            best = None
+            for j in range(max_l, 1, -1):
+                cond = (F.length(w_of(j)) == j) & F.array_contains(
+                    dict_arr, w_of(j)
+                )
+                best = (
+                    F.when(cond, F.lit(j))
+                    if best is None
+                    else best.when(cond, F.lit(j))
+                )
+            best = best.otherwise(F.lit(1))
+            tok = F.concat_ws("", F.slice(C, i, best))
+            return F.when(
+                acc["skip"] > 0,
+                F.struct(
+                    (acc["skip"] - 1).alias("skip"), acc["toks"].alias("toks")
+                ),
+            ).otherwise(
+                F.struct(
+                    (best - 1).cast("int").alias("skip"),
+                    F.concat(acc["toks"], F.array(tok)).alias("toks"),
+                )
+            )
+
+        init = F.struct(
+            F.lit(0).cast("int").alias("skip"),
+            F.array().cast("array<string>").alias("toks"),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            init,
+            lambda acc, i: F.when(i <= n, step(acc, i)).otherwise(acc),
+        )["toks"]
+
+    # LET-BIND the char array: referencing the regexp subtree from the
+    # fold body would re-run the extraction per step
+    return F.get(F.transform(F.array(cjk_char_tokens_expr(text)), _fold), 0)
 
 
 def _grams_from_tokens(toks: Column, n: int) -> Column:

@@ -1393,6 +1393,65 @@ _JT_LANG_TEXTS: dict[int, tuple[str, str]] = {
 # deterministically
 _BT_TERMS = ("dup", "table hash")
 
+# round 15: the driver-visible FMM segmentation dictionary (see
+# q_lang_scores) — caller-policy words drawn from the planted
+# _JT_LANG_TEXTS zh/ja/ko prose (so the greedy longest-match fires on
+# every planted CJK doc), including one 3-char entry (私たち) that
+# must beat its 2-char competitors and cross-script lookalikes that
+# must NOT cross-match (zh 公园 vs ja 公園)
+_SEG_WORDS = (
+    # zh (simplified)
+    "我们", "朋友", "家里", "他们", "很多", "事情", "一起", "房子",
+    "地方", "大家", "喜欢", "因为", "天气", "人们", "友善", "每天",
+    "公园", "散步",
+    # ja
+    "私たち", "友達", "用事", "一緒", "場所", "好き", "毎日",
+    "公園", "散歩",
+    # ko
+    "친구", "공원", "산책", "매일",
+)
+
+
+def _seg_duck_ctes() -> str:
+    """The WITH-RECURSIVE DuckDB twin of the q_lang_scores seg columns:
+    forward maximum matching re-derived as a per-position recursion
+    (anchor pos=1; each step consumes the longest _SEG_WORDS match at
+    pos, else one char), accumulating the token count and the
+    chr(31)-joined rebuild whose md5 the Spark side emits. Generated
+    from the SAME word list as ``cjk_dict_tokens_expr`` gets, grouped
+    by length so each step probes exactly the lengths the dictionary
+    has. Recursion depth = max planted-doc char count; the frontier is
+    only the planted CJK docs (segsrc filters on the route predicate),
+    so the oracle cost stays trivial."""
+    by_len: dict[int, list[str]] = {}
+    for w in _SEG_WORDS:
+        by_len.setdefault(len(w), []).append(w)
+    arms_w, arms_t = [], []
+    for j in sorted(by_len, reverse=True):
+        wl = "[" + ", ".join(f"'{w}'" for w in by_len[j]) + "]"
+        sl = f"array_to_string(C[pos:pos+{j - 1}], '')"
+        cond = f"length({sl}) = {j} AND list_contains({wl}, {sl})"
+        arms_w.append(f"WHEN {cond} THEN {j}")
+        arms_t.append(f"WHEN {cond} THEN {sl}")
+    return (
+        "segsrc AS (SELECT doc_id, "
+        + gopher_cjk_toks_duck_sql("LT")
+        + " AS C FROM ltt WHERE "
+        + _cjk_route_sqls("LT", "duck")[0]
+        + "), "
+        "segr AS (SELECT doc_id, 1 AS pos, 0 AS n, "
+        "CAST('' AS VARCHAR) AS h, C FROM segsrc "
+        "UNION ALL "
+        "SELECT doc_id, pos + w, n + 1, h || chr(31) || tok, C FROM ("
+        "SELECT doc_id, pos, n, h, C, "
+        f"CASE {' '.join(arms_w)} ELSE 1 END AS w, "
+        f"CASE {' '.join(arms_t)} ELSE C[pos] END AS tok "
+        "FROM segr WHERE pos <= len(C)) st), "
+        "segf AS (SELECT doc_id, CAST(n AS BIGINT) AS seg_n_words, "
+        "md5(CASE WHEN n = 0 THEN '' ELSE substr(h, 2) END) AS seg_md5 "
+        "FROM segr WHERE pos = len(C) + 1)"
+    )
+
 
 def _jt_text_expr() -> "F.Column":
     """The jusText input text column: the doc's own text, except the
@@ -1796,6 +1855,21 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
             bt.getField("n_hits").alias("bt_hits"),
             bt.getField("hit_frac").alias("bt_frac"),
             bt.getField("blocked").alias("bt_blocked"),
+        ]
+        # round 15: dictionary WORD segmentation rides here for driver
+        # visibility — FMM over the planted CJK texts against the
+        # _SEG_WORDS policy list (cjk_dict_tokens_expr), emitted as a
+        # token count + the md5 of the chr(31)-joined rebuild; NULL on
+        # non-routed rows (the fold never runs there — CASE WHEN
+        # short-circuits). The DuckDB twin re-derives the greedy match
+        # as a WITH RECURSIVE per-position walk (_seg_duck_ctes).
+        from ..functions.text import cjk_dict_tokens_expr, is_cjk_doc_expr
+
+        seg = cjk_dict_tokens_expr("__lt", _SEG_WORDS)
+        is_seg = is_cjk_doc_expr("__lt")
+        sel += [
+            F.when(is_seg, F.size(seg).cast("long")).alias("seg_n_words"),
+            F.when(is_seg, F.md5(F.concat_ws("\x1f", seg))).alias("seg_md5"),
         ]
     if "clf" not in parts:
         return d.select(*sel)
@@ -6629,13 +6703,17 @@ ORACLES: dict[str, str] = {
     # tests/test_classifier.py, and the keep-count histogram is pinned
     # at sf0.1 there too.
     "lang_scores": (
-        "WITH "
+        # WITH RECURSIVE: the round-15 seg twin is a per-position
+        # recursion; every other CTE is plain and unaffected
+        "WITH RECURSIVE "
         + logreg_train_sql(_GOPHER_PASS_SQL, dim=32)
         + ", clf_sc AS (SELECT fx.doc_id, "
         + logreg_apply_sql("fx.x", dim=32)
         + " AS clf_score FROM "
         + clf_features_sql(dim=32)
         + " fx, clf_wfin), "
+        "ltt AS (SELECT doc_id, text, " + _jt_text_sql() + " AS LT "
+        "FROM documents), "
         # round 13: scores + lang_pred over the PLANTED text twin (LT)
         # with the script-routed generated lang-ID — mirrors the Spark
         # side's __lt staging column-for-column
@@ -6646,13 +6724,14 @@ ORACLES: dict[str, str] = {
         )
         + ", " + lang_id_duck_sql("LT") + " AS lang_pred, "
         + _bt_duck_cols()
-        + " FROM (SELECT doc_id, text, " + _jt_text_sql() + " AS LT "
-        "FROM documents) t) "
-        "SELECT base.*, c.clf_score, "
+        + " FROM ltt t), "
+        + _seg_duck_ctes()
+        + " SELECT base.*, s.seg_n_words, s.seg_md5, c.clf_score, "
         "ROUND(CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + "
         "exp(-(CAST(c.clf_score AS DOUBLE)/1e6))), 6) AS clf_prob, "
         "c.clf_score >= 0 AS clf_keep "
-        "FROM base JOIN clf_sc c USING (doc_id)"
+        "FROM base LEFT JOIN segf s USING (doc_id) "
+        "JOIN clf_sc c USING (doc_id)"
     ),
     "dedup_exact_docs": (
         # round 14: planted width pairs + the GENERATED width-folded

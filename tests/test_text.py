@@ -1619,3 +1619,88 @@ def test_hashed_tf_cjk_route(spark):
     cos = {(r.ia, r.ib): r.cr for r in pairs.collect()}
     assert cos[(1, 2)] > 0.95  # near-dups under the routed grain
     assert cos[(1, 3)] < cos[(1, 2)] - 0.05  # different zh docs separate
+
+
+def _fmm_py(text: str, words: set[str], max_l: int) -> list[str]:
+    """From-scratch forward-maximum-matching reference (the
+    generated-oracle discipline: an INDEPENDENT twin, not the Column
+    code re-read) over the cjk_char_tokens grain."""
+    import re as _re
+
+    from gluestick_ts_spark.functions.text import CJK_CLASS
+
+    chars = _re.findall(
+        f"[{CJK_CLASS}]|[^{CJK_CLASS}\\s]+", (text or "").strip().lower()
+    )
+    out, i = [], 0
+    while i < len(chars):
+        for j in range(max_l, 0, -1):
+            w = "".join(chars[i : i + j])
+            if j == 1 or (len(w) == j and w in words):
+                out.append(w)
+                i += j
+                break
+    return out
+
+
+def test_cjk_dict_tokens_fmm(spark):
+    """Forward maximum matching against a caller dictionary: longest
+    word wins at each position, unmatched chars and atomic non-CJK
+    runs pass through, NULL/empty text -> empty array — pinned against
+    an independent Python FMM twin plus by-hand expectations."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gluestick_ts_spark.functions.text import cjk_dict_tokens_expr
+
+    words = ("公园", "散步", "天气", "很多人", "公园里")
+    cases = [
+        "天气很好很多人在公园里散步",   # 3-char 公园里 beats 公园
+        "公园",                        # whole text one word
+        "abc123 天气 def",             # runs stay atomic
+        "",                            # empty
+        None,                          # null
+        "气天园公",                    # no matches: all singles
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "id long, text string")
+    got = {
+        r.id: r.seg
+        for r in df.select(
+            "id", cjk_dict_tokens_expr("text", words).alias("seg")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _fmm_py(c, set(words), 3), (i, c, got[i])
+    # by-hand: greedy longest at position 6 takes 公园里 then 散步
+    assert got[0] == ["天气", "很", "好", "很多人", "在", "公园里", "散步"]
+    assert got[1] == ["公园"]
+    assert got[2] == ["abc123", "天气", "def"]
+    assert got[3] == [] and got[4] == []
+    # validation: empty dict, 1-char words, >8-char words all raise
+    with _pytest.raises(ValueError, match="non-empty"):
+        cjk_dict_tokens_expr("text", ())
+    with _pytest.raises(ValueError, match="1-char"):
+        cjk_dict_tokens_expr("text", ("天",))
+    with _pytest.raises(ValueError, match="capped at 8"):
+        cjk_dict_tokens_expr("text", ("一二三四五六七八九",))
+
+
+def test_cjk_dict_tokens_run_glue_guard(spark):
+    """A dictionary word must NOT glue an atomic non-CJK run to its
+    neighbors: runs have len > 1 as single elements, so the joined
+    slice's codepoint length differs from the element count and the
+    match is rejected."""
+    from gluestick_ts_spark.functions.text import cjk_dict_tokens_expr
+
+    # 'ab' is one run element; dictionary word 'ab天' must not match
+    # across [ab][天] (length 3 == j... it WOULD match by length alone
+    # were the guard char-count based on elements — pin the behavior)
+    df = spark.createDataFrame([(1, "ab天 下")], "id long, text string")
+    got = df.select(
+        cjk_dict_tokens_expr("text", ("ab天",)).alias("seg")
+    ).collect()[0].seg
+    # w_of(3) joins 3 ELEMENTS ['ab','天','下'] = 'ab天下' (length 4
+    # != 3, rejected); the 2-element join 'ab天' is never probed at
+    # j=3 — so the run stays atomic and nothing glues:
+    assert got == ["ab", "天", "下"]
