@@ -1861,15 +1861,32 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
         # _SEG_WORDS policy list (cjk_dict_tokens_expr), emitted as a
         # token count + the md5 of the chr(31)-joined rebuild; NULL on
         # non-routed rows (the fold never runs there — CASE WHEN
-        # short-circuits). The DuckDB twin re-derives the greedy match
-        # as a WITH RECURSIVE per-position walk (_seg_duck_ctes).
+        # short-circuits). STAGED as one struct column (the __lt/__rt
+        # SPARK-36718 pattern) so the fold runs once per row, not once
+        # per output column. The DuckDB twin re-derives the greedy
+        # match as a WITH RECURSIVE per-position walk (_seg_duck_ctes).
         from ..functions.text import cjk_dict_tokens_expr, is_cjk_doc_expr
 
         seg = cjk_dict_tokens_expr("__lt", _SEG_WORDS)
-        is_seg = is_cjk_doc_expr("__lt")
+        # LET-BIND the fold result (lambda params are materialized):
+        # size+md5 read ONE evaluation, not two copies of the fold
+        seg_nh = F.get(
+            F.transform(
+                F.array(seg),
+                lambda sg: F.struct(
+                    F.size(sg).cast("long").alias("n"),
+                    F.md5(F.concat_ws("\x1f", sg)).alias("h"),
+                ),
+            ),
+            0,
+        )
+        d = d.select(
+            "*",
+            F.when(is_cjk_doc_expr("__lt"), seg_nh).alias("__seg"),
+        )
         sel += [
-            F.when(is_seg, F.size(seg).cast("long")).alias("seg_n_words"),
-            F.when(is_seg, F.md5(F.concat_ws("\x1f", seg))).alias("seg_md5"),
+            F.col("__seg.n").alias("seg_n_words"),
+            F.col("__seg.h").alias("seg_md5"),
         ]
     if "clf" not in parts:
         return d.select(*sel)
