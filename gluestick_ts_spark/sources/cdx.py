@@ -546,6 +546,28 @@ def append_cdx_parquet(index: DataFrame, path: str) -> None:
     write_cdx_parquet(index, path, mode="append")
 
 
+#: Copy-complete marker the non-atomic ``_fs_move_dir`` fallback
+#: writes into ``dst`` AFTER every data byte has landed and BEFORE
+#: ``src`` is deleted. ``_``-prefixed so Spark/parquet dataset
+#: discovery ignores it (the ``_SUCCESS`` convention). Crash
+#: protocols (``compact_cdx_parquet``) key on it: a directory that
+#: lacks the sentinel while its sibling backup carries one is a
+#: PARTIAL copy, never the authoritative side.
+_MOVE_SENTINEL = "_GS_MOVE_COMPLETE"
+
+
+def _has_move_sentinel(filesystem, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    info = filesystem.get_file_info(path.rstrip("/") + "/" + _MOVE_SENTINEL)
+    return info.type == pafs.FileType.File
+
+
+def _delete_move_sentinel(filesystem, path: str) -> None:
+    if _has_move_sentinel(filesystem, path):
+        filesystem.delete_file(path.rstrip("/") + "/" + _MOVE_SENTINEL)
+
+
 def _fs_move_dir(filesystem, src: str, dst: str) -> None:
     """Directory move through ``pyarrow.fs`` with an object-store
     fallback: POSIX/HDFS filesystems get the native (atomic) rename;
@@ -555,19 +577,34 @@ def _fs_move_dir(filesystem, src: str, dst: str) -> None:
     The fallback is never destructive (every byte is copied before
     anything is deleted) but it is NOT atomic: a crash mid-copy
     leaves a partial ``dst`` beside an intact ``src``, and a crash
-    mid-delete leaves a partial ``src`` beside a complete ``dst`` —
-    callers whose crash protocol keys on "src missing" must treat a
-    surviving partial ``src`` as the stale side."""
+    mid-delete leaves a partial ``src`` beside a complete ``dst``.
+    So that callers can TELL the two apart, the fallback writes a
+    ``_GS_MOVE_COMPLETE`` sentinel file into ``dst`` after the last
+    data byte and before the first delete: a ``dst`` without the
+    sentinel is a partial copy; a surviving ``src`` beside a
+    sentinel-bearing ``dst`` is the stale side. Any sentinel already
+    present in ``src`` (from an earlier fallback move) is skipped on
+    copy — only a freshly-written sentinel attests THIS move.
+
+    Only the directory-move refusal (``NotImplementedError`` —
+    pyarrow's ``ArrowNotImplementedError`` subclasses it — or an
+    ``OSError`` whose message names the refusal) triggers the
+    fallback; transient I/O/auth failures of a native rename
+    re-raise so a rename-capable filesystem never silently degrades
+    to the non-atomic path."""
     from pyarrow import fs as pafs
 
     try:
         filesystem.move(src, dst)
         return
-    except (NotImplementedError, OSError):
-        # pyarrow surfaces Arrow NotImplemented/IOError statuses as
-        # subclasses of these (ArrowNotImplementedError is a
-        # NotImplementedError) — S3's directory-move refusal lands here
+    except NotImplementedError:
+        # ArrowNotImplementedError (S3's directory-move refusal)
+        # subclasses NotImplementedError
         pass
+    except OSError as exc:
+        msg = str(exc).lower()
+        if not ("not implement" in msg or "director" in msg):
+            raise
     src = src.rstrip("/")
     dst = dst.rstrip("/")
     infos = filesystem.get_file_info(
@@ -580,10 +617,14 @@ def _fs_move_dir(filesystem, src: str, dst: str) -> None:
         if info.type == pafs.FileType.Directory:
             filesystem.create_dir(target, recursive=True)
         elif info.type == pafs.FileType.File:
+            if rel == _MOVE_SENTINEL:
+                continue
             parent = target.rsplit("/", 1)[0]
             if parent != dst:
                 filesystem.create_dir(parent, recursive=True)
             filesystem.copy_file(info.path, target)
+    with filesystem.open_output_stream(f"{dst}/{_MOVE_SENTINEL}") as out:
+        out.write(b"")
     filesystem.delete_dir(src)
 
 
@@ -609,11 +650,17 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     fallback — pyarrow's ``S3FileSystem.move`` rejects directories
     (prefixes), so each swap step becomes a recursive per-file copy
     then a source delete: never destructive (every byte lands before
-    anything is deleted) but NOT atomic, so the crash-window rollback
-    above is weaker there (a crash mid-copy leaves a partial sibling
-    to clean up; the live index itself is only ever deleted AFTER its
-    replacement fully exists). For busy S3 indexes prefer parking the
-    table under a versioned prefix and swapping a pointer/manifest."""
+    anything is deleted) but NOT atomic. Because a crash mid-copy or
+    mid-delete can leave a PARTIAL ``current`` beside a complete
+    ``.bak``, recovery keys on the fallback's ``_GS_MOVE_COMPLETE``
+    sentinel, not on mere existence: a ``current`` that lacks the
+    sentinel while ``.bak`` carries one is a truncated copy and is
+    discarded in favor of the backup (without the sentinel the re-run
+    would delete the only complete copies and silently compact the
+    truncated index — permanent data loss). On the atomic-rename path
+    no sentinel is ever written and the existence-keyed rule alone is
+    sound. For busy S3 indexes still prefer parking the table under a
+    versioned prefix and swapping a pointer/manifest."""
     from pyarrow import fs as pafs
 
     if re.match(r"^[a-z][a-z0-9+.\-]*://", path):
@@ -622,15 +669,32 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
         filesystem, p = pafs.LocalFileSystem(), _strip_file_scheme(path)
     p = p.rstrip("/")
     tmp, bak = p + ".compact-tmp", p + ".bak"
-    if (
-        filesystem.get_file_info(p).type == pafs.FileType.NotFound
-        and filesystem.get_file_info(bak).type != pafs.FileType.NotFound
-    ):
+    cur_missing = filesystem.get_file_info(p).type == pafs.FileType.NotFound
+    bak_present = filesystem.get_file_info(bak).type != pafs.FileType.NotFound
+    if cur_missing and bak_present:
         # a previous run died between the two renames — roll back
+        _fs_move_dir(filesystem, bak, p)
+    elif (
+        not cur_missing
+        and bak_present
+        and _has_move_sentinel(filesystem, bak)
+        and not _has_move_sentinel(filesystem, p)
+    ):
+        # non-atomic fallback crashed mid-copy of tmp->current or
+        # mid-delete of current->bak: the sentinel-less current is a
+        # PARTIAL copy and the sentinel-bearing backup is the only
+        # complete index — discard the partial (a plain restore-over
+        # would leave orphan files from the other layout) and restore
+        filesystem.delete_dir(p)
         _fs_move_dir(filesystem, bak, p)
     for stale in (tmp, bak):
         if filesystem.get_file_info(stale).type != pafs.FileType.NotFound:
             filesystem.delete_dir(stale)
+    # a restore (or a prior run that crashed after dropping .bak)
+    # leaves the sentinel inside the live table; clear it so the
+    # in-flight invariant "current carries a sentinel only once the
+    # replacement copy is complete" holds for THIS run's swap
+    _delete_move_sentinel(filesystem, p)
     cur = spark.read.parquet(path)
     cols = [c.split()[0] for c in CDX_SCHEMA.split(", ")]
     (
@@ -647,6 +711,11 @@ def compact_cdx_parquet(spark: SparkSession, path: str) -> None:
     _fs_move_dir(filesystem, p, bak)
     _fs_move_dir(filesystem, tmp, p)
     filesystem.delete_dir(bak)
+    # keep the sentinel until the backup is gone (a crash during the
+    # bak delete may leave a partial .bak that still carries ITS
+    # sentinel — current's own sentinel is what proves current whole
+    # in that window), then clear it from the steady-state table
+    _delete_move_sentinel(filesystem, p)
 
 
 def probe_cdx_parquet(index: DataFrame, urlkey_prefix: str) -> DataFrame:

@@ -818,3 +818,146 @@ def test_fs_move_dir_object_store_fallback(tmp_path):
     fs2 = CountingFS()
     _fs_move_dir(fs2, str(src2), str(tmp_path / "dst2"))
     assert fs2.moves == 1 and (tmp_path / "dst2" / "f").read_bytes() == b"x"
+
+
+def test_fs_move_dir_fallback_sentinel(tmp_path):
+    """Round 16: the non-atomic fallback attests completeness — a
+    ``_GS_MOVE_COMPLETE`` sentinel lands in dst AFTER the data bytes
+    and before src is deleted, and a stale sentinel already inside
+    src is NOT copied (only a fresh sentinel attests THIS move)."""
+    from pyarrow import fs as pafs
+
+    from gluestick_ts_spark.sources.cdx import (
+        _MOVE_SENTINEL,
+        _fs_move_dir,
+    )
+
+    class S3LikeFS:
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+
+        def move(self, src, dst):
+            raise NotImplementedError("S3 does not move directories")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.parquet").write_bytes(b"bytes")
+    # stale sentinel from an earlier fallback move into this dir
+    (src / _MOVE_SENTINEL).write_bytes(b"stale-payload")
+    dst = tmp_path / "dst"
+    _fs_move_dir(S3LikeFS(), str(src), str(dst))
+    assert not src.exists()
+    assert (dst / "data.parquet").read_bytes() == b"bytes"
+    # fresh (empty) sentinel, not the stale payload copied over
+    assert (dst / _MOVE_SENTINEL).read_bytes() == b""
+
+
+def test_fs_move_dir_transient_oserror_reraises(tmp_path):
+    """Round 16 (ADVICE): a transient I/O failure of a native rename
+    on a rename-capable filesystem must RE-RAISE, not silently
+    degrade to the non-atomic copy+delete path."""
+    from pyarrow import fs as pafs
+
+    from gluestick_ts_spark.sources.cdx import _fs_move_dir
+
+    class FlakyFS:
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+
+        def move(self, src, dst):
+            raise OSError("Connection reset by peer")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f").write_bytes(b"x")
+    with pytest.raises(OSError, match="Connection reset"):
+        _fs_move_dir(FlakyFS(), str(src), str(tmp_path / "dst"))
+    # nothing moved, nothing deleted
+    assert (src / "f").read_bytes() == b"x"
+    assert not (tmp_path / "dst").exists()
+
+
+def test_compact_recovery_partial_current_restores_backup(
+    spark, crawl_dir, tmp_path
+):
+    """Round 16 (ADVICE high): object-store crash shape — the
+    non-atomic swap died mid-copy, leaving a PARTIAL current dir (no
+    sentinel) beside a complete sentinel-bearing ``.bak``. Recovery
+    must discard the partial and restore the backup; the pre-16 rule
+    ("current exists -> keep it") would compact the truncated index
+    and silently lose rows."""
+    import glob as _glob
+    import shutil
+
+    from gluestick_ts_spark.sources.cdx import (
+        _MOVE_SENTINEL,
+        compact_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    import os as _os
+
+    out = str(tmp_path / "ccidx")
+    idx = index_warc(spark, crawl_dir)
+    write_cdx_parquet(idx, out)
+    key = lambda r: (r.urlkey, r.timestamp, r.offset, r.rec_offset)  # noqa: E731
+    full_rows = sorted(map(key, read_cdx_parquet(spark, out).collect()))
+    assert full_rows
+    # complete backup carries the fallback's copy-complete sentinel
+    shutil.copytree(out, out + ".bak")
+    (tmp_path / "ccidx.bak" / _MOVE_SENTINEL).write_bytes(b"")
+    # truncate current: a crash mid-copy left a subset of the rows
+    # (and a different file layout than the backup — orphan files
+    # must not survive the restore)
+    shutil.rmtree(out)
+    write_cdx_parquet(idx.where("status = 200"), out)
+    truncated = read_cdx_parquet(spark, out).count()
+    assert 0 < truncated < len(full_rows)
+    assert _glob.glob(out + "/tld=*/*.parquet")
+    compact_cdx_parquet(spark, out)
+    after = sorted(map(key, read_cdx_parquet(spark, out).collect()))
+    assert after == full_rows
+    assert not _os.path.exists(out + ".bak")
+    assert not _os.path.exists(out + ".compact-tmp")
+    assert not _os.path.exists(out + "/" + _MOVE_SENTINEL)
+
+
+def test_compact_recovery_complete_current_keeps_current(
+    spark, crawl_dir, tmp_path
+):
+    """Round 16: the dual crash shape — swap finished (current is
+    complete and still carries its sentinel) but the run died while
+    deleting ``.bak``, leaving a partial backup that RETAINS its own
+    sentinel. Recovery must keep current (its sentinel proves it
+    whole), drop the stale backup, and clear the steady-state
+    sentinel."""
+    import os as _os
+
+    from gluestick_ts_spark.sources.cdx import (
+        _MOVE_SENTINEL,
+        compact_cdx_parquet,
+        read_cdx_parquet,
+        write_cdx_parquet,
+    )
+
+    out = str(tmp_path / "ccidx2")
+    write_cdx_parquet(index_warc(spark, crawl_dir), out)
+    key = lambda r: (r.urlkey, r.timestamp, r.offset, r.rec_offset)  # noqa: E731
+    full_rows = sorted(map(key, read_cdx_parquet(spark, out).collect()))
+    (tmp_path / "ccidx2" / _MOVE_SENTINEL).write_bytes(b"")
+    # partial backup: just the sentinel and one stray dir survive
+    _os.makedirs(out + ".bak/tld=com")
+    with open(out + ".bak/" + _MOVE_SENTINEL, "wb"):
+        pass
+    compact_cdx_parquet(spark, out)
+    after = sorted(map(key, read_cdx_parquet(spark, out).collect()))
+    assert after == full_rows
+    assert not _os.path.exists(out + ".bak")
+    assert not _os.path.exists(out + "/" + _MOVE_SENTINEL)
