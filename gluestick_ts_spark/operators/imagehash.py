@@ -69,6 +69,9 @@ __all__ = [
     "hamming_join",
     "media_dedup",
     "media_dedup_incremental",
+    "media_signing",
+    "check_media_signing",
+    "stamp_media_signing",
 ]
 
 
@@ -712,3 +715,139 @@ def media_dedup_incremental(
         F.col(id_col).alias("id"), F.col(hash_col).alias("hash")
     )
     return survivors, survivor_hashes
+
+
+_MEDIA_HASH_KINDS = (
+    "dhash",
+    "ahash",
+    "rot_min_dhash",
+    "wavhash",
+    "vhash",
+    "spechash",
+)
+
+_MEDIA_SIGNING_KEYS = ("hash_kind", "hash_size", "vhash_sample", "vhash_n_frames")
+
+#: Sidecar file name the durable media-hash stores freeze their
+#: signing recipe into (``<store_dir>/media_signing.json``) — the
+#: ``flat_signing.json`` precedent from the minhash stores.
+MEDIA_SIGNING_SIDECAR = "media_signing.json"
+
+
+def media_signing(
+    hash_kind: str = "dhash",
+    hash_size: int = 8,
+    vhash_sample: str | None = None,
+    vhash_n_frames: int | None = None,
+) -> dict:
+    """The canonical SIGNING RECIPE record for a media-hash store: the
+    parameters under which a perceptual hash was produced. Two 64-bit
+    codes are Hamming-comparable ONLY when every one of these matches
+    — same hash family (``hash_kind``: dhash / ahash / rot_min_dhash /
+    wavhash / vhash / spechash — a dHash and an aHash of the SAME
+    image differ arbitrarily), same grid (``hash_size``), and for
+    video the same frame-sampling policy (``vhash_sample`` "first" vs
+    "even" differ by 17-38 bits on this repo's own trim fixtures, and
+    a different ``vhash_n_frames`` votes over a different frame set).
+    ``stream_media_dedup`` freezes this dict into the store's
+    ``media_signing.json`` sidecar on the first batch and asserts it
+    every batch — the ``minhash_signing``/``store_meta.json`` contract
+    (``operators/dedup.py``) applied to the one durable store the
+    round-15 frozen-recipe sweep missed.
+
+    The vhash knobs normalize to None for non-video kinds (the frame
+    sampler is unreachable then — two image stores must not reject
+    each other over an unused knob) and to their ``vhash_of_payload``
+    defaults ("first", 5) when ``hash_kind="vhash"`` and the caller
+    leaves them unset."""
+    if hash_kind not in _MEDIA_HASH_KINDS:
+        raise ValueError(
+            f"hash_kind must be one of {_MEDIA_HASH_KINDS}, got {hash_kind!r}"
+        )
+    if not 1 <= int(hash_size) <= 8:
+        raise ValueError(f"hash_size must be in [1, 8], got {hash_size}")
+    if hash_kind == "vhash":
+        sample = "first" if vhash_sample is None else vhash_sample
+        if sample not in ("first", "even"):
+            raise ValueError(
+                f"vhash_sample must be 'first' or 'even', got {vhash_sample!r}"
+            )
+        n_frames = 5 if vhash_n_frames is None else int(vhash_n_frames)
+        if n_frames < 1:
+            raise ValueError(f"vhash_n_frames must be >= 1, got {n_frames}")
+    else:
+        sample, n_frames = None, None
+    return {
+        "hash_kind": hash_kind,
+        "hash_size": int(hash_size),
+        "vhash_sample": sample,
+        "vhash_n_frames": n_frames,
+    }
+
+
+def check_media_signing(frozen: dict | None, declared: dict, caller: str) -> None:
+    """Assert a batch's media signing recipe against the store's
+    frozen one. Legacy stores (seeded before the sidecar existed)
+    carry no recipe and are treated as the DHASH DEFAULT — the only
+    recipe the pre-sidecar ``stream_media_dedup`` could produce
+    internally; a batch declaring anything else against such a store
+    raises, and the remedy for a store that was legitimately built
+    under the declared recipe is ``stamp_media_signing`` (write the
+    attestation without touching the hashes)."""
+    if frozen is None:
+        if declared != media_signing():
+            raise ValueError(
+                f"{caller}: store has no frozen media signing recipe (a "
+                "legacy store is treated as the dhash default) but the "
+                f"batch declares {declared}. Hamming-comparing codes from "
+                "different hash recipes silently accepts/rejects garbage. "
+                "If the store WAS built under the declared recipe, attest "
+                "it with stamp_media_signing(spark, store_dir, "
+                "media_signing(...)); otherwise rebuild the store or fix "
+                "the declaration."
+            )
+        return
+    diffs = {
+        k: (frozen.get(k), declared.get(k))
+        for k in _MEDIA_SIGNING_KEYS
+        if frozen.get(k) != declared.get(k)
+    }
+    if diffs:
+        raise ValueError(
+            f"{caller}: batch media signing recipe does not match the "
+            f"store's frozen recipe — mismatched keys (store, batch): "
+            f"{diffs}. Codes hashed under different recipes are not "
+            "Hamming-comparable; a resumed stream would silently compare "
+            "incomparable 64-bit codes. Rebuild the store or fix the "
+            "declaration."
+        )
+
+
+def stamp_media_signing(spark, store_dir: str, signing: dict) -> None:
+    """Migration helper for LEGACY media-hash stores (seeded before
+    round 16 froze recipes): write the attested signing recipe into
+    the store's ``media_signing.json`` sidecar WITHOUT re-hashing —
+    the codes in a legacy store are fine; only the attestation is
+    missing. Refuses to overwrite a differing frozen recipe (that
+    would launder a real mismatch into an attested one)."""
+    import json
+
+    from ..sources.fs import (
+        hadoop_path_exists,
+        join_uri,
+        read_text_file,
+        write_text_file,
+    )
+
+    signing = media_signing(**signing)
+    sidecar = join_uri(store_dir, MEDIA_SIGNING_SIDECAR)
+    if hadoop_path_exists(spark, sidecar):
+        frozen = json.loads(read_text_file(spark, sidecar)).get("signing")
+        if frozen != signing:
+            raise ValueError(
+                f"stamp_media_signing: store already carries a frozen "
+                f"recipe {frozen} differing from {signing} — stamping "
+                "over it would attest incomparable codes as comparable."
+            )
+        return
+    write_text_file(spark, sidecar, json.dumps({"signing": signing}))

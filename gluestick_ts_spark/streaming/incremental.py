@@ -421,6 +421,10 @@ def stream_media_dedup(
     hash_col: str = "dhash",
     max_hamming: int = 6,
     checkpoint_dir: str | None = None,
+    hash_kind: str = "dhash",
+    hash_size: int = 8,
+    vhash_sample: str | None = None,
+    vhash_n_frames: int | None = None,
 ) -> DataStreamWriter:
     """Streaming perceptual media dedup against a durable hash store
     (``<store_dir>/hashes.parquet`` — ~16 bytes per accepted item,
@@ -434,19 +438,80 @@ def stream_media_dedup(
     batch-stamped appends, current-stamp exclusion on read, ``.done``
     markers, survivors pinned and EMITTED BEFORE the append. NULL-hash
     rows (non-media/undecodable) always pass through and are never
-    stored."""
-    from ..operators.dedup import _exclude_batch_filter, recover_flat_store
-    from ..operators.imagehash import image_dhash, media_dedup_incremental
-    from ..sources.fs import hadoop_path_exists, join_uri
+    stored.
 
+    Round 16: the store freezes its SIGNING RECIPE (``media_signing``
+    — hash kind, grid size, and for video the frame-sampling policy)
+    into a ``media_signing.json`` sidecar on the first batch and
+    asserts it every batch, closing the one durable store the
+    round-15 frozen-recipe sweep missed: a stream resumed under a
+    different vhash sampling mode ("even" vs "first" — 17-38 bits
+    apart on the repo's own trim fixtures) or a different hash family
+    would otherwise silently Hamming-compare incomparable 64-bit
+    codes and accept every duplicate. Pre-hashed streams DECLARE their
+    recipe through ``hash_kind``/``hash_size``/``vhash_*``; legacy
+    stores (no sidecar) are treated as the dhash default, and a store
+    legitimately built under another recipe is migrated with
+    ``stamp_media_signing`` (attestation only — no re-hash).
+    ``max_hamming`` is a QUERY KNOB, not part of code comparability:
+    it is recorded in the sidecar for provenance and a drifted resume
+    logs a warning (the acceptance radius changed — earlier batches
+    admitted under the old radius stay admitted) but does not raise."""
+    import json
+    import logging
+
+    from ..operators.dedup import _exclude_batch_filter, recover_flat_store
+    from ..operators.imagehash import (
+        MEDIA_SIGNING_SIDECAR,
+        check_media_signing,
+        image_dhash,
+        media_dedup_incremental,
+        media_signing,
+    )
+    from ..sources.fs import (
+        hadoop_path_exists,
+        join_uri,
+        read_text_file,
+        write_text_file,
+    )
+
+    declared = media_signing(hash_kind, hash_size, vhash_sample, vhash_n_frames)
     hash_path = join_uri(store_dir, "hashes.parquet")
+    sidecar_path = join_uri(store_dir, MEDIA_SIGNING_SIDECAR)
     stamper = _BatchStamper(checkpoint_dir)
+
+    def _check_store_signing(spark) -> None:
+        if hadoop_path_exists(spark, sidecar_path):
+            meta = json.loads(read_text_file(spark, sidecar_path))
+            check_media_signing(
+                meta.get("signing"), declared, "stream_media_dedup"
+            )
+            if meta.get("max_hamming") != max_hamming:
+                logging.getLogger(__name__).warning(
+                    "stream_media_dedup: max_hamming=%s differs from the "
+                    "store's recorded %s — the acceptance radius changed; "
+                    "items admitted under the old radius stay admitted "
+                    "(query knob, not a comparability breach)",
+                    max_hamming,
+                    meta.get("max_hamming"),
+                )
+        elif hadoop_path_exists(spark, hash_path):
+            # legacy store seeded before the sidecar existed: dhash
+            # default is the only recipe the pre-sidecar code produced
+            check_media_signing(None, declared, "stream_media_dedup")
+        else:
+            write_text_file(
+                spark,
+                sidecar_path,
+                json.dumps({"signing": declared, "max_hamming": max_hamming}),
+            )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        _check_store_signing(spark)
         # a compaction that crashed mid-swap leaves the data path absent
         # with the keys parked in .pre-compact — restore them rather
         # than reading "empty" and re-accepting every seen hash
@@ -459,11 +524,19 @@ def stream_media_dedup(
                 ).drop("batch_id")
         else:
             store = spark.createDataFrame([], "id long, hash long")
-        hashed = (
-            batch_df
-            if hash_col in batch_df.columns
-            else image_dhash(batch_df, binary_col, hash_col)
-        )
+        if hash_col in batch_df.columns:
+            hashed = batch_df
+        else:
+            if hash_kind not in ("dhash", "ahash"):
+                raise ValueError(
+                    f"stream_media_dedup: the in-batch hasher computes "
+                    f"dhash/ahash only; a {hash_kind!r} stream must arrive "
+                    f"pre-hashed (carry {hash_col!r})"
+                )
+            hashed = image_dhash(
+                batch_df, binary_col, hash_col, hash_size=hash_size,
+                kind=hash_kind,
+            )
         survivors, keys = media_dedup_incremental(
             hashed, store, id_col, hash_col, max_hamming
         )

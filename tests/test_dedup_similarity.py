@@ -2488,3 +2488,125 @@ def test_sentence_span_dedup_cjk_split(spark):
     """
     duck = dict(con.execute(q).fetchall())
     assert duck == {1: routed[1][0], 2: routed[2][0]}
+
+
+def test_stamp_signing_migrates_legacy_stores(spark, tmp_path, caplog):
+    """Round 16 (ADVICE): a store legitimately built ROUTED before the
+    recipe freeze existed hard-failed on upgrade with a rebuild-shaped
+    error, though only the meta record was missing. stamp_signing
+    attests the real recipe into an existing store_meta.json (bucketed)
+    or flat_signing.json (flat) without re-banding; a CONFLICTING stamp
+    refuses; and unattested appends to frozen stores now log a
+    bypass warning (VERDICT #4)."""
+    import json as _json
+    import logging as _logging
+
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.dedup import (
+        append_signature_store,
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        minhash_signing,
+        read_signature_store_meta,
+        stamp_signing,
+        write_signature_store,
+    )
+
+    cjk = is_cjk_doc_expr("text")
+    corpus = spark.createDataFrame(
+        [(1, _ZH), (2, BASE)], "doc_id long, text string"
+    )
+    # legacy layout: signatures WERE routed, but the meta has no recipe
+    path = "file://" + str(tmp_path / "legacyrouted")
+    write_signature_store(
+        minhash_signatures(corpus, cjk=cjk), path, num_buckets=4
+    )
+    meta = read_signature_store_meta(spark, path)
+    assert "signing" not in meta or meta["signing"] is None
+
+    batch = spark.createDataFrame(
+        [(10, _ZH[:-1] + "好")], "doc_id long, text string"
+    )
+    # pre-stamp: the routed batch is refused, remedy names the helper
+    with pytest.raises(ValueError, match="stamp_signing"):
+        dedup_minhash_incremental_bucketed(batch, path, threshold=0.7, cjk=cjk)
+
+    routed = minhash_signing(cjk_routed=True)
+    stamp_signing(spark, path, routed)
+    assert read_signature_store_meta(spark, path)["signing"] == routed
+    # idempotent re-stamp; conflicting stamp refuses
+    stamp_signing(spark, path, routed)
+    with pytest.raises(ValueError, match="differing"):
+        stamp_signing(spark, path, minhash_signing(seed=7))
+    # post-stamp: the routed pipeline resumes and catches the near-dup
+    got, _ = dedup_minhash_incremental_bucketed(
+        batch, path, threshold=0.7, cjk=cjk
+    )
+    assert {r.doc_id for r in got.collect()} == set()
+
+    # unattested append against the now-frozen store: lands, but warns
+    with caplog.at_level(_logging.WARNING, "gluestick_ts_spark.operators.dedup"):
+        append_signature_store(minhash_signatures(batch, cjk=cjk), path)
+    assert any("no attestation" in r.message for r in caplog.records)
+
+    # flat streaming-store layout: stamp writes the sidecar
+    flat = tmp_path / "flatstore"
+    flat.mkdir()
+    stamp_signing(spark, "file://" + str(flat), routed)
+    assert _json.load(open(flat / "flat_signing.json")) == routed
+    stamp_signing(spark, "file://" + str(flat), routed)  # idempotent
+    with pytest.raises(ValueError, match="differing"):
+        stamp_signing(spark, "file://" + str(flat), minhash_signing())
+
+
+def test_stamp_width_fold_and_unattested_append_warning(
+    spark, tmp_path, caplog
+):
+    """Round 16: the fingerprint-store twin — stamp_width_fold attests
+    a legacy store's fold recipe without re-bucketing (flip of an
+    explicit freeze refuses), and an unattested append to a frozen
+    store logs the bypass warning."""
+    import logging as _logging
+
+    from gluestick_ts_spark.operators.dedup import (
+        append_fingerprint_store,
+        fingerprint_expr,
+        read_signature_store_meta,
+        stamp_width_fold,
+        write_fingerprint_store,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "ＡＢＣ fullwidth doc"), (2, "plain doc")],
+        "doc_id long, text string",
+    )
+    fps = docs.select(fingerprint_expr("text", width_fold=True).alias("fp"))
+    path = "file://" + str(tmp_path / "fpstore")
+    write_fingerprint_store(fps, path, num_buckets=4)
+    # write_fingerprint_store freezes width_fold=False by default —
+    # simulate a true legacy meta by dropping the key
+    import json as _json
+
+    meta_file = tmp_path / "fpstore" / "store_meta.json"
+    meta = _json.load(open(meta_file))
+    del meta["width_fold"]
+    open(meta_file, "w").write(_json.dumps(meta))
+    crc = tmp_path / "fpstore" / ".store_meta.json.crc"
+    if crc.exists():  # hadoop LocalFS checksum of the pre-edit bytes
+        crc.unlink()
+
+    stamp_width_fold(spark, path, True)
+    assert read_signature_store_meta(spark, path)["width_fold"] is True
+    stamp_width_fold(spark, path, True)  # idempotent
+    with pytest.raises(ValueError, match="incomparable"):
+        stamp_width_fold(spark, path, False)
+
+    with caplog.at_level(_logging.WARNING, "gluestick_ts_spark.operators.dedup"):
+        append_fingerprint_store(
+            docs.select(
+                fingerprint_expr("text", width_fold=True).alias("fp")
+            ),
+            path,
+        )
+    assert any("no attestation" in r.message for r in caplog.records)

@@ -351,6 +351,7 @@ def test_stream_media_dedup_prehashed_rothash(spark, tmp_path):
         q = stream_media_dedup(
             hashed, store, emit, hash_col="rothash",
             checkpoint_dir=str(tmp_path / "ck"),
+            hash_kind="rot_min_dhash",
         ).trigger(availableNow=True).start()
         q.awaitTermination(180)
 
@@ -809,3 +810,125 @@ def test_vtrim_fixtures_pair_only_under_even_sampling():
         for a in range(10)
         for b in range(a + 1, 10)
     ) > 8
+
+
+def test_stream_media_dedup_frozen_signing_recipe(spark, tmp_path):
+    """Round 16 (VERDICT #1): the media hash store freezes its signing
+    recipe — a stream resumed under a DIFFERENT recipe (vhash "even"
+    vs the frozen dhash; a different grid size) raises instead of
+    silently Hamming-comparing incomparable 64-bit codes; an
+    identical-recipe resume proceeds; max_hamming drift is a query
+    knob (warns, does not raise)."""
+    import json
+    import os
+
+    from gluestick_ts_spark.streaming.incremental import stream_media_dedup
+
+    def img(seed):
+        return _gray_bmp(
+            [220 if (seed * 31 + 17 * k) % 3 % 2 else 20 for k in range(64)]
+        )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, content binary"
+    emitted: set = set()
+
+    def emit(df, batch_id):
+        emitted.update(r.doc_id for r in df.collect())
+
+    os.makedirs(store, exist_ok=True)
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def run(ck, **kwargs):
+        q = stream_media_dedup(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            checkpoint_dir=str(tmp_path / ck), **kwargs,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        return q
+
+    put([(1, img(1)), (2, img(5))])
+    run("ck1")
+    assert emitted == {1, 2}
+    meta = json.load(open(store + "/media_signing.json"))
+    assert meta["signing"]["hash_kind"] == "dhash"
+    assert meta["max_hamming"] == 6
+
+    # drifted recipe: vhash-even against the frozen dhash store
+    put([(3, img(9))])
+    with pytest.raises(StreamingQueryException, match="frozen recipe"):
+        run("ck2", hash_kind="vhash", vhash_sample="even")
+    # drifted grid size raises too
+    with pytest.raises(StreamingQueryException, match="hash_size"):
+        run("ck3", hash_size=4)
+
+    # identical recipe resumes; max_hamming drift only warns
+    emitted.clear()
+    run("ck4", max_hamming=8)
+    assert emitted == {3}
+
+
+def test_stream_media_dedup_legacy_store_and_stamp(spark, tmp_path):
+    """Round 16: a legacy store (hashes but no sidecar) is treated as
+    the dhash default — a non-default declaration raises and names the
+    migration helper; stamp_media_signing attests the real recipe
+    without re-hashing, after which the declared resume proceeds (and
+    a CONFLICTING stamp refuses)."""
+    import os
+
+    import pytest as _pytest
+
+    from gluestick_ts_spark.operators.imagehash import (
+        media_signing,
+        stamp_media_signing,
+    )
+    from gluestick_ts_spark.streaming.incremental import stream_media_dedup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    # legacy layout: bare (id, hash) rows, no sidecar
+    spark.createDataFrame(
+        [(1, 42), (2, 77)], "id long, hash long"
+    ).write.parquet(store + "/hashes.parquet")
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, vh long"
+    spark.createDataFrame([(9, 2**63 - 1)], schema).write.parquet(src)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def run(ck, **kwargs):
+        q = stream_media_dedup(
+            spark.readStream.schema(schema).parquet(src), store,
+            lambda df, b: df.collect(), hash_col="vh",
+            checkpoint_dir=str(tmp_path / ck), **kwargs,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        return q
+
+    with pytest.raises(StreamingQueryException, match="stamp_media_signing"):
+        run("ck1", hash_kind="vhash", vhash_sample="even")
+
+    stamp_media_signing(
+        spark, store, media_signing("vhash", vhash_sample="even")
+    )
+    # identical re-stamp is a no-op; a conflicting one refuses
+    stamp_media_signing(
+        spark, store, media_signing("vhash", vhash_sample="even")
+    )
+    with _pytest.raises(ValueError, match="differing"):
+        stamp_media_signing(spark, store, media_signing("ahash"))
+
+    q = run("ck2", hash_kind="vhash", vhash_sample="even")
+    assert q.exception() is None, q.exception()
+    stored = {
+        r.id for r in spark.read.parquet(store + "/hashes.parquet").collect()
+    }
+    assert stored == {1, 2, 9}
