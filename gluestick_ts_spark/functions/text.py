@@ -43,6 +43,7 @@ __all__ = [
     "raw_shingles_expr",
     "cjk_char_tokens_expr",
     "cjk_dict_tokens_expr",
+    "cjk_dict_tokens_join",
     "is_cjk_doc_expr",
     "repetition_ratio_expr",
     "repetition_profile_sql",
@@ -714,13 +715,15 @@ def cjk_dict_tokens_expr(
     slice/compare work with the dictionary as a single constant-folded
     ``from_json`` literal (membership is an O(|dict|) array scan per
     probe: fine for policy-scale lists; a 10^5+-word lexicon should
-    instead explode candidates and broadcast-join the dictionary
-    relation — the scale path, not built here). A multi-char match is
-    accepted only when the joined slice has codepoint length == j,
-    which both rejects windows that run off the end and prevents a
-    dictionary word from gluing a non-CJK RUN token to its neighbors
-    (runs are atomic, len > 1). Word length is capped at 8 to bound
-    the per-step when-chain. No reference counterpart (extension op —
+    use :func:`cjk_dict_tokens_join` — the explode-candidates +
+    broadcast-join scale path). A multi-char match is accepted only
+    when the slice holds exactly j elements AND the joined slice has
+    codepoint length == j: the element guard rejects truncated tail
+    windows (j-1 elements containing one multi-char run can still
+    total j codepoints), the length guard prevents a dictionary word
+    from gluing a non-CJK RUN token to its neighbors mid-array (runs
+    are atomic, len > 1). Word length is capped at 8 to bound the
+    per-step when-chain. No reference counterpart (extension op —
     the segmentation grain beyond the char-n-gram routing the rest of
     the family uses)."""
     words = tuple(dict.fromkeys(w for w in words if w))
@@ -752,8 +755,17 @@ def cjk_dict_tokens_expr(
 
             best = None
             for j in range(max_l, 1, -1):
-                cond = (F.length(w_of(j)) == j) & F.array_contains(
-                    dict_arr, w_of(j)
+                # BOTH guards (round 16): element count == j rejects a
+                # truncated tail slice (j-1 elements containing one
+                # multi-char run can still total j codepoints — e.g.
+                # word 'ab中' over tail tokens ['ab','中'] — which the
+                # length check alone accepts, gluing an atomic run and
+                # driving the oracle's pos walk past len(C)+1);
+                # codepoint length == j rejects mid-array glue over runs
+                cond = (
+                    (F.size(F.slice(C, i, F.lit(j))) == j)
+                    & (F.length(w_of(j)) == j)
+                    & F.array_contains(dict_arr, w_of(j))
                 )
                 best = (
                     F.when(cond, F.lit(j))
@@ -787,6 +799,139 @@ def cjk_dict_tokens_expr(
     # LET-BIND the char array: referencing the regexp subtree from the
     # fold body would re-run the extraction per step
     return F.get(F.transform(F.array(cjk_char_tokens_expr(text)), _fold), 0)
+
+
+def cjk_dict_tokens_join(
+    df,
+    text_col: str,
+    words_df,
+    out_col: str = "seg_tokens",
+    word_col: str = "word",
+    max_len: int = 8,
+    id_col: str | None = None,
+):
+    """The SCALE PATH of :func:`cjk_dict_tokens_expr` (round 16): the
+    same forward-maximum-matching segmentation, but with the
+    dictionary as a RELATION instead of an in-expression literal — the
+    formulation a 10^5+-word production lexicon needs (the in-row fold
+    probes membership with an O(|dict|) array scan per position; at
+    lexicon scale that is O(n x L x 10^5) per row and the literal
+    itself bloats every plan).
+
+    Shape (explode-candidates + broadcast-join, the banded-join family
+    pattern):
+
+    1. per doc, ONE pass builds the candidate windows — for each
+       position i and each length j in [2, max_len], the joined slice,
+       guarded exactly like the fold (exactly j elements AND codepoint
+       length j, so truncated tails and atomic non-CJK runs never
+       match);
+    2. candidates explode to (doc, pos, cand) rows — short strings,
+       never the token array itself — and broadcast-join the
+       (deduplicated, length-filtered) dictionary relation: map-side,
+       zero shuffle of the corpus;
+    3. matches reduce to the longest j per position (partial-agg
+       groupBy) and fold back per doc into a pos -> j map;
+    4. the greedy (skip, toks) walk re-runs as a cheap O(n) fold with
+       ZERO dictionary probes — ``element_at(map, pos)`` replaces the
+       when-chain.
+
+    Equivalent to ``cjk_dict_tokens_expr(text, words)`` for any
+    dictionary whose words fit ``max_len`` (equivalence is pytest-
+    pinned); words shorter than 2 chars are ignored like the fold
+    rejects them, longer than ``max_len`` cannot match (the fold
+    raises instead — a literal dictionary is caller policy, a
+    relation is data). Appends ``out_col`` (``array<string>``).
+    ``id_col`` names a unique row key for the join-back; None adds a
+    transient ``monotonically_increasing_id`` (dropped on return).
+
+    At 100 TB: candidates are ~n_chars x (max_len-1) short-string rows
+    per doc — the explode never carries the document text; the
+    dictionary broadcasts once per stage; the only corpus shuffles are
+    the two partial-aggregated groupBys collapsing matches, keyed by
+    (doc, pos) then doc."""
+    if max_len < 2:
+        raise ValueError(f"max_len must be >= 2, got {max_len}")
+    drop_id = False
+    if id_col is None:
+        id_col, drop_id = "__gs_seg_id", True
+        df = df.withColumn(id_col, F.monotonically_increasing_id())
+    toks_col, map_col = "__gs_seg_toks", "__gs_seg_map"
+    src = df.withColumn(toks_col, cjk_char_tokens_expr(text_col))
+    C = F.col(toks_col)
+
+    def cands_at(i: Column) -> Column:
+        entries = []
+        for j in range(2, max_len + 1):
+            w = F.concat_ws("", F.slice(C, i, F.lit(j)))
+            ok = (F.size(F.slice(C, i, F.lit(j))) == j) & (F.length(w) == j)
+            entries.append(F.when(ok, w))
+        return F.array(*entries)
+
+    cand_rows = (
+        src.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(C), F.lit(1))),
+                    cands_at,
+                )
+            ).alias("__gs_pos0", "__gs_cands"),
+        )
+        .select(
+            id_col,
+            (F.col("__gs_pos0") + 1).alias("__gs_pos"),
+            F.explode("__gs_cands").alias("__gs_cand"),
+        )
+        .where(F.col("__gs_cand").isNotNull())
+    )
+    lexicon = (
+        words_df.select(F.col(word_col).alias("__gs_cand"))
+        .where(F.length("__gs_cand").between(2, max_len))
+        .distinct()
+    )
+    matches = (
+        cand_rows.join(F.broadcast(lexicon), "__gs_cand")
+        .groupBy(id_col, "__gs_pos")
+        .agg(F.max(F.length("__gs_cand")).cast("int").alias("__gs_w"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__gs_pos", "__gs_w"))
+            ).alias(map_col)
+        )
+    )
+    merged = src.join(matches, id_col, "left")
+    n = F.size(C)
+    init = F.struct(
+        F.lit(0).cast("int").alias("skip"),
+        F.array().cast("array<string>").alias("toks"),
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        w = F.coalesce(F.element_at(F.col(map_col), i.cast("int")), F.lit(1))
+        tok = F.concat_ws("", F.slice(C, i, w))
+        return F.when(
+            acc["skip"] > 0,
+            F.struct(
+                (acc["skip"] - 1).alias("skip"), acc["toks"].alias("toks")
+            ),
+        ).otherwise(
+            F.struct(
+                (w - 1).cast("int").alias("skip"),
+                F.concat(acc["toks"], F.array(tok)).alias("toks"),
+            )
+        )
+
+    out = merged.withColumn(
+        out_col,
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            init,
+            lambda acc, i: F.when(i <= n, step(acc, i)).otherwise(acc),
+        )["toks"],
+    ).drop(toks_col, map_col)
+    return out.drop(id_col) if drop_id else out
 
 
 def _grams_from_tokens(toks: Column, n: int) -> Column:

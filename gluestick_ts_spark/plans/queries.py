@@ -1430,7 +1430,14 @@ def _seg_duck_ctes() -> str:
     for j in sorted(by_len, reverse=True):
         wl = "[" + ", ".join(f"'{w}'" for w in by_len[j]) + "]"
         sl = f"array_to_string(C[pos:pos+{j - 1}], '')"
-        cond = f"length({sl}) = {j} AND list_contains({wl}, {sl})"
+        # element-count guard mirrors the Spark fold's F.size check
+        # (round 16): a truncated tail slice must not match, or the
+        # pos walk would advance past len(C)+1 and the doc would
+        # vanish from segf
+        cond = (
+            f"len(C[pos:pos+{j - 1}]) = {j} AND length({sl}) = {j} "
+            f"AND list_contains({wl}, {sl})"
+        )
         arms_w.append(f"WHEN {cond} THEN {j}")
         arms_t.append(f"WHEN {cond} THEN {sl}")
     return (
