@@ -1175,6 +1175,8 @@ def gopher_rules_sql(
     lines_sql: str | None = None,
     grams_sql: str | None = None,
     cjk_sql: str | None = None,
+    seg_toks_sql: str | None = None,
+    min_seg_mean_cents: int = 104,
 ) -> dict[str, str]:
     """Spark-SQL fragment per Gopher rule (see ``gopher_quality_flags``)
     keyed by flag name. Kept as SQL strings so the whole rule set
@@ -1199,7 +1201,22 @@ def gopher_rules_sql(
     same CASE) so the count/repetition rules run at the same grain —
     without the routed tokens a real CJK document is one giant token
     and every rule fails vacuously, which is precisely the mass-drop
-    this routing exists to fix."""
+    this routing exists to fix.
+
+    ``seg_toks_sql`` (round 16): a column reference to the
+    DICTIONARY-SEGMENTED token array (``cjk_dict_tokens_expr`` /
+    ``cjk_dict_tokens_join``, staged once), adding a ninth rule
+    ``seg_mean_word_len_ok`` — at the char grain the mean-word-length
+    floor is vacuously 1.0, so the one Gopher signal the routing LOSES
+    for CJK scripts is word-shape; dictionary coverage restores it:
+    natural prose segments into multi-char words (mean > 1), while
+    char soup the lexicon doesn't cover stays at exactly 1.0. The rule
+    is integer-exact (``100 * sum_len >= min_seg_mean_cents * n``, so
+    both engines compare the same BIGINTs; default 104 = mean >= 1.04)
+    over the PURE-CJK segment tokens only — non-CJK run tokens
+    (numbers, latin loanwords) are excluded so a long digit run cannot
+    inflate a soup doc over the floor. Vacuous TRUE for unrouted docs
+    and when ``seg_toks_sql`` is None (requires ``cjk_sql``)."""
     t = f"`{text_col}`"
     toks = toks_sql or f"split(lower(trim({t})), '\\\\s+')"
     nw = f"CAST(size({toks}) AS DOUBLE)"
@@ -1284,6 +1301,20 @@ def gopher_rules_sql(
             f"1.0D - CAST(size(array_distinct({grams})) AS DOUBLE)"
             f" / CAST(size({grams}) AS DOUBLE) <= {max_dup_3gram_ratio}D)"
         ),
+        **(
+            {
+                "seg_mean_word_len_ok": (
+                    f"(NOT ({cjk_sql}) OR ("
+                    f"100 * aggregate(filter({seg_toks_sql}, "
+                    f"w -> w rlike '^[{CJK_CLASS}]+$'), 0L, "
+                    f"(a, x) -> a + length(x)) >= {int(min_seg_mean_cents)} "
+                    f"* greatest(size(filter({seg_toks_sql}, "
+                    f"w -> w rlike '^[{CJK_CLASS}]+$')), 1)))"
+                )
+            }
+            if seg_toks_sql is not None and cjk_sql is not None
+            else {}
+        ),
     }
 
 
@@ -1303,14 +1334,19 @@ def gopher_rules_duck_sql(
     lines_sql: str | None = None,
     grams_sql: str | None = None,
     cjk_sql: str | None = None,
+    seg_toks_sql: str | None = None,
+    min_seg_mean_cents: int = 104,
 ) -> dict[str, str]:
     """DuckDB restatement of :func:`gopher_rules_sql`, GENERATED from
     the same thresholds / stopword tables / CJK script classes (the
     license_flags_sql one-rule-source pattern) — rule drift between
     engine and oracle is structurally impossible. Same staging
     contract: pass ``toks_sql``/``lines_sql``/``grams_sql`` for
-    arrays the caller projected once, and ``cjk_sql`` (a doc-level
-    boolean fragment) paired with char-grain routed tokens."""
+    arrays the caller projected once, ``cjk_sql`` (a doc-level
+    boolean fragment) paired with char-grain routed tokens, and
+    ``seg_toks_sql`` for the dictionary-segmented array behind the
+    round-16 ``seg_mean_word_len_ok`` rule (integer-exact, pure-CJK
+    tokens only — see the Spark twin)."""
     t = text_sql
     toks = toks_sql or f"regexp_split_to_array(lower(trim({t})), '\\s+')"
     nw = f"CAST(len({toks}) AS DOUBLE)"
@@ -1385,6 +1421,21 @@ def gopher_rules_duck_sql(
             f"(len({grams}) < 1 OR "
             f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE)"
             f" / CAST(len({grams}) AS DOUBLE) <= {max_dup_3gram_ratio})"
+        ),
+        **(
+            {
+                "seg_mean_word_len_ok": (
+                    f"(NOT ({cjk_sql}) OR ("
+                    f"100 * coalesce(list_sum(list_transform("
+                    f"list_filter({seg_toks_sql}, "
+                    f"w -> regexp_matches(w, '^[{CJK_CLASS}]+$')), "
+                    f"x -> length(x))), 0) >= {int(min_seg_mean_cents)} "
+                    f"* greatest(len(list_filter({seg_toks_sql}, "
+                    f"w -> regexp_matches(w, '^[{CJK_CLASS}]+$'))), 1)))"
+                )
+            }
+            if seg_toks_sql is not None and cjk_sql is not None
+            else {}
         ),
     }
 

@@ -1412,8 +1412,14 @@ _SEG_WORDS = (
 )
 
 
-def _seg_duck_ctes() -> str:
-    """The WITH-RECURSIVE DuckDB twin of the q_lang_scores seg columns:
+def _seg_duck_ctes(
+    src: str = "ltt",
+    text_sql: str = "LT",
+    route_sql: str | None = None,
+    prefix: str = "seg",
+    emit_toks: bool = False,
+) -> str:
+    """The WITH-RECURSIVE DuckDB twin of the FMM seg columns:
     forward maximum matching re-derived as a per-position recursion
     (anchor pos=1; each step consumes the longest _SEG_WORDS match at
     pos, else one char), accumulating the token count and the
@@ -1421,8 +1427,17 @@ def _seg_duck_ctes() -> str:
     from the SAME word list as ``cjk_dict_tokens_expr`` gets, grouped
     by length so each step probes exactly the lengths the dictionary
     has. Recursion depth = max planted-doc char count; the frontier is
-    only the planted CJK docs (segsrc filters on the route predicate),
-    so the oracle cost stays trivial."""
+    only the planted CJK docs ({prefix}src filters on the route
+    predicate), so the oracle cost stays trivial.
+
+    Round 16 generalization: ``src``/``text_sql``/``route_sql`` point
+    the walk at any staged relation (q_lang_scores keeps the ltt/LT
+    script-route defaults; text_stats walks its JT twin under the
+    lang-pred route), ``prefix`` namespaces the three CTEs so two
+    walks can coexist in one WITH chain, and ``emit_toks=True`` adds
+    the rebuilt token ARRAY (``SEGT`` — chr(31)-split of the rebuild)
+    to the final CTE for rules that need the tokens themselves
+    (gopher's seg_mean_word_len_ok)."""
     by_len: dict[int, list[str]] = {}
     for w in _SEG_WORDS:
         by_len.setdefault(len(w), []).append(w)
@@ -1440,23 +1455,31 @@ def _seg_duck_ctes() -> str:
         )
         arms_w.append(f"WHEN {cond} THEN {j}")
         arms_t.append(f"WHEN {cond} THEN {sl}")
+    route = route_sql if route_sql is not None else _cjk_route_sqls(
+        text_sql, "duck"
+    )[0]
+    toks_arr = (
+        "CASE WHEN n = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE string_split(substr(h, 2), chr(31)) END"
+    )
     return (
-        "segsrc AS (SELECT doc_id, "
-        + gopher_cjk_toks_duck_sql("LT")
-        + " AS C FROM ltt WHERE "
-        + _cjk_route_sqls("LT", "duck")[0]
+        f"{prefix}src AS (SELECT doc_id, "
+        + gopher_cjk_toks_duck_sql(text_sql)
+        + f" AS C FROM {src} WHERE "
+        + route
         + "), "
-        "segr AS (SELECT doc_id, 1 AS pos, 0 AS n, "
-        "CAST('' AS VARCHAR) AS h, C FROM segsrc "
+        f"{prefix}r AS (SELECT doc_id, 1 AS pos, 0 AS n, "
+        f"CAST('' AS VARCHAR) AS h, C FROM {prefix}src "
         "UNION ALL "
         "SELECT doc_id, pos + w, n + 1, h || chr(31) || tok, C FROM ("
         "SELECT doc_id, pos, n, h, C, "
         f"CASE {' '.join(arms_w)} ELSE 1 END AS w, "
         f"CASE {' '.join(arms_t)} ELSE C[pos] END AS tok "
-        "FROM segr WHERE pos <= len(C)) st), "
-        "segf AS (SELECT doc_id, CAST(n AS BIGINT) AS seg_n_words, "
-        "md5(CASE WHEN n = 0 THEN '' ELSE substr(h, 2) END) AS seg_md5 "
-        "FROM segr WHERE pos = len(C) + 1)"
+        f"FROM {prefix}r WHERE pos <= len(C)) st), "
+        f"{prefix}f AS (SELECT doc_id, CAST(n AS BIGINT) AS seg_n_words, "
+        "md5(CASE WHEN n = 0 THEN '' ELSE substr(h, 2) END) AS seg_md5"
+        + (f", {toks_arr} AS SEGT" if emit_toks else "")
+        + f" FROM {prefix}r WHERE pos = len(C) + 1)"
     )
 
 
@@ -1574,6 +1597,62 @@ _CUR_GOPHER_ROUTED_DUCK = " AND ".join(
 )
 
 
+# round 16: dictionary segmentation GATES — the seg_mean_word_len_ok
+# rule (gopher_rules_sql(seg_toks_sql=...)) restores the word-shape
+# signal char-grain routing loses (mean word length is vacuously 1.0
+# over char tokens). The zh char-SOUP slot below is LOCAL to
+# text_stats (adding it to _JT_LANG_TEXTS would shadow the natural zh
+# prose in _JT_BASE_BY_CODE for the curation extra slots): 58 distinct
+# han chars with two CJK stop chars (的, 是), NO adjacent pair in
+# _SEG_WORDS — it passes every char-grain routed Gopher rule
+# (n_words >= 50, stop hits = 2, low 3-gram repetition) but has ZERO
+# dictionary coverage, so its seg mean is exactly 1.0 and its verdict
+# flips ONLY under the word-grain rule. The natural zh/ja/ko plants'
+# pure-CJK seg means are 1.392 / 1.171 / 1.059 — all above the 1.04
+# floor (min_seg_mean_cents=104; the rule excludes non-CJK run tokens
+# so the doc_id suffix run cannot lift a soup doc over the floor at
+# any sf).
+_TS_SOUP_MOD = 23
+_TS_SOUP_BASE = (
+    "山川日月水火土金木石田中村口目耳手足刀力刃工干弓才寸小大上下左右"
+    "的确山风云雨雪电声色香味是否竹米贝车舟门户瓦斤斗争少"
+)
+
+
+def _ts_text_expr() -> "F.Column":
+    """text_stats' jusText input: the _JT_LANG_TEXTS slots plus the
+    round-16 seg-flip soup slot."""
+    return F.when(
+        F.col("doc_id") % 50 == _TS_SOUP_MOD,
+        F.concat(F.lit(_TS_SOUP_BASE), F.col("doc_id").cast("string")),
+    ).otherwise(_jt_text_expr())
+
+
+def _ts_text_sql() -> str:
+    """DuckDB twin of :func:`_ts_text_expr` (same literals)."""
+    return (
+        f"(CASE WHEN doc_id % 50 = {_TS_SOUP_MOD} THEN "
+        f"concat('{_TS_SOUP_BASE}', CAST(doc_id AS VARCHAR)) "
+        f"ELSE {_jt_text_sql()} END)"
+    )
+
+
+# the NINE-rule verdict (the eight routed rules + seg_mean_word_len_ok
+# over the staged __seg array) — gopher_pass_seg differs from
+# gopher_pass_routed exactly on routed docs the dictionary refuses
+_TS_GOPHER_SEG_SQL = " AND ".join(
+    gopher_rules_sql(
+        "__jt_text", toks_sql="__rt", cjk_sql=_JT_CJK_SQL,
+        seg_toks_sql="__seg",
+    ).values()
+)
+_TS_GOPHER_SEG_DUCK = " AND ".join(
+    gopher_rules_duck_sql(
+        "JT", toks_sql="RT", cjk_sql=_JT_CJK_DUCK, seg_toks_sql="SEGT"
+    ).values()
+)
+
+
 def q_text_stats(spark, sf, parts=("stats", "justext")):
     """Quality scoring + token counting over documents plus the
     Gopher-rule overall verdict — oracle-checked, so all eight
@@ -1597,6 +1676,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
     from ..functions.text import (
         _jt_blocks,
         _jt_context,
+        cjk_dict_tokens_expr,
         lang_id_sql,
         stopwords_for_lang_expr,
     )
@@ -1607,7 +1687,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         # marginal builder (bench attribution): ONLY the jusText
         # columns over the base scan — same lang-routed staging as the
         # full path (round 12)
-        lv = d.select("doc_id", _jt_text_expr().alias("__jt_text"))
+        lv = d.select("doc_id", _ts_text_expr().alias("__jt_text"))
         lv = lv.select(
             "doc_id", "__jt_text",
             F.expr(lang_id_sql("__jt_text")).alias("__jt_lang"),
@@ -1616,6 +1696,13 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             "doc_id", "__jt_text", "__jt_lang",
             stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw"),
             F.expr(_JT_RT_SQL).alias("__rt"),
+            # round 16: dictionary-segmented tokens, routed docs only
+            # (when() short-circuits per row — non-CJK docs never pay
+            # the fold), staged ONCE for the seg_mean_word_len_ok rule
+            F.when(
+                F.expr(_JT_CJK_SQL),
+                cjk_dict_tokens_expr("__jt_text", _SEG_WORDS),
+            ).alias("__seg"),
         )
         st = _jt_blocks(
             F.concat(F.lit(_JT_HTML_PRE), F.col("__jt_text"), F.lit(_JT_HTML_POST)),
@@ -1625,18 +1712,20 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             cjk=F.col("__jt_lang").isin(*CJK_LANGS),
         )
         lv = lv.select(
-            "doc_id", "__jt_lang", "__jt_text", "__rt", st.alias("__jt_st")
+            "doc_id", "__jt_lang", "__jt_text", "__rt", "__seg",
+            st.alias("__jt_st"),
         )
         lv = lv.select(
             "doc_id",
             "__jt_lang",
             "__jt_text",
             "__rt",
+            "__seg",
             "__jt_st",
             F.transform(F.col("__jt_st"), lambda s: s["cls"]).alias("__jt_cls"),
         )
         lv = lv.select(
-            "doc_id", "__jt_lang", "__jt_text", "__rt", "__jt_st",
+            "doc_id", "__jt_lang", "__jt_text", "__rt", "__seg", "__jt_st",
             _jt_context(F.col("__jt_cls")).alias("__jt_fin"),
         )
         return lv.select(
@@ -1655,6 +1744,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             ).alias("main_text"),
             F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
             F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
+            F.expr(_TS_GOPHER_SEG_SQL).alias("gopher_pass_seg"),
         )
     jt = "justext" in parts
     if jt:
@@ -1662,17 +1752,22 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         # twin, its predicted language, and the routed stoplist array
         # are each projected ONCE in lower selects (lang runs per doc,
         # never per word; the SPARK-36718 staging rationale)
-        d = d.select("doc_id", "text", _jt_text_expr().alias("__jt_text"))
+        d = d.select("doc_id", "text", _ts_text_expr().alias("__jt_text"))
         d = d.select("*", F.expr(lang_id_sql("__jt_text")).alias("__jt_lang"))
         d = d.select(
             "*",
             stopwords_for_lang_expr(F.col("__jt_lang")).alias("__jt_sw"),
             F.expr(_JT_RT_SQL).alias("__rt"),
+            # round 16: seg tokens staged once, routed docs only
+            F.when(
+                F.expr(_JT_CJK_SQL),
+                cjk_dict_tokens_expr("__jt_text", _SEG_WORDS),
+            ).alias("__seg"),
         )
     lvl1 = d.select(
         "doc_id",
         "text",
-        *(["__jt_lang", "__jt_text", "__rt"] if jt else []),
+        *(["__jt_lang", "__jt_text", "__rt", "__seg"] if jt else []),
         F.expr("split(lower(trim(text)), '\\\\s+')").alias("__toks"),
         # jusText block structs projected ONCE (strip chain + anchor
         # extract + stopword filter are the expensive part — the
@@ -1711,7 +1806,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "doc_id",
         "text",
         "__toks",
-        *(["__jt_st", "__jt_lang", "__jt_text", "__rt"] if jt else []),
+        *(["__jt_st", "__jt_lang", "__jt_text", "__rt", "__seg"] if jt else []),
         F.expr(f"slice({g3}, 1, greatest(size(__toks) - 2, 1))").alias("__grams"),
         F.expr("split(text, '\\n')").alias("__lines"),
         *(
@@ -1730,7 +1825,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         "__toks",
         "__grams",
         "__lines",
-        *(["__jt_st", "__jt_lang", "__jt_text", "__rt"] if jt else []),
+        *(["__jt_st", "__jt_lang", "__jt_text", "__rt", "__seg"] if jt else []),
         *([_jt_context(F.col("__jt_cls")).alias("__jt_fin")] if jt else []),
         F.expr(
             "CASE WHEN size(__toks) >= 3 THEN __grams ELSE array() END"
@@ -1809,6 +1904,10 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                 # plants ONLY under routing (unrouted they are one
                 # giant pseudo-token and every word rule fails)
                 F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
+                # round 16: the word-grain verdict — differs from
+                # gopher_pass_routed exactly where the dictionary
+                # refuses the doc (the planted soup slot)
+                F.expr(_TS_GOPHER_SEG_SQL).alias("gopher_pass_seg"),
             ]
             if jt
             else []
@@ -6656,7 +6755,24 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT) FROM bm"
     ),
     "text_stats": (
-        "SELECT doc_id, "
+        # round 16: WITH RECURSIVE — the staged twins become CTEs so
+        # the FMM seg walk (xseg*, _seg_duck_ctes) can join the
+        # word-grain token array behind gopher_pass_seg
+        "WITH RECURSIVE "
+        "ts0 AS (SELECT *, " + _ts_text_sql() + " AS JT FROM documents), "
+        "ts1 AS (SELECT *, string_split(text, chr(10)) AS L, "
+        f"CASE WHEN len({_TOKS}) >= 2 THEN "
+        f"[array_to_string(({_TOKS})[i:i+1], ' ') "
+        f"for i in range(1, len({_TOKS}))] "
+        "ELSE [] END AS G2, "
+        + _jt_lang_sql("JT") + " AS JLANG FROM ts0), "
+        "tsrc AS MATERIALIZED (SELECT *, " + _JT_RT_DUCK + " AS RT "
+        "FROM ts1), "
+        + _seg_duck_ctes(
+            src="tsrc", text_sql="JT", route_sql=_JT_CJK_DUCK,
+            prefix="xseg", emit_toks=True,
+        )
+        + " SELECT doc_id, "
         f"CAST(len({_TOKS}) AS BIGINT) AS n_words, "
         "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens, "
         "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
@@ -6708,15 +6824,9 @@ ORACLES: dict[str, str] = {
         + " AS block_classes, "
         # round 13: char-grain routed Gopher over the planted text —
         # generated from the same thresholds/classes as the Spark side
-        f"({_JT_GOPHER_ROUTED_DUCK}) AS gopher_pass_routed "
-        "FROM (SELECT *, " + _JT_RT_DUCK + " AS RT "
-        "FROM (SELECT *, string_split(text, chr(10)) AS L, "
-        f"CASE WHEN len({_TOKS}) >= 2 THEN "
-        f"[array_to_string(({_TOKS})[i:i+1], ' ') "
-        f"for i in range(1, len({_TOKS}))] "
-        "ELSE [] END AS G2, "
-        + _jt_lang_sql("JT") + " AS JLANG FROM "
-        "(SELECT *, " + _jt_text_sql() + " AS JT FROM documents) t0) t1) t"
+        f"({_JT_GOPHER_ROUTED_DUCK}) AS gopher_pass_routed, "
+        f"({_TS_GOPHER_SEG_DUCK}) AS gopher_pass_seg "
+        "FROM tsrc LEFT JOIN xsegf USING (doc_id)"
     ),
     # round 12: the classifier columns re-derive the ENTIRE logistic-
     # regression training as an unrolled CTE chain (logreg_train_sql —

@@ -673,7 +673,7 @@ def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
         lang_id_expr,
         stopwords_for_lang_expr,
     )
-    from gluestick_ts_spark.plans.queries import _jt_text_expr
+    from gluestick_ts_spark.plans.queries import _ts_text_expr
 
     staged = (
         QUERIES["text_stats"](spark, sf_dir)
@@ -681,12 +681,13 @@ def test_text_stats_staged_justext_equals_expression(spark, sf_dir):
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # r12: the direct form routes the stoplist exactly as the query —
-    # planted-text twin, lang-ID, routed selector. The lang/stoplist
-    # columns MUST be staged in lower selects (as the query stages
-    # them): inlining the lang-ID when-chain into main_text_expr's
-    # per-word lambda multiplies the expression tree past what
-    # Catalyst can compile in reasonable time
-    lv = docs.select("doc_id", _jt_text_expr().alias("__jt"))
+    # planted-text twin, lang-ID, routed selector (r16: including the
+    # seg-flip soup slot overlay). The lang/stoplist columns MUST be
+    # staged in lower selects (as the query stages them): inlining the
+    # lang-ID when-chain into main_text_expr's per-word lambda
+    # multiplies the expression tree past what Catalyst can compile in
+    # reasonable time
+    lv = docs.select("doc_id", _ts_text_expr().alias("__jt"))
     lv = lv.select(
         "doc_id", "__jt", lang_id_expr(F.col("__jt")).alias("__lang")
     )
@@ -1147,7 +1148,7 @@ def test_text_stats_cjk_plants_pinned(spark, sf_dir):
     ts = (
         QUERIES["text_stats"](spark, sf_dir)
         .select("doc_id", "jt_lang", "main_text", "block_classes",
-                "gopher_pass_routed")
+                "gopher_pass_routed", "gopher_pass_seg")
         .cache()
     )
     n_docs = ts.count()
@@ -1156,16 +1157,32 @@ def test_text_stats_cjk_plants_pinned(spark, sf_dir):
         r.jt_lang: r.n
         for r in ts.groupBy("jt_lang").agg(F.count("*").alias("n")).collect()
     }
-    for lang in ("zh", "ja", "ko", "de", "fr"):
-        assert hist.get(lang) == per_mod, (lang, hist)
+    # round 16: the seg-flip SOUP slot (mod 23) is a second zh plant
+    for lang, n in (("zh", 2 * per_mod), ("ja", per_mod), ("ko", per_mod),
+                    ("de", per_mod), ("fr", per_mod)):
+        assert hist.get(lang) == n, (lang, hist)
     cjk = ts.where("jt_lang IN ('zh','ja','ko')")
-    assert cjk.where("gopher_pass_routed").count() == 3 * per_mod
-    assert cjk.where("length(main_text) > 0").count() == 3 * per_mod
-    assert cjk.where("block_classes like '%good%'").count() == 3 * per_mod
+    # all four CJK slots (natural zh/ja/ko + soup) pass CHAR-grain
+    # routed Gopher — the soup slot is crafted to
+    assert cjk.where("gopher_pass_routed").count() == 4 * per_mod
+    # ...but the WORD-grain verdict refuses exactly the soup slot:
+    # zero _SEG_WORDS coverage pins its pure-CJK seg mean at 1.0
+    flips = ts.where("gopher_pass_routed AND NOT gopher_pass_seg")
+    assert flips.count() == per_mod
+    assert flips.where("doc_id % 50 = 23").count() == per_mod
+    assert cjk.where("gopher_pass_seg").count() == 3 * per_mod
+    # the seg rule is vacuous off-route: outside CJK docs the two
+    # verdicts are identical everywhere
+    assert (
+        ts.where("jt_lang NOT IN ('zh','ja','ko')")
+        .where("gopher_pass_routed != gopher_pass_seg")
+        .count()
+        == 0
+    )
     # the routed column degenerates to the word-grain verdict for
     # every unplanted doc (cjk=false arms are the original rules)
     assert (
-        ts.where("doc_id % 50 NOT IN (7, 19, 31, 11, 43)")
+        ts.where("doc_id % 50 NOT IN (7, 19, 31, 11, 43, 23)")
         .join(
             QUERIES["text_stats"](spark, sf_dir).select("doc_id", "gopher_pass"),
             "doc_id",
@@ -1780,3 +1797,48 @@ def test_cjk_dict_tokens_join_equivalence_and_plan(spark):
     # explicit id_col variant preserves the caller's key
     with_id = cjk_dict_tokens_join(df, "text", words_df, id_col="doc_id")
     assert {r.doc_id: r.seg_tokens for r in with_id.collect()} == fold
+
+
+def test_gopher_seg_mean_word_len_rule(spark):
+    """Round 16: spec-anchored unit cases for seg_mean_word_len_ok —
+    the ninth Gopher rule dictionary segmentation enables. Integer-
+    exact floor (100 * sum >= 104 * n over PURE-CJK seg tokens):
+    covered prose passes, char soup (mean exactly 1.0) fails, the
+    boundary case 104/100 passes by >=, non-CJK run tokens are
+    excluded from both sides, and the rule is vacuous off-route."""
+    from gluestick_ts_spark.functions.text import (
+        cjk_dict_tokens_expr,
+        gopher_rules_sql,
+    )
+
+    words = ("我们", "朋友")
+    rows = [
+        # 2+2 covered + 1 single: sum 5, n 3 -> 500 >= 312 PASS
+        (1, True, "我们朋友天"),
+        # soup: no coverage, sum 4 n 4 -> 400 < 416 FAIL
+        (2, True, "天地玄黄"),
+        # digit run must not rescue the soup: '123456' excluded
+        (3, True, "天地玄黄 123456"),
+        # boundary: 25 singles + 1 covered pair = sum 27, n 26 ->
+        # 2700 >= 2704 is FALSE (just under); 24 singles + 1 pair =
+        # sum 26, n 25 -> 2600 >= 2600 PASS (>= at the exact floor)
+        (4, True, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰我们"),
+        (5, True, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏我们"),
+        # off-route: vacuous TRUE whatever the tokens look like
+        (6, False, "plain english"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cjk boolean, text string")
+    df = df.withColumn(
+        "__seg",
+        F.when(
+            F.col("cjk"), cjk_dict_tokens_expr("text", words)
+        ),
+    )
+    rule = gopher_rules_sql(
+        "text", cjk_sql="cjk", seg_toks_sql="__seg"
+    )["seg_mean_word_len_ok"]
+    got = {r.id: r.ok for r in df.select("id", F.expr(rule).alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: True, 6: True}, got
+    # without seg_toks_sql the rule set is the unchanged eight
+    assert "seg_mean_word_len_ok" not in gopher_rules_sql("text", cjk_sql="cjk")
+    assert "seg_mean_word_len_ok" not in gopher_rules_sql("text")
