@@ -20,6 +20,7 @@ the batch operators.
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 from pyspark.sql import DataFrame, Window
@@ -1051,6 +1052,12 @@ def stream_curation_filter(
     downstream sampling weights / classifier features. Stateless and
     map-side — replay-identical, no new shuffle, the standard
     frozen-model deployment shape (the clf_model/stream_dsir pattern).
+    Round 16: the snapshot's IDENTITY (row count + order-independent
+    xxhash64 checksum on the 1e-9 rank grid) is stamped into the
+    store meta at seeding (``domain_rank_sig``); a resume under a
+    different snapshot logs a warning — annotate-only, so a swapped
+    rank artifact (next month's crawl) proceeds, but the break in
+    annotation comparability is visible instead of silent.
 
     The store is the BUCKETED fingerprint layout
     (``write_fingerprint_store``: parquet partitioned by
@@ -1096,11 +1103,46 @@ def stream_curation_filter(
             "rank joins through the document URL's eTLD+1"
         )
 
+    def _rank_sig(spark) -> dict | None:
+        # round 16 (VERDICT #7): the rank snapshot's identity — row
+        # count + order-independent bit_xor of xxhash64(node, micro-
+        # rank on the 1e-9 integer grid the pagerank oracle uses).
+        # One tiny aggregation at stream construction (the rank table
+        # is broadcast-sized by contract); no driver-side collect of
+        # the rows themselves.
+        if domain_ranks is None:
+            return None
+        ranks_df = (
+            domain_ranks
+            if isinstance(domain_ranks, DataFrame)
+            else spark.createDataFrame(
+                list(domain_ranks), "node string, rank double"
+            )
+        )
+        row = (
+            ranks_df.select(
+                F.xxhash64(
+                    F.col("node"),
+                    F.round(F.col("rank") * F.lit(1e9)).cast("long"),
+                ).alias("h")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+            .collect()[0]
+        )
+        return {"rows": int(row.n), "checksum": int(row.x or 0)}
+
+    rank_sig_box: list = []  # computed lazily on the first batch
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        if not rank_sig_box:
+            rank_sig_box.append(_rank_sig(spark))
         if not hadoop_path_exists(spark, meta_path):
             legacy = join_uri(store_dir, "fingerprints.parquet")
             if hadoop_path_exists(spark, legacy):
@@ -1123,11 +1165,31 @@ def stream_curation_filter(
                 spark.createDataFrame([], "fp string, batch_id long"),
                 store_dir,
                 num_buckets=num_buckets,
-                extra_meta={"curation_cjk_route": bool(cjk_route)},
+                extra_meta={
+                    "curation_cjk_route": bool(cjk_route),
+                    # round 16: rank-snapshot PROVENANCE (row count +
+                    # checksum). Unlike cjk_route this is annotate-only
+                    # (verdicts never depend on it), so drift WARNS
+                    # instead of raising — swapping in next month's
+                    # crawl ranks is legitimate ops, but it should be
+                    # visible, not silent.
+                    "domain_rank_sig": rank_sig_box[0],
+                },
             )
-        frozen_route = read_signature_store_meta(spark, store_dir).get(
-            "curation_cjk_route"
-        )
+        meta_now = read_signature_store_meta(spark, store_dir)
+        if "domain_rank_sig" in meta_now:
+            frozen_sig = meta_now["domain_rank_sig"]
+            if frozen_sig != rank_sig_box[0]:
+                logging.getLogger(__name__).warning(
+                    "stream_curation_filter: the domain_ranks snapshot "
+                    "differs from the one this store was seeded with "
+                    "(seed %s vs current %s) — domain_rank annotations "
+                    "are no longer comparable across the stream's "
+                    "history. Annotate-only, so proceeding.",
+                    frozen_sig,
+                    rank_sig_box[0],
+                )
+        frozen_route = meta_now.get("curation_cjk_route")
         if frozen_route is not None and bool(frozen_route) != bool(cjk_route):
             # legacy stores (seeded before round 15) carry no key and
             # cannot detect a mismatch — documented migration hazard

@@ -1291,3 +1291,61 @@ def test_stream_curation_filter_robots(spark, tmp_path):
     assert rows[1] == (True, None, True)
     assert rows[2] == (False, "robots", False)
     assert rows[3][0:2] == (False, "blocked")  # blocked outranks robots
+
+
+def test_stream_curation_domain_rank_sig_provenance(spark, tmp_path, caplog):
+    """Round 16 (VERDICT #7): the rank snapshot's identity (row count +
+    checksum) is frozen into the store meta at seeding; a resume under
+    a DIFFERENT snapshot warns (annotate-only — verdicts don't depend
+    on ranks, so a legitimate monthly swap proceeds, visibly); an
+    identical-snapshot resume is silent; a no-ranks store freezes
+    None."""
+    import json as _json
+    import logging as _logging
+
+    from gluestick_ts_spark.operators.dedup import read_signature_store_meta
+    from gluestick_ts_spark.streaming.incremental import stream_curation_filter
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    schema = "doc_id long, text string, url string"
+    stop6 = ["the", "and", "of", "to", "in", "is"]
+    good = " ".join(stop6 + [f"word{chr(97 + i % 26)}{i}" for i in range(54)])
+    ranks = [("alpha-site.org", 0.25), ("gamma-site.net", 0.5)]
+
+    def run(ck, rows, rk):
+        _write_stream_batch(src, spark, rows, schema)
+        q = (
+            stream_curation_filter(
+                spark.readStream.schema(schema).parquet(src), store,
+                lambda df, b: df.collect(), quality_min=0.0,
+                checkpoint_dir=str(tmp_path / ck), url_col="url",
+                domain_ranks=rk,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    run("ck1", [(1, good, "http://www.alpha-site.org/a")], ranks)
+    meta = read_signature_store_meta(spark, "file://" + store)
+    sig = meta["domain_rank_sig"]
+    assert sig["rows"] == 2 and isinstance(sig["checksum"], int)
+
+    # identical snapshot: silent
+    logger = "gluestick_ts_spark.streaming.incremental"
+    with caplog.at_level(_logging.WARNING, logger):
+        run("ck2", [(2, good, "http://unranked.com/b")], list(ranks))
+    assert not [r for r in caplog.records if "domain_ranks" in r.message]
+
+    # drifted snapshot: warns, proceeds, meta keeps the SEED sig
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING, logger):
+        run("ck3", [(3, good, "http://unranked.com/c")],
+            ranks + [("delta-site.io", 0.75)])
+    warns = [r for r in caplog.records if "domain_ranks snapshot" in r.message]
+    assert warns, [r.message for r in caplog.records]
+    assert read_signature_store_meta(spark, "file://" + store)[
+        "domain_rank_sig"
+    ] == sig
