@@ -33,6 +33,7 @@ __all__ = [
     "corpus_profile",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
+    "trigram_logprob_scores",
     "bigram_pmi",
     "profile_columns",
     "group_quantile_cuts",
@@ -316,6 +317,164 @@ def bigram_logprob_scores(
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob2"),
+    )
+
+
+def trigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    trigram_size: int = 200_000,
+    min_count: int = 2,
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    cjk: "Column | None" = None,
+) -> DataFrame:
+    """Interpolated TRIGRAM language-model quality score (round 16) —
+    one context grain up from ``bigram_logprob_scores``, the last
+    cheap rung toward CCNet's published 5-gram KenLM recipe: each
+    trigram position (w_2, w_1, w) of a document scores
+
+        ln( lam3 * P(w | w_2, w_1) + lam2 * P(w | w_1)
+            + (1 - lam3 - lam2) * P(w) )
+
+    under the corpus's own empirical model — Jelinek-Mercer
+    interpolation down the order ladder, so an unseen trigram backs
+    off to the bigram term and an unseen bigram to the unigram term
+    (same top-``vocab_size`` + ln-floor OOV shape as the siblings).
+    Conditionals use UNPRUNED lower-order denominators: P(w|w_2,w_1)
+    = c3/c(w_2,w_1) over the full bigram counts and P(w|w_1) =
+    c2/c(w_1) over the full unigram counts, folded into the pruned
+    model tables at build time (count >= ``min_count``, top-N by
+    (count DESC, key ASC)) so scoring needs no denominator lookups.
+    Output ``(id, n_trigrams, mean_logprob3)`` over documents with
+    >= 3 tokens; higher = more typical. What the extra order buys:
+    the bigram model scores "the cat the cat the" as locally typical
+    pairs; the trigram sees the period-2 loop.
+
+    Same broadcast-table scale shape as the bigram op: positions are
+    built in-row and exploded once; the model tables come from
+    map-side-combined short-key aggregates; scoring joins the
+    exploded positions against three BROADCAST tables + a 1-row
+    total. Document text never shuffles. ``cjk`` routes rows to the
+    CHAR grain exactly as the siblings do. No reference counterpart
+    (extension op)."""
+    from ..functions.text import cjk_char_tokens_expr
+
+    tok_arr = tokens_expr(text_col)
+    if cjk is not None:
+        tok_arr = F.when(cjk, cjk_char_tokens_expr(text_col)).otherwise(
+            tok_arr
+        )
+    toks = F.filter(tok_arr, lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.orderBy(F.col("c1").desc(), F.col("tok").asc()).limit(
+        int(vocab_size)
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("__n"))
+
+    m = F.size("__t")
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), m - 2),
+        lambda i: F.struct(
+            F.element_at("__t", i).alias("a"),
+            F.element_at("__t", i + 1).alias("b"),
+            F.element_at("__t", i + 2).alias("w"),
+        ),
+    )
+    tris = (
+        base.where(m >= 3)
+        .select("id", F.explode(tri_arr).alias("__tr"))
+        .select(
+            "id",
+            F.col("__tr.a").alias("a"),
+            F.col("__tr.b").alias("b"),
+            F.col("__tr.w").alias("w"),
+        )
+    )
+    # full bigram counts over ALL adjacent pairs (the trigram
+    # conditional's denominator AND the bigram model's numerator) —
+    # derived from the token arrays, not from the trigram positions,
+    # so the final pair of a 2-token doc counts too (grain parity
+    # with bigram_logprob_scores' own model)
+    bi_arr = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda i: F.struct(
+            F.element_at("__t", i).alias("a"),
+            F.element_at("__t", i + 1).alias("b"),
+        ),
+    )
+    bi_full = (
+        base.where(m >= 2)
+        .select(F.explode(bi_arr).alias("__bi"))
+        .select(F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    btable = (
+        bi_full.where(F.col("cab") >= int(min_count))
+        .orderBy(F.col("cab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(int(bigram_size))
+        .join(
+            uni.select(F.col("tok").alias("a"), F.col("c1").alias("ca")),
+            on="a",
+        )
+        .select(
+            F.col("a").alias("b"),
+            F.col("b").alias("w"),
+            (F.col("cab").cast("double") / F.col("ca")).alias("__pb"),
+        )
+    )
+    ttable = (
+        tris.groupBy("a", "b", "w")
+        .agg(F.count("*").alias("c3"))
+        .where(F.col("c3") >= int(min_count))
+        .orderBy(
+            F.col("c3").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+            F.col("w").asc(),
+        )
+        .limit(int(trigram_size))
+        .join(bi_full, on=["a", "b"])
+        .select(
+            "a", "b", "w",
+            (F.col("c3").cast("double") / F.col("cab")).alias("__pt"),
+        )
+    )
+    lam1 = 1.0 - float(lam3) - float(lam2)
+    scored = (
+        tris.join(F.broadcast(ttable), on=["a", "b", "w"], how="left")
+        .join(F.broadcast(btable), on=["b", "w"], how="left")
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("w"), "c1")),
+            on="w",
+            how="left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.lit(float(lam3)) * F.coalesce(F.col("__pt"), F.lit(0.0))
+                + F.lit(float(lam2)) * F.coalesce(F.col("__pb"), F.lit(0.0))
+                + F.lit(lam1)
+                * (
+                    F.coalesce(F.col("c1").cast("double"), F.lit(0.5))
+                    / F.col("__n")
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob3"),
     )
 
 

@@ -2640,7 +2640,10 @@ def q_corpus_profile_docs(spark, sf):
     return corpus_profile(_t(spark, sf, "documents"))
 
 
-def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "rank")):
+def q_top_terms(
+    spark, sf,
+    parts=("term", "doclp", "pmi", "heavy", "doclp2", "doclp3", "rank"),
+):
     """Corpus token-frequency analysis, both grains, as ONE tagged
     union (registry-folding pattern — round 13 adds the ``rank`` part:
     domain PageRank over a deterministic synthetic link graph, FULL
@@ -2675,11 +2678,24 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
     ranking, same conditional fold, same interpolation arithmetic
     (1-0.7 written as a DOUBLE subtraction to match IEEE exactly),
     6-dp-rounded on both engines. n_tokens carries n_bigrams and
-    mean_logprob carries mean_logprob2 in this part's rows."""
+    mean_logprob carries mean_logprob2 in this part's rows.
+
+    The ``doclp3`` part (round 16) climbs one more order: the
+    INTERPOLATED TRIGRAM model (operators/profile.py
+    trigram_logprob_scores — lam3=0.5, lam2=0.3, vocab_size=100,
+    bigram_size=500, trigram_size=500, min_count=2) over the SAME
+    planted routed corpus as doclp2: per-document mean
+    ln(0.5*P(w|w_2,w_1) + 0.3*P(w|w_1) + 0.2*P(w)) over trigram
+    positions, conditionals folded against UNPRUNED lower-order
+    counts. The DuckDB twin re-derives all three model tables and the
+    three-term interpolation with the same IEEE-exact literal
+    arithmetic. n_tokens carries n_trigrams and mean_logprob carries
+    mean_logprob3 in this part's rows."""
     from ..operators.frequent import heavy_hitters
     from ..operators.profile import (
         bigram_logprob_scores,
         bigram_pmi,
+        trigram_logprob_scores,
         unigram_logprob_scores,
     )
 
@@ -2765,6 +2781,23 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
         F.lit(None).cast("double").alias("pmi"),
         F.lit(None).cast("double").alias("rank"),
     )
+    # round 16: doclp3 — the trigram rung over the SAME planted routed
+    # corpus (model sizes keep every branch live: the top-500
+    # truncations, the min_count prune, both backoff levels, and the
+    # unigram OOV floor)
+    lp3 = trigram_logprob_scores(
+        d2, vocab_size=100, bigram_size=500, trigram_size=500,
+        min_count=2, lam3=0.5, lam2=0.3, cjk=is_cjk_doc_expr("text"),
+    ).select(
+        F.lit("doclp3").alias("part"),
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("cnt"),
+        "doc_id",
+        F.col("n_trigrams").alias("n_tokens"),
+        F.col("mean_logprob3").alias("mean_logprob"),
+        F.lit(None).cast("double").alias("pmi"),
+        F.lit(None).cast("double").alias("rank"),
+    )
     # round 13: the ``rank`` part graduates the bit-deterministic
     # PageRank (operators/linkgraph.py) to a driver-visible FULL
     # oracle. The documents table carries no URL column, so the link
@@ -2837,7 +2870,8 @@ def q_top_terms(spark, sf, parts=("term", "doclp", "pmi", "heavy", "doclp2", "ra
         ranks = ranks.unionByName(rankdoc)
     for name, leg in (
         ("term", terms), ("doclp", lp), ("pmi", pmi),
-        ("heavy", heavy), ("doclp2", lp2), ("rank", ranks),
+        ("heavy", heavy), ("doclp2", lp2), ("doclp3", lp3),
+        ("rank", ranks),
     ):
         if name in parts:
             legs.append(leg)
@@ -4899,7 +4933,8 @@ QUERY_PARTS: dict[str, dict[str, QueryFn]] = {
                 lambda spark, sf: q_top_terms(spark, sf, parts=(part,))
             )
         )(p)
-        for p in ("term", "doclp", "pmi", "heavy", "doclp2", "rank")
+        for p in ("term", "doclp", "pmi", "heavy", "doclp2", "doclp3",
+                  "rank")
     },
     "ngram_jaccard_adjacent": {
         p: _tag_part("ngram_jaccard_adjacent", "part", p)
@@ -7295,6 +7330,38 @@ ORACLES: dict[str, str] = {
         "FROM bgrd LEFT JOIN btab USING (a, b) "
         "LEFT JOIN vocab2 v ON v.tok = bgrd.b CROSS JOIN total2 "
         "GROUP BY doc_id), "
+        # interpolated trigram LM (doclp3): round 16 — one order up
+        # over the SAME planted routed corpus; conditionals fold
+        # against UNPRUNED lower-order counts (bc2full for P(w|a,b),
+        # cnt2 for P(w|b) inside btab), the pruned tables keep the
+        # same (count DESC, key ASC) top-N discipline, and the
+        # three-term interpolation writes every literal as an explicit
+        # DOUBLE so both engines run identical IEEE ops — mirrors
+        # operators/profile.py trigram_logprob_scores exactly
+        "tgd AS (SELECT doc_id, T[i] AS a, T[i+1] AS b, T[i+2] AS w "
+        "FROM tarrd, UNNEST(range(1, greatest(len(T) - 2, 0) + 1)) "
+        "AS u3(i)), "
+        "bc2full AS (SELECT a, b, COUNT(*) AS cab FROM bgrd "
+        "GROUP BY a, b), "
+        "tc3 AS (SELECT a, b, w, COUNT(*) AS c3 FROM tgd "
+        "GROUP BY a, b, w HAVING COUNT(*) >= 2), "
+        "ttab AS (SELECT a, b, w, CAST(c3 AS DOUBLE) / "
+        "CAST(bf.cab AS DOUBLE) AS pt FROM (SELECT a, b, w, c3, "
+        "row_number() OVER (ORDER BY c3 DESC, a ASC, b ASC, w ASC) "
+        "AS r FROM tc3) tt JOIN bc2full bf USING (a, b) "
+        "WHERE r <= 500), "
+        "doclp3 AS (SELECT doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_trigrams, "
+        "ROUND(AVG(ln(CAST(0.5 AS DOUBLE) * COALESCE(pt, 0.0) + "
+        "CAST(0.3 AS DOUBLE) * COALESCE(b2.pb, 0.0) + "
+        "(CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE) - "
+        "CAST(0.3 AS DOUBLE)) * "
+        "(COALESCE(CAST(v.c AS DOUBLE), 0.5) / total2.n))), 6) AS mlp3 "
+        "FROM tgd LEFT JOIN ttab USING (a, b, w) "
+        "LEFT JOIN (SELECT a AS pa, b AS pw, pb FROM btab) b2 "
+        "ON b2.pa = tgd.b AND b2.pw = tgd.w "
+        "LEFT JOIN vocab2 v ON v.tok = tgd.w CROSS JOIN total2 "
+        "GROUP BY doc_id), "
         # round 13: the PageRank iteration, exact-integer unrolled
         + _pagerank_duck_ctes(iters=3)
         + " SELECT 'term' AS part, token, cnt, CAST(NULL AS BIGINT) AS doc_id, "
@@ -7326,6 +7393,11 @@ ORACLES: dict[str, str] = {
         "CAST(NULL AS BIGINT) AS cnt, doc_id, n_bigrams AS n_tokens, "
         "mlp2 AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
         "CAST(NULL AS DOUBLE) AS rank FROM doclp2 "
+        "UNION ALL "
+        "SELECT 'doclp3' AS part, CAST(NULL AS VARCHAR) AS token, "
+        "CAST(NULL AS BIGINT) AS cnt, doc_id, n_trigrams AS n_tokens, "
+        "mlp3 AS mean_logprob, CAST(NULL AS DOUBLE) AS pmi, "
+        "CAST(NULL AS DOUBLE) AS rank FROM doclp3 "
         "UNION ALL "
         "SELECT 'rank' AS part, node AS token, "
         "CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS doc_id, "

@@ -379,3 +379,123 @@ def test_adaptive_quality_filter_approx_path_and_validation(spark, sf_dir):
         assert abs(approx[lang] - cut) <= 0.05 * abs(cut) + 0.01
     with _pytest.raises(ValueError):
         group_quantile_cuts(d, "s", "lang", 1.5)
+
+
+def test_trigram_logprob_hand_computed(spark):
+    """Round 16: the trigram rung against hand math. Corpus
+    'a b c a b c' / 'a b d' / 'd', full tables, min_count=1.
+    Unigrams a:3 b:3 c:2 d:2 (N=10); full bigrams (a,b):3 (b,c):2
+    (c,a):1 (b,d):1; trigrams (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1.
+    Conditionals: P(c|a,b)=2/3, P(a|b,c)=1/2, P(b|c,a)=1/1,
+    P(d|a,b)=1/3; bigram-level P(c|b)=2/3, P(a|c)=1/2, P(b|a)=1,
+    P(d|b)=1/3."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import trigram_logprob_scores
+
+    d = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d"), (3, "d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trigram_logprob_scores(
+        d, vocab_size=10, bigram_size=10, trigram_size=10,
+        min_count=1, lam3=0.5, lam2=0.3,
+    ).collect()}
+    # sub-3-token docs have no trigram positions
+    assert set(out) == {1, 2}
+    l1 = 1.0 - 0.5 - 0.3
+    lp_abc = math.log(0.5 * (2 / 3) + 0.3 * (2 / 3) + l1 * 2 / 10)
+    lp_bca = math.log(0.5 * (1 / 2) + 0.3 * (1 / 2) + l1 * 3 / 10)
+    lp_cab = math.log(0.5 * 1.0 + 0.3 * 1.0 + l1 * 3 / 10)
+    lp_abd = math.log(0.5 * (1 / 3) + 0.3 * (1 / 3) + l1 * 2 / 10)
+    assert out[1].n_trigrams == 4
+    want1 = round((2 * lp_abc + lp_bca + lp_cab) / 4, 6)
+    assert abs(out[1].mean_logprob3 - want1) < 1e-9, (
+        out[1].mean_logprob3, want1
+    )
+    assert out[2].n_trigrams == 1
+    assert abs(out[2].mean_logprob3 - round(lp_abd, 6)) < 1e-9
+
+
+def test_trigram_logprob_backoff_ladder_and_oov(spark):
+    """The order ladder degrades one level at a time: a pruned trigram
+    backs off to bigram + unigram, a pruned bigram to unigram alone,
+    an OOV word to the ln floor — each term vanishing exactly when its
+    table refuses the key."""
+    import math
+
+    from gluestick_ts_spark.operators.profile import trigram_logprob_scores
+
+    d = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d"), (3, "d")],
+        "doc_id long, text string",
+    )
+    # min_count=2: trigram table keeps only (a,b,c); bigram table keeps
+    # (a,b) and (b,c). vocab_size=3 -> {a, b, c} (count DESC, tok ASC);
+    # d is OOV.
+    out = {r.doc_id: r for r in trigram_logprob_scores(
+        d, vocab_size=3, bigram_size=10, trigram_size=10,
+        min_count=2, lam3=0.5, lam2=0.3,
+    ).collect()}
+    l1 = 1.0 - 0.5 - 0.3
+    lp_abc = math.log(0.5 * (2 / 3) + 0.3 * (2 / 3) + l1 * 2 / 10)
+    lp_bca = math.log(0.3 * 0.0 + l1 * 3 / 10)  # tri pruned, (c,a) pruned
+    lp_cab = math.log(0.3 * 1.0 + l1 * 3 / 10)  # tri pruned, (a,b) kept
+    lp_abd = math.log(l1 * 0.5 / 10)            # all pruned + OOV
+    want1 = round((2 * lp_abc + lp_bca + lp_cab) / 4, 6)
+    assert abs(out[1].mean_logprob3 - want1) < 1e-9
+    assert abs(out[2].mean_logprob3 - round(lp_abd, 6)) < 1e-9
+
+
+def test_trigram_logprob_detects_period_two_loop(spark):
+    """What the extra order buys: 'the cat the cat the ...' is locally
+    typical BIGRAM pairs in a corpus full of 'the cat' collocations
+    interleaved with varied prose, but its period-2 structure makes
+    its trigrams ('the cat the', 'cat the cat') distributionally rare
+    — the trigram mean must rank the loop below the natural doc while
+    sharing its vocabulary."""
+    from gluestick_ts_spark.operators.profile import trigram_logprob_scores
+
+    natural = [
+        (i, f"the cat sat on the mat n{i % 5} and the cat ate fish f{i % 3}")
+        for i in range(30)
+    ]
+    loop = [(100, "the cat " * 8 + "the")]
+    df = spark.createDataFrame(
+        natural + loop, "doc_id long, text string"
+    )
+    out = {r.doc_id: r.mean_logprob3 for r in trigram_logprob_scores(
+        df, vocab_size=50, bigram_size=200, trigram_size=200, min_count=2,
+    ).collect()}
+    assert out[100] < out[0], (out[100], out[0])
+
+
+def test_trigram_logprob_cjk_partition_invariant(spark):
+    """Standing invariance guard for grains with a cut: all three
+    pruned tables tie-break on (count DESC, key ASC) — pure functions
+    of the data — so re-partitioning leaves every routed score
+    bit-identical."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.profile import trigram_logprob_scores
+
+    zh = "春天来了公园里的花都开了很多人来这里散步"
+    rows = [(i, zh + str(i % 3)) for i in range(12)] + [
+        (50 + i, f"the quick brown fox {i % 4} jumps over the lazy dog")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(frame):
+        return {
+            r.doc_id: (r.n_trigrams, r.mean_logprob3)
+            for r in trigram_logprob_scores(
+                frame, vocab_size=40, bigram_size=60, trigram_size=60,
+                min_count=2, cjk=is_cjk_doc_expr("text"),
+            ).collect()
+        }
+
+    a = run(df.repartition(1))
+    b = run(df.repartition(7, "doc_id"))
+    assert a == b
+    # routed zh docs score at the char grain (len-1... len-2 positions)
+    assert a[0][0] == len(zh) + 1 - 2
