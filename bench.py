@@ -341,6 +341,17 @@ BENCH_QUERIES = [
 ]
 
 
+def _sub_median(fn, label: str = "") -> float:
+    """Round 16: median-of-N for the warc/linkgraph SUB-legs — they sat
+    outside the suite's median-of-5 umbrella and carried exactly the
+    single-sample noise the headline legs were cured of in r14 (r15
+    recorded pagerank warm 7.1 s vs cold 6.3 s on untouched code).
+    N defaults to 3 (SPARK_GRAFT_BENCH_SUB_RUNS); each call of ``fn``
+    must be a complete warm pass returning seconds."""
+    n = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SUB_RUNS", "3")))
+    return statistics.median(fn() for _ in range(n))
+
+
 def _bench_warc_ingest(spark) -> dict:
     """The WARC-ingest + WET-write throughput leg (round 12): see the
     module docstring's ROUND-12 ADDITION for what it times and how to
@@ -409,7 +420,7 @@ def _bench_warc_ingest(spark) -> dict:
             return time.time() - t0
 
         read_cold = _read_pass()
-        read_sec = _read_pass()
+        read_sec = _sub_median(_read_pass)
 
         docs = (
             read_warc(spark, wdir, emit_text=True, emit_payload=False)
@@ -428,7 +439,7 @@ def _bench_warc_ingest(spark) -> dict:
 
         _wet_pass(os.path.join(root, "wet_cold"))
         out = os.path.join(root, "wet")
-        wet_sec = _wet_pass(out)
+        wet_sec = _sub_median(lambda: _wet_pass(out))
         wet_bytes = sum(
             os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
         )
@@ -454,7 +465,7 @@ def _bench_warc_ingest(spark) -> dict:
             return time.time() - t0
 
         _index_pass()
-        index_sec = _index_pass()
+        index_sec = _sub_median(_index_pass)
         cdxj_dir = os.path.join(root, "cdxj")
         write_cdxj(index_warc(spark, wdir), cdxj_dir)
         sel = read_cdxj(spark, cdxj_dir).where(
@@ -469,7 +480,7 @@ def _bench_warc_ingest(spark) -> dict:
             return time.time() - t0
 
         _fetch_pass()
-        fetch_sec = _fetch_pass()
+        fetch_sec = _sub_median(_fetch_pass)
         fetched = int(sel.count())
 
         # columnar-index leg (round 13): the cc-index parquet shape —
@@ -494,7 +505,7 @@ def _bench_warc_ingest(spark) -> dict:
             return time.time() - t0
 
         _probe_pass()
-        ccidx_probe_sec = _probe_pass()
+        ccidx_probe_sec = _sub_median(_probe_pass)
 
         # WAT sidecar leg (round 13): envelope generation (the in-row
         # JSON build over the container walk) and the sidecar write —
@@ -514,7 +525,7 @@ def _bench_warc_ingest(spark) -> dict:
             return time.time() - t0
 
         _wat_gen_pass()
-        wat_gen_sec = _wat_gen_pass()
+        wat_gen_sec = _sub_median(_wat_gen_pass)
 
         def _wat_write_pass(out: str) -> float:
             t0 = time.time()
@@ -523,7 +534,7 @@ def _bench_warc_ingest(spark) -> dict:
 
         _wat_write_pass(os.path.join(root, "wat_cold"))
         wat_dir = os.path.join(root, "wat")
-        wat_write_sec = _wat_write_pass(wat_dir)
+        wat_write_sec = _sub_median(lambda: _wat_write_pass(wat_dir))
         wat_bytes = sum(
             os.path.getsize(os.path.join(wat_dir, f))
             for f in os.listdir(wat_dir)
@@ -531,6 +542,9 @@ def _bench_warc_ingest(spark) -> dict:
 
         mb = 1024 * 1024
         return {
+            "sub_runs": max(
+                1, int(os.environ.get("SPARK_GRAFT_BENCH_SUB_RUNS", "3"))
+            ),
             "containers": containers,
             "records": records,
             "container_bytes": disk_bytes,
@@ -607,8 +621,11 @@ def _bench_linkgraph(spark) -> dict:
         return time.time() - t0
 
     cold = _pass()
-    sec = _pass()
+    sec = _sub_median(_pass)
     return {
+        "sub_runs": max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_SUB_RUNS", "3"))
+        ),
         "edges": int(n_edges),
         "iters": iters,
         "pagerank_cold_sec": round(cold, 3),
@@ -797,6 +814,26 @@ def main() -> None:
         "queries_normalized": normalized,
         "warc_ingest": warc_ingest,
         "linkgraph": linkgraph,
+        # round 16: the sub-legs ride the SAME sentinel as the suite
+        # (they run between sentinel start/end), so their timing fields
+        # get the same unitless box-drift-cancelling treatment the
+        # query medians have had since r10
+        "sub_legs_normalized": (
+            {
+                src: {
+                    k: round(v / sentinel_mean, 3)
+                    for k, v in d.items()
+                    if k.endswith("_sec") and isinstance(v, (int, float))
+                }
+                for src, d in (
+                    ("warc_ingest", warc_ingest),
+                    ("linkgraph", linkgraph),
+                )
+                if isinstance(d, dict) and "err" not in d
+            }
+            if sentinel_mean
+            else {}
+        ),
         # methodology (round 14): EVERY leg's median comes from
         # runs + extra_runs warm samples (median-of-5 at defaults) —
         # the r12/r13 phantom-mover evidence says per-leg noise on
