@@ -1303,13 +1303,20 @@ def gopher_rules_sql(
         ),
         **(
             {
+                # ONE fold per row (the let-bound seg-fold rule from
+                # lang_scores): the filter + sum + count all ride a
+                # single aggregate whose (s, c) struct is let-bound
+                # through transform(array(...))[0] — referencing the
+                # fold from two sub-expressions would run it twice
                 "seg_mean_word_len_ok": (
-                    f"(NOT ({cjk_sql}) OR ("
-                    f"100 * aggregate(filter({seg_toks_sql}, "
-                    f"w -> w rlike '^[{CJK_CLASS}]+$'), 0L, "
-                    f"(a, x) -> a + length(x)) >= {int(min_seg_mean_cents)} "
-                    f"* greatest(size(filter({seg_toks_sql}, "
-                    f"w -> w rlike '^[{CJK_CLASS}]+$')), 1)))"
+                    f"(NOT ({cjk_sql}) OR transform(array("
+                    f"aggregate({seg_toks_sql}, "
+                    f"named_struct('s', 0L, 'c', 0L), "
+                    f"(a, x) -> if(x rlike '^[{CJK_CLASS}]+$', "
+                    f"named_struct('s', a.s + length(x), 'c', a.c + 1L), "
+                    f"a))), "
+                    f"r -> 100L * r.s >= {int(min_seg_mean_cents)}L "
+                    f"* greatest(r.c, 1L))[0])"
                 )
             }
             if seg_toks_sql is not None and cjk_sql is not None

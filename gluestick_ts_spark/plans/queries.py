@@ -1637,20 +1637,17 @@ def _ts_text_sql() -> str:
     )
 
 
-# the NINE-rule verdict (the eight routed rules + seg_mean_word_len_ok
-# over the staged __seg array) — gopher_pass_seg differs from
-# gopher_pass_routed exactly on routed docs the dictionary refuses
-_TS_GOPHER_SEG_SQL = " AND ".join(
-    gopher_rules_sql(
-        "__jt_text", toks_sql="__rt", cjk_sql=_JT_CJK_SQL,
-        seg_toks_sql="__seg",
-    ).values()
-)
-_TS_GOPHER_SEG_DUCK = " AND ".join(
-    gopher_rules_duck_sql(
-        "JT", toks_sql="RT", cjk_sql=_JT_CJK_DUCK, seg_toks_sql="SEGT"
-    ).values()
-)
+# the NINTH rule alone (seg_mean_word_len_ok over the staged __seg
+# array) — gopher_pass_seg is the routed verdict AND this rule, so
+# the eight routed rules are evaluated ONCE per row and reused
+# (recomputing the full rule set inside the seg verdict doubled the
+# justext leg's CPU)
+_TS_SEG_RULE_SQL = gopher_rules_sql(
+    "__jt_text", toks_sql="__rt", cjk_sql=_JT_CJK_SQL, seg_toks_sql="__seg"
+)["seg_mean_word_len_ok"]
+_TS_SEG_RULE_DUCK = gopher_rules_duck_sql(
+    "JT", toks_sql="RT", cjk_sql=_JT_CJK_DUCK, seg_toks_sql="SEGT"
+)["seg_mean_word_len_ok"]
 
 
 def q_text_stats(spark, sf, parts=("stats", "justext")):
@@ -1744,8 +1741,11 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             ).alias("main_text"),
             F.array_join(F.col("__jt_fin"), ",").alias("block_classes"),
             F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
-            F.expr(_TS_GOPHER_SEG_SQL).alias("gopher_pass_seg"),
-        )
+            F.expr(_TS_SEG_RULE_SQL).alias("__seg_ok"),
+        ).withColumn(
+            "gopher_pass_seg",
+            F.col("gopher_pass_routed") & F.col("__seg_ok"),
+        ).drop("__seg_ok")
     jt = "justext" in parts
     if jt:
         # round 12: language-ROUTED stoplist staging — the planted-text
@@ -1851,7 +1851,7 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
             "text", toks_sql="__toks", lines_sql="__lines", grams_sql="__gg"
         ).values()
     )
-    return lvl3.select(
+    out = lvl3.select(
         "doc_id",
         F.expr("CAST(size(__toks) AS BIGINT)").alias("n_words"),
         F.expr("CAST(regexp_count(text, '\\\\w+|[^\\\\w\\\\s]') AS BIGINT)").alias(
@@ -1904,15 +1904,22 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
                 # plants ONLY under routing (unrouted they are one
                 # giant pseudo-token and every word rule fails)
                 F.expr(_JT_GOPHER_ROUTED_SQL).alias("gopher_pass_routed"),
-                # round 16: the word-grain verdict — differs from
-                # gopher_pass_routed exactly where the dictionary
-                # refuses the doc (the planted soup slot)
-                F.expr(_TS_GOPHER_SEG_SQL).alias("gopher_pass_seg"),
+                # round 16: the ninth rule alone — the word-grain
+                # verdict gopher_pass_seg = routed AND seg rule is
+                # assembled in the wrapper select below so the eight
+                # routed rules are never evaluated twice
+                F.expr(_TS_SEG_RULE_SQL).alias("__seg_ok"),
             ]
             if jt
             else []
         ),
     )
+    if jt:
+        out = out.withColumn(
+            "gopher_pass_seg",
+            F.col("gopher_pass_routed") & F.col("__seg_ok"),
+        ).drop("__seg_ok")
+    return out
 
 
 def q_lang_scores(spark, sf, parts=("lang", "clf")):
@@ -6860,7 +6867,8 @@ ORACLES: dict[str, str] = {
         # round 13: char-grain routed Gopher over the planted text —
         # generated from the same thresholds/classes as the Spark side
         f"({_JT_GOPHER_ROUTED_DUCK}) AS gopher_pass_routed, "
-        f"({_TS_GOPHER_SEG_DUCK}) AS gopher_pass_seg "
+        f"(({_JT_GOPHER_ROUTED_DUCK}) AND ({_TS_SEG_RULE_DUCK})) "
+        "AS gopher_pass_seg "
         "FROM tsrc LEFT JOIN xsegf USING (doc_id)"
     ),
     # round 12: the classifier columns re-derive the ENTIRE logistic-
