@@ -44,7 +44,7 @@ NOTES: dict[str, str] = {
         "suffix table) -> 23-node edge list checkpointed, then 3 "
         "rounds each ONE join+aggregate job with the dangling mass as "
         "a broadcast one-row aggregate (n is the only driver scalar); "
-        "audited plan is the 5 lazy text parts unioned with the "
+        "audited plan is the 6 lazy text parts (r16 adds the trigram doclp3 leg: +8 short-key exchanges, all map-side-combined model aggregates + broadcast scoring joins) unioned with the "
         "post-checkpoint rank projection"
     ),
     "lang_scores": (
