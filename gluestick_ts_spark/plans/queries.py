@@ -2710,25 +2710,34 @@ def q_top_terms(
     legs = []
     d = _t(spark, sf, "documents")
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    # round 16: each leg is built ONLY when requested — leg
+    # construction is pure plan building but not free (the py4j +
+    # analyzer cost of the LM model DAGs is seconds at this width),
+    # and the bench's per-part attribution builders were paying for
+    # every other part's construction
     toks = d.select(F.explode(tokens_expr("text")).alias("token"))
-    terms = (
-        toks.where((F.col("token") != "") & ~F.array_contains(sw, F.col("token")))
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(50)
-        .select(
-            F.lit("term").alias("part"),
-            "token",
-            "cnt",
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast("long").alias("n_tokens"),
-            F.lit(None).cast("double").alias("mean_logprob"),
-            F.lit(None).cast("double").alias("pmi"),
-            F.lit(None).cast("double").alias("rank"),
+    terms = None
+    if "term" in parts:
+        terms = (
+            toks.where((F.col("token") != "") & ~F.array_contains(sw, F.col("token")))
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(50)
+            .select(
+                F.lit("term").alias("part"),
+                "token",
+                "cnt",
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("long").alias("n_tokens"),
+                F.lit(None).cast("double").alias("mean_logprob"),
+                F.lit(None).cast("double").alias("pmi"),
+                F.lit(None).cast("double").alias("rank"),
+            )
         )
-    )
-    lp = unigram_logprob_scores(d, vocab_size=100).select(
+    lp = None if "doclp" not in parts else unigram_logprob_scores(
+        d, vocab_size=100
+    ).select(
         F.lit("doclp").alias("part"),
         F.lit(None).cast("string").alias("token"),
         F.lit(None).cast("long").alias("cnt"),
@@ -2738,7 +2747,9 @@ def q_top_terms(
         F.lit(None).cast("double").alias("pmi"),
         F.lit(None).cast("double").alias("rank"),
     )
-    pmi = bigram_pmi(d, min_count=5, top_n=50).select(
+    pmi = None if "pmi" not in parts else bigram_pmi(
+        d, min_count=5, top_n=50
+    ).select(
         F.lit("pmi").alias("part"),
         F.col("bigram").alias("token"),
         "cnt",
@@ -2748,7 +2759,7 @@ def q_top_terms(
         "pmi",
         F.lit(None).cast("double").alias("rank"),
     )
-    heavy = heavy_hitters(
+    heavy = None if "heavy" not in parts else heavy_hitters(
         d.select(F.explode(tokens_expr("text")).alias("tok")).where(
             F.col("tok") != ""
         ),
@@ -2774,8 +2785,12 @@ def q_top_terms(
     # arrays, and the whole bigram model from them.
     from ..functions.text import is_cjk_doc_expr
 
-    d2 = d.withColumn("text", _cjk_dd_text_expr(200, 61, 161))
-    lp2 = bigram_logprob_scores(
+    d2 = (
+        d.withColumn("text", _cjk_dd_text_expr(200, 61, 161))
+        if parts & {"doclp2", "doclp3"}
+        else None
+    )
+    lp2 = None if "doclp2" not in parts else bigram_logprob_scores(
         d2, vocab_size=100, bigram_size=500, min_count=2, lam=0.7,
         cjk=is_cjk_doc_expr("text"),
     ).select(
@@ -2792,7 +2807,7 @@ def q_top_terms(
     # corpus (model sizes keep every branch live: the top-500
     # truncations, the min_count prune, both backoff levels, and the
     # unigram OOV floor)
-    lp3 = trigram_logprob_scores(
+    lp3 = None if "doclp3" not in parts else trigram_logprob_scores(
         d2, vocab_size=100, bigram_size=500, trigram_size=500,
         min_count=2, lam3=0.5, lam2=0.3, cjk=is_cjk_doc_expr("text"),
     ).select(
