@@ -512,11 +512,14 @@ def stream_media_dedup(
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
-        _check_store_signing(spark)
         # a compaction that crashed mid-swap leaves the data path absent
         # with the keys parked in .pre-compact — restore them rather
-        # than reading "empty" and re-accepting every seen hash
+        # than reading "empty" and re-accepting every seen hash.
+        # MUST run before the signing check: in that crash window a
+        # legacy store would otherwise look like a FRESH one and a
+        # drifted recipe would self-attest, bypassing the legacy guard
         recover_flat_store(spark, store_dir, "hashes.parquet")
+        _check_store_signing(spark)
         if hadoop_path_exists(spark, hash_path):
             store = spark.read.parquet(hash_path)
             if "batch_id" in store.columns:
