@@ -333,6 +333,15 @@ def stream_dedup_incremental(
             return
         spark = batch_df.sparkSession
         stamp = stamper.stamp(spark, batch_id)
+        # heal a crashed compaction of the flat store before the
+        # existence check (round 16 — the media/url/domain readers'
+        # contract): a compact_flat_store swap that died between its
+        # two renames parks the signatures in .pre-compact, and
+        # reading "missing" as "empty" would re-accept every
+        # previously seen near-duplicate
+        from ..operators.dedup import recover_flat_store
+
+        recover_flat_store(spark, store_dir, "signatures.parquet")
         _check_flat_signing(spark)
         if hadoop_path_exists(spark, sig_path):
             store = spark.read.parquet(sig_path)

@@ -233,6 +233,28 @@ def test_stream_dedup_incremental(spark, tmp_path):
     sig_ids = {r.id for r in spark.read.parquet(f"{store}/signatures.parquet").collect()}
     assert sig_ids == {1, 2, 11}
 
+    # round 16: a compaction that crashed mid-swap parks the flat
+    # store in .pre-compact — the next batch must HEAL it (not read
+    # "missing" as "empty" and re-accept every stored near-dup)
+    emitted.clear()
+    os.rename(
+        f"{store}/signatures.parquet", f"{store}/signatures.parquet.pre-compact"
+    )
+    _write_stream_batch(
+        src, spark, [(20, base.replace("quick", "swift"))], schema
+    )
+    q3 = (
+        stream_dedup_incremental(
+            spark.readStream.schema(schema).parquet(src), store, emit,
+            threshold=0.7, checkpoint_dir=ckpt,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(180)
+    assert set().union(*emitted.values(), set()) == set()  # 20 = stored dup
+    assert os.path.exists(f"{store}/signatures.parquet")  # healed
+
 
 def test_stream_dedup_incremental_uri_store(spark, tmp_path):
     """The signature store must work behind a filesystem URI (file:/),
