@@ -2610,3 +2610,35 @@ def test_stamp_width_fold_and_unattested_append_warning(
             path,
         )
     assert any("no attestation" in r.message for r in caplog.records)
+
+
+def test_recover_store_data_heals_crashed_bucketed_compaction(
+    spark, tmp_path
+):
+    """Round 16: the bucketed-store twin of recover_flat_store — a
+    _compact_store_data swap that died between its renames parks the
+    data dir in .pre-compact; the incremental entry points (and the
+    compactor itself) now heal it on next touch instead of raising on
+    the missing path."""
+    import os
+
+    from gluestick_ts_spark.operators.dedup import (
+        dedup_minhash_incremental_bucketed,
+        minhash_signatures,
+        write_signature_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bstore")
+    write_signature_store(minhash_signatures(corpus), path, num_buckets=4)
+    os.rename(path + "/banded", path + "/banded.pre-compact")
+
+    batch = spark.createDataFrame(
+        [(10, BASE.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    got, _ = dedup_minhash_incremental_bucketed(batch, path, threshold=0.7)
+    assert {r.doc_id for r in got.collect()} == set()  # dup caught
+    assert os.path.isdir(path + "/banded")  # healed
