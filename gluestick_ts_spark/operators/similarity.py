@@ -1642,9 +1642,10 @@ def semantic_dedup_incremental(
     from pyspark.sql.types import StructType
 
     from ..sources.fs import join_uri
-    from .dedup import _exclude_batch_filter
+    from .dedup import _exclude_batch_filter, recover_store_data
 
     spark = batch.sparkSession
+    recover_store_data(spark, path, _SEM_DATA_DIR)  # heal a crashed compaction
     meta = read_semantic_store_meta(spark, path)
     cents = meta["centroids"]
     assigned = _semantic_assign(batch, cents, id_col, vec_col).localCheckpoint(
@@ -1814,8 +1815,10 @@ def ann_ivf_store_topk(
     from pyspark.sql.types import StructType
 
     from ..sources.fs import join_uri
+    from .dedup import recover_store_data
 
     spark = queries.sparkSession
+    recover_store_data(spark, path, _IVF_DATA_DIR)  # heal a crashed compaction
     meta = read_ivf_store_meta(spark, path)
     cents_lit = _centroid_exprs(meta["centroids"])
     q = queries.select(
