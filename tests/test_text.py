@@ -1842,3 +1842,56 @@ def test_gopher_seg_mean_word_len_rule(spark):
     # without seg_toks_sql the rule set is the unchanged eight
     assert "seg_mean_word_len_ok" not in gopher_rules_sql("text", cjk_sql="cjk")
     assert "seg_mean_word_len_ok" not in gopher_rules_sql("text")
+
+
+def test_cjk_dict_tokens_join_larger_lexicon(spark):
+    """Round 16: the scale path at a policy-list-exceeding dictionary
+    size — 600 synthetic 2/3-char words (the in-row fold's literal is
+    already ~2 KB of JSON here; the join path's cost is independent of
+    |dict|). Docs mix covered prose, partial coverage, and uncovered
+    soup; the two paths agree on every doc."""
+    from gluestick_ts_spark.functions.text import (
+        cjk_dict_tokens_expr,
+        cjk_dict_tokens_join,
+    )
+
+    # deterministic han inventory off U+4E00
+    chars = [chr(0x4E00 + 7 * k % 2000) for k in range(400)]
+    words = tuple(
+        dict.fromkeys(
+            [chars[i % 400] + chars[(i * 13 + 1) % 400] for i in range(500)]
+            + [
+                chars[i] + chars[(i * 7 + 3) % 400] + chars[(i * 11 + 9) % 400]
+                for i in range(100)
+            ]
+        )
+    )
+    assert len(words) == 500  # 400 distinct 2-char + 100 3-char
+    docs = [
+        # fully covered prose: concatenation of dictionary words
+        (1, "".join(words[i] for i in range(0, 40, 2))),
+        # partial: words interleaved with single chars
+        (2, "".join(w + chars[(3 * i) % 400] for i, w in enumerate(words[:12]))),
+        # soup from the tail of the char inventory reversed (pairs
+        # unlikely in dict, mismatches fall through to singles)
+        (3, "".join(reversed(chars[200:260]))),
+        (4, "latin runs 123 " + words[0] + " mixed " + words[1]),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words_df = spark.createDataFrame([(w,) for w in words], "word string")
+    fold = {
+        r.doc_id: r.seg
+        for r in df.select(
+            "doc_id", cjk_dict_tokens_expr("text", words).alias("seg")
+        ).collect()
+    }
+    joined = {
+        r.doc_id: r.seg_tokens
+        for r in cjk_dict_tokens_join(df, "text", words_df).select(
+            "doc_id", "seg_tokens"
+        ).collect()
+    }
+    assert joined == fold
+    # the dictionary actually segmented doc 1 into words, not chars
+    assert all(len(t) >= 2 for t in fold[1]) and len(fold[1]) == 20
