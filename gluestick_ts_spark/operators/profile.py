@@ -34,6 +34,7 @@ __all__ = [
     "unigram_logprob_scores",
     "bigram_logprob_scores",
     "trigram_logprob_scores",
+    "bitri_logprob_scores",
     "bigram_pmi",
     "profile_columns",
     "group_quantile_cuts",
@@ -173,7 +174,17 @@ def unigram_logprob_scores(
         F.col(id_col).alias("id"), F.explode(tok_arr).alias("__t")
     ).where(F.col("__t") != "")
 
-    counts = toks.groupBy("__t").agg(F.count("*").alias("__c"))
+    # round 16 (optimization): the count table feeds THREE consumers
+    # (vocab top-V, the 1-row total, and — in the bigram sibling — the
+    # conditional fold); un-materialized, Catalyst inlines the full
+    # tokenize+explode+aggregate subtree into each one, so the corpus
+    # was being re-tokenized once per consumer (guide §1.2 step 1:
+    # duplicated subtrees). The aggregate output is vocabulary-sized
+    # (tiny next to the corpus), so one eager localCheckpoint buys
+    # back two full corpus passes.
+    counts = toks.groupBy("__t").agg(
+        F.count("*").alias("__c")
+    ).localCheckpoint(eager=True)
     # top-V by count (ties by token for determinism) via orderBy+limit,
     # which compiles to TakeOrderedAndProject: per-partition top-V
     # merged on the driver — never a single-partition sort of the full
@@ -252,6 +263,26 @@ def bigram_logprob_scores(
     table over both grains); pair with a per-language cut when the
     corpus is multilingual, as with the unigram score.
     """
+    base = _lm_token_arrays(df, id_col, text_col, cjk)
+    uni, vocab, total = _lm_unigram_tables(base, vocab_size)
+    bi_full = _lm_bigram_counts(base)
+    return _bigram_scores(
+        base, uni, vocab, total, bi_full, id_col, bigram_size, min_count, lam
+    )
+
+
+def _lm_token_arrays(df, id_col, text_col, cjk) -> DataFrame:
+    """``(id, __t)`` — the routed, empty-filtered token array per row,
+    EAGERLY MATERIALIZED (round 16 optimization). Every n-gram model
+    table and every scoring pass reads these arrays; un-materialized,
+    Catalyst inlines the tokenizer into each consumer, so the bigram
+    op re-tokenized the corpus 5x and the trigram op 7x per execution
+    (guide §1.2 step 1 — fix the duplicated subtree before anything
+    else). The checkpoint is corpus-sized (the arrays weigh about as
+    much as the text); at 100 TB that is a deliberate
+    space-for-passes trade — the same one CCNet's pipeline makes by
+    materializing its tokenized shards — and it lives on executor
+    local disk, never the driver."""
     from ..functions.text import cjk_char_tokens_expr
 
     tok_arr = tokens_expr(text_col)
@@ -260,35 +291,65 @@ def bigram_logprob_scores(
             tok_arr
         )
     toks = F.filter(tok_arr, lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    return df.select(
+        F.col(id_col).alias("id"), toks.alias("__t")
+    ).localCheckpoint(eager=True)
+
+
+def _lm_unigram_tables(base, vocab_size):
+    """(uni, vocab, total) from the materialized token arrays. ``uni``
+    is vocabulary-sized and feeds 2-3 consumers (top-V, the 1-row
+    total, and the conditional folds), so it is checkpointed too."""
     uni = (
         base.select(F.explode("__t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     vocab = uni.orderBy(F.col("c1").desc(), F.col("tok").asc()).limit(
         int(vocab_size)
     )
     total = uni.agg(F.sum("c1").cast("double").alias("__n"))
+    return uni, vocab, total
 
+
+def _lm_bi_arr():
     m = F.size("__t")
-    bi_arr = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), m - 1),
         lambda i: F.struct(
             F.element_at("__t", i).alias("a"),
             F.element_at("__t", i + 1).alias("b"),
         ),
     )
+
+
+def _lm_bigram_counts(base) -> DataFrame:
+    """``(a, b, cab)`` over ALL adjacent pairs — the bigram model's
+    numerator and the trigram conditional's denominator. Checkpointed:
+    it is the shared denominator relation (distinct-pair-sized, far
+    smaller than the position stream that builds it)."""
+    return (
+        base.where(F.size("__t") >= 2)
+        .select(F.explode(_lm_bi_arr()).alias("__bi"))
+        .select(F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bigram_scores(
+    base, uni, vocab, total, bi_full, id_col, bigram_size, min_count, lam
+) -> DataFrame:
     pairs = (
-        base.where(m >= 2)
-        .select("id", F.explode(bi_arr).alias("__bi"))
+        base.where(F.size("__t") >= 2)
+        .select("id", F.explode(_lm_bi_arr()).alias("__bi"))
         .select("id", F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
     )
     # model table with the conditional folded in: P(b|a) = cab / ca
     btable = (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("cab"))
-        .where(F.col("cab") >= int(min_count))
+        bi_full.where(F.col("cab") >= int(min_count))
         .orderBy(F.col("cab").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(int(bigram_size))
         .join(uni.select(F.col("tok").alias("a"), F.col("c1").alias("ca")), on="a")
@@ -361,25 +422,24 @@ def trigram_logprob_scores(
     total. Document text never shuffles. ``cjk`` routes rows to the
     CHAR grain exactly as the siblings do. No reference counterpart
     (extension op)."""
-    from ..functions.text import cjk_char_tokens_expr
-
-    tok_arr = tokens_expr(text_col)
-    if cjk is not None:
-        tok_arr = F.when(cjk, cjk_char_tokens_expr(text_col)).otherwise(
-            tok_arr
-        )
-    toks = F.filter(tok_arr, lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    uni = (
-        base.select(F.explode("__t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c1"))
+    base = _lm_token_arrays(df, id_col, text_col, cjk)
+    uni, vocab, total = _lm_unigram_tables(base, vocab_size)
+    # full bigram counts over ALL adjacent pairs (the trigram
+    # conditional's denominator AND the bigram model's numerator) —
+    # derived from the token arrays, not from the trigram positions,
+    # so the final pair of a 2-token doc counts too (grain parity
+    # with bigram_logprob_scores' own model)
+    bi_full = _lm_bigram_counts(base)
+    return _trigram_scores(
+        base, uni, vocab, total, bi_full, id_col,
+        bigram_size, trigram_size, min_count, lam3, lam2,
     )
-    vocab = uni.orderBy(F.col("c1").desc(), F.col("tok").asc()).limit(
-        int(vocab_size)
-    )
-    total = uni.agg(F.sum("c1").cast("double").alias("__n"))
 
+
+def _trigram_scores(
+    base, uni, vocab, total, bi_full, id_col,
+    bigram_size, trigram_size, min_count, lam3, lam2,
+) -> DataFrame:
     m = F.size("__t")
     tri_arr = F.transform(
         F.sequence(F.lit(1), m - 2),
@@ -398,25 +458,6 @@ def trigram_logprob_scores(
             F.col("__tr.b").alias("b"),
             F.col("__tr.w").alias("w"),
         )
-    )
-    # full bigram counts over ALL adjacent pairs (the trigram
-    # conditional's denominator AND the bigram model's numerator) —
-    # derived from the token arrays, not from the trigram positions,
-    # so the final pair of a 2-token doc counts too (grain parity
-    # with bigram_logprob_scores' own model)
-    bi_arr = F.transform(
-        F.sequence(F.lit(1), m - 1),
-        lambda i: F.struct(
-            F.element_at("__t", i).alias("a"),
-            F.element_at("__t", i + 1).alias("b"),
-        ),
-    )
-    bi_full = (
-        base.where(m >= 2)
-        .select(F.explode(bi_arr).alias("__bi"))
-        .select(F.col("__bi.a").alias("a"), F.col("__bi.b").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("cab"))
     )
     btable = (
         bi_full.where(F.col("cab") >= int(min_count))
@@ -476,6 +517,43 @@ def trigram_logprob_scores(
         F.count("*").cast("long").alias("n_trigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob3"),
     )
+
+
+def bitri_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    trigram_size: int = 200_000,
+    min_count: int = 2,
+    lam: float = 0.7,
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    cjk: "Column | None" = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Both interpolated n-gram scores over ONE shared model build
+    (round 16 optimization): returns ``(bigram_scores,
+    trigram_scores)`` — row-identical to calling
+    ``bigram_logprob_scores`` and ``trigram_logprob_scores``
+    separately (pytest pins the equivalence) — but the tokenized
+    arrays, the unigram count table, and the full bigram count table
+    are materialized ONCE and shared by both models. Separately, the
+    two ops tokenize the corpus 12x between them (5 + 7 duplicated
+    subtrees); fused, the corpus is tokenized once and re-read from
+    the checkpoint 5x. Use this when a pipeline wants both scores
+    (the top_terms doclp2+doclp3 composition)."""
+    base = _lm_token_arrays(df, id_col, text_col, cjk)
+    uni, vocab, total = _lm_unigram_tables(base, vocab_size)
+    bi_full = _lm_bigram_counts(base)
+    lp2 = _bigram_scores(
+        base, uni, vocab, total, bi_full, id_col, bigram_size, min_count, lam
+    )
+    lp3 = _trigram_scores(
+        base, uni, vocab, total, bi_full, id_col,
+        bigram_size, trigram_size, min_count, lam3, lam2,
+    )
+    return lp2, lp3
 
 
 def bigram_pmi(

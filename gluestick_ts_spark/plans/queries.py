@@ -2330,6 +2330,21 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         .withColumn("__jt_lang", F.expr(lang_id_sql("text")))
         .withColumn("__rt", F.expr(_CUR_RT_SQL))
     )
+    # round 16 (optimization): the staged corpus (planted text synth +
+    # lang-ID + routed token array, ~1.5 s/pass at sf0.1 per the bench
+    # parts) is read by EVERY downstream stage — the per-doc flag
+    # projection (twice, through the adaptive filter's cuts+join-back),
+    # the contamination join's two slices, and the unigram model's
+    # passes. Un-materialized, Catalyst inlined the whole staging
+    # subtree into each consumer (~8 corpus-staging passes per
+    # execution — guide §1.2 step 1). One eager localCheckpoint runs
+    # the staging once; at 100 TB this is the standard
+    # materialize-the-staged-corpus trade (executor-local disk, the
+    # same bytes a shuffle of the corpus would spill). Full path only:
+    # the single-stage bench builders keep the lazy staging so their
+    # marginal-cost attribution stays comparable across rounds.
+    if stages is None:
+        d = d.localCheckpoint(eager=True)
     _cjk_pred = F.expr(_JT_CJK_SQL)
     # license/copyright boilerplate footers planted as a pure function
     # of doc_id (constant fractions at any sf) from the shared
@@ -2480,6 +2495,13 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     ).drop("__url")
     w = Window.partitionBy("__fp").orderBy("doc_id")
     per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
+    # the adaptive filter reads its input twice (cuts aggregate +
+    # join-back); per carries every expensive per-doc expression
+    # (routed gopher, quality, fingerprint, license regexes) plus the
+    # url/domain/dup windows — checkpoint the thin flag rows so that
+    # chain runs once, not twice (round 16; the lp-stage precedent
+    # below)
+    per = per.localCheckpoint(eager=True)
     per = adaptive_quality_filter(
         per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
     ).select(
@@ -2790,10 +2812,32 @@ def q_top_terms(
         if parts & {"doclp2", "doclp3"}
         else None
     )
-    lp2 = None if "doclp2" not in parts else bigram_logprob_scores(
-        d2, vocab_size=100, bigram_size=500, min_count=2, lam=0.7,
-        cjk=is_cjk_doc_expr("text"),
-    ).select(
+    # round 16 (optimization): when BOTH n-gram legs are requested,
+    # build them over ONE shared model (bitri_logprob_scores — the
+    # tokenized arrays and the unigram/bigram count tables materialize
+    # once instead of the two ops re-tokenizing the planted corpus 12x
+    # between them); rows are pinned identical to the separate ops
+    # (tests/test_profile.py), so the oracle is untouched
+    lp2_raw = lp3_raw = None
+    if {"doclp2", "doclp3"} <= parts:
+        from ..operators.profile import bitri_logprob_scores
+
+        lp2_raw, lp3_raw = bitri_logprob_scores(
+            d2, vocab_size=100, bigram_size=500, trigram_size=500,
+            min_count=2, lam=0.7, lam3=0.5, lam2=0.3,
+            cjk=is_cjk_doc_expr("text"),
+        )
+    elif "doclp2" in parts:
+        lp2_raw = bigram_logprob_scores(
+            d2, vocab_size=100, bigram_size=500, min_count=2, lam=0.7,
+            cjk=is_cjk_doc_expr("text"),
+        )
+    elif "doclp3" in parts:
+        lp3_raw = trigram_logprob_scores(
+            d2, vocab_size=100, bigram_size=500, trigram_size=500,
+            min_count=2, lam3=0.5, lam2=0.3, cjk=is_cjk_doc_expr("text"),
+        )
+    lp2 = None if lp2_raw is None else lp2_raw.select(
         F.lit("doclp2").alias("part"),
         F.lit(None).cast("string").alias("token"),
         F.lit(None).cast("long").alias("cnt"),
@@ -2807,10 +2851,7 @@ def q_top_terms(
     # corpus (model sizes keep every branch live: the top-500
     # truncations, the min_count prune, both backoff levels, and the
     # unigram OOV floor)
-    lp3 = None if "doclp3" not in parts else trigram_logprob_scores(
-        d2, vocab_size=100, bigram_size=500, trigram_size=500,
-        min_count=2, lam3=0.5, lam2=0.3, cjk=is_cjk_doc_expr("text"),
-    ).select(
+    lp3 = None if lp3_raw is None else lp3_raw.select(
         F.lit("doclp3").alias("part"),
         F.lit(None).cast("string").alias("token"),
         F.lit(None).cast("long").alias("cnt"),

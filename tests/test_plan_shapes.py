@@ -370,9 +370,27 @@ def test_curation_pipeline_composes_without_new_shuffle_classes(spark, sf_dir):
     assert hashed and all("text" not in a for a in hashed), hashed
     # the round-9 URL stage's two windows key on THEIR short derived
     # columns (normalized url / eTLD+1 domain) — presence proves the
-    # stage composed into the plan without a new shuffle class
-    assert any("__url_norm" in a for a in hashed), hashed
-    assert any("__dom" in a for a in hashed), hashed
+    # stage composed into the plan without a new shuffle class. Round
+    # 16: the full path checkpoints the per-doc flag relation before
+    # the adaptive filter's double read, so those windows execute at
+    # construction and no longer print in the final explained plan —
+    # the gate moves to the url stage builder's (lazy) plan, which is
+    # the same pipeline the full path runs pre-checkpoint.
+    from gluestick_ts_spark.plans.queries import QUERY_PARTS
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    url_df = QUERY_PARTS["curation_pipeline_docs"]["url"](spark, sf_dir)
+    url_hashed = [
+        a
+        for a in _exchange_args(
+            url_df._jdf.queryExecution().explainString(mode)
+        )
+        if "hashpartitioning" in a
+    ]
+    assert any("__url_norm" in a for a in url_hashed), url_hashed
+    assert any("__dom" in a for a in url_hashed), url_hashed
 
 
 def test_bm25_shuffles_short_keys_and_broadcasts_query_side(spark, sf_dir):

@@ -499,3 +499,41 @@ def test_trigram_logprob_cjk_partition_invariant(spark):
     assert a == b
     # routed zh docs score at the char grain (len-1... len-2 positions)
     assert a[0][0] == len(zh) + 1 - 2
+
+
+def test_bitri_logprob_matches_separate_ops(spark):
+    """Round 16 (optimization): the fused builder shares one
+    materialized token/unigram/bigram model between both scores —
+    this pins its rows bit-identical to the two standalone ops on a
+    routed corpus that keeps every branch live (truncated tables,
+    min_count prune, backoff ladder, OOV floor, CJK char grain)."""
+    from gluestick_ts_spark.functions.text import is_cjk_doc_expr
+    from gluestick_ts_spark.operators.profile import (
+        bigram_logprob_scores,
+        bitri_logprob_scores,
+        trigram_logprob_scores,
+    )
+
+    zh = "春天来了公园里的花都开了很多人来这里散步"
+    rows = [(i, zh + str(i % 3)) for i in range(12)] + [
+        (50 + i, f"the quick brown fox {i % 4} jumps over the lazy dog")
+        for i in range(8)
+    ] + [(99, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        vocab_size=40, bigram_size=60, min_count=2,
+        cjk=is_cjk_doc_expr("text"),
+    )
+    lp2_f, lp3_f = bitri_logprob_scores(
+        df, trigram_size=60, lam=0.7, lam3=0.5, lam2=0.3, **kw
+    )
+    lp2_s = bigram_logprob_scores(df, lam=0.7, **kw)
+    lp3_s = trigram_logprob_scores(
+        df, trigram_size=60, lam3=0.5, lam2=0.3, **kw
+    )
+
+    def rows_of(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    assert rows_of(lp2_f) == rows_of(lp2_s)
+    assert rows_of(lp3_f) == rows_of(lp3_s)
