@@ -74,6 +74,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    ckpt_every: int = 4,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list, ``iters`` fixed
     rounds from the uniform vector — returns ``(node, rank)`` with
@@ -93,14 +94,31 @@ def pagerank(
     (exact longs; the sub-unit floor residue, bounded by out-degree
     units, is dropped — documented mass slippage < n_edges/1e9), so
     sums are order-free and the output is IDENTICAL under any
-    partitioning or engine. Each round is one join + one aggregate +
-    an eager checkpoint (lineage truncation, the iterative-operator
-    pattern), with the round's dangling mass riding as a broadcast
-    one-row aggregate inside that job; the only driver scalar is n."""
+    partitioning or engine. Each round is one join + one aggregate,
+    with the round's dangling mass riding as a broadcast one-row
+    aggregate inside the same job; the only driver scalar is n.
+
+    ``ckpt_every`` (round 16, optimization): lineage is truncated with
+    an eager ``localCheckpoint`` every k-th round instead of every
+    round — the MLlib iterative-operator pattern (its
+    ``checkpointInterval`` defaults to 10). Per-round checkpointing
+    made every round its own Spark job; between checkpoints the rounds
+    now chain inside ONE job, and the duplicated previous-round
+    subtrees (each round reads its predecessor twice: dangling mass +
+    transfers) deduplicate at runtime via AQE exchange reuse. The
+    checkpoint cadence cannot change the ranks (exact integer
+    arithmetic, order-free sums — the partition-invariance pytest pins
+    it); it only bounds plan growth, which is geometric in the gap, so
+    keep ``ckpt_every`` small. The final round is always checkpointed:
+    callers fan the returned relation into several consumers (e.g. a
+    rank column AND a broadcast join) and must not replay the
+    iteration per consumer."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    if ckpt_every < 1:
+        raise ValueError("ckpt_every must be >= 1")
     w = (
         F.col(weight_col).cast("long")
         if weight_col is not None
@@ -144,7 +162,7 @@ def pagerank(
     d_units = int(round(damping * _GRID))
     base_units = (_GRID - d_units) // n
     pr = nodes.select("node", F.lit(_GRID // n).cast("long").alias("u"))
-    for _ in range(iters):
+    for it in range(iters):
         ranked_out = pr.join(
             outw, pr["node"] == outw["src"], "left"
         ).select(pr["node"], "u", "wout")
@@ -194,8 +212,9 @@ def pagerank(
                     )
                 ).alias("u"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it == iters - 1 or (it + 1) % ckpt_every == 0:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select(
         "node", (F.col("u").cast("double") / _GRID).alias("rank")
     )

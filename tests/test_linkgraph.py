@@ -115,12 +115,25 @@ def test_authority_outranks_spokes(spark):
     assert got["s0"] > got["s1"]  # the hub's one outlink lifts s0
 
 
+def test_ckpt_cadence_cannot_change_ranks(spark):
+    # Checkpoint interval is a lineage-truncation knob only: every cadence
+    # (per-round, mid-run, final-only) must emit bit-identical ranks.
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}", 1 + i % 4) for i in range(60)]
+    rows = [r for r in rows if r[0] != r[1]]
+    e = _edges(spark, rows)
+    want = _ranks(pagerank(e, iters=5, weight_col="w", ckpt_every=1))
+    for k in (2, 3, 99):
+        assert _ranks(pagerank(e, iters=5, weight_col="w", ckpt_every=k)) == want
+
+
 def test_validation(spark):
     e = _edges(spark, [("a", "b", 1)])
     with pytest.raises(ValueError):
         pagerank(e, iters=0)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(e, ckpt_every=0)
 
 
 def test_domain_link_edges_etld1_collapse(spark):
