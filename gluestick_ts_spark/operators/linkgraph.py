@@ -53,11 +53,13 @@ def domain_link_edges(
     either side has no extractable domain are dropped; parallel edges
     aggregate into ``n_links``. One shuffle on the (short) domain
     pair."""
-    from .weburl import registered_domain_expr
+    from .weburl import with_registered_domain
 
-    e = links.select(
-        registered_domain_expr(F.col(src_col), psl).alias("src"),
-        registered_domain_expr(F.col(dst_col), psl).alias("dst"),
+    e = with_registered_domain(links, src_col, "__gs_lg_src", psl=psl)
+    e = with_registered_domain(e, dst_col, "__gs_lg_dst", psl=psl)
+    e = e.select(
+        F.col("__gs_lg_src").alias("src"),
+        F.col("__gs_lg_dst").alias("dst"),
     ).where(
         (F.col("src") != "") & (F.col("dst") != "")
         & (F.col("src") != F.col("dst"))
@@ -242,16 +244,14 @@ def attach_domain_rank(
     Unranked domains (not in the crawl graph: fresh hosts, identity-
     less URLs) get ``default_rank`` so downstream arithmetic is
     total."""
-    from .weburl import registered_domain_expr
+    from .weburl import with_registered_domain
 
     r = F.broadcast(
         ranks.select(
             F.col("node").alias("__dom"), F.col("rank").alias(rank_col)
         )
     )
-    out = docs.withColumn(
-        "__dom", registered_domain_expr(F.col(url_col), psl)
-    )
+    out = with_registered_domain(docs, url_col, "__dom", psl=psl)
     return (
         out.join(r, on="__dom", how="left")
         .drop("__dom")

@@ -204,6 +204,161 @@ def registered_domain_expr(url: Column | str, psl: "PslTables | None" = None) ->
     return dom
 
 
+# --- SQL-text twin of registered_domain_expr (round 16, optimization) ----
+#
+# Building the eTLD+1 Column above costs ~550 py4j round-trips PER CALL
+# (every PSL suffix becomes its own `lit()` + seq-append round-trip inside
+# `isin`), ~0.3 s of pure driver latency each time a pipeline stage derives
+# a domain. The staged generator below emits the SAME expression tree as
+# Spark-SQL text — the IN lists parse in one JVM call — through four
+# Project layers that let-bind the host chain by COLUMN NAME (so the text
+# never duplicates the host regex or the suffix tables; the SPARK-36718
+# staging pattern queries.py uses for lang routing). Values are identical
+# by construction; tests/test_weburl.py pins Column-vs-SQL equivalence
+# over every rule-shape corner.
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _rx_sql(pattern: str) -> str:
+    """Spark-SQL single-quoted literal for a regex: with the default
+    parser (escapedStringLiterals=false) backslashes must double."""
+    return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _in_sql(vals) -> str:
+    out = []
+    for v in sorted(vals):
+        if "'" in v or "\\" in v:
+            raise ValueError(f"unquotable PSL entry: {v!r}")
+        out.append(f"'{v}'")
+    return ", ".join(out)
+
+
+def _is_public_suffix_sql(s: str, psl) -> str:
+    """SQL twin of :func:`_is_public_suffix` over the fragment ``s``."""
+    parts = []
+    if psl.suffixes_2:
+        parts.append(f"{s} IN ({_in_sql(psl.suffixes_2)})")
+    if psl.suffixes_3:
+        parts.append(f"{s} IN ({_in_sql(psl.suffixes_3)})")
+    if psl.wildcard_tlds:
+        rx2, rxt = _rx_sql(r"^[^.]+\.[^.]+$"), _rx_sql(r"([^.]+)$")
+        parts.append(
+            f"({s} RLIKE {rx2} AND "
+            f"regexp_extract({s}, {rxt}, 1) IN "
+            f"({_in_sql(psl.wildcard_tlds)}))"
+        )
+    if psl.wildcard_2:
+        rx3, rxt2 = _rx_sql(r"^[^.]+\.[^.]+\.[^.]+$"), _rx_sql(r"([^.]+\.[^.]+)$")
+        parts.append(
+            f"({s} RLIKE {rx3} AND "
+            f"regexp_extract({s}, {rxt2}, 1) IN "
+            f"({_in_sql(psl.wildcard_2)}))"
+        )
+    # seed False then OR: absent shapes contribute nothing, and with no
+    # shapes at all the guard is constant false (exceptions can't flip
+    # false — `false AND x` is false in 3VL, exactly the Column path)
+    cond = "(" + " OR ".join(parts) + ")" if parts else "false"
+    if psl.exceptions:
+        cond = f"({cond} AND NOT ({s} IN ({_in_sql(psl.exceptions)})))"
+    if psl.exceptions_3:
+        cond = f"({cond} AND NOT ({s} IN ({_in_sql(psl.exceptions_3)})))"
+    return cond
+
+
+def _domain_resolve_sql(h: str, psl) -> str:
+    """SQL twin of the registered_domain_expr resolution chain over an
+    already-staged (lowered, www-stripped) host fragment ``h``."""
+    def lastk(k: int) -> str:
+        pat = _rx_sql("(" + r"\.".join([r"[^.]+"] * k) + ")$")
+        return f"regexp_extract({h}, {pat}, 1)"
+
+    last1, last2, last3, last4 = lastk(1), lastk(2), lastk(3), lastk(4)
+    dom = f"CASE WHEN {last2} != '' THEN {last2} ELSE {h} END"
+    if psl.suffixes_2 or psl.wildcard_tlds:
+        conds = []
+        if psl.suffixes_2:
+            conds.append(f"{last2} IN ({_in_sql(psl.suffixes_2)})")
+        if psl.wildcard_tlds:
+            conds.append(f"{last1} IN ({_in_sql(psl.wildcard_tlds)})")
+        dom = (
+            f"CASE WHEN {' OR '.join(conds)} THEN "
+            f"CASE WHEN {last3} != '' THEN {last3} ELSE {h} END "
+            f"ELSE {dom} END"
+        )
+    if psl.suffixes_3 or psl.wildcard_2:
+        conds3 = []
+        if psl.suffixes_3:
+            conds3.append(f"{last3} IN ({_in_sql(psl.suffixes_3)})")
+        if psl.wildcard_2:
+            conds3.append(f"{last2} IN ({_in_sql(psl.wildcard_2)})")
+        dom = (
+            f"CASE WHEN {' OR '.join(conds3)} THEN "
+            f"CASE WHEN {last4} != '' THEN {last4} ELSE {h} END "
+            f"ELSE {dom} END"
+        )
+    if psl.exceptions:
+        dom = (
+            f"CASE WHEN {last2} IN ({_in_sql(psl.exceptions)}) "
+            f"THEN {last2} ELSE {dom} END"
+        )
+    if psl.exceptions_3:
+        dom = (
+            f"CASE WHEN {last3} IN ({_in_sql(psl.exceptions_3)}) "
+            f"THEN {last3} ELSE {dom} END"
+        )
+    return dom
+
+
+def _ident_sql(col: str) -> str:
+    """Backtick-quote a plain column name; pass fragments through."""
+    import re as _re
+
+    return f"`{col}`" if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col) else col
+
+
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str,
+    out_col: str,
+    psl=None,
+) -> DataFrame:
+    """Append ``out_col`` = the URL's registered domain (true eTLD+1) —
+    same values as ``withColumn(out_col, registered_domain_expr(url_col))``
+    built via three staged temp columns and four one-shot SQL parses
+    instead of ~1100 py4j round-trips. The temps are dropped; Catalyst
+    collapses the Project layers (keeping multi-referenced non-cheap
+    ones staged, which is also the right runtime shape — the host regex
+    runs once per row, not once per reference)."""
+    if psl is None:
+        from .psl import PSL_SNAPSHOT
+
+        psl = PSL_SNAPSHOT
+    u = _ident_sql(url_col)
+    h0, st, h = f"__gs_h0_{out_col}", f"__gs_st_{out_col}", f"__gs_h_{out_col}"
+    host_rx = _rx_sql(_HOST_RE)
+    www_rx = _rx_sql(r"^www\.")
+    www_dotted_rx = _rx_sql(r"^www\..*\.")
+    out = df.withColumn(
+        h0,
+        F.expr(f"lower(regexp_extract(trim({u}), {host_rx}, 1))"),
+    )
+    out = out.withColumn(
+        st, F.expr(f"regexp_replace({h0}, {www_rx}, '')")
+    )
+    out = out.withColumn(
+        h,
+        F.expr(
+            f"CASE WHEN {h0} RLIKE {www_dotted_rx} "
+            f"AND NOT {_is_public_suffix_sql(st, psl)} "
+            f"THEN {st} ELSE {h0} END"
+        ),
+    )
+    out = out.withColumn(out_col, F.expr(_domain_resolve_sql(h, psl)))
+    return out.drop(h0, st, h)
+
+
 def url_dedup_flag(
     df: DataFrame,
     url_col: str = "url",
@@ -294,7 +449,11 @@ def domain_cap_flag(
     from ..functions.sampling import epoch_shuffle_expr
 
     order_key = epoch_shuffle_expr(id_col, seed)
-    out = df.withColumn("__dom", registered_domain_expr(url_col))
+    out = (
+        with_registered_domain(df, url_col, "__dom")
+        if isinstance(url_col, str)
+        else df.withColumn("__dom", registered_domain_expr(url_col))
+    )
     w = Window.partitionBy("__dom").orderBy(order_key.asc())
     out = out.withColumn("__drank", F.row_number().over(w))
     # rows with no attributable domain always keep — the cap is a
@@ -344,7 +503,11 @@ def domain_blocklist_flag(
     resolve to '') always KEEP — a blocklist names real domains; the
     identity-less can't be on it (the ``domain_cap_flag`` exemption,
     same rationale)."""
-    out = df.withColumn("__bldom", registered_domain_expr(url_col, psl=psl))
+    out = (
+        with_registered_domain(df, url_col, "__bldom", psl=psl)
+        if isinstance(url_col, str)
+        else df.withColumn("__bldom", registered_domain_expr(url_col, psl=psl))
+    )
     if isinstance(blocklist, DataFrame):
         bl = blocklist.select(
             F.col("domain").alias("__bldom"), F.lit(True).alias("__blocked")
@@ -492,17 +655,23 @@ def robots_filter(
         _ucol(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    match_key = (
-        F.lower(
-            F.regexp_extract(
-                _ucol(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
-                1,
+    def _with_match_key(frame: DataFrame) -> DataFrame:
+        if key == "host":
+            return frame.withColumn(
+                "__rdom",
+                F.lower(
+                    F.regexp_extract(
+                        _ucol(url_col),
+                        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+                        1,
+                    )
+                ),
             )
+        if isinstance(url_col, str):
+            return with_registered_domain(frame, url_col, "__rdom", psl=psl)
+        return frame.withColumn(
+            "__rdom", registered_domain_expr(url_col, psl=psl)
         )
-        if key == "host"
-        else registered_domain_expr(url_col, psl=psl)
-    )
 
     if not isinstance(robots, DataFrame):
         # local pairs: fold an in-row longest-pattern-first (allow
@@ -525,7 +694,7 @@ def robots_filter(
                     reverse=True,
                 ),
             )
-        out = df.withColumn("__rdom", match_key).withColumn("__rpath", path)
+        out = _with_match_key(df).withColumn("__rpath", path)
         flag = F.lit(True)
         for dom, rules in reversed(list(seen.items())):
             if not rules:
@@ -578,7 +747,7 @@ def robots_filter(
         .mapInPandas(_compile, schema=rule_schema)
         .withColumnRenamed("domain", "__rbdom")
     )
-    out = df.withColumn("__rdom", match_key)
+    out = _with_match_key(df)
     out = out.withColumn("__rpath", path)
     right = F.broadcast(compiled) if broadcast else compiled
     joined = out.join(right, out["__rdom"] == right["__rbdom"], "left")

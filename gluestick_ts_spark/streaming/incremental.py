@@ -671,7 +671,7 @@ def stream_domain_caps(
     per domain — never corpus-sized."""
     from ..functions.sampling import epoch_shuffle_expr
     from ..operators.dedup import _exclude_batch_filter, recover_flat_store
-    from ..operators.weburl import registered_domain_expr
+    from ..operators.weburl import with_registered_domain
     from ..sources.fs import hadoop_path_exists, join_uri
 
     if cap < 1:
@@ -695,7 +695,7 @@ def stream_domain_caps(
             )
         else:
             counts = spark.createDataFrame([], "domain string, __prior long")
-        keyed = batch_df.withColumn("__dom", registered_domain_expr(url_col))
+        keyed = with_registered_domain(batch_df, url_col, "__dom")
         order_key = epoch_shuffle_expr(id_col, seed)
         w = Window.partitionBy("__dom").orderBy(order_key.asc())
         ranked = keyed.withColumn("__rank", F.row_number().over(w)).join(

@@ -1275,3 +1275,61 @@ def test_sitemap_urls_from_warc_frontier(spark, tmp_path):
         ("http://s.com/sm-pages.xml", "http://s.com/p1", False),
         ("http://s.com/sm-pages.xml", "http://s.com/p2", False),
     }
+
+
+def test_with_registered_domain_matches_column_expr(spark):
+    """The staged SQL-text path (with_registered_domain — round 16's
+    one-parse build optimization) must emit EXACTLY the Column
+    expression's values: snapshot PSL and a custom table carrying
+    every rule shape (2/3-label suffixes, wildcard TLD, 2-label
+    wildcard base, 1/3-label exceptions), over the full corner
+    battery incl. NULLs, non-URLs, userinfo/ports, and the
+    www-registrant guard."""
+    from gluestick_ts_spark.operators.psl import parse_psl_rules
+    from gluestick_ts_spark.operators.weburl import with_registered_domain
+
+    urls = [
+        "http://a.co.uk/x",
+        "https://WWW.Example.COM:443/p?q=1",
+        "http://user:pw@www.b.co.uk:8080/y",
+        "http://x.school.k12.ca.us/",
+        "http://a.b.ck/",
+        "http://foo.www.ck/",
+        "http://shop.ichihara.kawasaki.jp/",
+        "http://ichihara.kawasaki.jp/",
+        "http://x.city.kawasaki.jp/",
+        "http://city.kawasaki.jp/",
+        "http://www.blogspot.com/",
+        "http://www.co.uk/",
+        "http://www.ichihara.kawasaki.jp/",
+        "http://www.city.kawasaki.jp/",
+        "http://plain.example.com/",
+        "http://localhost/",
+        "not a url",
+        "",
+        None,
+        "  http://padded.example.org/  ",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string"
+    )
+    tables = parse_psl_rules(
+        ["co.uk", "k12.ca.us", "*.ck", "!www.ck",
+         "*.kawasaki.jp", "!city.kawasaki.jp", "blogspot.com"]
+    )
+    for psl in (None, tables):
+        want = {
+            r.i: r.d
+            for r in df.select(
+                "i", registered_domain_expr("u", psl=psl).alias("d")
+            ).collect()
+        }
+        got = {
+            r.i: r.d
+            for r in with_registered_domain(df, "u", "d", psl=psl)
+            .select("i", "d")
+            .collect()
+        }
+        assert got == want, {
+            k: (got[k], want[k]) for k in want if got[k] != want[k]
+        }
