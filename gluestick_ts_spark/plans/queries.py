@@ -108,6 +108,30 @@ from ..sources.parquet_compat import read_parquet_compat
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+_BG_POOL = None
+
+
+def _bg_submit(fn, *args, **kwargs):
+    """Run an independent eager sub-build (one that fires its own Spark
+    jobs at construction — pagerank, LM model tables, index stores) on
+    a driver worker thread, so its jobs and py4j traffic overlap the
+    main builder's instead of serializing behind them (guide §2.6:
+    actions are only sequential because the driver calls them
+    sequentially; FIFO scheduling back-fills idle executors). The pool
+    is tiny and REUSED across calls — worker threads persist, so no
+    per-build JVM-connection churn — and holds no state besides the
+    in-flight futures, which every caller consumes in the same build.
+    Errors surface at ``.result()`` exactly as they would inline."""
+    global _BG_POOL
+    if _BG_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _BG_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="gs_bg_build"
+        )
+    return _BG_POOL.submit(fn, *args, **kwargs)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver supplies its own SparkSession: pin the session TZ so
     # timestamp formatting matches the (TZ-naive) DuckDB oracle even when
@@ -2475,6 +2499,11 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
             per, "__url", "doc_id", cap=25, seed=1,
             flag_col="domain_keep", domain_col="domain",
         ).drop("__url")
+    # round 16 (optimization): the rank relation's eager pagerank jobs
+    # are independent of everything until the annotate join below —
+    # build them on a pool thread so they overlap the URL/content
+    # stages' construction (guide §2.6)
+    _fut_rank = _bg_submit(_synth_crawl_rank, d.select("doc_id"))
     per = d.select(
         "doc_id",
         "lang",
@@ -2600,7 +2629,7 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
                 F.col("doc_id").cast("string"),
             ),
         ),
-        _synth_crawl_rank(d.select("doc_id")),
+        _fut_rank.result(),
         url_col="__src_url",
         psl=parse_psl_rules([]),
     ).drop("__src_url")
@@ -2731,6 +2760,15 @@ def q_top_terms(
     parts = set(parts)
     legs = []
     d = _t(spark, sf, "documents")
+    # round 16 (optimization): the rank leg's eager pagerank jobs are
+    # independent of every other leg — build them on a pool thread so
+    # they overlap the LM model materialization and the other legs'
+    # expression building (guide §2.6)
+    _fut_rank = (
+        _bg_submit(_synth_crawl_rank, d.select("doc_id"))
+        if "rank" in parts
+        else None
+    )
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     # round 16: each leg is built ONLY when requested — leg
     # construction is pure plan building but not free (the py4j +
@@ -2892,7 +2930,7 @@ def q_top_terms(
             F.lit(prefix), expr.cast("string"), F.lit(path),
             F.col("doc_id").cast("string"),
         )
-        pr = _synth_crawl_rank(ids)
+        pr = _fut_rank.result()
         ranks = pr.select(
             F.lit("rank").alias("part"),
             F.col("node").alias("token"),
@@ -4346,6 +4384,24 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
         )
     )
     legs = []
+    # round 16 (optimization): the persisted-index leg — store write +
+    # probe, all eager jobs — shares nothing with the in-memory bm/rrf
+    # legs until the final union; build it on a pool thread so its
+    # parquet writes overlap the bm checkpoint (guide §2.6)
+    fut_idx = None
+    if "bm25idx" in parts:
+        idx_root = tempfile.mkdtemp(prefix="gs_bm25idx_")
+        atexit.register(shutil.rmtree, idx_root, ignore_errors=True)
+
+        def _build_idx_leg():
+            write_bm25_index(d, idx_root, num_buckets=16, cjk_route=True)
+            return bm25_index_topk(q, idx_root, k=10).select(
+                F.lit("bm25idx").alias("part"), "query_id", "doc_id",
+                "score", "rank",
+                F.lit(None).cast("long").alias("n_lists"),
+            )
+
+        fut_idx = _bg_submit(_build_idx_leg)
     # bm feeds BOTH the bm25 leg and the fusion input; without a
     # checkpoint Catalyst would inline the whole BM25 corpus subtree
     # twice — the 50-row ranking is the thing to reuse, not recompute
@@ -4361,14 +4417,8 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
         ))
     if "rrf" in parts:
         legs.append(_bm25_rrf_leg(d, q, bm))
-    if "bm25idx" in parts:
-        idx_root = tempfile.mkdtemp(prefix="gs_bm25idx_")
-        atexit.register(shutil.rmtree, idx_root, ignore_errors=True)
-        write_bm25_index(d, idx_root, num_buckets=16, cjk_route=True)
-        legs.append(bm25_index_topk(q, idx_root, k=10).select(
-            F.lit("bm25idx").alias("part"), "query_id", "doc_id", "score",
-            "rank", F.lit(None).cast("long").alias("n_lists"),
-        ))
+    if fut_idx is not None:
+        legs.append(fut_idx.result())
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
