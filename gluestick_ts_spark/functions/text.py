@@ -2080,14 +2080,32 @@ def _jt_blocks(
         else F.array(*[F.lit(s) for s in stopwords])
     )
 
-    def mk(b: Column) -> Column:
-        txt = strip_html_expr(b)
-        astr = strip_html_expr(
-            F.array_join(F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " ")
+    # Round 16 (optimization): higher-order functions evaluate
+    # interpreted (no codegen, no common-subexpression elimination), so
+    # every REFERENCE to a Column inside a lambda re-runs its whole
+    # subtree — the old single-pass form re-ran the ~9-pass strip chain
+    # up to 6x per block (bad-gate n, short-gate n, the two word-array
+    # reads, and both struct fields). Lambda PARAMETERS are
+    # materialized once, so a pre-pass stages (txt, alen) per block and
+    # the classifier reads cheap field accesses. Values are identical
+    # by construction (same subexpressions, evaluated once).
+    def pre(b: Column) -> Column:
+        return F.struct(
+            strip_html_expr(b).alias("txt"),
+            F.length(
+                strip_html_expr(
+                    F.array_join(
+                        F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " "
+                    )
+                )
+            ).alias("alen"),
         )
+
+    def mk(s: Column) -> Column:
+        txt = s["txt"]
         n = F.length(txt)
         words = F.split(txt, r"\s+")
-        cls = F.when(3 * F.length(astr) > n, F.lit("bad"))
+        cls = F.when(3 * s["alen"] > n, F.lit("bad"))
         if cjk is not None:
             n_cjk = F.regexp_count(txt, F.lit(f"[{CJK_CLASS}]"))
             cls = cls.when(
@@ -2112,7 +2130,9 @@ def _jt_blocks(
 
     visible = F.regexp_replace(_col(html), _JT_INVISIBLE, " ")
     blocks = F.split(visible, _JT_BLOCK_SPLIT, -1)
-    return F.filter(F.transform(blocks, mk), lambda s: s["n"] > 0)
+    return F.filter(
+        F.transform(F.transform(blocks, pre), mk), lambda s: s["n"] > 0
+    )
 
 
 def _jt_context(cls: Column) -> Column:

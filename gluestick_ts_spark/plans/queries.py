@@ -3203,18 +3203,23 @@ def q_dedup_incremental_docs(spark, sf):
     # killed set, grounding partners, output skeleton): pin it once —
     # batch-sized by definition — instead of re-scanning + re-unioning
     # the parquet per consumer (the audit counted 22 scans)
+    # corpus_sigs feeds BOTH the banding and the verify join inside the
+    # operator (in production it is a cheap parquet re-scan; here it is
+    # a live fold) — pin it so the store's signature fold runs once.
+    # Round 16 (optimization): it depends only on the already-pinned
+    # store, not on the batch — fold it on the build pool so its job
+    # overlaps the batch checkpoint below (guide §2.6)
+    _fut_sigs = _bg_submit(
+        lambda: minhash_signatures(
+            store.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+    )
     batch = (
         enrich(base_batch.unionByName(planted))
         .repartition(par)
         .localCheckpoint(eager=True)
     )
-
-    # corpus_sigs feeds BOTH the banding and the verify join inside the
-    # operator (in production it is a cheap parquet re-scan; here it is
-    # a live fold) — pin it so the store's signature fold runs once
-    store_sigs = minhash_signatures(
-        store.select("doc_id", "text")
-    ).localCheckpoint(eager=True)
+    store_sigs = _fut_sigs.result()
     survivors, _sigs = dedup_minhash_incremental(
         batch.select("doc_id", "text"), store_sigs, threshold=0.7
     )
@@ -3711,6 +3716,21 @@ def q_ann_ivf_topk(spark, sf, modes=("ivf", "ivfpq", "ivfstore")):
     modes = set(modes)
     legs = []
     approx = ann_ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, centroids=cents)
+    # round 16 (optimization): after the one shared seed collect the
+    # three branches are independent until the final union — the PQ
+    # training collects, the store write, and the in-memory leg's
+    # expression building overlap on the build pool (guide §2.6);
+    # union order (ivf, ivfpq, ivfstore) is preserved
+    fut_pq = (
+        _bg_submit(_ann_ivfpq_leg, e, q, seed16, cents)
+        if "ivfpq" in modes
+        else None
+    )
+    fut_store = (
+        _bg_submit(_ann_ivfstore_leg, e, q, approx, cents)
+        if "ivfstore" in modes
+        else None
+    )
     if "ivf" in modes:
         ivf = _recall_guarded(
             ann_recall_vs_exact(approx, cosine_topk(e, q, k=5), k=5), floor=0.6
@@ -3725,10 +3745,10 @@ def q_ann_ivf_topk(spark, sf, modes=("ivf", "ivfpq", "ivfstore")):
             "recall_ok",
         )
         legs.append(ivf)
-    if "ivfpq" in modes:
-        legs.append(_ann_ivfpq_leg(e, q, seed16, cents))
-    if "ivfstore" in modes:
-        legs.append(_ann_ivfstore_leg(e, q, approx, cents))
+    if fut_pq is not None:
+        legs.append(fut_pq.result())
+    if fut_store is not None:
+        legs.append(fut_store.result())
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
