@@ -2504,6 +2504,36 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     # build them on a pool thread so they overlap the URL/content
     # stages' construction (guide §2.6)
     _fut_rank = _bg_submit(_synth_crawl_rank, d.select("doc_id"))
+
+    # round 16 (optimization): the logprob gate chain (unigram model ->
+    # checkpointed thin scores -> per-language adaptive cut) reads only
+    # the pinned staged corpus — independent of the per/contam builds
+    # until the final join, so its model aggregates and checkpoint job
+    # overlap them from the pool (guide §2.6)
+    def _build_lp():
+        lp = unigram_logprob_scores(d, vocab_size=100, cjk=_cjk_pred).join(
+            d.select("doc_id", F.col("__jt_lang").alias("__lg")), on="doc_id"
+        )
+        # the adaptive filter reads its input twice (the <=|langs|-row
+        # cuts aggregate + the join-back); without a checkpoint the
+        # WHOLE unigram model (two exchanges + the 1-row total cross
+        # join) inlines into both branches. The checkpointed relation
+        # is 3 thin columns per doc (the bm/rank eager-at-construction
+        # precedent); at full scale persist the scores to a table (or
+        # exact=False approx cuts) instead of re-deriving them per
+        # branch.
+        lp = lp.select("doc_id", "mean_logprob", "__lg").localCheckpoint(
+            eager=True
+        )
+        lp = adaptive_quality_filter(
+            lp, "mean_logprob", "__lg", q=0.10,
+            cut_col="__lpc", keep_col="__lpok",
+        )
+        return lp.select(
+            "doc_id", F.round("__lpc", 6).alias("lp_cut"), "__lpok"
+        )
+
+    _fut_lp = _bg_submit(_build_lp)
     per = d.select(
         "doc_id",
         "lang",
@@ -2562,24 +2592,9 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     # mass-drops every minority language (and the word-soup corpus's
     # razor-thin lp distribution made the old -3.41/-3.445 constant
     # snap on every content change), while each language's own tail
-    # is a real typicality signal at any mix.
-    lp = unigram_logprob_scores(d, vocab_size=100, cjk=_cjk_pred).join(
-        d.select("doc_id", F.col("__jt_lang").alias("__lg")), on="doc_id"
-    )
-    # the adaptive filter reads its input twice (the <=|langs|-row cuts
-    # aggregate + the join-back); without a checkpoint the WHOLE
-    # unigram model (two exchanges + the 1-row total cross join)
-    # inlines into both branches. The checkpointed relation is 3 thin
-    # columns per doc (the bm/rank eager-at-construction precedent);
-    # at full scale persist the scores to a table (or exact=False
-    # approx cuts) instead of re-deriving them per branch.
-    lp = lp.select("doc_id", "mean_logprob", "__lg").localCheckpoint(
-        eager=True
-    )
-    lp = adaptive_quality_filter(
-        lp, "mean_logprob", "__lg", q=0.10,
-        cut_col="__lpc", keep_col="__lpok",
-    ).select("doc_id", F.round("__lpc", 6).alias("lp_cut"), "__lpok")
+    # is a real typicality signal at any mix. Built above on the pool
+    # (_build_lp) — collected here, right before its only consumer.
+    lp = _fut_lp.result()
     j = (
         per.join(contam, on="doc_id", how="left")
         .join(lp, on="doc_id", how="left")
