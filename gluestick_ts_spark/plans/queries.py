@@ -4179,6 +4179,7 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup", "vtrim")):
 
     parts = set(parts)
     legs = []
+    _pair_futs = []
     _null = lambda t: F.lit(None).cast(t)  # noqa: E731
     if "feat" in parts:
         d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id")
@@ -4254,28 +4255,17 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup", "vtrim")):
                 yield pdf
 
         imgs = p.mapInPandas(_psynth, schema="doc_id long, content binary")
-        pairs = hamming_neardup_pairs(
-            image_dhash(imgs), "doc_id", "dhash", max_hamming=6
-        )
-        legs.append(pairs.select(
-            F.lit("phash").alias("part"),
-            F.col("id_a").alias("doc_id"),
-            _null("string").alias("fmt"),
-            _null("int").alias("width"),
-            _null("long").alias("duration_ms"),
-            _null("long").alias("size_bytes"),
-            _null("string").alias("decoder"),
-            _null("double").alias("f0"),
-            _null("double").alias("f1"),
-            _null("long").alias("dhash"),
-            _null("long").alias("ahash"),
-            _null("long").alias("wavhash"),
-            _null("long").alias("rothash"),
-            _null("long").alias("vhash"),
-            _null("long").alias("spechash"),
-            F.col("id_b").alias("pair_id"),
-            "hamming",
-        ))
+        # round 16 (optimization): the three pair legs (phash/vdup/
+        # vtrim) each fire an eager checkpoint job inside
+        # hamming_neardup_pairs and are mutually independent — submit
+        # them to the build pool so their Arrow-synth + banded-join
+        # jobs overlap instead of serializing (guide §2.6); futures
+        # resolve below in the original union order
+        _pair_futs.append(("phash", _bg_submit(
+            lambda imgs=imgs: hamming_neardup_pairs(
+                image_dhash(imgs), "doc_id", "dhash", max_hamming=6
+            )
+        )))
     if "vdup" in parts:
         v = _t(spark, sf, "documents").where(F.col("doc_id") < 30).select("doc_id")
 
@@ -4293,26 +4283,11 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup", "vtrim")):
         vh = media_hashes(vids, columns={"vhash": vhash_of_payload}).select(
             "doc_id", F.col("vhash")
         )
-        vpairs = hamming_neardup_pairs(vh, "doc_id", "vhash", max_hamming=8)
-        legs.append(vpairs.select(
-            F.lit("vdup").alias("part"),
-            F.col("id_a").alias("doc_id"),
-            _null("string").alias("fmt"),
-            _null("int").alias("width"),
-            _null("long").alias("duration_ms"),
-            _null("long").alias("size_bytes"),
-            _null("string").alias("decoder"),
-            _null("double").alias("f0"),
-            _null("double").alias("f1"),
-            _null("long").alias("dhash"),
-            _null("long").alias("ahash"),
-            _null("long").alias("wavhash"),
-            _null("long").alias("rothash"),
-            _null("long").alias("vhash"),
-            _null("long").alias("spechash"),
-            F.col("id_b").alias("pair_id"),
-            "hamming",
-        ))
+        _pair_futs.append(("vdup", _bg_submit(
+            lambda vh=vh: hamming_neardup_pairs(
+                vh, "doc_id", "vhash", max_hamming=8
+            )
+        )))
     if "vtrim" in parts:
         # round 12: the TRIM-robust twin of vdup — same banded join,
         # but hashes from the even-ordinal sampler, over fixtures whose
@@ -4335,9 +4310,15 @@ def q_multimodal_features(spark, sf, parts=("feat", "phash", "vdup", "vtrim")):
             tvids,
             columns={"vhash": lambda p: vhash_of_payload(p, sample="even")},
         ).select("doc_id", F.col("vhash"))
-        tpairs = hamming_neardup_pairs(tvh, "doc_id", "vhash", max_hamming=8)
-        legs.append(tpairs.select(
-            F.lit("vtrim").alias("part"),
+        _pair_futs.append(("vtrim", _bg_submit(
+            lambda tvh=tvh: hamming_neardup_pairs(
+                tvh, "doc_id", "vhash", max_hamming=8
+            )
+        )))
+    for _tag, _fut in _pair_futs:
+        pairs = _fut.result()
+        legs.append(pairs.select(
+            F.lit(_tag).alias("part"),
             F.col("id_a").alias("doc_id"),
             _null("string").alias("fmt"),
             _null("int").alias("width"),
@@ -4550,33 +4531,47 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
             gumbel_key_expr,
         )
 
-        raw_h, tgt_h = gram_bucket_histograms(d, F.col("lang") == "en")
-        logw = dsir_logweight_expr(F.col("text"), raw_h, tgt_h)
-        key = gumbel_key_expr(F.col("doc_id"), logw)
-        kth_row = (
-            d.select(key.alias("__k"))
-            .orderBy(F.desc("__k"))
-            .limit(100)
-            .agg(F.min("__k"))
-            .first()
-        )
-        kth = F.lit(float(kth_row[0])) if kth_row and kth_row[0] is not None else None
-        bound = F.transform(
-            F.array(logw),
-            lambda L: F.struct(
-                F.round(L, 6).alias("lw"),
-                gumbel_key_expr(F.col("doc_id"), L).alias("ky"),
-            ),
-        )[0]
-        dsir_cols = [
-            bound["lw"].alias("dsir_logw"),
-            F.round(bound["ky"], 6).alias("dsir_key"),
-            (bound["ky"] >= kth if kth is not None else F.lit(True)).alias(
-                "dsir_keep"
-            ),
-        ]
+        # round 16 (optimization): the dsir model chain is TWO
+        # sequential eager jobs (histogram collect, then the k-th-key
+        # TakeOrdered over the scored corpus) that read only ``d`` —
+        # independent of the split leg's construction and its
+        # select_token_budget bucket-sums job until the final select,
+        # so the whole chain builds on the pool and overlaps them
+        # (guide §2.6)
+        def _build_dsir():
+            raw_h, tgt_h = gram_bucket_histograms(d, F.col("lang") == "en")
+            logw = dsir_logweight_expr(F.col("text"), raw_h, tgt_h)
+            key = gumbel_key_expr(F.col("doc_id"), logw)
+            kth_row = (
+                d.select(key.alias("__k"))
+                .orderBy(F.desc("__k"))
+                .limit(100)
+                .agg(F.min("__k"))
+                .first()
+            )
+            kth = (
+                F.lit(float(kth_row[0]))
+                if kth_row and kth_row[0] is not None
+                else None
+            )
+            bound = F.transform(
+                F.array(logw),
+                lambda L: F.struct(
+                    F.round(L, 6).alias("lw"),
+                    gumbel_key_expr(F.col("doc_id"), L).alias("ky"),
+                ),
+            )[0]
+            return [
+                bound["lw"].alias("dsir_logw"),
+                F.round(bound["ky"], 6).alias("dsir_key"),
+                (bound["ky"] >= kth if kth is not None else F.lit(True)).alias(
+                    "dsir_keep"
+                ),
+            ]
+
+        _fut_dsir = _bg_submit(_build_dsir)
         if "split" not in parts:
-            return d.select("doc_id", *dsir_cols)
+            return d.select("doc_id", *_fut_dsir.result())
 
     out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     out = weighted_domain_sample(
@@ -4604,6 +4599,8 @@ def q_hash_split_documents(spark, sf, parts=("split", "dsir")):
     # third primitive: exact-N-per-stratum eval-set membership (16 docs
     # per language, the same 16 forever) — one lang-keyed window
     srank, skeep = stratified_hash_sample_expr("doc_id", "lang", 16)
+    if "dsir" in parts:
+        dsir_cols = _fut_dsir.result()
     return out.select(
         "doc_id",
         md5_bucket_expr("doc_id").alias("bucket"),
