@@ -4420,19 +4420,32 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
         fut_idx = _bg_submit(_build_idx_leg)
     # bm feeds BOTH the bm25 leg and the fusion input; without a
     # checkpoint Catalyst would inline the whole BM25 corpus subtree
-    # twice — the 50-row ranking is the thing to reuse, not recompute
+    # twice — the 50-row ranking is the thing to reuse, not recompute.
+    # Round 16 (optimization): the eager pin reads only d/q, and the
+    # rrf leg's cosine ranking is independent of it until the fuse —
+    # build+pin bm on the pool while the main thread constructs the
+    # cosine sub-plan (guide §2.6)
     bm = None
+    fut_bm = None
     if parts & {"bm25", "rrf"}:
-        bm = bm25_topk(d, q, k=10, cjk_route=True)
         if {"bm25", "rrf"} <= parts:
-            bm = bm.localCheckpoint(eager=True)
+            fut_bm = _bg_submit(
+                lambda: bm25_topk(
+                    d, q, k=10, cjk_route=True
+                ).localCheckpoint(eager=True)
+            )
+        else:
+            bm = bm25_topk(d, q, k=10, cjk_route=True)
+    cos = _bm25_cos_ranking(d, q) if "rrf" in parts else None
+    if fut_bm is not None:
+        bm = fut_bm.result()
     if "bm25" in parts:
         legs.append(bm.select(
             F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank",
             F.lit(None).cast("long").alias("n_lists"),
         ))
     if "rrf" in parts:
-        legs.append(_bm25_rrf_leg(d, q, bm))
+        legs.append(_bm25_rrf_fused(bm, cos))
     if fut_idx is not None:
         legs.append(fut_idx.result())
     out = legs[0]
@@ -4441,10 +4454,9 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     return out
 
 
-def _bm25_rrf_leg(d, q, bm):
+def _bm25_cos_ranking(d, q):
     from ..functions.text import hashed_tf_expr
     from ..operators.dedup import _spread
-    from ..operators.search import rrf_fuse
 
     # round 14: the vector leg routes its hashed-TF grain by script
     # too (char tokens for CJK rows — an unsegmented doc's word-grain
@@ -4480,6 +4492,12 @@ def _bm25_rrf_leg(d, q, bm):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 10)
     )
+    return cos
+
+
+def _bm25_rrf_fused(bm, cos):
+    from ..operators.search import rrf_fuse
+
     rrf = rrf_fuse({"bm25": bm, "cos": cos}, k=60, top_n=10)
     return rrf.select(
         F.lit("rrf").alias("part"), "query_id", "doc_id",
