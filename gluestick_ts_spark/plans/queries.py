@@ -3340,37 +3340,27 @@ def q_ngram_jaccard_adjacent(spark, sf):
     from ..operators.setjoin import set_similarity_join
 
     d = _t(spark, sf, "documents")
-    # round 16 (optimization): join on the RAW text and shingle after
-    # — the adjacent-id equi-join shuffles both sides, and a 3-shingle
-    # array weighs ~3x its source text, so shingling before the
-    # exchange tripled the shuffle bytes for no reuse (guide §2.3:
-    # project before the exchange / shuffle fewer bytes). Values are
-    # identical (pinned by the FULL oracle; A/B: 1.85 vs 2.09 s).
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    a = d.select(
+        F.col("doc_id").alias("id_a"), shingles_expr(F.col("text"), 3).alias("sa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), shingles_expr(F.col("text"), 3).alias("sb")
+    )
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    sa = shingles_expr(F.col("ta"), 3)
-    sb = shingles_expr(F.col("tb"), 3)
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
     adjacent = j.select(
         F.lit("adjacent").alias("part"),
         "id_a",
         "id_b",
         F.round(inter / union, 6).alias("jaccard"),
     )
-    # round 16 (optimization): materialize=True pins the canonically-
-    # ordered relation once — lazily it feeds four plan branches (both
-    # prefix sides + both verify sides) and the 500-doc slice was
-    # re-tokenized and re-assembled per branch (the operator's own
-    # documented tradeoff; A/B: 1.58 vs 1.86 s)
     pp = set_similarity_join(
         d.where(F.col("doc_id") < 500).select(
             "doc_id", shingles_expr(F.col("text"), 3).alias("tokens")
         ),
         set_col="tokens",
         threshold=0.5,
-        materialize=True,
     ).select(F.lit("ppjoin").alias("part"), "id_a", "id_b", "jaccard")
     return adjacent.unionByName(pp)
 
