@@ -3195,8 +3195,15 @@ def q_dedup_incremental_docs(spark, sf):
     store = (
         enrich(d.where(F.col("doc_id") % 3 == 0))
         .repartition(par)
-        .localCheckpoint(eager=True)
     )
+    # round 16 (optimization): the store pin and the batch pin were
+    # serialized only because ``planted`` read the pinned store — but
+    # it needs just the <60-id slice, which the LAZY twin of the store
+    # subtree rebuilds with the filter pushed to the parquet scan
+    # (identical deterministic values). Pin the store on the pool and
+    # chain the signature fold behind it on the SAME worker, while the
+    # main thread checkpoints the now-independent batch (guide §2.6).
+    _fut_store = _bg_submit(lambda st=store: st.localCheckpoint(eager=True))
     base_batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     plant = F.concat(F.col("text"), F.lit(" planted"))
     # plant only from docs with >= 8 tokens: appending one token to an
@@ -3206,7 +3213,9 @@ def q_dedup_incremental_docs(spark, sf):
     # dependent instead of invariant (oracle mirrors this filter)
     long_enough = F.size(F.expr("split(lower(trim(text)), '\\\\s+')")) >= 8
     planted = (
-        store.where((F.col("doc_id") < 60) & long_enough)
+        d.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .where((F.col("doc_id") < 60) & long_enough)
         .select((F.col("doc_id") + 100000).alias("doc_id"), plant.alias("text"))
         .unionByName(
             base_batch.where((F.col("doc_id") < 60) & long_enough).select(
@@ -3221,20 +3230,19 @@ def q_dedup_incremental_docs(spark, sf):
     # corpus_sigs feeds BOTH the banding and the verify join inside the
     # operator (in production it is a cheap parquet re-scan; here it is
     # a live fold) — pin it so the store's signature fold runs once.
-    # Round 16 (optimization): it depends only on the already-pinned
-    # store, not on the batch — fold it on the build pool so its job
-    # overlaps the batch checkpoint below (guide §2.6)
-    _fut_sigs = _bg_submit(
-        lambda: minhash_signatures(
-            store.select("doc_id", "text")
+    def _store_then_sigs():
+        st = _fut_store.result()
+        return st, minhash_signatures(
+            st.select("doc_id", "text")
         ).localCheckpoint(eager=True)
-    )
+
+    _fut_sigs = _bg_submit(_store_then_sigs)
     batch = (
         enrich(base_batch.unionByName(planted))
         .repartition(par)
         .localCheckpoint(eager=True)
     )
-    store_sigs = _fut_sigs.result()
+    store, store_sigs = _fut_sigs.result()
     survivors, _sigs = dedup_minhash_incremental(
         batch.select("doc_id", "text"), store_sigs, threshold=0.7
     )
