@@ -2352,23 +2352,33 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
     d = (
         d.withColumn("text", _cur_text_expr())
         .withColumn("__jt_lang", F.expr(lang_id_sql("text")))
-        .withColumn("__rt", F.expr(_CUR_RT_SQL))
     )
     # round 16 (optimization): the staged corpus (planted text synth +
-    # lang-ID + routed token array, ~1.5 s/pass at sf0.1 per the bench
-    # parts) is read by EVERY downstream stage — the per-doc flag
-    # projection (twice, through the adaptive filter's cuts+join-back),
-    # the contamination join's two slices, and the unigram model's
-    # passes. Un-materialized, Catalyst inlined the whole staging
-    # subtree into each consumer (~8 corpus-staging passes per
-    # execution — guide §1.2 step 1). One eager localCheckpoint runs
-    # the staging once; at 100 TB this is the standard
-    # materialize-the-staged-corpus trade (executor-local disk, the
-    # same bytes a shuffle of the corpus would spill). Full path only:
-    # the single-stage bench builders keep the lazy staging so their
+    # lang-ID, ~1.5 s/pass at sf0.1 per the bench parts) is read by
+    # EVERY downstream stage — the per-doc flag projection (twice,
+    # through the adaptive filter's cuts+join-back), the contamination
+    # join's two slices, and the unigram model's passes.
+    # Un-materialized, Catalyst inlined the whole staging subtree into
+    # each consumer (~8 corpus-staging passes per execution — guide
+    # §1.2 step 1). One eager localCheckpoint runs the staging once;
+    # at 100 TB this is the standard materialize-the-staged-corpus
+    # trade (executor-local disk, the same bytes a shuffle of the
+    # corpus would spill). The checkpoint is NARROWED to the columns
+    # downstream stages actually read (guide §2.3 "project before"
+    # materializing): `source`/`n_chars` have no consumer, and the
+    # routed token array `__rt` (≈ text-sized) is read ONLY by the
+    # gopher rules in the `per` projection, so it stays LAZY — staged
+    # as its own Project layer below, shared across the eight rules
+    # (SPARK-36718 keeps multi-referenced non-cheap projections
+    # un-inlined) and computed exactly once per row, without doubling
+    # the checkpoint's materialized bytes. Full path only: the
+    # single-stage bench builders keep the lazy staging so their
     # marginal-cost attribution stays comparable across rounds.
     if stages is None:
-        d = d.localCheckpoint(eager=True)
+        d = d.select(
+            "doc_id", "lang", "text", "__jt_lang"
+        ).localCheckpoint(eager=True)
+    d = d.withColumn("__rt", F.expr(_CUR_RT_SQL))
     _cjk_pred = F.expr(_JT_CJK_SQL)
     # license/copyright boilerplate footers planted as a pure function
     # of doc_id (constant fractions at any sf) from the shared
