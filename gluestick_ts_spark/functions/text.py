@@ -2017,16 +2017,38 @@ def main_text_expr(
     extractor mass-drops exactly the documents a multilingual corpus
     needs). Link-density (``bad``) and the context pass apply
     identically to both routes."""
+    # round 16 (optimization): st and its class array are LET-BOUND
+    # (the single-element-array transform pattern — lambda parameters
+    # are materialized values). The previous chained form referenced
+    # `cls` inside _jt_context's PER-ELEMENT lambda (try_element_at of
+    # the neighbors), so the whole strip+classify chain re-evaluated
+    # O(blocks) times per document; `st` itself was re-derived by the
+    # zip_with leg on top. Values are identical by construction (same
+    # subexpressions, evaluated once). The staged QUERY path
+    # (plans/queries.py __jt_st/__jt_cls columns) was never exposed —
+    # this closes the same trap for direct API callers.
+    def _let(value, fn):
+        return F.get(F.transform(F.array(value), fn), 0)
+
     st = _jt_blocks(
         html, stopwords, min_len, stop_tenths, cjk, min_len_cjk,
         cjk_tenths,
     )
-    fin = _jt_context(F.transform(st, lambda s: s["cls"]))
-    kept = F.filter(
-        F.zip_with(st, fin, lambda s, c: F.when(c == "good", s["txt"])),
-        lambda t: t.isNotNull(),
-    )
-    return F.array_join(kept, " ")
+
+    def _assemble(stp: Column) -> Column:
+        def _join_good(clsp: Column) -> Column:
+            fin = _jt_context(clsp)
+            kept = F.filter(
+                F.zip_with(
+                    stp, fin, lambda s, c: F.when(c == "good", s["txt"])
+                ),
+                lambda t: t.isNotNull(),
+            )
+            return F.array_join(kept, " ")
+
+        return _let(F.transform(stp, lambda s: s["cls"]), _join_good)
+
+    return _let(st, _assemble)
 
 
 def block_classes_expr(
@@ -2042,15 +2064,16 @@ def block_classes_expr(
     ``','`` in document order ('' for a blockless/markup-only doc) —
     the drop-reason-attribution companion (WHY did text vanish), and
     what the oracle pins class-by-class."""
-    fin = _jt_context(
-        F.transform(
-            _jt_blocks(
-                html, stopwords, min_len, stop_tenths, cjk,
-                min_len_cjk, cjk_tenths,
-            ),
-            lambda s: s["cls"],
-        )
+    # round 16 (optimization): the class array is LET-BOUND before
+    # _jt_context reads it per-element — see main_text_expr
+    cls = F.transform(
+        _jt_blocks(
+            html, stopwords, min_len, stop_tenths, cjk,
+            min_len_cjk, cjk_tenths,
+        ),
+        lambda s: s["cls"],
     )
+    fin = F.get(F.transform(F.array(cls), lambda c: _jt_context(c)), 0)
     return F.array_join(fin, ",")
 
 
@@ -2101,10 +2124,25 @@ def _jt_blocks(
             ).alias("alen"),
         )
 
+    # round 16 (optimization, cont.): the block LENGTH is read by every
+    # gate (bad, both CJK arms, min_len) — 4 interpreted length() scans
+    # per block when computed inside mk's lambda. A second staging layer
+    # adds it as a struct field (lambda parameters are materialized), so
+    # each gate reads a field access. Same for the stopword-density
+    # gate: `filter(words) + size(words)` re-ran the whitespace SPLIT
+    # twice per gate-reaching block (HOFs evaluate interpreted, no
+    # subexpression reuse inside a lambda) — one aggregate() pass now
+    # counts words and stopword hits together off a single split.
+    def pre2(s: Column) -> Column:
+        return F.struct(
+            s["txt"].alias("txt"),
+            F.length(s["txt"]).alias("n"),
+            s["alen"].alias("alen"),
+        )
+
     def mk(s: Column) -> Column:
         txt = s["txt"]
-        n = F.length(txt)
-        words = F.split(txt, r"\s+")
+        n = s["n"]
         cls = F.when(3 * s["alen"] > n, F.lit("bad"))
         if cjk is not None:
             n_cjk = F.regexp_count(txt, F.lit(f"[{CJK_CLASS}]"))
@@ -2114,16 +2152,26 @@ def _jt_blocks(
                 & (10 * n_cjk >= F.lit(int(cjk_tenths)) * n),
                 F.lit("good"),
             ).when(cjk, F.lit("short"))
+        # one pass: acc.s = stopword hits (== size(filter(words, hit))),
+        # acc.n = word count (== size(words)) — value-identical to the
+        # filter+size form the DuckDB twin restates
+        stop_ok = F.aggregate(
+            F.split(txt, r"\s+"),
+            F.struct(F.lit(0).alias("s"), F.lit(0).alias("n")),
+            lambda acc, w: F.struct(
+                (
+                    acc["s"]
+                    + F.when(
+                        F.array_contains(sw, F.lower(w)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias("s"),
+                (acc["n"] + F.lit(1)).alias("n"),
+            ),
+            lambda acc: 10 * acc["s"] >= F.lit(int(stop_tenths)) * acc["n"],
+        )
         cls = (
             cls.when(n < F.lit(int(min_len)), F.lit("short"))
-            .when(
-                10
-                * F.size(
-                    F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))
-                )
-                >= F.lit(int(stop_tenths)) * F.size(words),
-                F.lit("good"),
-            )
+            .when(stop_ok, F.lit("good"))
             .otherwise(F.lit("short"))
         )
         return F.struct(txt.alias("txt"), n.alias("n"), cls.alias("cls"))
@@ -2131,7 +2179,8 @@ def _jt_blocks(
     visible = F.regexp_replace(_col(html), _JT_INVISIBLE, " ")
     blocks = F.split(visible, _JT_BLOCK_SPLIT, -1)
     return F.filter(
-        F.transform(F.transform(blocks, pre), mk), lambda s: s["n"] > 0
+        F.transform(F.transform(F.transform(blocks, pre), pre2), mk),
+        lambda s: s["n"] > 0,
     )
 
 

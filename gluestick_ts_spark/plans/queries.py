@@ -1702,8 +1702,19 @@ def q_text_stats(spark, sf, parts=("stats", "justext")):
         stopwords_for_lang_expr,
     )
 
+    from ..operators.dedup import _spread
+
     parts = set(parts)
-    d = _t(spark, sf, "documents")
+    # round 16 (optimization): the whole leg is map-only expression CPU
+    # (0 exchanges), so its parallelism IS the scan's split count — and
+    # the sf test corpus is ONE small single-row-group parquet file,
+    # which executes every pass as ONE task (measured: all stages
+    # (0+1)/1, 7.1 s single-core at sf0.1 on local[32]). _spread
+    # round-robins the tiny base rows across defaultParallelism only
+    # when the scan provably yields fewer splits (guide §2: make
+    # partitioning scale-adaptive, derive from input size) — on a real
+    # sharded corpus it is a no-op and document text never shuffles.
+    d = _spread(_t(spark, sf, "documents"))
     if parts == {"justext"}:
         # marginal builder (bench attribution): ONLY the jusText
         # columns over the base scan — same lang-routed staging as the
@@ -1965,7 +1976,14 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
     hash-exact), ``clf_prob`` (rounded sigmoid), ``clf_keep``
     (decision boundary). ``parts`` restricts for bench attribution
     (``lang`` = the original row, ``clf`` = train + apply)."""
-    d = _t(spark, sf, "documents")
+    from ..operators.dedup import _spread
+
+    # round 16 (optimization): single small-file scan = ONE task for
+    # every pass (the text_stats finding) — including the classifier's
+    # eager feature-materialization and all 4 gradient jobs, whose
+    # aggregates are exact long sums (order-independent by design).
+    # _spread is a no-op on a real sharded corpus.
+    d = _spread(_t(spark, sf, "documents"))
     # round 13: all lang columns (scores + lang_pred) read the PLANTED
     # text twin (the text_stats _JT_LANG_TEXTS slots — real-script
     # zh/ja/ko among them), so script routing is count-visible in
