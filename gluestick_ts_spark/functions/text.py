@@ -937,18 +937,33 @@ def cjk_dict_tokens_join(
 def _grams_from_tokens(toks: Column, n: int) -> Column:
     """n-gram shingles (space-joined) over an already-built token
     array, WITH duplicates — the shared fold behind
-    ``raw_shingles_expr`` and its char-grain route."""
-    grams = toks
-    for k in range(2, n + 1):
-        # zip_with pads the shorter (shifted) side with nulls; concat_ws
-        # skips nulls, leaving partial grams only in the tail, which the
-        # final slice cuts off.
-        grams = F.zip_with(
-            grams,
-            F.slice(toks, k, F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    return F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    ``raw_shingles_expr`` and its char-grain route.
+
+    Round 16 (optimization): ``toks`` is LET-BOUND via the
+    single-element-array transform before the zip_with chain reads it.
+    The chain references the token array ~2(n-1) times (each level's
+    shifted slice + size), and zip_with is CodegenFallback — every
+    reference re-evaluated the whole tokenize subtree per row (a
+    regex split, or the planted-synth chain feeding it), O(n) regex
+    passes per row at n=8. As a lambda parameter it materializes
+    once. Values identical by construction (same subexpressions;
+    NULL propagates through array()/transform/get unchanged —
+    interleaved A/B: ngram_jaccard_adjacent 3.37 -> 2.45 s at sf0.1)."""
+
+    def _chain(T: Column) -> Column:
+        grams = T
+        for k in range(2, n + 1):
+            # zip_with pads the shorter (shifted) side with nulls;
+            # concat_ws skips nulls, leaving partial grams only in the
+            # tail, which the final slice cuts off.
+            grams = F.zip_with(
+                grams,
+                F.slice(T, k, F.greatest(F.size(T) - (k - 1), F.lit(1))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.slice(grams, 1, F.greatest(F.size(T) - F.lit(n - 1), F.lit(1)))
+
+    return F.get(F.transform(F.array(toks), _chain), 0)
 
 
 def raw_shingles_expr(
