@@ -222,30 +222,48 @@ def quality_score_expr(
     pins every real CJK document at the length floor with a zero
     stopword term (a structural fail, not a quality signal). The
     punctuation term is char-based already and stays shared."""
+    # Round 16 (optimization): both token arrays are LET-BOUND (the
+    # _grams_from_tokens pattern) — the stopword filter is a
+    # CodegenFallback subtree, so its token reference re-ran the
+    # tokenize regex beside the CSE'd size() copies (~2 string scans
+    # per row per path). One scan each now; values identical.
+    def _let(value, fn):
+        return F.get(F.transform(F.array(value), fn), 0)
+
     punct = punct_ratio_expr(text)
     punct_term = F.lit(0.2) * (
         F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0))
     )
-    words = word_count_expr(text).cast("double")
-    stop = stopword_ratio_expr(text)
-    word_score = (
-        F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
-        + punct_term
-    )
+
+    def _word_score(toks: Column) -> Column:
+        words = F.size(toks).cast("double")
+        sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+        stop = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, t))
+        ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        return (
+            F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
+            + punct_term
+        )
+
+    word_score = _let(tokens_expr(text), _word_score)
     if cjk is None:
         return word_score
-    ctoks = cjk_char_tokens_expr(text)
-    sw = F.array(*[F.lit(c) for c in CJK_STOP_CHARS])
-    cstop = F.size(
-        F.filter(ctoks, lambda t: F.array_contains(sw, t))
-    ).cast("double") / F.greatest(F.size(ctoks), F.lit(1)).cast("double")
-    cjk_score = (
-        F.lit(0.4)
-        * F.least(F.size(ctoks).cast("double") / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.4) * F.least(cstop * F.lit(5.0), F.lit(1.0))
-        + punct_term
-    )
+
+    def _cjk_score(ctoks: Column) -> Column:
+        sw = F.array(*[F.lit(c) for c in CJK_STOP_CHARS])
+        cstop = F.size(
+            F.filter(ctoks, lambda t: F.array_contains(sw, t))
+        ).cast("double") / F.greatest(F.size(ctoks), F.lit(1)).cast("double")
+        return (
+            F.lit(0.4)
+            * F.least(F.size(ctoks).cast("double") / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.4) * F.least(cstop * F.lit(5.0), F.lit(1.0))
+            + punct_term
+        )
+
+    cjk_score = _let(cjk_char_tokens_expr(text), _cjk_score)
     return F.when(cjk, cjk_score).otherwise(word_score)
 
 
