@@ -1763,12 +1763,6 @@ def blocked_terms_flags_expr(
     t = _col(text)
     words = [w for w in terms if " " not in w]
     phrases = [w for w in terms if " " in w]
-    toks = F.transform(
-        tokens_expr(t),
-        lambda w: F.regexp_replace(w, r"^[^\w]+|[^\w]+$", ""),
-    )
-    nw = F.greatest(F.size(toks), F.lit(1))
-    low = F.lower(t)
 
     def _phrase_pat(p: str) -> str:
         return (
@@ -1777,30 +1771,57 @@ def blocked_terms_flags_expr(
             + r"\b"
         )
 
-    hits = F.lit(0)
-    if words:
-        wl = F.array(*[F.lit(w.lower()) for w in words])
-        hits = F.size(F.filter(toks, lambda w: F.array_contains(wl, w)))
-    for p in phrases:
-        hits = hits + F.regexp_count(low, F.lit(_phrase_pat(p)))
-    # first matching term in DECLARATION order across the WHOLE list —
-    # one when-chain mixing word-membership and phrase tests (a word
-    # declared after a phrase must NOT outrank it)
-    first = F.lit(None).cast("string")
-    for term in reversed(terms):
-        cond = (
-            F.regexp_count(low, F.lit(_phrase_pat(term))) > 0
-            if " " in term
-            else F.array_contains(toks, F.lit(term.lower()))
-        )
-        first = F.when(cond, F.lit(term)).otherwise(first)
-    frac = hits.cast("double") / nw.cast("double")
-    return F.struct(
-        hits.cast("long").alias("n_hits"),
-        F.round(frac, 6).alias("hit_frac"),
-        first.alias("first_term"),
-        (frac > F.lit(float(max_hit_frac))).alias("blocked"),
+    # Round 16 (optimization): the stripped-token array and the hit
+    # count are LET-BOUND (the _grams_from_tokens pattern). The token
+    # array (split + a per-token regexp strip) was referenced by the
+    # size, the membership filter, AND once per single-word term in the
+    # first-match chain; `hits` (which embeds the CodegenFallback
+    # filter) fed three struct fields. Each reference re-evaluated its
+    # whole subtree — ~(|terms|+2) tokenize passes per row where one
+    # suffices. Values identical.
+    def _let(value, fn):
+        return F.get(F.transform(F.array(value), fn), 0)
+
+    toks_val = F.transform(
+        tokens_expr(t),
+        lambda w: F.regexp_replace(w, r"^[^\w]+|[^\w]+$", ""),
     )
+
+    def _build(toks: Column) -> Column:
+        nw = F.greatest(F.size(toks), F.lit(1))
+        low = F.lower(t)
+        hits_val = F.lit(0)
+        if words:
+            wl = F.array(*[F.lit(w.lower()) for w in words])
+            hits_val = F.size(
+                F.filter(toks, lambda w: F.array_contains(wl, w))
+            )
+        for p in phrases:
+            hits_val = hits_val + F.regexp_count(low, F.lit(_phrase_pat(p)))
+        # first matching term in DECLARATION order across the WHOLE
+        # list — one when-chain mixing word-membership and phrase tests
+        # (a word declared after a phrase must NOT outrank it)
+        first = F.lit(None).cast("string")
+        for term in reversed(terms):
+            cond = (
+                F.regexp_count(low, F.lit(_phrase_pat(term))) > 0
+                if " " in term
+                else F.array_contains(toks, F.lit(term.lower()))
+            )
+            first = F.when(cond, F.lit(term)).otherwise(first)
+
+        def _fields(hits: Column) -> Column:
+            frac = hits.cast("double") / nw.cast("double")
+            return F.struct(
+                hits.cast("long").alias("n_hits"),
+                F.round(frac, 6).alias("hit_frac"),
+                first.alias("first_term"),
+                (frac > F.lit(float(max_hit_frac))).alias("blocked"),
+            )
+
+        return _let(hits_val, _fields)
+
+    return _let(toks_val, _build)
 
 
 def blocked_terms_sql(

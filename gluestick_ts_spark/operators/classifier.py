@@ -105,12 +105,16 @@ def clf_features_spark_sql(
     trick (``hashed_tf_expr``); the total is just ``size(ids)`` since
     every token lands in exactly one bucket."""
     toks = f"filter(split(lower(trim({text_sql})), '\\\\s+'), t -> t != '')"
+    # round 16 (optimization): md5 staged through its own transform so
+    # each token hashes ONCE — the two hex-digit reads referenced
+    # md5(t) twice per token (the hashed_tf_expr let-binding, mirrored
+    # into this SQL twin; values identical)
     bucket = (
-        "((instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 16 + "
-        "(instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)) "
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + "
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) "
         f"% {dim}"
     )
-    ids = f"transform({toks}, t -> {bucket})"
+    ids = f"transform(transform({toks}, t -> md5(t)), h -> {bucket})"
     tot = "CAST(size(ids) AS DOUBLE)"
     permille = (
         f"transform(sequence(0, {dim - 1}), i -> round(1000.0D * "

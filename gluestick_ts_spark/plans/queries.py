@@ -2005,11 +2005,17 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
         # the DuckDB twin is GENERATED from the same list
         from ..functions.text import blocked_terms_flags_expr
 
-        bt = blocked_terms_flags_expr("text", _BT_TERMS)
+        # round 16 (optimization): the struct is STAGED as one column
+        # (the __seg pattern below) — three getField reads of the bare
+        # expression re-evaluated the whole tokenize+match tree per
+        # output column
+        d = d.select(
+            "*", blocked_terms_flags_expr("text", _BT_TERMS).alias("__bt")
+        )
         sel += [
-            bt.getField("n_hits").alias("bt_hits"),
-            bt.getField("hit_frac").alias("bt_frac"),
-            bt.getField("blocked").alias("bt_blocked"),
+            F.col("__bt.n_hits").alias("bt_hits"),
+            F.col("__bt.hit_frac").alias("bt_frac"),
+            F.col("__bt.blocked").alias("bt_blocked"),
         ]
         # round 15: dictionary WORD segmentation rides here for driver
         # visibility — FMM over the planted CJK texts against the
