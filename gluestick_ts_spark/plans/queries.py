@@ -3382,12 +3382,12 @@ def q_ngram_jaccard_adjacent(spark, sf):
     from ..operators.setjoin import set_similarity_join
 
     d = _t(spark, sf, "documents")
-    a = d.select(
-        F.col("doc_id").alias("id_a"), shingles_expr(F.col("text"), 3).alias("sa")
-    )
-    b = d.select(
-        F.col("doc_id").alias("id_b"), shingles_expr(F.col("text"), 3).alias("sb")
-    )
+    # round 16 (optimization): ONE shingle Column tree reused by all
+    # three sites (Columns are immutable; each construction is ~0.3 s
+    # of py4j round-trips)
+    _sh3 = shingles_expr(F.col("text"), 3)
+    a = d.select(F.col("doc_id").alias("id_a"), _sh3.alias("sa"))
+    b = d.select(F.col("doc_id").alias("id_b"), _sh3.alias("sb"))
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size(F.array_union("sa", "sb")).cast("double")
@@ -3399,7 +3399,7 @@ def q_ngram_jaccard_adjacent(spark, sf):
     )
     pp = set_similarity_join(
         d.where(F.col("doc_id") < 500).select(
-            "doc_id", shingles_expr(F.col("text"), 3).alias("tokens")
+            "doc_id", _sh3.alias("tokens")
         ),
         set_col="tokens",
         threshold=0.5,
