@@ -222,11 +222,15 @@ def quality_score_expr(
     pins every real CJK document at the length floor with a zero
     stopword term (a structural fail, not a quality signal). The
     punctuation term is char-based already and stays shared."""
-    # Round 16 (optimization): both token arrays are LET-BOUND (the
-    # _grams_from_tokens pattern) — the stopword filter is a
-    # CodegenFallback subtree, so its token reference re-ran the
-    # tokenize regex beside the CSE'd size() copies (~2 string scans
-    # per row per path). One scan each now; values identical.
+    # Round 16 (optimization): the CJK token array is LET-BOUND (the
+    # _grams_from_tokens pattern) — its stopchar filter is a
+    # CodegenFallback subtree, so each reference re-ran the char-
+    # extraction regex beside the CSE'd size() copies. The WORD path
+    # deliberately stays in its original form: an 8-round interleaved
+    # A/B showed let-binding it REGRESSES (approx_distinct mean
+    # 3.09 -> 3.34 s, curation mean 7.14 -> 8.92 s) — wrapping the
+    # score in an ArrayTransform makes the whole column interpreted,
+    # which costs more than the one saved split on word-grain rows.
     def _let(value, fn):
         return F.get(F.transform(F.array(value), fn), 0)
 
@@ -234,20 +238,13 @@ def quality_score_expr(
     punct_term = F.lit(0.2) * (
         F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0))
     )
-
-    def _word_score(toks: Column) -> Column:
-        words = F.size(toks).cast("double")
-        sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-        stop = F.size(
-            F.filter(toks, lambda t: F.array_contains(sw, t))
-        ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        return (
-            F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
-            + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
-            + punct_term
-        )
-
-    word_score = _let(tokens_expr(text), _word_score)
+    words = word_count_expr(text).cast("double")
+    stop = stopword_ratio_expr(text)
+    word_score = (
+        F.lit(0.4) * F.least(words / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * F.least(stop * F.lit(5.0), F.lit(1.0))
+        + punct_term
+    )
     if cjk is None:
         return word_score
 
