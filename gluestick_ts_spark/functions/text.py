@@ -313,6 +313,7 @@ def c4_line_rules_expr(
     a SQL oracle restates it verbatim. Pure Column algebra: map-only
     at any corpus size."""
     t = _col(text)
+    lines = F.split(t, "\n")
     is_kept = lambda ln: (  # noqa: E731
         ln.rlike(terminal_re)
         & (
@@ -321,35 +322,19 @@ def c4_line_rules_expr(
         )
         & ~F.lower(ln).contains("javascript")
     )
+    kept = F.filter(lines, is_kept)
     has_lorem = F.lower(t).contains("lorem ipsum")
     has_brace = t.contains("{")
-
-    # round 16 (optimization): the kept-lines array (a CodegenFallback
-    # filter running three regex tests per line) fed three struct
-    # fields, so the whole per-line rule chain evaluated 3x per row —
-    # both arrays are LET-BOUND (the _grams_from_tokens pattern);
-    # values identical.
-    def _let(value, fn):
-        return F.get(F.transform(F.array(value), fn), 0)
-
-    def _build(lines: Column) -> Column:
-        def _fields(kept: Column) -> Column:
-            return F.struct(
-                F.concat_ws("\n", kept).alias("text_clean"),
-                F.size(lines).cast("long").alias("n_lines"),
-                F.size(kept).cast("long").alias("n_kept"),
-                has_lorem.alias("has_lorem_ipsum"),
-                has_brace.alias("has_brace"),
-                (
-                    (F.size(kept) >= F.lit(min_kept_lines))
-                    & ~has_lorem
-                    & ~has_brace
-                ).alias("keep"),
-            )
-
-        return _let(F.filter(lines, is_kept), _fields)
-
-    return _let(F.split(t, "\n"), _build)
+    return F.struct(
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= F.lit(min_kept_lines)) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )
 
 
 def fingerprint_expr(text: Column | str, width_fold: bool = False) -> Column:
