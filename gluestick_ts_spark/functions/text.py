@@ -222,18 +222,17 @@ def quality_score_expr(
     pins every real CJK document at the length floor with a zero
     stopword term (a structural fail, not a quality signal). The
     punctuation term is char-based already and stays shared."""
-    # Round 16 (optimization): the CJK token array is LET-BOUND (the
-    # _grams_from_tokens pattern) — its stopchar filter is a
-    # CodegenFallback subtree, so each reference re-ran the char-
-    # extraction regex beside the CSE'd size() copies. The WORD path
-    # deliberately stays in its original form: an 8-round interleaved
-    # A/B showed let-binding it REGRESSES (approx_distinct mean
-    # 3.09 -> 3.34 s, curation mean 7.14 -> 8.92 s) — wrapping the
-    # score in an ArrayTransform makes the whole column interpreted,
-    # which costs more than the one saved split on word-grain rows.
-    def _let(value, fn):
-        return F.get(F.transform(F.array(value), fn), 0)
-
+    # Round 16 (optimization): LEFT IN THE r15 FORM on purpose. Two
+    # let-binding variants were interleaved-A/B'd (8 matched rounds
+    # each) and both measured flat-to-worse: binding the word-path
+    # tokens wraps the score in an ArrayTransform and makes the whole
+    # column interpreted (approx_distinct mean 3.09 -> 3.34 s,
+    # curation 7.14 -> 8.92 s); binding only the CJK path was a wash
+    # against this form (curation 7.29 vs 7.52 s means). Unlike the
+    # shingle fold — whose duplicates sit INSIDE a CodegenFallback
+    # argument tree where codegen CSE cannot reach — these duplicates
+    # are project-level, and whole-stage codegen already eliminates
+    # them.
     punct = punct_ratio_expr(text)
     punct_term = F.lit(0.2) * (
         F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0))
@@ -247,20 +246,17 @@ def quality_score_expr(
     )
     if cjk is None:
         return word_score
-
-    def _cjk_score(ctoks: Column) -> Column:
-        sw = F.array(*[F.lit(c) for c in CJK_STOP_CHARS])
-        cstop = F.size(
-            F.filter(ctoks, lambda t: F.array_contains(sw, t))
-        ).cast("double") / F.greatest(F.size(ctoks), F.lit(1)).cast("double")
-        return (
-            F.lit(0.4)
-            * F.least(F.size(ctoks).cast("double") / F.lit(100.0), F.lit(1.0))
-            + F.lit(0.4) * F.least(cstop * F.lit(5.0), F.lit(1.0))
-            + punct_term
-        )
-
-    cjk_score = _let(cjk_char_tokens_expr(text), _cjk_score)
+    ctoks = cjk_char_tokens_expr(text)
+    sw = F.array(*[F.lit(c) for c in CJK_STOP_CHARS])
+    cstop = F.size(
+        F.filter(ctoks, lambda t: F.array_contains(sw, t))
+    ).cast("double") / F.greatest(F.size(ctoks), F.lit(1)).cast("double")
+    cjk_score = (
+        F.lit(0.4)
+        * F.least(F.size(ctoks).cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * F.least(cstop * F.lit(5.0), F.lit(1.0))
+        + punct_term
+    )
     return F.when(cjk, cjk_score).otherwise(word_score)
 
 
