@@ -320,31 +320,47 @@ def write_bm25_index(
     post = term_postings(docs, id_col, text_col, cjk_route, cjk_n).withColumn(
         "bucket", _term_bucket(num_buckets)
     )
-    # repartition ON the bucket key before the partitioned write: each
-    # bucket lands wholly in one task, so the layout is ~1 file/bucket
-    # instead of tasks x buckets tiny files — the probe's pruned scan
-    # and the docfreq read-back open 64 files, not thousands (one
-    # bounded shuffle of the postings buys every later read)
-    post.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(join_uri(path, _BM25_POSTINGS_DIR))
-    # df and corpus stats derive from the postings JUST WRITTEN — a
-    # columnar read-back instead of recomputing the tokenize+count
-    # pass (twice); also the scale-safe shape, since the postings
-    # relation needs no driver/executor-memory materialization
-    written = spark.read.schema(post.schema).parquet(
-        join_uri(path, _BM25_POSTINGS_DIR)
-    )
-    dfr = (
-        written.groupBy("term", "bucket")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
-    # same 1-file/bucket layout as the postings (the agg already
-    # shuffled on (term, bucket); this folds it to bucket grain)
-    dfr.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(join_uri(path, _BM25_DF_DIR))
-    n_docs, sum_dl = _corpus_stats(docs, id_col, text_col, cjk_route, cjk_n)
+    # round 17 (optimization): the corpus-stats aggregate is a full
+    # corpus tokenize pass that reads only ``docs`` — independent of
+    # the postings/docfreq writes until the meta assembly at the end,
+    # so it runs as a concurrent job on a scoped worker thread while
+    # the writes proceed (guide §2.6: actions are only sequential
+    # because the driver calls them sequentially). One extra thread
+    # for the duration of this call only; errors surface at .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="gs_bm25_stats"
+    ) as _stats_pool:
+        _fut_stats = _stats_pool.submit(
+            _corpus_stats, docs, id_col, text_col, cjk_route, cjk_n
+        )
+        # repartition ON the bucket key before the partitioned write:
+        # each bucket lands wholly in one task, so the layout is
+        # ~1 file/bucket instead of tasks x buckets tiny files — the
+        # probe's pruned scan and the docfreq read-back open 64 files,
+        # not thousands (one bounded shuffle of the postings buys every
+        # later read)
+        post.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(join_uri(path, _BM25_POSTINGS_DIR))
+        # df and corpus stats derive from the postings JUST WRITTEN — a
+        # columnar read-back instead of recomputing the tokenize+count
+        # pass (twice); also the scale-safe shape, since the postings
+        # relation needs no driver/executor-memory materialization
+        written = spark.read.schema(post.schema).parquet(
+            join_uri(path, _BM25_POSTINGS_DIR)
+        )
+        dfr = (
+            written.groupBy("term", "bucket")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+        # same 1-file/bucket layout as the postings (the agg already
+        # shuffled on (term, bucket); this folds it to bucket grain)
+        dfr.repartition(num_buckets, "bucket").write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(join_uri(path, _BM25_DF_DIR))
+        n_docs, sum_dl = _fut_stats.result()
     meta = {
         "num_buckets": num_buckets,
         # the term grain is part of the store's FROZEN contract, like

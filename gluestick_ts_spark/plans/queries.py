@@ -121,13 +121,29 @@ def _bg_submit(fn, *args, **kwargs):
     is tiny and REUSED across calls — worker threads persist, so no
     per-build JVM-connection churn — and holds no state besides the
     in-flight futures, which every caller consumes in the same build.
-    Errors surface at ``.result()`` exactly as they would inline."""
+    Errors surface at ``.result()`` exactly as they would inline.
+
+    Round 17: width is GATED on ``defaultParallelism`` instead of the
+    r16 ``max_workers=2`` local[32] constant (the r16 verdict's own
+    recorded TODO): ``min(4, max(2, dp // 8))`` — 2 at <=16 cores
+    (matching the measured r16 optimum under contention), 3 at 32 (so
+    three independent eager sub-builds can be in flight where the
+    dependency graph has three — curation's rank/lp/per spine), capped
+    at 4 per guide §2.6 ("2-3 jobs in flight is plenty"). Sized once at
+    first use from the active session."""
     global _BG_POOL
     if _BG_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
+        try:
+            from pyspark.sql import SparkSession
+
+            dp = SparkSession.getActiveSession().sparkContext.defaultParallelism
+        except Exception:  # no active session: the conservative floor
+            dp = 16
         _BG_POOL = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="gs_bg_build"
+            max_workers=min(4, max(2, dp // 8)),
+            thread_name_prefix="gs_bg_build",
         )
     return _BG_POOL.submit(fn, *args, **kwargs)
 
@@ -3219,12 +3235,22 @@ def q_dedup_incremental_docs(spark, sf):
     # the pinned relations carry the per-doc derived columns every
     # downstream stage needs — fingerprint for the exact-dup flags and
     # 8-byte gram hashes for the grounding inverted index — so text is
-    # shingled/fingerprinted ONCE per side instead of once per consumer
+    # shingled/fingerprinted ONCE per side instead of once per consumer.
+    # Round 17, tried and REVERTED: folding the MinHash signature into
+    # these pins as one more column (one checkpoint job per side
+    # instead of the chained thin signature pin) measured 4.7 -> 6.3 s
+    # on the leg — signature CONSUMERS (banding x2, verify join,
+    # survivor return) then read projections of the FAT pinned rows,
+    # and a LogicalRDD scan deserializes full rows (no column pruning
+    # into a checkpoint), so every consumer paid text+grams
+    # deserialization for an (id, signature) read. The chained THIN
+    # signature checkpoints are load-bearing, not redundant.
+    _sh = shingles_expr(F.col("text"))  # ONE shingle tree, both sides
     enrich = lambda df: df.select(
         "doc_id",
         "text",
         fingerprint_expr("text").alias("__fp"),
-        F.transform(shingles_expr(F.col("text")), lambda g: F.xxhash64(g)).alias("__gh"),
+        F.transform(_sh, lambda g: F.xxhash64(g)).alias("__gh"),
     )
     store = (
         enrich(d.where(F.col("doc_id") % 3 == 0))
@@ -3234,9 +3260,10 @@ def q_dedup_incremental_docs(spark, sf):
     # serialized only because ``planted`` read the pinned store — but
     # it needs just the <60-id slice, which the LAZY twin of the store
     # subtree rebuilds with the filter pushed to the parquet scan
-    # (identical deterministic values). Pin the store on the pool and
-    # chain the signature fold behind it on the SAME worker, while the
-    # main thread checkpoints the now-independent batch (guide §2.6).
+    # (identical deterministic values). Pin the store on the pool
+    # while the main thread checkpoints the now-independent batch
+    # (guide §2.6), chaining the signature fold behind it on the SAME
+    # worker.
     _fut_store = _bg_submit(lambda st=store: st.localCheckpoint(eager=True))
     base_batch = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     plant = F.concat(F.col("text"), F.lit(" planted"))
@@ -4445,7 +4472,16 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     # round 16 (optimization): the persisted-index leg — store write +
     # probe, all eager jobs — shares nothing with the in-memory bm/rrf
     # legs until the final union; build it on a pool thread so its
-    # parquet writes overlap the bm checkpoint (guide §2.6)
+    # parquet writes overlap the main thread's construction (guide
+    # §2.6). Round 17: when the index leg is built anyway, the bm25 /
+    # rrf legs read the PROBE ranking instead of running bm25_topk —
+    # the store contract (enforced by the oracle every round: the
+    # bm25idx rows are pinned IDENTICAL to the in-memory bm25 rows)
+    # makes the probe a value-exact substitute, and the probe's
+    # partition-pruned bucket scan replaces the corpus-sized
+    # tokenize+rank checkpoint job bm25_topk paid at build (guide §2.4
+    # remove duplicated work: the corpus was tokenized once for the
+    # index AND twice more inside the pinned bm25_topk subtree).
     fut_idx = None
     if "bm25idx" in parts:
         idx_root = tempfile.mkdtemp(prefix="gs_bm25idx_")
@@ -4453,11 +4489,12 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
 
         def _build_idx_leg():
             write_bm25_index(d, idx_root, num_buckets=16, cjk_route=True)
-            return bm25_index_topk(q, idx_root, k=10).select(
-                F.lit("bm25idx").alias("part"), "query_id", "doc_id",
-                "score", "rank",
-                F.lit(None).cast("long").alias("n_lists"),
-            )
+            probe = bm25_index_topk(q, idx_root, k=10)
+            if parts & {"bm25", "rrf"}:
+                # ~k x |queries| rows, >= 3 consumers (bm25 leg, rrf
+                # fuse, bm25idx leg): one tiny pin
+                probe = probe.localCheckpoint(eager=True)
+            return probe
 
         fut_idx = _bg_submit(_build_idx_leg)
     # bm feeds BOTH the bm25 leg and the fusion input; without a
@@ -4466,10 +4503,12 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
     # Round 16 (optimization): the eager pin reads only d/q, and the
     # rrf leg's cosine ranking is independent of it until the fuse —
     # build+pin bm on the pool while the main thread constructs the
-    # cosine sub-plan (guide §2.6)
+    # cosine sub-plan (guide §2.6). Only taken when the index leg is
+    # NOT requested (bench part builders); the full query reads the
+    # probe (round 17, above).
     bm = None
     fut_bm = None
-    if parts & {"bm25", "rrf"}:
+    if parts & {"bm25", "rrf"} and fut_idx is None:
         if {"bm25", "rrf"} <= parts:
             fut_bm = _bg_submit(
                 lambda: bm25_topk(
@@ -4479,8 +4518,11 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
         else:
             bm = bm25_topk(d, q, k=10, cjk_route=True)
     cos = _bm25_cos_ranking(d, q) if "rrf" in parts else None
+    probe = fut_idx.result() if fut_idx is not None else None
     if fut_bm is not None:
         bm = fut_bm.result()
+    if bm is None and probe is not None:
+        bm = probe
     if "bm25" in parts:
         legs.append(bm.select(
             F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank",
@@ -4488,8 +4530,12 @@ def q_bm25_search_docs(spark, sf, parts=("bm25", "rrf", "bm25idx")):
         ))
     if "rrf" in parts:
         legs.append(_bm25_rrf_fused(bm, cos))
-    if fut_idx is not None:
-        legs.append(fut_idx.result())
+    if probe is not None:
+        legs.append(probe.select(
+            F.lit("bm25idx").alias("part"), "query_id", "doc_id",
+            "score", "rank",
+            F.lit(None).cast("long").alias("n_lists"),
+        ))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

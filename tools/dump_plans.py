@@ -1,8 +1,9 @@
-"""Dump ``explain("formatted")`` for bench queries to plans/r16/.
+"""Dump ``explain("formatted")`` for bench queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r16/<query>_<suffix>.txt for each query (default: every
+The round dir is ``$SPARK_GRAFT_PLANS_ROUND`` (default r17).
+Writes plans/<round>/<query>_<suffix>.txt for each query (default: every
 bench query). Queries whose construction runs eager work (training,
 pagerank) still produce their post-checkpoint plan — same convention
 as tools/plan_audit.py.
@@ -29,7 +30,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="gluestick-ts-spark-plandump")
