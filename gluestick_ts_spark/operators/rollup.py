@@ -316,8 +316,26 @@ def refresh_rollup(
         partial.write.partitionBy(_DATE).mode("overwrite").parquet(path)
         return read_rollup(spark, path)
 
-    # batch's affected dates: a tiny driver collect (days, not rows)
-    dates = [r[0] for r in partial.select(_DATE).distinct().collect()]
+    # batch's affected dates: a tiny driver collect (days, not rows).
+    # Round 17: collected from the RAW batch rows via the same window
+    # expression (a map-only projection + short-key distinct), not from
+    # ``partial`` — reading them off ``partial`` ran the WHOLE batch
+    # aggregate (count/sum/HLL/KLL sketches, shuffle included) once for
+    # this collect and AGAIN inside ``merged`` below (guide §1.2 step
+    # 1: don't compute things twice). Same window expression => the
+    # distinct date set is identical by construction — including
+    # buckets that span midnight, which is why this is NOT
+    # to_date(ts_col).
+    dates = [
+        r[0]
+        for r in batch_df.select(
+            F.to_date(F.window(F.col(ts_col), bucket)["start"])
+            .cast("string")
+            .alias(_DATE)
+        )
+        .distinct()
+        .collect()
+    ]
     existing = (
         spark.read.parquet(path)
         .where(F.col(_DATE).isin(dates))  # partition-pruned scan

@@ -1311,11 +1311,13 @@ def q_approx_distinct_users(spark, sf):
         F.lit(None).cast("long").alias("n_neg"),
         F.lit(None).cast("string").alias("stratum"),
     )
-    d = _t(spark, sf, "documents").select(
+    from ..operators.dedup import _spread
+
+    d = _spread(_t(spark, sf, "documents")).select(
         F.col("lang").alias("stratum"),
         quality_score_expr("text").alias("s"),
         gopher_quality_flags("text").getField("passes").cast("int").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     nulls = [
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("long").alias("exact_users"),
@@ -2584,58 +2586,73 @@ def q_curation_pipeline_docs(spark, sf, stages=None):
         )
 
     _fut_lp = _bg_submit(_build_lp)
-    per = d.select(
-        "doc_id",
-        "lang",
-        F.col("__jt_lang").alias("doc_lang"),
-        url.alias("__url"),
-        (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
-        F.expr(_CUR_GOPHER_ROUTED_SQL).alias("gopher_ok"),
-        quality_score_expr("text", cjk=_cjk_pred).alias("__q"),
-        fingerprint_expr("text").alias("__fp"),
-        _lic.alias("__lic"),
-    )
-    per = domain_blocklist_flag(per, "__url", _BLOCKED_DOMAINS)
-    per = robots_filter(per, list(_ROBOTS_TXT), "__url")
-    per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
-    per = domain_cap_flag(
-        per, "__url", "doc_id", cap=25, seed=1,
-        flag_col="domain_keep", domain_col="domain",
-    ).drop("__url")
-    w = Window.partitionBy("__fp").orderBy("doc_id")
-    per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
-    # the adaptive filter reads its input twice (cuts aggregate +
-    # join-back); per carries every expensive per-doc expression
-    # (routed gopher, quality, fingerprint, license regexes) plus the
-    # url/domain/dup windows — checkpoint the thin flag rows so that
-    # chain runs once, not twice (round 16; the lp-stage precedent
-    # below)
-    per = per.localCheckpoint(eager=True)
-    per = adaptive_quality_filter(
-        per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
-    ).select(
-        "doc_id",
-        "doc_lang",
-        "blocklist_ok",
-        "robots_ok",
-        "url_keep",
-        "domain",
-        "domain_keep",
-        "is_benchmark",
-        "gopher_ok",
-        (F.col("__q") >= 0.5).alias("quality_ok"),
-        "dup_ok",
-        F.col("__lic").getField("has_copyright").alias("has_copyright"),
-        F.col("__lic").getField("rights_reserved").alias("rights_reserved"),
-        F.col("__lic").getField("license_name").alias("license_name"),
-        F.col("__lic").getField("license_ok").alias("license_ok"),
-        F.round("__cut", 6).alias("lang_cut"),
-        "adaptive_ok",
-    )
+
+    # round 17 (optimization): the whole per-doc flag chain
+    # (construction + the url/domain/dup windows + the thin-flag
+    # checkpoint + the adaptive cut) reads only the pinned staged
+    # corpus — independent of the contamination leg until the final
+    # join. With the pool now 3 wide at this core count it builds on
+    # its own worker beside rank and lp, so its ~1 s checkpoint job
+    # AND its py4j construction overlap the contamination leg's ~1 s
+    # of pure expression building on the main thread (guide §2.6; the
+    # r16 §22 attempt pooled contam instead and measured a wash —
+    # because the 2-wide pool just serialized it behind lp).
+    def _build_per():
+        per = d.select(
+            "doc_id",
+            "lang",
+            F.col("__jt_lang").alias("doc_lang"),
+            url.alias("__url"),
+            (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
+            F.expr(_CUR_GOPHER_ROUTED_SQL).alias("gopher_ok"),
+            quality_score_expr("text", cjk=_cjk_pred).alias("__q"),
+            fingerprint_expr("text").alias("__fp"),
+            _lic.alias("__lic"),
+        )
+        per = domain_blocklist_flag(per, "__url", _BLOCKED_DOMAINS)
+        per = robots_filter(per, list(_ROBOTS_TXT), "__url")
+        per = url_dedup_flag(per, "__url", "doc_id", flag_col="url_keep")
+        per = domain_cap_flag(
+            per, "__url", "doc_id", cap=25, seed=1,
+            flag_col="domain_keep", domain_col="domain",
+        ).drop("__url")
+        w = Window.partitionBy("__fp").orderBy("doc_id")
+        per = per.withColumn("dup_ok", F.row_number().over(w) == 1).drop("__fp")
+        # the adaptive filter reads its input twice (cuts aggregate +
+        # join-back); per carries every expensive per-doc expression
+        # (routed gopher, quality, fingerprint, license regexes) plus
+        # the url/domain/dup windows — checkpoint the thin flag rows so
+        # that chain runs once, not twice (round 16; the lp-stage
+        # precedent above)
+        per = per.localCheckpoint(eager=True)
+        return adaptive_quality_filter(
+            per, "__q", "lang", q=0.25, cut_col="__cut", keep_col="adaptive_ok"
+        ).select(
+            "doc_id",
+            "doc_lang",
+            "blocklist_ok",
+            "robots_ok",
+            "url_keep",
+            "domain",
+            "domain_keep",
+            "is_benchmark",
+            "gopher_ok",
+            (F.col("__q") >= 0.5).alias("quality_ok"),
+            "dup_ok",
+            F.col("__lic").getField("has_copyright").alias("has_copyright"),
+            F.col("__lic").getField("rights_reserved").alias("rights_reserved"),
+            F.col("__lic").getField("license_name").alias("license_name"),
+            F.col("__lic").getField("license_ok").alias("license_ok"),
+            F.round("__cut", 6).alias("lang_cut"),
+            "adaptive_ok",
+        )
+
+    _fut_per = _bg_submit(_build_per)
     contam = ngram_contamination(
         d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0),
         n=8, cjk=_cjk_pred, cjk_n=8,
     ).select("doc_id", "contaminated")
+    per = _fut_per.result()
     # round 14: the logprob gate is a PER-LANGUAGE adaptive P10 cut
     # (the CCNet shape — they bucket perplexity per language) over the
     # SCRIPT-ROUTED unigram model: a global constant structurally
@@ -3409,15 +3426,33 @@ def q_ngram_jaccard_adjacent(spark, sf):
     from ..operators.setjoin import set_similarity_join
 
     d = _t(spark, sf, "documents")
-    # round 16 (optimization): ONE shingle Column tree reused by all
-    # three sites (Columns are immutable; each construction is ~0.3 s
-    # of py4j round-trips)
+    # round 17 (optimization, re-landing the r16 shape behind scaled
+    # evidence): join on the RAW text and shingle AFTER the exchange —
+    # a 3-shingle array weighs ~3x its source text, so shingling before
+    # the adjacent-id equi-join tripled both sides' shuffle bytes for
+    # no reuse (guide §2.3 shuffle fewer bytes). r16 reverted this on
+    # sf0.1 wall-clock (the corpus fits one task; exchange bytes are
+    # invisible); the 10x tiled fixture flips the verdict — see
+    # OPTIMIZATION_r17.md for the interleaved numbers. The joined
+    # shingle pair is staged through ONE struct (lambda parameters
+    # materialize) so each side tokenizes once per pair even though
+    # intersect+union both read it (project-level duplicates are
+    # folded by whole-stage codegen's subexpression elimination — the
+    # r16 §25 refined rule — so the post-join shingle subtrees
+    # evaluate once per pair side).
     _sh3 = shingles_expr(F.col("text"), 3)
-    a = d.select(F.col("doc_id").alias("id_a"), _sh3.alias("sa"))
-    b = d.select(F.col("doc_id").alias("id_b"), _sh3.alias("sb"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
     j = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = F.size(F.array_union("sa", "sb")).cast("double")
+    sa = shingles_expr(F.col("ta"), 3)
+    sb = shingles_expr(F.col("tb"), 3)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    # |A ∪ B| = |A| + |B| − |A ∩ B| exactly (both sides are
+    # array_distinct'd, no NULL elements) — the array_union hash-set
+    # build per pair was a second full set pass for a number two
+    # size() calls derive from the intersect already computed
+    # (project-level CSE folds the duplicated intersect subtree).
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
     adjacent = j.select(
         F.lit("adjacent").alias("part"),
         "id_a",

@@ -97,6 +97,42 @@ def test_refresh_rewrites_only_affected_date_partitions(spark, tmp_path):
     assert got.cnt == (base.cnt if base else 0) + 1
 
 
+def test_refresh_midnight_spanning_bucket_merges_exactly(spark, tmp_path):
+    """Round 17: the refresh's affected-dates collect derives from the
+    raw batch rows via the SAME window expression (not from the batch
+    aggregate, and NOT from to_date(ts)). A 7-hour bucket makes the
+    two diverge — a row at 01:00 belongs to a bucket that STARTS on
+    the previous date — so this pins the date set to the bucket
+    grain: the merge must still equal full recompute and only the
+    bucket-start dates' partitions may be touched."""
+    rows = [
+        # seed rows on 2024-02-01, batch row at 2024-02-02 01:00 whose
+        # 7h bucket starts 2024-02-01 21:00 (previous calendar date)
+        (1, "2024-02-01 22:00:00", "click", 1.0),
+        (2, "2024-02-01 10:00:00", "click", 2.0),
+    ]
+    batch_rows = [(3, "2024-02-02 01:00:00", "click", 4.0)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev, batch = mk(rows), mk(batch_rows)
+    path = "file://" + str(tmp_path / "rollup7h")
+    write_rollup(
+        rollup_aggregate(ev, "ts", ["event_type"], ["value"], bucket="7 hours"),
+        path,
+    )
+    merged = refresh_rollup(
+        batch, path, "ts", ["event_type"], ["value"], bucket="7 hours"
+    )
+    full = rollup_aggregate(
+        mk(rows + batch_rows), "ts", ["event_type"], ["value"],
+        bucket="7 hours",
+    )
+    assert _norm(
+        merged.select("bucket_start", "event_type", "cnt", "sum_value")
+    ) == _norm(full)
+
+
 def test_stream_rollup_converges_to_batch_recompute(spark, tmp_path):
     """Two micro-batches folded through the streaming wrapper leave
     the store equal to a one-shot batch aggregate of all events."""
