@@ -2159,16 +2159,54 @@ def _jt_blocks(
     # materialized once, so a pre-pass stages (txt, alen) per block and
     # the classifier reads cheap field accesses. Values are identical
     # by construction (same subexpressions, evaluated once).
-    def pre(b: Column) -> Column:
+    #
+    # Round 17 (optimization, VERDICT item 8): the strip chain itself
+    # is GATED — the tag regex only runs on blocks containing '<' (the
+    # pattern cannot match without one) and the six entity replaces
+    # only on text containing '&' (every entity starts with one), so a
+    # plain content block pays two contains() scans + the whitespace
+    # collapse instead of all ~9 passes. Both gates are semantic
+    # no-ops (the skipped pass would not have changed the string), so
+    # values are identical to strip_html_expr's chain — pinned by the
+    # jusText suite + the text_stats/curation oracles. The gates read
+    # their input several times, which is only safe on CHEAP
+    # references: the staging below keeps every gated input a lambda
+    # parameter or a field of one (materialized once per element).
+    def _tags_stripped(x: Column) -> Column:
+        # x MUST be cheap to reference (lambda param / struct field)
+        return F.when(
+            x.contains("<"), F.regexp_replace(x, r"<[^>]*>", " ")
+        ).otherwise(x)
+
+    def _entities_collapsed(x: Column) -> Column:
+        # x MUST be cheap to reference; equals the entity+collapse
+        # tail of strip_html_expr
+        ent = x
+        for _e, _r in HTML_ENTITIES:
+            ent = F.replace(ent, F.lit(_e), F.lit(_r))
+        decoded = F.when(x.contains("&"), ent).otherwise(x)
+        return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+    def pre0(b: Column) -> Column:
+        # bind the tag-stripped block AND the tag-stripped anchor join
+        # as struct fields, so pre's gated entity pass reads them as
+        # materialized params. The anchor join only exists when the
+        # block has markup at all ('' otherwise — the anchor pattern
+        # needs a '<a' tag), so the whole extraction is gated too.
+        aj = F.array_join(
+            F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " "
+        )
         return F.struct(
-            strip_html_expr(b).alias("txt"),
-            F.length(
-                strip_html_expr(
-                    F.array_join(
-                        F.regexp_extract_all(b, F.lit(_JT_ANCHOR), 1), " "
-                    )
-                )
-            ).alias("alen"),
+            _tags_stripped(b).alias("t1"),
+            F.when(
+                b.contains("<"), F.regexp_replace(aj, r"<[^>]*>", " ")
+            ).otherwise("").alias("a1"),
+        )
+
+    def pre(s: Column) -> Column:
+        return F.struct(
+            _entities_collapsed(s["t1"]).alias("txt"),
+            F.length(_entities_collapsed(s["a1"])).alias("alen"),
         )
 
     # round 16 (optimization, cont.): the block LENGTH is read by every
@@ -2226,7 +2264,10 @@ def _jt_blocks(
     visible = F.regexp_replace(_col(html), _JT_INVISIBLE, " ")
     blocks = F.split(visible, _JT_BLOCK_SPLIT, -1)
     return F.filter(
-        F.transform(F.transform(F.transform(blocks, pre), pre2), mk),
+        F.transform(
+            F.transform(F.transform(F.transform(blocks, pre0), pre), pre2),
+            mk,
+        ),
         lambda s: s["n"] > 0,
     )
 
