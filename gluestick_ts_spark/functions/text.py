@@ -177,6 +177,17 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+
+def _let(value, fn):
+    """Let-bind ``value`` through a single-element-array ``transform``
+    so ``fn`` reads a MATERIALIZED lambda parameter: higher-order
+    functions evaluate interpreted (no codegen subexpression
+    elimination), so a plain column reference inside a lambda
+    re-evaluates its whole subtree per element — binding the value as
+    a lambda parameter evaluates it once. Shared by the winnowing,
+    blocked-terms, and jusText pipelines (one definition, no drift)."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
 def tokens_expr(text: Column | str) -> Column:
     """Whitespace tokens of lowercased, trimmed text."""
     return F.split(F.lower(F.trim(_col(text))), r"\s+")
@@ -401,8 +412,6 @@ def winnow_fingerprints_expr(
     rows = 80 s; let-bound: 500 rows < 1 s).
     """
 
-    def _let(value, fn):
-        return F.get(F.transform(F.array(value), fn), 0)
 
     t = F.lower(F.trim(_col(text)))
 
@@ -1772,8 +1781,6 @@ def blocked_terms_flags_expr(
     # filter) fed three struct fields. Each reference re-evaluated its
     # whole subtree — ~(|terms|+2) tokenize passes per row where one
     # suffices. Values identical.
-    def _let(value, fn):
-        return F.get(F.transform(F.array(value), fn), 0)
 
     toks_val = F.transform(
         tokens_expr(t),
@@ -2074,8 +2081,6 @@ def main_text_expr(
     # subexpressions, evaluated once). The staged QUERY path
     # (plans/queries.py __jt_st/__jt_cls columns) was never exposed —
     # this closes the same trap for direct API callers.
-    def _let(value, fn):
-        return F.get(F.transform(F.array(value), fn), 0)
 
     st = _jt_blocks(
         html, stopwords, min_len, stop_tenths, cjk, min_len_cjk,

@@ -2031,9 +2031,9 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
             "*", blocked_terms_flags_expr("text", _BT_TERMS).alias("__bt")
         )
         sel += [
-            F.col("__bt.n_hits").alias("bt_hits"),
-            F.col("__bt.hit_frac").alias("bt_frac"),
-            F.col("__bt.blocked").alias("bt_blocked"),
+            F.col("__bt").getField("n_hits").alias("bt_hits"),
+            F.col("__bt").getField("hit_frac").alias("bt_frac"),
+            F.col("__bt").getField("blocked").alias("bt_blocked"),
         ]
         # round 15: dictionary WORD segmentation rides here for driver
         # visibility — FMM over the planted CJK texts against the
@@ -2064,8 +2064,8 @@ def q_lang_scores(spark, sf, parts=("lang", "clf")):
             F.when(is_cjk_doc_expr("__lt"), seg_nh).alias("__seg"),
         )
         sel += [
-            F.col("__seg.n").alias("seg_n_words"),
-            F.col("__seg.h").alias("seg_md5"),
+            F.col("__seg").getField("n").alias("seg_n_words"),
+            F.col("__seg").getField("h").alias("seg_md5"),
         ]
     if "clf" not in parts:
         return d.select(*sel)
